@@ -1,0 +1,289 @@
+"""AHP / entropy-weight scoring, Spark-first.
+
+Reimplements the semantics of
+``/root/reference/src/main/java/cn/swust/algorithms/ahp/AHP.java`` and
+``OnlineAHP.java``:
+
+* driver side: judgment-matrix weight vector = mean of the
+  geometric-average and arithmetic-average normalized row means
+  (``AHP.java:487-536`` — note both accumulators start at 1, a reference
+  quirk we preserve for golden parity), consistency ratio
+  ``CR = CI / RI[m] < 0.1`` (``AHP.java:462-484``, with the reference's
+  off-by-one RI indexing preserved);
+* dataflow: per-column min/max → min-max normalize by indicator type
+  (1=positive, 0=negative) → column sums → P_ij → entropy
+  ``e_j = Σ p·ln p`` → redundancy ``d_j = 1 + k·e_j`` → entropy weights
+  ``w_j = d_j / Σ d`` → per-row ``score = Σ norm_ij · w_j · ahp_j``.
+
+Spark plan: exactly **two** aggregation passes over the data
+(min/max+count, then Σnorm + Σnorm·ln norm — using the identity
+``Σ p ln p = (Σ n ln n)/S − ln S`` so P_ij never needs its own pass), with
+all small stats folded back in as literals; the score is one codegen
+projection. No UDFs, no joins, no shuffles beyond the implicit partial →
+final aggregation merge (which replaces the reference's manual
+``countWindowAll(parallelism).reduce``, ``AHP.java:79-99,143-154``).
+
+``OnlineAHP`` applies the same per-window math over event-time tumbling
+windows. Instead of the reference's parallelism-1
+``ProcessAllWindowFunction`` (``OnlineAHP.java:67-71``), windows are
+processed in parallel via analytic window functions partitioned by the
+tumbling-window key: one shuffle, then three chained WindowExec stages
+(max/min → col sums → entropy terms) that reuse the same partitioning.
+Note the reference quirk ``k = 1/ln(#cols)`` in the windowed variant
+(``OnlineAHP.java:151``) vs ``k = 1/ln(#rows)`` in batch AHP
+(``AHP.java:158``) — both preserved.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import (
+    AlgoOperator,
+    HasInputCols,
+    HasOutputCol,
+    HasTimeCol,
+    HasWindows,
+)
+
+# average random-consistency index (``AHP.java:48``)
+RI = [0, 0, 0.58, 0.89, 1.12, 1.26, 1.36, 1.41, 1.46, 1.49, 1.52, 1.54,
+      1.56, 1.58, 1.59]
+
+
+class AHPParams(HasInputCols, HasOutputCol):
+    """``AHPParams.java:9-36``."""
+
+    judgmentMatrix = Param(
+        Params._dummy(), "judgmentMatrix",
+        "pairwise judgment matrix (list of rows of floats)",
+        typeConverter=TypeConverters.identity)
+    indicatorType = Param(
+        Params._dummy(), "indicatorType",
+        "per-column indicator type: 1=positive, 0=negative",
+        typeConverter=TypeConverters.toListInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(judgmentMatrix=None)
+
+    def getJudgmentMatrix(self):
+        return self.getOrDefault(self.judgmentMatrix)
+
+    def setJudgmentMatrix(self, value):
+        return self._set(judgmentMatrix=[[float(x) for x in row] for row in value])
+
+    def getIndicatorType(self) -> list[int]:
+        return self.getOrDefault(self.indicatorType)
+
+    def setIndicatorType(self, *value):
+        if len(value) == 1 and isinstance(value[0], (list, tuple)):
+            value = value[0]
+        return self._set(indicatorType=list(value))
+
+    def _prepare(self):
+        """Driver-side validation + judgment-matrix weights (``AHP.java:56-64``)."""
+        cols = self.getInputCols()
+        matrix = self.getJudgmentMatrix()
+        _check_matrix(matrix, cols)
+        ahp_w = ahp_weight_vector(matrix)
+        cr = consistency_ratio(ahp_w, matrix)
+        if not cr < 0.1:
+            raise ValueError(
+                "CR is too large, please check your judgment matrix")
+        _check_indicator_type(self.getIndicatorType(), cols)
+        return cols, ahp_w
+
+
+def ahp_weight_vector(matrix: list[list[float]]) -> list[float]:
+    """Judgment-matrix weights (``AHP.java:487-536``).
+
+    Mean of the geometric-average and arithmetic-average methods. Both
+    reference implementations initialize their row accumulator to 1 (the
+    arithmetic row sum is ``1 + Σ a_ij``) — preserved verbatim because the
+    golden outputs depend on it.
+    """
+    m = len(matrix[0])
+    geo = [math.pow(math.prod(matrix[i][j] for j in range(m)), 1.0 / m)
+           for i in range(m)]
+    geo_total = sum(geo)
+    geo = [g / geo_total for g in geo]
+    arith = [(1 + sum(matrix[i][j] for j in range(m))) / m for i in range(m)]
+    arith_total = sum(arith)
+    arith = [a / arith_total for a in arith]
+    return [(geo[i] + arith[i]) / 2 for i in range(m)]
+
+
+def _ieee_div(a: float, b: float) -> float:
+    """Java-style double division: x/0 → ±inf, 0/0 → NaN (no exception)."""
+    if b == 0.0:
+        if a == 0.0 or math.isnan(a):
+            return float("nan")
+        return math.copysign(float("inf"), a)
+    return a / b
+
+
+def consistency_ratio(weights: list[float], matrix: list[list[float]]) -> float:
+    """``AHP.checkConsistency`` (``AHP.java:462-484``).
+
+    Keeps the reference's ``RI[m]`` indexing (RI of an (m+1)-sized matrix)
+    so the same matrices pass/fail the CR < 0.1 gate; division follows
+    Java double semantics (inf/NaN instead of raising) so degenerate
+    matrix sizes (m <= 2) are rejected by the CR gate, not a crash.
+    """
+    m = len(weights)
+    total = 0.0
+    for i in range(m):
+        row = sum(matrix[i][j] * weights[j] for j in range(m))
+        total += _ieee_div(row, weights[i])
+    max_eigen = total / m
+    ci = _ieee_div(max_eigen - m, m - 1)
+    return _ieee_div(ci, RI[m])
+
+
+def _check_matrix(matrix, input_cols) -> None:
+    """``AHP.checkJugleMartix`` (``AHP.java:538-546``)."""
+    if len(input_cols) > len(RI):
+        raise ValueError("the number of input columns must be <= 15")
+    if matrix is None:
+        raise ValueError("the judgment matrix cannot be empty")
+    if len(matrix[0]) != len(input_cols):
+        raise ValueError(
+            "the judgment matrix columns must match the input columns")
+
+
+def _check_indicator_type(indicator, input_cols) -> None:
+    """``AHP.checkIndicatorType`` (``AHP.java:450-460``)."""
+    if indicator is None:
+        raise ValueError("indicatorType must be set")
+    if len(indicator) != len(input_cols):
+        raise ValueError("indicatorType length must equal inputCols length")
+    for t in indicator:
+        if t not in (0, 1):
+            raise ValueError("indicatorType must be 0 or 1")
+
+
+class AHP(AlgoOperator, AHPParams):
+    """Batch entropy-weight + AHP scorer (``AHP.java:41-562``)."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols, ahp_w = self._prepare()
+        types = self.getIndicatorType()
+        x = [F.col(c).cast("double") for c in cols]
+        n = len(cols)
+
+        # pass 1: per-column min/max (``AHP.java:388-447``)
+        stats = df.agg(
+            *[F.min(x[j]).alias(f"mn_{j}") for j in range(n)],
+            *[F.max(x[j]).alias(f"mx_{j}") for j in range(n)],
+        ).first().asDict()
+
+        # min-max normalization by indicator type (``AHP.java:370-379``)
+        norm = []
+        for j in range(n):
+            mn, mx = F.lit(stats[f"mn_{j}"]), F.lit(stats[f"mx_{j}"])
+            if types[j] == 1:
+                norm.append((x[j] - mn) / (mx - mn))
+            else:
+                norm.append((mx - x[j]) / (mx - mn))
+
+        # pass 2: column sums S_j, Σ n·ln n, row count
+        # (Σ p·ln p = T/S − ln S with p = norm/S; the 0-guard mirrors
+        #  ``AHP.java:295-307``)
+        agg2 = df.agg(
+            *[F.sum(norm[j]).alias(f"s_{j}") for j in range(n)],
+            *[F.sum(
+                F.when(norm[j] != 0, norm[j] * F.log(norm[j])).otherwise(0.0)
+            ).alias(f"t_{j}") for j in range(n)],
+            F.count(F.lit(1)).alias("cnt"),
+        ).first().asDict()
+
+        cnt = agg2["cnt"]
+        k = 1.0 / math.log(cnt) if cnt > 1 else float("inf")
+        d = []
+        for j in range(n):
+            s, t = agg2[f"s_{j}"], agg2[f"t_{j}"]
+            e = t / s - math.log(s) if s else float("nan")
+            d.append(1 + k * e)  # redundancy (``AHP.java:157-164``)
+        total = sum(d)
+        entropy_w = [dj / total for dj in d]  # ``AHP.java:167-177``
+
+        # score = Σ norm_ij · entropy_w_j · ahp_w_j (``AHP.java:181-198``)
+        score = sum(norm[j] * F.lit(entropy_w[j] * ahp_w[j]) for j in range(n))
+        return df.withColumn(self.getOutputCol(), score)
+
+
+class OnlineAHP(AlgoOperator, AHPParams, HasWindows, HasTimeCol):
+    """Windowed AHP scoring (``OnlineAHP.java:34-299``).
+
+    Batch event-time semantics: every tumbling window is scored
+    independently with window-local min/max/entropy weights. Uses analytic
+    window functions partitioned by the window key so all windows compute
+    in parallel with a single shuffle (vs the reference's parallelism-1
+    ``ProcessAllWindowFunction``).
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols, ahp_w = self._prepare()
+        types = self.getIndicatorType()
+        n = len(cols)
+        uid = self.uid[-6:]
+        win_col = f"__win_{uid}"
+
+        windows = self.getWindows()
+        if windows in (None, "global"):
+            part = F.lit(1)
+        else:
+            part = F.window(F.col(self.getTimeCol()), windows)
+        w = Window.partitionBy(win_col)
+
+        x = [F.col(c).cast("double") for c in cols]
+        df1 = df.withColumn(win_col, part)
+
+        # stage 1: window-local min/max → normalized values
+        stage1 = df1.select(
+            "*",
+            *[F.max(x[j]).over(w).alias(f"__mx_{j}_{uid}") for j in range(n)],
+            *[F.min(x[j]).over(w).alias(f"__mn_{j}_{uid}") for j in range(n)],
+        )
+        norm = []
+        for j in range(n):
+            mx, mn = F.col(f"__mx_{j}_{uid}"), F.col(f"__mn_{j}_{uid}")
+            if types[j] == 1:
+                norm.append(((x[j] - mn) / (mx - mn)).alias(f"__nm_{j}_{uid}"))
+            else:
+                norm.append(((mx - x[j]) / (mx - mn)).alias(f"__nm_{j}_{uid}"))
+        stage2 = stage1.select("*", *norm)
+
+        # stage 2: window-local column sums (same partitioning, no reshuffle)
+        nm = [F.col(f"__nm_{j}_{uid}") for j in range(n)]
+        stage3 = stage2.select(
+            "*",
+            *[F.sum(nm[j]).over(w).alias(f"__s_{j}_{uid}") for j in range(n)],
+        )
+
+        # stage 3: window-local Σ p·ln p with the p==0 guard
+        # (``OnlineAHP.java:138-148``)
+        p = [nm[j] / F.col(f"__s_{j}_{uid}") for j in range(n)]
+        stage4 = stage3.select(
+            "*",
+            *[F.sum(
+                F.when(p[j] != 0, p[j] * F.log(p[j])).otherwise(0.0)
+            ).over(w).alias(f"__e_{j}_{uid}") for j in range(n)],
+        )
+
+        # redundancy/weights; note k = 1/ln(#cols) (``OnlineAHP.java:151``)
+        k = 1.0 / math.log(n)
+        d = [1 + k * F.col(f"__e_{j}_{uid}") for j in range(n)]
+        total = d[0]
+        for dj in d[1:]:
+            total = total + dj
+        weight = [dj / total for dj in d]
+
+        score = sum(nm[j] * weight[j] * F.lit(ahp_w[j]) for j in range(n))
+        out = stage4.withColumn(self.getOutputCol(), score)
+        return out.drop(win_col, *[c for c in out.columns if f"_{uid}" in c and c != self.getOutputCol()])

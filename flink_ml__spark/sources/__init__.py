@@ -1,0 +1,3 @@
+from flink_ml__spark.sources.registry import TABLES, load_table, register_tables
+
+__all__ = ["TABLES", "load_table", "register_tables"]

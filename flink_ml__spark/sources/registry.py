@@ -1,0 +1,51 @@
+"""Table loading for the synthetic TPC-H-ish test datasets.
+
+The reference reads its fixtures driver-side (BufferedReader →
+``env.fromCollection``, ``example/AHPExample.java:52-72``); here sources
+are real distributed parquet scans with predicate pushdown and column
+pruning via the DataFrame reader.
+
+One environment quirk handled centrally: ``events.parquet`` stores ``ts``
+as parquet TIMESTAMP(NANOS), which Spark's reader only accepts as int64
+via ``spark.sql.legacy.parquet.nanosAsLong``; we set that at read time and
+convert back to a proper timestamp column (microsecond precision).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_tables(spark: SparkSession, sf_dir: str | None = None,
+                    tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load + register each table as a temp view; returns the DataFrames."""
+    out = {}
+    for name in tables or TABLES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
