@@ -1,0 +1,256 @@
+"""Fuzzy C-Means (FCM), Spark-first.
+
+Reimplements ``/root/reference/src/main/java/cn/swust/algorithms/fcm/``
+(``FCM.java:53-579``, ``FCMModel.java:32-167``):
+
+* membership update ``u_ik = 1 / Σ_j (d_ik/d_jk)^(2/(m−1))`` with the
+  0-distance guard ``d == 0 → 1e-10`` (``FCM.java:527-553``)
+* centroid update ``c_k = Σ u_ik^m·x_i / Σ u_ik^m`` (``FCM.java:442-503``)
+* convergence when ``max|Δu| < TOL`` or maxIter, first round skipped
+  (``FCM.java:288-341``)
+* Dirichlet(1) random initial memberships (``FCM.java:555-563``) — the
+  reference leaves these unseeded; here they are derived from a seeded
+  per-row hash so runs are reproducible (SURVEY §7 "hard parts").
+
+Architecture (the MLlib driver-loop pattern, replacing the reference's
+Flink bounded-iteration graph): centroids live on the driver between
+epochs; each epoch is ONE distributed aggregation job computing, per
+cluster, ``Σ u^m`` and ``Σ u^m·x`` plus the membership-delta max — all as
+Catalyst column expressions with centroid literals folded in (no UDFs, no
+shuffle beyond the partial→final agg merge). Memberships are never
+materialized: after round one they are a pure function of
+(point, centroids), so ``max|Δu|`` is computed by evaluating the
+membership expression at both the current and previous centroids. This
+keeps per-epoch traffic O(k·dims), independent of row count — the plan
+that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from flink_ml__spark.base import (
+    AlgoOperator,
+    Estimator,
+    HasDistanceMeasure,
+    HasFeaturesCol,
+    HasMaxIter,
+    HasPredictionCol,
+    HasSeed,
+    Model,
+    as_double_array,
+    array_width,
+)
+
+
+class FCMParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed,
+                HasDistanceMeasure):
+    """``FCMModelParams.java:12-30`` + shared mixins."""
+
+    k = Param(Params._dummy(), "k", "number of clusters",
+              typeConverter=TypeConverters.toInt)
+    m = Param(Params._dummy(), "m", "fuzziness exponent (> 1)",
+              typeConverter=TypeConverters.toFloat)
+    tol = Param(Params._dummy(), "tol",
+                "convergence tolerance on max membership delta",
+                typeConverter=TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(k=3, m=2.0, tol=1e-4)
+
+    def getK(self) -> int:
+        return self.getOrDefault(self.k)
+
+    def setK(self, value: int):
+        return self._set(k=value)
+
+    def getM(self) -> float:
+        return self.getOrDefault(self.m)
+
+    def setM(self, value: float):
+        return self._set(m=float(value))
+
+    def getTOL(self) -> float:
+        return self.getOrDefault(self.tol)
+
+    def setTOL(self, value: float):
+        return self._set(tol=float(value))
+
+
+def _dist_expr(x_elems, centroid: list[float], measure: str):
+    """Distance between the point (element expressions) and a literal
+    centroid — euclidean or cosine (flink-ml DistanceMeasure parity)."""
+    if measure == "euclidean":
+        s = sum((x_elems[j] - F.lit(centroid[j])) ** 2
+                for j in range(len(centroid)))
+        return F.sqrt(s)
+    # cosine distance = 1 − dot / (‖x‖·‖c‖)
+    dot = sum(x_elems[j] * F.lit(centroid[j]) for j in range(len(centroid)))
+    xn = F.sqrt(sum(e * e for e in x_elems))
+    cn = math.sqrt(sum(v * v for v in centroid)) or 1e-10
+    return 1 - dot / (xn * F.lit(cn))
+
+
+def _membership_exprs(x_elems, centroids: list[list[float]], measure: str,
+                      m: float):
+    """``FCM.updateMembershipVector`` (``FCM.java:527-553``) as columns."""
+    k = len(centroids)
+    d = [_dist_expr(x_elems, centroids[kk], measure) for kk in range(k)]
+    d = [F.when(dk == 0, F.lit(1e-10)).otherwise(dk) for dk in d]
+    p = 2.0 / (m - 1.0)
+    u = []
+    for kk in range(k):
+        s = sum((d[kk] / d[j]) ** F.lit(p) for j in range(k))
+        u.append(1.0 / s)
+    return u
+
+
+def _init_membership_exprs(x_col, k: int, seed: int):
+    """Seeded Dirichlet(1) initial memberships (``FCM.java:555-563``).
+
+    Dirichlet(1,...,1) == normalized Exp(1) draws; each draw comes from a
+    per-row xxhash64 so the init is deterministic and independent of
+    partitioning (the reference's unseeded sampler is the reason its own
+    Canopy/FCM tests cannot assert cluster assignments).
+    """
+    eps = 1e-12
+    e = []
+    for kk in range(k):
+        h = F.xxhash64(x_col, F.lit(seed), F.lit(kk))
+        u01 = (h.cast("double") / F.lit(float(2 ** 64))) + 0.5
+        u01 = F.least(F.greatest(u01, F.lit(eps)), F.lit(1 - eps))
+        e.append(-F.log(u01))
+    total = sum(e)
+    return [ek / total for ek in e]
+
+
+class FCMModel(Model, FCMParams):
+    """Cluster assignment = argmax membership ≡ argmin distance
+    (``FCMModel.java:121-143``); centroids broadcast as literals."""
+
+    def __init__(self, centroids: list[list[float]] | None = None):
+        super().__init__()
+        self._centroids = centroids
+
+    @property
+    def centroids(self) -> list[list[float]]:
+        if self._centroids is None and self._model_data is not None:
+            rows = self._model_data.orderBy("cluster_id").collect()
+            self._centroids = [list(r["centroid"]) for r in rows]
+        return self._centroids
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cents = self.centroids
+        arr = as_double_array(df, self.getFeaturesCol())
+        dims = len(cents[0])
+        x = [F.element_at(arr, j + 1) for j in range(dims)]
+        measure = self.getDistanceMeasure()
+        d = F.array(*[
+            F.when(dk == 0, F.lit(1e-10)).otherwise(dk)
+            for dk in (_dist_expr(x, c, measure) for c in cents)
+        ])
+        pred = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        return df.withColumn(self.getPredictionCol(), pred)
+
+    def membership_matrix(self, df: DataFrame) -> DataFrame:
+        """Full membership matrix as a DataFrame (features, membership
+        array<double>) — the reference materializes this inside its model
+        data (``FCMModelData.java:35-47``); at scale it must stay
+        distributed, so it is exposed lazily here instead."""
+        arr = as_double_array(df, self.getFeaturesCol())
+        dims = len(self.centroids[0])
+        x = [F.element_at(arr, j + 1) for j in range(dims)]
+        u = _membership_exprs(x, self.centroids, self.getDistanceMeasure(),
+                              self.getM())
+        return df.select(F.col(self.getFeaturesCol()),
+                         F.array(*u).alias("membership"))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json"), "w") as f:
+            json.dump({"centroids": self.centroids}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        p = os.path.join(path, "model_data.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                self._centroids = json.load(f)["centroids"]
+
+
+class FCM(Estimator, FCMParams):
+    """FCM estimator — driver loop, one aggregation job per epoch."""
+
+    def fit(self, df: DataFrame) -> FCMModel:
+        k, m, tol, max_iter = (self.getK(), self.getM(), self.getTOL(),
+                               self.getMaxIter())
+        seed, measure = self.getSeed(), self.getDistanceMeasure()
+        fcol = self.getFeaturesCol()
+
+        pts = df.select(as_double_array(df, fcol).alias("x"))
+        pts.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            dims = array_width(pts, "x")
+            x = [F.element_at(F.col("x"), j + 1) for j in range(dims)]
+
+            # seeded initial centroids (``selectRandomCentroids``,
+            # ``FCM.java:71``) — distributed sample, no full sort
+            sample = pts.rdd.takeSample(False, k, seed)
+            if len(sample) < k:
+                raise ValueError(
+                    f"need at least k={k} points, got {len(sample)}")
+            centroids = [list(r["x"]) for r in sample]
+
+            prev_centroids = None
+            for it in range(max_iter):
+                if it == 0:
+                    u = _init_membership_exprs(F.col("x"), k, seed)
+                    u_old = None
+                else:
+                    u = _membership_exprs(x, centroids, measure, m)
+                    u_old = (_init_membership_exprs(F.col("x"), k, seed)
+                             if it == 1 else
+                             _membership_exprs(x, prev_centroids, measure, m))
+
+                staged = pts.select(
+                    "*", *[u[kk].alias(f"__u{kk}") for kk in range(k)],
+                    *([] if u_old is None else
+                      [u_old[kk].alias(f"__v{kk}") for kk in range(k)]))
+                uc = [F.col(f"__u{kk}") for kk in range(k)]
+                aggs = []
+                for kk in range(k):
+                    w = uc[kk] ** F.lit(m)
+                    aggs.append(F.sum(w).alias(f"den_{kk}"))
+                    for j in range(dims):
+                        aggs.append(F.sum(w * x[j]).alias(f"num_{kk}_{j}"))
+                if u_old is not None:
+                    delta = F.greatest(*[
+                        F.abs(uc[kk] - F.col(f"__v{kk}")) for kk in range(k)
+                    ]) if k > 1 else F.abs(uc[0] - F.col("__v0"))
+                    aggs.append(F.max(delta).alias("tol"))
+                row = staged.agg(*aggs).first().asDict()
+
+                prev_centroids = centroids
+                centroids = [
+                    [row[f"num_{kk}_{j}"] / row[f"den_{kk}"]
+                     for j in range(dims)]
+                    for kk in range(k)
+                ]
+                if u_old is not None and row["tol"] < tol:
+                    break
+        finally:
+            pts.unpersist()
+
+        model = FCMModel(centroids)
+        model._set(**{p.name: self.getOrDefault(p) for p in self.params})
+        return model

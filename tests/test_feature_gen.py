@@ -1,0 +1,95 @@
+"""Tests for the featureGeneration counterparts (FIXTURES.md §7)."""
+
+import math
+
+from flink_ml__spark.functions import (
+    AutoFeatureTransformer,
+    MeanImputer,
+    MeanImputerModel,
+    StandardScaler,
+    TimeFeatureExtractor,
+)
+
+ROWS = [
+    ("2023-01-15", 1.0, 0),
+    ("2023-06-30", None, 1),
+    ("garbage", 3.0, 2),
+    (None, 5.0, 1),
+    ("2023-12-09", None, 0),
+]
+COLS = ["date", "value", "feature"]
+
+
+def test_time_feature_extractor(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    out = TimeFeatureExtractor().setInputCol("date").transform(df)
+    assert out.columns == ["year", "month", "day"]
+    got = out.collect()
+    assert (got[0]["year"], got[0]["month"], got[0]["day"]) == (2023, "01", "15")
+    assert (got[1]["year"], got[1]["month"], got[1]["day"]) == (2023, "06", "30")
+    # garbage and null both → (null, null, null)  (TimeFeatureExtractor2.java:74-85)
+    assert got[2]["year"] is None and got[2]["month"] is None
+    assert got[3]["year"] is None
+    assert (got[4]["year"], got[4]["month"], got[4]["day"]) == (2023, "12", "09")
+
+
+def test_time_feature_extractor_custom_outputs(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    out = (TimeFeatureExtractor().setInputCol("date")
+           .setOutputCols("y", "m", "d").transform(df))
+    assert out.columns == ["y", "m", "d"]
+
+
+def test_mean_imputer(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = MeanImputer().setInputCol("value").fit(df)
+    assert math.isclose(model.meanValue, 3.0)  # mean of 1, 3, 5
+    out = model.transform(df)
+    # reference quirk: single output column only (MeanImputerModel.java:37-43)
+    assert out.columns == ["imputed_value"]
+    vals = [r["imputed_value"] for r in out.collect()]
+    assert vals == [1.0, 3.0, 3.0, 5.0, 3.0]
+
+
+def test_mean_imputer_all_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "value double")
+    model = MeanImputer().setInputCol("value").fit(df)
+    assert model.meanValue == 0.0  # MeanImputer.java:58
+
+
+def test_mean_imputer_save_load(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = MeanImputer().setInputCol("value").setOutputCol("v2").fit(df)
+    path = str(tmp_path / "imputer")
+    model.save(path)
+    loaded = MeanImputerModel.load(spark, path)
+    assert loaded.meanValue == 3.0
+    assert loaded.getOutputCol() == "v2"
+    assert [r["v2"] for r in loaded.transform(df).collect()] == [1.0, 3.0, 3.0, 5.0, 3.0]
+
+
+def test_standard_scaler(spark):
+    df = spark.createDataFrame([(2.0,), (4.0,), (6.0,)], "x double")
+    model = StandardScaler().setInputCol("x").fit(df)
+    out = [r["scaled_value"] for r in model.transform(df).collect()]
+    assert math.isclose(out[0], -1.0) and math.isclose(out[1], 0.0)
+    # reference-compat passthrough stub (StandardScalerModel.java:62-64)
+    model._set(passthrough=True)
+    out = [r["scaled_value"] for r in model.transform(df).collect()]
+    assert out == [2.0, 4.0, 6.0]
+
+
+def test_auto_feature_transformer(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    out = AutoFeatureTransformer().transform(df)
+    cols = set(out.columns)
+    assert {"date_year", "date_month", "date_day", "value_imputed",
+            "feature_onehot"} <= cols
+    rows = out.collect()
+    by_date = {r["date"]: r for r in rows}
+    assert by_date["2023-01-15"]["date_year"] == 2023
+    assert by_date["garbage"]["date_year"] is None
+    # real null-imputation, not the reference's 0.0 sentinel
+    assert by_date["2023-06-30"]["value_imputed"] == 3.0
+    assert by_date["2023-01-15"]["value_imputed"] == 1.0
+    assert by_date["2023-01-15"]["feature_onehot"].toArray().tolist() == [1.0, 0.0, 0.0]
