@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced through the noop sink (full computation, no
+materialization cost) so timings measure the engine, not the collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline subset: every operator family, scale-appropriate variants
+# (ngram_jaccard is the small-scale verifier of minhash — excluded here;
+#  the ANN headline uses the IVF scale path rather than brute force)
+HEADLINE = [
+    "ahp_score_lineitem",
+    "topsis_score_part",
+    "online_ahp_events",
+    "online_topsis_model_events",
+    "online_topsis_predict_events",
+    "apriori_rules_events",
+    "fcm_embeddings_clusters",
+    "canopy_customer",
+    "mean_imputer_orders",
+    "standard_scaler_lineitem",
+    "time_features_orders",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "dedup_simhash_documents",
+    "dedup_embedding_cosine",
+    "lang_id_documents",
+    "quality_documents",
+    "token_count_documents",
+    "fingerprint_documents",
+]
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Scale-path ANN: IVF-bucketed cosine top-k over all embeddings."""
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.similarity import IVFCosineTopK
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (IVFCosineTopK().setK(5).setNList(32).setNProbe(6).setSeed(42)
+            .topk(queries, emb))
+
+
+def main() -> None:
+    from flink_ml__spark.plans import QUERIES
+    from flink_ml__spark.session import get_spark
+
+    spark = get_spark("flink_ml__spark-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    all_queries = dict(QUERIES)
+    all_queries["ann_ivf_topk"] = q_ann_ivf
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE + ["ann_ivf_topk"]:
+        fn = all_queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,397 @@
+"""Deduplication operators for large-scale training-data pipelines
+(BASELINE.json north-star; beyond the reference's own surface).
+
+All variants share the same deterministic, engine-portable design:
+
+* base hash: ``conv(substr(md5(s), 1, 15), 16, 10)`` — a 60-bit integer
+  that DuckDB reproduces bit-for-bit (``('0x' || substr(md5(s),1,15))::
+  BIGINT``), so every pipeline here has an exact SQL oracle;
+* minhash permutations ``h_i(x) = (a_i·x + b_i) mod 2147483647`` over
+  ``x = base_hash mod 2^31`` — products stay < 2^62, no int64 overflow in
+  either engine;
+* duplicate rule: a document is a duplicate iff some *smaller-id*
+  document is similar to it ("dominated-by-smaller-id"). Deterministic
+  and join-expressible; unlike full connected-components it needs no
+  iteration, which is what makes it survive 100 TB in one shuffle wave.
+
+Scale shape (MinHash/SimHash): tokenize+hash is codegen over each row;
+the only shuffles are the band-bucket self-join (keys are ~uniform 32-bit
+hashes — no skew) and the final anti-join of ids.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator, HasInputCol, HasSeed
+from flink_ml__spark.functions.text import TOKEN_SPLIT, Fingerprinter
+
+MERSENNE31 = 2147483647
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit md5-derived hash, reproducible in DuckDB (see module doc)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+class HasIdColMixin(Params):
+    idCol = Param(Params._dummy(), "idCol",
+                  "unique ascending document id column",
+                  typeConverter=TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id")
+
+    def getIdCol(self) -> str:
+        return self.getOrDefault(self.idCol)
+
+    def setIdCol(self, value: str):
+        return self._set(idCol=value)
+
+
+def _keep_non_dominated(df: DataFrame, dup_ids: DataFrame, id_col: str) -> DataFrame:
+    """Drop rows whose id appears in ``dup_ids`` (column ``__dup_id``)."""
+    return df.join(dup_ids.withColumnRenamed("__dup_id", id_col),
+                   id_col, "left_anti")
+
+
+class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Exact dedup on the normalized-text fingerprint: keeps the
+    smallest-id document per fingerprint (hash-groupBy + semi join —
+    one shuffle on the md5 key)."""
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        fp = F.md5(Fingerprinter.normalized(F.col(self.getInputCol())))
+        keyed = df.withColumn("__fp", fp)
+        keep = keyed.groupBy("__fp").agg(F.min(idc).alias(idc))
+        return (keyed.join(keep, ["__fp", idc], "left_semi").drop("__fp"))
+
+
+class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
+    """MinHash + LSH near-duplicate removal.
+
+    shingle (word n-grams) → minhash signature → band buckets →
+    bucket self-join → exact n-gram Jaccard verification → drop documents
+    dominated by a smaller-id near-duplicate.
+    """
+
+    shingleSize = Param(Params._dummy(), "shingleSize",
+                        "words per shingle", TypeConverters.toInt)
+    numHashes = Param(Params._dummy(), "numHashes",
+                      "minhash signature length", TypeConverters.toInt)
+    bands = Param(Params._dummy(), "bands",
+                  "LSH bands (must divide numHashes)", TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold",
+                      "Jaccard threshold for verified duplicates",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", shingleSize=3, numHashes=12,
+                         bands=4, threshold=0.8)
+
+    def getShingleSize(self):
+        return self.getOrDefault(self.shingleSize)
+
+    def setShingleSize(self, v):
+        return self._set(shingleSize=v)
+
+    def getNumHashes(self):
+        return self.getOrDefault(self.numHashes)
+
+    def setNumHashes(self, v):
+        return self._set(numHashes=v)
+
+    def getBands(self):
+        return self.getOrDefault(self.bands)
+
+    def setBands(self, v):
+        return self._set(bands=v)
+
+    def getThreshold(self):
+        return self.getOrDefault(self.threshold)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def hash_coefficients(self) -> list[tuple[int, int]]:
+        rng = random.Random(self.getSeed())
+        return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+                for _ in range(self.getNumHashes())]
+
+    def _shingles(self, text: Column) -> Column:
+        n = self.getShingleSize()
+        toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT),
+                        lambda t: t != "")
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "))),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        """(id_keep, id_dup, jaccard) verified near-duplicate pairs."""
+        if self.getNumHashes() % self.getBands():
+            raise ValueError("bands must divide numHashes")
+        rows_per_band = self.getNumHashes() // self.getBands()
+        idc = self.getIdCol()
+
+        sh = self._shingles(F.col(self.getInputCol()))
+        xs = F.transform(sh, lambda s: portable_hash60(s) % MERSENNE31)
+        sig = F.array(*[
+            F.array_min(F.transform(
+                xs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31))
+            for a, b in self.hash_coefficients()
+        ])
+        base = df.select(F.col(idc).alias("__id"), sh.alias("__sh"),
+                         sig.alias("__sig"))
+
+        bands = base.select(
+            "__id", "__sh",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.array_join(F.slice("__sig", bi * rows_per_band + 1,
+                                         rows_per_band), ",").alias("key"))
+                for bi in range(self.getBands())
+            ])).alias("__b"))
+        left = bands.select("__b", F.col("__id").alias("__id_l"),
+                            F.col("__sh").alias("__sh_l"))
+        right = bands.select("__b", F.col("__id").alias("__id_r"),
+                             F.col("__sh").alias("__sh_r"))
+        pairs = (left.join(right, "__b")
+                 .filter(F.col("__id_l") < F.col("__id_r"))
+                 .select("__id_l", "__id_r", "__sh_l", "__sh_r")
+                 .dropDuplicates(["__id_l", "__id_r"]))
+        jac = (F.size(F.array_intersect("__sh_l", "__sh_r"))
+               / F.size(F.array_union("__sh_l", "__sh_r")))
+        return (pairs.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= self.getThreshold())
+                .select(F.col("__id_l").alias("id_keep"),
+                        F.col("__id_r").alias("id_dup"),
+                        "jaccard"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dups = (self.duplicate_pairs(df)
+                .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+
+class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+    """SimHash near-duplicate removal (60-bit fingerprint, banded LSH on
+    15-bit quarters, Hamming-distance verification)."""
+
+    hammingThreshold = Param(Params._dummy(), "hammingThreshold",
+                             "max Hamming distance for duplicates",
+                             TypeConverters.toInt)
+
+    N_BITS = 60
+    N_BANDS = 4
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", hammingThreshold=3)
+
+    def getHammingThreshold(self):
+        return self.getOrDefault(self.hammingThreshold)
+
+    def setHammingThreshold(self, v):
+        return self._set(hammingThreshold=v)
+
+    def simhash(self, text: Column) -> Column:
+        toks = F.array_distinct(
+            F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != ""))
+        hs = F.transform(toks, portable_hash60)
+        bits = []
+        for j in range(self.N_BITS):
+            vote = F.aggregate(
+                hs, F.lit(0).cast("bigint"),
+                lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            bits.append(
+                F.when(vote > 0, F.lit(2 ** j).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint")))
+        return sum(bits[1:], bits[0])
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        width = self.N_BITS // self.N_BANDS
+        base = df.select(F.col(idc).alias("__id"),
+                         self.simhash(F.col(self.getInputCol())).alias("__sh"))
+        bands = base.select(
+            "__id", "__sh",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("__sh", b * width)
+                         .bitwiseAND(F.lit(2 ** width - 1)).alias("key"))
+                for b in range(self.N_BANDS)
+            ])).alias("__b"))
+        left = bands.select("__b", F.col("__id").alias("__id_l"),
+                            F.col("__sh").alias("__sh_l"))
+        right = bands.select("__b", F.col("__id").alias("__id_r"),
+                             F.col("__sh").alias("__sh_r"))
+        pairs = (left.join(right, "__b")
+                 .filter(F.col("__id_l") < F.col("__id_r"))
+                 .select("__id_l", "__id_r", "__sh_l", "__sh_r")
+                 .dropDuplicates(["__id_l", "__id_r"]))
+        dist = F.bit_count(F.col("__sh_l").bitwiseXOR(F.col("__sh_r")))
+        return (pairs.withColumn("hamming", dist)
+                .filter(F.col("hamming") <= self.getHammingThreshold())
+                .select(F.col("__id_l").alias("id_keep"),
+                        F.col("__id_r").alias("id_dup"), "hamming"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dups = (self.duplicate_pairs(df)
+                .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+
+class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Exact word-n-gram Jaccard dedup, blocked pairwise.
+
+    Pairs are generated within a blocking key (default: whitespace token
+    count bucket) to avoid the full O(n²) cross join; use
+    ``MinHashDeduplicator`` when recall across blocks matters at scale.
+    """
+
+    shingleSize = Param(Params._dummy(), "shingleSize",
+                        "words per n-gram", TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold", "Jaccard threshold",
+                      TypeConverters.toFloat)
+    blockBucket = Param(Params._dummy(), "blockBucket",
+                        "token-count bucket width for blocking",
+                        TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", shingleSize=3, threshold=0.8,
+                         blockBucket=8)
+
+    def getShingleSize(self):
+        return self.getOrDefault(self.shingleSize)
+
+    def getThreshold(self):
+        return self.getOrDefault(self.threshold)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        n = self.getShingleSize()
+        idc = self.getIdCol()
+        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
+                                TOKEN_SPLIT), lambda t: t != "")
+        sh = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "))),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+        block = F.floor(F.size(toks) / self.getOrDefault(self.blockBucket))
+        base = df.select(F.col(idc).alias("__id"), sh.alias("__sh"),
+                         block.alias("__blk"))
+        left = base.select("__blk", F.col("__id").alias("__id_l"),
+                           F.col("__sh").alias("__sh_l"))
+        right = base.select("__blk", F.col("__id").alias("__id_r"),
+                            F.col("__sh").alias("__sh_r"))
+        jac = (F.size(F.array_intersect("__sh_l", "__sh_r"))
+               / F.size(F.array_union("__sh_l", "__sh_r")))
+        return (left.join(right, "__blk")
+                .filter(F.col("__id_l") < F.col("__id_r"))
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= self.getThreshold())
+                .select(F.col("__id_l").alias("id_keep"),
+                        F.col("__id_r").alias("id_dup"), "jaccard"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dups = (self.duplicate_pairs(df)
+                .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+
+class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
+    """Embedding near-duplicate removal: random-hyperplane LSH buckets →
+    cosine verification → dominated-by-smaller-id drop.
+
+    Hyperplanes are seeded numpy draws folded into the plan as literals,
+    so the whole pipeline stays codegen and the oracle can replay it.
+    """
+
+    embeddingCol = Param(Params._dummy(), "embeddingCol",
+                         "array<float/double> embedding column",
+                         TypeConverters.toString)
+    threshold = Param(Params._dummy(), "threshold",
+                      "cosine similarity threshold", TypeConverters.toFloat)
+    nBits = Param(Params._dummy(), "nBits", "hyperplane count (bucket bits)",
+                  TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(embeddingCol="embedding", threshold=0.95, nBits=8,
+                         idCol="vec_id")
+
+    def getEmbeddingCol(self):
+        return self.getOrDefault(self.embeddingCol)
+
+    def setEmbeddingCol(self, v):
+        return self._set(embeddingCol=v)
+
+    def getThreshold(self):
+        return self.getOrDefault(self.threshold)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def hyperplanes(self, dims: int):
+        import numpy as np
+
+        rng = np.random.default_rng(self.getSeed())
+        return rng.standard_normal((self.getOrDefault(self.nBits), dims)).tolist()
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        from flink_ml__spark.base import array_width, as_double_array
+
+        idc = self.getIdCol()
+        ecol = self.getEmbeddingCol()
+        dims = array_width(df, ecol)
+        arr = as_double_array(df, ecol)
+        x = [F.element_at(arr, j + 1) for j in range(dims)]
+        norm = F.sqrt(sum(e * e for e in x))
+        planes = self.hyperplanes(dims)
+        bucket = None
+        for b, plane in enumerate(planes):
+            dot = sum(x[j] * F.lit(plane[j]) for j in range(dims))
+            bit = F.when(dot >= 0, F.lit(2 ** b).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+            bucket = bit if bucket is None else bucket + bit
+        base = df.select(F.col(idc).alias("__id"), arr.alias("__v"),
+                         norm.alias("__n"), bucket.alias("__bkt"))
+        left = base.select("__bkt", F.col("__id").alias("__id_l"),
+                           F.col("__v").alias("__v_l"), F.col("__n").alias("__n_l"))
+        right = base.select("__bkt", F.col("__id").alias("__id_r"),
+                            F.col("__v").alias("__v_r"), F.col("__n").alias("__n_r"))
+        dot = F.aggregate(
+            F.zip_with("__v_l", "__v_r", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        cos = dot / (F.col("__n_l") * F.col("__n_r"))
+        return (left.join(right, "__bkt")
+                .filter(F.col("__id_l") < F.col("__id_r"))
+                .withColumn("cosine", cos)
+                .filter(F.col("cosine") >= self.getThreshold())
+                .select(F.col("__id_l").alias("id_keep"),
+                        F.col("__id_r").alias("id_dup"), "cosine"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dups = (self.duplicate_pairs(df)
+                .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())

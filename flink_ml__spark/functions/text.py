@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north-star): language ID,
+quality scoring, token counting, document fingerprinting — each designed
+as pure Spark SQL expressions (no UDFs) so they whole-stage-codegen over a
+100 TB documents table, and each deliberately expressible in ANSI SQL so
+the duckdb oracle can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator, HasInputCol, HasOutputCol
+
+# small, fixed stopword profiles per language; scoring = number of distinct
+# profile words present in the document (deterministic argmax, tie → order
+# below). Keep the lists lowercase and regex-free so Spark and the SQL
+# oracle tokenize identically.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ich", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "vous", "une", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "por", "con", "para"],
+    "it": ["il", "di", "che", "la", "per", "una", "sono", "non", "con", "del"],
+}
+
+TOKEN_SPLIT = "[^a-zA-Z0-9']+"
+
+
+class LanguageIdentifier(AlgoOperator, HasInputCol, HasOutputCol):
+    """N-gram/stopword-profile language ID.
+
+    Appends ``outputCol`` (language code string, 'und' when no profile
+    word matches). Tokenize → distinct → count intersection with each
+    profile → argmax with deterministic tie-breaking (profile order).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="lang_pred")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        toks = F.array_distinct(
+            F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT))
+        scores = {
+            lang: F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words])))
+            for lang, words in LANG_PROFILES.items()
+        }
+        best = None
+        best_score = None
+        # build right-to-left so earlier profiles win ties
+        langs = list(LANG_PROFILES)
+        expr = F.lit("und")
+        best_score = F.greatest(*scores.values())
+        for lang in reversed(langs):
+            expr = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(expr)
+        expr = F.when(best_score <= 0, F.lit("und")).otherwise(expr)
+        return df.withColumn(self.getOutputCol(), expr)
+
+
+class QualityScorer(AlgoOperator, HasInputCol):
+    """Heuristic document-quality signals + composite score.
+
+    Appends: ``n_chars_q`` (length), ``n_tokens_q``, ``alpha_ratio``,
+    ``punct_ratio``, ``stopword_ratio``, ``quality_score`` in [0, 1].
+    All ratios are plain length arithmetic — identical in any SQL engine.
+    """
+
+    PUNCT = r"[.,!?;:]"
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.getInputCol())
+        n_chars = F.length(text)
+        toks = F.split(F.lower(text), TOKEN_SPLIT)
+        toks = F.filter(toks, lambda t: t != "")
+        n_tokens = F.size(toks)
+        alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+        punct = F.length(text) - F.length(F.regexp_replace(text, self.PUNCT, ""))
+        stop = F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
+        denom = F.greatest(n_chars, F.lit(1))
+        out = (df
+               .withColumn("n_chars_q", n_chars)
+               .withColumn("n_tokens_q", n_tokens)
+               .withColumn("alpha_ratio", alpha / denom)
+               .withColumn("punct_ratio", punct / denom)
+               .withColumn("stopword_ratio",
+                           stop / F.greatest(n_tokens, F.lit(1))))
+        score = (
+            F.least(F.col("n_tokens_q") / F.lit(20.0), F.lit(1.0)) * 0.3
+            + F.col("alpha_ratio") * 0.4
+            + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.2
+            + (1 - F.least(F.col("punct_ratio") * F.lit(10.0), F.lit(1.0))) * 0.1
+        )
+        return out.withColumn("quality_score", score)
+
+
+class TokenCounter(AlgoOperator, HasInputCol, HasOutputCol):
+    """Whitespace + BPE-ish token counts.
+
+    Appends ``outputCol`` (whitespace token count) and
+    ``<outputCol>_bpe`` — a sub-word-ish count using a regex that splits
+    words, numbers and punctuation runs apart (an approximation of a BPE
+    pre-tokenizer; the real tokenizer is out of scope in this container).
+    """
+
+    BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="n_tokens")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.getInputCol())
+        ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+        bpe = F.size(F.regexp_extract_all(text, F.lit(self.BPE_PATTERN), 0))
+        return (df.withColumn(self.getOutputCol(), ws)
+                .withColumn(f"{self.getOutputCol()}_bpe", bpe))
+
+
+class Fingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
+    """Deterministic document fingerprint: md5 of the case/whitespace
+    normalized text (md5 is available in every engine, so the oracle can
+    reproduce it bit-for-bit)."""
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="fingerprint")
+
+    @staticmethod
+    def normalized(col):
+        return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.getOutputCol(),
+            F.md5(self.normalized(F.col(self.getInputCol()))))

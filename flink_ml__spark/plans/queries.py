@@ -1,0 +1,775 @@
+"""The engine's query inventory: every SURVEY §2 operator (plus the
+north-star pipeline operators) instantiated against the driver's test
+tables, each paired with an ANSI-SQL oracle DuckDB can replay.
+
+Contract (driver's t2 gate): for each name, ``QUERIES[name](spark,
+sf_dir)`` and ``ORACLES[name]`` must produce identical row counts,
+column names, and values. Floating outputs are rounded to 6 dp ON BOTH
+SIDES so partial-aggregation order differences between engines cannot
+flip a value hash. Iterative/seeded operators (FCM, Canopy) have no SQL
+equivalent → no oracle entry (driver records rows-only).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.dedup import (
+    MERSENNE31,
+    EmbeddingCosineDeduplicator,
+    ExactDeduplicator,
+    MinHashDeduplicator,
+    NgramJaccardDeduplicator,
+    SimHashDeduplicator,
+)
+from flink_ml__spark.functions.feature_gen import (
+    MeanImputer,
+    StandardScaler,
+    TimeFeatureExtractor,
+)
+from flink_ml__spark.functions.similarity import CosineTopK
+from flink_ml__spark.functions.text import (
+    LANG_PROFILES,
+    Fingerprinter,
+    LanguageIdentifier,
+    QualityScorer,
+    TokenCounter,
+)
+from flink_ml__spark.operators.ahp import AHP, OnlineAHP, ahp_weight_vector
+from flink_ml__spark.operators.apriori import Apriori
+from flink_ml__spark.operators.canopy import Canopy
+from flink_ml__spark.operators.fcm import FCM
+from flink_ml__spark.operators.online_topsis import OnlineTopsis
+from flink_ml__spark.operators.topsis import Topsis
+from flink_ml__spark.sources import load_table
+
+R = 6  # rounding for float outputs, applied identically on both sides
+
+# ---------------------------------------------------------------------------
+# shared configs
+# ---------------------------------------------------------------------------
+
+AHP_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+AHP_TYPES = [1, 1, 0, 0]
+AHP_MATRIX = [
+    [1.0, 0.5, 2.0, 2.0],
+    [2.0, 1.0, 3.0, 3.0],
+    [0.5, 1 / 3, 1.0, 1.0],
+    [0.5, 1 / 3, 1.0, 1.0],
+]
+AHP_W = ahp_weight_vector(AHP_MATRIX)
+
+OAHP_MATRIX = [[1.0, 2.0], [0.5, 1.0]]
+OAHP_W = ahp_weight_vector(OAHP_MATRIX)
+
+TOPSIS_TYPES = [1, 2]          # p_retailprice max, p_size min
+TOPSIS_WEIGHTS = [0.6, 0.4]
+
+OT_TYPES = [1, 2]              # events: value max, props-length min
+OT_WEIGHTS = [0.5, 0.5]
+
+EMB_DIMS = 64
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 1. AHP (batch)
+# ---------------------------------------------------------------------------
+
+def q_ahp_score_lineitem(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (AHP().setInputCols(AHP_COLS).setJudgmentMatrix(AHP_MATRIX)
+          .setIndicatorType(AHP_TYPES).setOutputCol("ahp_score"))
+    out = op.transform(li)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("ahp_score", R).alias("ahp_score"))
+
+
+def _ahp_oracle(cols, types, ahp_w, table, keys):
+    n = len(cols)
+    mnmx = ", ".join(
+        f"min({c}) AS mn{j}, max({c}) AS mx{j}" for j, c in enumerate(cols))
+    norm = ", ".join(
+        (f"(({c} - mn{j}) / (mx{j} - mn{j})) AS n{j}" if types[j] == 1 else
+         f"((mx{j} - {c}) / (mx{j} - mn{j})) AS n{j}")
+        for j, c in enumerate(cols))
+    sums = ", ".join(
+        f"sum(n{j}) AS s{j}, "
+        f"sum(CASE WHEN n{j} <> 0 THEN n{j} * ln(n{j}) ELSE 0 END) AS t{j}"
+        for j in range(n)) + ", count(*) AS cnt"
+    d = ", ".join(
+        f"(1 + (1.0/ln(cnt)) * (t{j}/s{j} - ln(s{j}))) AS d{j}"
+        for j in range(n))
+    dsum = " + ".join(f"d{j}" for j in range(n))
+    score = " + ".join(
+        f"n{j} * (d{j}/({dsum})) * {ahp_w[j]!r}" for j in range(n))
+    keycols = ", ".join(keys)
+    return f"""
+WITH stats AS (SELECT {mnmx} FROM {table}),
+norm AS (SELECT {keycols}, {norm} FROM {table}, stats),
+sums AS (SELECT {sums} FROM norm),
+dvals AS (SELECT {d} FROM sums),
+scored AS (SELECT {keycols}, {score} AS raw_score FROM norm, dvals)
+SELECT {keycols}, round(raw_score, {R}) AS ahp_score FROM scored
+"""
+
+
+ORACLE_AHP = _ahp_oracle(AHP_COLS, AHP_TYPES, AHP_W, "lineitem",
+                         ["l_orderkey", "l_linenumber"])
+
+# ---------------------------------------------------------------------------
+# 2. TOPSIS (batch)
+# ---------------------------------------------------------------------------
+
+def q_topsis_score_part(spark, sf_dir):
+    part = load_table(spark, "part", sf_dir).withColumn(
+        "features", F.array("p_retailprice", F.col("p_size").cast("double")))
+    op = (Topsis().setCriteriaTypes(TOPSIS_TYPES).setWeights(TOPSIS_WEIGHTS)
+          .setPredictionCol("topsis_score"))
+    out = op.transform(part)
+    return out.select("p_partkey",
+                      F.round("topsis_score", R).alias("topsis_score"))
+
+
+ORACLE_TOPSIS = f"""
+WITH stats AS (SELECT max(p_size::DOUBLE) AS mx1 FROM part),
+pos AS (SELECT p_partkey, p_retailprice AS v0, mx1 - p_size::DOUBLE AS v1
+        FROM part, stats),
+ssq AS (SELECT sum(v0*v0) AS q0, sum(v1*v1) AS q1,
+               max(v0) AS vmax0, min(v0) AS vmin0,
+               max(v1) AS vmax1, min(v1) AS vmin1 FROM pos),
+u AS (SELECT p_partkey,
+             v0 / sqrt(q0) * {TOPSIS_WEIGHTS[0]} AS u0,
+             v1 / sqrt(q1) * {TOPSIS_WEIGHTS[1]} AS u1,
+             vmax0 / sqrt(q0) * {TOPSIS_WEIGHTS[0]} AS z0,
+             vmax1 / sqrt(q1) * {TOPSIS_WEIGHTS[1]} AS z1,
+             vmin0 / sqrt(q0) * {TOPSIS_WEIGHTS[0]} AS w0,
+             vmin1 / sqrt(q1) * {TOPSIS_WEIGHTS[1]} AS w1
+      FROM pos, ssq)
+SELECT p_partkey,
+       round(sqrt((w0-u0)*(w0-u0) + (w1-u1)*(w1-u1)) /
+             (sqrt((z0-u0)*(z0-u0) + (z1-u1)*(z1-u1)) +
+              sqrt((w0-u0)*(w0-u0) + (w1-u1)*(w1-u1))), {R}) AS topsis_score
+FROM u
+"""
+
+# ---------------------------------------------------------------------------
+# 3. OnlineAHP (windowed)
+# ---------------------------------------------------------------------------
+
+def q_online_ahp_events(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "props_len", F.length("props").cast("double"))
+    op = (OnlineAHP().setInputCols(["value", "props_len"])
+          .setJudgmentMatrix(OAHP_MATRIX).setIndicatorType([1, 0])
+          .setWindows("1 day").setTimeCol("ts").setOutputCol("win_score"))
+    out = op.transform(ev)
+    return out.select("event_id", F.round("win_score", R).alias("win_score"))
+
+
+ORACLE_ONLINE_AHP = f"""
+WITH base AS (
+  SELECT event_id, value AS c0, length(props)::DOUBLE AS c1,
+         time_bucket(INTERVAL 1 day, ts) AS win
+  FROM events),
+s1 AS (
+  SELECT *, max(c0) OVER w AS mx0, min(c0) OVER w AS mn0,
+            max(c1) OVER w AS mx1, min(c1) OVER w AS mn1
+  FROM base WINDOW w AS (PARTITION BY win)),
+s2 AS (
+  SELECT *, (c0 - mn0)/(mx0 - mn0) AS n0, (mx1 - c1)/(mx1 - mn1) AS n1
+  FROM s1),
+s3 AS (
+  SELECT *, sum(n0) OVER w AS sum0, sum(n1) OVER w AS sum1
+  FROM s2 WINDOW w AS (PARTITION BY win)),
+s4 AS (
+  SELECT *,
+    sum(CASE WHEN n0/sum0 <> 0 THEN (n0/sum0)*ln(n0/sum0) ELSE 0 END)
+      OVER w AS e0,
+    sum(CASE WHEN n1/sum1 <> 0 THEN (n1/sum1)*ln(n1/sum1) ELSE 0 END)
+      OVER w AS e1
+  FROM s3 WINDOW w AS (PARTITION BY win)),
+s5 AS (
+  SELECT event_id, n0, n1,
+         1 + (1.0/ln(2)) * e0 AS d0, 1 + (1.0/ln(2)) * e1 AS d1
+  FROM s4)
+SELECT event_id,
+       round(n0 * (d0/(d0+d1)) * {OAHP_W[0]!r}
+           + n1 * (d1/(d0+d1)) * {OAHP_W[1]!r}, {R}) AS win_score
+FROM s5
+"""
+
+# ---------------------------------------------------------------------------
+# 4/5. OnlineTopsis model + predictions
+# ---------------------------------------------------------------------------
+
+def _events_features(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("id"),
+        F.col("ts").alias("rowtime"),
+        F.array(F.col("value"),
+                F.length("props").cast("double")).alias("features"))
+
+
+def _online_topsis_model(spark, sf_dir):
+    df = _events_features(spark, sf_dir)
+    est = (OnlineTopsis().setCriteriaTypes(OT_TYPES).setWeights(OT_WEIGHTS)
+           .setWindows("1 day").setTimeCol("rowtime"))
+    return est.fit(df), df
+
+
+def q_online_topsis_model_events(spark, sf_dir):
+    model, _ = _online_topsis_model(spark, sf_dir)
+    return (model.getModelData()
+            .select("timestamp", "minTimestamp",
+                    F.round("score", R).alias("score"))
+            )
+
+
+_OT_MEANS = """
+WITH base AS (
+  SELECT epoch_ms(ts) AS id, value AS c0, length(props)::DOUBLE AS c1,
+         time_bucket(INTERVAL 1 day, ts) AS win
+  FROM events),
+means AS (
+  SELECT epoch_ms(win + INTERVAL 1 day) - 1 AS timestamp,
+         min(id) AS minTimestamp, avg(c0) AS m0, avg(c1) AS m1
+  FROM base GROUP BY win),
+stats AS (SELECT max(m1) AS mx1 FROM means),
+pos AS (SELECT timestamp, minTimestamp, m0 AS v0, mx1 - m1 AS v1
+        FROM means, stats),
+ssq AS (SELECT sum(v0*v0) AS q0, sum(v1*v1) AS q1,
+               max(v0) AS vmax0, min(v0) AS vmin0,
+               max(v1) AS vmax1, min(v1) AS vmin1 FROM pos),
+u AS (SELECT timestamp, minTimestamp,
+             v0/sqrt(q0)*{w0} AS u0, v1/sqrt(q1)*{w1} AS u1,
+             vmax0/sqrt(q0)*{w0} AS z0, vmax1/sqrt(q1)*{w1} AS z1,
+             vmin0/sqrt(q0)*{w0} AS wl0, vmin1/sqrt(q1)*{w1} AS wl1
+      FROM pos, ssq),
+scored AS (
+  SELECT timestamp, minTimestamp,
+         sqrt((wl0-u0)*(wl0-u0) + (wl1-u1)*(wl1-u1)) /
+         (sqrt((z0-u0)*(z0-u0) + (z1-u1)*(z1-u1)) +
+          sqrt((wl0-u0)*(wl0-u0) + (wl1-u1)*(wl1-u1))) AS raw_score
+  FROM u)
+""".format(w0=OT_WEIGHTS[0], w1=OT_WEIGHTS[1])
+
+ORACLE_ONLINE_TOPSIS_MODEL = _OT_MEANS + f"""
+SELECT timestamp, minTimestamp, round(raw_score, {R}) AS score FROM scored
+"""
+
+
+def q_online_topsis_predict_events(spark, sf_dir):
+    model, df = _online_topsis_model(spark, sf_dir)
+    out = model.setPredictionCol("score").transform(df)
+    return out.select("event_id", F.round("score", R).alias("score"))
+
+
+ORACLE_ONLINE_TOPSIS_PREDICT = _OT_MEANS + f"""
+SELECT e.event_id, round(s.raw_score, {R}) AS score
+FROM events e JOIN scored s
+  ON epoch_ms(e.ts) >= s.minTimestamp AND epoch_ms(e.ts) <= s.timestamp
+"""
+
+# ---------------------------------------------------------------------------
+# 6. Apriori
+# ---------------------------------------------------------------------------
+
+def q_apriori_rules_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    baskets = (ev.groupBy("user_id")
+               .agg(F.array_join(F.array_sort(F.collect_set("event_type")),
+                                 "/").alias("items")))
+    op = (Apriori().setInputCols("items").setItemSeparator("/")
+          .setMinSupport(0.2).setMinConfidence(0.3).setLift(1.0))
+    out = op.transform(baskets)
+    return out.select(
+        F.array_join("itemSet", ",").alias("item_set"),
+        F.col("count").cast("bigint").alias("cnt"),
+        F.round("support", R).alias("support"),
+        F.round("confidence", R).alias("confidence"),
+        F.round("lift", R).alias("lift"),
+        F.array_join("prefix", ",").alias("prefix_s"),
+        F.array_join("suffix", ",").alias("suffix_s"))
+
+
+ORACLE_APRIORI = f"""
+WITH RECURSIVE baskets AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS items
+  FROM events GROUP BY user_id),
+n AS (SELECT count(*) AS total FROM baskets),
+sub AS (
+  SELECT user_id, items, i AS lastpos, [items[i]] AS itemset
+  FROM baskets, LATERAL (SELECT unnest(range(1, len(items) + 1)) AS i) t
+  UNION ALL
+  SELECT user_id, items, j, list_append(itemset, items[j])
+  FROM sub, LATERAL (SELECT unnest(range(lastpos + 1, len(items) + 1)) AS j) t
+),
+counts AS (
+  SELECT itemset, count(*)::BIGINT AS cnt FROM sub GROUP BY itemset),
+freq AS (
+  SELECT itemset, cnt, cnt::DOUBLE / total AS support
+  FROM counts, n WHERE cnt::DOUBLE / total >= 0.2),
+splits AS (
+  SELECT f.itemset, f.cnt, f.support,
+         list_transform(
+           list_filter(range(1, len(f.itemset) + 1),
+                       i -> (mask >> (i - 1)) & 1 = 1),
+           i -> f.itemset[i]) AS prefix,
+         list_transform(
+           list_filter(range(1, len(f.itemset) + 1),
+                       i -> (mask >> (i - 1)) & 1 = 0),
+           i -> f.itemset[i]) AS suffix
+  FROM freq f,
+       LATERAL (SELECT unnest(range(1, (1 << len(f.itemset)) - 1)) AS mask) m
+  WHERE len(f.itemset) >= 2),
+rules AS (
+  SELECT s.prefix, s.suffix, s.cnt, s.support,
+         s.cnt::DOUBLE / fq.cnt AS confidence,
+         (s.cnt::DOUBLE / fq.cnt) / fp.support AS lift
+  FROM splits s
+  JOIN freq fq ON fq.itemset = s.suffix
+  JOIN freq fp ON fp.itemset = s.prefix),
+all_rules AS (
+  SELECT array_to_string(list_concat(prefix, suffix), ',') AS item_set,
+         cnt, support, confidence, lift,
+         array_to_string(prefix, ',') AS prefix_s,
+         array_to_string(suffix, ',') AS suffix_s
+  FROM rules
+  UNION ALL
+  SELECT array_to_string(itemset, ','), cnt, support, support, 1.0,
+         '', ''
+  FROM freq WHERE len(itemset) = 1)
+SELECT item_set, cnt, round(support, {R}) AS support,
+       round(confidence, {R}) AS confidence, round(lift, {R}) AS lift,
+       prefix_s, suffix_s
+FROM all_rules
+WHERE confidence >= 0.3 AND lift >= 1.0
+"""
+
+# ---------------------------------------------------------------------------
+# 7/8. FCM + Canopy (iterative, seeded — rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_fcm_embeddings_clusters(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = (FCM().setK(4).setSeed(42).setMaxIter(10)
+             .setFeaturesCol("embedding").fit(emb))
+    out = model.transform(emb)
+    return (out.groupBy("prediction")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .orderBy("prediction"))
+
+
+def q_canopy_customer(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "features",
+        F.array(F.col("c_acctbal") / 1000.0,
+                F.col("c_nationkey").cast("double")))
+    flat = (Canopy().setT1(8.0).setT2(4.0).setSeed(42).setMaxIter(30)
+            .assign(cust))
+    return (flat.groupBy("canopy_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("canopy_id"))
+
+
+# ---------------------------------------------------------------------------
+# 9/10/11. feature generation
+# ---------------------------------------------------------------------------
+
+def q_mean_imputer_orders(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    model = MeanImputer().setInputCol("o_totalprice").fit(orders)
+    return model.transform(orders).select(
+        F.round("imputed_value", R).alias("imputed_value"))
+
+
+ORACLE_MEAN_IMPUTER = f"""
+SELECT round(coalesce(o_totalprice,
+             (SELECT avg(o_totalprice) FROM orders)), {R}) AS imputed_value
+FROM orders
+"""
+
+
+def q_standard_scaler_lineitem(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    model = StandardScaler().setInputCol("l_tax").fit(li)
+    return model.transform(li).select(
+        F.round("scaled_value", R).alias("scaled_value"))
+
+
+ORACLE_STANDARD_SCALER = f"""
+WITH s AS (SELECT avg(l_tax) AS m, stddev_samp(l_tax) AS sd FROM lineitem)
+SELECT round((l_tax - m) / sd, {R}) AS scaled_value FROM lineitem, s
+"""
+
+
+def q_time_features_orders(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "date_str", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return TimeFeatureExtractor().setInputCol("date_str").transform(orders)
+
+
+ORACLE_TIME_FEATURES = """
+SELECT year(o_orderdate)::INT AS year,
+       lpad(month(o_orderdate)::VARCHAR, 2, '0') AS month,
+       lpad(day(o_orderdate)::VARCHAR, 2, '0') AS day
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# 12-16. dedup family
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return ExactDeduplicator().transform(docs).select("doc_id")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS doc_id FROM (
+  SELECT doc_id, {_NORM_SQL} AS fp FROM documents) GROUP BY fp
+"""
+
+# portable tokenize/shingle fragments for the dedup oracles
+_TOK_SQL = ("list_filter(string_split_regex(lower(text), "
+            "'[^a-zA-Z0-9'']+'), x -> x <> '')")
+
+
+def _shingle_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))) "
+        f"ELSE [array_to_string(toks, ' ')] END")
+
+
+_H60 = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
+
+
+def q_dedup_minhash_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    return op.transform(docs).select("doc_id")
+
+
+def _oracle_minhash() -> str:
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    coeffs = op.hash_coefficients()
+    rows = op.getNumHashes() // op.getBands()
+    sig_terms = ", ".join(
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MERSENNE31}))"
+        for a, b in coeffs)
+    band_terms = ", ".join(
+        f"struct_pack(band := {b}, key := array_to_string("
+        f"list_slice(sig, {b * rows + 1}, {b * rows + rows}), ','))"
+        for b in range(op.getBands()))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(op.getShingleSize())} AS sh FROM toks),
+xs AS (SELECT doc_id, sh,
+              list_transform(sh, s -> {_H60.format(x='s')} % {MERSENNE31})
+              AS xs FROM sh),
+sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM xs),
+bands AS (SELECT doc_id, sh, unnest([{band_terms}]) AS b FROM sig),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         l.sh AS sh_l, r.sh AS sh_r
+  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+dups AS (
+  SELECT DISTINCT id_r FROM pairs
+  WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
+        len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r})
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_r FROM dups)
+"""
+
+
+def q_dedup_simhash_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    op = SimHashDeduplicator().setHammingThreshold(3)
+    return op.transform(docs).select("doc_id")
+
+
+def _oracle_simhash() -> str:
+    op = SimHashDeduplicator().setHammingThreshold(3)
+    width = op.N_BITS // op.N_BANDS
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(op.N_BITS))
+    simexpr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(op.N_BITS))
+    band_terms = ", ".join(
+        f"struct_pack(band := {b}, key := (simhash >> {b * width}) & "
+        f"{(1 << width) - 1})"
+        for b in range(op.N_BANDS))
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks
+              FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+h AS (SELECT doc_id, {_H60.format(x='t')} AS th FROM tok),
+votes AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id),
+sim0 AS (SELECT doc_id, ({simexpr}) AS simhash FROM votes),
+sim AS (SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id),
+bands AS (SELECT doc_id, simhash, unnest([{band_terms}]) AS b FROM sim),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         l.simhash AS h_l, r.simhash AS h_r
+  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+dups AS (SELECT DISTINCT id_r FROM pairs
+         WHERE bit_count(xor(h_l, h_r)) <= {op.getHammingThreshold()})
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_r FROM dups)
+"""
+
+
+def q_ngram_jaccard_pairs_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    op = NgramJaccardDeduplicator().setThreshold(0.5)
+    pairs = op.duplicate_pairs(docs)
+    return pairs.select("id_keep", "id_dup",
+                        F.round("jaccard", R).alias("jaccard"))
+
+
+def _oracle_ngram_jaccard() -> str:
+    op = NgramJaccardDeduplicator().setThreshold(0.5)
+    n = op.getShingleSize()
+    bucket = op.getOrDefault(op.blockBucket)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(n)} AS sh,
+              (len(toks) // {bucket})::BIGINT AS blk FROM toks),
+pairs AS (
+  SELECT l.doc_id AS id_keep, r.doc_id AS id_dup,
+         len(list_intersect(l.sh, r.sh))::DOUBLE /
+         len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
+  FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id)
+SELECT id_keep, id_dup, round(jaccard, {R}) AS jaccard
+FROM pairs WHERE jaccard >= {op.getThreshold()!r}
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    op = EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.95)
+    return op.transform(emb).select("vec_id")
+
+
+def _oracle_embedding_dedup() -> str:
+    op = EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.95)
+    planes = op.hyperplanes(EMB_DIMS)
+    e = "list_transform(embedding, v -> v::DOUBLE)"
+    bucket_terms = []
+    for b, plane in enumerate(planes):
+        dot = " + ".join(f"emb[{j + 1}] * ({plane[j]!r})"
+                         for j in range(EMB_DIMS))
+        bucket_terms.append(
+            f"(CASE WHEN ({dot}) >= 0 THEN {1 << b}::BIGINT ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    dotlr = " + ".join(f"l.emb[{j + 1}] * r.emb[{j + 1}]"
+                       for j in range(EMB_DIMS))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {e} AS emb FROM embeddings),
+keyed AS (
+  SELECT vec_id, emb,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm,
+         ({bucket}) AS bkt
+  FROM base),
+pairs AS (
+  SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+         ({dotlr}) / (l.nrm * r.nrm) AS cosine
+  FROM keyed l JOIN keyed r ON l.bkt = r.bkt AND l.vec_id < r.vec_id),
+dups AS (SELECT DISTINCT id_r FROM pairs WHERE cosine >= 0.95)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_r FROM dups)
+"""
+
+# ---------------------------------------------------------------------------
+# 17. ANN cosine top-k
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = CosineTopK().setK(5).topk(queries, emb)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("cosine", R).alias("cosine"))
+
+
+ORACLE_ANN = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+  FROM embeddings),
+nv AS (SELECT vec_id, emb,
+              sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum'))
+              AS nrm FROM base),
+q AS (SELECT * FROM nv WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN nv c ON q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, round(cosine, {R}) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# 18-21. text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return (LanguageIdentifier().transform(docs)
+            .select("doc_id", "lang_pred"))
+
+
+def _oracle_lang_id() -> str:
+    toks = f"list_distinct({_TOK_SQL})"
+    scores = {
+        lang: (f"len(list_intersect(toks, "
+               f"[{', '.join(repr(w) for w in words)}]))")
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    langs = list(LANG_PROFILES)
+    expr = "'und'"
+    for lang in reversed(langs):
+        expr = (f"CASE WHEN {scores[lang]} = best THEN '{lang}' "
+                f"ELSE {expr} END")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, {best} AS best FROM t)
+SELECT doc_id, CASE WHEN best <= 0 THEN 'und' ELSE {expr} END AS lang_pred
+FROM s
+"""
+
+
+def q_quality_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = QualityScorer().transform(docs)
+    return out.select("doc_id", "n_tokens_q",
+                      F.round("alpha_ratio", R).alias("alpha_ratio"),
+                      F.round("quality_score", R).alias("quality_score"))
+
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text),
+             '[^a-zA-Z0-9'']+'), x -> x <> '')) AS n_tokens_q,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS punct,
+         len(list_intersect(
+             list_distinct(list_filter(string_split_regex(lower(text),
+                 '[^a-zA-Z0-9'']+'), x -> x <> '')),
+             [{', '.join(repr(w) for w in LANG_PROFILES['en'])}])) AS stop
+  FROM documents),
+m AS (
+  SELECT doc_id, n_tokens_q,
+         alpha::DOUBLE / greatest(n_chars, 1) AS alpha_ratio,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         stop::DOUBLE / greatest(n_tokens_q, 1) AS stopword_ratio
+  FROM t)
+SELECT doc_id, n_tokens_q, round(alpha_ratio, {R}) AS alpha_ratio,
+       round(least(n_tokens_q / 20.0, 1.0) * 0.3
+           + alpha_ratio * 0.4
+           + least(stopword_ratio * 5.0, 1.0) * 0.2
+           + (1 - least(punct_ratio * 10.0, 1.0)) * 0.1, {R})
+         AS quality_score
+FROM m
+"""
+
+
+def q_token_count_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return (TokenCounter().transform(docs)
+            .select("doc_id", "n_tokens", "n_tokens_bpe"))
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))
+         AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return (Fingerprinter().transform(docs)
+            .select("doc_id", "fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id, {_NORM_SQL} AS fingerprint FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "ahp_score_lineitem": q_ahp_score_lineitem,
+    "topsis_score_part": q_topsis_score_part,
+    "online_ahp_events": q_online_ahp_events,
+    "online_topsis_model_events": q_online_topsis_model_events,
+    "online_topsis_predict_events": q_online_topsis_predict_events,
+    "apriori_rules_events": q_apriori_rules_events,
+    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "canopy_customer": q_canopy_customer,
+    "mean_imputer_orders": q_mean_imputer_orders,
+    "standard_scaler_lineitem": q_standard_scaler_lineitem,
+    "time_features_orders": q_time_features_orders,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_minhash_documents": q_dedup_minhash_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id_documents": q_lang_id_documents,
+    "quality_documents": q_quality_documents,
+    "token_count_documents": q_token_count_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+}
+
+ORACLES = {
+    "ahp_score_lineitem": ORACLE_AHP,
+    "topsis_score_part": ORACLE_TOPSIS,
+    "online_ahp_events": ORACLE_ONLINE_AHP,
+    "online_topsis_model_events": ORACLE_ONLINE_TOPSIS_MODEL,
+    "online_topsis_predict_events": ORACLE_ONLINE_TOPSIS_PREDICT,
+    "apriori_rules_events": ORACLE_APRIORI,
+    # fcm / canopy: iterative + seeded → rows-only check (no oracle)
+    "mean_imputer_orders": ORACLE_MEAN_IMPUTER,
+    "standard_scaler_lineitem": ORACLE_STANDARD_SCALER,
+    "time_features_orders": ORACLE_TIME_FEATURES,
+    "dedup_exact_documents": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_documents": _oracle_minhash(),
+    "dedup_simhash_documents": _oracle_simhash(),
+    "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),
+    "dedup_embedding_cosine": _oracle_embedding_dedup(),
+    "ann_cosine_topk": ORACLE_ANN,
+    "lang_id_documents": _oracle_lang_id(),
+    "quality_documents": ORACLE_QUALITY,
+    "token_count_documents": ORACLE_TOKEN_COUNT,
+    "fingerprint_documents": ORACLE_FINGERPRINT,
+}

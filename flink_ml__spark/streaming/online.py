@@ -1,0 +1,135 @@
+"""Structured Streaming wrappers for the online operators.
+
+The reference's streaming surface is (a) windowed scoring with emission
+when the event-time window fires (``OnlineAHP.java:67-71``) and (b) model
+application with buffering of rows that arrive before their window's model
+(``OnlineTopsisModel.java:131-163``).
+
+Spark-first mapping:
+
+* ``stream_online_ahp`` — ``applyInPandasWithState`` keyed by the tumbling
+  window: rows buffer in group state until the watermark passes the window
+  end, then the whole window is scored at once (numpy replica of the
+  per-window math, tested against the batch operator) and emitted in
+  append mode. This is the ``windowAllAndProcess`` contract with
+  watermark-driven firing — but parallel across windows.
+* ``stream_online_topsis_apply`` — a stream-static broadcast range join
+  against the fitted model table: the declarative form of
+  buffer-until-model when the model is available up front. (Full
+  stream-stream model arrival would use the same state pattern as above.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_ml__spark.operators.ahp import OnlineAHP
+from flink_ml__spark.operators.online_topsis import OnlineTopsisModel
+from flink_ml__spark.streaming.score_numpy import score_window_ahp
+
+
+_UNITS_MS = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+             "day": 86_400_000, "week": 604_800_000}
+
+
+def _interval_ms(spec: str) -> int:
+    """Parse a tumbling-window interval like '3 days' to milliseconds."""
+    n, unit = spec.strip().split()
+    return int(n) * _UNITS_MS[unit.rstrip("s").lower()]
+
+
+def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
+                      watermark_delay: str = "0 seconds") -> DataFrame:
+    """Windowed AHP scoring over a streaming DataFrame.
+
+    Emits input columns + ``outputCol`` once per closed window (append
+    mode). ``op`` must have a tumbling ``windows`` interval set.
+    """
+    cols, ahp_w = op._prepare()
+    types = op.getIndicatorType()
+    windows = op.getWindows()
+    if windows in (None, "global"):
+        raise ValueError("streaming OnlineAHP requires a tumbling window")
+    time_col = op.getTimeCol()
+    out_col = op.getOutputCol()
+
+    # F.window() would attach a second event-time column (conflicting with
+    # the watermark in the stateful operator); derive the tumbling window
+    # struct with plain epoch arithmetic instead.
+    ival_ms = _interval_ms(windows)
+    ms = F.unix_millis(F.col(time_col))
+    start = (F.floor(ms / ival_ms) * ival_ms).cast("long")
+    win = F.struct(
+        F.timestamp_millis(start).alias("start"),
+        F.timestamp_millis(start + ival_ms).alias("end"))
+    src = (stream_df.withWatermark(time_col, watermark_delay)
+           .withColumn("__win", win))
+    keyed = src.groupBy("__win")
+
+    out_fields = list(stream_df.schema.fields) + [
+        T.StructField(out_col, T.DoubleType())]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [T.StructField("rows_json", T.StringType())])
+    in_names = [f.name for f in stream_df.schema.fields]
+
+    def score_fn(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+        wk = key[0]  # struct key arrives as a dict {'start':..,'end':..}
+        win_end = wk["end"] if isinstance(wk, dict) else wk[1]
+        win_end_ms = int(pd.Timestamp(win_end).timestamp() * 1000)
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        (old_json,) = state.get if state.exists else (None,)
+        parts = []
+        if old_json:
+            parts.append(pd.read_json(old_json, orient="split",
+                                      convert_dates=False))
+        if batch is not None and len(batch):
+            b = batch[in_names].copy()
+            b[time_col] = b[time_col].astype("int64")  # ns → stable ints
+            parts.append(b)
+        data = (pd.concat(parts, ignore_index=True)
+                if parts else pd.DataFrame(columns=in_names))
+
+        fire = (state.hasTimedOut
+                or (state.getCurrentWatermarkMs() >= win_end_ms))
+        if fire:
+            state.remove()
+            if not len(data):
+                return
+            scores = score_window_ahp(
+                data[cols].to_numpy(dtype=float), types, ahp_w)
+            data = data.copy()
+            data[out_col] = scores
+            data[time_col] = pd.to_datetime(data[time_col])
+            yield data
+        else:
+            state.update((data.to_json(orient="split"),))
+            state.setTimeoutTimestamp(win_end_ms)
+            return
+
+    return keyed.applyInPandasWithState(
+        score_fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)
+
+
+def stream_online_topsis_apply(stream_df: DataFrame,
+                               model: OnlineTopsisModel,
+                               watermark_delay: str = "0 seconds") -> DataFrame:
+    """Score a stream against a fitted OnlineTopsis model table
+    (stream-static broadcast range join)."""
+    md = model.getModelData().select("timestamp", "score", "minTimestamp")
+    time_col = model.getTimeCol()
+    t = (F.unix_millis(F.col(time_col).cast("timestamp"))
+         - F.lit(model.getMaxAllowedModelDelayMs()))
+    cond = (t >= md["minTimestamp"]) & (t <= md["timestamp"])
+    src = stream_df.withWatermark(time_col, watermark_delay)
+    out = src.join(F.broadcast(md), cond, "inner")
+    return out.select(*stream_df.columns,
+                      F.col("score").alias(model.getPredictionCol()))

@@ -1,0 +1,82 @@
+"""Tests for the deduplication operators."""
+
+from flink_ml__spark.functions.dedup import (
+    EmbeddingCosineDeduplicator,
+    ExactDeduplicator,
+    MinHashDeduplicator,
+    NgramJaccardDeduplicator,
+    SimHashDeduplicator,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "in the warm sun near the old wooden fence")
+DOCS = [
+    (1, BASE),
+    (2, BASE),                                     # exact dup of 1
+    (3, "The  Quick brown fox jumps over the lazy dog while the cat sleeps "
+        "in the warm sun near the old wooden fence"),   # case/ws variant
+    (4, BASE.replace("warm sun", "bright sun")),   # near dup of 1
+    (5, "completely different content about spark sql engines and query "
+        "optimization with catalyst and tungsten runtime layers"),
+    (6, "another unrelated document mentioning flink streaming watermarks "
+        "state backends and exactly once processing guarantees"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = ExactDeduplicator().transform(_df(spark))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 2 and 3 are exact (normalized) dups of 1; 4/5/6 survive
+    assert kept == [1, 4, 5, 6]
+
+
+def test_minhash_dedup(spark):
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    pairs = op.duplicate_pairs(_df(spark)).collect()
+    dup_edges = {(r["id_keep"], r["id_dup"]) for r in pairs}
+    assert (1, 2) in dup_edges and (1, 3) in dup_edges
+    assert (1, 4) in dup_edges  # near dup caught
+    assert not any(5 in e or 6 in e for e in dup_edges)
+    kept = sorted(r["doc_id"] for r in op.transform(_df(spark)).collect())
+    assert kept == [1, 5, 6]
+
+
+def test_simhash_dedup(spark):
+    op = SimHashDeduplicator().setHammingThreshold(6)
+    kept = sorted(r["doc_id"] for r in op.transform(_df(spark)).collect())
+    assert 1 in kept and 5 in kept and 6 in kept
+    assert 2 not in kept and 3 not in kept  # identical token sets
+
+
+def test_ngram_jaccard_dedup(spark):
+    op = NgramJaccardDeduplicator().setThreshold(0.7)
+    kept = sorted(r["doc_id"] for r in op.transform(_df(spark)).collect())
+    assert kept == [1, 5, 6]
+
+
+def test_embedding_cosine_dedup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    op = EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.99)
+    kept = sorted(r["vec_id"] for r in op.transform(df).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_dedup_on_documents_table(spark):
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    n = docs.count()
+    out = ExactDeduplicator().transform(docs)
+    assert 0 < out.count() <= n
+    out2 = MinHashDeduplicator().setSeed(42).transform(docs)
+    assert 0 < out2.count() <= n

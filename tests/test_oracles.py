@@ -1,0 +1,76 @@
+"""Mirror of the driver's t2 correctness gate: run every QUERIES entry
+and its DuckDB oracle side-by-side, compare row count + column names +
+order-insensitive values. Runs at sf0.001 for speed (the driver uses
+sf0.01)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from flink_ml__spark.plans import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(SF_DIR, t + '.parquet')}'")
+    yield con
+    con.close()
+
+
+def _canon(rows, cols):
+    """Sort columns by name, rows by stringified values (driver-style)."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+                    if v == -0.0:
+                        v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in idx], out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o = duck.execute(ORACLES[name])
+    o_cols = [d[0] for d in o.description]
+    o_rows = o.fetchall()
+
+    assert sorted(c.lower() for c in s_cols) == \
+        sorted(c.lower() for c in o_cols), f"{name}: column mismatch"
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(o_rows)}")
+
+    sc, sv = _canon(s_rows, [c.lower() for c in s_cols])
+    oc, ov = _canon(o_rows, [c.lower() for c in o_cols])
+    mismatches = [
+        (a, b) for a, b in zip(sv, ov) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries(spark, name):
+    out = QUERIES[name](spark, SF_DIR)
+    assert out.count() > 0

@@ -1,0 +1,47 @@
+"""Tests for cosine top-k similarity search."""
+
+import math
+
+from flink_ml__spark.functions.similarity import CosineTopK, IVFCosineTopK
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]), (5, [-1.0, 0.0]), (6, [0.7, 0.7]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    df = _vecs(spark)
+    out = CosineTopK().setK(2).transform(df)
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"]))
+    assert by_query[1][0][1] == 2       # nearest to (1,0) is (0.9,0.1)
+    assert by_query[3][0][1] == 4
+    ranks = [r for r, _, _ in sorted(by_query[1])]
+    assert ranks == [1, 2]
+    top = sorted(by_query[1])[0]
+    assert math.isclose(
+        top[2], 0.9 / math.sqrt(0.9 ** 2 + 0.1 ** 2), abs_tol=1e-9)
+
+
+def test_ivf_topk_on_embeddings(spark):
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.limit(12)
+    exact = CosineTopK().setK(5).topk(queries, emb)
+    ivf = (IVFCosineTopK().setK(5).setNList(8).setNProbe(4).setSeed(42)
+           .topk(queries, emb))
+    exact_rows = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                  for r in exact.collect()}
+    ivf_rows = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                for r in ivf.collect()}
+    assert len(ivf_rows) == len(exact_rows)
+    # recall@5 of IVF with half the cells probed should be decent
+    hits = sum(1 for k, v in exact_rows.items() if ivf_rows.get(k) == v)
+    assert hits / len(exact_rows) > 0.5

@@ -1,0 +1,76 @@
+"""Streaming wrapper tests: the streaming output must equal the batch
+operators' output on the same data."""
+
+import math
+import shutil
+import tempfile
+
+import pytest
+
+from flink_ml__spark.operators.ahp import OnlineAHP
+from flink_ml__spark.operators.online_topsis import OnlineTopsis
+from flink_ml__spark.streaming import (
+    stream_online_ahp,
+    stream_online_topsis_apply,
+)
+from tests.test_ahp import COLS, MATRIX, ONLINE_DATA, ONLINE_GOLDEN, TYPES
+from tests.test_ahp import _online_df
+
+
+@pytest.fixture()
+def stream_source(spark):
+    """Write the online AHP fixture as parquet and re-read as a stream."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    df = _online_df(spark)
+    # one file -> one micro-batch: the test pins window-firing semantics,
+    # not the late-data policy (a 0s watermark drops cross-batch stragglers)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    yield spark.readStream.schema(df.schema).parquet(d), df
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _op():
+    return (OnlineAHP().setInputCols(COLS).setJudgmentMatrix(MATRIX)
+            .setIndicatorType(TYPES).setWindows("3 days")
+            .setTimeCol("rowtime").setOutputCol("output"))
+
+
+def test_stream_online_ahp_matches_batch(spark, stream_source):
+    stream_df, batch_df = stream_source
+    out = stream_online_ahp(stream_df, _op())
+    q = (out.writeStream.format("memory").queryName("ahp_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ahp_stream").collect()
+    got = {(r["id"], r["Marketcap"]): r["output"] for r in rows}
+    # windows whose end <= final watermark (max event time) must have fired:
+    # the 9-row fixture spans 3 three-day windows (3 rows each); the last
+    # window's end exceeds the final watermark, so the first 2 fire (6 rows).
+    assert len(rows) == 6
+    for key, score in got.items():
+        assert math.isclose(score, ONLINE_GOLDEN[key], abs_tol=1e-4), key
+
+
+def test_stream_online_topsis_apply(spark):
+    import datetime
+
+    from tests.test_online_topsis import EXPECTED_SCORES, INPUT, _df, make_estimator
+
+    batch_df = _df(spark)
+    model = make_estimator().fit(batch_df).setPredictionCol("prediction")
+
+    d = tempfile.mkdtemp(prefix="stream_ot_")
+    try:
+        batch_df.write.mode("overwrite").parquet(d)
+        stream_df = spark.readStream.schema(batch_df.schema).parquet(d)
+        out = stream_online_topsis_apply(stream_df, model)
+        q = (out.writeStream.format("memory").queryName("ot_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM ot_stream").collect()
+        assert len(rows) == 9
+        for r in rows:
+            assert math.isclose(r["prediction"], EXPECTED_SCORES[r["id"]],
+                                abs_tol=1e-4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,60 @@
+"""Tests for text-analysis operators against the documents table."""
+
+from flink_ml__spark.functions.text import (
+    Fingerprinter,
+    LanguageIdentifier,
+    QualityScorer,
+    TokenCounter,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and it is fast for you"),
+    (2, "Der Hund ist nicht zu Hause und ich gehe mit der Katze"),
+    (3, "le chat est dans la maison et les enfants sont pour vous"),
+    (4, "el perro y el gato son los animales de la casa para que"),
+    (5, "zzz qqq xxx"),
+    (6, ""),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_language_identifier(spark):
+    out = LanguageIdentifier().transform(_df(spark))
+    got = {r["doc_id"]: r["lang_pred"] for r in out.collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "und"
+    assert got[6] == "und"
+
+
+def test_quality_scorer(spark):
+    out = QualityScorer().transform(_df(spark))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["quality_score"] > got[5]["quality_score"]
+    assert 0.0 <= got[1]["quality_score"] <= 1.0
+    assert got[1]["n_tokens_q"] == 15
+    assert got[6]["n_tokens_q"] == 0
+
+
+def test_token_counter(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, 42 tokens!")], ["doc_id", "text"])
+    out = TokenCounter().transform(df).first()
+    assert out["n_tokens"] == 4
+    # BPE-ish: hello | world | , | 4 | 2 | tokens | !
+    assert out["n_tokens_bpe"] == 7
+
+
+def test_fingerprinter(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["fingerprint"]
+           for r in Fingerprinter().transform(df).collect()}
+    assert out[1] == out[2]  # case/whitespace-normalized
+    assert out[1] != out[3]
