@@ -23,9 +23,11 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flink_ml__spark.base import AlgoOperator, HasInputCol, HasSeed
 from flink_ml__spark.functions.text import TOKEN_SPLIT, Fingerprinter
@@ -140,43 +142,100 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
                 lambda i: F.array_join(F.slice(toks, i, n), " "))),
         ).otherwise(F.array(F.array_join(toks, " ")))
 
+    def _shingle_hash_udf(self):
+        """Arrow-batched shingle hasher: text → array<long> of distinct
+        60-bit shingle hashes mod 2^31-1.
+
+        Semantically identical to ``transform(_shingles(text),
+        portable_hash60 % M)`` — same tokens, same ``' '``-joined
+        shingles, same md5[:15] hash — but ~20× faster: nested
+        higher-order functions are CodegenFallback (interpreted per
+        element), so the built-in expression is the slow path here.
+        """
+        import hashlib
+        import re
+
+        n = self.getShingleSize()
+        pat = TOKEN_SPLIT
+
+        @F.pandas_udf("array<long>")
+        def shingle_hashes(texts: pd.Series) -> pd.Series:
+            rx = re.compile(pat)
+            out = []
+            for t in texts:
+                toks = ([w for w in rx.split(t.lower()) if w]
+                        if t is not None else [])
+                if len(toks) >= n:
+                    shs = dict.fromkeys(
+                        " ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+                else:
+                    shs = {" ".join(toks): None}
+                out.append([
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    % MERSENNE31 for s in shs])
+            return pd.Series(out)
+
+        return shingle_hashes
+
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        """(id_keep, id_dup, jaccard) verified near-duplicate pairs."""
+        """(id_keep, id_dup, jaccard) verified near-duplicate pairs.
+
+        The hashed shingle set is materialized once behind a shuffle
+        barrier: without it, CollapseProject inlines the tokenize+md5
+        pipeline into every minhash lambda (numHashes× recompute per row)
+        and into both sides of the self-join. The barrier also lets
+        ReuseExchange share one computation across the band join and the
+        two verification joins. Verification Jaccard runs on the 60-bit
+        shingle hashes (equivalent to string shingles modulo md5
+        collisions; the DuckDB oracle verifies on the strings).
+        """
         if self.getNumHashes() % self.getBands():
             raise ValueError("bands must divide numHashes")
         rows_per_band = self.getNumHashes() // self.getBands()
         idc = self.getIdCol()
 
-        sh = self._shingles(F.col(self.getInputCol()))
-        xs = F.transform(sh, lambda s: portable_hash60(s) % MERSENNE31)
+        xs = self._shingle_hash_udf()(F.col(self.getInputCol()))
+        # repartition the raw text BEFORE the tokenize+md5 projection so
+        # the heavy hashing parallelizes even when the source has few
+        # splits; persist because the signature table is referenced 4×
+        # (two band-join sides + two verification joins) and broadcast
+        # conversion breaks ReuseExchange. Signatures are ~50 longs/doc —
+        # tiny relative to the text.
+        hashed = (df.select(idc, self.getInputCol())
+                  .repartition(F.col(idc))
+                  .select(F.col(idc).alias("__id"), xs.alias("__xs"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        hashed.count()  # eager: downstream stages run concurrently and
+        # would otherwise race to fill the cache, computing it 3-4×
         sig = F.array(*[
             F.array_min(F.transform(
-                xs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31))
+                F.col("__xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31))
             for a, b in self.hash_coefficients()
         ])
-        base = df.select(F.col(idc).alias("__id"), sh.alias("__sh"),
-                         sig.alias("__sig"))
-
-        bands = base.select(
-            "__id", "__sh",
+        bands = hashed.select(
+            "__id",
             F.explode(F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.array_join(F.slice("__sig", bi * rows_per_band + 1,
+                    F.array_join(F.slice(sig, bi * rows_per_band + 1,
                                          rows_per_band), ",").alias("key"))
                 for bi in range(self.getBands())
             ])).alias("__b"))
-        left = bands.select("__b", F.col("__id").alias("__id_l"),
-                            F.col("__sh").alias("__sh_l"))
-        right = bands.select("__b", F.col("__id").alias("__id_r"),
-                             F.col("__sh").alias("__sh_r"))
+        left = bands.select("__b", F.col("__id").alias("__id_l"))
+        right = bands.select("__b", F.col("__id").alias("__id_r"))
         pairs = (left.join(right, "__b")
                  .filter(F.col("__id_l") < F.col("__id_r"))
-                 .select("__id_l", "__id_r", "__sh_l", "__sh_r")
+                 .select("__id_l", "__id_r")
                  .dropDuplicates(["__id_l", "__id_r"]))
-        jac = (F.size(F.array_intersect("__sh_l", "__sh_r"))
-               / F.size(F.array_union("__sh_l", "__sh_r")))
-        return (pairs.withColumn("jaccard", jac)
+        lsh = hashed.select(F.col("__id").alias("__id_l"),
+                            F.col("__xs").alias("__xs_l"))
+        rsh = hashed.select(F.col("__id").alias("__id_r"),
+                            F.col("__xs").alias("__xs_r"))
+        jac = (F.size(F.array_intersect("__xs_l", "__xs_r"))
+               / F.size(F.array_union("__xs_l", "__xs_r")))
+        return (pairs.join(lsh, "__id_l").join(rsh, "__id_r")
+                .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= self.getThreshold())
                 .select(F.col("__id_l").alias("id_keep"),
                         F.col("__id_r").alias("id_dup"),
@@ -210,6 +269,10 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return self._set(hammingThreshold=v)
 
     def simhash(self, text: Column) -> Column:
+        """Per-row simhash expression — the semantic spec. The pipeline
+        uses :meth:`simhash_table` instead: evaluating 60 bit-vote
+        ``F.aggregate`` lambdas per row re-inlines the tokenize+md5 work
+        60× (CollapseProject) and defeats codegen."""
         toks = F.array_distinct(
             F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != ""))
         hs = F.transform(toks, portable_hash60)
@@ -223,11 +286,37 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                 .otherwise(F.lit(0).cast("bigint")))
         return sum(bits[1:], bits[0])
 
-    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+    def simhash_table(self, df: DataFrame) -> DataFrame:
+        """(__id, __sh) — simhash via explode → hash once → 60 codegen'd
+        bit-vote sums in a single hash aggregate (one shuffle on id)."""
         idc = self.getIdCol()
+        toks = F.array_distinct(
+            F.filter(F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
+                     lambda t: t != ""))
+        # repartition raw text first: parallelizes tokenize+md5 when the
+        # source has few splits (see MinHash note above)
+        tok = (df.select(idc, self.getInputCol())
+               .repartition(F.col(idc))
+               .select(F.col(idc).alias("__id"),
+                       F.explode_outer(toks).alias("__t")))
+        th = portable_hash60(F.col("__t"))
+        votes = (tok.select("__id", th.alias("__th"))
+                 .groupBy("__id")
+                 .agg(*[F.sum(F.shiftright("__th", j).bitwiseAND(F.lit(1))
+                              * 2 - 1).alias(f"b{j}")
+                        for j in range(self.N_BITS)]))
+        bits = [F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+                for j in range(self.N_BITS)]
+        return votes.select("__id", sum(bits[1:], bits[0]).alias("__sh"))
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
         width = self.N_BITS // self.N_BANDS
-        base = df.select(F.col(idc).alias("__id"),
-                         self.simhash(F.col(self.getInputCol())).alias("__sh"))
+        # persist + eager count: both band-join sides read the fingerprint
+        # table; broadcast conversion breaks ReuseExchange and lazy caches
+        # race (see MinHash above)
+        base = self.simhash_table(df).persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
         bands = base.select(
             "__id", "__sh",
             F.explode(F.array(*[
