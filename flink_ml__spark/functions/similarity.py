@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -21,7 +22,6 @@ from flink_ml__spark.base import (
     AlgoOperator,
     HasSeed,
     as_double_array,
-    array_width,
 )
 
 
@@ -127,75 +127,110 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         return self._set(nProbe=v)
 
     def train(self, corpus: DataFrame) -> "IVFCosineTopK":
+        """Seeded sample of ``nList`` centroids + one Lloyd pass via
+        numpy partials (``mapInPandas`` — per-partition (cell, count,
+        sum) rows merged on the driver, the treeAggregate shape).
+        Expressing the nearest-cell argmin as Catalyst columns costs
+        O(nList·dims) expression nodes whose compile time dominates."""
+        import numpy as np
+
         arr = as_double_array(corpus, self.getEmbeddingCol())
-        dims = array_width(corpus, self.getEmbeddingCol())
         pts = corpus.select(arr.alias("__v"))
         sample = pts.rdd.takeSample(False, self.getNList(), self.getSeed())
-        cents = [list(r["__v"]) for r in sample]
-        # one Lloyd pass: mean of assigned points per cell
-        x = [F.element_at(F.col("__v"), j + 1) for j in range(dims)]
-        cell = self._nearest_cell_expr(x, cents)
-        refined = (pts.withColumn("__cell", cell)
-                   .groupBy("__cell")
-                   .agg(*[F.avg(x[j]).alias(f"m{j}") for j in range(dims)])
-                   .collect())
-        by_cell = {r["__cell"]: [r[f"m{j}"] for j in range(dims)]
-                   for r in refined}
-        self._centroids = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+        C0 = np.asarray([list(r["__v"]) for r in sample])
+
+        def partial(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                a = ((X[:, None, :] - C0[None]) ** 2).sum(-1).argmin(1)
+                yield pd.DataFrame(
+                    [(int(cell), int((a == cell).sum()),
+                      X[a == cell].sum(0).tolist())
+                     for cell in np.unique(a)],
+                    columns=["cell", "cnt", "s"])
+
+        parts = pts.mapInPandas(
+            partial, "cell int, cnt long, s array<double>").collect()
+        cnt = np.zeros(len(C0))
+        acc = np.zeros_like(C0)
+        for r in parts:
+            cnt[r["cell"]] += r["cnt"]
+            acc[r["cell"]] += np.asarray(r["s"])
+        self._centroids = [
+            (acc[i] / cnt[i]).tolist() if cnt[i] else C0[i].tolist()
+            for i in range(len(C0))]
         return self
 
-    @staticmethod
-    def _nearest_cell_expr(x, cents):
-        d = F.array(*[
-            sum((x[j] - F.lit(c[j])) ** 2 for j in range(len(c)))
-            for c in cents
-        ])
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
-    def _cell_distances(self, x, cents):
-        return F.array(*[
-            sum((x[j] - F.lit(c[j])) ** 2 for j in range(len(c)))
-            for c in cents
-        ])
-
     def topk(self, queries: DataFrame, corpus: DataFrame) -> DataFrame:
+        """Corpus keyed by nearest cell; queries replicated to their
+        ``nProbe`` nearest cells; per-cell brute force as one vectorized
+        numpy matmul inside a cogrouped ``applyInPandas`` (candidates cut
+        to k per cell before the final global top-k window)."""
+        import numpy as np
+
         if self._centroids is None:
             self.train(corpus)
-        cents = self._centroids
+        C = np.asarray(self._centroids)
         idc = self.getIdCol()
-        dims = len(cents[0])
+        k = self.getK()
+        n_probe = min(self.getNProbe(), len(C))
+        id_type = corpus.schema[idc].dataType.simpleString()
+
+        @F.pandas_udf("int")
+        def cell_of(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+            return pd.Series(d.argmin(1)).astype("int32")
+
+        @F.pandas_udf("array<int>")
+        def probes_of(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series(list(order.astype("int32")))
 
         ca = as_double_array(corpus, self.getEmbeddingCol())
-        cx = [F.element_at(ca, j + 1) for j in range(dims)]
-        c = corpus.select(
-            F.col(idc).alias("neighbor_id"), ca.alias("__cv"),
-            F.sqrt(sum(e * e for e in cx)).alias("__cn"),
-            self._nearest_cell_expr(cx, cents).alias("__cell"))
-
+        c = (corpus.select(F.col(idc).alias("neighbor_id"), ca.alias("__cv"))
+             .withColumn("__cell", cell_of("__cv")))
         qa = as_double_array(queries, self.getEmbeddingCol())
-        qx = [F.element_at(qa, j + 1) for j in range(dims)]
-        dists = self._cell_distances(qx, cents)
-        probe_cells = F.slice(
-            F.expr("array_sort(arrays_zip(__dists, __cells), "
-                   "(l, r) -> case when l.__dists < r.__dists then -1 "
-                   "when l.__dists > r.__dists then 1 else 0 end).__cells"),
-            1, self.getNProbe())
-        q = (queries.select(
-                F.col(idc).alias("query_id"), qa.alias("__qv"),
-                F.sqrt(sum(e * e for e in qx)).alias("__qn"),
-                dists.alias("__dists"),
-                F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("__cells"))
-             .withColumn("__cell", F.explode(probe_cells))
-             .drop("__dists", "__cells"))
+        q = (queries.select(F.col(idc).alias("query_id"), qa.alias("__qv"))
+             .withColumn("__cell", F.explode(probes_of("__qv"))))
 
-        joined = (c.join(q, "__cell")
-                  .filter(F.col("query_id") != F.col("neighbor_id"))
-                  .withColumn("cosine", _cos("__qv", "__qn", "__cv", "__cn")))
+        empty = {"query_id": [], "neighbor_id": [], "cosine": []}
+
+        def per_cell(left, right):
+            if not len(left) or not len(right):
+                return pd.DataFrame(empty)
+            Xc = np.stack(left["__cv"].to_numpy())
+            nid = left["neighbor_id"].to_numpy()
+            Xq = np.stack(right["__qv"].to_numpy())
+            qid = right["query_id"].to_numpy()
+            cos = (Xq @ Xc.T) / np.outer(np.linalg.norm(Xq, axis=1),
+                                         np.linalg.norm(Xc, axis=1))
+            frames = []
+            for i in range(len(Xq)):
+                mask = nid != qid[i]      # exclude self-neighbor
+                cs, ns = cos[i][mask], nid[mask]
+                if not len(cs):
+                    continue
+                sel = np.lexsort((ns, -cs))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid[i], "neighbor_id": ns[sel],
+                    "cosine": cs[sel]}))
+            return (pd.concat(frames, ignore_index=True)
+                    if frames else pd.DataFrame(empty))
+
+        cand = (c.groupby("__cell").cogroup(q.groupby("__cell"))
+                .applyInPandas(per_cell,
+                               f"query_id {id_type}, neighbor_id {id_type}, "
+                               f"cosine double"))
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id"))
-        return (joined
+        return (cand
                 .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= self.getK())
+                .filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "cosine", "rank"))
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -24,6 +24,7 @@ assignment instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,11 +71,15 @@ class CanopyParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed,
 
 class Canopy(AlgoOperator, CanopyParams):
 
-    def _run(self, df: DataFrame):
-        """Driver loop; yields (canopy_id, centroid, members DataFrame)."""
+    def _centers(self, df: DataFrame) -> list[list[float]]:
+        """Sequential center selection (inherently so: each center
+        depends on the previous removals). Per round: one ``min_by``
+        aggregation + one filter over the cached pool; each child pool is
+        eagerly cached (its count doubles as the emptiness check) before
+        the parent is released, so lineage never recomputes."""
         if self.getT1() <= self.getT2():
             raise ValueError("T1 must be greater than T2")
-        t1, t2 = self.getT1(), self.getT2()
+        t2 = self.getT2()
         measure = self.getDistanceMeasure()
 
         pool = df.select(
@@ -85,59 +90,94 @@ class Canopy(AlgoOperator, CanopyParams):
         dims = array_width(pool, "x")
         x = [F.element_at(F.col("x"), j + 1) for j in range(dims)]
 
-        canopies = []
-        pools = [pool]
+        centers: list[list[float]] = []
+        head_agg = [F.min_by("x", "__rank").alias("c"),
+                    F.count(F.lit(1)).alias("n")]
         try:
-            for cid in range(self.getMaxIter()):
-                head = pool.agg(F.min_by("x", "__rank").alias("c")).first()
-                if head is None or head["c"] is None:
+            head = pool.agg(*head_agg).first()
+            for _ in range(self.getMaxIter()):
+                if head is None or head["c"] is None or head["n"] == 0:
                     break
                 center = list(head["c"])
+                centers.append(center)
                 d = _dist_expr(x, center, measure)
-                # members: dist < T1, excluding (near-)duplicates of the
-                # center (``Canopy.java:396-414``)
-                members = (pool
-                           .withColumn("__d", d)
-                           .filter((F.col("__d") > 1e-6) & (F.col("__d") < t1))
-                           .select("x"))
-                canopies.append((cid, center, members))
-                # pool keeps dist >= T2 (and drops center duplicates)
-                new_pool = (pool
-                            .withColumn("__d", d)
-                            .filter((F.col("__d") > 1e-6) & (F.col("__d") >= t2))
-                            .drop("__d"))
-                new_pool.persist(StorageLevel.MEMORY_AND_DISK)
-                pools.append(new_pool)
+                # pool keeps dist >= T2, dropping (near-)duplicates of
+                # the center (``Canopy.java:396-414``)
+                new_pool = (pool.filter((d > 1e-6) & (d >= t2))
+                            .persist(StorageLevel.MEMORY_AND_DISK))
+                # one job per round: next center + emptiness check in a
+                # single aggregation, which also populates the child
+                # cache before the parent is released
+                head = new_pool.agg(*head_agg).first()
+                pool.unpersist()
                 pool = new_pool
-                if pool.isEmpty():
-                    break
         finally:
-            # keep persisted pools alive until the caller materializes the
-            # member DataFrames; unpersist the intermediates lazily
-            for p in pools[:-1]:
-                p.unpersist()
-        return canopies
+            pool.unpersist()
+        return centers
 
     def assign(self, df: DataFrame) -> DataFrame:
         """Flat assignment output: (canopy_id int, centroid, point) —
-        the scale-friendly shape (one row per membership edge)."""
+        the scale-friendly shape (one row per membership edge).
+
+        Membership is reconstructed in ONE vectorized pass after the
+        centers are known: a point belongs to canopy i iff it was still
+        in the pool at round i (no earlier center within T2 or ≤1e-6)
+        and lies within T1 of center i — a cumulative mask over the
+        point×center distance matrix in numpy (``mapInPandas``), instead
+        of materializing per-round member DataFrames.
+        """
+        import numpy as np
+
         spark = df.sparkSession
-        parts = []
-        for cid, center, members in self._run(df):
-            parts.append(members.select(
-                F.lit(cid).alias("canopy_id"),
-                F.lit(center).cast("array<double>").alias("centroid"),
-                F.col("x").alias("point")))
-            parts.append(spark.createDataFrame(
-                [(cid, center, center)],
-                "canopy_id int, centroid array<double>, point array<double>"))
-        if not parts:
-            return spark.createDataFrame(
-                [], "canopy_id int, centroid array<double>, point array<double>")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        schema = "canopy_id int, centroid array<double>, point array<double>"
+        centers = self._centers(df)
+        if not centers:
+            return spark.createDataFrame([], schema)
+        C = np.asarray(centers)
+        t1, t2 = self.getT1(), self.getT2()
+        measure = self.getDistanceMeasure()
+        def empty_frame():
+            # object dtype: Arrow can't cast empty float64 ndarrays to list
+            return pd.DataFrame({
+                "canopy_id": pd.Series([], dtype="int32"),
+                "centroid": pd.Series([], dtype="object"),
+                "point": pd.Series([], dtype="object")})
+
+        def member_edges(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["point"].to_numpy()).astype(np.float64)
+                if measure == "euclidean":
+                    D = np.sqrt(((X[:, None, :] - C[None]) ** 2).sum(-1))
+                else:  # cosine distance, zero-norm guard as _dist_expr
+                    cn = np.linalg.norm(C, axis=1, keepdims=True).T
+                    cn = np.where(cn == 0, 1e-10, cn)
+                    xn = np.linalg.norm(X, axis=1, keepdims=True)
+                    D = 1.0 - (X @ C.T) / (xn * cn)
+                gone = (D <= 1e-6) | (D < t2)     # removed from the pool
+                gone_before = np.concatenate(
+                    [np.zeros((len(X), 1), bool),
+                     np.cumsum(gone, 1)[:, :-1] > 0], axis=1)
+                member = ~gone_before & (D > 1e-6) & (D < t1)
+                frames = []
+                for i in range(len(C)):
+                    sel = member[:, i]
+                    if not sel.any():
+                        continue
+                    frames.append(pd.DataFrame({
+                        "canopy_id": i,
+                        "centroid": [C[i].tolist()] * int(sel.sum()),
+                        "point": [list(v) for v in X[sel]]}))
+                yield (pd.concat(frames, ignore_index=True)
+                       if frames else empty_frame())
+
+        pts = df.select(as_double_array(df, self.getFeaturesCol())
+                        .alias("point"))
+        edges = pts.mapInPandas(member_edges, schema)
+        center_rows = spark.createDataFrame(
+            [(i, c, c) for i, c in enumerate(centers)], schema)
+        return edges.unionByName(center_rows)
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Reference-shaped output: one row per canopy —

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -189,67 +190,91 @@ class FCMModel(Model, FCMParams):
 
 
 class FCM(Estimator, FCMParams):
-    """FCM estimator — driver loop, one aggregation job per epoch."""
+    """FCM estimator — driver loop, one ``mapInPandas`` partial-aggregate
+    job per epoch (the MLlib treeAggregate shape).
+
+    The per-epoch math runs in numpy over Arrow batches: building it as
+    Catalyst expressions instead costs O(k²·dims) expression nodes whose
+    per-epoch analysis + codegen dominates the runtime (and grows with
+    dims), while memberships stay a pure function of (point, centroids),
+    so each epoch ships only O(k·dims) centroid literals out and
+    O(partitions·k·dims) partials back — row-count-independent traffic.
+    """
 
     def fit(self, df: DataFrame) -> FCMModel:
+        import numpy as np
+
         k, m, tol, max_iter = (self.getK(), self.getM(), self.getTOL(),
                                self.getMaxIter())
         seed, measure = self.getSeed(), self.getDistanceMeasure()
         fcol = self.getFeaturesCol()
+        p = 2.0 / (m - 1.0)
 
         pts = df.select(as_double_array(df, fcol).alias("x"))
-        pts.persist(StorageLevel.MEMORY_AND_DISK)
+        # epoch-1's Δu compares against the Dirichlet init, so materialize
+        # it as a column once (seeded per-row hash → partition-independent)
+        u0 = _init_membership_exprs(F.col("x"), k, seed)
+        base = (pts.select("x", F.array(*u0).alias("u0"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        base.count()  # eager: every epoch re-reads the cache
         try:
-            dims = array_width(pts, "x")
-            x = [F.element_at(F.col("x"), j + 1) for j in range(dims)]
+            dims = array_width(base, "x")
 
             # seeded initial centroids (``selectRandomCentroids``,
             # ``FCM.java:71``) — distributed sample, no full sort
-            sample = pts.rdd.takeSample(False, k, seed)
+            sample = base.rdd.takeSample(False, k, seed)
             if len(sample) < k:
                 raise ValueError(
                     f"need at least k={k} points, got {len(sample)}")
             centroids = [list(r["x"]) for r in sample]
 
+            def memberships(X, C):
+                """``FCM.updateMembershipVector`` (``FCM.java:527-553``)."""
+                if measure == "euclidean":
+                    d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+                else:  # cosine distance = 1 − dot/(‖x‖·‖c‖)
+                    cn = np.linalg.norm(C, axis=1, keepdims=True).T
+                    cn = np.where(cn == 0, 1e-10, cn)
+                    xn = np.linalg.norm(X, axis=1, keepdims=True)
+                    d = 1.0 - (X @ C.T) / (xn * cn)
+                d = np.where(d == 0, 1e-10, d)
+                return 1.0 / ((d[:, :, None] / d[:, None, :]) ** p).sum(2)
+
+            schema = "den array<double>, num array<double>, delta double"
             prev_centroids = None
             for it in range(max_iter):
-                if it == 0:
-                    u = _init_membership_exprs(F.col("x"), k, seed)
-                    u_old = None
-                else:
-                    u = _membership_exprs(x, centroids, measure, m)
-                    u_old = (_init_membership_exprs(F.col("x"), k, seed)
-                             if it == 1 else
-                             _membership_exprs(x, prev_centroids, measure, m))
+                C = np.array(centroids)
+                P = (np.array(prev_centroids)
+                     if prev_centroids is not None else None)
 
-                staged = pts.select(
-                    "*", *[u[kk].alias(f"__u{kk}") for kk in range(k)],
-                    *([] if u_old is None else
-                      [u_old[kk].alias(f"__v{kk}") for kk in range(k)]))
-                uc = [F.col(f"__u{kk}") for kk in range(k)]
-                aggs = []
-                for kk in range(k):
-                    w = uc[kk] ** F.lit(m)
-                    aggs.append(F.sum(w).alias(f"den_{kk}"))
-                    for j in range(dims):
-                        aggs.append(F.sum(w * x[j]).alias(f"num_{kk}_{j}"))
-                if u_old is not None:
-                    delta = F.greatest(*[
-                        F.abs(uc[kk] - F.col(f"__v{kk}")) for kk in range(k)
-                    ]) if k > 1 else F.abs(uc[0] - F.col("__v0"))
-                    aggs.append(F.max(delta).alias("tol"))
-                row = staged.agg(*aggs).first().asDict()
+                def partial(batches, C=C, P=P, it=it):
+                    for pdf in batches:
+                        if not len(pdf):
+                            continue
+                        X = np.stack(pdf["x"].to_numpy())
+                        U0 = np.stack(pdf["u0"].to_numpy())
+                        u = U0 if it == 0 else memberships(X, C)
+                        if it == 0:
+                            delta = 0.0  # first round skips the tol check
+                        else:            # (``FCM.java:315-322``)
+                            uo = U0 if it == 1 else memberships(X, P)
+                            delta = float(np.abs(u - uo).max())
+                        w = u ** m
+                        yield pd.DataFrame({
+                            "den": [w.sum(0).tolist()],
+                            "num": [(w.T @ X).ravel().tolist()],
+                            "delta": [delta]})
 
+                rows = base.mapInPandas(partial, schema).collect()
+                den = np.sum([r["den"] for r in rows], axis=0)
+                num = np.sum([np.asarray(r["num"]).reshape(k, dims)
+                              for r in rows], axis=0)
                 prev_centroids = centroids
-                centroids = [
-                    [row[f"num_{kk}_{j}"] / row[f"den_{kk}"]
-                     for j in range(dims)]
-                    for kk in range(k)
-                ]
-                if u_old is not None and row["tol"] < tol:
+                centroids = (num / den[:, None]).tolist()
+                if it >= 1 and max(r["delta"] for r in rows) < tol:
                     break
         finally:
-            pts.unpersist()
+            base.unpersist()
 
         model = FCMModel(centroids)
         model._set(**{p.name: self.getOrDefault(p) for p in self.params})
