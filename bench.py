@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +67,16 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     all_queries = dict(QUERIES)
     all_queries["ann_ivf_topk"] = q_ann_ivf
+
+    # warmup: JVM JIT + Arrow python workers, so the first timed query
+    # doesn't absorb session startup
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(F.sum(_warm("id"))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE + ["ann_ivf_topk"]:

@@ -448,31 +448,67 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
         return rng.standard_normal((self.getOrDefault(self.nBits), dims)).tolist()
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        """(id_keep, id_dup, cosine) verified near-duplicate pairs.
+
+        Bucket signs and cosines run in pandas UDFs: as Catalyst columns
+        the nBits×dims dot products blow the 64 KB codegen method limit
+        and fall back to interpreted evaluation. The numpy loops
+        accumulate sequentially over dims — the same fp summation order
+        as the expression chain and the DuckDB oracle, so threshold
+        comparisons cannot flip on reassociation.
+        """
+        import numpy as np
+
         from flink_ml__spark.base import array_width, as_double_array
 
         idc = self.getIdCol()
         ecol = self.getEmbeddingCol()
         dims = array_width(df, ecol)
+        P = np.asarray(self.hyperplanes(dims))
+
+        @F.pandas_udf("bigint")
+        def bucket_of(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            b = np.zeros(len(X), dtype=np.int64)
+            for i in range(len(P)):
+                dot = np.zeros(len(X))
+                for j in range(X.shape[1]):
+                    dot = dot + X[:, j] * P[i, j]
+                b |= (dot >= 0).astype(np.int64) << i
+            return pd.Series(b)
+
+        @F.pandas_udf("double")
+        def norm_of(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            acc = np.zeros(len(X))
+            for j in range(X.shape[1]):
+                acc = acc + X[:, j] * X[:, j]
+            return pd.Series(np.sqrt(acc))
+
+        @F.pandas_udf("double")
+        def cos_pair(vl: pd.Series, vr: pd.Series, nl: pd.Series,
+                     nr: pd.Series) -> pd.Series:
+            Xl = np.stack(vl.to_numpy()).astype(np.float64)
+            Xr = np.stack(vr.to_numpy()).astype(np.float64)
+            dot = np.zeros(len(Xl))
+            for j in range(Xl.shape[1]):
+                dot = dot + Xl[:, j] * Xr[:, j]
+            return pd.Series(dot / (nl.to_numpy() * nr.to_numpy()))
+
         arr = as_double_array(df, ecol)
-        x = [F.element_at(arr, j + 1) for j in range(dims)]
-        norm = F.sqrt(sum(e * e for e in x))
-        planes = self.hyperplanes(dims)
-        bucket = None
-        for b, plane in enumerate(planes):
-            dot = sum(x[j] * F.lit(plane[j]) for j in range(dims))
-            bit = F.when(dot >= 0, F.lit(2 ** b).cast("bigint")) \
-                .otherwise(F.lit(0).cast("bigint"))
-            bucket = bit if bucket is None else bucket + bit
-        base = df.select(F.col(idc).alias("__id"), arr.alias("__v"),
-                         norm.alias("__n"), bucket.alias("__bkt"))
+        base = (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+                .repartition(F.col("__id"))
+                .select("__id", "__v", norm_of("__v").alias("__n"),
+                        bucket_of("__v").alias("__bkt"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        base.count()  # eager: both join sides read it (see MinHash note)
         left = base.select("__bkt", F.col("__id").alias("__id_l"),
-                           F.col("__v").alias("__v_l"), F.col("__n").alias("__n_l"))
+                           F.col("__v").alias("__v_l"),
+                           F.col("__n").alias("__n_l"))
         right = base.select("__bkt", F.col("__id").alias("__id_r"),
-                            F.col("__v").alias("__v_r"), F.col("__n").alias("__n_r"))
-        dot = F.aggregate(
-            F.zip_with("__v_l", "__v_r", lambda a, b: a * b),
-            F.lit(0.0), lambda acc, v: acc + v)
-        cos = dot / (F.col("__n_l") * F.col("__n_r"))
+                            F.col("__v").alias("__v_r"),
+                            F.col("__n").alias("__n_r"))
+        cos = cos_pair("__v_l", "__v_r", "__n_l", "__n_r")
         return (left.join(right, "__bkt")
                 .filter(F.col("__id_l") < F.col("__id_r"))
                 .withColumn("cosine", cos)

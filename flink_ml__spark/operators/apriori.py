@@ -120,16 +120,24 @@ class Apriori(AlgoOperator, AprioriParams):
 
         import re
 
-        baskets = df.select(
+        # repartition before the 2^n explode so subset generation
+        # parallelizes even from a few-split source; the cache is
+        # materialized by the stats job below (guard + N in ONE pass)
+        shuffle_n = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        baskets = (df.select(
             F.split(F.col(cols[0]),
                     re.escape(self.getItemSeparator())).alias("__items"))
-        none_too_big = baskets.filter(
-            F.size("__items") > self.getMaxBasketSize()).isEmpty()
-        if not none_too_big:
+            .repartition(shuffle_n)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        stats = baskets.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("__items")).alias("max_size")).first()
+        if (stats["max_size"] or 0) > self.getMaxBasketSize():
             raise ValueError(
                 f"basket exceeds maxBasketSize={self.getMaxBasketSize()}; "
                 "raise the guard explicitly if the 2^n explosion is intended")
-        n_total = baskets.count()
+        n_total = stats["n"]
 
         # all non-empty ordered subsequences via bitmask explode
         subsets = (baskets
@@ -142,6 +150,8 @@ class Apriori(AlgoOperator, AprioriParams):
                 .withColumn("support", F.col("count") / F.lit(float(n_total)))
                 .filter(F.col("support") >= min_sup))
         freq.persist(StorageLevel.MEMORY_AND_DISK)
+        freq.count()  # eager: three downstream references (splits/fq/fp)
+        baskets.unpersist()
 
         try:
             # rule candidates: split every frequent itemset (2 <= size <=
