@@ -43,6 +43,9 @@ HEADLINE = [
     "quality_documents",
     "token_count_documents",
     "fingerprint_documents",
+    "multimodal_meta_documents",
+    "multimodal_image_stats",
+    "multimodal_audio_features",
 ]
 
 

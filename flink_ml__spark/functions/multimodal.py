@@ -1,0 +1,349 @@
+"""Multimodal (image/audio/video) column operators for training-data
+pipelines (BASELINE.json north-star; beyond the reference's surface).
+
+Design: media payloads are opaque ``binary`` columns with typed metadata
+alongside; every operator is engineered for the 100 TB shape —
+
+* metadata extraction (size, content hash, magic-byte sniffing) is pure
+  codegen over the binary column: no decode, no Python, prunes to the
+  bytes column only;
+* decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` so each partition streams through Python once with
+  vectorized numpy per batch — the layout that scales horizontally; the
+  CODECS are stubbed (this container ships no image/audio libraries):
+  ``decoder="fake"`` derives deterministic pixels/samples from the
+  payload hash (stable contract for tests and plumbing), while
+  ``decoder="pil"``/``decoder="soundfile"`` raise ``NotImplementedError``
+  unless the library is importable. The Spark-side plumbing — schema,
+  batch shape, partitioning, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator, HasInputCol
+
+# magic prefixes → format tag, checked in order (longest first)
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),      # wav/avi/webp share the RIFF container
+    (b"fLaC", "flac"),
+    (b"OggS", "ogg"),
+    (b"\x00\x00\x00", "mp4"),
+    (b"ID3", "mp3"),
+]
+
+
+class HasBinaryCol(Params):
+    binaryCol = Param(Params._dummy(), "binaryCol",
+                      "opaque binary payload column",
+                      typeConverter=TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(binaryCol="payload")
+
+    def getBinaryCol(self) -> str:
+        return self.getOrDefault(self.binaryCol)
+
+    def setBinaryCol(self, v):
+        return self._set(binaryCol=v)
+
+
+class HasDecoder(Params):
+    decoder = Param(Params._dummy(), "decoder",
+                    "codec backend: 'fake' (deterministic stub) or a real "
+                    "library name ('pil', 'soundfile') if importable",
+                    typeConverter=TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(decoder="fake")
+
+    def getDecoder(self) -> str:
+        return self.getOrDefault(self.decoder)
+
+    def setDecoder(self, v):
+        return self._set(decoder=v)
+
+
+def _require_real_decoder(name: str, modules: dict[str, str]) -> None:
+    mod = modules.get(name)
+    if mod is None:
+        raise ValueError(f"unknown decoder '{name}'")
+    try:
+        __import__(mod)
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            f"decoder '{name}' needs the '{mod}' library, which is not "
+            "available in this environment; use decoder='fake' for the "
+            "deterministic stub") from exc
+
+
+def fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Deterministic stand-in decode: a (height, width) uint8 grayscale
+    image derived from the payload's sha256 keystream. Stable across
+    runs/partitions — the contract tests and plumbing rely on."""
+    need = height * width
+    out = np.empty(need, dtype=np.uint8)
+    seed = hashlib.sha256(payload or b"").digest()
+    block = seed
+    filled = 0
+    counter = 0
+    while filled < need:
+        block = hashlib.sha256(seed + counter.to_bytes(8, "big")).digest()
+        take = min(32, need - filled)
+        out[filled:filled + take] = np.frombuffer(block[:take], dtype=np.uint8)
+        filled += take
+        counter += 1
+    return out.reshape(height, width)
+
+
+def fake_samples(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic stand-in PCM decode: n float samples in [-1, 1)."""
+    raw = fake_pixels(payload, 1, n).ravel().astype(np.float64)
+    return (raw - 128.0) / 128.0
+
+
+class BinaryMetadataExtractor(AlgoOperator, HasBinaryCol):
+    """Typed metadata from the raw payload — NO decode, pure codegen:
+    appends ``size_bytes``, ``content_md5``, ``format`` (magic-byte
+    sniff). The scan prunes to the binary column; at 100 TB this is the
+    only full-data pass a triage pipeline needs."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        b = F.col(self.getBinaryCol())
+        fmt = F.lit("unknown")
+        for magic, tag in reversed(_MAGIC):
+            hexs = magic.hex()
+            fmt = F.when(
+                F.hex(F.substring(b, 1, len(magic))) == hexs.upper(),
+                F.lit(tag)).otherwise(fmt)
+        return (df
+                .withColumn("size_bytes", F.length(b).cast("long"))
+                .withColumn("content_md5", F.md5(b))
+                .withColumn("format", fmt))
+
+
+class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
+    """binary → decoded grayscale image as (height, width,
+    pixels array<int>) via ``mapInPandas``. ``decoder='fake'`` is the
+    deterministic stub; ``decoder='pil'`` requires Pillow."""
+
+    height = Param(Params._dummy(), "height", "decode height",
+                   typeConverter=TypeConverters.toInt)
+    width = Param(Params._dummy(), "width", "decode width",
+                  typeConverter=TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(height=16, width=16)
+
+    def getHeight(self):
+        return self.getOrDefault(self.height)
+
+    def setHeight(self, v):
+        return self._set(height=v)
+
+    def getWidth(self):
+        return self.getOrDefault(self.width)
+
+    def setWidth(self, v):
+        return self._set(width=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.getDecoder() != "fake":
+            _require_real_decoder(self.getDecoder(), {"pil": "PIL"})
+        bcol = self.getBinaryCol()
+        h, w = self.getHeight(), self.getWidth()
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema = f"{fields}, height int, width int, pixels array<int>"
+
+        def decode(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["height"] = h
+                pdf["width"] = w
+                pdf["pixels"] = [
+                    fake_pixels(bytes(p) if p is not None else b"", h, w)
+                    .ravel().astype("int64").tolist()
+                    for p in pdf[bcol]]
+                yield pdf
+
+        return df.mapInPandas(decode, schema)
+
+
+class ImageResizer(AlgoOperator):
+    """Nearest-neighbor resize of a decoded (height,width,pixels) table —
+    real numpy math over Arrow batches (no codec involved)."""
+
+    targetHeight = Param(Params._dummy(), "targetHeight", "output height",
+                         typeConverter=TypeConverters.toInt)
+    targetWidth = Param(Params._dummy(), "targetWidth", "output width",
+                        typeConverter=TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(targetHeight=8, targetWidth=8)
+
+    def setTargetHeight(self, v):
+        return self._set(targetHeight=v)
+
+    def setTargetWidth(self, v):
+        return self._set(targetWidth=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        th = self.getOrDefault(self.targetHeight)
+        tw = self.getOrDefault(self.targetWidth)
+        keep = [f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if f.name not in ("height", "width", "pixels")]
+        schema = ", ".join(keep + ["height int", "width int",
+                                   "pixels array<int>"])
+
+        def resize(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    img = np.asarray(r["pixels"]).reshape(
+                        r["height"], r["width"])
+                    yi = (np.arange(th) * r["height"]) // th
+                    xi = (np.arange(tw) * r["width"]) // tw
+                    rows.append(img[np.ix_(yi, xi)].ravel().tolist())
+                out = pdf.drop(columns=["height", "width", "pixels"]).copy()
+                out["height"] = th
+                out["width"] = tw
+                out["pixels"] = rows
+                yield out
+
+        return df.mapInPandas(resize, schema)
+
+
+class ImageStats(AlgoOperator):
+    """Per-image feature vector from a decoded table: mean/std/min/max
+    pixel intensity — vectorized numpy per batch."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema = (f"{fields}, px_mean double, px_std double, "
+                  f"px_min int, px_max int")
+
+        def stats(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                mat = np.stack([np.asarray(p, dtype=np.float64)
+                                for p in pdf["pixels"]]) \
+                    if len(pdf) else np.zeros((0, 1))
+                pdf["px_mean"] = mat.mean(1) if len(pdf) else []
+                pdf["px_std"] = mat.std(1) if len(pdf) else []
+                pdf["px_min"] = mat.min(1).astype("int64") if len(pdf) else []
+                pdf["px_max"] = mat.max(1).astype("int64") if len(pdf) else []
+                yield pdf
+
+        return df.mapInPandas(stats, schema)
+
+
+class FrameSampler(AlgoOperator, HasBinaryCol, HasDecoder):
+    """'Video' payload → every ``stride``-th frame decoded (stub) to a
+    per-frame mean-intensity feature: (frame_index, frame_mean) rows,
+    one per sampled frame — the explode-shaped output a frame-level
+    training pipeline consumes."""
+
+    frameBytes = Param(Params._dummy(), "frameBytes",
+                       "payload bytes per notional frame",
+                       typeConverter=TypeConverters.toInt)
+    stride = Param(Params._dummy(), "stride", "sample every n-th frame",
+                   typeConverter=TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(frameBytes=256, stride=2)
+
+    def setFrameBytes(self, v):
+        return self._set(frameBytes=v)
+
+    def setStride(self, v):
+        return self._set(stride=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.getDecoder() != "fake":
+            _require_real_decoder(self.getDecoder(), {"pil": "PIL"})
+        bcol = self.getBinaryCol()
+        fb = self.getOrDefault(self.frameBytes)
+        stride = self.getOrDefault(self.stride)
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema = f"{fields}, frame_index int, frame_mean double"
+
+        def sample(batches):
+            for pdf in batches:
+                frames = []
+                for _, r in pdf.iterrows():
+                    payload = bytes(r[bcol]) if r[bcol] is not None else b""
+                    n_frames = max(len(payload) // fb, 1)
+                    for i in range(0, n_frames, stride):
+                        chunk = payload[i * fb:(i + 1) * fb]
+                        px = fake_pixels(chunk, 1, 64).astype(np.float64)
+                        row = dict(r)
+                        row["frame_index"] = i
+                        row["frame_mean"] = float(px.mean())
+                        frames.append(row)
+                yield (pd.DataFrame(frames) if frames
+                       else pd.DataFrame(columns=list(pdf.columns)
+                                         + ["frame_index", "frame_mean"]))
+
+        return df.mapInPandas(sample, schema)
+
+
+class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
+    """'Audio' payload → fixed-size energy features: rms, zero-crossing
+    rate, peak — numpy over stub-decoded PCM (``decoder='soundfile'``
+    requires the real library)."""
+
+    sampleCount = Param(Params._dummy(), "sampleCount",
+                        "stub-decoded samples per payload",
+                        typeConverter=TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(sampleCount=1024)
+
+    def setSampleCount(self, v):
+        return self._set(sampleCount=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.getDecoder() != "fake":
+            _require_real_decoder(self.getDecoder(),
+                                  {"soundfile": "soundfile"})
+        bcol = self.getBinaryCol()
+        n = self.getOrDefault(self.sampleCount)
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema = f"{fields}, rms double, zcr double, peak double"
+
+        def feats(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                rms, zcr, peak = [], [], []
+                for p in pdf[bcol]:
+                    s = fake_samples(bytes(p) if p is not None else b"", n)
+                    rms.append(float(np.sqrt((s * s).mean())))
+                    zcr.append(float((np.diff(np.signbit(s)) != 0).mean()))
+                    peak.append(float(np.abs(s).max()))
+                pdf["rms"] = rms
+                pdf["zcr"] = zcr
+                pdf["peak"] = peak
+                yield pdf
+
+        return df.mapInPandas(feats, schema)

@@ -724,6 +724,57 @@ SELECT doc_id, {_NORM_SQL} AS fingerprint FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# 22-24. multimodal columns (binary payload built deterministically from
+# documents.text; decode is the stubbed fake codec — plumbing is real)
+# ---------------------------------------------------------------------------
+
+def _payloads(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id",
+                       F.encode("text", "UTF-8").alias("payload"))
+
+
+def q_multimodal_meta_documents(spark, sf_dir):
+    from flink_ml__spark.functions.multimodal import BinaryMetadataExtractor
+
+    out = BinaryMetadataExtractor().transform(_payloads(spark, sf_dir))
+    return out.select("doc_id", "size_bytes", "content_md5", "format")
+
+
+# ASCII-expressible subset of the magic table, in operator precedence
+# order (binary magics like png/jpeg can never match UTF-8 text)
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS size_bytes,
+       md5(text) AS content_md5,
+       CASE WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff'
+            WHEN substring(text, 1, 4) = 'fLaC' THEN 'flac'
+            WHEN substring(text, 1, 4) = 'OggS' THEN 'ogg'
+            WHEN substring(text, 1, 3) = 'ID3' THEN 'mp3'
+            ELSE 'unknown' END AS format
+FROM documents
+"""
+
+
+def q_multimodal_image_stats(spark, sf_dir):
+    from flink_ml__spark.functions.multimodal import ImageDecoder, ImageStats
+
+    decoded = (ImageDecoder().setHeight(16).setWidth(16)
+               .transform(_payloads(spark, sf_dir)))
+    out = ImageStats().transform(decoded)
+    return out.select("doc_id", "px_mean", "px_std", "px_min", "px_max")
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    from flink_ml__spark.functions.multimodal import AudioFeatureExtractor
+
+    out = (AudioFeatureExtractor().setSampleCount(512)
+           .transform(_payloads(spark, sf_dir)))
+    return out.select("doc_id", "rms", "zcr", "peak")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -749,6 +800,9 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "token_count_documents": q_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
+    "multimodal_meta_documents": q_multimodal_meta_documents,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 ORACLES = {
@@ -772,4 +826,6 @@ ORACLES = {
     "quality_documents": ORACLE_QUALITY,
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "fingerprint_documents": ORACLE_FINGERPRINT,
+    "multimodal_meta_documents": ORACLE_MULTIMODAL_META,
+    # multimodal image/audio: stubbed fake codec → rows-only check
 }

@@ -1,0 +1,110 @@
+"""Multimodal column operators: the decode step is a deterministic stub
+(no image/audio libs in this container) but the Spark plumbing — schema,
+batch shape, partitioning, UDF signatures — is real and asserted here."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from flink_ml__spark.functions.multimodal import (
+    AudioFeatureExtractor,
+    BinaryMetadataExtractor,
+    FrameSampler,
+    ImageDecoder,
+    ImageResizer,
+    ImageStats,
+    fake_pixels,
+)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 40
+JPG = b"\xff\xd8\xff\xe0" + b"\x01" * 100
+RAW = b"just some bytes, no magic"
+
+
+def _df(spark):
+    rows = [(1, bytearray(PNG)), (2, bytearray(JPG)), (3, bytearray(RAW))]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_metadata_extractor(spark):
+    out = BinaryMetadataExtractor().transform(_df(spark))
+    assert out.columns == ["id", "payload", "size_bytes", "content_md5",
+                           "format"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["format"] == "png"
+    assert rows[2]["format"] == "jpeg"
+    assert rows[3]["format"] == "unknown"
+    assert rows[1]["size_bytes"] == len(PNG)
+    assert rows[3]["content_md5"] == hashlib.md5(RAW).hexdigest()
+
+
+def test_image_decode_deterministic(spark):
+    dec = ImageDecoder().setHeight(8).setWidth(8)
+    out = dec.transform(_df(spark))
+    assert out.columns == ["id", "payload", "height", "width", "pixels"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert all(r["height"] == 8 and r["width"] == 8 and len(r["pixels"]) == 64
+               for r in rows.values())
+    # stub decode is a pure function of the payload bytes
+    expected = fake_pixels(PNG, 8, 8).ravel().tolist()
+    assert rows[1]["pixels"] == expected
+    again = {r["id"]: r["pixels"]
+             for r in dec.transform(_df(spark)).collect()}
+    assert again == {i: r["pixels"] for i, r in rows.items()}
+
+
+def test_image_resize_nearest_neighbor(spark):
+    decoded = ImageDecoder().setHeight(8).setWidth(8).transform(_df(spark))
+    out = ImageResizer().setTargetHeight(4).setTargetWidth(2) \
+        .transform(decoded)
+    rows = {r["id"]: r for r in out.collect()}
+    assert all(r["height"] == 4 and r["width"] == 2 and len(r["pixels"]) == 8
+               for r in rows.values())
+    img = fake_pixels(PNG, 8, 8)
+    yi, xi = (np.arange(4) * 8) // 4, (np.arange(2) * 8) // 2
+    assert rows[1]["pixels"] == img[np.ix_(yi, xi)].ravel().tolist()
+
+
+def test_image_stats(spark):
+    decoded = ImageDecoder().setHeight(8).setWidth(8).transform(_df(spark))
+    out = ImageStats().transform(decoded)
+    r = {x["id"]: x for x in out.collect()}[1]
+    px = fake_pixels(PNG, 8, 8).astype(float)
+    assert r["px_mean"] == pytest.approx(px.mean())
+    assert r["px_std"] == pytest.approx(px.std())
+    assert (r["px_min"], r["px_max"]) == (int(px.min()), int(px.max()))
+
+
+def test_frame_sampler(spark):
+    out = (FrameSampler().setFrameBytes(16).setStride(2)
+           .transform(_df(spark)))
+    assert out.columns == ["id", "payload", "frame_index", "frame_mean"]
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["id"], []).append(r["frame_index"])
+    # PNG payload = 48 bytes → 3 frames → indices 0, 2
+    assert sorted(by_id[1]) == [0, 2]
+    # RAW payload = 25 bytes → 1 frame → index 0
+    assert by_id[3] == [0]
+
+
+def test_audio_features(spark):
+    out = AudioFeatureExtractor().setSampleCount(256).transform(_df(spark))
+    rows = {r["id"]: r for r in out.collect()}
+    for r in rows.values():
+        assert 0.0 < r["rms"] < 1.0
+        assert 0.0 <= r["zcr"] <= 1.0
+        assert 0.0 < r["peak"] <= 1.0
+    # deterministic across runs
+    again = {r["id"]: r["rms"] for r in
+             AudioFeatureExtractor().setSampleCount(256)
+             .transform(_df(spark)).collect()}
+    assert again == {i: r["rms"] for i, r in rows.items()}
+
+
+def test_real_decoder_gated(spark):
+    with pytest.raises((NotImplementedError, Exception)):
+        ImageDecoder().setDecoder("pil").transform(_df(spark))
+    with pytest.raises(ValueError):
+        ImageDecoder().setDecoder("nonsense").transform(_df(spark))
