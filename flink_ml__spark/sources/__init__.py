@@ -1,3 +1,10 @@
-from flink_ml__spark.sources.registry import TABLES, load_table, register_tables
+from flink_ml__spark.sources.registry import (
+    TABLES,
+    load_table,
+    read_csv,
+    read_stream,
+    register_tables,
+)
 
-__all__ = ["TABLES", "load_table", "register_tables"]
+__all__ = ["TABLES", "load_table", "read_csv", "read_stream",
+           "register_tables"]

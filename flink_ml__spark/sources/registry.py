@@ -43,6 +43,35 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(path)
 
 
+def read_csv(spark: SparkSession, path: str, *, header: bool = True,
+             infer_schema: bool = True, schema: str | None = None,
+             sep: str = ",") -> DataFrame:
+    """CSV source — the reference's fixtures are CSVs read driver-side
+    (``example/AHPExample.java:52-72``); here it is a distributed scan
+    with column pruning (schema inference runs one extra pass, so pass an
+    explicit ``schema`` for large inputs)."""
+    reader = (spark.read.option("header", header).option("sep", sep))
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_stream(spark: SparkSession, fmt: str, **options) -> DataFrame:
+    """Streaming source factory (``pom.xml:69-77`` declares Kafka/JSON
+    connectors the reference never exercises). ``fmt``: 'kafka', 'rate',
+    'parquet', ... — options passed through to ``readStream``; file
+    formats require a ``schema`` option (DDL string)."""
+    reader = spark.readStream.format(fmt)
+    schema = options.pop("schema", None)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def register_tables(spark: SparkSession, sf_dir: str | None = None,
                     tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Load + register each table as a temp view; returns the DataFrames."""

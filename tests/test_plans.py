@@ -1,0 +1,73 @@
+"""Physical-plan quality gates: these assert the *shape* of the plans —
+column pruning reaches the parquet scan, small sides broadcast, hot
+projections stay in whole-stage codegen — so a refactor that silently
+regresses the 100 TB story fails here, not in production."""
+
+import re
+
+import pytest
+
+from flink_ml__spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (QUERIES[name](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def _read_schemas(plan):
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_ahp_scan_prunes_columns(spark):
+    plan = _plan(spark, "ahp_score_lineitem")
+    # lineitem has 16 columns; AHP needs its 4 inputs + 2 keys
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"}, cols
+
+
+def test_time_features_reads_one_column(spark):
+    plan = _plan(spark, "time_features_orders")
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols == {"o_orderdate"}, cols
+
+
+def test_ahp_stats_folded_as_literals(spark):
+    # the two aggregation passes run at plan-build time; the returned
+    # plan must be a single scan + projection (no join, no aggregate)
+    plan = _plan(spark, "ahp_score_lineitem")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "*(1)" in plan  # whole-stage codegen (star-prefixed stage)
+
+
+def test_online_topsis_predict_broadcasts_model(spark):
+    plan = _plan(spark, "online_topsis_predict_events")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_exact_dedup_single_shuffle_shape(spark):
+    plan = _plan(spark, "dedup_exact_documents")
+    # groupBy(fp) + semi join back: partial/final aggregate plus ONE
+    # exchange pair — no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_multimodal_meta_stays_codegen(spark):
+    plan = _plan(spark, "multimodal_meta_documents")
+    assert "*(1)" in plan  # whole-stage codegen (star-prefixed stage)
+    assert "BatchEvalPython" not in plan      # no row-at-a-time python
+    assert "ArrowEvalPython" not in plan      # metadata pass needs no UDF
+
+
+@pytest.mark.parametrize("name", ["quality_documents", "lang_id_documents",
+                                  "token_count_documents"])
+def test_text_queries_no_python_udfs(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
