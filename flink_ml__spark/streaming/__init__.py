@@ -1,6 +1,11 @@
 from flink_ml__spark.streaming.online import (
     stream_online_ahp,
     stream_online_topsis_apply,
+    stream_online_topsis_apply_streams,
 )
 
-__all__ = ["stream_online_ahp", "stream_online_topsis_apply"]
+__all__ = [
+    "stream_online_ahp",
+    "stream_online_topsis_apply",
+    "stream_online_topsis_apply_streams",
+]

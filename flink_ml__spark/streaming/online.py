@@ -119,6 +119,53 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
         outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)
 
 
+def stream_online_topsis_apply_streams(
+        rows: DataFrame, models: DataFrame, model: OnlineTopsisModel,
+        watermark_delay: str = "0 seconds") -> DataFrame:
+    """Stream-stream model application: rows and model rows both arrive
+    as streams; a row emits once a model covering
+    ``rowtime − maxAllowedModelDelayMs ∈ [minTimestamp, timestamp]``
+    exists, and waits in join state until then.
+
+    This is the declarative form of the reference's buffer-until-model
+    operator state (``OnlineTopsisModel.java:131-163``): Spark's
+    stream-stream inner join holds unmatched rows exactly as the
+    reference's ``ListState`` of buffered points, and drains them when
+    the matching model arrives — no hand-rolled state needed.
+    ``models`` must have the model-data schema
+    (``timestamp long, score double, minTimestamp long``).
+    """
+    time_col = model.getTimeCol()
+    delay = model.getMaxAllowedModelDelayMs()
+    windows = model.getWindows()
+
+    # stream-stream joins need an equality key: the tumbling-window index
+    # works because the range condition already implies window equality
+    # (t−delay ∈ [minTs, maxTs] ⊆ the model's window)
+    t_expr = (F.unix_millis(F.col(time_col).cast("timestamp"))
+              - F.lit(delay))
+    if windows in (None, "global"):
+        row_key, model_key = F.lit(0), F.lit(0)
+    else:
+        ival = _interval_ms(windows)
+        row_key = F.floor(t_expr / ival)
+        model_key = F.floor(F.col("minTimestamp") / ival)
+
+    r = (rows.withWatermark(time_col, watermark_delay)
+         .withColumn("__wk", row_key))
+    m = (models
+         .withColumn("__model_time", F.timestamp_millis(F.col("timestamp")))
+         .withWatermark("__model_time", watermark_delay)
+         .select(model_key.alias("__wk_m"), "__model_time",
+                 "timestamp", "score", "minTimestamp"))
+    t = (F.unix_millis(F.col(time_col).cast("timestamp")) - F.lit(delay))
+    cond = ((F.col("__wk") == m["__wk_m"])
+            & (t >= m["minTimestamp"]) & (t <= m["timestamp"]))
+    out = r.join(m, cond, "inner")
+    return out.select(*rows.columns,
+                      F.col("score").alias(model.getPredictionCol()))
+
+
 def stream_online_topsis_apply(stream_df: DataFrame,
                                model: OnlineTopsisModel,
                                watermark_delay: str = "0 seconds") -> DataFrame:

@@ -12,6 +12,7 @@ from flink_ml__spark.operators.online_topsis import OnlineTopsis
 from flink_ml__spark.streaming import (
     stream_online_ahp,
     stream_online_topsis_apply,
+    stream_online_topsis_apply_streams,
 )
 from tests.test_ahp import COLS, MATRIX, ONLINE_DATA, ONLINE_GOLDEN, TYPES
 from tests.test_ahp import _online_df
@@ -49,6 +50,37 @@ def test_stream_online_ahp_matches_batch(spark, stream_source):
     assert len(rows) == 6
     for key, score in got.items():
         assert math.isclose(score, ONLINE_GOLDEN[key], abs_tol=1e-4), key
+
+
+def test_stream_online_topsis_apply_streams(spark):
+    """Stream-stream: rows AND models arrive as streams; every row must
+    still get the score of the window model covering it (the reference's
+    buffer-until-model contract)."""
+    from tests.test_online_topsis import EXPECTED_SCORES, _df, make_estimator
+
+    batch_df = _df(spark)
+    model = make_estimator().fit(batch_df).setPredictionCol("prediction")
+
+    d_rows = tempfile.mkdtemp(prefix="ss_rows_")
+    d_models = tempfile.mkdtemp(prefix="ss_models_")
+    try:
+        batch_df.coalesce(1).write.mode("overwrite").parquet(d_rows)
+        md = model.getModelData().select("timestamp", "score", "minTimestamp")
+        md.coalesce(1).write.mode("overwrite").parquet(d_models)
+        rows = spark.readStream.schema(batch_df.schema).parquet(d_rows)
+        models = spark.readStream.schema(md.schema).parquet(d_models)
+        out = stream_online_topsis_apply_streams(rows, models, model)
+        q = (out.writeStream.format("memory").queryName("ss_ot")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ss_ot").collect()
+        assert len(got) == 9
+        for r in got:
+            assert math.isclose(r["prediction"], EXPECTED_SCORES[r["id"]],
+                                abs_tol=1e-4)
+    finally:
+        shutil.rmtree(d_rows, ignore_errors=True)
+        shutil.rmtree(d_models, ignore_errors=True)
 
 
 def test_stream_online_topsis_apply(spark):
