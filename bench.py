@@ -35,6 +35,7 @@ HEADLINE = [
     "mean_imputer_orders",
     "standard_scaler_lineitem",
     "time_features_orders",
+    "auto_features_orders",
     "dedup_exact_documents",
     "dedup_minhash_documents",
     "dedup_simhash_documents",

@@ -724,6 +724,50 @@ SELECT doc_id, {_NORM_SQL} AS fingerprint FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# 21b. AutoFeatureTransformer (schema-driven dispatch: string→date
+# features, double→mean-impute, int→one-hot)
+# ---------------------------------------------------------------------------
+
+def q_auto_features_orders(spark, sf_dir):
+    from pyspark.ml.functions import vector_to_array
+
+    from flink_ml__spark.functions.feature_gen import AutoFeatureTransformer
+
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        "o_totalprice",
+        (F.col("o_orderkey") % 5).cast("int").alias("bucket"))
+    out = AutoFeatureTransformer().transform(base)
+    return out.select(
+        "date_str", "o_totalprice", "bucket",
+        "date_str_year", "date_str_month", "date_str_day",
+        F.round("o_totalprice_imputed", R).alias("o_totalprice_imputed"),
+        vector_to_array("bucket_onehot").alias("bucket_onehot"))
+
+
+ORACLE_AUTO_FEATURES = f"""
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+         o_totalprice,
+         (o_orderkey % 5)::INT AS bucket
+  FROM orders),
+n AS (SELECT (max(bucket) + 1)::INT AS n_cat FROM base)
+SELECT date_str, o_totalprice, bucket,
+       year(strptime(date_str, '%Y-%m-%d'))::INT AS date_str_year,
+       lpad(month(strptime(date_str, '%Y-%m-%d'))::VARCHAR, 2, '0')
+         AS date_str_month,
+       lpad(day(strptime(date_str, '%Y-%m-%d'))::VARCHAR, 2, '0')
+         AS date_str_day,
+       round(o_totalprice, {R}) AS o_totalprice_imputed,
+       list_transform(range(0, n_cat),
+                      i -> CASE WHEN i = bucket THEN 1.0 ELSE 0.0 END)
+         AS bucket_onehot
+FROM base, n
+"""
+
+
+# ---------------------------------------------------------------------------
 # 22-24. multimodal columns (binary payload built deterministically from
 # documents.text; decode is the stubbed fake codec — plumbing is real)
 # ---------------------------------------------------------------------------
@@ -790,6 +834,7 @@ QUERIES = {
     "mean_imputer_orders": q_mean_imputer_orders,
     "standard_scaler_lineitem": q_standard_scaler_lineitem,
     "time_features_orders": q_time_features_orders,
+    "auto_features_orders": q_auto_features_orders,
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -816,6 +861,7 @@ ORACLES = {
     "mean_imputer_orders": ORACLE_MEAN_IMPUTER,
     "standard_scaler_lineitem": ORACLE_STANDARD_SCALER,
     "time_features_orders": ORACLE_TIME_FEATURES,
+    "auto_features_orders": ORACLE_AUTO_FEATURES,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_minhash_documents": _oracle_minhash(),
     "dedup_simhash_documents": _oracle_simhash(),
