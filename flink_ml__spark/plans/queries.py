@@ -761,7 +761,8 @@ SELECT date_str, o_totalprice, bucket,
          AS date_str_day,
        round(o_totalprice, {R}) AS o_totalprice_imputed,
        list_transform(range(0, n_cat),
-                      i -> CASE WHEN i = bucket THEN 1.0 ELSE 0.0 END)
+                      i -> CASE WHEN i = bucket THEN 1.0::DOUBLE
+                           ELSE 0.0::DOUBLE END)
          AS bucket_onehot
 FROM base, n
 """
