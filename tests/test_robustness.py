@@ -1,0 +1,132 @@
+"""Degenerate-input and property-based tests (SURVEY §5 edges: constant
+columns, empty inputs, k > n, param validation) plus hypothesis
+properties checked against plain-numpy replicas of the operator math."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_ml__spark.functions.dedup import (
+    ExactDeduplicator,
+    MinHashDeduplicator,
+    SimHashDeduplicator,
+)
+from flink_ml__spark.operators import FCM, AHP, Topsis
+
+MATRIX2 = [[1.0, 2.0], [0.5, 1.0]]
+
+
+def test_ahp_constant_column_propagates_null(spark):
+    # min==max → 0/0; the reference does not guard it (``AHP.java:374``)
+    # and non-ANSI Spark yields NULL — not a crash
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)],
+                               ["a", "b"])
+    out = (AHP().setInputCols(["a", "b"]).setJudgmentMatrix(MATRIX2)
+           .setIndicatorType([1, 1]).setOutputCol("s").transform(df))
+    assert [r["s"] for r in out.collect()] == [None, None, None]
+
+
+def test_ahp_bad_cr_rejected(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], ["a", "b", "c"])
+    # wildly inconsistent judgments: a>>b, b>>c, but c>>a
+    bad = [[1.0, 9.0, 1 / 9], [1 / 9, 1.0, 9.0], [9.0, 1 / 9, 1.0]]
+    with pytest.raises(ValueError, match="CR is too large"):
+        (AHP().setInputCols(["a", "b", "c"]).setJudgmentMatrix(bad)
+         .setIndicatorType([1, 1, 1]).transform(df))
+
+
+def test_empty_input_dedup(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ExactDeduplicator().transform(empty).count() == 0
+    assert MinHashDeduplicator().transform(empty).count() == 0
+    assert SimHashDeduplicator().transform(empty).count() == 0
+
+
+def test_fcm_k_exceeds_points(spark):
+    one = spark.createDataFrame([([1.0, 2.0],)], ["features"])
+    with pytest.raises(ValueError, match="need at least k=3"):
+        FCM().setK(3).fit(one)
+
+
+def test_topsis_param_validation(spark):
+    df = spark.createDataFrame([([1.0, 2.0],)], ["features"])
+    with pytest.raises(Exception, match="equal length"):
+        Topsis().setCriteriaTypes([1, 2]).setWeights([1.0]).transform(df)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties (bounded examples: each draws a Spark job)
+# ---------------------------------------------------------------------------
+
+H = settings(max_examples=5, deadline=None,
+             suppress_health_check=list(HealthCheck))
+
+finite = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+
+
+@H
+@given(rows=st.lists(st.tuples(finite, finite), min_size=3, max_size=8))
+def test_topsis_scores_bounded_and_match_numpy(spark, rows):
+    # degenerate frames (constant columns) legitimately yield NaN —
+    # restrict to frames with spread in both criteria
+    xs = np.array(rows)
+    if (xs.max(0) == xs.min(0)).any() or (xs == 0).all():
+        return
+    df = spark.createDataFrame([([float(a), float(b)],) for a, b in rows],
+                               ["features"])
+    out = (Topsis().setCriteriaTypes([1, 2]).setWeights([0.5, 0.5])
+           .setPredictionCol("score").transform(df))
+    got = [r["score"] for r in out.collect()]
+
+    # numpy replica (``Topsis.java:261-385``): positive-ize, normalize,
+    # distance to ideal best/worst
+    pos = np.stack([xs[:, 0], xs[:, 1].max() - xs[:, 1]], axis=1)
+    denom = np.sqrt((pos ** 2).sum(0))
+    denom[denom == 0] = np.nan
+    u = pos / denom * 0.5
+    zmax, zmin = u.max(0), u.min(0)
+    dpos = np.sqrt(((u - zmax) ** 2).sum(1))
+    dneg = np.sqrt(((u - zmin) ** 2).sum(1))
+    expect = dneg / (dpos + dneg)
+    for g, e in zip(got, expect):
+        if math.isnan(e):
+            assert g is None or math.isnan(g)
+        else:
+            assert g == pytest.approx(e, abs=1e-9)
+            assert -1e-9 <= g <= 1 + 1e-9
+
+
+@H
+@given(words=st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+    min_size=4, max_size=12))
+def test_minhash_identical_docs_always_pair(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text), (3, "zzz qqq xxx "
+                                                          "yyy www vvv")],
+                               ["doc_id", "text"])
+    op = MinHashDeduplicator().setSeed(7).setThreshold(0.99)
+    pairs = {(r["id_keep"], r["id_dup"])
+             for r in op.duplicate_pairs(df).collect()}
+    # identical text ⇒ identical signature ⇒ same band buckets ⇒ jaccard 1
+    assert (1, 2) in pairs
+
+
+@H
+@given(vals=st.lists(finite, min_size=3, max_size=8))
+def test_ahp_weights_sum_to_one(spark, vals):
+    # entropy weights + judgment weights are convex; with two distinct
+    # positive-type columns the scores stay finite when spread exists
+    if len(set(vals)) < 2:
+        return
+    rows = [(float(v), float(i)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = (AHP().setInputCols(["a", "b"]).setJudgmentMatrix(MATRIX2)
+           .setIndicatorType([1, 1]).setOutputCol("s").transform(df))
+    scores = [r["s"] for r in out.collect()]
+    assert all(s is None or math.isfinite(s) or math.isnan(s)
+               for s in scores)
