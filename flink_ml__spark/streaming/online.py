@@ -84,11 +84,14 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
         wk = key[0]  # struct key arrives as a dict {'start':..,'end':..}
         win_end = wk["end"] if isinstance(wk, dict) else wk[1]
         win_end_ms = int(pd.Timestamp(win_end).timestamp() * 1000)
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        frames = [p for p in pdfs if len(p)]
+        batch = pd.concat(frames, ignore_index=True) if frames else None
         (old_json,) = state.get if state.exists else (None,)
         parts = []
         if old_json:
-            parts.append(pd.read_json(old_json, orient="split",
+            from io import StringIO
+
+            parts.append(pd.read_json(StringIO(old_json), orient="split",
                                       convert_dates=False))
         if batch is not None and len(batch):
             b = batch[in_names].copy()
