@@ -146,6 +146,20 @@ class FCMModel(Model, FCMParams):
             self._centroids = [list(r["centroid"]) for r in rows]
         return self._centroids
 
+    def getModelData(self) -> DataFrame:
+        """(cluster_id int, centroid array<double>) — synthesized from
+        the fitted centroids when not explicitly set, so
+        ``FCMModel().setModelData(m.getModelData())`` transplants
+        (``FCMTest.java:357-370``)."""
+        if self._model_data is None and self._centroids is not None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            self._model_data = spark.createDataFrame(
+                [(i, list(c)) for i, c in enumerate(self._centroids)],
+                "cluster_id int, centroid array<double>")
+        return super().getModelData()
+
     def transform(self, df: DataFrame) -> DataFrame:
         cents = self.centroids
         arr = as_double_array(df, self.getFeaturesCol())

@@ -113,3 +113,44 @@ def test_cosine_distance(spark):
     assert preds[(1.0, 0.0)] == preds[(2.0, 0.1)]
     assert preds[(0.0, 1.0)] == preds[(0.1, 2.0)]
     assert preds[(1.0, 0.0)] != preds[(0.0, 1.0)]
+
+
+def test_sparse_vector_input(spark):
+    """ml.linalg vectors (incl. sparse) accepted as the features column
+    (``FCMTest.java:287-306``)."""
+    from pyspark.ml.linalg import Vectors
+
+    dense_model, dense_df = fit_model(spark)
+    rows = [(Vectors.sparse(2, [(j, v) for j, v in enumerate(p[0]) if v]),)
+            for p in POINTS]
+    df = spark.createDataFrame(rows, ["features"])
+    model = (FCM().setK(3).setM(2.0).setTOL(1e-4).setMaxIter(100).setSeed(42)
+             .fit(df))
+    out = model.transform(df)
+    by_cluster = {}
+    for r in out.collect():
+        key = tuple(round(x, 6) for x in r["features"].toArray())
+        by_cluster.setdefault(r["prediction"], set()).add(key)
+    dense_groups = {}
+    for r in dense_model.transform(dense_df).collect():
+        dense_groups.setdefault(r["prediction"], set()).add(
+            tuple(round(x, 6) for x in r["features"]))
+    assert sorted(by_cluster.values(), key=sorted) == \
+        sorted(dense_groups.values(), key=sorted)
+
+
+def test_set_model_data_transplant(spark):
+    """``FCMModel().setModelData(m.getModelData())`` reproduces the
+    fitted model (``FCMTest.java:357-370``)."""
+    from flink_ml__spark.operators.fcm import FCMModel
+
+    model, df = fit_model(spark)
+    md = model.getModelData()
+    assert md.columns == ["cluster_id", "centroid"]
+    fresh = FCMModel().setModelData(md)
+    fresh._set(**{p.name: model.getOrDefault(p) for p in model.params})
+    a = [(tuple(r["features"]), r["prediction"])
+         for r in model.transform(df).collect()]
+    b = [(tuple(r["features"]), r["prediction"])
+         for r in fresh.transform(df).collect()]
+    assert sorted(a) == sorted(b)
