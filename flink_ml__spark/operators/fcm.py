@@ -98,18 +98,28 @@ def _dist_expr(x_elems, centroid: list[float], measure: str):
     return 1 - dot / (xn * F.lit(cn))
 
 
-def _membership_exprs(x_elems, centroids: list[list[float]], measure: str,
-                      m: float):
-    """``FCM.updateMembershipVector`` (``FCM.java:527-553``) as columns."""
-    k = len(centroids)
-    d = [_dist_expr(x_elems, centroids[kk], measure) for kk in range(k)]
-    d = [F.when(dk == 0, F.lit(1e-10)).otherwise(dk) for dk in d]
-    p = 2.0 / (m - 1.0)
-    u = []
-    for kk in range(k):
-        s = sum((d[kk] / d[j]) ** F.lit(p) for j in range(k))
-        u.append(1.0 / s)
-    return u
+def _np_distances(X, C, measure: str):
+    """Point×centroid distance matrix with the reference's guards."""
+    import numpy as np
+
+    if measure == "euclidean":
+        d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+    else:  # cosine distance = 1 − dot/(‖x‖·‖c‖), zero-norm guard
+        cn = np.linalg.norm(C, axis=1, keepdims=True).T
+        cn = np.where(cn == 0, 1e-10, cn)
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        d = 1.0 - (X @ C.T) / (xn * cn)
+    return d
+
+
+def _np_memberships(X, C, measure: str, p: float):
+    """``FCM.updateMembershipVector`` (``FCM.java:527-553``): u_ik =
+    1/Σ_j (d_ik/d_jk)^p with the 0-distance guard d==0 → 1e-10."""
+    import numpy as np
+
+    d = _np_distances(X, C, measure)
+    d = np.where(d == 0, 1e-10, d)
+    return 1.0 / ((d[:, :, None] / d[:, None, :]) ** p).sum(2)
 
 
 def _init_membership_exprs(x_col, k: int, seed: int):
@@ -161,30 +171,44 @@ class FCMModel(Model, FCMParams):
         return super().getModelData()
 
     def transform(self, df: DataFrame) -> DataFrame:
-        cents = self.centroids
-        arr = as_double_array(df, self.getFeaturesCol())
-        dims = len(cents[0])
-        x = [F.element_at(arr, j + 1) for j in range(dims)]
+        """Prediction = argmin distance ≡ argmax membership
+        (``FCMModel.java:121-143``); vectorized numpy over Arrow batches
+        — the O(k·dims) Catalyst expression alternative blows codegen
+        limits and runs interpreted for high-dim features."""
+        import numpy as np
+
+        C = np.asarray(self.centroids)
         measure = self.getDistanceMeasure()
-        d = F.array(*[
-            F.when(dk == 0, F.lit(1e-10)).otherwise(dk)
-            for dk in (_dist_expr(x, c, measure) for c in cents)
-        ])
-        pred = (F.array_position(d, F.array_min(d)) - 1).cast("int")
-        return df.withColumn(self.getPredictionCol(), pred)
+
+        @F.pandas_udf("int")
+        def predict(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            return pd.Series(
+                _np_distances(X, C, measure).argmin(1)).astype("int32")
+
+        arr = as_double_array(df, self.getFeaturesCol())
+        return df.withColumn(self.getPredictionCol(), predict(arr))
 
     def membership_matrix(self, df: DataFrame) -> DataFrame:
         """Full membership matrix as a DataFrame (features, membership
         array<double>) — the reference materializes this inside its model
         data (``FCMModelData.java:35-47``); at scale it must stay
         distributed, so it is exposed lazily here instead."""
+        import numpy as np
+
+        C = np.asarray(self.centroids)
+        measure = self.getDistanceMeasure()
+        p = 2.0 / (self.getM() - 1.0)
+
+        @F.pandas_udf("array<double>")
+        def memberships(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            return pd.Series(
+                list(_np_memberships(X, C, measure, p)))
+
         arr = as_double_array(df, self.getFeaturesCol())
-        dims = len(self.centroids[0])
-        x = [F.element_at(arr, j + 1) for j in range(dims)]
-        u = _membership_exprs(x, self.centroids, self.getDistanceMeasure(),
-                              self.getM())
         return df.select(F.col(self.getFeaturesCol()),
-                         F.array(*u).alias("membership"))
+                         memberships(arr).alias("membership"))
 
     def _save_model_data(self, path: str) -> None:
         import json
@@ -230,29 +254,21 @@ class FCM(Estimator, FCMParams):
         u0 = _init_membership_exprs(F.col("x"), k, seed)
         base = (pts.select("x", F.array(*u0).alias("u0"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
-        base.count()  # eager: every epoch re-reads the cache
+        n_points = base.count()  # eager: every epoch re-reads the cache
         try:
+            if n_points < k:
+                raise ValueError(
+                    f"need at least k={k} points, got {n_points}")
             dims = array_width(base, "x")
 
-            # seeded initial centroids (``selectRandomCentroids``,
-            # ``FCM.java:71``) — distributed sample, no full sort
-            sample = base.rdd.takeSample(False, k, seed)
-            if len(sample) < k:
-                raise ValueError(
-                    f"need at least k={k} points, got {len(sample)}")
-            centroids = [list(r["x"]) for r in sample]
+            # No centroid sampling: the reference seeds centroids
+            # (``FCM.java:71``) but its first update derives them purely
+            # from the Dirichlet memberships (as does ours at epoch 0),
+            # so the sampled values are never read — only k ≤ n matters.
+            centroids = [[0.0] * dims for _ in range(k)]
 
             def memberships(X, C):
-                """``FCM.updateMembershipVector`` (``FCM.java:527-553``)."""
-                if measure == "euclidean":
-                    d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
-                else:  # cosine distance = 1 − dot/(‖x‖·‖c‖)
-                    cn = np.linalg.norm(C, axis=1, keepdims=True).T
-                    cn = np.where(cn == 0, 1e-10, cn)
-                    xn = np.linalg.norm(X, axis=1, keepdims=True)
-                    d = 1.0 - (X @ C.T) / (xn * cn)
-                d = np.where(d == 0, 1e-10, d)
-                return 1.0 / ((d[:, :, None] / d[:, None, :]) ** p).sum(2)
+                return _np_memberships(X, C, measure, p)
 
             schema = "den array<double>, num array<double>, delta double"
             prev_centroids = None
