@@ -287,28 +287,45 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return sum(bits[1:], bits[0])
 
     def simhash_table(self, df: DataFrame) -> DataFrame:
-        """(__id, __sh) — simhash via explode → hash once → 60 codegen'd
-        bit-vote sums in a single hash aggregate (one shuffle on id)."""
+        """(__id, __sh) — whole fingerprint in one Arrow-batched pass
+        (map-only: no explode shuffle, no 60-column aggregate). Same
+        math as :meth:`simhash`: distinct lowercase tokens, md5[:15]
+        60-bit hashes, per-bit ±1 votes, bit set iff vote > 0."""
+        import hashlib
+        import re
+
+        import numpy as np
+
         idc = self.getIdCol()
-        toks = F.array_distinct(
-            F.filter(F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
-                     lambda t: t != ""))
+        pat = TOKEN_SPLIT
+        n_bits = self.N_BITS
+
+        @F.pandas_udf("long")
+        def simhash_of(texts: pd.Series) -> pd.Series:
+            rx = re.compile(pat)
+            shifts = np.arange(n_bits, dtype=np.uint64)
+            out = []
+            for t in texts:
+                toks = (dict.fromkeys(w for w in rx.split(t.lower()) if w)
+                        if t is not None else {})
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.array([
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in toks], dtype=np.uint64)
+                bits = (hs[:, None] >> shifts[None, :]) & 1
+                votes = (bits.astype(np.int64) * 2 - 1).sum(0)
+                out.append(int(((votes > 0).astype(np.uint64)
+                                << shifts).sum()))
+            return pd.Series(out, dtype="int64")
+
         # repartition raw text first: parallelizes tokenize+md5 when the
         # source has few splits (see MinHash note above)
-        tok = (df.select(idc, self.getInputCol())
-               .repartition(F.col(idc))
-               .select(F.col(idc).alias("__id"),
-                       F.explode_outer(toks).alias("__t")))
-        th = portable_hash60(F.col("__t"))
-        votes = (tok.select("__id", th.alias("__th"))
-                 .groupBy("__id")
-                 .agg(*[F.sum(F.shiftright("__th", j).bitwiseAND(F.lit(1))
-                              * 2 - 1).alias(f"b{j}")
-                        for j in range(self.N_BITS)]))
-        bits = [F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint"))
-                .otherwise(F.lit(0).cast("bigint"))
-                for j in range(self.N_BITS)]
-        return votes.select("__id", sum(bits[1:], bits[0]).alias("__sh"))
+        return (df.select(idc, self.getInputCol())
+                .repartition(F.col(idc))
+                .select(F.col(idc).alias("__id"),
+                        simhash_of(F.col(self.getInputCol())).alias("__sh")))
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
         width = self.N_BITS // self.N_BANDS
