@@ -93,13 +93,25 @@ class Canopy(AlgoOperator, CanopyParams):
         centers: list[list[float]] = []
         head_agg = [F.min_by("x", "__rank").alias("c"),
                     F.count(F.lit(1)).alias("n")]
+        # once the pool fits comfortably on the driver, finish the
+        # (inherently sequential) selection locally in numpy instead of
+        # paying one cluster round-trip per remaining center — the
+        # standard tail-iteration cut; above the threshold every round
+        # stays distributed
+        small_pool = 200_000
         try:
             head = pool.agg(*head_agg).first()
-            for _ in range(self.getMaxIter()):
+            rounds_left = self.getMaxIter()
+            while rounds_left > 0:
                 if head is None or head["c"] is None or head["n"] == 0:
+                    break
+                if head["n"] <= small_pool:
+                    centers.extend(self._finish_local(
+                        pool, measure, t2, rounds_left))
                     break
                 center = list(head["c"])
                 centers.append(center)
+                rounds_left -= 1
                 d = _dist_expr(x, center, measure)
                 # pool keeps dist >= T2, dropping (near-)duplicates of
                 # the center (``Canopy.java:396-414``)
@@ -113,6 +125,33 @@ class Canopy(AlgoOperator, CanopyParams):
                 pool = new_pool
         finally:
             pool.unpersist()
+        return centers
+
+    def _finish_local(self, pool, measure: str, t2: float,
+                      rounds_left: int) -> list[list[float]]:
+        """Identical selection semantics, vectorized on the driver."""
+        import numpy as np
+
+        rows = pool.collect()
+        if not rows:
+            return []
+        X = np.asarray([list(r["x"]) for r in rows], dtype=np.float64)
+        ranks = np.asarray([r["__rank"] for r in rows])
+        alive = np.ones(len(X), dtype=bool)
+        centers: list[list[float]] = []
+        for _ in range(rounds_left):
+            if not alive.any():
+                break
+            idx = np.flatnonzero(alive)
+            c = X[idx[np.argmin(ranks[idx])]]
+            centers.append(c.tolist())
+            if measure == "euclidean":
+                d = np.sqrt(((X[idx] - c) ** 2).sum(1))
+            else:
+                cn = np.linalg.norm(c) or 1e-10
+                xn = np.linalg.norm(X[idx], axis=1)
+                d = 1.0 - (X[idx] @ c) / (xn * cn)
+            alive[idx] = (d > 1e-6) & (d >= t2)
         return centers
 
     def assign(self, df: DataFrame) -> DataFrame:
