@@ -19,6 +19,7 @@ Package layout::
     streaming/   Structured Streaming wrappers of the online operators
 """
 
+from flink_ml__spark.pipeline import Pipeline, PipelineModel
 from flink_ml__spark.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["Pipeline", "PipelineModel", "__version__"]
