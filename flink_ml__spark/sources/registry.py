@@ -29,9 +29,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    # the driver may hand us an ANSI-default session; the engine's operators
-    # assume non-ANSI (Java-like NULL-propagating) arithmetic
+    # the driver may hand us a foreign session: the engine's operators
+    # assume non-ANSI (Java-like NULL-propagating) arithmetic, and the
+    # event-time window boundaries must be epoch-aligned in UTC to match
+    # the DuckDB oracles (F.window buckets shift with the session tz)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
