@@ -14,9 +14,15 @@ All variants share the same deterministic, engine-portable design:
   and join-expressible; unlike full connected-components it needs no
   iteration, which is what makes it survive 100 TB in one shuffle wave.
 
-Scale shape (MinHash/SimHash): tokenize+hash is codegen over each row;
-the only shuffles are the band-bucket self-join (keys are ~uniform 32-bit
+Scale shape (MinHash/SimHash): tokenize+hash is one Arrow-batched map
+pass; the only shuffles are the band-bucket self-join (keys are ~uniform
 hashes — no skew) and the final anti-join of ids.
+
+Algorithms follow the public literature: MinHash + banded LSH (Broder,
+"On the resemblance and containment of documents", 1997; banding per
+Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3), SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002), random-hyperplane LSH for cosine (same paper).
 """
 
 from __future__ import annotations

@@ -8,7 +8,9 @@
   (seeded sampled centroids, one Lloyd refinement pass) partitions the
   corpus; a query probes only its ``nProbe`` nearest cells, turning the
   all-pairs join into a cell-aligned join that touches
-  ``nProbe / nList`` of the corpus.
+  ``nProbe / nList`` of the corpus. (Inverted-file ANN per Jégou,
+  Douze & Schmid, "Product quantization for nearest neighbor search",
+  TPAMI 2011 — the coarse-quantizer half, without PQ codes.)
 """
 
 from __future__ import annotations
