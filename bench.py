@@ -44,6 +44,7 @@ HEADLINE = [
     "quality_documents",
     "token_count_documents",
     "fingerprint_documents",
+    "winnow_fingerprints_documents",
     "multimodal_meta_documents",
     "multimodal_image_stats",
     "multimodal_audio_features",

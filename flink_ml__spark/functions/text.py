@@ -9,6 +9,7 @@ the duckdb oracle can replay them.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -144,3 +145,69 @@ class Fingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
         return df.withColumn(
             self.getOutputCol(),
             F.md5(self.normalized(F.col(self.getInputCol()))))
+
+
+class WinnowingFingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
+    """Local document fingerprints by winnowing (Schleimer, Wilkerson &
+    Aiken, "Winnowing: local algorithms for document fingerprinting",
+    SIGMOD 2003): hash every k-character gram of the lowercased text,
+    then keep the minimum hash of each window of w consecutive grams —
+    a position-robust fingerprint set that survives local edits, unlike
+    the whole-document :class:`Fingerprinter`.
+
+    Gram hashes are the engine-portable 60-bit md5 prefix (same family
+    as the dedup operators), so the DuckDB oracle reproduces the exact
+    fingerprint sets; the pass is one Arrow-batched map (no shuffle).
+    Output: sorted distinct ``array<bigint>``.
+    """
+
+    gramSize = Param(Params._dummy(), "gramSize",
+                     "characters per gram (k)", TypeConverters.toInt)
+    windowSize = Param(Params._dummy(), "windowSize",
+                       "grams per winnow window (w)", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="fingerprints",
+                         gramSize=5, windowSize=4)
+
+    def getGramSize(self):
+        return self.getOrDefault(self.gramSize)
+
+    def setGramSize(self, v):
+        return self._set(gramSize=v)
+
+    def getWindowSize(self):
+        return self.getOrDefault(self.windowSize)
+
+    def setWindowSize(self, v):
+        return self._set(windowSize=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        k = self.getGramSize()
+        w = self.getWindowSize()
+
+        @F.pandas_udf("array<long>")
+        def winnow(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                s = (t or "").lower()
+                grams = ([s[i:i + k] for i in range(len(s) - k + 1)]
+                         if len(s) >= k else [s])
+                hs = np.array([
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    for g in grams], dtype=np.int64)
+                if len(hs) <= w:
+                    fps = {int(hs.min())}
+                else:
+                    view = np.lib.stride_tricks.sliding_window_view(hs, w)
+                    fps = set(view.min(1).tolist())
+                out.append(sorted(fps))
+            return pd.Series(out)
+
+        return df.withColumn(self.getOutputCol(),
+                             winnow(F.col(self.getInputCol())))

@@ -723,6 +723,34 @@ ORACLE_FINGERPRINT = f"""
 SELECT doc_id, {_NORM_SQL} AS fingerprint FROM documents
 """
 
+def q_winnow_fingerprints_documents(spark, sf_dir):
+    from flink_ml__spark.functions.text import WinnowingFingerprinter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (WinnowingFingerprinter().setGramSize(5).setWindowSize(4)
+            .transform(docs).select("doc_id", "fingerprints"))
+
+
+def _oracle_winnow(k: int = 5, w: int = 4) -> str:
+    return f"""
+WITH g AS (SELECT doc_id, lower(text) AS s FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= {k}
+              THEN list_transform(range(1, length(s) - {k} + 2),
+                     i -> {_H60.format(x=f'substring(s, i, {k})')})
+              ELSE [{_H60.format(x='s')}] END AS hs
+  FROM g)
+SELECT doc_id,
+       CASE WHEN len(hs) <= {w} THEN [list_min(hs)]
+            ELSE list_sort(list_distinct(list_transform(
+                   range(1, len(hs) - {w} + 2),
+                   i -> list_min(list_slice(hs, i, i + {w} - 1))))) END
+         AS fingerprints
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # 21b. AutoFeatureTransformer (schema-driven dispatch: string→date
 # features, double→mean-impute, int→one-hot)
@@ -846,6 +874,7 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "token_count_documents": q_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
+    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "multimodal_meta_documents": q_multimodal_meta_documents,
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -873,6 +902,7 @@ ORACLES = {
     "quality_documents": ORACLE_QUALITY,
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "fingerprint_documents": ORACLE_FINGERPRINT,
+    "winnow_fingerprints_documents": _oracle_winnow(),
     "multimodal_meta_documents": ORACLE_MULTIMODAL_META,
     # multimodal image/audio: stubbed fake codec → rows-only check
 }

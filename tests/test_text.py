@@ -58,3 +58,29 @@ def test_fingerprinter(spark):
            for r in Fingerprinter().transform(df).collect()}
     assert out[1] == out[2]  # case/whitespace-normalized
     assert out[1] != out[3]
+
+
+def test_winnowing_fingerprints_locality(spark):
+    """Winnowing property: a local edit changes only nearby fingerprints
+    (the whole-document md5 flips entirely)."""
+    from flink_ml__spark.functions.text import WinnowingFingerprinter
+
+    a = "the quick brown fox jumps over the lazy dog near the fence"
+    b = a.replace("lazy", "hazy")   # one local edit
+    df = spark.createDataFrame([(1, a), (2, b), (3, a)],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: set(r["fingerprints"])
+           for r in WinnowingFingerprinter().transform(df).collect()}
+    assert out[1] == out[3]                       # deterministic
+    assert out[1] != out[2]                       # edit detected
+    shared = len(out[1] & out[2]) / len(out[1] | out[2])
+    assert shared > 0.5                           # but mostly preserved
+
+
+def test_winnowing_short_text(spark):
+    from flink_ml__spark.functions.text import WinnowingFingerprinter
+
+    df = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["fingerprints"]
+            for r in WinnowingFingerprinter().transform(df).collect()}
+    assert len(rows[1]) == 1 and len(rows[2]) == 1
