@@ -30,7 +30,6 @@ from flink_ml__spark.base import (
     AlgoOperator,
     Estimator,
     HasInputCol,
-    HasOutputCol,
     HasOutputCols,
     Model,
 )

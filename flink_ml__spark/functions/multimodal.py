@@ -28,7 +28,7 @@ from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_ml__spark.base import AlgoOperator, HasInputCol
+from flink_ml__spark.base import AlgoOperator
 
 # magic prefixes → format tag, checked in order (longest first)
 _MAGIC = [

@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from flink_ml__spark.base import (
-    AlgoOperator,
     Estimator,
     HasDistanceMeasure,
     HasFeaturesCol,

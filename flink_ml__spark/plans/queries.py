@@ -12,7 +12,6 @@ equivalent → no oracle entry (driver records rows-only).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
