@@ -14,15 +14,16 @@ Reimplements ``/root/reference/src/main/java/cn/swust/algorithms/fcm/``
 
 Architecture (the MLlib driver-loop pattern, replacing the reference's
 Flink bounded-iteration graph): centroids live on the driver between
-epochs; each epoch is ONE distributed aggregation job computing, per
-cluster, ``Σ u^m`` and ``Σ u^m·x`` plus the membership-delta max — all as
-Catalyst column expressions with centroid literals folded in (no UDFs, no
-shuffle beyond the partial→final agg merge). Memberships are never
-materialized: after round one they are a pure function of
-(point, centroids), so ``max|Δu|`` is computed by evaluating the
-membership expression at both the current and previous centroids. This
-keeps per-epoch traffic O(k·dims), independent of row count — the plan
-that survives 100 TB.
+epochs; each epoch is ONE ``mapInPandas`` partial-aggregation job
+computing, per partition, ``Σ u^m``, ``Σ u^m·x`` and the
+membership-delta max in vectorized numpy (the treeAggregate shape —
+Catalyst expressions for this O(k²·dims) math blow codegen limits and
+pay per-epoch analysis cost). Memberships are never materialized: after
+round one they are a pure function of (point, centroids), so
+``max|Δu|`` is computed by evaluating memberships at both the current
+and previous centroids inside the same pass. Per-epoch traffic is
+O(partitions·k·dims) partials in, O(k·dims) centroid literals out —
+independent of row count, the shape that survives 100 TB.
 """
 
 from __future__ import annotations
