@@ -211,3 +211,30 @@ class WinnowingFingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
 
         return df.withColumn(self.getOutputCol(),
                              winnow(F.col(self.getInputCol())))
+
+
+class QualityFilter(AlgoOperator, HasInputCol):
+    """Keep documents whose composite quality score clears a threshold —
+    the filter stage a training-data pipeline chains after scoring.
+    Appends the :class:`QualityScorer` columns and filters on
+    ``quality_score >= minScore`` (codegen end-to-end; the predicate
+    sits directly above the scan for pushdown-friendly plans)."""
+
+    minScore = Param(Params._dummy(), "minScore",
+                     "minimum quality_score to keep",
+                     TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", minScore=0.5)
+
+    def getMinScore(self):
+        return self.getOrDefault(self.minScore)
+
+    def setMinScore(self, v):
+        return self._set(minScore=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        scored = (QualityScorer()
+                  ._set(inputCol=self.getInputCol()).transform(df))
+        return scored.filter(F.col("quality_score") >= self.getMinScore())

@@ -1,10 +1,12 @@
 from flink_ml__spark.streaming.online import (
+    stream_exact_dedup,
     stream_online_ahp,
     stream_online_topsis_apply,
     stream_online_topsis_apply_streams,
 )
 
 __all__ = [
+    "stream_exact_dedup",
     "stream_online_ahp",
     "stream_online_topsis_apply",
     "stream_online_topsis_apply_streams",

@@ -122,6 +122,24 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
         outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)
 
 
+def stream_exact_dedup(stream_df: DataFrame, time_col: str,
+                       input_col: str = "text",
+                       watermark_delay: str = "0 seconds") -> DataFrame:
+    """Streaming exact dedup: keep the first document per normalized-text
+    fingerprint, with state expiring past the watermark horizon —
+    ``dropDuplicates`` on the md5 key is the declarative form; Spark
+    scopes the dedup state to the watermark so it stays bounded on an
+    unbounded stream (the property batch dedup cannot give you)."""
+    from flink_ml__spark.functions.text import Fingerprinter
+
+    fp = F.md5(Fingerprinter.normalized(F.col(input_col)))
+    return (stream_df
+            .withWatermark(time_col, watermark_delay)
+            .withColumn("__fp", fp)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__fp"))
+
+
 def stream_online_topsis_apply_streams(
         rows: DataFrame, models: DataFrame, model: OnlineTopsisModel,
         watermark_delay: str = "0 seconds") -> DataFrame:

@@ -106,3 +106,34 @@ def test_stream_online_topsis_apply(spark):
                                 abs_tol=1e-4)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_exact_dedup(spark):
+    """Streaming dedup keeps the first doc per fingerprint with state
+    scoped to the watermark."""
+    import datetime
+
+    from flink_ml__spark.streaming import stream_exact_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "hello world", base),
+        (2, "Hello   WORLD", base + datetime.timedelta(minutes=1)),  # dup
+        (3, "something else", base + datetime.timedelta(minutes=2)),
+        (4, "hello world", base + datetime.timedelta(minutes=3)),    # dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    d = tempfile.mkdtemp(prefix="sd_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_exact_dedup(stream, "ts", watermark_delay="10 minutes")
+        q = (out.writeStream.format("memory").queryName("sd")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM sd").collect())
+        assert len(kept) == 2
+        assert 3 in kept
+        assert kept[0] in (1, 2, 4)  # exactly one of the dup group
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

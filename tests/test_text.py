@@ -84,3 +84,19 @@ def test_winnowing_short_text(spark):
     rows = {r["doc_id"]: r["fingerprints"]
             for r in WinnowingFingerprinter().transform(df).collect()}
     assert len(rows[1]) == 1 and len(rows[2]) == 1
+
+
+def test_quality_filter(spark):
+    from flink_ml__spark.functions.text import QualityFilter, QualityScorer
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and it is for "
+             "you that the sun shines in the warm morning light today"),
+         (2, "!!! ??? ;;; ,,,")],
+        ["doc_id", "text"])
+    scored = QualityScorer().transform(df)
+    scores = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    thr = (scores[1] + scores[2]) / 2
+    kept = [r["doc_id"] for r in
+            QualityFilter().setMinScore(thr).transform(df).collect()]
+    assert kept == [1]
