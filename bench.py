@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "lang_id_documents",
     "quality_documents",
+    "quality_filter_documents",
     "token_count_documents",
     "fingerprint_documents",
     "winnow_fingerprints_documents",

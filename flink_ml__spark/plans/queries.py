@@ -696,6 +696,47 @@ FROM m
 """
 
 
+def q_quality_filter_documents(spark, sf_dir):
+    from flink_ml__spark.functions.text import QualityFilter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = QualityFilter().setMinScore(0.5).transform(docs)
+    return out.select("doc_id",
+                      F.round("quality_score", R).alias("quality_score"))
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text),
+             '[^a-zA-Z0-9'']+'), x -> x <> '')) AS n_tokens_q,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS punct,
+         len(list_intersect(
+             list_distinct(list_filter(string_split_regex(lower(text),
+                 '[^a-zA-Z0-9'']+'), x -> x <> '')),
+             [{', '.join(repr(w) for w in LANG_PROFILES['en'])}])) AS stop
+  FROM documents),
+m AS (
+  SELECT doc_id, n_tokens_q,
+         alpha::DOUBLE / greatest(n_chars, 1) AS alpha_ratio,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         stop::DOUBLE / greatest(n_tokens_q, 1) AS stopword_ratio
+  FROM t),
+s AS (
+  SELECT doc_id,
+         least(n_tokens_q / 20.0, 1.0) * 0.3
+           + alpha_ratio * 0.4
+           + least(stopword_ratio * 5.0, 1.0) * 0.2
+           + (1 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS score
+  FROM m)
+SELECT doc_id, round(score, {R}) AS quality_score
+FROM s WHERE score >= 0.5
+"""
+
+
 def q_token_count_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     return (TokenCounter().transform(docs)
@@ -871,6 +912,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "lang_id_documents": q_lang_id_documents,
     "quality_documents": q_quality_documents,
+    "quality_filter_documents": q_quality_filter_documents,
     "token_count_documents": q_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
@@ -899,6 +941,7 @@ ORACLES = {
     "ann_cosine_topk": ORACLE_ANN,
     "lang_id_documents": _oracle_lang_id(),
     "quality_documents": ORACLE_QUALITY,
+    "quality_filter_documents": ORACLE_QUALITY_FILTER,
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
