@@ -71,3 +71,24 @@ def test_multimodal_meta_stays_codegen(spark):
 def test_text_queries_no_python_udfs(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_bench_headline_names_resolve():
+    """Every bench headline name must exist in the query registry — a
+    rename that misses bench.py would crash the driver's bench run."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in QUERIES, name
+
+
+def test_entry_contract_shape(spark):
+    """Driver contract: queries/oracles keys line up; entry returns the
+    flagship frame with a stable schema."""
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25
+    df = E.entry(spark)
+    assert df.columns == ["l_orderkey", "l_linenumber", "ahp_score"]
