@@ -46,6 +46,42 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def shingle_hash_udf(n: int):
+    """Arrow-batched shingle hasher: text → array<long> of distinct
+    60-bit hashes (mod 2^31−1) of the ``' '``-joined word n-grams.
+
+    Semantically identical to hashing the string shingles with
+    ``portable_hash60`` via higher-order functions — same tokens, same
+    joins, same md5[:15] — but ~20× faster: nested HOFs are
+    CodegenFallback (interpreted per element), so the built-in
+    expression is the slow path here.
+    """
+    import hashlib
+    import re
+
+    pat = TOKEN_SPLIT
+
+    @F.pandas_udf("array<long>")
+    def shingle_hashes(texts: pd.Series) -> pd.Series:
+        rx = re.compile(pat)
+        out = []
+        for t in texts:
+            toks = ([w for w in rx.split(t.lower()) if w]
+                    if t is not None else [])
+            if len(toks) >= n:
+                shs = dict.fromkeys(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))
+            else:
+                shs = {" ".join(toks): None}
+            out.append([
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                % MERSENNE31 for s in shs])
+        return pd.Series(out)
+
+    return shingle_hashes
+
+
 class HasIdColMixin(Params):
     idCol = Param(Params._dummy(), "idCol",
                   "unique ascending document id column",
@@ -149,40 +185,7 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         ).otherwise(F.array(F.array_join(toks, " ")))
 
     def _shingle_hash_udf(self):
-        """Arrow-batched shingle hasher: text → array<long> of distinct
-        60-bit shingle hashes mod 2^31-1.
-
-        Semantically identical to ``transform(_shingles(text),
-        portable_hash60 % M)`` — same tokens, same ``' '``-joined
-        shingles, same md5[:15] hash — but ~20× faster: nested
-        higher-order functions are CodegenFallback (interpreted per
-        element), so the built-in expression is the slow path here.
-        """
-        import hashlib
-        import re
-
-        n = self.getShingleSize()
-        pat = TOKEN_SPLIT
-
-        @F.pandas_udf("array<long>")
-        def shingle_hashes(texts: pd.Series) -> pd.Series:
-            rx = re.compile(pat)
-            out = []
-            for t in texts:
-                toks = ([w for w in rx.split(t.lower()) if w]
-                        if t is not None else [])
-                if len(toks) >= n:
-                    shs = dict.fromkeys(
-                        " ".join(toks[i:i + n])
-                        for i in range(len(toks) - n + 1))
-                else:
-                    shs = {" ".join(toks): None}
-                out.append([
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                    % MERSENNE31 for s in shs])
-            return pd.Series(out)
-
-        return shingle_hashes
+        return shingle_hash_udf(self.getShingleSize())
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
         """(id_keep, id_dup, jaccard) verified near-duplicate pairs.
@@ -399,19 +402,21 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return self._set(threshold=float(v))
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        """Jaccard runs on the 60-bit shingle hashes (value-identical to
+        string shingles modulo md5 collisions; the DuckDB oracle uses the
+        strings) — see :func:`shingle_hash_udf` for why not HOFs."""
         n = self.getShingleSize()
         idc = self.getIdCol()
         toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
                                 TOKEN_SPLIT), lambda t: t != "")
-        sh = F.when(
-            F.size(toks) >= n,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "))),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        xs = shingle_hash_udf(n)(F.col(self.getInputCol()))
         block = F.floor(F.size(toks) / self.getOrDefault(self.blockBucket))
-        base = df.select(F.col(idc).alias("__id"), sh.alias("__sh"),
-                         block.alias("__blk"))
+        base = (df.select(idc, self.getInputCol())
+                .repartition(F.col(idc))
+                .select(F.col(idc).alias("__id"), xs.alias("__sh"),
+                        block.alias("__blk"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        base.count()  # eager: both join sides read it (see MinHash note)
         left = base.select("__blk", F.col("__id").alias("__id_l"),
                            F.col("__sh").alias("__sh_l"))
         right = base.select("__blk", F.col("__id").alias("__id_r"),
