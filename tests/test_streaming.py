@@ -137,3 +137,30 @@ def test_stream_exact_dedup(spark):
         assert kept[0] in (1, 2, 4)  # exactly one of the dup group
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_map_only_operators_work_on_streams(spark):
+    """Map-only operators (text analysis, metadata) run unchanged on
+    streaming DataFrames — the unified batch/stream API Catalyst gives a
+    declarative plan for free."""
+    from flink_ml__spark.functions.text import QualityScorer, TokenCounter
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    d = tempfile.mkdtemp(prefix="mo_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        out = TokenCounter().transform(QualityScorer().transform(stream))
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("mo")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["doc_id"]: (r["quality_score"], r["n_tokens"])
+               for r in spark.sql("SELECT * FROM mo").collect()}
+        expect = {r["doc_id"]: (r["quality_score"], r["n_tokens"])
+                  for r in TokenCounter().transform(
+                      QualityScorer().transform(docs)).collect()}
+        assert got == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
