@@ -48,7 +48,9 @@ def portable_hash60(col: Column) -> Column:
 
 def shingle_hash_udf(n: int):
     """Arrow-batched shingle hasher: text → array<long> of distinct
-    60-bit hashes (mod 2^31−1) of the ``' '``-joined word n-grams.
+    full 60-bit hashes of the ``' '``-joined word n-grams (the minhash
+    permutations reduce mod 2^31−1 at use; keeping verification on the
+    full hashes keeps Jaccard collision odds at ~n²/2^61).
 
     Semantically identical to hashing the string shingles with
     ``portable_hash60`` via higher-order functions — same tokens, same
@@ -76,7 +78,7 @@ def shingle_hash_udf(n: int):
                 shs = {" ".join(toks): None}
             out.append([
                 int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                % MERSENNE31 for s in shs])
+                for s in shs])
         return pd.Series(out)
 
     return shingle_hashes
@@ -173,17 +175,6 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
                 for _ in range(self.getNumHashes())]
 
-    def _shingles(self, text: Column) -> Column:
-        n = self.getShingleSize()
-        toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT),
-                        lambda t: t != "")
-        return F.when(
-            F.size(toks) >= n,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "))),
-        ).otherwise(F.array(F.array_join(toks, " ")))
-
     def _shingle_hash_udf(self):
         return shingle_hash_udf(self.getShingleSize())
 
@@ -219,7 +210,9 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         # would otherwise race to fill the cache, computing it 3-4×
         sig = F.array(*[
             F.array_min(F.transform(
-                F.col("__xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31))
+                F.col("__xs"),
+                lambda x: (F.lit(a) * (x % MERSENNE31) + F.lit(b))
+                % MERSENNE31))
             for a, b in self.hash_coefficients()
         ])
         bands = hashed.select(

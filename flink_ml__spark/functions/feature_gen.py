@@ -214,6 +214,15 @@ class AutoFeatureTransformer(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:
         out = df
         onehot_cols = []
+        # one fused aggregation pass for every double column's mean —
+        # per-column .agg().first() would scan the input once per column
+        double_cols = [f.name for f in df.schema.fields
+                       if isinstance(f.dataType, T.DoubleType)]
+        means = {}
+        if double_cols:
+            row = df.agg(*[F.avg(c).alias(c) for c in double_cols]).first()
+            means = {c: (row[c] if row[c] is not None else 0.0)
+                     for c in double_cols}
         for field in df.schema.fields:
             c = field.name
             if isinstance(field.dataType, T.StringType):
@@ -226,10 +235,9 @@ class AutoFeatureTransformer(AlgoOperator):
                     f"{c}_day": F.lpad(F.dayofmonth(d).cast("string"), 2, "0"),
                 })
             elif isinstance(field.dataType, T.DoubleType):
-                mean_row = df.agg(F.avg(c).alias("m")).first()
-                mean = mean_row["m"] if mean_row["m"] is not None else 0.0
                 out = out.withColumn(
-                    f"{c}_imputed", F.coalesce(F.col(c), F.lit(float(mean))))
+                    f"{c}_imputed",
+                    F.coalesce(F.col(c), F.lit(float(means[c]))))
             elif isinstance(field.dataType, (T.IntegerType, T.LongType, T.ShortType)):
                 onehot_cols.append(c)
         if onehot_cols:

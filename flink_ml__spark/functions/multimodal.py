@@ -77,16 +77,17 @@ class HasDecoder(Params):
 
 
 def _require_real_decoder(name: str, modules: dict[str, str]) -> None:
+    """Real codec paths are NOT implemented: anything but 'fake' raises.
+
+    Raising even when the library IS importable is deliberate — falling
+    through to the fake decoder would silently emit hash noise labeled
+    as decoded media."""
     mod = modules.get(name)
     if mod is None:
         raise ValueError(f"unknown decoder '{name}'")
-    try:
-        __import__(mod)
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            f"decoder '{name}' needs the '{mod}' library, which is not "
-            "available in this environment; use decoder='fake' for the "
-            "deterministic stub") from exc
+    raise NotImplementedError(
+        f"decoder '{name}' (library '{mod}') is not implemented in this "
+        "environment; use decoder='fake' for the deterministic stub")
 
 
 def fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:

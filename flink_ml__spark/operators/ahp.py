@@ -146,9 +146,15 @@ def consistency_ratio(weights: list[float], matrix: list[list[float]]) -> float:
 
 
 def _check_matrix(matrix, input_cols) -> None:
-    """``AHP.checkJugleMartix`` (``AHP.java:538-546``)."""
-    if len(input_cols) > len(RI):
-        raise ValueError("the number of input columns must be <= 15")
+    """``AHP.checkJugleMartix`` (``AHP.java:538-546``).
+
+    The reference admits up to 15 columns but its ``RI[m]`` indexing then
+    reads past the 15-entry table (an ArrayIndexOutOfBounds it never
+    hits in tests); here the gate honestly rejects what the indexing
+    cannot serve."""
+    if len(input_cols) >= len(RI):
+        raise ValueError(
+            "the number of input columns must be <= 14 (RI table size)")
     if matrix is None:
         raise ValueError("the judgment matrix cannot be empty")
     if len(matrix[0]) != len(input_cols):

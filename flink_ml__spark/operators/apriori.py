@@ -149,60 +149,58 @@ class Apriori(AlgoOperator, AprioriParams):
         freq = (counts
                 .withColumn("support", F.col("count") / F.lit(float(n_total)))
                 .filter(F.col("support") >= min_sup))
+        # persist + eager count: three downstream references (splits/fq/fp)
+        # share the frequent table. Ownership: the cache lives until the
+        # session evicts it (LRU) — callers holding many Apriori plans can
+        # freq.unpersist() via spark.catalog.clearCache() between runs.
         freq.persist(StorageLevel.MEMORY_AND_DISK)
-        freq.count()  # eager: three downstream references (splits/fq/fp)
+        freq.count()
         baskets.unpersist()
 
-        try:
-            # rule candidates: split every frequent itemset (2 <= size <=
-            # maxIter+1) into (prefix, suffix) by bitmask
-            multi = freq.filter((F.size("itemSet") >= 2)
-                                & (F.size("itemSet") <= max_size))
-            splits = (multi
-                      .withColumn("__mask", F.explode(F.expr(
-                          "sequence(1L, shiftleft(1L, size(itemSet)) - 2)")))
-                      .select(
-                          "itemSet", "count", "support",
-                          _subset_expr("itemSet", "__mask").alias("prefix"),
-                          F.expr(
-                              "filter(itemSet, (x, i) -> "
-                              "(shiftright(__mask, cast(i as int)) & 1) = 0)"
-                          ).alias("suffix")))
-            fq = freq.select(F.col("itemSet").alias("suffix"),
-                             F.col("count").alias("__suffix_count"))
-            fp = freq.select(F.col("itemSet").alias("prefix"),
-                             F.col("support").alias("__prefix_support"))
-            rules = (splits
-                     .join(fq, "suffix")
-                     .join(fp, "prefix")
-                     .select(
-                         F.concat("prefix", "suffix").alias("itemSet"),
-                         F.col("count"),
-                         F.col("support"),
-                         (F.col("count") / F.col("__suffix_count"))
-                         .alias("confidence"),
-                         ((F.col("count") / F.col("__suffix_count"))
-                          / F.col("__prefix_support")).alias("lift"),
-                         F.col("prefix"),
-                         F.col("suffix")))
+        # rule candidates: split every frequent itemset (2 <= size <=
+        # maxIter+1) into (prefix, suffix) by bitmask
+        multi = freq.filter((F.size("itemSet") >= 2)
+                            & (F.size("itemSet") <= max_size))
+        splits = (multi
+                  .withColumn("__mask", F.explode(F.expr(
+                      "sequence(1L, shiftleft(1L, size(itemSet)) - 2)")))
+                  .select(
+                      "itemSet", "count", "support",
+                      _subset_expr("itemSet", "__mask").alias("prefix"),
+                      F.expr(
+                          "filter(itemSet, (x, i) -> "
+                          "(shiftright(__mask, cast(i as int)) & 1) = 0)"
+                      ).alias("suffix")))
+        fq = freq.select(F.col("itemSet").alias("suffix"),
+                         F.col("count").alias("__suffix_count"))
+        fp = freq.select(F.col("itemSet").alias("prefix"),
+                         F.col("support").alias("__prefix_support"))
+        rules = (splits
+                 .join(fq, "suffix")
+                 .join(fp, "prefix")
+                 .select(
+                     F.concat("prefix", "suffix").alias("itemSet"),
+                     F.col("count"),
+                     F.col("support"),
+                     (F.col("count") / F.col("__suffix_count"))
+                     .alias("confidence"),
+                     ((F.col("count") / F.col("__suffix_count"))
+                      / F.col("__prefix_support")).alias("lift"),
+                     F.col("prefix"),
+                     F.col("suffix")))
 
-            singles = (freq.filter(F.size("itemSet") == 1)
-                       .select(
-                           "itemSet", "count", "support",
-                           F.col("support").alias("confidence"),
-                           F.lit(1.0).alias("lift"),
-                           F.array().cast("array<string>").alias("prefix"),
-                           F.array().cast("array<string>").alias("suffix")))
+        singles = (freq.filter(F.size("itemSet") == 1)
+                   .select(
+                       "itemSet", "count", "support",
+                       F.col("support").alias("confidence"),
+                       F.lit(1.0).alias("lift"),
+                       F.array().cast("array<string>").alias("prefix"),
+                       F.array().cast("array<string>").alias("suffix")))
 
-            out = (rules.unionByName(singles)
-                   .filter((F.col("confidence") >= min_conf)
-                           & (F.col("lift") >= lift_th)))
-            # materialization boundary so freq can be unpersisted safely is
-            # the caller's action; keep the frequent table cached only via
-            # Spark's own lifecycle here
-            return out
-        finally:
-            pass
+        out = (rules.unionByName(singles)
+               .filter((F.col("confidence") >= min_conf)
+                       & (F.col("lift") >= lift_th)))
+        return out
 
     def frequent_itemsets(self, df: DataFrame) -> DataFrame:
         """(itemSet, count, support) table — the intermediate the

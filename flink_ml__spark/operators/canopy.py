@@ -225,10 +225,16 @@ class Canopy(AlgoOperator, CanopyParams):
         """
         flat = self.assign(df)
         pred = self.getPredictionCol()
+        # drop only the center rows assign() unions in (a real member is
+        # never point == centroid: dist <= 1e-6 is excluded from
+        # membership), then prepend the center — collect_list skips the
+        # NULLs the filter produces, so duplicate member points survive
+        # exactly as the reference keeps them (``Canopy.java:94-96``)
+        member = F.when(F.col("point") != F.col("centroid"),
+                        F.col("point"))
         return (flat.groupBy("canopy_id")
                 .agg(F.first("centroid").alias("centroids"),
-                     F.array_distinct(
-                         F.concat(F.array(F.first("centroid")),
-                                  F.collect_list("point"))).alias(pred))
+                     F.concat(F.array(F.first("centroid")),
+                              F.collect_list(member)).alias(pred))
                 .orderBy("canopy_id")
                 .drop("canopy_id"))

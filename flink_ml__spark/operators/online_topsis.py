@@ -80,13 +80,19 @@ class OnlineTopsisModel(Model, OnlineTopsisParams):
     minTimestamp long) — one row per window."""
 
     def transform(self, df: DataFrame) -> DataFrame:
-        md = self.getModelData().select("timestamp", "score", "minTimestamp")
+        # __-prefixed model columns: the input may itself carry
+        # timestamp/score/minTimestamp columns (ambiguous-reference
+        # AnalysisException otherwise)
+        md = self.getModelData().select(
+            F.col("timestamp").alias("__ot_max"),
+            F.col("score").alias("__ot_score"),
+            F.col("minTimestamp").alias("__ot_min"))
         t = (F.unix_millis(F.col(self.getTimeCol()).cast("timestamp"))
              - F.lit(self.getMaxAllowedModelDelayMs()))
-        cond = (t >= md["minTimestamp"]) & (t <= md["timestamp"])
+        cond = (t >= md["__ot_min"]) & (t <= md["__ot_max"])
         out = df.join(F.broadcast(md), cond, "inner")
         return out.select(*df.columns,
-                          F.col("score").alias(self.getPredictionCol()))
+                          F.col("__ot_score").alias(self.getPredictionCol()))
 
 
 class OnlineTopsis(Estimator, OnlineTopsisParams):

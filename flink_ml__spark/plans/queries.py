@@ -468,7 +468,7 @@ def _oracle_minhash() -> str:
     coeffs = op.hash_coefficients()
     rows = op.getNumHashes() // op.getBands()
     sig_terms = ", ".join(
-        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MERSENNE31}))"
+        f"list_min(list_transform(xs, x -> ({a} * (x % {MERSENNE31}) + {b}) % {MERSENNE31}))"
         for a, b in coeffs)
     band_terms = ", ".join(
         f"struct_pack(band := {b}, key := array_to_string("
@@ -478,7 +478,7 @@ def _oracle_minhash() -> str:
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id, {_shingle_sql(op.getShingleSize())} AS sh FROM toks),
 xs AS (SELECT doc_id, sh,
-              list_transform(sh, s -> {_H60.format(x='s')} % {MERSENNE31})
+              list_transform(sh, s -> {_H60.format(x='s')})
               AS xs FROM sh),
 sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM xs),
 bands AS (SELECT doc_id, sh, unnest([{band_terms}]) AS b FROM sig),

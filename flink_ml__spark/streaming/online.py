@@ -34,14 +34,26 @@ from flink_ml__spark.operators.online_topsis import OnlineTopsisModel
 from flink_ml__spark.streaming.score_numpy import score_window_ahp
 
 
-_UNITS_MS = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
-             "day": 86_400_000, "week": 604_800_000}
+_UNITS_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
 
 
 def _interval_ms(spec: str) -> int:
-    """Parse a tumbling-window interval like '3 days' to milliseconds."""
-    n, unit = spec.strip().split()
-    return int(n) * _UNITS_MS[unit.rstrip("s").lower()]
+    """Parse a (possibly compound) tumbling-window interval like
+    '3 days' or '90 minutes 30 seconds' to milliseconds — the same
+    grammar ``F.window`` accepts on the batch path."""
+    parts = spec.strip().split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"cannot parse window interval {spec!r}")
+    total = 0
+    for i in range(0, len(parts), 2):
+        unit = parts[i + 1].rstrip("s").lower()
+        if unit not in _UNITS_MS:
+            raise ValueError(
+                f"unsupported window interval unit {parts[i + 1]!r} "
+                f"in {spec!r}")
+        total += int(parts[i]) * _UNITS_MS[unit]
+    return total
 
 
 def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
@@ -78,6 +90,11 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
     state_schema = T.StructType(
         [T.StructField("rows_json", T.StringType())])
     in_names = [f.name for f in stream_df.schema.fields]
+    # every timestamp column must round-trip the JSON buffer as int64
+    # nanos, not just time_col — to_json would otherwise serialize them
+    # to epoch millis that re-emit in the wrong unit
+    ts_names = [f.name for f in stream_df.schema.fields
+                if isinstance(f.dataType, T.TimestampType)]
 
     def score_fn(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
@@ -95,7 +112,8 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
                                       convert_dates=False))
         if batch is not None and len(batch):
             b = batch[in_names].copy()
-            b[time_col] = b[time_col].astype("int64")  # ns → stable ints
+            for c in ts_names:
+                b[c] = b[c].astype("int64")  # ns → stable ints
             parts.append(b)
         data = (pd.concat(parts, ignore_index=True)
                 if parts else pd.DataFrame(columns=in_names))
@@ -110,7 +128,8 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
                 data[cols].to_numpy(dtype=float), types, ahp_w)
             data = data.copy()
             data[out_col] = scores
-            data[time_col] = pd.to_datetime(data[time_col])
+            for c in ts_names:
+                data[c] = pd.to_datetime(data[c])
             yield data
         else:
             state.update((data.to_json(orient="split"),))
@@ -174,17 +193,21 @@ def stream_online_topsis_apply_streams(
 
     r = (rows.withWatermark(time_col, watermark_delay)
          .withColumn("__wk", row_key))
+    # __-prefixed model columns: the row stream may carry its own
+    # timestamp/score/minTimestamp columns (ambiguous reference otherwise)
     m = (models
          .withColumn("__model_time", F.timestamp_millis(F.col("timestamp")))
          .withWatermark("__model_time", watermark_delay)
          .select(model_key.alias("__wk_m"), "__model_time",
-                 "timestamp", "score", "minTimestamp"))
+                 F.col("timestamp").alias("__ot_max"),
+                 F.col("score").alias("__ot_score"),
+                 F.col("minTimestamp").alias("__ot_min")))
     t = (F.unix_millis(F.col(time_col).cast("timestamp")) - F.lit(delay))
     cond = ((F.col("__wk") == m["__wk_m"])
-            & (t >= m["minTimestamp"]) & (t <= m["timestamp"]))
+            & (t >= m["__ot_min"]) & (t <= m["__ot_max"]))
     out = r.join(m, cond, "inner")
     return out.select(*rows.columns,
-                      F.col("score").alias(model.getPredictionCol()))
+                      F.col("__ot_score").alias(model.getPredictionCol()))
 
 
 def stream_online_topsis_apply(stream_df: DataFrame,
@@ -192,12 +215,15 @@ def stream_online_topsis_apply(stream_df: DataFrame,
                                watermark_delay: str = "0 seconds") -> DataFrame:
     """Score a stream against a fitted OnlineTopsis model table
     (stream-static broadcast range join)."""
-    md = model.getModelData().select("timestamp", "score", "minTimestamp")
+    md = model.getModelData().select(
+        F.col("timestamp").alias("__ot_max"),
+        F.col("score").alias("__ot_score"),
+        F.col("minTimestamp").alias("__ot_min"))
     time_col = model.getTimeCol()
     t = (F.unix_millis(F.col(time_col).cast("timestamp"))
          - F.lit(model.getMaxAllowedModelDelayMs()))
-    cond = (t >= md["minTimestamp"]) & (t <= md["timestamp"])
+    cond = (t >= md["__ot_min"]) & (t <= md["__ot_max"])
     src = stream_df.withWatermark(time_col, watermark_delay)
     out = src.join(F.broadcast(md), cond, "inner")
     return out.select(*stream_df.columns,
-                      F.col("score").alias(model.getPredictionCol()))
+                      F.col("__ot_score").alias(model.getPredictionCol()))
