@@ -47,6 +47,8 @@ def _interval_ms(spec: str) -> int:
         raise ValueError(f"cannot parse window interval {spec!r}")
     total = 0
     for i in range(0, len(parts), 2):
+        if not parts[i].isdigit():
+            raise ValueError(f"cannot parse window interval {spec!r}")
         unit = parts[i + 1].rstrip("s").lower()
         if unit not in _UNITS_MS:
             raise ValueError(

@@ -130,3 +130,56 @@ def test_ahp_weights_sum_to_one(spark, vals):
     scores = [r["s"] for r in out.collect()]
     assert all(s is None or math.isfinite(s) or math.isnan(s)
                for s in scores)
+
+
+def test_ahp_fifteen_columns_rejected(spark):
+    """15 columns passed the old gate but crashed on the 15-entry RI
+    table; now rejected up front."""
+    cols = [f"c{i}" for i in range(15)]
+    df = spark.createDataFrame([tuple(float(i) for i in range(15))], cols)
+    matrix = [[1.0] * 15 for _ in range(15)]
+    with pytest.raises(ValueError, match="<= 14"):
+        (AHP().setInputCols(cols).setJudgmentMatrix(matrix)
+         .setIndicatorType([1] * 15).transform(df))
+
+
+def test_online_topsis_apply_with_conflicting_columns(spark):
+    """Inputs carrying their own timestamp/score columns must not hit
+    ambiguous-reference errors in the model apply join."""
+    from tests.test_online_topsis import _df, make_estimator
+
+    base = _df(spark)
+    model = make_estimator().fit(base).setPredictionCol("prediction")
+    clashing = (base.withColumn("timestamp", base["id"])
+                .withColumn("score", base["id"] / 2)
+                .withColumn("minTimestamp", base["id"]))
+    out = model.transform(clashing)
+    assert out.count() == base.count()
+    assert "prediction" in out.columns
+
+
+def test_canopy_keeps_duplicate_members(spark):
+    """Two identical points in one canopy stay two entries in the member
+    list (the reference keeps both)."""
+    from flink_ml__spark.operators.canopy import Canopy
+
+    # seed 0 picks (1.0, 1.0) as the first center (pinned), so both
+    # (1.2, 1.0) copies are plain members — neither is a center near-dup
+    pts = [([1.0, 1.0],), ([1.2, 1.0],), ([1.2, 1.0],)]
+    df = spark.createDataFrame(pts, ["features"])
+    out = Canopy().setT1(3.0).setT2(0.1).setSeed(0).transform(df)
+    rows = out.collect()
+    assert tuple(rows[0]["centroids"]) == (1.0, 1.0)
+    members = [tuple(p) for p in rows[0]["prediction"]]
+    assert members.count((1.2, 1.0)) == 2
+
+
+def test_interval_ms_compound():
+    from flink_ml__spark.streaming.online import _interval_ms
+
+    assert _interval_ms("3 days") == 3 * 86_400_000
+    assert _interval_ms("90 minutes 30 seconds") == 90 * 60_000 + 30_000
+    with pytest.raises(ValueError, match="cannot parse"):
+        _interval_ms("three days")
+    with pytest.raises(ValueError, match="unsupported"):
+        _interval_ms("3 fortnights")
