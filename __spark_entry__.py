@@ -3,9 +3,11 @@
 ``entry(spark)`` — flagship query (AHP entropy-weight scoring over
 lineitem) at sf0.001.
 ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
-the north-star pipeline operators (dedup / similarity / text analysis).
+the north-star pipeline operators (dedup / similarity / text analysis /
+multimodal).
 ``oracle_sql()`` — matching DuckDB SQL for every SQL-expressible query;
-iterative seeded operators (FCM, Canopy) are rows-only by design.
+rows-only by design: FCM and Canopy (iterative + seeded) and the
+multimodal image/audio stats (stubbed fake codec).
 """
 
 from __future__ import annotations
