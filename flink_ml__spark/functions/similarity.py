@@ -237,3 +237,22 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.topk(df, df)
+
+    # -- persistence: the trained coarse quantizer IS the index ---------
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        if self._centroids is not None:
+            with open(os.path.join(path, "centroids.json"), "w") as f:
+                json.dump({"centroids": self._centroids}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        p = os.path.join(path, "centroids.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                self._centroids = json.load(f)["centroids"]

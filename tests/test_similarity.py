@@ -45,3 +45,21 @@ def test_ivf_topk_on_embeddings(spark):
     # recall@5 of IVF with half the cells probed should be decent
     hits = sum(1 for k, v in exact_rows.items() if ivf_rows.get(k) == v)
     assert hits / len(exact_rows) > 0.5
+
+
+def test_ivf_index_save_load(spark, tmp_path):
+    """The trained coarse quantizer round-trips: a loaded index answers
+    identically without re-training."""
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.limit(5)
+    op = (IVFCosineTopK().setK(3).setNList(8).setNProbe(3).setSeed(42)
+          .train(emb))
+    p = str(tmp_path / "ivf")
+    op.save(p)
+    back = IVFCosineTopK.load(spark, p)
+    assert back._centroids == op._centroids
+    a = sorted(tuple(r) for r in op.topk(queries, emb).collect())
+    b = sorted(tuple(r) for r in back.topk(queries, emb).collect())
+    assert a == b
