@@ -68,8 +68,12 @@ def shingle_hash_udf(n: int):
         rx = re.compile(pat)
         out = []
         for t in texts:
-            toks = ([w for w in rx.split(t.lower()) if w]
-                    if t is not None else [])
+            if t is None:
+                # NULL text pairs with nothing (the string-shingle oracle
+                # yields [NULL], whose intersections are always empty)
+                out.append([])
+                continue
+            toks = [w for w in rx.split(t.lower()) if w]
             if len(toks) >= n:
                 shs = dict.fromkeys(
                     " ".join(toks[i:i + n])
@@ -398,16 +402,45 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         """Jaccard runs on the 60-bit shingle hashes (value-identical to
         string shingles modulo md5 collisions; the DuckDB oracle uses the
         strings) — see :func:`shingle_hash_udf` for why not HOFs."""
+        import hashlib
+        import re
+
         n = self.getShingleSize()
         idc = self.getIdCol()
-        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
-                                TOKEN_SPLIT), lambda t: t != "")
-        xs = shingle_hash_udf(n)(F.col(self.getInputCol()))
-        block = F.floor(F.size(toks) / self.getOrDefault(self.blockBucket))
+        bucket = self.getOrDefault(self.blockBucket)
+        pat = TOKEN_SPLIT
+
+        # one Arrow pass yields both the blocking key and the shingle
+        # hashes (a separate JVM tokenization for the block key would
+        # re-run the split the UDF refactor exists to avoid)
+        @F.pandas_udf("struct<blk: long, hs: array<long>>")
+        def tokenize(texts: pd.Series) -> pd.DataFrame:
+            rx = re.compile(pat)
+            blks, hss = [], []
+            for t in texts:
+                if t is None:
+                    blks.append(0)
+                    hss.append([])
+                    continue
+                toks = [w for w in rx.split(t.lower()) if w]
+                blks.append(len(toks) // bucket)
+                if len(toks) >= n:
+                    shs = dict.fromkeys(
+                        " ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+                else:
+                    shs = {" ".join(toks): None}
+                hss.append([
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    for s in shs])
+            return pd.DataFrame({"blk": blks, "hs": hss})
+
         base = (df.select(idc, self.getInputCol())
                 .repartition(F.col(idc))
-                .select(F.col(idc).alias("__id"), xs.alias("__sh"),
-                        block.alias("__blk"))
+                .select(F.col(idc).alias("__id"),
+                        tokenize(F.col(self.getInputCol())).alias("__t"))
+                .select("__id", F.col("__t.hs").alias("__sh"),
+                        F.col("__t.blk").alias("__blk"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
         base.count()  # eager: both join sides read it (see MinHash note)
         left = base.select("__blk", F.col("__id").alias("__id_l"),

@@ -49,7 +49,7 @@ def _interval_ms(spec: str) -> int:
     for i in range(0, len(parts), 2):
         if not parts[i].isdigit():
             raise ValueError(f"cannot parse window interval {spec!r}")
-        unit = parts[i + 1].rstrip("s").lower()
+        unit = parts[i + 1].lower().rstrip("s")
         if unit not in _UNITS_MS:
             raise ValueError(
                 f"unsupported window interval unit {parts[i + 1]!r} "
@@ -96,7 +96,8 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
     # nanos, not just time_col — to_json would otherwise serialize them
     # to epoch millis that re-emit in the wrong unit
     ts_names = [f.name for f in stream_df.schema.fields
-                if isinstance(f.dataType, T.TimestampType)]
+                if isinstance(f.dataType,
+                              (T.TimestampType, T.TimestampNTZType))]
 
     def score_fn(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:

@@ -183,3 +183,27 @@ def test_interval_ms_compound():
         _interval_ms("three days")
     with pytest.raises(ValueError, match="unsupported"):
         _interval_ms("3 fortnights")
+
+
+def test_null_text_never_pairs(spark):
+    """NULL-text documents must not pair with empty/whitespace documents
+    (the string-shingle oracle yields [NULL], which intersects nothing)."""
+    from flink_ml__spark.functions.dedup import NgramJaccardDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string")
+    mh = MinHashDeduplicator().setSeed(1).setThreshold(0.5)
+    nj = NgramJaccardDeduplicator().setThreshold(0.5)
+    for op in (mh, nj):
+        pairs = op.duplicate_pairs(df).collect()
+        assert not any(
+            (r["id_keep"] in (1, 4)) or (r["id_dup"] in (1, 4))
+            for r in pairs), (type(op).__name__, pairs)
+
+
+def test_interval_ms_uppercase():
+    from flink_ml__spark.streaming.online import _interval_ms
+
+    assert _interval_ms("3 DAYS") == 3 * 86_400_000
+    assert _interval_ms("90 Minutes") == 90 * 60_000
