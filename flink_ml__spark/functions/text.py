@@ -195,7 +195,12 @@ class WinnowingFingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
         def winnow(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                s = (t or "").lower()
+                if t is None:
+                    # NULL text → empty fingerprint set (matches the SQL
+                    # oracle's NULL branch; pairs with nothing downstream)
+                    out.append([])
+                    continue
+                s = t.lower()
                 grams = ([s[i:i + k] for i in range(len(s) - k + 1)]
                          if len(s) >= k else [s])
                 hs = np.array([

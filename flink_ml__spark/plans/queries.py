@@ -767,8 +767,16 @@ def q_winnow_fingerprints_documents(spark, sf_dir):
     from flink_ml__spark.functions.text import WinnowingFingerprinter
 
     docs = load_table(spark, "documents", sf_dir)
-    return (WinnowingFingerprinter().setGramSize(5).setWindowSize(4)
-            .transform(docs).select("doc_id", "fingerprints"))
+    out = (WinnowingFingerprinter().setGramSize(5).setWindowSize(4)
+           .transform(docs))
+    # the driver's canonicalizer sorts output columns with pandas, which
+    # cannot hash array cells — serialize the (sorted, distinct)
+    # fingerprint list to a CSV string on both sides of the gate
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("fingerprints",
+                                 lambda x: x.cast("string")), ",")
+        .alias("fingerprints"))
 
 
 def _oracle_winnow(k: int = 5, w: int = 4) -> str:
@@ -776,18 +784,25 @@ def _oracle_winnow(k: int = 5, w: int = 4) -> str:
 WITH g AS (SELECT doc_id, lower(text) AS s FROM documents),
 h AS (
   SELECT doc_id,
-         CASE WHEN length(s) >= {k}
+         CASE WHEN s IS NULL THEN []::BIGINT[]
+              WHEN length(s) >= {k}
               THEN list_transform(range(1, length(s) - {k} + 2),
                      i -> {_H60.format(x=f'substring(s, i, {k})')})
               ELSE [{_H60.format(x='s')}] END AS hs
-  FROM g)
+  FROM g),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              WHEN len(hs) <= {w} THEN [list_min(hs)]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(1, len(hs) - {w} + 2),
+                     i -> list_min(list_slice(hs, i, i + {w} - 1))))) END
+           AS fps
+  FROM h)
 SELECT doc_id,
-       CASE WHEN len(hs) <= {w} THEN [list_min(hs)]
-            ELSE list_sort(list_distinct(list_transform(
-                   range(1, len(hs) - {w} + 2),
-                   i -> list_min(list_slice(hs, i, i + {w} - 1))))) END
-         AS fingerprints
-FROM h
+       coalesce(array_to_string(list_transform(fps, x -> x::VARCHAR), ','),
+                '') AS fingerprints
+FROM fp
 """
 
 
@@ -807,11 +822,16 @@ def q_auto_features_orders(spark, sf_dir):
         "o_totalprice",
         (F.col("o_orderkey") % 5).cast("int").alias("bucket"))
     out = AutoFeatureTransformer().transform(base)
+    # serialize the one-hot vector to a CSV string: the driver's
+    # canonicalizer cannot sort array-typed cells (see winnow note)
     return out.select(
         "date_str", "o_totalprice", "bucket",
         "date_str_year", "date_str_month", "date_str_day",
         F.round("o_totalprice_imputed", R).alias("o_totalprice_imputed"),
-        vector_to_array("bucket_onehot").alias("bucket_onehot"))
+        F.array_join(
+            F.transform(vector_to_array("bucket_onehot"),
+                        lambda v: v.cast("string")), ",")
+        .alias("bucket_onehot"))
 
 
 ORACLE_AUTO_FEATURES = f"""
@@ -828,9 +848,10 @@ SELECT date_str, o_totalprice, bucket,
        lpad(day(strptime(date_str, '%Y-%m-%d'))::VARCHAR, 2, '0')
          AS date_str_day,
        round(o_totalprice, {R}) AS o_totalprice_imputed,
-       list_transform(range(0, n_cat),
-                      i -> CASE WHEN i = bucket THEN 1.0::DOUBLE
-                           ELSE 0.0::DOUBLE END)
+       array_to_string(
+         list_transform(range(0, n_cat),
+                        i -> (CASE WHEN i = bucket THEN 1.0::DOUBLE
+                              ELSE 0.0::DOUBLE END)::VARCHAR), ',')
          AS bucket_onehot
 FROM base, n
 """

@@ -40,8 +40,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: `/` goes through double and epoch-nanos
+            # (~1.7e18) exceed double's 2^53 exact range, silently
+            # perturbing ~12% of timestamps by 1 µs
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
