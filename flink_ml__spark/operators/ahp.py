@@ -25,13 +25,15 @@ final aggregation merge (which replaces the reference's manual
 
 ``OnlineAHP`` applies the same per-window math over event-time tumbling
 windows. Instead of the reference's parallelism-1
-``ProcessAllWindowFunction`` (``OnlineAHP.java:67-71``), windows are
-processed in parallel via analytic window functions partitioned by the
-tumbling-window key: one shuffle, then three chained WindowExec stages
-(max/min → col sums → entropy terms) that reuse the same partitioning.
-Note the reference quirk ``k = 1/ln(#cols)`` in the windowed variant
-(``OnlineAHP.java:151``) vs ``k = 1/ln(#rows)`` in batch AHP
-(``AHP.java:158``) — both preserved.
+``ProcessAllWindowFunction`` (``OnlineAHP.java:67-71``), the per-window
+stats are computed with two ``groupBy(window).agg`` passes (partial →
+final merge, so no task ever buffers a whole window's rows — analytic
+window functions would) and the tiny per-window stats tables are
+broadcast-joined back onto the rows; the per-row score is then a single
+codegen projection. A tumbling window holding billions of rows costs
+only O(#windows · #cols) state per task this way. Note the reference
+quirk ``k = 1/ln(#cols)`` in the windowed variant (``OnlineAHP.java:151``)
+vs ``k = 1/ln(#rows)`` in batch AHP (``AHP.java:158``) — both preserved.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from __future__ import annotations
 import math
 
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_ml__spark.base import (
@@ -227,10 +229,13 @@ class OnlineAHP(AlgoOperator, AHPParams, HasWindows, HasTimeCol):
     """Windowed AHP scoring (``OnlineAHP.java:34-299``).
 
     Batch event-time semantics: every tumbling window is scored
-    independently with window-local min/max/entropy weights. Uses analytic
-    window functions partitioned by the window key so all windows compute
-    in parallel with a single shuffle (vs the reference's parallelism-1
-    ``ProcessAllWindowFunction``).
+    independently with window-local min/max/entropy weights. The plan is
+    two ``groupBy(window)`` aggregations (HashAggregate with map-side
+    partials — no per-window row buffering) whose tiny per-window stats
+    are broadcast-joined back onto the rows, so huge windows and
+    low-cardinality window keys cannot pin a single task (vs the
+    reference's parallelism-1 ``ProcessAllWindowFunction`` and vs an
+    analytic-window-function plan, both of which buffer whole windows).
     """
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -245,17 +250,16 @@ class OnlineAHP(AlgoOperator, AHPParams, HasWindows, HasTimeCol):
             part = F.lit(1)
         else:
             part = F.window(F.col(self.getTimeCol()), windows)
-        w = Window.partitionBy(win_col)
 
         x = [F.col(c).cast("double") for c in cols]
         df1 = df.withColumn(win_col, part)
 
-        # stage 1: window-local min/max → normalized values
-        stage1 = df1.select(
-            "*",
-            *[F.max(x[j]).over(w).alias(f"__mx_{j}_{uid}") for j in range(n)],
-            *[F.min(x[j]).over(w).alias(f"__mn_{j}_{uid}") for j in range(n)],
+        # pass 1: per-window min/max (partial+final agg)
+        stats1 = df1.groupBy(win_col).agg(
+            *[F.max(x[j]).alias(f"__mx_{j}_{uid}") for j in range(n)],
+            *[F.min(x[j]).alias(f"__mn_{j}_{uid}") for j in range(n)],
         )
+
         norm = []
         for j in range(n):
             mx, mn = F.col(f"__mx_{j}_{uid}"), F.col(f"__mn_{j}_{uid}")
@@ -263,33 +267,36 @@ class OnlineAHP(AlgoOperator, AHPParams, HasWindows, HasTimeCol):
                 norm.append(((x[j] - mn) / (mx - mn)).alias(f"__nm_{j}_{uid}"))
             else:
                 norm.append(((mx - x[j]) / (mx - mn)).alias(f"__nm_{j}_{uid}"))
-        stage2 = stage1.select("*", *norm)
+        normed = df1.join(F.broadcast(stats1), win_col).select("*", *norm)
 
-        # stage 2: window-local column sums (same partitioning, no reshuffle)
+        # pass 2: per-window column sums S_j and guarded Σ n·ln n; the
+        # entropy Σ p·ln p with p = n/S (``OnlineAHP.java:138-148``)
+        # folds to T/S − ln S because the p==0-guarded terms drop out of
+        # both sums. An all-NULL window (min==max) leaves S NULL while the
+        # guarded terms sum to 0 on both engines — coalesce reproduces
+        # the reference's e_j = 0 there.
         nm = [F.col(f"__nm_{j}_{uid}") for j in range(n)]
-        stage3 = stage2.select(
-            "*",
-            *[F.sum(nm[j]).over(w).alias(f"__s_{j}_{uid}") for j in range(n)],
+        stats2 = normed.groupBy(win_col).agg(
+            *[F.sum(nm[j]).alias(f"__s_{j}_{uid}") for j in range(n)],
+            *[F.sum(
+                F.when(nm[j] != 0, nm[j] * F.log(nm[j])).otherwise(0.0)
+            ).alias(f"__t_{j}_{uid}") for j in range(n)],
         )
 
-        # stage 3: window-local Σ p·ln p with the p==0 guard
-        # (``OnlineAHP.java:138-148``)
-        p = [nm[j] / F.col(f"__s_{j}_{uid}") for j in range(n)]
-        stage4 = stage3.select(
-            "*",
-            *[F.sum(
-                F.when(p[j] != 0, p[j] * F.log(p[j])).otherwise(0.0)
-            ).over(w).alias(f"__e_{j}_{uid}") for j in range(n)],
-        )
+        out = normed.join(F.broadcast(stats2), win_col)
+        e = [F.coalesce(
+                F.col(f"__t_{j}_{uid}") / F.col(f"__s_{j}_{uid}")
+                - F.log(F.col(f"__s_{j}_{uid}")),
+                F.lit(0.0)) for j in range(n)]
 
         # redundancy/weights; note k = 1/ln(#cols) (``OnlineAHP.java:151``)
         k = 1.0 / math.log(n)
-        d = [1 + k * F.col(f"__e_{j}_{uid}") for j in range(n)]
+        d = [1 + k * e[j] for j in range(n)]
         total = d[0]
         for dj in d[1:]:
             total = total + dj
         weight = [dj / total for dj in d]
 
         score = sum(nm[j] * weight[j] * F.lit(ahp_w[j]) for j in range(n))
-        out = stage4.withColumn(self.getOutputCol(), score)
+        out = out.withColumn(self.getOutputCol(), score)
         return out.drop(win_col, *[c for c in out.columns if f"_{uid}" in c and c != self.getOutputCol()])
