@@ -369,25 +369,30 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
 
 
 class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
-    """Exact word-n-gram Jaccard dedup, blocked pairwise.
+    """Exact word-n-gram Jaccard dedup via prefix filtering.
 
-    Pairs are generated within a blocking key (default: whitespace token
-    count bucket) to avoid the full O(n²) cross join; use
-    ``MinHashDeduplicator`` when recall across blocks matters at scale.
+    Candidate generation uses the AllPairs/SSJoin prefix filter (Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
+    Chaudhuri, Ganti & Kaushik, ICDE 2006): order each document's
+    shingle-hash set ascending and index only its first
+    ``⌊(1−t)·|X|⌋ + 1`` hashes. Any pair with Jaccard ≥ t must share its
+    globally-smallest common hash inside BOTH prefixes, so joining on
+    prefix membership has **no false negatives** — this is exact
+    similarity join, not approximate blocking (contrast
+    ``MinHashDeduplicator``, which trades recall for a fixed-size
+    signature). The join keys are individual shingle hashes (~unique →
+    no hot blocks, no quadratic bucket), a size filter
+    ``t·|Y| ≤ |X| ≤ |Y|/t`` prunes the rest, and exact Jaccard verifies.
     """
 
     shingleSize = Param(Params._dummy(), "shingleSize",
                         "words per n-gram", TypeConverters.toInt)
     threshold = Param(Params._dummy(), "threshold", "Jaccard threshold",
                       TypeConverters.toFloat)
-    blockBucket = Param(Params._dummy(), "blockBucket",
-                        "token-count bucket width for blocking",
-                        TypeConverters.toInt)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(inputCol="text", shingleSize=3, threshold=0.8,
-                         blockBucket=8)
+        self._setDefault(inputCol="text", shingleSize=3, threshold=0.8)
 
     def getShingleSize(self):
         return self.getOrDefault(self.shingleSize)
@@ -399,58 +404,46 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return self._set(threshold=float(v))
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        """Jaccard runs on the 60-bit shingle hashes (value-identical to
+        """(id_keep, id_dup, jaccard) — exact, prefix-filtered.
+
+        Jaccard runs on the 60-bit shingle hashes (value-identical to
         string shingles modulo md5 collisions; the DuckDB oracle uses the
         strings) — see :func:`shingle_hash_udf` for why not HOFs."""
-        import hashlib
-        import re
-
         n = self.getShingleSize()
+        t = self.getThreshold()
         idc = self.getIdCol()
-        bucket = self.getOrDefault(self.blockBucket)
-        pat = TOKEN_SPLIT
 
-        # one Arrow pass yields both the blocking key and the shingle
-        # hashes (a separate JVM tokenization for the block key would
-        # re-run the split the UDF refactor exists to avoid)
-        @F.pandas_udf("struct<blk: long, hs: array<long>>")
-        def tokenize(texts: pd.Series) -> pd.DataFrame:
-            rx = re.compile(pat)
-            blks, hss = [], []
-            for t in texts:
-                if t is None:
-                    blks.append(0)
-                    hss.append([])
-                    continue
-                toks = [w for w in rx.split(t.lower()) if w]
-                blks.append(len(toks) // bucket)
-                if len(toks) >= n:
-                    shs = dict.fromkeys(
-                        " ".join(toks[i:i + n])
-                        for i in range(len(toks) - n + 1))
-                else:
-                    shs = {" ".join(toks): None}
-                hss.append([
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                    for s in shs])
-            return pd.DataFrame({"blk": blks, "hs": hss})
-
+        xs = shingle_hash_udf(n)(F.col(self.getInputCol()))
         base = (df.select(idc, self.getInputCol())
                 .repartition(F.col(idc))
                 .select(F.col(idc).alias("__id"),
-                        tokenize(F.col(self.getInputCol())).alias("__t"))
-                .select("__id", F.col("__t.hs").alias("__sh"),
-                        F.col("__t.blk").alias("__blk"))
+                        F.array_sort(xs).alias("__sh"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
         base.count()  # eager: both join sides read it (see MinHash note)
-        left = base.select("__blk", F.col("__id").alias("__id_l"),
-                           F.col("__sh").alias("__sh_l"))
-        right = base.select("__blk", F.col("__id").alias("__id_r"),
-                            F.col("__sh").alias("__sh_r"))
+
+        # prefix length L = ⌊(1−t)·|X|⌋ + 1  (≡ |X| − ⌈t·|X|⌉ + 1)
+        sz = F.size("__sh")
+        prefix_len = (F.floor(F.lit(1.0 - t) * sz) + 1).cast("int")
+        keys = base.select(
+            "__id", sz.alias("__sz"),
+            F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__k"))
+        left = keys.select("__k", F.col("__id").alias("__id_l"),
+                           F.col("__sz").alias("__sz_l"))
+        right = keys.select("__k", F.col("__id").alias("__id_r"),
+                            F.col("__sz").alias("__sz_r"))
+        cand = (left.join(right, "__k")
+                .filter((F.col("__id_l") < F.col("__id_r"))
+                        & (F.col("__sz_l") >= F.lit(t) * F.col("__sz_r"))
+                        & (F.col("__sz_r") >= F.lit(t) * F.col("__sz_l")))
+                .select("__id_l", "__id_r")
+                .dropDuplicates(["__id_l", "__id_r"]))
+        lsh = base.select(F.col("__id").alias("__id_l"),
+                          F.col("__sh").alias("__sh_l"))
+        rsh = base.select(F.col("__id").alias("__id_r"),
+                          F.col("__sh").alias("__sh_r"))
         jac = (F.size(F.array_intersect("__sh_l", "__sh_r"))
                / F.size(F.array_union("__sh_l", "__sh_r")))
-        return (left.join(right, "__blk")
-                .filter(F.col("__id_l") < F.col("__id_r"))
+        return (cand.join(lsh, "__id_l").join(rsh, "__id_r")
                 .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= self.getThreshold())
                 .select(F.col("__id_l").alias("id_keep"),
@@ -463,11 +456,23 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
 
 
 class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
-    """Embedding near-duplicate removal: random-hyperplane LSH buckets →
+    """Embedding near-duplicate removal: banded random-hyperplane LSH →
     cosine verification → dominated-by-smaller-id drop.
 
+    ``nBands`` independent hyperplane tables of ``nBits`` planes each
+    (Charikar, STOC 2002; banding per MMDS ch. 3): a pair is a candidate
+    iff it agrees on ALL bits of SOME band. At 0.95 cosine
+    (θ ≈ 18°, per-bit agreement p = 1 − θ/π ≈ 0.90) one 8-bit band
+    catches only p⁸ ≈ 43% of true pairs while hashing everything into
+    2⁸ global buckets — O(n²/256) in-bucket pairs at corpus scale. With
+    4 × 8-bit bands recall rises to 1 − (1 − p⁸)⁴ ≈ 90%; the bucket
+    join fans out nBands× but stays linear in nBands, while raising
+    ``nBits`` shrinks the quadratic in-bucket term exponentially —
+    tune the two independently instead of trading recall for blowup.
+
     Hyperplanes are seeded numpy draws folded into the plan as literals,
-    so the whole pipeline stays codegen and the oracle can replay it.
+    so the whole pipeline stays deterministic and the oracle can replay
+    it.
     """
 
     embeddingCol = Param(Params._dummy(), "embeddingCol",
@@ -475,13 +480,17 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
                          TypeConverters.toString)
     threshold = Param(Params._dummy(), "threshold",
                       "cosine similarity threshold", TypeConverters.toFloat)
-    nBits = Param(Params._dummy(), "nBits", "hyperplane count (bucket bits)",
+    nBits = Param(Params._dummy(), "nBits", "hyperplanes per band "
+                  "(bucket bits; bounds in-bucket pair counts)",
                   TypeConverters.toInt)
+    nBands = Param(Params._dummy(), "nBands",
+                   "independent hyperplane tables (buys recall)",
+                   TypeConverters.toInt)
 
     def __init__(self):
         super().__init__()
         self._setDefault(embeddingCol="embedding", threshold=0.95, nBits=8,
-                         idCol="vec_id")
+                         nBands=4, idCol="vec_id")
 
     def getEmbeddingCol(self):
         return self.getOrDefault(self.embeddingCol)
@@ -495,21 +504,32 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
     def setThreshold(self, v):
         return self._set(threshold=float(v))
 
+    def getNBands(self):
+        return self.getOrDefault(self.nBands)
+
+    def setNBands(self, v):
+        return self._set(nBands=v)
+
     def hyperplanes(self, dims: int):
+        """``nBands × nBits`` seeded hyperplanes; band b owns rows
+        ``[b·nBits, (b+1)·nBits)``."""
         import numpy as np
 
         rng = np.random.default_rng(self.getSeed())
-        return rng.standard_normal((self.getOrDefault(self.nBits), dims)).tolist()
+        n = self.getOrDefault(self.nBits) * self.getNBands()
+        return rng.standard_normal((n, dims)).tolist()
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
         """(id_keep, id_dup, cosine) verified near-duplicate pairs.
 
-        Bucket signs and cosines run in pandas UDFs: as Catalyst columns
-        the nBits×dims dot products blow the 64 KB codegen method limit
-        and fall back to interpreted evaluation. The numpy loops
-        accumulate sequentially over dims — the same fp summation order
-        as the expression chain and the DuckDB oracle, so threshold
-        comparisons cannot flip on reassociation.
+        Band signatures and cosines run in pandas UDFs: as Catalyst
+        columns the (nBands·nBits)×dims dot products blow the 64 KB
+        codegen method limit and fall back to interpreted evaluation.
+        The numpy loops accumulate sequentially over dims — the same fp
+        summation order as the DuckDB oracle, so threshold comparisons
+        cannot flip on reassociation. Pairs are deduplicated across
+        bands BEFORE the cosine join, so a pair agreeing in all 4 bands
+        is verified once, not 4×.
         """
         import numpy as np
 
@@ -518,18 +538,21 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
         idc = self.getIdCol()
         ecol = self.getEmbeddingCol()
         dims = array_width(df, ecol)
+        n_bits = self.getOrDefault(self.nBits)
+        n_bands = self.getNBands()
         P = np.asarray(self.hyperplanes(dims))
 
-        @F.pandas_udf("bigint")
-        def bucket_of(embs: pd.Series) -> pd.Series:
+        @F.pandas_udf("array<long>")
+        def band_keys_of(embs: pd.Series) -> pd.Series:
             X = np.stack(embs.to_numpy()).astype(np.float64)
-            b = np.zeros(len(X), dtype=np.int64)
+            keys = np.zeros((len(X), n_bands), dtype=np.int64)
             for i in range(len(P)):
                 dot = np.zeros(len(X))
                 for j in range(X.shape[1]):
                     dot = dot + X[:, j] * P[i, j]
-                b |= (dot >= 0).astype(np.int64) << i
-            return pd.Series(b)
+                keys[:, i // n_bits] |= (
+                    (dot >= 0).astype(np.int64) << (i % n_bits))
+            return pd.Series(list(keys))
 
         @F.pandas_udf("double")
         def norm_of(embs: pd.Series) -> pd.Series:
@@ -553,18 +576,30 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
         base = (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
                 .repartition(F.col("__id"))
                 .select("__id", "__v", norm_of("__v").alias("__n"),
-                        bucket_of("__v").alias("__bkt"))
+                        band_keys_of("__v").alias("__bks"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
         base.count()  # eager: both join sides read it (see MinHash note)
-        left = base.select("__bkt", F.col("__id").alias("__id_l"),
-                           F.col("__v").alias("__v_l"),
-                           F.col("__n").alias("__n_l"))
-        right = base.select("__bkt", F.col("__id").alias("__id_r"),
-                            F.col("__v").alias("__v_r"),
-                            F.col("__n").alias("__n_r"))
+        bands = base.select(
+            "__id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.element_at("__bks", b + 1).alias("key"))
+                for b in range(n_bands)
+            ])).alias("__b"))
+        left = bands.select("__b", F.col("__id").alias("__id_l"))
+        right = bands.select("__b", F.col("__id").alias("__id_r"))
+        pairs = (left.join(right, "__b")
+                 .filter(F.col("__id_l") < F.col("__id_r"))
+                 .select("__id_l", "__id_r")
+                 .dropDuplicates(["__id_l", "__id_r"]))
+        lv = base.select(F.col("__id").alias("__id_l"),
+                         F.col("__v").alias("__v_l"),
+                         F.col("__n").alias("__n_l"))
+        rv = base.select(F.col("__id").alias("__id_r"),
+                         F.col("__v").alias("__v_r"),
+                         F.col("__n").alias("__n_r"))
         cos = cos_pair("__v_l", "__v_r", "__n_l", "__n_r")
-        return (left.join(right, "__bkt")
-                .filter(F.col("__id_l") < F.col("__id_r"))
+        return (pairs.join(lv, "__id_l").join(rv, "__id_r")
                 .withColumn("cosine", cos)
                 .filter(F.col("cosine") >= self.getThreshold())
                 .select(F.col("__id_l").alias("id_keep"),

@@ -544,18 +544,31 @@ def q_ngram_jaccard_pairs_documents(spark, sf_dir):
 def _oracle_ngram_jaccard() -> str:
     op = NgramJaccardDeduplicator().setThreshold(0.5)
     n = op.getShingleSize()
-    bucket = op.getOrDefault(op.blockBucket)
+    t = op.getThreshold()
     return f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
-sh AS (SELECT doc_id, {_shingle_sql(n)} AS sh,
-              (len(toks) // {bucket})::BIGINT AS blk FROM toks),
+sh AS (SELECT doc_id, {_shingle_sql(n)} AS sh FROM toks),
+hs AS (SELECT doc_id, sh,
+              list_sort(list_transform(sh, s -> {_H60.format(x='s')}))
+                AS hs
+       FROM sh),
+pre AS (SELECT doc_id, len(hs) AS sz,
+               unnest(list_slice(hs, 1,
+                      floor({1.0 - t!r} * len(hs))::INT + 1)) AS kh
+        FROM hs),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_keep, r.doc_id AS id_dup
+  FROM pre l JOIN pre r
+    ON l.kh = r.kh AND l.doc_id < r.doc_id
+   AND l.sz >= {t!r} * r.sz AND r.sz >= {t!r} * l.sz),
 pairs AS (
-  SELECT l.doc_id AS id_keep, r.doc_id AS id_dup,
+  SELECT c.id_keep, c.id_dup,
          len(list_intersect(l.sh, r.sh))::DOUBLE /
          len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
-  FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id)
+  FROM cand c JOIN hs l ON l.doc_id = c.id_keep
+              JOIN hs r ON r.doc_id = c.id_dup)
 SELECT id_keep, id_dup, round(jaccard, {R}) AS jaccard
-FROM pairs WHERE jaccard >= {op.getThreshold()!r}
+FROM pairs WHERE jaccard >= {t!r}
 """
 
 
@@ -568,14 +581,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def _oracle_embedding_dedup() -> str:
     op = EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.95)
     planes = op.hyperplanes(EMB_DIMS)
+    n_bits = op.getOrDefault(op.nBits)
     e = "list_transform(embedding, v -> v::DOUBLE)"
-    bucket_terms = []
-    for b, plane in enumerate(planes):
-        dot = " + ".join(f"emb[{j + 1}] * ({plane[j]!r})"
-                         for j in range(EMB_DIMS))
-        bucket_terms.append(
-            f"(CASE WHEN ({dot}) >= 0 THEN {1 << b}::BIGINT ELSE 0 END)")
-    bucket = " + ".join(bucket_terms)
+    band_terms = []
+    for b in range(op.getNBands()):
+        bit_terms = []
+        for i in range(n_bits):
+            plane = planes[b * n_bits + i]
+            dot = " + ".join(f"emb[{j + 1}] * ({plane[j]!r})"
+                             for j in range(EMB_DIMS))
+            bit_terms.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN {1 << i}::BIGINT ELSE 0 END)")
+        band_terms.append(
+            f"struct_pack(band := {b}, key := ({' + '.join(bit_terms)}))")
     dotlr = " + ".join(f"l.emb[{j + 1}] * r.emb[{j + 1}]"
                        for j in range(EMB_DIMS))
     return f"""
@@ -584,12 +602,12 @@ WITH base AS (
 keyed AS (
   SELECT vec_id, emb,
          sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm,
-         ({bucket}) AS bkt
+         unnest([{', '.join(band_terms)}]) AS b
   FROM base),
 pairs AS (
-  SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+  SELECT DISTINCT l.vec_id AS id_l, r.vec_id AS id_r,
          ({dotlr}) / (l.nrm * r.nrm) AS cosine
-  FROM keyed l JOIN keyed r ON l.bkt = r.bkt AND l.vec_id < r.vec_id),
+  FROM keyed l JOIN keyed r ON l.b = r.b AND l.vec_id < r.vec_id),
 dups AS (SELECT DISTINCT id_r FROM pairs WHERE cosine >= 0.95)
 SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_r FROM dups)
 """
