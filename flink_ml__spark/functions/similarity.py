@@ -129,23 +129,34 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         return self._set(nProbe=v)
 
     def train(self, corpus: DataFrame) -> "IVFCosineTopK":
-        """Seeded sample of ``nList`` centroids + one Lloyd pass via
-        numpy partials (``mapInPandas`` — per-partition (cell, count,
-        sum) rows merged on the driver, the treeAggregate shape).
-        Expressing the nearest-cell argmin as Catalyst columns costs
-        O(nList·dims) expression nodes whose compile time dominates."""
+        """Spherical coarse quantizer: vectors are L2-normalized before
+        the seeded ``nList`` sample and the one Lloyd refinement pass, so
+        the L2 cell assignment orders cells by COSINE (on the unit
+        sphere, ‖a−b‖² = 2 − 2·cos(a,b)) — clustering raw vectors would
+        scatter cosine neighbors of different magnitudes across cells.
+        The Lloyd pass runs as numpy partials (``mapInPandas`` —
+        per-partition (cell, count, sum) rows merged on the driver, the
+        treeAggregate shape); centroid means are re-normalized
+        (spherical k-means, Dhillon & Modha 2001). Expressing the
+        nearest-cell argmin as Catalyst columns costs O(nList·dims)
+        expression nodes whose compile time dominates."""
         import numpy as np
 
         arr = as_double_array(corpus, self.getEmbeddingCol())
         pts = corpus.select(arr.alias("__v"))
         sample = pts.rdd.takeSample(False, self.getNList(), self.getSeed())
-        C0 = np.asarray([list(r["__v"]) for r in sample])
+
+        def _unit(M):
+            n = np.linalg.norm(M, axis=-1, keepdims=True)
+            return M / np.where(n == 0, 1.0, n)
+
+        C0 = _unit(np.asarray([list(r["__v"]) for r in sample]))
 
         def partial(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                X = _unit(np.stack(pdf["__v"].to_numpy()).astype(np.float64))
                 a = ((X[:, None, :] - C0[None]) ** 2).sum(-1).argmin(1)
                 yield pd.DataFrame(
                     [(int(cell), int((a == cell).sum()),
@@ -161,7 +172,7 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
             cnt[r["cell"]] += r["cnt"]
             acc[r["cell"]] += np.asarray(r["s"])
         self._centroids = [
-            (acc[i] / cnt[i]).tolist() if cnt[i] else C0[i].tolist()
+            _unit(acc[i] / cnt[i]).tolist() if cnt[i] else C0[i].tolist()
             for i in range(len(C0))]
         return self
 
@@ -180,15 +191,19 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         n_probe = min(self.getNProbe(), len(C))
         id_type = corpus.schema[idc].dataType.simpleString()
 
+        def _unit(M):
+            nrm = np.linalg.norm(M, axis=-1, keepdims=True)
+            return M / np.where(nrm == 0, 1.0, nrm)
+
         @F.pandas_udf("int")
         def cell_of(embs: pd.Series) -> pd.Series:
-            X = np.stack(embs.to_numpy()).astype(np.float64)
+            X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
             d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
             return pd.Series(d.argmin(1)).astype("int32")
 
         @F.pandas_udf("array<int>")
         def probes_of(embs: pd.Series) -> pd.Series:
-            X = np.stack(embs.to_numpy()).astype(np.float64)
+            X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
             d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
             order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             return pd.Series(list(order.astype("int32")))

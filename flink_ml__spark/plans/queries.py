@@ -645,6 +645,32 @@ SELECT query_id, rank, neighbor_id, round(cosine, {R}) AS cosine
 FROM ranked WHERE rank <= 5
 """
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """Recall@5 of the IVF scale path against the exact brute-force
+    baseline on the same query set — one row per query. Rows-only gate
+    (the IVF cell assignment is train-state-dependent and not
+    SQL-expressible); ``tests/test_similarity.py`` additionally asserts
+    a recall floor. The synthetic embeddings are ~uniform on the sphere,
+    so recall here is bounded by the probed corpus fraction
+    (nProbe/nList); clustered real-world corpora concentrate neighbors
+    far better at small probe fractions."""
+    from flink_ml__spark.functions.similarity import IVFCosineTopK
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf = (IVFCosineTopK().setK(5).setNList(16).setNProbe(8).setSeed(42)
+           .topk(queries, emb).select("query_id", "neighbor_id"))
+    exact = (CosineTopK().setK(5).topk(queries, emb)
+             .select("query_id", "neighbor_id"))
+    hits = (exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (n.join(hits, "query_id", "left")
+            .select("query_id", "n_exact", n_hit.alias("n_hit"),
+                    F.round(n_hit / F.col("n_exact"), 3).alias("recall_at_5")))
+
+
 # ---------------------------------------------------------------------------
 # 18-21. text analysis
 # ---------------------------------------------------------------------------
@@ -949,6 +975,7 @@ QUERIES = {
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id_documents": q_lang_id_documents,
     "quality_documents": q_quality_documents,
     "quality_filter_documents": q_quality_filter_documents,
