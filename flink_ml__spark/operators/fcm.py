@@ -156,11 +156,38 @@ class FCMModel(Model, FCMParams):
             self._centroids = [list(r["centroid"]) for r in rows]
         return self._centroids
 
-    def getModelData(self) -> DataFrame:
-        """(cluster_id int, centroid array<double>) — synthesized from
-        the fitted centroids when not explicitly set, so
-        ``FCMModel().setModelData(m.getModelData())`` transplants
-        (``FCMTest.java:357-370``)."""
+    def getModelData(self, reference_shape: bool = False,
+                     data: DataFrame | None = None) -> DataFrame:
+        """Default: (cluster_id int, centroid array<double>) — one row
+        per cluster, synthesized from the fitted centroids when not
+        explicitly set, so ``FCMModel().setModelData(m.getModelData())``
+        transplants (``FCMTest.java:357-370``). The membership matrix is
+        deliberately NOT in here: at scale it has one row per input
+        point and must stay distributed (see :meth:`membership_matrix`).
+
+        ``reference_shape=True``: the reference's model-data schema —
+        ONE row ``(centroids array<array<double>>, membershipMatrix
+        array<struct<features, membership>>)`` per ``FCMModelData.java:
+        35-47`` (column names asserted by ``FCMTest.java:321-326``).
+        Requires ``data`` (the points to materialize memberships for)
+        and collects every point into a single row — reference-parity
+        accessor for reference-sized data, not a scale path.
+        """
+        if reference_shape:
+            if data is None:
+                raise ValueError(
+                    "reference_shape=True needs the points DataFrame "
+                    "(the reference materializes the membership matrix "
+                    "over the training data in its model data)")
+            fcol = self.getFeaturesCol()
+            mm = self.membership_matrix(data)
+            cent = F.array(*[F.array(*[F.lit(float(v)) for v in c])
+                             for c in self.centroids])
+            return (mm.agg(F.collect_list(F.struct(
+                        as_double_array(mm, fcol).alias("features"),
+                        F.col("membership").alias("membership")))
+                    .alias("membershipMatrix"))
+                    .select(cent.alias("centroids"), "membershipMatrix"))
         if self._model_data is None and self._centroids is not None:
             from pyspark.sql import SparkSession
 

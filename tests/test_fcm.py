@@ -154,3 +154,28 @@ def test_set_model_data_transplant(spark):
     b = [(tuple(r["features"]), r["prediction"])
          for r in fresh.transform(df).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_model_data_reference_shape(spark):
+    """Schema parity with the reference's model data: one row
+    ``(centroids, membershipMatrix)`` (``FCMModelData.java:35-47``,
+    column names asserted by ``FCMTest.java:321-326``)."""
+    model, df = fit_model(spark)
+    md = model.getModelData(reference_shape=True, data=df)
+    assert md.columns == ["centroids", "membershipMatrix"]
+    row = md.first()
+    # centroids.length == membershipMatrix[0].f1.size() (the reference's
+    # constructor precondition)
+    assert len(row["centroids"]) == 3
+    assert len(row["membershipMatrix"][0]["membership"]) == 3
+    assert len(row["membershipMatrix"]) == 6
+    feats = {tuple(e["features"]) for e in row["membershipMatrix"]}
+    assert feats == {tuple(p[0]) for p in POINTS}
+    for e in row["membershipMatrix"]:
+        assert math.isclose(sum(e["membership"]), 1.0, abs_tol=1e-9)
+
+
+def test_model_data_reference_shape_needs_data(spark):
+    model, _ = fit_model(spark)
+    with pytest.raises(ValueError, match="reference_shape"):
+        model.getModelData(reference_shape=True)
