@@ -97,10 +97,19 @@ class OnlineTopsisModel(Model, OnlineTopsisParams):
 
 class OnlineTopsis(Estimator, OnlineTopsisParams):
 
-    def fit(self, df: DataFrame) -> OnlineTopsisModel:
-        self._validate()
+    def window_means(self, df: DataFrame) -> DataFrame:
+        """Per-window mean rows ``(data, timestamp, minTimestamp)`` — the
+        incremental half of fit. Works unchanged on a streaming
+        DataFrame (the groupBy(window) aggregation is declarative), which
+        is how ``streaming.stream_online_topsis_fit`` reuses it."""
         arr = as_double_array(df, self.getFeaturesCol())
-        dims = array_width(df, self.getFeaturesCol())
+        if df.isStreaming:
+            # array_width samples a row — an action, illegal on streams;
+            # TOPSIS requires one criteria type per feature, so the
+            # validated criteriaTypes length IS the feature width
+            dims = len(self.getCriteriaTypes())
+        else:
+            dims = array_width(df, self.getFeaturesCol())
         idc = F.col(self.getIdCol())
 
         windows = self.getWindows()
@@ -123,10 +132,15 @@ class OnlineTopsis(Estimator, OnlineTopsisParams):
             # window max timestamp = end − 1 ms (``OnlineTopsis.java:161``)
             means = means.withColumn(
                 "timestamp", F.unix_millis(F.col("__win.end")) - 1)
-        means = means.select(
+        return means.select(
             F.array(*[F.col(f"__m_{j}") for j in range(dims)]).alias("data"),
             "timestamp", "minTimestamp")
 
+    def score_means(self, means: DataFrame) -> OnlineTopsisModel:
+        """Batch TOPSIS over a (tiny) window-means table → fitted model.
+        The normalization spans ALL window rows, so this half is not
+        incremental — it reruns over the accumulated means (one row per
+        window) when fitting on a stream."""
         scorer = Topsis()
         scorer._set(criteriaTypes=self.getCriteriaTypes(),
                     weights=self.getWeights())
@@ -142,3 +156,7 @@ class OnlineTopsis(Estimator, OnlineTopsisParams):
         model._set(**{p.name: self.getOrDefault(p) for p in self.params
                       if self.isSet(p) or self.hasDefault(p)})
         return model
+
+    def fit(self, df: DataFrame) -> OnlineTopsisModel:
+        self._validate()
+        return self.score_means(self.window_means(df))

@@ -3,6 +3,7 @@ from flink_ml__spark.streaming.online import (
     stream_online_ahp,
     stream_online_topsis_apply,
     stream_online_topsis_apply_streams,
+    stream_online_topsis_fit,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "stream_online_ahp",
     "stream_online_topsis_apply",
     "stream_online_topsis_apply_streams",
+    "stream_online_topsis_fit",
 ]

@@ -162,6 +162,36 @@ def stream_exact_dedup(stream_df: DataFrame, time_col: str,
             .drop("__fp"))
 
 
+def stream_online_topsis_fit(stream_df: DataFrame, est,
+                             watermark_delay: str = "0 seconds"):
+    """Fit OnlineTopsis on a stream: returns ``(means_stream,
+    finalize)``.
+
+    The incremental half — per-window feature means — runs as a
+    watermarked ``groupBy(window)`` streaming aggregation
+    (``est.window_means`` unchanged; append mode, so each window's mean
+    row emits exactly once when the watermark passes its end — the
+    reference estimator's window-fired emission,
+    ``OnlineTopsis.java:70-73``). Route ``means_stream`` to any sink.
+    The TOPSIS normalization spans ALL windows, so the non-incremental
+    half stays a finalize step: call ``finalize(sink_contents_df)`` on
+    the accumulated mean rows (one per window — tiny) to get the fitted
+    ``OnlineTopsisModel``; on the same fired windows it is exactly
+    batch ``fit``.
+    """
+    est._validate()
+    if est.getWindows() in (None, "global"):
+        raise ValueError("streaming OnlineTopsis fit requires a "
+                         "tumbling window")
+    src = stream_df.withWatermark(est.getTimeCol(), watermark_delay)
+    means = est.window_means(src)
+
+    def finalize(means_df: DataFrame) -> OnlineTopsisModel:
+        return est.score_means(means_df)
+
+    return means, finalize
+
+
 def stream_online_topsis_apply_streams(
         rows: DataFrame, models: DataFrame, model: OnlineTopsisModel,
         watermark_delay: str = "0 seconds") -> DataFrame:

@@ -164,3 +164,40 @@ def test_map_only_operators_work_on_streams(spark):
         assert got == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_online_topsis_fit_matches_batch(spark):
+    """Fit-on-stream completes the streaming story: the per-window mean
+    aggregation runs incrementally (append mode, watermark-fired), and
+    finalize() over the fired mean rows reproduces the batch model
+    exactly (``OnlineTopsis.java:70-73`` windowAllAndProcess)."""
+    import datetime
+
+    from flink_ml__spark.streaming import stream_online_topsis_fit
+    from tests.test_online_topsis import EXPECTED_MODEL, _df, make_estimator
+
+    batch_df = _df(spark)
+    # sentinel event past the last window's end: pushes the final
+    # watermark so every real window fires (its own window stays open)
+    sentinel = spark.createDataFrame(
+        [(0, [0.0] * 6, datetime.datetime(2018, 2, 12))],
+        batch_df.schema)
+    d = tempfile.mkdtemp(prefix="otf_")
+    try:
+        batch_df.unionAll(sentinel).coalesce(1).write.mode(
+            "overwrite").parquet(d)
+        stream = spark.readStream.schema(batch_df.schema).parquet(d)
+        means, finalize = stream_online_topsis_fit(stream, make_estimator())
+        q = (means.writeStream.format("memory").queryName("otf")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        fired = spark.sql("SELECT * FROM otf")
+        assert fired.count() == 3          # all three 3-day windows fired
+        model = finalize(fired)
+        got = {(r["timestamp"], r["minTimestamp"]): r["score"]
+               for r in model.getModelData().collect()}
+        assert set(got) == set(EXPECTED_MODEL)
+        for k, v in EXPECTED_MODEL.items():
+            assert math.isclose(got[k], v, abs_tol=1e-4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
