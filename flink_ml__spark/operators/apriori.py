@@ -55,8 +55,15 @@ class AprioriParams(HasInputCols, HasMaxIter):
                           typeConverter=TypeConverters.toFloat)
     lift = Param(Params._dummy(), "lift", "minimum lift threshold",
                  typeConverter=TypeConverters.toFloat)
+    # Deliberate deviation from the reference: ``String.split`` treats
+    # the separator as a Java REGEX (``Apriori.java`` basket parsing),
+    # so "|" or "." there split on every character; here the separator
+    # is matched LITERALLY (re.escape) — safer, and identical for plain
+    # separators like the "/" the reference's own tests use. See
+    # PARITY.md.
     itemSeparator = Param(Params._dummy(), "itemSeparator",
-                          "separator between items in the basket string",
+                          "separator between items in the basket string "
+                          "(matched literally, not as a regex)",
                           typeConverter=TypeConverters.toString)
     maxBasketSize = Param(Params._dummy(), "maxBasketSize",
                           "guard against the 2^n subset explosion",
