@@ -463,33 +463,43 @@ def q_dedup_minhash_documents(spark, sf_dir):
     return op.transform(docs).select("doc_id")
 
 
-def _oracle_minhash() -> str:
-    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+def _minhash_dup_ctes(op, src: str, p: str = "") -> str:
+    """CTE block ``<p>toks, …, <p>dups`` computing the MinHash duplicate
+    id set (column ``id_r``) over the given source relation —
+    parameterized so composed pipelines can dedup intermediate results.
+    ``p`` prefixes the CTE names to avoid collisions."""
     coeffs = op.hash_coefficients()
     rows = op.getNumHashes() // op.getBands()
     sig_terms = ", ".join(
-        f"list_min(list_transform(xs, x -> ({a} * (x % {MERSENNE31}) + {b}) % {MERSENNE31}))"
+        f"list_min(list_transform({p}xs.xs, x -> ({a} * (x % {MERSENNE31}) + {b}) % {MERSENNE31}))"
         for a, b in coeffs)
     band_terms = ", ".join(
         f"struct_pack(band := {b}, key := array_to_string("
         f"list_slice(sig, {b * rows + 1}, {b * rows + rows}), ','))"
         for b in range(op.getBands()))
     return f"""
-WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
-sh AS (SELECT doc_id, {_shingle_sql(op.getShingleSize())} AS sh FROM toks),
-xs AS (SELECT doc_id, sh,
+{p}toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM {src}),
+{p}sh AS (SELECT doc_id, {_shingle_sql(op.getShingleSize())} AS sh
+          FROM {p}toks),
+{p}xs AS (SELECT doc_id, sh,
               list_transform(sh, s -> {_H60.format(x='s')})
-              AS xs FROM sh),
-sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM xs),
-bands AS (SELECT doc_id, sh, unnest([{band_terms}]) AS b FROM sig),
-pairs AS (
+              AS xs FROM {p}sh),
+{p}sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM {p}xs),
+{p}bands AS (SELECT doc_id, sh, unnest([{band_terms}]) AS b FROM {p}sig),
+{p}pairs AS (
   SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
          l.sh AS sh_l, r.sh AS sh_r
-  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
-dups AS (
-  SELECT DISTINCT id_r FROM pairs
+  FROM {p}bands l JOIN {p}bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+{p}dups AS (
+  SELECT DISTINCT id_r FROM {p}pairs
   WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
-        len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r})
+        len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r})"""
+
+
+def _oracle_minhash() -> str:
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    return f"""
+WITH {_minhash_dup_ctes(op, "documents")}
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_r FROM dups)
 """
 
@@ -681,7 +691,10 @@ def q_lang_id_documents(spark, sf_dir):
             .select("doc_id", "lang_pred"))
 
 
-def _oracle_lang_id() -> str:
+def _lang_pred_sql(src: str) -> str:
+    """``SELECT doc_id, lang_pred FROM <derived>`` — parameterized over
+    the source relation so composed pipelines can re-run language ID on
+    intermediate result sets."""
     toks = f"list_distinct({_TOK_SQL})"
     scores = {
         lang: (f"len(list_intersect(toks, "
@@ -695,11 +708,14 @@ def _oracle_lang_id() -> str:
         expr = (f"CASE WHEN {scores[lang]} = best THEN '{lang}' "
                 f"ELSE {expr} END")
     return f"""
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-s AS (SELECT doc_id, toks, {best} AS best FROM t)
 SELECT doc_id, CASE WHEN best <= 0 THEN 'und' ELSE {expr} END AS lang_pred
-FROM s
+FROM (SELECT doc_id, toks, {best} AS best
+      FROM (SELECT doc_id, {toks} AS toks FROM {src}))
 """
+
+
+def _oracle_lang_id() -> str:
+    return _lang_pred_sql("documents")
 
 
 def q_quality_documents(spark, sf_dir):
@@ -902,6 +918,73 @@ FROM base, n
 
 
 # ---------------------------------------------------------------------------
+# 21c. end-to-end curation pipeline (the composition a training-data
+# user actually runs: quality filter → language filter → exact dedup →
+# MinHash near-dedup), with the full chain replayed by one DuckDB query
+# ---------------------------------------------------------------------------
+
+def q_curation_pipeline_documents(spark, sf_dir):
+    from flink_ml__spark.functions.text import (
+        LanguageIdentifier,
+        QualityFilter,
+    )
+    from flink_ml__spark.pipeline import PipelineModel
+
+    docs = load_table(spark, "documents", sf_dir)
+    staged = PipelineModel([QualityFilter().setMinScore(0.5),
+                            LanguageIdentifier()]).transform(docs)
+    staged = staged.filter(F.col("lang_pred") == "en")
+    staged = ExactDeduplicator().transform(staged)
+    out = MinHashDeduplicator().setSeed(42).setThreshold(0.7).transform(staged)
+    return out.select("doc_id", "lang_pred",
+                      F.round("quality_score", R).alias("quality_score"))
+
+
+def _oracle_curation_pipeline() -> str:
+    mh = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    stop = ", ".join(repr(w) for w in LANG_PROFILES["en"])
+    return f"""
+WITH qt AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text),
+             '[^a-zA-Z0-9'']+'), x -> x <> '')) AS n_tokens_q,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS punct,
+         len(list_intersect(
+             list_distinct(list_filter(string_split_regex(lower(text),
+                 '[^a-zA-Z0-9'']+'), x -> x <> '')),
+             [{stop}])) AS stop
+  FROM documents),
+qm AS (
+  SELECT doc_id, text, n_tokens_q,
+         alpha::DOUBLE / greatest(n_chars, 1) AS alpha_ratio,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         stop::DOUBLE / greatest(n_tokens_q, 1) AS stopword_ratio
+  FROM qt),
+qs AS (
+  SELECT doc_id, text,
+         least(n_tokens_q / 20.0, 1.0) * 0.3
+           + alpha_ratio * 0.4
+           + least(stopword_ratio * 5.0, 1.0) * 0.2
+           + (1 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS score
+  FROM qm),
+q AS (SELECT doc_id, text, score FROM qs WHERE score >= 0.5),
+lp AS ({_lang_pred_sql("q")}),
+ql AS (SELECT q.doc_id, q.text, q.score, lp.lang_pred
+       FROM q JOIN lp ON q.doc_id = lp.doc_id
+       WHERE lp.lang_pred = 'en'),
+ek AS (SELECT min(doc_id) AS doc_id
+       FROM (SELECT doc_id, {_NORM_SQL} AS fp FROM ql) GROUP BY fp),
+e AS (SELECT ql.* FROM ql WHERE doc_id IN (SELECT doc_id FROM ek)),
+{_minhash_dup_ctes(mh, "e", "mh")}
+SELECT doc_id, lang_pred, round(score, {R}) AS quality_score
+FROM e WHERE doc_id NOT IN (SELECT id_r FROM mhdups)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 22-24. multimodal columns (binary payload built deterministically from
 # documents.text; decode is the stubbed fake codec — plumbing is real)
 # ---------------------------------------------------------------------------
@@ -982,6 +1065,7 @@ QUERIES = {
     "token_count_documents": q_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+    "curation_pipeline_documents": q_curation_pipeline_documents,
     "multimodal_meta_documents": q_multimodal_meta_documents,
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1011,6 +1095,7 @@ ORACLES = {
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
+    "curation_pipeline_documents": _oracle_curation_pipeline(),
     "multimodal_meta_documents": ORACLE_MULTIMODAL_META,
     # multimodal image/audio: stubbed fake codec → rows-only check
 }
