@@ -21,9 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline subset: every operator family, scale-appropriate variants
-# (ngram_jaccard is the small-scale verifier of minhash — excluded here;
-#  the ANN headline uses the IVF scale path rather than brute force)
+# (the ANN headline uses the IVF scale path rather than brute force)
 HEADLINE = [
+    "curation_pipeline_documents",
+    "ngram_jaccard_pairs_documents",
     "ahp_score_lineitem",
     "topsis_score_part",
     "online_ahp_events",
