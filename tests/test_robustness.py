@@ -207,3 +207,74 @@ def test_interval_ms_uppercase():
 
     assert _interval_ms("3 DAYS") == 3 * 86_400_000
     assert _interval_ms("90 Minutes") == 90 * 60_000
+
+
+def test_prefix_filter_full_recall(spark):
+    """The prefix filter must find EVERY pair with Jaccard >= t —
+    compare against an unblocked all-pairs computation."""
+    import itertools
+
+    from flink_ml__spark.functions.dedup import NgramJaccardDeduplicator
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox leaps over the lazy dog tonight",
+        "a completely different sentence about nothing at all here",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup
+        "entirely unrelated words with zero overlap whatsoever now ok",
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    t = 0.5
+    got = {(r["id_keep"], r["id_dup"])
+           for r in NgramJaccardDeduplicator().setThreshold(t)
+           .duplicate_pairs(df).collect()}
+
+    def shingles(s, n=3):
+        toks = [w for w in __import__("re").split(r"[^a-zA-Z0-9']+",
+                                                  s.lower()) if w]
+        return (set(" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))
+                if len(toks) >= n else {" ".join(toks)})
+
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = shingles(a), shingles(b)
+        if len(sa & sb) / len(sa | sb) >= t:
+            want.add((i, j))
+    assert got == want
+    assert (0, 4) in got                      # the exact duplicate pair
+
+
+def test_embedding_dedup_banding_defaults_and_single_band(spark):
+    """Banded LSH must behave with nBands=1 (the old single-table shape)
+    and catch identical vectors regardless of banding config."""
+    from flink_ml__spark.functions.dedup import EmbeddingCosineDeduplicator
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),     # identical to 1
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for bands in (1, 4):
+        op = (EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.99)
+              ._set(nBands=bands))
+        kept = sorted(r["vec_id"] for r in op.transform(df).collect())
+        assert kept == [1, 3], bands
+
+
+def test_empty_input_new_dedup_paths(spark):
+    from flink_ml__spark.functions.dedup import (
+        EmbeddingCosineDeduplicator,
+        NgramJaccardDeduplicator,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert (NgramJaccardDeduplicator().transform(empty_docs).count() == 0)
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    # array_width needs one row; empty embeddings is a config error the
+    # operator reports rather than a crash deep in numpy
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        EmbeddingCosineDeduplicator().transform(empty_vecs).count()
