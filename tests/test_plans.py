@@ -92,3 +92,29 @@ def test_entry_contract_shape(spark):
     assert len(qs) >= 25
     df = E.entry(spark)
     assert df.columns == ["l_orderkey", "l_linenumber", "ahp_score"]
+
+
+def test_online_ahp_aggregates_do_not_buffer_windows(spark):
+    """OnlineAHP must stay the agg + broadcast-join plan: an analytic
+    window function (WindowExec) buffers every row of a tumbling window
+    in one task — a scale-killer the re-plan removed."""
+    plan = _plan(spark, "online_ahp_events")
+    assert "Window" not in plan          # no WindowExec / WindowGroupLimit
+    assert "HashAggregate" in plan       # partial+final per-window stats
+    assert "BroadcastHashJoin" in plan   # stats rejoin rows via broadcast
+    assert "SortMergeJoin" not in plan   # never a full-data shuffle join
+
+
+def test_ngram_prefix_join_no_cartesian(spark):
+    """The prefix-filtered similarity join must be a hash join on the
+    exploded prefix keys — never a cartesian/broadcast-nested-loop over
+    documents."""
+    plan = _plan(spark, "ngram_jaccard_pairs_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_banded_join_no_cartesian(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
