@@ -182,6 +182,46 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
     def _shingle_hash_udf(self):
         return shingle_hash_udf(self.getShingleSize())
 
+    def hashed_table(self, df: DataFrame) -> DataFrame:
+        """(__id, __xs) — the persisted signature base. Raw text is
+        repartitioned BEFORE the tokenize+md5 projection so the heavy
+        hashing parallelizes even when the source has few splits;
+        persisted because the table is referenced repeatedly (band-join
+        sides + verification joins) and broadcast conversion breaks
+        ReuseExchange. ~50 longs/doc — tiny relative to the text; at
+        lake scale "persist" can equally be a parquet checkpoint."""
+        idc = self.getIdCol()
+        xs = self._shingle_hash_udf()(F.col(self.getInputCol()))
+        hashed = (df.select(idc, self.getInputCol())
+                  .repartition(F.col(idc))
+                  .select(F.col(idc).alias("__id"), xs.alias("__xs"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        hashed.count()  # eager: downstream stages run concurrently and
+        # would otherwise race to fill the cache, computing it 3-4×
+        return hashed
+
+    def band_table(self, hashed: DataFrame) -> DataFrame:
+        """(__id, __b struct<band, key>) — one row per (doc, band)."""
+        if self.getNumHashes() % self.getBands():
+            raise ValueError("bands must divide numHashes")
+        rows_per_band = self.getNumHashes() // self.getBands()
+        sig = F.array(*[
+            F.array_min(F.transform(
+                F.col("__xs"),
+                lambda x: (F.lit(a) * (x % MERSENNE31) + F.lit(b))
+                % MERSENNE31))
+            for a, b in self.hash_coefficients()
+        ])
+        return hashed.select(
+            "__id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.array_join(F.slice(sig, bi * rows_per_band + 1,
+                                         rows_per_band), ",").alias("key"))
+                for bi in range(self.getBands())
+            ])).alias("__b"))
+
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
         """(id_keep, id_dup, jaccard) verified near-duplicate pairs.
 
@@ -194,40 +234,8 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         shingle hashes (equivalent to string shingles modulo md5
         collisions; the DuckDB oracle verifies on the strings).
         """
-        if self.getNumHashes() % self.getBands():
-            raise ValueError("bands must divide numHashes")
-        rows_per_band = self.getNumHashes() // self.getBands()
-        idc = self.getIdCol()
-
-        xs = self._shingle_hash_udf()(F.col(self.getInputCol()))
-        # repartition the raw text BEFORE the tokenize+md5 projection so
-        # the heavy hashing parallelizes even when the source has few
-        # splits; persist because the signature table is referenced 4×
-        # (two band-join sides + two verification joins) and broadcast
-        # conversion breaks ReuseExchange. Signatures are ~50 longs/doc —
-        # tiny relative to the text.
-        hashed = (df.select(idc, self.getInputCol())
-                  .repartition(F.col(idc))
-                  .select(F.col(idc).alias("__id"), xs.alias("__xs"))
-                  .persist(StorageLevel.MEMORY_AND_DISK))
-        hashed.count()  # eager: downstream stages run concurrently and
-        # would otherwise race to fill the cache, computing it 3-4×
-        sig = F.array(*[
-            F.array_min(F.transform(
-                F.col("__xs"),
-                lambda x: (F.lit(a) * (x % MERSENNE31) + F.lit(b))
-                % MERSENNE31))
-            for a, b in self.hash_coefficients()
-        ])
-        bands = hashed.select(
-            "__id",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.array_join(F.slice(sig, bi * rows_per_band + 1,
-                                         rows_per_band), ",").alias("key"))
-                for bi in range(self.getBands())
-            ])).alias("__b"))
+        hashed = self.hashed_table(df)
+        bands = self.band_table(hashed)
         left = bands.select("__b", F.col("__id").alias("__id_l"))
         right = bands.select("__b", F.col("__id").alias("__id_r"))
         pairs = (left.join(right, "__b")
@@ -250,6 +258,43 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
     def transform(self, df: DataFrame) -> DataFrame:
         dups = (self.duplicate_pairs(df)
                 .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+    def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
+                          *, corpus_hashed: DataFrame | None = None) -> DataFrame:
+        """Incremental dedup: drop rows of ``df`` that are
+        near-duplicates of ANY document in ``corpus`` — the
+        "dedup today's crawl against the curated corpus" shape. The
+        corpus always wins (no id ordering across tables); intra-``df``
+        duplicates are NOT removed here — chain :meth:`transform` for
+        that.
+
+        Pass ``corpus_hashed`` (a :meth:`hashed_table` result) to amortize
+        the corpus signature pass across many calls — per-call work is
+        then one map-only signature pass over ``df`` plus the band join,
+        which is what makes this the per-micro-batch body of
+        ``streaming.stream_minhash_dedup_against_corpus``.
+        """
+        if corpus_hashed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_hashed")
+            corpus_hashed = self.hashed_table(corpus)
+        new_h = self.hashed_table(df)
+        nb = self.band_table(new_h).select(
+            "__b", F.col("__id").alias("__id_n"))
+        cb = self.band_table(corpus_hashed).select(
+            "__b", F.col("__id").alias("__id_c"))
+        cand = (nb.join(cb, "__b").select("__id_n", "__id_c")
+                .dropDuplicates(["__id_n", "__id_c"]))
+        nsh = new_h.select(F.col("__id").alias("__id_n"),
+                           F.col("__xs").alias("__xs_n"))
+        csh = corpus_hashed.select(F.col("__id").alias("__id_c"),
+                                   F.col("__xs").alias("__xs_c"))
+        jac = (F.size(F.array_intersect("__xs_n", "__xs_c"))
+               / F.size(F.array_union("__xs_n", "__xs_c")))
+        dups = (cand.join(nsh, "__id_n").join(csh, "__id_c")
+                .filter(jac >= self.getThreshold())
+                .select(F.col("__id_n").alias("__dup_id")).distinct())
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 

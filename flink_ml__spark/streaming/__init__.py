@@ -1,5 +1,6 @@
 from flink_ml__spark.streaming.online import (
     stream_exact_dedup,
+    stream_minhash_dedup_against_corpus,
     stream_online_ahp,
     stream_online_topsis_apply,
     stream_online_topsis_apply_streams,
@@ -8,6 +9,7 @@ from flink_ml__spark.streaming.online import (
 
 __all__ = [
     "stream_exact_dedup",
+    "stream_minhash_dedup_against_corpus",
     "stream_online_ahp",
     "stream_online_topsis_apply",
     "stream_online_topsis_apply_streams",

@@ -162,6 +162,36 @@ def stream_exact_dedup(stream_df: DataFrame, time_col: str,
             .drop("__fp"))
 
 
+def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
+                                        emit) -> "callable":
+    """Streaming incremental near-dedup: returns a ``foreachBatch``
+    processor that drops each micro-batch's near-duplicates of the
+    static corpus and hands the surviving rows to
+    ``emit(clean_df, batch_id)``.
+
+    The corpus signature table is computed ONCE up front (persisted;
+    ~50 longs/doc); per micro-batch work is one map-only Arrow
+    signature pass over the batch plus a band join against the corpus
+    bands — the production "dedup the incoming crawl against the
+    curated corpus" shape. ``foreachBatch`` is the right Spark tool
+    here: the candidate join + verification + anti-join chain derived
+    from the same stream is not expressible as a single continuous
+    streaming plan (it would need a stream-stream anti self-join).
+
+    Intra-batch duplicates are NOT removed (chain ``op.transform`` in
+    ``emit`` if wanted); cross-batch accumulation is the caller's
+    policy — e.g. append each clean batch to the corpus store and
+    rebuild signatures periodically.
+    """
+    corpus_hashed = op.hashed_table(corpus_df)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        emit(op.transform_against(batch_df, corpus_hashed=corpus_hashed),
+             batch_id)
+
+    return process
+
+
 def stream_online_topsis_fit(stream_df: DataFrame, est,
                              watermark_delay: str = "0 seconds"):
     """Fit OnlineTopsis on a stream: returns ``(means_stream,

@@ -80,3 +80,61 @@ def test_dedup_on_documents_table(spark):
     assert 0 < out.count() <= n
     out2 = MinHashDeduplicator().setSeed(42).transform(docs)
     assert 0 < out2.count() <= n
+
+
+def test_minhash_transform_against_corpus(spark):
+    """Incremental dedup: new docs near-duplicating ANY corpus doc drop;
+    novel docs survive; intra-batch duplicates are untouched."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "an entirely different corpus document about spark engines")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+         (11, "completely novel text that matches nothing else at all"),
+         (12, "completely novel text that matches nothing else at all")],  # intra-batch dup: kept
+        ["doc_id", "text"])
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    kept = sorted(r["doc_id"]
+                  for r in op.transform_against(new, corpus).collect())
+    assert kept == [11, 12]
+    # precomputed corpus signatures give the same answer
+    kept2 = sorted(r["doc_id"] for r in op.transform_against(
+        new, corpus_hashed=op.hashed_table(corpus)).collect())
+    assert kept2 == [11, 12]
+
+
+def test_stream_minhash_dedup_against_corpus(spark):
+    import shutil
+    import tempfile
+
+    from flink_ml__spark.streaming import (
+        stream_minhash_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "completely novel text that matches nothing else at all")],
+        ["doc_id", "text"])
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+
+    survived = []
+
+    def emit(clean_df, batch_id):
+        survived.extend(r["doc_id"] for r in clean_df.collect())
+
+    d = tempfile.mkdtemp(prefix="smh_")
+    try:
+        new.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(new.schema).parquet(d)
+        q = (stream.writeStream
+             .foreachBatch(stream_minhash_dedup_against_corpus(
+                 corpus, op, emit))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert sorted(survived) == [11]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
