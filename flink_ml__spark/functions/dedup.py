@@ -564,18 +564,14 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
         n = self.getOrDefault(self.nBits) * self.getNBands()
         return rng.standard_normal((n, dims)).tolist()
 
-    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        """(id_keep, id_dup, cosine) verified near-duplicate pairs.
-
-        Band signatures and cosines run in pandas UDFs: as Catalyst
-        columns the (nBands·nBits)×dims dot products blow the 64 KB
-        codegen method limit and fall back to interpreted evaluation.
-        The numpy loops accumulate sequentially over dims — the same fp
-        summation order as the DuckDB oracle, so threshold comparisons
-        cannot flip on reassociation. Pairs are deduplicated across
-        bands BEFORE the cosine join, so a pair agreeing in all 4 bands
-        is verified once, not 4×.
-        """
+    def keyed_table(self, df: DataFrame) -> DataFrame:
+        """(__id, __v, __n, __bks) — vector, norm, and per-band LSH keys
+        in one persisted Arrow pass. Band signatures and norms run in
+        pandas UDFs: as Catalyst columns the (nBands·nBits)×dims dot
+        products blow the 64 KB codegen method limit and fall back to
+        interpreted evaluation. The numpy loops accumulate sequentially
+        over dims — the same fp summation order as the DuckDB oracle, so
+        threshold comparisons cannot flip on reassociation."""
         import numpy as np
 
         from flink_ml__spark.base import array_width, as_double_array
@@ -607,6 +603,29 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
                 acc = acc + X[:, j] * X[:, j]
             return pd.Series(np.sqrt(acc))
 
+        arr = as_double_array(df, ecol)
+        base = (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+                .repartition(F.col("__id"))
+                .select("__id", "__v", norm_of("__v").alias("__n"),
+                        band_keys_of("__v").alias("__bks"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        base.count()  # eager: both join sides read it (see MinHash note)
+        return base
+
+    def _band_rows(self, keyed: DataFrame) -> DataFrame:
+        """(__id, __b struct<band, key>) — one row per (vector, band)."""
+        return keyed.select(
+            "__id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.element_at("__bks", b + 1).alias("key"))
+                for b in range(self.getNBands())
+            ])).alias("__b"))
+
+    @staticmethod
+    def _cos_pair_udf():
+        import numpy as np
+
         @F.pandas_udf("double")
         def cos_pair(vl: pd.Series, vr: pd.Series, nl: pd.Series,
                      nr: pd.Series) -> pd.Series:
@@ -617,20 +636,14 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
                 dot = dot + Xl[:, j] * Xr[:, j]
             return pd.Series(dot / (nl.to_numpy() * nr.to_numpy()))
 
-        arr = as_double_array(df, ecol)
-        base = (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
-                .repartition(F.col("__id"))
-                .select("__id", "__v", norm_of("__v").alias("__n"),
-                        band_keys_of("__v").alias("__bks"))
-                .persist(StorageLevel.MEMORY_AND_DISK))
-        base.count()  # eager: both join sides read it (see MinHash note)
-        bands = base.select(
-            "__id",
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.element_at("__bks", b + 1).alias("key"))
-                for b in range(n_bands)
-            ])).alias("__b"))
+        return cos_pair
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        """(id_keep, id_dup, cosine) verified near-duplicate pairs.
+        Pairs are deduplicated across bands BEFORE the cosine join, so a
+        pair agreeing in all 4 bands is verified once, not 4×."""
+        base = self.keyed_table(df)
+        bands = self._band_rows(base)
         left = bands.select("__b", F.col("__id").alias("__id_l"))
         right = bands.select("__b", F.col("__id").alias("__id_r"))
         pairs = (left.join(right, "__b")
@@ -643,7 +656,7 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
         rv = base.select(F.col("__id").alias("__id_r"),
                          F.col("__v").alias("__v_r"),
                          F.col("__n").alias("__n_r"))
-        cos = cos_pair("__v_l", "__v_r", "__n_l", "__n_r")
+        cos = self._cos_pair_udf()("__v_l", "__v_r", "__n_l", "__n_r")
         return (pairs.join(lv, "__id_l").join(rv, "__id_r")
                 .withColumn("cosine", cos)
                 .filter(F.col("cosine") >= self.getThreshold())
@@ -653,4 +666,36 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
     def transform(self, df: DataFrame) -> DataFrame:
         dups = (self.duplicate_pairs(df)
                 .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+    def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
+                          *, corpus_keyed: DataFrame | None = None) -> DataFrame:
+        """Incremental vector dedup: drop rows of ``df`` whose embedding
+        is ≥ threshold cosine to ANY corpus vector — the "ingest new
+        embeddings against the indexed store" shape (corpus always wins;
+        intra-``df`` duplicates untouched, chain :meth:`transform`).
+        Pass ``corpus_keyed`` (a :meth:`keyed_table` result) to amortize
+        the corpus signature pass across calls."""
+        if corpus_keyed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_keyed")
+            corpus_keyed = self.keyed_table(corpus)
+        new_keyed = self.keyed_table(df)
+        nb = self._band_rows(new_keyed).select(
+            "__b", F.col("__id").alias("__id_n"))
+        cb = self._band_rows(corpus_keyed).select(
+            "__b", F.col("__id").alias("__id_c"))
+        cand = (nb.join(cb, "__b").select("__id_n", "__id_c")
+                .dropDuplicates(["__id_n", "__id_c"]))
+        nv = new_keyed.select(F.col("__id").alias("__id_n"),
+                              F.col("__v").alias("__v_n"),
+                              F.col("__n").alias("__n_n"))
+        cv = corpus_keyed.select(F.col("__id").alias("__id_c"),
+                                 F.col("__v").alias("__v_c"),
+                                 F.col("__n").alias("__n_c"))
+        cos = self._cos_pair_udf()("__v_n", "__v_c", "__n_n", "__n_c")
+        dups = (cand.join(nv, "__id_n").join(cv, "__id_c")
+                .withColumn("cosine", cos)
+                .filter(F.col("cosine") >= self.getThreshold())
+                .select(F.col("__id_n").alias("__dup_id")).distinct())
         return _keep_non_dominated(df, dups, self.getIdCol())

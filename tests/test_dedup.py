@@ -138,3 +138,24 @@ def test_stream_minhash_dedup_against_corpus(spark):
         assert sorted(survived) == [11]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_transform_against_corpus(spark):
+    """Incremental vector dedup: new embeddings near a corpus vector
+    drop; novel directions survive; intra-batch dups untouched."""
+    from flink_ml__spark.functions.dedup import EmbeddingCosineDeduplicator
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    new = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0, 0.0]),   # near-dup of corpus 1
+         (11, [0.0, 1.0, 0.0, 0.0]),
+         (12, [0.0, 1.0, 0.0, 0.0])],     # intra-batch dup: kept
+        ["vec_id", "embedding"])
+    op = EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.99)
+    kept = sorted(r["vec_id"]
+                  for r in op.transform_against(new, corpus).collect())
+    assert kept == [11, 12]
+    kept2 = sorted(r["vec_id"] for r in op.transform_against(
+        new, corpus_keyed=op.keyed_table(corpus)).collect())
+    assert kept2 == [11, 12]
