@@ -278,3 +278,45 @@ def test_empty_input_new_dedup_paths(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         EmbeddingCosineDeduplicator().transform(empty_vecs).count()
+
+
+@H
+@given(data=st.lists(
+    st.tuples(st.integers(0, 2),  # window bucket (day offset)
+              st.floats(0.1, 100.0, allow_nan=False),
+              st.floats(0.1, 100.0, allow_nan=False)),
+    min_size=4, max_size=16))
+def test_online_ahp_matches_numpy_replica(spark, data):
+    """The agg+broadcast OnlineAHP plan must reproduce the independent
+    per-window numpy replica (score_window_ahp) on arbitrary windowed
+    data — the cross-check that the T/S − ln S entropy folding is the
+    same math as the replica's direct Σ p·ln p."""
+    import datetime
+
+    from flink_ml__spark.operators.ahp import OnlineAHP, ahp_weight_vector
+    from flink_ml__spark.streaming.score_numpy import score_window_ahp
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base + datetime.timedelta(days=d), float(a), float(b))
+            for i, (d, a, b) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, a double, b double")
+    out = (OnlineAHP().setInputCols(["a", "b"])
+           .setJudgmentMatrix(MATRIX2).setIndicatorType([1, 0])
+           .setWindows("1 day").setTimeCol("ts").setOutputCol("s")
+           .transform(df))
+    got = {r["id"]: r["s"] for r in out.collect()}
+
+    ahp_w = ahp_weight_vector(MATRIX2)
+    by_day = {}
+    for i, (d, a, b) in enumerate(data):
+        by_day.setdefault(d, []).append((i, a, b))
+    for d, members in by_day.items():
+        X = np.array([[a, b] for _, a, b in members])
+        expect = score_window_ahp(X, [1, 0], ahp_w)
+        for (i, _, _), e in zip(members, expect):
+            g = got[i]
+            if math.isnan(e):
+                assert g is None or math.isnan(g), (d, i)
+            else:
+                assert g == pytest.approx(e, abs=1e-9), (d, i)
