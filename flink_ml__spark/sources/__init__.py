@@ -2,9 +2,12 @@ from flink_ml__spark.sources.registry import (
     TABLES,
     load_table,
     read_csv,
+    read_json,
     read_stream,
     register_tables,
+    write_bucketed_table,
+    write_parquet,
 )
 
-__all__ = ["TABLES", "load_table", "read_csv", "read_stream",
-           "register_tables"]
+__all__ = ["TABLES", "load_table", "read_csv", "read_json", "read_stream",
+           "register_tables", "write_bucketed_table", "write_parquet"]

@@ -64,6 +64,50 @@ def read_csv(spark: SparkSession, path: str, *, header: bool = True,
     return reader.csv(path)
 
 
+def read_json(spark: SparkSession, path: str, *,
+              schema: str | None = None, multiline: bool = False) -> DataFrame:
+    """JSON-lines source (``pom.xml:69-77`` declares a JSON connector the
+    reference never exercises). Pass an explicit ``schema`` (DDL string)
+    for large inputs — inference costs an extra pass."""
+    reader = spark.read.option("multiline", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
+                  partition_by: list[str] | None = None,
+                  max_records_per_file: int | None = None) -> None:
+    """Partitioned parquet sink. ``partition_by`` columns become
+    directory partitions — the scan-side contract for partition pruning
+    (filters on those columns skip whole directories at 100 TB).
+    ``max_records_per_file`` caps file sizes so downstream scans get
+    even splits."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         num_buckets: int, *, mode: str = "overwrite",
+                         sort_cols: list[str] | None = None,
+                         path: str | None = None) -> None:
+    """Bucketed managed-table sink: co-locates future joins/aggregations
+    on ``bucket_cols`` — two tables bucketed the same way join with NO
+    shuffle on either side, the highest-leverage layout choice for
+    repeated large-scale joins. (Bucketing requires ``saveAsTable``;
+    plain ``.parquet(path)`` cannot record bucket metadata.)"""
+    writer = (df.write.mode(mode)
+              .bucketBy(num_buckets, *bucket_cols))
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def read_stream(spark: SparkSession, fmt: str, **options) -> DataFrame:
     """Streaming source factory (``pom.xml:69-77`` declares Kafka/JSON
     connectors the reference never exercises). ``fmt``: 'kafka', 'rate',
