@@ -930,10 +930,19 @@ def q_curation_pipeline_documents(spark, sf_dir):
     )
     from flink_ml__spark.pipeline import PipelineModel
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, "documents", sf_dir)
     staged = PipelineModel([QualityFilter().setMinScore(0.5),
                             LanguageIdentifier()]).transform(docs)
     staged = staged.filter(F.col("lang_pred") == "en")
+    # barrier before the dedup stages: their self-joins reference the
+    # filtered frame from multiple branches, and without materializing
+    # it the quality+lang projections recompute once per branch (~4× at
+    # sf0.1). At lake scale this persist is a parquet checkpoint of the
+    # surviving ~half of the corpus.
+    staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    staged.count()  # eager: branches race to fill a lazy cache
     staged = ExactDeduplicator().transform(staged)
     out = MinHashDeduplicator().setSeed(42).setThreshold(0.7).transform(staged)
     return out.select("doc_id", "lang_pred",
