@@ -378,14 +378,10 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                 .select(F.col(idc).alias("__id"),
                         simhash_of(F.col(self.getInputCol())).alias("__sh")))
 
-    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+    def _band_rows(self, base: DataFrame) -> DataFrame:
+        """(__id, __sh, __b struct<band, key>) — 15-bit quarter bands."""
         width = self.N_BITS // self.N_BANDS
-        # persist + eager count: both band-join sides read the fingerprint
-        # table; broadcast conversion breaks ReuseExchange and lazy caches
-        # race (see MinHash above)
-        base = self.simhash_table(df).persist(StorageLevel.MEMORY_AND_DISK)
-        base.count()
-        bands = base.select(
+        return base.select(
             "__id", "__sh",
             F.explode(F.array(*[
                 F.struct(F.lit(b).alias("band"),
@@ -393,6 +389,14 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                          .bitwiseAND(F.lit(2 ** width - 1)).alias("key"))
                 for b in range(self.N_BANDS)
             ])).alias("__b"))
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        # persist + eager count: both band-join sides read the fingerprint
+        # table; broadcast conversion breaks ReuseExchange and lazy caches
+        # race (see MinHash above)
+        base = self.simhash_table(df).persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
+        bands = self._band_rows(base)
         left = bands.select("__b", F.col("__id").alias("__id_l"),
                             F.col("__sh").alias("__sh_l"))
         right = bands.select("__b", F.col("__id").alias("__id_r"),
@@ -410,6 +414,35 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
     def transform(self, df: DataFrame) -> DataFrame:
         dups = (self.duplicate_pairs(df)
                 .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+    def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
+                          *, corpus_hashed: DataFrame | None = None) -> DataFrame:
+        """Incremental dedup against a corpus (see
+        ``MinHashDeduplicator.transform_against`` — same contract: the
+        corpus always wins, intra-``df`` duplicates untouched). Pass
+        ``corpus_hashed`` (a persisted :meth:`simhash_table` result) to
+        amortize the corpus fingerprint pass."""
+        if corpus_hashed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_hashed")
+            corpus_hashed = self.simhash_table(corpus).persist(
+                StorageLevel.MEMORY_AND_DISK)
+            corpus_hashed.count()
+        new_h = self.simhash_table(df).persist(StorageLevel.MEMORY_AND_DISK)
+        new_h.count()
+        nb = self._band_rows(new_h).select(
+            "__b", F.col("__id").alias("__id_n"),
+            F.col("__sh").alias("__sh_n"))
+        cb = self._band_rows(corpus_hashed).select(
+            "__b", F.col("__id").alias("__id_c"),
+            F.col("__sh").alias("__sh_c"))
+        dist = F.bit_count(F.col("__sh_n").bitwiseXOR(F.col("__sh_c")))
+        dups = (nb.join(cb, "__b")
+                .select("__id_n", "__id_c", "__sh_n", "__sh_c")
+                .dropDuplicates(["__id_n", "__id_c"])
+                .filter(dist <= self.getHammingThreshold())
+                .select(F.col("__id_n").alias("__dup_id")).distinct())
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 

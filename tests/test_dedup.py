@@ -159,3 +159,17 @@ def test_embedding_transform_against_corpus(spark):
     kept2 = sorted(r["vec_id"] for r in op.transform_against(
         new, corpus_keyed=op.keyed_table(corpus)).collect())
     assert kept2 == [11, 12]
+
+
+def test_simhash_transform_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "completely novel text that matches nothing else at all")],
+        ["doc_id", "text"])
+    op = SimHashDeduplicator().setHammingThreshold(3)
+    kept = sorted(r["doc_id"]
+                  for r in op.transform_against(new, corpus).collect())
+    assert kept == [11]
