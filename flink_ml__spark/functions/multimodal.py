@@ -93,15 +93,21 @@ def _require_real_decoder(name: str, modules: dict[str, str]) -> None:
 def fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
     """Deterministic stand-in decode: a (height, width) uint8 grayscale
     image derived from the payload's sha256 keystream. Stable across
-    runs/partitions — the contract tests and plumbing rely on."""
+    runs/partitions — the contract tests and plumbing rely on.
+
+    The keystream is chained in the HEX-STRING domain
+    (``sha256(seed_hex + ':' + i)``), not over raw digest bytes: SQL
+    engines expose only VARCHAR sha256, so this choice is what lets the
+    DuckDB oracles replay decoded-image/audio statistics byte-for-byte
+    when the payload itself is valid text."""
     need = height * width
     out = np.empty(need, dtype=np.uint8)
-    seed = hashlib.sha256(payload or b"").digest()
-    block = seed
+    seed_hex = hashlib.sha256(payload or b"").hexdigest()
     filled = 0
     counter = 0
     while filled < need:
-        block = hashlib.sha256(seed + counter.to_bytes(8, "big")).digest()
+        block = hashlib.sha256(
+            f"{seed_hex}:{counter}".encode("ascii")).digest()
         take = min(32, need - filled)
         out[filled:filled + take] = np.frombuffer(block[:take], dtype=np.uint8)
         filled += take

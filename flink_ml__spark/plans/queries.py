@@ -1033,7 +1033,37 @@ def q_multimodal_image_stats(spark, sf_dir):
     decoded = (ImageDecoder().setHeight(16).setWidth(16)
                .transform(_payloads(spark, sf_dir)))
     out = ImageStats().transform(decoded)
-    return out.select("doc_id", "px_mean", "px_std", "px_min", "px_max")
+    return out.select("doc_id",
+                      F.round("px_mean", R).alias("px_mean"),
+                      F.round("px_std", R).alias("px_std"),
+                      "px_min", "px_max")
+
+
+# The stub codec's keystream lives in the hex-string domain precisely so
+# these oracles exist: block i of a payload is
+# sha256(sha256(payload_text) || ':' || i), bytes read as hex pairs.
+def _fake_bytes_ctes(n_bytes: int) -> str:
+    n_blocks = (n_bytes + 31) // 32
+    return f"""
+fp_seed AS (SELECT doc_id, sha256(text) AS seed FROM documents),
+fp_blk AS (SELECT doc_id, i,
+                  sha256(seed || ':' || i::VARCHAR) AS hx
+           FROM fp_seed, range(0, {n_blocks}) t(i)),
+fp_byte AS (SELECT doc_id, i * 32 + j AS pos,
+                   ('0x' || substr(hx, j * 2 + 1, 2))::INT AS b
+            FROM fp_blk, range(0, 32) u(j)
+            WHERE i * 32 + j < {n_bytes})"""
+
+
+ORACLE_MULTIMODAL_IMAGE_STATS = f"""
+WITH {_fake_bytes_ctes(256)}
+SELECT doc_id,
+       round(avg(b), {R}) AS px_mean,
+       round(stddev_pop(b), {R}) AS px_std,
+       min(b)::INT AS px_min,
+       max(b)::INT AS px_max
+FROM fp_byte GROUP BY doc_id
+"""
 
 
 def q_multimodal_audio_features(spark, sf_dir):
@@ -1041,7 +1071,27 @@ def q_multimodal_audio_features(spark, sf_dir):
 
     out = (AudioFeatureExtractor().setSampleCount(512)
            .transform(_payloads(spark, sf_dir)))
-    return out.select("doc_id", "rms", "zcr", "peak")
+    return out.select("doc_id",
+                      F.round("rms", R).alias("rms"),
+                      F.round("zcr", R).alias("zcr"),
+                      F.round("peak", R).alias("peak"))
+
+
+ORACLE_MULTIMODAL_AUDIO = f"""
+WITH {_fake_bytes_ctes(512)},
+smp AS (SELECT doc_id, pos, (b - 128.0) / 128.0 AS s FROM fp_byte),
+sgn AS (SELECT doc_id, pos, (s < 0)::INT AS sg FROM smp),
+chg AS (SELECT doc_id,
+               abs(sg - lag(sg) OVER (PARTITION BY doc_id ORDER BY pos))
+                 AS ch
+        FROM sgn)
+SELECT m.doc_id,
+       round(sqrt(avg(s * s)), {R}) AS rms,
+       round((SELECT sum(ch)::DOUBLE / 511 FROM chg
+              WHERE chg.doc_id = m.doc_id), {R}) AS zcr,
+       round(max(abs(s)), {R}) AS peak
+FROM smp m GROUP BY m.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1106,5 +1156,9 @@ ORACLES = {
     "winnow_fingerprints_documents": _oracle_winnow(),
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "multimodal_meta_documents": ORACLE_MULTIMODAL_META,
-    # multimodal image/audio: stubbed fake codec → rows-only check
+    # image/audio stats ARE oracle-checked: the fake codec's hex-domain
+    # keystream was chosen so DuckDB can replay the decode (real codecs
+    # stay env-gated; the frame sampler remains rows-only)
+    "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
+    "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO,
 }
