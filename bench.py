@@ -85,10 +85,11 @@ def main() -> None:
 
     spark.range(1000).select(F.sum(_warm("id"))).collect()
 
-    # best of 2 runs per query: single runs at this scale are dominated
-    # by scheduler/GC noise (trivial queries spike 4x run-to-run)
+    # best of 3 runs per query: single runs at this scale are dominated
+    # by scheduler/GC and noisy-neighbor contention (measured swings of
+    # 2s..14s for the same query on a loaded host)
     timings: dict[str, float] = {}
-    for _rep in range(2):
+    for _rep in range(3):
         for name in HEADLINE + ["ann_ivf_topk"]:
             fn = all_queries[name]
             t0 = time.perf_counter()

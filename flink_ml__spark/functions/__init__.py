@@ -1,3 +1,12 @@
+from flink_ml__spark.functions.curation import (
+    ContaminationChecker,
+    DeterministicSplitter,
+    DomainBalancer,
+    DuplicateClusterer,
+    RepetitionScorer,
+    SequencePacker,
+    TfIdfKeywords,
+)
 from flink_ml__spark.functions.feature_gen import (
     AutoFeatureTransformer,
     MeanImputer,
@@ -9,9 +18,16 @@ from flink_ml__spark.functions.feature_gen import (
 
 __all__ = [
     "AutoFeatureTransformer",
+    "ContaminationChecker",
+    "DeterministicSplitter",
+    "DomainBalancer",
+    "DuplicateClusterer",
     "MeanImputer",
     "MeanImputerModel",
+    "RepetitionScorer",
+    "SequencePacker",
     "StandardScaler",
     "StandardScalerModel",
+    "TfIdfKeywords",
     "TimeFeatureExtractor",
 ]

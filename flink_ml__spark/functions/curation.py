@@ -1,0 +1,524 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+These extend the engine beyond the reference's surface (the reference is
+an algorithm library — `/root/reference/src/main/java/cn/swust`; nothing
+there covers corpus curation) with the operations an LLM training-data
+pipeline runs between "raw crawl" and "tokenizer input":
+
+* :class:`RepetitionScorer`    — Gopher-style repetition signals
+  (Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+  from Training Gopher", 2021, §A1.1): duplicate-line fraction,
+  duplicate-line character fraction, top word/bigram fraction.
+* :class:`DeterministicSplitter` — salted-hash train/val/test split;
+  stable across runs, engines and cluster sizes.
+* :class:`ContaminationChecker`  — benchmark-overlap detection: the
+  fraction of a document's word n-grams that appear anywhere in a
+  benchmark corpus (the n-gram-overlap decontamination rule of Brown
+  et al., "Language Models are Few-Shot Learners", 2020, §C).
+* :class:`TfIdfKeywords`         — top-k TF-IDF keywords per document.
+* :class:`DuplicateClusterer`    — connected components over verified
+  near-duplicate pairs (alternating min-label propagation), turning
+  pairwise dedup output into canonical duplicate clusters.
+* :class:`SequencePacker`        — sharded greedy sequence packing:
+  assigns each document a (shard, pack, offset) position in fixed-size
+  token windows, the layout step before writing tokenizer shards.
+* :class:`DomainBalancer`        — deterministic hash-threshold
+  downsampling so every group (language / source domain) lands at the
+  size of the smallest one.
+
+Design rules shared with the rest of the engine: built-in Catalyst
+expressions wherever possible (whole-stage codegen, no Python in the
+row path), md5-derived hashing so the DuckDB oracle replays results
+bit-for-bit, and no `.collect()` of anything that grows with the data
+(driver-side scalars are O(groups) or O(1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from flink_ml__spark.base import AlgoOperator, HasInputCol, HasMaxIter
+from flink_ml__spark.functions.dedup import HasIdColMixin, shingle_hash_udf
+from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+
+def _hash_bucket16(col, salt: str):
+    """Deterministic 16-bit bucket from a salted md5 — the engine-portable
+    "random but reproducible" primitive (DuckDB:
+    ``('0x' || substring(md5(salt || ':' || x), 1, 4))::INT``)."""
+    s = F.concat(F.lit(salt + ":"), col.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("int")
+
+
+class RepetitionScorer(AlgoOperator, HasInputCol):
+    """Gopher-style repetition signals, appended per document:
+
+    * ``dup_line_frac``       — 1 − distinct/total over non-empty
+      trimmed lines;
+    * ``dup_line_char_frac``  — fraction of line characters inside
+      repeated line occurrences;
+    * ``top_word_frac``       — occurrences of the most frequent token
+      over total tokens;
+    * ``top_bigram_frac``     — same for word bigrams.
+
+    All four are higher-order-function expressions over per-row arrays —
+    **map-only**, no shuffle, so the pass pipelines with the scan at any
+    scale (contrast an explode+groupBy formulation, which would shuffle
+    the full token stream). Per-row cost of the top-k terms is
+    O(distinct·n); documents are bounded (split upstream), so this stays
+    cheap. Tokenization matches :mod:`.text` (``TOKEN_SPLIT``) so the
+    SQL oracle reproduces every count. ``lineSep`` (a regex, default
+    newline) defines the "line" unit — set ``'\\.'`` for sentence-level
+    repetition on single-line corpora.
+    """
+
+    lineSep = Param(Params._dummy(), "lineSep",
+                    "line separator regex for the duplicate-line signals",
+                    TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", lineSep="\n")
+
+    def getLineSep(self):
+        return self.getOrDefault(self.lineSep)
+
+    def setLineSep(self, v):
+        return self._set(lineSep=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.getInputCol())
+        # NB: the lambda must be unary — F.trim itself takes an optional
+        # second arg, and F.transform would feed it the element INDEX as
+        # the trim character set (a silent no-op)
+        lines = F.filter(
+            F.transform(F.split(text, self.getLineSep()),
+                        lambda x: F.trim(x)),
+            lambda x: x != "")
+        toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT),
+                        lambda t: t != "")
+        out = (df.withColumn("__lines", lines)
+                 .withColumn("__toks", toks))
+
+        n_lines = F.size("__lines")
+        d_lines = F.size(F.array_distinct("__lines"))
+        chars = F.aggregate("__lines", F.lit(0),
+                            lambda a, x: a + F.length(x))
+        d_chars = F.aggregate(F.array_distinct("__lines"), F.lit(0),
+                              lambda a, x: a + F.length(x))
+
+        def top_frac(arr):
+            n = F.size(arr)
+            top = F.array_max(F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x))))
+            return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+
+        # bigrams via an index walk (element_at is 1-based); guarded so
+        # 0/1-token documents yield an empty array, not a null sequence
+        bigrams = F.when(
+            F.size("__toks") >= 2,
+            F.expr("transform(sequence(1, size(__toks) - 1), i -> "
+                   "concat(element_at(__toks, i), ' ', "
+                   "element_at(__toks, i + 1)))"),
+        ).otherwise(F.array().cast("array<string>"))
+
+        return (out
+                .withColumn(
+                    "dup_line_frac",
+                    F.when(n_lines > 0,
+                           (n_lines - d_lines).cast("double") / n_lines)
+                    .otherwise(F.lit(0.0)))
+                .withColumn(
+                    "dup_line_char_frac",
+                    F.when(chars > 0,
+                           (chars - d_chars).cast("double") / chars)
+                    .otherwise(F.lit(0.0)))
+                .withColumn("top_word_frac", top_frac(F.col("__toks")))
+                .withColumn("__bi", bigrams)
+                .withColumn("top_bigram_frac", top_frac(F.col("__bi")))
+                .drop("__lines", "__toks", "__bi"))
+
+
+class DeterministicSplitter(AlgoOperator, HasIdColMixin):
+    """Salted-hash train/val/test assignment.
+
+    ``split = f(md5(salt:id))`` — a pure projection, so the assignment
+    is identical on every run, engine, partitioning and cluster size
+    (unlike ``df.randomSplit``, whose output depends on partition
+    layout). Buckets are the first 16 bits of the salted md5;
+    ``train`` takes ``floor(trainFrac·65536)`` of them, ``val`` the
+    next ``floor(valFrac·65536)``, ``test`` the rest. Map-only;
+    appends ``outputCol``.
+    """
+
+    trainFrac = Param(Params._dummy(), "trainFrac",
+                      "fraction of buckets assigned to train",
+                      TypeConverters.toFloat)
+    valFrac = Param(Params._dummy(), "valFrac",
+                    "fraction of buckets assigned to val",
+                    TypeConverters.toFloat)
+    salt = Param(Params._dummy(), "salt",
+                 "hash salt; change to draw an independent split",
+                 TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "split label column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(trainFrac=0.8, valFrac=0.1, salt="split",
+                         outputCol="split", idCol="doc_id")
+
+    def getTrainFrac(self):
+        return self.getOrDefault(self.trainFrac)
+
+    def setTrainFrac(self, v):
+        return self._set(trainFrac=float(v))
+
+    def getValFrac(self):
+        return self.getOrDefault(self.valFrac)
+
+    def setValFrac(self, v):
+        return self._set(valFrac=float(v))
+
+    def getSalt(self):
+        return self.getOrDefault(self.salt)
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def getOutputCol(self):
+        return self.getOrDefault(self.outputCol)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.getTrainFrac() + self.getValFrac() > 1.0:
+            raise ValueError("trainFrac + valFrac must be <= 1")
+        b = _hash_bucket16(F.col(self.getIdCol()), self.getSalt())
+        t_hi = int(self.getTrainFrac() * 65536)
+        v_hi = t_hi + int(self.getValFrac() * 65536)
+        label = (F.when(b < t_hi, F.lit("train"))
+                 .when(b < v_hi, F.lit("val"))
+                 .otherwise(F.lit("test")))
+        return df.withColumn(self.getOutputCol(), label)
+
+
+class ContaminationChecker(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Benchmark-contamination detection by word-n-gram overlap.
+
+    ``transform_against(df, benchmark)`` appends, per document, the
+    fraction of its distinct word ``shingleSize``-grams that occur
+    anywhere in the benchmark corpus (``contaminated_frac``) and a
+    boolean ``is_contaminated`` at ``threshold``. This is the GPT-3-
+    style decontamination rule: drop/flag training documents sharing
+    long n-grams with an eval set.
+
+    Plan shape: one Arrow pass hashes shingles on both sides (shared
+    with the dedup family — 60-bit md5, oracle-replayable); the
+    benchmark's distinct shingle set is aggregated then joined —
+    benchmark corpora are tiny next to the training corpus, so AQE
+    turns this into a broadcast hash join against the exploded corpus
+    shingles; one ``groupBy(id)`` shuffle re-assembles per-document
+    fractions. Corpus side is never collected or re-scanned.
+    """
+
+    shingleSize = Param(Params._dummy(), "shingleSize",
+                        "words per n-gram", TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold",
+                      "contaminated_frac at/above which "
+                      "is_contaminated is true", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", shingleSize=8, threshold=0.2,
+                         idCol="doc_id")
+
+    def getShingleSize(self):
+        return self.getOrDefault(self.shingleSize)
+
+    def setShingleSize(self, v):
+        return self._set(shingleSize=v)
+
+    def getThreshold(self):
+        return self.getOrDefault(self.threshold)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform_against(self, df: DataFrame,
+                          benchmark: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        xs = shingle_hash_udf(self.getShingleSize())
+        bench_keys = (benchmark
+                      .select(F.explode(xs(F.col(self.getInputCol())))
+                              .alias("__k"))
+                      .distinct()
+                      .withColumn("__hit", F.lit(1)))
+        corpus = (df.select(idc, self.getInputCol())
+                  .select(F.col(idc).alias("__id"),
+                          xs(F.col(self.getInputCol())).alias("__xs")))
+        exploded = corpus.select(
+            "__id", F.explode_outer("__xs").alias("__k"))
+        frac = (exploded.join(bench_keys, "__k", "left")
+                .groupBy("__id")
+                .agg((F.count("__hit") /
+                      F.greatest(F.count(F.lit(1)), F.lit(1)))
+                     .alias("contaminated_frac")))
+        # explode_outer keeps empty-shingle docs as a null-key row;
+        # count(__hit) over it is 0 → frac 0.0 as documented
+        out = df.join(
+            frac.withColumnRenamed("__id", idc), idc, "left")
+        return out.withColumn(
+            "is_contaminated",
+            F.col("contaminated_frac") >= self.getThreshold())
+
+
+class TfIdfKeywords(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Top-k TF-IDF keywords per document.
+
+    ``tf`` = term occurrences in the document; ``idf`` = ln(N / df)
+    over the input corpus (no smoothing — df ≥ 1 for every emitted
+    term); output one row per kept keyword: ``(id, term, tfidf, rank)``
+    with ``rank`` by (tfidf desc, term asc) — a total order, so results
+    are deterministic and engine-comparable.
+
+    Plan shape: tokenize+explode → ``groupBy(id, term)`` for tf (one
+    shuffle, partial-merge combine) → term document-frequency table
+    (second agg over the same exchange, reused by AQE; vocabulary is
+    zipf-small so the df table broadcast-joins) → per-document top-k
+    via ``row_number`` over a window **partitioned by document id** —
+    keyed, so every partition task holds one document's terms, not a
+    global sort.
+    """
+
+    k = Param(Params._dummy(), "k", "keywords per document",
+              TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", k=5, idCol="doc_id")
+
+    def getK(self):
+        return self.getOrDefault(self.k)
+
+    def setK(self, v):
+        return self._set(k=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        n_docs = df.count()  # O(1) driver scalar, folded as a literal
+        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
+                                TOKEN_SPLIT), lambda t: t != "")
+        terms = (df.select(F.col(idc).alias("__id"),
+                           F.explode(toks).alias("term")))
+        tf = terms.groupBy("__id", "term").agg(F.count("*").alias("__tf"))
+        dfreq = (tf.groupBy("term")
+                 .agg(F.count("*").alias("__df")))
+        scored = (tf.join(dfreq, "term")
+                  .withColumn(
+                      "tfidf",
+                      F.col("__tf") * F.log(F.lit(float(n_docs))
+                                            / F.col("__df"))))
+        w = Window.partitionBy("__id").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getK())
+                .select(F.col("__id").alias(idc), "term", "tfidf", "rank"))
+
+
+class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
+    """Connected components over near-duplicate pairs.
+
+    Pairwise dedup output (``duplicate_pairs`` from any of the dedup
+    operators) is a graph; the canonical "keep one per duplicate
+    cluster" decision needs its connected components. Labels start as
+    each node's own id and iterate ``label(v) ← min(label(v),
+    min_{u∼v} label(u), label(label(v)))`` until a fixpoint —
+    min-label propagation with pointer jumping (the two-phase shape of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): the neighbor term walks the graph, the
+    label-of-my-label term halves the remaining distance to the
+    component minimum, so convergence is O(log diameter) rounds, not
+    O(diameter). ``maxIter`` (default 20) still bounds the loop.
+
+    Per round: two keyed joins + one ``groupBy(id).min`` — no
+    driver-side data beyond the O(1) convergence counter. Each round's
+    label table is ``localCheckpoint``-ed: iterative DataFrame loops
+    grow their logical plan per round even under ``persist`` (plan
+    trees replay the whole history and eventually OOM the driver);
+    checkpointing truncates lineage so round N's plan stays O(1), the
+    same discipline MLlib's iterative algorithms use. On a cluster,
+    swap for ``checkpoint()`` to reliable storage if executor loss
+    mid-job matters.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", maxIter=20)
+
+    def cluster(self, pairs: DataFrame, nodes: DataFrame | None = None,
+                id_a: str = "id_keep", id_b: str = "id_dup") -> DataFrame:
+        """(id, cluster_id) — cluster_id is the min id reachable from
+        ``id`` through ``pairs``. ``nodes`` (a DataFrame containing the
+        id column) adds isolated documents as singleton clusters."""
+        idc = self.getIdCol()
+        edges = (pairs.select(F.col(id_a).alias("__src"),
+                              F.col(id_b).alias("__dst"))
+                 .union(pairs.select(F.col(id_b).alias("__src"),
+                                     F.col(id_a).alias("__dst")))
+                 .distinct()
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        members = edges.select(F.col("__src").alias("__id")).distinct()
+        if nodes is not None:
+            members = (nodes.select(F.col(idc).alias("__id"))
+                       .distinct())
+        labels = (members.withColumn("__lbl", F.col("__id"))
+                  .localCheckpoint())
+        for _ in range(self.getMaxIter()):
+            nbr = (edges.join(
+                labels.select(F.col("__id").alias("__src"), "__lbl"),
+                "__src")
+                .select(F.col("__dst").alias("__id"), "__lbl"))
+            jump = (labels.select("__id", F.col("__lbl").alias("__j"))
+                    .join(labels.select(F.col("__id").alias("__j"),
+                                        F.col("__lbl").alias("__jl")),
+                          "__j")
+                    .select("__id", F.col("__jl").alias("__lbl")))
+            new_labels = (labels.select("__id", "__lbl")
+                          .union(nbr).union(jump)
+                          .groupBy("__id")
+                          .agg(F.min("__lbl").alias("__lbl"))
+                          .localCheckpoint())  # eager; truncates lineage
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "__id")
+                       .filter(F.col("n.__lbl") != F.col("o.__lbl"))
+                       .count())
+            labels = new_labels
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels.select(F.col("__id").alias(idc),
+                             F.col("__lbl").alias("cluster_id"))
+
+
+class SequencePacker(AlgoOperator, HasIdColMixin):
+    """Sharded greedy sequence packing.
+
+    Documents are concatenated in id order within a hash shard and cut
+    into fixed ``windowSize``-token packs (the GPT-style "concat and
+    chunk" layout); each document gets its starting position:
+    ``shard``, ``pack_id`` (window index within the shard) and
+    ``offset`` (token offset inside that pack).
+
+    The cumulative sum runs per shard — ``Window.partitionBy(shard)
+    .orderBy(id)`` — so parallelism equals ``numShards`` and no task
+    ever buffers more than one shard (contrast a global
+    ``orderBy``: one task, the classic packing scale-killer). Shards
+    are salted-md5 buckets: stable, engine-portable, and independent
+    of partition layout. Expects a precomputed token-count column
+    (:class:`~flink_ml__spark.functions.text.TokenCounter`).
+    """
+
+    windowSize = Param(Params._dummy(), "windowSize",
+                       "tokens per pack", TypeConverters.toInt)
+    numShards = Param(Params._dummy(), "numShards",
+                      "parallel packing shards", TypeConverters.toInt)
+    tokenCol = Param(Params._dummy(), "tokenCol",
+                     "precomputed token-count column",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(windowSize=2048, numShards=16,
+                         tokenCol="n_tokens", idCol="doc_id")
+
+    def getWindowSize(self):
+        return self.getOrDefault(self.windowSize)
+
+    def setWindowSize(self, v):
+        return self._set(windowSize=v)
+
+    def getNumShards(self):
+        return self.getOrDefault(self.numShards)
+
+    def setNumShards(self, v):
+        return self._set(numShards=v)
+
+    def getTokenCol(self):
+        return self.getOrDefault(self.tokenCol)
+
+    def setTokenCol(self, v):
+        return self._set(tokenCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        win = self.getWindowSize()
+        shard = _hash_bucket16(F.col(idc), "pack") % self.getNumShards()
+        out = df.withColumn("shard", shard)
+        w = (Window.partitionBy("shard").orderBy(F.col(idc))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        begin = (F.sum(F.col(self.getTokenCol())).over(w)
+                 - F.col(self.getTokenCol()))
+        return (out.withColumn("pack_id", F.floor(begin / win))
+                .withColumn("offset", (begin % win).cast("long")))
+
+
+class DomainBalancer(AlgoOperator, HasIdColMixin):
+    """Deterministic hash-threshold group balancing.
+
+    Downsamples every group (language, source domain, ...) to
+    approximately the size of the smallest group: a row survives iff
+    its salted-md5 bucket clears ``floor(min_count / group_count ·
+    65536)``. The keep decision is a pure projection over the row plus
+    one tiny per-group statistics table (broadcast-joined), so the
+    operator is two scans and **no data shuffle** — the exact-quota
+    alternative (rank-within-group) would funnel each group through
+    one window task, a skew trap when one domain dominates the corpus.
+    Sampling is binomial around the quota (±O(√n)); thresholds are
+    integer-derived so Spark and the SQL oracle agree bit-for-bit.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "column whose value groups are balanced",
+                     TypeConverters.toString)
+    salt = Param(Params._dummy(), "salt",
+                 "hash salt; change to draw an independent sample",
+                 TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="lang", salt="balance", idCol="doc_id")
+
+    def getGroupCol(self):
+        return self.getOrDefault(self.groupCol)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def getSalt(self):
+        return self.getOrDefault(self.salt)
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        grp = self.getGroupCol()
+        counts = df.groupBy(grp).agg(F.count("*").alias("__cnt"))
+        stats = (counts
+                 .withColumn("__min",
+                             F.min("__cnt").over(
+                                 Window.partitionBy(F.lit(1))))
+                 .withColumn(
+                     "__keep_below",
+                     F.floor(F.col("__min") * 65536 / F.col("__cnt"))))
+        # stats is O(groups) rows — broadcast; the window above runs on
+        # that tiny table, not the data
+        b = _hash_bucket16(F.col(self.getIdCol()), self.getSalt())
+        return (df.join(F.broadcast(stats.select(grp, "__keep_below")), grp)
+                .filter(b < F.col("__keep_below"))
+                .drop("__keep_below"))

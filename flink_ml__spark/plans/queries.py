@@ -1095,6 +1095,226 @@ FROM smp m GROUP BY m.doc_id
 
 
 # ---------------------------------------------------------------------------
+# 25-31. corpus-curation operators (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+# shared tokenizer fragment (identical to _TOK_SQL but reused with an
+# explicit source-relation alias for the curation oracles)
+def _toks_of(rel: str) -> str:
+    return (f"list_filter(string_split_regex(lower({rel}.text), "
+            "'[^a-zA-Z0-9'']+'), x -> x <> '')")
+
+
+def q_repetition_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import RepetitionScorer
+
+    docs = load_table(spark, "documents", sf_dir)
+    # the corpus is single-line → use sentence-level "lines"
+    out = RepetitionScorer().setLineSep(r"\.").transform(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", R).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", R).alias("dup_line_char_frac"),
+        F.round("top_word_frac", R).alias("top_word_frac"),
+        F.round("top_bigram_frac", R).alias("top_bigram_frac"))
+
+
+ORACLE_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\\.'),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         {_TOK_SQL} AS toks
+  FROM documents),
+bi AS (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS bigrams
+  FROM base),
+m AS (
+  SELECT doc_id,
+         len(lines) AS nl,
+         len(list_distinct(lines)) AS dl,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+           AS chars,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS dchars,
+         len(toks) AS nt,
+         CASE WHEN len(toks) > 0 THEN
+           list_max(list_transform(list_distinct(toks),
+                    x -> len(list_filter(toks, y -> y = x)))) ELSE 0
+         END AS topw,
+         len(bigrams) AS nb,
+         CASE WHEN len(bigrams) > 0 THEN
+           list_max(list_transform(list_distinct(bigrams),
+                    x -> len(list_filter(bigrams, y -> y = x)))) ELSE 0
+         END AS topb
+  FROM bi)
+SELECT doc_id,
+       round(CASE WHEN nl > 0 THEN (nl - dl)::DOUBLE / nl ELSE 0.0 END, {R})
+         AS dup_line_frac,
+       round(CASE WHEN chars > 0 THEN (chars - dchars)::DOUBLE / chars
+             ELSE 0.0 END, {R}) AS dup_line_char_frac,
+       round(CASE WHEN nt > 0 THEN topw::DOUBLE / nt ELSE 0.0 END, {R})
+         AS top_word_frac,
+       round(CASE WHEN nb > 0 THEN topb::DOUBLE / nb ELSE 0.0 END, {R})
+         AS top_bigram_frac
+FROM m
+"""
+
+# portable salted 16-bit hash bucket (mirror of curation._hash_bucket16)
+_BUCKET16 = "(('0x' || substring(md5('{salt}:' || {x}), 1, 4))::INT)"
+
+
+def q_split_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import DeterministicSplitter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (DeterministicSplitter().setTrainFrac(0.8).setValFrac(0.1)
+            .transform(docs).select("doc_id", "split"))
+
+
+ORACLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET16.format(salt='split', x='doc_id')} < {int(0.8 * 65536)}
+            THEN 'train'
+            WHEN {_BUCKET16.format(salt='split', x='doc_id')}
+                 < {int(0.8 * 65536) + int(0.1 * 65536)} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_contamination_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import ContaminationChecker
+
+    docs = load_table(spark, "documents", sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    out = (ContaminationChecker().setShingleSize(5).setThreshold(0.2)
+           .transform_against(docs, benchmark))
+    return out.select(
+        "doc_id",
+        F.round("contaminated_frac", R).alias("contaminated_frac"),
+        "is_contaminated")
+
+
+ORACLE_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(5)} AS sh FROM toks),
+bk AS (SELECT DISTINCT unnest(sh) AS k FROM sh WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(sh) AS k FROM sh),
+fr AS (SELECT ex.doc_id,
+              count(bk.k)::DOUBLE / greatest(count(*), 1) AS frac
+       FROM ex LEFT JOIN bk ON ex.k = bk.k GROUP BY ex.doc_id)
+SELECT d.doc_id, round(coalesce(fr.frac, 0.0), {R}) AS contaminated_frac,
+       coalesce(fr.frac, 0.0) >= 0.2 AS is_contaminated
+FROM documents d LEFT JOIN fr ON d.doc_id = fr.doc_id
+"""
+
+
+def q_tfidf_keywords_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import TfIdfKeywords
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = TfIdfKeywords().setK(5).transform(docs)
+    return out.select("doc_id", "term",
+                      F.round("tfidf", R).alias("tfidf"), "rank")
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf * ln(n.n::DOUBLE / dfq.dfq) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+SELECT doc_id, term, round(tfidf, {R}) AS tfidf, "rank"
+FROM r WHERE "rank" <= 5
+"""
+
+
+def q_dup_clusters_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import DuplicateClusterer
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+             .duplicate_pairs(docs))
+    return DuplicateClusterer().cluster(pairs, nodes=docs)
+
+
+def _oracle_dup_clusters() -> str:
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    return f"""
+WITH RECURSIVE {_minhash_dup_ctes(op, "documents")},
+vp AS (
+  SELECT id_l, id_r FROM pairs
+  WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
+        len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r}),
+ed AS (SELECT id_l AS src, id_r AS dst FROM vp
+       UNION SELECT id_r, id_l FROM vp),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.id)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_pack_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import SequencePacker
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = TokenCounter().transform(docs)
+    out = (SequencePacker().setWindowSize(256).setNumShards(16)
+           .transform(counted))
+    return out.select("doc_id", "shard", "pack_id", "offset")
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS nt,
+         {_BUCKET16.format(salt='pack', x='doc_id')} % 16 AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard,
+         sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - nt AS begin
+  FROM t)
+SELECT doc_id, shard, floor(begin / 256)::BIGINT AS pack_id,
+       (begin % 256)::BIGINT AS "offset"
+FROM c
+"""
+
+
+def q_balance_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import DomainBalancer
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (DomainBalancer().setGroupCol("lang").transform(docs)
+            .select("doc_id", "lang"))
+
+
+ORACLE_BALANCE = f"""
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+st AS (SELECT lang,
+              floor(min(cnt) OVER () * 65536 / cnt)::BIGINT AS kb
+       FROM counts)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN st USING (lang)
+WHERE {_BUCKET16.format(salt='balance', x='doc_id')} < st.kb
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1125,6 +1345,13 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
+    "repetition_documents": q_repetition_documents,
+    "split_documents": q_split_documents,
+    "contamination_documents": q_contamination_documents,
+    "tfidf_keywords_documents": q_tfidf_keywords_documents,
+    "dup_clusters_documents": q_dup_clusters_documents,
+    "pack_documents": q_pack_documents,
+    "balance_documents": q_balance_documents,
     "multimodal_meta_documents": q_multimodal_meta_documents,
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1155,6 +1382,13 @@ ORACLES = {
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "curation_pipeline_documents": _oracle_curation_pipeline(),
+    "repetition_documents": ORACLE_REPETITION,
+    "split_documents": ORACLE_SPLIT,
+    "contamination_documents": ORACLE_CONTAMINATION,
+    "tfidf_keywords_documents": ORACLE_TFIDF,
+    "dup_clusters_documents": _oracle_dup_clusters(),
+    "pack_documents": ORACLE_PACK,
+    "balance_documents": ORACLE_BALANCE,
     "multimodal_meta_documents": ORACLE_MULTIMODAL_META,
     # image/audio stats ARE oracle-checked: the fake codec's hex-domain
     # keystream was chosen so DuckDB can replay the decode (real codecs

@@ -1,0 +1,188 @@
+"""Tests for the corpus-curation operators (functions/curation.py):
+hand-computable goldens on tiny frames, plus invariants (determinism,
+partition-layout independence, convergence)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.curation import (
+    ContaminationChecker,
+    DeterministicSplitter,
+    DomainBalancer,
+    DuplicateClusterer,
+    RepetitionScorer,
+    SequencePacker,
+    TfIdfKeywords,
+)
+
+
+def test_repetition_scorer_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 3 lines, 'a b' repeated
+            (2, "x y z"),                  # no repetition
+            (3, "go go go go"),            # one word dominates
+            (4, None),                     # null text
+        ],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           RepetitionScorer().transform(df).collect()}
+    # doc 1: 3 lines, 2 distinct -> dup_line_frac 1/3; chars 3+3+3=9,
+    # distinct chars 6 -> char frac 3/9
+    assert got[1]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(3 / 9)
+    # doc 1 tokens: a b a b c d -> top word 'a'(2)/6; bigrams:
+    # 'a b','b a','a b','b c','c d' -> top 'a b'(2)/5
+    assert got[1]["top_word_frac"] == pytest.approx(2 / 6)
+    assert got[1]["top_bigram_frac"] == pytest.approx(2 / 5)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_word_frac"] == pytest.approx(1 / 3)
+    assert got[3]["top_word_frac"] == pytest.approx(1.0)
+    assert got[3]["top_bigram_frac"] == pytest.approx(1.0)
+    # null text -> all zeros, no null propagation
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_scorer_line_sep(spark):
+    df = spark.createDataFrame(
+        [(1, "same sentence. same sentence. other one.")], ["doc_id", "text"])
+    r = RepetitionScorer().setLineSep(r"\.").transform(df).first()
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+
+
+def test_deterministic_splitter_stable_and_partition_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    op = DeterministicSplitter().setTrainFrac(0.8).setValFrac(0.1) \
+        .setIdCol("doc_id")
+    a = {r["doc_id"]: r["split"] for r in op.transform(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in op.transform(df.repartition(13)).collect()}
+    assert a == b  # layout-independent, unlike randomSplit
+    frac_train = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.77 <= frac_train <= 0.83  # binomial around 0.8
+    # fractions must partition the id space
+    assert set(a.values()) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        DeterministicSplitter().setTrainFrac(0.9).setValFrac(0.2) \
+            .transform(df)
+
+
+def test_deterministic_splitter_salt_draws_new_split(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = DeterministicSplitter().transform(df)
+    b = DeterministicSplitter().setSalt("other").transform(df)
+    diff = (a.select("doc_id", "split")
+            .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+            .filter(F.col("split") != F.col("s2")).count())
+    assert diff > 0
+
+
+def test_contamination_checker_goldens(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # fully inside benchmark
+            (2, "alpha beta gamma zeta"),          # partial overlap
+            (3, "one two three four"),             # disjoint
+        ],
+        ["doc_id", "text"])
+    benchmark = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    out = (ContaminationChecker().setShingleSize(3).setThreshold(0.5)
+           .transform_against(corpus, benchmark))
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc1 3-gram shingles: {abg, bgd} both in benchmark -> 1.0
+    assert got[1]["contaminated_frac"] == pytest.approx(1.0)
+    assert got[1]["is_contaminated"]
+    # doc2: {abg, bgz} -> 1/2
+    assert got[2]["contaminated_frac"] == pytest.approx(0.5)
+    assert got[3]["contaminated_frac"] == 0.0
+    assert not got[3]["is_contaminated"]
+
+
+def test_tfidf_keywords_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry date date date"),
+        ],
+        ["doc_id", "text"])
+    out = TfIdfKeywords().setK(2).transform(df)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # doc1: apple tf=2 idf=ln(3/1); banana tf=1 idf=ln(3/2)
+    assert rows[(1, 1)]["term"] == "apple"
+    assert rows[(1, 1)]["tfidf"] == pytest.approx(2 * math.log(3))
+    assert rows[(1, 2)]["term"] == "banana"
+    assert rows[(1, 2)]["tfidf"] == pytest.approx(math.log(1.5))
+    # doc3: date tf=3 dominates
+    assert rows[(3, 1)]["term"] == "date"
+    # k bound respected
+    assert out.groupBy("doc_id").count().agg(
+        F.max("count")).first()[0] <= 2
+
+
+def test_duplicate_clusterer_components(spark):
+    # chain 1-2-3, pair 10-11, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_keep", "id_dup"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20]], ["doc_id"])
+    out = DuplicateClusterer().cluster(pairs, nodes=nodes)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_duplicate_clusterer_long_chain_converges(spark):
+    # a path graph needs label propagation across the full diameter
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_keep", "id_dup"])
+    out = DuplicateClusterer().setMaxIter(30).cluster(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_sequence_packer_positions(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], ["doc_id", "n_tokens"])
+    out = (SequencePacker().setWindowSize(256).setNumShards(1)
+           .transform(df))
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # single shard, id order: doc k starts at 100k
+    for k, r in enumerate(rows):
+        assert r["shard"] == 0
+        assert r["pack_id"] == (100 * k) // 256
+        assert r["offset"] == (100 * k) % 256
+    # cumulative begin positions tile the stream with no gaps
+    total = sum(r["n_tokens"] for r in rows)
+    assert rows[-1]["pack_id"] * 256 + rows[-1]["offset"] == total - 100
+
+
+def test_sequence_packer_sharding_bounds_parallel_state(spark):
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(1000)], ["doc_id", "n_tokens"])
+    out = SequencePacker().setNumShards(8).setWindowSize(64).transform(df)
+    shards = out.select("shard").distinct().count()
+    assert shards == 8
+    # within each shard, offsets restart below windowSize
+    assert out.agg(F.max("offset")).first()[0] < 64
+
+
+def test_domain_balancer_balances(spark):
+    rows = ([(i, "en") for i in range(900)]
+            + [(i + 1000, "de") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = DomainBalancer().setGroupCol("lang").transform(df)
+    counts = {r["lang"]: r["count"]
+              for r in out.groupBy("lang").count().collect()}
+    # each group lands near the min group size (binomial tolerance)
+    assert counts["de"] >= 85
+    assert 70 <= counts["en"] <= 130
+    # deterministic: same salt, same survivors
+    again = DomainBalancer().setGroupCol("lang").transform(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
