@@ -25,6 +25,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "curation_pipeline_documents",
     "ngram_jaccard_pairs_documents",
+    "repetition_documents",
+    "split_documents",
+    "contamination_documents",
+    "tfidf_keywords_documents",
+    "dup_clusters_documents",
+    "pack_documents",
+    "balance_documents",
     "ahp_score_lineitem",
     "topsis_score_part",
     "online_ahp_events",
