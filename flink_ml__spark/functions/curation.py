@@ -365,7 +365,15 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
                 id_a: str = "id_keep", id_b: str = "id_dup") -> DataFrame:
         """(id, cluster_id) — cluster_id is the min id reachable from
         ``id`` through ``pairs``. ``nodes`` (a DataFrame containing the
-        id column) adds isolated documents as singleton clusters."""
+        id column) adds isolated documents as singleton clusters.
+
+        The member set is always the union of ``nodes`` and the edge
+        endpoints: endpoints must seed the label table even when a
+        caller passes a filtered ``nodes``, because ids first injected
+        by the neighbor term would otherwise be missing from the
+        old-labels side of the convergence join — ``changed`` could
+        read 0 while propagation through those ids is incomplete,
+        silently splitting one component into several."""
         idc = self.getIdCol()
         edges = (pairs.select(F.col(id_a).alias("__src"),
                               F.col(id_b).alias("__dst"))
@@ -375,7 +383,8 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
                  .persist(StorageLevel.MEMORY_AND_DISK))
         members = edges.select(F.col("__src").alias("__id")).distinct()
         if nodes is not None:
-            members = (nodes.select(F.col(idc).alias("__id"))
+            members = (members
+                       .union(nodes.select(F.col(idc).alias("__id")))
                        .distinct())
         labels = (members.withColumn("__lbl", F.col("__id"))
                   .localCheckpoint())

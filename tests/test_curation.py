@@ -135,6 +135,18 @@ def test_duplicate_clusterer_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_duplicate_clusterer_filtered_nodes_still_connect(spark):
+    # regression: nodes omitting an edge endpoint (2) must not split the
+    # 1-2-3 component — endpoints seed the label table regardless, so
+    # the convergence check sees every propagating id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_keep", "id_dup"])
+    nodes = spark.createDataFrame([(1,), (3,)], ["doc_id"])
+    out = DuplicateClusterer().cluster(pairs, nodes=nodes)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_duplicate_clusterer_long_chain_converges(spark):
     # a path graph needs label propagation across the full diameter
     n = 12
