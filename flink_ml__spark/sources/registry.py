@@ -45,6 +45,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # perturbing ~12% of timestamps by 1 µs
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(df.schema["ts"].dataType, T.TimestampType):
+            # newer fixtures store ts as parquet timestamp[us] with no
+            # timezone → Spark reads TIMESTAMP_NTZ, which time functions
+            # like unix_millis reject; with the session tz pinned to UTC
+            # (above) the cast is a pure re-tag, not a wall-clock shift
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

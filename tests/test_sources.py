@@ -22,6 +22,52 @@ def test_read_csv_roundtrip(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_events_ts_normalized_across_parquet_layouts(spark, tmp_path):
+    """`load_table` must deliver `events.ts` as TIMESTAMP (tz-aware)
+    whatever the fixture's physical layout — the driver has shipped
+    int64-nanos, and later timestamp[us]-NTZ; a third layout change must
+    not silently re-break `unix_millis(ts)` (round-3 regression)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    micros = [1_700_000_000_000_000 + i * 1_000_000 for i in range(5)]
+    base = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1, 2, 1, 3, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c", "b"]),
+        "value": pa.array([0.1, 0.2, 0.3, 0.4, 0.5], pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }
+    layouts = {
+        "nanos_int64": pa.array([m * 1000 for m in micros], pa.int64()),
+        "micros_ntz": pa.array(micros, pa.timestamp("us")),
+        "micros_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    for name, ts_arr in layouts.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({"event_id": base["event_id"],
+                                 "ts": ts_arr, **base}),
+                       str(d / "events.parquet"))
+        ev = load_table(spark, "events", str(d))
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType), name
+        got = [r[0] for r in
+               ev.select(F.unix_millis("ts")).orderBy("event_id").collect()]
+        assert got == [m // 1000 for m in micros], name
+
+
+def test_events_ts_live_fixture_is_timestamp(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    # unix_millis is what the OnlineTopsis gates run — must resolve
+    ev.select(F.unix_millis("ts")).first()
+
+
 def test_read_stream_rate(spark):
     stream = read_stream(spark, "rate", rowsPerSecond=10)
     assert stream.isStreaming
