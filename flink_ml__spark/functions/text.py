@@ -122,8 +122,13 @@ class TokenCounter(AlgoOperator, HasInputCol, HasOutputCol):
 
     def transform(self, df: DataFrame) -> DataFrame:
         text = F.col(self.getInputCol())
-        ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
-        bpe = F.size(F.regexp_extract_all(text, F.lit(self.BPE_PATTERN), 0))
+        # NULL text counts as 0 tokens — without the guard, non-ANSI
+        # size(split(NULL)) yields -1, which would silently shift every
+        # later document's offset in SequencePacker
+        ws = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(F.split(text, r"\s+"), lambda t: t != "")))
+        bpe = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.regexp_extract_all(text, F.lit(self.BPE_PATTERN), 0)))
         return (df.withColumn(self.getOutputCol(), ws)
                 .withColumn(f"{self.getOutputCol()}_bpe", bpe))
 

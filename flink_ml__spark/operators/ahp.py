@@ -299,4 +299,9 @@ class OnlineAHP(AlgoOperator, AHPParams, HasWindows, HasTimeCol):
 
         score = sum(nm[j] * weight[j] * F.lit(ahp_w[j]) for j in range(n))
         out = out.withColumn(self.getOutputCol(), score)
-        return out.drop(win_col, *[c for c in out.columns if f"_{uid}" in c and c != self.getOutputCol()])
+        # drop exactly the generated helper names — a substring match on
+        # the uid could silently swallow a user column
+        helpers = [win_col] + [
+            f"__{tag}_{j}_{uid}"
+            for tag in ("mx", "mn", "nm", "s", "t") for j in range(n)]
+        return out.drop(*helpers)

@@ -156,12 +156,12 @@ class Apriori(AlgoOperator, AprioriParams):
         freq = (counts
                 .withColumn("support", F.col("count") / F.lit(float(n_total)))
                 .filter(F.col("support") >= min_sup))
-        # persist + eager count: three downstream references (splits/fq/fp)
-        # share the frequent table. Ownership: the cache lives until the
-        # session evicts it (LRU) — callers holding many Apriori plans can
-        # freq.unpersist() via spark.catalog.clearCache() between runs.
-        freq.persist(StorageLevel.MEMORY_AND_DISK)
-        freq.count()
+        # materialize once: three downstream references (splits/fq/fp)
+        # share the frequent table. localCheckpoint (not persist) so the
+        # blocks are released by the ContextCleaner as soon as the caller
+        # drops the result — repeated transform() calls don't accumulate
+        # CacheManager entries until LRU eviction.
+        freq = freq.localCheckpoint(eager=True)
         baskets.unpersist()
 
         # rule candidates: split every frequent itemset (2 <= size <=

@@ -805,10 +805,10 @@ def q_token_count_documents(spark, sf_dir):
 
 ORACLE_TOKEN_COUNT = """
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-         AS n_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))
-         AS n_tokens_bpe
+       coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')), 0) AS n_tokens,
+       coalesce(len(regexp_extract_all(
+           text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')), 0) AS n_tokens_bpe
 FROM documents
 """
 
@@ -1098,13 +1098,6 @@ FROM smp m GROUP BY m.doc_id
 # 25-31. corpus-curation operators (functions/curation.py)
 # ---------------------------------------------------------------------------
 
-# shared tokenizer fragment (identical to _TOK_SQL but reused with an
-# explicit source-relation alias for the curation oracles)
-def _toks_of(rel: str) -> str:
-    return (f"list_filter(string_split_regex(lower({rel}.text), "
-            "'[^a-zA-Z0-9'']+'), x -> x <> '')")
-
-
 def q_repetition_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import RepetitionScorer
 
@@ -1280,8 +1273,8 @@ def q_pack_documents(spark, sf_dir):
 ORACLE_PACK = f"""
 WITH t AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-           AS nt,
+         coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')), 0) AS nt,
          {_BUCKET16.format(salt='pack', x='doc_id')} % 16 AS shard
   FROM documents),
 c AS (

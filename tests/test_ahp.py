@@ -130,6 +130,27 @@ def test_online_golden_scores(spark):
             r["id"], r["output"], expected)
 
 
+def test_online_pathological_column_names_pass_through(spark):
+    """User columns whose names happen to contain the operator's uid
+    suffix must survive transform — helper-column dropping is by exact
+    generated name, not substring match."""
+    from pyspark.sql import functions as F
+
+    df = _online_df(spark)
+    op = (OnlineAHP()
+          .setInputCols(COLS)
+          .setJudgmentMatrix(MATRIX)
+          .setIndicatorType(TYPES)
+          .setWindows("3 days")
+          .setTimeCol("rowtime")
+          .setOutputCol("output"))
+    trap = f"note_{op.uid[-6:]}"  # contains the 6-char uid suffix
+    out = op.transform(df.withColumn(trap, F.lit("keep me")))
+    assert trap in out.columns
+    assert out.columns == ["id"] + COLS + ["rowtime", trap, "output"]
+    assert out.select(trap).first()[0] == "keep me"
+
+
 def _numpy_online_ahp(rows):
     """Plain-numpy replica of the per-window scoring
     (``OnlineAHP.java:94-172``) — note k = 1/ln(#cols), unlike batch AHP.

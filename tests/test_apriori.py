@@ -58,6 +58,16 @@ def test_golden_rules(spark):
         assert math.isclose(r["lift"], lift, abs_tol=1e-3)
 
 
+def test_transform_leaves_no_cached_tables(spark):
+    """transform() must not leak CacheManager entries: repeated calls
+    previously accumulated persisted `freq` tables until LRU eviction."""
+    df = spark.createDataFrame(BASKETS, ["items"])
+    for _ in range(3):
+        make_op().transform(df).collect()
+    jss = spark._jsparkSession
+    assert jss.sharedState().cacheManager().isEmpty()
+
+
 def test_singletons_with_default_lift(spark):
     # with lift threshold 1.0 (default), frequent 1-itemsets surface with
     # confidence = support, lift = 1.0 (``Apriori.java:100-106``)

@@ -50,6 +50,27 @@ def test_token_counter(spark):
     assert out["n_tokens_bpe"] == 7
 
 
+def test_token_counter_null_text_counts_zero(spark):
+    """NULL text is 0 tokens, not -1 (non-ANSI size(NULL)); a -1 would
+    shift every later document's SequencePacker offset."""
+    from flink_ml__spark.functions.curation import SequencePacker
+
+    df = spark.createDataFrame(
+        [(1, "three tokens here"), (2, None), (3, "two tokens")],
+        "doc_id long, text string")
+    counted = TokenCounter().transform(df)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_tokens_bpe"])
+           for r in counted.collect()}
+    assert got[2] == (0, 0)
+    packed = {r["doc_id"]: r["offset"]
+              for r in (SequencePacker().setWindowSize(256).setNumShards(1)
+                        .transform(counted).collect())}
+    # doc 2 occupies zero tokens: doc 3 starts where doc 2 started
+    assert packed[1] == 0
+    assert packed[2] == 3
+    assert packed[3] == 3
+
+
 def test_fingerprinter(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "different")],
