@@ -6,9 +6,10 @@ lineitem) at sf0.001.
 the north-star pipeline operators (dedup / similarity / text analysis /
 multimodal).
 ``oracle_sql()`` — matching DuckDB SQL for every SQL-expressible query;
-rows-only by design: FCM and Canopy (iterative + seeded) and the IVF
-recall gate (train-state-dependent cells); the stub-codec image/audio
-stats ARE oracle-checked (hex-domain keystream replayed in SQL).
+rows-only by design: FCM and Canopy (iterative + seeded). The IVF gate
+is a violations-only recall-floor check (expected empty, WHERE-false
+oracle); the stub-codec image/audio/resize/frame gates ARE
+oracle-checked (hex-domain keystream replayed in SQL).
 """
 
 from __future__ import annotations

@@ -32,6 +32,7 @@ HEADLINE = [
     "dup_clusters_documents",
     "pack_documents",
     "balance_documents",
+    "balance_targets_documents",
     "ahp_score_lineitem",
     "topsis_score_part",
     "online_ahp_events",
@@ -56,6 +57,8 @@ HEADLINE = [
     "winnow_fingerprints_documents",
     "multimodal_meta_documents",
     "multimodal_image_stats",
+    "multimodal_image_resize",
+    "multimodal_frame_means",
     "multimodal_audio_features",
 ]
 

@@ -478,18 +478,26 @@ class SequencePacker(AlgoOperator, HasIdColMixin):
 
 
 class DomainBalancer(AlgoOperator, HasIdColMixin):
-    """Deterministic hash-threshold group balancing.
+    """Deterministic hash-threshold group (re)balancing.
 
-    Downsamples every group (language, source domain, ...) to
-    approximately the size of the smallest group: a row survives iff
+    Default mode downsamples every group (language, source domain, ...)
+    to approximately the size of the smallest group: a row survives iff
     its salted-md5 bucket clears ``floor(min_count / group_count ·
-    65536)``. The keep decision is a pure projection over the row plus
+    65536)``. With ``setTargets({group: fraction})`` the output instead
+    approximates the given composition: the largest feasible output size
+    is ``N = min_g(count_g / frac_g)`` (no group can be oversampled —
+    this sampler only drops rows), each listed group keeps
+    ``frac_g · N`` rows in expectation, and groups absent from the
+    target map are dropped entirely.
+
+    Either way the keep decision is a pure projection over the row plus
     one tiny per-group statistics table (broadcast-joined), so the
     operator is two scans and **no data shuffle** — the exact-quota
     alternative (rank-within-group) would funnel each group through
     one window task, a skew trap when one domain dominates the corpus.
     Sampling is binomial around the quota (±O(√n)); thresholds are
-    integer-derived so Spark and the SQL oracle agree bit-for-bit.
+    derived with the identical expression shape on both engines so
+    Spark and the SQL oracle agree bit-for-bit.
     """
 
     groupCol = Param(Params._dummy(), "groupCol",
@@ -498,10 +506,15 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
     salt = Param(Params._dummy(), "salt",
                  "hash salt; change to draw an independent sample",
                  TypeConverters.toString)
+    targets = Param(Params._dummy(), "targets",
+                    "JSON {group: fraction} output composition; empty = "
+                    "balance to the smallest group",
+                    TypeConverters.toString)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(groupCol="lang", salt="balance", idCol="doc_id")
+        self._setDefault(groupCol="lang", salt="balance", idCol="doc_id",
+                         targets="")
 
     def getGroupCol(self):
         return self.getOrDefault(self.groupCol)
@@ -515,16 +528,49 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
     def setSalt(self, v):
         return self._set(salt=v)
 
+    def getTargets(self) -> dict:
+        import json
+
+        raw = self.getOrDefault(self.targets)
+        return json.loads(raw) if raw else {}
+
+    def setTargets(self, v: dict):
+        import json
+
+        total = sum(v.values())
+        if v and (total <= 0 or any(f <= 0 for f in v.values())):
+            raise ValueError("target fractions must be positive")
+        # normalize so callers may pass weights instead of fractions
+        norm = {k: f / total for k, f in v.items()} if v else {}
+        return self._set(targets=json.dumps(norm, sort_keys=True))
+
     def transform(self, df: DataFrame) -> DataFrame:
         grp = self.getGroupCol()
+        tgt = self.getTargets()
         counts = df.groupBy(grp).agg(F.count("*").alias("__cnt"))
-        stats = (counts
-                 .withColumn("__min",
-                             F.min("__cnt").over(
-                                 Window.partitionBy(F.lit(1))))
-                 .withColumn(
-                     "__keep_below",
-                     F.floor(F.col("__min") * 65536 / F.col("__cnt"))))
+        if not tgt:
+            stats = (counts
+                     .withColumn("__min",
+                                 F.min("__cnt").over(
+                                     Window.partitionBy(F.lit(1))))
+                     .withColumn(
+                         "__keep_below",
+                         F.floor(F.col("__min") * 65536 / F.col("__cnt"))))
+        else:
+            tdf = df.sparkSession.createDataFrame(
+                [(str(k), float(f)) for k, f in tgt.items()],
+                f"__g string, __frac double")
+            stats = (counts
+                     .join(F.broadcast(tdf),
+                           F.col(grp).cast("string") == F.col("__g"))
+                     # largest output size every listed group can supply
+                     .withColumn("__nmax",
+                                 F.min(F.col("__cnt") / F.col("__frac"))
+                                 .over(Window.partitionBy(F.lit(1))))
+                     .withColumn(
+                         "__keep_below",
+                         F.floor(F.col("__frac") * F.col("__nmax")
+                                 * 65536 / F.col("__cnt"))))
         # stats is O(groups) rows — broadcast; the window above runs on
         # that tiny table, not the data
         b = _hash_bucket16(F.col(self.getIdCol()), self.getSalt())

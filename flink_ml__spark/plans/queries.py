@@ -582,6 +582,70 @@ FROM pairs WHERE jaccard >= {t!r}
 """
 
 
+def q_minhash_recall_documents(spark, sf_dir):
+    """LSH quality telemetry: recall of MinHash verified pairs against
+    the exact prefix-filter similarity join on the SAME corpus,
+    shingle size, and threshold. One row (n_exact_pairs, n_found_pairs,
+    recall) — fully oracle-checked because both sides are deterministic
+    (seeded hash family), so an LSH quality regression (band/hash
+    changes, signature bugs) flips the value hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    mh = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    nj = NgramJaccardDeduplicator().setThreshold(0.7)
+    exact = nj.duplicate_pairs(docs).select("id_keep", "id_dup")
+    found = mh.duplicate_pairs(docs).select("id_keep", "id_dup")
+    hit = exact.join(found, ["id_keep", "id_dup"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    nf = hit.agg(F.count(F.lit(1)).cast("long").alias("n_found_pairs"))
+    recall = (F.when(F.col("n_exact_pairs") == 0, F.lit(1.0))
+              .otherwise(F.col("n_found_pairs") / F.col("n_exact_pairs")))
+    return (ne.crossJoin(nf)
+            .select("n_exact_pairs", "n_found_pairs",
+                    F.round(recall, 3).alias("recall")))
+
+
+def _oracle_minhash_recall() -> str:
+    mh = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    nj = NgramJaccardDeduplicator().setThreshold(0.7)
+    t = nj.getThreshold()
+    # both ops share shingleSize=3 → the exact side reuses the minhash
+    # CTE block's shingle table (mhsh)
+    assert mh.getShingleSize() == nj.getShingleSize()
+    return f"""
+WITH {_minhash_dup_ctes(mh, "documents", "mh")},
+mhv AS (SELECT id_l, id_r FROM mhpairs
+        WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
+              len(list_distinct(list_concat(sh_l, sh_r)))
+              >= {mh.getThreshold()!r}),
+exhs AS (SELECT doc_id, sh,
+                list_sort(list_transform(sh, s -> {_H60.format(x='s')}))
+                  AS hs
+         FROM mhsh),
+expre AS (SELECT doc_id, len(hs) AS sz,
+                 unnest(list_slice(hs, 1,
+                        floor({1.0 - t!r} * len(hs))::INT + 1)) AS kh
+          FROM exhs),
+excand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM expre l JOIN expre r
+    ON l.kh = r.kh AND l.doc_id < r.doc_id
+   AND l.sz >= {t!r} * r.sz AND r.sz >= {t!r} * l.sz),
+expairs AS (
+  SELECT c.id_l, c.id_r
+  FROM excand c JOIN mhsh l ON l.doc_id = c.id_l
+                JOIN mhsh r ON r.doc_id = c.id_r
+  WHERE len(list_intersect(l.sh, r.sh))::DOUBLE /
+        len(list_distinct(list_concat(l.sh, r.sh))) >= {t!r}),
+agg AS (SELECT (SELECT count(*) FROM expairs) AS ne,
+               (SELECT count(*) FROM expairs e
+                JOIN mhv m ON e.id_l = m.id_l AND e.id_r = m.id_r) AS nf)
+SELECT ne::BIGINT AS n_exact_pairs, nf::BIGINT AS n_found_pairs,
+       round(CASE WHEN ne = 0 THEN 1.0 ELSE nf::DOUBLE / ne END, 3)
+         AS recall
+FROM agg
+"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     op = EmbeddingCosineDeduplicator().setSeed(7).setThreshold(0.95)
@@ -655,15 +719,24 @@ SELECT query_id, rank, neighbor_id, round(cosine, {R}) AS cosine
 FROM ranked WHERE rank <= 5
 """
 
+ANN_MEAN_RECALL_FLOOR = 0.6   # measured ~0.78-0.80 at sf0.01/sf0.1
+ANN_QUERY_RECALL_FLOOR = 0.0  # no query may miss ALL its true neighbors
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """Recall@5 of the IVF scale path against the exact brute-force
-    baseline on the same query set — one row per query. Rows-only gate
-    (the IVF cell assignment is train-state-dependent and not
-    SQL-expressible); ``tests/test_similarity.py`` additionally asserts
-    a recall floor. The synthetic embeddings are ~uniform on the sphere,
-    so recall here is bounded by the probed corpus fraction
-    (nProbe/nList); clustered real-world corpora concentrate neighbors
-    far better at small probe fractions."""
+    """Recall-floor gate for the IVF scale path: emits ONLY violations
+    against the exact brute-force baseline on the same query set, so the
+    expected result is ZERO rows and the oracle is a WHERE-false shell —
+    a recall regression flips the row count and fails the hash gate.
+
+    Violations emitted: any query whose recall@5 is not above
+    ``ANN_QUERY_RECALL_FLOOR`` (a complete miss), and a ``query_id=-1``
+    sentinel carrying the corpus-wide mean when it drops below
+    ``ANN_MEAN_RECALL_FLOOR``. The per-query floor is deliberately loose:
+    the synthetic embeddings are ~uniform on the sphere, so per-query
+    recall at nProbe/nList=8/16 is noisy (observed min 0.2 at sf0.1)
+    while the mean is stable (~0.78-0.80); clustered real-world corpora
+    concentrate neighbors far better at small probe fractions."""
     from flink_ml__spark.functions.similarity import IVFCosineTopK
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -675,10 +748,29 @@ def q_ann_ivf_topk(spark, sf_dir):
     hits = (exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
     n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return (n.join(hits, "query_id", "left")
-            .select("query_id", "n_exact", n_hit.alias("n_hit"),
-                    F.round(n_hit / F.col("n_exact"), 3).alias("recall_at_5")))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    per_q = (n.join(hits, "query_id", "left")
+             .select("query_id", F.col("n_exact").cast("long").alias("n_exact"),
+                     n_hit.alias("n_hit"),
+                     F.round(n_hit / F.col("n_exact"), 3)
+                     .alias("recall_at_5")))
+    q_viol = per_q.filter(
+        F.col("recall_at_5") <= F.lit(ANN_QUERY_RECALL_FLOOR))
+    mean_viol = (per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(F.avg("recall_at_5"), 3).alias("recall_at_5"))
+        .filter(F.col("recall_at_5") < F.lit(ANN_MEAN_RECALL_FLOOR)))
+    return q_viol.unionByName(mean_viol)
+
+
+# expected-empty shell: schema mirrors the Spark violation frame
+ORACLE_ANN_IVF = """
+SELECT vec_id::BIGINT AS query_id, 0::BIGINT AS n_exact,
+       0::BIGINT AS n_hit, 0.0::DOUBLE AS recall_at_5
+FROM embeddings WHERE false
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1066,6 +1158,71 @@ FROM fp_byte GROUP BY doc_id
 """
 
 
+def q_multimodal_image_resize(spark, sf_dir):
+    """Decode 16x16 (stub codec) then nearest-neighbor resize to 5x7 —
+    non-divisible targets exercise the index math. Pixel arrays are
+    CSV-serialized on both sides (the driver's canonicalizer cannot hash
+    array cells)."""
+    from flink_ml__spark.functions.multimodal import ImageDecoder, ImageResizer
+
+    decoded = (ImageDecoder().setHeight(16).setWidth(16)
+               .transform(_payloads(spark, sf_dir)))
+    out = (ImageResizer().setTargetHeight(5).setTargetWidth(7)
+           .transform(decoded))
+    return out.select(
+        "doc_id", "height", "width",
+        F.array_join(F.transform("pixels", lambda x: x.cast("string")), ",")
+        .alias("pixels"))
+
+
+# nearest-neighbor sample positions: resized (i, j) reads source pixel
+# ((i*16)//5, (j*16)//7), i.e. keystream byte (i*16//5)*16 + (j*16//7)
+ORACLE_MULTIMODAL_IMAGE_RESIZE = f"""
+WITH {_fake_bytes_ctes(256)},
+grid AS (SELECT i, j, (i * 16 // 5) * 16 + (j * 16 // 7) AS pos
+         FROM range(0, 5) t(i), range(0, 7) u(j)),
+sel AS (SELECT fb.doc_id, g.i, g.j, fb.b
+        FROM fp_byte fb JOIN grid g ON fb.pos = g.pos)
+SELECT doc_id, 5 AS height, 7 AS width,
+       string_agg(b::VARCHAR, ',' ORDER BY i, j) AS pixels
+FROM sel GROUP BY doc_id
+"""
+
+
+def q_multimodal_frame_means(spark, sf_dir):
+    """FrameSampler gate: every 2nd notional 256-byte frame of the
+    payload, stub-decoded to a 64-byte keystream whose mean intensity is
+    the per-frame feature — explode-shaped (doc_id, frame_index,
+    frame_mean). SQL-replayable because the corpus is ASCII (VARCHAR
+    slicing == byte slicing) and the fake codec's keystream lives in the
+    hex-string domain."""
+    from flink_ml__spark.functions.multimodal import FrameSampler
+
+    out = (FrameSampler().setFrameBytes(256).setStride(2)
+           .transform(_payloads(spark, sf_dir)))
+    return out.select("doc_id", "frame_index",
+                      F.round("frame_mean", R).alias("frame_mean"))
+
+
+ORACLE_MULTIMODAL_FRAMES = f"""
+WITH fr AS (
+  -- constant range bound (DuckDB's range() cannot take a lateral
+  -- column); 256 frames * 256 B = 64 KiB >> the corpus's max doc
+  SELECT doc_id, i::INT AS frame_index,
+         sha256(substring(text, i * 256 + 1, 256)) AS seed
+  FROM documents, range(0, 256) t(i)
+  WHERE i < greatest(length(text) // 256, 1) AND i % 2 = 0),
+blk AS (SELECT doc_id, frame_index,
+               sha256(seed || ':' || k::VARCHAR) AS hx
+        FROM fr, range(0, 2) u(k)),
+byt AS (SELECT doc_id, frame_index,
+               ('0x' || substr(hx, j * 2 + 1, 2))::INT AS b
+        FROM blk, range(0, 32) v(j))
+SELECT doc_id, frame_index, round(avg(b), {R}) AS frame_mean
+FROM byt GROUP BY doc_id, frame_index
+"""
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     from flink_ml__spark.functions.multimodal import AudioFeatureExtractor
 
@@ -1306,6 +1463,36 @@ FROM documents d JOIN st USING (lang)
 WHERE {_BUCKET16.format(salt='balance', x='doc_id')} < st.kb
 """
 
+# non-uniform target composition; 'de' deliberately absent → dropped
+BAL_TARGETS = {"en": 0.4, "zh": 0.3, "es": 0.2, "fr": 0.1}
+
+
+def q_balance_targets_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import DomainBalancer
+
+    docs = load_table(spark, "documents", sf_dir)
+    op = DomainBalancer().setGroupCol("lang").setTargets(BAL_TARGETS)
+    return op.transform(docs).select("doc_id", "lang")
+
+
+def _oracle_balance_targets() -> str:
+    from flink_ml__spark.functions.curation import DomainBalancer
+
+    # read the NORMALIZED fractions back from the op so the float
+    # literals match Spark's bit-for-bit (setTargets divides by the sum)
+    norm = (DomainBalancer().setTargets(BAL_TARGETS)).getTargets()
+    items = ", ".join(f"('{k}', {v!r})" for k, v in sorted(norm.items()))
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+tgt AS (SELECT * FROM (VALUES {items}) t(lang, frac)),
+st AS (SELECT lang, cnt, frac, min(cnt / frac) OVER () AS nmax
+       FROM counts JOIN tgt USING (lang)),
+th AS (SELECT lang, floor(frac * nmax * 65536 / cnt)::BIGINT AS kb FROM st)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE {_BUCKET16.format(salt='balance', x='doc_id')} < th.kb
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -1328,6 +1515,7 @@ QUERIES = {
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "minhash_recall_documents": q_minhash_recall_documents,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1345,8 +1533,11 @@ QUERIES = {
     "dup_clusters_documents": q_dup_clusters_documents,
     "pack_documents": q_pack_documents,
     "balance_documents": q_balance_documents,
+    "balance_targets_documents": q_balance_targets_documents,
     "multimodal_meta_documents": q_multimodal_meta_documents,
     "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_image_resize": q_multimodal_image_resize,
+    "multimodal_frame_means": q_multimodal_frame_means,
     "multimodal_audio_features": q_multimodal_audio_features,
 }
 
@@ -1366,8 +1557,12 @@ ORACLES = {
     "dedup_minhash_documents": _oracle_minhash(),
     "dedup_simhash_documents": _oracle_simhash(),
     "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),
+    "minhash_recall_documents": _oracle_minhash_recall(),
     "dedup_embedding_cosine": _oracle_embedding_dedup(),
     "ann_cosine_topk": ORACLE_ANN,
+    # violations-only recall-floor gate: expected EMPTY on both sides —
+    # a recall regression emits rows and fails the count/hash check
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "lang_id_documents": _oracle_lang_id(),
     "quality_documents": ORACLE_QUALITY,
     "quality_filter_documents": ORACLE_QUALITY_FILTER,
@@ -1382,10 +1577,13 @@ ORACLES = {
     "dup_clusters_documents": _oracle_dup_clusters(),
     "pack_documents": ORACLE_PACK,
     "balance_documents": ORACLE_BALANCE,
+    "balance_targets_documents": _oracle_balance_targets(),
     "multimodal_meta_documents": ORACLE_MULTIMODAL_META,
-    # image/audio stats ARE oracle-checked: the fake codec's hex-domain
-    # keystream was chosen so DuckDB can replay the decode (real codecs
-    # stay env-gated; the frame sampler remains rows-only)
+    # image/audio/resize/frame gates ARE oracle-checked: the fake
+    # codec's hex-domain keystream was chosen so DuckDB can replay the
+    # decode (real codecs stay env-gated)
     "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
+    "multimodal_image_resize": ORACLE_MULTIMODAL_IMAGE_RESIZE,
+    "multimodal_frame_means": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO,
 }

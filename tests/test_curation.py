@@ -198,3 +198,28 @@ def test_domain_balancer_balances(spark):
     again = DomainBalancer().setGroupCol("lang").transform(df)
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_domain_balancer_target_composition(spark):
+    rows = ([(i, "en") for i in range(800)]
+            + [(i + 1000, "de") for i in range(150)]
+            + [(i + 2000, "fr") for i in range(50)])
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # weights (not fractions) — setTargets normalizes; 'de' omitted
+    out = (DomainBalancer().setGroupCol("lang")
+           .setTargets({"en": 3, "fr": 1}).transform(df))
+    counts = {r["lang"]: r["count"]
+              for r in out.groupBy("lang").count().collect()}
+    assert "de" not in counts          # unlisted groups are dropped
+    # feasibility: N = min(800/0.75, 50/0.25) = 200 → en≈150, fr≈50
+    assert 120 <= counts["en"] <= 180
+    assert counts["fr"] >= 40          # fr is the limiting group
+    # composition ratio ≈ 3:1 (binomial tolerance)
+    assert 2.0 <= counts["en"] / counts["fr"] <= 4.5
+
+
+def test_domain_balancer_target_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DomainBalancer().setTargets({"en": -0.5, "de": 0.5})

@@ -65,16 +65,14 @@ def test_ivf_index_save_load(spark, tmp_path):
 
 
 def test_ivf_recall_gate_query(spark):
-    """The ann_ivf_topk gate query: one row per query, recall@5 of the
-    spherical IVF path vs brute force clears a floor at sf0.001."""
+    """The ann_ivf_topk gate is violations-only: an empty result means
+    mean recall@5 clears ANN_MEAN_RECALL_FLOOR and no query misses all
+    its true neighbors. A recall regression emits rows."""
     from flink_ml__spark.plans.queries import q_ann_ivf_topk
 
     rows = q_ann_ivf_topk(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 10           # vec_id % 50 == 0 over 500 vectors
-    for r in rows:
-        assert r["n_exact"] == 5
-        assert 0 <= r["n_hit"] <= 5
-    mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
-    # ~uniform synthetic embeddings: recall is bounded by the probed
-    # fraction (8/16 cells); clustered corpora do far better
-    assert mean_recall >= 0.6
+    assert rows == []
+    # the violation frame's schema is the gate contract (WHERE-false
+    # oracle mirrors it)
+    df = q_ann_ivf_topk(spark, "/root/testdata/sf0.001")
+    assert df.columns == ["query_id", "n_exact", "n_hit", "recall_at_5"]
