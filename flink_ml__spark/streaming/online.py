@@ -89,15 +89,35 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
     out_fields = list(stream_df.schema.fields) + [
         T.StructField(out_col, T.DoubleType())]
     out_schema = T.StructType(out_fields)
+    # append-only chunked Arrow state: each micro-batch serializes ONLY
+    # its own rows to one Arrow-IPC chunk and appends it — earlier
+    # chunks are carried as opaque bytes and never re-parsed until the
+    # window fires, so per-batch Python work is O(batch), not
+    # O(rows buffered so far) (the previous JSON buffer re-parsed and
+    # re-stringified the whole window every micro-batch)
     state_schema = T.StructType(
-        [T.StructField("rows_json", T.StringType())])
+        [T.StructField("chunks", T.ArrayType(T.BinaryType()))])
     in_names = [f.name for f in stream_df.schema.fields]
-    # every timestamp column must round-trip the JSON buffer as int64
-    # nanos, not just time_col — to_json would otherwise serialize them
-    # to epoch millis that re-emit in the wrong unit
+    # timestamps ride the buffer as int64 nanos: chunk-local Arrow
+    # schemas stay primitive and the fire-time concat cannot upcast
     ts_names = [f.name for f in stream_df.schema.fields
                 if isinstance(f.dataType,
                               (T.TimestampType, T.TimestampNTZType))]
+
+    def _chunk_of(pdf: pd.DataFrame) -> bytes:
+        import pyarrow as pa
+
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        return sink.getvalue().to_pybytes()
+
+    def _frames_of(chunks) -> list[pd.DataFrame]:
+        import pyarrow as pa
+
+        return [pa.ipc.open_stream(c).read_all().to_pandas()
+                for c in chunks]
 
     def score_fn(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
@@ -106,36 +126,31 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
         win_end_ms = int(pd.Timestamp(win_end).timestamp() * 1000)
         frames = [p for p in pdfs if len(p)]
         batch = pd.concat(frames, ignore_index=True) if frames else None
-        (old_json,) = state.get if state.exists else (None,)
-        parts = []
-        if old_json:
-            from io import StringIO
-
-            parts.append(pd.read_json(StringIO(old_json), orient="split",
-                                      convert_dates=False))
+        (chunks,) = state.get if state.exists else ([],)
+        chunks = list(chunks or [])
         if batch is not None and len(batch):
             b = batch[in_names].copy()
             for c in ts_names:
                 b[c] = b[c].astype("int64")  # ns → stable ints
-            parts.append(b)
-        data = (pd.concat(parts, ignore_index=True)
-                if parts else pd.DataFrame(columns=in_names))
+            chunks.append(_chunk_of(b))
 
         fire = (state.hasTimedOut
                 or (state.getCurrentWatermarkMs() >= win_end_ms))
         if fire:
             state.remove()
+            if not chunks:
+                return
+            data = pd.concat(_frames_of(chunks), ignore_index=True)
             if not len(data):
                 return
             scores = score_window_ahp(
                 data[cols].to_numpy(dtype=float), types, ahp_w)
-            data = data.copy()
             data[out_col] = scores
             for c in ts_names:
                 data[c] = pd.to_datetime(data[c])
             yield data
         else:
-            state.update((data.to_json(orient="split"),))
+            state.update((chunks,))
             state.setTimeoutTimestamp(win_end_ms)
             return
 

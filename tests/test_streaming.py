@@ -36,6 +36,46 @@ def _op():
             .setTimeCol("rowtime").setOutputCol("output"))
 
 
+def test_stream_online_ahp_accumulates_across_micro_batches(spark):
+    """One row per micro-batch (9 batches): windows must accumulate in
+    the chunked Arrow state across batches and still score identically
+    to the batch operator when the watermark closes them."""
+    import glob
+    import os
+
+    df = _online_df(spark)
+    src = tempfile.mkdtemp(prefix="stream_src_mb_")
+    stage = tempfile.mkdtemp(prefix="stream_stage_mb_")
+    try:
+        rows = df.orderBy("rowtime").collect()
+        for i, r in enumerate(rows):
+            part = os.path.join(stage, f"p{i}")
+            (df.filter(df["id"] == r["id"]).coalesce(1)
+             .write.mode("overwrite").parquet(part))
+            (pq_file,) = glob.glob(os.path.join(part, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copyfile(pq_file, dst)
+            # FileStreamSource picks oldest-mtime first: make the
+            # event-time order the arrival order
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        stream_df = (spark.readStream.schema(df.schema)
+                     .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_online_ahp(stream_df, _op())
+        q = (out.writeStream.format("memory").queryName("ahp_stream_mb")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        n_batches = len(q.recentProgress)
+        assert n_batches >= 9, n_batches   # truly one file per trigger
+        got = {(r["id"], r["Marketcap"]): r["output"]
+               for r in spark.sql("SELECT * FROM ahp_stream_mb").collect()}
+        assert len(got) == 6               # first two windows fire
+        for key, score in got.items():
+            assert math.isclose(score, ONLINE_GOLDEN[key], abs_tol=1e-4), key
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def test_stream_online_ahp_matches_batch(spark, stream_source):
     stream_df, batch_df = stream_source
     out = stream_online_ahp(stream_df, _op())
