@@ -55,6 +55,8 @@ HEADLINE = [
     "token_count_documents",
     "fingerprint_documents",
     "winnow_fingerprints_documents",
+    "pii_redact_documents",
+    "corpus_profile_documents",
     "multimodal_meta_documents",
     "multimodal_image_stats",
     "multimodal_image_resize",

@@ -24,7 +24,10 @@ pipeline runs between "raw crawl" and "tokenizer input":
   token windows, the layout step before writing tokenizer shards.
 * :class:`DomainBalancer`        — deterministic hash-threshold
   downsampling so every group (language / source domain) lands at the
-  size of the smallest one.
+  size of the smallest one, or at a caller-given target composition.
+* :class:`CorpusProfiler`        — per-group corpus statistics (doc
+  counts, char totals, exact p50/p90/p99 of a numeric column), the
+  monitoring table every curation run reports.
 
 Design rules shared with the rest of the engine: built-in Catalyst
 expressions wherever possible (whole-stage codegen, no Python in the
@@ -577,3 +580,57 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
         return (df.join(F.broadcast(stats.select(grp, "__keep_below")), grp)
                 .filter(b < F.col("__keep_below"))
                 .drop("__keep_below"))
+
+
+class CorpusProfiler(AlgoOperator):
+    """Per-group corpus statistics: document count, total/mean size, and
+    exact p50/p90/p99 of a numeric column, grouped by arbitrary columns
+    (language, source domain, split, ...).
+
+    One ``groupBy`` aggregation — partial+final merge, output is
+    O(groups) rows. ``percentile`` is the exact (interpolating) SQL
+    aggregate rather than ``approx_percentile``: the t-digest sketch is
+    engine-specific and would never match a SQL oracle, while the exact
+    form sorts only within each (tiny) group's aggregation buffer. For
+    genuinely huge per-group cardinalities swap in
+    ``approx_percentile`` via ``setExact(False)`` (then the result is
+    approximate and not oracle-comparable).
+    """
+
+    groupCols = Param(Params._dummy(), "groupCols",
+                      "columns to group the profile by",
+                      TypeConverters.toListString)
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "numeric column to profile",
+                     TypeConverters.toString)
+    exact = Param(Params._dummy(), "exact",
+                  "exact percentiles (matchable) vs approx_percentile",
+                  TypeConverters.toBoolean)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCols=["lang"], valueCol="n_chars", exact=True)
+
+    def setGroupCols(self, *v):
+        return self._set(groupCols=list(v))
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setExact(self, v):
+        return self._set(exact=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.getOrDefault(self.valueCol))
+        fn = "percentile" if self.getOrDefault(self.exact) \
+            else "approx_percentile"
+        pcts = F.expr(
+            f"{fn}({self.getOrDefault(self.valueCol)}, "
+            "array(0.5D, 0.9D, 0.99D))")
+        return (df.groupBy(*self.getOrDefault(self.groupCols))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(v).alias("total_value"),
+                     F.avg(v).alias("mean_value"),
+                     pcts[0].alias("p50"),
+                     pcts[1].alias("p90"),
+                     pcts[2].alias("p99")))

@@ -133,6 +133,47 @@ class TokenCounter(AlgoOperator, HasInputCol, HasOutputCol):
                 .withColumn(f"{self.getOutputCol()}_bpe", bpe))
 
 
+class PiiRedactor(AlgoOperator, HasInputCol, HasOutputCol):
+    """PII scrubbing for training corpora: replaces emails, IPv4
+    addresses, long id-like digit runs, and phone numbers with typed
+    placeholder tokens, and appends per-category match counts.
+
+    Pure codegen (`regexp_replace`/`regexp_count` — no UDFs), so the
+    pass pipelines with the scan at 100 TB. Patterns are deliberately
+    RE2-compatible (no lookaround) so the DuckDB oracle replays them
+    verbatim. Replacement is SEQUENTIAL (email → ip → id → phone) and
+    each category is counted on the text as it stands when its pass
+    runs, so e.g. digits inside an already-redacted email cannot be
+    double-counted as a phone number.
+    """
+
+    # (pattern, token, count column suffix), applied in order
+    PATTERNS = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}",
+         "<EMAIL>", "emails"),
+        (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>", "ips"),
+        (r"\b\d{9,}\b", "<ID>", "ids"),
+        (r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}\b",
+         "<PHONE>", "phones"),
+    ]
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="text_redacted")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cur = F.col(self.getInputCol())
+        counts = []
+        for pat, tok, name in self.PATTERNS:
+            counts.append((f"n_pii_{name}",
+                           F.regexp_count(cur, F.lit(pat))))
+            cur = F.regexp_replace(cur, pat, tok)
+        out = df.withColumn(self.getOutputCol(), cur)
+        for name, c in counts:
+            out = out.withColumn(name, c)
+        return out
+
+
 class Fingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
     """Deterministic document fingerprint: md5 of the case/whitespace
     normalized text (md5 is available in every engine, so the oracle can

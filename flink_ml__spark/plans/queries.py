@@ -1085,6 +1085,88 @@ FROM e WHERE doc_id NOT IN (SELECT id_r FROM mhdups)
 """
 
 
+def q_pii_redact_documents(spark, sf_dir):
+    """PII scrubbing gate. The synthetic corpus carries no real PII, so
+    the gate plants deterministic doc_id-derived emails/IPs/ids/phones
+    into the text on BOTH engines and checks counts plus the md5 of the
+    redacted output."""
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" ref "),
+            (F.col("doc_id") * 1000003 + 123456789).cast("string"),
+            F.lit(" call +1 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    out = PiiRedactor().transform(aug)
+    return out.select("doc_id", "n_pii_emails", "n_pii_ips", "n_pii_ids",
+                      "n_pii_phones",
+                      F.md5("text_redacted").alias("redacted_md5"))
+
+
+def _oracle_pii_redact() -> str:
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    steps = []
+    prev = "t0"
+    for i, (pat, tok, name) in enumerate(PiiRedactor.PATTERNS, start=1):
+        steps.append(
+            f"len(regexp_extract_all({prev}, '{pat}')) AS n_pii_{name},\n"
+            f"       regexp_replace({prev}, '{pat}', '{tok}', 'g') AS t{i}")
+        prev = f"t{i}"
+    sel = ",\n       ".join(steps)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || doc_id || '@example.com or 10.' ||
+         (doc_id % 200) || '.0.' || (doc_id % 250) || ' ref ' ||
+         (doc_id * 1000003 + 123456789) || ' call +1 415-555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t0
+  FROM documents),
+red AS (
+  SELECT doc_id,
+       {sel}
+  FROM aug)
+SELECT doc_id, n_pii_emails, n_pii_ips, n_pii_ids, n_pii_phones,
+       md5(t{len(PiiRedactor.PATTERNS)}) AS redacted_md5
+FROM red
+"""
+
+
+def q_corpus_profile_documents(spark, sf_dir):
+    from flink_ml__spark.functions.curation import CorpusProfiler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (CorpusProfiler().setGroupCols("lang", "source")
+           .setValueCol("n_chars").transform(docs))
+    return out.select(
+        "lang", "source", "n_docs", "total_value",
+        F.round("mean_value", R).alias("mean_value"),
+        F.round("p50", R).alias("p50"),
+        F.round("p90", R).alias("p90"),
+        F.round("p99", R).alias("p99"))
+
+
+ORACLE_CORPUS_PROFILE = f"""
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_value,
+       round(avg(n_chars), {R}) AS mean_value,
+       round(quantile_cont(n_chars, 0.5), {R}) AS p50,
+       round(quantile_cont(n_chars, 0.9), {R}) AS p90,
+       round(quantile_cont(n_chars, 0.99), {R}) AS p99
+FROM documents GROUP BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # 22-24. multimodal columns (binary payload built deterministically from
 # documents.text; decode is the stubbed fake codec — plumbing is real)
@@ -1525,6 +1607,8 @@ QUERIES = {
     "token_count_documents": q_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+    "pii_redact_documents": q_pii_redact_documents,
+    "corpus_profile_documents": q_corpus_profile_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
@@ -1569,6 +1653,8 @@ ORACLES = {
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
+    "pii_redact_documents": _oracle_pii_redact(),
+    "corpus_profile_documents": ORACLE_CORPUS_PROFILE,
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,
     "split_documents": ORACLE_SPLIT,

@@ -218,6 +218,25 @@ def test_domain_balancer_target_composition(spark):
     assert 2.0 <= counts["en"] / counts["fr"] <= 4.5
 
 
+def test_corpus_profiler_exact_percentiles(spark):
+    from flink_ml__spark.functions.curation import CorpusProfiler
+
+    rows = ([("en", "web", float(i)) for i in range(1, 11)]
+            + [("de", "web", 5.0)])
+    df = spark.createDataFrame(rows, ["lang", "source", "n_chars"])
+    got = {(r["lang"], r["source"]): r
+           for r in (CorpusProfiler().setGroupCols("lang", "source")
+                     .transform(df).collect())}
+    en = got[("en", "web")]
+    assert en["n_docs"] == 10
+    assert en["total_value"] == 55.0
+    assert en["mean_value"] == 5.5
+    assert en["p50"] == 5.5          # interpolated median of 1..10
+    assert en["p90"] == 9.1
+    de = got[("de", "web")]
+    assert de["n_docs"] == 1 and de["p50"] == 5.0 == de["p99"]
+
+
 def test_domain_balancer_target_validation():
     import pytest as _pytest
 

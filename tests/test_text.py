@@ -71,6 +71,43 @@ def test_token_counter_null_text_counts_zero(spark):
     assert packed[3] == 3
 
 
+def test_pii_redactor(spark):
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b%x@foo-bar.co.uk, ip 10.0.255.7, "
+             "call +1 (415) 555-0199, ref 123456789012"),
+         (2, "no pii here at all")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in PiiRedactor().transform(df).collect()}
+    r1 = got[1]
+    assert r1["n_pii_emails"] == 1
+    assert r1["n_pii_ips"] == 1
+    assert r1["n_pii_ids"] == 1
+    assert r1["n_pii_phones"] == 1
+    assert r1["text_redacted"] == (
+        "mail <EMAIL>, ip <IP>, call <PHONE>, ref <ID>")
+    r2 = got[2]
+    assert r2["text_redacted"] == "no pii here at all"
+    assert (r2["n_pii_emails"], r2["n_pii_ips"],
+            r2["n_pii_ids"], r2["n_pii_phones"]) == (0, 0, 0, 0)
+
+
+def test_pii_redactor_no_double_count(spark):
+    """Digits inside an already-redacted email must not count again as
+    an id/phone — counts run sequentially on the partially redacted
+    text."""
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    df = spark.createDataFrame(
+        [(1, "user123456789012@example.com")], ["doc_id", "text"])
+    r = PiiRedactor().transform(df).first()
+    assert r["n_pii_emails"] == 1
+    assert r["n_pii_ids"] == 0
+    assert r["n_pii_phones"] == 0
+    assert r["text_redacted"] == "<EMAIL>"
+
+
 def test_fingerprinter(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "different")],
