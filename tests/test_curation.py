@@ -237,6 +237,31 @@ def test_corpus_profiler_exact_percentiles(spark):
     assert de["n_docs"] == 1 and de["p50"] == 5.0 == de["p99"]
 
 
+def test_new_operator_save_load_roundtrip(spark, tmp_path):
+    """Reference testSaveLoad pattern for the newest operators: params
+    (including the JSON targets map) survive save → load → transform."""
+    from flink_ml__spark.functions.curation import CorpusProfiler
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    bal = (DomainBalancer().setGroupCol("lang")
+           .setTargets({"en": 3, "fr": 1}).setSalt("s2"))
+    bal.save(str(tmp_path / "bal"))
+    bal2 = DomainBalancer.load(spark, str(tmp_path / "bal"))
+    assert bal2.getTargets() == bal.getTargets()
+    assert bal2.getSalt() == "s2"
+
+    prof = CorpusProfiler().setGroupCols("lang", "source").setValueCol("n_chars")
+    prof.save(str(tmp_path / "prof"))
+    prof2 = CorpusProfiler.load(spark, str(tmp_path / "prof"))
+    assert prof2.getOrDefault(prof2.groupCols) == ["lang", "source"]
+
+    red = PiiRedactor().setInputCol("body").setOutputCol("clean")
+    red.save(str(tmp_path / "red"))
+    red2 = PiiRedactor.load(spark, str(tmp_path / "red"))
+    df = spark.createDataFrame([("x@y.io",)], ["body"])
+    assert red2.transform(df).first()["clean"] == "<EMAIL>"
+
+
 def test_domain_balancer_target_validation():
     import pytest as _pytest
 
