@@ -15,6 +15,7 @@ from flink_ml__spark.functions.dedup import (
     SimHashDeduplicator,
 )
 from flink_ml__spark.operators import FCM, AHP, Topsis
+from pyspark.sql.functions import col as F_col
 
 MATRIX2 = [[1.0, 2.0], [0.5, 1.0]]
 
@@ -320,3 +321,59 @@ def test_online_ahp_matches_numpy_replica(spark, data):
                 assert g is None or math.isnan(g), (d, i)
             else:
                 assert g == pytest.approx(e, abs=1e-9), (d, i)
+
+
+@H
+@given(texts=st.lists(
+    st.text(alphabet="abc @.0123456789-+", min_size=0, max_size=60),
+    min_size=1, max_size=6))
+def test_pii_redactor_idempotent(spark, texts):
+    """Redaction is a fixpoint: placeholder tokens contain nothing any
+    PII pattern can match, so a second pass changes nothing and counts
+    zero."""
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = (PiiRedactor().transform(df)
+            .select("doc_id", F_col("text_redacted").alias("text")))
+    twice = PiiRedactor().transform(once)
+    for r in twice.collect():
+        assert r["text_redacted"] == r["text"]
+        assert (r["n_pii_emails"] == r["n_pii_ips"] == r["n_pii_ids"]
+                == r["n_pii_phones"] == 0)
+
+
+@H
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=5, max_size=30, unique=True))
+def test_splitter_partition_layout_invariant(spark, ids):
+    """The salted-hash split must not depend on physical partitioning —
+    the property df.randomSplit lacks."""
+    from flink_ml__spark.functions.curation import DeterministicSplitter
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    op = DeterministicSplitter()
+    one = {r["doc_id"]: r["split"]
+           for r in op.transform(df.coalesce(1)).collect()}
+    many = {r["doc_id"]: r["split"]
+            for r in op.transform(df.repartition(8)).collect()}
+    assert one == many
+    assert set(one.values()) <= {"train", "val", "test"}
+
+
+@H
+@given(sizes=st.tuples(st.integers(min_value=30, max_value=120),
+                       st.integers(min_value=30, max_value=120)))
+def test_balancer_targets_output_is_subset_and_deterministic(spark, sizes):
+    from flink_ml__spark.functions.curation import DomainBalancer
+
+    na, nb = sizes
+    rows = ([(i, "a") for i in range(na)]
+            + [(1000 + i, "b") for i in range(nb)])
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    op = DomainBalancer().setGroupCol("lang").setTargets({"a": 1, "b": 1})
+    out1 = sorted(r["doc_id"] for r in op.transform(df).collect())
+    out2 = sorted(r["doc_id"] for r in op.transform(df).collect())
+    assert out1 == out2                       # deterministic
+    assert set(out1) <= {r[0] for r in rows}  # sampler only drops rows
