@@ -36,6 +36,43 @@ def _op():
             .setTimeCol("rowtime").setOutputCol("output"))
 
 
+def test_map_only_operators_stream_compatible(spark):
+    """Every map-only operator (pure projection plans) must accept a
+    streaming DataFrame unchanged — the property that makes the text /
+    curation / multimodal stages reusable as streaming stages without
+    wrappers."""
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.curation import DeterministicSplitter
+    from flink_ml__spark.functions.text import (
+        LanguageIdentifier,
+        PiiRedactor,
+        QualityScorer,
+        TokenCounter,
+    )
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    d = _tf.mkdtemp(prefix="stream_mapops_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        out = stream
+        for op in [PiiRedactor(), TokenCounter(), LanguageIdentifier(),
+                   QualityScorer(), DeterministicSplitter()]:
+            out = op.transform(out)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("mapops")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT count(*) AS n, count(text_redacted) AS nr, "
+            "count(split) AS ns FROM mapops").first()
+        assert rows["n"] == docs.count() == rows["nr"] == rows["ns"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_online_ahp_accumulates_across_micro_batches(spark):
     """One row per micro-batch (9 batches): windows must accumulate in
     the chunked Arrow state across batches and still score identically
