@@ -355,3 +355,20 @@ def array_width(df: DataFrame, col: str) -> int:
     if row is None:
         raise ValueError(f"cannot infer width of '{col}': empty input")
     return int(row["n"])
+
+
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the source has fewer splits.
+
+    Heavy per-row Arrow passes otherwise run in the few source tasks —
+    the local test fixtures are single-row-group parquet, i.e. ONE
+    split, which serializes the whole pass on one core. On a well-split
+    source (the 100 TB lake case: one split per ~128 MB) this is a
+    no-op, so no shuffle is added where the scan already parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -187,7 +187,11 @@ class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
                     for p in pdf[bcol]]
                 yield pdf
 
-        return df.mapInPandas(decode, schema)
+        from flink_ml__spark.base import ensure_min_parallelism
+
+        # decode is the heavy Python stage and sets the partitioning the
+        # resize/stats stages inherit — spread few-split sources here
+        return ensure_min_parallelism(df).mapInPandas(decode, schema)
 
 
 class ImageResizer(AlgoOperator):
@@ -310,6 +314,8 @@ class FrameSampler(AlgoOperator, HasBinaryCol, HasDecoder):
                        else pd.DataFrame(columns=list(pdf.columns)
                                          + ["frame_index", "frame_mean"]))
 
+        # no repartition: measured neutral at sf0.1 — the payload
+        # shuffle costs what the extra parallelism buys back
         return df.mapInPandas(sample, schema)
 
 
@@ -353,4 +359,6 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
                 pdf["peak"] = peak
                 yield pdf
 
+        # no repartition: measured slightly NEGATIVE at sf0.1 (payload
+        # shuffle > parallelism gain for this cheap pass)
         return df.mapInPandas(feats, schema)

@@ -260,8 +260,12 @@ class WinnowingFingerprinter(AlgoOperator, HasInputCol, HasOutputCol):
                 out.append(sorted(fps))
             return pd.Series(out)
 
-        return df.withColumn(self.getOutputCol(),
-                             winnow(F.col(self.getInputCol())))
+        from flink_ml__spark.base import ensure_min_parallelism
+
+        # the per-gram md5 pass is the heaviest Python map in the text
+        # family — spread few-split sources before it
+        return ensure_min_parallelism(df).withColumn(
+            self.getOutputCol(), winnow(F.col(self.getInputCol())))
 
 
 class QualityFilter(AlgoOperator, HasInputCol):

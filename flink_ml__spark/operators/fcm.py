@@ -275,6 +275,10 @@ class FCM(Estimator, FCMParams):
         fcol = self.getFeaturesCol()
         p = 2.0 / (m - 1.0)
 
+        # NOT ensure_min_parallelism'd: fanning a small cached table to
+        # defaultParallelism makes every epoch pay ~32 task launches for
+        # sub-ms compute each (measured 3.8 → 4.4 s at sf0.1); a lake-
+        # scale feature table arrives well-split from the scan anyway
         pts = df.select(as_double_array(df, fcol).alias("x"))
         # epoch-1's Δu compares against the Dirichlet init, so materialize
         # it as a column once (seeded per-row hash → partition-independent)
