@@ -481,30 +481,41 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
     def setThreshold(self, v):
         return self._set(threshold=float(v))
 
-    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        """(id_keep, id_dup, jaccard) — exact, prefix-filtered.
-
-        Jaccard runs on the 60-bit shingle hashes (value-identical to
-        string shingles modulo md5 collisions; the DuckDB oracle uses the
-        strings) — see :func:`shingle_hash_udf` for why not HOFs."""
-        n = self.getShingleSize()
-        t = self.getThreshold()
+    def hashed_table(self, df: DataFrame) -> DataFrame:
+        """(__id, __sh) sorted-shingle-hash base, persisted behind a
+        shuffle barrier (same rationale as
+        ``MinHashDeduplicator.hashed_table``)."""
         idc = self.getIdCol()
-
-        xs = shingle_hash_udf(n)(F.col(self.getInputCol()))
+        xs = shingle_hash_udf(self.getShingleSize())(
+            F.col(self.getInputCol()))
         base = (df.select(idc, self.getInputCol())
                 .repartition(F.col(idc))
                 .select(F.col(idc).alias("__id"),
                         F.array_sort(xs).alias("__sh"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
         base.count()  # eager: both join sides read it (see MinHash note)
+        return base
 
-        # prefix length L = ⌊(1−t)·|X|⌋ + 1  (≡ |X| − ⌈t·|X|⌉ + 1)
+    def _prefix_keys(self, base: DataFrame) -> DataFrame:
+        """Explode each doc's prefix — the first ⌊(1−t)·|X|⌋ + 1 sorted
+        hashes (≡ |X| − ⌈t·|X|⌉ + 1): any pair with J ≥ t must share its
+        globally-smallest common hash inside BOTH prefixes."""
+        t = self.getThreshold()
         sz = F.size("__sh")
         prefix_len = (F.floor(F.lit(1.0 - t) * sz) + 1).cast("int")
-        keys = base.select(
+        return base.select(
             "__id", sz.alias("__sz"),
             F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__k"))
+
+    def duplicate_pairs(self, df: DataFrame) -> DataFrame:
+        """(id_keep, id_dup, jaccard) — exact, prefix-filtered.
+
+        Jaccard runs on the 60-bit shingle hashes (value-identical to
+        string shingles modulo md5 collisions; the DuckDB oracle uses the
+        strings) — see :func:`shingle_hash_udf` for why not HOFs."""
+        t = self.getThreshold()
+        base = self.hashed_table(df)
+        keys = self._prefix_keys(base)
         left = keys.select("__k", F.col("__id").alias("__id_l"),
                            F.col("__sz").alias("__sz_l"))
         right = keys.select("__k", F.col("__id").alias("__id_r"),
@@ -530,6 +541,45 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
     def transform(self, df: DataFrame) -> DataFrame:
         dups = (self.duplicate_pairs(df)
                 .select(F.col("id_dup").alias("__dup_id")).distinct())
+        return _keep_non_dominated(df, dups, self.getIdCol())
+
+    def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
+                          *, corpus_hashed: DataFrame | None = None) -> DataFrame:
+        """Incremental EXACT dedup against a corpus (same contract as
+        ``MinHashDeduplicator.transform_against``: the corpus always
+        wins, intra-``df`` duplicates untouched) — but with the
+        prefix-filter join, so unlike the MinHash variant it has zero
+        false negatives. The prefix property is symmetric (smallest
+        common hash lands in both prefixes), so no id ordering is
+        needed across the two tables. Pass ``corpus_hashed`` (a
+        :meth:`hashed_table` result) to amortize the corpus shingle
+        pass across calls."""
+        if corpus_hashed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_hashed")
+            corpus_hashed = self.hashed_table(corpus)
+        t = self.getThreshold()
+        new_h = self.hashed_table(df)
+        nk = self._prefix_keys(new_h).select(
+            "__k", F.col("__id").alias("__id_n"),
+            F.col("__sz").alias("__sz_n"))
+        ck = self._prefix_keys(corpus_hashed).select(
+            "__k", F.col("__id").alias("__id_c"),
+            F.col("__sz").alias("__sz_c"))
+        cand = (nk.join(ck, "__k")
+                .filter((F.col("__sz_n") >= F.lit(t) * F.col("__sz_c"))
+                        & (F.col("__sz_c") >= F.lit(t) * F.col("__sz_n")))
+                .select("__id_n", "__id_c")
+                .dropDuplicates(["__id_n", "__id_c"]))
+        nsh = new_h.select(F.col("__id").alias("__id_n"),
+                           F.col("__sh").alias("__sh_n"))
+        csh = corpus_hashed.select(F.col("__id").alias("__id_c"),
+                                   F.col("__sh").alias("__sh_c"))
+        jac = (F.size(F.array_intersect("__sh_n", "__sh_c"))
+               / F.size(F.array_union("__sh_n", "__sh_c")))
+        dups = (cand.join(nsh, "__id_n").join(csh, "__id_c")
+                .filter(jac >= t)
+                .select(F.col("__id_n").alias("__dup_id")).distinct())
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 

@@ -104,6 +104,29 @@ def test_minhash_transform_against_corpus(spark):
     assert kept2 == [11, 12]
 
 
+def test_ngram_transform_against_corpus(spark):
+    """Exact incremental dedup: prefix-filter join across two tables
+    (zero false negatives, unlike the MinHash variant)."""
+    from flink_ml__spark.functions.dedup import NgramJaccardDeduplicator
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "an entirely different corpus document about spark engines")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "completely novel text that matches nothing else at all"),
+         (12, "completely novel text that matches nothing else at all")],
+        ["doc_id", "text"])
+    op = NgramJaccardDeduplicator().setThreshold(0.7)
+    kept = sorted(r["doc_id"]
+                  for r in op.transform_against(new, corpus).collect())
+    assert kept == [11, 12]
+    kept2 = sorted(r["doc_id"] for r in op.transform_against(
+        new, corpus_hashed=op.hashed_table(corpus)).collect())
+    assert kept2 == [11, 12]
+
+
 def test_stream_minhash_dedup_against_corpus(spark):
     import shutil
     import tempfile
