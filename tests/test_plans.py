@@ -118,3 +118,42 @@ def test_embedding_dedup_banded_join_no_cartesian(spark):
     plan = _plan(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_no_python_no_shuffle(spark):
+    """PII scrubbing is a pure regexp projection: zero exchanges, zero
+    Python — the pass must pipeline with the scan."""
+    plan = _plan(spark, "pii_redact_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_corpus_profile_partial_final_aggregate(spark):
+    """One partial+final aggregation, exactly one data exchange on the
+    group keys — output is O(groups)."""
+    plan = _plan(spark, "corpus_profile_documents")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_balance_targets_data_side_broadcast_only(spark):
+    """Targets mode must keep the data side shuffle-free: the row scan
+    feeds a BroadcastHashJoin; exchanges exist only under the O(groups)
+    stats/broadcast subtree."""
+    plan = _plan(spark, "balance_targets_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every hash-exchange sits inside the broadcast (stats) subtree
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "lang" in line  # the O(groups) counts aggregate
+
+
+def test_repetition_single_arrow_pass(spark):
+    """All four repetition signals come from ONE ArrowEvalPython node —
+    the struct UDF must not be re-evaluated per output column."""
+    plan = _plan(spark, "repetition_documents")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
