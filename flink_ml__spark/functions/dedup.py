@@ -499,13 +499,28 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
     def _prefix_keys(self, base: DataFrame) -> DataFrame:
         """Explode each doc's prefix — the first ⌊(1−t)·|X|⌋ + 1 sorted
         hashes (≡ |X| − ⌈t·|X|⌉ + 1): any pair with J ≥ t must share its
-        globally-smallest common hash inside BOTH prefixes."""
+        globally-smallest common hash inside BOTH prefixes. Carries the
+        0-based position of each prefix hash for the PPJoin positional
+        filter (see :meth:`_positional_filter`)."""
         t = self.getThreshold()
         sz = F.size("__sh")
         prefix_len = (F.floor(F.lit(1.0 - t) * sz) + 1).cast("int")
-        return base.select(
+        exploded = base.select(
             "__id", sz.alias("__sz"),
-            F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__k"))
+            F.posexplode(F.slice("__sh", F.lit(1), prefix_len))
+            .alias("__p", "__k"))
+        return exploded
+
+    def _positional_filter(self, szl, posl, szr, posr):
+        """PPJoin positional prune (Xiao, Wang, Lin & Yu, "Efficient
+        Similarity Joins for Near Duplicate Detection", WWW 2008):
+        elements at or after position p are the only ones that can still
+        intersect, so |X∩Y| ≤ min(|X|−p_x, |Y|−p_y); J ≥ t requires
+        |X∩Y| ≥ t/(1+t)·(|X|+|Y|). Sound: only candidates that cannot
+        reach the threshold are cut, so verified output is unchanged."""
+        t = self.getThreshold()
+        alpha = F.lit(t / (1.0 + t)) * (szl + szr)
+        return F.least(szl - posl, szr - posr).cast("double") >= alpha
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
         """(id_keep, id_dup, jaccard) — exact, prefix-filtered.
@@ -515,17 +530,34 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         strings) — see :func:`shingle_hash_udf` for why not HOFs."""
         t = self.getThreshold()
         base = self.hashed_table(df)
-        keys = self._prefix_keys(base)
+        shuffle_n = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        # explicit repartition by key: AQE coalesces ENSURE_REQUIREMENTS
+        # shuffle reads by BYTE size, and this join's output is small in
+        # bytes but CPU-heavy downstream — byte-sized coalescing was
+        # measured to serialize the join on 1-3 tasks at sf0.1
+        keys = self._prefix_keys(base).repartition(shuffle_n, "__k")
         left = keys.select("__k", F.col("__id").alias("__id_l"),
-                           F.col("__sz").alias("__sz_l"))
+                           F.col("__sz").alias("__sz_l"),
+                           F.col("__p").alias("__p_l"))
         right = keys.select("__k", F.col("__id").alias("__id_r"),
-                            F.col("__sz").alias("__sz_r"))
+                            F.col("__sz").alias("__sz_r"),
+                            F.col("__p").alias("__p_r"))
         cand = (left.join(right, "__k")
                 .filter((F.col("__id_l") < F.col("__id_r"))
                         & (F.col("__sz_l") >= F.lit(t) * F.col("__sz_r"))
-                        & (F.col("__sz_r") >= F.lit(t) * F.col("__sz_l")))
+                        & (F.col("__sz_r") >= F.lit(t) * F.col("__sz_l"))
+                        & self._positional_filter(
+                            F.col("__sz_l"), F.col("__p_l"),
+                            F.col("__sz_r"), F.col("__p_r")))
                 .select("__id_l", "__id_r")
                 .dropDuplicates(["__id_l", "__id_r"]))
+        # pin the verify join's parallelism: AQE coalesces this stage by
+        # the candidate-pair BYTE size (16 B/row) and would run the
+        # CPU-heavy array-intersect verification in one task
+        shuffle_n = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        cand = cand.repartition(shuffle_n, "__id_l", "__id_r")
         lsh = base.select(F.col("__id").alias("__id_l"),
                           F.col("__sh").alias("__sh_l"))
         rsh = base.select(F.col("__id").alias("__id_r"),
@@ -562,13 +594,16 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         new_h = self.hashed_table(df)
         nk = self._prefix_keys(new_h).select(
             "__k", F.col("__id").alias("__id_n"),
-            F.col("__sz").alias("__sz_n"))
+            F.col("__sz").alias("__sz_n"), F.col("__p").alias("__p_n"))
         ck = self._prefix_keys(corpus_hashed).select(
             "__k", F.col("__id").alias("__id_c"),
-            F.col("__sz").alias("__sz_c"))
+            F.col("__sz").alias("__sz_c"), F.col("__p").alias("__p_c"))
         cand = (nk.join(ck, "__k")
                 .filter((F.col("__sz_n") >= F.lit(t) * F.col("__sz_c"))
-                        & (F.col("__sz_c") >= F.lit(t) * F.col("__sz_n")))
+                        & (F.col("__sz_c") >= F.lit(t) * F.col("__sz_n"))
+                        & self._positional_filter(
+                            F.col("__sz_n"), F.col("__p_n"),
+                            F.col("__sz_c"), F.col("__p_c")))
                 .select("__id_n", "__id_c")
                 .dropDuplicates(["__id_n", "__id_c"]))
         nsh = new_h.select(F.col("__id").alias("__id_n"),
