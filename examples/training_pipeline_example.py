@@ -1,8 +1,10 @@
 """End-to-end training-data pipeline over the documents table:
-metadata triage -> exact dedup -> MinHash near-dedup -> quality filter
--> language ID + token counts — the LLM-data-curation chain the engine's
-north-star operators compose into (each stage is one of the gate
-queries; chained here as a single lazy plan)."""
+metadata triage -> PII redaction -> repetition + quality filtering ->
+exact dedup -> MinHash near-dedup -> benchmark decontamination ->
+language ID + token counts -> train/val/test split -> domain balancing
+-> sequence packing -> corpus profile — the LLM-data-curation chain the
+engine's north-star operators compose into (each stage is one of the
+gate queries; chained here as a single lazy plan until the reports)."""
 
 from _common import SF_DIR, get_session
 
@@ -10,12 +12,21 @@ from _common import SF_DIR, get_session
 def main():
     from pyspark.sql import functions as F
 
+    from flink_ml__spark.functions.curation import (
+        ContaminationChecker,
+        CorpusProfiler,
+        DeterministicSplitter,
+        DomainBalancer,
+        RepetitionScorer,
+        SequencePacker,
+    )
     from flink_ml__spark.functions.dedup import (
         ExactDeduplicator,
         MinHashDeduplicator,
     )
     from flink_ml__spark.functions.text import (
         LanguageIdentifier,
+        PiiRedactor,
         QualityFilter,
         TokenCounter,
     )
@@ -25,24 +36,54 @@ def main():
     docs = load_table(spark, "documents", SF_DIR)
     n0 = docs.count()
 
-    exact = ExactDeduplicator().transform(docs)
-    n1 = exact.count()
+    # 1. scrub PII before anything else touches the text
+    red = (PiiRedactor().transform(docs)
+           .drop("text").withColumnRenamed("text_redacted", "text"))
 
-    near = MinHashDeduplicator().setSeed(42).setThreshold(0.7) \
-        .transform(exact)
+    # 2. heuristic quality: drop highly repetitive or low-quality docs
+    rep = RepetitionScorer().setLineSep(r"\.").transform(red)
+    filtered = QualityFilter().setMinScore(0.5).transform(
+        rep.filter(F.col("top_word_frac") < 0.5))
+    n1 = filtered.count()
+
+    # 3. dedup: exact, then MinHash near-duplicates
+    exact = ExactDeduplicator().transform(filtered)
+    near = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+            .transform(exact))
     n2 = near.count()
 
-    quality = QualityFilter().setMinScore(0.5).transform(near)
-    n3 = quality.count()
+    # 4. decontaminate against a benchmark corpus (every 97th doc here)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    checked = (ContaminationChecker().setShingleSize(5).setThreshold(0.2)
+               .transform_against(near, benchmark)
+               .filter(~F.col("is_contaminated")))
+    n3 = checked.count()
 
-    final = TokenCounter().transform(
-        LanguageIdentifier().transform(quality))
-    print(f"documents: {n0} -> exact-dedup {n1} -> near-dedup {n2} "
-          f"-> quality {n3}")
-    (final.groupBy("lang_pred")
-     .agg(F.count(F.lit(1)).alias("docs"),
-          F.sum("n_tokens").alias("tokens"))
-     .orderBy(F.desc("docs"))
+    # 5. annotate: language + token counts; deterministic split
+    ann = TokenCounter().transform(
+        LanguageIdentifier().transform(checked))
+    split = DeterministicSplitter().setTrainFrac(0.9).setValFrac(0.05) \
+        .transform(ann)
+
+    # 6. rebalance the train split toward a target language mix
+    train = split.filter(F.col("split") == "train")
+    balanced = (DomainBalancer().setGroupCol("lang")
+                .setTargets({"en": 0.4, "zh": 0.2, "es": 0.2,
+                             "fr": 0.1, "de": 0.1})
+                .transform(train))
+
+    # 7. pack into fixed token windows for the tokenizer shards
+    packed = (SequencePacker().setWindowSize(2048).setNumShards(16)
+              .transform(balanced))
+    n4 = packed.count()
+
+    print(f"documents: {n0} -> quality {n1} -> dedup {n2} "
+          f"-> decontaminated {n3} -> packed train rows {n4}")
+
+    # 8. profile what ships
+    (CorpusProfiler().setGroupCols("lang").setValueCol("n_tokens")
+     .transform(packed)
+     .orderBy(F.desc("n_docs"))
      .show())
 
 
