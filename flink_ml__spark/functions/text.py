@@ -162,11 +162,15 @@ class PiiRedactor(AlgoOperator, HasInputCol, HasOutputCol):
         self._setDefault(inputCol="text", outputCol="text_redacted")
 
     def transform(self, df: DataFrame) -> DataFrame:
-        cur = F.col(self.getInputCol())
+        text = F.col(self.getInputCol())
+        cur = text
         counts = []
         for pat, tok, name in self.PATTERNS:
+            # NULL text → 0 matches (not NULL), same contract as
+            # TokenCounter; the redacted text itself stays NULL
             counts.append((f"n_pii_{name}",
-                           F.regexp_count(cur, F.lit(pat))))
+                           F.when(text.isNull(), F.lit(0)).otherwise(
+                               F.regexp_count(cur, F.lit(pat)))))
             cur = F.regexp_replace(cur, pat, tok)
         out = df.withColumn(self.getOutputCol(), cur)
         for name, c in counts:

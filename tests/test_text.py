@@ -93,6 +93,17 @@ def test_pii_redactor(spark):
             r2["n_pii_ids"], r2["n_pii_phones"]) == (0, 0, 0, 0)
 
 
+def test_pii_redactor_null_text(spark):
+    """NULL text: counts are 0 (TokenCounter contract), redacted NULL."""
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = PiiRedactor().transform(df).first()
+    assert r["text_redacted"] is None
+    assert (r["n_pii_emails"], r["n_pii_ips"],
+            r["n_pii_ids"], r["n_pii_phones"]) == (0, 0, 0, 0)
+
+
 def test_pii_redactor_no_double_count(spark):
     """Digits inside an already-redacted email must not count again as
     an id/phone — counts run sequentially on the partially redacted
