@@ -380,6 +380,62 @@ def q_canopy_customer(spark, sf_dir):
             .orderBy("canopy_id"))
 
 
+def q_fcm_invariants_embeddings(spark, sf_dir):
+    """Hard gate for the seeded-iterative FCM (whose cluster assignment
+    has no SQL oracle): emits every point whose model prediction is NOT
+    its nearest final centroid — recomputed through an independent
+    pure-Catalyst expression path (the model predicts via numpy argmax
+    of memberships, which must equal argmin distance). Expected EMPTY;
+    WHERE-false oracle makes this a count/hash-checked row."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = (FCM().setK(4).setSeed(42).setMaxIter(10)
+             .setFeaturesCol("embedding").fit(emb))
+    out = model.transform(emb)
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(arr, F.array(*[F.lit(float(v)) for v in c]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for c in model.centroids])
+    nearest = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (out.withColumn("__nearest", nearest)
+            .filter(F.col("prediction") != F.col("__nearest"))
+            .select("vec_id", "prediction",
+                    F.col("__nearest").alias("nearest_centroid")))
+
+
+ORACLE_FCM_INVARIANTS = """
+SELECT vec_id::BIGINT AS vec_id, 0::INT AS prediction,
+       0::INT AS nearest_centroid
+FROM embeddings WHERE false
+"""
+
+
+def q_canopy_invariants_customer(spark, sf_dir):
+    """Hard gate for seeded-iterative Canopy: every membership edge must
+    satisfy dist(point, center) < T1 (center self-rows are distance 0).
+    Violations emitted; expected EMPTY with a WHERE-false oracle."""
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "features",
+        F.array(F.col("c_acctbal") / 1000.0,
+                F.col("c_nationkey").cast("double")))
+    flat = (Canopy().setT1(8.0).setT2(4.0).setSeed(42).setMaxIter(30)
+            .assign(cust))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("point", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (flat.withColumn("__dist", dist)
+            .filter(F.col("__dist") >= F.lit(8.0))
+            .select("canopy_id", F.round("__dist", R).alias("dist")))
+
+
+ORACLE_CANOPY_INVARIANTS = """
+SELECT 0::INT AS canopy_id, 0.0::DOUBLE AS dist
+FROM customer WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # 9/10/11. feature generation
 # ---------------------------------------------------------------------------
@@ -1588,7 +1644,9 @@ QUERIES = {
     "online_topsis_predict_events": q_online_topsis_predict_events,
     "apriori_rules_events": q_apriori_rules_events,
     "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_customer": q_canopy_customer,
+    "canopy_invariants_customer": q_canopy_invariants_customer,
     "mean_imputer_orders": q_mean_imputer_orders,
     "standard_scaler_lineitem": q_standard_scaler_lineitem,
     "time_features_orders": q_time_features_orders,
@@ -1632,7 +1690,11 @@ ORACLES = {
     "online_topsis_model_events": ORACLE_ONLINE_TOPSIS_MODEL,
     "online_topsis_predict_events": ORACLE_ONLINE_TOPSIS_PREDICT,
     "apriori_rules_events": ORACLE_APRIORI,
-    # fcm / canopy: iterative + seeded → rows-only check (no oracle)
+    # fcm / canopy cluster outputs: iterative + seeded → rows-only check
+    # (no oracle); their INVARIANT gates below are hard expected-empty
+    # checks (violations-only, WHERE-false oracle)
+    "fcm_invariants_embeddings": ORACLE_FCM_INVARIANTS,
+    "canopy_invariants_customer": ORACLE_CANOPY_INVARIANTS,
     "mean_imputer_orders": ORACLE_MEAN_IMPUTER,
     "standard_scaler_lineitem": ORACLE_STANDARD_SCALER,
     "time_features_orders": ORACLE_TIME_FEATURES,
