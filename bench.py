@@ -56,6 +56,7 @@ HEADLINE = [
     "fingerprint_documents",
     "winnow_fingerprints_documents",
     "pii_redact_documents",
+    "line_filter_documents",
     "corpus_profile_documents",
     "multimodal_meta_documents",
     "multimodal_image_stats",

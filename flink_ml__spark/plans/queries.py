@@ -1141,6 +1141,55 @@ FROM e WHERE doc_id NOT IN (SELECT id_r FROM mhdups)
 """
 
 
+_LF_PLANT = [
+    "too short",                                          # < minWords
+    "Visit our cookie policy page for details.",          # blocklisted
+    "This properly long sentence survives every rule just fine.",
+]
+
+
+def q_line_filter_documents(spark, sf_dir):
+    """C4 line-filter gate: the corpus is single-line, so three known
+    lines are planted per document (one too short, one blocklisted, one
+    clean) and the original text contributes per-doc variation via its
+    own terminal-punctuation/word-count status."""
+    from flink_ml__spark.functions.curation import LineFilter
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.withColumn(
+        "text", F.concat_ws("\n", F.col("text"),
+                            *[F.lit(x) for x in _LF_PLANT]))
+    out = LineFilter().transform(aug)
+    return out.select("doc_id", "n_lines_kept", "n_lines_total",
+                      F.md5("text_filtered").alias("filtered_md5"))
+
+
+def _oracle_line_filter() -> str:
+    from flink_ml__spark.functions.curation import LineFilter
+
+    op = LineFilter()
+    min_words = op.getOrDefault(op.minWords)
+    block = [b.lower() for b in op.getOrDefault(op.blocklist)]
+    plant = "".join(f" || chr(10) || '{x}'" for x in _LF_PLANT)
+    not_blocked = " AND ".join(
+        f"NOT contains(lower(trim(x)), '{b}')" for b in block)
+    cond = (f"len(list_filter(string_split_regex(trim(x), '\\s+'), "
+            f"w -> w <> '')) >= {min_words} "
+            f"AND regexp_matches(trim(x), '[.!?\"]$') AND {not_blocked}")
+    return f"""
+WITH aug AS (SELECT doc_id, text{plant} AS t FROM documents),
+sp AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
+f AS (SELECT doc_id,
+             list_filter(lines, x -> {cond}) AS kept,
+             list_filter(lines, x -> trim(x) <> '') AS ne
+      FROM sp)
+SELECT doc_id, len(kept)::INT AS n_lines_kept,
+       len(ne)::INT AS n_lines_total,
+       md5(array_to_string(kept, chr(10))) AS filtered_md5
+FROM f
+"""
+
+
 def q_pii_redact_documents(spark, sf_dir):
     """PII scrubbing gate. The synthetic corpus carries no real PII, so
     the gate plants deterministic doc_id-derived emails/IPs/ids/phones
@@ -1666,6 +1715,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
+    "line_filter_documents": q_line_filter_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
@@ -1716,6 +1766,7 @@ ORACLES = {
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),
+    "line_filter_documents": _oracle_line_filter(),
     "corpus_profile_documents": ORACLE_CORPUS_PROFILE,
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,

@@ -237,6 +237,32 @@ def test_corpus_profiler_exact_percentiles(spark):
     assert de["n_docs"] == 1 and de["p50"] == 5.0 == de["p99"]
 
 
+def test_line_filter_c4_rules(spark):
+    from flink_ml__spark.functions.curation import LineFilter
+
+    text = "\n".join([
+        "This is a perfectly good sentence that survives.",
+        "too short",                                   # < 3 words
+        "No terminal punctuation on this line here",   # no punct
+        "Read our privacy policy before continuing.",  # blocklisted
+        "   ",                                         # blank: not counted
+        'He said "stop".',                             # quote-terminal? no - ends with .
+    ])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = LineFilter().transform(df).first()
+    kept = r["text_filtered"].split("\n")
+    assert kept == ["This is a perfectly good sentence that survives.",
+                    'He said "stop".']
+    assert r["n_lines_kept"] == 2
+    assert r["n_lines_total"] == 5
+
+    # relaxed rules: no punct requirement, min 2 words, empty blocklist
+    # -> every non-blank line survives
+    r2 = (LineFilter().setMinWords(2).setRequireTerminalPunct(False)
+          .setBlocklist().transform(df).first())
+    assert r2["n_lines_kept"] == 5
+
+
 def test_new_operator_save_load_roundtrip(spark, tmp_path):
     """Reference testSaveLoad pattern for the newest operators: params
     (including the JSON targets map) survive save → load → transform."""
