@@ -43,7 +43,10 @@ def test_map_only_operators_stream_compatible(spark):
     wrappers."""
     import tempfile as _tf
 
-    from flink_ml__spark.functions.curation import DeterministicSplitter
+    from flink_ml__spark.functions.curation import (
+        DeterministicSplitter,
+        LineFilter,
+    )
     from flink_ml__spark.functions.text import (
         LanguageIdentifier,
         PiiRedactor,
@@ -58,8 +61,9 @@ def test_map_only_operators_stream_compatible(spark):
         docs.coalesce(1).write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(docs.schema).parquet(d)
         out = stream
-        for op in [PiiRedactor(), TokenCounter(), LanguageIdentifier(),
-                   QualityScorer(), DeterministicSplitter()]:
+        for op in [PiiRedactor(), LineFilter(), TokenCounter(),
+                   LanguageIdentifier(), QualityScorer(),
+                   DeterministicSplitter()]:
             out = op.transform(out)
         assert out.isStreaming
         q = (out.writeStream.format("memory").queryName("mapops")
