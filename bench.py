@@ -57,6 +57,7 @@ HEADLINE = [
     "winnow_fingerprints_documents",
     "pii_redact_documents",
     "line_filter_documents",
+    "unigram_logprob_documents",
     "corpus_profile_documents",
     "multimodal_meta_documents",
     "multimodal_image_stats",

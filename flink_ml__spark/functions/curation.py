@@ -714,3 +714,107 @@ class LineFilter(AlgoOperator, HasInputCol):
                 .withColumn(f"{col}_filtered", F.array_join(kept, sep))
                 .withColumn("n_lines_kept", F.size(kept))
                 .withColumn("n_lines_total", F.size(non_empty)))
+
+
+class UnigramLMModel(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Scores documents by mean token log-probability under a fitted
+    unigram LM (see :class:`UnigramLM`). Appends ``mean_logprob`` (the
+    CCNet-style fluency signal — higher = closer to the training
+    corpus) and ``oov_frac``.
+
+    Plan: explode tokens → broadcast-join the (small, capped) vocab →
+    partial+final ``groupBy(id)`` mean → broadcast the O(docs-per-...)
+    scores back. The token stream is reduced map-side (per-partition
+    partial aggregation keyed by the doc id) before the one shuffle, so
+    no task ever holds a document's full token list.
+    """
+
+    def __init__(self, vocab: DataFrame | None = None,
+                 oov_logp: float | None = None):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id")
+        self._vocab = vocab          # (token string, logp double)
+        self._oov_logp = oov_logp
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
+                                TOKEN_SPLIT), lambda t: t != "")
+        tok_rows = (df.select(idc, F.explode(toks).alias("__tok")))
+        scored = (tok_rows
+                  .join(F.broadcast(self._vocab.withColumnRenamed(
+                      "token", "__tok")), "__tok", "left")
+                  .groupBy(idc)
+                  .agg(F.avg(F.coalesce(F.col("logp"),
+                                        F.lit(self._oov_logp)))
+                       .alias("mean_logprob"),
+                       F.avg(F.col("logp").isNull().cast("double"))
+                       .alias("oov_frac")))
+        return df.join(scored, idc, "left")
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        self._vocab.write.mode("overwrite").parquet(
+            os.path.join(path, "vocab"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"oov_logp": self._oov_logp}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        self._vocab = spark.read.parquet(os.path.join(path, "vocab"))
+        with open(os.path.join(path, "meta.json")) as f:
+            self._oov_logp = json.load(f)["oov_logp"]
+
+
+class UnigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Unigram language-model quality scorer (the language-model
+    filtering idea of CCNet — Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", LREC 2020 — with
+    a unigram model standing in for the Kneser-Ney 5-gram, which needs
+    no external artifacts and stays SQL-replayable).
+
+    ``fit(corpus)`` counts tokens (one hash aggregation over the
+    exploded token stream — zipf-shaped, partial+final merged), keeps
+    the ``maxVocab`` most frequent (deterministic tie-break on token),
+    and assigns ``logp = ln(count / total)``; out-of-vocabulary tokens
+    score ``ln(1 / total)``. The vocab table is O(maxVocab) — broadcast
+    at apply time.
+    """
+
+    maxVocab = Param(Params._dummy(), "maxVocab",
+                     "most-frequent tokens kept in the model",
+                     TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id", maxVocab=65536)
+
+    def setMaxVocab(self, v):
+        return self._set(maxVocab=v)
+
+    def fit(self, df: DataFrame) -> UnigramLMModel:
+        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
+                                TOKEN_SPLIT), lambda t: t != "")
+        counts = (df.select(F.explode(toks).alias("token"))
+                  .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+        total = counts.agg(F.sum("cnt")).first()[0] or 1
+        # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+        # top-K then a driver merge of K-sized heaps — unlike a global
+        # row_number window, which would funnel every distinct token
+        # through one task
+        vocab = (counts
+                 .orderBy(F.desc("cnt"), F.asc("token"))
+                 .limit(self.getOrDefault(self.maxVocab))
+                 .select("token",
+                         F.log(F.col("cnt") / F.lit(float(total)))
+                         .alias("logp")))
+        import math as _math
+
+        model = UnigramLMModel(vocab.localCheckpoint(eager=True),
+                               _math.log(1.0 / total))
+        model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
+        return model

@@ -1246,6 +1246,35 @@ FROM red
 """
 
 
+def q_unigram_logprob_documents(spark, sf_dir):
+    """CCNet-style unigram-LM fluency scoring, self-fit on the corpus
+    with a capped vocab so out-of-vocabulary handling is exercised."""
+    from flink_ml__spark.functions.curation import UnigramLM
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = UnigramLM().setMaxVocab(2000).fit(docs)
+    out = model.transform(docs)
+    return out.select("doc_id",
+                      F.round("mean_logprob", R).alias("mean_logprob"),
+                      F.round("oov_frac", R).alias("oov_frac"))
+
+
+ORACLE_UNIGRAM = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n FROM counts),
+vocab AS (SELECT tok, ln(cnt / (SELECT n FROM tot)) AS logp
+          FROM counts ORDER BY cnt DESC, tok ASC LIMIT 2000),
+sc AS (SELECT t.doc_id,
+              avg(coalesce(v.logp, ln(1.0 / (SELECT n FROM tot)))) AS mlp,
+              avg((v.logp IS NULL)::INT) AS oov
+       FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
+SELECT d.doc_id, round(sc.mlp, {R}) AS mean_logprob,
+       round(sc.oov, {R}) AS oov_frac
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def q_corpus_profile_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import CorpusProfiler
 
@@ -1716,6 +1745,7 @@ QUERIES = {
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
+    "unigram_logprob_documents": q_unigram_logprob_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
@@ -1767,6 +1797,7 @@ ORACLES = {
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),
     "line_filter_documents": _oracle_line_filter(),
+    "unigram_logprob_documents": ORACLE_UNIGRAM,
     "corpus_profile_documents": ORACLE_CORPUS_PROFILE,
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,

@@ -263,6 +263,35 @@ def test_line_filter_c4_rules(spark):
     assert r2["n_lines_kept"] == 5
 
 
+def test_unigram_lm_scoring(spark, tmp_path):
+    import math
+
+    from flink_ml__spark.functions.curation import UnigramLM, UnigramLMModel
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "the cat ran")],
+        ["doc_id", "text"])
+    model = UnigramLM().setMaxVocab(3).fit(corpus)
+    # counts: the=3, cat=2, sat=2, dog=1, ran=1; total=9
+    # vocab top-3 (cnt desc, token asc): the, cat, sat
+    out = {r["doc_id"]: r for r in model.transform(corpus).collect()}
+    lp = lambda c: math.log(c / 9.0)
+    oov = math.log(1.0 / 9.0)
+    assert out[1]["mean_logprob"] == pytest.approx(
+        (lp(3) + lp(2) + lp(2)) / 3, abs=1e-12)
+    assert out[1]["oov_frac"] == 0.0
+    assert out[2]["mean_logprob"] == pytest.approx(
+        (lp(3) + oov + lp(2)) / 3, abs=1e-12)   # dog is OOV
+    assert out[2]["oov_frac"] == pytest.approx(1 / 3)
+
+    # save/load round-trip preserves vocab + oov penalty
+    model.save(str(tmp_path / "ulm"))
+    back = UnigramLMModel.load(spark, str(tmp_path / "ulm"))
+    got = {r["doc_id"]: r["mean_logprob"]
+           for r in back.transform(corpus).collect()}
+    assert got[2] == pytest.approx(out[2]["mean_logprob"], abs=1e-12)
+
+
 def test_new_operator_save_load_roundtrip(spark, tmp_path):
     """Reference testSaveLoad pattern for the newest operators: params
     (including the JSON targets map) survive save → load → transform."""
