@@ -618,6 +618,158 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 
+def positioned_shingle_hash_udf(n: int):
+    """Arrow-batched POSITIONED shingle hasher: text → array<long> where
+    element ``i`` (0-based) is the 60-bit md5 hash of the word n-gram
+    starting at token ``i`` — order preserved, duplicates kept (contrast
+    :func:`shingle_hash_udf`, which returns the distinct SET). Documents
+    with fewer than ``n`` tokens yield an empty array, as does NULL
+    text."""
+    import hashlib
+    import re
+
+    pat = TOKEN_SPLIT
+
+    @F.pandas_udf("array<long>")
+    def gram_hashes(texts: pd.Series) -> pd.Series:
+        rx = re.compile(pat)
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [w for w in rx.split(t.lower()) if w]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append([
+                int(hashlib.md5(
+                    " ".join(toks[i:i + n]).encode("utf-8"))
+                    .hexdigest()[:15], 16)
+                for i in range(len(toks) - n + 1)])
+        return pd.Series(out)
+
+    return gram_hashes
+
+
+class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Substring/span-level exact deduplication (Lee, Ippolito, Nystrom,
+    Zhang, Eck, Callison-Burch & Carlini, "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022): every word ``k``-gram that
+    occurs more than once ANYWHERE in the corpus keeps only its global
+    first occurrence (smallest ``(doc_id, position)``); every other
+    occurrence's ``k`` token positions are masked out of the surviving
+    document. Unlike the whole-document deduplicators above, this
+    removes boilerplate spans INSIDE otherwise-unique documents —
+    including self-repetition within a single document.
+
+    Output = input columns plus::
+
+        n_tokens     bigint  token count of the (lowercased) document
+        n_removed    bigint  masked token positions
+        text_deduped string  space-joined surviving tokens (normalized:
+                             lowercase, single-space — same contract as
+                             the other text rewriters here)
+
+    NULL text is treated as the empty document (0 tokens, empty
+    rewrite), mirroring ``coalesce(text, '')``.
+
+    Scale shape (the Lee et al. suffix-array step re-expressed as two
+    shuffle waves, no driver state):
+
+    1. one Arrow map pass emits positioned k-gram hashes
+       (:func:`positioned_shingle_hash_udf`) — O(tokens) rows of
+       ``(doc, pos, hash)``;
+    2. ``groupBy(hash)`` finds grams with count > 1 and their first
+       location; the aggregate output is already partitioned by hash,
+       so the occurrence join that marks non-first locations reuses the
+       same exchange (one shuffle wave, AQE handles hot-gram skew);
+    3. masked positions fold back per doc (``groupBy(doc)`` — bounded:
+       ≤ tokens-per-doc ints/doc) and the rewrite is a map-side
+       higher-order filter over the token array — no second pass over
+       the corpus text.
+
+    First-occurrence ordering is encoded as ``doc_id·2^21 + pos``
+    (one bigint, DuckDB-replayable): positions per document must stay
+    below 2^21 (~2M tokens/doc) and ids below 2^42.
+    """
+
+    spanTokens = Param(Params._dummy(), "spanTokens",
+                       "span length k in word tokens; duplicated spans "
+                       "of at least this length are removed",
+                       TypeConverters.toInt)
+
+    LOC_M = 1 << 21
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", spanTokens=8)
+
+    def getSpanTokens(self):
+        return self.getOrDefault(self.spanTokens)
+
+    def setSpanTokens(self, v):
+        return self._set(spanTokens=v)
+
+    def _toks(self) -> Column:
+        return F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+
+    def gram_occurrences(self, df: DataFrame) -> DataFrame:
+        """(__id, __pos, __gh) — one row per k-gram occurrence, ``__pos``
+        1-based. Raw text is repartitioned before the hashing pass so the
+        Arrow UDF parallelizes on few-split sources (see MinHash)."""
+        idc = self.getIdCol()
+        gh = positioned_shingle_hash_udf(self.getSpanTokens())
+        return (df.select(idc, self.getInputCol())
+                .repartition(F.col(idc))
+                .select(F.col(idc).alias("__id"),
+                        F.posexplode(gh(F.col(self.getInputCol())))
+                        .alias("__p0", "__gh"))
+                .select("__id", (F.col("__p0") + 1).alias("__pos"), "__gh"))
+
+    def masked_positions(self, df: DataFrame) -> DataFrame:
+        """(__id, __mask array<int>) — per-doc sorted masked positions.
+        Only documents that lose at least one span appear."""
+        k = self.getSpanTokens()
+        occ = self.gram_occurrences(df)
+        loc = (F.col("__id") * self.LOC_M + F.col("__pos")).cast("bigint")
+        firsts = (occ.groupBy("__gh")
+                  .agg(F.min(loc).alias("__first"),
+                       F.count(F.lit(1)).alias("__cnt"))
+                  .filter(F.col("__cnt") > 1)
+                  .select("__gh", "__first"))
+        dup_occ = (occ.join(firsts, "__gh")
+                   .filter(loc != F.col("__first"))
+                   .select("__id",
+                           F.sequence("__pos",
+                                      F.col("__pos") + (k - 1)).alias("__mps")))
+        return (dup_occ.groupBy("__id")
+                .agg(F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("__mps")))).alias("__mask")))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        masks = self.masked_positions(df).withColumnRenamed("__id", idc)
+        toks = self._toks()
+        kept = F.filter(
+            toks,
+            lambda t, i: ~F.coalesce(
+                F.array_contains(F.col("__mask"), (i + 1).cast("int")),
+                F.lit(False)))
+        return (df.join(masks, idc, "left")
+                .withColumn("n_tokens", F.size(toks).cast("bigint"))
+                .withColumn("n_removed",
+                            # size(NULL) is -1 with ANSI off — guard
+                            # explicitly (see TokenCounter)
+                            F.when(F.col("__mask").isNull(), F.lit(0))
+                            .otherwise(F.size("__mask")).cast("bigint"))
+                .withColumn("text_deduped", F.array_join(kept, " "))
+                .drop("__mask"))
+
+
 class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
     """Embedding near-duplicate removal: banded random-hyperplane LSH →
     cosine verification → dominated-by-smaller-id drop.

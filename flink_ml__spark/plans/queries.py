@@ -23,6 +23,7 @@ from flink_ml__spark.functions.dedup import (
     MinHashDeduplicator,
     NgramJaccardDeduplicator,
     SimHashDeduplicator,
+    SubstringDeduplicator,
 )
 from flink_ml__spark.functions.feature_gen import (
     MeanImputer,
@@ -635,6 +636,52 @@ pairs AS (
               JOIN hs r ON r.doc_id = c.id_dup)
 SELECT id_keep, id_dup, round(jaccard, {R}) AS jaccard
 FROM pairs WHERE jaccard >= {t!r}
+"""
+
+
+def q_dedup_substring_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    op = SubstringDeduplicator().setSpanTokens(8)
+    return op.transform(docs).select("doc_id", "n_tokens", "n_removed",
+                                     "text_deduped")
+
+
+def _oracle_substring() -> str:
+    op = SubstringDeduplicator().setSpanTokens(8)
+    k = op.getSpanTokens()
+    m = op.LOC_M
+    gram = f"array_to_string(list_slice(toks, i, i + {k} - 1), ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
+              FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, {_H60.format(x=gram)} AS gh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i
+        FROM toks WHERE len(toks) >= {k})),
+firsts AS (
+  SELECT gh, min(doc_id * {m} + pos) AS first_loc
+  FROM occ GROUP BY gh HAVING count(*) > 1),
+dup_occ AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN firsts f ON o.gh = f.gh
+  WHERE o.doc_id * {m} + o.pos <> f.first_loc),
+mask AS (
+  SELECT DISTINCT doc_id, mp FROM (
+    SELECT doc_id, pos + unnest(range(0, {k})) AS mp FROM dup_occ)),
+maskl AS (
+  SELECT doc_id, list(mp) AS mlist, count(*) AS nrem
+  FROM mask GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens,
+       coalesce(m.nrem, 0)::BIGINT AS n_removed,
+       coalesce(CASE WHEN m.doc_id IS NULL
+                     THEN array_to_string(t.toks, ' ')
+                     ELSE array_to_string(
+                       list_transform(
+                         list_filter(range(1, len(t.toks) + 1),
+                                     p -> NOT list_contains(m.mlist, p)),
+                         p -> t.toks[p]), ' ')
+                END, '') AS text_deduped
+FROM toks t LEFT JOIN maskl m ON t.doc_id = m.doc_id
 """
 
 
@@ -1733,6 +1780,7 @@ QUERIES = {
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "dedup_substring_documents": q_dedup_substring_documents,
     "minhash_recall_documents": q_minhash_recall_documents,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1783,6 +1831,7 @@ ORACLES = {
     "dedup_minhash_documents": _oracle_minhash(),
     "dedup_simhash_documents": _oracle_simhash(),
     "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),
+    "dedup_substring_documents": _oracle_substring(),
     "minhash_recall_documents": _oracle_minhash_recall(),
     "dedup_embedding_cosine": _oracle_embedding_dedup(),
     "ann_cosine_topk": ORACLE_ANN,

@@ -196,3 +196,47 @@ def test_simhash_transform_against_corpus(spark):
     kept = sorted(r["doc_id"]
                   for r in op.transform_against(new, corpus).collect())
     assert kept == [11]
+
+
+def test_substring_dedup_golden(spark):
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+
+    span = "alpha beta gamma delta epsilon"  # the planted 5-token span
+    docs = spark.createDataFrame(
+        [(1, f"unique opening words here {span} and a unique tail one"),
+         (2, f"totally different start text {span} plus another ending"),
+         (3, "no shared span in this document at all whatsoever today")],
+        ["doc_id", "text"])
+    op = SubstringDeduplicator().setSpanTokens(5)
+    out = {r["doc_id"]: r for r in op.transform(docs).collect()}
+
+    # doc 1 holds the first occurrence: untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_deduped"] == (
+        "unique opening words here alpha beta gamma delta epsilon "
+        "and a unique tail one")
+    # doc 2 loses exactly the 5 planted tokens, nothing else
+    assert out[2]["n_removed"] == 5
+    assert out[2]["text_deduped"] == (
+        "totally different start text plus another ending")
+    # doc 3 shares nothing: untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["n_tokens"] == 10
+
+
+def test_substring_dedup_self_repetition_and_short_docs(spark):
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four one two three four"),  # span repeats in-doc
+         (2, "tiny doc"),                               # < k tokens: no grams
+         (3, None)],                                    # NULL text → empty
+        ["doc_id", "text"])
+    op = SubstringDeduplicator().setSpanTokens(4)
+    out = {r["doc_id"]: r for r in op.transform(docs).collect()}
+    assert out[1]["text_deduped"] == "one two three four"
+    assert out[1]["n_removed"] == 4
+    assert out[2] and out[2]["n_removed"] == 0
+    assert out[2]["text_deduped"] == "tiny doc"
+    assert out[3]["n_tokens"] == 0 and out[3]["n_removed"] == 0
+    assert out[3]["text_deduped"] == ""
