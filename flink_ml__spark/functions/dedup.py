@@ -33,7 +33,6 @@ import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from flink_ml__spark.base import AlgoOperator, HasInputCol, HasSeed
 from flink_ml__spark.functions.text import TOKEN_SPLIT, Fingerprinter
@@ -183,22 +182,25 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         return shingle_hash_udf(self.getShingleSize())
 
     def hashed_table(self, df: DataFrame) -> DataFrame:
-        """(__id, __xs) — the persisted signature base. Raw text is
+        """(__id, __xs) — the materialized signature base. Raw text is
         repartitioned BEFORE the tokenize+md5 projection so the heavy
         hashing parallelizes even when the source has few splits;
-        persisted because the table is referenced repeatedly (band-join
-        sides + verification joins) and broadcast conversion breaks
-        ReuseExchange. ~50 longs/doc — tiny relative to the text; at
-        lake scale "persist" can equally be a parquet checkpoint."""
+        materialized because the table is referenced repeatedly
+        (band-join sides + verification joins) and broadcast conversion
+        breaks ReuseExchange. ``localCheckpoint`` rather than
+        ``persist``: eager (no lazy-cache fill race between concurrent
+        downstream stages), and the blocks are released by the
+        ContextCleaner once the caller drops the result — repeated
+        ``transform``/``duplicate_pairs`` calls don't accumulate
+        CacheManager entries (same lifecycle fix as Apriori's freq
+        table). ~50 longs/doc — tiny relative to the text; at lake
+        scale this can equally be a parquet checkpoint."""
         idc = self.getIdCol()
         xs = self._shingle_hash_udf()(F.col(self.getInputCol()))
-        hashed = (df.select(idc, self.getInputCol())
-                  .repartition(F.col(idc))
-                  .select(F.col(idc).alias("__id"), xs.alias("__xs"))
-                  .persist(StorageLevel.MEMORY_AND_DISK))
-        hashed.count()  # eager: downstream stages run concurrently and
-        # would otherwise race to fill the cache, computing it 3-4×
-        return hashed
+        return (df.select(idc, self.getInputCol())
+                .repartition(F.col(idc))
+                .select(F.col(idc).alias("__id"), xs.alias("__xs"))
+                .localCheckpoint(eager=True))
 
     def band_table(self, hashed: DataFrame) -> DataFrame:
         """(__id, __b struct<band, key>) — one row per (doc, band)."""
@@ -391,11 +393,11 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
             ])).alias("__b"))
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        # persist + eager count: both band-join sides read the fingerprint
-        # table; broadcast conversion breaks ReuseExchange and lazy caches
-        # race (see MinHash above)
-        base = self.simhash_table(df).persist(StorageLevel.MEMORY_AND_DISK)
-        base.count()
+        # eager localCheckpoint: both band-join sides read the
+        # fingerprint table; broadcast conversion breaks ReuseExchange,
+        # lazy caches race, and persist() would leak a CacheManager
+        # entry per call (see MinHashDeduplicator.hashed_table)
+        base = self.simhash_table(df).localCheckpoint(eager=True)
         bands = self._band_rows(base)
         left = bands.select("__b", F.col("__id").alias("__id_l"),
                             F.col("__sh").alias("__sh_l"))
@@ -421,16 +423,14 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         """Incremental dedup against a corpus (see
         ``MinHashDeduplicator.transform_against`` — same contract: the
         corpus always wins, intra-``df`` duplicates untouched). Pass
-        ``corpus_hashed`` (a persisted :meth:`simhash_table` result) to
+        ``corpus_hashed`` (a :meth:`simhash_table` result) to
         amortize the corpus fingerprint pass."""
         if corpus_hashed is None:
             if corpus is None:
                 raise ValueError("need corpus or corpus_hashed")
-            corpus_hashed = self.simhash_table(corpus).persist(
-                StorageLevel.MEMORY_AND_DISK)
-            corpus_hashed.count()
-        new_h = self.simhash_table(df).persist(StorageLevel.MEMORY_AND_DISK)
-        new_h.count()
+            corpus_hashed = self.simhash_table(corpus).localCheckpoint(
+                eager=True)
+        new_h = self.simhash_table(df).localCheckpoint(eager=True)
         nb = self._band_rows(new_h).select(
             "__b", F.col("__id").alias("__id_n"),
             F.col("__sh").alias("__sh_n"))
@@ -482,19 +482,18 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return self._set(threshold=float(v))
 
     def hashed_table(self, df: DataFrame) -> DataFrame:
-        """(__id, __sh) sorted-shingle-hash base, persisted behind a
-        shuffle barrier (same rationale as
+        """(__id, __sh) sorted-shingle-hash base, materialized behind a
+        shuffle barrier via eager ``localCheckpoint`` (same rationale
+        and cache-lifecycle contract as
         ``MinHashDeduplicator.hashed_table``)."""
         idc = self.getIdCol()
         xs = shingle_hash_udf(self.getShingleSize())(
             F.col(self.getInputCol()))
-        base = (df.select(idc, self.getInputCol())
+        return (df.select(idc, self.getInputCol())
                 .repartition(F.col(idc))
                 .select(F.col(idc).alias("__id"),
                         F.array_sort(xs).alias("__sh"))
-                .persist(StorageLevel.MEMORY_AND_DISK))
-        base.count()  # eager: both join sides read it (see MinHash note)
-        return base
+                .localCheckpoint(eager=True))
 
     def _prefix_keys(self, base: DataFrame) -> DataFrame:
         """Explode each doc's prefix — the first ⌊(1−t)·|X|⌋ + 1 sorted
@@ -836,7 +835,7 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
 
     def keyed_table(self, df: DataFrame) -> DataFrame:
         """(__id, __v, __n, __bks) — vector, norm, and per-band LSH keys
-        in one persisted Arrow pass. Band signatures and norms run in
+        in one materialized Arrow pass. Band signatures and norms run in
         pandas UDFs: as Catalyst columns the (nBands·nBits)×dims dot
         products blow the 64 KB codegen method limit and fall back to
         interpreted evaluation. The numpy loops accumulate sequentially
@@ -874,13 +873,14 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
             return pd.Series(np.sqrt(acc))
 
         arr = as_double_array(df, ecol)
-        base = (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+        # eager localCheckpoint: both join sides read it, and persist()
+        # would leak a CacheManager entry per call (see
+        # MinHashDeduplicator.hashed_table)
+        return (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
                 .repartition(F.col("__id"))
                 .select("__id", "__v", norm_of("__v").alias("__n"),
                         band_keys_of("__v").alias("__bks"))
-                .persist(StorageLevel.MEMORY_AND_DISK))
-        base.count()  # eager: both join sides read it (see MinHash note)
-        return base
+                .localCheckpoint(eager=True))
 
     def _band_rows(self, keyed: DataFrame) -> DataFrame:
         """(__id, __b struct<band, key>) — one row per (vector, band)."""

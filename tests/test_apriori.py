@@ -61,6 +61,8 @@ def test_golden_rules(spark):
 def test_transform_leaves_no_cached_tables(spark):
     """transform() must not leak CacheManager entries: repeated calls
     previously accumulated persisted `freq` tables until LRU eviction."""
+    spark.catalog.clearCache()  # session fixture is shared across test
+    # files — don't let another module's (legitimate) cache fail us
     df = spark.createDataFrame(BASKETS, ["items"])
     for _ in range(3):
         make_op().transform(df).collect()

@@ -240,3 +240,25 @@ def test_substring_dedup_self_repetition_and_short_docs(spark):
     assert out[2]["text_deduped"] == "tiny doc"
     assert out[3]["n_tokens"] == 0 and out[3]["n_removed"] == 0
     assert out[3]["text_deduped"] == ""
+
+
+def test_dedup_leaves_no_cached_tables(spark):
+    """The signature/fingerprint base tables are localCheckpoint-ed, not
+    persisted: repeated transform()/duplicate_pairs() calls must not
+    accumulate CacheManager entries (same lifecycle contract as
+    Apriori's freq table)."""
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+
+    spark.catalog.clearCache()
+    df = _df(spark)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0]) for i in range(8)],
+        ["vec_id", "embedding"])
+    for _ in range(2):
+        MinHashDeduplicator().setSeed(42).transform(df).collect()
+        SimHashDeduplicator().transform(df).collect()
+        NgramJaccardDeduplicator().transform(df).collect()
+        SubstringDeduplicator().setSpanTokens(4).transform(df).collect()
+        EmbeddingCosineDeduplicator().setSeed(7).transform(emb).collect()
+        SimHashDeduplicator().transform_against(df, df).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
