@@ -124,8 +124,10 @@ class RepetitionScorer(AlgoOperator, HasInputCol):
                 if t is None:
                     out.append((0.0, 0.0, 0.0, 0.0))
                     continue
+                # strip ASCII space only — SQL trim() semantics, so the
+                # oracle stays bit-identical on tab/NBSP-bearing text
                 lines = [x for x in
-                         (s.strip() for s in rx_line.split(t)) if x]
+                         (s.strip(" ") for s in rx_line.split(t)) if x]
                 nl, dl = len(lines), len(set(lines))
                 chars = sum(map(len, lines))
                 dchars = sum(map(len, set(lines)))
@@ -707,7 +709,10 @@ class LineFilter(AlgoOperator, HasInputCol):
                 ok = ok & ~low.contains(b)
             return ok
 
-        lines = F.split(F.col(col), _re.escape(sep))
+        # NULL text ≡ empty document (coalesce): without it
+        # size(split(NULL)) yields -1 counts and a NULL rewrite — the
+        # same -1 class guarded in TokenCounter/PiiRedactor
+        lines = F.split(F.coalesce(F.col(col), F.lit("")), _re.escape(sep))
         kept = F.filter(lines, keep)
         non_empty = F.filter(lines, lambda x: F.trim(x) != "")
         return (df

@@ -301,7 +301,11 @@ class FrameSampler(AlgoOperator, HasBinaryCol, HasDecoder):
             for pdf in batches:
                 frames = []
                 for _, r in pdf.iterrows():
-                    payload = bytes(r[bcol]) if r[bcol] is not None else b""
+                    if r[bcol] is None:
+                        # NULL payload → no frames (matches the oracle,
+                        # whose WHERE predicate is NULL on NULL input)
+                        continue
+                    payload = bytes(r[bcol])
                     n_frames = max(len(payload) // fb, 1)
                     for i in range(0, n_frames, stride):
                         chunk = payload[i * fb:(i + 1) * fb]

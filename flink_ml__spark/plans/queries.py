@@ -1203,8 +1203,10 @@ def q_line_filter_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import LineFilter
 
     docs = load_table(spark, "documents", sf_dir)
+    # coalesce BEFORE concat_ws: concat_ws skips NULLs while the
+    # oracle's '||' propagates them — pin both to the empty string
     aug = docs.withColumn(
-        "text", F.concat_ws("\n", F.col("text"),
+        "text", F.concat_ws("\n", F.coalesce(F.col("text"), F.lit("")),
                             *[F.lit(x) for x in _LF_PLANT]))
     out = LineFilter().transform(aug)
     return out.select("doc_id", "n_lines_kept", "n_lines_total",
@@ -1224,7 +1226,7 @@ def _oracle_line_filter() -> str:
             f"w -> w <> '')) >= {min_words} "
             f"AND regexp_matches(trim(x), '[.!?\"]$') AND {not_blocked}")
     return f"""
-WITH aug AS (SELECT doc_id, text{plant} AS t FROM documents),
+WITH aug AS (SELECT doc_id, coalesce(text, ''){plant} AS t FROM documents),
 sp AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
 f AS (SELECT doc_id,
              list_filter(lines, x -> {cond}) AS kept,

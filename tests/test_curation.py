@@ -322,3 +322,29 @@ def test_domain_balancer_target_validation():
 
     with _pytest.raises(ValueError):
         DomainBalancer().setTargets({"en": -0.5, "de": 0.5})
+
+
+def test_line_filter_null_text(spark):
+    """NULL text ≡ empty document: zero counts (not size(NULL) = -1)
+    and an empty rewrite (not NULL)."""
+    from flink_ml__spark.functions.curation import LineFilter
+
+    df = spark.createDataFrame([(1, None), (2, "This line survives fine.")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in LineFilter().transform(df).collect()}
+    assert out[1]["n_lines_kept"] == 0
+    assert out[1]["n_lines_total"] == 0
+    assert out[1]["text_filtered"] == ""
+    assert out[2]["n_lines_kept"] == 1
+
+
+def test_repetition_scorer_sql_trim_semantics(spark):
+    """Line emptiness uses SQL trim() semantics (ASCII space only): a
+    tab-only line counts as a line, exactly as the DuckDB oracle sees
+    it — Python str.strip() would silently drop it."""
+    from flink_ml__spark.functions.curation import RepetitionScorer
+
+    df = spark.createDataFrame([(1, "\t\nfoo bar\n\t")], ["doc_id", "text"])
+    r = RepetitionScorer().transform(df).collect()[0]
+    # lines after space-only strip: ["\t", "foo bar", "\t"] → 1 dup of 3
+    assert abs(r["dup_line_frac"] - 1 / 3) < 1e-9

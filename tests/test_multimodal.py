@@ -108,3 +108,16 @@ def test_real_decoder_gated(spark):
         ImageDecoder().setDecoder("pil").transform(_df(spark))
     with pytest.raises(ValueError):
         ImageDecoder().setDecoder("nonsense").transform(_df(spark))
+
+
+def test_frame_sampler_null_payload(spark):
+    """NULL payloads emit no frames (the oracle's WHERE predicate is
+    NULL on NULL input — both engines must agree)."""
+    from flink_ml__spark.functions.multimodal import FrameSampler
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 512)), (2, None)], ["id", "payload"])
+    op = FrameSampler().setFrameBytes(256).setStride(1)
+    rows = op.transform(df).collect()
+    assert {r["id"] for r in rows} == {1}
+    assert len(rows) == 2  # two frames from the real payload only
