@@ -727,11 +727,15 @@ class UnigramLMModel(AlgoOperator, HasInputCol, HasIdColMixin):
     CCNet-style fluency signal — higher = closer to the training
     corpus) and ``oov_frac``.
 
-    Plan: explode tokens → broadcast-join the (small, capped) vocab →
-    partial+final ``groupBy(id)`` mean → broadcast the O(docs-per-...)
-    scores back. The token stream is reduced map-side (per-partition
-    partial aggregation keyed by the doc id) before the one shuffle, so
-    no task ever holds a document's full token list.
+    Plan: the vocab is O(maxVocab) by construction, so apply is a
+    single Arrow map pass over a broadcast ``{token: logp}`` dict —
+    zero shuffles (the earlier explode → broadcast-join →
+    ``groupBy(id)`` → join-back shape cost two full-data exchanges) and
+    therefore stream-compatible unchanged: a streaming DataFrame flows
+    through as a pure projection, the batch/stream parity the other
+    map-only text operators share. Documents with no tokens (including
+    NULL text) score NULL for both outputs, matching the left-join
+    semantics of the SQL oracle.
     """
 
     def __init__(self, vocab: DataFrame | None = None,
@@ -742,20 +746,45 @@ class UnigramLMModel(AlgoOperator, HasInputCol, HasIdColMixin):
         self._oov_logp = oov_logp
 
     def transform(self, df: DataFrame) -> DataFrame:
-        idc = self.getIdCol()
-        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
-                                TOKEN_SPLIT), lambda t: t != "")
-        tok_rows = (df.select(idc, F.explode(toks).alias("__tok")))
-        scored = (tok_rows
-                  .join(F.broadcast(self._vocab.withColumnRenamed(
-                      "token", "__tok")), "__tok", "left")
-                  .groupBy(idc)
-                  .agg(F.avg(F.coalesce(F.col("logp"),
-                                        F.lit(self._oov_logp)))
-                       .alias("mean_logprob"),
-                       F.avg(F.col("logp").isNull().cast("double"))
-                       .alias("oov_frac")))
-        return df.join(scored, idc, "left")
+        import pandas as pd
+
+        # O(maxVocab) driver pull, bounded by the fit-time cap — the
+        # CCNet shape (a model artifact small enough to ship to every
+        # task) rather than a data-sized table
+        vmap = {r["token"]: r["logp"] for r in self._vocab.collect()}
+        bc = df.sparkSession.sparkContext.broadcast(vmap)
+        oov = self._oov_logp
+        tok_pat = TOKEN_SPLIT
+
+        # no type hints: see RepetitionScorer
+        @F.pandas_udf("struct<mean_logprob:double,oov_frac:double>")
+        def score(texts):
+            import re
+
+            rx = re.compile(tok_pat)
+            vm = bc.value
+            out = []
+            for t in texts:
+                toks = ([w for w in rx.split(t.lower()) if w]
+                        if t is not None else [])
+                if not toks:
+                    out.append((None, None))
+                    continue
+                s = 0.0
+                n_oov = 0
+                for w in toks:
+                    lp = vm.get(w)
+                    if lp is None:
+                        n_oov += 1
+                        s += oov
+                    else:
+                        s += lp
+                out.append((s / len(toks), n_oov / len(toks)))
+            return pd.DataFrame(out, columns=["mean_logprob", "oov_frac"])
+
+        s = score(F.col(self.getInputCol()))
+        return (df.withColumn("mean_logprob", s["mean_logprob"])
+                .withColumn("oov_frac", s["oov_frac"]))
 
     def _save_model_data(self, path: str) -> None:
         import json
@@ -801,22 +830,29 @@ class UnigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
     def setMaxVocab(self, v):
         return self._set(maxVocab=v)
 
-    def fit(self, df: DataFrame) -> UnigramLMModel:
+    def _vocab_frame(self, df: DataFrame, total: int) -> DataFrame:
+        """The capped vocab plan (pre-materialization). orderBy+limit
+        compiles to TakeOrderedAndProject: per-partition top-K then a
+        driver merge of K-sized heaps — unlike a global row_number
+        window, which would funnel every distinct token through one
+        task."""
         toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
                                 TOKEN_SPLIT), lambda t: t != "")
         counts = (df.select(F.explode(toks).alias("token"))
                   .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
-        total = counts.agg(F.sum("cnt")).first()[0] or 1
-        # orderBy+limit compiles to TakeOrderedAndProject: per-partition
-        # top-K then a driver merge of K-sized heaps — unlike a global
-        # row_number window, which would funnel every distinct token
-        # through one task
-        vocab = (counts
-                 .orderBy(F.desc("cnt"), F.asc("token"))
-                 .limit(self.getOrDefault(self.maxVocab))
-                 .select("token",
-                         F.log(F.col("cnt") / F.lit(float(total)))
-                         .alias("logp")))
+        return (counts
+                .orderBy(F.desc("cnt"), F.asc("token"))
+                .limit(self.getOrDefault(self.maxVocab))
+                .select("token",
+                        F.log(F.col("cnt") / F.lit(float(total)))
+                        .alias("logp")))
+
+    def fit(self, df: DataFrame) -> UnigramLMModel:
+        toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
+                                TOKEN_SPLIT), lambda t: t != "")
+        total = (df.select(F.explode(toks).alias("token"))
+                 .agg(F.count(F.lit(1))).first()[0]) or 1
+        vocab = self._vocab_frame(df, total)
         import math as _math
 
         model = UnigramLMModel(vocab.localCheckpoint(eager=True),

@@ -716,17 +716,31 @@ class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                                        F.lit(""))), TOKEN_SPLIT),
             lambda t: t != "")
 
-    def gram_occurrences(self, df: DataFrame) -> DataFrame:
-        """(__id, __pos, __gh) — one row per k-gram occurrence, ``__pos``
-        1-based. Raw text is repartitioned before the hashing pass so the
-        Arrow UDF parallelizes on few-split sources (see MinHash)."""
+    def hashed_table(self, df: DataFrame) -> DataFrame:
+        """(__id, __ghs array<long>) — per-doc positioned gram hashes,
+        materialized behind the repartition barrier via eager
+        ``localCheckpoint`` (same lifecycle contract as
+        ``MinHashDeduplicator.hashed_table``): the occurrence stream is
+        read by BOTH the gram aggregation and the non-first-occurrence
+        join, and without the barrier each branch re-runs the Arrow
+        tokenize+hash pass. Raw text is repartitioned first so the
+        hashing parallelizes on few-split sources."""
         idc = self.getIdCol()
         gh = positioned_shingle_hash_udf(self.getSpanTokens())
         return (df.select(idc, self.getInputCol())
                 .repartition(F.col(idc))
                 .select(F.col(idc).alias("__id"),
-                        F.posexplode(gh(F.col(self.getInputCol())))
-                        .alias("__p0", "__gh"))
+                        gh(F.col(self.getInputCol())).alias("__ghs"))
+                .localCheckpoint(eager=True))
+
+    def gram_occurrences(self, df: DataFrame, *,
+                         hashed: DataFrame | None = None) -> DataFrame:
+        """(__id, __pos, __gh) — one row per k-gram occurrence, ``__pos``
+        1-based; a cheap JVM-side explode of :meth:`hashed_table`."""
+        if hashed is None:
+            hashed = self.hashed_table(df)
+        return (hashed
+                .select("__id", F.posexplode("__ghs").alias("__p0", "__gh"))
                 .select("__id", (F.col("__p0") + 1).alias("__pos"), "__gh"))
 
     def masked_positions(self, df: DataFrame) -> DataFrame:

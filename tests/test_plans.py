@@ -157,3 +157,50 @@ def test_repetition_single_arrow_pass(spark):
     plan = _plan(spark, "repetition_documents")
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_line_filter_no_shuffle_no_python(spark):
+    """C4 line filtering is pure HOF expressions: zero exchanges, zero
+    Python — it must pipeline with the scan (and thus with streams)."""
+    plan = _plan(spark, "line_filter_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_unigram_fit_topk_no_global_sort(spark):
+    """Vocab capping must be TakeOrderedAndProject (per-partition top-k
+    + driver merge of maxVocab rows), never a global Sort of the full
+    token-count table."""
+    from flink_ml__spark.functions.curation import UnigramLM
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", SF)
+    vocab = UnigramLM().setMaxVocab(100)._vocab_frame(docs, total=1000)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_unigram_apply_map_only(spark):
+    """Model apply is ONE Arrow pass over the broadcast vocab dict —
+    no explode, no aggregation, no exchange (the property that lets it
+    run unchanged on streams)."""
+    plan = _plan(spark, "unigram_logprob_documents")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_substring_dedup_two_shuffle_waves(spark):
+    """Span dedup: gram aggregation + per-doc mask fold are the only
+    data shuffles (plus the pre-UDF repartition); the document-side
+    rewrite is map-side HOFs — no cartesian, no extra aggregation over
+    the corpus text."""
+    plan = _plan(spark, "dedup_substring_documents")
+    assert "CartesianProduct" not in plan
+    # the positioned-hash Arrow pass ran ONCE at checkpoint time — both
+    # occurrence branches must scan the materialized table, not
+    # re-evaluate the UDF
+    assert plan.count("ArrowEvalPython") == 0
+    assert "ExistingRDD" in plan

@@ -46,6 +46,7 @@ def test_map_only_operators_stream_compatible(spark):
     from flink_ml__spark.functions.curation import (
         DeterministicSplitter,
         LineFilter,
+        UnigramLM,
     )
     from flink_ml__spark.functions.text import (
         LanguageIdentifier,
@@ -60,10 +61,13 @@ def test_map_only_operators_stream_compatible(spark):
     try:
         docs.coalesce(1).write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(docs.schema).parquet(d)
+        # model fit on the static corpus, applied to the stream — the
+        # CCNet stream-scoring shape (broadcast vocab, map-only apply)
+        lm = UnigramLM().setMaxVocab(500).fit(docs)
         out = stream
         for op in [PiiRedactor(), LineFilter(), TokenCounter(),
                    LanguageIdentifier(), QualityScorer(),
-                   DeterministicSplitter()]:
+                   DeterministicSplitter(), lm]:
             out = op.transform(out)
         assert out.isStreaming
         q = (out.writeStream.format("memory").queryName("mapops")
@@ -73,6 +77,15 @@ def test_map_only_operators_stream_compatible(spark):
             "SELECT count(*) AS n, count(text_redacted) AS nr, "
             "count(split) AS ns FROM mapops").first()
         assert rows["n"] == docs.count() == rows["nr"] == rows["ns"]
+        # stream scores equal the batch scores exactly
+        got = {r["doc_id"]: (r["mean_logprob"], r["oov_frac"])
+               for r in spark.sql(
+                   "SELECT doc_id, mean_logprob, oov_frac FROM mapops")
+               .collect()}
+        expect = {r["doc_id"]: (r["mean_logprob"], r["oov_frac"])
+                  for r in lm.transform(docs)
+                  .select("doc_id", "mean_logprob", "oov_frac").collect()}
+        assert got == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
