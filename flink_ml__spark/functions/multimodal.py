@@ -76,18 +76,25 @@ class HasDecoder(Params):
         return self._set(decoder=v)
 
 
-def _require_real_decoder(name: str, modules: dict[str, str]) -> None:
-    """Real codec paths are NOT implemented: anything but 'fake' raises.
+def _load_real_decoder(name: str, modules: dict[str, str]):
+    """Import-guarded real-codec dispatch: returns the imported library
+    for a known decoder name, or raises ``NotImplementedError`` when it
+    is absent. NEVER falls back to the fake decoder — that would
+    silently emit hash noise labeled as decoded media. The driver-side
+    import check fails fast at plan-build time; workers re-import by
+    name inside the UDF."""
+    import importlib
 
-    Raising even when the library IS importable is deliberate — falling
-    through to the fake decoder would silently emit hash noise labeled
-    as decoded media."""
     mod = modules.get(name)
     if mod is None:
         raise ValueError(f"unknown decoder '{name}'")
-    raise NotImplementedError(
-        f"decoder '{name}' (library '{mod}') is not implemented in this "
-        "environment; use decoder='fake' for the deterministic stub")
+    try:
+        return importlib.import_module(mod)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"decoder '{name}' requires library '{mod}', which is not "
+            "installed; use decoder='fake' for the deterministic stub"
+        ) from e
 
 
 def fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
@@ -168,8 +175,10 @@ class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
         return self._set(width=v)
 
     def transform(self, df: DataFrame) -> DataFrame:
-        if self.getDecoder() != "fake":
-            _require_real_decoder(self.getDecoder(), {"pil": "PIL"})
+        dec = self.getDecoder()
+        if dec != "fake":
+            # fail fast on the driver; workers re-import by name below
+            _load_real_decoder(dec, {"pil": "PIL.Image"})
         bcol = self.getBinaryCol()
         h, w = self.getHeight(), self.getWidth()
         fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
@@ -177,14 +186,31 @@ class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
         schema = f"{fields}, height int, width int, pixels array<int>"
 
         def decode(batches):
+            if dec == "fake":
+                def px(p):
+                    return fake_pixels(
+                        bytes(p) if p is not None else b"", h, w) \
+                        .ravel().astype("int64").tolist()
+            else:
+                import io
+
+                from PIL import Image
+
+                def px(p):
+                    # real decode: grayscale + nearest resize to the
+                    # declared shape; NULL payload → NULL pixels
+                    if p is None:
+                        return None
+                    img = (Image.open(io.BytesIO(bytes(p)))
+                           .convert("L").resize((w, h)))
+                    return (np.asarray(img, dtype=np.uint8)
+                            .ravel().astype("int64").tolist())
+
             for pdf in batches:
                 pdf = pdf.copy()
                 pdf["height"] = h
                 pdf["width"] = w
-                pdf["pixels"] = [
-                    fake_pixels(bytes(p) if p is not None else b"", h, w)
-                    .ravel().astype("int64").tolist()
-                    for p in pdf[bcol]]
+                pdf["pixels"] = [px(p) for p in pdf[bcol]]
                 yield pdf
 
         from flink_ml__spark.base import ensure_min_parallelism
@@ -289,7 +315,12 @@ class FrameSampler(AlgoOperator, HasBinaryCol, HasDecoder):
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.getDecoder() != "fake":
-            _require_real_decoder(self.getDecoder(), {"pil": "PIL"})
+            # unlike image/audio there is no real branch: video decode
+            # needs a container demuxer (e.g. PyAV), which is out of
+            # scope — refusing beats emitting hash noise as frames
+            raise NotImplementedError(
+                f"FrameSampler decoder '{self.getDecoder()}' has no real "
+                "video codec branch; use decoder='fake'")
         bcol = self.getBinaryCol()
         fb = self.getOrDefault(self.frameBytes)
         stride = self.getOrDefault(self.stride)
@@ -340,9 +371,10 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
         return self._set(sampleCount=v)
 
     def transform(self, df: DataFrame) -> DataFrame:
-        if self.getDecoder() != "fake":
-            _require_real_decoder(self.getDecoder(),
-                                  {"soundfile": "soundfile"})
+        dec = self.getDecoder()
+        if dec != "fake":
+            # fail fast on the driver; workers re-import by name below
+            _load_real_decoder(dec, {"soundfile": "soundfile"})
         bcol = self.getBinaryCol()
         n = self.getOrDefault(self.sampleCount)
         fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
@@ -350,11 +382,33 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
         schema = f"{fields}, rms double, zcr double, peak double"
 
         def feats(batches):
+            if dec == "fake":
+                def samples(p):
+                    return fake_samples(
+                        bytes(p) if p is not None else b"", n)
+            else:
+                import io
+
+                import soundfile as sf_mod
+
+                def samples(p):
+                    # real decode: mono-fold; NULL payload → NULL feats
+                    if p is None:
+                        return None
+                    data, _sr = sf_mod.read(io.BytesIO(bytes(p)),
+                                            dtype="float64")
+                    return data.mean(axis=1) if data.ndim > 1 else data
+
             for pdf in batches:
                 pdf = pdf.copy()
                 rms, zcr, peak = [], [], []
                 for p in pdf[bcol]:
-                    s = fake_samples(bytes(p) if p is not None else b"", n)
+                    s = samples(p)
+                    if s is None or not len(s):
+                        rms.append(None)
+                        zcr.append(None)
+                        peak.append(None)
+                        continue
                     rms.append(float(np.sqrt((s * s).mean())))
                     zcr.append(float((np.diff(np.signbit(s)) != 0).mean()))
                     peak.append(float(np.abs(s).max()))

@@ -121,3 +121,51 @@ def test_frame_sampler_null_payload(spark):
     rows = op.transform(df).collect()
     assert {r["id"] for r in rows} == {1}
     assert len(rows) == 2  # two frames from the real payload only
+
+
+def test_real_decoder_dispatch_is_import_guarded(spark, monkeypatch):
+    """decoder='pil'/'soundfile' must dispatch to the real library when
+    importable and raise NotImplementedError when absent — never fall
+    back to the stub. Dispatch only: the sandbox has neither library,
+    so execution of the real branch stays untested here."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.multimodal import (
+        AudioFeatureExtractor,
+        FrameSampler,
+        ImageDecoder,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"payload"))],
+                               ["id", "payload"])
+
+    # libraries absent (the sandbox state): plan build fails fast
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        ImageDecoder().setDecoder("pil").transform(df)
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        AudioFeatureExtractor().setDecoder("soundfile").transform(df)
+    # unknown decoder name is a usage error, not a missing library
+    with _pytest.raises(ValueError, match="unknown decoder"):
+        ImageDecoder().setDecoder("webp").transform(df)
+    # video has no real branch at all
+    with _pytest.raises(NotImplementedError, match="video"):
+        FrameSampler().setDecoder("pil").transform(df)
+
+    # fake PIL importable → dispatch succeeds at plan-build time
+    pil_pkg = types.ModuleType("PIL")
+    pil_img = types.ModuleType("PIL.Image")
+    pil_img.open = lambda *_: None
+    pil_pkg.Image = pil_img
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_img)
+    out = ImageDecoder().setDecoder("pil").transform(df)
+    assert "pixels" in out.columns
+
+    sf_mod = types.ModuleType("soundfile")
+    sf_mod.read = lambda *_, **__: (None, 0)
+    monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
+    out = AudioFeatureExtractor().setDecoder("soundfile").transform(df)
+    assert "rms" in out.columns
