@@ -160,12 +160,31 @@ class PiiRedactor(AlgoOperator, HasInputCol, HasOutputCol):
     def __init__(self):
         super().__init__()
         self._setDefault(inputCol="text", outputCol="text_redacted")
+        self._patterns = list(self.PATTERNS)
+
+    def setPatterns(self, patterns):
+        """Replace the redaction set with user-supplied ``(pattern,
+        token, name)`` triples — e.g. SSNs, API keys, internal
+        hostnames — applied in the given order under the same
+        sequential-count contract as the defaults (each category
+        counted on the text as redacted so far, emitted as
+        ``n_pii_<name>``). Keep patterns RE2-compatible (no lookaround)
+        if SQL-oracle replay matters."""
+        pats = [tuple(p) for p in patterns]
+        if not pats or any(len(p) != 3 for p in pats):
+            raise ValueError(
+                "patterns must be non-empty (pattern, token, name) triples")
+        self._patterns = pats
+        return self
+
+    def getPatterns(self):
+        return list(self._patterns)
 
     def transform(self, df: DataFrame) -> DataFrame:
         text = F.col(self.getInputCol())
         cur = text
         counts = []
-        for pat, tok, name in self.PATTERNS:
+        for pat, tok, name in self._patterns:
             # NULL text → 0 matches (not NULL), same contract as
             # TokenCounter; the redacted text itself stays NULL
             counts.append((f"n_pii_{name}",

@@ -27,17 +27,52 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# session confs the engine's semantics REQUIRE: non-ANSI (Java-like
+# NULL-propagating) arithmetic, and epoch-aligned UTC event-time windows
+# (F.window buckets shift with the session tz, diverging from the
+# DuckDB oracles)
+_REQUIRED_CONF = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _pin_session_conf(spark: SparkSession,
+                      extra: dict[str, str] | None = None) -> None:
+    """Pin the engine's required session confs, LOUDLY when that changes
+    an effective value: the driver may hand us a foreign session, and
+    the pin must win for correctness — but silently re-timezoning a
+    user's session mid-flight is worse than a warning. Subsequent calls
+    are quiet (the values already match)."""
+    import warnings
+
+    for k, v in {**_REQUIRED_CONF, **(extra or {})}.items():
+        cur = spark.conf.get(k, None)
+        if cur is not None and cur.lower() != v.lower():
+            warnings.warn(
+                f"load_table: overriding session conf {k}={cur!r} with "
+                f"{v!r} — required for the engine's oracle-parity "
+                "semantics (non-ANSI arithmetic, UTC event-time)",
+                RuntimeWarning, stacklevel=3)
+        spark.conf.set(k, v)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one test table as a distributed parquet scan.
+
+    Contract: this call pins ``spark.sql.ansi.enabled=false`` and
+    ``spark.sql.session.timeZone=UTC`` on the GIVEN session (plus
+    ``nanosAsLong`` for ``events``) — the engine's NULL/arithmetic and
+    event-time semantics depend on them. A session that carried
+    different values is overridden with a ``RuntimeWarning``; pass a
+    dedicated session (``flink_ml__spark.session.get_spark``) if those
+    confs must not change."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    # the driver may hand us a foreign session: the engine's operators
-    # assume non-ANSI (Java-like NULL-propagating) arithmetic, and the
-    # event-time window boundaries must be epoch-aligned in UTC to match
-    # the DuckDB oracles (F.window buckets shift with the session tz)
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _pin_session_conf(
+            spark, {"spark.sql.legacy.parquet.nanosAsLong": "true"})
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer division: `/` goes through double and epoch-nanos

@@ -132,3 +132,27 @@ def test_write_bucketed_table_no_shuffle_join(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_load_table_pins_session_conf_loudly(spark):
+    """load_table must pin UTC/non-ANSI on a foreign session — but a
+    pre-set conflicting value is overridden with a RuntimeWarning, not
+    silently (the documented contract)."""
+    import warnings
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            load_table(spark, "region", "/root/testdata/sf0.001")
+        assert any("session.timeZone" in str(x.message)
+                   and issubclass(x.category, RuntimeWarning) for x in w)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # matching values → quiet
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            load_table(spark, "region", "/root/testdata/sf0.001")
+        assert not [x for x in w2 if issubclass(x.category, RuntimeWarning)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

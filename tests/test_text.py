@@ -169,3 +169,32 @@ def test_quality_filter(spark):
     kept = [r["doc_id"] for r in
             QualityFilter().setMinScore(thr).transform(df).collect()]
     assert kept == [1]
+
+
+def test_pii_redactor_custom_patterns(spark):
+    """User-supplied (pattern, token, name) triples replace the default
+    set under the same sequential-count contract: later categories see
+    the text as already redacted by earlier ones."""
+    from flink_ml__spark.functions.text import PiiRedactor
+
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 key sk-abcdef 123-45-6789")],
+        ["doc_id", "text"])
+    op = PiiRedactor().setPatterns([
+        (r"\d{3}-\d{2}-\d{4}", "<SSN>", "ssns"),
+        # would match the digits inside an SSN too — but they are
+        # already redacted when this pass runs
+        (r"\b\d{2}-\d{4}\b", "<NUM>", "nums"),
+        (r"sk-[a-z]+", "<KEY>", "keys"),
+    ])
+    r = op.transform(df).collect()[0]
+    assert r["n_pii_ssns"] == 2
+    assert r["n_pii_nums"] == 0      # sequential: consumed by <SSN>
+    assert r["n_pii_keys"] == 1
+    assert r["text_redacted"] == "ssn <SSN> key <KEY> <SSN>"
+    # defaults unaffected on a fresh instance
+    assert len(PiiRedactor().getPatterns()) == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PiiRedactor().setPatterns([("a", "b")])
