@@ -763,9 +763,10 @@ class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                 .agg(F.array_sort(F.array_distinct(
                     F.flatten(F.collect_list("__mps")))).alias("__mask")))
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def _rewrite(self, df: DataFrame, masks: DataFrame) -> DataFrame:
+        """Join per-doc masked positions back and rewrite map-side."""
         idc = self.getIdCol()
-        masks = self.masked_positions(df).withColumnRenamed("__id", idc)
+        masks = masks.withColumnRenamed("__id", idc)
         toks = self._toks()
         kept = F.filter(
             toks,
@@ -781,6 +782,44 @@ class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                             .otherwise(F.size("__mask")).cast("bigint"))
                 .withColumn("text_deduped", F.array_join(kept, " "))
                 .drop("__mask"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self._rewrite(df, self.masked_positions(df))
+
+    def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
+                          *, corpus_hashed: DataFrame | None = None) -> DataFrame:
+        """Span-level DECONTAMINATION: mask every ``df`` occurrence of a
+        k-gram that appears ANYWHERE in ``corpus`` — the
+        "scrub benchmark spans out of the training set" shape (Lee et
+        al. §5; span-granular counterpart of ``ContaminationChecker``'s
+        whole-document flag). The corpus always wins: ALL matching span
+        positions in ``df`` are masked, first occurrences included, and
+        intra-``df`` duplicates are untouched — chain :meth:`transform`
+        for those. Same contract as the other deduplicators'
+        ``transform_against``: pass ``corpus_hashed`` (a
+        :meth:`hashed_table` result) to amortize the corpus hashing
+        pass across calls.
+
+        Scale shape: the corpus side reduces to DISTINCT gram hashes
+        (O(corpus grams) → one aggregation), then one join against the
+        ``df`` occurrence stream on the uniform hash key."""
+        if corpus_hashed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_hashed")
+            corpus_hashed = self.hashed_table(corpus)
+        k = self.getSpanTokens()
+        occ = self.gram_occurrences(df)
+        corpus_grams = (corpus_hashed
+                        .select(F.explode("__ghs").alias("__gh"))
+                        .distinct())
+        hit = (occ.join(corpus_grams, "__gh")
+               .select("__id",
+                       F.sequence("__pos",
+                                  F.col("__pos") + (k - 1)).alias("__mps")))
+        masks = (hit.groupBy("__id")
+                 .agg(F.array_sort(F.array_distinct(
+                     F.flatten(F.collect_list("__mps")))).alias("__mask")))
+        return self._rewrite(df, masks)
 
 
 class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):

@@ -685,6 +685,51 @@ FROM toks t LEFT JOIN maskl m ON t.doc_id = m.doc_id
 """
 
 
+def q_substring_decontaminate_documents(spark, sf_dir):
+    """Span-level decontamination gate: every ≥6-token span that appears
+    anywhere in the planted benchmark subset (doc_id % 97 == 0 — the
+    same subset the whole-document ContaminationChecker gate uses) is
+    masked out of every training document."""
+    docs = load_table(spark, "documents", sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    op = SubstringDeduplicator().setSpanTokens(6)
+    out = op.transform_against(docs, benchmark)
+    return out.select("doc_id", "n_tokens", "n_removed", "text_deduped")
+
+
+def _oracle_substring_decontaminate() -> str:
+    k = 6
+    gram = f"array_to_string(list_slice(toks, i, i + {k} - 1), ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
+              FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, {_H60.format(x=gram)} AS gh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i
+        FROM toks WHERE len(toks) >= {k})),
+bg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 97 = 0),
+hit AS (SELECT o.doc_id, o.pos FROM occ o JOIN bg ON o.gh = bg.gh),
+mask AS (
+  SELECT DISTINCT doc_id, mp FROM (
+    SELECT doc_id, pos + unnest(range(0, {k})) AS mp FROM hit)),
+maskl AS (
+  SELECT doc_id, list(mp) AS mlist, count(*) AS nrem
+  FROM mask GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens,
+       coalesce(m.nrem, 0)::BIGINT AS n_removed,
+       coalesce(CASE WHEN m.doc_id IS NULL
+                     THEN array_to_string(t.toks, ' ')
+                     ELSE array_to_string(
+                       list_transform(
+                         list_filter(range(1, len(t.toks) + 1),
+                                     p -> NOT list_contains(m.mlist, p)),
+                         p -> t.toks[p]), ' ')
+                END, '') AS text_deduped
+FROM toks t LEFT JOIN maskl m ON t.doc_id = m.doc_id
+"""
+
+
 def q_minhash_recall_documents(spark, sf_dir):
     """LSH quality telemetry: recall of MinHash verified pairs against
     the exact prefix-filter similarity join on the SAME corpus,
@@ -1783,6 +1828,7 @@ QUERIES = {
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
     "dedup_substring_documents": q_dedup_substring_documents,
+    "substring_decontaminate_documents": q_substring_decontaminate_documents,
     "minhash_recall_documents": q_minhash_recall_documents,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1834,6 +1880,7 @@ ORACLES = {
     "dedup_simhash_documents": _oracle_simhash(),
     "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),
     "dedup_substring_documents": _oracle_substring(),
+    "substring_decontaminate_documents": _oracle_substring_decontaminate(),
     "minhash_recall_documents": _oracle_minhash_recall(),
     "dedup_embedding_cosine": _oracle_embedding_dedup(),
     "ann_cosine_topk": ORACLE_ANN,

@@ -262,3 +262,30 @@ def test_dedup_leaves_no_cached_tables(spark):
         EmbeddingCosineDeduplicator().setSeed(7).transform(emb).collect()
         SimHashDeduplicator().transform_against(df, df).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_substring_transform_against_corpus(spark):
+    """Decontamination semantics: spans present in the corpus are masked
+    EVERYWHERE in df (first occurrences included); spans df shares only
+    with itself are untouched."""
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+
+    bench = spark.createDataFrame(
+        [(100, "the forbidden benchmark phrase lives here")],
+        ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(1, "intro words the forbidden benchmark phrase lives here tail"),
+         (2, "shared inside df only span alpha beta gamma delta epsilon x"),
+         (3, "shared inside df only span alpha beta gamma delta epsilon y")],
+        ["doc_id", "text"])
+    op = SubstringDeduplicator().setSpanTokens(6)
+    out = {r["doc_id"]: r for r in op.transform_against(df, bench).collect()}
+    assert out[1]["n_removed"] == 6
+    assert out[1]["text_deduped"] == "intro words tail"
+    # intra-df duplicates untouched by transform_against
+    assert out[2]["n_removed"] == 0 and out[3]["n_removed"] == 0
+    # amortized corpus_hashed path matches
+    hashed = op.hashed_table(bench)
+    out2 = {r["doc_id"]: r
+            for r in op.transform_against(df, corpus_hashed=hashed).collect()}
+    assert out2[1]["text_deduped"] == "intro words tail"
