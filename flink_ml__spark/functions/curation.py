@@ -590,6 +590,72 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
                 .drop("__keep_below"))
 
 
+class PerplexityBucketer(AlgoOperator):
+    """CCNet-style corpus partitioning by LM fluency (Wenzek et al.,
+    LREC 2020, §4.3): split documents into ``head`` / ``middle`` /
+    ``tail`` buckets by their language-model score — head = most
+    fluent. Consumes the score column :class:`UnigramLMModel` appends
+    (``mean_logprob``: HIGHER = lower perplexity = more fluent).
+
+    Thresholds are corpus-level exact percentiles of the (6-dp rounded)
+    score: ``head`` is ``score ≥ P(1 − headFrac)``, ``tail`` is
+    ``score ≤ P(tailFrac)``, the rest ``middle``; documents with a NULL
+    score (no tokens) get a NULL bucket. Rounding before the percentile
+    makes the cut deterministic across engines — the DuckDB oracle
+    replays it bit-for-bit.
+
+    Scale shape: the AHP/TOPSIS two-pass pattern — one distributed
+    percentile aggregation collapses to two scalar literals, then the
+    bucket label is a map-side CASE folded into the scan projection.
+    No sort, no window, no shuffle of the data.
+    """
+
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "fluency score column (higher = better)",
+                     TypeConverters.toString)
+    headFrac = Param(Params._dummy(), "headFrac",
+                     "fraction of the corpus in the head bucket",
+                     TypeConverters.toFloat)
+    tailFrac = Param(Params._dummy(), "tailFrac",
+                     "fraction of the corpus in the tail bucket",
+                     TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(scoreCol="mean_logprob", headFrac=1 / 3,
+                         tailFrac=1 / 3)
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setHeadFrac(self, v):
+        return self._set(headFrac=float(v))
+
+    def setTailFrac(self, v):
+        return self._set(tailFrac=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        hf = self.getOrDefault(self.headFrac)
+        tf = self.getOrDefault(self.tailFrac)
+        if hf + tf >= 1.0 or hf <= 0 or tf <= 0:
+            raise ValueError("need 0 < headFrac, tailFrac and "
+                             "headFrac + tailFrac < 1")
+        sc = F.round(F.col(self.getOrDefault(self.scoreCol)), 6)
+        t1, t2 = (df
+                  .agg(F.expr(f"percentile(round("
+                              f"{self.getOrDefault(self.scoreCol)}, 6), "
+                              f"{1.0 - hf!r})"),
+                       F.expr(f"percentile(round("
+                              f"{self.getOrDefault(self.scoreCol)}, 6), "
+                              f"{tf!r})"))
+                  .first())
+        bucket = (F.when(sc.isNull(), F.lit(None).cast("string"))
+                  .when(sc >= F.lit(t1), F.lit("head"))
+                  .when(sc <= F.lit(t2), F.lit("tail"))
+                  .otherwise(F.lit("middle")))
+        return df.withColumn("ppl_bucket", bucket)
+
+
 class CorpusProfiler(AlgoOperator):
     """Per-group corpus statistics: document count, total/mean size, and
     exact p50/p90/p99 of a numeric column, grouped by arbitrary columns

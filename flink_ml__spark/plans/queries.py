@@ -1369,6 +1369,43 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+def q_ppl_bucket_documents(spark, sf_dir):
+    """CCNet head/middle/tail partitioning on the self-fit unigram-LM
+    fluency score (thirds by corpus percentile)."""
+    from flink_ml__spark.functions.curation import PerplexityBucketer, UnigramLM
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = UnigramLM().setMaxVocab(2000).fit(docs)
+    out = PerplexityBucketer().transform(model.transform(docs))
+    return out.select("doc_id",
+                      F.round("mean_logprob", R).alias("mean_logprob"),
+                      "ppl_bucket")
+
+
+def _oracle_ppl_bucket() -> str:
+    hf = tf = 1 / 3
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n FROM counts),
+vocab AS (SELECT tok, ln(cnt / (SELECT n FROM tot)) AS logp
+          FROM counts ORDER BY cnt DESC, tok ASC LIMIT 2000),
+sc AS (SELECT t.doc_id,
+              avg(coalesce(v.logp, ln(1.0 / (SELECT n FROM tot)))) AS mlp
+       FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id),
+r AS (SELECT d.doc_id, round(sc.mlp, 6) AS s
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+th AS (SELECT quantile_cont(s, {1.0 - hf!r}) AS t1,
+              quantile_cont(s, {tf!r}) AS t2 FROM r)
+SELECT r.doc_id, r.s AS mean_logprob,
+       CASE WHEN r.s IS NULL THEN NULL
+            WHEN r.s >= th.t1 THEN 'head'
+            WHEN r.s <= th.t2 THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM r, th
+"""
+
+
 def q_corpus_profile_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import CorpusProfiler
 
@@ -1842,6 +1879,7 @@ QUERIES = {
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
+    "ppl_bucket_documents": q_ppl_bucket_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
@@ -1896,6 +1934,7 @@ ORACLES = {
     "pii_redact_documents": _oracle_pii_redact(),
     "line_filter_documents": _oracle_line_filter(),
     "unigram_logprob_documents": ORACLE_UNIGRAM,
+    "ppl_bucket_documents": _oracle_ppl_bucket(),
     "corpus_profile_documents": ORACLE_CORPUS_PROFILE,
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,

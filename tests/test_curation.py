@@ -348,3 +348,22 @@ def test_repetition_scorer_sql_trim_semantics(spark):
     r = RepetitionScorer().transform(df).collect()[0]
     # lines after space-only strip: ["\t", "foo bar", "\t"] → 1 dup of 3
     assert abs(r["dup_line_frac"] - 1 / 3) < 1e-9
+
+
+def test_perplexity_bucketer(spark):
+    from flink_ml__spark.functions.curation import PerplexityBucketer
+
+    df = spark.createDataFrame(
+        [(i, float(-i)) for i in range(1, 10)] + [(10, None)],
+        "doc_id long, mean_logprob double")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in PerplexityBucketer().transform(df).collect()}
+    # scores -1..-9: head = top third (>= P(2/3)), tail = bottom third
+    assert out[1] == "head" and out[2] == "head"
+    assert out[5] == "middle"
+    assert out[8] == "tail" and out[9] == "tail"
+    assert out[10] is None  # NULL score → NULL bucket
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PerplexityBucketer().setHeadFrac(0.7).setTailFrac(0.5).transform(df)
