@@ -33,6 +33,14 @@ pipeline runs between "raw crawl" and "tokenizer input":
   with a Unified Text-to-Text Transformer", JMLR 2020, §2.2): keep
   lines with enough words, terminal punctuation, and no blocklisted
   phrases; re-join the survivors.
+* :class:`UnigramLM` / :class:`UnigramLMModel` — CCNet-style LM
+  fluency scoring (Wenzek et al., LREC 2020).
+* :class:`PerplexityBucketer`    — CCNet head/middle/tail corpus
+  partitioning on the fluency score (percentile thresholds folded to
+  literals, map-side assignment).
+* :class:`DSIRSelector` / :class:`DSIRModel` — importance weighting
+  against a target corpus over hashed bigram features (Xie et al.,
+  NeurIPS 2023).
 
 Design rules shared with the rest of the engine: built-in Catalyst
 expressions wherever possible (whole-stage codegen, no Python in the
@@ -588,6 +596,140 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
         return (df.join(F.broadcast(stats.select(grp, "__keep_below")), grp)
                 .filter(b < F.col("__keep_below"))
                 .drop("__keep_below"))
+
+
+class DSIRModel(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Fitted DSIR importance model: per-bucket log-ratio
+    ``ln p_target(b) − ln p_raw(b)`` over hashed bigram features.
+    ``transform`` appends ``dsir_logweight`` — the sum of log-ratios
+    over the document's bigrams (HIGHER = more target-like); documents
+    with fewer than two tokens score NULL. Apply is one Arrow map pass
+    over the broadcast O(numBuckets) ratio vector — no shuffle, no
+    join, stream-compatible unchanged."""
+
+    def __init__(self, logratio=None, num_buckets: int | None = None):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id")
+        self._logratio = logratio        # list[float], len == num_buckets
+        self._num_buckets = num_buckets
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        bc = df.sparkSession.sparkContext.broadcast(
+            list(self._logratio))
+        nb = self._num_buckets
+        tok_pat = TOKEN_SPLIT
+
+        # no type hints: see RepetitionScorer
+        @F.pandas_udf("double")
+        def weight(texts):
+            import hashlib
+            import re
+
+            rx = re.compile(tok_pat)
+            lr = bc.value
+            out = []
+            for t in texts:
+                toks = ([w for w in rx.split(t.lower()) if w]
+                        if t is not None else [])
+                if len(toks) < 2:
+                    out.append(None)
+                    continue
+                s = 0.0
+                for a, b in zip(toks, toks[1:]):
+                    h = int(hashlib.md5(
+                        f"{a} {b}".encode("utf-8")).hexdigest()[:15], 16)
+                    s += lr[h % nb]
+                out.append(s)
+            return pd.Series(out, dtype="float64")
+
+        return df.withColumn("dsir_logweight",
+                             weight(F.col(self.getInputCol())))
+
+
+class DSIRSelector(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Data Selection via Importance Resampling (Xie, Santurkar, Ma &
+    Liang, "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): score raw documents by how much their
+    hashed-bigram distribution looks like a TARGET corpus.
+
+    ``fit(target, raw)`` hashes word bigrams into ``numBuckets``
+    buckets (the paper's hashed n-gram features), estimates
+    add-``smoothing`` bucket distributions for both corpora, and keeps
+    the per-bucket log-ratio. The model is O(numBuckets) — two hash
+    aggregations over the corpora, two O(numBuckets) driver pulls,
+    nothing data-sized. Downstream selection composes with
+    :class:`PerplexityBucketer`-style thresholds or
+    :class:`DomainBalancer`; the paper's Gumbel top-k draw is one
+    seeded ``_hash_bucket16`` away.
+    """
+
+    numBuckets = Param(Params._dummy(), "numBuckets",
+                       "hashed feature buckets", TypeConverters.toInt)
+    smoothing = Param(Params._dummy(), "smoothing",
+                      "additive smoothing per bucket",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id", numBuckets=1024,
+                         smoothing=1.0)
+
+    def setNumBuckets(self, v):
+        return self._set(numBuckets=v)
+
+    def setSmoothing(self, v):
+        return self._set(smoothing=float(v))
+
+    def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
+        """O(numBuckets) bucket histogram of bigram features — one
+        Arrow pass + one hash aggregation."""
+        import pandas as pd
+
+        nb = self.getOrDefault(self.numBuckets)
+        tok_pat = TOKEN_SPLIT
+
+        # no type hints: see RepetitionScorer
+        @F.pandas_udf("array<int>")
+        def buckets(texts):
+            import hashlib
+            import re
+
+            rx = re.compile(tok_pat)
+            out = []
+            for t in texts:
+                toks = ([w for w in rx.split(t.lower()) if w]
+                        if t is not None else [])
+                out.append([
+                    int(hashlib.md5(
+                        f"{a} {b}".encode("utf-8")).hexdigest()[:15], 16)
+                    % nb
+                    for a, b in zip(toks, toks[1:])])
+            return pd.Series(out)
+
+        rows = (df.select(F.explode(buckets(
+                    F.col(self.getInputCol()))).alias("__bk"))
+                .groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
+                .collect())
+        return {r["__bk"]: r["__c"] for r in rows}
+
+    def fit(self, target: DataFrame, raw: DataFrame) -> DSIRModel:
+        import math
+
+        nb = self.getOrDefault(self.numBuckets)
+        a = self.getOrDefault(self.smoothing)
+        ct = self._bucket_counts(target)
+        cr = self._bucket_counts(raw)
+        tt = sum(ct.values()) + a * nb
+        tr = sum(cr.values()) + a * nb
+        logratio = [
+            math.log((ct.get(b, 0) + a) / tt)
+            - math.log((cr.get(b, 0) + a) / tr)
+            for b in range(nb)]
+        model = DSIRModel(logratio, nb)
+        model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
+        return model
 
 
 class PerplexityBucketer(AlgoOperator):

@@ -1406,6 +1406,47 @@ FROM r, th
 """
 
 
+def q_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance weighting: score every document by how
+    English-like its hashed-bigram distribution is (target = the
+    corpus's lang='en' slice, raw = the whole corpus)."""
+    from flink_ml__spark.functions.curation import DSIRSelector
+
+    docs = load_table(spark, "documents", sf_dir)
+    sel = DSIRSelector().setNumBuckets(512)
+    model = sel.fit(docs.filter(F.col("lang") == "en"), docs)
+    return (model.transform(docs)
+            .select("doc_id",
+                    F.round("dsir_logweight", R).alias("dsir_logweight")))
+
+
+def _oracle_dsir() -> str:
+    nb = 512
+    bigrams = ("list_transform(range(1, len(toks)), "
+               "i -> array_to_string(list_slice(toks, i, i + 1), ' '))")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+big AS (SELECT doc_id, unnest({bigrams}) AS bg
+        FROM toks WHERE len(toks) >= 2),
+feat AS (SELECT doc_id, {_H60.format(x='bg')} % {nb} AS bk FROM big),
+tgt AS (SELECT bk, count(*) AS c FROM feat JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY bk),
+rawc AS (SELECT bk, count(*) AS c FROM feat GROUP BY bk),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) + {nb}.0 AS tt,
+               (SELECT coalesce(sum(c), 0) FROM rawc) + {nb}.0 AS tr),
+ratio AS (SELECT x.r AS bk,
+                 ln((coalesce(t.c, 0) + 1.0) / (SELECT tt FROM tot))
+               - ln((coalesce(w.c, 0) + 1.0) / (SELECT tr FROM tot)) AS lr
+          FROM range(0, {nb}) x(r)
+          LEFT JOIN tgt t ON t.bk = x.r
+          LEFT JOIN rawc w ON w.bk = x.r),
+lw AS (SELECT f.doc_id, sum(ratio.lr) AS lw
+       FROM feat f JOIN ratio ON f.bk = ratio.bk GROUP BY f.doc_id)
+SELECT d.doc_id, round(lw.lw, {R}) AS dsir_logweight
+FROM documents d LEFT JOIN lw ON d.doc_id = lw.doc_id
+"""
+
+
 def q_corpus_profile_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import CorpusProfiler
 
@@ -1880,6 +1921,7 @@ QUERIES = {
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "ppl_bucket_documents": q_ppl_bucket_documents,
+    "dsir_weights_documents": q_dsir_weights_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
@@ -1935,6 +1977,7 @@ ORACLES = {
     "line_filter_documents": _oracle_line_filter(),
     "unigram_logprob_documents": ORACLE_UNIGRAM,
     "ppl_bucket_documents": _oracle_ppl_bucket(),
+    "dsir_weights_documents": _oracle_dsir(),
     "corpus_profile_documents": ORACLE_CORPUS_PROFILE,
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,

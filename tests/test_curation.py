@@ -367,3 +367,24 @@ def test_perplexity_bucketer(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         PerplexityBucketer().setHeadFrac(0.7).setTailFrac(0.5).transform(df)
+
+
+def test_dsir_selector_prefers_target_like_docs(spark):
+    """Documents sharing the target corpus's bigrams must score higher
+    than documents full of out-of-target bigrams; < 2 tokens → NULL."""
+    from flink_ml__spark.functions.curation import DSIRSelector
+
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the quick brown fox sleeps under the warm sun")],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "matrix eigenvalue decomposition converges quadratically"),
+         (3, "solo")],
+        ["doc_id", "text"])
+    model = DSIRSelector().setNumBuckets(64).fit(target, raw)
+    out = {r["doc_id"]: r["dsir_logweight"]
+           for r in model.transform(raw).collect()}
+    assert out[1] > out[2]
+    assert out[3] is None
