@@ -1,4 +1,5 @@
 from flink_ml__spark.streaming.online import (
+    stream_dedup_against_corpus,
     stream_exact_dedup,
     stream_minhash_dedup_against_corpus,
     stream_online_ahp,
@@ -8,6 +9,7 @@ from flink_ml__spark.streaming.online import (
 )
 
 __all__ = [
+    "stream_dedup_against_corpus",
     "stream_exact_dedup",
     "stream_minhash_dedup_against_corpus",
     "stream_online_ahp",

@@ -197,6 +197,13 @@ def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
     ``emit`` if wanted); cross-batch accumulation is the caller's
     policy — e.g. append each clean batch to the corpus store and
     rebuild signatures periodically.
+
+    ``op`` is any operator with the ``hashed_table`` /
+    ``transform_against(df, corpus_hashed=...)`` protocol:
+    ``MinHashDeduplicator``, ``NgramJaccardDeduplicator`` (exact), or
+    ``SubstringDeduplicator`` — the last turns this into streaming
+    span-level decontamination (mask benchmark spans out of every
+    micro-batch).
     """
     corpus_hashed = op.hashed_table(corpus_df)
 
@@ -205,6 +212,11 @@ def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
              batch_id)
 
     return process
+
+
+# the protocol is op-agnostic (see docstring); the generic name is the
+# public surface, the historical one stays as an alias
+stream_dedup_against_corpus = stream_minhash_dedup_against_corpus
 
 
 def stream_online_topsis_fit(stream_df: DataFrame, est,

@@ -295,3 +295,41 @@ def test_stream_online_topsis_fit_matches_batch(spark):
             assert math.isclose(got[k], v, abs_tol=1e-4)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_substring_decontamination(spark):
+    """stream_dedup_against_corpus with SubstringDeduplicator scrubs
+    benchmark spans out of each micro-batch, matching the batch
+    transform_against output exactly."""
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.streaming import stream_dedup_against_corpus
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    bench = docs.filter("doc_id % 97 = 0")
+    op = SubstringDeduplicator().setSpanTokens(6)
+    d = _tf.mkdtemp(prefix="stream_sub_")
+    got = {}
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(d)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+
+        def emit(clean_df, batch_id):
+            for r in clean_df.select("doc_id", "n_removed",
+                                     "text_deduped").collect():
+                got[r["doc_id"]] = (r["n_removed"], r["text_deduped"])
+
+        q = (stream.writeStream
+             .foreachBatch(stream_dedup_against_corpus(bench, op, emit))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        expect = {r["doc_id"]: (r["n_removed"], r["text_deduped"])
+                  for r in op.transform_against(docs, bench)
+                  .select("doc_id", "n_removed", "text_deduped").collect()}
+        assert got == expect
+        assert any(n > 0 for n, _ in got.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
