@@ -105,6 +105,101 @@ class QualityScorer(AlgoOperator, HasInputCol):
         return out.withColumn("quality_score", score)
 
 
+class GopherQualityFilter(AlgoOperator, HasInputCol):
+    """Gopher rule-based document filter (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio cap, minimum fraction of words containing an alphabetic
+    character, and a minimum number of distinct required stop words.
+
+    Appends the per-rule measurements plus the verdict::
+
+        gopher_n_words         bigint
+        gopher_mean_word_len   double   (non-whitespace chars / words)
+        gopher_symbol_ratio    double   (# / ellipsis per word)
+        gopher_alpha_word_frac double
+        gopher_stop_hits       int      (distinct stop words present)
+        gopher_pass            boolean
+
+    Pure codegen — length arithmetic and regexp counts, no HOF
+    aggregation loops, no Python — so the pass pipelines with the scan
+    and runs unchanged on streams. NULL text ≡ empty document (0
+    words, fails the floor).
+    """
+
+    minWords = Param(Params._dummy(), "minWords", "word-count floor",
+                     TypeConverters.toInt)
+    maxWords = Param(Params._dummy(), "maxWords", "word-count ceiling",
+                     TypeConverters.toInt)
+    minMeanWordLen = Param(Params._dummy(), "minMeanWordLen",
+                           "mean word length floor",
+                           TypeConverters.toFloat)
+    maxMeanWordLen = Param(Params._dummy(), "maxMeanWordLen",
+                           "mean word length ceiling",
+                           TypeConverters.toFloat)
+    maxSymbolRatio = Param(Params._dummy(), "maxSymbolRatio",
+                           "max (# + ellipsis) per word",
+                           TypeConverters.toFloat)
+    minAlphaWordFrac = Param(Params._dummy(), "minAlphaWordFrac",
+                             "min fraction of words with an alphabetic "
+                             "character", TypeConverters.toFloat)
+    minStopHits = Param(Params._dummy(), "minStopHits",
+                        "min distinct required stop words present",
+                        TypeConverters.toInt)
+    stopWords = Param(Params._dummy(), "stopWords",
+                      "the required stop-word set",
+                      TypeConverters.toListString)
+
+    # the paper's thresholds and stop set (§A1.1)
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", minWords=50, maxWords=100000,
+                         minMeanWordLen=3.0, maxMeanWordLen=10.0,
+                         maxSymbolRatio=0.1, minAlphaWordFrac=0.8,
+                         minStopHits=2,
+                         stopWords=["the", "be", "to", "of", "and",
+                                    "that", "have", "with"])
+
+    def setMinWords(self, v):
+        return self._set(minWords=v)
+
+    def setMaxWords(self, v):
+        return self._set(maxWords=v)
+
+    def setMinStopHits(self, v):
+        return self._set(minStopHits=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.coalesce(F.col(self.getInputCol()), F.lit(""))
+        words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+        n = F.size(words)
+        n1 = F.greatest(n, F.lit(1))
+        # mean word length without a HOF fold: non-whitespace chars
+        mean_len = (F.length(F.regexp_replace(text, r"\s", ""))
+                    .cast("double") / n1)
+        symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+        sym_ratio = symbols.cast("double") / n1
+        alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        alpha_frac = alpha.cast("double") / n1
+        stop_hits = F.size(F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in self.getOrDefault(self.stopWords)])))
+        ok = ((n >= self.getOrDefault(self.minWords))
+              & (n <= self.getOrDefault(self.maxWords))
+              & (mean_len >= self.getOrDefault(self.minMeanWordLen))
+              & (mean_len <= self.getOrDefault(self.maxMeanWordLen))
+              & (sym_ratio <= self.getOrDefault(self.maxSymbolRatio))
+              & (alpha_frac >= self.getOrDefault(self.minAlphaWordFrac))
+              & (stop_hits >= self.getOrDefault(self.minStopHits)))
+        return (df
+                .withColumn("gopher_n_words", n.cast("bigint"))
+                .withColumn("gopher_mean_word_len", mean_len)
+                .withColumn("gopher_symbol_ratio", sym_ratio)
+                .withColumn("gopher_alpha_word_frac", alpha_frac)
+                .withColumn("gopher_stop_hits", stop_hits)
+                .withColumn("gopher_pass", ok))
+
+
 class TokenCounter(AlgoOperator, HasInputCol, HasOutputCol):
     """Whitespace + BPE-ish token counts.
 

@@ -1037,6 +1037,62 @@ FROM s WHERE score >= 0.5
 """
 
 
+def q_gopher_quality_documents(spark, sf_dir):
+    """Gopher rule filter at the paper's thresholds (minStopHits
+    relaxed to 1 — the synthetic vocabulary carries few English stop
+    words, and 1 keeps both verdicts populated)."""
+    from flink_ml__spark.functions.text import GopherQualityFilter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = GopherQualityFilter().setMinStopHits(1).transform(docs)
+    return out.select(
+        "doc_id", "gopher_n_words",
+        F.round("gopher_mean_word_len", R).alias("gopher_mean_word_len"),
+        F.round("gopher_symbol_ratio", R).alias("gopher_symbol_ratio"),
+        F.round("gopher_alpha_word_frac", R).alias("gopher_alpha_word_frac"),
+        "gopher_stop_hits", "gopher_pass")
+
+
+def _oracle_gopher() -> str:
+    from flink_ml__spark.functions.text import GopherQualityFilter
+
+    op = GopherQualityFilter().setMinStopHits(1)
+    stops = ", ".join(f"'{w}'" for w in op.getOrDefault(op.stopWords))
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+w AS (SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\\s+'), x -> x <> '')
+               AS words
+      FROM base),
+m AS (SELECT doc_id,
+             len(words) AS n,
+             greatest(len(words), 1) AS n1,
+             length(regexp_replace(t, '\\s', '', 'g'))::DOUBLE AS nwc,
+             len(regexp_extract_all(t, '#|\\.\\.\\.|…'))::DOUBLE AS sym,
+             len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               AS alpha,
+             len(list_intersect(
+                 list_distinct(list_transform(words, x -> lower(x))),
+                 [{stops}])) AS stop_hits
+      FROM w)
+SELECT doc_id,
+       n::BIGINT AS gopher_n_words,
+       round(nwc / n1, {R}) AS gopher_mean_word_len,
+       round(sym / n1, {R}) AS gopher_symbol_ratio,
+       round(alpha / n1, {R}) AS gopher_alpha_word_frac,
+       stop_hits::INT AS gopher_stop_hits,
+       (n >= {op.getOrDefault(op.minWords)}
+        AND n <= {op.getOrDefault(op.maxWords)}
+        AND nwc / n1 >= {op.getOrDefault(op.minMeanWordLen)!r}
+        AND nwc / n1 <= {op.getOrDefault(op.maxMeanWordLen)!r}
+        AND sym / n1 <= {op.getOrDefault(op.maxSymbolRatio)!r}
+        AND alpha / n1 >= {op.getOrDefault(op.minAlphaWordFrac)!r}
+        AND stop_hits >= 1) AS gopher_pass
+FROM m
+"""
+
+
 def q_token_count_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     return (TokenCounter().transform(docs)
@@ -1914,6 +1970,7 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "quality_documents": q_quality_documents,
     "quality_filter_documents": q_quality_filter_documents,
+    "gopher_quality_documents": q_gopher_quality_documents,
     "token_count_documents": q_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
@@ -1970,6 +2027,7 @@ ORACLES = {
     "lang_id_documents": _oracle_lang_id(),
     "quality_documents": ORACLE_QUALITY,
     "quality_filter_documents": ORACLE_QUALITY_FILTER,
+    "gopher_quality_documents": _oracle_gopher(),
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),

@@ -198,3 +198,30 @@ def test_pii_redactor_custom_patterns(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         PiiRedactor().setPatterns([("a", "b")])
+
+
+def test_gopher_quality_filter_rules(spark):
+    from flink_ml__spark.functions.text import GopherQualityFilter
+
+    long_ok = ("the quick brown fox jumps over the lazy dog and keeps "
+               "running through the field with steady measured strides "
+               "while birds circle overhead in the warm afternoon air "
+               "and the river flows quietly beside the old stone bridge "
+               "carrying leaves downstream past the village mill") + \
+              " more words here to cross fifty total easily done now yes"
+    df = spark.createDataFrame(
+        [(1, long_ok),                              # passes everything
+         (2, "too short to pass the word floor"),   # < minWords
+         (3, None),                                 # NULL ≡ empty → fail
+         (4, " ".join(["#"] * 60))],                # symbols, no alpha
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in GopherQualityFilter().setMinStopHits(1)
+           .transform(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["gopher_n_words"] >= 50
+    assert out[2]["gopher_pass"] is False
+    assert out[3]["gopher_pass"] is False and out[3]["gopher_n_words"] == 0
+    assert out[4]["gopher_pass"] is False
+    assert out[4]["gopher_symbol_ratio"] == 1.0
+    assert out[4]["gopher_alpha_word_frac"] == 0.0
