@@ -49,6 +49,11 @@ HEADLINE = [
     "dedup_minhash_documents",
     "dedup_simhash_documents",
     "dedup_embedding_cosine",
+    "dedup_substring_documents",
+    "substring_decontaminate_documents",
+    "ppl_bucket_documents",
+    "dsir_weights_documents",
+    "gopher_quality_documents",
     "lang_id_documents",
     "quality_documents",
     "quality_filter_documents",
