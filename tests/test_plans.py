@@ -204,3 +204,32 @@ def test_substring_dedup_two_shuffle_waves(spark):
     # re-evaluate the UDF
     assert plan.count("ArrowEvalPython") == 0
     assert "ExistingRDD" in plan
+
+
+def test_gopher_filter_no_shuffle_no_python(spark):
+    """The Gopher rules are pure length/regexp arithmetic: zero
+    exchanges, zero Python — the pass pipelines with the scan."""
+    plan = _plan(spark, "gopher_quality_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_dsir_apply_single_arrow_pass(spark):
+    """DSIR scoring is one Arrow pass over the broadcast ratio vector:
+    no exchange, no join, no aggregation in the returned plan (fit's
+    aggregations run at plan-build time)."""
+    plan = _plan(spark, "dsir_weights_documents")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ppl_bucket_thresholds_folded(spark):
+    """Percentile thresholds fold to literals at build time: the
+    returned plan is scan → unigram Arrow score → CASE projection —
+    no aggregation, no exchange."""
+    plan = _plan(spark, "ppl_bucket_documents")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
