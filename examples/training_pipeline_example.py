@@ -1,10 +1,13 @@
 """End-to-end training-data pipeline over the documents table:
-metadata triage -> PII redaction -> repetition + quality filtering ->
-exact dedup -> MinHash near-dedup -> benchmark decontamination ->
-language ID + token counts -> train/val/test split -> domain balancing
--> sequence packing -> corpus profile — the LLM-data-curation chain the
-engine's north-star operators compose into (each stage is one of the
-gate queries; chained here as a single lazy plan until the reports)."""
+metadata triage -> PII redaction -> repetition + quality + Gopher-rule
+filtering -> exact dedup -> MinHash near-dedup -> substring span dedup
+-> benchmark decontamination (whole-doc flag + span scrub) -> language
+ID + token counts -> CCNet unigram-LM scoring + perplexity bucketing
+-> DSIR target-corpus weighting -> train/val/test split -> domain
+balancing -> sequence packing -> corpus profile — the LLM-data-curation
+chain the engine's north-star operators compose into (each stage is one
+of the gate queries; chained here as a single lazy plan until the
+reports)."""
 
 from _common import SF_DIR, get_session
 
@@ -40,30 +43,61 @@ def main():
     red = (PiiRedactor().transform(docs)
            .drop("text").withColumnRenamed("text_redacted", "text"))
 
-    # 2. heuristic quality: drop highly repetitive or low-quality docs
+    # 2. heuristic quality: repetition signals, composite score, and the
+    #    Gopher rule set (relaxed stop-word floor: synthetic vocabulary)
+    from flink_ml__spark.functions.text import GopherQualityFilter
+
     rep = RepetitionScorer().setLineSep(r"\.").transform(red)
     filtered = QualityFilter().setMinScore(0.5).transform(
         rep.filter(F.col("top_word_frac") < 0.5))
+    filtered = (GopherQualityFilter().setMinWords(20).setMinStopHits(1)
+                .transform(filtered).filter(F.col("gopher_pass")))
     n1 = filtered.count()
 
-    # 3. dedup: exact, then MinHash near-duplicates
+    # 3. dedup: exact, MinHash near-duplicates, then duplicated >=8-token
+    #    spans inside the survivors (Lee et al. 2022)
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+
     exact = ExactDeduplicator().transform(filtered)
     near = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
             .transform(exact))
-    n2 = near.count()
+    span = (SubstringDeduplicator().setSpanTokens(8).transform(near)
+            .drop("text").withColumnRenamed("text_deduped", "text")
+            .drop("n_tokens", "n_removed"))
+    n2 = span.count()
 
-    # 4. decontaminate against a benchmark corpus (every 97th doc here)
+    # 4. decontaminate against a benchmark corpus (every 97th doc here):
+    #    drop heavily-overlapping documents, then scrub any surviving
+    #    >=6-token benchmark span out of the text
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     checked = (ContaminationChecker().setShingleSize(5).setThreshold(0.2)
-               .transform_against(near, benchmark)
+               .transform_against(span, benchmark)
                .filter(~F.col("is_contaminated")))
-    n3 = checked.count()
+    scrubbed = (SubstringDeduplicator().setSpanTokens(6)
+                .transform_against(checked, benchmark)
+                .drop("text").withColumnRenamed("text_deduped", "text")
+                .drop("n_tokens", "n_removed"))
+    n3 = scrubbed.count()
 
-    # 5. annotate: language + token counts; deterministic split
+    # 5. annotate: language + token counts; CCNet fluency scoring with
+    #    head/middle/tail buckets (drop the tail); DSIR weighting toward
+    #    the corpus's English slice; deterministic split
+    from flink_ml__spark.functions.curation import (
+        DSIRSelector,
+        PerplexityBucketer,
+        UnigramLM,
+    )
+
     ann = TokenCounter().transform(
-        LanguageIdentifier().transform(checked))
+        LanguageIdentifier().transform(scrubbed))
+    lm = UnigramLM().setMaxVocab(2000).fit(ann)
+    scored = PerplexityBucketer().transform(lm.transform(ann))
+    kept = scored.filter(F.col("ppl_bucket") != "tail")
+    dsir = DSIRSelector().setNumBuckets(512).fit(
+        ann.filter(F.col("lang") == "en"), ann)
+    weighted = dsir.transform(kept)
     split = DeterministicSplitter().setTrainFrac(0.9).setValFrac(0.05) \
-        .transform(ann)
+        .transform(weighted)
 
     # 6. rebalance the train split toward a target language mix
     train = split.filter(F.col("split") == "train")
@@ -77,8 +111,8 @@ def main():
               .transform(balanced))
     n4 = packed.count()
 
-    print(f"documents: {n0} -> quality {n1} -> dedup {n2} "
-          f"-> decontaminated {n3} -> packed train rows {n4}")
+    print(f"documents: {n0} -> quality {n1} -> dedup+span {n2} "
+          f"-> decontaminated+scrubbed {n3} -> packed train rows {n4}")
 
     # 8. profile what ships
     (CorpusProfiler().setGroupCols("lang").setValueCol("n_tokens")
