@@ -598,6 +598,53 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
                 .drop("__keep_below"))
 
 
+class RepresentativeSelector(AlgoOperator, HasIdColMixin):
+    """Keep ONE representative per duplicate cluster — the
+    highest-scoring member rather than the smallest id (the practical
+    "keep the best copy" policy: longest text, best quality score,
+    freshest crawl — whatever ``scoreCol`` encodes; ties break to the
+    smallest id for determinism).
+
+    Input: a frame already carrying ``clusterCol`` (e.g. the
+    :class:`DuplicateClusterer` output joined back) and ``scoreCol``.
+    Callers with floating-point scores should round them first —
+    winner selection joins on score equality.
+
+    Scale shape: two keyed aggregations on the cluster id plus a
+    semi-join back on the document id — all shuffles are on bounded
+    keys, no windows, no sorts, no driver data.
+    """
+
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "higher = better representative",
+                     TypeConverters.toString)
+    clusterCol = Param(Params._dummy(), "clusterCol",
+                       "duplicate-cluster id column",
+                       TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", scoreCol="n_chars",
+                         clusterCol="cluster_id")
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setClusterCol(self, v):
+        return self._set(clusterCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        cc = self.getOrDefault(self.clusterCol)
+        sc = self.getOrDefault(self.scoreCol)
+        best = df.groupBy(cc).agg(F.max(sc).alias("__best"))
+        winners = (df.select(cc, sc, idc)
+                   .join(best, cc)
+                   .filter(F.col(sc) == F.col("__best"))
+                   .groupBy(cc).agg(F.min(idc).alias(idc)))
+        return df.join(winners.select(idc), idc, "left_semi")
+
+
 class DSIRModel(AlgoOperator, HasInputCol, HasIdColMixin):
     """Fitted DSIR importance model: per-bucket log-ratio
     ``ln p_target(b) − ln p_raw(b)`` over hashed bigram features.

@@ -1861,6 +1861,50 @@ SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_cluster_reps_documents(spark, sf_dir):
+    """Representative selection: one doc per MinHash duplicate cluster,
+    keeping the LONGEST member (ties → smallest id) instead of the
+    smallest id."""
+    from flink_ml__spark.functions.curation import (
+        DuplicateClusterer,
+        RepresentativeSelector,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+             .duplicate_pairs(docs))
+    clusters = DuplicateClusterer().cluster(pairs, nodes=docs)
+    withc = docs.join(clusters, "doc_id")
+    reps = RepresentativeSelector().setScoreCol("n_chars").transform(withc)
+    return reps.select("doc_id", "cluster_id")
+
+
+def _oracle_cluster_reps() -> str:
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    return f"""
+WITH RECURSIVE {_minhash_dup_ctes(op, "documents")},
+vp AS (
+  SELECT id_l, id_r FROM pairs
+  WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
+        len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r}),
+ed AS (SELECT id_l AS src, id_r AS dst FROM vp
+       UNION SELECT id_r, id_l FROM vp),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.id),
+cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+j AS (SELECT d.doc_id, cl.cluster_id, d.n_chars
+      FROM documents d JOIN cl ON d.doc_id = cl.doc_id),
+best AS (SELECT cluster_id, max(n_chars) AS bs FROM j GROUP BY cluster_id),
+rep AS (SELECT j.cluster_id, min(j.doc_id) AS doc_id
+        FROM j JOIN best ON j.cluster_id = best.cluster_id
+                        AND j.n_chars = best.bs
+        GROUP BY j.cluster_id)
+SELECT doc_id, cluster_id FROM rep
+"""
+
+
 def q_pack_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import SequencePacker
 
@@ -1986,6 +2030,7 @@ QUERIES = {
     "contamination_documents": q_contamination_documents,
     "tfidf_keywords_documents": q_tfidf_keywords_documents,
     "dup_clusters_documents": q_dup_clusters_documents,
+    "cluster_reps_documents": q_cluster_reps_documents,
     "pack_documents": q_pack_documents,
     "balance_documents": q_balance_documents,
     "balance_targets_documents": q_balance_targets_documents,
@@ -2043,6 +2088,7 @@ ORACLES = {
     "contamination_documents": ORACLE_CONTAMINATION,
     "tfidf_keywords_documents": ORACLE_TFIDF,
     "dup_clusters_documents": _oracle_dup_clusters(),
+    "cluster_reps_documents": _oracle_cluster_reps(),
     "pack_documents": ORACLE_PACK,
     "balance_documents": ORACLE_BALANCE,
     "balance_targets_documents": _oracle_balance_targets(),

@@ -388,3 +388,16 @@ def test_dsir_selector_prefers_target_like_docs(spark):
            for r in model.transform(raw).collect()}
     assert out[1] > out[2]
     assert out[3] is None
+
+
+def test_representative_selector_keeps_best_scoring(spark):
+    from flink_ml__spark.functions.curation import RepresentativeSelector
+
+    df = spark.createDataFrame(
+        [(1, 10, 50), (2, 10, 90), (3, 10, 90),   # cluster 10: 2 wins (tie→min id)
+         (4, 20, 30),                             # singleton
+         (5, 30, 70), (6, 30, 10)],               # cluster 30: 5 wins
+        ["doc_id", "cluster_id", "score"])
+    out = sorted(r["doc_id"] for r in RepresentativeSelector()
+                 .setScoreCol("score").transform(df).collect())
+    assert out == [2, 4, 5]
