@@ -118,12 +118,29 @@ class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         super().__init__()
         self._setDefault(inputCol="text")
 
+    def _fp(self) -> Column:
+        return F.md5(Fingerprinter.normalized(F.col(self.getInputCol())))
+
     def transform(self, df: DataFrame) -> DataFrame:
         idc = self.getIdCol()
-        fp = F.md5(Fingerprinter.normalized(F.col(self.getInputCol())))
-        keyed = df.withColumn("__fp", fp)
+        keyed = df.withColumn("__fp", self._fp())
         keep = keyed.groupBy("__fp").agg(F.min(idc).alias(idc))
         return (keyed.join(keep, ["__fp", idc], "left_semi").drop("__fp"))
+
+    def transform_against(self, df: DataFrame, corpus: DataFrame) -> DataFrame:
+        """Incremental exact dedup: drop rows of ``df`` whose normalized
+        fingerprint appears anywhere in ``corpus`` (the corpus always
+        wins; intra-``df`` duplicates untouched — chain
+        :meth:`transform`). Same contract as the other deduplicators'
+        ``transform_against``: one anti-join on the md5 key — a small
+        corpus side broadcasts (AQE), a large one degrades to a
+        shuffle on the uniform 128-bit key, skew-free. (Spark's
+        runtime Bloom-filter join optimization applies to exactly this
+        shape on a real cluster; the function is not exposed to SQL,
+        so the engine does not hand-roll it.)"""
+        keyed = df.withColumn("__fp", self._fp())
+        cfp = corpus.select(self._fp().alias("__fp"))
+        return keyed.join(cfp, "__fp", "left_anti").drop("__fp")
 
 
 class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):

@@ -514,6 +514,22 @@ def _shingle_sql(n: int) -> str:
 _H60 = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
 
 
+def q_dedup_exact_against_documents(spark, sf_dir):
+    """Incremental exact dedup: drop documents whose normalized
+    fingerprint appears in the benchmark subset (doc_id % 97 == 0)."""
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 97 == 0)
+    out = ExactDeduplicator().transform_against(docs, corpus)
+    return out.select("doc_id")
+
+
+ORACLE_DEDUP_EXACT_AGAINST = f"""
+WITH fp AS (SELECT doc_id, {_NORM_SQL} AS fp FROM documents),
+bfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0)
+SELECT doc_id FROM fp WHERE fp NOT IN (SELECT fp FROM bfp)
+"""
+
+
 def q_dedup_minhash_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
@@ -2002,6 +2018,7 @@ QUERIES = {
     "time_features_orders": q_time_features_orders,
     "auto_features_orders": q_auto_features_orders,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_exact_against_documents": q_dedup_exact_against_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
@@ -2058,6 +2075,7 @@ ORACLES = {
     "time_features_orders": ORACLE_TIME_FEATURES,
     "auto_features_orders": ORACLE_AUTO_FEATURES,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
+    "dedup_exact_against_documents": ORACLE_DEDUP_EXACT_AGAINST,
     "dedup_minhash_documents": _oracle_minhash(),
     "dedup_simhash_documents": _oracle_simhash(),
     "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),

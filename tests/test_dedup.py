@@ -289,3 +289,18 @@ def test_substring_transform_against_corpus(spark):
     out2 = {r["doc_id"]: r
             for r in op.transform_against(df, corpus_hashed=hashed).collect()}
     assert out2[1]["text_deduped"] == "intro words tail"
+
+
+def test_exact_transform_against_corpus(spark):
+    """Corpus fingerprints always win; normalization (case/whitespace)
+    applies on both sides; intra-df duplicates are untouched."""
+    corpus = spark.createDataFrame(
+        [(100, "The  QUICK brown fox")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"),      # normalized match → dropped
+         (2, "something else entirely"),
+         (3, "something else entirely")], # intra-df dup stays
+        ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in ExactDeduplicator()
+                  .transform_against(df, corpus).collect())
+    assert kept == [2, 3]
