@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_substring_documents",
     "substring_decontaminate_documents",
+    "dedup_exact_against_documents",
+    "cluster_reps_documents",
+    "chunk_documents",
     "ppl_bucket_documents",
     "dsir_weights_documents",
     "gopher_quality_documents",

@@ -598,6 +598,77 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
                 .drop("__keep_below"))
 
 
+class DocumentChunker(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Split documents into overlapping fixed-size token chunks — the
+    standard preprocessing for embedding models and long-document
+    training (each chunk carries ``chunkTokens`` tokens and overlaps
+    its predecessor by ``overlapTokens``).
+
+    One output row per chunk::
+
+        chunk_index  int     0-based
+        n_chunks     int     chunks in this document
+        chunk_start  int     1-based token offset of the chunk
+        chunk_text   string  space-joined tokens (normalized lowercase)
+
+    Empty/NULL documents produce no rows. The last chunk may be
+    shorter; a final window that would be entirely contained in the
+    previous chunk is not emitted.
+
+    Map-side only: tokens → per-row ``sequence`` of chunk starts →
+    ``posexplode`` → HOF slice. No shuffle, no UDF — the explode
+    multiplies rows by ~n_tokens/stride, which is the output size.
+    """
+
+    chunkTokens = Param(Params._dummy(), "chunkTokens",
+                        "tokens per chunk", TypeConverters.toInt)
+    overlapTokens = Param(Params._dummy(), "overlapTokens",
+                          "tokens shared with the previous chunk",
+                          TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id",
+                         chunkTokens=64, overlapTokens=16)
+
+    def setChunkTokens(self, v):
+        return self._set(chunkTokens=v)
+
+    def setOverlapTokens(self, v):
+        return self._set(overlapTokens=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ct = self.getOrDefault(self.chunkTokens)
+        ov = self.getOrDefault(self.overlapTokens)
+        if not 0 <= ov < ct:
+            raise ValueError("need 0 <= overlapTokens < chunkTokens")
+        stride = ct - ov
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        n = F.size(toks)
+        # starts: 1, 1+stride, ... while start <= max(n - ov, 1) — the
+        # last window begins at the final position that still adds a
+        # token beyond the previous chunk's coverage
+        last = F.greatest(n - ct, F.lit(0))
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.floor((last + stride - 1) / stride) + 1).cast("int")
+        starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: (i * stride + 1).cast("int")))
+        exploded = (df
+                    .withColumn("__toks", toks)
+                    .withColumn("__nc", n_chunks)
+                    .select("*", F.posexplode(starts)
+                            .alias("chunk_index", "chunk_start")))
+        chunk = F.slice("__toks", F.col("chunk_start"), ct)
+        return (exploded
+                .withColumn("n_chunks", F.col("__nc"))
+                .withColumn("chunk_text", F.array_join(chunk, " "))
+                .drop("__toks", "__nc"))
+
+
 class RepresentativeSelector(AlgoOperator, HasIdColMixin):
     """Keep ONE representative per duplicate cluster — the
     highest-scoring member rather than the smallest id (the practical

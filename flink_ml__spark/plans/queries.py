@@ -1877,6 +1877,41 @@ SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — 1-4 chunks per corpus document."""
+    from flink_ml__spark.functions.curation import DocumentChunker
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (DocumentChunker().setChunkTokens(32).setOverlapTokens(8)
+           .transform(docs))
+    return out.select("doc_id", "chunk_index", "n_chunks",
+                      "chunk_start", "chunk_text")
+
+
+def _oracle_chunks() -> str:
+    ct, ov = 32, 8
+    s = ct - ov
+    return f"""
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
+              FROM documents),
+m AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE ((greatest(len(toks) - {ct}, 0) + {s} - 1)
+                        // {s}) + 1 END AS nc
+      FROM toks)
+SELECT doc_id,
+       ci::INT AS chunk_index,
+       nc::INT AS n_chunks,
+       (ci * {s} + 1)::INT AS chunk_start,
+       array_to_string(
+         list_slice(toks, ci * {s} + 1, ci * {s} + {ct}), ' ')
+         AS chunk_text
+FROM (SELECT doc_id, toks, nc, unnest(range(0, nc)) AS ci
+      FROM m WHERE nc > 0)
+"""
+
+
 def q_cluster_reps_documents(spark, sf_dir):
     """Representative selection: one doc per MinHash duplicate cluster,
     keeping the LONGEST member (ties → smallest id) instead of the
@@ -2048,6 +2083,7 @@ QUERIES = {
     "tfidf_keywords_documents": q_tfidf_keywords_documents,
     "dup_clusters_documents": q_dup_clusters_documents,
     "cluster_reps_documents": q_cluster_reps_documents,
+    "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
     "balance_documents": q_balance_documents,
     "balance_targets_documents": q_balance_targets_documents,
@@ -2107,6 +2143,7 @@ ORACLES = {
     "tfidf_keywords_documents": ORACLE_TFIDF,
     "dup_clusters_documents": _oracle_dup_clusters(),
     "cluster_reps_documents": _oracle_cluster_reps(),
+    "chunk_documents": _oracle_chunks(),
     "pack_documents": ORACLE_PACK,
     "balance_documents": ORACLE_BALANCE,
     "balance_targets_documents": _oracle_balance_targets(),

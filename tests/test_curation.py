@@ -401,3 +401,30 @@ def test_representative_selector_keeps_best_scoring(spark):
     out = sorted(r["doc_id"] for r in RepresentativeSelector()
                  .setScoreCol("score").transform(df).collect())
     assert out == [2, 4, 5]
+
+
+def test_document_chunker_overlap_and_tail(spark):
+    from flink_ml__spark.functions.curation import DocumentChunker
+
+    words = " ".join(f"w{i}" for i in range(1, 11))   # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, None)], ["doc_id", "text"])
+    op = DocumentChunker().setChunkTokens(4).setOverlapTokens(1)
+    out = [r for r in op.transform(df).orderBy("doc_id", "chunk_index")
+           .collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,4,7 cover 1-4,4-7,7-10 — 3 chunks, stride 3
+    assert [r["chunk_start"] for r in by_doc[1]] == [1, 4, 7]
+    assert by_doc[1][0]["chunk_text"] == "w1 w2 w3 w4"
+    assert by_doc[1][2]["chunk_text"] == "w7 w8 w9 w10"
+    assert all(r["n_chunks"] == 3 for r in by_doc[1])
+    # doc 2: shorter than a chunk → single short chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    # NULL text → no rows
+    assert 3 not in by_doc
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        DocumentChunker().setChunkTokens(4).setOverlapTokens(4).transform(df)
