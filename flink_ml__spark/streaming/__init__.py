@@ -1,4 +1,5 @@
 from flink_ml__spark.streaming.online import (
+    stream_corpus_monitor,
     stream_dedup_against_corpus,
     stream_exact_dedup,
     stream_minhash_dedup_against_corpus,
@@ -9,6 +10,7 @@ from flink_ml__spark.streaming.online import (
 )
 
 __all__ = [
+    "stream_corpus_monitor",
     "stream_dedup_against_corpus",
     "stream_exact_dedup",
     "stream_minhash_dedup_against_corpus",

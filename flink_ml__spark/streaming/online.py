@@ -177,6 +177,38 @@ def stream_exact_dedup(stream_df: DataFrame, time_col: str,
             .drop("__fp"))
 
 
+def stream_corpus_monitor(stream_df: DataFrame, time_col: str,
+                          window: str = "1 minute",
+                          group_col: str = "lang",
+                          input_col: str = "text",
+                          watermark_delay: str = "0 seconds") -> DataFrame:
+    """Windowed ingest-quality monitoring: per event-time window and
+    ``group_col`` value, document counts plus mean quality score and
+    mean token count — the data-quality dashboard feed every curation
+    ingest runs alongside the pipeline itself.
+
+    Declarative watermark + tumbling-window aggregation: the quality
+    scorer is a pure projection (no Python), so the whole plan is the
+    canonical streaming partial+final aggregate with state bounded by
+    the watermark. Output columns: ``window_start``, ``window_end``,
+    the group column, ``n_docs``, ``mean_quality``, ``mean_tokens``.
+    Runs identically on a batch frame (windows fire immediately)."""
+    from flink_ml__spark.functions.text import QualityScorer, TokenCounter
+
+    scored = TokenCounter().setOutputCol("__n_toks").transform(
+        QualityScorer().setInputCol(input_col).transform(stream_df))
+    win = F.window(F.col(time_col), window)
+    return (scored
+            .withWatermark(time_col, watermark_delay)
+            .groupBy(win.alias("__w"), F.col(group_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("quality_score").alias("mean_quality"),
+                 F.avg("__n_toks").alias("mean_tokens"))
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("__w.end").alias("window_end"),
+                    group_col, "n_docs", "mean_quality", "mean_tokens"))
+
+
 def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
                                         emit) -> "callable":
     """Streaming incremental near-dedup: returns a ``foreachBatch``

@@ -333,3 +333,49 @@ def test_stream_substring_decontamination(spark):
         assert any(n > 0 for n, _ in got.values())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_corpus_monitor_matches_batch(spark):
+    """Windowed ingest monitoring on a stream equals the same windowed
+    aggregation run in batch (unified API; watermark closes windows)."""
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_corpus_monitor
+
+    rows = []
+    for i in range(40):
+        ts = datetime(2024, 1, 1, 0, i // 10, 7, tzinfo=timezone.utc)
+        rows.append((i, ts, "en" if i % 2 == 0 else "fr",
+                     f"some sample text number {i} with several words."))
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, lang string, text string")
+    batch = {(r["window_start"], r["lang"]):
+             (r["n_docs"], round(r["mean_quality"], 9),
+              round(r["mean_tokens"], 9))
+             for r in stream_corpus_monitor(df, "ts").collect()}
+    assert len(batch) == 8  # 4 minutes × 2 languages
+
+    d = _tf.mkdtemp(prefix="stream_mon_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_corpus_monitor(stream, "ts")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("mon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["lang"]):
+               (r["n_docs"], round(r["mean_quality"], 9),
+                round(r["mean_tokens"], 9))
+               for r in spark.sql("SELECT * FROM mon").collect()}
+        # append mode emits only windows closed by the final watermark
+        # (max event time): the last window stays open
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = set(batch) - set(got)
+        assert all(ws == max(b[0] for b in batch)
+                   for ws, _ in open_windows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
