@@ -57,6 +57,7 @@ HEADLINE = [
     "ppl_bucket_documents",
     "dsir_weights_documents",
     "gopher_quality_documents",
+    "quantize_embeddings",
     "lang_id_documents",
     "quality_documents",
     "quality_filter_documents",

@@ -271,3 +271,31 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         if os.path.exists(p):
             with open(p) as f:
                 self._centroids = json.load(f)["centroids"]
+
+
+class EmbeddingQuantizer(AlgoOperator, _SimilarityParams):
+    """Symmetric int8 scalar quantization of an embedding column:
+    per-vector scale ``s = max(|v_i|)``, codes ``q_i = round(v_i ·
+    127 / s)`` — the standard 4× storage/bandwidth cut for large
+    vector stores (dequantize as ``q_i · s / 127``; cosine rankings
+    survive within ~1e-2 at 64 dims). Appends ``emb_scale`` (double)
+    and ``emb_q8`` (array<int> in [-127, 127]); the zero vector gets
+    scale 0 and all-zero codes.
+
+    Map-only higher-order expressions — no shuffle, no Python. The
+    per-element lambda re-evaluates the scale expression under
+    CollapseProject (interpreted HOF): fine at ≤a few hundred dims;
+    for very wide vectors move the pass to an Arrow UDF like the LSH
+    keyer in ``dedup.EmbeddingCosineDeduplicator``.
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        arr = as_double_array(df, self.getEmbeddingCol())
+        s = F.array_max(F.transform(arr, lambda x: F.abs(x)))
+        zero = F.transform(arr, lambda x: F.lit(0).cast("int"))
+        q = F.transform(arr,
+                        lambda x: F.round(x * 127.0 / s).cast("int"))
+        return (df
+                .withColumn("emb_scale", s)
+                .withColumn("emb_q8",
+                            F.when(s == 0, zero).otherwise(q)))

@@ -941,6 +941,33 @@ FROM embeddings WHERE false
 # 18-21. text analysis
 # ---------------------------------------------------------------------------
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization of the embeddings table (per-vector
+    max-abs scale, symmetric codes)."""
+    from flink_ml__spark.functions.similarity import EmbeddingQuantizer
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = EmbeddingQuantizer().transform(emb)
+    return out.select("vec_id",
+                      F.round("emb_scale", R).alias("emb_scale"),
+                      "emb_q8")
+
+
+ORACLE_QUANTIZE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+  FROM embeddings),
+s AS (SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS sc
+      FROM base)
+SELECT vec_id, round(sc, {R}) AS emb_scale,
+       CASE WHEN sc = 0 THEN list_transform(emb, x -> 0)
+            ELSE list_transform(emb, x -> round(x * 127.0 / sc)::INT)
+       END AS emb_q8
+FROM s
+"""
+
+
 def q_lang_id_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     return (LanguageIdentifier().transform(docs)
@@ -2063,6 +2090,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "quantize_embeddings": q_quantize_embeddings,
     "lang_id_documents": q_lang_id_documents,
     "quality_documents": q_quality_documents,
     "quality_filter_documents": q_quality_filter_documents,
@@ -2123,6 +2151,7 @@ ORACLES = {
     # violations-only recall-floor gate: expected EMPTY on both sides —
     # a recall regression emits rows and fails the count/hash check
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "quantize_embeddings": ORACLE_QUANTIZE,
     "lang_id_documents": _oracle_lang_id(),
     "quality_documents": ORACLE_QUALITY,
     "quality_filter_documents": ORACLE_QUALITY_FILTER,

@@ -76,3 +76,20 @@ def test_ivf_recall_gate_query(spark):
     # oracle mirrors it)
     df = q_ann_ivf_topk(spark, "/root/testdata/sf0.001")
     assert df.columns == ["query_id", "n_exact", "n_hit", "recall_at_5"]
+
+
+def test_embedding_quantizer_roundtrip(spark):
+    from flink_ml__spark.functions.similarity import EmbeddingQuantizer
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in EmbeddingQuantizer()
+           .transform(df).collect()}
+    assert out[1]["emb_scale"] == 1.0
+    assert out[1]["emb_q8"] == [64, -127, 32]          # round(0.5*127)=64
+    assert out[2]["emb_scale"] == 0.0
+    assert out[2]["emb_q8"] == [0, 0, 0]               # zero vector guard
+    # dequantized values stay within half a code step of the original
+    for orig, q in zip([0.5, -1.0, 0.25], out[1]["emb_q8"]):
+        assert abs(q * 1.0 / 127 - orig) <= 0.5 / 127 + 1e-12
