@@ -765,6 +765,23 @@ class DSIRModel(AlgoOperator, HasInputCol, HasIdColMixin):
         return df.withColumn("dsir_logweight",
                              weight(F.col(self.getInputCol())))
 
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "dsir.json"), "w") as f:
+            json.dump({"logratio": list(self._logratio),
+                       "num_buckets": self._num_buckets}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "dsir.json")) as f:
+            d = json.load(f)
+        self._logratio = d["logratio"]
+        self._num_buckets = d["num_buckets"]
+
 
 class DSIRSelector(AlgoOperator, HasInputCol, HasIdColMixin):
     """Data Selection via Importance Resampling (Xie, Santurkar, Ma &

@@ -428,3 +428,23 @@ def test_document_chunker_overlap_and_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         DocumentChunker().setChunkTokens(4).setOverlapTokens(4).transform(df)
+
+
+def test_dsir_model_save_load_roundtrip(spark, tmp_path):
+    from flink_ml__spark.functions.curation import DSIRModel, DSIRSelector
+
+    target = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "matrix eigenvalue decomposition converges")],
+        ["doc_id", "text"])
+    model = DSIRSelector().setNumBuckets(64).fit(target, raw)
+    p = str(tmp_path / "dsir_model")
+    model.save(p)
+    loaded = DSIRModel.load(spark, p)
+    orig = {r["doc_id"]: r["dsir_logweight"]
+            for r in model.transform(raw).collect()}
+    back = {r["doc_id"]: r["dsir_logweight"]
+            for r in loaded.transform(raw).collect()}
+    assert orig == back
