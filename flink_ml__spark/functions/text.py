@@ -411,3 +411,73 @@ class QualityFilter(AlgoOperator, HasInputCol):
         scored = (QualityScorer()
                   ._set(inputCol=self.getInputCol()).transform(df))
         return scored.filter(F.col("quality_score") >= self.getMinScore())
+
+
+class TextNormalizer(AlgoOperator, HasInputCol, HasOutputCol):
+    """Deterministic text canonicalization — the pass a curation
+    pipeline runs before hashing, dedup and tokenization so that
+    near-identical documents ("Hello  World\\n" vs "hello world")
+    collapse to one canonical form (cf. the normalization step of CCNet,
+    Wenzek et al., LREC 2020 §3, and the MinHash preprocessing of
+    RefinedWeb, Penedo et al., 2023 §3.3).
+
+    Appends ``outputCol`` (the normalized text) and
+    ``<outputCol>_chars`` (its length, 0 for NULL input):
+
+    * optional lowercasing (``lowercase``, default on);
+    * whitespace unification: runs of space/tab/newline/CR/FF collapse
+      to one space (an explicit character class — Java ``\\s`` and RE2
+      ``\\s`` disagree on vertical tab, so the oracle would diverge);
+    * optional punctuation strip (``stripPunct``): keep only
+      ``[a-z0-9 ']`` (plus uppercase when not lowercasing) — the
+      aggressive form used before shingling;
+    * trim of leading/trailing spaces.
+
+    NULL text stays NULL (every engine propagates NULL through
+    ``lower``/``regexp_replace`` identically); the length column is
+    guarded to 0 per the TokenCounter convention.
+
+    100 TB design: pure Catalyst expressions, map-only, whole-stage
+    codegen, streaming-compatible; no shuffle, no Python.
+    """
+
+    WS = "[ \\t\\n\\r\\f]+"
+
+    lowercase = Param(Params._dummy(), "lowercase",
+                      "lowercase the text first", TypeConverters.toBoolean)
+    stripPunct = Param(Params._dummy(), "stripPunct",
+                       "drop every char outside [a-zA-Z0-9 ']",
+                       TypeConverters.toBoolean)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="text_norm",
+                         lowercase=True, stripPunct=False)
+
+    def getLowercase(self):
+        return self.getOrDefault(self.lowercase)
+
+    def setLowercase(self, v):
+        return self._set(lowercase=bool(v))
+
+    def getStripPunct(self):
+        return self.getOrDefault(self.stripPunct)
+
+    def setStripPunct(self, v):
+        return self._set(stripPunct=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = F.col(self.getInputCol())
+        if self.getLowercase():
+            t = F.lower(t)
+        # whitespace first: stripping punctuation earlier would delete
+        # \t/\n (they match [^a-zA-Z0-9 ']) and weld words across lines
+        t = F.regexp_replace(t, self.WS, " ")
+        if self.getStripPunct():
+            t = F.regexp_replace(t, "[^a-zA-Z0-9 ']", "")
+        t = F.trim(t)
+        out = self.getOutputCol()
+        return (df
+                .withColumn(out, t)
+                .withColumn(f"{out}_chars",
+                            F.coalesce(F.length(t), F.lit(0))))

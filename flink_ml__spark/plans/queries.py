@@ -1152,6 +1152,32 @@ FROM documents
 """
 
 
+def q_normalize_documents(spark, sf_dir):
+    """Canonical text normalization (lowercase + whitespace unification
+    + punctuation strip) — the pre-hash pass of the curation chain."""
+    from flink_ml__spark.functions.text import TextNormalizer
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = TextNormalizer().setStripPunct(True).transform(docs)
+    return out.select("doc_id", "text_norm", "text_norm_chars")
+
+
+# same pipeline in DuckDB: lower -> collapse [ \t\n\r\f]+ -> strip
+# non-[a-zA-Z0-9 '] -> trim; the 'g' flag mirrors Spark's
+# global-by-default regexp_replace
+ORACLE_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'),
+             '[^a-zA-Z0-9 '']', '', 'g')) AS text_norm
+  FROM documents)
+SELECT doc_id, text_norm,
+       coalesce(length(text_norm), 0) AS text_norm_chars
+FROM n
+"""
+
+
 def q_fingerprint_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     return (Fingerprinter().transform(docs)
@@ -2096,6 +2122,7 @@ QUERIES = {
     "quality_filter_documents": q_quality_filter_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "token_count_documents": q_token_count_documents,
+    "normalize_documents": q_normalize_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2157,6 +2184,7 @@ ORACLES = {
     "quality_filter_documents": ORACLE_QUALITY_FILTER,
     "gopher_quality_documents": _oracle_gopher(),
     "token_count_documents": ORACLE_TOKEN_COUNT,
+    "normalize_documents": ORACLE_NORMALIZE,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

@@ -233,3 +233,12 @@ def test_ppl_bucket_thresholds_folded(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_normalize_no_shuffle_no_python(spark):
+    """Text normalization is a pure regexp projection — zero exchanges,
+    zero Python; it must pipeline with the parquet scan."""
+    plan = _plan(spark, "normalize_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

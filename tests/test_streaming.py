@@ -52,6 +52,7 @@ def test_map_only_operators_stream_compatible(spark):
         LanguageIdentifier,
         PiiRedactor,
         QualityScorer,
+        TextNormalizer,
         TokenCounter,
     )
     from flink_ml__spark.sources import load_table
@@ -65,8 +66,8 @@ def test_map_only_operators_stream_compatible(spark):
         # CCNet stream-scoring shape (broadcast vocab, map-only apply)
         lm = UnigramLM().setMaxVocab(500).fit(docs)
         out = stream
-        for op in [PiiRedactor(), LineFilter(), TokenCounter(),
-                   LanguageIdentifier(), QualityScorer(),
+        for op in [TextNormalizer(), PiiRedactor(), LineFilter(),
+                   TokenCounter(), LanguageIdentifier(), QualityScorer(),
                    DeterministicSplitter(), lm]:
             out = op.transform(out)
         assert out.isStreaming

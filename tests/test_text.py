@@ -225,3 +225,31 @@ def test_gopher_quality_filter_rules(spark):
     assert out[4]["gopher_pass"] is False
     assert out[4]["gopher_symbol_ratio"] == 1.0
     assert out[4]["gopher_alpha_word_frac"] == 0.0
+
+
+def test_text_normalizer_goldens(spark):
+    from flink_ml__spark.functions.text import TextNormalizer
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\tWorld \r\n twice  "),
+         (2, "Line one.\nLine two!"),
+         (3, None),
+         (4, "MiXeD'case, with-punct: 42")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TextNormalizer().transform(df).collect()}
+    assert out[1]["text_norm"] == "hello world twice"
+    assert out[1]["text_norm_chars"] == len("hello world twice")
+    assert out[2]["text_norm"] == "line one. line two!"
+    assert out[3]["text_norm"] is None
+    assert out[3]["text_norm_chars"] == 0
+
+    stripped = {r["doc_id"]: r for r in
+                TextNormalizer().setStripPunct(True).transform(df).collect()}
+    # whitespace collapses BEFORE punct strip: words stay separated
+    assert stripped[2]["text_norm"] == "line one line two"
+    assert stripped[4]["text_norm"] == "mixed'case withpunct 42"
+
+    kept_case = (TextNormalizer().setLowercase(False)
+                 .transform(df).collect())
+    by_id = {r["doc_id"]: r for r in kept_case}
+    assert by_id[4]["text_norm"] == "MiXeD'case, with-punct: 42"
