@@ -1202,3 +1202,81 @@ class UnigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
                                _math.log(1.0 / total))
         model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
         return model
+
+
+class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Corpus-level frequent word-n-gram mining — the boilerplate
+    detector a curation run uses to FIND the repeated phrases
+    ("all rights reserved", cookie banners, navigation chrome) that
+    :class:`LineFilter` / :class:`~..dedup.SubstringDeduplicator` then
+    remove. ``transform(df)`` returns the global top-``topK`` n-grams
+    as ``(ngram, doc_freq, total_count)``, ordered by document
+    frequency (a phrase in 10k documents once each is boilerplate; a
+    phrase 10k times in one document is repetition — RepetitionScorer's
+    job), total count, then text, so the cut is a deterministic total
+    order.
+
+    100 TB design: tokenize + n-gram assembly are per-row Catalyst
+    expressions (``slice`` over a ``sequence``, whole-stage codegen, no
+    Python); one ``groupBy(ngram)`` shuffle carries partially-aggregated
+    ``(count, doc-distinct)`` pairs (doc_freq is exact two-phase
+    count-distinct); the top-k is ``TakeOrderedAndProject`` — per-
+    partition heaps of k rows to the driver, never a global sort. The
+    output is O(topK), so downstream use (a blocklist join) broadcasts.
+    """
+
+    n = Param(Params._dummy(), "n", "words per n-gram",
+              TypeConverters.toInt)
+    topK = Param(Params._dummy(), "topK", "n-grams returned",
+                 TypeConverters.toInt)
+    minDocFreq = Param(Params._dummy(), "minDocFreq",
+                       "drop n-grams seen in fewer documents",
+                       TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id", n=3, topK=50,
+                         minDocFreq=2)
+
+    def getN(self):
+        return self.getOrDefault(self.n)
+
+    def setN(self, v):
+        return self._set(n=int(v))
+
+    def getTopK(self):
+        return self.getOrDefault(self.topK)
+
+    def setTopK(self, v):
+        return self._set(topK=int(v))
+
+    def getMinDocFreq(self):
+        return self.getOrDefault(self.minDocFreq)
+
+    def setMinDocFreq(self, v):
+        return self._set(minDocFreq=int(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        n = self.getN()
+        toks = F.filter(
+            F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
+            lambda t: t != "")
+        # guard: sequence(1, size-n+1) on a short doc would step BACKWARD
+        # ([1, 0]) instead of being empty
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = df.select(F.col(self.getIdCol()).alias("__id"),
+                             F.explode(grams).alias("ngram"))
+        counts = (exploded
+                  .groupBy("ngram")
+                  .agg(F.count(F.lit(1)).alias("total_count"),
+                       F.countDistinct("__id").alias("doc_freq"))
+                  .filter(F.col("doc_freq") >= self.getMinDocFreq()))
+        return (counts
+                .orderBy(F.desc("doc_freq"), F.desc("total_count"),
+                         F.asc("ngram"))
+                .limit(self.getTopK())
+                .select("ngram", "doc_freq", "total_count"))

@@ -1152,6 +1152,39 @@ FROM documents
 """
 
 
+def q_frequent_ngrams_documents(spark, sf_dir):
+    """Corpus-level boilerplate mining: global top-40 word trigrams by
+    document frequency (exact two-phase count-distinct, top-k via
+    TakeOrderedAndProject — no global sort)."""
+    from flink_ml__spark.functions.curation import FrequentNgrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    return FrequentNgrams().setN(3).setTopK(40).transform(docs)
+
+
+# DuckDB replays the n-gram assembly with a lateral unnest over the
+# token-start positions; the ORDER BY tie-breaks to a total order so the
+# LIMIT cut is engine-independent
+ORACLE_FREQUENT_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9'']+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[g : g + 2], ' ') AS ngram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(g)
+  WHERE len(t) >= 3),
+agg AS (
+  SELECT ngram, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+  FROM grams GROUP BY ngram)
+SELECT ngram, doc_freq, total_count
+FROM agg WHERE doc_freq >= 2
+ORDER BY doc_freq DESC, total_count DESC, ngram ASC
+LIMIT 40
+"""
+
+
 def q_normalize_documents(spark, sf_dir):
     """Canonical text normalization (lowercase + whitespace unification
     + punctuation strip) — the pre-hash pass of the curation chain."""
@@ -2123,6 +2156,7 @@ QUERIES = {
     "gopher_quality_documents": q_gopher_quality_documents,
     "token_count_documents": q_token_count_documents,
     "normalize_documents": q_normalize_documents,
+    "frequent_ngrams_documents": q_frequent_ngrams_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2185,6 +2219,7 @@ ORACLES = {
     "gopher_quality_documents": _oracle_gopher(),
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "normalize_documents": ORACLE_NORMALIZE,
+    "frequent_ngrams_documents": ORACLE_FREQUENT_NGRAMS,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

@@ -448,3 +448,33 @@ def test_dsir_model_save_load_roundtrip(spark, tmp_path):
     back = {r["doc_id"]: r["dsir_logweight"]
             for r in loaded.transform(raw).collect()}
     assert orig == back
+
+
+def test_frequent_ngrams_golden(spark):
+    from flink_ml__spark.functions.curation import FrequentNgrams
+
+    df = spark.createDataFrame(
+        [(1, "all rights reserved on this page"),
+         (2, "content here; All Rights Reserved."),
+         (3, "all rights reserved"),
+         (4, "too short"),          # < n tokens: no grams, no [1,0] bug
+         (5, None)],
+        ["doc_id", "text"])
+    out = FrequentNgrams().setN(3).setTopK(5).setMinDocFreq(2) \
+        .transform(df).collect()
+    assert out[0]["ngram"] == "all rights reserved"
+    assert out[0]["doc_freq"] == 3 and out[0]["total_count"] == 3
+    # nothing else clears minDocFreq=2
+    assert len(out) == 1
+
+    # doc frequency counts documents, not occurrences
+    rep = spark.createDataFrame(
+        [(1, "spam phrase spam phrase spam phrase spam phrase"),
+         (2, "unique a b"), (3, "unique a b")],
+        ["doc_id", "text"])
+    top = FrequentNgrams().setN(2).setTopK(3).setMinDocFreq(1) \
+        .transform(rep).collect()
+    # 2-doc bigrams ("a b", "unique a") outrank 4 repeats in 1 doc
+    assert [r["ngram"] for r in top] == ["a b", "unique a", "spam phrase"]
+    assert top[0]["doc_freq"] == 2
+    assert top[2]["doc_freq"] == 1 and top[2]["total_count"] == 4

@@ -242,3 +242,13 @@ def test_normalize_no_shuffle_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_frequent_ngrams_topk_no_global_sort(spark):
+    """N-gram assembly is codegen (slice over sequence, no Python); the
+    cut is TakeOrderedAndProject — per-partition heaps, not a global
+    sort of the full n-gram table."""
+    plan = _plan(spark, "frequent_ngrams_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
