@@ -1280,3 +1280,70 @@ class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
                          F.asc("ngram"))
                 .limit(self.getTopK())
                 .select("ngram", "doc_freq", "total_count"))
+
+
+class EpochShuffler(AlgoOperator, HasIdColMixin):
+    """Deterministic epoch-shuffle layout: assigns every row a
+    ``(shard, position)`` training order for a given epoch from a
+    salted md5 of its id — reproducible across runs, engines, cluster
+    sizes and partition layouts, which ``orderBy(rand())`` is not, and
+    re-drawable per epoch by bumping ``epoch`` (each epoch is an
+    independent permutation). The consumer writes shard files in
+    ``position`` order and a data loader replays the exact global
+    order; restarts and retries see the same bytes.
+
+    Appends ``shard`` (``bucket16(salt+epoch, id) % numShards``) and
+    ``position`` (0-based rank of the full md5 hex within the shard,
+    ties broken by id).
+
+    100 TB design: one hash exchange on ``shard`` plus a per-shard
+    sort (a total order inside each shard is the point — the sort is
+    irreducible). Size ``numShards`` so a shard fits an executor's
+    spill budget (corpus_bytes / numShards ≲ a few GB); shards are
+    equal-sized by construction because the hash is uniform.
+    """
+
+    numShards = Param(Params._dummy(), "numShards",
+                      "number of output shards", TypeConverters.toInt)
+    epoch = Param(Params._dummy(), "epoch",
+                  "epoch number; changes the permutation",
+                  TypeConverters.toInt)
+    salt = Param(Params._dummy(), "salt", "hash salt",
+                 TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", numShards=8, epoch=0,
+                         salt="epoch")
+
+    def getNumShards(self):
+        return self.getOrDefault(self.numShards)
+
+    def setNumShards(self, v):
+        return self._set(numShards=int(v))
+
+    def getEpoch(self):
+        return self.getOrDefault(self.epoch)
+
+    def setEpoch(self, v):
+        return self._set(epoch=int(v))
+
+    def getSalt(self):
+        return self.getOrDefault(self.salt)
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        tag = f"{self.getSalt()}{self.getEpoch()}"
+        idcol = F.col(self.getIdCol())
+        hx = F.md5(F.concat(F.lit(tag + ":"), idcol.cast("string")))
+        shard = _hash_bucket16(idcol, tag) % self.getNumShards()
+        w = (Window.partitionBy("shard")
+             .orderBy(F.col("__hx").asc(), idcol.asc()))
+        return (df
+                .withColumn("__hx", hx)
+                .withColumn("shard", shard)
+                .withColumn("position",
+                            F.row_number().over(w) - F.lit(1))
+                .drop("__hx"))

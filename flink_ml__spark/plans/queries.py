@@ -1152,6 +1152,30 @@ FROM documents
 """
 
 
+def q_epoch_shuffle_documents(spark, sf_dir):
+    """Deterministic epoch-1 training order: (shard, position) per
+    document from a salted md5 — reproducible global shuffle."""
+    from flink_ml__spark.functions.curation import EpochShuffler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = EpochShuffler().setNumShards(8).setEpoch(1).transform(docs)
+    return out.select("doc_id", "shard", "position")
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         md5('epoch1:' || doc_id) AS hx,
+         (('0x' || substring(md5('epoch1:' || doc_id), 1, 4))::INT % 8)
+         AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY hx ASC, doc_id ASC) - 1 AS position
+FROM h
+"""
+
+
 def q_frequent_ngrams_documents(spark, sf_dir):
     """Corpus-level boilerplate mining: global top-40 word trigrams by
     document frequency (exact two-phase count-distinct, top-k via
@@ -2157,6 +2181,7 @@ QUERIES = {
     "token_count_documents": q_token_count_documents,
     "normalize_documents": q_normalize_documents,
     "frequent_ngrams_documents": q_frequent_ngrams_documents,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2220,6 +2245,7 @@ ORACLES = {
     "token_count_documents": ORACLE_TOKEN_COUNT,
     "normalize_documents": ORACLE_NORMALIZE,
     "frequent_ngrams_documents": ORACLE_FREQUENT_NGRAMS,
+    "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

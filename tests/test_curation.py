@@ -478,3 +478,33 @@ def test_frequent_ngrams_golden(spark):
     assert [r["ngram"] for r in top] == ["a b", "unique a", "spam phrase"]
     assert top[0]["doc_freq"] == 2
     assert top[2]["doc_freq"] == 1 and top[2]["total_count"] == 4
+
+
+def test_epoch_shuffler_properties(spark):
+    from flink_ml__spark.functions.curation import EpochShuffler
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    op = EpochShuffler().setNumShards(4).setEpoch(0)
+    a = {r["doc_id"]: (r["shard"], r["position"])
+         for r in op.transform(df).collect()}
+    # layout-independent: identical on a repartitioned frame
+    b = {r["doc_id"]: (r["shard"], r["position"])
+         for r in op.transform(df.repartition(17)).collect()}
+    assert a == b
+    # positions tile 0..n_s-1 within every shard, no gaps or dups
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for s, p in a.values():
+        by_shard[s].append(p)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # shards are balanced (uniform hash): no shard 2x another
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes)
+    # a different epoch is a different permutation of the same rows
+    e1 = {r["doc_id"]: (r["shard"], r["position"])
+          for r in EpochShuffler().setNumShards(4).setEpoch(1)
+          .transform(df).collect()}
+    assert set(e1) == set(a)
+    assert sum(e1[k] != a[k] for k in a) > 500

@@ -252,3 +252,12 @@ def test_frequent_ngrams_topk_no_global_sort(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """The epoch shuffle is one hash exchange on shard + per-shard
+    window sort — no Python, no second shuffle."""
+    plan = _plan(spark, "epoch_shuffle_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
