@@ -530,6 +530,41 @@ SELECT doc_id FROM fp WHERE fp NOT IN (SELECT fp FROM bfp)
 """
 
 
+def q_dedup_bloom_documents(spark, sf_dir):
+    """Bloom-filter membership dedup: even doc_ids are the reference
+    corpus, odd doc_ids the incoming batch; the small m (2048 bits)
+    deliberately produces a few false positives so the gate pins the
+    bloom semantics, not just the exact-dup path — the oracle replays
+    every probe position from the md5 hex, so the kept set (FPs
+    included) must match bit-for-bit."""
+    from flink_ml__spark.functions.dedup import BloomCorpusDeduplicator
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newdocs = docs.filter(F.col("doc_id") % 2 == 1)
+    op = BloomCorpusDeduplicator().setNumBits(2048).setNumHashes(4)
+    return op.transform_against(newdocs, corpus).select("doc_id")
+
+
+ORACLE_DEDUP_BLOOM = f"""
+WITH fp AS (SELECT doc_id, {_NORM_SQL} AS h FROM documents),
+hh AS (SELECT doc_id,
+              ('0x' || substring(h, 1, 15))::BIGINT AS h1,
+              ('0x' || substring(h, 16, 15))::BIGINT AS h2
+       FROM fp),
+cpos AS (SELECT DISTINCT ((h1 + i * h2) % 2048) AS p
+         FROM hh, unnest(range(0, 4)) AS r(i)
+         WHERE doc_id % 2 = 0),
+newdocs AS (SELECT * FROM hh WHERE doc_id % 2 = 1),
+hits AS (SELECT n.doc_id, count(*) AS nhit
+         FROM newdocs n, unnest(range(0, 4)) AS r(i)
+         WHERE ((n.h1 + i * n.h2) % 2048) IN (SELECT p FROM cpos)
+         GROUP BY n.doc_id)
+SELECT doc_id FROM newdocs
+WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE nhit = 4)
+"""
+
+
 def q_dedup_minhash_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
@@ -2164,6 +2199,7 @@ QUERIES = {
     "auto_features_orders": q_auto_features_orders,
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_exact_against_documents": q_dedup_exact_against_documents,
+    "dedup_bloom_documents": q_dedup_bloom_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
@@ -2226,6 +2262,7 @@ ORACLES = {
     "auto_features_orders": ORACLE_AUTO_FEATURES,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_exact_against_documents": ORACLE_DEDUP_EXACT_AGAINST,
+    "dedup_bloom_documents": ORACLE_DEDUP_BLOOM,
     "dedup_minhash_documents": _oracle_minhash(),
     "dedup_simhash_documents": _oracle_simhash(),
     "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),

@@ -304,3 +304,47 @@ def test_exact_transform_against_corpus(spark):
     kept = sorted(r["doc_id"] for r in ExactDeduplicator()
                   .transform_against(df, corpus).collect())
     assert kept == [2, 3]
+
+
+def test_bloom_corpus_dedup_no_false_negatives(spark):
+    from flink_ml__spark.functions.dedup import (
+        BloomCorpusDeduplicator,
+        ExactDeduplicator,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(100)],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        # 0-19 duplicate corpus texts (one via case/whitespace noise),
+        # 100+ unique
+        [(1000 + i, f"corpus  DOCUMENT number {i}") for i in range(20)]
+        + [(2000 + i, f"fresh text {i}") for i in range(80)]
+        + [(3000, None)],
+        ["doc_id", "text"])
+    op = BloomCorpusDeduplicator().setNumBits(1 << 16).setNumHashes(4)
+    kept = {r["doc_id"] for r in
+            op.transform_against(new, corpus).select("doc_id").collect()}
+    # no false negatives: every normalized duplicate is gone
+    assert not (kept & {1000 + i for i in range(20)})
+    # NULL text can never match
+    assert 3000 in kept
+    # kept is a subset of the exact anti-join's kept set
+    exact_kept = {r["doc_id"] for r in
+                  ExactDeduplicator().transform_against(new, corpus)
+                  .select("doc_id").collect()}
+    assert kept <= exact_kept
+    # at m=65536, n=100, k=4 the FP odds are ~1e-11: no unique row lost
+    assert kept == exact_kept
+
+    # a deliberately tiny filter trades unique rows, never dup rows
+    tiny = BloomCorpusDeduplicator().setNumBits(256).setNumHashes(4)
+    kept_tiny = {r["doc_id"] for r in
+                 tiny.transform_against(new, corpus)
+                 .select("doc_id").collect()}
+    assert not (kept_tiny & {1000 + i for i in range(20)})
+    assert kept_tiny <= exact_kept
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        BloomCorpusDeduplicator().transform(new)

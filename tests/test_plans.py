@@ -261,3 +261,19 @@ def test_epoch_shuffle_single_exchange(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_apply_map_only(spark):
+    """After the one-time corpus fit, the bloom APPLY must be a
+    map-only Arrow pass — no join, no exchange on the new-data side."""
+    from flink_ml__spark.functions.dedup import BloomCorpusDeduplicator
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", SF)
+    op = (BloomCorpusDeduplicator().setNumBits(1 << 16)
+          .fit(docs.filter("doc_id % 2 = 0")))
+    plan = (op.transform(docs.filter("doc_id % 2 = 1"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan  # the broadcast-bitset probe
