@@ -299,3 +299,82 @@ class EmbeddingQuantizer(AlgoOperator, _SimilarityParams):
                 .withColumn("emb_scale", s)
                 .withColumn("emb_q8",
                             F.when(s == 0, zero).otherwise(q)))
+
+
+class EmbeddingContaminationChecker(AlgoOperator, _SimilarityParams):
+    """Semantic (embedding-space) benchmark-contamination detection —
+    the vector analogue of the n-gram
+    :class:`~flink_ml__spark.functions.curation.ContaminationChecker`:
+    flag training items whose embedding is suspiciously close to an
+    eval-set item even when the wording differs (the decontamination
+    rule used alongside n-gram overlap in recent LLM data pipelines,
+    e.g. Phi-1, Gunasekar et al. 2023 §2.4).
+
+    ``transform_against(df, benchmark)`` appends
+    ``max_benchmark_cosine`` (max cosine of the row's embedding to ANY
+    benchmark embedding) and ``is_contaminated`` at ``threshold``.
+
+    100 TB design: benchmark suites are small by definition (10³–10⁵
+    vectors), so the benchmark matrix is collected once and broadcast;
+    the corpus pass is ONE map-only Arrow stage — no join, no shuffle,
+    linear scan. Dot products accumulate dimension-sequentially so the
+    float64 bit pattern matches a SQL engine's left-to-right
+    ``list_dot_product`` exactly (same reason the exact ANN oracle
+    hash-matches); zero-norm vectors get cosine 0 on both sides.
+    """
+
+    threshold = Param(Params._dummy(), "threshold",
+                      "max_benchmark_cosine at/above which "
+                      "is_contaminated is true", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(threshold=0.9)
+
+    def getThreshold(self):
+        return self.getOrDefault(self.threshold)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform_against(self, df: DataFrame,
+                          benchmark: DataFrame) -> DataFrame:
+        import numpy as np
+
+        emb = self.getEmbeddingCol()
+        bench_rows = benchmark.select(
+            as_double_array(benchmark, emb).alias("__v")).collect()
+        if not bench_rows:
+            raise ValueError("benchmark is empty")
+        B = np.asarray([list(r["__v"]) for r in bench_rows])
+
+        def seq_dots(X, Y):
+            """X (n,d) @ Y.T with dimension-sequential accumulation —
+            bit-identical to a SQL engine's element-order sum."""
+            acc = np.zeros((X.shape[0], Y.shape[0]))
+            for j in range(X.shape[1]):
+                acc += np.outer(X[:, j], Y[:, j])
+            return acc
+
+        def seq_sq(X):
+            acc = np.zeros(X.shape[0])
+            for j in range(X.shape[1]):
+                acc += X[:, j] * X[:, j]
+            return acc
+
+        bn = np.sqrt(seq_sq(B))
+        thr = self.getThreshold()
+
+        @F.pandas_udf("double")
+        def max_cos(embs: pd.Series) -> pd.Series:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            den = np.outer(np.sqrt(seq_sq(X)), bn)
+            dots = seq_dots(X, B)
+            cos = np.where(den == 0, 0.0, dots / np.where(den == 0, 1, den))
+            return pd.Series(cos.max(axis=1))
+
+        arr = as_double_array(df, emb)
+        return (df
+                .withColumn("max_benchmark_cosine", max_cos(arr))
+                .withColumn("is_contaminated",
+                            F.col("max_benchmark_cosine") >= F.lit(thr)))

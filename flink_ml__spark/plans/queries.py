@@ -976,6 +976,45 @@ FROM embeddings WHERE false
 # 18-21. text analysis
 # ---------------------------------------------------------------------------
 
+def q_embedding_contamination(spark, sf_dir):
+    """Semantic decontamination: max cosine of every corpus embedding
+    to the benchmark subset (vec_id % 100 == 7), flag at 0.4 — one
+    map-only Arrow pass over the broadcast benchmark matrix."""
+    from flink_ml__spark.functions.similarity import (
+        EmbeddingContaminationChecker,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    bench = emb.filter(F.col("vec_id") % 100 == 7)
+    corpus = emb.filter(F.col("vec_id") % 100 != 7)
+    out = (EmbeddingContaminationChecker().setThreshold(0.4)
+           .transform_against(corpus, bench))
+    return out.select("vec_id",
+                      F.round("max_benchmark_cosine", R)
+                      .alias("max_benchmark_cosine"),
+                      "is_contaminated")
+
+
+ORACLE_EMB_CONTAMINATION = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+  FROM embeddings),
+nv AS (SELECT vec_id, e,
+              sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum'))
+              AS nrm FROM base),
+b AS (SELECT * FROM nv WHERE vec_id % 100 = 7),
+c AS (SELECT * FROM nv WHERE vec_id % 100 <> 7),
+mx AS (SELECT c.vec_id,
+              max(CASE WHEN c.nrm * b.nrm = 0 THEN 0
+                       ELSE list_dot_product(c.e, b.e) / (c.nrm * b.nrm)
+                  END) AS m
+       FROM c, b GROUP BY c.vec_id)
+SELECT vec_id, round(m, {R}) AS max_benchmark_cosine,
+       m >= 0.4 AS is_contaminated
+FROM mx
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 scalar quantization of the embeddings table (per-vector
     max-abs scale, symmetric codes)."""
@@ -2210,6 +2249,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "quantize_embeddings": q_quantize_embeddings,
+    "embedding_contamination": q_embedding_contamination,
     "lang_id_documents": q_lang_id_documents,
     "quality_documents": q_quality_documents,
     "quality_filter_documents": q_quality_filter_documents,
@@ -2275,6 +2315,7 @@ ORACLES = {
     # a recall regression emits rows and fails the count/hash check
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "quantize_embeddings": ORACLE_QUANTIZE,
+    "embedding_contamination": ORACLE_EMB_CONTAMINATION,
     "lang_id_documents": _oracle_lang_id(),
     "quality_documents": ORACLE_QUALITY,
     "quality_filter_documents": ORACLE_QUALITY_FILTER,

@@ -277,3 +277,12 @@ def test_bloom_apply_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan  # the broadcast-bitset probe
+
+
+def test_embedding_contamination_map_only(spark):
+    """The corpus pass against the broadcast benchmark matrix is one
+    Arrow stage: no join, no exchange."""
+    plan = _plan(spark, "embedding_contamination")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan

@@ -93,3 +93,34 @@ def test_embedding_quantizer_roundtrip(spark):
     # dequantized values stay within half a code step of the original
     for orig, q in zip([0.5, -1.0, 0.25], out[1]["emb_q8"]):
         assert abs(q * 1.0 / 127 - orig) <= 0.5 / 127 + 1e-12
+
+
+def test_embedding_contamination_goldens(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.similarity import (
+        EmbeddingContaminationChecker,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]),      # parallel to bench 100 -> cos 1
+         (2, [1.0, 1.0, 0.0]),      # 45 deg to both -> cos ~0.7071
+         (3, [0.0, 0.0, 5.0]),      # orthogonal -> 0
+         (4, [0.0, 0.0, 0.0])],     # zero vector -> defined as 0
+        ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in
+           (EmbeddingContaminationChecker().setThreshold(0.9)
+            .transform_against(corpus, bench)).collect()}
+    assert got[1]["max_benchmark_cosine"] == _pytest.approx(1.0)
+    assert got[1]["is_contaminated"]
+    assert got[2]["max_benchmark_cosine"] == _pytest.approx(2 ** -0.5)
+    assert not got[2]["is_contaminated"]
+    assert got[3]["max_benchmark_cosine"] == 0.0
+    assert got[4]["max_benchmark_cosine"] == 0.0
+
+    with _pytest.raises(ValueError):
+        EmbeddingContaminationChecker().transform_against(
+            corpus, bench.filter("vec_id < 0"))
