@@ -378,3 +378,133 @@ class EmbeddingContaminationChecker(AlgoOperator, _SimilarityParams):
                 .withColumn("max_benchmark_cosine", max_cos(arr))
                 .withColumn("is_contaminated",
                             F.col("max_benchmark_cosine") >= F.lit(thr)))
+
+
+class SemDeDup(AlgoOperator, _SimilarityParams):
+    """Semantic deduplication over an embedding column (Abbas, Tirumala,
+    Simig, Ganguli & Morcos, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    corpus with a spherical coarse quantizer, then within each cluster
+    remove all but one member of every group of embeddings whose
+    pairwise cosine clears ``threshold`` — catching *semantic*
+    duplicates (same content, different wording) that lexical MinHash/
+    SimHash cannot see.
+
+    Keep rule follows the paper: candidates are visited farthest-from-
+    centroid first (lowest cosine to the cluster centroid, ties by id),
+    and a candidate is kept iff no already-kept member of its cluster
+    is ``threshold``-similar — so each duplicate group retains its
+    least-prototypical exemplar.
+
+    100 TB design: the quantizer is a DETERMINISTIC spherical k-means —
+    the ``32·nList`` rows with smallest salted md5 are taken as the
+    training sample (``TakeOrderedAndProject``: layout-independent,
+    unlike ``takeSample``), then farthest-point init + Lloyd run on the
+    driver over that sample only, so the centroids — and therefore the
+    kept set — are bit-identical across runs, partitionings and
+    cluster sizes (the property every other dedup operator here
+    guarantees; the paper's faiss k-means is not reproducible across
+    layouts). Cell assignment is one Arrow pass; the greedy runs
+    per cell inside ``applyInPandas`` with an incremental kept-matrix
+    (O(|cell|·|kept|·d) flops, never a |cell|² matrix), so memory is
+    bounded by cell size — size ``nList ≈ corpus/50k`` so cells fit an
+    Arrow group. Cross-cell duplicates are uncaught by design (the
+    paper's approximation); the invariant gate pins the within-cell
+    guarantee: every removed row has a kept ``threshold``-witness.
+    """
+
+    nList = Param(Params._dummy(), "nList", "quantizer cells",
+                  TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold",
+                      "cosine at/above which two rows are semantic "
+                      "duplicates", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(nList=16, threshold=0.95)
+
+    def getNList(self):
+        return self.getOrDefault(self.nList)
+
+    def setNList(self, v):
+        return self._set(nList=int(v))
+
+    def getThreshold(self):
+        return self.getOrDefault(self.threshold)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def _train_centroids(self, df: DataFrame):
+        """Deterministic spherical k-means on a hash-ordered sample."""
+        import numpy as np
+
+        idc = self.getIdCol()
+        n_list = self.getNList()
+        arr = as_double_array(df, self.getEmbeddingCol())
+        h = F.md5(F.concat(F.lit(f"semdedup{self.getSeed()}:"),
+                           F.col(idc).cast("string")))
+        rows = (df.select(arr.alias("__v"), h.alias("__h"))
+                .orderBy("__h").limit(32 * n_list).collect())
+
+        def _unit(M):
+            n = np.linalg.norm(M, axis=-1, keepdims=True)
+            return M / np.where(n == 0, 1.0, n)
+
+        S = _unit(np.asarray([list(r["__v"]) for r in rows]))
+        k = min(n_list, len(S))
+        # farthest-point init (deterministic; ties -> first index)
+        C = S[:1]
+        for _ in range(1, k):
+            d = ((S[:, None, :] - C[None]) ** 2).sum(-1).min(1)
+            C = np.vstack([C, S[d.argmax()][None]])
+        for _ in range(5):  # Lloyd on the sample; spherical re-norm
+            a = ((S[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+            C = np.vstack([
+                _unit(S[a == i].mean(0))[None] if (a == i).any()
+                else C[i][None]
+                for i in range(k)])
+        return C
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        idc = self.getIdCol()
+        C = self._train_centroids(df)
+        tau = self.getThreshold()
+        id_type = df.schema[idc].dataType.simpleString()
+
+        def _unit(M):
+            n = np.linalg.norm(M, axis=-1, keepdims=True)
+            return M / np.where(n == 0, 1.0, n)
+
+        @F.pandas_udf("int")
+        def cell_of(embs: pd.Series) -> pd.Series:
+            X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
+            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+            return pd.Series(d.argmin(1)).astype("int32")
+
+        def per_cell(key, pdf):
+            X = _unit(np.stack(pdf["__v"].to_numpy()).astype(np.float64))
+            ids = pdf["__id"].to_numpy()
+            sim_c = X @ C[key[0]]           # centroid is already unit
+            # visit farthest-from-centroid first; round the key so
+            # duplicates that differ only in last-ulp normalization
+            # noise tie-break by id (smaller id survives), not by noise
+            order = np.lexsort((ids, np.round(sim_c, 6)))
+            kept_rows: list[int] = []
+            K = np.empty((0, X.shape[1]))
+            for i in order:
+                if len(kept_rows) and (K @ X[i]).max() >= tau:
+                    continue
+                kept_rows.append(i)
+                K = np.vstack([K, X[i][None]])
+            return pd.DataFrame({"__id": ids[kept_rows]})
+
+        arr = as_double_array(df, self.getEmbeddingCol())
+        keyed = (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+                 .withColumn("__cell", cell_of("__v")))
+        kept = (keyed.groupBy("__cell")
+                .applyInPandas(per_cell, f"__id {id_type}")
+                .withColumnRenamed("__id", idc))
+        return df.join(kept, idc, "left_semi")

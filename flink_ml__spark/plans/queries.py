@@ -976,6 +976,80 @@ FROM embeddings WHERE false
 # 18-21. text analysis
 # ---------------------------------------------------------------------------
 
+def _semdedup_frame(spark, sf_dir):
+    """Embeddings plus planted semantic duplicates: every 20th vector
+    re-enters scaled ×2 under ``vec_id + 100000`` — ×2 is a float32
+    exponent bump, so the unit direction is BIT-identical (cosine
+    exactly 1, same quantizer cell, exact centroid-similarity tie),
+    different magnitude — the gate exercises real removals whatever
+    the generated corpus looks like."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dups = (emb.filter(F.col("vec_id") % 20 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding",
+                                lambda x: (x * F.lit(2.0)).cast("float"))
+                    .alias("embedding"),
+                    "label"))
+    return emb.unionByName(dups)
+
+
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup kept set over the planted frame (rows-only: seeded
+    k-means cells have no SQL oracle; the paired invariant gate below
+    is the hard check). Each planted duplicate collapses onto its
+    original — ties on centroid similarity break toward the smaller
+    id, so the original survives."""
+    from flink_ml__spark.functions.similarity import SemDeDup
+
+    op = SemDeDup().setNList(8).setSeed(42).setThreshold(0.95)
+    return op.transform(_semdedup_frame(spark, sf_dir)).select("vec_id")
+
+
+def q_semdedup_invariants_embeddings(spark, sf_dir):
+    """Hard gate for SemDeDup: every REMOVED vector must have a KEPT
+    witness with cosine >= threshold (the within-cell guarantee implies
+    the global one), and the kept/removed sets must partition the
+    input (a sentinel row fires on count mismatch). Violations are
+    recomputed through the pure-Catalyst cosine path, independent of
+    the operator's numpy greedy. Expected EMPTY; WHERE-false oracle
+    makes this a count/hash-checked row."""
+    from flink_ml__spark.functions.similarity import SemDeDup
+
+    tau = 0.95
+    emb = _semdedup_frame(spark, sf_dir)
+    op = SemDeDup().setNList(8).setSeed(42).setThreshold(tau)
+    kept = op.transform(emb).select("vec_id")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    sides = emb.select("vec_id", arr.alias("__v"), nrm.alias("__n"))
+    k = (sides.join(kept, "vec_id", "left_semi")
+         .select(F.col("vec_id").alias("__kid"),
+                 F.col("__v").alias("__kv"), F.col("__n").alias("__kn")))
+    r = (sides.join(kept, "vec_id", "left_anti"))
+    dot = F.aggregate(F.zip_with("__v", "__kv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("__n") * F.col("__kn"))
+    no_witness = (r.crossJoin(F.broadcast(k))
+                  .groupBy("vec_id")
+                  .agg(F.max(cos).alias("max_cos_to_kept"))
+                  .filter(F.col("max_cos_to_kept") < tau))
+    n_total = emb.select(F.count(F.lit(1)).alias("__t"))
+    n_parts = (kept.select(F.count(F.lit(1)).alias("__k"))
+               .crossJoin(r.select(F.count(F.lit(1)).alias("__r"))))
+    sentinel = (n_total.crossJoin(n_parts)
+                .filter(F.col("__t") != F.col("__k") + F.col("__r"))
+                .select(F.lit(-1).cast("long").alias("vec_id"),
+                        F.lit(0.0).alias("max_cos_to_kept")))
+    return no_witness.unionByName(sentinel)
+
+
+ORACLE_SEMDEDUP_INVARIANTS = """
+SELECT vec_id::BIGINT AS vec_id, 0.0::DOUBLE AS max_cos_to_kept
+FROM embeddings WHERE false
+"""
+
+
 def q_embedding_contamination(spark, sf_dir):
     """Semantic decontamination: max cosine of every corpus embedding
     to the benchmark subset (vec_id % 100 == 7), flag at 0.4 — one
@@ -2250,6 +2324,8 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "quantize_embeddings": q_quantize_embeddings,
     "embedding_contamination": q_embedding_contamination,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
     "lang_id_documents": q_lang_id_documents,
     "quality_documents": q_quality_documents,
     "quality_filter_documents": q_quality_filter_documents,
@@ -2316,6 +2392,9 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "quantize_embeddings": ORACLE_QUANTIZE,
     "embedding_contamination": ORACLE_EMB_CONTAMINATION,
+    # semdedup kept set: seeded iterative clustering → rows-only; the
+    # invariant gate is the hard expected-empty check
+    "semdedup_invariants_embeddings": ORACLE_SEMDEDUP_INVARIANTS,
     "lang_id_documents": _oracle_lang_id(),
     "quality_documents": ORACLE_QUALITY,
     "quality_filter_documents": ORACLE_QUALITY_FILTER,

@@ -286,3 +286,13 @@ def test_embedding_contamination_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_semdedup_single_cell_shuffle(spark):
+    """SemDeDup's distributed pass is one exchange on the quantizer
+    cell feeding the per-cell greedy; the kept-id set joins back as a
+    broadcast semi join (no second full shuffle of the data)."""
+    plan = _plan(spark, "semdedup_embeddings")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("\n", " ") or \
+        "BroadcastHashJoin" in plan

@@ -124,3 +124,43 @@ def test_embedding_contamination_goldens(spark):
     with _pytest.raises(ValueError):
         EmbeddingContaminationChecker().transform_against(
             corpus, bench.filter("vec_id < 0"))
+
+
+def test_semdedup_goldens(spark):
+    import numpy as np
+
+    from flink_ml__spark.functions.similarity import SemDeDup
+
+    # one cell (nList=1): A and B are semantic duplicates (cos ~0.995),
+    # C is orthogonal
+    A = [1.0, 0.0]
+    B = [0.995, 0.0999]   # ~5.7 deg from A
+    C = [0.0, 1.0]
+    df = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], ["vec_id", "embedding"])
+    op = SemDeDup().setNList(1).setSeed(7).setThreshold(0.98)
+    kept = {r["vec_id"] for r in op.transform(df).collect()}
+    assert 3 in kept and len(kept) == 2
+    # paper keep rule: of {A, B} the one FARTHER from the cell centroid
+    # survives — recompute which that is
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return v / np.linalg.norm(v)
+    centroid = unit(unit(A) + unit(B) + unit(C))
+    simA, simB = unit(A) @ centroid, unit(B) @ centroid
+    expect = 1 if simA < simB else 2
+    assert expect in kept
+
+    # below threshold nothing is removed
+    all_kept = (SemDeDup().setNList(1).setSeed(7).setThreshold(0.999)
+                .transform(df).count())
+    assert all_kept == 3
+
+    # determinism across partition layouts
+    big = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0])
+         for i in range(200)], ["vec_id", "embedding"])
+    op2 = SemDeDup().setNList(4).setSeed(42).setThreshold(0.97)
+    k1 = {r["vec_id"] for r in op2.transform(big).collect()}
+    k2 = {r["vec_id"] for r in op2.transform(big.repartition(13)).collect()}
+    assert k1 == k2 and 0 < len(k1) < 200
