@@ -73,6 +73,12 @@ HEADLINE = [
     "multimodal_image_resize",
     "multimodal_frame_means",
     "multimodal_audio_features",
+    "normalize_documents",
+    "frequent_ngrams_documents",
+    "epoch_shuffle_documents",
+    "dedup_bloom_documents",
+    "embedding_contamination",
+    "semdedup_embeddings",
 ]
 
 

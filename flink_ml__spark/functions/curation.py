@@ -563,6 +563,27 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
         norm = {k: f / total for k, f in v.items()} if v else {}
         return self._set(targets=json.dumps(norm, sort_keys=True))
 
+    def with_temperature(self, df: DataFrame,
+                         temperature: float) -> "DomainBalancer":
+        """Set targets from the observed composition sharpened by a
+        sampling temperature: ``frac_g ∝ count_g^(1/T)`` — T = 1 keeps
+        the natural mix, T → ∞ approaches uniform, the standard
+        multilingual mixing rule (cf. mT5, Xue et al. 2021 §3.1;
+        exponent ``α = 1/T``). Counts are one O(groups) aggregation
+        collected to the driver; the keep decision then runs through
+        the same broadcast-threshold machinery as :meth:`setTargets`
+        (no data shuffle)."""
+        if temperature <= 0:
+            raise ValueError("temperature must be positive")
+        grp = self.getGroupCol()
+        counts = {r[grp]: r["__cnt"] for r in
+                  df.groupBy(grp).agg(F.count("*").alias("__cnt"))
+                  .collect()}
+        if not counts:
+            raise ValueError("empty input; no groups to balance")
+        return self.setTargets(
+            {g: c ** (1.0 / temperature) for g, c in counts.items()})
+
     def transform(self, df: DataFrame) -> DataFrame:
         grp = self.getGroupCol()
         tgt = self.getTargets()

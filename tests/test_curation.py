@@ -508,3 +508,46 @@ def test_epoch_shuffler_properties(spark):
           .transform(df).collect()}
     assert set(e1) == set(a)
     assert sum(e1[k] != a[k] for k in a) > 500
+
+
+def test_domain_balancer_temperature(spark):
+    import pytest as _pytest
+
+    # 800 'en', 160 'de', 40 'fr' — a skewed mix
+    rows = ([(i, "en") for i in range(800)]
+            + [(800 + i, "de") for i in range(160)]
+            + [(960 + i, "fr") for i in range(40)])
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    # T=1 keeps the natural composition: nothing must be dropped
+    # beyond binomial noise of the threshold arithmetic
+    t1 = DomainBalancer().with_temperature(df, 1.0).transform(df)
+    by = {r["lang"]: r["n"] for r in
+          t1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["en"] > 700 and by["de"] > 130 and by["fr"] > 30
+
+    # higher temperature flattens: en's share shrinks toward uniform
+    t4 = DomainBalancer().with_temperature(df, 4.0).transform(df)
+    b4 = {r["lang"]: r["n"] for r in
+          t4.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    nat_share = 800 / 1000
+    t4_share = b4["en"] / sum(b4.values())
+    assert t4_share < nat_share
+    # fr (smallest) keeps everything it can: its fraction rises
+    assert b4["fr"] / sum(b4.values()) > 40 / 1000
+    # expected composition ~ c^(1/4) normalized
+    w = {g: c ** 0.25 for g, c in {"en": 800, "de": 160, "fr": 40}.items()}
+    s = sum(w.values())
+    for g in w:
+        assert b4[g] / sum(b4.values()) == _pytest.approx(w[g] / s, abs=0.06)
+
+    # determinism
+    again = {r["lang"]: r["n"] for r in
+             DomainBalancer().with_temperature(df, 4.0).transform(df)
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == b4
+
+    with _pytest.raises(ValueError):
+        DomainBalancer().with_temperature(df, 0.0)
+    with _pytest.raises(ValueError):
+        DomainBalancer().with_temperature(df.filter("doc_id < 0"), 2.0)
