@@ -1368,3 +1368,83 @@ class EpochShuffler(AlgoOperator, HasIdColMixin):
                 .withColumn("position",
                             F.row_number().over(w) - F.lit(1))
                 .drop("__hx"))
+
+
+class DomainDivergence(AlgoOperator, HasInputCol):
+    """Per-group token-distribution drift monitor: the KL divergence of
+    each group's (language / source / time-slice) unigram distribution
+    from the whole-corpus distribution, over the global top-
+    ``vocabSize`` tokens with add-one smoothing — the corpus-QA signal
+    that catches a domain whose content shifted (crawler drift, a
+    source gone spammy) even when volume and quality scores look
+    normal. One row per group: ``n_vocab_tokens`` (the group's token
+    occurrences inside the shared vocab) and ``kl_to_corpus`` (nats).
+
+    100 TB design: the token stream collapses to (group, token) counts
+    in one partial+final shuffle; everything after runs on that
+    O(groups·vocab) table — the vocab cut is a
+    ``TakeOrderedAndProject`` (count desc, token asc: a deterministic
+    total order), the group×vocab grid is a broadcast cross join of
+    two tiny frames, and the KL sum is an O(groups·vocab) aggregation.
+    No second pass over the data.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "column whose groups are compared",
+                     TypeConverters.toString)
+    vocabSize = Param(Params._dummy(), "vocabSize",
+                      "global top-V tokens the distributions run over",
+                      TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", groupCol="lang", vocabSize=300)
+
+    def getGroupCol(self):
+        return self.getOrDefault(self.groupCol)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def getVocabSize(self):
+        return self.getOrDefault(self.vocabSize)
+
+    def setVocabSize(self, v):
+        return self._set(vocabSize=int(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        grp = self.getGroupCol()
+        V = self.getVocabSize()
+        toks = F.filter(
+            F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
+            lambda t: t != "")
+        gt = (df.select(F.col(grp).alias("__g"), F.explode(toks)
+                        .alias("__t"))
+              .groupBy("__g", "__t")
+              .agg(F.count(F.lit(1)).alias("__c_gt")))
+        vocab = (gt.groupBy("__t")
+                 .agg(F.sum("__c_gt").alias("__c_t"))
+                 .orderBy(F.desc("__c_t"), F.asc("__t"))
+                 .limit(V))
+        in_vocab = gt.join(F.broadcast(vocab.select("__t")), "__t")
+        c_g = in_vocab.groupBy("__g").agg(F.sum("__c_gt").alias("__c_g"))
+        # the add-one constant must be the ACTUAL vocab size (the cap
+        # may exceed the corpus's distinct tokens) or p stops summing
+        # to 1 and the "KL" can go negative
+        tot = vocab.agg(F.sum("__c_t").alias("__C"),
+                        F.count(F.lit(1)).alias("__V"))
+        groups = df.select(F.col(grp).alias("__g")).distinct()
+        grid = (groups.crossJoin(F.broadcast(vocab))
+                .join(in_vocab, ["__g", "__t"], "left")
+                .join(F.broadcast(c_g), "__g", "left")
+                .crossJoin(F.broadcast(tot)))
+        c_gt = F.coalesce(F.col("__c_gt"), F.lit(0))
+        cg = F.coalesce(F.col("__c_g"), F.lit(0))
+        p = (c_gt + 1) / (cg + F.col("__V"))
+        q = (F.col("__c_t") + 1) / (F.col("__C") + F.col("__V"))
+        return (grid
+                .groupBy("__g")
+                .agg(F.max(cg).alias("n_vocab_tokens"),
+                     F.sum(p * F.log(p / q)).alias("kl_to_corpus"))
+                .select(F.col("__g").alias(grp),
+                        "n_vocab_tokens", "kl_to_corpus"))

@@ -1300,6 +1300,52 @@ FROM documents
 """
 
 
+def q_domain_divergence_documents(spark, sf_dir):
+    """Per-language unigram-distribution KL vs the whole corpus over
+    the global top-300 tokens (add-one smoothing) — the drift monitor
+    companion of corpus_profile_documents."""
+    from flink_ml__spark.functions.curation import DomainDivergence
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = DomainDivergence().setGroupCol("lang").setVocabSize(300) \
+        .transform(docs)
+    return out.select("lang", "n_vocab_tokens",
+                      F.round("kl_to_corpus", R).alias("kl_to_corpus"))
+
+
+ORACLE_DOMAIN_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT lang AS g,
+         unnest(list_filter(string_split_regex(lower(text),
+                                               '[^a-zA-Z0-9'']+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+gt AS (SELECT g, t, count(*) AS c_gt FROM toks GROUP BY g, t),
+vocab AS (SELECT t, sum(c_gt) AS c_t FROM gt GROUP BY t
+          ORDER BY c_t DESC, t ASC LIMIT 300),
+iv AS (SELECT gt.g, gt.t, gt.c_gt FROM gt JOIN vocab USING (t)),
+cg AS (SELECT g, sum(c_gt) AS c_g FROM iv GROUP BY g),
+tot AS (SELECT sum(c_t) AS tc, count(*) AS nv FROM vocab),
+groups AS (SELECT DISTINCT lang AS g FROM documents),
+grid AS (
+  SELECT groups.g, vocab.t, vocab.c_t,
+         coalesce(iv.c_gt, 0) AS c_gt,
+         coalesce(cg.c_g, 0) AS c_g
+  FROM groups CROSS JOIN vocab
+  LEFT JOIN iv ON iv.g = groups.g AND iv.t = vocab.t
+  LEFT JOIN cg ON cg.g = groups.g),
+kl AS (
+  SELECT g, max(c_g) AS n_vocab_tokens,
+         sum(((c_gt + 1.0) / (c_g + nv)) *
+             ln(((c_gt + 1.0) / (c_g + nv)) /
+                ((c_t + 1.0) / (tc + nv)))) AS kl
+  FROM grid CROSS JOIN tot GROUP BY g)
+SELECT g AS lang, n_vocab_tokens::BIGINT AS n_vocab_tokens,
+       round(kl, {R}) AS kl_to_corpus
+FROM kl
+"""
+
+
 def q_epoch_shuffle_documents(spark, sf_dir):
     """Deterministic epoch-1 training order: (shard, position) per
     document from a salted md5 — reproducible global shuffle."""
@@ -2334,6 +2380,7 @@ QUERIES = {
     "normalize_documents": q_normalize_documents,
     "frequent_ngrams_documents": q_frequent_ngrams_documents,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "domain_divergence_documents": q_domain_divergence_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2403,6 +2450,7 @@ ORACLES = {
     "normalize_documents": ORACLE_NORMALIZE,
     "frequent_ngrams_documents": ORACLE_FREQUENT_NGRAMS,
     "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
+    "domain_divergence_documents": ORACLE_DOMAIN_DIVERGENCE,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

@@ -551,3 +551,49 @@ def test_domain_balancer_temperature(spark):
         DomainBalancer().with_temperature(df, 0.0)
     with _pytest.raises(ValueError):
         DomainBalancer().with_temperature(df.filter("doc_id < 0"), 2.0)
+
+
+def test_domain_divergence_goldens(spark):
+    import math
+
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.curation import DomainDivergence
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "a", "x y y"),
+         (3, "b", "x x y y"),            # same mix as corpus -> low KL
+         (4, "c", "z z z z z z")],       # disjoint tokens -> high KL
+        ["doc_id", "grp", "text"])
+    out = {r["grp"]: r for r in
+           (DomainDivergence().setGroupCol("grp").setVocabSize(3)
+            .transform(df)).collect()}
+    # vocab (top-3 by count): x(5), y(5), z(6) -> all three
+    assert out["a"]["n_vocab_tokens"] == 6
+    assert out["b"]["n_vocab_tokens"] == 4
+    assert out["c"]["n_vocab_tokens"] == 6
+
+    # hand-computed KL for group c: counts (x,y,z)=(0,0,6), V=3
+    # p = (1/9, 1/9, 7/9); q = ((6+1)/19, (6+1)/19, (5+2)/19)... wait
+    # global: x=5, y=5, z=6, C=16; q=(6/19, 6/19, 7/19)
+    p = [1 / 9, 1 / 9, 7 / 9]
+    q = [6 / 19, 6 / 19, 7 / 19]
+    kl_c = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert out["c"]["kl_to_corpus"] == _pytest.approx(kl_c, rel=1e-9)
+    # similar-to-corpus group diverges less than the disjoint one
+    assert out["b"]["kl_to_corpus"] < out["c"]["kl_to_corpus"]
+    assert all(r["kl_to_corpus"] >= -1e-12 for r in out.values())
+
+
+def test_domain_divergence_nonnegative_when_cap_exceeds_vocab(spark):
+    # regression: with vocabSize far above the distinct-token count the
+    # smoothing constant must shrink to the actual vocab, or p stops
+    # summing to 1 and KL goes negative
+    from flink_ml__spark.functions.curation import DomainDivergence
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "z z z")], ["doc_id", "grp", "text"])
+    out = (DomainDivergence().setGroupCol("grp").setVocabSize(1000)
+           .transform(df)).collect()
+    assert all(r["kl_to_corpus"] >= -1e-12 for r in out)
+    assert any(r["kl_to_corpus"] > 0.01 for r in out)

@@ -296,3 +296,12 @@ def test_semdedup_single_cell_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastHashJoin LeftSemi" in plan.replace("\n", " ") or \
         "BroadcastHashJoin" in plan
+
+
+def test_domain_divergence_data_pass_shapes(spark):
+    """The token stream collapses to (group, token) counts first; the
+    vocab cut is TakeOrderedAndProject; no Python anywhere."""
+    plan = _plan(spark, "domain_divergence_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
