@@ -1161,3 +1161,20 @@ class BloomCorpusDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         """One-shot convenience: build the filter from ``corpus`` and
         drop ``df`` rows it might contain."""
         return self.fit(corpus).transform(df)
+
+    # -- persistence: the bitset IS the model -------------------------
+
+    def _save_model_data(self, path: str) -> None:
+        import os
+
+        if self._bits is not None:
+            with open(os.path.join(path, "bloom.bin"), "wb") as f:
+                f.write(self._bits)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import os
+
+        p = os.path.join(path, "bloom.bin")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                self._bits = f.read()

@@ -348,3 +348,24 @@ def test_bloom_corpus_dedup_no_false_negatives(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         BloomCorpusDeduplicator().transform(new)
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    from flink_ml__spark.functions.dedup import BloomCorpusDeduplicator
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100 + i, f"doc {i}") for i in range(10)]      # dups
+        + [(200 + i, f"other {i}") for i in range(10)],  # unique
+        ["doc_id", "text"])
+    op = (BloomCorpusDeduplicator().setNumBits(1 << 15).setNumHashes(4)
+          .fit(corpus))
+    p = str(tmp_path / "bloom_model")
+    op.save(p)
+    back = BloomCorpusDeduplicator.load(spark, p)
+    assert back.getNumBits() == 1 << 15 and back.getNumHashes() == 4
+    a = {r["doc_id"] for r in op.transform(new).collect()}
+    b = {r["doc_id"] for r in back.transform(new).collect()}
+    assert a == b
+    assert not (b & {100 + i for i in range(10)})

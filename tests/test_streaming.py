@@ -380,3 +380,35 @@ def test_stream_corpus_monitor_matches_batch(spark):
                    for ws, _ in open_windows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_bloom_dedup_matches_batch(spark):
+    """A corpus-fitted bloom filter is a pure map-only Arrow pass, so
+    it applies to a stream unchanged — the continuous-crawl
+    ingestion shape (fit once, filter every micro-batch)."""
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.dedup import BloomCorpusDeduplicator
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    op = (BloomCorpusDeduplicator().setNumBits(2048).setNumHashes(4)
+          .fit(corpus))
+    batch_kept = {r["doc_id"] for r in
+                  op.transform(new).select("doc_id").collect()}
+    d = _tf.mkdtemp(prefix="stream_bloom_")
+    try:
+        new.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(new.schema).parquet(d)
+        out = op.transform(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("bloomkept")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        stream_kept = {r["doc_id"] for r in
+                       spark.sql("SELECT doc_id FROM bloomkept").collect()}
+        assert stream_kept == batch_kept
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
