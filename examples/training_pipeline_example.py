@@ -1,13 +1,15 @@
 """End-to-end training-data pipeline over the documents table:
-metadata triage -> PII redaction -> repetition + quality + Gopher-rule
-filtering -> exact dedup -> MinHash near-dedup -> substring span dedup
--> benchmark decontamination (whole-doc flag + span scrub) -> language
-ID + token counts -> CCNet unigram-LM scoring + perplexity bucketing
--> DSIR target-corpus weighting -> train/val/test split -> domain
-balancing -> sequence packing -> corpus profile — the LLM-data-curation
-chain the engine's north-star operators compose into (each stage is one
-of the gate queries; chained here as a single lazy plan until the
-reports)."""
+metadata triage -> text normalization -> PII redaction -> repetition +
+quality + Gopher-rule filtering -> exact dedup -> Bloom membership
+filter vs an external corpus -> MinHash near-dedup -> substring span
+dedup -> benchmark decontamination (whole-doc flag + span scrub) ->
+language ID + token counts -> CCNet unigram-LM scoring + perplexity
+bucketing -> DSIR target-corpus weighting -> train/val/test split ->
+temperature-based domain balancing -> sequence packing -> epoch
+shuffle -> corpus profile + domain-drift report — the LLM-data-
+curation chain the engine's north-star operators compose into (each
+stage is one of the gate queries; chained here as a single lazy plan
+until the reports)."""
 
 from _common import SF_DIR, get_session
 
@@ -39,8 +41,14 @@ def main():
     docs = load_table(spark, "documents", SF_DIR)
     n0 = docs.count()
 
-    # 1. scrub PII before anything else touches the text
-    red = (PiiRedactor().transform(docs)
+    # 1. canonicalize (case/whitespace) then scrub PII before anything
+    #    else touches the text
+    from flink_ml__spark.functions.text import TextNormalizer
+
+    norm = (TextNormalizer().transform(docs)
+            .drop("text", "text_norm_chars")
+            .withColumnRenamed("text_norm", "text"))
+    red = (PiiRedactor().transform(norm)
            .drop("text").withColumnRenamed("text_redacted", "text"))
 
     # 2. heuristic quality: repetition signals, composite score, and the
@@ -59,8 +67,16 @@ def main():
     from flink_ml__spark.functions.dedup import SubstringDeduplicator
 
     exact = ExactDeduplicator().transform(filtered)
+    # drop anything already present in a previously-shipped corpus
+    # (here: the even doc_ids) via the map-only Bloom membership probe
+    from flink_ml__spark.functions.dedup import BloomCorpusDeduplicator
+
+    shipped = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh = (BloomCorpusDeduplicator().setNumBits(1 << 18)
+             .transform_against(exact.filter(F.col("doc_id") % 2 == 1),
+                                shipped))
     near = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
-            .transform(exact))
+            .transform(fresh))
     span = (SubstringDeduplicator().setSpanTokens(8).transform(near)
             .drop("text").withColumnRenamed("text_deduped", "text")
             .drop("n_tokens", "n_removed"))
@@ -99,25 +115,36 @@ def main():
     split = DeterministicSplitter().setTrainFrac(0.9).setValFrac(0.05) \
         .transform(weighted)
 
-    # 6. rebalance the train split toward a target language mix
+    # 6. rebalance the train split: flatten the language mix with a
+    #    sampling temperature instead of a hand-written target map
     train = split.filter(F.col("split") == "train")
     balanced = (DomainBalancer().setGroupCol("lang")
-                .setTargets({"en": 0.4, "zh": 0.2, "es": 0.2,
-                             "fr": 0.1, "de": 0.1})
+                .with_temperature(train, 3.0)
                 .transform(train))
 
-    # 7. pack into fixed token windows for the tokenizer shards
+    # 7. pack into fixed token windows, then assign the deterministic
+    #    epoch-0 training order (shard, position)
+    from flink_ml__spark.functions.curation import EpochShuffler
+
     packed = (SequencePacker().setWindowSize(2048).setNumShards(16)
               .transform(balanced))
-    n4 = packed.count()
+    ordered = EpochShuffler().setNumShards(16).setEpoch(0) \
+        .transform(packed)
+    n4 = ordered.count()
 
     print(f"documents: {n0} -> quality {n1} -> dedup+span {n2} "
           f"-> decontaminated+scrubbed {n3} -> packed train rows {n4}")
 
-    # 8. profile what ships
+    # 8. profile what ships + check no language drifted from the corpus
+    from flink_ml__spark.functions.curation import DomainDivergence
+
     (CorpusProfiler().setGroupCols("lang").setValueCol("n_tokens")
-     .transform(packed)
+     .transform(ordered)
      .orderBy(F.desc("n_docs"))
+     .show())
+    (DomainDivergence().setGroupCol("lang").setVocabSize(300)
+     .transform(ordered)
+     .orderBy(F.desc("kl_to_corpus"))
      .show())
 
 

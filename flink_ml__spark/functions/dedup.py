@@ -28,11 +28,13 @@ STOC 2002), random-hyperplane LSH for cosine (same paper).
 from __future__ import annotations
 
 import random
+import weakref
 
 import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flink_ml__spark.base import AlgoOperator, HasInputCol, HasSeed
 from flink_ml__spark.functions.text import TOKEN_SPLIT, Fingerprinter
@@ -109,6 +111,58 @@ def _keep_non_dominated(df: DataFrame, dup_ids: DataFrame, id_col: str) -> DataF
                    id_col, "left_anti")
 
 
+def _unpersist_handles(handles: list) -> None:
+    while handles:
+        try:
+            handles.pop().unpersist(False)
+        except Exception:
+            pass  # session already stopped
+
+
+class _MaterializeMixin:
+    """persist-based signature-table materialization with a bounded,
+    leak-free lifecycle.
+
+    ``persist`` rather than ``localCheckpoint``: the Catalyst plan —
+    including the ``repartition(id)`` output partitioning — survives
+    caching, so the downstream band/verify joins reuse the exchange;
+    a local checkpoint is an opaque RDD scan whose partitioning is
+    lost, forcing re-shuffles (measured 2.3× slower end-to-end on
+    MinHash at sf0.1). The eager ``count()`` stops concurrent
+    downstream stages racing to fill a lazy cache (computing the
+    Arrow hash pass 3-4×).
+
+    Lifecycle: each operator instance keeps at most the LAST TWO
+    materializations (one ``transform_against`` call builds two — the
+    corpus and the new batch); older handles unpersist FIFO, a
+    ``weakref.finalize`` unpersists the rest when the operator is
+    garbage-collected, and :meth:`release` drops them immediately —
+    so repeated calls and throwaway instances cannot accumulate
+    CacheManager entries (the leak persist() alone would cause).
+    """
+
+    _MAX_LIVE = 2
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        if not hasattr(self, "_mats"):
+            self._mats: list[DataFrame] = []
+            self._mats_finalizer = weakref.finalize(
+                self, _unpersist_handles, self._mats)
+        handle = df.persist(StorageLevel.MEMORY_AND_DISK)
+        handle.count()
+        self._mats.append(handle)
+        while len(self._mats) > self._MAX_LIVE:
+            try:
+                self._mats.pop(0).unpersist(False)
+            except Exception:
+                pass
+        return handle
+
+    def release(self) -> None:
+        """Unpersist this operator's live signature tables now."""
+        _unpersist_handles(getattr(self, "_mats", []))
+
+
 class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
     """Exact dedup on the normalized-text fingerprint: keeps the
     smallest-id document per fingerprint (hash-groupBy + semi join —
@@ -143,7 +197,7 @@ class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return keyed.join(cfp, "__fp", "left_anti").drop("__fp")
 
 
-class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
+class MinHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin, HasSeed):
     """MinHash + LSH near-duplicate removal.
 
     shingle (word n-grams) → minhash signature → band buckets →
@@ -202,22 +256,17 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         """(__id, __xs) — the materialized signature base. Raw text is
         repartitioned BEFORE the tokenize+md5 projection so the heavy
         hashing parallelizes even when the source has few splits;
-        materialized because the table is referenced repeatedly
-        (band-join sides + verification joins) and broadcast conversion
-        breaks ReuseExchange. ``localCheckpoint`` rather than
-        ``persist``: eager (no lazy-cache fill race between concurrent
-        downstream stages), and the blocks are released by the
-        ContextCleaner once the caller drops the result — repeated
-        ``transform``/``duplicate_pairs`` calls don't accumulate
-        CacheManager entries (same lifecycle fix as Apriori's freq
-        table). ~50 longs/doc — tiny relative to the text; at lake
-        scale this can equally be a parquet checkpoint."""
+        materialized via :meth:`_MaterializeMixin._materialize` because
+        the table is referenced repeatedly (band-join sides +
+        verification joins) and broadcast conversion breaks
+        ReuseExchange. ~50 longs/doc — tiny relative to the text; at
+        lake scale this can equally be a parquet checkpoint."""
         idc = self.getIdCol()
         xs = self._shingle_hash_udf()(F.col(self.getInputCol()))
-        return (df.select(idc, self.getInputCol())
-                .repartition(F.col(idc))
-                .select(F.col(idc).alias("__id"), xs.alias("__xs"))
-                .localCheckpoint(eager=True))
+        return self._materialize(
+            df.select(idc, self.getInputCol())
+            .repartition(F.col(idc))
+            .select(F.col(idc).alias("__id"), xs.alias("__xs")))
 
     def band_table(self, hashed: DataFrame) -> DataFrame:
         """(__id, __b struct<band, key>) — one row per (doc, band)."""
@@ -317,7 +366,7 @@ class MinHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 
-class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+class SimHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin):
     """SimHash near-duplicate removal (60-bit fingerprint, banded LSH on
     15-bit quarters, Hamming-distance verification)."""
 
@@ -410,11 +459,10 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
             ])).alias("__b"))
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        # eager localCheckpoint: both band-join sides read the
-        # fingerprint table; broadcast conversion breaks ReuseExchange,
-        # lazy caches race, and persist() would leak a CacheManager
-        # entry per call (see MinHashDeduplicator.hashed_table)
-        base = self.simhash_table(df).localCheckpoint(eager=True)
+        # materialized: both band-join sides read the fingerprint
+        # table; broadcast conversion breaks ReuseExchange and lazy
+        # caches race (see _MaterializeMixin)
+        base = self._materialize(self.simhash_table(df))
         bands = self._band_rows(base)
         left = bands.select("__b", F.col("__id").alias("__id_l"),
                             F.col("__sh").alias("__sh_l"))
@@ -445,9 +493,8 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         if corpus_hashed is None:
             if corpus is None:
                 raise ValueError("need corpus or corpus_hashed")
-            corpus_hashed = self.simhash_table(corpus).localCheckpoint(
-                eager=True)
-        new_h = self.simhash_table(df).localCheckpoint(eager=True)
+            corpus_hashed = self._materialize(self.simhash_table(corpus))
+        new_h = self._materialize(self.simhash_table(df))
         nb = self._band_rows(new_h).select(
             "__b", F.col("__id").alias("__id_n"),
             F.col("__sh").alias("__sh_n"))
@@ -463,7 +510,7 @@ class SimHashDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 
-class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin):
     """Exact word-n-gram Jaccard dedup via prefix filtering.
 
     Candidate generation uses the AllPairs/SSJoin prefix filter (Bayardo,
@@ -500,17 +547,16 @@ class NgramJaccardDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
 
     def hashed_table(self, df: DataFrame) -> DataFrame:
         """(__id, __sh) sorted-shingle-hash base, materialized behind a
-        shuffle barrier via eager ``localCheckpoint`` (same rationale
-        and cache-lifecycle contract as
+        shuffle barrier (same rationale and cache-lifecycle contract as
         ``MinHashDeduplicator.hashed_table``)."""
         idc = self.getIdCol()
         xs = shingle_hash_udf(self.getShingleSize())(
             F.col(self.getInputCol()))
-        return (df.select(idc, self.getInputCol())
-                .repartition(F.col(idc))
-                .select(F.col(idc).alias("__id"),
-                        F.array_sort(xs).alias("__sh"))
-                .localCheckpoint(eager=True))
+        return self._materialize(
+            df.select(idc, self.getInputCol())
+            .repartition(F.col(idc))
+            .select(F.col(idc).alias("__id"),
+                    F.array_sort(xs).alias("__sh")))
 
     def _prefix_keys(self, base: DataFrame) -> DataFrame:
         """Explode each doc's prefix — the first ⌊(1−t)·|X|⌋ + 1 sorted
@@ -668,7 +714,7 @@ def positioned_shingle_hash_udf(n: int):
     return gram_hashes
 
 
-class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+class SubstringDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin):
     """Substring/span-level exact deduplication (Lee, Ippolito, Nystrom,
     Zhang, Eck, Callison-Burch & Carlini, "Deduplicating Training Data
     Makes Language Models Better", ACL 2022): every word ``k``-gram that
@@ -735,20 +781,20 @@ class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
 
     def hashed_table(self, df: DataFrame) -> DataFrame:
         """(__id, __ghs array<long>) — per-doc positioned gram hashes,
-        materialized behind the repartition barrier via eager
-        ``localCheckpoint`` (same lifecycle contract as
-        ``MinHashDeduplicator.hashed_table``): the occurrence stream is
+        materialized behind the repartition barrier (same lifecycle
+        contract as ``MinHashDeduplicator.hashed_table``): the
+        occurrence stream is
         read by BOTH the gram aggregation and the non-first-occurrence
         join, and without the barrier each branch re-runs the Arrow
         tokenize+hash pass. Raw text is repartitioned first so the
         hashing parallelizes on few-split sources."""
         idc = self.getIdCol()
         gh = positioned_shingle_hash_udf(self.getSpanTokens())
-        return (df.select(idc, self.getInputCol())
-                .repartition(F.col(idc))
-                .select(F.col(idc).alias("__id"),
-                        gh(F.col(self.getInputCol())).alias("__ghs"))
-                .localCheckpoint(eager=True))
+        return self._materialize(
+            df.select(idc, self.getInputCol())
+            .repartition(F.col(idc))
+            .select(F.col(idc).alias("__id"),
+                    gh(F.col(self.getInputCol())).alias("__ghs")))
 
     def gram_occurrences(self, df: DataFrame, *,
                          hashed: DataFrame | None = None) -> DataFrame:
@@ -839,7 +885,7 @@ class SubstringDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return self._rewrite(df, masks)
 
 
-class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
+class EmbeddingCosineDeduplicator(AlgoOperator, _MaterializeMixin, HasIdColMixin, HasSeed):
     """Embedding near-duplicate removal: banded random-hyperplane LSH →
     cosine verification → dominated-by-smaller-id drop.
 
@@ -943,14 +989,13 @@ class EmbeddingCosineDeduplicator(AlgoOperator, HasIdColMixin, HasSeed):
             return pd.Series(np.sqrt(acc))
 
         arr = as_double_array(df, ecol)
-        # eager localCheckpoint: both join sides read it, and persist()
-        # would leak a CacheManager entry per call (see
-        # MinHashDeduplicator.hashed_table)
-        return (df.select(F.col(idc).alias("__id"), arr.alias("__v"))
-                .repartition(F.col("__id"))
-                .select("__id", "__v", norm_of("__v").alias("__n"),
-                        band_keys_of("__v").alias("__bks"))
-                .localCheckpoint(eager=True))
+        # materialized: both join sides read it (see
+        # _MaterializeMixin for the lifecycle)
+        return self._materialize(
+            df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+            .repartition(F.col("__id"))
+            .select("__id", "__v", norm_of("__v").alias("__n"),
+                    band_keys_of("__v").alias("__bks")))
 
     def _band_rows(self, keyed: DataFrame) -> DataFrame:
         """(__id, __b struct<band, key>) — one row per (vector, band)."""

@@ -242,11 +242,16 @@ def test_substring_dedup_self_repetition_and_short_docs(spark):
     assert out[3]["text_deduped"] == ""
 
 
-def test_dedup_leaves_no_cached_tables(spark):
-    """The signature/fingerprint base tables are localCheckpoint-ed, not
-    persisted: repeated transform()/duplicate_pairs() calls must not
-    accumulate CacheManager entries (same lifecycle contract as
-    Apriori's freq table)."""
+def test_dedup_cache_lifecycle_bounded_and_released(spark):
+    """Signature tables persist for plan-partitioning reuse (a local
+    checkpoint loses the repartition's output partitioning and forces
+    downstream re-shuffles), but the lifecycle is bounded: each
+    operator keeps at most its last two materializations, release()
+    drops them now, and garbage collection of a throwaway instance
+    unpersists the rest — so repeated calls and inline instances
+    cannot accumulate CacheManager entries."""
+    import gc
+
     from flink_ml__spark.functions.dedup import SubstringDeduplicator
 
     spark.catalog.clearCache()
@@ -254,14 +259,24 @@ def test_dedup_leaves_no_cached_tables(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 3), 1.0, 0.0]) for i in range(8)],
         ["vec_id", "embedding"])
+
+    # a long-lived operator: 4 calls, bounded at _MAX_LIVE entries
+    jss = spark._jsparkSession.sharedState()
+    op = MinHashDeduplicator().setSeed(42)
+    for _ in range(4):
+        op.transform(df).collect()
+    assert len(op._mats) <= op._MAX_LIVE
+    op.release()
+
+    # throwaway instances: GC must unpersist what they left behind
     for _ in range(2):
-        MinHashDeduplicator().setSeed(42).transform(df).collect()
         SimHashDeduplicator().transform(df).collect()
         NgramJaccardDeduplicator().transform(df).collect()
         SubstringDeduplicator().setSpanTokens(4).transform(df).collect()
         EmbeddingCosineDeduplicator().setSeed(7).transform(emb).collect()
         SimHashDeduplicator().transform_against(df, df).collect()
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    gc.collect()
+    assert jss.cacheManager().isEmpty()
 
 
 def test_substring_transform_against_corpus(spark):
