@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_bloom_documents",
     "embedding_contamination",
     "semdedup_embeddings",
+    "domain_divergence_documents",
 ]
 
 

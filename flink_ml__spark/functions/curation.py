@@ -1237,13 +1237,18 @@ class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
     job), total count, then text, so the cut is a deterministic total
     order.
 
-    100 TB design: tokenize + n-gram assembly are per-row Catalyst
-    expressions (``slice`` over a ``sequence``, whole-stage codegen, no
-    Python); one ``groupBy(ngram)`` shuffle carries partially-aggregated
-    ``(count, doc-distinct)`` pairs (doc_freq is exact two-phase
-    count-distinct); the top-k is ``TakeOrderedAndProject`` — per-
-    partition heaps of k rows to the driver, never a global sort. The
-    output is O(topK), so downstream use (a blocklist join) broadcasts.
+    100 TB design: tokenize + n-gram counting run as ONE Arrow map
+    pass emitting each document's distinct grams with their in-doc
+    counts (a Catalyst ``transform(sequence, i -> slice)`` formulation
+    is CodegenFallback AND re-evaluates the token split per element
+    under CollapseProject — O(tokens²) interpreted work per document,
+    measured 8× slower at sf0.1; same rationale as
+    :func:`..dedup.shingle_hash_udf`). The per-doc pre-aggregation
+    means the single ``groupBy(ngram)`` shuffle carries distinct
+    (doc, gram) pairs, not the raw occurrence stream; the top-k is
+    ``TakeOrderedAndProject`` — per-partition heaps of k rows to the
+    driver, never a global sort. The output is O(topK), so downstream
+    use (a blocklist join) broadcasts.
     """
 
     n = Param(Params._dummy(), "n", "words per n-gram",
@@ -1278,23 +1283,36 @@ class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
         return self._set(minDocFreq=int(v))
 
     def transform(self, df: DataFrame) -> DataFrame:
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
         n = self.getN()
-        toks = F.filter(
-            F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
-            lambda t: t != "")
-        # guard: sequence(1, size-n+1) on a short doc would step BACKWARD
-        # ([1, 0]) instead of being empty
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        ).otherwise(F.array().cast("array<string>"))
-        exploded = df.select(F.col(self.getIdCol()).alias("__id"),
-                             F.explode(grams).alias("ngram"))
+        tok_pat = TOKEN_SPLIT
+
+        # no type hints: see RepetitionScorer.signals
+        @F.pandas_udf("array<struct<g:string,c:int>>")
+        def gram_counts(texts):
+            rx = re.compile(tok_pat)
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                ws = [w for w in rx.split(t.lower()) if w]
+                cnt = Counter(" ".join(ws[i:i + n])
+                              for i in range(len(ws) - n + 1))
+                out.append(list(cnt.items()))
+            return pd.Series(out)
+
+        exploded = df.select(
+            F.explode(gram_counts(F.col(self.getInputCol())))
+            .alias("__gc"))
         counts = (exploded
-                  .groupBy("ngram")
-                  .agg(F.count(F.lit(1)).alias("total_count"),
-                       F.countDistinct("__id").alias("doc_freq"))
+                  .groupBy(F.col("__gc.g").alias("ngram"))
+                  .agg(F.sum("__gc.c").alias("total_count"),
+                       F.count(F.lit(1)).alias("doc_freq"))
                   .filter(F.col("doc_freq") >= self.getMinDocFreq()))
         return (counts
                 .orderBy(F.desc("doc_freq"), F.desc("total_count"),

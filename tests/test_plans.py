@@ -245,13 +245,15 @@ def test_normalize_no_shuffle_no_python(spark):
 
 
 def test_frequent_ngrams_topk_no_global_sort(spark):
-    """N-gram assembly is codegen (slice over sequence, no Python); the
-    cut is TakeOrderedAndProject — per-partition heaps, not a global
-    sort of the full n-gram table."""
+    """N-gram counting is one Arrow pass (a Catalyst slice-over-
+    sequence formulation re-evaluates the token split per element —
+    O(tokens²) interpreted); the cut is TakeOrderedAndProject — per-
+    partition heaps, not a global sort of the full n-gram table."""
     plan = _plan(spark, "frequent_ngrams_documents")
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     assert "TakeOrderedAndProject" in plan
+    assert "Expand" not in plan  # no count+countDistinct double-stream
 
 
 def test_epoch_shuffle_single_exchange(spark):
