@@ -1466,3 +1466,94 @@ class DomainDivergence(AlgoOperator, HasInputCol):
                      F.sum(p * F.log(p / q)).alias("kl_to_corpus"))
                 .select(F.col("__g").alias(grp),
                         "n_vocab_tokens", "kl_to_corpus"))
+
+
+class LineDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
+    """ACROSS-document exact line deduplication — the corpus-wide
+    boilerplate scrub of RefinedWeb (Penedo et al. 2023 §3.3) and
+    MassiveText: a line (navigation chrome, cookie banner, license
+    header) that appears in ``dupDocs``-or-more distinct documents is
+    removed from every document — or from every document except its
+    corpus-wide first occurrence with ``keepFirst`` (first = smallest
+    doc id, then smallest line index). Complements :class:`LineFilter`
+    (per-document rules, no corpus state) and RepetitionScorer
+    (within-document repetition).
+
+    Appends ``<inputCol>_line_deduped`` (kept lines re-joined with
+    newlines; NULL text ≡ empty document), ``n_lines_kept`` and
+    ``n_lines_total`` (non-empty trimmed lines only — blank lines are
+    dropped on reassembly, matching :class:`LineFilter`).
+
+    100 TB design: lines explode with their position; frequency runs
+    as two explicit aggregations — ``groupBy(key, doc)`` (combines
+    map-side) then ``groupBy(key)`` over distinct pairs, avoiding a
+    count-distinct Expand of the line stream; the keep decision is one
+    hash join of the line stream against the O(distinct lines)
+    frequency table (md5 keys — uniform, skew-free; a pathological
+    all-same-line corpus degrades to its distinct-line count, not a
+    hot reducer); reassembly is a per-document ``collect_list`` +
+    ``array_sort``, bounded by lines-per-document.
+    """
+
+    dupDocs = Param(Params._dummy(), "dupDocs",
+                    "distinct-document count at/above which a line is "
+                    "boilerplate", TypeConverters.toInt)
+    keepFirst = Param(Params._dummy(), "keepFirst",
+                      "keep the corpus-wide first occurrence instead "
+                      "of removing every copy", TypeConverters.toBoolean)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id", dupDocs=2,
+                         keepFirst=False)
+
+    def getDupDocs(self):
+        return self.getOrDefault(self.dupDocs)
+
+    def setDupDocs(self, v):
+        return self._set(dupDocs=int(v))
+
+    def getKeepFirst(self):
+        return self.getOrDefault(self.keepFirst)
+
+    def setKeepFirst(self, v):
+        return self._set(keepFirst=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        inc = self.getInputCol()
+        out = f"{inc}_line_deduped"
+        text = F.coalesce(F.col(inc), F.lit(""))
+        lines = (df.select(F.col(idc).alias("__id"),
+                           F.posexplode(F.split(text, "\n"))
+                           .alias("__idx", "__ln"))
+                 .filter(F.trim(F.col("__ln")) != "")
+                 .withColumn("__k", F.md5(F.trim(F.col("__ln")))))
+        per_doc = (lines.groupBy("__k", "__id")
+                   .agg(F.min("__idx").alias("__minidx")))
+        freq = (per_doc.groupBy("__k")
+                .agg(F.count(F.lit(1)).alias("__dfreq"),
+                     F.min(F.struct("__id", "__minidx")).alias("__first")))
+        keep = F.col("__dfreq") < self.getDupDocs()
+        if self.getKeepFirst():
+            keep = keep | ((F.col("__id") == F.col("__first.__id"))
+                           & (F.col("__idx") == F.col("__first.__minidx")))
+        kept = lines.join(freq, "__k").filter(keep)
+        agg = (kept.groupBy("__id")
+               .agg(F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__idx", "__ln"))),
+                            lambda s: s["__ln"])).alias(out),
+                    F.count(F.lit(1)).alias("n_lines_kept")))
+        totals = (lines.groupBy("__id")
+                  .agg(F.count(F.lit(1)).alias("n_lines_total")))
+        stats = (totals.join(agg, "__id", "left")
+                 .withColumnRenamed("__id", idc))
+        return (df.join(stats, idc, "left")
+                .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+                .withColumn("n_lines_kept",
+                            F.coalesce("n_lines_kept", F.lit(0)))
+                .withColumn("n_lines_total",
+                            F.coalesce("n_lines_total", F.lit(0))))

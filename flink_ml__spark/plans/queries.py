@@ -1716,6 +1716,59 @@ FROM red
 """
 
 
+def q_line_dedup_documents(spark, sf_dir):
+    """Across-corpus line dedup over a planted frame: every document
+    gains a global boilerplate footer plus a per-language footer, so
+    the corpus-wide removal (keepFirst: smallest doc id survives) is
+    exercised whatever the generated corpus looks like."""
+    from flink_ml__spark.functions.curation import LineDeduplicator
+
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.concat_ws("\n", F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("all rights reserved"),
+                    F.concat(F.lit("footer "), F.col("lang"))))
+    out = (LineDeduplicator().setDupDocs(2).setKeepFirst(True)
+           .transform(planted))
+    return out.select("doc_id", "text_line_deduped",
+                      "n_lines_kept", "n_lines_total")
+
+
+ORACLE_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || 'all rights reserved' ||
+         chr(10) || 'footer ' || lang AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM base),
+lines AS (
+  SELECT doc_id, i - 1 AS idx, arr[i] AS ln
+  FROM ls, unnest(range(1, len(arr) + 1)) AS r(i)
+  WHERE trim(arr[i]) <> ''),
+keyed AS (SELECT doc_id, idx, ln, md5(trim(ln)) AS k FROM lines),
+perdoc AS (SELECT k, doc_id, min(idx) AS minidx
+           FROM keyed GROUP BY k, doc_id),
+freq AS (SELECT k, count(*) AS dfreq, min(doc_id) AS fdoc,
+                arg_min(minidx, doc_id) AS fidx
+         FROM perdoc GROUP BY k),
+kept AS (SELECT l.doc_id, l.idx, l.ln
+         FROM keyed l JOIN freq f ON l.k = f.k
+         WHERE f.dfreq < 2 OR (l.doc_id = f.fdoc AND l.idx = f.fidx)),
+agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS txt,
+               count(*) AS n_lines_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines_total
+        FROM keyed GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.txt, '') AS text_line_deduped,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       coalesce(t.n_lines_total, 0) AS n_lines_total
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN tot t USING (doc_id)
+"""
+
+
 def q_unigram_logprob_documents(spark, sf_dir):
     """CCNet-style unigram-LM fluency scoring, self-fit on the corpus
     with a capped vocab so out-of-vocabulary handling is exercised."""
@@ -2385,6 +2438,7 @@ QUERIES = {
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
+    "line_dedup_documents": q_line_dedup_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "ppl_bucket_documents": q_ppl_bucket_documents,
     "dsir_weights_documents": q_dsir_weights_documents,
@@ -2455,6 +2509,7 @@ ORACLES = {
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),
     "line_filter_documents": _oracle_line_filter(),
+    "line_dedup_documents": ORACLE_LINE_DEDUP,
     "unigram_logprob_documents": ORACLE_UNIGRAM,
     "ppl_bucket_documents": _oracle_ppl_bucket(),
     "dsir_weights_documents": _oracle_dsir(),

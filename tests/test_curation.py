@@ -597,3 +597,36 @@ def test_domain_divergence_nonnegative_when_cap_exceeds_vocab(spark):
            .transform(df)).collect()
     assert all(r["kl_to_corpus"] >= -1e-12 for r in out)
     assert any(r["kl_to_corpus"] > 0.01 for r in out)
+
+
+def test_line_deduplicator_goldens(spark):
+    from flink_ml__spark.functions.curation import LineDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "unique alpha\nSHARED BANNER\nunique beta"),
+         (2, "SHARED BANNER\nunique gamma"),
+         (3, "  shared banner\t\nunique delta"),   # trim matters, case not
+         (4, None),
+         (5, "only\n\n\nme")],
+        ["doc_id", "text"])
+
+    # default: boilerplate removed EVERYWHERE
+    out = {r["doc_id"]: r for r in
+           LineDeduplicator().setDupDocs(2).transform(df).collect()}
+    assert out[1]["text_line_deduped"] == "unique alpha\nunique beta"
+    assert out[2]["text_line_deduped"] == "unique gamma"
+    # trim('  shared banner\t') != 'SHARED BANNER' (case-sensitive) —
+    # doc 3 shares with nobody
+    assert "shared banner" in out[3]["text_line_deduped"]
+    assert out[4]["text_line_deduped"] == ""
+    assert out[4]["n_lines_total"] == 0
+    assert out[5]["text_line_deduped"] == "only\nme"   # blanks dropped
+    assert out[5]["n_lines_kept"] == 2
+
+    # keepFirst: smallest (doc, line-index) occurrence survives
+    kf = {r["doc_id"]: r for r in
+          LineDeduplicator().setDupDocs(2).setKeepFirst(True)
+          .transform(df).collect()}
+    assert kf[1]["text_line_deduped"] == \
+        "unique alpha\nSHARED BANNER\nunique beta"
+    assert kf[2]["text_line_deduped"] == "unique gamma"

@@ -307,3 +307,12 @@ def test_domain_divergence_data_pass_shapes(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_no_expand_no_python(spark):
+    """Line-frequency counting must be two explicit aggregations (no
+    count-distinct Expand of the line stream) and stay JVM-side."""
+    plan = _plan(spark, "line_dedup_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Expand" not in plan
