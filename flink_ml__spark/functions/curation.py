@@ -1557,3 +1557,123 @@ class LineDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
                             F.coalesce("n_lines_kept", F.lit(0)))
                 .withColumn("n_lines_total",
                             F.coalesce("n_lines_total", F.lit(0))))
+
+
+class TokenBudgetSampler(AlgoOperator, HasIdColMixin):
+    """Fill per-group TOKEN budgets — training mixtures are specified
+    in tokens ("40 B tokens of web, 5 B of code"), not document
+    counts, which is what :class:`DomainBalancer` rations. Documents
+    are taken in salted-md5 hash order (unbiased, reproducible,
+    layout-independent) until the group's budget is crossed; the
+    document that crosses the boundary is included; groups absent
+    from ``budgets`` are dropped.
+
+    100 TB design: a naive per-group running sum would funnel each
+    group through ONE window task. Instead the prefix runs in two
+    phases: (1) per-(group, 16-bit hash bucket) token sums — one
+    partial+final aggregation to an O(groups·65536) table on which
+    the bucket-level running sum is computed (tiny window); (2) whole
+    buckets strictly inside the budget are kept by a broadcast-join
+    flag (map-only for ~65535/65536 of the kept data), and only the
+    single boundary bucket per group (~1/65536 of the group) runs an
+    exact within-bucket window. The result is IDENTICAL to the naive
+    global rule — the oracle asserts exactly that, computing the
+    global running sum directly. Integer token arithmetic end-to-end:
+    bit-exact across engines.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "column whose groups have budgets",
+                     TypeConverters.toString)
+    tokenCol = Param(Params._dummy(), "tokenCol",
+                     "per-document token (or char) count column",
+                     TypeConverters.toString)
+    salt = Param(Params._dummy(), "salt",
+                 "hash salt; change to draw an independent sample",
+                 TypeConverters.toString)
+    budgets = Param(Params._dummy(), "budgets",
+                    "JSON {group: token budget}", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="lang", tokenCol="n_tokens",
+                         salt="budget", idCol="doc_id", budgets="")
+
+    def getGroupCol(self):
+        return self.getOrDefault(self.groupCol)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def getTokenCol(self):
+        return self.getOrDefault(self.tokenCol)
+
+    def setTokenCol(self, v):
+        return self._set(tokenCol=v)
+
+    def getSalt(self):
+        return self.getOrDefault(self.salt)
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def getBudgets(self) -> dict:
+        import json
+
+        raw = self.getOrDefault(self.budgets)
+        return json.loads(raw) if raw else {}
+
+    def setBudgets(self, v: dict):
+        import json
+
+        if not v or any(b <= 0 for b in v.values()):
+            raise ValueError("budgets must be positive")
+        return self._set(budgets=json.dumps(
+            {str(k): int(b) for k, b in v.items()}, sort_keys=True))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        grp, tok, idc = self.getGroupCol(), self.getTokenCol(), \
+            self.getIdCol()
+        tgt = self.getBudgets()
+        if not tgt:
+            raise ValueError("setBudgets first")
+        tdf = df.sparkSession.createDataFrame(
+            [(k, int(b)) for k, b in tgt.items()],
+            "__g string, __budget long")
+        rows = df.withColumn(
+            "__b", _hash_bucket16(F.col(idc), self.getSalt()))
+        bsums = (rows.groupBy(F.col(grp).cast("string").alias("__g"),
+                              "__b")
+                 .agg(F.sum(tok).alias("__bs")))
+        wb = (Window.partitionBy("__g").orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        bstat = (bsums.join(F.broadcast(tdf), "__g")
+                 .withColumn("__cumb",
+                             F.coalesce(F.sum("__bs").over(wb), F.lit(0)))
+                 .withColumn("__keep_all",
+                             F.col("__cumb") + F.col("__bs")
+                             <= F.col("__budget"))
+                 .withColumn("__partial",
+                             (F.col("__cumb") < F.col("__budget"))
+                             & ~F.col("__keep_all"))
+                 .filter(F.col("__keep_all") | F.col("__partial"))
+                 .select("__g", "__b", "__keep_all",
+                         (F.col("__budget") - F.col("__cumb"))
+                         .alias("__rem")))
+        joined = rows.join(
+            F.broadcast(bstat),
+            (F.col(grp).cast("string") == F.col("__g"))
+            & (rows["__b"] == bstat["__b"])).drop(bstat["__b"])
+        whole = joined.filter("__keep_all")
+        hx = F.md5(F.concat(F.lit(self.getSalt() + ":"),
+                            F.col(idc).cast("string")))
+        wr = (Window.partitionBy("__g", "__b")
+              .orderBy(hx.asc(), F.col(idc).asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        part = (joined.filter(~F.col("__keep_all"))
+                .withColumn("__cumr",
+                            F.coalesce(F.sum(tok).over(wr), F.lit(0)))
+                .filter(F.col("__cumr") < F.col("__rem"))
+                .drop("__cumr"))
+        helpers = ["__b", "__g", "__keep_all", "__rem"]
+        return whole.drop(*helpers).unionByName(part.drop(*helpers))

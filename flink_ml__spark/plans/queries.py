@@ -1300,6 +1300,36 @@ FROM documents
 """
 
 
+def q_token_budget_documents(spark, sf_dir):
+    """Per-language 15k-char budget fill in salted-hash order; the
+    oracle computes the NAIVE global running-sum rule directly, so
+    the two-phase bucket-threshold implementation must equal it."""
+    from flink_ml__spark.functions.curation import TokenBudgetSampler
+
+    docs = load_table(spark, "documents", sf_dir)
+    op = (TokenBudgetSampler().setGroupCol("lang").setTokenCol("n_chars")
+          .setBudgets({"en": 15000, "de": 15000, "fr": 15000,
+                       "es": 15000, "zh": 15000}))
+    return op.transform(docs).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substring(md5('budget:' || doc_id), 1, 4))::INT AS b,
+         md5('budget:' || doc_id) AS hx
+  FROM documents WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')),
+o AS (
+  SELECT doc_id, lang, n_chars,
+         coalesce(sum(n_chars) OVER (
+             PARTITION BY lang ORDER BY b, hx, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS cum_before
+  FROM t)
+SELECT doc_id, lang, n_chars FROM o WHERE cum_before < 15000
+"""
+
+
 def q_domain_divergence_documents(spark, sf_dir):
     """Per-language unigram-distribution KL vs the whole corpus over
     the global top-300 tokens (add-one smoothing) — the drift monitor
@@ -2434,6 +2464,7 @@ QUERIES = {
     "frequent_ngrams_documents": q_frequent_ngrams_documents,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
     "domain_divergence_documents": q_domain_divergence_documents,
+    "token_budget_documents": q_token_budget_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2505,6 +2536,7 @@ ORACLES = {
     "frequent_ngrams_documents": ORACLE_FREQUENT_NGRAMS,
     "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
     "domain_divergence_documents": ORACLE_DOMAIN_DIVERGENCE,
+    "token_budget_documents": ORACLE_TOKEN_BUDGET,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

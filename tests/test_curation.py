@@ -630,3 +630,41 @@ def test_line_deduplicator_goldens(spark):
     assert kf[1]["text_line_deduped"] == \
         "unique alpha\nSHARED BANNER\nunique beta"
     assert kf[2]["text_line_deduped"] == "unique gamma"
+
+
+def test_token_budget_sampler_goldens(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.curation import TokenBudgetSampler
+
+    rows = ([(i, "a", 100) for i in range(50)]        # 5000 tokens of a
+            + [(100 + i, "b", 100) for i in range(5)]  # 500 tokens of b
+            + [(200, "c", 100)])                       # group not budgeted
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+    op = (TokenBudgetSampler().setGroupCol("grp").setTokenCol("n_tok")
+          .setBudgets({"a": 1000, "b": 10000}))
+    out = op.transform(df)
+    by = {r["grp"]: [x["n_tok"] for x in out.filter(out["grp"] == r["grp"]).collect()]
+          for r in out.select("grp").distinct().collect()}
+    # a: 10 docs fill the 1000 budget exactly; b: budget exceeds supply
+    assert sum(by["a"]) == 1000
+    assert sum(by["b"]) == 500
+    # unbudgeted group dropped entirely
+    assert "c" not in by
+
+    # crossing doc included: budget 150 with 100-token docs -> 2 docs
+    cross = op.setBudgets({"a": 150}).transform(
+        df.filter("grp = 'a'"))
+    assert cross.count() == 2
+
+    # deterministic + layout-independent
+    op2 = (TokenBudgetSampler().setGroupCol("grp").setTokenCol("n_tok")
+           .setBudgets({"a": 1000}))
+    k1 = {r["doc_id"] for r in op2.transform(df).collect()}
+    k2 = {r["doc_id"] for r in op2.transform(df.repartition(7)).collect()}
+    assert k1 == k2 and len(k1) == 10
+
+    with _pytest.raises(ValueError):
+        TokenBudgetSampler().setBudgets({})
+    with _pytest.raises(ValueError):
+        TokenBudgetSampler().transform(df)
