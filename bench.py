@@ -80,6 +80,8 @@ HEADLINE = [
     "embedding_contamination",
     "semdedup_embeddings",
     "domain_divergence_documents",
+    "line_dedup_documents",
+    "token_budget_documents",
 ]
 
 
