@@ -82,6 +82,7 @@ HEADLINE = [
     "domain_divergence_documents",
     "line_dedup_documents",
     "token_budget_documents",
+    "quality_classifier_documents",
 ]
 
 

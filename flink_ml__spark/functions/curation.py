@@ -56,7 +56,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from flink_ml__spark.base import AlgoOperator, HasInputCol, HasMaxIter
+from flink_ml__spark.base import (
+    AlgoOperator,
+    Estimator,
+    HasInputCol,
+    HasMaxIter,
+)
 from flink_ml__spark.functions.dedup import HasIdColMixin, shingle_hash_udf
 from flink_ml__spark.functions.text import TOKEN_SPLIT
 
@@ -1677,3 +1682,134 @@ class TokenBudgetSampler(AlgoOperator, HasIdColMixin):
                 .drop("__cumr"))
         helpers = ["__b", "__g", "__keep_all", "__rem"]
         return whole.drop(*helpers).unionByName(part.drop(*helpers))
+
+
+class QualityClassifierModel(AlgoOperator, HasInputCol):
+    """Fitted fastText-style quality classifier: appends
+    ``quality_prob`` — P(document comes from the curated reference
+    corpus). Feature extraction (tokens + word bigrams → HashingTF)
+    and the logistic scoring both run JVM-side; the apply pass is
+    map-only."""
+
+    def __init__(self, lr_model=None, num_features: int = 1 << 18):
+        super().__init__()
+        self._setDefault(inputCol="text")
+        self._lr = lr_model
+        self._num_features = num_features
+
+    @staticmethod
+    def _features_col(input_col: str):
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(input_col), F.lit(""))),
+                    TOKEN_SPLIT),
+            lambda t: t != "")
+        bigrams = F.zip_with(
+            toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b))
+        return F.concat(toks, F.filter(bigrams, lambda g: g.contains(" ")))
+
+    def _featurize(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import HashingTF
+
+        tf = HashingTF(inputCol="__toks", outputCol="__features",
+                       numFeatures=self._num_features)
+        return tf.transform(
+            df.withColumn("__toks",
+                          self._features_col(self.getInputCol())))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        if self._lr is None:
+            raise ValueError("fit (or load) before transform")
+        lr = self._lr.copy()
+        lr.setFeaturesCol("__features")
+        lr.setPredictionCol("__pred").setRawPredictionCol("__raw")
+        lr.setProbabilityCol("__prob")
+        scored = lr.transform(self._featurize(df))
+        return (scored
+                .withColumn("quality_prob",
+                            F.element_at(vector_to_array("__prob"), 2))
+                .drop("__toks", "__features", "__pred", "__raw", "__prob"))
+
+    # -- persistence: delegate the LR coefficients to pyspark.ml ------
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        if self._lr is not None:
+            self._lr.write().overwrite().save(os.path.join(path, "lr"))
+        with open(os.path.join(path, "meta_qc.json"), "w") as f:
+            json.dump({"num_features": self._num_features}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        self._lr = LogisticRegressionModel.load(os.path.join(path, "lr"))
+        with open(os.path.join(path, "meta_qc.json")) as f:
+            self._num_features = json.load(f)["num_features"]
+
+
+class QualityClassifier(Estimator, HasInputCol, HasMaxIter):
+    """Model-based quality filtering, the third pillar of curation
+    beside rule filters and dedup (the fastText classifier of GPT-3 /
+    LLaMA / DataComp, Gadre et al. 2023 §3.4; FineWeb-Edu's educational
+    scorer): ``fit(positives, negatives)`` trains a logistic regression
+    over hashed token + word-bigram counts distinguishing a curated
+    reference corpus from raw crawl; the model appends
+    ``quality_prob`` for ranking or thresholding.
+
+    Built by composing native pyspark.ml (``HashingTF`` +
+    ``LogisticRegression``): tokenization and feature hashing are
+    Catalyst/JVM expressions, training is Spark's distributed L-BFGS
+    (treeAggregate gradients — no custom driver loop to maintain), and
+    scoring is a map-only JVM pass. numFeatures bounds model size
+    (2^18 floats ≈ 1 MB broadcast).
+    """
+
+    numFeatures = Param(Params._dummy(), "numFeatures",
+                        "hashed feature space size",
+                        TypeConverters.toInt)
+    regParam = Param(Params._dummy(), "regParam", "L2 regularization",
+                     TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", numFeatures=1 << 18,
+                         maxIter=50, regParam=0.01)
+
+    def getNumFeatures(self):
+        return self.getOrDefault(self.numFeatures)
+
+    def setNumFeatures(self, v):
+        return self._set(numFeatures=int(v))
+
+    def getRegParam(self):
+        return self.getOrDefault(self.regParam)
+
+    def setRegParam(self, v):
+        return self._set(regParam=float(v))
+
+    def fit(self, positives: DataFrame,
+            negatives: DataFrame) -> QualityClassifierModel:
+        from pyspark.ml.classification import LogisticRegression
+
+        inc = self.getInputCol()
+        data = (positives.select(F.col(inc).alias(inc))
+                .withColumn("label", F.lit(1.0))
+                .unionByName(negatives.select(F.col(inc).alias(inc))
+                             .withColumn("label", F.lit(0.0))))
+        model = QualityClassifierModel(
+            num_features=self.getNumFeatures())
+        model._set(inputCol=inc)
+        feats = model._featurize(data)
+        lr = LogisticRegression(
+            featuresCol="__features", labelCol="label",
+            maxIter=self.getOrDefault(self.maxIter),
+            regParam=self.getRegParam(), standardization=False)
+        model._lr = lr.fit(feats)
+        return model

@@ -1300,6 +1300,38 @@ FROM documents
 """
 
 
+def q_quality_classifier_documents(spark, sf_dir):
+    """Hard gate for the model-based quality classifier (distributed
+    L-BFGS has no SQL oracle): train on a planted separable split —
+    even doc_ids get a curated-reference marker suffix, odd doc_ids a
+    spam marker — then emit every document the model fails to place on
+    its side with margin (positives below 0.8, negatives above 0.2).
+    Expected EMPTY; WHERE-false oracle makes this a count/hash-checked
+    row."""
+    from flink_ml__spark.functions.curation import QualityClassifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    pos = (docs.filter(F.col("doc_id") % 2 == 0)
+           .withColumn("text", F.concat_ws(
+               " ", "text", F.lit("curated reference exemplary prose"))))
+    neg = (docs.filter(F.col("doc_id") % 2 == 1)
+           .withColumn("text", F.concat_ws(
+               " ", "text", F.lit("spammy clickbait lowgrade noise"))))
+    model = (QualityClassifier().setMaxIter(30).setNumFeatures(1 << 16)
+             .fit(pos, neg))
+    p = model.transform(pos).filter(F.col("quality_prob") <= 0.8)
+    n = model.transform(neg).filter(F.col("quality_prob") >= 0.2)
+    return (p.unionByName(n)
+            .select("doc_id", F.round("quality_prob", 3)
+                    .alias("quality_prob")))
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+SELECT doc_id::BIGINT AS doc_id, 0.0::DOUBLE AS quality_prob
+FROM documents WHERE false
+"""
+
+
 def q_token_budget_documents(spark, sf_dir):
     """Per-language 15k-char budget fill in salted-hash order; the
     oracle computes the NAIVE global running-sum rule directly, so
@@ -2465,6 +2497,7 @@ QUERIES = {
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
     "domain_divergence_documents": q_domain_divergence_documents,
     "token_budget_documents": q_token_budget_documents,
+    "quality_classifier_documents": q_quality_classifier_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2537,6 +2570,9 @@ ORACLES = {
     "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
     "domain_divergence_documents": ORACLE_DOMAIN_DIVERGENCE,
     "token_budget_documents": ORACLE_TOKEN_BUDGET,
+    # separation gate: expected EMPTY on both sides — a training or
+    # scoring regression emits rows and fails the count/hash check
+    "quality_classifier_documents": ORACLE_QUALITY_CLASSIFIER,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

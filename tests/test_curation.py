@@ -668,3 +668,50 @@ def test_token_budget_sampler_goldens(spark):
         TokenBudgetSampler().setBudgets({})
     with _pytest.raises(ValueError):
         TokenBudgetSampler().transform(df)
+
+
+def test_quality_classifier_separation_and_roundtrip(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.curation import (
+        QualityClassifier,
+        QualityClassifierModel,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, f"the curated encyclopedia article {i} explains the "
+             f"method with cited sources") for i in range(30)],
+        ["doc_id", "text"])
+    neg = spark.createDataFrame(
+        [(i, f"click here buy now {i} cheap casino deals win prizes")
+         for i in range(30)],
+        ["doc_id", "text"])
+    model = (QualityClassifier().setMaxIter(20).setNumFeatures(1 << 14)
+             .fit(pos, neg))
+    sp = model.transform(pos).agg(F.avg("quality_prob")).first()[0]
+    sn = model.transform(neg).agg(F.avg("quality_prob")).first()[0]
+    assert sp > 0.9 and sn < 0.1
+
+    # generalizes to held-out wording of each side
+    held = spark.createDataFrame(
+        [(1, "an encyclopedia article with cited sources"),
+         (2, "buy cheap casino prizes click now")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["quality_prob"]
+           for r in model.transform(held).collect()}
+    assert got[1] > 0.5 > got[2]
+
+    # NULL and empty text score the empty-features prior, no crash
+    edge = model.transform(spark.createDataFrame(
+        [(1, ""), (2, None)], ["doc_id", "text"])).collect()
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in edge)
+
+    # save/load round-trips the LR coefficients
+    p = str(tmp_path / "qc_model")
+    model.save(p)
+    back = QualityClassifierModel.load(spark, p)
+    again = {r["doc_id"]: r["quality_prob"]
+             for r in back.transform(held).collect()}
+    assert again == _pytest.approx(got)
+
+    with _pytest.raises(ValueError):
+        QualityClassifierModel().transform(held)

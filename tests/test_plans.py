@@ -316,3 +316,19 @@ def test_line_dedup_no_expand_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Expand" not in plan
+
+
+def test_quality_classifier_apply_jvm_side(spark):
+    """The classifier APPLY (featurize + logistic score) must stay
+    JVM-side — no Python evaluation in the scoring pass."""
+    from flink_ml__spark.functions.curation import QualityClassifier
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", SF)
+    model = (QualityClassifier().setMaxIter(5).setNumFeatures(1 << 12)
+             .fit(docs.filter("doc_id % 2 = 0"),
+                  docs.filter("doc_id % 2 = 1")))
+    plan = (model.transform(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
