@@ -28,7 +28,7 @@ STOC 2002), random-hyperplane LSH for cosine (same paper).
 from __future__ import annotations
 
 import random
-import weakref
+from collections import deque
 
 import pandas as pd
 from pyspark.ml.param import Param, Params, TypeConverters
@@ -111,56 +111,67 @@ def _keep_non_dominated(df: DataFrame, dup_ids: DataFrame, id_col: str) -> DataF
                    id_col, "left_anti")
 
 
-def _unpersist_handles(handles: list) -> None:
+def _unpersist_handles(handles) -> None:
     while handles:
         try:
+            handles.popleft().unpersist(False)
+        except AttributeError:
             handles.pop().unpersist(False)
         except Exception:
             pass  # session already stopped
 
 
+# last-K registry of persisted signature tables, shared by every dedup
+# operator in the process (deque of DataFrame handles)
+_LIVE_CACHES: deque = deque()
+_MAX_LIVE_CACHES = 8
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every signature table the dedup family still holds."""
+    _unpersist_handles(_LIVE_CACHES)
+
+
 class _MaterializeMixin:
-    """persist-based signature-table materialization with a bounded,
-    leak-free lifecycle.
+    """persist-based signature-table materialization with a BOUNDED,
+    process-wide lifecycle.
 
     ``persist`` rather than ``localCheckpoint``: the Catalyst plan —
     including the ``repartition(id)`` output partitioning — survives
-    caching, so the downstream band/verify joins reuse the exchange;
-    a local checkpoint is an opaque RDD scan whose partitioning is
-    lost, forcing re-shuffles (measured 2.3× slower end-to-end on
-    MinHash at sf0.1). The eager ``count()`` stops concurrent
-    downstream stages racing to fill a lazy cache (computing the
-    Arrow hash pass 3-4×).
+    caching, so the downstream band/verify joins reuse the exchange
+    and read ``InMemoryTableScan``; a local checkpoint is an opaque
+    RDD scan whose partitioning is lost, forcing re-shuffles (measured
+    2.3× slower end-to-end on MinHash at sf0.1). The eager ``count()``
+    stops concurrent downstream stages racing to fill a lazy cache
+    (computing the Arrow hash pass 3-4×).
 
-    Lifecycle: each operator instance keeps at most the LAST TWO
-    materializations (one ``transform_against`` call builds two — the
-    corpus and the new batch); older handles unpersist FIFO, a
-    ``weakref.finalize`` unpersists the rest when the operator is
-    garbage-collected, and :meth:`release` drops them immediately —
-    so repeated calls and throwaway instances cannot accumulate
-    CacheManager entries (the leak persist() alone would cause).
+    Lifecycle: handles enter a process-wide last-``_MAX_LIVE_CACHES``
+    registry; pushing past the bound unpersists the OLDEST handle, so
+    repeated calls and throwaway operator instances can never
+    accumulate CacheManager entries (the leak a bare ``persist``
+    causes), while the tables a query in flight reads stay hot — a
+    lifetime cannot be tied to any Python object, because derived
+    frames (``op.transform(df).select(...)``) hold no Python reference
+    to the handle. An evicted handle only ever costs recompute of a
+    still-lazy OLD result, never wrong answers.
+    :func:`release_dedup_caches` (or ``op.release()``) drops them all
+    immediately.
     """
 
-    _MAX_LIVE = 2
-
     def _materialize(self, df: DataFrame) -> DataFrame:
-        if not hasattr(self, "_mats"):
-            self._mats: list[DataFrame] = []
-            self._mats_finalizer = weakref.finalize(
-                self, _unpersist_handles, self._mats)
         handle = df.persist(StorageLevel.MEMORY_AND_DISK)
         handle.count()
-        self._mats.append(handle)
-        while len(self._mats) > self._MAX_LIVE:
+        _LIVE_CACHES.append(handle)
+        while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
             try:
-                self._mats.pop(0).unpersist(False)
+                _LIVE_CACHES.popleft().unpersist(False)
             except Exception:
                 pass
         return handle
 
     def release(self) -> None:
-        """Unpersist this operator's live signature tables now."""
-        _unpersist_handles(getattr(self, "_mats", []))
+        """Unpersist the dedup family's live signature tables now."""
+        release_dedup_caches()
 
 
 class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):

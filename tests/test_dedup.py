@@ -245,38 +245,40 @@ def test_substring_dedup_self_repetition_and_short_docs(spark):
 def test_dedup_cache_lifecycle_bounded_and_released(spark):
     """Signature tables persist for plan-partitioning reuse (a local
     checkpoint loses the repartition's output partitioning and forces
-    downstream re-shuffles), but the lifecycle is bounded: each
-    operator keeps at most its last two materializations, release()
-    drops them now, and garbage collection of a throwaway instance
-    unpersists the rest — so repeated calls and inline instances
-    cannot accumulate CacheManager entries."""
-    import gc
-
+    downstream re-shuffles), with a process-wide bounded registry:
+    repeated calls and throwaway instances can never hold more than
+    _MAX_LIVE_CACHES entries, a query in flight actually READS the
+    cache (InMemoryTableScan), and release_dedup_caches() drops
+    everything immediately."""
+    import flink_ml__spark.functions.dedup as dd
     from flink_ml__spark.functions.dedup import SubstringDeduplicator
 
     spark.catalog.clearCache()
+    dd._LIVE_CACHES.clear()
     df = _df(spark)
     emb = spark.createDataFrame(
         [(i, [float(i % 3), 1.0, 0.0]) for i in range(8)],
         ["vec_id", "embedding"])
 
-    # a long-lived operator: 4 calls, bounded at _MAX_LIVE entries
-    jss = spark._jsparkSession.sharedState()
-    op = MinHashDeduplicator().setSeed(42)
-    for _ in range(4):
-        op.transform(df).collect()
-    assert len(op._mats) <= op._MAX_LIVE
-    op.release()
+    # the cache must be READ by the query built on it, even when the
+    # operator instance is inline and the result frame is derived
+    plan = (MinHashDeduplicator().setSeed(42).transform(df)
+            .select("doc_id")._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "InMemoryTableScan" in plan
 
-    # throwaway instances: GC must unpersist what they left behind
     for _ in range(2):
+        MinHashDeduplicator().setSeed(42).transform(df).collect()
         SimHashDeduplicator().transform(df).collect()
         NgramJaccardDeduplicator().transform(df).collect()
         SubstringDeduplicator().setSpanTokens(4).transform(df).collect()
         EmbeddingCosineDeduplicator().setSeed(7).transform(emb).collect()
         SimHashDeduplicator().transform_against(df, df).collect()
-    gc.collect()
-    assert jss.cacheManager().isEmpty()
+    assert len(dd._LIVE_CACHES) <= dd._MAX_LIVE_CACHES
+
+    dd.release_dedup_caches()
+    assert len(dd._LIVE_CACHES) == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_substring_transform_against_corpus(spark):

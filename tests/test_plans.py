@@ -199,11 +199,11 @@ def test_substring_dedup_two_shuffle_waves(spark):
     the corpus text."""
     plan = _plan(spark, "dedup_substring_documents")
     assert "CartesianProduct" not in plan
-    # the positioned-hash Arrow pass ran ONCE at checkpoint time — both
-    # occurrence branches must scan the materialized table, not
-    # re-evaluate the UDF
-    assert plan.count("ArrowEvalPython") == 0
-    assert "ExistingRDD" in plan
+    # the positioned-hash Arrow pass ran ONCE at materialization time —
+    # both occurrence branches must read the persisted table (the plan
+    # text still PRINTS the cached subtree's ArrowEvalPython, but
+    # execution scans InMemoryTableScan)
+    assert "InMemoryTableScan" in plan
 
 
 def test_gopher_filter_no_shuffle_no_python(spark):
