@@ -395,3 +395,81 @@ def test_substring_dedup_token_conservation(spark, texts):
         assert 0 <= r["n_removed"] <= r["n_tokens"]
         kept = [w for w in r["text_deduped"].split(" ") if w]
         assert len(kept) == r["n_tokens"] - r["n_removed"]
+
+
+@H
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6),
+              st.integers(min_value=1, max_value=500)),
+    min_size=3, max_size=25, unique_by=lambda t: t[0]),
+    budget=st.integers(min_value=1, max_value=3000))
+def test_token_budget_matches_naive_rule(spark, rows, budget):
+    """The two-phase bucket-threshold fill must equal the naive global
+    rule: take docs in (bucket, md5, id) order while the running sum
+    BEFORE each doc is under the budget."""
+    import hashlib
+
+    from flink_ml__spark.functions.curation import TokenBudgetSampler
+
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in rows], ["doc_id", "grp", "n_tok"])
+    got = {r["doc_id"] for r in
+           (TokenBudgetSampler().setGroupCol("grp").setTokenCol("n_tok")
+            .setBudgets({"g": budget}).transform(df)).collect()}
+
+    def key(i):
+        hx = hashlib.md5(f"budget:{i}".encode()).hexdigest()
+        return (int(hx[:4], 16), hx, i)
+
+    expect, cum = set(), 0
+    for i, t in sorted(rows, key=lambda r: key(r[0])):
+        if cum < budget:
+            expect.add(i)
+        cum += t
+    assert got == expect
+
+
+@H
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12),
+    min_size=2, max_size=12))
+def test_bloom_never_false_negative(spark, texts):
+    """For ANY corpus/batch pair, a document whose normalized text
+    appears in the corpus is removed — the bloom guarantee."""
+    from flink_ml__spark.functions.dedup import BloomCorpusDeduplicator
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)]      # all dups
+        + [(500, "zz unique zz")], ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            (BloomCorpusDeduplicator().setNumBits(256).setNumHashes(3)
+             .transform_against(new, corpus)).collect()}
+    assert not (kept & {100 + i for i in range(len(texts))})
+
+
+@H
+@given(lines=st.lists(st.sampled_from(
+    ["shared one", "shared two", "own a", "own b", "own c", "own d"]),
+    min_size=2, max_size=10))
+def test_line_dedup_conservation(spark, lines):
+    """Kept + removed line counts must add up per document, and a line
+    unique to one document always survives remove-everywhere mode."""
+    from flink_ml__spark.functions.curation import LineDeduplicator
+
+    docs = [(1, "\n".join(lines)), (2, "shared one\nshared two")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           LineDeduplicator().setDupDocs(2).transform(df).collect()}
+    for i, raw in docs:
+        n_nonempty = len([x for x in raw.split("\n") if x.strip()])
+        assert out[i]["n_lines_total"] == n_nonempty
+        kept_lines = [x for x in out[i]["text_line_deduped"].split("\n")
+                      if x]
+        assert out[i]["n_lines_kept"] == len(kept_lines)
+        assert out[i]["n_lines_kept"] <= n_nonempty
+    # doc 1 lines not present in doc 2 and not repeated... are its own:
+    # any 'own *' line it contains must survive
+    for ln in set(lines) - {"shared one", "shared two"}:
+        assert ln in out[1]["text_line_deduped"]
