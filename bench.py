@@ -83,6 +83,7 @@ HEADLINE = [
     "line_dedup_documents",
     "token_budget_documents",
     "quality_classifier_documents",
+    "sessionize_events",
 ]
 
 

@@ -1300,6 +1300,41 @@ FROM documents
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """30-minute-gap sessionization of the event stream per user —
+    native session_window aggregation; times emitted as epoch micros
+    so both engines compare exact integers."""
+    from flink_ml__spark.functions.sessions import Sessionizer
+
+    ev = load_table(spark, "events", sf_dir)
+    out = Sessionizer().setGap("30 minutes").transform(ev)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_last").alias("last_us"),
+        "n_events",
+        F.round("sum_value", R).alias("sum_value"))
+
+
+# the analytic lag/cumsum formulation — the classic sessionization SQL
+ORACLE_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, value FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(t) AS start_us, max(t) AS last_us,
+       count(*) AS n_events, round(sum(value), {R}) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Hard gate for the model-based quality classifier (distributed
     L-BFGS has no SQL oracle): train on a planted separable split —
@@ -2498,6 +2533,7 @@ QUERIES = {
     "domain_divergence_documents": q_domain_divergence_documents,
     "token_budget_documents": q_token_budget_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
+    "sessionize_events": q_sessionize_events,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2573,6 +2609,7 @@ ORACLES = {
     # separation gate: expected EMPTY on both sides — a training or
     # scoring regression emits rows and fails the count/hash check
     "quality_classifier_documents": ORACLE_QUALITY_CLASSIFIER,
+    "sessionize_events": ORACLE_SESSIONIZE,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

@@ -332,3 +332,15 @@ def test_quality_classifier_apply_jvm_side(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_sessionize_native_aggregate(spark):
+    """Sessionization must plan as the native session-window AGGREGATE
+    (partial merge, per-key state bounded by open sessions) — not an
+    analytic sort-window funneling each key's history through one
+    task, and no Python."""
+    plan = _plan(spark, "sessionize_events")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "session_window" in plan or "SessionWindow" in plan
+    assert "Window\n" not in plan  # no analytic WindowExec

@@ -1,0 +1,75 @@
+"""Sessionizer: hand-computable goldens, boundary semantics, and
+stream-equals-batch."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.sessions import Sessionizer
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(u, base + dt.timedelta(minutes=m), v) for u, m, v in rows],
+        "user_id long, ts timestamp, value double")
+
+
+def test_sessionizer_goldens(spark):
+    df = _ev(spark, [
+        (1, 0, 1.0), (1, 10, 2.0), (1, 25, 3.0),   # one session (gaps<30)
+        (1, 60, 4.0),                              # 35-min gap -> new
+        (2, 0, 5.0),                               # single event
+    ])
+    out = (Sessionizer().setGap("30 minutes").transform(df)
+           .orderBy("user_id", "session_start").collect())
+    assert len(out) == 3
+    s1, s2, s3 = out
+    assert s1["user_id"] == 1 and s1["n_events"] == 3
+    assert s1["sum_value"] == 6.0
+    assert s1["session_start"].minute == 0 and s1["session_last"].minute == 25
+    assert s2["n_events"] == 1 and s2["sum_value"] == 4.0
+    assert s3["user_id"] == 2 and s3["n_events"] == 1
+
+
+def test_sessionizer_exact_gap_boundary_merges(spark):
+    # Spark session windows are [ts, ts+gap) with touching windows
+    # MERGED: an event exactly `gap` after the previous one stays in
+    # the same session; one microsecond past the gap starts a new one
+    df = _ev(spark, [(1, 0, 1.0), (1, 30, 1.0)])
+    assert Sessionizer().setGap("30 minutes").transform(df).count() == 1
+    df2 = _ev(spark, [(1, 0, 1.0), (1, 30.0001, 1.0)])
+    assert Sessionizer().setGap("30 minutes").transform(df2).count() == 2
+
+
+def test_sessionizer_stream_matches_batch(spark):
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    op = Sessionizer().setGap("30 minutes")
+    batch = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                  round(r["sum_value"], 6))
+             for r in op.transform(ev).collect()}
+    d = tempfile.mkdtemp(prefix="stream_sessions_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = (spark.readStream.schema(ev.schema).parquet(d)
+                  .withWatermark("ts", "0 seconds"))
+        out = op.transform(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("sessions")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                    round(r["sum_value"], 6))
+               for r in spark.sql("SELECT * FROM sessions").collect()}
+        # a 0s watermark closes every session whose last event precedes
+        # the max event time; the final open sessions may be withheld
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        assert len(got) >= len(batch) - ev.select("user_id").distinct().count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
