@@ -84,6 +84,7 @@ HEADLINE = [
     "token_budget_documents",
     "quality_classifier_documents",
     "sessionize_events",
+    "asof_join_events",
 ]
 
 

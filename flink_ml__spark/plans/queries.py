@@ -1300,6 +1300,36 @@ FROM documents
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join: odd event_ids look up the latest even-id
+    event's value at-or-before their time per user — DuckDB replays it
+    with its native ASOF LEFT JOIN."""
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "value")
+    out = AsOfJoiner().join(left, right, ["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros("asof_ts").alias("asof_us"),
+        F.round("value", R).alias("asof_value"))
+
+
+ORACLE_ASOF_JOIN = f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_id % 2 = 1),
+r AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+      WHERE event_id % 2 = 0)
+SELECT l.event_id, l.user_id, l.t AS t_us, r.t AS asof_us,
+       round(r.value, {R}) AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """30-minute-gap sessionization of the event stream per user —
     native session_window aggregation; times emitted as epoch micros
@@ -2534,6 +2564,7 @@ QUERIES = {
     "token_budget_documents": q_token_budget_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
     "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2610,6 +2641,7 @@ ORACLES = {
     # scoring regression emits rows and fails the count/hash check
     "quality_classifier_documents": ORACLE_QUALITY_CLASSIFIER,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "asof_join_events": ORACLE_ASOF_JOIN,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

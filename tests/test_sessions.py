@@ -73,3 +73,56 @@ def test_sessionizer_stream_matches_batch(spark):
         assert len(got) >= len(batch) - ev.select("user_id").distinct().count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_asof_join_goldens(spark):
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(5)), (2, 1, ts(10)), (3, 1, ts(2)),
+         (4, 2, ts(5)),                      # key with no right rows
+         (5, 1, ts(20))],
+        "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(3), 30.0), (1, ts(10), 100.0), (1, ts(15), 150.0)],
+        "user_id long, ts timestamp, value double")
+    got = {r["id"]: r for r in
+           AsOfJoiner().join(left, right, ["value"]).collect()}
+    assert got[1]["value"] == 30.0            # latest <= t(5) is t(3)
+    assert got[2]["value"] == 100.0           # exact tie matches (<=)
+    assert got[2]["asof_ts"] == ts(10)
+    assert got[3]["value"] is None            # nothing before t(2)
+    assert got[4]["value"] is None            # key absent from right
+    assert got[5]["value"] == 150.0
+
+    # tolerance nulls out stale matches
+    tol = {r["id"]: r for r in
+           (AsOfJoiner().setToleranceSec(120.0)
+            .join(left, right, ["value"])).collect()}
+    assert tol[1]["value"] == 30.0            # 2 min old, fresh
+    assert tol[5]["value"] is None            # 5 min old, stale
+    assert tol[2]["value"] == 100.0           # same instant
+
+
+def test_asof_join_single_shuffle(spark):
+    from flink_ml__spark.functions.joins import AsOfJoiner
+    from flink_ml__spark.sources import load_table
+    from pyspark.sql import functions as SF
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    left = ev.filter(SF.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(SF.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "value")
+    plan = (AsOfJoiner().join(left, right, ["value"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # union + one key exchange + running last — never a join node or
+    # a per-key range explosion
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
