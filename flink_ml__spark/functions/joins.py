@@ -8,6 +8,19 @@ delegates to a union+window plan much like this one); a naive
 range-join formulation explodes to O(|L|·|R|) per key before
 aggregation, which is why the union trick below is the standard
 scale-safe shape.
+
+``RangeJoiner`` — point-in-interval join (every (point, interval)
+pair with ``start <= t <= end`` per key): event-to-session
+attribution, trade-to-auction-window, reading-to-maintenance-window.
+Catalyst plans a non-equi range predicate as BroadcastNestedLoopJoin
+(small side) or a per-key cartesian — both quadratic. The standard
+scale rewrite (used by e.g. Databricks' range-join optimization and
+the interval-join operators of stream engines) buckets time into
+fixed bins: each interval replicates into the bins it overlaps, each
+point lands in exactly ONE bin, and the join becomes a shuffled
+equi-join on (key, bin) with the exact range predicate as a residual
+filter — no duplicate elimination needed, fanout bounded by
+interval_length / bin_width.
 """
 
 from __future__ import annotations
@@ -96,3 +109,135 @@ class AsOfJoiner(AlgoOperator):
         for c in value_cols:
             out = out.withColumn(c, F.col(f"__c.{c}"))
         return out.drop("__rv", "__side", "__c")
+
+
+class RangeJoiner(AlgoOperator):
+    """Bucketed point-in-interval join.
+
+    ``join(points, intervals, value_cols)`` returns one row per
+    (point, containing interval) pair — ``points``'s columns plus the
+    interval's ``value_cols`` and ``range_start`` / ``range_end`` (the
+    matched interval bounds). A point inside k overlapping intervals
+    emits k rows (inner semantics); ``setHow("left")`` additionally
+    keeps unmatched points with NULL interval columns (requires
+    ``pointIdCol`` to be a unique point key). Containment is inclusive
+    on both bounds; intervals with ``end < start`` and NULL
+    bounds/times never match.
+
+    100 TB design (see module doc): intervals explode into the
+    ``bucketWidthSec``-wide time bins they overlap (fanout =
+    ceil(length/width)+1, bounded and chosen by the caller to match
+    typical interval length); points map to exactly one bin, so the
+    bin equi-join needs NO post-join dedup. One shuffle per side on
+    the uniform (key, bin) pair; the residual ``start <= t <= end``
+    filter runs inside the join's codegen stage. Contrast the naive
+    non-equi formulation: BroadcastNestedLoopJoin, O(|P|·|I|).
+    """
+
+    keyCol = Param(Params._dummy(), "keyCol", "join key column",
+                   TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol",
+                    "point event-time column", TypeConverters.toString)
+    startCol = Param(Params._dummy(), "startCol",
+                     "interval start column", TypeConverters.toString)
+    endCol = Param(Params._dummy(), "endCol",
+                   "interval end column (inclusive)",
+                   TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "time-bin width in seconds; tune to the "
+                           "typical interval length",
+                           TypeConverters.toFloat)
+    how = Param(Params._dummy(), "how", "'inner' or 'left'",
+                TypeConverters.toString)
+    pointIdCol = Param(Params._dummy(), "pointIdCol",
+                       "unique point id (only used by how='left')",
+                       TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="user_id", timeCol="ts",
+                         startCol="range_start", endCol="range_end",
+                         bucketWidthSec=3600.0, how="inner",
+                         pointIdCol="event_id")
+
+    def getKeyCol(self):
+        return self.getOrDefault(self.keyCol)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def getTimeCol(self):
+        return self.getOrDefault(self.timeCol)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def getStartCol(self):
+        return self.getOrDefault(self.startCol)
+
+    def setStartCol(self, v):
+        return self._set(startCol=v)
+
+    def getEndCol(self):
+        return self.getOrDefault(self.endCol)
+
+    def setEndCol(self, v):
+        return self._set(endCol=v)
+
+    def getBucketWidthSec(self):
+        return self.getOrDefault(self.bucketWidthSec)
+
+    def setBucketWidthSec(self, v):
+        return self._set(bucketWidthSec=float(v))
+
+    def getHow(self):
+        return self.getOrDefault(self.how)
+
+    def setHow(self, v):
+        if v not in ("inner", "left"):
+            raise ValueError("how must be 'inner' or 'left'")
+        return self._set(how=v)
+
+    def getPointIdCol(self):
+        return self.getOrDefault(self.pointIdCol)
+
+    def setPointIdCol(self, v):
+        return self._set(pointIdCol=v)
+
+    @staticmethod
+    def _us(col) -> "F.Column":
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    def join(self, points: DataFrame, intervals: DataFrame,
+             value_cols: list[str]) -> DataFrame:
+        k, t = self.getKeyCol(), self.getTimeCol()
+        s, e = self.getStartCol(), self.getEndCol()
+        bw_us = int(self.getBucketWidthSec() * 1_000_000)
+        if bw_us <= 0:
+            raise ValueError("bucketWidthSec must be > 0")
+
+        p = points.withColumn("__bin", F.floor(self._us(t) / bw_us))
+        ivs = (intervals
+               .filter(F.col(s).isNotNull() & F.col(e).isNotNull()
+                       & (F.col(e) >= F.col(s)))
+               .select(F.col(k).alias("__ik"),
+                       F.col(s).alias("range_start"),
+                       F.col(e).alias("range_end"),
+                       *[F.col(c) for c in value_cols])
+               .withColumn("__bin", F.explode(F.sequence(
+                   F.floor(self._us("range_start") / bw_us),
+                   F.floor(self._us("range_end") / bw_us)))))
+        cond = ((p[k] == ivs["__ik"]) & (p["__bin"] == ivs["__bin"])
+                & (p[t] >= ivs["range_start"])
+                & (p[t] <= ivs["range_end"]))
+        matched = (p.join(ivs, cond, "inner")
+                   .drop("__ik").drop(p["__bin"]).drop(ivs["__bin"]))
+        if self.getHow() == "inner":
+            return matched
+        pid = self.getPointIdCol()
+        missing = (p.drop("__bin")
+                   .join(matched.select(pid), pid, "left_anti"))
+        for c in ["range_start", "range_end", *value_cols]:
+            missing = missing.withColumn(
+                c, F.lit(None).cast(dict(matched.dtypes)[c]))
+        return matched.unionByName(missing)

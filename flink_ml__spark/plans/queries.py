@@ -1365,6 +1365,39 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_range_join_events(spark, sf_dir):
+    """Bucketed point-in-interval join: every event joined to every
+    2-hour window opened by an event_id%7==0 event of the same user
+    that contains it — DuckDB replays it as a plain range join (its
+    IEJoin handles the non-equi predicate natively; Spark needs the
+    bin rewrite to avoid a nested-loop plan)."""
+    from flink_ml__spark.functions.joins import RangeJoiner
+
+    ev = load_table(spark, "events", sf_dir)
+    points = ev.select("event_id", "user_id", "ts")
+    ivs = (ev.filter(F.col("event_id") % 7 == 0)
+           .select("user_id", F.col("event_id").alias("iv_id"),
+                   F.col("ts").alias("range_start"),
+                   (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                   .alias("range_end"), F.col("value").alias("iv_value")))
+    out = RangeJoiner().setBucketWidthSec(3600.0).join(
+        points, ivs, ["iv_id", "iv_value"])
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us"),
+        "iv_id", F.round("iv_value", R).alias("iv_value"))
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+i AS (SELECT user_id, event_id AS iv_id, epoch_us(ts) AS s,
+             epoch_us(ts + INTERVAL 2 HOUR) AS e, value
+      FROM events WHERE event_id % 7 = 0)
+SELECT p.event_id, p.user_id, p.t AS t_us, i.iv_id,
+       round(i.value, {R}) AS iv_value
+FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
+"""
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Hard gate for the model-based quality classifier (distributed
     L-BFGS has no SQL oracle): train on a planted separable split —
@@ -2565,6 +2598,7 @@ QUERIES = {
     "quality_classifier_documents": q_quality_classifier_documents,
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2642,6 +2676,7 @@ ORACLES = {
     "quality_classifier_documents": ORACLE_QUALITY_CLASSIFIER,
     "sessionize_events": ORACLE_SESSIONIZE,
     "asof_join_events": ORACLE_ASOF_JOIN,
+    "range_join_events": ORACLE_RANGE_JOIN,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

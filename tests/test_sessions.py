@@ -126,3 +126,56 @@ def test_asof_join_single_shuffle(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_goldens(spark):
+    from flink_ml__spark.functions.joins import RangeJoiner
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    points = spark.createDataFrame(
+        [(1, 1, ts(5)), (2, 1, ts(30)), (3, 1, ts(65)),
+         (4, 2, ts(5)), (5, 1, ts(10))],
+        "event_id long, user_id long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, ts(0), ts(10), "a"),        # contains 1, 5
+         (1, ts(5), ts(40), "b"),        # contains 1 (boundary), 2, 5
+         (1, ts(90), ts(95), "c"),       # empty
+         (2, ts(60), ts(70), "d"),       # wrong key for point 3
+         (1, ts(70), ts(60), "bad")],    # end < start: never matches
+        "user_id long, range_start timestamp, range_end timestamp, tag string")
+    op = RangeJoiner().setBucketWidthSec(600.0)
+    got = sorted((r["event_id"], r["tag"]) for r in
+                 op.join(points, ivs, ["tag"]).collect())
+    assert got == [(1, "a"), (1, "b"), (2, "b"), (5, "a"), (5, "b")]
+
+    # left keeps unmatched points with NULL interval columns
+    left = op.setHow("left").join(points, ivs, ["tag"])
+    rows = {r["event_id"]: r for r in left.collect()}
+    assert len(left.collect()) == 7
+    assert rows[3]["tag"] is None and rows[3]["range_start"] is None
+    assert rows[4]["tag"] is None
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from flink_ml__spark.functions.joins import RangeJoiner
+    from flink_ml__spark.sources import load_table
+    from pyspark.sql import functions as SF
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    points = ev.select("event_id", "user_id", "ts")
+    ivs = (ev.filter(SF.col("event_id") % 7 == 0)
+           .select("user_id", SF.col("ts").alias("range_start"),
+                   (SF.col("ts") + SF.expr("INTERVAL 2 HOURS"))
+                   .alias("range_end"), "value"))
+    plan = (RangeJoiner().setBucketWidthSec(3600.0)
+            .join(points, ivs, ["value"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # the bin expansion turns the range predicate into a hash-keyed
+    # equi-join; the quadratic fallbacks must not appear
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan or "broadcast" in plan.lower()
