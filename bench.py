@@ -86,6 +86,7 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_events",
     "range_join_events",
+    "rollup_gapfill_events",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Hypertable-style time-bucket rollups with gap filling.
+
+``TimeBucketRollup`` reproduces the continuous-aggregate /
+``time_bucket_gapfill`` pattern of time-series stores (TimescaleDB's
+``time_bucket_gapfill`` + ``locf``/``interpolate``, InfluxDB's
+``aggregateWindow`` + ``fill``): fixed-width per-key bucket aggregates,
+densified so every key emits a row for EVERY bucket between its first
+and last event, with empty buckets filled by a chosen policy. Spark has
+the bucketing (``F.window``) but no gap filling — a naive
+per-key driver loop or a calendar cross join both collapse at scale;
+the per-key ``sequence`` explode below stays distributed and
+proportional to the OUTPUT size.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator
+
+_FILLS = ("null", "zero", "locf", "interp")
+
+
+class TimeBucketRollup(AlgoOperator):
+    """Per-key fixed-width time-bucket aggregation with gap fill.
+
+    ``transform(df)`` returns one row per (key, bucket) for every
+    bucket in ``[floor(first event), floor(last event)]`` of that key::
+
+        <keyCol>      the key
+        bucket_start  timestamp of the bucket's left edge
+        n_events      events in the bucket (0 for gap rows)
+        sum_value     sum of ``valueCol`` over the bucket's events
+        avg_value     mean of ``valueCol``, gap rows filled per
+                      ``fill``: 'null' (leave NULL), 'zero',
+                      'locf' (carry the last observed bucket's mean
+                      forward), 'interp' (linear between the previous
+                      and next observed buckets' means; edges fall
+                      back to the nearest observed value)
+
+    ``sum_value`` on gap rows is 0 for fill='zero' and NULL otherwise
+    (a carried/interpolated SUM is not meaningful; locf/interp are
+    level-fill policies, applied to the level metric ``avg_value``).
+
+    100 TB design: the aggregate is one ``groupBy(key, window)``
+    shuffle with map-side partial merge. Densification derives each
+    key's bucket span FROM the aggregate output (O(keys·buckets), not
+    O(events)) and explodes a per-key ``sequence`` — output-
+    proportional, no calendar table broadcast, no driver loop. The
+    fill pass is a per-key window over BUCKET rows, whose count is
+    bounded by time_range/width per key (thousands, not the event
+    count) — WindowExec state stays small no matter how many raw
+    events a key has. Skewed keys therefore cost what their time span
+    costs, not what their event volume costs.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "numeric metric column",
+                     TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "bucket width in seconds",
+                           TypeConverters.toFloat)
+    fill = Param(Params._dummy(), "fill",
+                 "gap policy for avg_value: null|zero|locf|interp",
+                 TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", keyCol="user_id", valueCol="value",
+                         bucketWidthSec=86400.0, fill="locf")
+
+    def getTimeCol(self):
+        return self.getOrDefault(self.timeCol)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def getKeyCol(self):
+        return self.getOrDefault(self.keyCol)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def getValueCol(self):
+        return self.getOrDefault(self.valueCol)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def getBucketWidthSec(self):
+        return self.getOrDefault(self.bucketWidthSec)
+
+    def setBucketWidthSec(self, v):
+        return self._set(bucketWidthSec=float(v))
+
+    def getFill(self):
+        return self.getOrDefault(self.fill)
+
+    def setFill(self, v):
+        if v not in _FILLS:
+            raise ValueError(f"fill must be one of {_FILLS}")
+        return self._set(fill=v)
+
+    def bucket_aggregates(self, df: DataFrame) -> DataFrame:
+        """(key, __bk bucket index, n_events, sum_value, avg_value) —
+        observed buckets only; the one event-volume shuffle."""
+        k, t, v = self.getKeyCol(), self.getTimeCol(), self.getValueCol()
+        bw_us = int(self.getBucketWidthSec() * 1_000_000)
+        if bw_us <= 0:
+            raise ValueError("bucketWidthSec must be > 0")
+        bk = F.floor(F.unix_micros(F.col(t).cast("timestamp")) / bw_us)
+        return (df.filter(F.col(t).isNotNull())
+                .groupBy(F.col(k), bk.alias("__bk"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(v).alias("sum_value"),
+                     F.avg(v).alias("avg_value")))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = self.getKeyCol()
+        bw_us = int(self.getBucketWidthSec() * 1_000_000)
+        agg = self.bucket_aggregates(df)
+        # per-key span from the AGGREGATE (bucket-count sized, not
+        # event sized); dense axis via sequence explode
+        dense = (agg.groupBy(k)
+                 .agg(F.min("__bk").alias("__b0"), F.max("__bk").alias("__b1"))
+                 .select(k, F.explode(F.sequence("__b0", "__b1"))
+                         .alias("__bk")))
+        out = dense.join(agg, [k, "__bk"], "left")
+        out = out.withColumn("n_events",
+                             F.coalesce("n_events", F.lit(0)))
+        fill = self.getFill()
+        if fill == "zero":
+            out = (out.withColumn("sum_value",
+                                  F.coalesce("sum_value", F.lit(0.0)))
+                   .withColumn("avg_value",
+                               F.coalesce("avg_value", F.lit(0.0))))
+        elif fill == "locf":
+            w = (Window.partitionBy(k).orderBy("__bk")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            out = out.withColumn(
+                "avg_value",
+                F.coalesce("avg_value",
+                           F.last("avg_value", ignorenulls=True).over(w)))
+        elif fill == "interp":
+            wp = (Window.partitionBy(k).orderBy("__bk")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+            wn = (Window.partitionBy(k).orderBy("__bk")
+                  .rowsBetween(0, Window.unboundedFollowing))
+            obs_bk = F.when(F.col("avg_value").isNotNull(), F.col("__bk"))
+            pv = F.last("avg_value", ignorenulls=True).over(wp)
+            pb = F.last(obs_bk, ignorenulls=True).over(wp)
+            nv = F.first("avg_value", ignorenulls=True).over(wn)
+            nb = F.first(obs_bk, ignorenulls=True).over(wn)
+            frac = ((F.col("__bk") - pb).cast("double")
+                    / (nb - pb).cast("double"))
+            interp = F.when(
+                pv.isNull(), nv).when(
+                nv.isNull(), pv).otherwise(pv + (nv - pv) * frac)
+            out = out.withColumn(
+                "avg_value", F.coalesce("avg_value", interp))
+        return (out.withColumn(
+            "bucket_start",
+            F.timestamp_micros((F.col("__bk") * bw_us).cast("bigint")))
+            .select(k, "bucket_start", "n_events", "sum_value",
+                    "avg_value"))

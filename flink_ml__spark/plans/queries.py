@@ -1398,6 +1398,45 @@ FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
 """
 
 
+def q_rollup_gapfill_events(spark, sf_dir):
+    """Hypertable-style rollup: 6-hour per-user buckets of the event
+    stream, densified over each user's span with last-observation-
+    carried-forward means — DuckDB replays the whole pipeline with
+    generate_series + IGNORE NULLS window."""
+    from flink_ml__spark.functions.timeseries import TimeBucketRollup
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (TimeBucketRollup().setBucketWidthSec(6 * 3600.0)
+           .setFill("locf").transform(ev))
+    return out.select(
+        "user_id", F.unix_micros("bucket_start").alias("bucket_us"),
+        "n_events", F.round("sum_value", R).alias("sum_value"),
+        F.round("avg_value", R).alias("avg_value"))
+
+
+_BW_US = 6 * 3600 * 1_000_000
+ORACLE_ROLLUP_GAPFILL = f"""
+WITH a AS (
+  SELECT user_id, (epoch_us(ts) // {_BW_US})::BIGINT AS bk,
+         count(*) AS n_events, sum(value) AS sum_value,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM a GROUP BY 1),
+dense AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bk
+          FROM span),
+j AS (SELECT d.user_id, d.bk, coalesce(a.n_events, 0) AS n_events,
+             a.sum_value, a.avg_value
+      FROM dense d LEFT JOIN a ON d.user_id = a.user_id AND d.bk = a.bk)
+SELECT user_id, bk * {_BW_US} AS bucket_us, n_events,
+       round(sum_value, {R}) AS sum_value,
+       round(coalesce(avg_value, last_value(avg_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             {R}) AS avg_value
+FROM j
+"""
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Hard gate for the model-based quality classifier (distributed
     L-BFGS has no SQL oracle): train on a planted separable split —
@@ -2599,6 +2638,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "rollup_gapfill_events": q_rollup_gapfill_events,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2677,6 +2717,7 @@ ORACLES = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "asof_join_events": ORACLE_ASOF_JOIN,
     "range_join_events": ORACLE_RANGE_JOIN,
+    "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),
