@@ -87,6 +87,7 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "rollup_gapfill_events",
+    "bm25_retrieval_documents",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Keyword retrieval over the document corpus.
+
+``BM25Retriever`` — Okapi BM25 top-k search (Robertson & Zaragoza,
+"The Probabilistic Relevance Framework: BM25 and Beyond", 2009; idf
+variant per Lucene's ``BM25Similarity``): the retrieval primitive a
+training-data pipeline needs for targeted curation — "pull the k
+documents most relevant to each benchmark prompt / topic seed /
+quality exemplar" — and the lexical side of any hybrid
+(BM25 + embedding) mining loop. The whole computation is exact
+relational algebra (inverted postings + join + keyed top-k), so it
+runs entirely JVM-side and has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator, HasInputCol
+from flink_ml__spark.functions.dedup import HasIdColMixin
+from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+
+class BM25Retriever(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Okapi BM25 top-k retrieval.
+
+    ``retrieve(docs, queries)`` returns, per query row, the ``topK``
+    highest-scoring documents::
+
+        <queryIdCol>  the query's id
+        <idCol>       matched document id
+        score         BM25 score (sum over shared terms)
+        rank          1-based, dense ties broken by ascending doc id
+
+    Scoring: ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``
+    over the query's DISTINCT terms (standard bag-of-words BM25 on
+    the document side; repeated query terms count once). Tokens are
+    the lowercased ``TOKEN_SPLIT`` words shared with the rest of the
+    text stack; ``avgdl`` averages over ALL corpus documents (empty
+    and NULL text contribute length 0). Ranking compares scores
+    rounded to 9 decimals so the order is reproducible across
+    engines and partitionings (fp summation order), doc id ascending
+    as the tiebreak.
+
+    100 TB design: the postings build is one ``explode`` +
+    ``groupBy(doc, term)`` shuffle (partial-merged map-side); df and
+    doc-length tables derive from the postings — O(vocab) and
+    O(docs) — and N/avgdl fold to two literals. The query side is
+    small by nature (a benchmark, a topic list), so the term join
+    broadcasts it; per-candidate work is proportional to POSTINGS
+    MATCHED, never all-pairs, and the final top-k is a keyed window
+    over ≤ matched-docs rows per query. At corpus scale the postings
+    table is the thing to persist/bucket by term — pass
+    ``postings=`` to amortize it across query batches (the inverted-
+    index reuse shape).
+    """
+
+    queryIdCol = Param(Params._dummy(), "queryIdCol",
+                       "query id column in the queries frame",
+                       TypeConverters.toString)
+    queryTextCol = Param(Params._dummy(), "queryTextCol",
+                         "query text column in the queries frame",
+                         TypeConverters.toString)
+    k1 = Param(Params._dummy(), "k1", "BM25 tf saturation",
+               TypeConverters.toFloat)
+    b = Param(Params._dummy(), "b", "BM25 length normalization",
+              TypeConverters.toFloat)
+    topK = Param(Params._dummy(), "topK", "results per query",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id",
+                         queryIdCol="query_id", queryTextCol="query_text",
+                         k1=1.2, b=0.75, topK=10)
+
+    def getQueryIdCol(self):
+        return self.getOrDefault(self.queryIdCol)
+
+    def setQueryIdCol(self, v):
+        return self._set(queryIdCol=v)
+
+    def getQueryTextCol(self):
+        return self.getOrDefault(self.queryTextCol)
+
+    def setQueryTextCol(self, v):
+        return self._set(queryTextCol=v)
+
+    def getK1(self):
+        return self.getOrDefault(self.k1)
+
+    def setK1(self, v):
+        return self._set(k1=float(v))
+
+    def getB(self):
+        return self.getOrDefault(self.b)
+
+    def setB(self, v):
+        return self._set(b=float(v))
+
+    def getTopK(self):
+        return self.getOrDefault(self.topK)
+
+    def setTopK(self, v):
+        return self._set(topK=int(v))
+
+    def _toks(self, col) -> "F.Column":
+        return F.filter(
+            F.split(F.lower(F.coalesce(F.col(col), F.lit(""))),
+                    TOKEN_SPLIT),
+            lambda t: t != "")
+
+    def postings(self, docs: DataFrame) -> DataFrame:
+        """(doc id, __term, __tf, __dl) inverted postings with the
+        document length attached — the reusable index table. At lake
+        scale, persist this (or write it bucketed by ``__term``) and
+        feed it back via ``retrieve(..., postings=...)``."""
+        idc = self.getIdCol()
+        return (docs
+                .select(F.col(idc), F.explode(self._toks(self.getInputCol()))
+                        .alias("__term"))
+                .groupBy(idc, "__term")
+                .agg(F.count(F.lit(1)).alias("__tf"))
+                .withColumn("__dl",
+                            F.sum("__tf").over(Window.partitionBy(idc))))
+
+    def retrieve(self, docs: DataFrame, queries: DataFrame, *,
+                 postings: DataFrame | None = None) -> DataFrame:
+        idc = self.getIdCol()
+        qid, qtx = self.getQueryIdCol(), self.getQueryTextCol()
+        k1, b = self.getK1(), self.getB()
+        if postings is None:
+            postings = self.postings(docs)
+
+        # corpus constants fold to literals: N counts every document
+        # (zero-length included), total length comes from the postings
+        # so a precomputed index never re-tokenizes the corpus
+        n_docs = docs.count()
+        sum_dl = postings.agg(F.sum("__tf")).first()[0]
+        avgdl = (sum_dl or 0) / n_docs if n_docs else 0.0
+
+        dfreq = postings.groupBy("__term").agg(
+            F.count(F.lit(1)).alias("__df"))
+        idf = F.log(F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5))
+
+        qterms = (queries
+                  .select(F.col(qid), F.explode(self._toks(qtx))
+                          .alias("__term"))
+                  .distinct())
+        # queries are small: broadcast them onto the postings so the
+        # postings table never reshuffles for the probe
+        matched = (postings.join(F.broadcast(qterms), "__term")
+                   .join(dfreq, "__term"))
+        contrib = (idf * F.col("__tf") * (k1 + 1.0)
+                   / (F.col("__tf")
+                      + k1 * (1.0 - b + b * F.col("__dl") / avgdl)))
+        scored = (matched
+                  .groupBy(qid, idc)
+                  .agg(F.sum(contrib).alias("score")))
+        w = (Window.partitionBy(qid)
+             .orderBy(F.round("score", 9).desc(), F.col(idc).asc()))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getTopK()))

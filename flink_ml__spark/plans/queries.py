@@ -1437,6 +1437,55 @@ FROM j
 """
 
 
+def q_bm25_documents(spark, sf_dir):
+    """BM25 top-10 retrieval: every doc_id%29==0 document's first 6
+    tokens become a query against the whole corpus — exact relational
+    BM25 (postings + broadcast probe + keyed top-k), replayed term by
+    term in SQL."""
+    from flink_ml__spark.functions.retrieval import BM25Retriever
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                            TOKEN_SPLIT), lambda t: t != "")
+    queries = (docs.filter(F.col("doc_id") % 29 == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(toks, 1, 6), " ")
+                       .alias("query_text")))
+    out = BM25Retriever().setTopK(10).retrieve(docs, queries)
+    return out.select("query_id", "doc_id",
+                      F.round("score", R).alias("score"), "rank")
+
+
+ORACLE_BM25 = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(tf) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM documents) AS avgdl),
+q AS (SELECT doc_id AS query_id,
+             unnest(list_distinct(toks[1:6])) AS term
+      FROM toks WHERE doc_id % 29 = 0),
+m AS (SELECT q.query_id, tf.doc_id,
+             ln(1 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS s
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+sc AS (SELECT query_id, doc_id, sum(s) AS score FROM m GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+      FROM sc)
+SELECT query_id, doc_id, round(score, {R}) AS score, "rank"
+FROM r WHERE "rank" <= 10
+"""
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Hard gate for the model-based quality classifier (distributed
     L-BFGS has no SQL oracle): train on a planted separable split —
@@ -2639,6 +2688,7 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
+    "bm25_retrieval_documents": q_bm25_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2718,6 +2768,7 @@ ORACLES = {
     "asof_join_events": ORACLE_ASOF_JOIN,
     "range_join_events": ORACLE_RANGE_JOIN,
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
+    "bm25_retrieval_documents": ORACLE_BM25,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

@@ -1,0 +1,110 @@
+"""BM25Retriever: exact golden recomputation, edge semantics, and
+index-reuse/plan shape."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.retrieval import BM25Retriever
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown cat sleeps"),
+    (3, "foxes and dogs are common animals"),
+    (4, "completely unrelated text about spark sql engines"),
+    (5, None),
+    (6, ""),
+]
+QUERIES = [(100, "quick fox"), (101, "spark engines"), (102, "zzz missing")]
+
+
+def _bm25_reference(docs, queries, k1=1.2, b=0.75):
+    """Straight-line BM25 (Lucene idf) for the golden check."""
+    tok = lambda s: [w for w in re.split(r"[^a-zA-Z0-9']+", (s or "").lower()) if w]
+    toks = {d: tok(t) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, qt in queries:
+        scores = {}
+        for term in set(tok(qt)):
+            if term not in df:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            for d, ws in toks.items():
+                tf = ws.count(term)
+                if tf:
+                    s = idf * tf * (k1 + 1) / (
+                        tf + k1 * (1 - b + b * len(ws) / avgdl))
+                    scores[d] = scores.get(d, 0.0) + s
+        out[qid] = scores
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, query_text string")
+    return docs, qs
+
+
+def test_bm25_matches_reference_exactly(spark, frames):
+    docs, qs = frames
+    got = BM25Retriever().retrieve(docs, qs).collect()
+    want = _bm25_reference(DOCS, QUERIES)
+    assert {(r["query_id"], r["doc_id"]) for r in got} == \
+        {(q, d) for q, sc in want.items() for d in sc}
+    for r in got:
+        assert r["score"] == pytest.approx(
+            want[r["query_id"]][r["doc_id"]], rel=1e-12)
+
+
+def test_bm25_ranking_and_edges(spark, frames):
+    docs, qs = frames
+    out = BM25Retriever().setTopK(2).retrieve(docs, qs)
+    rows = sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"]))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # "quick fox": doc 1 holds both terms -> rank 1; topK=2 truncates
+    assert [r["doc_id"] for r in by_q[100]][0] == 1
+    assert all(len(v) <= 2 for v in by_q.values())
+    assert all(v[0]["score"] >= v[-1]["score"] for v in by_q.values())
+    # no-hit query vanishes; NULL/empty docs never appear
+    assert 102 not in by_q
+    assert not [r for r in rows if r["doc_id"] in (5, 6)]
+
+
+def test_bm25_repeated_query_terms_count_once(spark, frames):
+    docs, _ = frames
+    q1 = spark.createDataFrame([(1, "fox")], "query_id long, query_text string")
+    q2 = spark.createDataFrame([(1, "fox fox fox")],
+                               "query_id long, query_text string")
+    op = BM25Retriever()
+    a = {(r["doc_id"], round(r["score"], 10)) for r in op.retrieve(docs, q1).collect()}
+    b = {(r["doc_id"], round(r["score"], 10)) for r in op.retrieve(docs, q2).collect()}
+    assert a == b
+
+
+def test_bm25_postings_reuse_and_broadcast_probe(spark, frames):
+    docs, qs = frames
+    op = BM25Retriever()
+    idx = op.postings(docs)
+    direct = {(r["query_id"], r["doc_id"], round(r["score"], 9))
+              for r in op.retrieve(docs, qs).collect()}
+    reused = {(r["query_id"], r["doc_id"], round(r["score"], 9))
+              for r in op.retrieve(docs, qs, postings=idx).collect()}
+    assert direct == reused
+    # the query-term probe broadcasts; the postings table must never
+    # hit a nested-loop or cartesian fallback
+    plan = (op.retrieve(docs, qs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
