@@ -88,6 +88,7 @@ HEADLINE = [
     "range_join_events",
     "rollup_gapfill_events",
     "bm25_retrieval_documents",
+    "heavy_hitters_documents",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Streaming-sketch operators for corpus profiling.
+
+``HeavyHitters`` — Misra–Gries frequent items (Misra & Gries, "Finding
+repeated elements", 1982; mergeability per Agarwal, Cormode, Huang,
+Phillips, Wei & Yi, "Mergeable summaries", PODS 2012) with an exact
+recount finish. The exact `groupBy(item).count()` over a 100 TB token
+stream shuffles the ENTIRE vocabulary — trillions of (token, 1) rows;
+the sketch pass reduces each partition to ≤ k counters map-side, merges
+O(partitions·k) rows on the driver, and only the tiny candidate set is
+recounted exactly. Output is therefore EXACT (items and counts), not
+approximate — the sketch only bounds the candidate set, and its
+no-false-negative guarantee (any item with share > 1/(k+1) survives a
+merge) makes the recount complete.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator, HasInputCol
+from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+
+def _mg_update(counters: dict, item, w: int, k: int) -> None:
+    """Misra–Gries update with weight ``w`` and capacity ``k``."""
+    if item in counters:
+        counters[item] += w
+        return
+    if len(counters) < k:
+        counters[item] = w
+        return
+    # decrement all by the smallest absorbable amount
+    dec = min(w, min(counters.values()))
+    for key in list(counters):
+        counters[key] -= dec
+        if counters[key] == 0:
+            del counters[key]
+    if w > dec:
+        _mg_update(counters, item, w - dec, k)
+
+
+class HeavyHitters(AlgoOperator, HasInputCol):
+    """Exact frequent items via a Misra–Gries candidate pass.
+
+    ``transform(df)`` returns every item whose frequency is at least
+    ``minShare`` of the total item count::
+
+        item    the item (token of ``inputCol`` text by default, or
+                ``itemCol`` values verbatim when set)
+        count   exact occurrence count
+        share   count / total items
+
+    Guarantee: the output is exactly the set an exhaustive
+    ``groupBy(item).count()`` would produce, as long as
+    ``numCounters > 1/minShare`` (validated): a merged Misra–Gries
+    summary of capacity k never drops an item occurring more than
+    n/(k+1) times, so the candidate recount is complete.
+
+    100 TB design: pass 1 folds each partition into ≤ k counters
+    inside one Arrow batch iterator (no shuffle; O(partitions·k) rows
+    to the driver — the treeAggregate shape). Pass 2 recounts ONLY
+    items in the merged candidate set (≤ k literals, broadcast into
+    an ``isin`` filter pushed at the scan), so its shuffle carries
+    ≤ partitions·k pre-aggregated rows. Nothing the size of the
+    vocabulary ever moves.
+    """
+
+    itemCol = Param(Params._dummy(), "itemCol",
+                    "use this column's values as items directly "
+                    "('' = tokenize inputCol text)",
+                    TypeConverters.toString)
+    numCounters = Param(Params._dummy(), "numCounters",
+                        "Misra-Gries capacity k (> 1/minShare)",
+                        TypeConverters.toInt)
+    minShare = Param(Params._dummy(), "minShare",
+                     "report items with count >= minShare * n",
+                     TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", itemCol="", numCounters=256,
+                         minShare=0.01)
+
+    def getItemCol(self):
+        return self.getOrDefault(self.itemCol)
+
+    def setItemCol(self, v):
+        return self._set(itemCol=v)
+
+    def getNumCounters(self):
+        return self.getOrDefault(self.numCounters)
+
+    def setNumCounters(self, v):
+        return self._set(numCounters=int(v))
+
+    def getMinShare(self):
+        return self.getOrDefault(self.minShare)
+
+    def setMinShare(self, v):
+        return self._set(minShare=float(v))
+
+    def _items(self, df: DataFrame) -> DataFrame:
+        if self.getItemCol():
+            return df.select(F.col(self.getItemCol()).cast("string")
+                             .alias("__item")).filter(
+                                 F.col("__item").isNotNull())
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        return df.select(F.explode(toks).alias("__item"))
+
+    def candidates(self, df: DataFrame) -> tuple[list, int]:
+        """Merged Misra–Gries candidate items and the exact total item
+        count (one sketch pass)."""
+        k = self.getNumCounters()
+        if k <= 1.0 / self.getMinShare():
+            raise ValueError(
+                "numCounters must exceed 1/minShare for the "
+                "no-false-negative guarantee")
+        items = self._items(df)
+
+        def sketch(batches):
+            counters: dict = {}
+            total = 0
+            for pdf in batches:
+                vc = pdf["__item"].value_counts()
+                total += int(vc.sum())
+                for item, w in vc.items():
+                    _mg_update(counters, item, int(w), k)
+            yield pd.DataFrame({
+                "item": [*counters.keys(), None],
+                "w": [*counters.values(), total]})
+
+        merged: dict = {}
+        total = 0
+        for row in items.mapInPandas(
+                sketch, "item string, w long").collect():
+            if row["item"] is None:
+                total += row["w"]
+            else:
+                _mg_update(merged, row["item"], row["w"], k)
+        return list(merged), total
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cand, total = self.candidates(df)
+        items = self._items(df)
+        spark = df.sparkSession
+        if not cand or total == 0:
+            return spark.createDataFrame(
+                [], "item string, count long, share double")
+        thresh = self.getMinShare() * total
+        return (items.filter(F.col("__item").isin(cand))
+                .groupBy(F.col("__item").alias("item"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .filter(F.col("count") >= thresh)
+                .withColumn("share", F.col("count") / F.lit(total)))

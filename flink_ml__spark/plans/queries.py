@@ -1486,6 +1486,28 @@ FROM r WHERE "rank" <= 10
 """
 
 
+def q_heavy_hitters_documents(spark, sf_dir):
+    """Misra–Gries heavy hitters over the corpus token stream at 0.3%
+    share — the sketch bounds the candidate set but the OUTPUT is
+    exact, so the exhaustive SQL count is a hard oracle (a dropped
+    true heavy hitter flips rows AND hash)."""
+    from flink_ml__spark.functions.sketches import HeavyHitters
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (HeavyHitters().setMinShare(0.003).setNumCounters(512)
+           .transform(docs))
+    return out.select("item", "count", F.round("share", R).alias("share"))
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH ex AS (SELECT unnest({_TOK_SQL}) AS item FROM documents),
+n AS (SELECT count(*) AS n FROM ex),
+c AS (SELECT item, count(*) AS cnt FROM ex GROUP BY 1)
+SELECT item, cnt AS count, round(cnt::DOUBLE / n.n, {R}) AS share
+FROM c CROSS JOIN n WHERE cnt >= 0.003 * n.n
+"""
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Hard gate for the model-based quality classifier (distributed
     L-BFGS has no SQL oracle): train on a planted separable split —
@@ -2689,6 +2711,7 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "bm25_retrieval_documents": q_bm25_documents,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2769,6 +2792,7 @@ ORACLES = {
     "range_join_events": ORACLE_RANGE_JOIN,
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "bm25_retrieval_documents": ORACLE_BM25,
+    "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),
