@@ -85,6 +85,7 @@ HEADLINE = [
     "quality_classifier_documents",
     "sessionize_events",
     "asof_join_events",
+    "asof_nearest_events",
     "range_join_events",
     "rollup_gapfill_events",
     "bm25_retrieval_documents",

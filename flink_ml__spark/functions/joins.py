@@ -33,23 +33,34 @@ from flink_ml__spark.base import AlgoOperator
 
 
 class AsOfJoiner(AlgoOperator):
-    """Backward as-of join.
+    """As-of join (backward, forward, or nearest).
 
     ``join(left, right, value_cols)`` returns ``left`` with, per row,
-    the ``value_cols`` of the latest ``right`` row at-or-before its
-    event time for the same key (NULLs when none exists, like a left
-    join), plus ``asof_ts`` — the matched right row's time. Rows of
-    ``right`` sharing the left row's exact timestamp DO match
-    (``<=`` semantics). With ``tolerance`` (interval seconds > 0),
-    matches older than ``tolerance`` are nulled out — the staleness
+    the ``value_cols`` of ONE matching ``right`` row for the same key
+    (NULLs when none exists, like a left join), plus ``asof_ts`` — the
+    matched right row's time. ``direction`` picks the match:
+
+    * ``backward`` (default) — the LATEST right row with
+      ``right.ts <= left.ts`` (feature value as-of event time);
+    * ``forward`` — the EARLIEST right row with
+      ``right.ts >= left.ts`` (next reading after the event);
+    * ``nearest`` — whichever of the two is closer in time, ties to
+      the backward match (pandas ``merge_asof`` semantics).
+
+    Rows of ``right`` sharing the left row's exact timestamp DO match
+    in every direction. With ``tolerance`` (interval seconds > 0),
+    matches farther than ``tolerance`` are nulled out — the staleness
     bound every feature-lookup pipeline wants.
 
     100 TB design: tag and UNION both sides, ONE shuffle on the key,
-    and a running ``last(..., ignorenulls)`` over the per-key
-    time-sorted stream carries each right payload forward to the left
-    rows that follow it — O(|L| + |R|) rows through one exchange, no
-    per-key loop, no range-join explosion. Within one timestamp the
-    right row sorts first, which is exactly the ``<=`` contract.
+    and a running ``last(..., ignorenulls)`` (resp. ``first`` over the
+    following frame for forward) over the per-key time-sorted stream
+    carries each right payload to the left rows around it —
+    O(|L| + |R|) rows through one exchange, no per-key loop, no
+    range-join explosion. ``nearest`` evaluates both frames over the
+    SAME sorted exchange (two window functions, one sort). Within one
+    timestamp the right row sorts on the matching side of the left
+    row, which is exactly the inclusive contract.
     """
 
     keyCol = Param(Params._dummy(), "keyCol", "join key column",
@@ -59,10 +70,22 @@ class AsOfJoiner(AlgoOperator):
     toleranceSec = Param(Params._dummy(), "toleranceSec",
                          "max staleness in seconds (0 = unbounded)",
                          TypeConverters.toFloat)
+    direction = Param(Params._dummy(), "direction",
+                      "backward | forward | nearest",
+                      TypeConverters.toString)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(keyCol="user_id", timeCol="ts", toleranceSec=0.0)
+        self._setDefault(keyCol="user_id", timeCol="ts", toleranceSec=0.0,
+                         direction="backward")
+
+    def getDirection(self):
+        return self.getOrDefault(self.direction)
+
+    def setDirection(self, v):
+        if v not in ("backward", "forward", "nearest"):
+            raise ValueError("direction must be backward|forward|nearest")
+        return self._set(direction=v)
 
     def getKeyCol(self):
         return self.getOrDefault(self.keyCol)
@@ -85,6 +108,8 @@ class AsOfJoiner(AlgoOperator):
     def join(self, left: DataFrame, right: DataFrame,
              value_cols: list[str]) -> DataFrame:
         k, t = self.getKeyCol(), self.getTimeCol()
+        d = self.getDirection()
+        tol = self.getToleranceSec()
         payload = F.struct(F.col(t).alias("__rt"),
                            *[F.col(c) for c in value_cols])
         r = right.select(F.col(k), F.col(t), payload.alias("__rv"),
@@ -93,18 +118,47 @@ class AsOfJoiner(AlgoOperator):
             r.schema["__rv"].dataType)).withColumn(
                 "__side", F.lit(1))
         u = l.unionByName(r, allowMissingColumns=True)
-        w = (Window.partitionBy(k).orderBy(F.col(t).asc(),
-                                           F.col("__side").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-        carried = F.last("__rv", ignorenulls=True).over(w)
-        out = (u.withColumn("__c", carried)
-               .filter(F.col("__side") == 1))
-        if self.getToleranceSec() > 0:
-            fresh = (F.col(t).cast("double")
-                     - F.col("__c.__rt").cast("double")
-                     <= F.lit(self.getToleranceSec()))
-            out = out.withColumn(
-                "__c", F.when(fresh, F.col("__c")))
+
+        # side order within a timestamp decides inclusivity: the right
+        # row must sort on the side of the left row its frame reads
+        side = (F.col("__side").desc() if d == "forward"
+                else F.col("__side").asc())
+        base = Window.partitionBy(k).orderBy(F.col(t).asc(), side)
+        wb = base.rowsBetween(Window.unboundedPreceding, 0)
+        wf = base.rowsBetween(0, Window.unboundedFollowing)
+        back = F.last("__rv", ignorenulls=True).over(wb)
+        fwd = F.first("__rv", ignorenulls=True).over(wf)
+
+        bdt = (F.col(t).cast("double")
+               - F.col("__b.__rt").cast("double"))
+        fdt = (F.col("__f.__rt").cast("double")
+               - F.col(t).cast("double"))
+        if d == "backward":
+            out = u.withColumn("__b", back).filter(F.col("__side") == 1)
+            chosen = F.col("__b") if tol <= 0 else F.when(bdt <= tol,
+                                                          F.col("__b"))
+            out = out.withColumn("__c", chosen).drop("__b")
+        elif d == "forward":
+            out = u.withColumn("__f", fwd).filter(F.col("__side") == 1)
+            chosen = F.col("__f") if tol <= 0 else F.when(fdt <= tol,
+                                                          F.col("__f"))
+            out = out.withColumn("__c", chosen).drop("__f")
+        else:  # nearest: both frames over ONE sorted exchange; an
+            # equal-timestamp right row lands in the backward frame
+            # with distance 0, which always wins — so the forward
+            # frame skipping it is harmless, and backward wins ties
+            out = (u.withColumn("__b", back).withColumn("__f", fwd)
+                   .filter(F.col("__side") == 1))
+            if tol > 0:
+                out = (out.withColumn("__b", F.when(bdt <= tol,
+                                                    F.col("__b")))
+                       .withColumn("__f", F.when(fdt <= tol,
+                                                 F.col("__f"))))
+            chosen = (F.when(F.col("__b").isNull(), F.col("__f"))
+                      .when(F.col("__f").isNull(), F.col("__b"))
+                      .when(fdt < bdt, F.col("__f"))
+                      .otherwise(F.col("__b")))
+            out = out.withColumn("__c", chosen).drop("__b", "__f")
         out = out.withColumn("asof_ts", F.col("__c.__rt"))
         for c in value_cols:
             out = out.withColumn(c, F.col(f"__c.{c}"))

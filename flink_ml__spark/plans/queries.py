@@ -1330,6 +1330,74 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
 """
 
 
+def q_asof_forward_events(spark, sf_dir):
+    """Forward as-of join (earliest even-id event at-or-after each odd
+    event per user) — DuckDB replays it with a native ASOF LEFT JOIN
+    on the reversed inequality."""
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "value")
+    out = AsOfJoiner().setDirection("forward").join(left, right, ["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros("asof_ts").alias("asof_us"),
+        F.round("value", R).alias("asof_value"))
+
+
+ORACLE_ASOF_FORWARD = f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_id % 2 = 1),
+r AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+      WHERE event_id % 2 = 0)
+SELECT l.event_id, l.user_id, l.t AS t_us, r.t AS asof_us,
+       round(r.value, {R}) AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t
+"""
+
+
+def q_asof_nearest_events(spark, sf_dir):
+    """Nearest as-of join (closer of the backward/forward matches,
+    ties backward) — the oracle composes DuckDB's two native ASOF
+    directions with a CASE arbiter."""
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "value")
+    out = AsOfJoiner().setDirection("nearest").join(left, right, ["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros("asof_ts").alias("asof_us"),
+        F.round("value", R).alias("asof_value"))
+
+
+ORACLE_ASOF_NEAREST = f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_id % 2 = 1),
+r AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+      WHERE event_id % 2 = 0),
+b AS (SELECT l.event_id, l.user_id, l.t, r.t AS bt, r.value AS bv
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t),
+f AS (SELECT l.event_id, r.t AS ft, r.value AS fv
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t)
+SELECT b.event_id, b.user_id, b.t AS t_us,
+       CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+            WHEN (ft - t) < (t - bt) THEN ft ELSE bt END AS asof_us,
+       round(CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+                  WHEN (ft - t) < (t - bt) THEN fv ELSE bv END,
+             {R}) AS asof_value
+FROM b JOIN f USING (event_id)
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """30-minute-gap sessionization of the event stream per user —
     native session_window aggregation; times emitted as epoch micros
@@ -2708,6 +2776,8 @@ QUERIES = {
     "quality_classifier_documents": q_quality_classifier_documents,
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
+    "asof_forward_events": q_asof_forward_events,
+    "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "bm25_retrieval_documents": q_bm25_documents,
@@ -2789,6 +2859,8 @@ ORACLES = {
     "quality_classifier_documents": ORACLE_QUALITY_CLASSIFIER,
     "sessionize_events": ORACLE_SESSIONIZE,
     "asof_join_events": ORACLE_ASOF_JOIN,
+    "asof_forward_events": ORACLE_ASOF_FORWARD,
+    "asof_nearest_events": ORACLE_ASOF_NEAREST,
     "range_join_events": ORACLE_RANGE_JOIN,
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "bm25_retrieval_documents": ORACLE_BM25,

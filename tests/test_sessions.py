@@ -179,3 +179,49 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning" in plan or "broadcast" in plan.lower()
+
+
+def test_asof_join_forward_and_nearest_goldens(spark):
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(5)), (2, 1, ts(10)), (3, 1, ts(2)),
+         (4, 2, ts(5)), (5, 1, ts(20)), (6, 1, ts(6.5))],
+        "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(3), 30.0), (1, ts(10), 100.0), (1, ts(15), 150.0)],
+        "user_id long, ts timestamp, value double")
+
+    fwd = {r["id"]: r for r in
+           (AsOfJoiner().setDirection("forward")
+            .join(left, right, ["value"])).collect()}
+    assert fwd[1]["value"] == 100.0           # earliest >= t(5) is t(10)
+    assert fwd[2]["value"] == 100.0           # equal timestamp matches
+    assert fwd[3]["value"] == 30.0
+    assert fwd[4]["value"] is None            # key absent
+    assert fwd[5]["value"] is None            # nothing after t(20)
+
+    near = {r["id"]: r for r in
+            (AsOfJoiner().setDirection("nearest")
+             .join(left, right, ["value"])).collect()}
+    assert near[1]["value"] == 30.0           # d=2min back vs 5min fwd
+    assert near[2]["value"] == 100.0          # exact hit
+    assert near[3]["value"] == 30.0           # only forward exists
+    assert near[5]["value"] == 150.0          # only backward exists
+    assert near[6]["value"] == 30.0           # 3.5min tie -> backward
+
+    # forward tolerance nulls out far-future matches
+    ftol = {r["id"]: r for r in
+            (AsOfJoiner().setDirection("forward").setToleranceSec(120.0)
+             .join(left, right, ["value"])).collect()}
+    assert ftol[3]["value"] == 30.0           # 1 min ahead, fresh
+    assert ftol[1]["value"] is None           # 5 min ahead, stale
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        AsOfJoiner().setDirection("sideways")
