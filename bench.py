@@ -90,6 +90,7 @@ HEADLINE = [
     "rollup_gapfill_events",
     "bm25_retrieval_documents",
     "heavy_hitters_documents",
+    "bigram_lm_documents",
 ]
 
 

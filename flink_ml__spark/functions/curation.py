@@ -1230,6 +1230,179 @@ class UnigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
         return model
 
 
+class BigramLMModel(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Scores documents under a fitted interpolated bigram LM (see
+    :class:`BigramLM`). Appends::
+
+        mean_logprob  mean per-token log-probability: position 1 under
+                      the unigram distribution, positions i >= 2 under
+                      ``λ·p_ML(w_i|w_{i-1}) + (1−λ)·p_uni(w_i)``
+                      (Jelinek-Mercer interpolation — p_ML falls to 0
+                      when the bigram or its history is unmodeled, so
+                      the unigram term is the backoff)
+        bigram_frac   fraction of positions i >= 2 whose bigram is in
+                      the model (NULL when the document has < 2 tokens)
+
+    Documents with no tokens (including NULL text) score NULL for both.
+
+    Plan: both count tables are capped at fit time, so apply is a
+    single Arrow map pass over broadcast dicts — zero shuffles, hence
+    stream-compatible unchanged (the same batch/stream parity contract
+    as :class:`UnigramLMModel`).
+    """
+
+    def __init__(self, unigrams: DataFrame | None = None,
+                 bigrams: DataFrame | None = None,
+                 total: int | None = None, lam: float = 0.7):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id")
+        self._unigrams = unigrams    # (token string, cnt long)
+        self._bigrams = bigrams      # (w1 string, w2 string, cnt long)
+        self._total = total
+        self._lam = lam
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        # O(maxVocab + maxBigrams) driver pull — the shippable-artifact
+        # contract of the LM family (UnigramLMModel note applies)
+        uni = {r["token"]: r["cnt"] for r in self._unigrams.collect()}
+        big = {(r["w1"], r["w2"]): r["cnt"]
+               for r in self._bigrams.collect()}
+        bc_u = df.sparkSession.sparkContext.broadcast(uni)
+        bc_b = df.sparkSession.sparkContext.broadcast(big)
+        total = float(self._total)
+        lam = self._lam
+        tok_pat = TOKEN_SPLIT
+
+        @F.pandas_udf("struct<mean_logprob:double,bigram_frac:double>")
+        def score(texts):
+            import math
+            import re
+
+            rx = re.compile(tok_pat)
+            um, bm = bc_u.value, bc_b.value
+            out = []
+            for t in texts:
+                toks = ([w for w in rx.split(t.lower()) if w]
+                        if t is not None else [])
+                if not toks:
+                    out.append((None, None))
+                    continue
+
+                def puni(w):
+                    return um.get(w, 1) / total if w in um else 1.0 / total
+
+                s = math.log(puni(toks[0]))
+                hits = 0
+                for i in range(1, len(toks)):
+                    w1, w2 = toks[i - 1], toks[i]
+                    c1 = um.get(w1)
+                    cb = bm.get((w1, w2))
+                    pml = (cb / c1) if (cb is not None and c1) else 0.0
+                    if cb is not None:
+                        hits += 1
+                    s += math.log(lam * pml + (1.0 - lam) * puni(w2))
+                n = len(toks)
+                out.append((s / n, hits / (n - 1) if n > 1 else None))
+            return pd.DataFrame(out,
+                                columns=["mean_logprob", "bigram_frac"])
+
+        s = score(F.col(self.getInputCol()))
+        return (df.withColumn("mean_logprob", s["mean_logprob"])
+                .withColumn("bigram_frac", s["bigram_frac"]))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        self._unigrams.write.mode("overwrite").parquet(
+            os.path.join(path, "unigrams"))
+        self._bigrams.write.mode("overwrite").parquet(
+            os.path.join(path, "bigrams"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"total": self._total, "lam": self._lam}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        self._unigrams = spark.read.parquet(os.path.join(path, "unigrams"))
+        self._bigrams = spark.read.parquet(os.path.join(path, "bigrams"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self._total, self._lam = meta["total"], meta["lam"]
+
+
+class BigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Interpolated bigram language model for fluency scoring — one
+    rung up from :class:`UnigramLM` toward CCNet's Kneser-Ney 5-gram
+    (Wenzek et al., LREC 2020), still fully SQL-replayable: exact
+    counts, Jelinek-Mercer interpolation (Jelinek & Mercer 1980) with
+    a fixed weight, deterministic vocabulary cuts.
+
+    ``fit(corpus)``: one hash aggregation over the exploded token
+    stream for unigram counts (top ``maxVocab``, ties on token) and
+    one over adjacent pairs for bigram counts (top ``maxBigrams``,
+    ties on the pair) — both cuts are ``TakeOrderedAndProject``
+    (per-partition heaps, no global sort). The pair stream comes from
+    a map-side ``explode`` of each document's zipped token array — no
+    self-join. Model size is O(maxVocab + maxBigrams) by construction.
+    """
+
+    maxVocab = Param(Params._dummy(), "maxVocab",
+                     "most-frequent tokens kept", TypeConverters.toInt)
+    maxBigrams = Param(Params._dummy(), "maxBigrams",
+                       "most-frequent bigrams kept", TypeConverters.toInt)
+    interpWeight = Param(Params._dummy(), "interpWeight",
+                         "λ on the bigram ML term", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id", maxVocab=65536,
+                         maxBigrams=1 << 18, interpWeight=0.7)
+
+    def setMaxVocab(self, v):
+        return self._set(maxVocab=v)
+
+    def setMaxBigrams(self, v):
+        return self._set(maxBigrams=v)
+
+    def setInterpWeight(self, v):
+        return self._set(interpWeight=float(v))
+
+    def _toks(self) -> Column:
+        return F.filter(F.split(F.lower(F.col(self.getInputCol())),
+                                TOKEN_SPLIT), lambda t: t != "")
+
+    def fit(self, df: DataFrame) -> BigramLMModel:
+        toks = self._toks()
+        tok_stream = df.select(F.explode(toks).alias("token"))
+        total = tok_stream.agg(F.count(F.lit(1))).first()[0] or 1
+        unigrams = (tok_stream.groupBy("token")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), F.asc("token"))
+                    .limit(self.getOrDefault(self.maxVocab)))
+        # adjacent pairs: zip the token array against its own tail
+        # map-side (arrays_zip + slice), then ONE explode + groupBy
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))))
+        bigrams = (df.select(F.explode(pairs).alias("p"))
+                   .select(F.col("p")["0"].alias("w1"),
+                           F.col("p")["1"].alias("w2"))
+                   .groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).alias("cnt"))
+                   .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+                   .limit(self.getOrDefault(self.maxBigrams)))
+        model = BigramLMModel(unigrams.localCheckpoint(eager=True),
+                              bigrams.localCheckpoint(eager=True),
+                              int(total),
+                              self.getOrDefault(self.interpWeight))
+        model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
+        return model
+
+
 class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
     """Corpus-level frequent word-n-gram mining — the boilerplate
     detector a curation run uses to FIND the repeated phrases

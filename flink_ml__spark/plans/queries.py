@@ -1554,6 +1554,61 @@ FROM r WHERE "rank" <= 10
 """
 
 
+def q_bigram_lm_documents(spark, sf_dir):
+    """Interpolated bigram-LM fluency scores, fit and applied on the
+    same corpus — the oracle replays the deterministic vocab/bigram
+    cuts and the per-position interpolation in SQL. λ literals are
+    emitted with full repr so both engines interpolate with the SAME
+    doubles."""
+    from flink_ml__spark.functions.curation import BigramLM
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = (BigramLM().setMaxVocab(4096).setMaxBigrams(8192)
+             .setInterpWeight(0.7).fit(docs))
+    out = model.transform(docs)
+    return out.select("doc_id",
+                      F.round("mean_logprob", R).alias("mean_logprob"),
+                      F.round("bigram_frac", R).alias("bigram_frac"))
+
+
+_BLM_LAM, _BLM_1MLAM = repr(0.7), repr(1.0 - 0.7)
+ORACLE_BIGRAM_LM = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+ex AS (SELECT unnest(toks) AS token FROM toks),
+tot AS (SELECT count(*)::DOUBLE AS total FROM ex),
+uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1
+        ORDER BY cnt DESC, token ASC LIMIT 4096),
+bex AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+big AS (SELECT w1, w2, count(*) AS cnt FROM bex GROUP BY 1, 2
+        ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 8192),
+pos AS (SELECT doc_id, toks[i] AS w,
+               CASE WHEN i > 1 THEN toks[i-1] END AS prev, i
+        FROM toks, unnest(generate_series(1, len(toks))) AS u(i)),
+sc AS (SELECT p.doc_id,
+         CASE WHEN p.i = 1
+              THEN ln(coalesce(u2.cnt, 1)::DOUBLE / tot.total)
+              ELSE ln({_BLM_LAM} * (CASE WHEN b.cnt IS NOT NULL
+                                              AND u1.cnt IS NOT NULL
+                                         THEN b.cnt::DOUBLE / u1.cnt
+                                         ELSE 0.0 END)
+                      + {_BLM_1MLAM}
+                        * coalesce(u2.cnt, 1)::DOUBLE / tot.total)
+         END AS lp,
+         CASE WHEN p.i > 1 THEN (b.cnt IS NOT NULL)::INT END AS hit
+       FROM pos p
+       LEFT JOIN uni u2 ON p.w = u2.token
+       LEFT JOIN uni u1 ON p.prev = u1.token
+       LEFT JOIN big b ON p.prev = b.w1 AND p.w = b.w2
+       CROSS JOIN tot),
+agg AS (SELECT doc_id, avg(lp) AS mlp, avg(hit) AS bf
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, round(agg.mlp, {R}) AS mean_logprob,
+       round(agg.bf, {R}) AS bigram_frac
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_heavy_hitters_documents(spark, sf_dir):
     """Misra–Gries heavy hitters over the corpus token stream at 0.3%
     share — the sketch bounds the candidate set but the OUTPUT is
@@ -2782,6 +2837,7 @@ QUERIES = {
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "bigram_lm_documents": q_bigram_lm_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -2865,6 +2921,7 @@ ORACLES = {
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "bm25_retrieval_documents": ORACLE_BM25,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
+    "bigram_lm_documents": ORACLE_BIGRAM_LM,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),
     "pii_redact_documents": _oracle_pii_redact(),

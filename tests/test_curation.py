@@ -715,3 +715,88 @@ def test_quality_classifier_separation_and_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         QualityClassifierModel().transform(held)
+
+
+def _bigram_reference(corpus, doc, lam=0.7, max_vocab=10**6, max_bigrams=10**6):
+    import math
+    import re
+
+    tok = lambda s: [w for w in re.split(r"[^a-zA-Z0-9']+", (s or "").lower()) if w]
+    uni, big, total = {}, {}, 0
+    for t in corpus:
+        ws = tok(t)
+        total += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    uni = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab])
+    big = dict(sorted(big.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:max_bigrams])
+    ws = tok(doc)
+    if not ws:
+        return None, None
+    puni = lambda w: (uni[w] if w in uni else 1.0) / total
+    s = math.log(puni(ws[0]))
+    hits = 0
+    for a, b in zip(ws, ws[1:]):
+        cb = big.get((a, b))
+        pml = cb / uni[a] if (cb is not None and uni.get(a)) else 0.0
+        if cb is not None:
+            hits += 1
+        s += math.log(lam * pml + (1 - lam) * puni(b))
+    return s / len(ws), (hits / (len(ws) - 1) if len(ws) > 1 else None)
+
+
+def test_bigram_lm_matches_reference(spark):
+    from flink_ml__spark.functions.curation import BigramLM
+
+    corpus_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat naps under the warm sun",
+        "a slow green turtle walks past the quick brown fox",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string")
+    probes = ["the quick brown fox", "purple elephants sing opera",
+              "fox", None, ""]
+    probe_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probes)], "doc_id long, text string")
+    model = BigramLM().fit(corpus)
+    got = {r["doc_id"]: r for r in model.transform(probe_df).collect()}
+    import pytest as _pytest
+    for i, t in enumerate(probes):
+        mlp, bf = _bigram_reference(corpus_texts, t)
+        if mlp is None:
+            assert got[i]["mean_logprob"] is None
+            assert got[i]["bigram_frac"] is None
+        else:
+            assert got[i]["mean_logprob"] == _pytest.approx(mlp, rel=1e-12)
+            if bf is None:
+                assert got[i]["bigram_frac"] is None
+            else:
+                assert got[i]["bigram_frac"] == _pytest.approx(bf)
+    # in-corpus text outscores gibberish, and its bigrams all hit
+    assert got[0]["mean_logprob"] > got[1]["mean_logprob"]
+    assert got[0]["bigram_frac"] == 1.0
+    assert got[1]["bigram_frac"] == 0.0
+
+
+def test_bigram_lm_caps_and_save_load(spark, tmp_path):
+    from flink_ml__spark.functions.curation import BigramLM, BigramLMModel
+
+    corpus = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b d")], "doc_id long, text string")
+    model = (BigramLM().setMaxVocab(2).setMaxBigrams(2)
+             .fit(corpus))
+    # vocab cap keeps the 2 most frequent tokens (a:4, b:3)
+    assert {r["token"] for r in model._unigrams.collect()} == {"a", "b"}
+    assert model._bigrams.count() == 2
+
+    probe = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    before = model.transform(probe).first()["mean_logprob"]
+    path = str(tmp_path / "bigram_lm")
+    model.save(path)
+    loaded = BigramLMModel.load(spark, path)
+    assert loaded.transform(probe).first()["mean_logprob"] == before

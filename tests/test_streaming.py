@@ -44,6 +44,7 @@ def test_map_only_operators_stream_compatible(spark):
     import tempfile as _tf
 
     from flink_ml__spark.functions.curation import (
+        BigramLM,
         DeterministicSplitter,
         LineFilter,
         UnigramLM,
@@ -65,10 +66,11 @@ def test_map_only_operators_stream_compatible(spark):
         # model fit on the static corpus, applied to the stream — the
         # CCNet stream-scoring shape (broadcast vocab, map-only apply)
         lm = UnigramLM().setMaxVocab(500).fit(docs)
+        blm = BigramLM().setMaxVocab(500).setMaxBigrams(2000).fit(docs)
         out = stream
         for op in [TextNormalizer(), PiiRedactor(), LineFilter(),
                    TokenCounter(), LanguageIdentifier(), QualityScorer(),
-                   DeterministicSplitter(), lm]:
+                   DeterministicSplitter(), blm, lm]:
             out = op.transform(out)
         assert out.isStreaming
         q = (out.writeStream.format("memory").queryName("mapops")
@@ -87,6 +89,14 @@ def test_map_only_operators_stream_compatible(spark):
                   for r in lm.transform(docs)
                   .select("doc_id", "mean_logprob", "oov_frac").collect()}
         assert got == expect
+        # bigram-LM stream scores equal batch too (the unigram stage
+        # runs last so it owns mean_logprob; bigram_frac survives)
+        got_bf = {r["doc_id"]: r["bigram_frac"] for r in spark.sql(
+            "SELECT doc_id, bigram_frac FROM mapops").collect()}
+        expect_bf = {r["doc_id"]: r["bigram_frac"]
+                     for r in blm.transform(docs)
+                     .select("doc_id", "bigram_frac").collect()}
+        assert got_bf == expect_bf
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
