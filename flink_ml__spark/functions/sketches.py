@@ -113,14 +113,20 @@ class HeavyHitters(AlgoOperator, HasInputCol):
             lambda t: t != "")
         return df.select(F.explode(toks).alias("__item"))
 
-    def candidates(self, df: DataFrame) -> tuple[list, int]:
-        """Merged Misra–Gries candidate items and the exact total item
-        count (one sketch pass)."""
+    def _check_capacity(self) -> int:
         k = self.getNumCounters()
         if k <= 1.0 / self.getMinShare():
             raise ValueError(
                 "numCounters must exceed 1/minShare for the "
                 "no-false-negative guarantee")
+        return k
+
+    def sketch_partials(self, df: DataFrame) -> tuple[list, int]:
+        """One distributed sketch pass: the collected per-partition
+        Misra–Gries counters (``[(item, weight), ...]``, ≤ k per
+        partition) and the exact total item count. Mergeable — fold
+        them into any running summary with :func:`_mg_update`."""
+        k = self._check_capacity()
         items = self._items(df)
 
         def sketch(batches):
@@ -135,14 +141,23 @@ class HeavyHitters(AlgoOperator, HasInputCol):
                 "item": [*counters.keys(), None],
                 "w": [*counters.values(), total]})
 
-        merged: dict = {}
-        total = 0
+        partials, total = [], 0
         for row in items.mapInPandas(
                 sketch, "item string, w long").collect():
             if row["item"] is None:
                 total += row["w"]
             else:
-                _mg_update(merged, row["item"], row["w"], k)
+                partials.append((row["item"], row["w"]))
+        return partials, total
+
+    def candidates(self, df: DataFrame) -> tuple[list, int]:
+        """Merged Misra–Gries candidate items and the exact total item
+        count (one sketch pass)."""
+        k = self._check_capacity()
+        partials, total = self.sketch_partials(df)
+        merged: dict = {}
+        for item, w in partials:
+            _mg_update(merged, item, w, k)
         return list(merged), total
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -158,3 +173,43 @@ class HeavyHitters(AlgoOperator, HasInputCol):
                 .agg(F.count(F.lit(1)).alias("count"))
                 .filter(F.col("count") >= thresh)
                 .withColumn("share", F.col("count") / F.lit(total)))
+
+
+def stream_heavy_hitters(op: HeavyHitters, emit) -> "callable":
+    """Streaming frequent items: returns a ``foreachBatch`` processor
+    that folds each micro-batch's partition sketches into one running
+    Misra–Gries summary (mergeable summaries, PODS 2012) and calls
+    ``emit(snapshot, batch_id)`` with the current estimate —
+    ``[(item, min_count, max_count), ...]`` for every item whose
+    upper bound reaches ``minShare`` of the items seen so far.
+
+    Bounds: a merged MG summary of capacity k satisfies
+    ``w(x) <= count(x) <= w(x) + (n - Σw)/(k+1)`` — so ``min_count``
+    is a certain floor, ``max_count`` a certain ceiling, and NO item
+    above share 1/(k+1) is ever missing (the batch operator's exact
+    recount is unavailable mid-stream; run ``op.transform`` over the
+    accumulated store for the exact cut).
+
+    Per micro-batch cost: one sketch pass over the batch (map-only,
+    O(partitions·k) rows to the driver) plus an O(k) driver merge —
+    state is a single dict of ≤ k counters regardless of stream
+    length.
+    """
+    merged: dict = {}
+    totals = {"n": 0}
+    k = op._check_capacity()
+
+    def process(batch_df, batch_id: int) -> None:
+        partials, total = op.sketch_partials(batch_df)
+        for item, w in partials:
+            _mg_update(merged, item, w, k)
+        totals["n"] += total
+        n = totals["n"]
+        err = (n - sum(merged.values())) // (k + 1)
+        thresh = op.getMinShare() * n
+        snapshot = sorted(
+            (item, w, w + err) for item, w in merged.items()
+            if w + err >= thresh)
+        emit(snapshot, batch_id)
+
+    return process

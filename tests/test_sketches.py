@@ -78,3 +78,43 @@ def test_heavy_hitters_capacity_guard_and_empty(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == \
         ["item", "count", "share"]
+
+
+def test_stream_heavy_hitters_bounds_and_completeness(spark):
+    import shutil
+    import tempfile
+
+    from flink_ml__spark.functions.sketches import stream_heavy_hitters
+
+    rng = random.Random(3)
+    items = (["alpha"] * 400 + ["beta"] * 250
+             + [f"tail{i}" for i in range(1500)])
+    rng.shuffle(items)
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    op = (HeavyHitters().setItemCol("item").setMinShare(0.05)
+          .setNumCounters(64))
+
+    d = tempfile.mkdtemp(prefix="stream_hh_")
+    try:
+        # two files -> availableNow processes them as micro-batches
+        df.filter(F.crc32(F.col("item")) % 2 == 0) \
+          .coalesce(1).write.mode("overwrite").parquet(d + "/p0")
+        df.filter(F.crc32(F.col("item")) % 2 == 1) \
+          .coalesce(1).write.parquet(d + "/p0", mode="append")
+        stream = spark.readStream.schema(df.schema).parquet(d + "/p0")
+        seen = []
+        q = (stream.writeStream
+             .foreachBatch(stream_heavy_hitters(op, lambda s, b:
+                                                seen.append(s)))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert seen
+        final = {item: (lo, hi) for item, lo, hi in seen[-1]}
+        exact = _exact(items, 0.05)
+        # completeness: every true heavy hitter is present with a
+        # bracketing interval
+        for item, cnt in exact.items():
+            lo, hi = final[item]
+            assert lo <= cnt <= hi
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
