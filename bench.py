@@ -58,6 +58,7 @@ HEADLINE = [
     "dsir_weights_documents",
     "gopher_quality_documents",
     "quantize_embeddings",
+    "pca_invariants_embeddings",
     "lang_id_documents",
     "quality_documents",
     "quality_filter_documents",

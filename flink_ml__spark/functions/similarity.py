@@ -508,3 +508,151 @@ class SemDeDup(AlgoOperator, _SimilarityParams):
                 .applyInPandas(per_cell, f"__id {id_type}")
                 .withColumnRenamed("__id", idc))
         return df.join(kept, idc, "left_semi")
+
+
+class EmbeddingPCAModel(AlgoOperator, _SimilarityParams):
+    """Fitted PCA projection (see :class:`EmbeddingPCA`).
+
+    ``transform(df)`` appends ``pca`` — the embedding centered on the
+    corpus mean and projected onto the top-``k`` principal components
+    (``array<double>`` of length k). Map-only Arrow pass with the
+    (k × dims) component matrix broadcast — zero shuffles, stream-
+    compatible. ``explained_variance`` exposes the per-component
+    eigenvalues, ``explained_variance_ratio`` their share of total
+    variance.
+    """
+
+    def __init__(self, mean=None, components=None, eigvals=None,
+                 total_var: float | None = None):
+        super().__init__()
+        self._mean = mean                  # (dims,)
+        self._components = components      # (k, dims) rows orthonormal
+        self._eigvals = eigvals            # (k,) descending
+        self._total_var = total_var
+
+    @property
+    def explained_variance(self):
+        return list(self._eigvals)
+
+    @property
+    def explained_variance_ratio(self):
+        return [v / self._total_var for v in self._eigvals]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast((np.asarray(self._mean),
+                           np.asarray(self._components)))
+
+        @F.pandas_udf("array<double>")
+        def project(embs: pd.Series) -> pd.Series:
+            mean, W = bc.value
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            return pd.Series(list((X - mean) @ W.T))
+
+        arr = as_double_array(df, self.getEmbeddingCol())
+        return df.withColumn("pca", project(arr))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "pca.json"), "w") as f:
+            json.dump({"mean": list(self._mean),
+                       "components": [list(r) for r in self._components],
+                       "eigvals": list(self._eigvals),
+                       "total_var": self._total_var}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "pca.json")) as f:
+            d = json.load(f)
+        self._mean = d["mean"]
+        self._components = d["components"]
+        self._eigvals = d["eigvals"]
+        self._total_var = d["total_var"]
+
+
+class EmbeddingPCA(AlgoOperator, _SimilarityParams):
+    """PCA over an embedding column — the standard dimensionality cut
+    before ANN indexing / clustering (e.g. OPQ/PCA preprocessing in
+    FAISS-style pipelines; Jolliffe, Principal Component Analysis).
+
+    ``fit(df)`` computes the corpus mean and covariance in ONE
+    distributed pass and eigendecomposes DRIVER-side:
+
+    * each partition emits (n, Σx, ΣxxT) — O(dims²) doubles per
+      partition, independent of row count (the treeAggregate shape
+      shared with FCM);
+    * the driver assembles the covariance
+      ``(ΣxxT − n·mean·meanᵀ)/(n−1)``, runs ``numpy.linalg.eigh``
+      (dims ≤ a few thousand — trivially driver-sized), keeps the top
+      ``k`` eigenvectors, and pins a deterministic sign convention
+      (largest-|entry| coordinate positive) so refits are
+      reproducible bit-for-bit.
+
+    The model is O(k·dims) — broadcastable — and its ``transform`` is
+    map-only. Projection onto orthonormal components preserves
+    centered L2 distances restricted to the subspace; at 100 TB the
+    fit costs one scan and the apply fuses with the sink.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(k=8)
+
+    def fit(self, df: DataFrame) -> EmbeddingPCAModel:
+        import numpy as np
+
+        from flink_ml__spark.base import array_width
+
+        ecol = self.getEmbeddingCol()
+        dims = array_width(df, ecol)
+        k = min(self.getK(), dims)
+        arr = as_double_array(df, ecol)
+        src = df.select(arr.alias("__v"))
+
+        def partials(batches):
+            n = 0
+            sx = np.zeros(dims)
+            sxx = np.zeros((dims, dims))
+            for pdf in batches:
+                X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                n += len(X)
+                sx += X.sum(0)
+                sxx += X.T @ X
+            if n:
+                yield pd.DataFrame({
+                    "n": [n], "sx": [sx.tolist()],
+                    "sxx": [sxx.reshape(-1).tolist()]})
+
+        n = 0
+        sx = np.zeros(dims)
+        sxx = np.zeros((dims, dims))
+        for row in src.mapInPandas(
+                partials,
+                "n long, sx array<double>, sxx array<double>").collect():
+            n += row["n"]
+            sx += np.asarray(row["sx"])
+            sxx += np.asarray(row["sxx"]).reshape(dims, dims)
+        if n < 2:
+            raise ValueError("EmbeddingPCA needs at least 2 rows")
+        mean = sx / n
+        cov = (sxx - n * np.outer(mean, mean)) / (n - 1)
+        vals, vecs = np.linalg.eigh(cov)          # ascending
+        order = np.argsort(vals)[::-1][:k]
+        eigvals = vals[order]
+        W = vecs[:, order].T                      # (k, dims)
+        # deterministic sign: the max-|entry| coordinate is positive
+        for i in range(len(W)):
+            j = int(np.argmax(np.abs(W[i])))
+            if W[i, j] < 0:
+                W[i] = -W[i]
+        model = EmbeddingPCAModel(mean.tolist(), W.tolist(),
+                                  eigvals.tolist(),
+                                  float(np.trace(cov)))
+        model._set(embeddingCol=ecol, idCol=self.getIdCol(), k=k)
+        return model

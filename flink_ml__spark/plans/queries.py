@@ -413,6 +413,51 @@ FROM embeddings WHERE false
 """
 
 
+def q_pca_invariants_embeddings(spark, sf_dir):
+    """Hard gate for EmbeddingPCA (eigendecomposition has no SQL
+    oracle): emits one row per violated invariant — (a) a component
+    pair that is not orthonormal within 1e-8, (b) a projected
+    component whose SAMPLE VARIANCE over the data differs from its
+    eigenvalue by more than 1e-6 relative (the defining property of
+    PCA, recomputed through an independent aggregation over the
+    transformed frame), (c) an eigenvalue out of descending order.
+    Expected EMPTY; WHERE-false oracle makes this a hash-checked row.
+    """
+    import numpy as np
+
+    from flink_ml__spark.functions.similarity import EmbeddingPCA
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = EmbeddingPCA().setK(4).fit(emb)
+    W = np.asarray(model._components)
+    ev = model._eigvals
+    driver_viol = []
+    G = W @ W.T - np.eye(len(W))
+    if np.abs(G).max() > 1e-8:
+        driver_viol.append(("orthonormality", float(np.abs(G).max())))
+    for i in range(1, len(ev)):
+        if ev[i] > ev[i - 1]:
+            driver_viol.append((f"eig_order_{i}", float(ev[i])))
+    proj = model.transform(emb)
+    k = len(ev)
+    aggs = []
+    for i in range(k):
+        c = F.element_at("pca", i + 1)
+        aggs += [F.var_samp(c).alias(f"v{i}")]
+    row = proj.agg(*aggs).first()
+    for i in range(k):
+        if abs(row[f"v{i}"] - ev[i]) > 1e-6 * max(abs(ev[i]), 1e-12):
+            driver_viol.append((f"variance_{i}", float(row[f"v{i}"])))
+    return emb.sparkSession.createDataFrame(
+        driver_viol, "invariant string, value double")
+
+
+ORACLE_PCA_INVARIANTS = """
+SELECT 'x' AS invariant, 0.0::DOUBLE AS value FROM embeddings
+WHERE false
+"""
+
+
 def q_canopy_invariants_customer(spark, sf_dir):
     """Hard gate for seeded-iterative Canopy: every membership edge must
     satisfy dist(point, center) < T1 (center self-rows are distance 0).
@@ -2796,6 +2841,7 @@ QUERIES = {
     "apriori_rules_events": q_apriori_rules_events,
     "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    "pca_invariants_embeddings": q_pca_invariants_embeddings,
     "canopy_customer": q_canopy_customer,
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "mean_imputer_orders": q_mean_imputer_orders,
@@ -2876,6 +2922,7 @@ ORACLES = {
     # (no oracle); their INVARIANT gates below are hard expected-empty
     # checks (violations-only, WHERE-false oracle)
     "fcm_invariants_embeddings": ORACLE_FCM_INVARIANTS,
+    "pca_invariants_embeddings": ORACLE_PCA_INVARIANTS,
     "canopy_invariants_customer": ORACLE_CANOPY_INVARIANTS,
     "mean_imputer_orders": ORACLE_MEAN_IMPUTER,
     "standard_scaler_lineitem": ORACLE_STANDARD_SCALER,
