@@ -89,6 +89,8 @@ HEADLINE = [
     "asof_nearest_events",
     "range_join_events",
     "rollup_gapfill_events",
+    "trending_events",
+    "cohort_retention_events",
     "bm25_retrieval_documents",
     "heavy_hitters_documents",
     "bigram_lm_documents",

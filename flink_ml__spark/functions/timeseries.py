@@ -168,3 +168,135 @@ class TimeBucketRollup(AlgoOperator):
             F.timestamp_micros((F.col("__bk") * bw_us).cast("bigint")))
             .select(k, "bucket_start", "n_events", "sum_value",
                     "avg_value"))
+
+
+class TrendingItems(AlgoOperator):
+    """Per-time-bucket top-k items by occurrence ("trending now" /
+    windowed leaderboard): one bucket-keyed aggregation plus a keyed
+    top-k. Output::
+
+        bucket_start  timestamp of the bucket's left edge
+        <itemCol>     the item
+        n             occurrences in the bucket
+        rank          1-based within the bucket (count desc, item asc)
+
+    100 TB design: ``groupBy(bucket, item)`` is one partial-merged
+    shuffle; the per-bucket top-k compiles to ``WindowGroupLimit``
+    (running top-k pushed BELOW the window sort, per partition), so no
+    bucket's full item list is ever materialized or globally sorted.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    itemCol = Param(Params._dummy(), "itemCol", "item column",
+                    TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "bucket width in seconds",
+                           TypeConverters.toFloat)
+    topK = Param(Params._dummy(), "topK", "items per bucket",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", itemCol="event_type",
+                         bucketWidthSec=86400.0, topK=3)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setItemCol(self, v):
+        return self._set(itemCol=v)
+
+    def setBucketWidthSec(self, v):
+        return self._set(bucketWidthSec=float(v))
+
+    def setTopK(self, v):
+        return self._set(topK=int(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        item = self.getOrDefault(self.itemCol)
+        bw_us = int(self.getOrDefault(self.bucketWidthSec) * 1_000_000)
+        if bw_us <= 0:
+            raise ValueError("bucketWidthSec must be > 0")
+        bk = F.floor(F.unix_micros(F.col(t).cast("timestamp")) / bw_us)
+        counts = (df.filter(F.col(t).isNotNull()
+                            & F.col(item).isNotNull())
+                  .groupBy(bk.alias("__bk"), F.col(item))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        w = (Window.partitionBy("__bk")
+             .orderBy(F.desc("n"), F.asc(item)))
+        return (counts.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getOrDefault(self.topK))
+                .withColumn("bucket_start", F.timestamp_micros(
+                    (F.col("__bk") * bw_us).cast("bigint")))
+                .select("bucket_start", item, "n", "rank"))
+
+
+class CohortRetention(AlgoOperator):
+    """Cohort retention matrix over an event stream: users are
+    cohorted by the time bucket of their FIRST event; for every
+    (cohort, bucket-offset) cell the output counts how many of the
+    cohort's users were active ``age`` buckets later. Output::
+
+        cohort_start   timestamp of the cohort's bucket
+        age            bucket offset >= 0 (0 = the cohort bucket)
+        n_active       distinct cohort users active in that bucket
+        cohort_size    distinct users in the cohort
+        retention      n_active / cohort_size
+
+    100 TB design: three bounded aggregations — (user, bucket)
+    distinct activity (the only event-volume shuffle; partial
+    map-side dedup), per-user min bucket (O(users)), and the final
+    (cohort, age) count (O(users·active-buckets) input, O(cells)
+    output). The cohort-assignment join is keyed on user — AQE
+    broadcasts the O(users) side when small and shuffles co-keyed
+    otherwise; no window functions, no per-cohort sort anywhere.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    userCol = Param(Params._dummy(), "userCol", "user id column",
+                    TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "cohort/activity bucket width in seconds",
+                           TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", userCol="user_id",
+                         bucketWidthSec=7 * 86400.0)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setUserCol(self, v):
+        return self._set(userCol=v)
+
+    def setBucketWidthSec(self, v):
+        return self._set(bucketWidthSec=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        u = self.getOrDefault(self.userCol)
+        bw_us = int(self.getOrDefault(self.bucketWidthSec) * 1_000_000)
+        if bw_us <= 0:
+            raise ValueError("bucketWidthSec must be > 0")
+        bk = F.floor(F.unix_micros(F.col(t).cast("timestamp")) / bw_us)
+        active = (df.filter(F.col(t).isNotNull() & F.col(u).isNotNull())
+                  .select(F.col(u).alias("__u"), bk.alias("__bk"))
+                  .distinct())
+        cohorts = active.groupBy("__u").agg(F.min("__bk").alias("__c"))
+        sizes = cohorts.groupBy("__c").agg(
+            F.count(F.lit(1)).alias("cohort_size"))
+        cells = (active.join(cohorts, "__u")
+                 .groupBy("__c", (F.col("__bk") - F.col("__c"))
+                          .alias("age"))
+                 .agg(F.count(F.lit(1)).alias("n_active")))
+        return (cells.join(sizes, "__c")
+                .withColumn("retention",
+                            F.col("n_active") / F.col("cohort_size"))
+                .withColumn("cohort_start", F.timestamp_micros(
+                    (F.col("__c") * bw_us).cast("bigint")))
+                .select("cohort_start", "age", "n_active",
+                        "cohort_size", "retention"))

@@ -1550,6 +1550,64 @@ FROM j
 """
 
 
+def q_trending_events(spark, sf_dir):
+    """Per-day top-3 event types by count (windowed leaderboard) —
+    the keyed top-k compiles to WindowGroupLimit; DuckDB replays it
+    with a plain row_number window."""
+    from flink_ml__spark.functions.timeseries import TrendingItems
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (TrendingItems().setItemCol("event_type")
+           .setBucketWidthSec(86400.0).setTopK(3).transform(ev))
+    return out.select(F.unix_micros("bucket_start").alias("bucket_us"),
+                      "event_type", "n", "rank")
+
+
+_DAY_US = 86400 * 1_000_000
+ORACLE_TRENDING = f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // {_DAY_US})::BIGINT AS bk, event_type,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY bk ORDER BY n DESC, event_type ASC) AS "rank"
+      FROM c)
+SELECT bk * {_DAY_US} AS bucket_us, event_type, n, "rank"
+FROM r WHERE "rank" <= 3
+"""
+
+
+def q_cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention matrix over the event stream — three
+    bounded aggregations, no window functions; DuckDB replays the
+    same relational pipeline."""
+    from flink_ml__spark.functions.timeseries import CohortRetention
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (CohortRetention().setBucketWidthSec(7 * 86400.0)
+           .transform(ev))
+    return out.select(F.unix_micros("cohort_start").alias("cohort_us"),
+                      "age", "n_active", "cohort_size",
+                      F.round("retention", R).alias("retention"))
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+ORACLE_COHORT_RETENTION = f"""
+WITH a AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // {_WEEK_US})::BIGINT AS bk
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT user_id, min(bk) AS cohort FROM a GROUP BY 1),
+s AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY 1),
+cells AS (SELECT c.cohort, a.bk - c.cohort AS age,
+                 count(*) AS n_active
+          FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+SELECT cohort * {_WEEK_US} AS cohort_us, age, n_active, cohort_size,
+       round(n_active::DOUBLE / cohort_size, {R}) AS retention
+FROM cells JOIN s USING (cohort)
+"""
+
+
 def q_bm25_documents(spark, sf_dir):
     """BM25 top-10 retrieval: every doc_id%29==0 document's first 6
     tokens become a query against the whole corpus — exact relational
@@ -2881,6 +2939,8 @@ QUERIES = {
     "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
+    "trending_events": q_trending_events,
+    "cohort_retention_events": q_cohort_retention_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "bigram_lm_documents": q_bigram_lm_documents,
@@ -2966,6 +3026,8 @@ ORACLES = {
     "asof_nearest_events": ORACLE_ASOF_NEAREST,
     "range_join_events": ORACLE_RANGE_JOIN,
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
+    "trending_events": ORACLE_TRENDING,
+    "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "bm25_retrieval_documents": ORACLE_BM25,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,

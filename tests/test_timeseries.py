@@ -108,3 +108,69 @@ def test_rollup_densification_is_output_proportional(spark):
                  F.count(F.lit(1)).alias("n"))
             .filter(F.col("span") != F.col("n")))
     assert gaps.count() == 0
+
+
+def test_trending_items_goldens_and_plan(spark):
+    from flink_ml__spark.functions.timeseries import TrendingItems
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d, items in [(0, ["a"] * 3 + ["b"] * 2 + ["c"]),
+                     (1, ["c"] * 2 + ["a"] * 2 + ["d"])]:
+        rows += [(1, base + dt.timedelta(days=d, minutes=i), it)
+                 for i, it in enumerate(items)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, item string")
+    op = (TrendingItems().setItemCol("item").setBucketWidthSec(86400.0)
+          .setTopK(2))
+    out = op.transform(df)
+    got = [(r["bucket_start"].day, r["item"], r["n"], r["rank"])
+           for r in out.orderBy("bucket_start", "rank").collect()]
+    # day 2: a and c tie at 2 -> lexical tiebreak puts a first
+    assert got == [(1, "a", 3, 1), (1, "b", 2, 2),
+                   (2, "a", 2, 1), (2, "c", 2, 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_cohort_retention_goldens(spark):
+    from flink_ml__spark.functions.timeseries import CohortRetention
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(u, d):
+        return (u, base + dt.timedelta(days=d))
+
+    df = spark.createDataFrame(
+        [ev(1, 0), ev(1, 1), ev(1, 8),        # Jan 1, 2, 9
+         ev(2, 3),                            # Jan 4
+         ev(3, 9), ev(3, 16)],                # Jan 10, 17
+        "user_id long, ts timestamp")
+    out = CohortRetention().setBucketWidthSec(7 * 86400.0).transform(df)
+    got = {(r["cohort_start"].day, r["age"]):
+           (r["n_active"], r["cohort_size"], round(r["retention"], 6))
+           for r in out.collect()}
+    # buckets are EPOCH-aligned 7-day spans (like every bucket op
+    # here): Jan 1-3 fall in the span starting Dec 28; Jan 4-10 in
+    # the one starting Jan 4; Jan 11-17 in the one starting Jan 11.
+    # So user 1 (Jan 1, 2, 9) cohorts at Dec 28 and returns in the
+    # Jan 4 span; users 2 (Jan 4) and 3 (Jan 10, 17) cohort at Jan 4
+    # and only user 3 continues into Jan 11.
+    assert got == {
+        (28, 0): (1, 1, 1.0),
+        (28, 1): (1, 1, 1.0),
+        (4, 0): (2, 2, 1.0),
+        (4, 1): (1, 2, 0.5),
+    }
+
+
+def test_cohort_retention_age_zero_always_one(spark):
+    from flink_ml__spark.functions.timeseries import CohortRetention
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = (CohortRetention().setBucketWidthSec(7 * 86400.0)
+           .transform(ev))
+    # by construction every cohort member is active at age 0
+    bad = out.filter((F.col("age") == 0) & (F.col("retention") != 1.0))
+    assert bad.count() == 0
+    assert out.filter(F.col("age") < 0).count() == 0
