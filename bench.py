@@ -91,6 +91,7 @@ HEADLINE = [
     "rollup_gapfill_events",
     "trending_events",
     "cohort_retention_events",
+    "funnel_events",
     "bm25_retrieval_documents",
     "heavy_hitters_documents",
     "bigram_lm_documents",

@@ -300,3 +300,97 @@ class CohortRetention(AlgoOperator):
                     (F.col("__c") * bw_us).cast("bigint")))
                 .select("cohort_start", "age", "n_active",
                         "cohort_size", "retention"))
+
+
+class FunnelAnalyzer(AlgoOperator):
+    """Ordered-funnel conversion over an event stream: for a step
+    sequence ``[s1, s2, ..., sK]``, a user completes step i when an
+    event of type ``s_i`` occurs STRICTLY AFTER their completing
+    event of step i-1 (earliest-completion semantics — each step
+    binds to its first eligible event, the standard product-analytics
+    funnel rule). ``transform(df)`` returns one row per user who
+    completed at least step 1::
+
+        <userCol>   the user
+        t_step1..K  completion timestamps (NULL once the funnel broke)
+        n_steps     number of completed steps (>= 1)
+
+    ``summary(df)`` folds that into one row per step:
+    ``(step, step_name, n_users, conversion)`` where conversion is
+    relative to step-1 completers.
+
+    100 TB design: NO per-user event sort (the window/sessionize
+    formulation buffers each user's history; a skewed user pins one
+    task). Step i is a ``groupBy(user).min(ts)`` over ONLY the
+    ``s_i``-typed events joined against the step-(i-1) table on user
+    — K tiny aggregations over type-filtered slices (each a pushed
+    parquet predicate at the scan), each shuffling O(users) rows.
+    Earliest-completion needs nothing else: min(eligible ts) is
+    exactly the binding rule.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    userCol = Param(Params._dummy(), "userCol", "user id column",
+                    TypeConverters.toString)
+    typeCol = Param(Params._dummy(), "typeCol", "event type column",
+                    TypeConverters.toString)
+    steps = Param(Params._dummy(), "steps",
+                  "ordered event types forming the funnel",
+                  TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", userCol="user_id",
+                         typeCol="event_type", steps=[])
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setUserCol(self, v):
+        return self._set(userCol=v)
+
+    def setTypeCol(self, v):
+        return self._set(typeCol=v)
+
+    def setSteps(self, *v):
+        steps = list(v[0]) if len(v) == 1 and isinstance(v[0], (list, tuple)) else list(v)
+        if len(steps) < 1:
+            raise ValueError("need at least one funnel step")
+        return self._set(steps=steps)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        u = self.getOrDefault(self.userCol)
+        ty = self.getOrDefault(self.typeCol)
+        steps = self.getOrDefault(self.steps)
+        if not steps:
+            raise ValueError("setSteps(...) first")
+        ev = df.filter(F.col(t).isNotNull() & F.col(u).isNotNull())
+        cur = (ev.filter(F.col(ty) == steps[0])
+               .groupBy(u).agg(F.min(t).alias("t_step1")))
+        for i, s in enumerate(steps[1:], start=2):
+            nxt = (ev.filter(F.col(ty) == s)
+                   .select(F.col(u), F.col(t).alias("__t"))
+                   .join(cur.select(u, f"t_step{i-1}"), u)
+                   .filter(F.col("__t") > F.col(f"t_step{i-1}"))
+                   .groupBy(u).agg(F.min("__t").alias(f"t_step{i}")))
+            cur = cur.join(nxt.select(u, f"t_step{i}"), u, "left")
+        n = sum([F.when(F.col(f"t_step{i}").isNotNull(), 1).otherwise(0)
+                 for i in range(1, len(steps) + 1)])
+        return cur.withColumn("n_steps", n.cast("int"))
+
+    def summary(self, df: DataFrame) -> DataFrame:
+        steps = self.getOrDefault(self.steps)
+        per_user = self.transform(df)
+        aggs = [F.count(F.col(f"t_step{i}")).alias(f"c{i}")
+                for i in range(1, len(steps) + 1)]
+        row = per_user.agg(*aggs)
+        spark = df.sparkSession
+        counts = row.first()
+        base = counts["c1"] or 0
+        return spark.createDataFrame(
+            [(i, steps[i - 1], int(counts[f"c{i}"]),
+              (counts[f"c{i}"] / base) if base else 0.0)
+             for i in range(1, len(steps) + 1)],
+            "step int, step_name string, n_users long, conversion double")

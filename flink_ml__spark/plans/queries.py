@@ -1608,6 +1608,37 @@ FROM cells JOIN s USING (cohort)
 """
 
 
+def q_funnel_events(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user (earliest-
+    completion binding, strictly-after semantics) — DuckDB replays the
+    same chained min-after-previous-step aggregations."""
+    from flink_ml__spark.functions.timeseries import FunnelAnalyzer
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (FunnelAnalyzer().setSteps("view", "click", "purchase")
+           .transform(ev))
+    return out.select(
+        "user_id", F.unix_micros("t_step1").alias("t1_us"),
+        F.unix_micros("t_step2").alias("t2_us"),
+        F.unix_micros("t_step3").alias("t3_us"), "n_steps")
+
+
+ORACLE_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t > s2.t2 GROUP BY 1)
+SELECT s1.user_id, s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us,
+       (1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT)::INT
+       AS n_steps
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_bm25_documents(spark, sf_dir):
     """BM25 top-10 retrieval: every doc_id%29==0 document's first 6
     tokens become a query against the whole corpus — exact relational
@@ -2941,6 +2972,7 @@ QUERIES = {
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
+    "funnel_events": q_funnel_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "bigram_lm_documents": q_bigram_lm_documents,
@@ -3028,6 +3060,7 @@ ORACLES = {
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
+    "funnel_events": ORACLE_FUNNEL,
     "bm25_retrieval_documents": ORACLE_BM25,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,

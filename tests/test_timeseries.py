@@ -174,3 +174,38 @@ def test_cohort_retention_age_zero_always_one(spark):
     bad = out.filter((F.col("age") == 0) & (F.col("retention") != 1.0))
     assert bad.count() == 0
     assert out.filter(F.col("age") < 0).count() == 0
+
+
+def test_funnel_goldens(spark):
+    from flink_ml__spark.functions.timeseries import FunnelAnalyzer
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(u, m, ty):
+        return (u, base + dt.timedelta(minutes=m), ty)
+
+    df = spark.createDataFrame(
+        [ev(1, 0, "view"), ev(1, 5, "cart"), ev(1, 9, "buy"),   # full
+         ev(2, 0, "view"), ev(2, 3, "buy"),                     # skips cart:
+         ev(2, 7, "cart"),                                      # buy BEFORE
+         ev(3, 4, "cart"), ev(3, 6, "buy"),                     # never views
+         ev(4, 0, "view"),                                      # stops at 1
+         ev(5, 2, "view"), ev(5, 2, "cart")],                   # equal ts:
+        "user_id long, ts timestamp, event_type string")        # not AFTER
+    op = FunnelAnalyzer().setSteps("view", "cart", "buy")
+    got = {r["user_id"]: r for r in op.transform(df).collect()}
+    assert set(got) == {1, 2, 4, 5}              # user 3 never starts
+    assert got[1]["n_steps"] == 3
+    assert got[1]["t_step3"].minute == 9
+    # user 2: view@0 -> cart@7; buy@3 precedes the cart, so step 3
+    # never completes (ordered semantics)
+    assert got[2]["t_step2"].minute == 7
+    assert got[2]["t_step3"] is None
+    assert got[2]["n_steps"] == 2
+    assert got[4]["n_steps"] == 1
+    # strictly-after: cart at the same instant as view does not count
+    assert got[5]["n_steps"] == 1
+
+    summ = {r["step"]: (r["n_users"], round(r["conversion"], 6))
+            for r in op.summary(df).collect()}
+    assert summ == {1: (4, 1.0), 2: (2, 0.5), 3: (1, 0.25)}
