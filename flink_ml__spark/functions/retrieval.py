@@ -70,12 +70,17 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
               TypeConverters.toFloat)
     topK = Param(Params._dummy(), "topK", "results per query",
                  TypeConverters.toInt)
+    maxDfFraction = Param(Params._dummy(), "maxDfFraction",
+                          "drop query terms whose document frequency "
+                          "exceeds this fraction of the corpus "
+                          "(1.0 = exact, no pruning)",
+                          TypeConverters.toFloat)
 
     def __init__(self):
         super().__init__()
         self._setDefault(inputCol="text", idCol="doc_id",
                          queryIdCol="query_id", queryTextCol="query_text",
-                         k1=1.2, b=0.75, topK=10)
+                         k1=1.2, b=0.75, topK=10, maxDfFraction=1.0)
 
     def getQueryIdCol(self):
         return self.getOrDefault(self.queryIdCol)
@@ -106,6 +111,15 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
 
     def setTopK(self, v):
         return self._set(topK=int(v))
+
+    def getMaxDfFraction(self):
+        return self.getOrDefault(self.maxDfFraction)
+
+    def setMaxDfFraction(self, v):
+        v = float(v)
+        if not 0.0 < v <= 1.0:
+            raise ValueError("maxDfFraction must be in (0, 1]")
+        return self._set(maxDfFraction=v)
 
     def _toks(self, col) -> "F.Column":
         return F.filter(
@@ -175,6 +189,14 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
 
         dfreq = postings.groupBy("__term").agg(
             F.count(F.lit(1)).alias("__df"))
+        # candidate-set governor: a query term appearing in most of the
+        # corpus ("the") makes the probe O(queries x corpus) — the
+        # standard stop-word cut bounds candidates at the cost of
+        # dropping near-informationless terms (idf ~ ln(1 + 1) already
+        # scores them lowest). Inner-joining dfreq prunes the probe.
+        if self.getMaxDfFraction() < 1.0:
+            dfreq = dfreq.filter(
+                F.col("__df") <= self.getMaxDfFraction() * n_docs)
         idf = F.log(F.lit(1.0)
                     + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
                     / (F.col("__df") + 0.5))

@@ -108,3 +108,25 @@ def test_bm25_postings_reuse_and_broadcast_probe(spark, frames):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_df_pruning_drops_common_terms(spark):
+    rows = [(i, f"common rare{i}" if i < 2 else "common filler")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "common rare0")],
+                               "query_id long, query_text string")
+    full = BM25Retriever().retrieve(docs, qs)
+    pruned = (BM25Retriever().setMaxDfFraction(0.5)
+              .retrieve(docs, qs))
+    # unpruned: every doc matches via "common"; pruned: only doc 0
+    # (the sole holder of "rare0") remains a candidate
+    assert full.count() == 10
+    got = pruned.collect()
+    assert [r["doc_id"] for r in got] == [0]
+    # the surviving doc's score now counts only the rare term
+    want = _bm25_reference([(d, t) for d, t in rows], [(1, "rare0")])
+    assert got[0]["score"] == pytest.approx(want[1][0], rel=1e-12)
+
+    with pytest.raises(ValueError):
+        BM25Retriever().setMaxDfFraction(0.0)
