@@ -92,6 +92,7 @@ HEADLINE = [
     "trending_events",
     "cohort_retention_events",
     "funnel_events",
+    "pagerank_events",
     "bm25_retrieval_documents",
     "heavy_hitters_documents",
     "bigram_lm_documents",

@@ -1,0 +1,128 @@
+"""Graph operators over edge-list DataFrames.
+
+``PageRank`` — the classic damped random-surfer centrality (Page,
+Brin, Motwani & Winograd 1999), used in data curation as a
+document/host quality prior (e.g. harmonic/PageRank centrality over
+the web host graph in CommonCrawl-derived pipelines) and over
+similarity graphs (duplicate-pair edges) to pick canonical cluster
+members. A FIXED iteration count keeps the result deterministic and
+exactly SQL-replayable — the correctness gate replays every iteration
+as a chained CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator
+
+
+class PageRank(AlgoOperator):
+    """Damped PageRank with dangling-mass redistribution.
+
+    ``transform(edges)`` takes an edge list (``srcCol``, ``dstCol``;
+    parallel edges act as weights) and returns ``(node, rank)`` for
+    every node after exactly ``maxIter`` synchronous iterations of::
+
+        r'(v) = (1-d)/n + d · (Σ_{u→v} w(u,v)/W(u) · r(u) + D/n)
+
+    where ``W(u)`` is u's total out-weight, ``D`` the summed rank of
+    dangling nodes (no out-edges), and ranks start uniform at 1/n.
+    Ranks sum to 1 after every iteration (mass-conserving).
+
+    100 TB design: edges pre-aggregate to (src, dst, weight) ONCE
+    (the only edge-volume shuffle; the table persists across
+    iterations). Each iteration is one join of the O(nodes) rank
+    table against the weighted edges + a ``groupBy(dst)`` — the
+    sparse mat-vec shape, partial-merged map-side, with the dangling
+    mass a scalar aggregate folded in as a literal. Rank tables are
+    ``localCheckpoint``-ed per iteration so the plan stays O(1)
+    (the DuplicateClusterer discipline); swap for reliable
+    ``checkpoint`` on a real cluster. Driver traffic per iteration:
+    one scalar. No collect of nodes or edges, no adjacency lists.
+    """
+
+    srcCol = Param(Params._dummy(), "srcCol", "edge source column",
+                   TypeConverters.toString)
+    dstCol = Param(Params._dummy(), "dstCol", "edge destination column",
+                   TypeConverters.toString)
+    damping = Param(Params._dummy(), "damping", "damping factor d",
+                    TypeConverters.toFloat)
+    maxIter = Param(Params._dummy(), "maxIter",
+                    "exact synchronous iterations", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(srcCol="src", dstCol="dst", damping=0.85,
+                         maxIter=5)
+
+    def getSrcCol(self):
+        return self.getOrDefault(self.srcCol)
+
+    def setSrcCol(self, v):
+        return self._set(srcCol=v)
+
+    def getDstCol(self):
+        return self.getOrDefault(self.dstCol)
+
+    def setDstCol(self, v):
+        return self._set(dstCol=v)
+
+    def getDamping(self):
+        return self.getOrDefault(self.damping)
+
+    def setDamping(self, v):
+        return self._set(damping=float(v))
+
+    def getMaxIter(self):
+        return self.getOrDefault(self.maxIter)
+
+    def setMaxIter(self, v):
+        return self._set(maxIter=int(v))
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        s, t = self.getSrcCol(), self.getDstCol()
+        d = self.getDamping()
+        ew = (edges
+              .filter(F.col(s).isNotNull() & F.col(t).isNotNull())
+              .groupBy(F.col(s).alias("__s"), F.col(t).alias("__t"))
+              .agg(F.count(F.lit(1)).cast("double").alias("__w"))
+              .localCheckpoint(eager=True))
+        from pyspark.sql import Window
+
+        # transition weights folded once: w/W per edge. The per-src
+        # window avoids re-joining ew against its own aggregate
+        # (self-join attribute ambiguity) and runs over the PRE-
+        # AGGREGATED edge table — partition size = out-degree in
+        # distinct targets, not raw edge multiplicity
+        W = F.sum("__w").over(Window.partitionBy("__s"))
+        trans = (ew.select("__s", "__t",
+                           (F.col("__w") / W).alias("__p"))
+                 .localCheckpoint(eager=True))
+        nodes = (ew.select(F.col("__s").alias("node"))
+                 .union(ew.select(F.col("__t")))
+                 .distinct().localCheckpoint(eager=True))
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+        has_out = trans.select(F.col("__s").alias("node")).distinct()
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(self.getMaxIter()):
+            dangling = (ranks.join(has_out, "node", "left_anti")
+                        .agg(F.sum("rank")).first()[0]) or 0.0
+            contrib = (trans
+                       .join(ranks.withColumnRenamed("node", "__s"),
+                             "__s")
+                       .groupBy(F.col("__t").alias("node"))
+                       .agg(F.sum(F.col("__p") * F.col("rank"))
+                            .alias("__c")))
+            ranks = (nodes.join(contrib, "node", "left")
+                     .select("node",
+                             (F.lit((1.0 - d) / n)
+                              + F.lit(d) * (F.coalesce("__c", F.lit(0.0))
+                                            + F.lit(dangling / n)))
+                             .alias("rank"))
+                     .localCheckpoint(eager=True))
+        return ranks

@@ -1608,6 +1608,47 @@ FROM cells JOIN s USING (cohort)
 """
 
 
+def q_pagerank_events(spark, sf_dir):
+    """5-iteration damped PageRank over the interaction graph
+    (user_id → event_id%150 edges; parallel edges weight) — the fixed
+    iteration count makes the iterative algorithm deterministic, so
+    the oracle replays every iteration as a chained CTE. Literals are
+    emitted with full repr so both engines damp with the SAME
+    doubles."""
+    from flink_ml__spark.functions.graph import PageRank
+
+    ev = load_table(spark, "events", sf_dir)
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.col("event_id") % 150).alias("dst"))
+    out = PageRank().setMaxIter(5).transform(edges)
+    return out.select("node", F.round("rank", R).alias("rank"))
+
+
+def _oracle_pagerank(iters: int = 5, d: float = 0.85) -> str:
+    dd, omd = repr(d), repr(1.0 - d)
+    ctes = [f"""e AS (SELECT user_id AS src, event_id % 150 AS dst
+     FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+ew AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e GROUP BY 1, 2),
+tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+       FROM ew),
+nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""dg{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {p}
+        WHERE node NOT IN (SELECT src FROM ew)),
+c{i} AS (SELECT tr.dst AS node, sum(tr.p * {p}.rank) AS c
+        FROM tr JOIN {p} ON tr.src = {p}.node GROUP BY 1),
+r{i} AS (SELECT nodes.node,
+        {omd} / nn.n + {dd} * (coalesce(c{i}.c, 0.0) + dg{i}.dm / nn.n)
+        AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN dg{i}
+        LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(rank, {R}) AS rank FROM r{iters}")
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered view→click→purchase funnel per user (earliest-
     completion binding, strictly-after semantics) — DuckDB replays the
@@ -2973,6 +3014,7 @@ QUERIES = {
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
+    "pagerank_events": q_pagerank_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "bigram_lm_documents": q_bigram_lm_documents,
@@ -3061,6 +3103,7 @@ ORACLES = {
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,
+    "pagerank_events": _oracle_pagerank(),
     "bm25_retrieval_documents": ORACLE_BM25,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,

@@ -1,0 +1,59 @@
+"""PageRank: reference recomputation, mass conservation, dangling and
+multi-edge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.graph import PageRank
+
+
+def _pagerank_reference(edges, d=0.85, iters=5):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    w = {}
+    for s, t in edges:
+        w[(s, t)] = w.get((s, t), 0.0) + 1.0
+    W = {}
+    for (s, _), x in w.items():
+        W[s] = W.get(s, 0.0) + x
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if v not in W)
+        nr = {v: (1 - d) / n + d * dangling / n for v in nodes}
+        for (s, t), x in w.items():
+            nr[t] += d * (x / W[s]) * r[s]
+        r = nr
+    return r
+
+
+EDGES = [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+# node 5 appears only as a destination -> dangling
+EDGES_D = EDGES + [(3, 5)]
+
+
+@pytest.mark.parametrize("edges", [EDGES, EDGES_D])
+def test_pagerank_matches_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in PageRank().setMaxIter(5).transform(df).collect()}
+    want = _pagerank_reference(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_multi_edge_weighting(spark):
+    # 1 -> 2 twice and 1 -> 3 once: 2 receives twice 3's share from 1
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in (PageRank().setMaxIter(1).transform(df)).collect()}
+    n, d = 4, 0.85
+    base = (1 - d) / n
+    assert got[2] == pytest.approx(base + d * (2 / 3) * 0.25)
+
+
+def test_pagerank_empty_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, 2)], "src long, dst long")
+    assert PageRank().transform(df).count() == 0
