@@ -90,6 +90,7 @@ HEADLINE = [
     "range_join_events",
     "rollup_gapfill_events",
     "trending_events",
+    "anomaly_events",
     "cohort_retention_events",
     "funnel_events",
     "pagerank_events",

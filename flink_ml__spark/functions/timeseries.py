@@ -394,3 +394,86 @@ class FunnelAnalyzer(AlgoOperator):
               (counts[f"c{i}"] / base) if base else 0.0)
              for i in range(1, len(steps) + 1)],
             "step int, step_name string, n_users long, conversion double")
+
+
+class RollingAnomalyDetector(AlgoOperator):
+    """Rolling z-score anomaly flags over a per-key bucketed series
+    (the monitoring companion of :class:`TimeBucketRollup`: feed it
+    the rollup output, or any (key, time, value) frame). For each row,
+    the mean and sample standard deviation of the PRIOR ``window``
+    rows of the same key (current row excluded — no self-masking)
+    give::
+
+        roll_mean   trailing mean (NULL until `minPeriods` priors)
+        roll_std    trailing sample std (NULL likewise, or when the
+                    trailing window is constant)
+        zscore      (value - roll_mean) / roll_std
+        is_anomaly  |zscore| >= threshold (false where zscore NULL)
+
+    100 TB design: one per-key window pass whose frame holds at most
+    ``window`` rows — state is O(window) per task regardless of key
+    volume; feed BUCKETED series (rollup output), not raw events, so
+    partition row counts are time-span-bounded. Pure Catalyst window
+    aggregates, no Python.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    window = Param(Params._dummy(), "window",
+                   "trailing rows in the baseline", TypeConverters.toInt)
+    minPeriods = Param(Params._dummy(), "minPeriods",
+                       "prior rows required before scoring",
+                       TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold",
+                      "|z| at/above which is_anomaly is true",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="bucket_start", keyCol="user_id",
+                         valueCol="avg_value", window=24, minPeriods=5,
+                         threshold=3.0)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setWindow(self, v):
+        return self._set(window=int(v))
+
+    def setMinPeriods(self, v):
+        return self._set(minPeriods=int(v))
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        n = self.getOrDefault(self.window)
+        mp = self.getOrDefault(self.minPeriods)
+        w = (Window.partitionBy(k).orderBy(t)
+             .rowsBetween(-n, -1))
+        cnt = F.count(F.col(v)).over(w)
+        mean = F.when(cnt >= mp, F.avg(F.col(v)).over(w))
+        std = F.when(cnt >= mp, F.stddev_samp(F.col(v)).over(w))
+        z = F.when(F.col("roll_std") > 0,
+                   (F.col(v) - F.col("roll_mean")) / F.col("roll_std"))
+        return (df.withColumn("roll_mean", mean)
+                .withColumn("roll_std", std)
+                .withColumn("zscore", z)
+                .withColumn("is_anomaly",
+                            F.coalesce(
+                                F.abs(F.col("zscore"))
+                                >= self.getOrDefault(self.threshold),
+                                F.lit(False))))

@@ -1550,6 +1550,52 @@ FROM j
 """
 
 
+def q_anomaly_events(spark, sf_dir):
+    """Rolling z-score anomaly flags over the 6-hour per-user rollup
+    (trailing 8-bucket baseline, current row excluded, min 4 priors)
+    — pure window math, replayed verbatim in SQL."""
+    from flink_ml__spark.functions.timeseries import (
+        RollingAnomalyDetector,
+        TimeBucketRollup,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    roll = (TimeBucketRollup().setBucketWidthSec(6 * 3600.0)
+            .setFill("null").transform(ev))
+    out = (RollingAnomalyDetector().setWindow(8).setMinPeriods(4)
+           .setThreshold(2.0).transform(roll))
+    return out.select(
+        "user_id", F.unix_micros("bucket_start").alias("bucket_us"),
+        F.round("avg_value", R).alias("avg_value"),
+        F.round("zscore", R).alias("zscore"), "is_anomaly")
+
+
+ORACLE_ANOMALY = f"""
+WITH a AS (
+  SELECT user_id, (epoch_us(ts) // {_BW_US})::BIGINT AS bk,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM a GROUP BY 1),
+dense AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bk
+          FROM span),
+j AS (SELECT d.user_id, d.bk, a.avg_value
+      FROM dense d LEFT JOIN a ON d.user_id = a.user_id AND d.bk = a.bk),
+z AS (SELECT user_id, bk, avg_value,
+        CASE WHEN count(avg_value) OVER w >= 4
+             THEN avg(avg_value) OVER w END AS m,
+        CASE WHEN count(avg_value) OVER w >= 4
+             THEN stddev_samp(avg_value) OVER w END AS s
+      FROM j WINDOW w AS (PARTITION BY user_id ORDER BY bk
+                          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+SELECT user_id, bk * {_BW_US} AS bucket_us,
+       round(avg_value, {R}) AS avg_value,
+       round(CASE WHEN s > 0 THEN (avg_value - m) / s END, {R}) AS zscore,
+       coalesce(abs(CASE WHEN s > 0 THEN (avg_value - m) / s END) >= 2.0,
+                false) AS is_anomaly
+FROM z
+"""
+
+
 def q_trending_events(spark, sf_dir):
     """Per-day top-3 event types by count (windowed leaderboard) —
     the keyed top-k compiles to WindowGroupLimit; DuckDB replays it
@@ -3011,6 +3057,7 @@ QUERIES = {
     "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
+    "anomaly_events": q_anomaly_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -3100,6 +3147,7 @@ ORACLES = {
     "asof_nearest_events": ORACLE_ASOF_NEAREST,
     "range_join_events": ORACLE_RANGE_JOIN,
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
+    "anomaly_events": ORACLE_ANOMALY,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

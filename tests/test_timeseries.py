@@ -209,3 +209,38 @@ def test_funnel_goldens(spark):
     summ = {r["step"]: (r["n_users"], round(r["conversion"], 6))
             for r in op.summary(df).collect()}
     assert summ == {1: (4, 1.0), 2: (2, 0.5), 3: (1, 0.25)}
+
+
+def test_rolling_anomaly_goldens(spark):
+    import statistics
+
+    from flink_ml__spark.functions.timeseries import RollingAnomalyDetector
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 50.0, 10.0]
+    df = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        "user_id long, bucket_start timestamp, avg_value double")
+    op = (RollingAnomalyDetector().setWindow(5).setMinPeriods(3)
+          .setThreshold(3.0))
+    rows = sorted(op.transform(df).collect(),
+                  key=lambda r: r["bucket_start"])
+    # first 3 rows: too few priors
+    assert all(r["zscore"] is None for r in rows[:3])
+    assert not any(r["is_anomaly"] for r in rows[:3])
+    # row 6 (50.0) against priors [10.5, 9.5, 10.2, 9.8, 10.1]
+    prior = vals[1:6]
+    mu, sd = statistics.mean(prior), statistics.stdev(prior)
+    import pytest as _pytest
+    assert rows[6]["roll_mean"] == _pytest.approx(mu)
+    assert rows[6]["zscore"] == _pytest.approx((50.0 - mu) / sd)
+    assert rows[6]["is_anomaly"]
+    # the spike sits INSIDE row 7's baseline, inflating std: normal
+    assert not rows[7]["is_anomaly"]
+    # constant-baseline guard: std 0 -> NULL zscore, not inf
+    cdf = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=i), 5.0) for i in range(6)],
+        "user_id long, bucket_start timestamp, avg_value double")
+    crows = op.transform(cdf).collect()
+    assert all(r["zscore"] is None for r in crows)
+    assert not any(r["is_anomaly"] for r in crows)
