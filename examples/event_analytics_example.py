@@ -1,0 +1,79 @@
+"""End-to-end event-analytics tour over the events table: gap
+sessionization -> as-of feature lookup (backward/forward/nearest) ->
+point-in-interval attribution -> gap-filled rollups with locf ->
+rolling anomaly flags -> per-day trending event types -> weekly cohort
+retention -> ordered funnel conversion -> PageRank over the
+interaction graph — the telemetry/clickstream capabilities that sit
+beside the training-data curation chain (each stage is one of the
+gate queries)."""
+
+from _common import SF_DIR, get_session
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.graph import PageRank
+    from flink_ml__spark.functions.joins import AsOfJoiner, RangeJoiner
+    from flink_ml__spark.functions.sessions import Sessionizer
+    from flink_ml__spark.functions.timeseries import (
+        CohortRetention,
+        FunnelAnalyzer,
+        RollingAnomalyDetector,
+        TimeBucketRollup,
+        TrendingItems,
+    )
+    from flink_ml__spark.sources import load_table
+
+    spark = get_session("event-analytics-example")
+    ev = load_table(spark, "events", SF_DIR)
+
+    print("== 30-minute-gap sessions per user ==")
+    sessions = Sessionizer().setGap("30 minutes").transform(ev)
+    sessions.orderBy(F.desc("n_events")).show(5)
+
+    print("== nearest as-of: odd events pick up the closest even-id "
+          "event's value ==")
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "value")
+    AsOfJoiner().setDirection("nearest").join(left, right, ["value"]) \
+        .show(5)
+
+    print("== range join: events attributed to 2-hour windows ==")
+    ivs = (ev.filter(F.col("event_id") % 7 == 0)
+           .select("user_id", F.col("ts").alias("range_start"),
+                   (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                   .alias("range_end"), F.col("value").alias("iv_value")))
+    RangeJoiner().setBucketWidthSec(3600.0).join(
+        ev.select("event_id", "user_id", "ts"), ivs, ["iv_value"]) \
+        .show(5)
+
+    print("== gap-filled 6h rollup (locf) + rolling anomaly flags ==")
+    roll = (TimeBucketRollup().setBucketWidthSec(6 * 3600.0)
+            .setFill("locf").transform(ev))
+    flags = (RollingAnomalyDetector().setWindow(8).setMinPeriods(4)
+             .setThreshold(2.5).transform(roll))
+    flags.filter("is_anomaly").orderBy(F.desc(F.abs("zscore"))).show(5)
+
+    print("== per-day trending event types ==")
+    TrendingItems().setItemCol("event_type").setTopK(3).transform(ev) \
+        .orderBy("bucket_start", "rank").show(6)
+
+    print("== weekly cohort retention ==")
+    CohortRetention().transform(ev).orderBy("cohort_start", "age").show(6)
+
+    print("== view -> click -> purchase funnel ==")
+    FunnelAnalyzer().setSteps("view", "click", "purchase").summary(ev) \
+        .show()
+
+    print("== PageRank over the interaction graph ==")
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.col("event_id") % 150).alias("dst"))
+    PageRank().setMaxIter(5).transform(edges) \
+        .orderBy(F.desc("rank")).show(5)
+
+
+if __name__ == "__main__":
+    main()
