@@ -95,6 +95,7 @@ HEADLINE = [
     "funnel_events",
     "pagerank_events",
     "bm25_retrieval_documents",
+    "hybrid_rrf_documents",
     "heavy_hitters_documents",
     "bigram_lm_documents",
 ]

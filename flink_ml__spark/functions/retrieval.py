@@ -219,3 +219,94 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
              .orderBy(F.round("score", 9).desc(), F.col(idc).asc()))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK()))
+
+
+class ReciprocalRankFusion(AlgoOperator):
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    — the standard combiner for hybrid retrieval (lexical BM25 +
+    embedding ANN, or any mix of rankers): each input ranking
+    contributes ``1 / (k0 + rank)`` per (query, item) and the fused
+    score is the sum, so items high on ANY list surface without score
+    calibration across rankers.
+
+    ``fuse(rankings)`` takes a list of DataFrames sharing
+    ``(queryIdCol, itemCol, rankCol)`` and returns per query the
+    ``topK`` fused items::
+
+        <queryIdCol>  the query
+        <itemCol>     the item
+        rrf_score     Σ_r 1/(k0 + rank_r)   (absent lists contribute 0)
+        n_lists       rankings containing the item
+        rank          1-based fused rank (score desc, item asc)
+
+    100 TB design: a union of the ranked lists (each already ≤
+    per-ranker-k rows per query — ranking outputs, not corpora),
+    one ``groupBy(query, item)`` partial-merged aggregation, and a
+    keyed top-k window (`WindowGroupLimit`). Cost is proportional to
+    the LISTS, never the corpus; no joins between rankers.
+    """
+
+    queryIdCol = Param(Params._dummy(), "queryIdCol", "query id column",
+                       TypeConverters.toString)
+    itemCol = Param(Params._dummy(), "itemCol", "ranked item column",
+                    TypeConverters.toString)
+    rankCol = Param(Params._dummy(), "rankCol", "1-based rank column",
+                    TypeConverters.toString)
+    k0 = Param(Params._dummy(), "k0", "RRF smoothing constant",
+               TypeConverters.toFloat)
+    topK = Param(Params._dummy(), "topK", "fused results per query",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(queryIdCol="query_id", itemCol="doc_id",
+                         rankCol="rank", k0=60.0, topK=10)
+
+    def getQueryIdCol(self):
+        return self.getOrDefault(self.queryIdCol)
+
+    def setQueryIdCol(self, v):
+        return self._set(queryIdCol=v)
+
+    def getItemCol(self):
+        return self.getOrDefault(self.itemCol)
+
+    def setItemCol(self, v):
+        return self._set(itemCol=v)
+
+    def getRankCol(self):
+        return self.getOrDefault(self.rankCol)
+
+    def setRankCol(self, v):
+        return self._set(rankCol=v)
+
+    def getK0(self):
+        return self.getOrDefault(self.k0)
+
+    def setK0(self, v):
+        return self._set(k0=float(v))
+
+    def getTopK(self):
+        return self.getOrDefault(self.topK)
+
+    def setTopK(self, v):
+        return self._set(topK=int(v))
+
+    def fuse(self, rankings: list) -> "DataFrame":
+        if not rankings:
+            raise ValueError("need at least one ranking")
+        q, it, rk = (self.getQueryIdCol(), self.getItemCol(),
+                     self.getRankCol())
+        k0 = self.getK0()
+        u = None
+        for r in rankings:
+            part = r.select(q, it, rk)
+            u = part if u is None else u.unionByName(part)
+        fused = (u.groupBy(q, it)
+                 .agg(F.sum(1.0 / (F.lit(k0) + F.col(rk)))
+                      .alias("rrf_score"),
+                      F.count(F.lit(1)).alias("n_lists")))
+        w = (Window.partitionBy(q)
+             .orderBy(F.round("rrf_score", 12).desc(), F.col(it).asc()))
+        return (fused.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getTopK()))

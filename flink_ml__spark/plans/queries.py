@@ -1852,6 +1852,92 @@ FROM c CROSS JOIN n WHERE cnt >= 0.003 * n.n
 """
 
 
+def q_hybrid_rrf_documents(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 and exact cosine top-10
+    (doc_id and vec_id share the id space) fused with reciprocal rank
+    fusion — the oracle replays BOTH rankers and the fusion
+    arithmetic."""
+    from flink_ml__spark.functions.retrieval import (
+        BM25Retriever,
+        ReciprocalRankFusion,
+    )
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    toks = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                            TOKEN_SPLIT), lambda t: t != "")
+    qs = (docs.filter(F.col("doc_id") % 50 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(toks, 1, 6), " ")
+                  .alias("query_text")))
+    lex = BM25Retriever().setTopK(10).retrieve(docs, qs) \
+        .select("query_id", "doc_id", "rank")
+    sem = (CosineTopK().setK(10)
+           .topk(emb.filter(F.col("vec_id") % 50 == 0), emb)
+           .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                   "rank"))
+    fused = ReciprocalRankFusion().setK0(60.0).setTopK(10) \
+        .fuse([lex, sem])
+    return fused.select("query_id", "doc_id",
+                        F.round("rrf_score", R).alias("rrf_score"),
+                        "n_lists", "rank")
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(tf) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM documents) AS avgdl),
+q AS (SELECT doc_id AS query_id,
+             unnest(list_distinct(toks[1:6])) AS term
+      FROM toks WHERE doc_id % 50 = 0),
+m AS (SELECT q.query_id, tf.doc_id,
+             ln(1 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS s
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+sc AS (SELECT query_id, doc_id, sum(s) AS score FROM m GROUP BY 1, 2),
+lex AS (SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+        FROM sc),
+base AS (SELECT vec_id,
+                list_transform(embedding, v -> v::DOUBLE) AS emb
+         FROM embeddings),
+nv AS (SELECT vec_id, emb,
+              sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum'))
+              AS nrm FROM base),
+qv AS (SELECT * FROM nv WHERE vec_id % 50 = 0),
+cosd AS (SELECT qv.vec_id AS query_id, cv.vec_id AS doc_id,
+                list_dot_product(qv.emb, cv.emb) / (qv.nrm * cv.nrm)
+                AS cosine
+         FROM qv JOIN nv cv ON qv.vec_id <> cv.vec_id),
+sem AS (SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cosine DESC, doc_id ASC) AS "rank"
+        FROM cosd),
+u AS (SELECT query_id, doc_id, "rank" FROM lex WHERE "rank" <= 10
+      UNION ALL
+      SELECT query_id, doc_id, "rank" FROM sem WHERE "rank" <= 10),
+f AS (SELECT query_id, doc_id, sum(1.0 / (60.0 + "rank")) AS rrf,
+             count(*) AS n_lists
+      FROM u GROUP BY 1, 2),
+rr AS (SELECT *, row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY round(rrf, 12) DESC, doc_id ASC) AS "rank"
+       FROM f)
+SELECT query_id, doc_id, round(rrf, {R}) AS rrf_score, n_lists, "rank"
+FROM rr WHERE "rank" <= 10
+"""
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Hard gate for the model-based quality classifier (distributed
     L-BFGS has no SQL oracle): train on a planted separable split —
@@ -3063,6 +3149,7 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "pagerank_events": q_pagerank_events,
     "bm25_retrieval_documents": q_bm25_documents,
+    "hybrid_rrf_documents": q_hybrid_rrf_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "bigram_lm_documents": q_bigram_lm_documents,
     "fingerprint_documents": q_fingerprint_documents,
@@ -3153,6 +3240,7 @@ ORACLES = {
     "funnel_events": ORACLE_FUNNEL,
     "pagerank_events": _oracle_pagerank(),
     "bm25_retrieval_documents": ORACLE_BM25,
+    "hybrid_rrf_documents": ORACLE_HYBRID_RRF,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,
     "fingerprint_documents": ORACLE_FINGERPRINT,

@@ -130,3 +130,54 @@ def test_bm25_df_pruning_drops_common_terms(spark):
 
     with pytest.raises(ValueError):
         BM25Retriever().setMaxDfFraction(0.0)
+
+
+def test_rrf_fusion_goldens(spark):
+    from flink_ml__spark.functions.retrieval import ReciprocalRankFusion
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    sem = spark.createDataFrame(
+        [(1, 12, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rank long")
+    op = ReciprocalRankFusion().setK0(60.0).setTopK(3)
+    rows = {r["doc_id"]: r for r in op.fuse([lex, sem]).collect()}
+    # doc 12: 1/63 + 1/61; doc 10: 1/61 + 1/63 -> tie, doc 10 wins by id
+    assert rows[10]["rrf_score"] == pytest.approx(1 / 61 + 1 / 63)
+    assert rows[12]["rrf_score"] == pytest.approx(1 / 63 + 1 / 61)
+    assert rows[10]["rank"] == 1 and rows[12]["rank"] == 2
+    assert rows[10]["n_lists"] == 2
+    assert 13 not in rows or rows[13]["rank"] == 3   # single-list item
+    assert rows[11 in rows and 11 or 13]["n_lists"] == 1
+
+    with pytest.raises(ValueError):
+        op.fuse([])
+
+
+def test_rrf_end_to_end_hybrid(spark):
+    """BM25 lexical + embedding-cosine rankings fused over the real
+    tables (doc_id and vec_id share the id space at every SF)."""
+    from flink_ml__spark.functions.retrieval import (
+        BM25Retriever,
+        ReciprocalRankFusion,
+    )
+    from flink_ml__spark.functions.similarity import CosineTopK
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    toks = F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-z0-9']+")
+    qs = (docs.filter(F.col("doc_id") % 29 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(toks, 1, 6), " ")
+                  .alias("query_text")))
+    lex = BM25Retriever().setTopK(5).retrieve(docs, qs)
+    qe = (emb.join(qs.select(F.col("query_id").alias("vec_id")), "vec_id"))
+    sem = (CosineTopK().setK(5).topk(qe, emb)
+           .select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank")))
+    fused = ReciprocalRankFusion().setTopK(5).fuse([lex, sem])
+    n_q = qs.count()
+    assert fused.count() == n_q * 5
+    assert fused.filter(F.col("n_lists") > 2).count() == 0
