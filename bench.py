@@ -91,6 +91,7 @@ HEADLINE = [
     "rollup_gapfill_events",
     "trending_events",
     "anomaly_events",
+    "scd2_events",
     "cohort_retention_events",
     "funnel_events",
     "pagerank_events",

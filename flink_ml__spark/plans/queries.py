@@ -1596,6 +1596,36 @@ FROM z
 """
 
 
+def q_scd2_events(spark, sf_dir):
+    """Type-2 SCD history of each user's event_type "state" with
+    change compression — lag/lead window SQL replays it exactly."""
+    from flink_ml__spark.functions.timeseries import SCD2Builder
+
+    ev = load_table(spark, "events", sf_dir)
+    out = SCD2Builder().setAttrCols("event_type").transform(ev)
+    return out.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("from_us"),
+        F.unix_micros("valid_to").alias("to_us"), "is_current")
+
+
+ORACLE_SCD2 = """
+WITH src AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (SELECT *, lag(event_type) OVER w AS prev, lag(t) OVER w AS pt
+      FROM src WINDOW w AS (PARTITION BY user_id
+                            ORDER BY t, event_type)),
+v AS (SELECT user_id, t, event_type FROM m
+      WHERE pt IS NULL OR event_type IS DISTINCT FROM prev),
+o AS (SELECT user_id, event_type, t AS from_us,
+             lead(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_type) AS to_us
+      FROM v)
+SELECT user_id, event_type, from_us, to_us, to_us IS NULL AS is_current
+FROM o
+"""
+
+
 def q_trending_events(spark, sf_dir):
     """Per-day top-3 event types by count (windowed leaderboard) —
     the keyed top-k compiles to WindowGroupLimit; DuckDB replays it
@@ -3144,6 +3174,7 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "anomaly_events": q_anomaly_events,
+    "scd2_events": q_scd2_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -3235,6 +3266,7 @@ ORACLES = {
     "range_join_events": ORACLE_RANGE_JOIN,
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "anomaly_events": ORACLE_ANOMALY,
+    "scd2_events": ORACLE_SCD2,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

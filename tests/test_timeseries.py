@@ -244,3 +244,38 @@ def test_rolling_anomaly_goldens(spark):
     crows = op.transform(cdf).collect()
     assert all(r["zscore"] is None for r in crows)
     assert not any(r["is_anomaly"] for r in crows)
+
+
+def test_scd2_goldens(spark):
+    from flink_ml__spark.functions.timeseries import SCD2Builder
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ch(u, d, plan, region):
+        return (u, base + dt.timedelta(days=d), plan, region)
+
+    df = spark.createDataFrame(
+        [ch(1, 0, "free", "eu"), ch(1, 5, "free", "eu"),   # no change
+         ch(1, 9, "pro", "eu"), ch(1, 20, "pro", "us"),
+         ch(2, 3, "free", None), ch(2, 7, "free", None),   # NULL stable
+         ch(2, 11, "free", "apac")],
+        "user_id long, ts timestamp, plan string, region string")
+    out = (SCD2Builder().setAttrCols("plan", "region").transform(df))
+    rows = sorted(out.collect(),
+                  key=lambda r: (r["user_id"], r["valid_from"]))
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [(r["plan"], r["region"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None,
+             r["is_current"]) for r in u1] == [
+        ("free", "eu", 1, 10, False),     # day 5 restatement collapsed
+        ("pro", "eu", 10, 21, False),
+        ("pro", "us", 21, None, True)]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    # NULL region compares null-safe: day-7 restatement collapses
+    assert len(u2) == 2
+    assert u2[0]["region"] is None and not u2[0]["is_current"]
+    assert u2[1]["region"] == "apac" and u2[1]["is_current"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SCD2Builder().transform(df)
