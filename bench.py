@@ -45,6 +45,7 @@ HEADLINE = [
     "standard_scaler_lineitem",
     "time_features_orders",
     "auto_features_orders",
+    "winsorize_orders",
     "dedup_exact_documents",
     "dedup_minhash_documents",
     "dedup_simhash_documents",

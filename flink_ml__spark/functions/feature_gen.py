@@ -249,3 +249,84 @@ class AutoFeatureTransformer(AlgoOperator):
                 dropLast=False)
             out = enc.fit(out).transform(out)
         return out
+
+
+class WinsorizerModel(Model, _SingleColOutputParams):
+    """Fitted percentile clip (see :class:`Winsorizer`): appends
+    ``outputCol`` = input clamped to the fitted ``[lo, hi]``
+    (NULL passes through). Map-only codegen projection — the bounds
+    are folded in as literals."""
+
+    def __init__(self, lo: float | None = None, hi: float | None = None):
+        super().__init__()
+        self._lo, self._hi = lo, hi
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        x = F.col(self.getInputCol()).cast("double")
+        # greatest/least skip NULL operands (they would resurrect a
+        # NULL input as the bound) — guard explicitly
+        clipped = F.when(x.isNotNull(),
+                         F.least(F.greatest(x, F.lit(self._lo)),
+                                 F.lit(self._hi)))
+        return df.withColumn(self.getOutputCol(), clipped)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "bounds.json"), "w") as f:
+            json.dump({"lo": self._lo, "hi": self._hi}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "bounds.json")) as f:
+            d = json.load(f)
+        self._lo, self._hi = d["lo"], d["hi"]
+
+
+class Winsorizer(Estimator, _SingleColOutputParams):
+    """Percentile winsorization — clamp a numeric feature to its
+    ``[lowerPct, upperPct]`` EXACT interpolated percentiles (the
+    standard outlier guard before scaling/regression; Dixon 1960).
+    Exact ``percentile`` keeps the fit SQL-replayable; the per-group
+    variant of the same cut lives in ``CorpusProfiler``'s stats.
+
+    Fit is one aggregate (two interpolated order statistics — Spark
+    sorts only within the aggregation buffer); the model is two
+    doubles and its transform a map-only projection.
+    """
+
+    lowerPct = Param(Params._dummy(), "lowerPct",
+                     "lower clip percentile in [0, 1]",
+                     TypeConverters.toFloat)
+    upperPct = Param(Params._dummy(), "upperPct",
+                     "upper clip percentile in [0, 1]",
+                     TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="winsorized", lowerPct=0.05,
+                         upperPct=0.95)
+
+    def setLowerPct(self, v):
+        return self._set(lowerPct=float(v))
+
+    def setUpperPct(self, v):
+        return self._set(upperPct=float(v))
+
+    def fit(self, df: DataFrame) -> WinsorizerModel:
+        lo_p = self.getOrDefault(self.lowerPct)
+        hi_p = self.getOrDefault(self.upperPct)
+        if not 0.0 <= lo_p < hi_p <= 1.0:
+            raise ValueError("need 0 <= lowerPct < upperPct <= 1")
+        c = self.getInputCol()
+        row = df.agg(
+            F.expr(f"percentile({c}, {lo_p!r})").alias("lo"),
+            F.expr(f"percentile({c}, {hi_p!r})").alias("hi")).first()
+        if row["lo"] is None:
+            raise ValueError("no non-null values to fit on")
+        model = WinsorizerModel(float(row["lo"]), float(row["hi"]))
+        model._set(inputCol=c, outputCol=self.getOutputCol())
+        return model

@@ -1860,6 +1860,29 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def q_winsorize_orders(spark, sf_dir):
+    """Percentile winsorization of order totals at [p5, p95] — exact
+    interpolated percentiles, so DuckDB's quantile_cont replays the
+    fit and the clip verbatim."""
+    from flink_ml__spark.functions.feature_gen import Winsorizer
+
+    orders = load_table(spark, "orders", sf_dir)
+    model = Winsorizer().setInputCol("o_totalprice").fit(orders)
+    return (model.transform(orders)
+            .select("o_orderkey",
+                    F.round("winsorized", R).alias("winsorized")))
+
+
+ORACLE_WINSORIZE = f"""
+WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+                  quantile_cont(o_totalprice, 0.95) AS hi FROM orders)
+SELECT o_orderkey,
+       round(least(greatest(o_totalprice, b.lo), b.hi), {R})
+       AS winsorized
+FROM orders CROSS JOIN b
+"""
+
+
 def q_heavy_hitters_documents(spark, sf_dir):
     """Misra–Gries heavy hitters over the corpus token stream at 0.3%
     share — the sketch bounds the candidate set but the OUTPUT is
@@ -3140,6 +3163,7 @@ QUERIES = {
     "standard_scaler_lineitem": q_standard_scaler_lineitem,
     "time_features_orders": q_time_features_orders,
     "auto_features_orders": q_auto_features_orders,
+    "winsorize_orders": q_winsorize_orders,
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_exact_against_documents": q_dedup_exact_against_documents,
     "dedup_bloom_documents": q_dedup_bloom_documents,
@@ -3227,6 +3251,7 @@ ORACLES = {
     "standard_scaler_lineitem": ORACLE_STANDARD_SCALER,
     "time_features_orders": ORACLE_TIME_FEATURES,
     "auto_features_orders": ORACLE_AUTO_FEATURES,
+    "winsorize_orders": ORACLE_WINSORIZE,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_exact_against_documents": ORACLE_DEDUP_EXACT_AGAINST,
     "dedup_bloom_documents": ORACLE_DEDUP_BLOOM,

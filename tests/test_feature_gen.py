@@ -93,3 +93,36 @@ def test_auto_feature_transformer(spark):
     assert by_date["2023-06-30"]["value_imputed"] == 3.0
     assert by_date["2023-01-15"]["value_imputed"] == 1.0
     assert by_date["2023-01-15"]["feature_onehot"].toArray().tolist() == [1.0, 0.0, 0.0]
+
+
+def test_winsorizer_goldens_and_save_load(spark, tmp_path):
+    import pytest
+
+    from flink_ml__spark.functions.feature_gen import (
+        Winsorizer,
+        WinsorizerModel,
+    )
+
+    vals = [float(v) for v in range(1, 11)] + [1000.0, -500.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    model = (Winsorizer().setInputCol("x").setLowerPct(0.1)
+             .setUpperPct(0.9).fit(df))
+    # numpy's linear interpolation is the same definition Spark uses
+    import numpy as np
+    lo, hi = np.percentile(vals, [10, 90])
+    assert model._lo == pytest.approx(lo)
+    assert model._hi == pytest.approx(hi)
+    out = {r["x"]: r["winsorized"] for r in model.transform(df).collect()}
+    assert out[1000.0] == pytest.approx(hi)
+    assert out[-500.0] == pytest.approx(lo)
+    assert out[5.0] == 5.0
+    # NULL passes through; bad percentile bounds rejected
+    nd = spark.createDataFrame([(None,)], "x double")
+    assert model.transform(nd).first()["winsorized"] is None
+    with pytest.raises(ValueError):
+        Winsorizer().setInputCol("x").setLowerPct(0.9).setUpperPct(0.1) \
+            .fit(df)
+    p = str(tmp_path / "winsor")
+    model.save(p)
+    loaded = WinsorizerModel.load(spark, p)
+    assert loaded._lo == model._lo and loaded._hi == model._hi
