@@ -93,6 +93,7 @@ HEADLINE = [
     "trending_events",
     "anomaly_events",
     "scd2_events",
+    "zorder_key_events",
     "cohort_retention_events",
     "funnel_events",
     "pagerank_events",

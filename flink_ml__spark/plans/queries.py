@@ -1596,6 +1596,38 @@ FROM z
 """
 
 
+def q_zorder_key_events(spark, sf_dir):
+    """Morton z-order key over (user_id, value) at 8 bits/column —
+    the clustering key `write_zorder_parquet` lays files out by; the
+    oracle replays the quantization and the bit interleave
+    arithmetic (identical min/max aggregates → identical scale
+    doubles → identical cells)."""
+    from flink_ml__spark.sources.registry import zorder_key
+
+    ev = load_table(spark, "events", sf_dir)
+    key, _ = zorder_key(ev, ["user_id", "value"], bits=8)
+    return ev.select("event_id", key.alias("zkey"))
+
+
+def _oracle_zorder(bits: int = 8) -> str:
+    n = 1 << bits
+    terms = []
+    for ci, q in enumerate(["q0", "q1"]):
+        for b in range(bits):
+            terms.append(f"(({q} >> {b}) & 1) * {1 << (b * 2 + ci)}")
+    return f"""
+WITH s AS (SELECT min(user_id::DOUBLE) AS mn0, max(user_id::DOUBLE) AS mx0,
+                  min(value) AS mn1, max(value) AS mx1 FROM events),
+q AS (SELECT event_id,
+        coalesce(least(greatest(floor((user_id::DOUBLE - mn0)
+            * ({n} / (mx0 - mn0)))::BIGINT, 0), {n - 1}), 0) AS q0,
+        coalesce(least(greatest(floor((value - mn1)
+            * ({n} / (mx1 - mn1)))::BIGINT, 0), {n - 1}), 0) AS q1
+      FROM events CROSS JOIN s)
+SELECT event_id, ({' + '.join(terms)})::BIGINT AS zkey FROM q
+"""
+
+
 def q_scd2_events(spark, sf_dir):
     """Type-2 SCD history of each user's event_type "state" with
     change compression — lag/lead window SQL replays it exactly."""
@@ -3199,6 +3231,7 @@ QUERIES = {
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "anomaly_events": q_anomaly_events,
     "scd2_events": q_scd2_events,
+    "zorder_key_events": q_zorder_key_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -3292,6 +3325,7 @@ ORACLES = {
     "rollup_gapfill_events": ORACLE_ROLLUP_GAPFILL,
     "anomaly_events": ORACLE_ANOMALY,
     "scd2_events": ORACLE_SCD2,
+    "zorder_key_events": _oracle_zorder(),
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -172,3 +172,65 @@ def register_tables(spark: SparkSession, sf_dir: str | None = None,
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 8):
+    """Z-order (Morton) curve key over ``cols`` — the multi-column
+    clustering layout (Morton 1966; Delta Lake's OPTIMIZE ZORDER
+    uses the same idea): each column quantizes into ``2^bits``
+    equal-width cells between its min and max (a tiny driver
+    aggregate, folded in as literals), and the cell indices' bits
+    interleave so rows close in EVERY dimension get close keys.
+    Sorting/range-partitioning by the key clusters multi-dimensional
+    neighborhoods into the same files, so per-file min/max stats
+    prune scans filtered on ANY of the columns — single-column sort
+    orders only prune their leading column. Returns
+    ``(key_column, stats)`` where stats maps col → (min, max).
+
+    Total key width is ``bits·len(cols)`` and must fit a bigint
+    (≤ 62); NULLs and constant columns quantize to cell 0.
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    stats = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    n_cells = 1 << bits
+    key = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        mn, mx = stats[c]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant/empty column adds no bits
+        scale = n_cells / (mx - mn)
+        q = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(mn))
+                        * F.lit(scale)).cast("bigint"),
+                F.lit(0).cast("bigint")),
+            F.lit(n_cells - 1).cast("bigint"))
+        q = F.coalesce(q, F.lit(0).cast("bigint"))
+        for b in range(bits):
+            key = key + (F.shiftright(q, b).bitwiseAND(F.lit(1))
+                         * F.lit(1 << (b * len(cols) + ci)).cast("bigint"))
+    return key, stats
+
+
+def write_zorder_parquet(df: DataFrame, path: str, cols: list[str], *,
+                         bits: int = 8, num_files: int = 8,
+                         mode: str = "overwrite") -> None:
+    """Z-order clustered parquet sink: range-partition on the Morton
+    key into ``num_files`` splits and sort within each, so parquet
+    row-group/file min-max stats are tight on EVERY ``cols`` member
+    and scans filtered on any of them prune files. The key is layout
+    only — it is not written."""
+    key, _ = zorder_key(df, cols, bits=bits)
+    (df.withColumn("__zk", key)
+     .repartitionByRange(num_files, "__zk")
+     .sortWithinPartitions("__zk")
+     .drop("__zk")
+     .write.mode(mode).parquet(path))
