@@ -7,7 +7,10 @@ from flink_ml__spark.sources.registry import (
     register_tables,
     write_bucketed_table,
     write_parquet,
+    write_zorder_parquet,
+    zorder_key,
 )
 
 __all__ = ["TABLES", "load_table", "read_csv", "read_json", "read_stream",
-           "register_tables", "write_bucketed_table", "write_parquet"]
+           "register_tables", "write_bucketed_table", "write_parquet",
+           "write_zorder_parquet", "zorder_key"]
