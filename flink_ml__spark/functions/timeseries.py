@@ -120,10 +120,33 @@ class TimeBucketRollup(AlgoOperator):
                      F.sum(v).alias("sum_value"),
                      F.avg(v).alias("avg_value")))
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def merge_aggregates(self, old: DataFrame,
+                         new_df: DataFrame) -> DataFrame:
+        """Incremental continuous-aggregate maintenance: fold a new
+        batch of raw events into an existing :meth:`bucket_aggregates`
+        table WITHOUT rescanning history — count/sum merge additively
+        and the mean recomputes from them, so
+        ``merge_aggregates(bucket_aggregates(a), b) ==
+        bucket_aggregates(a ∪ b)`` (bit-equal counts; sums/means up
+        to fp summation order). Per-batch cost is one
+        aggregation over the BATCH plus a groupBy over touched-bucket
+        rows (the hypertable refresh shape; the foreachBatch body of
+        a streaming rollup)."""
+        k = self.getKeyCol()
+        merged = old.unionByName(self.bucket_aggregates(new_df))
+        return (merged.groupBy(k, "__bk")
+                .agg(F.sum("n_events").alias("n_events"),
+                     F.sum("sum_value").alias("sum_value"))
+                .withColumn("avg_value",
+                            F.col("sum_value") / F.col("n_events")))
+
+    def gapfill(self, agg: DataFrame) -> DataFrame:
+        """Densify + fill a :meth:`bucket_aggregates` (or
+        :meth:`merge_aggregates`) table — the finalize step of the
+        incremental path; ``transform`` = ``gapfill(bucket_aggregates
+        (df))``."""
         k = self.getKeyCol()
         bw_us = int(self.getBucketWidthSec() * 1_000_000)
-        agg = self.bucket_aggregates(df)
         # per-key span from the AGGREGATE (bucket-count sized, not
         # event sized); dense axis via sequence explode
         dense = (agg.groupBy(k)
@@ -168,6 +191,9 @@ class TimeBucketRollup(AlgoOperator):
             F.timestamp_micros((F.col("__bk") * bw_us).cast("bigint")))
             .select(k, "bucket_start", "n_events", "sum_value",
                     "avg_value"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.gapfill(self.bucket_aggregates(df))
 
 
 class TrendingItems(AlgoOperator):

@@ -279,3 +279,61 @@ def test_scd2_goldens(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         SCD2Builder().transform(df)
+
+
+def test_rollup_incremental_merge_equals_full(spark):
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    op = TimeBucketRollup().setBucketWidthSec(6 * 3600.0).setFill("locf")
+    a = ev.filter(F.col("event_id") % 3 != 0)
+    b = ev.filter(F.col("event_id") % 3 == 0)
+    full = {(r["user_id"], r["bucket_start"]):
+            (r["n_events"], round(r["sum_value"] or 0, 6),
+             round(r["avg_value"] or 0, 6))
+            for r in op.transform(ev).collect()}
+    inc_agg = op.merge_aggregates(op.bucket_aggregates(a), b)
+    inc = {(r["user_id"], r["bucket_start"]):
+           (r["n_events"], round(r["sum_value"] or 0, 6),
+            round(r["avg_value"] or 0, 6))
+           for r in op.gapfill(inc_agg).collect()}
+    assert inc == full
+
+
+def test_rollup_streaming_foreachbatch_maintenance(spark):
+    """The continuous-aggregate shape under Structured Streaming: each
+    micro-batch folds into the maintained store via merge_aggregates;
+    the final store gap-fills to the batch answer."""
+    import shutil
+    import tempfile
+
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    op = TimeBucketRollup().setBucketWidthSec(6 * 3600.0).setFill("null")
+    d = tempfile.mkdtemp(prefix="stream_rollup_")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1)           .write.mode("overwrite").parquet(d + "/in")
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1)           .write.parquet(d + "/in", mode="append")
+        stream = spark.readStream.schema(ev.schema).parquet(d + "/in")
+        state = {"agg": None}
+
+        def fold(batch_df, _bid):
+            if state["agg"] is None:
+                state["agg"] = op.bucket_aggregates(batch_df)                     .localCheckpoint(eager=True)
+            else:
+                state["agg"] = op.merge_aggregates(
+                    state["agg"], batch_df).localCheckpoint(eager=True)
+
+        q = (stream.writeStream.foreachBatch(fold)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["user_id"], r["bucket_start"]):
+               (r["n_events"], round(r["sum_value"] or 0, 6))
+               for r in op.gapfill(state["agg"]).collect()}
+        want = {(r["user_id"], r["bucket_start"]):
+                (r["n_events"], round(r["sum_value"] or 0, 6))
+                for r in op.transform(ev).collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
