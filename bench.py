@@ -84,6 +84,7 @@ HEADLINE = [
     "domain_divergence_documents",
     "line_dedup_documents",
     "token_budget_documents",
+    "weighted_sample_documents",
     "quality_classifier_documents",
     "sessionize_events",
     "asof_join_events",

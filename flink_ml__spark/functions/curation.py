@@ -1986,3 +1986,75 @@ class QualityClassifier(Estimator, HasInputCol, HasMaxIter):
             regParam=self.getRegParam(), standardization=False)
         model._lr = lr.fit(feats)
         return model
+
+
+class WeightedSampler(AlgoOperator, HasIdColMixin):
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006): each row draws ``u ∈ (0, 1]`` from a
+    salted md5 of its id and ranks by ``ln(u)/w`` — the top ``n``
+    rows are a weighted sample without replacement (inclusion odds
+    proportional to weight at each draw). Deterministic,
+    layout-independent and engine-portable: change ``salt`` to draw
+    an independent sample. Rows with NULL or non-positive weight are
+    excluded. Appends ``sample_key`` (the ranking key).
+
+    The quality-weighted corpus draw ("sample 1 M documents
+    proportional to quality score") this family's other samplers
+    don't cover: :class:`DomainBalancer` rations by group,
+    :class:`TokenBudgetSampler` fills budgets — this one biases BY a
+    per-row weight.
+
+    100 TB design: one map-side key projection, then ``orderBy +
+    limit`` compiles to ``TakeOrderedAndProject`` — per-partition
+    heaps of n rows merged on the driver, no global sort. Ranking
+    compares keys rounded to 12 decimals (id tiebreak) so the cut is
+    reproducible across engines' last-ulp ``ln`` differences.
+    """
+
+    weightCol = Param(Params._dummy(), "weightCol",
+                      "positive sampling weight column",
+                      TypeConverters.toString)
+    n = Param(Params._dummy(), "n", "sample size", TypeConverters.toInt)
+    salt = Param(Params._dummy(), "salt",
+                 "hash salt; change for an independent draw",
+                 TypeConverters.toString)
+
+    U_DENOM = float(1 << 60)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(weightCol="n_chars", n=100, salt="wsample",
+                         idCol="doc_id")
+
+    def getWeightCol(self):
+        return self.getOrDefault(self.weightCol)
+
+    def setWeightCol(self, v):
+        return self._set(weightCol=v)
+
+    def getN(self):
+        return self.getOrDefault(self.n)
+
+    def setN(self, v):
+        return self._set(n=int(v))
+
+    def getSalt(self):
+        return self.getOrDefault(self.salt)
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        w = F.col(self.getWeightCol()).cast("double")
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(self.getSalt()), F.col(idc).cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+        u = (h + 1) / F.lit(self.U_DENOM)
+        key = F.log(u) / w
+        return (df.filter(w.isNotNull() & (w > 0))
+                .withColumn("sample_key", key)
+                .orderBy(F.round("sample_key", 12).desc(),
+                         F.col(idc).asc())
+                .limit(self.getN()))

@@ -1892,6 +1892,35 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def q_weighted_sample_documents(spark, sf_dir):
+    """Top-100 Efraimidis-Spirakis weighted draw by n_chars — the
+    salted hash, the exponential key and the rounded-key cut all
+    replay in SQL."""
+    from flink_ml__spark.functions.curation import WeightedSampler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (WeightedSampler().setWeightCol("n_chars").setN(100)
+           .transform(docs))
+    return out.select("doc_id", "n_chars",
+                      F.round("sample_key", R).alias("sample_key"))
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substring(md5('wsample:' || doc_id), 1, 15))::BIGINT
+         AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+k AS (SELECT doc_id, n_chars,
+             ln((h + 1) / 1152921504606846976.0) / n_chars AS key
+      FROM t),
+r AS (SELECT *, row_number() OVER (
+        ORDER BY round(key, 12) DESC, doc_id ASC) AS rn FROM k)
+SELECT doc_id, n_chars, round(key, {R}) AS sample_key
+FROM r WHERE rn <= 100
+"""
+
+
 def q_winsorize_orders(spark, sf_dir):
     """Percentile winsorization of order totals at [p5, p95] — exact
     interpolated percentiles, so DuckDB's quantile_cont replays the
@@ -3222,6 +3251,7 @@ QUERIES = {
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
     "domain_divergence_documents": q_domain_divergence_documents,
     "token_budget_documents": q_token_budget_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
@@ -3314,6 +3344,7 @@ ORACLES = {
     "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
     "domain_divergence_documents": ORACLE_DOMAIN_DIVERGENCE,
     "token_budget_documents": ORACLE_TOKEN_BUDGET,
+    "weighted_sample_documents": ORACLE_WEIGHTED_SAMPLE,
     # separation gate: expected EMPTY on both sides — a training or
     # scoring regression emits rows and fails the count/hash check
     "quality_classifier_documents": ORACLE_QUALITY_CLASSIFIER,

@@ -800,3 +800,42 @@ def test_bigram_lm_caps_and_save_load(spark, tmp_path):
     model.save(path)
     loaded = BigramLMModel.load(spark, path)
     assert loaded.transform(probe).first()["mean_logprob"] == before
+
+
+def test_weighted_sampler_reference_and_bias(spark):
+    import hashlib
+    import math
+
+    from flink_ml__spark.functions.curation import WeightedSampler
+
+    rows = [(i, float(10 if i < 50 else 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    op = (WeightedSampler().setWeightCol("w").setN(100)
+          .setSalt("t1"))
+    got = [r["doc_id"] for r in op.transform(df).collect()]
+    assert len(got) == 100
+
+    # exact reference: same salted hash -> same keys -> same cut
+    def key(i, w):
+        h = int(hashlib.md5(f"t1:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / float(1 << 60)) / w
+    want = sorted(rows, key=lambda r: (-round(key(*r), 12), r[0]))[:100]
+    assert got == [i for i, _ in want]
+
+    # bias: the 10x-weighted decile is ~an order denser in the sample
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 25            # 50 of 500 rows, weight 10 vs 1
+
+    # determinism + independence across salts
+    again = [r["doc_id"] for r in op.transform(df).collect()]
+    assert again == got
+    other = [r["doc_id"] for r in
+             op.setSalt("t2").transform(df).collect()]
+    assert other != got
+
+    # NULL / non-positive weights excluded
+    bad = spark.createDataFrame([(1, None), (2, 0.0), (3, -1.0),
+                                 (4, 2.0)], "doc_id long, w double")
+    kept = (WeightedSampler().setWeightCol("w").setN(10)
+            .transform(bad).collect())
+    assert [r["doc_id"] for r in kept] == [4]
