@@ -473,3 +473,114 @@ def test_line_dedup_conservation(spark, lines):
     # any 'own *' line it contains must survive
     for ln in set(lines) - {"shared one", "shared two"}:
         assert ln in out[1]["text_line_deduped"]
+
+
+@H
+@given(
+    points=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2000)),
+                    min_size=1, max_size=12),
+    ivs=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2000),
+                           st.integers(0, 800)),
+                 min_size=1, max_size=8),
+    width=st.sampled_from([60.0, 240.0, 999.0]))
+def test_range_join_equals_naive_nonequi(spark, points, ivs, width):
+    """The bucketed rewrite must produce exactly the naive non-equi
+    join's matches for ANY bucket width."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.joins import RangeJoiner
+
+    base = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s))
+         for i, (k, s) in enumerate(points)],
+        "event_id long, user_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s),
+          base + dt.timedelta(seconds=s + dur))
+         for i, (k, s, dur) in enumerate(ivs)],
+        "iv_id long, user_id long, range_start timestamp, "
+        "range_end timestamp")
+    got = {(r["event_id"], r["iv_id"]) for r in
+           RangeJoiner().setBucketWidthSec(width)
+           .join(p, iv, ["iv_id"]).collect()}
+    want = {(r["event_id"], r["iv_id"]) for r in
+            p.alias("p").join(
+                iv.alias("i"),
+                (F.col("p.user_id") == F.col("i.user_id"))
+                & (F.col("p.ts") >= F.col("i.range_start"))
+                & (F.col("p.ts") <= F.col("i.range_end"))).collect()}
+    assert got == want
+
+
+@H
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10000)),
+                   min_size=1, max_size=10, unique=True),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10000),
+                              finite),
+                    min_size=1, max_size=10))
+def test_asof_directions_match_pandas_merge_asof(spark, lefts, rights):
+    import datetime as dt
+
+    import pandas as pd
+
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    base = dt.datetime(2024, 1, 1)
+    # pandas merge_asof needs unique sort order; make right ts unique
+    rights = [(k, s + i, v) for i, (k, s, v) in enumerate(rights)]
+    l = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s))
+         for i, (k, s) in enumerate(lefts)],
+        "id long, user_id long, ts timestamp")
+    r = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(v))
+         for k, s, v in rights],
+        "user_id long, ts timestamp, value double")
+    lp = (pd.DataFrame([(i, k, base + dt.timedelta(seconds=s))
+                        for i, (k, s) in enumerate(lefts)],
+                       columns=["id", "user_id", "ts"])
+          .sort_values("ts").reset_index(drop=True))
+    rp = (pd.DataFrame([(k, base + dt.timedelta(seconds=s), float(v))
+                        for k, s, v in rights],
+                       columns=["user_id", "ts", "value"])
+          .sort_values("ts").reset_index(drop=True))
+    for direction in ["backward", "forward", "nearest"]:
+        got = {row["id"]: row["value"] for row in
+               AsOfJoiner().setDirection(direction)
+               .join(l, r, ["value"]).collect()}
+        ref = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                            direction=direction)
+        for _, row in ref.iterrows():
+            exp = None if pd.isna(row["value"]) else row["value"]
+            assert got[row["id"]] == exp, (direction, row["id"])
+
+
+@H
+@given(vals=st.lists(st.lists(finite, min_size=2, max_size=2),
+                     min_size=3, max_size=10))
+def test_pca_projection_preserves_pairwise_distances(spark, vals):
+    """Full-rank PCA (k = dims) is a rigid rotation of centered data:
+    pairwise L2 distances must be preserved exactly."""
+    import numpy as np
+
+    from flink_ml__spark.functions.similarity import EmbeddingPCA
+
+    X = np.array(vals)
+    if np.linalg.matrix_rank(X - X.mean(0)) < 2:
+        return  # degenerate: covariance singular, rotation undefined
+    df = spark.createDataFrame(
+        [(i, [float(a) for a in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    model = EmbeddingPCA().setK(2).fit(df)
+    got = {r["vec_id"]: np.array(r["pca"])
+           for r in model.transform(df).collect()}
+    P = np.stack([got[i] for i in range(len(X))])
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            dx = np.linalg.norm(X[i] - X[j])
+            dp = np.linalg.norm(P[i] - P[j])
+            assert dp == pytest.approx(dx, rel=1e-8, abs=1e-8)
