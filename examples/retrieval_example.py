@@ -1,0 +1,65 @@
+"""Corpus retrieval tour: BM25 keyword search over an inverted
+postings index, exact embedding-cosine search, and reciprocal-rank
+fusion of the two — the targeted-curation loop ("pull the documents
+most relevant to each seed prompt") plus heavy-hitter and weighted-
+sample profiling of what came back."""
+
+from _common import SF_DIR, get_session
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.curation import WeightedSampler
+    from flink_ml__spark.functions.retrieval import (
+        BM25Retriever,
+        ReciprocalRankFusion,
+    )
+    from flink_ml__spark.functions.similarity import CosineTopK
+    from flink_ml__spark.functions.sketches import HeavyHitters
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+    from flink_ml__spark.sources import load_table
+
+    spark = get_session("retrieval-example")
+    docs = load_table(spark, "documents", SF_DIR)
+    emb = load_table(spark, "embeddings", SF_DIR)
+
+    # seed queries: the first six tokens of every 29th document
+    toks = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                            TOKEN_SPLIT), lambda t: t != "")
+    queries = (docs.filter(F.col("doc_id") % 29 == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(toks, 1, 6), " ")
+                       .alias("query_text")))
+
+    print("== BM25 lexical top-5 (reusable postings index) ==")
+    bm25 = BM25Retriever().setTopK(5)
+    index = bm25.postings(docs)
+    lex = bm25.retrieve(docs, queries, postings=index)
+    lex.orderBy("query_id", "rank").show(6)
+
+    print("== exact cosine top-5 over the embeddings ==")
+    sem = (CosineTopK().setK(5)
+           .topk(emb.filter(F.col("vec_id") % 29 == 0), emb)
+           .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                   "rank"))
+    sem.orderBy("query_id", "rank").show(6)
+
+    print("== hybrid: reciprocal rank fusion of both rankers ==")
+    fused = (ReciprocalRankFusion().setTopK(5)
+             .fuse([lex.select("query_id", "doc_id", "rank"), sem]))
+    fused.orderBy("query_id", "rank").show(6)
+
+    print("== heavy-hitter tokens across the retrieved documents ==")
+    hits = (fused.select(F.col("doc_id")).distinct()
+            .join(docs, "doc_id"))
+    (HeavyHitters().setMinShare(0.01).setNumCounters(256)
+     .transform(hits).orderBy(F.desc("count")).show(5))
+
+    print("== length-weighted sample of the corpus for inspection ==")
+    (WeightedSampler().setWeightCol("n_chars").setN(5)
+     .transform(docs).select("doc_id", "n_chars", "sample_key").show())
+
+
+if __name__ == "__main__":
+    main()
