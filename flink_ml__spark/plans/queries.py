@@ -1533,7 +1533,7 @@ WITH a AS (
   SELECT user_id, (epoch_us(ts) // {_BW_US})::BIGINT AS bk,
          count(*) AS n_events, sum(value) AS sum_value,
          avg(value) AS avg_value
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 span AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM a GROUP BY 1),
 dense AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bk
           FROM span),
@@ -1574,7 +1574,7 @@ ORACLE_ANOMALY = f"""
 WITH a AS (
   SELECT user_id, (epoch_us(ts) // {_BW_US})::BIGINT AS bk,
          avg(value) AS avg_value
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 span AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM a GROUP BY 1),
 dense AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bk
           FROM span),
