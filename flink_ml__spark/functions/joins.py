@@ -112,8 +112,13 @@ class AsOfJoiner(AlgoOperator):
         tol = self.getToleranceSec()
         payload = F.struct(F.col(t).alias("__rt"),
                            *[F.col(c) for c in value_cols])
-        r = right.select(F.col(k), F.col(t), payload.alias("__rv"),
-                         F.lit(0).alias("__side"))
+        # SQL join semantics: a NULL key or NULL time on the right can
+        # never match (the window would otherwise group NULL keys
+        # together and sort NULL times first, fabricating matches)
+        r = (right
+             .filter(F.col(k).isNotNull() & F.col(t).isNotNull())
+             .select(F.col(k), F.col(t), payload.alias("__rv"),
+                     F.lit(0).alias("__side")))
         l = left.withColumn("__rv", F.lit(None).cast(
             r.schema["__rv"].dataType)).withColumn(
                 "__side", F.lit(1))
@@ -159,6 +164,11 @@ class AsOfJoiner(AlgoOperator):
                       .when(fdt < bdt, F.col("__f"))
                       .otherwise(F.col("__b")))
             out = out.withColumn("__c", chosen).drop("__b", "__f")
+        # a NULL left time compares NULL against any right time — no
+        # match in any direction (the forward frame would otherwise
+        # hand the nulls-first row a fabricated future match)
+        out = out.withColumn("__c", F.when(F.col(t).isNotNull(),
+                                           F.col("__c")))
         out = out.withColumn("asof_ts", F.col("__c.__rt"))
         for c in value_cols:
             out = out.withColumn(c, F.col(f"__c.{c}"))

@@ -142,6 +142,7 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
         import pandas as pd
 
         idc = self.getIdCol()
+        txt = self.getInputCol()
         id_type = dict(docs.dtypes)[idc]
         tok_pat = TOKEN_SPLIT
 
@@ -151,7 +152,7 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
             rx = re.compile(tok_pat)
             for pdf in batches:
                 ids, terms, tfs, dls = [], [], [], []
-                for i, t in zip(pdf[idc], pdf[self.getInputCol()]):
+                for i, t in zip(pdf[idc], pdf[txt]):
                     toks = ([w for w in rx.split(t.lower()) if w]
                             if t is not None else [])
                     dl = len(toks)

@@ -49,7 +49,8 @@ class HeavyHitters(AlgoOperator, HasInputCol):
     ``minShare`` of the total item count::
 
         item    the item (token of ``inputCol`` text by default, or
-                ``itemCol`` values verbatim when set)
+                ``itemCol`` values when set — CAST TO STRING, the
+                sketch's key type; join back through a cast)
         count   exact occurrence count
         share   count / total items
 

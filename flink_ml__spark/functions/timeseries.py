@@ -114,9 +114,13 @@ class TimeBucketRollup(AlgoOperator):
         if bw_us <= 0:
             raise ValueError("bucketWidthSec must be > 0")
         bk = F.floor(F.unix_micros(F.col(t).cast("timestamp")) / bw_us)
+        # __nv (non-NULL value count) rides along so merge_aggregates
+        # can recompute the mean exactly: n_events counts ALL rows,
+        # which is the wrong avg denominator when valueCol has NULLs
         return (df.filter(F.col(t).isNotNull())
                 .groupBy(F.col(k), bk.alias("__bk"))
                 .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.count(v).alias("__nv"),
                      F.sum(v).alias("sum_value"),
                      F.avg(v).alias("avg_value")))
 
@@ -136,9 +140,13 @@ class TimeBucketRollup(AlgoOperator):
         merged = old.unionByName(self.bucket_aggregates(new_df))
         return (merged.groupBy(k, "__bk")
                 .agg(F.sum("n_events").alias("n_events"),
+                     F.sum("__nv").alias("__nv"),
                      F.sum("sum_value").alias("sum_value"))
                 .withColumn("avg_value",
-                            F.col("sum_value") / F.col("n_events")))
+                            # F.avg semantics: NULL when no non-NULL
+                            # values (a 0 denominator), NULLs excluded
+                            F.when(F.col("__nv") > 0,
+                                   F.col("sum_value") / F.col("__nv"))))
 
     def gapfill(self, agg: DataFrame) -> DataFrame:
         """Densify + fill a :meth:`bucket_aggregates` (or
@@ -153,7 +161,7 @@ class TimeBucketRollup(AlgoOperator):
                  .agg(F.min("__bk").alias("__b0"), F.max("__bk").alias("__b1"))
                  .select(k, F.explode(F.sequence("__b0", "__b1"))
                          .alias("__bk")))
-        out = dense.join(agg, [k, "__bk"], "left")
+        out = dense.join(agg.drop("__nv"), [k, "__bk"], "left")
         out = out.withColumn("n_events",
                              F.coalesce("n_events", F.lit(0)))
         fill = self.getFill()

@@ -225,3 +225,35 @@ def test_asof_join_forward_and_nearest_goldens(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         AsOfJoiner().setDirection("sideways")
+
+
+def test_asof_join_null_key_and_null_ts_never_match(spark):
+    from flink_ml__spark.functions.joins import AsOfJoiner
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(5)),
+         (2, None, ts(7)),        # NULL key: like a join, no match
+         (3, 1, None)],           # NULL time: comparison is NULL
+        "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(3), 30.0),
+         (None, ts(1), 55.0),     # NULL-key right row matches nothing
+         (1, None, 99.0)],        # NULL-ts right row matches nothing
+        "user_id long, ts timestamp, value double")
+    for direction in ["backward", "forward", "nearest"]:
+        got = {r["id"]: r for r in
+               (AsOfJoiner().setDirection(direction)
+                .join(left, right, ["value"])).collect()}
+        assert len(got) == 3, direction
+        assert got[2]["value"] is None, direction
+        assert got[3]["value"] is None, direction
+        assert got[1]["value"] != 99.0 and got[1]["value"] != 55.0
+    # the valid backward match still works
+    b = {r["id"]: r for r in AsOfJoiner().join(left, right, ["value"])
+         .collect()}
+    assert b[1]["value"] == 30.0

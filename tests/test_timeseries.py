@@ -337,3 +337,25 @@ def test_rollup_streaming_foreachbatch_maintenance(spark):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rollup_merge_handles_null_values(spark):
+    """merge_aggregates must reproduce F.avg's NULL semantics: NULL
+    metric rows count toward n_events but not the mean."""
+    base = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame([(1, base, 2.0)],
+                              "user_id long, ts timestamp, value double")
+    b = spark.createDataFrame([(1, base + dt.timedelta(hours=1), None),
+                               (2, base, None)],
+                              "user_id long, ts timestamp, value double")
+    op = TimeBucketRollup().setBucketWidthSec(86400.0).setFill("null")
+    full = {(r["user_id"],): (r["n_events"], r["sum_value"],
+                              r["avg_value"])
+            for r in op.transform(a.unionByName(b)).collect()}
+    inc = {(r["user_id"],): (r["n_events"], r["sum_value"],
+                             r["avg_value"])
+           for r in op.gapfill(op.merge_aggregates(
+               op.bucket_aggregates(a), b)).collect()}
+    assert inc == full
+    assert full[(1,)] == (2, 2.0, 2.0)     # NULL row not in the mean
+    assert full[(2,)] == (1, None, None)   # all-NULL bucket -> NULL
