@@ -62,7 +62,11 @@ from flink_ml__spark.base import (
     HasInputCol,
     HasMaxIter,
 )
-from flink_ml__spark.functions.dedup import HasIdColMixin, shingle_hash_udf
+from flink_ml__spark.functions.dedup import (
+    HasIdColMixin,
+    portable_hash60,
+    shingle_hash_udf,
+)
 from flink_ml__spark.functions.text import TOKEN_SPLIT
 
 
@@ -278,9 +282,14 @@ class ContaminationChecker(AlgoOperator, HasInputCol, HasIdColMixin):
                           benchmark: DataFrame) -> DataFrame:
         idc = self.getIdCol()
         xs = shingle_hash_udf(self.getShingleSize())
+        # a token-free benchmark item hashes to the EMPTY shingle
+        # (md5("")); keeping it would flag every token-free corpus
+        # document as 100% contaminated — zero tokens evidence nothing
+        empty_hash = 955282973525019424  # int(md5(b"").hexdigest()[:15], 16)
         bench_keys = (benchmark
                       .select(F.explode(xs(F.col(self.getInputCol())))
                               .alias("__k"))
+                      .filter(F.col("__k") != empty_hash)
                       .distinct()
                       .withColumn("__hit", F.lit(1)))
         corpus = (df.select(idc, self.getInputCol())
@@ -592,6 +601,11 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
     def transform(self, df: DataFrame) -> DataFrame:
         grp = self.getGroupCol()
         tgt = self.getTargets()
+        # rows without a group are dropped AND excluded from quota
+        # arithmetic — otherwise a handful of NULL-group rows drives
+        # the min-count quota while the null-unsafe join removes them,
+        # collapsing every other group to the NULL group's size
+        df = df.filter(F.col(grp).isNotNull())
         counts = df.groupBy(grp).agg(F.count("*").alias("__cnt"))
         if not tgt:
             stats = (counts
@@ -734,12 +748,20 @@ class RepresentativeSelector(AlgoOperator, HasIdColMixin):
         idc = self.getIdCol()
         cc = self.getOrDefault(self.clusterCol)
         sc = self.getOrDefault(self.scoreCol)
-        best = df.groupBy(cc).agg(F.max(sc).alias("__best"))
-        winners = (df.select(cc, sc, idc)
+        # NULL-cluster rows are singletons by definition — pass them
+        # through (a null-unsafe join would silently delete them)
+        clustered = df.filter(F.col(cc).isNotNull())
+        best = clustered.groupBy(cc).agg(F.max(sc).alias("__best"))
+        winners = (clustered.select(cc, sc, idc)
                    .join(best, cc)
-                   .filter(F.col(sc) == F.col("__best"))
+                   # all-NULL-score cluster: max is NULL, no member
+                   # matches on equality — fall back to every member
+                   # and let min(id) pick deterministically
+                   .filter(F.col(sc).eqNullSafe(F.col("__best"))
+                           | F.col("__best").isNull())
                    .groupBy(cc).agg(F.min(idc).alias(idc)))
-        return df.join(winners.select(idc), idc, "left_semi")
+        kept = clustered.join(winners.select(idc), idc, "left_semi")
+        return kept.unionByName(df.filter(F.col(cc).isNull()))
 
 
 class DSIRModel(AlgoOperator, HasInputCol, HasIdColMixin):
@@ -2048,9 +2070,8 @@ class WeightedSampler(AlgoOperator, HasIdColMixin):
     def transform(self, df: DataFrame) -> DataFrame:
         idc = self.getIdCol()
         w = F.col(self.getWeightCol()).cast("double")
-        h = F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.lit(self.getSalt()), F.col(idc).cast("string"))),
-            1, 15), 16, 10).cast("bigint")
+        h = portable_hash60(F.concat(F.lit(self.getSalt() + ":"),
+                                     F.col(idc).cast("string")))
         u = (h + 1) / F.lit(self.U_DENOM)
         key = F.log(u) / w
         return (df.filter(w.isNotNull() & (w > 0))

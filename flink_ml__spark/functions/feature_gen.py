@@ -209,7 +209,28 @@ class AutoFeatureTransformer(AlgoOperator):
       of flink-ml OneHotEncoder, ``AutoFeatureTransformer.java:67-75``)
 
     All other column types pass through untouched.
+
+    ``setHandleInvalid("keep")`` routes NULL / unseen int values to an
+    extra one-hot bucket instead of the default crash-on-invalid
+    ("error", the reference's behavior — negative values always
+    raise, as in the reference). High-cardinality int ids should not
+    be auto-one-hotted at all; cast them to bigint-as-double or drop
+    them before this stage.
     """
+
+    handleInvalid = Param(Params._dummy(), "handleInvalid",
+                          "OneHotEncoder invalid-value policy: "
+                          "'error' (reference behavior) or 'keep'",
+                          TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(handleInvalid="error")
+
+    def setHandleInvalid(self, v):
+        if v not in ("error", "keep"):
+            raise ValueError("handleInvalid must be 'error' or 'keep'")
+        return self._set(handleInvalid=v)
 
     def transform(self, df: DataFrame) -> DataFrame:
         out = df
@@ -243,11 +264,18 @@ class AutoFeatureTransformer(AlgoOperator):
         if onehot_cols:
             from pyspark.ml.feature import OneHotEncoder
 
+            hi = self.getOrDefault(self.handleInvalid)
             enc = OneHotEncoder(
                 inputCols=onehot_cols,
                 outputCols=[f"{c}_onehot" for c in onehot_cols],
-                dropLast=False)
-            out = enc.fit(out).transform(out)
+                dropLast=False, handleInvalid=hi)
+            # keep mode: fit sizes categories from the VALID rows
+            # (OneHotEncoder.fit itself rejects NULLs regardless of
+            # handleInvalid); transform then routes invalids to the
+            # extra bucket
+            fit_src = (out.na.drop(subset=onehot_cols) if hi == "keep"
+                       else out)
+            out = enc.fit(fit_src).transform(out)
         return out
 
 

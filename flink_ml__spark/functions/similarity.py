@@ -59,6 +59,16 @@ class _SimilarityParams(HasSeed):
         return self._set(k=v)
 
 
+def _unit(M):
+    """Row-normalize to unit L2; zero rows stay zero-safe (norm 1
+    denominator). Module-level so the quantizer, the probe path and
+    SemDeDup share one definition (cloudpickle captures it fine)."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=-1, keepdims=True)
+    return M / np.where(n == 0, 1.0, n)
+
+
 def _cos(v1: str, n1: str, v2: str, n2: str):
     dot = F.aggregate(F.zip_with(v1, v2, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
@@ -81,7 +91,8 @@ class CosineTopK(AlgoOperator, _SimilarityParams):
                           F.sqrt(F.aggregate(
                               F.transform(ca, lambda x: x * x), F.lit(0.0),
                               lambda a, x: a + x)).alias("__cn"))
-        joined = (c.crossJoin(F.broadcast(q))
+        joined = (c.filter(F.col("__cn") > 0)
+                  .crossJoin(F.broadcast(q.filter(F.col("__qn") > 0)))
                   .filter(F.col("query_id") != F.col("neighbor_id"))
                   .withColumn("cosine", _cos("__qv", "__qn", "__cv", "__cn")))
         w = Window.partitionBy("query_id").orderBy(
@@ -146,10 +157,6 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         pts = corpus.select(arr.alias("__v"))
         sample = pts.rdd.takeSample(False, self.getNList(), self.getSeed())
 
-        def _unit(M):
-            n = np.linalg.norm(M, axis=-1, keepdims=True)
-            return M / np.where(n == 0, 1.0, n)
-
         C0 = _unit(np.asarray([list(r["__v"]) for r in sample]))
 
         def partial(batches):
@@ -191,10 +198,6 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         n_probe = min(self.getNProbe(), len(C))
         id_type = corpus.schema[idc].dataType.simpleString()
 
-        def _unit(M):
-            nrm = np.linalg.norm(M, axis=-1, keepdims=True)
-            return M / np.where(nrm == 0, 1.0, nrm)
-
         @F.pandas_udf("int")
         def cell_of(embs: pd.Series) -> pd.Series:
             X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
@@ -224,11 +227,18 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
             nid = left["neighbor_id"].to_numpy()
             Xq = np.stack(right["__qv"].to_numpy())
             qid = right["query_id"].to_numpy()
-            cos = (Xq @ Xc.T) / np.outer(np.linalg.norm(Xq, axis=1),
-                                         np.linalg.norm(Xc, axis=1))
+            nq = np.linalg.norm(Xq, axis=1)
+            nc = np.linalg.norm(Xc, axis=1)
+            # zero-norm vectors have no cosine: 0/0 -> NaN, and Spark
+            # sorts NaN ABOVE every double — a zero embedding would
+            # become every probing query's rank-1 "neighbor"
+            cos = (Xq @ Xc.T) / np.outer(np.where(nq == 0, 1.0, nq),
+                                         np.where(nc == 0, 1.0, nc))
             frames = []
             for i in range(len(Xq)):
-                mask = nid != qid[i]      # exclude self-neighbor
+                if nq[i] == 0:
+                    continue
+                mask = (nid != qid[i]) & (nc > 0)
                 cs, ns = cos[i][mask], nid[mask]
                 if not len(cs):
                     continue
@@ -447,10 +457,6 @@ class SemDeDup(AlgoOperator, _SimilarityParams):
         rows = (df.select(arr.alias("__v"), h.alias("__h"))
                 .orderBy("__h").limit(32 * n_list).collect())
 
-        def _unit(M):
-            n = np.linalg.norm(M, axis=-1, keepdims=True)
-            return M / np.where(n == 0, 1.0, n)
-
         S = _unit(np.asarray([list(r["__v"]) for r in rows]))
         k = min(n_list, len(S))
         # farthest-point init (deterministic; ties -> first index)
@@ -473,10 +479,6 @@ class SemDeDup(AlgoOperator, _SimilarityParams):
         C = self._train_centroids(df)
         tau = self.getThreshold()
         id_type = df.schema[idc].dataType.simpleString()
-
-        def _unit(M):
-            n = np.linalg.norm(M, axis=-1, keepdims=True)
-            return M / np.where(n == 0, 1.0, n)
 
         @F.pandas_udf("int")
         def cell_of(embs: pd.Series) -> pd.Series:
@@ -536,6 +538,8 @@ class EmbeddingPCAModel(AlgoOperator, _SimilarityParams):
 
     @property
     def explained_variance_ratio(self):
+        if not self._total_var:
+            return [0.0 for _ in self._eigvals]   # constant corpus
         return [v / self._total_var for v in self._eigvals]
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -2984,7 +2984,8 @@ def q_contamination_documents(spark, sf_dir):
 ORACLE_CONTAMINATION = f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id, {_shingle_sql(5)} AS sh FROM toks),
-bk AS (SELECT DISTINCT unnest(sh) AS k FROM sh WHERE doc_id % 97 = 0),
+bk AS (SELECT k FROM (SELECT DISTINCT unnest(sh) AS k FROM sh
+       WHERE doc_id % 97 = 0) WHERE k <> ''),
 ex AS (SELECT doc_id, unnest(sh) AS k FROM sh),
 fr AS (SELECT ex.doc_id,
               count(bk.k)::DOUBLE / greatest(count(*), 1) AS frac

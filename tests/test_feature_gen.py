@@ -126,3 +126,19 @@ def test_winsorizer_goldens_and_save_load(spark, tmp_path):
     model.save(p)
     loaded = WinsorizerModel.load(spark, p)
     assert loaded._lo == model._lo and loaded._hi == model._hi
+
+
+def test_auto_features_handle_invalid_keep(spark):
+    import pytest
+
+    from flink_ml__spark.functions.feature_gen import AutoFeatureTransformer
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "cat int")
+    # default 'error' crashes on NULL (reference behavior)
+    with pytest.raises(Exception):
+        AutoFeatureTransformer().transform(df).collect()
+    out = (AutoFeatureTransformer().setHandleInvalid("keep")
+           .transform(df).collect())
+    assert len(out) == 3
+    with pytest.raises(ValueError):
+        AutoFeatureTransformer().setHandleInvalid("skip")

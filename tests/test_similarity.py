@@ -164,3 +164,35 @@ def test_semdedup_goldens(spark):
     k1 = {r["vec_id"] for r in op2.transform(big).collect()}
     k2 = {r["vec_id"] for r in op2.transform(big.repartition(13)).collect()}
     assert k1 == k2 and 0 < len(k1) < 200
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    """A zero embedding has no cosine: it must appear in neither the
+    exact nor the IVF top-k (NaN would otherwise sort first in the
+    IVF window and NULL would pad the exact results)."""
+    import numpy as np
+
+    from flink_ml__spark.functions.similarity import (
+        CosineTopK,
+        IVFCosineTopK,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    rows.append((40, [0.0] * 8))                      # zero corpus vec
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id IN (0, 40)")          # incl. zero query
+
+    exact = CosineTopK().setK(5).topk(queries, df)
+    assert exact.filter("neighbor_id = 40").count() == 0
+    assert exact.filter("query_id = 40").count() == 0
+    assert exact.filter("query_id = 0").count() == 5
+
+    ivf = (IVFCosineTopK().setK(5).setNList(4).setNProbe(4).setSeed(1)
+           .topk(queries, df))
+    assert ivf.filter("neighbor_id = 40").count() == 0
+    assert ivf.filter("query_id = 40").count() == 0
+    got = {r["neighbor_id"] for r in ivf.filter("query_id = 0").collect()}
+    want = {r["neighbor_id"] for r in exact.filter("query_id = 0").collect()}
+    assert got == want                                # full probe = exact
