@@ -132,6 +132,19 @@ def release_dedup_caches() -> None:
     _unpersist_handles(_LIVE_CACHES)
 
 
+def touch_dedup_cache(handle) -> None:
+    """Mark a signature-table handle as recently used: move it to the
+    young end of the bounded registry so repeated per-batch calls (a
+    streaming loop's corpus table) cannot age it out. The handle is
+    removed first — a stale duplicate entry would otherwise let the
+    eviction path unpersist the same cached table it just refreshed."""
+    try:
+        _LIVE_CACHES.remove(handle)
+    except ValueError:
+        pass
+    _LIVE_CACHES.append(handle)
+
+
 class _MaterializeMixin:
     """persist-based signature-table materialization with a BOUNDED,
     process-wide lifecycle.
@@ -188,7 +201,12 @@ class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
 
     def transform(self, df: DataFrame) -> DataFrame:
         idc = self.getIdCol()
-        keyed = df.withColumn("__fp", self._fp())
+        # NULL text hashes to a NULL fingerprint; a null-rejecting semi
+        # join would silently drop EVERY such row instead of keeping
+        # the min-id representative — coalesce to a sentinel no real
+        # md5 hex can collide with
+        fp = F.coalesce(self._fp(), F.lit("__null__"))
+        keyed = df.withColumn("__fp", fp)
         keep = keyed.groupBy("__fp").agg(F.min(idc).alias(idc))
         return (keyed.join(keep, ["__fp", idc], "left_semi").drop("__fp"))
 
@@ -439,7 +457,10 @@ class SimHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdCol
                 toks = (dict.fromkeys(w for w in rx.split(t.lower()) if w)
                         if t is not None else {})
                 if not toks:
-                    out.append(0)
+                    # token-free documents have no fingerprint: a
+                    # shared 0 would make them mutual hamming-0
+                    # "duplicates" (and one hot LSH bucket)
+                    out.append(None)
                     continue
                 hs = np.array([
                     int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
@@ -448,7 +469,7 @@ class SimHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdCol
                 votes = (bits.astype(np.int64) * 2 - 1).sum(0)
                 out.append(int(((votes > 0).astype(np.uint64)
                                 << shifts).sum()))
-            return pd.Series(out, dtype="int64")
+            return pd.Series(out, dtype="Int64")
 
         # repartition raw text first: parallelizes tokenize+md5 when the
         # source has few splits (see MinHash note above)
@@ -458,8 +479,10 @@ class SimHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdCol
                         simhash_of(F.col(self.getInputCol())).alias("__sh")))
 
     def _band_rows(self, base: DataFrame) -> DataFrame:
-        """(__id, __sh, __b struct<band, key>) — 15-bit quarter bands."""
+        """(__id, __sh, __b struct<band, key>) — 15-bit quarter bands;
+        fingerprint-less (token-free) documents never enter a band."""
         width = self.N_BITS // self.N_BANDS
+        base = base.filter(F.col("__sh").isNotNull())
         return base.select(
             "__id", "__sh",
             F.explode(F.array(*[
@@ -1000,10 +1023,12 @@ class EmbeddingCosineDeduplicator(AlgoOperator, _MaterializeMixin, HasIdColMixin
             return pd.Series(np.sqrt(acc))
 
         arr = as_double_array(df, ecol)
-        # materialized: both join sides read it (see
-        # _MaterializeMixin for the lifecycle)
+        # NULL embeddings would crash np.stack inside the Arrow UDFs;
+        # they can never be near-duplicates, so exclude them here
+        # (transform keeps the rows — they are simply never dominated)
         return self._materialize(
-            df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+            df.filter(F.col(ecol).isNotNull())
+            .select(F.col(idc).alias("__id"), arr.alias("__v"))
             .repartition(F.col("__id"))
             .select("__id", "__v", norm_of("__v").alias("__n"),
                     band_keys_of("__v").alias("__bks")))
@@ -1138,6 +1163,7 @@ class BloomCorpusDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         self._setDefault(inputCol="text", idCol="doc_id",
                          numBits=1 << 23, numHashes=4)
         self._bits: bytes | None = None
+        self._bc = None    # cached SparkContext broadcast of the bitset
 
     def getNumBits(self):
         return self.getOrDefault(self.numBits)
@@ -1180,6 +1206,9 @@ class BloomCorpusDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         for row in fp.mapInPandas(partial, "b binary").collect():
             acc |= np.frombuffer(row["b"], dtype=np.uint8)
         self._bits = acc.tobytes()
+        if self._bc is not None:       # refit invalidates the broadcast
+            self._bc.unpersist()
+            self._bc = None
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -1188,7 +1217,12 @@ class BloomCorpusDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         if self._bits is None:
             raise ValueError("fit(corpus) before transform(df)")
         m, k = self.getNumBits(), self.getNumHashes()
-        bc = df.sparkSession.sparkContext.broadcast(self._bits)
+        # one broadcast per fitted bitset: per-call broadcasts of the
+        # MB..GB-sized filter would accumulate for the app lifetime
+        # (the per-micro-batch foreachBatch shape hits this hard)
+        if self._bc is None:
+            self._bc = df.sparkSession.sparkContext.broadcast(self._bits)
+        bc = self._bc
 
         @F.pandas_udf("boolean")
         def might_contain(fps: pd.Series) -> pd.Series:

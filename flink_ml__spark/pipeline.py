@@ -31,7 +31,26 @@ def _load_stage(spark: SparkSession, path: str) -> Stage:
     return cls.load(spark, path)
 
 
-class PipelineModel(AlgoOperator):
+class _StageListPersistence:
+    """Stage-list save/load through the standard ``Stage`` hooks, so a
+    Pipeline/PipelineModel also writes its own ``metadata`` file and
+    can therefore NEST as a stage of another pipeline (``_load_stage``
+    resolves every stage dir through its metadata)."""
+
+    def _save_model_data(self, path: str) -> None:
+        with open(os.path.join(path, "pipeline"), "w") as f:
+            json.dump({"n_stages": len(self.stages)}, f)
+        for i, stage in enumerate(self.stages):
+            stage.save(os.path.join(path, f"stage_{i}"))
+
+    def _load_model_data(self, spark: SparkSession, path: str) -> None:
+        with open(os.path.join(path, "pipeline")) as f:
+            n = json.load(f)["n_stages"]
+        self.stages = [_load_stage(spark, os.path.join(path, f"stage_{i}"))
+                       for i in range(n)]
+
+
+class PipelineModel(_StageListPersistence, AlgoOperator):
     """A fitted chain: every stage is a transformer."""
 
     def __init__(self, stages: list[AlgoOperator] | None = None):
@@ -43,23 +62,11 @@ class PipelineModel(AlgoOperator):
             df = stage.transform(df)
         return df
 
-    def save(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "pipeline"), "w") as f:
-            json.dump({"n_stages": len(self.stages)}, f)
-        for i, stage in enumerate(self.stages):
-            stage.save(os.path.join(path, f"stage_{i}"))
 
-    @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "PipelineModel":
-        with open(os.path.join(path, "pipeline")) as f:
-            n = json.load(f)["n_stages"]
-        return cls([_load_stage(spark, os.path.join(path, f"stage_{i}"))
-                    for i in range(n)])
-
-
-class Pipeline(Estimator):
-    """Ordered stages; ``fit`` produces a :class:`PipelineModel`."""
+class Pipeline(_StageListPersistence, Estimator):
+    """Ordered stages; ``fit`` produces a :class:`PipelineModel`.
+    Save/load persists the (unfitted) stages too — a saved Pipeline
+    reloads ready to ``fit``."""
 
     def __init__(self, stages: list[Stage] | None = None):
         super().__init__()

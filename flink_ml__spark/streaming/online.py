@@ -119,11 +119,18 @@ def stream_online_ahp(stream_df: DataFrame, op: OnlineAHP,
         return [pa.ipc.open_stream(c).read_all().to_pandas()
                 for c in chunks]
 
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC")
+
     def score_fn(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
         wk = key[0]  # struct key arrives as a dict {'start':..,'end':..}
         win_end = wk["end"] if isinstance(wk, dict) else wk[1]
-        win_end_ms = int(pd.Timestamp(win_end).timestamp() * 1000)
+        # the key timestamp is session-timezone wall-clock with tzinfo
+        # stripped; naive .timestamp() would reinterpret it as local
+        # UTC and misfire by the tz offset on non-UTC sessions
+        win_end_ms = int(pd.Timestamp(win_end).tz_localize(session_tz)
+                         .timestamp() * 1000)
         frames = [p for p in pdfs if len(p)]
         batch = pd.concat(frames, ignore_index=True) if frames else None
         (chunks,) = state.get if state.exists else ([],)
@@ -195,8 +202,10 @@ def stream_corpus_monitor(stream_df: DataFrame, time_col: str,
     Runs identically on a batch frame (windows fire immediately)."""
     from flink_ml__spark.functions.text import QualityScorer, TokenCounter
 
-    scored = TokenCounter().setOutputCol("__n_toks").transform(
-        QualityScorer().setInputCol(input_col).transform(stream_df))
+    scored = (TokenCounter().setInputCol(input_col)
+              .setOutputCol("__n_toks").transform(
+                  QualityScorer().setInputCol(input_col)
+                  .transform(stream_df)))
     win = F.window(F.col(time_col), window)
     return (scored
             .withWatermark(time_col, watermark_delay)
@@ -237,9 +246,16 @@ def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
     span-level decontamination (mask benchmark spans out of every
     micro-batch).
     """
+    from flink_ml__spark.functions.dedup import touch_dedup_cache
+
     corpus_hashed = op.hashed_table(corpus_df)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # every batch's own signature table enters the bounded cache
+        # registry; keep the corpus table young or it ages out after
+        # _MAX_LIVE_CACHES batches and every later batch re-runs the
+        # full corpus tokenize+hash pass
+        touch_dedup_cache(corpus_hashed)
         emit(op.transform_against(batch_df, corpus_hashed=corpus_hashed),
              batch_id)
 
@@ -327,6 +343,20 @@ def stream_online_topsis_apply_streams(
     t = (F.unix_millis(F.col(time_col).cast("timestamp")) - F.lit(delay))
     cond = ((F.col("__wk") == m["__wk_m"])
             & (t >= m["__ot_min"]) & (t <= m["__ot_max"]))
+    if windows not in (None, "global"):
+        # state-cleanup constraint: the long-valued range above is
+        # opaque to Spark's watermark analysis, so without a direct
+        # event-time relation between the two WATERMARKED columns the
+        # join state would grow forever. This bound is implied by the
+        # long-valued condition (model_time = window max, so rowtime
+        # ∈ (model_time + delay − interval, model_time + delay]) —
+        # redundant for results, load-bearing for state eviction.
+        rt = F.col(time_col).cast("timestamp")
+        cond = (cond
+                & (rt >= m["__model_time"]
+                   + F.expr(f"INTERVAL {delay - ival} MILLISECONDS"))
+                & (rt <= m["__model_time"]
+                   + F.expr(f"INTERVAL {delay} MILLISECONDS")))
     out = r.join(m, cond, "inner")
     return out.select(*rows.columns,
                       F.col("__ot_score").alias(model.getPredictionCol()))

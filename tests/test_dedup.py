@@ -386,3 +386,72 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
     b = {r["doc_id"] for r in back.transform(new).collect()}
     assert a == b
     assert not (b & {100 + i for i in range(10)})
+
+
+def test_exact_dedup_keeps_one_null_text_representative(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text"), (4, "real text")],
+        "doc_id long, text string")
+    out = ExactDeduplicator().transform(df)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # min-id representative of the NULL group survives, like any group
+    assert kept == [1, 3]
+
+
+def test_simhash_token_free_docs_never_pair(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "???"), (3, "!!!"), (4, "actual words here"),
+         (5, "actual words here")],
+        "doc_id long, text string")
+    op = SimHashDeduplicator().setHammingThreshold(3)
+    kept = sorted(r["doc_id"] for r in op.transform(df).collect())
+    # token-free docs 1-3 all survive (no shared 0 fingerprint);
+    # the real duplicate pair still collapses
+    assert kept == [1, 2, 3, 4]
+    assert op.duplicate_pairs(df).count() == 1
+
+
+def test_embedding_dedup_null_embedding_survives(spark):
+    from flink_ml__spark.functions.dedup import EmbeddingCosineDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>")
+    out = (EmbeddingCosineDeduplicator().setThreshold(0.99).setSeed(1)
+           .transform(df))
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [1, 3]          # NULL row kept, duplicate dropped
+
+
+def test_touch_dedup_cache_keeps_handle_young():
+    """touch moves a handle to the young end WITHOUT leaving a stale
+    duplicate (eviction would otherwise unpersist the refreshed
+    table), so a streaming loop's corpus table survives any number of
+    per-batch signature tables."""
+    from flink_ml__spark.functions import dedup as D
+
+    class H:
+        def __init__(self):
+            self.dead = False
+
+        def unpersist(self, _=False):
+            self.dead = True
+
+    saved = list(D._LIVE_CACHES)
+    D._LIVE_CACHES.clear()
+    try:
+        corpus = H()
+        D._LIVE_CACHES.append(corpus)
+        for round_ in range(3):
+            # a full registry's worth of per-batch handles arrives...
+            for _ in range(D._MAX_LIVE_CACHES - 1):
+                D._LIVE_CACHES.append(H())
+                while len(D._LIVE_CACHES) > D._MAX_LIVE_CACHES:
+                    D._LIVE_CACHES.popleft().unpersist(False)
+            # ...but a touched corpus handle stays young and alive
+            D.touch_dedup_cache(corpus)
+            assert not corpus.dead
+            assert list(D._LIVE_CACHES).count(corpus) == 1
+    finally:
+        D._LIVE_CACHES.clear()
+        D._LIVE_CACHES.extend(saved)

@@ -54,3 +54,31 @@ def test_pipeline_with_estimator_and_transformer(spark):
     got = sorted(r["imputed_value"] for r in model.transform(df).collect())
     assert got == [1.0, 1.5, 2.0]
     assert math.isclose(got[1], 1.5)
+
+
+def test_pipeline_nested_and_unfitted_roundtrip(spark, tmp_path):
+    """A PipelineModel must nest as a stage of another pipeline, and a
+    saved UNFITTED Pipeline must reload with its stages intact."""
+    from flink_ml__spark.functions.text import QualityScorer, TokenCounter
+    from flink_ml__spark.pipeline import Pipeline, PipelineModel
+
+    docs = spark.createDataFrame(
+        [(1, "some perfectly ordinary text for scoring.")],
+        "doc_id long, text string")
+
+    inner = PipelineModel([TokenCounter()])
+    outer = PipelineModel([inner, QualityScorer()])
+    p1 = str(tmp_path / "nested")
+    outer.save(p1)
+    loaded = PipelineModel.load(spark, p1)
+    a = outer.transform(docs).first().asDict()
+    b = loaded.transform(docs).first().asDict()
+    assert a == b and "n_tokens" in a and "quality_score" in a
+
+    est = Pipeline([TokenCounter(), QualityScorer()])
+    p2 = str(tmp_path / "unfitted")
+    est.save(p2)
+    reloaded = Pipeline.load(spark, p2)
+    assert len(reloaded.stages) == 2
+    out = reloaded.fit(docs).transform(docs).first()
+    assert out["n_tokens"] > 0 and out["quality_score"] is not None
