@@ -350,10 +350,14 @@ def as_double_array(df: DataFrame, col: str) -> F.Column:
 
 
 def array_width(df: DataFrame, col: str) -> int:
-    """Number of elements in an array/vector column (from the first row)."""
-    row = df.select(F.size(as_double_array(df, col)).alias("n")).first()
+    """Number of elements in an array/vector column, sampled from the
+    first NON-NULL row (size(NULL) is -1 with ANSI off — a NULL first
+    row would silently corrupt every caller's dimensionality)."""
+    row = (df.filter(F.col(col).isNotNull())
+           .select(F.size(as_double_array(df, col)).alias("n")).first())
     if row is None:
-        raise ValueError(f"cannot infer width of '{col}': empty input")
+        raise ValueError(
+            f"cannot infer width of '{col}': no non-null rows")
     return int(row["n"])
 
 

@@ -128,6 +128,16 @@ def fake_samples(payload: bytes, n: int) -> np.ndarray:
     return (raw - 128.0) / 128.0
 
 
+def _passthrough_schema(df, extra: list[str],
+                        exclude: tuple = ()) -> str:
+    """mapInPandas schema string: the input fields (minus ``exclude``
+    — names the operator regenerates, which would otherwise duplicate)
+    plus the operator's appended columns."""
+    keep = [f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields if f.name not in exclude]
+    return ", ".join(keep + extra)
+
+
 class BinaryMetadataExtractor(AlgoOperator, HasBinaryCol):
     """Typed metadata from the raw payload — NO decode, pure codegen:
     appends ``size_bytes``, ``content_md5``, ``format`` (magic-byte
@@ -181,9 +191,9 @@ class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
             _load_real_decoder(dec, {"pil": "PIL.Image"})
         bcol = self.getBinaryCol()
         h, w = self.getHeight(), self.getWidth()
-        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in df.schema.fields)
-        schema = f"{fields}, height int, width int, pixels array<int>"
+        schema = _passthrough_schema(
+            df, ["height int", "width int", "pixels array<int>"],
+            exclude=("height", "width", "pixels"))
 
         def decode(batches):
             if dec == "fake":
@@ -242,16 +252,19 @@ class ImageResizer(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:
         th = self.getOrDefault(self.targetHeight)
         tw = self.getOrDefault(self.targetWidth)
-        keep = [f"{f.name} {f.dataType.simpleString()}"
-                for f in df.schema.fields
-                if f.name not in ("height", "width", "pixels")]
-        schema = ", ".join(keep + ["height int", "width int",
-                                   "pixels array<int>"])
+        schema = _passthrough_schema(
+            df, ["height int", "width int", "pixels array<int>"],
+            exclude=("height", "width", "pixels"))
 
         def resize(batches):
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
+                    if r["pixels"] is None:
+                        # the real decoder emits NULL pixels for NULL
+                        # payloads — propagate rather than crash
+                        rows.append(None)
+                        continue
                     img = np.asarray(r["pixels"]).reshape(
                         r["height"], r["width"])
                     yi = (np.arange(th) * r["height"]) // th
@@ -271,21 +284,41 @@ class ImageStats(AlgoOperator):
     pixel intensity — vectorized numpy per batch."""
 
     def transform(self, df: DataFrame) -> DataFrame:
-        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in df.schema.fields)
-        schema = (f"{fields}, px_mean double, px_std double, "
-                  f"px_min int, px_max int")
+        schema = _passthrough_schema(
+            df, ["px_mean double", "px_std double",
+                 "px_min int", "px_max int"],
+            exclude=("px_mean", "px_std", "px_min", "px_max"))
 
         def stats(batches):
+            import pandas as pd
+
             for pdf in batches:
                 pdf = pdf.copy()
-                mat = np.stack([np.asarray(p, dtype=np.float64)
-                                for p in pdf["pixels"]]) \
-                    if len(pdf) else np.zeros((0, 1))
-                pdf["px_mean"] = mat.mean(1) if len(pdf) else []
-                pdf["px_std"] = mat.std(1) if len(pdf) else []
-                pdf["px_min"] = mat.min(1).astype("int64") if len(pdf) else []
-                pdf["px_max"] = mat.max(1).astype("int64") if len(pdf) else []
+                # NULL pixels (real decoder's NULL-payload contract)
+                # yield NULL stats instead of crashing np.stack
+                valid = pdf["pixels"].notna().to_numpy()
+                mean = np.full(len(pdf), np.nan)
+                std = np.full(len(pdf), np.nan)
+                mn = np.full(len(pdf), np.nan)
+                mx = np.full(len(pdf), np.nan)
+                if valid.any():
+                    mat = np.stack([
+                        np.asarray(p, dtype=np.float64)
+                        for p in pdf["pixels"][valid]])
+                    mean[valid] = mat.mean(1)
+                    std[valid] = mat.std(1)
+                    mn[valid] = mat.min(1)
+                    mx[valid] = mat.max(1)
+                pdf["px_mean"] = [None if np.isnan(v) else float(v)
+                                  for v in mean]
+                pdf["px_std"] = [None if np.isnan(v) else float(v)
+                                 for v in std]
+                pdf["px_min"] = pd.array(
+                    [None if np.isnan(v) else int(v) for v in mn],
+                    dtype="Int64")
+                pdf["px_max"] = pd.array(
+                    [None if np.isnan(v) else int(v) for v in mx],
+                    dtype="Int64")
                 yield pdf
 
         return df.mapInPandas(stats, schema)
@@ -324,9 +357,9 @@ class FrameSampler(AlgoOperator, HasBinaryCol, HasDecoder):
         bcol = self.getBinaryCol()
         fb = self.getOrDefault(self.frameBytes)
         stride = self.getOrDefault(self.stride)
-        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in df.schema.fields)
-        schema = f"{fields}, frame_index int, frame_mean double"
+        schema = _passthrough_schema(
+            df, ["frame_index int", "frame_mean double"],
+            exclude=("frame_index", "frame_mean"))
 
         def sample(batches):
             for pdf in batches:
@@ -377,9 +410,9 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
             _load_real_decoder(dec, {"soundfile": "soundfile"})
         bcol = self.getBinaryCol()
         n = self.getOrDefault(self.sampleCount)
-        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in df.schema.fields)
-        schema = f"{fields}, rms double, zcr double, peak double"
+        schema = _passthrough_schema(
+            df, ["rms double", "zcr double", "peak double"],
+            exclude=("rms", "zcr", "peak"))
 
         def feats(batches):
             if dec == "fake":

@@ -159,9 +159,11 @@ def _check_matrix(matrix, input_cols) -> None:
             "the number of input columns must be <= 14 (RI table size)")
     if matrix is None:
         raise ValueError("the judgment matrix cannot be empty")
-    if len(matrix[0]) != len(input_cols):
+    if len(matrix) != len(input_cols) or any(
+            len(row) != len(input_cols) for row in matrix):
         raise ValueError(
-            "the judgment matrix columns must match the input columns")
+            "the judgment matrix must be square and match the input "
+            "columns (rows AND columns)")
 
 
 def _check_indicator_type(indicator, input_cols) -> None:

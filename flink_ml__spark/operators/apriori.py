@@ -220,7 +220,14 @@ class Apriori(AlgoOperator, AprioriParams):
         baskets = df.select(
             F.split(F.col(cols[0]),
                     re.escape(self.getItemSeparator())).alias("__items"))
-        n_total = baskets.count()
+        stats = baskets.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("__items")).alias("max_size")).first()
+        if (stats["max_size"] or 0) > self.getMaxBasketSize():
+            raise ValueError(
+                f"basket exceeds maxBasketSize={self.getMaxBasketSize()}; "
+                "raise the guard explicitly if the 2^n explosion is intended")
+        n_total = stats["n"]
         subsets = (baskets
                    .withColumn("__mask", F.explode(F.expr(
                        "sequence(1L, shiftleft(1L, size(__items)) - 1)")))

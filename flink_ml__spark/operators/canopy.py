@@ -82,7 +82,10 @@ class Canopy(AlgoOperator, CanopyParams):
         t2 = self.getT2()
         measure = self.getDistanceMeasure()
 
-        pool = df.select(
+        # NULL feature rows can be neither centers nor members; a
+        # NULL winning min_by would silently terminate selection with
+        # zero centers (empty output for a non-empty dataset)
+        pool = df.filter(F.col(self.getFeaturesCol()).isNotNull()).select(
             as_double_array(df, self.getFeaturesCol()).alias("x"),
             F.xxhash64(as_double_array(df, self.getFeaturesCol()),
                        F.lit(self.getSeed())).alias("__rank"))
@@ -211,8 +214,9 @@ class Canopy(AlgoOperator, CanopyParams):
                 yield (pd.concat(frames, ignore_index=True)
                        if frames else empty_frame())
 
-        pts = df.select(as_double_array(df, self.getFeaturesCol())
-                        .alias("point"))
+        pts = (df.filter(F.col(self.getFeaturesCol()).isNotNull())
+               .select(as_double_array(df, self.getFeaturesCol())
+                       .alias("point")))
         edges = pts.mapInPandas(member_edges, schema)
         center_rows = spark.createDataFrame(
             [(i, c, c) for i, c in enumerate(centers)], schema)

@@ -225,6 +225,8 @@ class FCMModel(Model, FCMParams):
 
         C = np.asarray(self.centroids)
         measure = self.getDistanceMeasure()
+        if self.getM() <= 1.0:
+            raise ValueError("fuzziness exponent m must be > 1")
         p = 2.0 / (self.getM() - 1.0)
 
         @F.pandas_udf("array<double>")
@@ -271,6 +273,8 @@ class FCM(Estimator, FCMParams):
 
         k, m, tol, max_iter = (self.getK(), self.getM(), self.getTOL(),
                                self.getMaxIter())
+        if m <= 1.0:
+            raise ValueError("fuzziness exponent m must be > 1")
         seed, measure = self.getSeed(), self.getDistanceMeasure()
         fcol = self.getFeaturesCol()
         p = 2.0 / (m - 1.0)

@@ -177,6 +177,12 @@ class Topsis(AlgoOperator, TopsisParams):
             aggs2.append(F.max(v[j]).alias(f"vmax_{j}"))
             aggs2.append(F.min(v[j]).alias(f"vmin_{j}"))
         s = df.agg(*aggs2).first().asDict()
+        if s.get("ssq_0") is None and s.get("vmax_0") is None:
+            # empty input (or an entirely NULL feature column): no
+            # stats exist — emit the score column as NULL instead of
+            # crashing on None arithmetic below
+            return df.withColumn(self.getPredictionCol(),
+                                 F.lit(None).cast("double"))
 
         # normalization scale and analytic ideal points
         scale, zbest, zworst = [], [], []

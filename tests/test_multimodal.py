@@ -169,3 +169,37 @@ def test_real_decoder_dispatch_is_import_guarded(spark, monkeypatch):
     monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
     out = AudioFeatureExtractor().setDecoder("soundfile").transform(df)
     assert "rms" in out.columns
+
+
+def test_image_stats_and_resize_null_pixels_propagate(spark):
+    """The real decoder's NULL-payload contract emits NULL pixels;
+    stats/resize must propagate NULLs instead of crashing the batch."""
+    from flink_ml__spark.functions.multimodal import ImageResizer, ImageStats
+
+    df = spark.createDataFrame(
+        [(1, 2, 2, [0, 50, 100, 150]), (2, 2, 2, None)],
+        "doc_id long, height int, width int, pixels array<int>")
+    stats = {r["doc_id"]: r for r in ImageStats().transform(df).collect()}
+    assert stats[1]["px_mean"] == 75.0 and stats[1]["px_max"] == 150
+    assert stats[2]["px_mean"] is None and stats[2]["px_min"] is None
+
+    resized = {r["doc_id"]: r for r in
+               (ImageResizer().setTargetHeight(1).setTargetWidth(1)
+                .transform(df)).collect()}
+    assert resized[1]["pixels"] == [0]
+    assert resized[2]["pixels"] is None
+
+
+def test_image_decoder_regenerates_columns_without_duplicates(spark):
+    """Re-decoding a frame that already carries height/width/pixels
+    must not produce a duplicate-name schema."""
+    from flink_ml__spark.functions.multimodal import ImageDecoder
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"), 9, 9, [1])],
+                               "doc_id long, payload binary, height int, "
+                               "width int, pixels array<int>")
+    out = (ImageDecoder().setBinaryCol("payload").setHeight(2)
+           .setWidth(2).transform(df))
+    assert [f.name for f in out.schema.fields].count("height") == 1
+    row = out.first()
+    assert row["height"] == 2 and len(row["pixels"]) == 4

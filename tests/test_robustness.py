@@ -584,3 +584,53 @@ def test_pca_projection_preserves_pairwise_distances(spark, vals):
             dx = np.linalg.norm(X[i] - X[j])
             dp = np.linalg.norm(P[i] - P[j])
             assert dp == pytest.approx(dx, rel=1e-8, abs=1e-8)
+
+
+def test_operator_guards_for_degenerate_params_and_nulls(spark):
+    """Round-5 review regressions: validation and NULL guards that
+    previously crashed deep in the math or silently corrupted output."""
+    from flink_ml__spark.base import array_width
+    from flink_ml__spark.operators import FCM
+    from flink_ml__spark.operators.canopy import Canopy
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    # array_width samples the first NON-NULL row (size(NULL) = -1)
+    assert array_width(emb, "embedding") == 2
+
+    # FCM rejects the documented-invalid fuzziness m <= 1
+    with pytest.raises(ValueError):
+        FCM().setK(2).setM(1.0).setFeaturesCol("embedding").fit(emb)
+
+    # Canopy ignores NULL feature rows instead of emptying the result
+    out = (Canopy().setT1(10.0).setT2(1.0).setSeed(7)
+           .setFeaturesCol("embedding").assign(emb)).collect()
+    assert out                                   # centers were found
+    pts = {tuple(r["point"]) for r in out}
+    assert pts <= {(1.0, 2.0), (3.0, 4.0)}       # never a NULL point
+
+    # AHP validates matrix ROWS too, not just columns (at transform,
+    # where the reference runs its checks)
+    abc = spark.createDataFrame([(1.0, 2.0, 3.0)], ["a", "b", "c"])
+    with pytest.raises(ValueError):
+        (AHP().setInputCols(["a", "b", "c"])
+         .setJudgmentMatrix([[1.0] * 3, [1.0] * 3])
+         .setIndicatorType([1, 1, 1]).setOutputCol("s")
+         .transform(abc))
+
+    # Topsis on empty input yields NULL scores, not a TypeError
+    empty = spark.createDataFrame([], "features array<double>")
+    out = (Topsis().setCriteriaTypes([1, 2]).setWeights([0.5, 0.5])
+           .setPredictionCol("score").transform(empty))
+    assert out.count() == 0
+    assert "score" in out.columns
+
+    # Apriori's frequent_itemsets enforces the basket-size guard
+    from flink_ml__spark.operators.apriori import Apriori
+
+    big = spark.createDataFrame([("/".join(map(str, range(40))),)],
+                                ["basket"])
+    with pytest.raises(ValueError):
+        (Apriori().setInputCols(["basket"]).setItemSeparator("/")
+         .frequent_itemsets(big))
