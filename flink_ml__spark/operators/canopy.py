@@ -40,7 +40,7 @@ from flink_ml__spark.base import (
     as_double_array,
     array_width,
 )
-from flink_ml__spark.operators.fcm import _dist_expr
+from flink_ml__spark.operators.fcm import _dist_expr, _np_distances
 
 
 class CanopyParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed,
@@ -148,12 +148,7 @@ class Canopy(AlgoOperator, CanopyParams):
             idx = np.flatnonzero(alive)
             c = X[idx[np.argmin(ranks[idx])]]
             centers.append(c.tolist())
-            if measure == "euclidean":
-                d = np.sqrt(((X[idx] - c) ** 2).sum(1))
-            else:
-                cn = np.linalg.norm(c) or 1e-10
-                xn = np.linalg.norm(X[idx], axis=1)
-                d = 1.0 - (X[idx] @ c) / (xn * cn)
+            d = _np_distances(X[idx], c[None], measure)[:, 0]
             alive[idx] = (d > 1e-6) & (d >= t2)
         return centers
 
@@ -190,13 +185,7 @@ class Canopy(AlgoOperator, CanopyParams):
                 if not len(pdf):
                     continue
                 X = np.stack(pdf["point"].to_numpy()).astype(np.float64)
-                if measure == "euclidean":
-                    D = np.sqrt(((X[:, None, :] - C[None]) ** 2).sum(-1))
-                else:  # cosine distance, zero-norm guard as _dist_expr
-                    cn = np.linalg.norm(C, axis=1, keepdims=True).T
-                    cn = np.where(cn == 0, 1e-10, cn)
-                    xn = np.linalg.norm(X, axis=1, keepdims=True)
-                    D = 1.0 - (X @ C.T) / (xn * cn)
+                D = _np_distances(X, C, measure)
                 gone = (D <= 1e-6) | (D < t2)     # removed from the pool
                 gone_before = np.concatenate(
                     [np.zeros((len(X), 1), bool),
