@@ -408,12 +408,20 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
         read 0 while propagation through those ids is incomplete,
         silently splitting one component into several."""
         idc = self.getIdCol()
+        # eager localCheckpoint, not persist: the pairs DAG behind the
+        # edge list is typically a full dedup pipeline (Arrow shingle
+        # pass + band join + verify); checkpointing truncates that
+        # lineage BEFORE the iteration so no round's job — nor the
+        # convergence-count job — can ever replay it, and there is no
+        # persist handle to leak. Partitioning loss is irrelevant:
+        # every consumer joins on a different key than the pairs
+        # pipeline's output partitioning anyway.
         edges = (pairs.select(F.col(id_a).alias("__src"),
                               F.col(id_b).alias("__dst"))
                  .union(pairs.select(F.col(id_b).alias("__src"),
                                      F.col(id_a).alias("__dst")))
                  .distinct()
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+                 .localCheckpoint())
         members = edges.select(F.col("__src").alias("__id")).distinct()
         if nodes is not None:
             members = (members
@@ -443,7 +451,6 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
             labels = new_labels
             if changed == 0:
                 break
-        edges.unpersist()
         return labels.select(F.col("__id").alias(idc),
                              F.col("__lbl").alias("cluster_id"))
 
