@@ -614,11 +614,15 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
         # collapsing every other group to the NULL group's size
         df = df.filter(F.col(grp).isNotNull())
         counts = df.groupBy(grp).agg(F.count("*").alias("__cnt"))
+        # the corpus-wide scalar (min count / max feasible output) comes
+        # from a broadcast cross-join of a one-row aggregate, NOT a
+        # constant-key window: partitionBy(lit(1)) funnels the stats
+        # table through a single WindowExec task (and trips Spark's
+        # single-partition warning) for the same answer
         if not tgt:
+            mn = counts.agg(F.min("__cnt").alias("__min"))
             stats = (counts
-                     .withColumn("__min",
-                                 F.min("__cnt").over(
-                                     Window.partitionBy(F.lit(1))))
+                     .crossJoin(F.broadcast(mn))
                      .withColumn(
                          "__keep_below",
                          F.floor(F.col("__min") * 65536 / F.col("__cnt"))))
@@ -626,13 +630,14 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
             tdf = df.sparkSession.createDataFrame(
                 [(str(k), float(f)) for k, f in tgt.items()],
                 f"__g string, __frac double")
-            stats = (counts
-                     .join(F.broadcast(tdf),
-                           F.col(grp).cast("string") == F.col("__g"))
-                     # largest output size every listed group can supply
-                     .withColumn("__nmax",
-                                 F.min(F.col("__cnt") / F.col("__frac"))
-                                 .over(Window.partitionBy(F.lit(1))))
+            joined = counts.join(
+                F.broadcast(tdf),
+                F.col(grp).cast("string") == F.col("__g"))
+            # largest output size every listed group can supply
+            nmax = joined.agg(
+                F.min(F.col("__cnt") / F.col("__frac")).alias("__nmax"))
+            stats = (joined
+                     .crossJoin(F.broadcast(nmax))
                      .withColumn(
                          "__keep_below",
                          F.floor(F.col("__frac") * F.col("__nmax")
