@@ -1869,13 +1869,18 @@ class TokenBudgetSampler(AlgoOperator, HasIdColMixin):
                              (F.col("__cumb") < F.col("__budget"))
                              & ~F.col("__keep_all"))
                  .filter(F.col("__keep_all") | F.col("__partial"))
-                 .select("__g", "__b", "__keep_all",
+                 # __b is renamed on this side: bstat descends from
+                 # rows, so joining rows["__b"] == bstat["__b"] is a
+                 # same-lineage attribute Spark must guess apart (it
+                 # warns "trivially true equals predicate" and falls
+                 # back to dataset-id disambiguation)
+                 .select("__g", F.col("__b").alias("__bb"), "__keep_all",
                          (F.col("__budget") - F.col("__cumb"))
                          .alias("__rem")))
         joined = rows.join(
             F.broadcast(bstat),
             (F.col(grp).cast("string") == F.col("__g"))
-            & (rows["__b"] == bstat["__b"])).drop(bstat["__b"])
+            & (F.col("__b") == F.col("__bb"))).drop("__bb")
         whole = joined.filter("__keep_all")
         hx = F.md5(F.concat(F.lit(self.getSalt() + ":"),
                             F.col(idc).cast("string")))
