@@ -27,6 +27,7 @@ HEADLINE = [
     "ngram_jaccard_pairs_documents",
     "repetition_documents",
     "split_documents",
+    "split_leakage_documents",
     "contamination_documents",
     "tfidf_keywords_documents",
     "dup_clusters_documents",

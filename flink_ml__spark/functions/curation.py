@@ -236,6 +236,62 @@ class DeterministicSplitter(AlgoOperator, HasIdColMixin):
         return df.withColumn(self.getOutputCol(), label)
 
 
+class SplitLeakageAuditor(AlgoOperator, HasIdColMixin):
+    """Cross-split leakage audit: which near-duplicate pairs straddle a
+    train/val/test boundary?
+
+    Hash-based splitting (:class:`DeterministicSplitter`) assigns
+    near-identical documents to splits independently, so every
+    near-duplicate cluster that spans two splits leaks training text
+    into evaluation — the standard pre-training audit (cf. Lee et al.,
+    ACL 2022 §6.2, who report eval-set overlap from exactly this
+    mechanism). This operator composes any deduplicator's
+    ``duplicate_pairs`` output with a split-labeled frame and returns
+    only the offending pairs, with both labels attached.
+
+    ``audit(pairs, labeled)``: ``pairs`` is ``(id_a, id_b, *extras)``
+    (extras — jaccard / cosine / hamming — pass through); ``labeled``
+    carries the id column and ``splitCol``. Output renames the labels
+    to ``<splitCol>_a`` / ``<splitCol>_b`` keyed by the pair-column
+    suffixes.
+
+    Scale shape: two equi-joins of the (small, dedup-output-sized)
+    pair set against the O(docs) label projection on uniform id keys,
+    then a map-side inequality filter — no new shuffle class beyond
+    the dedup pipeline that produced the pairs. Pairs with an id
+    missing from ``labeled`` (caller passed a filtered frame) drop out
+    of the audit rather than faking a label.
+    """
+
+    splitCol = Param(Params._dummy(), "splitCol",
+                     "split label column in the labeled frame",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", splitCol="split")
+
+    def getSplitCol(self):
+        return self.getOrDefault(self.splitCol)
+
+    def setSplitCol(self, v):
+        return self._set(splitCol=v)
+
+    def audit(self, pairs: DataFrame, labeled: DataFrame,
+              id_a: str = "id_keep", id_b: str = "id_dup") -> DataFrame:
+        idc, sc = self.getIdCol(), self.getSplitCol()
+        sfx_a = id_a.rsplit("_", 1)[-1]
+        sfx_b = id_b.rsplit("_", 1)[-1]
+        lab = labeled.select(F.col(idc), F.col(sc))
+        la = lab.select(F.col(idc).alias(id_a),
+                        F.col(sc).alias(f"{sc}_{sfx_a}"))
+        lb = lab.select(F.col(idc).alias(id_b),
+                        F.col(sc).alias(f"{sc}_{sfx_b}"))
+        return (pairs.join(la, id_a).join(lb, id_b)
+                .filter(F.col(f"{sc}_{sfx_a}") != F.col(f"{sc}_{sfx_b}"))
+                .select(*pairs.columns, f"{sc}_{sfx_a}", f"{sc}_{sfx_b}"))
+
+
 class ContaminationChecker(AlgoOperator, HasInputCol, HasIdColMixin):
     """Benchmark-contamination detection by word-n-gram overlap.
 

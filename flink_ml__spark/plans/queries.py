@@ -2968,6 +2968,53 @@ FROM documents
 """
 
 
+def q_split_leakage_documents(spark, sf_dir):
+    """Cross-split leakage audit: MinHash near-duplicate pairs whose
+    endpoints landed in different train/val/test splits — the eval-
+    contamination failure mode of hash-splitting a corpus that still
+    contains near-duplicates."""
+    from flink_ml__spark.functions.curation import (
+        DeterministicSplitter,
+        SplitLeakageAuditor,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = (DeterministicSplitter().setTrainFrac(0.8).setValFrac(0.1)
+               .transform(docs))
+    pairs = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+             .duplicate_pairs(docs))
+    out = SplitLeakageAuditor().audit(pairs, labeled)
+    return out.select("id_keep", "id_dup",
+                      F.round("jaccard", R).alias("jaccard"),
+                      "split_keep", "split_dup")
+
+
+def _oracle_split_leakage() -> str:
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    split_case = f"""CASE
+      WHEN {_BUCKET16.format(salt='split', x='doc_id')}
+           < {int(0.8 * 65536)} THEN 'train'
+      WHEN {_BUCKET16.format(salt='split', x='doc_id')}
+           < {int(0.8 * 65536) + int(0.1 * 65536)} THEN 'val'
+      ELSE 'test' END"""
+    return f"""
+WITH {_minhash_dup_ctes(op, "documents")},
+vp AS (
+  SELECT id_l, id_r,
+         len(list_intersect(sh_l, sh_r))::DOUBLE /
+         len(list_distinct(list_concat(sh_l, sh_r))) AS jac
+  FROM pairs),
+sp AS (SELECT doc_id, {split_case} AS split FROM documents)
+SELECT vp.id_l AS id_keep, vp.id_r AS id_dup,
+       round(vp.jac, {R}) AS jaccard,
+       sl.split AS split_keep, sr.split AS split_dup
+FROM vp
+JOIN sp sl ON vp.id_l = sl.doc_id
+JOIN sp sr ON vp.id_r = sr.doc_id
+WHERE vp.jac >= {op.getThreshold()!r} AND sl.split <> sr.split
+"""
+
+
 def q_contamination_documents(spark, sf_dir):
     from flink_ml__spark.functions.curation import ContaminationChecker
 
@@ -3283,6 +3330,7 @@ QUERIES = {
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
+    "split_leakage_documents": q_split_leakage_documents,
     "contamination_documents": q_contamination_documents,
     "tfidf_keywords_documents": q_tfidf_keywords_documents,
     "dup_clusters_documents": q_dup_clusters_documents,
@@ -3378,6 +3426,7 @@ ORACLES = {
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,
     "split_documents": ORACLE_SPLIT,
+    "split_leakage_documents": _oracle_split_leakage(),
     "contamination_documents": ORACLE_CONTAMINATION,
     "tfidf_keywords_documents": ORACLE_TFIDF,
     "dup_clusters_documents": _oracle_dup_clusters(),

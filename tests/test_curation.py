@@ -839,3 +839,40 @@ def test_weighted_sampler_reference_and_bias(spark):
     kept = (WeightedSampler().setWeightCol("w").setN(10)
             .transform(bad).collect())
     assert [r["doc_id"] for r in kept] == [4]
+
+
+def test_split_leakage_auditor_reports_cross_split_pairs_only(spark):
+    from flink_ml__spark.functions.curation import SplitLeakageAuditor
+
+    labeled = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "train"), (5, "test")],
+        "doc_id long, split string")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9),    # train-val: leak
+         (3, 4, 0.95),   # train-train: fine
+         (4, 5, 0.8),    # train-test: leak
+         (6, 1, 0.99)],  # 6 unlabeled: dropped from the audit
+        "id_keep long, id_dup long, jaccard double")
+    got = sorted(
+        tuple(r) for r in
+        SplitLeakageAuditor().audit(pairs, labeled).collect())
+    assert got == [(1, 2, 0.9, "train", "val"),
+                   (4, 5, 0.8, "train", "test")]
+    # extras pass through, labels keyed by the pair-column suffixes
+    cols = SplitLeakageAuditor().audit(pairs, labeled).columns
+    assert cols == ["id_keep", "id_dup", "jaccard",
+                    "split_keep", "split_dup"]
+
+
+def test_split_leakage_auditor_custom_columns(spark):
+    from flink_ml__spark.functions.curation import SplitLeakageAuditor
+
+    labeled = spark.createDataFrame(
+        [(10, "a"), (20, "b")], "vid long, fold string")
+    pairs = spark.createDataFrame(
+        [(10, 20, 0.97)], "id_l long, id_r long, cosine double")
+    op = (SplitLeakageAuditor().setIdCol("vid").setSplitCol("fold"))
+    got = op.audit(pairs, labeled, id_a="id_l", id_b="id_r").collect()
+    assert [tuple(r) for r in got] == [(10, 20, 0.97, "a", "b")]
+    assert got[0].__fields__ == ["id_l", "id_r", "cosine",
+                                 "fold_l", "fold_r"]
