@@ -75,6 +75,7 @@ HEADLINE = [
     "multimodal_image_stats",
     "multimodal_image_resize",
     "multimodal_frame_means",
+    "multimodal_scene_changes",
     "multimodal_audio_features",
     "normalize_documents",
     "frequent_ngrams_documents",

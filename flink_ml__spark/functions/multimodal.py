@@ -387,6 +387,69 @@ class FrameSampler(AlgoOperator, HasBinaryCol, HasDecoder):
         return df.mapInPandas(sample, schema)
 
 
+class SceneChangeDetector(AlgoOperator):
+    """Scene-boundary detection over frame-level features: flags frames
+    whose feature value jumps more than ``threshold`` from the previous
+    sampled frame of the same video — the standard cut detector used to
+    pick visually-diverse frames for multimodal training instead of
+    uniform stride sampling.
+
+    Operates on the explode-shaped output of :class:`FrameSampler`
+    (or any ``(id, frame_index, value)`` frame): appends ``mean_delta``
+    (absolute difference to the previous frame; NULL for each video's
+    first frame) and ``is_scene_change`` (delta above threshold; a
+    video's first frame always starts a scene).
+
+    Scale shape: one window over ``partitionBy(id) orderBy(frame_index)``
+    — a single hash exchange on the video id plus an in-partition sort,
+    all codegen; frames per video are bounded by the decode stage, so no
+    partition outgrows memory.
+    """
+
+    idCol = Param(Params._dummy(), "idCol", "video/document id column",
+                  typeConverter=TypeConverters.toString)
+    frameIndexCol = Param(Params._dummy(), "frameIndexCol",
+                          "frame ordering column",
+                          typeConverter=TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "per-frame feature column",
+                     typeConverter=TypeConverters.toString)
+    threshold = Param(Params._dummy(), "threshold",
+                      "absolute feature delta that opens a new scene",
+                      typeConverter=TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", frameIndexCol="frame_index",
+                         valueCol="frame_mean", threshold=8.0)
+
+    def setIdCol(self, v):
+        return self._set(idCol=v)
+
+    def setFrameIndexCol(self, v):
+        return self._set(frameIndexCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        idc = self.getOrDefault(self.idCol)
+        fic = self.getOrDefault(self.frameIndexCol)
+        vc = self.getOrDefault(self.valueCol)
+        t = self.getOrDefault(self.threshold)
+        w = Window.partitionBy(idc).orderBy(fic)
+        delta = F.abs(F.col(vc) - F.lag(vc).over(w))
+        return (df
+                .withColumn("mean_delta", delta)
+                .withColumn("is_scene_change",
+                            F.coalesce(delta > F.lit(t), F.lit(True))))
+
+
 class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
     """'Audio' payload → fixed-size energy features: rms, zero-crossing
     rate, peak — numpy over stub-decoded PCM (``decoder='soundfile'``

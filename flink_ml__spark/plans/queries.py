@@ -2854,6 +2854,51 @@ FROM byt GROUP BY doc_id, frame_index
 """
 
 
+def q_multimodal_scene_changes(spark, sf_dir):
+    """SceneChangeDetector gate: frame-mean deltas over the FrameSampler
+    stream, per-video lag window, cut threshold 8.0. 64-byte frames at
+    stride 1 (unlike the coarser frame_means gate) so the corpus's short
+    documents still yield multi-frame videos and the lag path carries
+    real deltas. Exact across engines: each frame mean is a 64-int sum
+    divided by a power of two, so deltas are exact 1/64 multiples and
+    the threshold comparison cannot flip on float noise."""
+    from flink_ml__spark.functions.multimodal import (
+        FrameSampler,
+        SceneChangeDetector,
+    )
+
+    frames = (FrameSampler().setFrameBytes(64).setStride(1)
+              .transform(_payloads(spark, sf_dir)))
+    out = SceneChangeDetector().setThreshold(8.0).transform(frames)
+    return out.select("doc_id", "frame_index",
+                      F.round("mean_delta", R).alias("mean_delta"),
+                      "is_scene_change")
+
+
+ORACLE_MULTIMODAL_SCENES = f"""
+WITH fr AS (
+  SELECT doc_id, i::INT AS frame_index,
+         sha256(substring(text, i * 64 + 1, 64)) AS seed
+  FROM documents, range(0, 1024) t(i)
+  WHERE i < greatest(length(text) // 64, 1)),
+blk AS (SELECT doc_id, frame_index,
+               sha256(seed || ':' || k::VARCHAR) AS hx
+        FROM fr, range(0, 2) u(k)),
+byt AS (SELECT doc_id, frame_index,
+               ('0x' || substr(hx, j * 2 + 1, 2))::INT AS b
+        FROM blk, range(0, 32) v(j)),
+fm AS (SELECT doc_id, frame_index, avg(b) AS m
+       FROM byt GROUP BY doc_id, frame_index),
+d AS (SELECT doc_id, frame_index,
+             abs(m - lag(m) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_index)) AS delta
+      FROM fm)
+SELECT doc_id, frame_index, round(delta, {R}) AS mean_delta,
+       coalesce(delta > 8.0, TRUE) AS is_scene_change
+FROM d
+"""
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     from flink_ml__spark.functions.multimodal import AudioFeatureExtractor
 
@@ -3343,6 +3388,7 @@ QUERIES = {
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_image_resize": q_multimodal_image_resize,
     "multimodal_frame_means": q_multimodal_frame_means,
+    "multimodal_scene_changes": q_multimodal_scene_changes,
     "multimodal_audio_features": q_multimodal_audio_features,
 }
 
@@ -3442,5 +3488,6 @@ ORACLES = {
     "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
     "multimodal_image_resize": ORACLE_MULTIMODAL_IMAGE_RESIZE,
     "multimodal_frame_means": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_scene_changes": ORACLE_MULTIMODAL_SCENES,
     "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO,
 }

@@ -203,3 +203,34 @@ def test_image_decoder_regenerates_columns_without_duplicates(spark):
     assert [f.name for f in out.schema.fields].count("height") == 1
     row = out.first()
     assert row["height"] == 2 and len(row["pixels"]) == 4
+
+
+def test_scene_change_detector_lag_and_threshold(spark):
+    from flink_ml__spark.functions.multimodal import SceneChangeDetector
+
+    frames = spark.createDataFrame(
+        [(1, 0, 100.0), (1, 2, 103.0), (1, 4, 120.0), (1, 6, 120.0),
+         (2, 0, 50.0)],
+        "doc_id long, frame_index int, frame_mean double")
+    out = (SceneChangeDetector().setThreshold(8.0).transform(frames)
+           .orderBy("doc_id", "frame_index").collect())
+    # first frame of each video: NULL delta, always a scene start
+    assert out[0]["mean_delta"] is None and out[0]["is_scene_change"]
+    assert out[4]["mean_delta"] is None and out[4]["is_scene_change"]
+    # small delta: no cut; big delta: cut; zero delta: no cut
+    assert out[1]["mean_delta"] == 3.0 and not out[1]["is_scene_change"]
+    assert out[2]["mean_delta"] == 17.0 and out[2]["is_scene_change"]
+    assert out[3]["mean_delta"] == 0.0 and not out[3]["is_scene_change"]
+
+
+def test_scene_change_detector_custom_columns(spark):
+    from flink_ml__spark.functions.multimodal import SceneChangeDetector
+
+    frames = spark.createDataFrame(
+        [("v1", 1, 0.0), ("v1", 2, 9.0)],
+        "vid string, idx int, energy double")
+    op = (SceneChangeDetector().setIdCol("vid").setFrameIndexCol("idx")
+          .setValueCol("energy").setThreshold(5.0))
+    got = op.transform(frames).orderBy("idx").collect()
+    assert [r["is_scene_change"] for r in got] == [True, True]
+    assert got[1]["mean_delta"] == 9.0
