@@ -103,6 +103,7 @@ HEADLINE = [
     "bm25_retrieval_documents",
     "hybrid_rrf_documents",
     "heavy_hitters_documents",
+    "cardinality_events",
     "bigram_lm_documents",
 ]
 

@@ -42,6 +42,88 @@ def _mg_update(counters: dict, item, w: int, k: int) -> None:
         _mg_update(counters, item, w - dec, k)
 
 
+class DistinctCounter(AlgoOperator):
+    """Grouped distinct-cardinality counting, exact or sketched.
+
+    ``transform(df)`` returns one row per group with ``n_distinct``
+    distinct ``keyCol`` values (NULL keys ignored, the SQL
+    ``count(DISTINCT ...)`` contract).
+
+    * ``exact=True`` (default): ``count_distinct`` — correct everywhere,
+      but the partial aggregation must carry every distinct
+      ``(group, key)`` pair through the shuffle; at 100 TB with
+      high-cardinality keys (users, URLs, n-grams) that IS the data.
+    * ``exact=False``: Spark's built-in ``approx_count_distinct``
+      (HyperLogLog++, Heule, Nunkesser & Hall, EDBT 2013) at
+      ``relativeSD`` — each task folds its rows into a fixed
+      O(1/rsd²)-register sketch map-side and the shuffle carries only
+      sketches, one per (task, group). This is the standard cardinality
+      trade; the engine deliberately reuses the JVM implementation
+      rather than hand-rolling a Python HLL (Arrow round-trips would
+      only slow the fully-codegen path down).
+
+    ``error_report(df)`` computes both paths side by side and returns
+    per-group ``(group, n_exact, n_approx, rel_err)`` — the basis of
+    the engine's violations-only correctness gate pinning the rsd
+    contract (a regression in the sketch path flips the gate hash).
+    """
+
+    keyCol = Param(Params._dummy(), "keyCol",
+                   "column whose distinct values are counted",
+                   TypeConverters.toString)
+    groupCols = Param(Params._dummy(), "groupCols",
+                      "grouping columns ([] = one global row)",
+                      TypeConverters.toListString)
+    relativeSD = Param(Params._dummy(), "relativeSD",
+                       "HLL++ relative standard deviation (approx mode)",
+                       TypeConverters.toFloat)
+    exact = Param(Params._dummy(), "exact",
+                  "exact count_distinct vs HLL++ sketch",
+                  TypeConverters.toBoolean)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="user_id", groupCols=[],
+                         relativeSD=0.05, exact=True)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setGroupCols(self, *v):
+        return self._set(groupCols=list(v))
+
+    def setRelativeSD(self, v):
+        return self._set(relativeSD=float(v))
+
+    def setExact(self, v):
+        return self._set(exact=bool(v))
+
+    def _agg(self) -> F.Column:
+        k = self.getOrDefault(self.keyCol)
+        if self.getOrDefault(self.exact):
+            return F.count_distinct(F.col(k)).alias("n_distinct")
+        return F.approx_count_distinct(
+            k, self.getOrDefault(self.relativeSD)).alias("n_distinct")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        gs = self.getOrDefault(self.groupCols)
+        return df.groupBy(*gs).agg(self._agg())
+
+    def error_report(self, df: DataFrame) -> DataFrame:
+        """(groups..., n_exact, n_approx, rel_err) — both paths in ONE
+        aggregation pass (the two aggregates share the scan and the
+        group shuffle)."""
+        gs = self.getOrDefault(self.groupCols)
+        k = self.getOrDefault(self.keyCol)
+        out = df.groupBy(*gs).agg(
+            F.count_distinct(F.col(k)).alias("n_exact"),
+            F.approx_count_distinct(
+                k, self.getOrDefault(self.relativeSD)).alias("n_approx"))
+        rel = (F.abs(F.col("n_approx") - F.col("n_exact"))
+               / F.greatest(F.col("n_exact"), F.lit(1)))
+        return out.withColumn("rel_err", rel)
+
+
 class HeavyHitters(AlgoOperator, HasInputCol):
     """Exact frequent items via a Misra–Gries candidate pass.
 

@@ -1966,6 +1966,44 @@ FROM c CROSS JOIN n WHERE cnt >= 0.003 * n.n
 """
 
 
+def q_cardinality_events(spark, sf_dir):
+    """DistinctCounter exact mode: distinct users per event type — the
+    grouped-cardinality primitive, verified against SQL
+    count(DISTINCT)."""
+    from flink_ml__spark.functions.sketches import DistinctCounter
+
+    ev = load_table(spark, "events", sf_dir)
+    return (DistinctCounter().setKeyCol("user_id")
+            .setGroupCols("event_type").transform(ev))
+
+
+ORACLE_CARDINALITY = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def q_cardinality_invariants_events(spark, sf_dir):
+    """Violations-only gate for the HLL++ approx path: per event type,
+    |approx − exact| / exact must stay within 5× the configured rsd
+    (0.05) — a generous band for the worst group, tight enough that a
+    broken sketch path (wrong rsd plumbing, wrong column) flips the
+    hash. Expected EMPTY."""
+    from flink_ml__spark.functions.sketches import DistinctCounter
+
+    ev = load_table(spark, "events", sf_dir)
+    rep = (DistinctCounter().setKeyCol("user_id")
+           .setGroupCols("event_type").setRelativeSD(0.05)
+           .error_report(ev))
+    return (rep.filter(F.col("rel_err") > 0.25)
+            .select("event_type", F.round("rel_err", R).alias("rel_err")))
+
+
+ORACLE_CARDINALITY_INVARIANTS = """
+SELECT event_type, 0.0::DOUBLE AS rel_err FROM events WHERE false
+"""
+
+
 def q_hybrid_rrf_documents(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 and exact cosine top-10
     (doc_id and vec_id share the id space) fused with reciprocal rank
@@ -3362,6 +3400,8 @@ QUERIES = {
     "bm25_retrieval_documents": q_bm25_documents,
     "hybrid_rrf_documents": q_hybrid_rrf_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "cardinality_events": q_cardinality_events,
+    "cardinality_invariants_events": q_cardinality_invariants_events,
     "bigram_lm_documents": q_bigram_lm_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
@@ -3459,6 +3499,8 @@ ORACLES = {
     "bm25_retrieval_documents": ORACLE_BM25,
     "hybrid_rrf_documents": ORACLE_HYBRID_RRF,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
+    "cardinality_events": ORACLE_CARDINALITY,
+    "cardinality_invariants_events": ORACLE_CARDINALITY_INVARIANTS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),

@@ -118,3 +118,31 @@ def test_stream_heavy_hitters_bounds_and_completeness(spark):
             assert lo <= cnt <= hi
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_distinct_counter_exact_and_groups(spark):
+    from flink_ml__spark.functions.sketches import DistinctCounter
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", None)],
+        "g string, k int")
+    op = DistinctCounter().setKeyCol("k").setGroupCols("g")
+    got = {r["g"]: r["n_distinct"] for r in op.transform(df).collect()}
+    assert got == {"a": 2, "b": 1}    # NULL keys ignored
+    # global (no groups)
+    tot = (DistinctCounter().setKeyCol("k").setGroupCols()
+           .transform(df).collect())
+    assert tot[0]["n_distinct"] == 3
+
+
+def test_distinct_counter_approx_within_rsd(spark):
+    from flink_ml__spark.functions.sketches import DistinctCounter
+
+    df = spark.range(0, 20000).selectExpr("id % 4 AS g", "id AS k")
+    rep = (DistinctCounter().setKeyCol("k").setGroupCols("g")
+           .setRelativeSD(0.05).error_report(df))
+    rows = rep.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_exact"] == 5000
+        assert r["rel_err"] <= 0.25   # 5x rsd, the gate's band
