@@ -104,6 +104,7 @@ HEADLINE = [
     "hybrid_rrf_documents",
     "heavy_hitters_documents",
     "cardinality_events",
+    "skew_profile_events",
     "bigram_lm_documents",
 ]
 

@@ -124,6 +124,80 @@ class DistinctCounter(AlgoOperator):
         return out.withColumn("rel_err", rel)
 
 
+class SkewProfiler(AlgoOperator):
+    """Join/aggregation-key skew diagnostics.
+
+    The pre-flight check before every big shuffle: a single hot key
+    serializes an otherwise-parallel join or ``groupBy`` onto one task
+    (the classic 100 TB failure mode), and the mitigations — broadcast,
+    salting, AQE skew-join — all start from knowing the key histogram.
+
+    ``transform(df)`` → the ``topN`` heaviest keys::
+
+        <keyCols...>, cnt, share (cnt/rows)
+
+    (rank is the deterministic ``cnt desc, keys asc`` order of the
+    output — derivable by any consumer, so the operator does not spend
+    a window on it)
+
+    ``summary(df)`` → one row::
+
+        n_rows, n_keys, max_cnt, avg_cnt, max_share,
+        skew_factor (max_cnt / avg_cnt — ~1 is uniform; the factor is
+        a direct lower bound on how much longer the hottest task of a
+        key-partitioned stage runs vs the average)
+
+    Scale shape: one ``groupBy(keys)`` whose partial aggregation
+    collapses each partition's rows map-side; the top-N finish is a
+    ``TakeOrderedAndProject`` over O(keys) count rows (no global sort,
+    no unpartitioned window), and the summary folds the same count
+    table into one aggregate row.
+    """
+
+    keyCols = Param(Params._dummy(), "keyCols",
+                    "columns forming the shuffle key under diagnosis",
+                    TypeConverters.toListString)
+    topN = Param(Params._dummy(), "topN", "heaviest keys to report",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCols=["event_type"], topN=10)
+
+    def setKeyCols(self, *v):
+        return self._set(keyCols=list(v))
+
+    def setTopN(self, v):
+        return self._set(topN=int(v))
+
+    def _counts(self, df: DataFrame) -> DataFrame:
+        ks = self.getOrDefault(self.keyCols)
+        return df.groupBy(*ks).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ks = self.getOrDefault(self.keyCols)
+        n = self.getOrDefault(self.topN)
+        counts = self._counts(df)
+        total = counts.agg(F.sum("cnt").alias("__total"))
+        ordered = [F.col("cnt").desc()] + [F.col(k).asc() for k in ks]
+        # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+        # top-N heaps merged on the driver, no global sort
+        top = counts.orderBy(*ordered).limit(n)
+        return (top.crossJoin(F.broadcast(total))
+                .withColumn("share", F.col("cnt") / F.col("__total"))
+                .drop("__total"))
+
+    def summary(self, df: DataFrame) -> DataFrame:
+        counts = self._counts(df)
+        return counts.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.avg("cnt").alias("avg_cnt"),
+            (F.max("cnt") / F.sum("cnt")).alias("max_share"),
+            (F.max("cnt") / F.avg("cnt")).alias("skew_factor"))
+
+
 class HeavyHitters(AlgoOperator, HasInputCol):
     """Exact frequent items via a Misra–Gries candidate pass.
 

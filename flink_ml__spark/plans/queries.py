@@ -2004,6 +2004,53 @@ SELECT event_type, 0.0::DOUBLE AS rel_err FROM events WHERE false
 """
 
 
+def q_skew_profile_events(spark, sf_dir):
+    """SkewProfiler gate: the heaviest (event_type, user_id) shuffle
+    keys with their share of the event stream — the histogram the
+    broadcast/salt/AQE decision reads."""
+    from flink_ml__spark.functions.sketches import SkewProfiler
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (SkewProfiler().setKeyCols("event_type", "user_id").setTopN(20)
+           .transform(ev))
+    return out.select("event_type", "user_id", "cnt",
+                      F.round("share", R).alias("share"))
+
+
+ORACLE_SKEW_PROFILE = f"""
+WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM events)
+SELECT event_type, user_id, cnt, round(cnt::DOUBLE / n.n, {R}) AS share
+FROM c CROSS JOIN n
+ORDER BY cnt DESC, event_type ASC, user_id ASC
+LIMIT 20
+"""
+
+
+def q_skew_summary_events(spark, sf_dir):
+    """SkewProfiler summary gate: one-row key-histogram statistics
+    (skew_factor = hottest key count / average key count)."""
+    from flink_ml__spark.functions.sketches import SkewProfiler
+
+    ev = load_table(spark, "events", sf_dir)
+    out = SkewProfiler().setKeyCols("event_type").summary(ev)
+    return out.select("n_rows", "n_keys", "max_cnt",
+                      F.round("avg_cnt", R).alias("avg_cnt"),
+                      F.round("max_share", R).alias("max_share"),
+                      F.round("skew_factor", R).alias("skew_factor"))
+
+
+ORACLE_SKEW_SUMMARY = f"""
+WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
+       round(avg(cnt), {R}) AS avg_cnt,
+       round(max(cnt)::DOUBLE / sum(cnt), {R}) AS max_share,
+       round(max(cnt)::DOUBLE / avg(cnt), {R}) AS skew_factor
+FROM c
+"""
+
+
 def q_hybrid_rrf_documents(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 and exact cosine top-10
     (doc_id and vec_id share the id space) fused with reciprocal rank
@@ -3402,6 +3449,8 @@ QUERIES = {
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "cardinality_events": q_cardinality_events,
     "cardinality_invariants_events": q_cardinality_invariants_events,
+    "skew_profile_events": q_skew_profile_events,
+    "skew_summary_events": q_skew_summary_events,
     "bigram_lm_documents": q_bigram_lm_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
@@ -3501,6 +3550,8 @@ ORACLES = {
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,
     "cardinality_events": ORACLE_CARDINALITY,
     "cardinality_invariants_events": ORACLE_CARDINALITY_INVARIANTS,
+    "skew_profile_events": ORACLE_SKEW_PROFILE,
+    "skew_summary_events": ORACLE_SKEW_SUMMARY,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),

@@ -146,3 +146,25 @@ def test_distinct_counter_approx_within_rsd(spark):
     for r in rows:
         assert r["n_exact"] == 5000
         assert r["rel_err"] <= 0.25   # 5x rsd, the gate's band
+
+
+def test_skew_profiler_top_keys_and_share(spark):
+    from flink_ml__spark.functions.sketches import SkewProfiler
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string")
+    got = (SkewProfiler().setKeyCols("k").setTopN(2).transform(df)
+           .orderBy(F.desc("cnt")).collect())
+    assert [(r["k"], r["cnt"]) for r in got] == [("hot", 6), ("warm", 3)]
+    assert got[0]["share"] == 0.6
+
+
+def test_skew_profiler_summary(spark):
+    from flink_ml__spark.functions.sketches import SkewProfiler
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string")
+    s = SkewProfiler().setKeyCols("k").summary(df).collect()[0]
+    assert s["n_rows"] == 10 and s["n_keys"] == 3
+    assert s["max_cnt"] == 6 and abs(s["skew_factor"] - 1.8) < 1e-9
+    assert abs(s["max_share"] - 0.6) < 1e-9
