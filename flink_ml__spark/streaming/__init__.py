@@ -1,4 +1,5 @@
 from flink_ml__spark.streaming.online import (
+    stream_cardinality_monitor,
     stream_corpus_monitor,
     stream_dedup_against_corpus,
     stream_exact_dedup,
@@ -10,6 +11,7 @@ from flink_ml__spark.streaming.online import (
 )
 
 __all__ = [
+    "stream_cardinality_monitor",
     "stream_corpus_monitor",
     "stream_dedup_against_corpus",
     "stream_exact_dedup",

@@ -218,6 +218,37 @@ def stream_corpus_monitor(stream_df: DataFrame, time_col: str,
                     group_col, "n_docs", "mean_quality", "mean_tokens"))
 
 
+def stream_cardinality_monitor(stream_df: DataFrame, time_col: str,
+                               key_col: str = "user_id",
+                               group_col: str = "event_type",
+                               window: str = "1 minute",
+                               rsd: float = 0.05,
+                               watermark_delay: str = "0 seconds") -> DataFrame:
+    """Windowed distinct-cardinality monitoring: per event-time window
+    and ``group_col`` value, the approximate number of distinct
+    ``key_col`` values (plus the raw event count) — live unique-users /
+    unique-documents dashboards over an unbounded stream.
+
+    The sketch is the point: exact distinct counting on a stream
+    requires state proportional to the keys seen per open window, while
+    ``approx_count_distinct`` (HLL++, same contract as
+    ``DistinctCounter``'s approx mode) keeps one fixed O(1/rsd²)
+    register set per (window, group) — state bounded by the watermark
+    horizon regardless of key cardinality. Deterministic for a given
+    input set, so the batch run of the same frame is an exact replay
+    (pinned by the streaming parity test). Output: ``window_start``,
+    ``window_end``, the group column, ``n_events``, ``n_distinct``."""
+    win = F.window(F.col(time_col), window)
+    return (stream_df
+            .withWatermark(time_col, watermark_delay)
+            .groupBy(win.alias("__w"), F.col(group_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.approx_count_distinct(key_col, rsd).alias("n_distinct"))
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("__w.end").alias("window_end"),
+                    group_col, "n_events", "n_distinct"))
+
+
 def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
                                         emit) -> "callable":
     """Streaming incremental near-dedup: returns a ``foreachBatch``

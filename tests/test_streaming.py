@@ -422,3 +422,50 @@ def test_stream_bloom_dedup_matches_batch(spark):
         assert stream_kept == batch_kept
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_cardinality_monitor_matches_batch(spark):
+    """Windowed approx-distinct monitoring on a stream equals the same
+    aggregation in batch (HLL++ is deterministic for a given input
+    set), and the estimate is exact-ish at this tiny cardinality."""
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_cardinality_monitor
+
+    rows = []
+    for i in range(60):
+        ts = datetime(2024, 1, 1, 0, i // 20, 11, tzinfo=timezone.utc)
+        rows.append((i, ts, i % 7, "click" if i % 2 == 0 else "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    batch = {(r["window_start"], r["event_type"]):
+             (r["n_events"], r["n_distinct"])
+             for r in stream_cardinality_monitor(df, "ts").collect()}
+    assert len(batch) == 6  # 3 minutes x 2 types
+    # 20 events/window split across 2 types over 7 users: the HLL
+    # estimate at rsd=0.05 is exact at this cardinality
+    for (ws, et), (ne, nd) in batch.items():
+        assert ne == 10
+        assert nd <= 7
+
+    d = _tf.mkdtemp(prefix="stream_card_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_cardinality_monitor(stream, "ts")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("card")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["event_type"]):
+               (r["n_events"], r["n_distinct"])
+               for r in spark.sql("SELECT * FROM card").collect()}
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = set(batch) - set(got)
+        assert all(ws == max(b[0] for b in batch)
+                   for ws, _ in open_windows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
