@@ -74,6 +74,21 @@ def main():
     PageRank().setMaxIter(5).transform(edges) \
         .orderBy(F.desc("rank")).show(5)
 
+    print("== distinct users per event type: exact vs HLL++ sketch ==")
+    from flink_ml__spark.functions.sketches import (
+        DistinctCounter,
+        SkewProfiler,
+    )
+
+    (DistinctCounter().setKeyCol("user_id").setGroupCols("event_type")
+     .setRelativeSD(0.05).error_report(ev)
+     .orderBy("event_type").show())
+
+    print("== shuffle-key skew pre-flight: hottest (type, user) keys ==")
+    (SkewProfiler().setKeyCols("event_type", "user_id").setTopN(5)
+     .transform(ev).orderBy(F.desc("cnt")).show())
+    SkewProfiler().setKeyCols("event_type").summary(ev).show()
+
 
 if __name__ == "__main__":
     main()
