@@ -1102,6 +1102,47 @@ class CorpusProfiler(AlgoOperator):
                      pcts[1].alias("p90"),
                      pcts[2].alias("p99")))
 
+    def rank_error_report(self, df: DataFrame,
+                          accuracy: int = 10000) -> DataFrame:
+        """Pin the sketch path: per group and percentile p ∈ {.5, .9,
+        .99}, locate the value ``approx_percentile`` (t-digest-style
+        GK sketch, rank error ≤ 1/accuracy) returned inside the
+        group's empirical CDF and flag it if its feasible rank
+        interval ``[count(<v)/n, count(≤v)/n]`` misses
+        ``p ± (1/accuracy + 1/n)`` (the 1/n term absorbs the
+        discreteness of small groups). Output:
+        ``(groups..., p, lo_frac, hi_frac, is_violation)`` — the basis
+        of the violations-only correctness gate, the same contract as
+        ``DistinctCounter.error_report``.
+
+        Scale shape: one aggregation to O(groups·3) quantile rows,
+        broadcast back onto the data, one counting aggregation."""
+        gs = self.getOrDefault(self.groupCols)
+        vc = self.getOrDefault(self.valueCol)
+        data = df.filter(F.col(vc).isNotNull())
+        pcts = F.expr(f"approx_percentile({vc}, "
+                      f"array(0.5D, 0.9D, 0.99D), {accuracy})")
+        ap = data.groupBy(*gs).agg(pcts.alias("__ap"))
+        melted = ap.selectExpr(
+            *gs,
+            "stack(3, 0.5D, __ap[0], 0.9D, __ap[1], 0.99D, __ap[2]) "
+            "AS (p, qv)")
+        j = data.join(F.broadcast(melted), gs)
+        v = F.col(vc)
+        rep = (j.groupBy(*gs, "p")
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.sum((v < F.col("qv")).cast("long")).alias("__lt"),
+                    F.sum((v <= F.col("qv")).cast("long")).alias("__le")))
+        lo = F.col("__lt") / F.col("__n")
+        hi = F.col("__le") / F.col("__n")
+        slack = F.lit(1.0 / accuracy) + 1.0 / F.col("__n")
+        viol = (hi < F.col("p") - slack) | (lo > F.col("p") + slack)
+        return (rep
+                .withColumn("lo_frac", lo)
+                .withColumn("hi_frac", hi)
+                .withColumn("is_violation", viol)
+                .drop("__n", "__lt", "__le"))
+
 
 class LineFilter(AlgoOperator, HasInputCol):
     """C4-style line-level boilerplate removal (Raffel et al., JMLR

@@ -2789,6 +2789,32 @@ def q_corpus_profile_documents(spark, sf_dir):
         F.round("p99", R).alias("p99"))
 
 
+def q_quantile_invariants_documents(spark, sf_dir):
+    """Violations-only gate for the profiler's approx-percentile path:
+    per (lang, percentile), the GK-sketch value's feasible rank
+    interval must cover p within 1/accuracy + 1/n — a broken sketch
+    path (wrong accuracy plumbing, wrong column) flips the hash.
+    Expected EMPTY. Companion of the exact-percentile
+    corpus_profile_documents gate, same contract as the HLL++
+    cardinality invariant."""
+    from flink_ml__spark.functions.curation import CorpusProfiler
+
+    docs = load_table(spark, "documents", sf_dir)
+    rep = (CorpusProfiler().setGroupCols("lang").setValueCol("n_chars")
+           .rank_error_report(docs, accuracy=10000))
+    return (rep.filter("is_violation")
+            .select("lang", "p",
+                    F.round("lo_frac", R).alias("lo_frac"),
+                    F.round("hi_frac", R).alias("hi_frac")))
+
+
+ORACLE_QUANTILE_INVARIANTS = """
+SELECT lang, 0.0::DOUBLE AS p, 0.0::DOUBLE AS lo_frac,
+       0.0::DOUBLE AS hi_frac
+FROM documents WHERE false
+"""
+
+
 ORACLE_CORPUS_PROFILE = f"""
 SELECT lang, source,
        count(*)::BIGINT AS n_docs,
@@ -3461,6 +3487,7 @@ QUERIES = {
     "ppl_bucket_documents": q_ppl_bucket_documents,
     "dsir_weights_documents": q_dsir_weights_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
+    "quantile_invariants_documents": q_quantile_invariants_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
@@ -3562,6 +3589,7 @@ ORACLES = {
     "ppl_bucket_documents": _oracle_ppl_bucket(),
     "dsir_weights_documents": _oracle_dsir(),
     "corpus_profile_documents": ORACLE_CORPUS_PROFILE,
+    "quantile_invariants_documents": ORACLE_QUANTILE_INVARIANTS,
     "curation_pipeline_documents": _oracle_curation_pipeline(),
     "repetition_documents": ORACLE_REPETITION,
     "split_documents": ORACLE_SPLIT,

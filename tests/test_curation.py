@@ -876,3 +876,25 @@ def test_split_leakage_auditor_custom_columns(spark):
     assert [tuple(r) for r in got] == [(10, 20, 0.97, "a", "b")]
     assert got[0].__fields__ == ["id_l", "id_r", "cosine",
                                  "fold_l", "fold_r"]
+
+
+def test_corpus_profiler_rank_error_report(spark):
+    from flink_ml__spark.functions.curation import CorpusProfiler
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)]
+        + [("b", 5.0)] * 10 + [("b", None)],
+        "g string, x double")
+    rep = (CorpusProfiler().setGroupCols("g").setValueCol("x")
+           .rank_error_report(df, accuracy=10000)
+           .orderBy("g", "p").collect())
+    assert len(rep) == 6  # 2 groups x 3 percentiles
+    assert not any(r["is_violation"] for r in rep)
+    # group a: 100 distinct values — the p50 element's rank interval
+    # must bracket 0.5 within 1/accuracy + 1/n
+    a50 = [r for r in rep if r["g"] == "a" and r["p"] == 0.5][0]
+    assert a50["lo_frac"] <= 0.5 + 0.0101
+    assert a50["hi_frac"] >= 0.5 - 0.0101
+    # group b: constant values (NULL excluded) — interval is [0, 1]
+    b50 = [r for r in rep if r["g"] == "b" and r["p"] == 0.5][0]
+    assert b50["lo_frac"] == 0.0 and b50["hi_frac"] == 1.0
