@@ -105,6 +105,7 @@ HEADLINE = [
     "heavy_hitters_documents",
     "cardinality_events",
     "skew_profile_events",
+    "json_props_events",
     "bigram_lm_documents",
 ]
 

@@ -358,3 +358,49 @@ class Winsorizer(Estimator, _SingleColOutputParams):
         model = WinsorizerModel(float(row["lo"]), float(row["hi"]))
         model._set(inputCol=c, outputCol=self.getOutputCol())
         return model
+
+
+class JsonColumnParser(AlgoOperator, HasInputCol):
+    """Semi-structured column expansion: parse a JSON string column
+    against a DECLARED schema and append each field as a typed
+    top-level column (optionally prefixed).
+
+    The schema-declared ``from_json`` is the 100 TB shape for JSON
+    props/payload columns: one codegen projection, no sampling pass,
+    and the resulting typed columns participate in predicate pushdown
+    and column pruning downstream — unlike per-query
+    ``get_json_object`` string probes (which re-parse the document per
+    field) or driver-side schema inference (which scans the data
+    twice). Malformed or NULL JSON yields NULL fields (PERMISSIVE
+    mode), never a failed job.
+
+    ``setSchema`` takes a DDL string (``"k INT, tag STRING"``).
+    """
+
+    schema = Param(Params._dummy(), "schema",
+                   "DDL schema of the JSON object",
+                   typeConverter=TypeConverters.toString)
+    prefix = Param(Params._dummy(), "prefix",
+                   "prefix for the extracted column names",
+                   typeConverter=TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="props", schema="k INT", prefix="")
+
+    def setSchema(self, v):
+        return self._set(schema=v)
+
+    def setPrefix(self, v):
+        return self._set(prefix=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        ddl = self.getOrDefault(self.schema)
+        pre = self.getOrDefault(self.prefix)
+        parsed = F.from_json(F.col(self.getInputCol()), ddl)
+        out = df.withColumn("__j", parsed)
+        for f in StructType.fromDDL(ddl).fieldNames():
+            out = out.withColumn(f"{pre}{f}", F.col(f"__j.{f}"))
+        return out.drop("__j")

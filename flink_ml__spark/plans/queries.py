@@ -2051,6 +2051,30 @@ FROM c
 """
 
 
+def q_json_props_events(spark, sf_dir):
+    """JsonColumnParser gate: schema-declared from_json over the events
+    props column (one codegen projection, no per-field re-parse), then
+    a typed rollup of the extracted field — the semi-structured column
+    path."""
+    from flink_ml__spark.functions.feature_gen import JsonColumnParser
+
+    ev = load_table(spark, "events", sf_dir)
+    parsed = (JsonColumnParser().setInputCol("props").setSchema("k INT")
+              .transform(ev))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.round(F.avg("k"), R).alias("avg_k")))
+
+
+ORACLE_JSON_PROPS = f"""
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::INT) AS sum_k,
+       round(avg(json_extract(props, '$.k')::INT), {R}) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_hybrid_rrf_documents(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 and exact cosine top-10
     (doc_id and vec_id share the id space) fused with reciprocal rank
@@ -3477,6 +3501,7 @@ QUERIES = {
     "cardinality_invariants_events": q_cardinality_invariants_events,
     "skew_profile_events": q_skew_profile_events,
     "skew_summary_events": q_skew_summary_events,
+    "json_props_events": q_json_props_events,
     "bigram_lm_documents": q_bigram_lm_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
@@ -3579,6 +3604,7 @@ ORACLES = {
     "cardinality_invariants_events": ORACLE_CARDINALITY_INVARIANTS,
     "skew_profile_events": ORACLE_SKEW_PROFILE,
     "skew_summary_events": ORACLE_SKEW_SUMMARY,
+    "json_props_events": ORACLE_JSON_PROPS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM,
     "fingerprint_documents": ORACLE_FINGERPRINT,
     "winnow_fingerprints_documents": _oracle_winnow(),

@@ -142,3 +142,22 @@ def test_auto_features_handle_invalid_keep(spark):
     assert len(out) == 3
     with pytest.raises(ValueError):
         AutoFeatureTransformer().setHandleInvalid("skip")
+
+
+def test_json_column_parser_typed_fields_and_nulls(spark):
+    from flink_ml__spark.functions.feature_gen import JsonColumnParser
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}'),
+         (2, '{"k": null}'),
+         (3, 'not json'),
+         (4, None)],
+        "id long, props string")
+    op = (JsonColumnParser().setInputCol("props")
+          .setSchema("k INT, tag STRING").setPrefix("p_"))
+    got = {r["id"]: (r["p_k"], r["p_tag"])
+           for r in op.transform(df).collect()}
+    assert got == {1: (7, "x"), 2: (None, None),
+                   3: (None, None), 4: (None, None)}
+    # original columns untouched, extracted columns appended in order
+    assert op.transform(df).columns == ["id", "props", "p_k", "p_tag"]
