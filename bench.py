@@ -107,6 +107,9 @@ HEADLINE = [
     "skew_profile_events",
     "json_props_events",
     "bigram_lm_documents",
+    "fuzzy_link_part",
+    "snapshot_diff_orders",
+    "expectations_orders",
 ]
 
 

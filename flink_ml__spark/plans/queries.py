@@ -3432,6 +3432,182 @@ WHERE {_BUCKET16.format(salt='balance', x='doc_id')} < th.kb
 """
 
 
+def q_fuzzy_link_part(spark, sf_dir):
+    """Entity resolution on part names: collapse exact duplicates to
+    one entity row (min partkey = entity id), then blocked fuzzy
+    self-linkage — pairs within 3 Levenshtein edits sharing a first
+    token. The oracle replays the blocking join and the edit-distance
+    residual exactly (both engines implement classic Levenshtein)."""
+    from flink_ml__spark.functions.linkage import FuzzyRecordLinker
+
+    part = load_table(spark, "part", sf_dir)
+    ents = part.groupBy("p_name").agg(F.min("p_partkey").alias("ent_id"))
+    out = (FuzzyRecordLinker()
+           .setInputCol("p_name").setIdCol("ent_id")
+           .setMaxDistance(3).setBlocker("first_token")
+           .link(ents))
+    return out.select("a_id", "b_id", "distance",
+                      F.round("similarity", 6).alias("similarity"))
+
+
+ORACLE_FUZZY_LINK = """
+WITH e AS (SELECT min(p_partkey) AS ent_id, p_name AS nm
+           FROM part GROUP BY p_name),
+p AS (SELECT ent_id, nm, split_part(trim(nm), ' ', 1) AS blk
+      FROM e WHERE nm IS NOT NULL)
+SELECT a.ent_id AS a_id, b.ent_id AS b_id,
+       levenshtein(a.nm, b.nm) AS distance,
+       round(1.0 - levenshtein(a.nm, b.nm)::DOUBLE
+             / greatest(length(a.nm), length(b.nm)), 6) AS similarity
+FROM p a JOIN p b ON a.blk = b.blk AND a.ent_id < b.ent_id
+WHERE levenshtein(a.nm, b.nm) <= 3
+"""
+
+
+# deterministic churn applied to `orders` to exercise the differ: a
+# ~7.7% delete slice, a ~14% price update, a ~5.9% re-keyed insert
+_DIFF_DEL, _DIFF_UPD, _DIFF_INS, _DIFF_KEYOFF = 13, 7, 17, 10_000_000
+
+
+def q_snapshot_diff_orders(spark, sf_dir):
+    """CDC between `orders` and a deterministically-churned copy:
+    one full-outer join classifies every key as insert / delete /
+    update with the exact changed-column list; unchanged keys emit
+    nothing. The oracle rebuilds the same churned snapshot and
+    replays the diff with IS DISTINCT FROM semantics."""
+    from flink_ml__spark.functions.linkage import SnapshotDiffer
+
+    o = load_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    new = (o.filter(k % _DIFF_DEL != 3)
+            .withColumn("o_totalprice",
+                        F.when(k % _DIFF_UPD == 0,
+                               F.col("o_totalprice") + 10.0)
+                         .otherwise(F.col("o_totalprice")))
+           ).unionByName(
+        o.filter(k % _DIFF_INS == 0)
+         .withColumn("o_orderkey", k + _DIFF_KEYOFF))
+    d = SnapshotDiffer().setKeyCols("o_orderkey").diff(o, new)
+    return d.select("o_orderkey", "op",
+                    F.array_join("changed_cols", ",").alias("changed"))
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH newt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {_DIFF_UPD} = 0
+              THEN o_totalprice + 10.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {_DIFF_DEL} <> 3
+  UNION ALL
+  SELECT o_orderkey + {_DIFF_KEYOFF}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {_DIFF_INS} = 0),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              ELSE 'update' END AS op,
+         concat_ws(',',
+           CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                THEN 'o_custkey' END,
+           CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                THEN 'o_orderdate' END,
+           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'o_orderpriority' END,
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END) AS changed
+  FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, op,
+       CASE WHEN op = 'update' THEN changed ELSE '' END AS changed
+FROM j
+WHERE op <> 'update' OR changed <> ''
+"""
+
+
+# deterministic dirt injected into `orders` so every expectation rule
+# has real violations to count
+_EXP_NULL, _EXP_FK, _EXP_NEG, _EXP_ENUM, _EXP_DUP = 101, 97, 89, 83, 79
+
+
+def q_expectations_orders(spark, sf_dir):
+    """Data-quality gate over a deliberately-dirtied `orders`: five
+    declarative rules (not-null, unique key, value range, enum regex,
+    FK referential integrity) → one violation-count row each. All
+    row-local rules run in ONE aggregate pass; the oracle replays the
+    dirt and each count in SQL."""
+    from flink_ml__spark.functions.linkage import ExpectationValidator
+
+    o = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    k = F.col("o_orderkey")
+    dirty = (o
+             .withColumn("o_custkey",
+                         F.when(k % _EXP_NULL == 5, F.lit(None))
+                          .when(k % _EXP_FK == 7,
+                                F.col("o_custkey") + 1_000_000)
+                          .otherwise(F.col("o_custkey")))
+             .withColumn("o_totalprice",
+                         F.when(k % _EXP_NEG == 2, -F.col("o_totalprice"))
+                          .otherwise(F.col("o_totalprice")))
+             .withColumn("o_orderstatus",
+                         F.when(k % _EXP_ENUM == 4, F.lit("X"))
+                          .otherwise(F.col("o_orderstatus"))))
+    dup = dirty.unionByName(o.filter(k % _EXP_DUP == 6))
+    return (ExpectationValidator()
+            .expect_not_null("custkey_present", "o_custkey")
+            .expect_unique("orderkey_unique", "o_orderkey")
+            .expect_range("price_sane", "o_totalprice", 0.0, 1e7)
+            .expect_regex("status_enum", "o_orderstatus", "^[OFP]$")
+            .expect_referential("custkey_fk", "o_custkey",
+                                cust, "c_custkey")
+            .validate(dup))
+
+
+ORACLE_EXPECTATIONS = f"""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_EXP_NULL} = 5 THEN NULL
+              WHEN o_orderkey % {_EXP_FK} = 7 THEN o_custkey + 1000000
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % {_EXP_ENUM} = 4 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % {_EXP_NEG} = 2 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders),
+u AS (SELECT * FROM dirty
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % {_EXP_DUP} = 6),
+rules AS (
+  SELECT 'custkey_present' AS rule, 'not_null' AS rule_type,
+         (SELECT count(*) FROM u WHERE o_custkey IS NULL)
+           AS n_violations
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique',
+         coalesce((SELECT sum(c) FROM (
+             SELECT count(*) AS c FROM u GROUP BY o_orderkey
+             HAVING count(*) > 1)), 0)
+  UNION ALL
+  SELECT 'price_sane', 'range',
+         (SELECT count(*) FROM u WHERE o_totalprice IS NULL
+            OR o_totalprice < 0.0 OR o_totalprice > 1e7)
+  UNION ALL
+  SELECT 'status_enum', 'regex',
+         (SELECT count(*) FROM u WHERE o_orderstatus IS NULL
+            OR NOT regexp_matches(o_orderstatus, '^[OFP]$'))
+  UNION ALL
+  SELECT 'custkey_fk', 'referential',
+         (SELECT count(*) FROM u WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
+SELECT rule, rule_type, n_violations, n_violations = 0 AS passed
+FROM rules
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3490,6 +3666,9 @@ QUERIES = {
     "anomaly_events": q_anomaly_events,
     "scd2_events": q_scd2_events,
     "zorder_key_events": q_zorder_key_events,
+    "fuzzy_link_part": q_fuzzy_link_part,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "expectations_orders": q_expectations_orders,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -3593,6 +3772,9 @@ ORACLES = {
     "anomaly_events": ORACLE_ANOMALY,
     "scd2_events": ORACLE_SCD2,
     "zorder_key_events": _oracle_zorder(),
+    "fuzzy_link_part": ORACLE_FUZZY_LINK,
+    "snapshot_diff_orders": ORACLE_SNAPSHOT_DIFF,
+    "expectations_orders": ORACLE_EXPECTATIONS,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -1,0 +1,173 @@
+"""FuzzyRecordLinker / SnapshotDiffer / ExpectationValidator: golden
+cases, NULL semantics, blocking guarantees and plan-shape checks."""
+
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.linkage import (
+    ExpectationValidator,
+    FuzzyRecordLinker,
+    SnapshotDiffer,
+)
+
+
+def _names(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+# ---------------------------------------------------------------- linker
+
+def test_linker_goldens(spark):
+    df = _names(spark, [
+        (1, "acme corp"), (2, "acme corp."),     # dist 1, same block
+        (3, "acme inc"),                         # dist 4 vs corp -> out
+        (4, "zeta corp"),                        # different block
+        (5, "acme corp"),                        # exact dup of 1
+    ])
+    out = (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+           .setMaxDistance(2).link(df)
+           .orderBy("a_id", "b_id").collect())
+    pairs = {(r["a_id"], r["b_id"]): r for r in out}
+    assert set(pairs) == {(1, 2), (1, 5), (2, 5)}
+    assert pairs[(1, 2)]["distance"] == 1
+    assert pairs[(1, 5)]["distance"] == 0
+    assert pairs[(1, 5)]["similarity"] == 1.0
+    # similarity = 1 - d / max(len): 1 - 1/10
+    assert abs(pairs[(1, 2)]["similarity"] - 0.9) < 1e-9
+
+
+def test_linker_blocking_never_crosses_blocks(spark):
+    # identical strings except the first token -> never compared
+    df = _names(spark, [(1, "aa x"), (2, "ab x")])
+    assert (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+            .setMaxDistance(5).link(df).count()) == 0
+
+
+def test_linker_two_sided_and_nulls(spark):
+    a = _names(spark, [(1, "blue bolt"), (2, None)])
+    b = _names(spark, [(10, "blue bolts"), (11, "blue bolt"), (12, None)])
+    out = (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+           .setMaxDistance(1).link(a, b).collect())
+    # two-sided: no a<b ordering constraint, NULL names never match
+    assert {(r["a_id"], r["b_id"]) for r in out} == {(1, 10), (1, 11)}
+
+
+def test_linker_prefix_and_length_blockers(spark):
+    df = _names(spark, [(1, "abcdef"), (2, "abcdxx"), (3, "zzcdef")])
+    by_prefix = (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+                 .setBlocker("prefix").setBlockLen(4).setMaxDistance(2)
+                 .link(df).collect())
+    assert {(r["a_id"], r["b_id"]) for r in by_prefix} == {(1, 2)}
+    by_len = (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+              .setBlocker("length").setBlockLen(4).setMaxDistance(2)
+              .link(df).collect())
+    # same length band: all three; distance<=2 keeps (1,2) and (1,3)
+    assert {(r["a_id"], r["b_id"]) for r in by_len} == {(1, 2), (1, 3)}
+
+
+def test_linker_levenshtein_is_jvm_side(spark):
+    df = _names(spark, [(1, "a b"), (2, "a c")])
+    plan = (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+            .link(df)._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- differ
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "id long, a string, b double")
+
+
+def test_differ_goldens(spark):
+    old = _snap(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0),
+                        (4, None, 4.0)])
+    new = _snap(spark, [(1, "x", 1.0),          # unchanged -> no row
+                        (2, "y2", 2.0),         # update: a
+                        (5, "w", 5.0),          # insert
+                        (4, None, 4.5)])        # update: b (NULL==NULL)
+    out = (SnapshotDiffer().setKeyCols("id").diff(old, new)
+           .orderBy("id").collect())
+    got = {r["id"]: (r["op"], list(r["changed_cols"])) for r in out}
+    assert got == {2: ("update", ["a"]),
+                   3: ("delete", []),
+                   4: ("update", ["b"]),
+                   5: ("insert", [])}
+
+
+def test_differ_null_transitions(spark):
+    old = _snap(spark, [(1, "x", 1.0)])
+    new = _snap(spark, [(1, None, 1.0)])
+    out = SnapshotDiffer().setKeyCols("id").diff(old, new).collect()
+    assert len(out) == 1 and list(out[0]["changed_cols"]) == ["a"]
+
+
+def test_differ_compare_cols_subset(spark):
+    old = _snap(spark, [(1, "x", 1.0)])
+    new = _snap(spark, [(1, "CHANGED", 1.0)])
+    # comparing only b -> the a-change is invisible, no diff rows
+    assert (SnapshotDiffer().setKeyCols("id").setCompareCols("b")
+            .diff(old, new).count()) == 0
+
+
+def test_differ_single_shuffle(spark):
+    old = _snap(spark, [(1, "x", 1.0)])
+    new = _snap(spark, [(1, "y", 1.0)])
+    plan = (SnapshotDiffer().setKeyCols("id").diff(old, new)
+            ._jdf.queryExecution().executedPlan().toString())
+    # one join, no Python, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------- validator
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [(1, 10, "O", 5.0), (2, 10, "F", -1.0), (3, None, "X", 2.0),
+         (3, 99, "P", 3.0)],
+        "k long, fk long, st string, price double")
+
+
+def test_validator_counts(spark):
+    dim = spark.createDataFrame([(10,), (20,)], "dk long")
+    out = (ExpectationValidator()
+           .expect_not_null("fk_present", "fk")
+           .expect_unique("k_unique", "k")
+           .expect_range("price_pos", "price", 0.0, 100.0)
+           .expect_regex("st_enum", "st", "^[OFP]$")
+           .expect_referential("fk_ref", "fk", dim, "dk")
+           .validate(_orders(spark)).collect())
+    got = {r["rule"]: (r["rule_type"], r["n_violations"], r["passed"])
+           for r in out}
+    assert got == {
+        "fk_present": ("not_null", 1, False),
+        "k_unique": ("unique", 2, False),        # key 3 occurs twice
+        "price_pos": ("range", 1, False),
+        "st_enum": ("regex", 1, False),
+        "fk_ref": ("referential", 1, False),     # fk=99 dangles, NULL ok
+    }
+
+
+def test_validator_all_pass_and_empty(spark):
+    df = spark.createDataFrame([(1, "O")], "k long, st string")
+    out = (ExpectationValidator()
+           .expect_not_null("k_nn", "k")
+           .expect_regex("st_enum", "st", "^[OFP]$")
+           .validate(df).collect())
+    assert all(r["passed"] for r in out)
+    empty = ExpectationValidator().validate(df)
+    assert empty.count() == 0
+    assert empty.columns == ["rule", "rule_type", "n_violations", "passed"]
+
+
+def test_validator_row_rules_single_pass(spark):
+    """All row-local rules fold into ONE aggregate over one scan."""
+    df = _orders(spark)
+    plan = (ExpectationValidator()
+            .expect_not_null("a", "fk")
+            .expect_range("b", "price", 0.0, 1.0)
+            .expect_regex("c", "st", "^[OFP]$")
+            .validate(df)._jdf.queryExecution().executedPlan().toString())
+    # row rules share one HashAggregate pair (partial+final); a scan
+    # per rule would show up as multiple aggregates / unions of scans
+    assert plan.count("Union") == 0
