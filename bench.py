@@ -110,6 +110,7 @@ HEADLINE = [
     "fuzzy_link_part",
     "snapshot_diff_orders",
     "expectations_orders",
+    "expectation_monitor_events",
 ]
 
 

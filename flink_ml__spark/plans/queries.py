@@ -3608,6 +3608,79 @@ FROM rules
 """
 
 
+# deterministic dirt for the windowed quality monitor on `events`
+_MON_NULL, _MON_NEG, _MON_ENUM = 31, 29, 37
+_MON_TYPES = "^(click|view|signup|purchase|error)$"
+_DAY_US = 86_400_000_000
+
+
+def q_expectation_monitor_events(spark, sf_dir):
+    """Windowed data-quality monitor over a dirtied `events`: per
+    1-day event-time window and rule, violation counts + window row
+    counts. The SAME code path runs on an unbounded stream (see
+    `streaming.stream_expectation_monitor` and its parity test); this
+    batch run is the oracle-gated twin."""
+    from flink_ml__spark.functions.linkage import ExpectationValidator
+    from flink_ml__spark.streaming.online import stream_expectation_monitor
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    dirty = (ev
+             .withColumn("user_id",
+                         F.when(k % _MON_NULL == 4, F.lit(None))
+                          .otherwise(F.col("user_id")))
+             .withColumn("value",
+                         F.when(k % _MON_NEG == 3, -F.col("value"))
+                          .otherwise(F.col("value")))
+             .withColumn("event_type",
+                         F.when(k % _MON_ENUM == 5, F.lit("bogus"))
+                          .otherwise(F.col("event_type"))))
+    # synthetic user registry: the even ids (deterministic, replayable)
+    registry = ev.select(
+        (F.col("user_id") - (F.col("user_id") % 2)).alias("uid")).distinct()
+    v = (ExpectationValidator()
+         .expect_not_null("user_present", "user_id")
+         .expect_range("value_pos", "value", 0.0, 1e6)
+         .expect_regex("type_enum", "event_type", _MON_TYPES)
+         .expect_referential("user_registered", "user_id",
+                             registry, "uid"))
+    out = stream_expectation_monitor(dirty, "ts", v, window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "rule", "rule_type", "n_violations", "n_rows")
+
+
+ORACLE_EXPECTATION_MONITOR = f"""
+WITH dirty AS (
+  SELECT epoch_us(ts) AS t_us,
+    CASE WHEN event_id % {_MON_NULL} = 4 THEN NULL
+         ELSE user_id END AS user_id,
+    CASE WHEN event_id % {_MON_NEG} = 3 THEN -value
+         ELSE value END AS value,
+    CASE WHEN event_id % {_MON_ENUM} = 5 THEN 'bogus'
+         ELSE event_type END AS event_type
+  FROM events),
+reg AS (SELECT DISTINCT user_id - (user_id % 2) AS uid FROM events),
+w AS (SELECT (t_us // {_DAY_US}) * {_DAY_US} AS win_us,
+        count(*) AS n_rows,
+        sum((user_id IS NULL)::BIGINT) AS v0,
+        sum((value IS NULL OR value < 0.0 OR value > 1e6)::BIGINT) AS v1,
+        sum((event_type IS NULL OR NOT regexp_matches(event_type,
+             '{_MON_TYPES}'))::BIGINT) AS v2,
+        sum((user_id IS NOT NULL
+             AND user_id NOT IN (SELECT uid FROM reg))::BIGINT) AS v3
+      FROM dirty GROUP BY 1)
+SELECT win_us, r.rule, r.rule_type,
+       CASE r.i WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                ELSE v3 END::BIGINT AS n_violations,
+       n_rows
+FROM w CROSS JOIN (VALUES (0, 'user_present', 'not_null'),
+                          (1, 'value_pos', 'range'),
+                          (2, 'type_enum', 'regex'),
+                          (3, 'user_registered', 'referential'))
+     AS r(i, rule, rule_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3669,6 +3742,7 @@ QUERIES = {
     "fuzzy_link_part": q_fuzzy_link_part,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "expectations_orders": q_expectations_orders,
+    "expectation_monitor_events": q_expectation_monitor_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -3775,6 +3849,7 @@ ORACLES = {
     "fuzzy_link_part": ORACLE_FUZZY_LINK,
     "snapshot_diff_orders": ORACLE_SNAPSHOT_DIFF,
     "expectations_orders": ORACLE_EXPECTATIONS,
+    "expectation_monitor_events": ORACLE_EXPECTATION_MONITOR,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -3,6 +3,7 @@ from flink_ml__spark.streaming.online import (
     stream_corpus_monitor,
     stream_dedup_against_corpus,
     stream_exact_dedup,
+    stream_expectation_monitor,
     stream_minhash_dedup_against_corpus,
     stream_online_ahp,
     stream_online_topsis_apply,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_corpus_monitor",
     "stream_dedup_against_corpus",
     "stream_exact_dedup",
+    "stream_expectation_monitor",
     "stream_minhash_dedup_against_corpus",
     "stream_online_ahp",
     "stream_online_topsis_apply",

@@ -218,6 +218,64 @@ def stream_corpus_monitor(stream_df: DataFrame, time_col: str,
                     group_col, "n_docs", "mean_quality", "mean_tokens"))
 
 
+def stream_expectation_monitor(stream_df: DataFrame, time_col: str,
+                               validator, window: str = "1 minute",
+                               watermark_delay: str = "0 seconds"
+                               ) -> DataFrame:
+    """Windowed data-quality monitoring: per event-time window and
+    expectation rule, the violation count and window row count — the
+    live ingest gate a 100 TB pipeline runs next to its batch
+    :class:`~flink_ml__spark.functions.linkage.ExpectationValidator`.
+
+    Takes the SAME validator object the batch gate uses, so the rule
+    definitions exist exactly once. Row-local rules (not_null /
+    range / regex) fold into the windowed aggregate as boolean sums —
+    one stateful partial+final aggregation, state bounded by the
+    watermark. ``referential`` rules join the stream against the
+    broadcast DISTINCT dimension keys (a stream-static left join —
+    supported, stateless on the stream side) before the aggregate.
+    ``unique`` rules need cross-batch state proportional to the key
+    space and are rejected — run those in the batch gate.
+
+    Output: ``window_start``, ``window_end``, ``rule``, ``rule_type``,
+    ``n_violations``, ``n_rows``. Runs identically on a batch frame
+    (windows fire immediately) — the batch run IS the oracle-gated
+    query, the stream run the parity-tested twin.
+    """
+    if validator._unique_rules:
+        raise ValueError(
+            "unique rules need cross-batch state keyed by every value "
+            "seen — run them in the batch ExpectationValidator")
+
+    viols = list(validator._row_rules)
+    df = stream_df
+    for name, col, dim, dim_col in validator._ref_rules:
+        marker = f"__ref_{name}"
+        keys = F.broadcast(dim.select(F.col(dim_col).alias(col))
+                           .distinct().withColumn(marker, F.lit(True)))
+        df = df.join(keys, col, "left")
+        viols.append((name, "referential",
+                      F.col(col).isNotNull() & F.col(marker).isNull()))
+    if not viols:
+        raise ValueError("validator has no streamable rules")
+
+    win = F.window(F.col(time_col), window)
+    agg = (df.withWatermark(time_col, watermark_delay)
+             .groupBy(win.alias("__w"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  *[F.sum(v.cast("bigint")).alias(f"__v{i}")
+                    for i, (_n, _t, v) in enumerate(viols)]))
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(n).alias("rule"), F.lit(t).alias("rule_type"),
+                 F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                  .alias("n_violations"))
+        for i, (n, t, _v) in enumerate(viols)])).alias("r")
+    return (agg.select(F.col("__w.start").alias("window_start"),
+                       F.col("__w.end").alias("window_end"),
+                       "n_rows", stack)
+               .select("window_start", "window_end", "r.*", "n_rows"))
+
+
 def stream_cardinality_monitor(stream_df: DataFrame, time_col: str,
                                key_col: str = "user_id",
                                group_col: str = "event_type",

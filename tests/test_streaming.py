@@ -469,3 +469,69 @@ def test_stream_cardinality_monitor_matches_batch(spark):
                    for ws, _ in open_windows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_expectation_monitor_matches_batch(spark):
+    """Windowed expectation monitoring on a stream equals the batch
+    run of the same validator; unique rules are rejected up front."""
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from flink_ml__spark.functions.linkage import ExpectationValidator
+    from flink_ml__spark.streaming import stream_expectation_monitor
+
+    rows = []
+    for i in range(40):
+        ts = datetime(2024, 1, 1, 0, i // 10, 7, tzinfo=timezone.utc)
+        rows.append((i, ts,
+                     None if i % 7 == 3 else i % 5,     # null users
+                     -1.0 if i % 11 == 2 else float(i)))  # negatives
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    dim = spark.createDataFrame([(0,), (1,), (2,)], "uid long")
+
+    def validator():
+        return (ExpectationValidator()
+                .expect_not_null("user_present", "user_id")
+                .expect_range("value_pos", "value", 0.0, 1e6)
+                .expect_referential("user_known", "user_id", dim, "uid"))
+
+    batch = {(r["window_start"], r["rule"]):
+             (r["rule_type"], r["n_violations"], r["n_rows"])
+             for r in stream_expectation_monitor(
+                 df, "ts", validator()).collect()}
+    assert len(batch) == 12  # 4 minutes × 3 rules
+    # hand-check one window: minute 0 holds i=0..9 (collected
+    # timestamps come back naive in the session's UTC)
+    m0 = datetime(2024, 1, 1, 0, 0)
+    assert batch[(m0, "user_present")] == ("not_null", 1, 10)   # i=3
+    assert batch[(m0, "value_pos")] == ("range", 1, 10)         # i=2
+    # i=4,9 -> user 4; i=8 -> user 3; all outside dim {0,1,2}
+    assert batch[(m0, "user_known")] == ("referential", 3, 10)
+
+    d = _tf.mkdtemp(prefix="stream_exp_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_expectation_monitor(stream, "ts", validator())
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("expmon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["rule"]):
+               (r["rule_type"], r["n_violations"], r["n_rows"])
+               for r in spark.sql("SELECT * FROM expmon").collect()}
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = {ws for ws, _ in set(batch) - set(got)}
+        assert open_windows <= {max(ws for ws, _ in batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # unique rules need unbounded state -> explicit refusal
+    bad = ExpectationValidator().expect_unique("u", "event_id")
+    with pytest.raises(ValueError, match="unique"):
+        stream_expectation_monitor(df, "ts", bad)
