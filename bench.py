@@ -111,6 +111,8 @@ HEADLINE = [
     "snapshot_diff_orders",
     "expectations_orders",
     "expectation_monitor_events",
+    "markup_strip_documents",
+    "script_profile_documents",
 ]
 
 

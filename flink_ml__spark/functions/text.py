@@ -481,3 +481,124 @@ class TextNormalizer(AlgoOperator, HasInputCol, HasOutputCol):
                 .withColumn(out, t)
                 .withColumn(f"{out}_chars",
                             F.coalesce(F.length(t), F.lit(0))))
+
+
+class MarkupStripper(AlgoOperator, HasInputCol, HasOutputCol):
+    """HTML/markup removal — the first pass every web-crawl curation
+    pipeline runs (cf. the extraction stage of C4, Raffel et al. 2020
+    §2.2, and RefinedWeb, Penedo et al. 2023 §3.1; this is the
+    post-extraction scrub for text that still carries tags).
+
+    Appends ``outputCol`` (the cleaned text) plus ``n_tags_removed``.
+    Sequential passes, each a codegen expression:
+
+    1. ``<script>``/``<style>`` elements drop WITH their content
+       (``(?s)`` dotall so the block may span lines);
+    2. HTML comments ``<!-- ... -->`` drop with content;
+    3. every remaining ``<...>`` tag drops (counted as
+       ``n_tags_removed``, measured AFTER the content-dropping passes
+       so script-internal markup isn't double-counted);
+    4. a fixed entity set unescapes literally — ``&lt; &gt; &quot;
+       &#39; &nbsp;`` then ``&amp;`` LAST (unescaping it earlier
+       would re-activate entities it had been escaping);
+    5. whitespace runs collapse to one space, ends trimmed.
+
+    All patterns are RE2-compatible (no lookaround, no backrefs) so
+    the DuckDB oracle replays them verbatim. NULL text stays NULL;
+    the count is 0 for NULL (TokenCounter convention).
+
+    100 TB design: map-only whole-stage-codegen projection — no
+    shuffle, no Python, streaming-compatible unchanged.
+    """
+
+    # two separate element patterns — a single alternation would need
+    # a backreference for the closing tag, which RE2 (the oracle's
+    # regex engine) does not support
+    SCRIPT = r"(?is)<script\b[^>]*>.*?</script\s*>"
+    STYLE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+    COMMENT = r"(?s)<!--.*?-->"
+    TAG = r"<[^>]*>"
+    # literal (entity, replacement) pairs, applied in order; &amp; LAST
+    ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="text_clean")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.getInputCol())
+        cur = F.regexp_replace(text, self.SCRIPT, " ")
+        cur = F.regexp_replace(cur, self.STYLE, " ")
+        cur = F.regexp_replace(cur, self.COMMENT, " ")
+        n_tags = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.regexp_count(cur, F.lit(self.TAG)))
+        cur = F.regexp_replace(cur, self.TAG, " ")
+        for ent, rep in self.ENTITIES:
+            cur = F.replace(cur, F.lit(ent), F.lit(rep))
+        cur = F.trim(F.regexp_replace(cur, "[ \\t\\n\\r\\f]+", " "))
+        return (df.withColumn(self.getOutputCol(), cur)
+                  .withColumn("n_tags_removed", n_tags))
+
+
+class ScriptProfiler(AlgoOperator, HasInputCol):
+    """Unicode-script composition of each document — the signal
+    language-ID gates and mixed-script spam filters key on (a "latin"
+    document that is 40% CJK is mislabeled or junk).
+
+    Appends per-script character fractions (of NON-whitespace chars)
+    plus the dominant script label::
+
+        latin_frac cyrillic_frac cjk_frac arabic_frac digit_frac
+        other_frac   double, each in [0, 1]
+        dominant     the largest of the five script classes
+                     ('latin'|'cyrillic'|'cjk'|'arabic'|'other',
+                     ties to that order), or NULL for empty/NULL text
+
+    Script classes are explicit BMP ranges (Latin incl. Latin-1/Ext-A,
+    Cyrillic U+0400–04FF, CJK unified + hiragana/katakana/Hangul,
+    Arabic U+0600–06FF) — deliberately simple, replayable in RE2.
+
+    100 TB design: one ``regexp_count`` per class over a map-only
+    projection — no shuffle, no Python, streaming-compatible.
+    """
+
+    CLASSES = [
+        ("latin", "[A-Za-z\\u00C0-\\u024F]"),
+        ("cyrillic", "[\\u0400-\\u04FF]"),
+        ("cjk", "[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]"),
+        ("arabic", "[\\u0600-\\u06FF]"),
+        ("digit", "[0-9]"),
+    ]
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.getInputCol())
+        base = F.regexp_count(F.coalesce(text, F.lit("")),
+                              F.lit("[^ \\t\\n\\r\\f]"))
+        out = df
+        fracs = {}
+        for name, cls in self.CLASSES:
+            n = F.regexp_count(F.coalesce(text, F.lit("")), F.lit(cls))
+            fracs[name] = F.when(base > 0, n / base).otherwise(F.lit(0.0))
+            out = out.withColumn(f"{name}_frac", fracs[name])
+        other = F.when(
+            base > 0,
+            F.greatest(F.lit(0.0),
+                       F.lit(1.0) - sum(fracs[n] for n, _ in self.CLASSES
+                                        if n != "digit")
+                       - fracs["digit"])).otherwise(F.lit(0.0))
+        out = out.withColumn("other_frac", other)
+        # dominant among the script classes (digits are script-neutral)
+        scripts = ["latin", "cyrillic", "cjk", "arabic"]
+        best = F.greatest(*[fracs[s] for s in scripts], other)
+        dom = F.lit(None).cast("string")
+        for s in reversed(scripts + ["other"]):
+            v = other if s == "other" else fracs[s]
+            dom = F.when(best == v, F.lit(s)).otherwise(dom)
+        out = out.withColumn(
+            "dominant", F.when(base > 0, dom).otherwise(F.lit(None)))
+        return out

@@ -51,8 +51,10 @@ def test_map_only_operators_stream_compatible(spark):
     )
     from flink_ml__spark.functions.text import (
         LanguageIdentifier,
+        MarkupStripper,
         PiiRedactor,
         QualityScorer,
+        ScriptProfiler,
         TextNormalizer,
         TokenCounter,
     )
@@ -68,7 +70,8 @@ def test_map_only_operators_stream_compatible(spark):
         lm = UnigramLM().setMaxVocab(500).fit(docs)
         blm = BigramLM().setMaxVocab(500).setMaxBigrams(2000).fit(docs)
         out = stream
-        for op in [TextNormalizer(), PiiRedactor(), LineFilter(),
+        for op in [MarkupStripper(), ScriptProfiler(), TextNormalizer(),
+                   PiiRedactor(), LineFilter(),
                    TokenCounter(), LanguageIdentifier(), QualityScorer(),
                    DeterministicSplitter(), blm, lm]:
             out = op.transform(out)

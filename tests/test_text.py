@@ -253,3 +253,85 @@ def test_text_normalizer_goldens(spark):
                  .transform(df).collect())
     by_id = {r["doc_id"]: r for r in kept_case}
     assert by_id[4]["text_norm"] == "MiXeD'case, with-punct: 42"
+
+
+def test_markup_stripper_goldens(spark):
+    from flink_ml__spark.functions.text import MarkupStripper
+
+    df = spark.createDataFrame([
+        (1, "<p>Hello &amp; welcome</p><script>var a=1;</script>"
+            "<!-- hid --><b>world</b>"),
+        (2, "plain text, no tags"),
+        (3, None),
+        (4, "<style>p{color:red}</style>A &lt;tag&gt;"
+            " &#39;q&#39;&nbsp;end"),
+        (5, "<SCRIPT>\nmultiline();\n</SCRIPT>after"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_tags_removed"])
+           for r in MarkupStripper().transform(df).collect()}
+    assert got[1] == ("Hello & welcome world", 4)  # <p> </p> <b> </b>
+    assert got[2] == ("plain text, no tags", 0)
+    assert got[3] == (None, 0)
+    # entities unescape AFTER tag removal: "<tag>" survives as text
+    assert got[4] == ("A <tag> 'q' end", 0)
+    # (?i) case-insensitive element match, (?s) spans lines
+    assert got[5] == ("after", 0)
+
+
+def test_markup_stripper_amp_last(spark):
+    """&amp;lt; must become the literal text '&lt;', not '<' —
+    the classic double-unescape bug the entity order prevents."""
+    from flink_ml__spark.functions.text import MarkupStripper
+
+    df = spark.createDataFrame([(1, "x &amp;lt; y")],
+                               "doc_id long, text string")
+    assert (MarkupStripper().transform(df).first()["text_clean"]
+            == "x &lt; y")
+
+
+def test_markup_stripper_map_only(spark):
+    from flink_ml__spark.functions.text import MarkupStripper
+
+    df = spark.createDataFrame([(1, "<p>x</p>")],
+                               "doc_id long, text string")
+    plan = (MarkupStripper().transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_script_profiler_goldens(spark):
+    from flink_ml__spark.functions.text import ScriptProfiler
+
+    df = spark.createDataFrame([
+        (1, "hello world 123"),
+        (2, "привет мир"),
+        (3, "日本語のテキスト"),
+        (4, "نص عربي"),
+        (5, ""),
+        (6, None),
+        (7, "!!! ???"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ScriptProfiler().transform(df).collect()}
+    assert got[1]["dominant"] == "latin"
+    assert abs(got[1]["digit_frac"] - 3 / 13) < 1e-9
+    assert got[2]["dominant"] == "cyrillic"
+    assert got[2]["cyrillic_frac"] == 1.0
+    assert got[3]["dominant"] == "cjk" and got[3]["cjk_frac"] == 1.0
+    assert got[4]["dominant"] == "arabic"
+    assert got[5]["dominant"] is None
+    assert got[6]["dominant"] is None and got[6]["latin_frac"] == 0.0
+    assert got[7]["dominant"] == "other" and got[7]["other_frac"] == 1.0
+    # fractions partition the non-ws mass
+    r = got[1]
+    total = sum(r[f"{n}_frac"] for n in
+                ["latin", "cyrillic", "cjk", "arabic", "digit", "other"])
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_script_profiler_map_only(spark):
+    from flink_ml__spark.functions.text import ScriptProfiler
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (ScriptProfiler().transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
