@@ -1,0 +1,86 @@
+"""Warehouse-hygiene tour: declarative data-quality expectations over
+orders (clean pass + a dirtied frame with real violations), a
+streaming-shaped windowed quality monitor on events, a keyed snapshot
+CDC diff with payload + exact reconstruction, and blocked fuzzy
+entity resolution on part names — the structured-data half of the
+curation engine (each stage mirrors one of the gate queries)."""
+
+from _common import SF_DIR, get_session
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.linkage import (
+        ExpectationValidator,
+        FuzzyRecordLinker,
+        SnapshotDiffer,
+    )
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.streaming import stream_expectation_monitor
+
+    spark = get_session("data-quality-example")
+    orders = load_table(spark, "orders", SF_DIR)
+    cust = load_table(spark, "customer", SF_DIR)
+
+    print("== expectations on the clean table: every rule passes ==")
+    validator = (ExpectationValidator()
+                 .expect_not_null("custkey_present", "o_custkey")
+                 .expect_unique("orderkey_unique", "o_orderkey")
+                 .expect_range("price_sane", "o_totalprice", 0.0, 1e7)
+                 .expect_regex("status_enum", "o_orderstatus", "^[OFP]$")
+                 .expect_referential("custkey_fk", "o_custkey",
+                                     cust, "c_custkey"))
+    validator.validate(orders).show()
+
+    print("== the same rules catch injected dirt ==")
+    k = F.col("o_orderkey")
+    dirty = (orders
+             .withColumn("o_custkey", F.when(k % 50 == 1, F.lit(None))
+                         .otherwise(F.col("o_custkey")))
+             .withColumn("o_totalprice",
+                         F.when(k % 70 == 2, -F.col("o_totalprice"))
+                         .otherwise(F.col("o_totalprice"))))
+    validator.validate(dirty).show()
+
+    print("== windowed quality monitor on events (same rules object "
+          "runs on an unbounded stream) ==")
+    ev = load_table(spark, "events", SF_DIR)
+    mon_rules = (ExpectationValidator()
+                 .expect_not_null("user_present", "user_id")
+                 .expect_range("value_sane", "value", 0.0, 1e6))
+    (stream_expectation_monitor(ev, "ts", mon_rules, window="1 day")
+     .orderBy("window_start", "rule").show(8, truncate=False))
+
+    print("== snapshot CDC: churn the orders table, diff, reconstruct ==")
+    new = (orders.filter(k % 13 != 3)
+           .withColumn("o_totalprice",
+                       F.when(k % 7 == 0, F.col("o_totalprice") + 10.0)
+                       .otherwise(F.col("o_totalprice"))))
+    differ = SnapshotDiffer().setKeyCols("o_orderkey").setEmitPayload(True)
+    diff = differ.diff(orders, new)
+    diff.groupBy("op").count().orderBy("op").show()
+    rebuilt = differ.apply(orders, diff)
+    mismatch = (rebuilt.exceptAll(new.select(*rebuilt.columns)).count()
+                + new.select(*rebuilt.columns).exceptAll(rebuilt).count())
+    print(f"reconstruction mismatches (expect 0): {mismatch}")
+
+    print("== fuzzy entity resolution on part names ==")
+    part = load_table(spark, "part", SF_DIR)
+    ents = part.groupBy("p_name").agg(F.min("p_partkey").alias("ent_id"))
+    pairs = (FuzzyRecordLinker().setInputCol("p_name").setIdCol("ent_id")
+             .setMaxDistance(3).link(ents))
+    named = (pairs
+             .join(ents.select(F.col("ent_id").alias("a_id"),
+                               F.col("p_name").alias("name_a")), "a_id")
+             .join(ents.select(F.col("ent_id").alias("b_id"),
+                               F.col("p_name").alias("name_b")), "b_id"))
+    named.select("name_a", "name_b", "distance",
+                 F.round("similarity", 3).alias("similarity")) \
+         .orderBy("distance", "name_a").show(10, truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -165,16 +165,25 @@ class SnapshotDiffer(AlgoOperator):
     compareCols = Param(Params._dummy(), "compareCols",
                         "columns to compare ([] = all shared non-key)",
                         TypeConverters.toListString)
+    emitPayload = Param(Params._dummy(), "emitPayload",
+                        "also emit the new-side value of every compared "
+                        "column (NULL row for deletes)",
+                        TypeConverters.toBoolean)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(keyCols=["id"], compareCols=[])
+        self._setDefault(keyCols=["id"], compareCols=[], emitPayload=False)
 
     def setKeyCols(self, *v):
         return self._set(keyCols=list(v))
 
     def setCompareCols(self, *v):
         return self._set(compareCols=list(v))
+
+    def setEmitPayload(self, v: bool = True):
+        """With the payload, the diff is a complete CDC record:
+        ``apply(old, diff)`` reconstructs the new snapshot exactly."""
+        return self._set(emitPayload=bool(v))
 
     def diff(self, old: DataFrame, new: DataFrame) -> DataFrame:
         keys = self.getOrDefault(self.keyCols)
@@ -207,7 +216,39 @@ class SnapshotDiffer(AlgoOperator):
                              .otherwise(F.array().cast("array<string>")))
                 .filter((F.col("op") != "update")
                         | (F.size("changed_cols") > 0)))
-        return out.select(*keys, "op", "changed_cols")
+        cols = [*keys, "op", "changed_cols"]
+        if self.getOrDefault(self.emitPayload):
+            cols += [F.col(f"__n_{c}").alias(c) for c in cmp_cols]
+        return out.select(*cols)
+
+    def apply(self, old: DataFrame, diff: DataFrame) -> DataFrame:
+        """Replay a payload-carrying diff onto ``old``, returning the
+        reconstructed new snapshot — the consume side of the CDC
+        contract (``apply(old, diff(old, new)) == new`` up to column
+        subset, property-tested). ``diff`` must come from
+        ``setEmitPayload(True)`` and carry every compared column.
+
+        One shuffled left join on the key (deletes and updates
+        resolve map-side from the joined row) plus the insert slice —
+        the same single-exchange budget as the diff itself."""
+        keys = self.getOrDefault(self.keyCols)
+        payload = [c for c in diff.columns
+                   if c not in set(keys) | {"op", "changed_cols"}]
+        if not payload:
+            raise ValueError("diff carries no payload — produce it with "
+                             "setEmitPayload(True)")
+        d = diff.select(*keys, "op",
+                        *[F.col(c).alias(f"__p_{c}") for c in payload])
+        merged = (old.join(d, keys, "left")
+                  .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+                  .select(*keys,
+                          *[F.when(F.col("op") == "update",
+                                   F.col(f"__p_{c}"))
+                             .otherwise(F.col(c)).alias(c)
+                            for c in payload]))
+        inserts = (diff.filter(F.col("op") == "insert")
+                   .select(*keys, *payload))
+        return merged.unionByName(inserts)
 
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("SnapshotDiffer is binary — call diff(old, new)")

@@ -171,3 +171,31 @@ def test_validator_row_rules_single_pass(spark):
     # row rules share one HashAggregate pair (partial+final); a scan
     # per rule would show up as multiple aggregates / unions of scans
     assert plan.count("Union") == 0
+
+
+def test_differ_payload_and_apply_roundtrip(spark):
+    """apply(old, diff(old, new)) reconstructs new exactly."""
+    old = _snap(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0),
+                        (4, None, 4.0)])
+    new = _snap(spark, [(1, "x", 1.0), (2, "y2", 2.0), (5, "w", 5.0),
+                        (4, None, 4.5)])
+    d = SnapshotDiffer().setKeyCols("id").setEmitPayload(True)
+    diff = d.diff(old, new)
+    # payload columns present; delete rows carry NULL payload
+    by_id = {r["id"]: r for r in diff.collect()}
+    assert by_id[5]["a"] == "w" and by_id[5]["b"] == 5.0
+    assert by_id[3]["a"] is None and by_id[3]["b"] is None
+    got = {tuple(r) for r in d.apply(old, diff)
+           .select("id", "a", "b").collect()}
+    want = {tuple(r) for r in new.select("id", "a", "b").collect()}
+    assert got == want
+
+
+def test_differ_apply_requires_payload(spark):
+    import pytest
+
+    old = _snap(spark, [(1, "x", 1.0)])
+    new = _snap(spark, [(1, "y", 1.0)])
+    d = SnapshotDiffer().setKeyCols("id")
+    with pytest.raises(ValueError, match="payload"):
+        d.apply(old, d.diff(old, new))

@@ -634,3 +634,28 @@ def test_operator_guards_for_degenerate_params_and_nulls(spark):
     with pytest.raises(ValueError):
         (Apriori().setInputCols(["basket"]).setItemSeparator("/")
          .frequent_itemsets(big))
+
+
+@H
+@given(data=st.lists(
+    st.tuples(st.integers(0, 9),            # key
+              st.integers(0, 2),            # old value bucket
+              st.integers(0, 2),            # new value bucket
+              st.sampled_from(["both", "old_only", "new_only"])),
+    min_size=0, max_size=10, unique_by=lambda t: t[0]))
+def test_snapshot_diff_apply_roundtrip_property(spark, data):
+    """For ANY pair of keyed snapshots, applying the payload diff to
+    the old snapshot reconstructs the new one exactly."""
+    from flink_ml__spark.functions.linkage import SnapshotDiffer
+
+    old_rows = [(k, f"v{o}", float(o)) for k, o, _n, w in data
+                if w in ("both", "old_only")]
+    new_rows = [(k, f"v{n}", float(n)) for k, _o, n, w in data
+                if w in ("both", "new_only")]
+    schema = "id long, a string, b double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    d = SnapshotDiffer().setKeyCols("id").setEmitPayload(True)
+    got = {tuple(r) for r in d.apply(old, d.diff(old, new)).collect()}
+    want = {tuple(r) for r in new.collect()}
+    assert got == want
