@@ -113,6 +113,7 @@ HEADLINE = [
     "expectation_monitor_events",
     "markup_strip_documents",
     "script_profile_documents",
+    "compression_invariants_documents",
 ]
 
 

@@ -2193,3 +2193,64 @@ class WeightedSampler(AlgoOperator, HasIdColMixin):
                 .orderBy(F.round("sample_key", 12).desc(),
                          F.col(idc).asc())
                 .limit(self.getN()))
+
+
+class CompressionScorer(AlgoOperator, HasInputCol):
+    """zlib compression ratio as a redundancy signal — the
+    cheap-but-effective quality heuristic of Gopher-line pipelines
+    (highly compressible text is boilerplate/repetition; text that
+    INFLATES under compression is usually noise or already-encoded
+    payload). Appends::
+
+        raw_bytes       bigint  UTF-8 byte length (0 for NULL)
+        compress_ratio  double  compressed / raw bytes
+                                (NULL for NULL/empty text)
+
+    ``level`` pins the zlib effort (default 6) so the score is
+    deterministic across runs and machines — zlib output for a given
+    (input, level) is stable, which is what makes the invariant gate
+    (`compression_invariants_documents`) hashable.
+
+    100 TB design: one Arrow-batched pandas pass (zlib is not
+    expressible in Catalyst) — map-only, no shuffle, same cost class
+    as the fingerprint operators; streaming-compatible unchanged.
+    """
+
+    level = Param(Params._dummy(), "level",
+                  "zlib compression level 1-9", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", level=6)
+
+    def setLevel(self, v):
+        v = int(v)
+        if not 1 <= v <= 9:
+            raise ValueError(f"level must be in [1, 9], got {v}")
+        return self._set(level=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import zlib
+
+        lvl = self.getOrDefault(self.level)
+
+        # no type hints: see RepetitionScorer
+        @F.pandas_udf("struct<raw_bytes:bigint,compress_ratio:double>")
+        def score(texts):
+            out = []
+            for t in texts:
+                if t is None or t == "":
+                    out.append((0, None))
+                    continue
+                b = t.encode("utf-8")
+                out.append((len(b), len(zlib.compress(b, lvl)) / len(b)))
+            import pandas as pd
+            return pd.DataFrame(out, columns=["raw_bytes",
+                                              "compress_ratio"])
+
+        col = self.getInputCol()
+        return (df.withColumn("__cmp", score(F.col(col)))
+                  .withColumn("raw_bytes", F.col("__cmp.raw_bytes"))
+                  .withColumn("compress_ratio",
+                              F.col("__cmp.compress_ratio"))
+                  .drop("__cmp"))

@@ -3824,6 +3824,36 @@ FROM d
         for name, _ in _SCRIPT_CLASSES_RE2))
 
 
+def q_compression_invariants_documents(spark, sf_dir):
+    """Violations-only gate for the zlib redundancy signal: docs
+    planted with pure repetition must compress below 0.2 (measured
+    0.064 — 3× margin) and ordinary corpus docs must stay above 0.3
+    (corpus minimum 0.382 across SFs). Expected EMPTY; a wrong ratio,
+    a NULL mix-up, or nondeterministic compression flips the hash."""
+    from flink_ml__spark.functions.curation import CompressionScorer
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = F.col("doc_id") % 7
+    planted = (F.when(m == 0, F.lit(("spam " * 50).strip()))
+                .otherwise(F.col("text")))
+    scored = (CompressionScorer()
+              .transform(docs.withColumn("text", planted)))
+    viol = scored.filter(
+        ((m == 0) & (F.col("compress_ratio") > 0.2))
+        | ((m != 0) & F.col("text").isNotNull()
+           & (F.length("text") > 0) & (F.col("compress_ratio") < 0.3))
+        | (F.col("text").isNotNull() & (F.length("text") > 0)
+           & F.col("compress_ratio").isNull()))
+    return viol.select("doc_id",
+                       F.round("compress_ratio", 6)
+                       .alias("compress_ratio"))
+
+
+ORACLE_COMPRESSION_INVARIANTS = """
+SELECT doc_id, 0.0 AS compress_ratio FROM documents WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3888,6 +3918,7 @@ QUERIES = {
     "expectation_monitor_events": q_expectation_monitor_events,
     "markup_strip_documents": q_markup_strip_documents,
     "script_profile_documents": q_script_profile_documents,
+    "compression_invariants_documents": q_compression_invariants_documents,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -3997,6 +4028,7 @@ ORACLES = {
     "expectation_monitor_events": ORACLE_EXPECTATION_MONITOR,
     "markup_strip_documents": ORACLE_MARKUP_STRIP,
     "script_profile_documents": ORACLE_SCRIPT_PROFILE,
+    "compression_invariants_documents": ORACLE_COMPRESSION_INVARIANTS,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -898,3 +898,45 @@ def test_corpus_profiler_rank_error_report(spark):
     # group b: constant values (NULL excluded) — interval is [0, 1]
     b50 = [r for r in rep if r["g"] == "b" and r["p"] == 0.5][0]
     assert b50["lo_frac"] == 0.0 and b50["hi_frac"] == 1.0
+
+
+def test_compression_scorer_goldens(spark):
+    import zlib
+
+    from flink_ml__spark.functions.curation import CompressionScorer
+
+    rep = ("spam " * 50).strip()
+    txt = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, rep), (2, txt), (3, None), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["raw_bytes"], r["compress_ratio"])
+           for r in CompressionScorer().transform(df).collect()}
+    # exact replay: zlib output for (input, level) is deterministic
+    for i, t in [(1, rep), (2, txt)]:
+        b = t.encode()
+        assert got[i] == (len(b), len(zlib.compress(b, 6)) / len(b))
+    assert got[1][1] < 0.2 < 0.5 < got[2][1]   # repetition compresses
+    assert got[3] == (0, None) and got[4] == (0, None)
+
+
+def test_compression_scorer_level_validation(spark):
+    import pytest
+
+    from flink_ml__spark.functions.curation import CompressionScorer
+
+    with pytest.raises(ValueError, match="level"):
+        CompressionScorer().setLevel(0)
+    with pytest.raises(ValueError, match="level"):
+        CompressionScorer().setLevel(10)
+
+
+def test_compression_scorer_arrow_only(spark):
+    from flink_ml__spark.functions.curation import CompressionScorer
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = (CompressionScorer().transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan       # batched, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
