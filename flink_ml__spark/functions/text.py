@@ -576,29 +576,43 @@ class ScriptProfiler(AlgoOperator, HasInputCol):
         self._setDefault(inputCol="text")
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # each regexp_count lands in its OWN named column, and every
+        # downstream expression references the column by attribute:
+        # reusing the raw Column objects instead would re-embed the
+        # regexp subtree at every use site (the dominant arbitration
+        # alone references each fraction ~6×), and the duplicated
+        # regex evaluation made the first version of this operator
+        # ~4× slower than the counting itself
         text = F.col(self.getInputCol())
-        base = F.regexp_count(F.coalesce(text, F.lit("")),
-                              F.lit("[^ \\t\\n\\r\\f]"))
-        out = df
-        fracs = {}
+        out = df.withColumn(
+            "__n_base", F.regexp_count(F.coalesce(text, F.lit("")),
+                                       F.lit("[^ \\t\\n\\r\\f]")))
         for name, cls in self.CLASSES:
-            n = F.regexp_count(F.coalesce(text, F.lit("")), F.lit(cls))
-            fracs[name] = F.when(base > 0, n / base).otherwise(F.lit(0.0))
-            out = out.withColumn(f"{name}_frac", fracs[name])
+            out = out.withColumn(
+                f"__n_{name}",
+                F.regexp_count(F.coalesce(text, F.lit("")), F.lit(cls)))
+        base = F.col("__n_base")
+        for name, _cls in self.CLASSES:
+            out = out.withColumn(
+                f"{name}_frac",
+                F.when(base > 0, F.col(f"__n_{name}") / base)
+                 .otherwise(F.lit(0.0)))
         other = F.when(
             base > 0,
             F.greatest(F.lit(0.0),
-                       F.lit(1.0) - sum(fracs[n] for n, _ in self.CLASSES
-                                        if n != "digit")
-                       - fracs["digit"])).otherwise(F.lit(0.0))
+                       F.lit(1.0) - sum(F.col(f"{n}_frac")
+                                        for n, _ in self.CLASSES))
+            ).otherwise(F.lit(0.0))
         out = out.withColumn("other_frac", other)
         # dominant among the script classes (digits are script-neutral)
         scripts = ["latin", "cyrillic", "cjk", "arabic"]
-        best = F.greatest(*[fracs[s] for s in scripts], other)
+        best = F.greatest(*[F.col(f"{s}_frac") for s in scripts],
+                          F.col("other_frac"))
         dom = F.lit(None).cast("string")
         for s in reversed(scripts + ["other"]):
-            v = other if s == "other" else fracs[s]
-            dom = F.when(best == v, F.lit(s)).otherwise(dom)
+            dom = (F.when(best == F.col(f"{s}_frac"), F.lit(s))
+                    .otherwise(dom))
         out = out.withColumn(
             "dominant", F.when(base > 0, dom).otherwise(F.lit(None)))
-        return out
+        return out.drop("__n_base",
+                        *[f"__n_{n}" for n, _ in self.CLASSES])
