@@ -45,6 +45,7 @@ def test_map_only_operators_stream_compatible(spark):
 
     from flink_ml__spark.functions.curation import (
         BigramLM,
+        CompressionScorer,
         DeterministicSplitter,
         LineFilter,
         UnigramLM,
@@ -71,7 +72,7 @@ def test_map_only_operators_stream_compatible(spark):
         blm = BigramLM().setMaxVocab(500).setMaxBigrams(2000).fit(docs)
         out = stream
         for op in [MarkupStripper(), ScriptProfiler(), TextNormalizer(),
-                   PiiRedactor(), LineFilter(),
+                   PiiRedactor(), LineFilter(), CompressionScorer(),
                    TokenCounter(), LanguageIdentifier(), QualityScorer(),
                    DeterministicSplitter(), blm, lm]:
             out = op.transform(out)
