@@ -114,6 +114,7 @@ HEADLINE = [
     "markup_strip_documents",
     "script_profile_documents",
     "compression_invariants_documents",
+    "bpe_tokenize_documents",
 ]
 
 

@@ -1,0 +1,232 @@
+"""Byte-pair-encoding tokenizer — fit/apply in the scale shape every
+production tokenizer trainer uses (Sennrich et al., ACL 2016; the
+GPT-2 / SentencePiece BPE family):
+
+* **fit** never iterates over the corpus. One distributed
+  ``groupBy(word).count()`` reduces 100 TB of text to a
+  vocabulary-sized word-frequency table (zipf-bounded, further capped
+  by ``maxWords``), the merge loop runs on the driver over that tiny
+  table — the standard trainer design (learning merges from word
+  counts is *exactly* equivalent to learning from the raw corpus,
+  because BPE statistics only depend on word frequencies).
+* **apply** is one Arrow map pass: the ranked merge list broadcasts
+  to every task and each word resolves greedily by merge rank. No
+  shuffle, no driver involvement, streaming-compatible.
+
+Determinism: ties in pair frequency break on the lexicographically
+smallest pair, so the same corpus always yields the same merge table
+(the reference-repo clustering ops needed seeding for this property;
+BPE gets it for free from deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator, Estimator, HasInputCol
+from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+# marks the end of each word so merges never cross word boundaries
+# and detokenization is unambiguous (the classic </w> convention)
+EOW = "</w>"
+
+
+def _word_to_symbols(word: str) -> tuple:
+    return tuple(word) + (EOW,)
+
+
+def learn_merges(word_counts: dict[str, int], num_merges: int,
+                 min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Driver-side BPE trainer over a word-frequency table.
+
+    Standard algorithm: repeatedly merge the most frequent adjacent
+    symbol pair (ties → lexicographically smallest pair), rewriting
+    only the words that contain it. Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    seqs: dict[tuple, int] = {}
+    for w, c in word_counts.items():
+        if w:
+            s = _word_to_symbols(w)
+            seqs[s] = seqs.get(s, 0) + c
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for s, c in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        ab = a + b
+        new_seqs: dict[tuple, int] = {}
+        for s, c in seqs.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            t = tuple(out)
+            new_seqs[t] = new_seqs.get(t, 0) + c
+        seqs = new_seqs
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply ranked merges to one word (lowest rank first) — the
+    standard BPE encoder loop."""
+    s = list(_word_to_symbols(word))
+    while len(s) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        s[best_i:best_i + 2] = [s[best_i] + s[best_i + 1]]
+    return s
+
+
+class BpeTokenizerModel(AlgoOperator, HasInputCol):
+    """Applies a learned merge table. Appends ``bpe_tokens``
+    (array<string>, ``</w>``-terminated subwords) and ``n_bpe_tokens``
+    (0 for NULL/empty text).
+
+    The merge list is O(numMerges) — broadcast once, applied in one
+    Arrow pass per batch; per-word results are memoised within each
+    batch (zipf again: a 10k-row batch has few distinct words).
+    """
+
+    def __init__(self, merges: list[tuple[str, str]] | None = None):
+        super().__init__()
+        self._setDefault(inputCol="text")
+        self._merges = list(merges or [])
+
+    @property
+    def merges(self) -> list[tuple[str, str]]:
+        return list(self._merges)
+
+    def merges_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(self._merges)],
+            "rank int, left string, right string")
+
+    @classmethod
+    def from_merges_df(cls, df: DataFrame) -> "BpeTokenizerModel":
+        rows = df.orderBy("rank").collect()
+        return cls([(r["left"], r["right"]) for r in rows])
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import re
+
+        import pandas as pd
+
+        ranks = {p: i for i, p in enumerate(self._merges)}
+        bc = df.sparkSession.sparkContext.broadcast(ranks)
+        tok_pat = TOKEN_SPLIT
+
+        # no type hints: see RepetitionScorer
+        @F.pandas_udf("struct<bpe_tokens:array<string>,n_bpe_tokens:int>")
+        def encode(texts):
+            rx = re.compile(tok_pat)
+            r = bc.value
+            cache: dict[str, list[str]] = {}
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(([], 0))
+                    continue
+                toks: list[str] = []
+                for w in rx.split(t.lower()):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, r)
+                        cache[w] = enc
+                    toks.extend(enc)
+                out.append((toks, len(toks)))
+            return pd.DataFrame(out, columns=["bpe_tokens",
+                                              "n_bpe_tokens"])
+
+        col = self.getInputCol()
+        return (df.withColumn("__bpe", encode(F.col(col)))
+                  .withColumn("bpe_tokens", F.col("__bpe.bpe_tokens"))
+                  .withColumn("n_bpe_tokens", F.col("__bpe.n_bpe_tokens"))
+                  .drop("__bpe"))
+
+
+class BpeTokenizer(Estimator, HasInputCol):
+    """Learns a BPE merge table from a corpus column.
+
+    ``numMerges`` bounds the learned vocabulary (byte alphabet +
+    merges); ``minPairCount`` stops merging noise pairs;
+    ``maxWords`` caps the word-frequency table pulled to the driver
+    (top-K by count — zipf means the tail it drops carries almost no
+    pair mass). The words are lowercased and split with the same
+    ``TOKEN_SPLIT`` the rest of the text stack uses.
+    """
+
+    numMerges = Param(Params._dummy(), "numMerges",
+                      "number of merge operations to learn",
+                      TypeConverters.toInt)
+    minPairCount = Param(Params._dummy(), "minPairCount",
+                         "stop when the best pair is rarer than this",
+                         TypeConverters.toInt)
+    maxWords = Param(Params._dummy(), "maxWords",
+                     "cap on distinct words pulled to the driver",
+                     TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", numMerges=200, minPairCount=2,
+                         maxWords=100_000)
+
+    def setNumMerges(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"numMerges must be >= 1, got {v}")
+        return self._set(numMerges=v)
+
+    def setMinPairCount(self, v):
+        return self._set(minPairCount=int(v))
+
+    def setMaxWords(self, v):
+        return self._set(maxWords=int(v))
+
+    def fit(self, df: DataFrame) -> BpeTokenizerModel:
+        col = self.getInputCol()
+        # ONE corpus pass: explode to words, count — the only
+        # distributed work in the whole fit
+        words = (df
+                 .select(F.explode(F.split(F.lower(F.col(col)),
+                                           TOKEN_SPLIT)).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").count())
+        # top-K by count (ties → lexicographic) keeps the driver pull
+        # bounded; TakeOrderedAndProject, no global sort materialized
+        top = (words
+               .orderBy(F.desc("count"), F.asc("w"))
+               .limit(self.getOrDefault(self.maxWords))
+               .collect())
+        counts = {r["w"]: r["count"] for r in top}
+        merges = learn_merges(counts,
+                              self.getOrDefault(self.numMerges),
+                              self.getOrDefault(self.minPairCount))
+        model = BpeTokenizerModel(merges)
+        model._set(inputCol=col)
+        return model

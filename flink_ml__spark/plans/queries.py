@@ -3854,6 +3854,34 @@ SELECT doc_id, 0.0 AS compress_ratio FROM documents WHERE false
 """
 
 
+def q_bpe_tokenize_documents(spark, sf_dir):
+    """Self-consistency gate for the BPE tokenizer (merge learning
+    has no SQL oracle): fit on the corpus, encode every document, and
+    emit each doc whose token stream does NOT detokenize back to its
+    normalized word sequence (or whose count column disagrees with
+    the token array). Expected EMPTY — a wrong merge application,
+    boundary bug, or count drift flips the hash."""
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+    from flink_ml__spark.functions.tokenizer import EOW, BpeTokenizer
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = BpeTokenizer().setNumMerges(100).fit(docs)
+    out = model.transform(docs)
+    norm = F.concat_ws(" ", F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                TOKEN_SPLIT), lambda x: x != ""))
+    rejoin = F.trim(F.replace(F.array_join("bpe_tokens", ""),
+                              F.lit(EOW), F.lit(" ")))
+    viol = out.filter((rejoin != norm)
+                      | (F.col("n_bpe_tokens") != F.size("bpe_tokens")))
+    return viol.select("doc_id", "n_bpe_tokens")
+
+
+ORACLE_BPE_TOKENIZE = """
+SELECT doc_id, 0 AS n_bpe_tokens FROM documents WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3919,6 +3947,7 @@ QUERIES = {
     "markup_strip_documents": q_markup_strip_documents,
     "script_profile_documents": q_script_profile_documents,
     "compression_invariants_documents": q_compression_invariants_documents,
+    "bpe_tokenize_documents": q_bpe_tokenize_documents,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4029,6 +4058,7 @@ ORACLES = {
     "markup_strip_documents": ORACLE_MARKUP_STRIP,
     "script_profile_documents": ORACLE_SCRIPT_PROFILE,
     "compression_invariants_documents": ORACLE_COMPRESSION_INVARIANTS,
+    "bpe_tokenize_documents": ORACLE_BPE_TOKENIZE,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,
