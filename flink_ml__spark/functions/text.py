@@ -531,14 +531,21 @@ class MarkupStripper(AlgoOperator, HasInputCol, HasOutputCol):
         cur = F.regexp_replace(text, self.SCRIPT, " ")
         cur = F.regexp_replace(cur, self.STYLE, " ")
         cur = F.regexp_replace(cur, self.COMMENT, " ")
+        # the detagged intermediate lands in a named column so the
+        # count and the continued rewrite share ONE evaluation of the
+        # three content-dropping passes (reusing the Column object
+        # would re-embed them — the ScriptProfiler duplication class)
+        out = df.withColumn("__detag", cur)
+        detag = F.col("__detag")
         n_tags = F.when(text.isNull(), F.lit(0)).otherwise(
-            F.regexp_count(cur, F.lit(self.TAG)))
-        cur = F.regexp_replace(cur, self.TAG, " ")
+            F.regexp_count(detag, F.lit(self.TAG)))
+        cur = F.regexp_replace(detag, self.TAG, " ")
         for ent, rep in self.ENTITIES:
             cur = F.replace(cur, F.lit(ent), F.lit(rep))
         cur = F.trim(F.regexp_replace(cur, "[ \\t\\n\\r\\f]+", " "))
-        return (df.withColumn(self.getOutputCol(), cur)
-                  .withColumn("n_tags_removed", n_tags))
+        return (out.withColumn(self.getOutputCol(), cur)
+                   .withColumn("n_tags_removed", n_tags)
+                   .drop("__detag"))
 
 
 class ScriptProfiler(AlgoOperator, HasInputCol):

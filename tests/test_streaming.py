@@ -68,13 +68,16 @@ def test_map_only_operators_stream_compatible(spark):
         stream = spark.readStream.schema(docs.schema).parquet(d)
         # model fit on the static corpus, applied to the stream — the
         # CCNet stream-scoring shape (broadcast vocab, map-only apply)
+        from flink_ml__spark.functions.tokenizer import BpeTokenizer
+
         lm = UnigramLM().setMaxVocab(500).fit(docs)
         blm = BigramLM().setMaxVocab(500).setMaxBigrams(2000).fit(docs)
+        bpe = BpeTokenizer().setNumMerges(50).fit(docs)
         out = stream
         for op in [MarkupStripper(), ScriptProfiler(), TextNormalizer(),
                    PiiRedactor(), LineFilter(), CompressionScorer(),
                    TokenCounter(), LanguageIdentifier(), QualityScorer(),
-                   DeterministicSplitter(), blm, lm]:
+                   DeterministicSplitter(), bpe, blm, lm]:
             out = op.transform(out)
         assert out.isStreaming
         q = (out.writeStream.format("memory").queryName("mapops")
