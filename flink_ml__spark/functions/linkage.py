@@ -61,7 +61,10 @@ class FuzzyRecordLinker(AlgoOperator, HasInputCol, HasIdColMixin):
       whitespace token (product lines, "LastName, First" rosters);
     * ``prefix`` — share the first ``blockLen`` characters;
     * ``length`` — length within the same ``blockLen``-wide band
-      (coarse, but never misses a short-string typo pair).
+      (coarse; note a pair straddling a band boundary — e.g. lengths
+      3 and 4 with ``blockLen=4`` — is missed, like every fixed-band
+      scheme; prefer ``prefix``/``first_token`` when edit-distance
+      recall matters more than block size).
 
     A pair in *different* blocks is never compared — that is the
     deliberate recall/cost trade every blocking scheme makes; pick
@@ -175,9 +178,15 @@ class SnapshotDiffer(AlgoOperator):
         self._setDefault(keyCols=["id"], compareCols=[], emitPayload=False)
 
     def setKeyCols(self, *v):
+        # accept both setKeyCols('a', 'b') and setKeyCols(['a', 'b'])
+        # — the HasInputCols convention in base.py
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
         return self._set(keyCols=list(v))
 
     def setCompareCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
         return self._set(compareCols=list(v))
 
     def setEmitPayload(self, v: bool = True):
@@ -237,6 +246,17 @@ class SnapshotDiffer(AlgoOperator):
         if not payload:
             raise ValueError("diff carries no payload — produce it with "
                              "setEmitPayload(True)")
+        extra = [c for c in old.columns
+                 if c not in set(keys) | set(payload)]
+        if extra:
+            # inserts carry no values for columns outside the payload,
+            # so "reconstructing" them would silently corrupt the
+            # table (NULLs where the new snapshot has data) — refuse
+            raise ValueError(
+                f"old snapshot has columns {extra} the diff does not "
+                "carry — diff with the full column set (default "
+                "compareCols) to apply, or project old down to "
+                "keys + payload first")
         d = diff.select(*keys, "op",
                         *[F.col(c).alias(f"__p_{c}") for c in payload])
         merged = (old.join(d, keys, "left")
@@ -311,9 +331,14 @@ class ExpectationValidator(AlgoOperator):
         return self
 
     def expect_regex(self, name: str, col: str, pattern: str):
+        # rlike is substring-find; the documented contract is FULL
+        # match, so anchor the user's pattern (non-capturing group
+        # keeps any internal alternation intact). Idempotent for
+        # already-anchored patterns.
         c = F.col(col)
         self._row_rules.append((name, "regex",
-                                c.isNull() | ~c.rlike(pattern)))
+                                c.isNull()
+                                | ~c.rlike(f"^(?:{pattern})$")))
         return self
 
     def expect_unique(self, name: str, *cols: str):

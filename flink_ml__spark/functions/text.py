@@ -560,7 +560,9 @@ class ScriptProfiler(AlgoOperator, HasInputCol):
         other_frac   double, each in [0, 1]
         dominant     the largest of the five script classes
                      ('latin'|'cyrillic'|'cjk'|'arabic'|'other',
-                     ties to that order), or NULL for empty/NULL text
+                     ties to that order), or NULL when no class
+                     matched anything (empty/NULL text, or pure
+                     digit text — digits are script-neutral)
 
     Script classes are explicit BMP ranges (Latin incl. Latin-1/Ext-A,
     Cyrillic U+0400–04FF, CJK unified + hiragana/katakana/Hangul,
@@ -619,7 +621,11 @@ class ScriptProfiler(AlgoOperator, HasInputCol):
         for s in reversed(scripts + ["other"]):
             dom = (F.when(best == F.col(f"{s}_frac"), F.lit(s))
                     .otherwise(dom))
+        # best == 0 means NO class matched anything (pure digit/punct-
+        # free digit text) — labeling that 'latin' via the tie-break
+        # would misfeed language-ID gates, so it gets NULL like empty
         out = out.withColumn(
-            "dominant", F.when(base > 0, dom).otherwise(F.lit(None)))
+            "dominant",
+            F.when((base > 0) & (best > 0), dom).otherwise(F.lit(None)))
         return out.drop("__n_base",
                         *[f"__n_{n}" for n, _ in self.CLASSES])

@@ -3757,7 +3757,9 @@ def q_script_profile_documents(spark, sf_dir):
                                              "русский текст")))
                 .when(m == 2, F.concat(F.col("text"),
                                        F.lit(" نص عربي قصير")))
-                .when(m == 3, F.lit("12345 67890 !!!"))
+                .when((m == 3) & (F.col("doc_id") % 2 == 1),
+                      F.lit("12345 67890"))       # pure digit → NULL
+                .when(m == 3, F.lit("12345 67890 !!!"))  # → 'other'
                 .otherwise(F.col("text")))
     out = ScriptProfiler().transform(docs.withColumn("text", planted))
     sel = [F.round(f"{n}_frac", 6).alias(f"{n}_frac")
@@ -3781,7 +3783,8 @@ WITH planted AS (
            WHEN 0 THEN text || ' 漢字テキストの例です'
            WHEN 1 THEN text || ' русский текст пример русский текст'
            WHEN 2 THEN text || ' نص عربي قصير'
-           WHEN 3 THEN '12345 67890 !!!'
+           WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN '12345 67890'
+                            ELSE '12345 67890 !!!' END
            ELSE text END AS text
   FROM documents),
 n AS (SELECT doc_id,
@@ -3807,6 +3810,7 @@ SELECT doc_id,
        round(digit_frac, 6) AS digit_frac,
        round(other_frac, 6) AS other_frac,
        CASE WHEN base = 0 THEN NULL
+            WHEN best = 0 THEN NULL
             WHEN latin_frac = best THEN 'latin'
             WHEN cyrillic_frac = best THEN 'cyrillic'
             WHEN cjk_frac = best THEN 'cjk'

@@ -199,3 +199,36 @@ def test_differ_apply_requires_payload(spark):
     d = SnapshotDiffer().setKeyCols("id")
     with pytest.raises(ValueError, match="payload"):
         d.apply(old, d.diff(old, new))
+
+
+def test_validator_regex_full_match(spark):
+    """expect_regex enforces FULL-match semantics: an unanchored
+    pattern must not pass on substring hits."""
+    df = spark.createDataFrame([(1, "XOX"), (2, "O")],
+                               "k long, st string")
+    out = (ExpectationValidator()
+           .expect_regex("enum", "st", "[OFP]")   # unanchored
+           .validate(df).collect())
+    assert out[0]["n_violations"] == 1            # XOX violates
+
+
+def test_differ_setters_accept_lists(spark):
+    old = _snap(spark, [(1, "x", 1.0)])
+    new = _snap(spark, [(1, "y", 1.0)])
+    out = (SnapshotDiffer().setKeyCols(["id"]).setCompareCols(["a", "b"])
+           .diff(old, new).collect())
+    assert len(out) == 1 and list(out[0]["changed_cols"]) == ["a"]
+
+
+def test_differ_apply_refuses_column_loss(spark):
+    import pytest
+
+    old = spark.createDataFrame([(1, "x", "keepme")],
+                                "id long, a string, extra string")
+    new = spark.createDataFrame([(1, "y", "keepme")],
+                                "id long, a string, extra string")
+    d = SnapshotDiffer().setKeyCols("id").setCompareCols("a") \
+        .setEmitPayload(True)
+    diff = d.diff(old, new)
+    with pytest.raises(ValueError, match="extra"):
+        d.apply(old, diff)

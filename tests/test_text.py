@@ -335,3 +335,15 @@ def test_script_profiler_map_only(spark):
     plan = (ScriptProfiler().transform(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_script_profiler_pure_digits_not_latin(spark):
+    """Digit-only text matches no script class — dominant must be
+    NULL, not the latin tie-break."""
+    from flink_ml__spark.functions.text import ScriptProfiler
+
+    df = spark.createDataFrame([(1, "12345"), (2, "123 456")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["dominant"]
+           for r in ScriptProfiler().transform(df).collect()}
+    assert got == {1: None, 2: None}
