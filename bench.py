@@ -115,6 +115,7 @@ HEADLINE = [
     "script_profile_documents",
     "compression_invariants_documents",
     "bpe_tokenize_documents",
+    "phrase_match_documents",
 ]
 
 

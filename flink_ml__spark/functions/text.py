@@ -629,3 +629,112 @@ class ScriptProfiler(AlgoOperator, HasInputCol):
             F.when((base > 0) & (best > 0), dom).otherwise(F.lit(None)))
         return out.drop("__n_base",
                         *[f"__n_{n}" for n, _ in self.CLASSES])
+
+
+class PhraseMatcher(AlgoOperator, HasInputCol):
+    """Token-sequence phrase matching against a dictionary — the
+    blocklist/benchmark/keyword scan every curation pipeline runs
+    (toxic-phrase filters, benchmark-title decontamination, policy
+    blocklists). Matches are WORD-BOUNDARY exact: the phrase's token
+    sequence must appear as consecutive document tokens (case folded
+    via the shared ``TOKEN_SPLIT`` tokenizer), so "ring" never fires
+    inside "boring".
+
+    ``match(df)`` returns one row per (document, phrase) hit::
+
+        <idCol>, phrase, n_occurrences
+
+    ``n_occurrences`` counts non-overlapping left-to-right matches
+    (``str.count`` semantics on the normalized token string: two
+    back-to-back repeats of the same phrase share a delimiter and
+    count once — presence, the blocklist signal, is exact).
+
+    ``transform(df)`` is the filter form: drops every document with
+    at least one hit (blocklist semantics, one anti join).
+
+    100 TB design (dictionary-join, not per-phrase expressions): both
+    sides normalize to a space-delimited token string; candidates come
+    from an equi-join of the document's DISTINCT tokens against the
+    phrases' FIRST tokens — the dictionary can hold 100k phrases
+    without the plan growing, unlike a chained `contains` per phrase
+    — and the exact consecutive-sequence check is a codegen substring
+    residual (occurrences counted by length arithmetic, no UDF). The
+    phrase table is dimension-sized -> broadcast join.
+    """
+
+    idCol = Param(Params._dummy(), "idCol", "document id column",
+                  TypeConverters.toString)
+
+    def __init__(self, phrases: list[str] | None = None):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id")
+        self._phrases = list(phrases or [])
+
+    def setIdCol(self, v):
+        return self._set(idCol=v)
+
+    def setPhrases(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        if not v:
+            raise ValueError("phrase list must be non-empty")
+        self._phrases = [str(p) for p in v]
+        return self
+
+    def getPhrases(self) -> list[str]:
+        return list(self._phrases)
+
+    @staticmethod
+    def _norm_tokens(col):
+        """' tok1 tok2 ... ' — delimited so a substring hit IS a
+        consecutive token-sequence hit."""
+        toks = F.filter(F.split(F.lower(col), TOKEN_SPLIT),
+                        lambda t: t != "")
+        return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+
+    def _phrase_frame(self, spark):
+        import re
+
+        rows = []
+        for p in self._phrases:
+            toks = [t for t in re.split(TOKEN_SPLIT, p.lower()) if t]
+            if toks:
+                rows.append((p, toks[0], " " + " ".join(toks) + " "))
+        if not rows:
+            raise ValueError("no phrase tokenizes to anything")
+        return spark.createDataFrame(
+            rows, "phrase string, __first string, __needle string")
+
+    def match(self, df: DataFrame) -> DataFrame:
+        if not self._phrases:
+            raise ValueError("no phrases set — call setPhrases(...)")
+        idc = self.getOrDefault(self.idCol)
+        col = self.getInputCol()
+        phrases = F.broadcast(self._phrase_frame(df.sparkSession))
+
+        norm = (df.filter(F.col(col).isNotNull())
+                  .select(F.col(idc),
+                          self._norm_tokens(F.col(col)).alias("__norm")))
+        # candidate generation: distinct doc tokens ⋈ phrase first
+        # tokens — output-bound, no per-phrase plan growth
+        cand = (norm
+                .withColumn("__tok", F.explode(F.array_distinct(
+                    F.filter(F.split(F.trim(F.col("__norm")), " "),
+                             lambda t: t != ""))))
+                .join(phrases, F.col("__tok") == F.col("__first"))
+                .dropDuplicates([idc, "phrase"]))
+        # exact consecutive-sequence residual + occurrence count via
+        # length arithmetic (codegen, replace() is left-to-right
+        # non-overlapping — the str.count contract above)
+        n_occ = ((F.length("__norm")
+                  - F.length(F.replace(F.col("__norm"),
+                                       F.col("__needle"), F.lit(" "))))
+                 / (F.length("__needle") - 1)).cast("int")
+        return (cand.withColumn("n_occurrences", n_occ)
+                    .filter(F.col("n_occurrences") > 0)
+                    .select(idc, "phrase", "n_occurrences"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getOrDefault(self.idCol)
+        hits = self.match(df).select(idc).distinct()
+        return df.join(hits, idc, "left_anti")

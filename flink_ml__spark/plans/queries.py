@@ -3886,6 +3886,48 @@ SELECT doc_id, 0 AS n_bpe_tokens FROM documents WHERE false
 """
 
 
+_PHRASES = ["key agg", "fast table", "value part hash", "zebra quux"]
+
+
+def q_phrase_match_documents(spark, sf_dir):
+    """Dictionary phrase scan: word-boundary token-sequence matches
+    of a fixed phrase list over the corpus. The oracle replays the
+    normalization, the substring residual and the non-overlapping
+    count arithmetic phrase by phrase (its cross join is semantically
+    identical to the engine's first-token candidate join — the join
+    is the scale optimization, not a semantics change)."""
+    from flink_ml__spark.functions.text import PhraseMatcher
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (PhraseMatcher().setPhrases(_PHRASES).match(docs)
+            .select("doc_id", "phrase", "n_occurrences"))
+
+
+def _oracle_phrase_match() -> str:
+    import re as _re
+
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+    vals = []
+    for p in _PHRASES:
+        toks = [t for t in _re.split(TOKEN_SPLIT, p.lower()) if t]
+        needle = " " + " ".join(toks) + " "
+        vals.append(f"('{p}', '{needle}')")
+    return f"""
+WITH ph(phrase, needle) AS (VALUES {', '.join(vals)}),
+d AS (SELECT doc_id,
+        ' ' || array_to_string(list_filter(
+            string_split_regex(lower(text), '[^a-zA-Z0-9'']+'),
+            t -> t <> ''), ' ') || ' ' AS norm
+      FROM documents WHERE text IS NOT NULL),
+hits AS (SELECT doc_id, phrase,
+           ((length(norm) - length(replace(norm, needle, ' ')))
+            / (length(needle) - 1))::INT AS n_occurrences
+         FROM d CROSS JOIN ph)
+SELECT doc_id, phrase, n_occurrences FROM hits WHERE n_occurrences > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3952,6 +3994,7 @@ QUERIES = {
     "script_profile_documents": q_script_profile_documents,
     "compression_invariants_documents": q_compression_invariants_documents,
     "bpe_tokenize_documents": q_bpe_tokenize_documents,
+    "phrase_match_documents": q_phrase_match_documents,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4063,6 +4106,7 @@ ORACLES = {
     "script_profile_documents": ORACLE_SCRIPT_PROFILE,
     "compression_invariants_documents": ORACLE_COMPRESSION_INVARIANTS,
     "bpe_tokenize_documents": ORACLE_BPE_TOKENIZE,
+    "phrase_match_documents": _oracle_phrase_match(),
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -347,3 +347,58 @@ def test_script_profiler_pure_digits_not_latin(spark):
     got = {r["doc_id"]: r["dominant"]
            for r in ScriptProfiler().transform(df).collect()}
     assert got == {1: None, 2: None}
+
+
+def test_phrase_matcher_word_boundaries(spark):
+    from flink_ml__spark.functions.text import PhraseMatcher
+
+    df = spark.createDataFrame([
+        (1, "The COOKIE policy applies; read the cookie Policy now"),
+        (2, "boring rings are not blockings"),   # no boundary match
+        (3, "block ring here"),
+        (4, None),
+    ], "doc_id long, text string")
+    m = PhraseMatcher().setPhrases("cookie policy", "block ring", "ring")
+    got = {(r["doc_id"], r["phrase"]): r["n_occurrences"]
+           for r in m.match(df).collect()}
+    assert got == {(1, "cookie policy"): 2,
+                   (3, "block ring"): 1,
+                   (3, "ring"): 1}
+    kept = sorted(r["doc_id"] for r in m.transform(df).collect())
+    assert kept == [2, 4]   # blocklist filter; NULL text never matches
+
+
+def test_phrase_matcher_adjacent_repeats_str_count(spark):
+    """Documented contract: back-to-back repeats share a delimiter and
+    count once (str.count semantics), presence stays exact."""
+    from flink_ml__spark.functions.text import PhraseMatcher
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b x a b")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in PhraseMatcher().setPhrases("a b").match(df).collect()}
+    assert got[1] == 1      # " a b a b ": second repeat shares the space
+    assert got[2] == 2      # separated repeats count fully
+
+
+def test_phrase_matcher_plan_no_python_no_cartesian(spark):
+    from flink_ml__spark.functions.text import PhraseMatcher
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = (PhraseMatcher().setPhrases("x y").match(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_phrase_matcher_validation(spark):
+    import pytest
+
+    from flink_ml__spark.functions.text import PhraseMatcher
+
+    with pytest.raises(ValueError, match="phrases"):
+        PhraseMatcher().match(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="non-empty"):
+        PhraseMatcher().setPhrases()
