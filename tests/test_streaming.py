@@ -542,3 +542,39 @@ def test_stream_expectation_monitor_matches_batch(spark):
     bad = ExpectationValidator().expect_unique("u", "event_id")
     with pytest.raises(ValueError, match="unique"):
         stream_expectation_monitor(df, "ts", bad)
+
+
+def test_stream_fuzzy_link_against_master(spark):
+    """Incremental record linkage: a streaming batch links against a
+    static master list unchanged (blocking equi-join is stream-static
+    compatible), and the stream output equals the batch run."""
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.linkage import FuzzyRecordLinker
+
+    master = spark.createDataFrame(
+        [(100, "acme corp"), (101, "zeta labs"), (102, "acme inc")],
+        "id long, name string")
+    batch = spark.createDataFrame(
+        [(1, "acme corp."), (2, "zeta lab"), (3, "unrelated co")],
+        "id long, name string")
+    linker = (FuzzyRecordLinker().setInputCol("name").setIdCol("id")
+              .setMaxDistance(2))
+    expect = {(r["a_id"], r["b_id"], r["distance"])
+              for r in linker.link(batch, master).collect()}
+    assert expect == {(1, 100, 1), (2, 101, 1)}
+
+    d = _tf.mkdtemp(prefix="stream_link_")
+    try:
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        out = linker.link(stream, master)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("linked")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["a_id"], r["b_id"], r["distance"])
+               for r in spark.sql("SELECT * FROM linked").collect()}
+        assert got == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
