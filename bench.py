@@ -116,6 +116,7 @@ HEADLINE = [
     "compression_invariants_documents",
     "bpe_tokenize_documents",
     "phrase_match_documents",
+    "drift_report_orders",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Numeric distribution-drift monitoring between two snapshots of the
+same table — the model-ops companion of the token-level
+``DomainDivergence`` monitor: a feature pipeline feeding a trained
+model needs to know when today's data stopped looking like the data
+the model (or the curation thresholds) were fit on.
+
+``DriftMonitor`` computes the Population Stability Index per column:
+bucket edges come from the REFERENCE side's exact interpolated
+quantiles (the convention every PSI implementation uses — the bins
+describe where reference mass sits), both sides histogram against
+those fixed edges, and PSI = Σ (p_cur − p_ref) · ln(p_cur / p_ref)
+with the standard 1e-6 proportion floor so empty buckets stay finite.
+Rule of thumb (Siddiqi, "Credit Risk Scorecards", 2005): PSI < 0.1
+stable, 0.1–0.25 moderate shift, > 0.25 action required.
+
+100 TB design: ONE aggregation per side per fit/apply — the quantile
+fit is one pass over the reference (exact ``percentile``, the same
+SQL-replayable choice as ``Winsorizer``), the edges fold to O(buckets)
+literals, bucket assignment is a map-side sum of comparisons, and each
+histogram is a partial+final count aggregate with O(buckets) output.
+Nothing driver-side ever exceeds O(columns · buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator
+
+_FLOOR = 1e-6
+
+
+class DriftMonitor(AlgoOperator):
+    """PSI drift report between a reference and a current DataFrame.
+
+    ``report(reference, current)`` returns one row per (column,
+    bucket)::
+
+        column      string
+        bucket      int      0-based (``numBuckets`` quantile bins)
+        n_ref       bigint   reference rows in the bucket
+        n_cur       bigint   current rows in the bucket
+        p_ref       double   floored proportions (NULLs excluded)
+        p_cur       double
+        psi_term    double   (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    ``summary(reference, current)`` aggregates to one row per column
+    with the total ``psi``. NULL values are excluded from both sides
+    (count them with ``ExpectationValidator`` if NULL-rate drift
+    matters). Edges are the reference's exact interpolated quantiles;
+    degenerate (constant) columns collapse to one bucket and report
+    PSI 0 against an identical current side.
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "numeric columns to monitor",
+                      TypeConverters.toListString)
+    numBuckets = Param(Params._dummy(), "numBuckets",
+                       "quantile buckets per column",
+                       TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[], numBuckets=10)
+
+    def setInputCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        return self._set(inputCols=list(v))
+
+    def setNumBuckets(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBuckets must be >= 2, got {v}")
+        return self._set(numBuckets=v)
+
+    def _edges(self, reference: DataFrame, col: str) -> list[float]:
+        k = self.getOrDefault(self.numBuckets)
+        pcts = [i / k for i in range(1, k)]
+        row = reference.agg(*[
+            F.expr(f"percentile({col}, {p!r})").alias(f"e{i}")
+            for i, p in enumerate(pcts)]).first()
+        edges = [row[f"e{i}"] for i in range(len(pcts))]
+        if edges and edges[0] is None:
+            raise ValueError(f"no non-null values in reference.{col}")
+        # constant stretches produce duplicate edges — keep them;
+        # duplicate edges simply leave their buckets empty on both
+        # sides identically (floored proportions, zero psi term)
+        return [float(e) for e in edges]
+
+    @staticmethod
+    def _bucket(col, edges: list[float]):
+        b = F.lit(0)
+        for e in edges:
+            b = b + (F.col(col) >= F.lit(e)).cast("int")
+        return b
+
+    def _hist(self, df: DataFrame, col: str, edges: list[float],
+              tag: str) -> DataFrame:
+        return (df.filter(F.col(col).isNotNull())
+                  .groupBy(self._bucket(col, edges).alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    def report(self, reference: DataFrame, current: DataFrame
+               ) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols)
+        if not cols:
+            raise ValueError("no columns set — call setInputCols(...)")
+        k = self.getOrDefault(self.numBuckets)
+        spark = reference.sparkSession
+        buckets = spark.range(k).select(
+            F.col("id").cast("int").alias("bucket"))
+
+        parts = []
+        for c in cols:
+            edges = self._edges(reference, c)
+            h = (buckets
+                 .join(self._hist(reference, c, edges, "ref"),
+                       "bucket", "left")
+                 .join(self._hist(current, c, edges, "cur"),
+                       "bucket", "left")
+                 .select(F.lit(c).alias("column"), "bucket",
+                         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                         F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+            parts.append(h)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+
+        from pyspark.sql import Window
+
+        # O(columns · buckets) rows — the window runs on the tiny
+        # histogram table, never the data
+        w = Window.partitionBy("column")
+        p_ref = F.greatest(F.col("n_ref")
+                           / F.sum("n_ref").over(w), F.lit(_FLOOR))
+        p_cur = F.greatest(F.col("n_cur")
+                           / F.sum("n_cur").over(w), F.lit(_FLOOR))
+        return (out.withColumn("p_ref", p_ref)
+                   .withColumn("p_cur", p_cur)
+                   .withColumn("psi_term",
+                               (F.col("p_cur") - F.col("p_ref"))
+                               * F.log(F.col("p_cur") / F.col("p_ref"))))
+
+    def summary(self, reference: DataFrame, current: DataFrame
+                ) -> DataFrame:
+        return (self.report(reference, current)
+                .groupBy("column")
+                .agg(F.sum("psi_term").alias("psi"))
+                .withColumn("drift_level",
+                            F.when(F.col("psi") < 0.1, F.lit("stable"))
+                             .when(F.col("psi") < 0.25,
+                                   F.lit("moderate"))
+                             .otherwise(F.lit("action"))))
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise TypeError("DriftMonitor is binary — call "
+                        "report(reference, current)")

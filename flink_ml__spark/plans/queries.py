@@ -3928,6 +3928,68 @@ SELECT doc_id, phrase, n_occurrences FROM hits WHERE n_occurrences > 0
 """
 
 
+_DRIFT_K = 10
+
+
+def q_drift_report_orders(spark, sf_dir):
+    """PSI drift report: even-key orders are the reference snapshot,
+    odd-key orders with a deterministic +10% price perturbation on a
+    third of rows are the current one. The oracle replays the exact
+    reference quantile edges (quantile_cont == Spark's exact
+    `percentile`, the Winsorizer-proven pairing), the >=-edge bucket
+    assignment, floored proportions and each PSI term."""
+    from flink_ml__spark.functions.drift import DriftMonitor
+
+    o = load_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    ref = o.filter(k % 2 == 0)
+    cur = (o.filter(k % 2 == 1)
+            .withColumn("o_totalprice",
+                        F.when(k % 3 == 0, F.col("o_totalprice") * 1.1)
+                         .otherwise(F.col("o_totalprice"))))
+    rep = (DriftMonitor().setInputCols("o_totalprice")
+           .setNumBuckets(_DRIFT_K).report(ref, cur))
+    return rep.select("column", "bucket", "n_ref", "n_cur",
+                      F.round("p_ref", 6).alias("p_ref"),
+                      F.round("p_cur", 6).alias("p_cur"),
+                      F.round("psi_term", 6).alias("psi_term"))
+
+
+def _oracle_drift() -> str:
+    k = _DRIFT_K
+    pcts = ", ".join(repr(i / k) for i in range(1, k))
+    bucket = " + ".join(
+        f"(CASE WHEN v >= e[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, k))
+    return f"""
+WITH refr AS (SELECT o_totalprice AS v FROM orders
+              WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+curr AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                     ELSE o_totalprice END AS v
+         FROM orders
+         WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+q AS (SELECT quantile_cont(v, [{pcts}]) AS e FROM refr),
+rb AS (SELECT ({bucket}) AS bucket FROM refr CROSS JOIN q),
+cb AS (SELECT ({bucket}) AS bucket FROM curr CROSS JOIN q),
+buckets AS (SELECT unnest(generate_series(0, {k - 1})) AS bucket),
+h AS (SELECT b.bucket,
+        coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+      FROM buckets b
+      LEFT JOIN (SELECT bucket, count(*) AS n FROM rb GROUP BY 1) r
+        ON b.bucket = r.bucket
+      LEFT JOIN (SELECT bucket, count(*) AS n FROM cb GROUP BY 1) c
+        ON b.bucket = c.bucket),
+p AS (SELECT bucket, n_ref, n_cur,
+        greatest(n_ref::DOUBLE / sum(n_ref) OVER (), 1e-6) AS p_ref,
+        greatest(n_cur::DOUBLE / sum(n_cur) OVER (), 1e-6) AS p_cur
+      FROM h)
+SELECT 'o_totalprice' AS "column", bucket, n_ref, n_cur,
+       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3995,6 +4057,7 @@ QUERIES = {
     "compression_invariants_documents": q_compression_invariants_documents,
     "bpe_tokenize_documents": q_bpe_tokenize_documents,
     "phrase_match_documents": q_phrase_match_documents,
+    "drift_report_orders": q_drift_report_orders,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4107,6 +4170,7 @@ ORACLES = {
     "compression_invariants_documents": ORACLE_COMPRESSION_INVARIANTS,
     "bpe_tokenize_documents": ORACLE_BPE_TOKENIZE,
     "phrase_match_documents": _oracle_phrase_match(),
+    "drift_report_orders": _oracle_drift(),
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

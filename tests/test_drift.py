@@ -1,0 +1,81 @@
+"""DriftMonitor: hand-computable goldens, identity/shift behavior,
+NULL exclusion, degenerate columns, validation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ml__spark.functions.drift import DriftMonitor
+
+
+def _df(spark, vals, col="a"):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                 f"id long, {col} double")
+
+
+def test_identical_snapshots_zero_psi(spark):
+    ref = _df(spark, [float(i) for i in range(100)])
+    s = (DriftMonitor().setInputCols("a").setNumBuckets(4)
+         .summary(ref, ref).first())
+    assert abs(s["psi"]) < 1e-12 and s["drift_level"] == "stable"
+
+
+def test_hand_computed_report(spark):
+    # ref uniform over 0..19; quartile edges at 4.75, 9.5, 14.25
+    ref = _df(spark, [float(i) for i in range(20)])
+    # current: everything in the top quartile
+    cur = _df(spark, [16.0, 17.0, 18.0, 19.0])
+    rep = {r["bucket"]: r for r in
+           (DriftMonitor().setInputCols("a").setNumBuckets(4)
+            .report(ref, cur).collect())}
+    assert [rep[b]["n_ref"] for b in range(4)] == [5, 5, 5, 5]
+    assert [rep[b]["n_cur"] for b in range(4)] == [0, 0, 0, 4]
+    # floored proportions: p_cur = 1e-6 for empty buckets
+    assert rep[0]["p_cur"] == 1e-6
+    expected_term3 = (1.0 - 0.25) * math.log(1.0 / 0.25)
+    assert abs(rep[3]["psi_term"] - expected_term3) < 1e-12
+
+
+def test_shift_detected_and_levels(spark):
+    import random
+    rng = random.Random(3)
+    ref = _df(spark, [rng.gauss(0, 1) for _ in range(1000)])
+    same = _df(spark, [rng.gauss(0, 1) for _ in range(1000)])
+    shifted = _df(spark, [rng.gauss(1.5, 1) for _ in range(1000)])
+    m = DriftMonitor().setInputCols("a")
+    assert m.summary(ref, same).first()["drift_level"] == "stable"
+    s = m.summary(ref, shifted).first()
+    assert s["drift_level"] == "action" and s["psi"] > 0.25
+
+
+def test_nulls_excluded_and_multi_column(spark):
+    ref = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, 2.0, None), (3, 3.0, 30.0),
+         (4, 4.0, 40.0)], "id long, a double, b double")
+    rep = (DriftMonitor().setInputCols(["a", "b"]).setNumBuckets(2)
+           .report(ref, ref))
+    sums = {r["column"]: r["n"] for r in
+            rep.groupBy("column").agg(F.sum("n_ref").alias("n"))
+            .collect()}
+    assert sums == {"a": 4, "b": 3}
+
+
+def test_constant_column_zero_psi(spark):
+    ref = _df(spark, [5.0] * 50)
+    s = (DriftMonitor().setInputCols("a").setNumBuckets(4)
+         .summary(ref, ref).first())
+    assert abs(s["psi"]) < 1e-12
+
+
+def test_validation(spark):
+    ref = _df(spark, [1.0])
+    with pytest.raises(ValueError, match="columns"):
+        DriftMonitor().report(ref, ref)
+    with pytest.raises(ValueError, match="numBuckets"):
+        DriftMonitor().setNumBuckets(1)
+    with pytest.raises(TypeError, match="binary"):
+        DriftMonitor().setInputCols("a").transform(ref)
+    empty = spark.createDataFrame([], "id long, a double")
+    with pytest.raises(ValueError, match="non-null"):
+        DriftMonitor().setInputCols("a").report(empty, empty)
