@@ -117,6 +117,7 @@ HEADLINE = [
     "bpe_tokenize_documents",
     "phrase_match_documents",
     "drift_report_orders",
+    "ranking_eval_documents",
 ]
 
 

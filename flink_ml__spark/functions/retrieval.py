@@ -311,3 +311,103 @@ class ReciprocalRankFusion(AlgoOperator):
              .orderBy(F.round("rrf_score", 12).desc(), F.col(it).asc()))
         return (fused.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK()))
+
+
+class RankingEvaluator(AlgoOperator):
+    """IR quality metrics for any ranked result set against binary
+    relevance judgments — the evaluation harness that closes the
+    retrieval loop (BM25, ANN, RRF all emit ``(query_id, item,
+    rank)``; this scores them).
+
+    ``evaluate(ranking, qrels)`` takes the ranking (``queryCol``,
+    ``itemCol``, ``rankCol`` — rank 1-based) and the qrels (one row
+    per relevant (query, item) pair) and returns one row per query in
+    the ranking::
+
+        <queryCol>, n_rel, hits
+        precision_at_k   hits / k
+        recall_at_k      hits / n_rel          (NULL when n_rel = 0)
+        mrr              1 / first relevant rank, 0 if none in top-k
+        ndcg_at_k        binary DCG / ideal DCG (NULL when n_rel = 0)
+
+    100 TB design: one top-k filter, one left join onto the qrels
+    pair set (broadcast when qrels are benchmark-sized, which they
+    are), one per-query aggregate; the ideal-DCG term folds to a
+    ``sequence`` HOF over min(k, n_rel) — no UDF, no per-query loop,
+    output O(queries).
+    """
+
+    queryCol = Param(Params._dummy(), "queryCol", "query id column",
+                     TypeConverters.toString)
+    itemCol = Param(Params._dummy(), "itemCol", "ranked item column",
+                    TypeConverters.toString)
+    rankCol = Param(Params._dummy(), "rankCol", "1-based rank column",
+                    TypeConverters.toString)
+    k = Param(Params._dummy(), "k", "evaluation cutoff",
+              TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(queryCol="query_id", itemCol="doc_id",
+                         rankCol="rank", k=10)
+
+    def setQueryCol(self, v):
+        return self._set(queryCol=v)
+
+    def setItemCol(self, v):
+        return self._set(itemCol=v)
+
+    def setRankCol(self, v):
+        return self._set(rankCol=v)
+
+    def setK(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"k must be >= 1, got {v}")
+        return self._set(k=v)
+
+    def evaluate(self, ranking: DataFrame, qrels: DataFrame
+                 ) -> DataFrame:
+        qc = self.getOrDefault(self.queryCol)
+        ic = self.getOrDefault(self.itemCol)
+        rc = self.getOrDefault(self.rankCol)
+        k = self.getOrDefault(self.k)
+
+        rel_pairs = F.broadcast(
+            qrels.select(qc, ic).distinct()
+                 .withColumn("__rel", F.lit(1)))
+        n_rel = (qrels.select(qc, ic).distinct()
+                 .groupBy(qc).agg(F.count(F.lit(1)).alias("n_rel")))
+
+        topk = ranking.filter(F.col(rc) <= k)
+        j = topk.join(rel_pairs, [qc, ic], "left")
+        rel = F.coalesce(F.col("__rel"), F.lit(0))
+        per_q = (j.groupBy(qc).agg(
+            F.sum(rel).alias("hits"),
+            F.min(F.when(rel == 1, F.col(rc))).alias("__frr"),
+            F.sum(F.when(rel == 1,
+                         1.0 / F.log2(F.col(rc) + 1))).alias("__dcg")))
+
+        out = per_q.join(F.broadcast(n_rel), qc, "left") \
+                   .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+        idcg = F.aggregate(
+            F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_rel"))),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i + 1))
+        return (out
+                .withColumn("precision_at_k", F.col("hits") / k)
+                .withColumn("recall_at_k",
+                            F.when(F.col("n_rel") > 0,
+                                   F.col("hits") / F.col("n_rel")))
+                .withColumn("mrr",
+                            F.coalesce(1.0 / F.col("__frr"), F.lit(0.0)))
+                .withColumn("ndcg_at_k",
+                            F.when(F.col("n_rel") > 0,
+                                   F.coalesce(F.col("__dcg"), F.lit(0.0))
+                                   / idcg))
+                .select(qc, "n_rel", "hits", "precision_at_k",
+                        "recall_at_k", "mrr", "ndcg_at_k"))
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise TypeError("RankingEvaluator is binary — call "
+                        "evaluate(ranking, qrels)")

@@ -3990,6 +3990,101 @@ FROM p
 """
 
 
+def q_ranking_eval_documents(spark, sf_dir):
+    """Retrieval-quality evaluation: BM25 top-10 rankings (same
+    queries as `bm25_retrieval_documents`) scored against
+    deterministic binary qrels — a document is relevant to a query
+    iff it contains the query's first token. The oracle replays the
+    full BM25 ranking, the qrels join and every metric's arithmetic
+    (precision/recall@k, MRR, binary nDCG with sequence-folded ideal
+    DCG)."""
+    from flink_ml__spark.functions.retrieval import (
+        BM25Retriever,
+        RankingEvaluator,
+    )
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                            TOKEN_SPLIT), lambda t: t != "")
+    queries = (docs.filter(F.col("doc_id") % 29 == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(toks, 1, 6), " ")
+                       .alias("query_text"),
+                       F.element_at(toks, 1).alias("__qt")))
+    ranking = BM25Retriever().setTopK(10).retrieve(
+        docs, queries.select("query_id", "query_text"))
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("__t"))
+    qrels = (queries.select("query_id", "__qt")
+             .join(doc_terms, F.col("__qt") == F.col("__t"))
+             .select("query_id", "doc_id"))
+    out = RankingEvaluator().setK(10).evaluate(ranking, qrels)
+    return out.select(
+        "query_id", "n_rel", "hits",
+        F.round("precision_at_k", R).alias("precision_at_k"),
+        F.round("recall_at_k", R).alias("recall_at_k"),
+        F.round("mrr", R).alias("mrr"),
+        F.round("ndcg_at_k", R).alias("ndcg_at_k"))
+
+
+ORACLE_RANKING_EVAL = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(tf) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM documents) AS avgdl),
+q AS (SELECT doc_id AS query_id,
+             unnest(list_distinct(toks[1:6])) AS term
+      FROM toks WHERE doc_id % 29 = 0),
+m AS (SELECT q.query_id, tf.doc_id,
+             ln(1 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS s
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+sc AS (SELECT query_id, doc_id, sum(s) AS score FROM m GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+      FROM sc),
+tk AS (SELECT query_id, doc_id, "rank" FROM r WHERE "rank" <= 10),
+q0 AS (SELECT doc_id AS query_id, toks[1] AS qt
+       FROM toks WHERE doc_id % 29 = 0),
+qr AS (SELECT q0.query_id, t.doc_id
+       FROM q0 JOIN toks t ON list_contains(t.toks, q0.qt)),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+j AS (SELECT tk.query_id, tk."rank",
+             CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM tk LEFT JOIN qr
+        ON tk.query_id = qr.query_id AND tk.doc_id = qr.doc_id),
+pq AS (SELECT query_id, sum(rel) AS hits,
+              min(CASE WHEN rel = 1 THEN "rank" END) AS frr,
+              sum(CASE WHEN rel = 1
+                       THEN 1.0 / log2("rank" + 1) END) AS dcg
+       FROM j GROUP BY 1),
+f AS (SELECT pq.query_id, coalesce(nrel.n_rel, 0) AS n_rel, hits,
+             frr, dcg,
+             list_sum(list_transform(
+               generate_series(1, least(10, coalesce(nrel.n_rel, 0))),
+               i -> 1.0 / log2(i + 1))) AS idcg
+      FROM pq LEFT JOIN nrel ON pq.query_id = nrel.query_id)
+SELECT query_id, n_rel, hits,
+       round(hits / 10.0, {R}) AS precision_at_k,
+       round(CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel END, {R})
+         AS recall_at_k,
+       round(coalesce(1.0 / frr, 0.0), {R}) AS mrr,
+       round(CASE WHEN n_rel > 0
+                  THEN coalesce(dcg, 0.0) / idcg END, {R})
+         AS ndcg_at_k
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4058,6 +4153,7 @@ QUERIES = {
     "bpe_tokenize_documents": q_bpe_tokenize_documents,
     "phrase_match_documents": q_phrase_match_documents,
     "drift_report_orders": q_drift_report_orders,
+    "ranking_eval_documents": q_ranking_eval_documents,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4171,6 +4267,7 @@ ORACLES = {
     "bpe_tokenize_documents": ORACLE_BPE_TOKENIZE,
     "phrase_match_documents": _oracle_phrase_match(),
     "drift_report_orders": _oracle_drift(),
+    "ranking_eval_documents": ORACLE_RANKING_EVAL,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -181,3 +181,57 @@ def test_rrf_end_to_end_hybrid(spark):
     n_q = qs.count()
     assert fused.count() == n_q * 5
     assert fused.filter(F.col("n_lists") > 2).count() == 0
+
+
+def test_ranking_evaluator_hand_computed(spark):
+    import math
+
+    from flink_ml__spark.functions.retrieval import RankingEvaluator
+
+    # query 1: rel docs {10, 20, 30}; ranking top-5 = [10, 99, 20, 98, 97]
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 20, 3), (1, 98, 4), (1, 97, 5),
+         (2, 50, 1), (2, 51, 2)],              # query 2: no rel in top-k
+        "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 77)],
+        "query_id long, doc_id long")
+    got = {r["query_id"]: r for r in
+           (RankingEvaluator().setK(5).evaluate(ranking, qrels)
+            .collect())}
+    r1 = got[1]
+    assert r1["n_rel"] == 3 and r1["hits"] == 2
+    assert abs(r1["precision_at_k"] - 2 / 5) < 1e-12
+    assert abs(r1["recall_at_k"] - 2 / 3) < 1e-12
+    assert r1["mrr"] == 1.0                    # first rel at rank 1
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert abs(r1["ndcg_at_k"] - dcg / idcg) < 1e-12
+    r2 = got[2]
+    assert r2["hits"] == 0 and r2["mrr"] == 0.0
+    assert r2["recall_at_k"] == 0.0 and r2["ndcg_at_k"] == 0.0
+
+
+def test_ranking_evaluator_no_qrels_query_null_metrics(spark):
+    from flink_ml__spark.functions.retrieval import RankingEvaluator
+
+    ranking = spark.createDataFrame([(9, 1, 1)],
+                                    "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame([], "query_id long, doc_id long")
+    r = RankingEvaluator().setK(10).evaluate(ranking, qrels).first()
+    assert r["n_rel"] == 0 and r["hits"] == 0
+    assert r["recall_at_k"] is None and r["ndcg_at_k"] is None
+    assert r["mrr"] == 0.0
+
+
+def test_ranking_evaluator_validation(spark):
+    import pytest
+
+    from flink_ml__spark.functions.retrieval import RankingEvaluator
+
+    with pytest.raises(ValueError, match="k must"):
+        RankingEvaluator().setK(0)
+    df = spark.createDataFrame([(1, 1, 1)],
+                               "query_id long, doc_id long, rank int")
+    with pytest.raises(TypeError, match="binary"):
+        RankingEvaluator().transform(df)
