@@ -118,6 +118,7 @@ HEADLINE = [
     "phrase_match_documents",
     "drift_report_orders",
     "ranking_eval_documents",
+    "classification_eval_documents",
 ]
 
 

@@ -4085,6 +4085,101 @@ FROM f
 """
 
 
+_EVAL_BINS = 512
+
+
+def q_classification_eval_documents(spark, sf_dir):
+    """Binary-classification metrics for a deterministic signal: the
+    heuristic quality score as the classifier, lang=='en' as the
+    label (the two are weakly related, so AUC sits meaningfully
+    between 0.5 and 1 instead of saturating). Scores are rounded to 6
+    decimals BEFORE bucketing so both engines bin identical doubles;
+    the oracle replays the quality formula, the binned tie-aware AUC
+    rank-sum and the thresholded confusion arithmetic."""
+    from flink_ml__spark.functions.evaluation import (
+        BinaryClassificationEvaluator,
+    )
+    from flink_ml__spark.functions.text import QualityScorer
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = (QualityScorer().transform(docs)
+              .select((F.col("lang") == "en").cast("int").alias("label"),
+                      F.round("quality_score", 6).alias("score")))
+    out = (BinaryClassificationEvaluator().setNumBins(_EVAL_BINS)
+           .evaluate(scored))
+    return out.select(
+        "n_pos", "n_neg",
+        F.round("auc", R).alias("auc"),
+        F.round("accuracy", R).alias("accuracy"),
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+        F.round("f1", R).alias("f1"))
+
+
+ORACLE_CLASSIFICATION_EVAL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text),
+             '[^a-zA-Z0-9'']+'), x -> x <> '')) AS n_tokens_q,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+             'g')) AS punct,
+         len(list_intersect(
+             list_distinct(list_filter(string_split_regex(lower(text),
+                 '[^a-zA-Z0-9'']+'), x -> x <> '')),
+             [{', '.join(repr(w) for w in LANG_PROFILES['en'])}]))
+           AS stop
+  FROM documents),
+m AS (
+  SELECT lang,
+         least(n_tokens_q / 20.0, 1.0) * 0.3
+         + (alpha::DOUBLE / greatest(n_chars, 1)) * 0.4
+         + least((stop::DOUBLE / greatest(n_tokens_q, 1)) * 5.0, 1.0)
+           * 0.2
+         + (1 - least((punct::DOUBLE / greatest(n_chars, 1)) * 10.0,
+                      1.0)) * 0.1 AS qs
+  FROM t),
+s AS (SELECT (lang = 'en')::INT AS y, round(qs, 6) AS sv
+      FROM m WHERE lang IS NOT NULL AND qs IS NOT NULL),
+g AS (SELECT least(floor(greatest(least(sv, 1.0), 0.0)
+                         * {_EVAL_BINS})::INT, {_EVAL_BINS - 1}) AS bkt,
+             sum(y) AS pos, count(*) - sum(y) AS neg
+      FROM s GROUP BY 1),
+c AS (SELECT bkt, pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM g),
+tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM g),
+a AS (SELECT sum(cumneg * pos + 0.5 * neg * pos)
+             / ((SELECT p FROM tot) * (SELECT n FROM tot)) AS auc
+      FROM c),
+conf AS (SELECT
+    sum(CASE WHEN sv >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN sv >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN sv < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+    sum(CASE WHEN sv < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn
+  FROM s)
+SELECT (SELECT p FROM tot)::BIGINT AS n_pos,
+       (SELECT n FROM tot)::BIGINT AS n_neg,
+       round((SELECT auc FROM a), {R}) AS auc,
+       round((tp + tn)::DOUBLE / (tp + fp + fn + tn), {R}) AS accuracy,
+       round(CASE WHEN tp + fp > 0
+                  THEN tp::DOUBLE / (tp + fp) END, {R}) AS precision,
+       round(CASE WHEN tp + fn > 0
+                  THEN tp::DOUBLE / (tp + fn) END, {R}) AS recall,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                   AND tp::DOUBLE / (tp + fp)
+                       + tp::DOUBLE / (tp + fn) > 0
+                  THEN 2 * (tp::DOUBLE / (tp + fp))
+                       * (tp::DOUBLE / (tp + fn))
+                       / (tp::DOUBLE / (tp + fp)
+                          + tp::DOUBLE / (tp + fn)) END, {R}) AS f1
+FROM conf
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4154,6 +4249,7 @@ QUERIES = {
     "phrase_match_documents": q_phrase_match_documents,
     "drift_report_orders": q_drift_report_orders,
     "ranking_eval_documents": q_ranking_eval_documents,
+    "classification_eval_documents": q_classification_eval_documents,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4268,6 +4364,7 @@ ORACLES = {
     "phrase_match_documents": _oracle_phrase_match(),
     "drift_report_orders": _oracle_drift(),
     "ranking_eval_documents": ORACLE_RANKING_EVAL,
+    "classification_eval_documents": ORACLE_CLASSIFICATION_EVAL,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,
