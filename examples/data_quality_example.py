@@ -65,6 +65,15 @@ def main():
                 + new.select(*rebuilt.columns).exceptAll(rebuilt).count())
     print(f"reconstruction mismatches (expect 0): {mismatch}")
 
+    print("== PSI distribution drift between order snapshots ==")
+    from flink_ml__spark.functions.drift import DriftMonitor
+
+    ref = orders.filter(k % 2 == 0)
+    shifted = (orders.filter(k % 2 == 1)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 1.2))
+    (DriftMonitor().setInputCols("o_totalprice", "o_custkey")
+     .summary(ref, shifted).show())
+
     print("== fuzzy entity resolution on part names ==")
     part = load_table(spark, "part", SF_DIR)
     ents = part.groupBy("p_name").agg(F.min("p_partkey").alias("ent_id"))

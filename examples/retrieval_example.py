@@ -60,6 +60,23 @@ def main():
     (WeightedSampler().setWeightCol("n_chars").setN(5)
      .transform(docs).select("doc_id", "n_chars", "sample_key").show())
 
+    print("== ranking quality: IVF ANN scored against the exact "
+          "cosine ground truth ==")
+    from flink_ml__spark.functions.retrieval import RankingEvaluator
+    from flink_ml__spark.functions.similarity import IVFCosineTopK
+
+    queries_emb = emb.filter(F.col("vec_id") % 29 == 0)
+    truth = sem.select("query_id", "doc_id")
+    approx = (IVFCosineTopK().setK(5).setNList(8).setNProbe(2)
+              .setSeed(42).topk(queries_emb, emb)
+              .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                      "rank"))
+    (RankingEvaluator().setK(5).evaluate(approx, truth)
+     .agg(F.round(F.avg("recall_at_k"), 3).alias("mean_recall@5"),
+          F.round(F.avg("mrr"), 3).alias("mean_mrr"),
+          F.round(F.avg("ndcg_at_k"), 3).alias("mean_ndcg@5"))
+     .show())
+
 
 if __name__ == "__main__":
     main()
