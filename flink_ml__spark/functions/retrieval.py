@@ -373,9 +373,15 @@ class RankingEvaluator(AlgoOperator):
         rc = self.getOrDefault(self.rankCol)
         k = self.getOrDefault(self.k)
 
-        rel_pairs = F.broadcast(
-            qrels.select(qc, ic).distinct()
-                 .withColumn("__rel", F.lit(1)))
+        # no broadcast hint on the qrels side: benchmark qrels are
+        # tiny and AQE broadcasts them on its own, but qrels derived
+        # from corpus statistics (e.g. "every doc sharing a term")
+        # can be data-sized — a forced broadcast there collected tens
+        # of millions of pairs to the driver (measured 40× blowup at
+        # 10× data). With no hint AQE broadcasts whichever side is
+        # actually small (usually the O(queries·k) top-k slice).
+        rel_pairs = (qrels.select(qc, ic).distinct()
+                     .withColumn("__rel", F.lit(1)))
         n_rel = (qrels.select(qc, ic).distinct()
                  .groupBy(qc).agg(F.count(F.lit(1)).alias("n_rel")))
 

@@ -3994,10 +3994,12 @@ def q_ranking_eval_documents(spark, sf_dir):
     """Retrieval-quality evaluation: BM25 top-10 rankings (same
     queries as `bm25_retrieval_documents`) scored against
     deterministic binary qrels — a document is relevant to a query
-    iff it contains the query's first token. The oracle replays the
-    full BM25 ranking, the qrels join and every metric's arithmetic
-    (precision/recall@k, MRR, binary nDCG with sequence-folded ideal
-    DCG)."""
+    iff it OPENS with the query's first two tokens, which keeps the
+    qrels benchmark-sized (first-TOKEN membership made them
+    corpus-sized: 670k pairs at sf0.1 and a measured 40× blowup at
+    10×). The oracle replays the full BM25 ranking, the qrels join
+    and every metric's arithmetic (precision/recall@k, MRR, binary
+    nDCG with sequence-folded ideal DCG)."""
     from flink_ml__spark.functions.retrieval import (
         BM25Retriever,
         RankingEvaluator,
@@ -4011,13 +4013,16 @@ def q_ranking_eval_documents(spark, sf_dir):
                .select(F.col("doc_id").alias("query_id"),
                        F.array_join(F.slice(toks, 1, 6), " ")
                        .alias("query_text"),
-                       F.element_at(toks, 1).alias("__qt")))
+                       F.element_at(toks, 1).alias("__q1"),
+                       F.element_at(toks, 2).alias("__q2")))
     ranking = BM25Retriever().setTopK(10).retrieve(
         docs, queries.select("query_id", "query_text"))
-    doc_terms = docs.select(
-        "doc_id", F.explode(F.array_distinct(toks)).alias("__t"))
-    qrels = (queries.select("query_id", "__qt")
-             .join(doc_terms, F.col("__qt") == F.col("__t"))
+    doc_heads = docs.select(
+        "doc_id", F.element_at(toks, 1).alias("__d1"),
+        F.element_at(toks, 2).alias("__d2"))
+    qrels = (queries.select("query_id", "__q1", "__q2")
+             .join(doc_heads, (F.col("__q1") == F.col("__d1"))
+                   & (F.col("__q2") == F.col("__d2")))
              .select("query_id", "doc_id"))
     out = RankingEvaluator().setK(10).evaluate(ranking, qrels)
     return out.select(
@@ -4053,10 +4058,11 @@ r AS (SELECT *, row_number() OVER (
         ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
       FROM sc),
 tk AS (SELECT query_id, doc_id, "rank" FROM r WHERE "rank" <= 10),
-q0 AS (SELECT doc_id AS query_id, toks[1] AS qt
+q0 AS (SELECT doc_id AS query_id, toks[1] AS q1, toks[2] AS q2
        FROM toks WHERE doc_id % 29 = 0),
 qr AS (SELECT q0.query_id, t.doc_id
-       FROM q0 JOIN toks t ON list_contains(t.toks, q0.qt)),
+       FROM q0 JOIN toks t
+         ON t.toks[1] = q0.q1 AND t.toks[2] = q0.q2),
 nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
 j AS (SELECT tk.query_id, tk."rank",
              CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
