@@ -76,19 +76,27 @@ class DriftMonitor(AlgoOperator):
             raise ValueError(f"numBuckets must be >= 2, got {v}")
         return self._set(numBuckets=v)
 
-    def _edges(self, reference: DataFrame, col: str) -> list[float]:
+    def _all_edges(self, reference: DataFrame,
+                   cols: list[str]) -> dict[str, list[float]]:
+        """ONE aggregation computes every column's k−1 exact
+        interpolated percentiles (N sequential per-column jobs would
+        scan the reference N times)."""
         k = self.getOrDefault(self.numBuckets)
         pcts = [i / k for i in range(1, k)]
         row = reference.agg(*[
-            F.expr(f"percentile({col}, {p!r})").alias(f"e{i}")
+            F.expr(f"percentile({c}, {p!r})").alias(f"e_{ci}_{i}")
+            for ci, c in enumerate(cols)
             for i, p in enumerate(pcts)]).first()
-        edges = [row[f"e{i}"] for i in range(len(pcts))]
-        if edges and edges[0] is None:
-            raise ValueError(f"no non-null values in reference.{col}")
-        # constant stretches produce duplicate edges — keep them;
-        # duplicate edges simply leave their buckets empty on both
-        # sides identically (floored proportions, zero psi term)
-        return [float(e) for e in edges]
+        out: dict[str, list[float]] = {}
+        for ci, c in enumerate(cols):
+            edges = [row[f"e_{ci}_{i}"] for i in range(len(pcts))]
+            if edges and edges[0] is None:
+                raise ValueError(f"no non-null values in reference.{c}")
+            # constant stretches produce duplicate edges — keep them;
+            # duplicate edges simply leave their buckets empty on both
+            # sides identically (floored proportions, zero psi term)
+            out[c] = [float(e) for e in edges]
+        return out
 
     @staticmethod
     def _bucket(col, edges: list[float]):
@@ -97,10 +105,19 @@ class DriftMonitor(AlgoOperator):
             b = b + (F.col(col) >= F.lit(e)).cast("int")
         return b
 
-    def _hist(self, df: DataFrame, col: str, edges: list[float],
+    def _hist(self, df: DataFrame, edges: dict[str, list[float]],
               tag: str) -> DataFrame:
-        return (df.filter(F.col(col).isNotNull())
-                  .groupBy(self._bucket(col, edges).alias("bucket"))
+        """ONE pass histograms every column: each row explodes into
+        its per-column (column, bucket) cells (NULLs dropped per
+        column), then one partial+final count aggregate."""
+        cells = F.explode(F.filter(F.array(*[
+            F.when(F.col(c).isNotNull(),
+                   F.struct(F.lit(c).alias("column"),
+                            self._bucket(c, e).alias("bucket")))
+            for c, e in edges.items()]), lambda x: x.isNotNull()))
+        return (df.select(cells.alias("__cell"))
+                  .groupBy(F.col("__cell.column").alias("column"),
+                           F.col("__cell.bucket").alias("bucket"))
                   .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
 
     def report(self, reference: DataFrame, current: DataFrame
@@ -110,24 +127,19 @@ class DriftMonitor(AlgoOperator):
             raise ValueError("no columns set — call setInputCols(...)")
         k = self.getOrDefault(self.numBuckets)
         spark = reference.sparkSession
-        buckets = spark.range(k).select(
-            F.col("id").cast("int").alias("bucket"))
+        edges = self._all_edges(reference, cols)
 
-        parts = []
-        for c in cols:
-            edges = self._edges(reference, c)
-            h = (buckets
-                 .join(self._hist(reference, c, edges, "ref"),
-                       "bucket", "left")
-                 .join(self._hist(current, c, edges, "cur"),
-                       "bucket", "left")
-                 .select(F.lit(c).alias("column"), "bucket",
-                         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                         F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
-            parts.append(h)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        grid = spark.createDataFrame(
+            [(c, b) for c in cols for b in range(k)],
+            "column string, bucket int")
+        out = (grid
+               .join(self._hist(reference, edges, "ref"),
+                     ["column", "bucket"], "left")
+               .join(self._hist(current, edges, "cur"),
+                     ["column", "bucket"], "left")
+               .select("column", "bucket",
+                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
 
         from pyspark.sql import Window
 

@@ -78,13 +78,21 @@ class BinaryClassificationEvaluator(AlgoOperator):
         d = (df.filter(lbl.isNotNull() & score.isNotNull())
                .select(lbl.alias("__y"), score.alias("__s")))
 
+        # ONE scan: the bucket histogram carries the threshold-split
+        # counts too (the threshold need not align with a bucket edge
+        # — the split is evaluated per row, merely GROUPED by bucket),
+        # so AUC and the confusion matrix come out of the same
+        # O(numBins) aggregate
         bucket = F.least(
             F.floor(F.greatest(F.least(F.col("__s"), F.lit(1.0)),
                                F.lit(0.0)) * bins).cast("int"),
             F.lit(bins - 1))
+        pred = (F.col("__s") >= thr).cast("int")
         hist = (d.groupBy(bucket.alias("__b"))
                  .agg(F.sum("__y").alias("pos"),
-                      (F.count(F.lit(1)) - F.sum("__y")).alias("neg"))
+                      (F.count(F.lit(1)) - F.sum("__y")).alias("neg"),
+                      F.sum(pred * F.col("__y")).alias("tp"),
+                      F.sum(pred * (1 - F.col("__y"))).alias("fp"))
                  .orderBy("__b").collect())
 
         n_pos = sum(r["pos"] for r in hist)
@@ -97,17 +105,10 @@ class BinaryClassificationEvaluator(AlgoOperator):
                 cum_neg += r["neg"]
             auc = num / (n_pos * n_neg)
 
-        conf = d.agg(
-            F.sum(F.when((F.col("__s") >= thr) & (F.col("__y") == 1), 1)
-                   .otherwise(0)).alias("tp"),
-            F.sum(F.when((F.col("__s") >= thr) & (F.col("__y") == 0), 1)
-                   .otherwise(0)).alias("fp"),
-            F.sum(F.when((F.col("__s") < thr) & (F.col("__y") == 1), 1)
-                   .otherwise(0)).alias("fn"),
-            F.sum(F.when((F.col("__s") < thr) & (F.col("__y") == 0), 1)
-                   .otherwise(0)).alias("tn")).first()
-        tp, fp, fn, tn = (conf["tp"] or 0, conf["fp"] or 0,
-                          conf["fn"] or 0, conf["tn"] or 0)
+        tp = sum(r["tp"] for r in hist)
+        fp = sum(r["fp"] for r in hist)
+        fn = n_pos - tp
+        tn = n_neg - fp
         total = tp + fp + fn + tn
         acc = (tp + tn) / total if total else None
         prec = tp / (tp + fp) if (tp + fp) else None

@@ -194,6 +194,8 @@ class SnapshotDiffer(AlgoOperator):
         ``apply(old, diff)`` reconstructs the new snapshot exactly."""
         return self._set(emitPayload=bool(v))
 
+    RESERVED = ("op", "changed_cols")
+
     def diff(self, old: DataFrame, new: DataFrame) -> DataFrame:
         keys = self.getOrDefault(self.keyCols)
         cmp_cols = self.getOrDefault(self.compareCols)
@@ -201,6 +203,17 @@ class SnapshotDiffer(AlgoOperator):
             shared = [c for c in old.columns
                       if c in set(new.columns) and c not in set(keys)]
             cmp_cols = shared
+        clash = [c for c in (*keys, *cmp_cols) if c in self.RESERVED]
+        if clash and (self.getOrDefault(self.emitPayload)
+                      or any(k in self.RESERVED for k in keys)):
+            # payload columns keep their original names in the output,
+            # so a data column called 'op'/'changed_cols' would collide
+            # with the diff's own columns (duplicate names break every
+            # downstream filter and parquet write)
+            raise ValueError(
+                f"column(s) {clash} collide with the diff output's "
+                f"reserved names {self.RESERVED} — rename them or "
+                "drop them from compareCols")
 
         o = old.select(*keys, *[F.col(c).alias(f"__o_{c}")
                                 for c in cmp_cols],

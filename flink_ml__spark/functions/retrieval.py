@@ -373,17 +373,19 @@ class RankingEvaluator(AlgoOperator):
         rc = self.getOrDefault(self.rankCol)
         k = self.getOrDefault(self.k)
 
-        # no broadcast hint on the qrels side: benchmark qrels are
-        # tiny and AQE broadcasts them on its own, but qrels derived
-        # from corpus statistics (e.g. "every doc sharing a term")
-        # can be data-sized — a forced broadcast there collected tens
-        # of millions of pairs to the driver (measured 40× blowup at
-        # 10× data). With no hint AQE broadcasts whichever side is
-        # actually small (usually the O(queries·k) top-k slice).
+        # no broadcast hints anywhere on the qrels side: benchmark
+        # qrels are tiny and AQE broadcasts them on its own, but qrels
+        # derived from corpus statistics (e.g. "every doc sharing a
+        # term") can be data-sized — a forced broadcast there
+        # collected tens of millions of pairs to the driver (measured
+        # 40× blowup at 10× data). With no hint AQE broadcasts
+        # whichever side is actually small (usually the O(queries·k)
+        # top-k slice). n_rel derives from the SAME deduped pair
+        # frame so the qrels dedup shuffle happens once, not twice.
         rel_pairs = (qrels.select(qc, ic).distinct()
                      .withColumn("__rel", F.lit(1)))
-        n_rel = (qrels.select(qc, ic).distinct()
-                 .groupBy(qc).agg(F.count(F.lit(1)).alias("n_rel")))
+        n_rel = rel_pairs.groupBy(qc).agg(
+            F.count(F.lit(1)).alias("n_rel"))
 
         topk = ranking.filter(F.col(rc) <= k)
         j = topk.join(rel_pairs, [qc, ic], "left")
@@ -394,7 +396,14 @@ class RankingEvaluator(AlgoOperator):
             F.sum(F.when(rel == 1,
                          1.0 / F.log2(F.col(rc) + 1))).alias("__dcg")))
 
-        out = per_q.join(F.broadcast(n_rel), qc, "left") \
+        # every query present in the ranking gets a row, including
+        # queries whose rows ALL sit beyond the cutoff (they score
+        # hits=0/mrr=0, not silent omission — dropping them would
+        # inflate averaged metrics)
+        universe = ranking.select(qc).distinct()
+        per_q = (universe.join(per_q, qc, "left")
+                 .fillna({"hits": 0}))
+        out = per_q.join(n_rel, qc, "left") \
                    .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
         idcg = F.aggregate(
             F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_rel"))),

@@ -97,10 +97,17 @@ def learn_merges(word_counts: dict[str, int], num_merges: int,
         best = None
         while heap:
             negc, p = heap[0]
-            if pair_counts.get(p) == -negc:
-                best, cnt = p, -negc
+            live = pair_counts.get(p)
+            if live == -negc:
+                best, cnt = p, live
                 break
             heapq.heappop(heap)
+            if live is not None:
+                # stale entry for a pair that still exists (its count
+                # only ever DECREASED, so bump() never re-pushed it) —
+                # re-insert at the live count or the heap forgets the
+                # pair entirely and selects a non-maximal merge
+                heapq.heappush(heap, (-live, p))
         if best is None or cnt < min_pair_count:
             break
         merges.append(best)

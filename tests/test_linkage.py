@@ -232,3 +232,16 @@ def test_differ_apply_refuses_column_loss(spark):
     diff = d.diff(old, new)
     with pytest.raises(ValueError, match="extra"):
         d.apply(old, diff)
+
+
+def test_differ_reserved_name_collision_raises(spark):
+    import pytest
+
+    old = spark.createDataFrame([(1, "x")], "id long, op string")
+    new = spark.createDataFrame([(1, "y")], "id long, op string")
+    d = SnapshotDiffer().setKeyCols("id").setEmitPayload(True)
+    with pytest.raises(ValueError, match="op"):
+        d.diff(old, new)
+    # without payload the 'op' data column never reaches the output
+    got = SnapshotDiffer().setKeyCols("id").diff(old, new).collect()
+    assert len(got) == 1 and list(got[0]["changed_cols"]) == ["op"]

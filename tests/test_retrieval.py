@@ -235,3 +235,21 @@ def test_ranking_evaluator_validation(spark):
                                "query_id long, doc_id long, rank int")
     with pytest.raises(TypeError, match="binary"):
         RankingEvaluator().transform(df)
+
+
+def test_ranking_evaluator_keeps_beyond_cutoff_queries(spark):
+    """A query whose surviving rows all sit beyond k still gets a
+    zero-score row — silently dropping it would inflate averages."""
+    from flink_ml__spark.functions.retrieval import RankingEvaluator
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 7), (2, 21, 8)],    # q2 only ranks 7-8
+        "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame([(1, 10), (2, 20)],
+                                  "query_id long, doc_id long")
+    got = {r["query_id"]: r for r in
+           (RankingEvaluator().setK(5).evaluate(ranking, qrels)
+            .collect())}
+    assert set(got) == {1, 2}
+    assert got[2]["hits"] == 0 and got[2]["mrr"] == 0.0
+    assert got[2]["recall_at_k"] == 0.0 and got[2]["n_rel"] == 1

@@ -389,7 +389,7 @@ def test_phrase_matcher_plan_no_python_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastNestedLoop" not in plan
 
 
 def test_phrase_matcher_validation(spark):

@@ -95,3 +95,63 @@ def test_num_merges_validation():
 
     with pytest.raises(ValueError, match="numMerges"):
         BpeTokenizer().setNumMerges(0)
+
+
+def _naive_learn_merges(word_counts, num_merges, min_pair_count=2):
+    """Reference Sennrich trainer: full recount + rewrite per merge."""
+    from collections import Counter
+
+    from flink_ml__spark.functions.tokenizer import _word_to_symbols
+
+    seqs = {}
+    for w, c in word_counts.items():
+        if w:
+            s = _word_to_symbols(w)
+            seqs[s] = seqs.get(s, 0) + c
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for s, c in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        ab = a + b
+        new_seqs = {}
+        for s, c in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            t = tuple(out)
+            new_seqs[t] = new_seqs.get(t, 0) + c
+        seqs = new_seqs
+    return merges
+
+
+def test_learn_merges_matches_naive_reference_fuzz():
+    """The incremental heap trainer must select the EXACT merge
+    sequence of the naive recount-everything reference on random
+    corpora — this catches lazy-heap staleness bugs (a pair whose
+    count only decreases must still be selectable at its live
+    count)."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(120):
+        n_words = rng.randint(3, 14)
+        wc = {}
+        for _ in range(n_words):
+            w = "".join(rng.choices("abcd", k=rng.randint(1, 6)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        nm = rng.randint(1, 12)
+        mp = rng.choice([1, 2])
+        got = learn_merges(wc, nm, min_pair_count=mp)
+        want = _naive_learn_merges(wc, nm, min_pair_count=mp)
+        assert got == want, (trial, wc, nm, mp, got, want)
