@@ -119,6 +119,7 @@ HEADLINE = [
     "drift_report_orders",
     "ranking_eval_documents",
     "classification_eval_documents",
+    "categorical_drift_events",
 ]
 
 

@@ -170,3 +170,133 @@ class DriftMonitor(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("DriftMonitor is binary — call "
                         "report(reference, current)")
+
+
+class CategoricalDriftMonitor(AlgoOperator):
+    """PSI drift for categorical columns — the complement of
+    :class:`DriftMonitor`'s quantile buckets: category frequencies
+    compared directly (event types, languages, source domains,
+    enum-ish string columns).
+
+    ``report(reference, current)`` returns one row per (column,
+    category)::
+
+        column, category   category '__null__' for NULL values,
+                           '__other__' for values outside the
+                           reference's top ``maxCategories``
+        n_ref, n_cur       counts
+        p_ref, p_cur       floored proportions
+        psi_term           (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    ``summary(reference, current)`` totals PSI per column with the
+    same stable/moderate/action thresholds. The category vocabulary
+    comes from the REFERENCE side (top ``maxCategories`` by count,
+    ties lexicographic) — a brand-new category in the current
+    snapshot lands in ``__other__``, which is exactly the signal a
+    schema-drift alert wants.
+
+    100 TB design: one exploded count aggregate per side (all columns
+    in one pass), an O(cols · maxCategories) vocabulary pulled once
+    from the aggregated table (TakeOrderedAndProject per column, no
+    global sort), O(cols · categories) output.
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "categorical columns to monitor",
+                      TypeConverters.toListString)
+    maxCategories = Param(Params._dummy(), "maxCategories",
+                          "reference vocabulary cap per column",
+                          TypeConverters.toInt)
+
+    NULL_CAT = "__null__"
+    OTHER_CAT = "__other__"
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[], maxCategories=100)
+
+    def setInputCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        return self._set(inputCols=list(v))
+
+    def setMaxCategories(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"maxCategories must be >= 1, got {v}")
+        return self._set(maxCategories=v)
+
+    def _cells(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        cells = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.coalesce(F.col(c).cast("string"),
+                                F.lit(self.NULL_CAT)).alias("value"))
+            for c in cols]))
+        return (df.select(cells.alias("__cell"))
+                  .select(F.col("__cell.column").alias("column"),
+                          F.col("__cell.value").alias("value")))
+
+    def report(self, reference: DataFrame, current: DataFrame
+               ) -> DataFrame:
+        from pyspark.sql import Window
+
+        cols = self.getOrDefault(self.inputCols)
+        if not cols:
+            raise ValueError("no columns set — call setInputCols(...)")
+        mx = self.getOrDefault(self.maxCategories)
+
+        ref_counts = (self._cells(reference, cols)
+                      .groupBy("column", "value")
+                      .agg(F.count(F.lit(1)).alias("n")))
+        # reference vocabulary: top-N per column, keyed window top-k
+        # (WindowGroupLimit — no global sort)
+        w = Window.partitionBy("column").orderBy(
+            F.desc("n"), F.asc("value"))
+        vocab = (ref_counts.withColumn("__r", F.row_number().over(w))
+                 .filter(F.col("__r") <= mx)
+                 .select("column", "value"))
+
+        def side(df, tag):
+            mapped = (self._cells(df, cols)
+                      .join(vocab.withColumn("__in", F.lit(True)),
+                            ["column", "value"], "left")
+                      .select("column",
+                              F.when(F.col("__in").isNotNull(),
+                                     F.col("value"))
+                               .otherwise(F.lit(self.OTHER_CAT))
+                               .alias("category")))
+            return (mapped.groupBy("column", "category")
+                    .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+        out = (side(reference, "ref")
+               .join(side(current, "cur"), ["column", "category"],
+                     "full_outer")
+               .select("column", "category",
+                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+
+        w2 = Window.partitionBy("column")
+        p_ref = F.greatest(F.col("n_ref")
+                           / F.sum("n_ref").over(w2), F.lit(_FLOOR))
+        p_cur = F.greatest(F.col("n_cur")
+                           / F.sum("n_cur").over(w2), F.lit(_FLOOR))
+        return (out.withColumn("p_ref", p_ref)
+                   .withColumn("p_cur", p_cur)
+                   .withColumn("psi_term",
+                               (F.col("p_cur") - F.col("p_ref"))
+                               * F.log(F.col("p_cur") / F.col("p_ref"))))
+
+    def summary(self, reference: DataFrame, current: DataFrame
+                ) -> DataFrame:
+        return (self.report(reference, current)
+                .groupBy("column")
+                .agg(F.sum("psi_term").alias("psi"))
+                .withColumn("drift_level",
+                            F.when(F.col("psi") < 0.1, F.lit("stable"))
+                             .when(F.col("psi") < 0.25,
+                                   F.lit("moderate"))
+                             .otherwise(F.lit("action"))))
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise TypeError("CategoricalDriftMonitor is binary — call "
+                        "report(reference, current)")

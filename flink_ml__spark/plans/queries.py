@@ -4186,6 +4186,71 @@ FROM conf
 """
 
 
+def q_categorical_drift_events(spark, sf_dir):
+    """Categorical PSI drift on event_type between the even- and
+    odd-id halves of `events`, with planted category churn in the
+    current side: some views become a brand-new 'scroll' type (lands
+    in __other__ — the schema-drift signal) and some clicks remap to
+    views (frequency shift). The oracle replays the reference
+    vocabulary cut, the __other__ mapping, floored proportions and
+    every PSI term."""
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    ref = ev.filter(k % 2 == 0)
+    cur = (ev.filter(k % 2 == 1)
+           .withColumn("event_type",
+                       F.when((k % 5 == 0)
+                              & (F.col("event_type") == "view"),
+                              F.lit("scroll"))
+                        .when((k % 7 == 0)
+                              & (F.col("event_type") == "click"),
+                              F.lit("view"))
+                        .otherwise(F.col("event_type"))))
+    rep = (CategoricalDriftMonitor().setInputCols("event_type")
+           .report(ref, cur))
+    return rep.select("column", "category", "n_ref", "n_cur",
+                      F.round("p_ref", R).alias("p_ref"),
+                      F.round("p_cur", R).alias("p_cur"),
+                      F.round("psi_term", R).alias("psi_term"))
+
+
+ORACLE_CATEGORICAL_DRIFT = f"""
+WITH ref AS (SELECT coalesce(event_type, '__null__') AS v
+             FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT coalesce(
+          CASE WHEN event_id % 5 = 0 AND event_type = 'view'
+               THEN 'scroll'
+               WHEN event_id % 7 = 0 AND event_type = 'click'
+               THEN 'view'
+               ELSE event_type END, '__null__') AS v
+        FROM events WHERE event_id % 2 = 1),
+rc AS (SELECT v, count(*) AS n FROM ref GROUP BY 1),
+vocab AS (SELECT v FROM rc ORDER BY n DESC, v ASC LIMIT 100),
+rm AS (SELECT CASE WHEN v IN (SELECT v FROM vocab) THEN v
+                   ELSE '__other__' END AS category,
+              count(*) AS n_ref
+       FROM ref GROUP BY 1),
+cm AS (SELECT CASE WHEN v IN (SELECT v FROM vocab) THEN v
+                   ELSE '__other__' END AS category,
+              count(*) AS n_cur
+       FROM cur GROUP BY 1),
+j AS (SELECT coalesce(rm.category, cm.category) AS category,
+             coalesce(rm.n_ref, 0) AS n_ref,
+             coalesce(cm.n_cur, 0) AS n_cur
+      FROM rm FULL OUTER JOIN cm ON rm.category = cm.category),
+p AS (SELECT category, n_ref, n_cur,
+        greatest(n_ref::DOUBLE / sum(n_ref) OVER (), 1e-6) AS p_ref,
+        greatest(n_cur::DOUBLE / sum(n_cur) OVER (), 1e-6) AS p_cur
+      FROM j)
+SELECT 'event_type' AS "column", category, n_ref, n_cur,
+       round(p_ref, {R}) AS p_ref, round(p_cur, {R}) AS p_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), {R}) AS psi_term
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4256,6 +4321,7 @@ QUERIES = {
     "drift_report_orders": q_drift_report_orders,
     "ranking_eval_documents": q_ranking_eval_documents,
     "classification_eval_documents": q_classification_eval_documents,
+    "categorical_drift_events": q_categorical_drift_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4371,6 +4437,7 @@ ORACLES = {
     "drift_report_orders": _oracle_drift(),
     "ranking_eval_documents": ORACLE_RANKING_EVAL,
     "classification_eval_documents": ORACLE_CLASSIFICATION_EVAL,
+    "categorical_drift_events": ORACLE_CATEGORICAL_DRIFT,
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -79,3 +79,51 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "id long, a double")
     with pytest.raises(ValueError, match="non-null"):
         DriftMonitor().setInputCols("a").report(empty, empty)
+
+
+def test_categorical_identity_and_new_category(spark):
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+
+    ref = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "id long, c string")
+    m = CategoricalDriftMonitor().setInputCols("c")
+    s = m.summary(ref, ref).first()
+    assert abs(s["psi"]) < 1e-12 and s["drift_level"] == "stable"
+    # a brand-new category in current lands in __other__
+    cur = spark.createDataFrame(
+        [(i, "z") for i in range(100)], "id long, c string")
+    rep = {r["category"]: (r["n_ref"], r["n_cur"]) for r in
+           m.report(ref, cur).collect()}
+    assert rep["__other__"] == (0, 100)
+    assert rep["a"] == (50, 0) and rep["b"] == (50, 0)
+    assert m.summary(ref, cur).first()["drift_level"] == "action"
+
+
+def test_categorical_null_category_and_vocab_cap(spark):
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+
+    ref = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)], "id long, c string")
+    m = CategoricalDriftMonitor().setInputCols("c").setMaxCategories(2)
+    rep = {r["category"]: r["n_ref"] for r in
+           m.report(ref, ref).collect()}
+    # top-2 vocabulary: 'a' (2) and '__null__'/'b' tie at 1 ->
+    # lexicographic keeps '__null__'; 'b' folds into __other__
+    assert rep["a"] == 2
+    assert rep["__null__"] == 1
+    assert rep["__other__"] == 1 and "b" not in rep
+
+
+def test_categorical_validation(spark):
+    import pytest
+
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+
+    ref = spark.createDataFrame([(1, "a")], "id long, c string")
+    with pytest.raises(ValueError, match="columns"):
+        CategoricalDriftMonitor().report(ref, ref)
+    with pytest.raises(ValueError, match="maxCategories"):
+        CategoricalDriftMonitor().setMaxCategories(0)
+    with pytest.raises(TypeError, match="binary"):
+        CategoricalDriftMonitor().setInputCols("c").transform(ref)
