@@ -74,6 +74,20 @@ def main():
     (DriftMonitor().setInputCols("o_totalprice", "o_custkey")
      .summary(ref, shifted).show())
 
+    print("== categorical drift: event-type mix between halves ==")
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+
+    ke = F.col("event_id")
+    churned = (ev.filter(ke % 2 == 1)
+               .withColumn("event_type",
+                           F.when(ke % 5 == 0, F.lit("scroll"))
+                            .otherwise(F.col("event_type"))))
+    (CategoricalDriftMonitor().setInputCols("event_type")
+     .report(ev.filter(ke % 2 == 0), churned)
+     .orderBy("category")
+     .select("category", "n_ref", "n_cur",
+             F.round("psi_term", 4).alias("psi_term")).show())
+
     print("== fuzzy entity resolution on part names ==")
     part = load_table(spark, "part", SF_DIR)
     ents = part.groupBy("p_name").agg(F.min("p_partkey").alias("ent_id"))
