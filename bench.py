@@ -120,6 +120,7 @@ HEADLINE = [
     "ranking_eval_documents",
     "classification_eval_documents",
     "categorical_drift_events",
+    "drift_monitor_window_events",
 ]
 
 

@@ -4251,6 +4251,86 @@ FROM p
 """
 
 
+_WDRIFT_K = 8
+
+
+def q_drift_monitor_window_events(spark, sf_dir):
+    """Windowed PSI drift: per 1-day window, the `value` distribution
+    vs the full-table reference, with a deterministic 1.5× scale
+    planted on every 7th day (those windows must read 'action', the
+    rest near-stable). The SAME code path runs on an unbounded stream
+    (`streaming.stream_drift_monitor`, parity-tested); this batch run
+    replays edges, per-window bucket counts, reference proportions
+    and the PSI fold in SQL."""
+    from flink_ml__spark.functions.drift import DriftMonitor
+    from flink_ml__spark.streaming.online import stream_drift_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    cur = ev.withColumn("value",
+                        F.when(day % 7 == 3, F.col("value") * 1.5)
+                         .otherwise(F.col("value")))
+    mon = DriftMonitor().setInputCols("value").setNumBuckets(_WDRIFT_K)
+    out = stream_drift_monitor(cur, "ts", mon, reference=ev,
+                               window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "column", "n_rows",
+                      F.round("psi", R).alias("psi"), "drift_level")
+
+
+def _oracle_window_drift() -> str:
+    k = _WDRIFT_K
+    pcts = ", ".join(repr(i / k) for i in range(1, k))
+    bucket = " + ".join(
+        f"(CASE WHEN v >= e[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, k))
+    rbucket = " + ".join(
+        f"(CASE WHEN value >= e[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, k))
+    return f"""
+WITH q AS (SELECT quantile_cont(value, [{pcts}]) AS e
+           FROM events WHERE ts IS NOT NULL),
+refb AS (SELECT ({rbucket}) AS bucket
+         FROM events CROSS JOIN q
+         WHERE ts IS NOT NULL AND value IS NOT NULL),
+refh AS (SELECT bucket, count(*) AS n FROM refb GROUP BY 1),
+rt AS (SELECT sum(n) AS t FROM refh),
+spine AS (SELECT unnest(generate_series(0, {k - 1})) AS bucket),
+pref AS (SELECT s.bucket,
+           greatest(coalesce(r.n, 0)::DOUBLE / (SELECT t FROM rt),
+                    1e-6) AS p_ref
+         FROM spine s LEFT JOIN refh r ON s.bucket = r.bucket),
+cur AS (SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+          CASE WHEN (epoch_us(ts) // {_DAY_US}) % 7 = 3
+               THEN value * 1.5 ELSE value END AS v
+        FROM events WHERE ts IS NOT NULL),
+winspine AS (SELECT DISTINCT win_us FROM cur),
+cb AS (SELECT win_us, ({bucket}) AS bucket
+       FROM cur CROSS JOIN q WHERE v IS NOT NULL),
+g AS (SELECT win_us, bucket, count(*) AS n FROM cb GROUP BY 1, 2),
+tot AS (SELECT win_us, sum(n) AS t FROM g GROUP BY 1),
+cells AS (SELECT w.win_us, s.bucket,
+            coalesce(g.n, 0) AS n
+          FROM winspine w CROSS JOIN spine s
+          LEFT JOIN g ON g.win_us = w.win_us AND g.bucket = s.bucket),
+terms AS (SELECT c.win_us,
+            (greatest(c.n::DOUBLE / greatest(t.t, 1), 1e-6) - p.p_ref)
+            * ln(greatest(c.n::DOUBLE / greatest(t.t, 1), 1e-6)
+                 / p.p_ref) AS term,
+            t.t
+          FROM cells c
+          JOIN tot t ON c.win_us = t.win_us
+          JOIN pref p ON c.bucket = p.bucket)
+SELECT win_us, 'value' AS "column", t::BIGINT AS n_rows,
+       round(sum(term), {R}) AS psi,
+       CASE WHEN sum(term) < 0.1 THEN 'stable'
+            WHEN sum(term) < 0.25 THEN 'moderate'
+            ELSE 'action' END AS drift_level
+FROM terms GROUP BY win_us, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4322,6 +4402,7 @@ QUERIES = {
     "ranking_eval_documents": q_ranking_eval_documents,
     "classification_eval_documents": q_classification_eval_documents,
     "categorical_drift_events": q_categorical_drift_events,
+    "drift_monitor_window_events": q_drift_monitor_window_events,
     "trending_events": q_trending_events,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
@@ -4438,6 +4519,7 @@ ORACLES = {
     "ranking_eval_documents": ORACLE_RANKING_EVAL,
     "classification_eval_documents": ORACLE_CLASSIFICATION_EVAL,
     "categorical_drift_events": ORACLE_CATEGORICAL_DRIFT,
+    "drift_monitor_window_events": _oracle_window_drift(),
     "trending_events": ORACLE_TRENDING,
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,

@@ -2,6 +2,7 @@ from flink_ml__spark.streaming.online import (
     stream_cardinality_monitor,
     stream_corpus_monitor,
     stream_dedup_against_corpus,
+    stream_drift_monitor,
     stream_exact_dedup,
     stream_expectation_monitor,
     stream_minhash_dedup_against_corpus,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_cardinality_monitor",
     "stream_corpus_monitor",
     "stream_dedup_against_corpus",
+    "stream_drift_monitor",
     "stream_exact_dedup",
     "stream_expectation_monitor",
     "stream_minhash_dedup_against_corpus",

@@ -276,6 +276,83 @@ def stream_expectation_monitor(stream_df: DataFrame, time_col: str,
                .select("window_start", "window_end", "r.*", "n_rows"))
 
 
+def stream_drift_monitor(stream_df: DataFrame, time_col: str,
+                         monitor, reference: DataFrame,
+                         window: str = "1 minute",
+                         watermark_delay: str = "0 seconds"
+                         ) -> DataFrame:
+    """Windowed PSI drift against a static reference — the live twin
+    of :class:`~flink_ml__spark.functions.drift.DriftMonitor`: per
+    event-time window and monitored column, how far the window's
+    distribution sits from the reference snapshot the model/pipeline
+    was calibrated on.
+
+    Takes the SAME DriftMonitor object (columns + bucket count) the
+    batch report uses. The reference's quantile edges and bucket
+    proportions are computed ONCE at plan-build time (two bounded
+    jobs on the static side); the stream then needs exactly ONE
+    stateful aggregation — per-bucket counts fold into the windowed
+    groupBy as conditional sums, and the PSI arithmetic runs as a
+    pure projection over that O(windows) output, which is what keeps
+    it inside streaming's single-aggregation constraint.
+
+    Output: ``window_start``, ``window_end``, ``column``, ``n_rows``
+    (non-null values of that column in the window), ``psi``,
+    ``drift_level``. Runs identically on a batch frame — the batch
+    run is the oracle-gated query, the stream run the parity-tested
+    twin.
+    """
+    from flink_ml__spark.functions.drift import _FLOOR
+
+    cols = monitor.getOrDefault(monitor.inputCols)
+    if not cols:
+        raise ValueError("monitor has no columns — setInputCols(...)")
+    k = monitor.getOrDefault(monitor.numBuckets)
+    edges = monitor._all_edges(reference, cols)
+
+    # reference proportions: O(cols · k) floats, shipped as literals
+    ref_hist = {(r["column"], r["bucket"]): r["n_ref"]
+                for r in monitor._hist(reference, edges, "ref")
+                .collect()}
+    ref_tot = {c: sum(v for (cc, _b), v in ref_hist.items() if cc == c)
+               for c in cols}
+    p_ref = {c: [max(ref_hist.get((c, b), 0) / ref_tot[c], _FLOOR)
+                 for b in range(k)] for c in cols}
+
+    win = F.window(F.col(time_col), window)
+    aggs, proj = [], []
+    for c in cols:
+        bucket = monitor._bucket(c, edges[c])
+        nn = F.col(c).isNotNull()
+        for b in range(k):
+            aggs.append(F.sum((nn & (bucket == b)).cast("bigint"))
+                        .alias(f"__n_{c}_{b}"))
+        aggs.append(F.sum(nn.cast("bigint")).alias(f"__t_{c}"))
+    agg = (stream_df
+           .withWatermark(time_col, watermark_delay)
+           .groupBy(win.alias("__w")).agg(*aggs))
+
+    for c in cols:
+        tot = F.greatest(F.col(f"__t_{c}"), F.lit(1))
+        psi = F.lit(0.0)
+        for b in range(k):
+            p_cur = F.greatest(F.col(f"__n_{c}_{b}") / tot,
+                               F.lit(_FLOOR))
+            pr = F.lit(p_ref[c][b])
+            psi = psi + (p_cur - pr) * F.log(p_cur / pr)
+        proj.append(F.struct(F.lit(c).alias("column"),
+                             F.col(f"__t_{c}").alias("n_rows"),
+                             psi.alias("psi")))
+    stack = F.explode(F.array(*proj)).alias("r")
+    return (agg.select(F.col("__w.start").alias("window_start"),
+                       F.col("__w.end").alias("window_end"), stack)
+            .select("window_start", "window_end", "r.*")
+            .withColumn("drift_level",
+                        F.when(F.col("psi") < 0.1, F.lit("stable"))
+                         .when(F.col("psi") < 0.25, F.lit("moderate"))
+                         .otherwise(F.lit("action"))))
+
+
 def stream_cardinality_monitor(stream_df: DataFrame, time_col: str,
                                key_col: str = "user_id",
                                group_col: str = "event_type",

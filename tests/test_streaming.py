@@ -578,3 +578,55 @@ def test_stream_fuzzy_link_against_master(spark):
         assert got == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_drift_monitor_matches_batch(spark):
+    """Windowed PSI drift on a stream equals the batch run of the
+    same monitor against the same static reference; the shifted
+    window reads 'action' while unshifted windows stay stable."""
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.functions.drift import DriftMonitor
+    from flink_ml__spark.streaming import stream_drift_monitor
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(200)], "id long, v double")
+    rows = []
+    for i in range(30):
+        ts = datetime(2024, 1, 1, 0, i // 10, 7, tzinfo=timezone.utc)
+        # (i*7) % 20 spreads each window across the reference range;
+        # minute 1 is shifted far outside it
+        v = float((i * 7) % 20) + (100.0 if i // 10 == 1 else 0.0)
+        rows.append((i, ts, v))
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    mon = DriftMonitor().setInputCols("v").setNumBuckets(4)
+
+    batch = {(r["window_start"], r["column"]):
+             (r["n_rows"], round(r["psi"], 9), r["drift_level"])
+             for r in stream_drift_monitor(df, "ts", mon, ref)
+             .collect()}
+    assert len(batch) == 3
+    levels = [batch[k][2] for k in sorted(batch)]
+    assert levels[1] == "action"         # the shifted minute
+    assert levels[0] == levels[2] != "action"
+
+    d = _tf.mkdtemp(prefix="stream_drift_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_drift_monitor(stream, "ts", mon, ref)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("driftmon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["column"]):
+               (r["n_rows"], round(r["psi"], 9), r["drift_level"])
+               for r in spark.sql("SELECT * FROM driftmon").collect()}
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = {ws for ws, _ in set(batch) - set(got)}
+        assert open_windows <= {max(ws for ws, _ in batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
