@@ -659,3 +659,96 @@ def test_snapshot_diff_apply_roundtrip_property(spark, data):
     got = {tuple(r) for r in d.apply(old, d.diff(old, new)).collect()}
     want = {tuple(r) for r in new.collect()}
     assert got == want
+
+
+@H
+@given(data=st.data())
+def test_phrase_matcher_matches_python_reference(spark, data):
+    """Random docs and phrases: the distributed matcher must equal a
+    pure-Python str.count reference on normalized token strings."""
+    import re
+
+    from flink_ml__spark.functions.text import TOKEN_SPLIT, PhraseMatcher
+
+    vocab = ["alpha", "beta", "gamma", "delta", "x1"]
+    word = st.sampled_from(vocab)
+    docs = data.draw(st.lists(
+        st.lists(word, min_size=0, max_size=8), min_size=1, max_size=5))
+    phrases = data.draw(st.lists(
+        st.lists(word, min_size=1, max_size=3).map(" ".join),
+        min_size=1, max_size=3, unique=True))
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["phrase"]): r["n_occurrences"]
+           for r in (PhraseMatcher().setPhrases(phrases)
+                     .match(df).collect())}
+
+    rx = re.compile(TOKEN_SPLIT)
+    expect = {}
+    for i, ws in enumerate(docs):
+        norm = " " + " ".join(t for t in rx.split(" ".join(ws).lower())
+                              if t) + " "
+        for p in phrases:
+            needle = " " + " ".join(
+                t for t in rx.split(p.lower()) if t) + " "
+            n = norm.count(needle)
+            if n > 0:
+                expect[(i, p)] = n
+    assert got == expect
+
+
+@H
+@given(data=st.data())
+def test_ranking_evaluator_matches_python_reference(spark, data):
+    """Random rankings + qrels: distributed metrics must equal a
+    pure-Python computation of P/R@k, MRR and binary nDCG."""
+    import math
+
+    from flink_ml__spark.functions.retrieval import RankingEvaluator
+
+    k = data.draw(st.integers(1, 5))
+    n_q = data.draw(st.integers(1, 3))
+    ranking_rows, qrel_rows = [], []
+    for q in range(n_q):
+        n_ranked = data.draw(st.integers(1, 6))
+        docs = data.draw(st.permutations(list(range(10))))[:n_ranked]
+        for r, d in enumerate(docs, start=1):
+            ranking_rows.append((q, d, r))
+        rel = data.draw(st.sets(st.integers(0, 9), max_size=4))
+        qrel_rows.extend((q, d) for d in rel)
+
+    ranking = spark.createDataFrame(
+        ranking_rows, "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        qrel_rows or [(99, 99)], "query_id long, doc_id long")
+    got = {r["query_id"]: r for r in
+           (RankingEvaluator().setK(k).evaluate(ranking, qrels)
+            .collect())}
+
+    by_q = {}
+    for q, d, r in ranking_rows:
+        by_q.setdefault(q, []).append((r, d))
+    rels = {}
+    for q, d in qrel_rows:
+        rels.setdefault(q, set()).add(d)
+    assert set(got) == set(by_q)
+    for q, ranked in by_q.items():
+        rel = rels.get(q, set())
+        top = sorted(ranked)[:]
+        top = [(r, d) for r, d in top if r <= k]
+        hits = [r for r, d in top if d in rel]
+        row = got[q]
+        assert row["n_rel"] == len(rel)
+        assert row["hits"] == len(hits)
+        assert abs(row["precision_at_k"] - len(hits) / k) < 1e-12
+        if rel:
+            assert abs(row["recall_at_k"] - len(hits) / len(rel)) < 1e-12
+            dcg = sum(1 / math.log2(r + 1) for r in hits)
+            idcg = sum(1 / math.log2(i + 1)
+                       for i in range(1, min(k, len(rel)) + 1))
+            assert abs(row["ndcg_at_k"] - dcg / idcg) < 1e-12
+        else:
+            assert row["recall_at_k"] is None
+            assert row["ndcg_at_k"] is None
+        assert row["mrr"] == (1.0 / min(hits) if hits else 0.0)
