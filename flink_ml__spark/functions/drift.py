@@ -32,6 +32,25 @@ from flink_ml__spark.base import AlgoOperator
 _FLOOR = 1e-6
 
 
+def drift_level(psi_col):
+    """stable/moderate/action classification of a PSI column — the
+    Siddiqi (2005) thresholds. The SINGLE definition shared by
+    :class:`DriftMonitor`, :class:`CategoricalDriftMonitor` and the
+    streaming twin (``streaming.online.stream_drift_monitor``) so a
+    threshold change cannot desynchronize the three surfaces."""
+    return (F.when(psi_col < 0.1, F.lit("stable"))
+             .when(psi_col < 0.25, F.lit("moderate"))
+             .otherwise(F.lit("action")))
+
+
+def _psi_summary(report_df: DataFrame) -> DataFrame:
+    """Fold a per-(column, bucket|category) PSI report to one row per
+    column with the total ``psi`` and its ``drift_level``."""
+    return (report_df.groupBy("column")
+            .agg(F.sum("psi_term").alias("psi"))
+            .withColumn("drift_level", drift_level(F.col("psi"))))
+
+
 class DriftMonitor(AlgoOperator):
     """PSI drift report between a reference and a current DataFrame.
 
@@ -158,14 +177,7 @@ class DriftMonitor(AlgoOperator):
 
     def summary(self, reference: DataFrame, current: DataFrame
                 ) -> DataFrame:
-        return (self.report(reference, current)
-                .groupBy("column")
-                .agg(F.sum("psi_term").alias("psi"))
-                .withColumn("drift_level",
-                            F.when(F.col("psi") < 0.1, F.lit("stable"))
-                             .when(F.col("psi") < 0.25,
-                                   F.lit("moderate"))
-                             .otherwise(F.lit("action"))))
+        return _psi_summary(self.report(reference, current))
 
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("DriftMonitor is binary — call "
@@ -195,10 +207,13 @@ class CategoricalDriftMonitor(AlgoOperator):
     snapshot lands in ``__other__``, which is exactly the signal a
     schema-drift alert wants.
 
-    100 TB design: one exploded count aggregate per side (all columns
-    in one pass), an O(cols · maxCategories) vocabulary pulled once
-    from the aggregated table (TakeOrderedAndProject per column, no
-    global sort), O(cols · categories) output.
+    100 TB design: ONE exploded count pass over each table — the
+    reference is scanned once (its mapped side derives from the
+    already-aggregated counts, O(distinct categories) extra work) —
+    an O(cols · maxCategories) vocabulary from a keyed window top-k
+    (no global sort), O(cols · categories) output. A data value
+    literally equal to a sentinel raises at execution time rather
+    than silently merging populations.
     """
 
     inputCols = Param(Params._dummy(), "inputCols",
@@ -227,10 +242,27 @@ class CategoricalDriftMonitor(AlgoOperator):
         return self._set(maxCategories=v)
 
     def _cells(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        """One (column, value) cell per monitored column per row.
+        NULLs map to the ``__null__`` sentinel; a DATA value that is
+        literally equal to either sentinel string would silently merge
+        with the sentinel's population (e.g. nulls pre-stringified by
+        an upstream ETL stage), so it fails LOUDLY at execution time
+        via ``raise_error`` instead of producing merged counts."""
+        def value(c):
+            v = F.col(c).cast("string")
+            return F.coalesce(
+                F.when(v.isin(self.NULL_CAT, self.OTHER_CAT),
+                       F.raise_error(F.concat(
+                           F.lit("CategoricalDriftMonitor: column '"
+                                 f"{c}' contains the literal sentinel "
+                                 "value "), v,
+                           F.lit(" — rename it upstream; sentinel "
+                                 "categories must not occur as data"))))
+                 .otherwise(v),
+                F.lit(self.NULL_CAT))
+
         cells = F.explode(F.array(*[
-            F.struct(F.lit(c).alias("column"),
-                     F.coalesce(F.col(c).cast("string"),
-                                F.lit(self.NULL_CAT)).alias("value"))
+            F.struct(F.lit(c).alias("column"), value(c).alias("value"))
             for c in cols]))
         return (df.select(cells.alias("__cell"))
                   .select(F.col("__cell.column").alias("column"),
@@ -256,21 +288,26 @@ class CategoricalDriftMonitor(AlgoOperator):
                  .filter(F.col("__r") <= mx)
                  .select("column", "value"))
 
-        def side(df, tag):
-            mapped = (self._cells(df, cols)
-                      .join(vocab.withColumn("__in", F.lit(True)),
-                            ["column", "value"], "left")
-                      .select("column",
-                              F.when(F.col("__in").isNotNull(),
-                                     F.col("value"))
-                               .otherwise(F.lit(self.OTHER_CAT))
-                               .alias("category")))
-            return (mapped.groupBy("column", "category")
-                    .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+        in_vocab = vocab.withColumn("__in", F.lit(True))
+        category = (F.when(F.col("__in").isNotNull(), F.col("value"))
+                     .otherwise(F.lit(self.OTHER_CAT))
+                     .alias("category"))
 
-        out = (side(reference, "ref")
-               .join(side(current, "cur"), ["column", "category"],
-                     "full_outer")
+        # reference side derives from the ALREADY-AGGREGATED
+        # ref_counts (O(distinct categories) rows) — re-exploding the
+        # reference table would be a second full scan + shuffle
+        ref_side = (ref_counts.join(in_vocab, ["column", "value"],
+                                    "left")
+                    .groupBy("column", category)
+                    .agg(F.sum("n").alias("n_ref")))
+        cur_side = (self._cells(current, cols)
+                    .join(in_vocab, ["column", "value"], "left")
+                    .select("column", category)
+                    .groupBy("column", "category")
+                    .agg(F.count(F.lit(1)).alias("n_cur")))
+
+        out = (ref_side
+               .join(cur_side, ["column", "category"], "full_outer")
                .select("column", "category",
                        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
                        F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
@@ -288,14 +325,7 @@ class CategoricalDriftMonitor(AlgoOperator):
 
     def summary(self, reference: DataFrame, current: DataFrame
                 ) -> DataFrame:
-        return (self.report(reference, current)
-                .groupBy("column")
-                .agg(F.sum("psi_term").alias("psi"))
-                .withColumn("drift_level",
-                            F.when(F.col("psi") < 0.1, F.lit("stable"))
-                             .when(F.col("psi") < 0.25,
-                                   F.lit("moderate"))
-                             .otherwise(F.lit("action"))))
+        return _psi_summary(self.report(reference, current))
 
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("CategoricalDriftMonitor is binary — call "

@@ -302,7 +302,7 @@ def stream_drift_monitor(stream_df: DataFrame, time_col: str,
     run is the oracle-gated query, the stream run the parity-tested
     twin.
     """
-    from flink_ml__spark.functions.drift import _FLOOR
+    from flink_ml__spark.functions.drift import _FLOOR, drift_level
 
     cols = monitor.getOrDefault(monitor.inputCols)
     if not cols:
@@ -320,15 +320,23 @@ def stream_drift_monitor(stream_df: DataFrame, time_col: str,
                  for b in range(k)] for c in cols}
 
     win = F.window(F.col(time_col), window)
+    # materialize each column's bucket ONCE as a named projection —
+    # reusing the (k−1)-comparison Column object inside k conditional
+    # sums would re-embed the comparison chain per condition (O(k²)
+    # expression nodes per row in the hot stateful aggregate)
+    bucketed = stream_df.select(
+        F.col(time_col),
+        *[monitor._bucket(c, edges[c]).alias(f"__b_{c}")
+          for c in cols])
     aggs, proj = [], []
     for c in cols:
-        bucket = monitor._bucket(c, edges[c])
-        nn = F.col(c).isNotNull()
+        bc = F.col(f"__b_{c}")  # NULL when the source value is NULL
         for b in range(k):
-            aggs.append(F.sum((nn & (bucket == b)).cast("bigint"))
+            aggs.append(F.sum((bc == b).cast("bigint"))
                         .alias(f"__n_{c}_{b}"))
-        aggs.append(F.sum(nn.cast("bigint")).alias(f"__t_{c}"))
-    agg = (stream_df
+        aggs.append(F.sum(bc.isNotNull().cast("bigint"))
+                    .alias(f"__t_{c}"))
+    agg = (bucketed
            .withWatermark(time_col, watermark_delay)
            .groupBy(win.alias("__w")).agg(*aggs))
 
@@ -347,10 +355,7 @@ def stream_drift_monitor(stream_df: DataFrame, time_col: str,
     return (agg.select(F.col("__w.start").alias("window_start"),
                        F.col("__w.end").alias("window_end"), stack)
             .select("window_start", "window_end", "r.*")
-            .withColumn("drift_level",
-                        F.when(F.col("psi") < 0.1, F.lit("stable"))
-                         .when(F.col("psi") < 0.25, F.lit("moderate"))
-                         .otherwise(F.lit("action"))))
+            .withColumn("drift_level", drift_level(F.col("psi"))))
 
 
 def stream_cardinality_monitor(stream_df: DataFrame, time_col: str,

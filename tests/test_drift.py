@@ -115,6 +115,23 @@ def test_categorical_null_category_and_vocab_cap(spark):
     assert rep["__other__"] == 1 and "b" not in rep
 
 
+def test_categorical_sentinel_collision_raises(spark):
+    # a DATA value literally equal to a sentinel must fail loudly
+    # (silently merging with true NULLs / out-of-vocab mass would
+    # produce plausible-looking but wrong PSI terms)
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+
+    ref = spark.createDataFrame(
+        [(1, "a"), (2, "__null__"), (3, "b")], "id long, c string")
+    m = CategoricalDriftMonitor().setInputCols("c")
+    with pytest.raises(Exception, match="sentinel"):
+        m.report(ref, ref).collect()
+    ref2 = spark.createDataFrame(
+        [(1, "a"), (2, "__other__")], "id long, c string")
+    with pytest.raises(Exception, match="sentinel"):
+        m.report(ref2, ref2).collect()
+
+
 def test_categorical_validation(spark):
     import pytest
 
