@@ -1,0 +1,293 @@
+"""Dataset-statistics operators: categorical association, pairwise
+numeric correlation, and basket co-occurrence PMI.
+
+These are the "understand the table before you train on it" tools a
+curation pipeline runs alongside :class:`CorpusProfiler` — which
+string columns move together (label leakage / redundant features),
+which numeric columns are collinear, and which items co-occur more
+than chance (word2vec-style PMI association, recommender candidate
+generation, market-basket complement of ``Apriori``'s rule mining).
+
+All three are exact and fully ANSI-SQL-replayable; every heavy step
+is a count aggregate over the data followed by arithmetic on the
+aggregated (tiny) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import AlgoOperator
+
+
+class CategoricalAssociation(AlgoOperator):
+    """Chi-square, Cramér's V and mutual information between pairs of
+    categorical columns.
+
+    ``transform(df)`` returns one row per configured pair::
+
+        pair         string   "x:y"
+        n            bigint   rows with BOTH values non-null
+        dx, dy       int      distinct levels observed per side
+        chi2         double   Σ (o − e)² / e over the contingency table
+        dof          int      (dx − 1) · (dy − 1)
+        cramers_v    double   sqrt(chi2 / (n · min(dx−1, dy−1)))
+        mutual_info  double   Σ p(x,y) · ln(p(x,y) / (p(x) p(y))), nats
+
+    Rows where either side is NULL are excluded from that pair's
+    table (standard contingency-table convention). Degenerate pairs
+    (a constant column → dof 0) report chi2 0, cramers_v 0, mi 0.
+
+    100 TB design: ONE exploded count aggregate builds every pair's
+    contingency table in a single pass over the data (the
+    ``DriftMonitor`` cell pattern); marginals, chi2/MI terms and the
+    final per-pair fold all run on the aggregated table, which is
+    O(Σ dx·dy) rows — never data-sized. No collects, no UDFs.
+    """
+
+    pairs = Param(Params._dummy(), "pairs",
+                  "column pairs as 'x:y' strings",
+                  TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(pairs=[])
+
+    def setPairs(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        out = []
+        for p in v:
+            if isinstance(p, (list, tuple)):
+                p = f"{p[0]}:{p[1]}"
+            if p.count(":") != 1:
+                raise ValueError(f"pair must be 'x:y', got {p!r}")
+            out.append(p)
+        return self._set(pairs=out)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        pairs = [tuple(p.split(":")) for p in
+                 self.getOrDefault(self.pairs)]
+        if not pairs:
+            raise ValueError("no pairs set — call setPairs('x:y', ...)")
+
+        # one pass: each row yields one (pair, x, y) cell per pair
+        # with both sides non-null
+        cells = F.explode(F.filter(F.array(*[
+            F.when(F.col(x).isNotNull() & F.col(y).isNotNull(),
+                   F.struct(F.lit(f"{x}:{y}").alias("pair"),
+                            F.col(x).cast("string").alias("x"),
+                            F.col(y).cast("string").alias("y")))
+            for x, y in pairs]), lambda c: c.isNotNull()))
+        cont = (df.select(cells.alias("__c"))
+                .groupBy(F.col("__c.pair").alias("pair"),
+                         F.col("__c.x").alias("x"),
+                         F.col("__c.y").alias("y"))
+                .agg(F.count(F.lit(1)).alias("n_xy")))
+
+        # marginals as windows over the aggregated (tiny) table
+        n_x = F.sum("n_xy").over(Window.partitionBy("pair", "x"))
+        n_y = F.sum("n_xy").over(Window.partitionBy("pair", "y"))
+        n = F.sum("n_xy").over(Window.partitionBy("pair"))
+        aug = cont.select(
+            "pair", "x", "y", "n_xy",
+            n_x.alias("n_x"), n_y.alias("n_y"), n.alias("n"))
+
+        # the contingency table holds only OBSERVED cells; structural
+        # zeros are handled by the identity Σ_all (o−e)²/e =
+        # Σ_observed o²/e − n (zero cells contribute nothing to
+        # o²/e, and Σe over ALL cells equals n). Counts cast to
+        # double BEFORE multiplying — bigint products overflow long
+        # at extreme row counts.
+        o = F.col("n_xy").cast("double")
+        chi_term = (o * o * F.col("n")
+                    / (F.col("n_x").cast("double") * F.col("n_y")))
+        mi_term = ((F.col("n_xy") / F.col("n"))
+                   * F.log((o * F.col("n"))
+                           / (F.col("n_x").cast("double")
+                              * F.col("n_y"))))
+        per_pair = (aug.groupBy("pair")
+                    .agg(F.sum("n_xy").alias("n"),
+                         F.countDistinct("x").cast("int").alias("dx"),
+                         F.countDistinct("y").cast("int").alias("dy"),
+                         # greatest(0): guard fp underflow of the
+                         # subtraction for (near-)independent pairs
+                         F.greatest(F.sum(chi_term) - F.sum("n_xy"),
+                                    F.lit(0.0)).alias("chi2"),
+                         F.sum(mi_term).alias("mutual_info")))
+        dof = (F.col("dx") - 1) * (F.col("dy") - 1)
+        v_den = (F.col("n")
+                 * F.least(F.col("dx") - 1, F.col("dy") - 1))
+        return per_pair.select(
+            "pair", "n", "dx", "dy", "chi2",
+            dof.alias("dof"),
+            F.when(v_den > 0, F.sqrt(F.col("chi2") / v_den))
+             .otherwise(F.lit(0.0)).alias("cramers_v"),
+            "mutual_info")
+
+
+class CorrelationMatrix(AlgoOperator):
+    """Pairwise Pearson correlation over numeric columns.
+
+    ``transform(df)`` returns one row per unordered pair (in the
+    configured column order)::
+
+        col_x, col_y   string
+        n              bigint   rows with both values non-null
+        corr           double   Pearson r (NULL when either side is
+                                constant over the pairwise-complete
+                                rows — 0/0, the SQL ``corr`` contract)
+
+    Pairwise deletion per pair (the ``corr`` aggregate's built-in
+    behavior), so different pairs may use different row subsets —
+    same convention as pandas ``DataFrame.corr``.
+
+    100 TB design: ONE aggregation computes all O(p²) correlations
+    (each is a 6-accumulator streaming aggregate, map-side partial),
+    then a single-row explode emits the pair rows. No shuffle of data
+    beyond the scalar aggregate; driver/output traffic is O(p²).
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "numeric columns to correlate",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[])
+
+    def setInputCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        if len(set(v)) != len(v):
+            raise ValueError(f"duplicate columns in {list(v)}")
+        return self._set(inputCols=list(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols)
+        if len(cols) < 2:
+            raise ValueError("need at least 2 columns — setInputCols")
+        ps = [(a, b) for i, a in enumerate(cols)
+              for b in cols[i + 1:]]
+        aggs = []
+        for i, (a, b) in enumerate(ps):
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            aggs.append(F.sum(both.cast("bigint")).alias(f"__n_{i}"))
+            aggs.append(F.corr(a, b).alias(f"__c_{i}"))
+        one = df.agg(*aggs)
+        rows = F.explode(F.array(*[
+            F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                     F.col(f"__n_{i}").alias("n"),
+                     F.col(f"__c_{i}").alias("corr"))
+            for i, (a, b) in enumerate(ps)]))
+        return one.select(rows.alias("__r")).select("__r.*")
+
+
+class CooccurrencePMI(AlgoOperator):
+    """Pointwise mutual information of item pairs co-occurring in the
+    same basket (order, session, document) — Church & Hanks 1990.
+
+    ``transform(df)`` takes (``groupCol``, ``itemCol``) rows and
+    returns, for each unordered item pair present in at least
+    ``minCount`` baskets::
+
+        item_a, item_b   item_a < item_b
+        n_ab             baskets containing both
+        n_a, n_b         baskets containing each
+        pmi              ln( n_ab · N / (n_a · n_b) ),
+                         N = total distinct baskets
+
+    Presence is per-basket (duplicates of an item inside one basket
+    count once). Positive PMI = the pair co-occurs more than
+    independent-chance; the word2vec/GloVe-era association signal and
+    the probabilistic complement of ``Apriori``'s support/confidence
+    rules.
+
+    100 TB design: baskets dedup to distinct (basket, item) with one
+    shuffle; the pair join is a SELF-JOIN WITHIN basket keys, so its
+    fan-out is Σ basket_size² — bounded for natural baskets (orders,
+    sessions); ``maxBasketSize`` drops pathological baskets (a basket
+    with 10⁶ items would emit 10¹² pairs) with the cap applied
+    identically in the SQL oracle. Marginals are O(items) and join
+    onto the O(pairs) aggregate, broadcast-able. N folds via a
+    broadcast 1-row cross join — no driver collect.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol", "basket id column",
+                     TypeConverters.toString)
+    itemCol = Param(Params._dummy(), "itemCol", "item column",
+                    TypeConverters.toString)
+    minCount = Param(Params._dummy(), "minCount",
+                     "minimum co-occurrence baskets",
+                     TypeConverters.toInt)
+    maxBasketSize = Param(Params._dummy(), "maxBasketSize",
+                          "drop baskets with more distinct items",
+                          TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="basket", itemCol="item",
+                         minCount=2, maxBasketSize=1000)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setItemCol(self, v):
+        return self._set(itemCol=v)
+
+    def setMinCount(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"minCount must be >= 1, got {v}")
+        return self._set(minCount=v)
+
+    def setMaxBasketSize(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"maxBasketSize must be >= 2, got {v}")
+        return self._set(maxBasketSize=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        g = self.getOrDefault(self.groupCol)
+        it = self.getOrDefault(self.itemCol)
+        mc = self.getOrDefault(self.minCount)
+        mx = self.getOrDefault(self.maxBasketSize)
+
+        from pyspark.sql import Window
+
+        pres = (df.filter(F.col(g).isNotNull() & F.col(it).isNotNull())
+                .select(F.col(g).alias("__g"), F.col(it).alias("__i"))
+                .distinct())
+        # basket-size cap: window count over the deduped table (same
+        # partitioning as the dedup shuffle — no extra exchange)
+        sz = F.count(F.lit(1)).over(Window.partitionBy("__g"))
+        pres = (pres.withColumn("__sz", sz)
+                .filter(F.col("__sz") <= mx).drop("__sz"))
+
+        n_total = F.broadcast(
+            pres.agg(F.countDistinct("__g").alias("__N")))
+        marg = (pres.groupBy(F.col("__i").alias("__m"))
+                .agg(F.count(F.lit(1)).alias("__n")))
+
+        a = pres.select(F.col("__g"), F.col("__i").alias("item_a"))
+        b = pres.select(F.col("__g"), F.col("__i").alias("item_b"))
+        pair_counts = (a.join(b, "__g")
+                       .filter(F.col("item_a") < F.col("item_b"))
+                       .groupBy("item_a", "item_b")
+                       .agg(F.count(F.lit(1)).alias("n_ab"))
+                       .filter(F.col("n_ab") >= mc))
+
+        out = (pair_counts
+               .join(marg.withColumnRenamed("__m", "item_a")
+                         .withColumnRenamed("__n", "n_a"), "item_a")
+               .join(marg.withColumnRenamed("__m", "item_b")
+                         .withColumnRenamed("__n", "n_b"), "item_b")
+               .crossJoin(n_total))
+        pmi = F.log((F.col("n_ab").cast("double") * F.col("__N"))
+                    / (F.col("n_a").cast("double") * F.col("n_b")))
+        return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                          pmi.alias("pmi"))

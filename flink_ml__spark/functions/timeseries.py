@@ -586,3 +586,89 @@ class SCD2Builder(AlgoOperator):
                 .withColumn("valid_to", F.lead(t).over(w2))
                 .withColumn("is_current", F.col("valid_to").isNull())
                 .drop(t))
+
+
+class MeanShiftDetector(AlgoOperator):
+    """Sliding two-window change-point scoring over a per-key series
+    — the "window" method of the change-point literature (cf. Truong,
+    Oudre & Vayatis 2020's review; CUSUM's recursion is not
+    window-expressible, the two-sample sliding contrast is): at each
+    row, compare the mean of the ``window`` rows BEFORE against the
+    mean of the ``window`` rows starting AT the row.
+
+    Appends::
+
+        mean_before  trailing-window mean (NULL until full)
+        mean_after   leading-window mean, current row included
+                     (NULL until full)
+        shift        |mean_after − mean_before| (NULL likewise)
+        is_shift     shift >= threshold (false where NULL)
+
+    Feed a BUCKETED series (e.g. :class:`TimeBucketRollup` output)
+    so (key, time) is unique — duplicate timestamps make window
+    frames order-ambiguous.
+
+    100 TB design: one per-key window pass, frame ≤ 2·``window``
+    rows, state O(window) per task; pure Catalyst window aggregates,
+    no Python, exact SQL replay with the same ROWS BETWEEN frames.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    window = Param(Params._dummy(), "window",
+                   "rows per side of the contrast",
+                   TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold",
+                      "shift at/above which is_shift is true",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="bucket_start", keyCol="user_id",
+                         valueCol="avg_value", window=12,
+                         threshold=1.0)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setWindow(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"window must be >= 1, got {v}")
+        return self._set(window=v)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        n = self.getOrDefault(self.window)
+        base = Window.partitionBy(k).orderBy(t)
+        wb = base.rowsBetween(-n, -1)
+        wa = base.rowsBetween(0, n - 1)
+        mb = F.when(F.count(F.col(v)).over(wb) == n,
+                    F.avg(F.col(v)).over(wb))
+        ma = F.when(F.count(F.col(v)).over(wa) == n,
+                    F.avg(F.col(v)).over(wa))
+        out = (df.withColumn("mean_before", mb)
+               .withColumn("mean_after", ma)
+               .withColumn("shift",
+                           F.abs(F.col("mean_after")
+                                 - F.col("mean_before"))))
+        return out.withColumn(
+            "is_shift",
+            F.coalesce(F.col("shift")
+                       >= self.getOrDefault(self.threshold),
+                       F.lit(False)))

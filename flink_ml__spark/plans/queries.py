@@ -4331,6 +4331,220 @@ FROM terms GROUP BY win_us, t
 """
 
 
+def q_triangles_events(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient over the
+    derived interaction graph (user_id%97 — event_id%97 edges, treated
+    undirected). Spark orients edges by degree for the O(m^1.5) wedge
+    join; the oracle orients by id — the triangle SET is orientation-
+    independent, so the outputs match exactly."""
+    from flink_ml__spark.functions.graph import TriangleCounter
+
+    ev = load_table(spark, "events", sf_dir)
+    edges = ev.select((F.col("user_id") % 97).alias("src"),
+                      (F.col("event_id") % 97).alias("dst"))
+    out = TriangleCounter().transform(edges)
+    return out.select("node", "degree", "triangles",
+                      F.round("clustering", R).alias("clustering"))
+
+
+ORACLE_TRIANGLES = f"""
+WITH raw AS (SELECT user_id % 97 AS s, event_id % 97 AS t FROM events
+             WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+e AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+      FROM raw WHERE s <> t),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM
+        (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tc AS (SELECT node, count(*)::BIGINT AS n FROM
+       (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1)
+SELECT deg.node, deg.degree,
+       coalesce(tc.n, 0)::BIGINT AS triangles,
+       round(CASE WHEN deg.degree >= 2
+             THEN 2.0 * coalesce(tc.n, 0)
+                  / (deg.degree * (deg.degree - 1.0))
+             ELSE 0.0 END, {R}) AS clustering
+FROM deg LEFT JOIN tc USING (node)
+"""
+
+
+def q_assoc_lineitem(spark, sf_dir):
+    """Chi-square / Cramér's V / mutual information for two column
+    pairs in ONE pass (returnflag:linestatus and linestatus:ship-
+    year) — structural zeros handled via the Σ o²/e − n identity on
+    both sides."""
+    from flink_ml__spark.functions.stats import CategoricalAssociation
+
+    li = (load_table(spark, "lineitem", sf_dir)
+          .withColumn("ship_year", F.year("l_shipdate")))
+    out = (CategoricalAssociation()
+           .setPairs("l_returnflag:l_linestatus",
+                     "l_linestatus:ship_year")
+           .transform(li))
+    return out.select("pair", "n", "dx", "dy",
+                      F.round("chi2", R).alias("chi2"), "dof",
+                      F.round("cramers_v", R).alias("cramers_v"),
+                      F.round("mutual_info", R).alias("mutual_info"))
+
+
+ORACLE_ASSOC = f"""
+WITH cells AS (
+  SELECT 'l_returnflag:l_linestatus' AS pair,
+         l_returnflag::VARCHAR AS x, l_linestatus::VARCHAR AS y,
+         count(*)::BIGINT AS n_xy
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'l_linestatus:ship_year',
+         l_linestatus::VARCHAR, year(l_shipdate)::VARCHAR,
+         count(*)::BIGINT
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1, 2, 3),
+aug AS (SELECT pair, x, y, n_xy,
+        sum(n_xy) OVER (PARTITION BY pair, x) AS n_x,
+        sum(n_xy) OVER (PARTITION BY pair, y) AS n_y,
+        sum(n_xy) OVER (PARTITION BY pair) AS n FROM cells),
+pp AS (SELECT pair, sum(n_xy)::BIGINT AS n,
+       count(DISTINCT x)::INT AS dx, count(DISTINCT y)::INT AS dy,
+       greatest(sum(n_xy::DOUBLE * n_xy * n / (n_x::DOUBLE * n_y))
+                - sum(n_xy), 0.0) AS chi2,
+       sum((n_xy / n::DOUBLE)
+           * ln(n_xy::DOUBLE * n / (n_x::DOUBLE * n_y)))
+       AS mutual_info
+       FROM aug GROUP BY 1)
+SELECT pair, n, dx, dy, round(chi2, {R}) AS chi2,
+       (dx - 1) * (dy - 1) AS dof,
+       round(CASE WHEN n * least(dx - 1, dy - 1) > 0
+             THEN sqrt(chi2 / (n * least(dx - 1, dy - 1)))
+             ELSE 0.0 END, {R}) AS cramers_v,
+       round(mutual_info, {R}) AS mutual_info
+FROM pp
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix_lineitem(spark, sf_dir):
+    """All-pairs Pearson correlation over the lineitem measures in
+    ONE aggregation (6 streaming co-moment accumulators), exploded to
+    pair rows."""
+    from flink_ml__spark.functions.stats import CorrelationMatrix
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = CorrelationMatrix().setInputCols(_CORR_COLS).transform(li)
+    return out.select("col_x", "col_y", "n",
+                      F.round("corr", R).alias("corr"))
+
+
+def _oracle_corr_matrix() -> str:
+    parts = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            parts.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"count(*) FILTER (WHERE {a} IS NOT NULL AND {b} IS "
+                f"NOT NULL)::BIGINT AS n, "
+                f"round(corr({a}, {b}), {R}) AS corr FROM lineitem")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_copurchase_pmi_lineitem(spark, sf_dir):
+    """Item-pair PMI over order baskets (items = l_partkey%199 so
+    pairs repeat at small SF) — presence per basket, min 3 co-
+    baskets."""
+    from flink_ml__spark.functions.stats import CooccurrencePMI
+
+    li = (load_table(spark, "lineitem", sf_dir)
+          .select(F.col("l_orderkey").alias("basket"),
+                  (F.col("l_partkey") % 199).alias("item")))
+    out = (CooccurrencePMI().setGroupCol("basket").setItemCol("item")
+           .setMinCount(3).transform(li))
+    return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                      F.round("pmi", R).alias("pmi"))
+
+
+ORACLE_COPURCHASE_PMI = f"""
+WITH pres AS (SELECT DISTINCT l_orderkey AS g,
+                     l_partkey % 199 AS i
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_partkey IS NOT NULL),
+capped AS (SELECT g, i FROM
+           (SELECT g, i, count(*) OVER (PARTITION BY g) AS sz
+            FROM pres) WHERE sz <= 1000),
+nt AS (SELECT count(DISTINCT g)::BIGINT AS N FROM capped),
+marg AS (SELECT i, count(*)::BIGINT AS n FROM capped GROUP BY 1),
+pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab
+       FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
+       GROUP BY 1, 2)
+SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+       round(ln(n_ab::DOUBLE * nt.N / (ma.n::DOUBLE * mb.n)), {R})
+       AS pmi
+FROM pc JOIN marg ma ON pc.item_a = ma.i
+JOIN marg mb ON pc.item_b = mb.i
+CROSS JOIN nt WHERE n_ab >= 3
+"""
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+def q_mean_shift_events(spark, sf_dir):
+    """Two-window mean-shift change-point scoring over the hourly
+    per-event-type value series — both engines replay the same ROWS
+    BETWEEN frames over the same unique (key, bucket) series."""
+    from flink_ml__spark.functions.timeseries import MeanShiftDetector
+
+    ev = load_table(spark, "events", sf_dir)
+    bk = (F.floor(F.unix_micros("ts") / _HOUR_US)
+          * _HOUR_US).cast("bigint")
+    series = (ev.filter(F.col("ts").isNotNull()
+                        & F.col("event_type").isNotNull())
+              .groupBy("event_type", bk.alias("t_us"))
+              .agg(F.avg("value").alias("v")))
+    out = (MeanShiftDetector().setKeyCol("event_type")
+           .setTimeCol("t_us").setValueCol("v")
+           .setWindow(6).setThreshold(5.0).transform(series))
+    return out.select("event_type", "t_us",
+                      F.round("mean_before", R).alias("mean_before"),
+                      F.round("mean_after", R).alias("mean_after"),
+                      F.round("shift", R).alias("shift"), "is_shift")
+
+
+ORACLE_MEAN_SHIFT = f"""
+WITH b AS (SELECT event_type,
+                  (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS t_us,
+                  avg(value) AS v
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+w AS (SELECT event_type, t_us, v,
+      avg(v) OVER (PARTITION BY event_type ORDER BY t_us
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS mb,
+      count(v) OVER (PARTITION BY event_type ORDER BY t_us
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS cb,
+      avg(v) OVER (PARTITION BY event_type ORDER BY t_us
+                   ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ma,
+      count(v) OVER (PARTITION BY event_type ORDER BY t_us
+                     ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ca
+      FROM b)
+SELECT event_type, t_us,
+       round(CASE WHEN cb = 6 THEN mb END, {R}) AS mean_before,
+       round(CASE WHEN ca = 6 THEN ma END, {R}) AS mean_after,
+       round(CASE WHEN cb = 6 AND ca = 6 THEN abs(ma - mb) END, {R})
+       AS shift,
+       coalesce(cb = 6 AND ca = 6 AND abs(ma - mb) >= 5.0, FALSE)
+       AS is_shift
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4407,6 +4621,11 @@ QUERIES = {
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
     "pagerank_events": q_pagerank_events,
+    "triangles_events": q_triangles_events,
+    "assoc_lineitem": q_assoc_lineitem,
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
+    "mean_shift_events": q_mean_shift_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "hybrid_rrf_documents": q_hybrid_rrf_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4524,6 +4743,11 @@ ORACLES = {
     "cohort_retention_events": ORACLE_COHORT_RETENTION,
     "funnel_events": ORACLE_FUNNEL,
     "pagerank_events": _oracle_pagerank(),
+    "triangles_events": ORACLE_TRIANGLES,
+    "assoc_lineitem": ORACLE_ASSOC,
+    "corr_matrix_lineitem": _oracle_corr_matrix(),
+    "copurchase_pmi_lineitem": ORACLE_COPURCHASE_PMI,
+    "mean_shift_events": ORACLE_MEAN_SHIFT,
     "bm25_retrieval_documents": ORACLE_BM25,
     "hybrid_rrf_documents": ORACLE_HYBRID_RRF,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,

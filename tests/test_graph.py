@@ -57,3 +57,45 @@ def test_pagerank_empty_and_nulls(spark):
     df = spark.createDataFrame(
         [(1, None), (None, 2)], "src long, dst long")
     assert PageRank().transform(df).count() == 0
+
+
+def test_triangles_golden(spark):
+    from flink_ml__spark.functions.graph import TriangleCounter
+
+    # triangle 1-2-3 plus pendant edge 3-4; direction, parallel
+    # edges, and self-loops must not matter
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (1, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in
+           TriangleCounter().transform(df).collect()}
+    assert {n: out[n]["degree"] for n in out} == {1: 2, 2: 2, 3: 3,
+                                                 4: 1}
+    assert {n: out[n]["triangles"] for n in out} == {1: 1, 2: 1,
+                                                     3: 1, 4: 0}
+    assert out[1]["clustering"] == pytest.approx(1.0)
+    assert out[3]["clustering"] == pytest.approx(1 / 3)
+    assert out[4]["clustering"] == 0.0
+
+
+def test_triangles_k4(spark):
+    from flink_ml__spark.functions.graph import TriangleCounter
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = TriangleCounter().transform(
+        spark.createDataFrame(k4, "src long, dst long")).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["degree"] == 3 and r["triangles"] == 3
+        assert r["clustering"] == pytest.approx(1.0)
+
+
+def test_triangles_no_triangle_and_empty(spark):
+    from flink_ml__spark.functions.graph import TriangleCounter
+
+    # path graph: no triangles anywhere
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                 "src long, dst long")
+    out = TriangleCounter().transform(path).collect()
+    assert all(r["triangles"] == 0 for r in out)
+    empty = spark.createDataFrame([(1, None)], "src long, dst long")
+    assert TriangleCounter().transform(empty).count() == 0

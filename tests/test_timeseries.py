@@ -359,3 +359,23 @@ def test_rollup_merge_handles_null_values(spark):
     assert inc == full
     assert full[(1,)] == (2, 2.0, 2.0)     # NULL row not in the mean
     assert full[(2,)] == (1, None, None)   # all-NULL bucket -> NULL
+
+
+def test_mean_shift_golden(spark):
+    from flink_ml__spark.functions.timeseries import MeanShiftDetector
+
+    rows = [("k", i, 0.0 if i < 4 else 10.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    out = {r["t"]: r for r in
+           (MeanShiftDetector().setKeyCol("key").setTimeCol("t")
+            .setValueCol("v").setWindow(2).setThreshold(6.0)
+            .transform(df).collect())}
+    # full frames only from t=2 (before) to t=6 (after)
+    assert out[1]["mean_before"] is None and out[1]["shift"] is None
+    assert out[7]["mean_after"] is None
+    assert out[3]["shift"] == pytest.approx(5.0)   # (0+10)/2 - 0
+    assert out[4]["shift"] == pytest.approx(10.0)
+    assert out[5]["shift"] == pytest.approx(5.0)
+    assert [t for t, r in sorted(out.items()) if r["is_shift"]] == [4]
+    with pytest.raises(ValueError, match="window"):
+        MeanShiftDetector().setWindow(0)
