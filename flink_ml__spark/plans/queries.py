@@ -4545,6 +4545,55 @@ FROM w
 """
 
 
+_DAY_US_CORR = 86400 * 1_000_000
+_CORR_PAIRS = [("value", "user_id"), ("value", "event_id")]
+
+
+def q_corr_window_events(spark, sf_dir):
+    """Windowed Pearson correlation between metric pairs per 1-day
+    window — the SAME code path runs on an unbounded stream
+    (`streaming.stream_correlation_monitor`, parity-tested); this
+    batch run replays the six co-moment sums and the correlation
+    arithmetic in SQL."""
+    from flink_ml__spark.streaming.online import (
+        stream_correlation_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull())
+    out = stream_correlation_monitor(ev, "ts", _CORR_PAIRS,
+                                     window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "pair", "n", F.round("corr", R).alias("corr"))
+
+
+def _oracle_corr_window() -> str:
+    cells = []
+    for x, y in _CORR_PAIRS:
+        both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+        cells.append(f"""
+  SELECT (epoch_us(ts) // {_DAY_US_CORR}) * {_DAY_US_CORR} AS win_us,
+         '{x}:{y}' AS pair,
+         count(x)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM (SELECT ts,
+               CASE WHEN {both} THEN {x}::DOUBLE END AS x,
+               CASE WHEN {both} THEN {y}::DOUBLE END AS y
+        FROM events WHERE ts IS NOT NULL)
+  GROUP BY 1, 2""")
+    u = "\n  UNION ALL\n".join(cells)
+    return f"""
+WITH c AS ({u})
+SELECT win_us, pair, n,
+       round(CASE WHEN sxx * n - sx * sx > 0
+                   AND syy * n - sy * sy > 0
+             THEN (sxy * n - sx * sy)
+                  / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))
+             END, {R}) AS corr
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4626,6 +4675,7 @@ QUERIES = {
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
     "mean_shift_events": q_mean_shift_events,
+    "corr_window_events": q_corr_window_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "hybrid_rrf_documents": q_hybrid_rrf_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4748,6 +4798,7 @@ ORACLES = {
     "corr_matrix_lineitem": _oracle_corr_matrix(),
     "copurchase_pmi_lineitem": ORACLE_COPURCHASE_PMI,
     "mean_shift_events": ORACLE_MEAN_SHIFT,
+    "corr_window_events": _oracle_corr_window(),
     "bm25_retrieval_documents": ORACLE_BM25,
     "hybrid_rrf_documents": ORACLE_HYBRID_RRF,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,

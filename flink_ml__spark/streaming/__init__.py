@@ -2,6 +2,7 @@ from flink_ml__spark.streaming.online import (
     stream_cardinality_monitor,
     stream_corpus_monitor,
     stream_dedup_against_corpus,
+    stream_correlation_monitor,
     stream_drift_monitor,
     stream_exact_dedup,
     stream_expectation_monitor,
@@ -16,6 +17,7 @@ __all__ = [
     "stream_cardinality_monitor",
     "stream_corpus_monitor",
     "stream_dedup_against_corpus",
+    "stream_correlation_monitor",
     "stream_drift_monitor",
     "stream_exact_dedup",
     "stream_expectation_monitor",

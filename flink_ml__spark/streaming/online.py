@@ -358,6 +358,76 @@ def stream_drift_monitor(stream_df: DataFrame, time_col: str,
             .withColumn("drift_level", drift_level(F.col("psi"))))
 
 
+def stream_correlation_monitor(stream_df: DataFrame, time_col: str,
+                               pairs: list, window: str = "1 minute",
+                               watermark_delay: str = "0 seconds"
+                               ) -> DataFrame:
+    """Windowed Pearson correlation between numeric column pairs —
+    the live twin of :class:`~flink_ml__spark.functions.stats.
+    CorrelationMatrix`: per event-time window, is the relationship
+    between two metrics (latency vs payload size, price vs quantity)
+    holding, drifting, or inverting?
+
+    ``pairs`` is a list of ``(x, y)`` column-name tuples. Output:
+    ``window_start``, ``window_end``, ``pair`` ("x:y"), ``n`` (rows
+    with both sides non-null), ``corr`` (NULL when either side is
+    constant in the window — the SQL ``corr`` contract). Rows where
+    either side is NULL are excluded per pair.
+
+    100 TB design: ONE watermarked windowed aggregation carries the
+    six co-moment sums per pair (n, Σx, Σy, Σx², Σy², Σxy — each a
+    map-side-partial conditional sum); the correlation arithmetic is
+    a pure projection over O(windows) rows, which keeps the plan
+    inside streaming's single-aggregation constraint. State per open
+    window is O(pairs) doubles. Runs identically on a batch frame —
+    the batch run is the oracle-gated query, the stream run the
+    parity-tested twin.
+    """
+    win = F.window(F.col(time_col), window)
+    # materialize the pair projections once (named columns) so the
+    # conditional sums don't re-embed the both-non-null masks
+    proj_cols = [F.col(time_col)]
+    for i, (x, y) in enumerate(pairs):
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        proj_cols.append(F.when(both, F.col(x).cast("double"))
+                         .alias(f"__x_{i}"))
+        proj_cols.append(F.when(both, F.col(y).cast("double"))
+                         .alias(f"__y_{i}"))
+    masked = stream_df.select(*proj_cols)
+
+    aggs = []
+    for i in range(len(pairs)):
+        xc, yc = F.col(f"__x_{i}"), F.col(f"__y_{i}")
+        aggs += [
+            F.count(xc).alias(f"__n_{i}"),
+            F.sum(xc).alias(f"__sx_{i}"),
+            F.sum(yc).alias(f"__sy_{i}"),
+            F.sum(xc * xc).alias(f"__sxx_{i}"),
+            F.sum(yc * yc).alias(f"__syy_{i}"),
+            F.sum(xc * yc).alias(f"__sxy_{i}"),
+        ]
+    agg = (masked
+           .withWatermark(time_col, watermark_delay)
+           .groupBy(win.alias("__w")).agg(*aggs))
+
+    outs = []
+    for i, (x, y) in enumerate(pairs):
+        n = F.col(f"__n_{i}").cast("double")
+        sx, sy = F.col(f"__sx_{i}"), F.col(f"__sy_{i}")
+        cov_n = F.col(f"__sxy_{i}") * n - sx * sy
+        vx_n = F.col(f"__sxx_{i}") * n - sx * sx
+        vy_n = F.col(f"__syy_{i}") * n - sy * sy
+        corr = F.when((vx_n > 0) & (vy_n > 0),
+                      cov_n / F.sqrt(vx_n * vy_n))
+        outs.append(F.struct(F.lit(f"{x}:{y}").alias("pair"),
+                             F.col(f"__n_{i}").alias("n"),
+                             corr.alias("corr")))
+    stack = F.explode(F.array(*outs)).alias("r")
+    return (agg.select(F.col("__w.start").alias("window_start"),
+                       F.col("__w.end").alias("window_end"), stack)
+            .select("window_start", "window_end", "r.*"))
+
+
 def stream_cardinality_monitor(stream_df: DataFrame, time_col: str,
                                key_col: str = "user_id",
                                group_col: str = "event_type",

@@ -630,3 +630,59 @@ def test_stream_drift_monitor_matches_batch(spark):
         assert open_windows <= {max(ws for ws, _ in batch)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_correlation_monitor_matches_batch(spark):
+    """Windowed Pearson correlation on a stream equals the batch run;
+    a perfectly-linear window reads 1, an inverted window -1, and a
+    constant-side window NULL."""
+    import shutil
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_correlation_monitor
+
+    rows = []
+    for i in range(30):
+        ts = datetime(2024, 1, 1, 0, i // 10, 11, tzinfo=timezone.utc)
+        m = i // 10
+        x = float(i % 10)
+        # minute 0: y = 2x+1 (corr 1); minute 1: y = -x (corr -1);
+        # minute 2: y constant (corr NULL)
+        y = 2 * x + 1 if m == 0 else (-x if m == 1 else 7.0)
+        rows.append((i, ts, x, y, None if i == 25 else x))
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, x double, y double, z double")
+    pairs = [("x", "y"), ("z", "y")]
+
+    batch = {(r["window_start"], r["pair"]):
+             (r["n"], None if r["corr"] is None else round(r["corr"], 9))
+             for r in stream_correlation_monitor(df, "ts", pairs)
+             .collect()}
+    assert len(batch) == 6
+    ws = sorted({k[0] for k in batch})
+    assert batch[(ws[0], "x:y")] == (10, 1.0)
+    assert batch[(ws[1], "x:y")] == (10, -1.0)
+    assert batch[(ws[2], "x:y")] == (10, None)
+    assert batch[(ws[2], "z:y")][0] == 9      # null row excluded
+
+    d = _tf.mkdtemp(prefix="stream_corr_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_correlation_monitor(stream, "ts", pairs)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("corrmon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["pair"]):
+               (r["n"], None if r["corr"] is None
+                else round(r["corr"], 9))
+               for r in spark.sql("SELECT * FROM corrmon").collect()}
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = {w for w, _ in set(batch) - set(got)}
+        assert open_windows <= {max(w for w, _ in batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
