@@ -344,3 +344,50 @@ def test_sessionize_native_aggregate(spark):
     assert "ArrowEvalPython" not in plan
     assert "session_window" in plan or "SessionWindow" in plan
     assert "Window\n" not in plan  # no analytic WindowExec
+
+
+def test_triangles_no_python_no_cartesian(spark):
+    """Triangle counting plans as keyed hash joins (wedge + closing)
+    — no cartesian product, no Python, and the parquet scan prunes to
+    the two edge-source columns."""
+    plan = _plan(spark, "triangles_events")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "event_id"}, cols
+
+
+def test_assoc_single_data_pass(spark):
+    """All configured pairs build their contingency tables from ONE
+    scan of lineitem (the exploded-cell pattern) — adding pairs adds
+    expressions, not table scans."""
+    plan = _plan(spark, "assoc_lineitem")
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_corr_matrix_single_aggregation(spark):
+    """All-pairs correlation is ONE scalar aggregation over ONE scan;
+    the pair rows explode from the single result row — nothing
+    data-sized is shuffled."""
+    plan = _plan(spark, "corr_matrix_lineitem")
+    assert plan.count("Scan parquet") == 1
+    # scalar agg: the only exchange is the partial->final single
+    # partition gather
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_corr_window_single_windowed_aggregate(spark):
+    """The windowed correlation monitor folds every pair's six
+    co-moment sums into ONE aggregate (streaming's single-stateful-
+    aggregation shape) with no analytic window and no Python."""
+    plan = _plan(spark, "corr_window_events")
+    assert plan.count("Scan parquet") == 1
+    assert "Window\n" not in plan      # no analytic WindowExec
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
