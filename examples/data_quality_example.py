@@ -102,6 +102,35 @@ def main():
                  F.round("similarity", 3).alias("similarity")) \
          .orderBy("distance", "name_a").show(10, truncate=False)
 
+    print("== which categorical columns move together (chi² / V / MI) ==")
+    from flink_ml__spark.functions.stats import (
+        CategoricalAssociation,
+        CooccurrencePMI,
+        CorrelationMatrix,
+    )
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    (CategoricalAssociation()
+     .setPairs("l_returnflag:l_linestatus")
+     .transform(li)
+     .select("pair", "n", F.round("chi2", 2).alias("chi2"), "dof",
+             F.round("cramers_v", 4).alias("cramers_v"),
+             F.round("mutual_info", 5).alias("mutual_info")).show())
+
+    print("== numeric collinearity pre-flight ==")
+    (CorrelationMatrix()
+     .setInputCols("l_quantity", "l_extendedprice", "l_discount")
+     .transform(li)
+     .select("col_x", "col_y", "n",
+             F.round("corr", 4).alias("corr")).show())
+
+    print("== part co-occurrence PMI over order baskets ==")
+    baskets = li.select(F.col("l_orderkey").alias("basket"),
+                        (F.col("l_partkey") % 199).alias("item"))
+    (CooccurrencePMI().setGroupCol("basket").setItemCol("item")
+     .setMinCount(3).transform(baskets)
+     .orderBy(F.desc("pmi")).show(5))
+
     spark.stop()
 
 

@@ -89,6 +89,35 @@ def main():
      .transform(ev).orderBy(F.desc("cnt")).show())
     SkewProfiler().setKeyCols("event_type").summary(ev).show()
 
+    print("== triangle counting / clustering over the mod-97 graph ==")
+    from flink_ml__spark.functions.graph import TriangleCounter
+
+    tri_edges = ev.select((F.col("user_id") % 97).alias("src"),
+                          (F.col("event_id") % 97).alias("dst"))
+    TriangleCounter().transform(tri_edges) \
+        .orderBy(F.desc("triangles")).show(5)
+
+    print("== mean-shift change points on the hourly value series ==")
+    from flink_ml__spark.functions.timeseries import MeanShiftDetector
+
+    hour_us = 3600 * 1_000_000
+    series = (ev.filter("ts IS NOT NULL AND event_type IS NOT NULL")
+              .groupBy("event_type",
+                       (F.floor(F.unix_micros("ts") / hour_us)
+                        * hour_us).cast("bigint").alias("t_us"))
+              .agg(F.avg("value").alias("v")))
+    (MeanShiftDetector().setKeyCol("event_type").setTimeCol("t_us")
+     .setValueCol("v").setWindow(6).setThreshold(3.0)
+     .transform(series)
+     .orderBy(F.desc_nulls_last("shift")).show(5))
+
+    print("== windowed correlation: value vs user id per day ==")
+    from flink_ml__spark.streaming import stream_correlation_monitor
+
+    (stream_correlation_monitor(ev.filter("ts IS NOT NULL"), "ts",
+                                [("value", "user_id")], window="1 day")
+     .orderBy("window_start").show(5))
+
 
 if __name__ == "__main__":
     main()
