@@ -230,3 +230,125 @@ class TriangleCounter(AlgoOperator):
                                2.0 * F.coalesce("triangles", F.lit(0))
                                / (d * (d - 1.0)))
                          .otherwise(F.lit(0.0)).alias("clustering")))
+
+
+class ConnectedComponents(AlgoOperator):
+    """Weakly connected components over an undirected edge list:
+    ``transform(edges)`` returns ``(node, component)`` where
+    ``component`` is the MINIMUM node id reachable from ``node`` —
+    the canonical deterministic component label.
+
+    Delegates to the same min-label propagation + pointer jumping
+    loop as :class:`~flink_ml__spark.functions.curation.
+    DuplicateClusterer` (Kiveris et al. 2014 two-phase shape,
+    O(log diameter) rounds, per-round ``localCheckpoint``) — the
+    graph-API surface over the engine's one CC implementation. The
+    oracle replays it as a recursive-CTE transitive closure, which
+    converges to the identical min-reachable-id labeling.
+    """
+
+    srcCol = Param(Params._dummy(), "srcCol", "edge source column",
+                   TypeConverters.toString)
+    dstCol = Param(Params._dummy(), "dstCol", "edge destination column",
+                   TypeConverters.toString)
+    maxIter = Param(Params._dummy(), "maxIter",
+                    "pointer-jumping round cap", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(srcCol="src", dstCol="dst", maxIter=20)
+
+    def setSrcCol(self, v):
+        return self._set(srcCol=v)
+
+    def setDstCol(self, v):
+        return self._set(dstCol=v)
+
+    def setMaxIter(self, v):
+        return self._set(maxIter=int(v))
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        from flink_ml__spark.functions.curation import (
+            DuplicateClusterer,
+        )
+
+        s = self.getOrDefault(self.srcCol)
+        t = self.getOrDefault(self.dstCol)
+        pairs = edges.filter(F.col(s).isNotNull()
+                             & F.col(t).isNotNull())
+        out = (DuplicateClusterer().setIdCol("node")
+               .setMaxIter(self.getOrDefault(self.maxIter))
+               .cluster(pairs, id_a=s, id_b=t))
+        return out.withColumnRenamed("cluster_id", "component")
+
+
+class LabelPropagation(AlgoOperator):
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) with DETERMINISTIC semantics: every node
+    starts labeled with its own id; each round, every node adopts the
+    label with the highest total edge weight among its neighbors
+    (parallel edges act as weights, ties broken by the smaller
+    label). A FIXED ``maxIter`` round count keeps the classically
+    order-dependent algorithm reproducible and exactly
+    SQL-replayable — the oracle replays every round as a chained CTE
+    (the PageRank discipline).
+
+    ``transform(edges)`` treats (``srcCol``, ``dstCol``) as
+    undirected (self-loops dropped) and returns ``(node, label)``
+    after exactly ``maxIter`` rounds.
+
+    100 TB design: the weighted adjacency aggregates ONCE (the only
+    edge-volume shuffle; table persists across rounds via
+    ``localCheckpoint``). Each round is one join of the O(nodes)
+    label table against the adjacency + a ``groupBy(node, label)``
+    + a keyed window top-1 (WindowGroupLimit — no global sort).
+    Labels ``localCheckpoint`` per round so the plan stays O(1).
+    """
+
+    srcCol = Param(Params._dummy(), "srcCol", "edge source column",
+                   TypeConverters.toString)
+    dstCol = Param(Params._dummy(), "dstCol", "edge destination column",
+                   TypeConverters.toString)
+    maxIter = Param(Params._dummy(), "maxIter",
+                    "exact synchronous rounds", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(srcCol="src", dstCol="dst", maxIter=5)
+
+    def setSrcCol(self, v):
+        return self._set(srcCol=v)
+
+    def setDstCol(self, v):
+        return self._set(dstCol=v)
+
+    def setMaxIter(self, v):
+        return self._set(maxIter=int(v))
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        s = F.col(self.getOrDefault(self.srcCol))
+        t = F.col(self.getOrDefault(self.dstCol))
+        raw = (edges.filter(s.isNotNull() & t.isNotNull() & (s != t))
+               .select(s.alias("__a"), t.alias("__b")))
+        nb = (raw.unionAll(raw.select(F.col("__b").alias("__a"),
+                                      F.col("__a").alias("__b")))
+              .groupBy("__a", "__b")
+              .agg(F.count(F.lit(1)).alias("__w"))
+              .localCheckpoint(eager=True))
+        labels = (nb.select(F.col("__a").alias("node")).distinct()
+                  .withColumn("label", F.col("node"))
+                  .localCheckpoint(eager=True))
+        w = Window.partitionBy("node").orderBy(
+            F.desc("__c"), F.asc("label"))
+        for _ in range(self.getOrDefault(self.maxIter)):
+            votes = (nb.join(labels.withColumnRenamed("node", "__a"),
+                             "__a")
+                     .groupBy(F.col("__b").alias("node"), "label")
+                     .agg(F.sum("__w").alias("__c")))
+            labels = (votes.withColumn("__r", F.row_number().over(w))
+                      .filter(F.col("__r") <= 1)
+                      .select("node", "label")
+                      .localCheckpoint(eager=True))
+        return labels

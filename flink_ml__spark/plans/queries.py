@@ -4594,6 +4594,76 @@ FROM c
 """
 
 
+def q_components_events(spark, sf_dir):
+    """Connected components over a 37-family derived graph (each
+    event's edge stays inside family event_id%37, so the graph has
+    many components by construction). Spark runs min-label
+    propagation + pointer jumping to convergence; the oracle's
+    recursive-CTE transitive closure converges to the identical
+    min-reachable-id labels."""
+    from flink_ml__spark.functions.graph import ConnectedComponents
+
+    ev = load_table(spark, "events", sf_dir)
+    g = F.col("event_id") % 37
+    edges = ev.select((g * 1000 + F.col("user_id") % 50).alias("src"),
+                      (g * 1000 + F.col("event_id") % 50).alias("dst"))
+    return ConnectedComponents().transform(edges).select(
+        "node", "component")
+
+
+ORACLE_COMPONENTS = """
+WITH RECURSIVE
+raw AS (SELECT (event_id % 37) * 1000 + user_id % 50 AS s,
+               (event_id % 37) * 1000 + event_id % 50 AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+bidir AS (SELECT s AS a, t AS b FROM raw
+          UNION SELECT t, s FROM raw),
+reach AS (
+    SELECT a, a AS b FROM (SELECT DISTINCT a FROM bidir)
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+)
+SELECT a AS node, min(b)::BIGINT AS component FROM reach GROUP BY 1
+"""
+
+
+def q_label_prop_events(spark, sf_dir):
+    """4-round synchronous label propagation over the mod-150
+    interaction graph — fixed rounds + weighted-vote/min-label ties
+    make the classically order-dependent algorithm deterministic, so
+    the oracle replays every round as a chained CTE."""
+    from flink_ml__spark.functions.graph import LabelPropagation
+
+    ev = load_table(spark, "events", sf_dir)
+    edges = ev.select((F.col("user_id") % 150).alias("src"),
+                      (F.col("event_id") % 150).alias("dst"))
+    return (LabelPropagation().setMaxIter(4).transform(edges)
+            .select("node", "label"))
+
+
+def _oracle_label_prop(iters: int = 4) -> str:
+    ctes = ["""raw AS (SELECT user_id % 150 AS s, event_id % 150 AS t
+       FROM events
+       WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+         AND user_id % 150 <> event_id % 150),
+nb AS (SELECT a, b, count(*)::BIGINT AS w FROM
+       (SELECT s AS a, t AS b FROM raw
+        UNION ALL SELECT t, s FROM raw) GROUP BY 1, 2),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM nb)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""c{i} AS (SELECT nb.b AS node, l.label,
+               sum(nb.w) AS c
+        FROM nb JOIN l{p} l ON nb.a = l.node GROUP BY 1, 2),
+l{i} AS (SELECT node, label FROM
+        (SELECT node, label, row_number() OVER
+                (PARTITION BY node ORDER BY c DESC, label ASC) AS r
+         FROM c{i}) WHERE r = 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label FROM l{iters}")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4671,6 +4741,8 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "pagerank_events": q_pagerank_events,
     "triangles_events": q_triangles_events,
+    "components_events": q_components_events,
+    "label_prop_events": q_label_prop_events,
     "assoc_lineitem": q_assoc_lineitem,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
@@ -4794,6 +4866,8 @@ ORACLES = {
     "funnel_events": ORACLE_FUNNEL,
     "pagerank_events": _oracle_pagerank(),
     "triangles_events": ORACLE_TRIANGLES,
+    "components_events": ORACLE_COMPONENTS,
+    "label_prop_events": _oracle_label_prop(),
     "assoc_lineitem": ORACLE_ASSOC,
     "corr_matrix_lineitem": _oracle_corr_matrix(),
     "copurchase_pmi_lineitem": ORACLE_COPURCHASE_PMI,

@@ -99,3 +99,49 @@ def test_triangles_no_triangle_and_empty(spark):
     assert all(r["triangles"] == 0 for r in out)
     empty = spark.createDataFrame([(1, None)], "src long, dst long")
     assert TriangleCounter().transform(empty).count() == 0
+
+
+def test_connected_components_golden(spark):
+    from flink_ml__spark.functions.graph import ConnectedComponents
+
+    edges = [(1, 2), (2, 3), (5, 6), (9, 9)]
+    out = {r["node"]: r["component"] for r in
+           ConnectedComponents().transform(
+               spark.createDataFrame(edges, "src long, dst long"))
+           .collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def _lpa_reference(edges, iters):
+    """Pure-python synchronous LPA with the operator's exact
+    semantics: weighted neighbor votes, ties to the smaller label."""
+    from collections import defaultdict
+    nb = defaultdict(lambda: defaultdict(int))
+    for a, b in edges:
+        if a != b:
+            nb[a][b] += 1
+            nb[b][a] += 1
+    labels = {v: v for v in nb}
+    for _ in range(iters):
+        new = {}
+        for v in nb:
+            votes = defaultdict(int)
+            for u, w in nb[v].items():
+                votes[labels[u]] += w
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("iters", [1, 3, 5])
+def test_label_propagation_matches_reference(spark, iters):
+    from flink_ml__spark.functions.graph import LabelPropagation
+
+    # two triangles bridged by one edge + a parallel-edge pair
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4),
+             (3, 4), (7, 8), (7, 8), (8, 1), (2, 2)]
+    got = {r["node"]: r["label"] for r in
+           LabelPropagation().setMaxIter(iters).transform(
+               spark.createDataFrame(edges, "src long, dst long"))
+           .collect()}
+    assert got == _lpa_reference(edges, iters)
