@@ -121,3 +121,109 @@ def test_pmi_basket_cap_and_validation(spark):
         CooccurrencePMI().setMinCount(0)
     with pytest.raises(ValueError, match="maxBasketSize"):
         CooccurrencePMI().setMaxBasketSize(1)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties vs pure-python references (bounded examples:
+# each draws a Spark job)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+H = settings(max_examples=5, deadline=None,
+             suppress_health_check=list(HealthCheck))
+
+
+def _assoc_reference(xy):
+    """Chi² / MI / Cramér's V from the textbook definitions over the
+    FULL contingency table (structural zeros included) — the identity
+    the operator uses must agree with the direct formula."""
+    from collections import Counter
+    n = len(xy)
+    cxy, cx, cy = Counter(xy), Counter(x for x, _ in xy), Counter(
+        y for _, y in xy)
+    chi2 = 0.0
+    mi = 0.0
+    for x in cx:
+        for y in cy:
+            e = cx[x] * cy[y] / n
+            o = cxy.get((x, y), 0)
+            chi2 += (o - e) ** 2 / e
+            if o:
+                mi += (o / n) * math.log(o * n / (cx[x] * cy[y]))
+    dmin = min(len(cx), len(cy)) - 1
+    v = math.sqrt(chi2 / (n * dmin)) if dmin > 0 else 0.0
+    return chi2, mi, v
+
+
+@H
+@given(xy=st.lists(st.tuples(st.sampled_from("abc"),
+                             st.sampled_from("pqr")),
+                   min_size=2, max_size=20))
+def test_association_matches_reference(spark, xy):
+    df = spark.createDataFrame(xy, "x string, y string")
+    r = (CategoricalAssociation().setPairs("x:y")
+         .transform(df).first())
+    chi2, mi, v = _assoc_reference(xy)
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-9)
+    assert r["mutual_info"] == pytest.approx(mi, abs=1e-12)
+    assert r["cramers_v"] == pytest.approx(v, abs=1e-9)
+
+
+def _triangles_reference(edges):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    return {v: (len(nb),
+                sum(1 for u in nb for w in nb
+                    if u < w and w in adj[u]))
+            for v, nb in adj.items()}
+
+
+@H
+@given(edges=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                      min_size=1, max_size=25))
+def test_triangles_match_reference(spark, edges):
+    from flink_ml__spark.functions.graph import TriangleCounter
+
+    want = _triangles_reference(edges)
+    if not want:        # all self-loops
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["triangles"])
+           for r in TriangleCounter().transform(df).collect()}
+    assert got == want
+
+
+@H
+@given(rows=st.lists(st.tuples(st.integers(1, 5),
+                               st.sampled_from("uvwx")),
+                     min_size=1, max_size=20))
+def test_pmi_matches_reference(spark, rows):
+    from collections import Counter
+    from itertools import combinations
+
+    pres = sorted(set(rows))
+    baskets = {}
+    for g, i in pres:
+        baskets.setdefault(g, set()).add(i)
+    n_total = len(baskets)
+    marg = Counter(i for items in baskets.values() for i in items)
+    pair = Counter(p for items in baskets.values()
+                   for p in combinations(sorted(items), 2))
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["item_a"], r["item_b"]):
+           (r["n_ab"], r["n_a"], r["n_b"], r["pmi"])
+           for r in (CooccurrencePMI().setGroupCol("basket")
+                     .setItemCol("item").setMinCount(1)
+                     .transform(df).collect())}
+    assert set(got) == set(pair)
+    for p, n_ab in pair.items():
+        a, b = p
+        assert got[p][0] == n_ab
+        assert got[p][1] == marg[a] and got[p][2] == marg[b]
+        want = math.log(n_ab * n_total / (marg[a] * marg[b]))
+        assert got[p][3] == pytest.approx(want, abs=1e-12)
