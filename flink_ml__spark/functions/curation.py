@@ -1630,6 +1630,65 @@ class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
                 .select("ngram", "doc_freq", "total_count"))
 
 
+class StratifiedSampler(AlgoOperator, HasIdColMixin):
+    """Deterministic EXACT-k-per-stratum sampling — the eval/holdout
+    set builder: "give me exactly 1000 documents per language,
+    reproducibly, regardless of partition layout".
+
+    Each stratum (``groupCol`` value; NULL is its own stratum) keeps
+    the ``k`` rows with the smallest salted-md5 hex of their id (ties
+    by id), with ``sample_rank`` (1-based) appended; strata smaller
+    than ``k`` keep everything. Changing ``salt`` draws an
+    independent sample; the assignment is layout-invariant.
+
+    Complements :class:`DomainBalancer`, which deliberately avoids
+    rank-within-group for corpus-scale REbalancing (binomial
+    hash-threshold, zero shuffle): here k is small (an eval set, not
+    a corpus), and the keyed top-k plans as WindowGroupLimit — each
+    task pre-prunes to its local top k BEFORE the exchange, so the
+    shuffle carries O(k · tasks) rows per stratum, never the stratum.
+    Use the balancer for composition control, this for exact small
+    samples.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol", "stratum column",
+                     TypeConverters.toString)
+    k = Param(Params._dummy(), "k", "exact rows kept per stratum",
+              TypeConverters.toInt)
+    salt = Param(Params._dummy(), "salt",
+                 "hash salt; change to draw an independent sample",
+                 TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", groupCol="lang", k=100,
+                         salt="sample")
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setK(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"k must be >= 1, got {v}")
+        return self._set(k=v)
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        idc = F.col(self.getIdCol())
+        hx = F.md5(F.concat(F.lit(self.getOrDefault(self.salt) + ":"),
+                            idc.cast("string")))
+        w = (Window.partitionBy(self.getOrDefault(self.groupCol))
+             .orderBy(hx.asc(), idc.asc()))
+        return (df.withColumn("sample_rank", F.row_number().over(w))
+                .filter(F.col("sample_rank")
+                        <= self.getOrDefault(self.k)))
+
+
 class EpochShuffler(AlgoOperator, HasIdColMixin):
     """Deterministic epoch-shuffle layout: assigns every row a
     ``(shard, position)`` training order for a given epoch from a

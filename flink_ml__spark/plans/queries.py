@@ -4664,6 +4664,29 @@ l{i} AS (SELECT node, label FROM
             + f"\nSELECT node, label FROM l{iters}")
 
 
+def q_stratified_sample_documents(spark, sf_dir):
+    """Exact-10-per-language deterministic sample — salted-md5 rank
+    within stratum, layout-invariant, identical window replay in
+    SQL."""
+    from flink_ml__spark.functions.curation import StratifiedSampler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (StratifiedSampler().setGroupCol("lang").setK(10)
+           .setSalt("eval").transform(docs))
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5('eval:' || doc_id::VARCHAR), doc_id)
+         AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4748,6 +4771,7 @@ QUERIES = {
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
     "mean_shift_events": q_mean_shift_events,
     "corr_window_events": q_corr_window_events,
+    "stratified_sample_documents": q_stratified_sample_documents,
     "bm25_retrieval_documents": q_bm25_documents,
     "hybrid_rrf_documents": q_hybrid_rrf_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4873,6 +4897,7 @@ ORACLES = {
     "copurchase_pmi_lineitem": ORACLE_COPURCHASE_PMI,
     "mean_shift_events": ORACLE_MEAN_SHIFT,
     "corr_window_events": _oracle_corr_window(),
+    "stratified_sample_documents": ORACLE_STRATIFIED_SAMPLE,
     "bm25_retrieval_documents": ORACLE_BM25,
     "hybrid_rrf_documents": ORACLE_HYBRID_RRF,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,

@@ -940,3 +940,35 @@ def test_compression_scorer_arrow_only(spark):
     assert "ArrowEvalPython" in plan       # batched, not row-at-a-time
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_stratified_sampler_exact_k_and_determinism(spark):
+    from flink_ml__spark.functions.curation import StratifiedSampler
+
+    rows = ([(i, "en") for i in range(20)]
+            + [(100 + i, "fr") for i in range(3)]
+            + [(200, None)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    samp = StratifiedSampler().setGroupCol("lang").setK(5)
+    out = samp.transform(df).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["lang"], []).append(r)
+    assert len(by_g["en"]) == 5           # exact k
+    assert len(by_g["fr"]) == 3           # small stratum keeps all
+    assert len(by_g[None]) == 1           # NULL is its own stratum
+    assert sorted(r["sample_rank"] for r in by_g["en"]) == [1, 2, 3,
+                                                            4, 5]
+    # layout-invariant: repartitioned input draws the SAME sample
+    again = {r["doc_id"] for r in
+             samp.transform(df.repartition(7)).collect()}
+    assert again == {r["doc_id"] for r in out}
+    # a different salt draws a different sample (20 choose 5 — equal
+    # samples would be a broken hash)
+    other = {r["doc_id"] for r in
+             samp.setSalt("other").transform(df).collect()
+             if r["lang"] == "en"}
+    assert other != {r["doc_id"] for r in by_g["en"]}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        StratifiedSampler().setK(0)
