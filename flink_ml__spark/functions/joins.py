@@ -305,3 +305,68 @@ class RangeJoiner(AlgoOperator):
             missing = missing.withColumn(
                 c, F.lit(None).cast(dict(matched.dtypes)[c]))
         return matched.unionByName(missing)
+
+
+class SaltedJoiner(AlgoOperator):
+    """Skew-mitigated equi-join: when one join key carries a large
+    share of the big side's rows (the power-law user, the default
+    enum value), a plain shuffled join funnels that key through ONE
+    reducer. Salting splits each key ``numSalts`` ways: the big side
+    gets a deterministic per-row salt, the small side replicates
+    once per salt, and the join runs on (keys + salt) — same result
+    set, hot key spread over ``numSalts`` tasks.
+
+    ``join(big, small, on, how)`` supports ``inner`` and ``left``
+    (outer semantics are per BIG-side row, which replication
+    preserves: an unmatched big row still appears exactly once).
+    The salt is ``pmod(xxhash64(all big-side columns), numSalts)`` —
+    layout-invariant, so retries and resumed jobs salt identically.
+
+    Prefer AQE's runtime skew-join splitting when it fires
+    (sort-merge joins with statistics); this operator is the
+    explicit, plan-time fallback for the cases AQE cannot split —
+    broadcast-ineligible skewed aggregation feeds, deterministic
+    replays, or engines/pipelines with AQE disabled. Replication
+    multiplies the SMALL side by ``numSalts`` — size it so
+    small × numSalts still fits comfortably in the shuffle.
+
+    100 TB design: one projection on the big side (no extra shuffle —
+    the join's own exchange partitions by (keys, salt)), an
+    ``explode(sequence(...))`` on the small side, and the equi-join.
+    The gate proves result-set equivalence against the plain SQL
+    join.
+    """
+
+    numSalts = Param(Params._dummy(), "numSalts",
+                     "ways each key is split", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(numSalts=16)
+
+    def setNumSalts(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numSalts must be >= 2, got {v}")
+        return self._set(numSalts=v)
+
+    def join(self, big: DataFrame, small: DataFrame, on: list,
+             how: str = "inner") -> DataFrame:
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner or left, got {how!r}")
+        s = self.getOrDefault(self.numSalts)
+        overlap = set(big.columns) & set(small.columns) - set(on)
+        if overlap:
+            raise ValueError(
+                f"non-key columns appear on both sides: {sorted(overlap)}")
+        salted_big = big.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                             F.lit(s)).cast("int"))
+        rep_small = small.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        out = salted_big.join(rep_small, on + ["__salt"], how)
+        return out.drop("__salt")
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise TypeError("SaltedJoiner is binary — call "
+                        "join(big, small, on, how)")

@@ -4687,6 +4687,32 @@ WHERE sample_rank <= 10
 """
 
 
+def q_salted_join_events(spark, sf_dir):
+    """Skew-mitigated salted join: events (event_type is the classic
+    low-cardinality hot key) against a per-type profile table, split
+    16 ways — the gate proves the salted plan's RESULT SET equals the
+    plain SQL join."""
+    from flink_ml__spark.functions.joins import SaltedJoiner
+
+    ev = load_table(spark, "events", sf_dir)
+    big = ev.select("event_id", "event_type", "value")
+    small = (ev.groupBy("event_type")
+             .agg(F.round(F.avg("value"), R).alias("type_avg")))
+    out = SaltedJoiner().setNumSalts(16).join(
+        big, small, ["event_type"], "inner")
+    return out.select("event_id", "event_type",
+                      F.round("value", R).alias("value"), "type_avg")
+
+
+ORACLE_SALTED_JOIN = f"""
+WITH small AS (SELECT event_type, round(avg(value), {R}) AS type_avg
+               FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, round(e.value, {R}) AS value,
+       s.type_avg
+FROM events e JOIN small s USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4772,6 +4798,7 @@ QUERIES = {
     "mean_shift_events": q_mean_shift_events,
     "corr_window_events": q_corr_window_events,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "salted_join_events": q_salted_join_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "hybrid_rrf_documents": q_hybrid_rrf_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4898,6 +4925,7 @@ ORACLES = {
     "mean_shift_events": ORACLE_MEAN_SHIFT,
     "corr_window_events": _oracle_corr_window(),
     "stratified_sample_documents": ORACLE_STRATIFIED_SAMPLE,
+    "salted_join_events": ORACLE_SALTED_JOIN,
     "bm25_retrieval_documents": ORACLE_BM25,
     "hybrid_rrf_documents": ORACLE_HYBRID_RRF,
     "heavy_hitters_documents": ORACLE_HEAVY_HITTERS,

@@ -257,3 +257,43 @@ def test_asof_join_null_key_and_null_ts_never_match(spark):
     b = {r["id"]: r for r in AsOfJoiner().join(left, right, ["value"])
          .collect()}
     assert b[1]["value"] == 30.0
+
+
+def test_salted_join_equals_plain_inner_and_left(spark):
+    from flink_ml__spark.functions.joins import SaltedJoiner
+
+    # hot key: 'a' carries 80% of the big side
+    big = spark.createDataFrame(
+        [(i, "a" if i % 10 < 8 else ("b" if i % 10 == 8 else "zz"),
+          float(i)) for i in range(200)],
+        "id long, k string, v double")
+    small = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, w double")
+    sj = SaltedJoiner().setNumSalts(8)
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, sj.join(big, small, ["k"], how)
+                         .select("id", "k", "v", "w").collect()))
+        want = sorted(map(tuple, big.join(small, ["k"], how)
+                          .select("id", "k", "v", "w").collect()))
+        assert got == want and len(got) > 0
+    # 'zz' rows survive a left join exactly once each
+    left = sj.join(big, small, ["k"], "left")
+    assert left.filter("k = 'zz' AND w IS NULL").count() == 20
+
+
+def test_salted_join_validation(spark):
+    import pytest
+
+    from flink_ml__spark.functions.joins import SaltedJoiner
+
+    big = spark.createDataFrame([(1, "a", 1.0)],
+                                "id long, k string, v double")
+    clash = spark.createDataFrame([("a", 2.0)], "k string, v double")
+    with pytest.raises(ValueError, match="numSalts"):
+        SaltedJoiner().setNumSalts(1)
+    with pytest.raises(ValueError, match="how"):
+        SaltedJoiner().join(big, clash, ["k"], "full")
+    with pytest.raises(ValueError, match="both sides"):
+        SaltedJoiner().join(big, clash, ["k"])
+    with pytest.raises(TypeError, match="binary"):
+        SaltedJoiner().transform(big)
