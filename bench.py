@@ -121,6 +121,17 @@ HEADLINE = [
     "classification_eval_documents",
     "categorical_drift_events",
     "drift_monitor_window_events",
+    "triangles_events",
+    "components_events",
+    "label_prop_events",
+    "assoc_lineitem",
+    "corr_matrix_lineitem",
+    "copurchase_pmi_lineitem",
+    "mean_shift_events",
+    "corr_window_events",
+    "stratified_sample_documents",
+    "salted_join_events",
+    "skew_summary_events",
 ]
 
 

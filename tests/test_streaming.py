@@ -686,3 +686,50 @@ def test_stream_correlation_monitor_matches_batch(spark):
         assert open_windows <= {max(w for w, _ in batch)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sessionize_matches_batch(spark):
+    """Append-mode session rows must equal the batch Sessionizer's
+    output on the same data: a session emits exactly once, when the
+    watermark passes the point where it can no longer extend. A
+    sentinel row far in the future pushes the final watermark past
+    every real session (only the sentinel's own session stays open)."""
+    import datetime
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.sessions import Sessionizer
+    from flink_ml__spark.streaming import stream_sessionize
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def at(m):
+        return base + datetime.timedelta(minutes=m)
+
+    rows = [
+        ("u1", at(0), 1.0), ("u1", at(5), 2.0),    # one session, n=2
+        ("u1", at(60), 4.0),                       # second session
+        ("u2", at(30), 7.0),                       # alone (gap 15 > 10)
+        ("u2", at(45), 1.0),
+        ("uZ", at(600), 0.0),                      # watermark sentinel
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, "
+                               "value double")
+    op = Sessionizer().setGap("10 minutes")
+    batch = {tuple(r) for r in
+             op.transform(df.filter(df.user_id != "uZ")).collect()}
+
+    d = _tf.mkdtemp(prefix="stream_sess_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_sessionize(stream, op)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("sess_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql(
+            "SELECT * FROM sess_stream").collect()}
+        assert got == batch
+        assert len(got) == 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
