@@ -1641,6 +1641,13 @@ class StratifiedSampler(AlgoOperator, HasIdColMixin):
     than ``k`` keep everything. Changing ``salt`` draws an
     independent sample; the assignment is layout-invariant.
 
+    With ``scoreCol`` set, the draw becomes per-stratum quality
+    CAPPING — "keep the best ``k`` documents per domain" (the
+    FineWeb-style per-domain quota): rows rank by score DESCENDING,
+    NULL scores last, equal scores split by the same salted hash so
+    the cut inside a score plateau is still unbiased and
+    reproducible.
+
     Complements :class:`DomainBalancer`, which deliberately avoids
     rank-within-group for corpus-scale REbalancing (binomial
     hash-threshold, zero shuffle): here k is small (an eval set, not
@@ -1658,11 +1665,15 @@ class StratifiedSampler(AlgoOperator, HasIdColMixin):
     salt = Param(Params._dummy(), "salt",
                  "hash salt; change to draw an independent sample",
                  TypeConverters.toString)
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "when set, keep the k HIGHEST-score rows per "
+                     "stratum instead of a random draw ('' disables)",
+                     TypeConverters.toString)
 
     def __init__(self):
         super().__init__()
         self._setDefault(idCol="doc_id", groupCol="lang", k=100,
-                         salt="sample")
+                         salt="sample", scoreCol="")
 
     def setGroupCol(self, v):
         return self._set(groupCol=v)
@@ -1676,14 +1687,23 @@ class StratifiedSampler(AlgoOperator, HasIdColMixin):
     def setSalt(self, v):
         return self._set(salt=v)
 
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
     def transform(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
         idc = F.col(self.getIdCol())
         hx = F.md5(F.concat(F.lit(self.getOrDefault(self.salt) + ":"),
                             idc.cast("string")))
+        # score mode = per-stratum quality capping ("the best k docs
+        # per domain"); NULL scores lose to every real score, the
+        # salted hash stays as the deterministic tie-splitter
+        sc = self.getOrDefault(self.scoreCol)
+        order = ([F.col(sc).desc_nulls_last()] if sc else []) + [
+            hx.asc(), idc.asc()]
         w = (Window.partitionBy(self.getOrDefault(self.groupCol))
-             .orderBy(hx.asc(), idc.asc()))
+             .orderBy(*order))
         return (df.withColumn("sample_rank", F.row_number().over(w))
                 .filter(F.col("sample_rank")
                         <= self.getOrDefault(self.k)))

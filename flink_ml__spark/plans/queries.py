@@ -4687,6 +4687,31 @@ WHERE sample_rank <= 10
 """
 
 
+def q_best_per_stratum_documents(spark, sf_dir):
+    """Per-domain quality capping: the 10 LONGEST documents per
+    language (``scoreCol`` mode of the stratified sampler), score
+    plateaus split by the salted hash — the FineWeb-style per-domain
+    quota, replayed as the identical window in SQL."""
+    from flink_ml__spark.functions.curation import StratifiedSampler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (StratifiedSampler().setGroupCol("lang").setK(10)
+           .setSalt("cap").setScoreCol("n_chars").transform(docs))
+    return out.select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+ORACLE_BEST_PER_STRATUM = """
+SELECT doc_id, lang, n_chars, sample_rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY n_chars DESC NULLS LAST,
+                      md5('cap:' || doc_id::VARCHAR), doc_id)
+         AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 10
+"""
+
+
 def q_salted_join_events(spark, sf_dir):
     """Skew-mitigated salted join: events (event_type is the classic
     low-cardinality hot key) against a per-type profile table, split
@@ -4798,6 +4823,7 @@ QUERIES = {
     "mean_shift_events": q_mean_shift_events,
     "corr_window_events": q_corr_window_events,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "best_per_stratum_documents": q_best_per_stratum_documents,
     "salted_join_events": q_salted_join_events,
     "bm25_retrieval_documents": q_bm25_documents,
     "hybrid_rrf_documents": q_hybrid_rrf_documents,
@@ -4925,6 +4951,7 @@ ORACLES = {
     "mean_shift_events": ORACLE_MEAN_SHIFT,
     "corr_window_events": _oracle_corr_window(),
     "stratified_sample_documents": ORACLE_STRATIFIED_SAMPLE,
+    "best_per_stratum_documents": ORACLE_BEST_PER_STRATUM,
     "salted_join_events": ORACLE_SALTED_JOIN,
     "bm25_retrieval_documents": ORACLE_BM25,
     "hybrid_rrf_documents": ORACLE_HYBRID_RRF,

@@ -972,3 +972,30 @@ def test_stratified_sampler_exact_k_and_determinism(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must"):
         StratifiedSampler().setK(0)
+
+
+def test_stratified_sampler_score_mode_keeps_best_k(spark):
+    """scoreCol mode = per-stratum quality capping: highest scores
+    win, NULL scores lose to every real score, plateaus split by the
+    salted hash deterministically."""
+    from flink_ml__spark.functions.curation import StratifiedSampler
+
+    rows = ([(i, "en", float(i)) for i in range(10)]        # 0..9
+            + [(100 + i, "fr", 5.0) for i in range(6)]      # plateau
+            + [(900, "en", None)])                          # null score
+    df = spark.createDataFrame(rows,
+                               "doc_id long, lang string, score double")
+    samp = (StratifiedSampler().setGroupCol("lang").setK(3)
+            .setScoreCol("score"))
+    out = samp.transform(df).collect()
+    en = sorted(r["doc_id"] for r in out if r["lang"] == "en")
+    assert en == [7, 8, 9]                  # the 3 best, null never
+    fr = {r["doc_id"] for r in out if r["lang"] == "fr"}
+    assert len(fr) == 3                     # exact cut inside plateau
+    # plateau cut is layout-invariant
+    again = {r["doc_id"] for r in samp.transform(df.repartition(5))
+             .collect() if r["lang"] == "fr"}
+    assert again == fr
+    # rank 1 is the top score
+    top = [r for r in out if r["lang"] == "en" and r["sample_rank"] == 1]
+    assert top[0]["doc_id"] == 9
