@@ -184,12 +184,33 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    # Full per-query map: own (early) stdout line + a file. The driver
+    # records only the last ~2000 chars of stdout and parses the last
+    # JSON line in that window — a 110-query map blows past the window
+    # and truncates (BENCH_r06 "parsed": null), so the FINAL line below
+    # is kept compact (slowest queries only) and is guaranteed to fit.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full_queries.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full))
+    sys.stdout.flush()
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "detail_file": "BENCH_full_queries.json",
+        "sf": sf_val,
     }))
 
 

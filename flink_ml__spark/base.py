@@ -169,6 +169,58 @@ class HasSeed(Params):
         return self._set(seed=value)
 
 
+class HasRelativeError(Params):
+    """Exact-vs-approximate quantile switch for fit-time percentile
+    aggregations (DriftMonitor, Winsorizer, PerplexityBucketer).
+
+    Default 0.0 = exact ``percentile`` — deterministic and
+    SQL-oracle-replayable, but Spark's exact percentile merges a full
+    value→count map on a single final aggregation buffer, which on a
+    100 TB high-cardinality double column is an OOM, not a slowdown.
+    Setting ``relativeError`` > 0 (e.g. 0.001) switches the fit to
+    ``approx_percentile`` (Greenwald-Khanna sketch, accuracy =
+    ceil(1/relativeError)): bounded memory per partial, mergeable,
+    and rank error ≤ relativeError · n — the production path at scale.
+    """
+
+    relativeError = Param(
+        Params._dummy(), "relativeError",
+        "0.0 = exact percentile; > 0 switches the quantile fit to "
+        "approx_percentile with this relative rank error",
+        typeConverter=TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(relativeError=0.0)
+
+    def getRelativeError(self) -> float:
+        return self.getOrDefault(self.relativeError)
+
+    def setRelativeError(self, value: float):
+        value = float(value)
+        if not 0.0 <= value < 1.0:
+            raise ValueError(
+                f"relativeError must be in [0, 1), got {value}")
+        return self._set(relativeError=value)
+
+    def _percentile_sql(self, col_sql: str, pct) -> str:
+        """SQL for the configured quantile aggregate: exact
+        ``percentile`` at relativeError 0, else ``approx_percentile``
+        with the matching Greenwald-Khanna accuracy. ``pct`` is a float
+        or a list of floats (one sketch serving all cut points)."""
+        import math
+
+        if isinstance(pct, (list, tuple)):
+            p_sql = "array(" + ", ".join(repr(float(p)) for p in pct) + ")"
+        else:
+            p_sql = repr(float(pct))
+        rel = self.getOrDefault(self.relativeError)
+        if rel <= 0.0:
+            return f"percentile({col_sql}, {p_sql})"
+        acc = int(math.ceil(1.0 / rel))
+        return f"approx_percentile({col_sql}, {p_sql}, {acc})"
+
+
 class HasDistanceMeasure(Params):
     distanceMeasure = Param(
         Params._dummy(), "distanceMeasure",

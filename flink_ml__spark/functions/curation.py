@@ -61,6 +61,7 @@ from flink_ml__spark.base import (
     Estimator,
     HasInputCol,
     HasMaxIter,
+    HasRelativeError,
 )
 from flink_ml__spark.functions.dedup import (
     HasIdColMixin,
@@ -983,7 +984,7 @@ class DSIRSelector(AlgoOperator, HasInputCol, HasIdColMixin):
         return model
 
 
-class PerplexityBucketer(AlgoOperator):
+class PerplexityBucketer(AlgoOperator, HasRelativeError):
     """CCNet-style corpus partitioning by LM fluency (Wenzek et al.,
     LREC 2020, §4.3): split documents into ``head`` / ``middle`` /
     ``tail`` buckets by their language-model score — head = most
@@ -995,7 +996,9 @@ class PerplexityBucketer(AlgoOperator):
     ``score ≤ P(tailFrac)``, the rest ``middle``; documents with a NULL
     score (no tokens) get a NULL bucket. Rounding before the percentile
     makes the cut deterministic across engines — the DuckDB oracle
-    replays it bit-for-bit.
+    replays it bit-for-bit. ``setRelativeError(>0)`` swaps the exact
+    percentile for the bounded-memory ``approx_percentile`` sketch at
+    100 TB (``HasRelativeError``).
 
     Scale shape: the AHP/TOPSIS two-pass pattern — one distributed
     percentile aggregation collapses to two scalar literals, then the
@@ -1034,13 +1037,10 @@ class PerplexityBucketer(AlgoOperator):
             raise ValueError("need 0 < headFrac, tailFrac and "
                              "headFrac + tailFrac < 1")
         sc = F.round(F.col(self.getOrDefault(self.scoreCol)), 6)
+        rounded = f"round({self.getOrDefault(self.scoreCol)}, 6)"
         t1, t2 = (df
-                  .agg(F.expr(f"percentile(round("
-                              f"{self.getOrDefault(self.scoreCol)}, 6), "
-                              f"{1.0 - hf!r})"),
-                       F.expr(f"percentile(round("
-                              f"{self.getOrDefault(self.scoreCol)}, 6), "
-                              f"{tf!r})"))
+                  .agg(F.expr(self._percentile_sql(rounded, 1.0 - hf)),
+                       F.expr(self._percentile_sql(rounded, tf)))
                   .first())
         bucket = (F.when(sc.isNull(), F.lit(None).cast("string"))
                   .when(sc >= F.lit(t1), F.lit("head"))

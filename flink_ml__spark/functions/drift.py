@@ -14,11 +14,15 @@ Rule of thumb (Siddiqi, "Credit Risk Scorecards", 2005): PSI < 0.1
 stable, 0.1–0.25 moderate shift, > 0.25 action required.
 
 100 TB design: ONE aggregation per side per fit/apply — the quantile
-fit is one pass over the reference (exact ``percentile``, the same
-SQL-replayable choice as ``Winsorizer``), the edges fold to O(buckets)
+fit is one pass over the reference, the edges fold to O(buckets)
 literals, bucket assignment is a map-side sum of comparisons, and each
 histogram is a partial+final count aggregate with O(buckets) output.
-Nothing driver-side ever exceeds O(columns · buckets).
+Nothing driver-side ever exceeds O(columns · buckets). The fit
+defaults to exact ``percentile`` (SQL-oracle-replayable, like
+``Winsorizer``); at 100 TB set ``relativeError`` (e.g. 0.001) to use
+the bounded-memory ``approx_percentile`` sketch instead — exact
+percentile merges a full value→count map on one final buffer and OOMs
+on high-cardinality columns (see ``HasRelativeError``).
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_ml__spark.base import AlgoOperator
+from flink_ml__spark.base import AlgoOperator, HasRelativeError
 
 _FLOOR = 1e-6
 
@@ -51,7 +55,7 @@ def _psi_summary(report_df: DataFrame) -> DataFrame:
             .withColumn("drift_level", drift_level(F.col("psi"))))
 
 
-class DriftMonitor(AlgoOperator):
+class DriftMonitor(AlgoOperator, HasRelativeError):
     """PSI drift report between a reference and a current DataFrame.
 
     ``report(reference, current)`` returns one row per (column,
@@ -102,13 +106,15 @@ class DriftMonitor(AlgoOperator):
         scan the reference N times)."""
         k = self.getOrDefault(self.numBuckets)
         pcts = [i / k for i in range(1, k)]
+        # one percentile/approx_percentile aggregate per column (the
+        # list form shares a single sketch across all k-1 cut points)
         row = reference.agg(*[
-            F.expr(f"percentile({c}, {p!r})").alias(f"e_{ci}_{i}")
-            for ci, c in enumerate(cols)
-            for i, p in enumerate(pcts)]).first()
+            F.expr(self._percentile_sql(c, pcts)).alias(f"e_{ci}")
+            for ci, c in enumerate(cols)]).first()
         out: dict[str, list[float]] = {}
         for ci, c in enumerate(cols):
-            edges = [row[f"e_{ci}_{i}"] for i in range(len(pcts))]
+            edges = list(row[f"e_{ci}"]) if row[f"e_{ci}"] is not None \
+                else [None]
             if edges and edges[0] is None:
                 raise ValueError(f"no non-null values in reference.{c}")
             # constant stretches produce duplicate edges — keep them;

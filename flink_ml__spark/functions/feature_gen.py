@@ -31,6 +31,7 @@ from flink_ml__spark.base import (
     Estimator,
     HasInputCol,
     HasOutputCols,
+    HasRelativeError,
     Model,
 )
 
@@ -314,12 +315,15 @@ class WinsorizerModel(Model, _SingleColOutputParams):
         self._lo, self._hi = d["lo"], d["hi"]
 
 
-class Winsorizer(Estimator, _SingleColOutputParams):
+class Winsorizer(Estimator, _SingleColOutputParams, HasRelativeError):
     """Percentile winsorization — clamp a numeric feature to its
     ``[lowerPct, upperPct]`` EXACT interpolated percentiles (the
     standard outlier guard before scaling/regression; Dixon 1960).
-    Exact ``percentile`` keeps the fit SQL-replayable; the per-group
-    variant of the same cut lives in ``CorpusProfiler``'s stats.
+    Exact ``percentile`` (the default) keeps the fit SQL-replayable;
+    ``setRelativeError(>0)`` switches to the bounded-memory
+    ``approx_percentile`` sketch for 100 TB fits (``HasRelativeError``).
+    The per-group variant of the same cut lives in ``CorpusProfiler``'s
+    stats.
 
     Fit is one aggregate (two interpolated order statistics — Spark
     sorts only within the aggregation buffer); the model is two
@@ -351,8 +355,8 @@ class Winsorizer(Estimator, _SingleColOutputParams):
             raise ValueError("need 0 <= lowerPct < upperPct <= 1")
         c = self.getInputCol()
         row = df.agg(
-            F.expr(f"percentile({c}, {lo_p!r})").alias("lo"),
-            F.expr(f"percentile({c}, {hi_p!r})").alias("hi")).first()
+            F.expr(self._percentile_sql(c, lo_p)).alias("lo"),
+            F.expr(self._percentile_sql(c, hi_p)).alias("hi")).first()
         if row["lo"] is None:
             raise ValueError("no non-null values to fit on")
         model = WinsorizerModel(float(row["lo"]), float(row["hi"]))

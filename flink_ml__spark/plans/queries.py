@@ -1136,14 +1136,22 @@ FROM mx
 
 def q_quantize_embeddings(spark, sf_dir):
     """int8 scalar quantization of the embeddings table (per-vector
-    max-abs scale, symmetric codes)."""
+    max-abs scale, symmetric codes).
+
+    The codes column is emitted as a comma-joined string (not
+    ``array<int>``): the driver gate canonicalizes results with a
+    pandas sort, and list-typed cells are unsortable/unhashable there.
+    """
     from flink_ml__spark.functions.similarity import EmbeddingQuantizer
 
     emb = load_table(spark, "embeddings", sf_dir)
     out = EmbeddingQuantizer().transform(emb)
-    return out.select("vec_id",
-                      F.round("emb_scale", R).alias("emb_scale"),
-                      "emb_q8")
+    return out.select(
+        "vec_id",
+        F.round("emb_scale", R).alias("emb_scale"),
+        F.array_join(F.col("emb_q8").cast("array<string>"), ",")
+        .alias("emb_q8"),
+    )
 
 
 ORACLE_QUANTIZE = f"""
@@ -1152,12 +1160,15 @@ WITH base AS (
   FROM embeddings),
 s AS (SELECT vec_id, emb,
              list_max(list_transform(emb, x -> abs(x))) AS sc
-      FROM base)
+      FROM base),
+q AS (SELECT vec_id, sc,
+             CASE WHEN sc = 0 THEN list_transform(emb, x -> 0)
+                  ELSE list_transform(emb, x -> round(x * 127.0 / sc)::INT)
+             END AS codes
+      FROM s)
 SELECT vec_id, round(sc, {R}) AS emb_scale,
-       CASE WHEN sc = 0 THEN list_transform(emb, x -> 0)
-            ELSE list_transform(emb, x -> round(x * 127.0 / sc)::INT)
-       END AS emb_q8
-FROM s
+       array_to_string(codes, ',') AS emb_q8
+FROM q
 """
 
 
@@ -4743,56 +4754,9 @@ FROM events e JOIN small s USING (event_type)
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    "ahp_score_lineitem": q_ahp_score_lineitem,
-    "topsis_score_part": q_topsis_score_part,
-    "online_ahp_events": q_online_ahp_events,
-    "online_topsis_model_events": q_online_topsis_model_events,
-    "online_topsis_predict_events": q_online_topsis_predict_events,
-    "apriori_rules_events": q_apriori_rules_events,
-    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
-    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
-    "pca_invariants_embeddings": q_pca_invariants_embeddings,
-    "canopy_customer": q_canopy_customer,
-    "canopy_invariants_customer": q_canopy_invariants_customer,
-    "mean_imputer_orders": q_mean_imputer_orders,
-    "standard_scaler_lineitem": q_standard_scaler_lineitem,
-    "time_features_orders": q_time_features_orders,
-    "auto_features_orders": q_auto_features_orders,
-    "winsorize_orders": q_winsorize_orders,
-    "dedup_exact_documents": q_dedup_exact_documents,
-    "dedup_exact_against_documents": q_dedup_exact_against_documents,
-    "dedup_bloom_documents": q_dedup_bloom_documents,
-    "dedup_minhash_documents": q_dedup_minhash_documents,
-    "dedup_simhash_documents": q_dedup_simhash_documents,
-    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
-    "dedup_substring_documents": q_dedup_substring_documents,
-    "substring_decontaminate_documents": q_substring_decontaminate_documents,
-    "minhash_recall_documents": q_minhash_recall_documents,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "quantize_embeddings": q_quantize_embeddings,
-    "embedding_contamination": q_embedding_contamination,
-    "semdedup_embeddings": q_semdedup_embeddings,
-    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
-    "lang_id_documents": q_lang_id_documents,
-    "quality_documents": q_quality_documents,
-    "quality_filter_documents": q_quality_filter_documents,
-    "gopher_quality_documents": q_gopher_quality_documents,
-    "token_count_documents": q_token_count_documents,
-    "normalize_documents": q_normalize_documents,
-    "frequent_ngrams_documents": q_frequent_ngrams_documents,
-    "epoch_shuffle_documents": q_epoch_shuffle_documents,
-    "domain_divergence_documents": q_domain_divergence_documents,
-    "token_budget_documents": q_token_budget_documents,
-    "weighted_sample_documents": q_weighted_sample_documents,
-    "quality_classifier_documents": q_quality_classifier_documents,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_forward_events": q_asof_forward_events,
-    "asof_nearest_events": q_asof_nearest_events,
-    "range_join_events": q_range_join_events,
-    "rollup_gapfill_events": q_rollup_gapfill_events,
+    # --- round-7 driver-gate window (first 50): every entry below
+    # has never earned a CORRECTNESS row (rounds 1-6 gated only the
+    # first 50 registry keys), plus the round-6 red quantize row.
     "anomaly_events": q_anomaly_events,
     "scd2_events": q_scd2_events,
     "zorder_key_events": q_zorder_key_events,
@@ -4834,25 +4798,77 @@ QUERIES = {
     "skew_summary_events": q_skew_summary_events,
     "json_props_events": q_json_props_events,
     "bigram_lm_documents": q_bigram_lm_documents,
+    "line_dedup_documents": q_line_dedup_documents,
+    "ppl_bucket_documents": q_ppl_bucket_documents,
+    "dsir_weights_documents": q_dsir_weights_documents,
+    "quantile_invariants_documents": q_quantile_invariants_documents,
+    "split_leakage_documents": q_split_leakage_documents,
+    "cluster_reps_documents": q_cluster_reps_documents,
+    "chunk_documents": q_chunk_documents,
+    "multimodal_scene_changes": q_multimodal_scene_changes,
+    "quantize_embeddings": q_quantize_embeddings,
+    # --- driver-green in earlier rounds (rotated out of the window)
+    "ahp_score_lineitem": q_ahp_score_lineitem,
+    "topsis_score_part": q_topsis_score_part,
+    "online_ahp_events": q_online_ahp_events,
+    "online_topsis_model_events": q_online_topsis_model_events,
+    "online_topsis_predict_events": q_online_topsis_predict_events,
+    "apriori_rules_events": q_apriori_rules_events,
+    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    "pca_invariants_embeddings": q_pca_invariants_embeddings,
+    "canopy_customer": q_canopy_customer,
+    "canopy_invariants_customer": q_canopy_invariants_customer,
+    "mean_imputer_orders": q_mean_imputer_orders,
+    "standard_scaler_lineitem": q_standard_scaler_lineitem,
+    "time_features_orders": q_time_features_orders,
+    "auto_features_orders": q_auto_features_orders,
+    "winsorize_orders": q_winsorize_orders,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_exact_against_documents": q_dedup_exact_against_documents,
+    "dedup_bloom_documents": q_dedup_bloom_documents,
+    "dedup_minhash_documents": q_dedup_minhash_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "dedup_substring_documents": q_dedup_substring_documents,
+    "substring_decontaminate_documents": q_substring_decontaminate_documents,
+    "minhash_recall_documents": q_minhash_recall_documents,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_contamination": q_embedding_contamination,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
+    "lang_id_documents": q_lang_id_documents,
+    "quality_documents": q_quality_documents,
+    "quality_filter_documents": q_quality_filter_documents,
+    "gopher_quality_documents": q_gopher_quality_documents,
+    "token_count_documents": q_token_count_documents,
+    "normalize_documents": q_normalize_documents,
+    "frequent_ngrams_documents": q_frequent_ngrams_documents,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "domain_divergence_documents": q_domain_divergence_documents,
+    "token_budget_documents": q_token_budget_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "quality_classifier_documents": q_quality_classifier_documents,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_forward_events": q_asof_forward_events,
+    "asof_nearest_events": q_asof_nearest_events,
+    "range_join_events": q_range_join_events,
+    "rollup_gapfill_events": q_rollup_gapfill_events,
     "fingerprint_documents": q_fingerprint_documents,
     "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
-    "line_dedup_documents": q_line_dedup_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
-    "ppl_bucket_documents": q_ppl_bucket_documents,
-    "dsir_weights_documents": q_dsir_weights_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
-    "quantile_invariants_documents": q_quantile_invariants_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
-    "split_leakage_documents": q_split_leakage_documents,
     "contamination_documents": q_contamination_documents,
     "tfidf_keywords_documents": q_tfidf_keywords_documents,
     "dup_clusters_documents": q_dup_clusters_documents,
-    "cluster_reps_documents": q_cluster_reps_documents,
-    "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
     "balance_documents": q_balance_documents,
     "balance_targets_documents": q_balance_targets_documents,
@@ -4860,7 +4876,6 @@ QUERIES = {
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_image_resize": q_multimodal_image_resize,
     "multimodal_frame_means": q_multimodal_frame_means,
-    "multimodal_scene_changes": q_multimodal_scene_changes,
     "multimodal_audio_features": q_multimodal_audio_features,
 }
 

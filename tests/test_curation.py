@@ -999,3 +999,20 @@ def test_stratified_sampler_score_mode_keeps_best_k(spark):
     # rank 1 is the top score
     top = [r for r in out if r["lang"] == "en" and r["sample_rank"] == 1]
     assert top[0]["doc_id"] == 9
+
+
+def test_perplexity_bucketer_approx_percentile_path(spark):
+    """relativeError > 0 (approx_percentile fit) reproduces the exact
+    bucket assignment when the sketch's rank error is under one row."""
+    from flink_ml__spark.functions.curation import PerplexityBucketer
+
+    df = spark.createDataFrame(
+        [(i, float(-i)) for i in range(1, 100)],
+        "doc_id long, mean_logprob double")
+    exact = {r["doc_id"]: r["ppl_bucket"]
+             for r in PerplexityBucketer().transform(df).collect()}
+    approx = {r["doc_id"]: r["ppl_bucket"]
+              for r in (PerplexityBucketer().setRelativeError(0.0001)
+                        .transform(df).collect())}
+    diff = {k for k in exact if exact[k] != approx[k]}
+    assert not diff, f"bucket mismatches at doc_ids {sorted(diff)[:5]}"

@@ -144,3 +144,34 @@ def test_categorical_validation(spark):
         CategoricalDriftMonitor().setMaxCategories(0)
     with pytest.raises(TypeError, match="binary"):
         CategoricalDriftMonitor().setInputCols("c").transform(ref)
+
+
+def test_approx_percentile_path_agrees_with_exact(spark):
+    """The 100 TB production fit (relativeError > 0 →
+    approx_percentile) must reproduce the exact fit's report on data
+    whose scale the sketch resolves exactly (rank error ≤ rel·n < 1
+    row here), and reject invalid settings."""
+    ref = _df(spark, [float(i) for i in range(200)])
+    cur = _df(spark, [float(i) + 10.0 for i in range(200)])
+
+    exact = (DriftMonitor().setInputCols("a").setNumBuckets(5)
+             .report(ref, cur).orderBy("bucket").collect())
+    approx = (DriftMonitor().setInputCols("a").setNumBuckets(5)
+              .setRelativeError(0.001)
+              .report(ref, cur).orderBy("bucket").collect())
+    assert len(exact) == len(approx) == 5
+    # exact percentile interpolates between order statistics; the GK
+    # sketch returns an actual data value — a bucket edge can differ by
+    # at most one row at rel·n < 1
+    for e, a in zip(exact, approx):
+        assert e["bucket"] == a["bucket"]
+        assert abs(e["n_ref"] - a["n_ref"]) <= 1
+        assert abs(e["n_cur"] - a["n_cur"]) <= 1
+        assert a["psi_term"] == pytest.approx(e["psi_term"], abs=5e-3)
+    assert sum(a["n_ref"] for a in approx) == 200
+    assert sum(a["n_cur"] for a in approx) == 200
+
+    with pytest.raises(ValueError):
+        DriftMonitor().setRelativeError(1.5)
+    with pytest.raises(ValueError):
+        DriftMonitor().setRelativeError(-0.1)

@@ -161,3 +161,21 @@ def test_json_column_parser_typed_fields_and_nulls(spark):
                    3: (None, None), 4: (None, None)}
     # original columns untouched, extracted columns appended in order
     assert op.transform(df).columns == ["id", "props", "p_k", "p_tag"]
+
+
+def test_winsorizer_approx_percentile_path(spark):
+    """relativeError > 0 switches the fit to approx_percentile; at a
+    scale the sketch resolves exactly the cut points match the exact
+    fit to within one order statistic."""
+    from flink_ml__spark.functions.feature_gen import Winsorizer
+
+    vals = [float(v) for v in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    exact = (Winsorizer().setInputCol("x").setLowerPct(0.05)
+             .setUpperPct(0.95).fit(df))
+    approx = (Winsorizer().setInputCol("x").setLowerPct(0.05)
+              .setUpperPct(0.95).setRelativeError(0.001).fit(df))
+    # GK sketch guarantees rank error <= rel*n = 1 row; exact uses
+    # linear interpolation so allow one inter-value step of slack
+    assert abs(approx._lo - exact._lo) <= 1.0
+    assert abs(approx._hi - exact._hi) <= 1.0

@@ -48,9 +48,24 @@ def _canon(rows, cols):
     return [cols[i] for i in idx], out
 
 
+def _assert_sortable_schema(name, sdf):
+    """The driver's canonicalizer pandas-sorts result rows; list/map/
+    struct cells are unhashable there and turn a correct query into a
+    red CORRECTNESS row (seen: quantize_embeddings, round 6). Queries
+    must stringify/explode complex columns before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"{name}: complex-typed output columns {bad} break the driver's "
+        f"pandas sort — stringify (array_join) or explode them")
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
+    _assert_sortable_schema(name, sdf)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     o = duck.execute(ORACLES[name])
@@ -73,4 +88,5 @@ def test_oracle_match(spark, duck, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries(spark, name):
     out = QUERIES[name](spark, SF_DIR)
+    _assert_sortable_schema(name, out)
     assert out.count() > 0
