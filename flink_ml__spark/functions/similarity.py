@@ -121,10 +121,17 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
                   TypeConverters.toInt)
     nProbe = Param(Params._dummy(), "nProbe", "cells probed per query",
                    TypeConverters.toInt)
+    trainSampleSize = Param(Params._dummy(), "trainSampleSize",
+                            "bounded quantizer-training sample size",
+                            TypeConverters.toInt)
+    trainIter = Param(Params._dummy(), "trainIter",
+                      "driver-side Lloyd iterations on the sample",
+                      TypeConverters.toInt)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(nList=16, nProbe=4)
+        self._setDefault(nList=16, nProbe=4, trainSampleSize=8192,
+                         trainIter=3)
         self._centroids: list[list[float]] | None = None
 
     def getNList(self):
@@ -139,48 +146,49 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
     def setNProbe(self, v):
         return self._set(nProbe=v)
 
+    def setTrainSampleSize(self, v):
+        return self._set(trainSampleSize=int(v))
+
+    def setTrainIter(self, v):
+        return self._set(trainIter=int(v))
+
     def train(self, corpus: DataFrame) -> "IVFCosineTopK":
-        """Spherical coarse quantizer: vectors are L2-normalized before
-        the seeded ``nList`` sample and the one Lloyd refinement pass, so
-        the L2 cell assignment orders cells by COSINE (on the unit
-        sphere, ‖a−b‖² = 2 − 2·cos(a,b)) — clustering raw vectors would
-        scatter cosine neighbors of different magnitudes across cells.
-        The Lloyd pass runs as numpy partials (``mapInPandas`` —
-        per-partition (cell, count, sum) rows merged on the driver, the
-        treeAggregate shape); centroid means are re-normalized
-        (spherical k-means, Dhillon & Modha 2001). Expressing the
-        nearest-cell argmin as Catalyst columns costs O(nList·dims)
-        expression nodes whose compile time dominates."""
+        """Spherical coarse quantizer (spherical k-means, Dhillon &
+        Modha 2001) trained on a BOUNDED seeded sample — the published
+        IVF recipe (coarse quantizers train on ~10k-100k vectors, not
+        the corpus): one JVM ``TakeOrderedAndProject`` job pulls the
+        ``trainSampleSize`` vectors with the smallest seeded xxhash64,
+        then ``trainIter`` Lloyd iterations run driver-side in numpy on
+        that O(sample·dims) matrix. Vectors are L2-normalized first so
+        the dot-product cell assignment orders cells by COSINE (on the
+        unit sphere ‖a−b‖² = 2 − 2·cos(a,b)); clustering raw vectors
+        would scatter cosine neighbors of different magnitudes across
+        cells. At 100 TB this costs one per-partition top-k scan —
+        the previous shape (full-corpus Lloyd partials via
+        ``mapInPandas`` after an rdd.takeSample that pickled the whole
+        table through Python) cost two extra full passes per train."""
         import numpy as np
 
         arr = as_double_array(corpus, self.getEmbeddingCol())
         pts = corpus.select(arr.alias("__v"))
-        sample = pts.rdd.takeSample(False, self.getNList(), self.getSeed())
+        n_list = self.getNList()
+        cap = max(self.getOrDefault(self.trainSampleSize), n_list)
+        sample = (pts.orderBy(F.xxhash64(F.lit(self.getSeed()), "__v"))
+                  .limit(cap).collect())
 
-        C0 = _unit(np.asarray([list(r["__v"]) for r in sample]))
-
-        def partial(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = _unit(np.stack(pdf["__v"].to_numpy()).astype(np.float64))
-                a = ((X[:, None, :] - C0[None]) ** 2).sum(-1).argmin(1)
-                yield pd.DataFrame(
-                    [(int(cell), int((a == cell).sum()),
-                      X[a == cell].sum(0).tolist())
-                     for cell in np.unique(a)],
-                    columns=["cell", "cnt", "s"])
-
-        parts = pts.mapInPandas(
-            partial, "cell int, cnt long, s array<double>").collect()
-        cnt = np.zeros(len(C0))
-        acc = np.zeros_like(C0)
-        for r in parts:
-            cnt[r["cell"]] += r["cnt"]
-            acc[r["cell"]] += np.asarray(r["s"])
-        self._centroids = [
-            _unit(acc[i] / cnt[i]).tolist() if cnt[i] else C0[i].tolist()
-            for i in range(len(C0))]
+        X = _unit(np.asarray([list(r["__v"]) for r in sample]))
+        C = X[:n_list].copy()
+        for _ in range(max(self.getOrDefault(self.trainIter), 0)):
+            # unit sphere: argmin ‖x−c‖² == argmax x·c — one BLAS matmul
+            a = (X @ C.T).argmax(1)
+            acc = np.zeros_like(C)
+            np.add.at(acc, a, X)
+            cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
+            live = cnt > 0
+            # empty cells keep their previous centroid (standard Lloyd
+            # dead-cell rule; keeps the cell count stable for nProbe)
+            C[live] = _unit(acc[live] / cnt[live, None])
+        self._centroids = [c.tolist() for c in C]
         return self
 
     def topk(self, queries: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -201,14 +209,16 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         @F.pandas_udf("int")
         def cell_of(embs: pd.Series) -> pd.Series:
             X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
-            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
-            return pd.Series(d.argmin(1)).astype("int32")
+            return pd.Series((X @ C.T).argmax(1)).astype("int32")
 
         @F.pandas_udf("array<int>")
         def probes_of(embs: pd.Series) -> pd.Series:
             X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
-            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
-            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            # descending dot == ascending L2 on the unit sphere; negate
+            # so the stable sort keeps the lowest cell id on dot ties
+            # (same tie rule as the argmin in cell_of)
+            order = np.argsort(-(X @ C.T), axis=1,
+                               kind="stable")[:, :n_probe]
             return pd.Series(list(order.astype("int32")))
 
         ca = as_double_array(corpus, self.getEmbeddingCol())
