@@ -319,8 +319,16 @@ class SaltedJoiner(AlgoOperator):
     ``join(big, small, on, how)`` supports ``inner`` and ``left``
     (outer semantics are per BIG-side row, which replication
     preserves: an unmatched big row still appears exactly once).
-    The salt is ``pmod(xxhash64(all big-side columns), numSalts)`` —
-    layout-invariant, so retries and resumed jobs salt identically.
+    The default salt is ``pmod(xxhash64(all hashable big-side
+    columns), numSalts)`` — layout-invariant, so retries and resumed
+    jobs salt identically. LIMITATION of that determinism: big-side
+    rows that are FULL duplicates hash to the same salt, so a hot key
+    whose rows are identical still lands on one reducer (map-typed
+    columns are excluded from the hash — xxhash64 rejects them — which
+    widens "identical" to "identical on the hashable columns").
+    ``setDeterministic(False)`` trades retry-stable salting for a
+    physical-placement salt (``spark_partition_id`` +
+    ``monotonically_increasing_id``) that spreads duplicates evenly.
 
     Prefer AQE's runtime skew-join splitting when it fires
     (sort-merge joins with statistics); this operator is the
@@ -339,10 +347,16 @@ class SaltedJoiner(AlgoOperator):
 
     numSalts = Param(Params._dummy(), "numSalts",
                      "ways each key is split", TypeConverters.toInt)
+    deterministic = Param(Params._dummy(), "deterministic",
+                          "True: layout-invariant content-hash salt "
+                          "(retry-stable, but full-duplicate rows share "
+                          "a salt); False: physical-placement salt "
+                          "(spreads duplicates)",
+                          TypeConverters.toBoolean)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(numSalts=16)
+        self._setDefault(numSalts=16, deterministic=True)
 
     def setNumSalts(self, v):
         v = int(v)
@@ -350,8 +364,13 @@ class SaltedJoiner(AlgoOperator):
             raise ValueError(f"numSalts must be >= 2, got {v}")
         return self._set(numSalts=v)
 
+    def setDeterministic(self, v):
+        return self._set(deterministic=bool(v))
+
     def join(self, big: DataFrame, small: DataFrame, on: list,
              how: str = "inner") -> DataFrame:
+        from pyspark.sql.types import MapType
+
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner or left, got {how!r}")
         s = self.getOrDefault(self.numSalts)
@@ -359,9 +378,19 @@ class SaltedJoiner(AlgoOperator):
         if overlap:
             raise ValueError(
                 f"non-key columns appear on both sides: {sorted(overlap)}")
+        if self.getOrDefault(self.deterministic):
+            # xxhash64 rejects map-typed columns at analysis — exclude
+            hashable = [f.name for f in big.schema.fields
+                        if not isinstance(f.dataType, MapType)]
+            if not hashable:
+                raise ValueError("no hashable big-side columns to salt "
+                                 "on; use setDeterministic(False)")
+            salt_src = F.xxhash64(*[F.col(c) for c in hashable])
+        else:
+            salt_src = F.xxhash64(F.spark_partition_id(),
+                                  F.monotonically_increasing_id())
         salted_big = big.withColumn(
-            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
-                             F.lit(s)).cast("int"))
+            "__salt", F.pmod(salt_src, F.lit(s)).cast("int"))
         rep_small = small.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
         out = salted_big.join(rep_small, on + ["__salt"], how)

@@ -129,12 +129,15 @@ class FuzzyRecordLinker(AlgoOperator, HasInputCol, HasIdColMixin):
         if other is None:
             pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
         dist = F.levenshtein("__a", "__b")
+        # max-length floor of 1: two empty/whitespace strings block
+        # together with distance 0, and a bare 0/0 division would emit
+        # NULL similarity in Spark (and engine-divergent NaN in SQL
+        # replays) for what is an exact match — floor makes it 1.0
+        max_len = F.greatest(F.length("__a"), F.length("__b"), F.lit(1))
         return (pairs
                 .filter(dist <= max_d)
                 .select("a_id", "b_id", dist.alias("distance"),
-                        (1.0 - dist / F.greatest(F.length("__a"),
-                                                 F.length("__b")))
-                        .alias("similarity")))
+                        (1.0 - dist / max_len).alias("similarity")))
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.link(df)
@@ -355,6 +358,11 @@ class ExpectationValidator(AlgoOperator):
         return self
 
     def expect_unique(self, name: str, *cols: str):
+        """Key tuples must not repeat. ANSI UNIQUE-constraint NULL
+        semantics: a tuple with ANY NULL key column never violates
+        (NULLs compare distinct), so N all-NULL keys count 0 — use
+        :meth:`expect_not_null` alongside when NULL keys themselves
+        are a defect."""
         self._unique_rules.append((name, list(cols)))
         return self
 
@@ -381,7 +389,11 @@ class ExpectationValidator(AlgoOperator):
             parts.append(row.select(stack).select("r.*"))
 
         for name, cols in self._unique_rules:
-            dup = (df.groupBy(*cols).count()
+            keyed = df
+            for c in cols:
+                # ANSI UNIQUE: any-NULL key tuples are exempt
+                keyed = keyed.filter(F.col(c).isNotNull())
+            dup = (keyed.groupBy(*cols).count()
                      .filter(F.col("count") > 1)
                      .agg(F.coalesce(F.sum("count"), F.lit(0))
                            .alias("n_violations")))

@@ -3472,7 +3472,7 @@ p AS (SELECT ent_id, nm, split_part(trim(nm), ' ', 1) AS blk
 SELECT a.ent_id AS a_id, b.ent_id AS b_id,
        levenshtein(a.nm, b.nm) AS distance,
        round(1.0 - levenshtein(a.nm, b.nm)::DOUBLE
-             / greatest(length(a.nm), length(b.nm)), 6) AS similarity
+             / greatest(length(a.nm), length(b.nm), 1), 6) AS similarity
 FROM p a JOIN p b ON a.blk = b.blk AND a.ent_id < b.ent_id
 WHERE levenshtein(a.nm, b.nm) <= 3
 """

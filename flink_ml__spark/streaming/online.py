@@ -40,8 +40,15 @@ _UNITS_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
 
 def _interval_ms(spec: str) -> int:
     """Parse a (possibly compound) tumbling-window interval like
-    '3 days' or '90 minutes 30 seconds' to milliseconds — the same
-    grammar ``F.window`` accepts on the batch path."""
+    '3 days' or '90 minutes 30 seconds' to milliseconds.
+
+    Supported grammar (verified identical to what ``F.window`` accepts
+    on the batch path in this Spark version): one or more
+    ``<integer> <unit>`` pairs, units ``millisecond second minute hour
+    day week`` with optional trailing 's'. Fractional counts
+    ('1.5 hours') and abbreviations ('90 sec') are rejected by BOTH
+    paths — `F.window('1.5 hours')` is CANNOT_PARSE_INTERVAL — so a
+    spec accepted here can never diverge from its batch twin."""
     parts = spec.strip().split()
     if not parts or len(parts) % 2:
         raise ValueError(f"cannot parse window interval {spec!r}")

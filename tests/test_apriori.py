@@ -60,14 +60,16 @@ def test_golden_rules(spark):
 
 def test_transform_leaves_no_cached_tables(spark):
     """transform() must not leak CacheManager entries: repeated calls
-    previously accumulated persisted `freq` tables until LRU eviction."""
-    spark.catalog.clearCache()  # session fixture is shared across test
-    # files — don't let another module's (legitimate) cache fail us
+    previously accumulated persisted `freq` tables until LRU eviction.
+    Snapshot-and-compare (entry count before vs after) instead of a
+    global isEmpty() assert, so another module's legitimate long-lived
+    cache can't fail this test under randomized ordering."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
     df = spark.createDataFrame(BASKETS, ["items"])
     for _ in range(3):
         make_op().transform(df).collect()
-    jss = spark._jsparkSession
-    assert jss.sharedState().cacheManager().isEmpty()
+    assert cm.cachedData().size() == before
 
 
 def test_singletons_with_default_lift(spark):

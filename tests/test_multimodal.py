@@ -147,11 +147,12 @@ def test_real_decoder_dispatch_is_import_guarded(spark, monkeypatch):
         ImageDecoder().setDecoder("pil").transform(df)
     with _pytest.raises(NotImplementedError, match="soundfile"):
         AudioFeatureExtractor().setDecoder("soundfile").transform(df)
+    with _pytest.raises(NotImplementedError, match="av"):
+        FrameSampler().setDecoder("pyav").transform(df)
     # unknown decoder name is a usage error, not a missing library
     with _pytest.raises(ValueError, match="unknown decoder"):
         ImageDecoder().setDecoder("webp").transform(df)
-    # video has no real branch at all
-    with _pytest.raises(NotImplementedError, match="video"):
+    with _pytest.raises(ValueError, match="unknown decoder"):
         FrameSampler().setDecoder("pil").transform(df)
 
     # fake PIL importable → dispatch succeeds at plan-build time
@@ -169,6 +170,12 @@ def test_real_decoder_dispatch_is_import_guarded(spark, monkeypatch):
     monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
     out = AudioFeatureExtractor().setDecoder("soundfile").transform(df)
     assert "rms" in out.columns
+
+    av_mod = types.ModuleType("av")
+    av_mod.open = lambda *_, **__: None
+    monkeypatch.setitem(sys.modules, "av", av_mod)
+    out = FrameSampler().setDecoder("pyav").transform(df)
+    assert "frame_mean" in out.columns
 
 
 def test_image_stats_and_resize_null_pixels_propagate(spark):

@@ -297,3 +297,30 @@ def test_salted_join_validation(spark):
         SaltedJoiner().join(big, clash, ["k"])
     with pytest.raises(TypeError, match="binary"):
         SaltedJoiner().transform(big)
+
+
+def test_salted_join_nondeterministic_mode_spreads_duplicates(spark):
+    """deterministic=True content-hash salting maps full-duplicate rows
+    to ONE salt (the documented limitation); setDeterministic(False)
+    spreads them while preserving the result set."""
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.joins import SaltedJoiner
+
+    # hot key whose rows are all IDENTICAL — the adversarial case
+    big = spark.createDataFrame(
+        [("hot", 1.0)] * 400 + [("b", 2.0)] * 5,
+        "k string, v double").repartition(8)
+    small = spark.createDataFrame(
+        [("hot", 10.0), ("b", 20.0)], "k string, w double")
+
+    det = SaltedJoiner().setNumSalts(8)
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)).cast("int"))
+    assert salted.filter("k = 'hot'").select("__salt").distinct() \
+                 .count() == 1  # the limitation, pinned
+
+    nd = SaltedJoiner().setNumSalts(8).setDeterministic(False)
+    got = sorted(map(tuple, nd.join(big, small, ["k"]).collect()))
+    want = sorted(map(tuple, big.join(small, ["k"]).collect()))
+    assert got == want and len(got) == 405
