@@ -662,15 +662,15 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
         return self.setTargets(
             {g: c ** (1.0 / temperature) for g, c in counts.items()})
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def _stats(self, df: DataFrame) -> DataFrame:
+        """O(groups) per-group keep-threshold table — the calibration
+        half of :meth:`transform`, split out so the streaming twin can
+        compute it once on a static reference and apply the keep
+        projection to live data."""
         grp = self.getGroupCol()
         tgt = self.getTargets()
-        # rows without a group are dropped AND excluded from quota
-        # arithmetic — otherwise a handful of NULL-group rows drives
-        # the min-count quota while the null-unsafe join removes them,
-        # collapsing every other group to the NULL group's size
-        df = df.filter(F.col(grp).isNotNull())
-        counts = df.groupBy(grp).agg(F.count("*").alias("__cnt"))
+        counts = df.filter(F.col(grp).isNotNull()) \
+                   .groupBy(grp).agg(F.count("*").alias("__cnt"))
         # the corpus-wide scalar (min count / max feasible output) comes
         # from a broadcast cross-join of a one-row aggregate, NOT a
         # constant-key window: partitionBy(lit(1)) funnels the stats
@@ -699,12 +699,25 @@ class DomainBalancer(AlgoOperator, HasIdColMixin):
                          "__keep_below",
                          F.floor(F.col("__frac") * F.col("__nmax")
                                  * 65536 / F.col("__cnt"))))
-        # stats is O(groups) rows — broadcast; the window above runs on
-        # that tiny table, not the data
+        return stats.select(grp, "__keep_below")
+
+    def keep(self, df: DataFrame, stats: DataFrame) -> DataFrame:
+        """Apply the keep projection against a precomputed stats table
+        — pure broadcast join + hash-threshold filter, no aggregation,
+        so it runs unchanged on a streaming DataFrame."""
+        grp = self.getGroupCol()
         b = _hash_bucket16(F.col(self.getIdCol()), self.getSalt())
-        return (df.join(F.broadcast(stats.select(grp, "__keep_below")), grp)
+        return (df.filter(F.col(grp).isNotNull())
+                .join(F.broadcast(stats), grp)
                 .filter(b < F.col("__keep_below"))
                 .drop("__keep_below"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        # rows without a group are dropped AND excluded from quota
+        # arithmetic — otherwise a handful of NULL-group rows drives
+        # the min-count quota while the null-unsafe join removes them,
+        # collapsing every other group to the NULL group's size
+        return self.keep(df, self._stats(df))
 
 
 class DocumentChunker(AlgoOperator, HasInputCol, HasIdColMixin):

@@ -365,6 +365,176 @@ def stream_drift_monitor(stream_df: DataFrame, time_col: str,
             .withColumn("drift_level", drift_level(F.col("psi"))))
 
 
+def stream_categorical_drift_monitor(stream_df: DataFrame,
+                                     time_col: str, monitor,
+                                     reference: DataFrame,
+                                     window: str = "1 minute",
+                                     watermark_delay: str = "0 seconds"
+                                     ) -> DataFrame:
+    """Windowed categorical PSI against a static reference — the live
+    twin of :class:`~flink_ml__spark.functions.drift
+    .CategoricalDriftMonitor`, same split as the numeric pair: the
+    batch ``report`` is the oracle-gated query, this the
+    parity-tested stream.
+
+    Takes the SAME CategoricalDriftMonitor (columns + vocabulary
+    cap). The reference vocabulary and category proportions are
+    computed ONCE at plan-build time (one aggregate job on the
+    static side, O(cols · maxCategories) literals); the stream pays
+    exactly ONE stateful windowed aggregation — per-category counts
+    fold in as conditional sums (value-in-vocab tests over literal
+    lists), and the PSI arithmetic is a pure projection over the
+    O(windows) output. A brand-new category in a window folds into
+    ``__other__``, which is the schema-drift signal the batch side
+    reports too.
+
+    Output: ``window_start, window_end, column, n_rows, psi,
+    drift_level`` — one row per (window, column).
+    """
+    from flink_ml__spark.functions.drift import _FLOOR, drift_level
+
+    cols = monitor.getOrDefault(monitor.inputCols)
+    if not cols:
+        raise ValueError("monitor has no columns — setInputCols(...)")
+    mx = monitor.getOrDefault(monitor.maxCategories)
+    null_cat, other_cat = monitor.NULL_CAT, monitor.OTHER_CAT
+
+    # one bounded job on the static side: per-column category counts,
+    # vocabulary cut to top-mx (count desc, value asc — same tie rule
+    # as the batch report's WindowGroupLimit)
+    ref_counts = (monitor._cells(reference, cols)
+                  .groupBy("column", "value")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+    by_col: dict[str, dict[str, int]] = {c: {} for c in cols}
+    for r in ref_counts:
+        by_col[r["column"]][r["value"]] = r["n"]
+    vocab: dict[str, list[str]] = {}
+    p_ref: dict[str, dict[str, float]] = {}
+    for c in cols:
+        counts = by_col[c]
+        tot = max(sum(counts.values()), 1)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocab[c] = [v for v, _n in ranked[:mx] if v != null_cat]
+        # fixed category set: vocab ∪ sentinels — every current value
+        # maps into it, and vocab categories absent from a window
+        # still emit their floored term (matching the batch report)
+        cats = vocab[c] + [other_cat, null_cat]
+        in_v = set(vocab[c])
+        n_of = {cat: 0 for cat in cats}
+        for v, n in counts.items():
+            key = (null_cat if v == null_cat
+                   else (v if v in in_v else other_cat))
+            n_of[key] += n
+        p_ref[c] = {cat: max(n_of[cat] / tot, _FLOOR) for cat in cats}
+
+    win = F.window(F.col(time_col), window)
+    # materialize each column's category ONCE as a named projection
+    # (same reuse rule as the numeric twin: re-embedding the isin
+    # chain inside every conditional sum multiplies expression nodes
+    # in the hot stateful aggregate)
+    def cat_of(c):
+        # NULL test FIRST: a trailing .otherwise() would swallow the
+        # NULL result of isin() and misfile NULLs as __other__
+        v = F.col(c).cast("string")
+        branch = F.when(v.isNull(), F.lit(null_cat)).when(
+            v.isin(null_cat, other_cat),
+            F.raise_error(F.concat(
+                F.lit("stream_categorical_drift_monitor: column '"
+                      f"{c}' contains the literal sentinel value "),
+                v, F.lit(" — rename it upstream"))))
+        if vocab[c]:
+            branch = branch.when(v.isin(*vocab[c]), v)
+        return branch.otherwise(F.lit(other_cat))
+
+    catted = stream_df.select(
+        F.col(time_col), *[cat_of(c).alias(f"__c_{c}") for c in cols])
+    aggs = []
+    for c in cols:
+        cc = F.col(f"__c_{c}")
+        for i, cat in enumerate(vocab[c] + [other_cat, null_cat]):
+            aggs.append(F.sum((cc == cat).cast("bigint"))
+                        .alias(f"__n_{c}_{i}"))
+        aggs.append(F.count(F.lit(1)).alias(f"__t_{c}"))
+    agg = (catted
+           .withWatermark(time_col, watermark_delay)
+           .groupBy(win.alias("__w")).agg(*aggs))
+
+    proj = []
+    for c in cols:
+        cats = vocab[c] + [other_cat, null_cat]
+        tot = F.greatest(F.col(f"__t_{c}"), F.lit(1))
+        psi = F.lit(0.0)
+        for i, cat in enumerate(cats):
+            p_cur = F.greatest(F.col(f"__n_{c}_{i}") / tot,
+                               F.lit(_FLOOR))
+            pr = F.lit(p_ref[c][cat])
+            psi = psi + (p_cur - pr) * F.log(p_cur / pr)
+        proj.append(F.struct(F.lit(c).alias("column"),
+                             F.col(f"__t_{c}").alias("n_rows"),
+                             psi.alias("psi")))
+    stack = F.explode(F.array(*proj)).alias("r")
+    return (agg.select(F.col("__w.start").alias("window_start"),
+                       F.col("__w.end").alias("window_end"), stack)
+            .select("window_start", "window_end", "r.*")
+            .withColumn("drift_level", drift_level(F.col("psi"))))
+
+
+def stream_domain_balance(stream_df: DataFrame, balancer,
+                          reference: DataFrame) -> DataFrame:
+    """Composition-controlled sampling of a live stream — the
+    streaming twin of :class:`~flink_ml__spark.functions.curation
+    .DomainBalancer`: per-group keep thresholds are calibrated ONCE
+    on a static reference snapshot (one O(groups) aggregate at
+    plan-build time), then the stream pays a pure broadcast join +
+    hash-threshold filter per micro-batch — map-only, no state, so
+    it composes with any downstream windowed aggregate.
+
+    Exact-quota semantics do not exist on an unbounded stream; this
+    is the rate calibration that does: each group is kept at the
+    fraction the reference's composition implies, binomial around
+    the quota exactly like the batch operator. Re-plan (restart the
+    query) to re-calibrate against a fresh reference.
+    """
+    stats = balancer._stats(reference)
+    # fold the O(groups) thresholds to literals via collect so the
+    # stream side carries no lineage onto the reference scan
+    rows = stats.collect()
+    spark = reference.sparkSession
+    lit_stats = spark.createDataFrame(rows, stats.schema)
+    return balancer.keep(stream_df, lit_stats)
+
+
+def stream_weighted_sample(stream_df: DataFrame, sampler,
+                           reference: DataFrame) -> DataFrame:
+    """Weight-biased filtering of a live stream — the streaming twin
+    of :class:`~flink_ml__spark.functions.curation.WeightedSampler`
+    (Efraimidis-Spirakis keys). A global exact-n draw does not exist
+    on an unbounded stream; the calibrated analogue does: the
+    reference snapshot's n-th ranked ``sample_key`` becomes a literal
+    acceptance threshold, and the stream keeps rows whose key clears
+    it — per-row inclusion odds identical to the batch draw's margin,
+    map-only, no state. Ties AT the threshold are kept (the stream
+    can only widen, never bias, the cut). Appends ``sample_key``.
+    """
+    kept = sampler.transform(reference).select(
+        F.round("sample_key", 12).alias("__k"))
+    tau = kept.agg(F.min("__k").alias("t")).first()["t"]
+    if tau is None:
+        raise ValueError("reference yielded no sampleable rows "
+                         "(all weights NULL/non-positive?)")
+    idc = sampler.getIdCol()
+    w = F.col(sampler.getWeightCol()).cast("double")
+    from flink_ml__spark.functions.dedup import portable_hash60
+
+    h = portable_hash60(F.concat(F.lit(sampler.getSalt() + ":"),
+                                 F.col(idc).cast("string")))
+    u = (h + 1) / F.lit(sampler.U_DENOM)
+    key = F.log(u) / w
+    return (stream_df.filter(w.isNotNull() & (w > 0))
+            .withColumn("sample_key", key)
+            .filter(F.round("sample_key", 12) >= F.lit(tau)))
+
+
 def stream_correlation_monitor(stream_df: DataFrame, time_col: str,
                                pairs: list, window: str = "1 minute",
                                watermark_delay: str = "0 seconds"

@@ -733,3 +733,136 @@ def test_stream_sessionize_matches_batch(spark):
         assert len(got) == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_categorical_drift_monitor_matches_batch(spark):
+    """Windowed categorical PSI on a stream equals the same monitor's
+    batch-frame run; the window flooded with a brand-new category
+    (folds to __other__) reads as drift while stable windows don't."""
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.functions.drift import CategoricalDriftMonitor
+    from flink_ml__spark.streaming import (
+        stream_categorical_drift_monitor,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, ["a", "a", "b", "c", None][i % 5]) for i in range(100)],
+        "id long, cat string")
+    rows = []
+    for i in range(30):
+        ts = datetime(2024, 1, 1, 0, i // 10, 7, tzinfo=timezone.utc)
+        # minute 1 is all never-seen categories
+        cat = (f"zz{i}" if i // 10 == 1
+               else ["a", "a", "b", "c", None][i % 5])
+        rows.append((i, ts, cat))
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    mon = (CategoricalDriftMonitor().setInputCols("cat")
+           .setMaxCategories(10))
+
+    batch = {(r["window_start"], r["column"]):
+             (r["n_rows"], round(r["psi"], 9), r["drift_level"])
+             for r in stream_categorical_drift_monitor(df, "ts", mon, ref)
+             .collect()}
+    assert len(batch) == 3
+    levels = [batch[k][2] for k in sorted(batch)]
+    assert levels[1] == "action"
+    assert levels[0] == levels[2] != "action"
+    # the batch-frame twin's PSI agrees with the batch report's total
+    # on the same window slice (same category folding rules)
+    minute0 = df.filter("minute(ts) = 0").drop("ts")
+    rep = mon.summary(ref, minute0).first()
+    assert math.isclose(batch[sorted(batch)[0][0], "cat"][1],
+                        rep["psi"], abs_tol=1e-6)
+
+    d = tempfile.mkdtemp(prefix="stream_catdrift_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_categorical_drift_monitor(stream, "ts", mon, ref)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("catdrift")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["column"]):
+               (r["n_rows"], round(r["psi"], 9), r["drift_level"])
+               for r in spark.sql("SELECT * FROM catdrift").collect()}
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = {ws for ws, _ in set(batch) - set(got)}
+        assert open_windows <= {max(ws for ws, _ in batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_domain_balance_matches_batch_keep(spark):
+    """The reference-calibrated stream filter keeps EXACTLY the rows
+    the batch operator (calibrated on the same reference) keeps."""
+    from flink_ml__spark.functions.curation import DomainBalancer
+    from flink_ml__spark.streaming import stream_domain_balance
+
+    ref = spark.createDataFrame(
+        [(i, ["en"] * 6 + ["de"] * 3 + ["fr"]) for i in range(200)
+         for _ in [0]][:0] or
+        [(i, (["en"] * 6 + ["de"] * 3 + ["fr"])[i % 10])
+         for i in range(200)],
+        "doc_id long, lang string")
+    live = spark.createDataFrame(
+        [(1000 + i, (["en"] * 6 + ["de"] * 3 + ["fr", None])[i % 11])
+         for i in range(110)],
+        "doc_id long, lang string")
+    bal = DomainBalancer().setGroupCol("lang").setIdCol("doc_id")
+
+    want = sorted(r["doc_id"] for r in
+                  bal.keep(live, bal._stats(ref)).collect())
+    got_batch = sorted(r["doc_id"] for r in
+                       stream_domain_balance(live, bal, ref).collect())
+    assert got_batch == want and want
+
+    d = tempfile.mkdtemp(prefix="stream_balance_")
+    try:
+        live.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(live.schema).parquet(d)
+        out = stream_domain_balance(stream, bal, ref)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("bal")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in
+                     spark.sql("SELECT doc_id FROM bal").collect())
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_weighted_sample_matches_batch_cut(spark):
+    """On the calibration data itself, the streamed threshold filter
+    reproduces the batch draw exactly (no key ties at the cut in this
+    fixture); weight-0/NULL rows never pass."""
+    from flink_ml__spark.functions.curation import WeightedSampler
+    from flink_ml__spark.streaming import stream_weighted_sample
+
+    ref = spark.createDataFrame(
+        [(i, float(1 + (i * 37) % 50)) for i in range(300)]
+        + [(900, None), (901, 0.0)],
+        "doc_id long, w double")
+    samp = (WeightedSampler().setIdCol("doc_id").setWeightCol("w")
+            .setN(40).setSalt("s7"))
+    want = sorted(r["doc_id"] for r in samp.transform(ref).collect())
+    assert len(want) == 40
+
+    d = tempfile.mkdtemp(prefix="stream_wsample_")
+    try:
+        ref.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(ref.schema).parquet(d)
+        out = stream_weighted_sample(stream, samp, ref)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("wsamp")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in
+                     spark.sql("SELECT doc_id FROM wsamp").collect())
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
