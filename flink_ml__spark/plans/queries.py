@@ -4750,6 +4750,200 @@ FROM events e JOIN small s USING (event_type)
 
 
 # ---------------------------------------------------------------------------
+# URL / web-domain curation (functions/web.py)
+# ---------------------------------------------------------------------------
+
+# deterministic URL derivation from the documents table (the testdata
+# ships no URL column; deriving in BOTH engines keeps the oracle exact
+# — same pattern as the multimodal payload gates). The five forms
+# exercise multi-part-suffix domains, default/non-default ports,
+# tracking params, trailing slashes, and malformed input; the 220-row
+# period (lcm of the 20-source cycle and the %11 path) plants exact
+# canonical-URL duplicates for the dedup gate.
+_URL_CASES_SQL = """CASE doc_id % 5
+  WHEN 0 THEN 'https://www.' || source || '.example.co.uk:443/a/'
+              || (doc_id % 11) || '/?utm_source=x&q=' || (doc_id % 13)
+  WHEN 1 THEN 'http://' || source || '.example' || (doc_id % 2)
+              || '.com:80/p/' || (doc_id % 11)
+  WHEN 2 THEN 'https://cdn.' || source || '.example' || (doc_id % 2)
+              || '.com/p/' || (doc_id % 11) || '?b=2&a=1&fbclid=zz'
+  WHEN 3 THEN 'no-url-' || doc_id
+  ELSE 'http://' || source || '.example' || (doc_id % 2)
+       || '.com/p/' || ((doc_id + 1) % 11) || '/'
+END"""
+
+
+def _derived_url_col():
+    d = F.col("doc_id")
+    s = F.col("source")
+    k = (d % 11).cast("string")
+    di = (d % 2).cast("string")
+    m = d % 5
+    return (
+        F.when(m == 0, F.concat(
+            F.lit("https://www."), s, F.lit(".example.co.uk:443/a/"),
+            k, F.lit("/?utm_source=x&q="), (d % 13).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("http://"), s, F.lit(".example"), di,
+            F.lit(".com:80/p/"), k))
+        .when(m == 2, F.concat(
+            F.lit("https://cdn."), s, F.lit(".example"), di,
+            F.lit(".com/p/"), k, F.lit("?b=2&a=1&fbclid=zz")))
+        .when(m == 3, F.concat(F.lit("no-url-"), d.cast("string")))
+        .otherwise(F.concat(
+            F.lit("http://"), s, F.lit(".example"), di,
+            F.lit(".com/p/"), ((d + 1) % 11).cast("string"),
+            F.lit("/"))))
+
+
+def _url_docs(spark, sf_dir):
+    return (load_table(spark, "documents", sf_dir)
+            .select("doc_id", _derived_url_col().alias("url")))
+
+
+def q_url_parse_documents(spark, sf_dir):
+    """URL → typed parts (scheme/host/registrable-domain/path/query);
+    malformed rows yield NULL parts. Pure regexp codegen projection."""
+    from flink_ml__spark.functions.web import UrlParser
+
+    return (UrlParser().setInputCol("url")
+            .transform(_url_docs(spark, sf_dir))
+            .select("doc_id", "url_scheme", "url_host", "url_domain",
+                    "url_path", "url_query"))
+
+
+# shared oracle fragments: the same Java/RE2-compatible regex both
+# engines run, and the registrable-domain CASE replayed over DuckDB
+# list ops. Double braces are literal braces (these are f-strings).
+_W_RE = (r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/(?:[^@\/?#]*@)?([^:\/?#]+)"
+         r"(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$")
+
+
+def _web_suffix_sql() -> str:
+    from flink_ml__spark.functions.web import MULTIPART_SUFFIXES
+
+    return ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+
+
+def _web_parts_cte() -> str:
+    """CTEs ``u`` (doc_id, url) → ``wp`` (parts + registrable dom)."""
+    return f"""
+u AS (SELECT doc_id, {_URL_CASES_SQL} AS url FROM documents),
+wh AS (SELECT doc_id, url,
+        regexp_matches(url, '{_W_RE}') AS ok,
+        lower(regexp_extract(url, '{_W_RE}', 1)) AS scheme,
+        lower(regexp_extract(url, '{_W_RE}', 2)) AS host,
+        regexp_extract(url, '{_W_RE}', 3) AS port,
+        regexp_extract(url, '{_W_RE}', 4) AS path,
+        regexp_extract(url, '{_W_RE}', 5) AS query
+       FROM u),
+wp AS (SELECT *, CASE
+        WHEN NOT ok THEN NULL
+        WHEN regexp_matches(host,
+             '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$') THEN host
+        WHEN len(string_split(host, '.')) <= 2 THEN host
+        WHEN array_to_string(string_split(host, '.')[-2:], '.')
+             IN ({_web_suffix_sql()})
+          THEN array_to_string(string_split(host, '.')[-3:], '.')
+        ELSE array_to_string(string_split(host, '.')[-2:], '.')
+       END AS dom FROM wh)"""
+
+
+ORACLE_URL_PARSE = f"""
+WITH {_web_parts_cte()}
+SELECT doc_id,
+       CASE WHEN ok THEN scheme END AS url_scheme,
+       CASE WHEN ok THEN host END AS url_host,
+       dom AS url_domain,
+       CASE WHEN ok THEN path END AS url_path,
+       CASE WHEN ok THEN query END AS url_query
+FROM wp
+"""
+
+
+def _web_canon_cte() -> str:
+    """CTE ``wc``: wp + the canonical URL (tracking params dropped,
+    params sorted, default ports cut, trailing slash trimmed)."""
+    return f"""{_web_parts_cte()},
+wc AS (SELECT *, CASE WHEN ok THEN
+        scheme || '://' || host ||
+        CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+             THEN ':' || port ELSE '' END ||
+        CASE WHEN len(path) > 1 AND path LIKE '%/'
+             THEN substr(path, 1, len(path) - 1)
+             WHEN path = '' THEN '/'
+             ELSE path END ||
+        CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+               x -> x <> ''
+                AND NOT lower(split_part(x, '=', 1))
+                        IN ('fbclid', 'gclid', 'ref')
+                AND NOT starts_with(lower(split_part(x, '=', 1)),
+                                    'utm_')))) > 0
+             THEN '?' || array_to_string(
+                    list_sort(list_filter(string_split(query, '&'),
+                      x -> x <> ''
+                       AND NOT lower(split_part(x, '=', 1))
+                               IN ('fbclid', 'gclid', 'ref')
+                       AND NOT starts_with(lower(split_part(x, '=', 1)),
+                                           'utm_'))), '&')
+             ELSE '' END
+       END AS canon FROM wp)"""
+
+
+def q_url_canonical_documents(spark, sf_dir):
+    """Canonical URL form (RefinedWeb-style pre-dedup normalization)."""
+    from flink_ml__spark.functions.web import UrlCanonicalizer
+
+    return (UrlCanonicalizer().setInputCol("url")
+            .transform(_url_docs(spark, sf_dir))
+            .select("doc_id", "url_canonical"))
+
+
+ORACLE_URL_CANONICAL = f"""
+WITH {_web_canon_cte()}
+SELECT doc_id, canon AS url_canonical FROM wc
+"""
+
+
+def q_url_dedup_documents(spark, sf_dir):
+    """Exact dedup by canonical URL: keep min doc_id per canonical;
+    NULL/malformed URLs always survive (no URL evidence)."""
+    from flink_ml__spark.functions.web import UrlDeduplicator
+
+    return (UrlDeduplicator().setInputCol("url")
+            .transform(_url_docs(spark, sf_dir))
+            .select("doc_id", "url_canonical"))
+
+
+ORACLE_URL_DEDUP = f"""
+WITH {_web_canon_cte()}
+SELECT doc_id, canon AS url_canonical FROM wc
+WHERE canon IS NULL
+   OR doc_id = (SELECT min(w2.doc_id) FROM wc w2
+                WHERE w2.canon = wc.canon)
+"""
+
+
+def q_url_domain_filter_documents(spark, sf_dir):
+    """C4-style domain blocklist gate: drop rows whose registrable
+    domain (subdomains included) is blocked; NULL-URL rows pass."""
+    from flink_ml__spark.functions.web import DomainFilter
+
+    out = (DomainFilter().setInputCol("url")
+           .setBlocklist("example0.com", "example.co.uk")
+           .transform(_url_docs(spark, sf_dir)))
+    return out.select("doc_id", "url")
+
+
+ORACLE_URL_DOMAIN_FILTER = f"""
+WITH {_web_parts_cte()}
+SELECT doc_id, url FROM wp
+WHERE dom IS NULL OR dom NOT IN ('example0.com', 'example.co.uk')
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4807,6 +5001,11 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "multimodal_scene_changes": q_multimodal_scene_changes,
     "quantize_embeddings": q_quantize_embeddings,
+    # --- round-7 additions: next in line for the round-8 rotation
+    "url_parse_documents": q_url_parse_documents,
+    "url_canonical_documents": q_url_canonical_documents,
+    "url_dedup_documents": q_url_dedup_documents,
+    "url_domain_filter_documents": q_url_domain_filter_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -4880,6 +5079,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "url_parse_documents": ORACLE_URL_PARSE,
+    "url_canonical_documents": ORACLE_URL_CANONICAL,
+    "url_dedup_documents": ORACLE_URL_DEDUP,
+    "url_domain_filter_documents": ORACLE_URL_DOMAIN_FILTER,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,
