@@ -132,6 +132,10 @@ HEADLINE = [
     "stratified_sample_documents",
     "salted_join_events",
     "skew_summary_events",
+    "url_parse_documents",
+    "url_canonical_documents",
+    "url_dedup_documents",
+    "url_domain_filter_documents",
 ]
 
 
