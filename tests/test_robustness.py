@@ -752,3 +752,48 @@ def test_ranking_evaluator_matches_python_reference(spark, data):
             assert row["recall_at_k"] is None
             assert row["ndcg_at_k"] is None
         assert row["mrr"] == (1.0 / min(hits) if hits else 0.0)
+
+
+_url_label = st.text(alphabet="abcz09", min_size=1, max_size=5)
+_url_strat = st.one_of(
+    st.builds(
+        lambda sch, labels, port, segs, params, frag:
+            sch + "://" + ".".join(labels)
+            + (f":{port}" if port else "")
+            + "/" + "/".join(segs)
+            + ("/" if len(segs) % 2 else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#" + frag if frag else ""),
+        st.sampled_from(["http", "https", "HTTP", "ftp"]),
+        st.lists(_url_label, min_size=1, max_size=4),
+        st.sampled_from(["", "80", "443", "8080"]),
+        st.lists(_url_label, min_size=0, max_size=3),
+        st.lists(st.sampled_from(
+            ["a=1", "b=2", "utm_source=x", "fbclid=z", "Q=9"]),
+            min_size=0, max_size=4),
+        st.sampled_from(["", "frag"])),
+    st.text(max_size=20),   # garbage
+)
+
+
+@H
+@given(urls=st.lists(_url_strat, min_size=1, max_size=6))
+def test_url_canonicalizer_idempotent(spark, urls):
+    """Canonical forms are fixed points: canonicalizing a canonical URL
+    changes nothing — the property that makes canonical-URL dedup keys
+    stable across re-crawls. Garbage never crashes, it yields NULL."""
+    from flink_ml__spark.functions.web import UrlCanonicalizer
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    op = UrlCanonicalizer().setInputCol("url")
+    once = {r["doc_id"]: r["url_canonical"]
+            for r in op.transform(df).collect()}
+    again_df = spark.createDataFrame(
+        [(i, c) for i, c in once.items() if c is not None],
+        "doc_id long, url string")
+    if again_df.count():
+        twice = {r["doc_id"]: r["url_canonical"]
+                 for r in op.transform(again_df).collect()}
+        for i, c in twice.items():
+            assert c == once[i], (urls[i], once[i], c)
