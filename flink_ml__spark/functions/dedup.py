@@ -187,6 +187,73 @@ class _MaterializeMixin:
         release_dedup_caches()
 
 
+class _PersistableIndexMixin:
+    """Parquet-persistable corpus signature index for the incremental
+    (``transform_against``) dedup family.
+
+    At 100 TB the corpus signature pass is the dominant cost of
+    against-corpus dedup, and ``corpus_hashed=`` only amortizes it
+    WITHIN a session. ``save_index`` writes the signature table (plus
+    the signature-relevant params) to parquet once per corpus
+    snapshot; ``load_index`` validates the params against the calling
+    operator and returns the table for ``corpus_hashed=`` — so a daily
+    crawl dedups against a 100 TB corpus with a map-only pass over the
+    INCREMENT only. ``mode='append'`` adds a new corpus batch's
+    signatures to an existing index (signatures are per-row, so
+    appending is exact).
+
+    Verification-only params (thresholds) are excluded from the
+    match check — an index stays valid when only the cut changes.
+    """
+
+    _INDEX_TABLE_METHOD = "hashed_table"
+    _INDEX_PARAM_EXCLUDE: set[str] = {"threshold", "hammingThreshold"}
+
+    def _index_params(self) -> dict:
+        return {p.name: self.getOrDefault(p) for p in self.params
+                if p.name not in self._INDEX_PARAM_EXCLUDE
+                and self.isDefined(p)}
+
+    def save_index(self, path: str, corpus: DataFrame | None = None, *,
+                   precomputed: DataFrame | None = None,
+                   mode: str = "overwrite") -> None:
+        import json
+        import os
+
+        if precomputed is None:
+            if corpus is None:
+                raise ValueError("need corpus or precomputed")
+            precomputed = getattr(self, self._INDEX_TABLE_METHOD)(corpus)
+        precomputed.write.mode(mode).parquet(os.path.join(path, "data"))
+        meta = {"class": f"{type(self).__module__}.{type(self).__name__}",
+                "params": self._index_params()}
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "index_params.json"), "w") as f:
+            json.dump(meta, f, sort_keys=True)
+
+    def load_index(self, spark, path: str, *,
+                   validate: bool = True) -> DataFrame:
+        import json
+        import os
+
+        if validate:
+            with open(os.path.join(path, "index_params.json")) as f:
+                meta = json.load(f)
+            want = f"{type(self).__module__}.{type(self).__name__}"
+            if meta["class"] != want:
+                raise ValueError(
+                    f"index built by {meta['class']}, not {want}")
+            mine = self._index_params()
+            stale = {k for k in set(meta["params"]) | set(mine)
+                     if meta["params"].get(k) != mine.get(k)}
+            if stale:
+                raise ValueError(
+                    "index params do not match this operator "
+                    f"(differs on {sorted(stale)}) — rebuild the index "
+                    "or align the operator settings")
+        return spark.read.parquet(os.path.join(path, "data"))
+
+
 class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
     """Exact dedup on the normalized-text fingerprint: keeps the
     smallest-id document per fingerprint (hash-groupBy + semi join —
@@ -226,7 +293,9 @@ class ExactDeduplicator(AlgoOperator, HasInputCol, HasIdColMixin):
         return keyed.join(cfp, "__fp", "left_anti").drop("__fp")
 
 
-class MinHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin, HasSeed):
+class MinHashDeduplicator(AlgoOperator, _MaterializeMixin,
+                          _PersistableIndexMixin, HasInputCol,
+                          HasIdColMixin, HasSeed):
     """MinHash + LSH near-duplicate removal.
 
     shingle (word n-grams) → minhash signature → band buckets →
@@ -395,9 +464,13 @@ class MinHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdCol
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 
-class SimHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin):
+class SimHashDeduplicator(AlgoOperator, _MaterializeMixin,
+                          _PersistableIndexMixin, HasInputCol,
+                          HasIdColMixin):
     """SimHash near-duplicate removal (60-bit fingerprint, banded LSH on
     15-bit quarters, Hamming-distance verification)."""
+
+    _INDEX_TABLE_METHOD = "simhash_table"
 
     hammingThreshold = Param(Params._dummy(), "hammingThreshold",
                              "max Hamming distance for duplicates",
@@ -544,7 +617,9 @@ class SimHashDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdCol
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 
-class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdColMixin):
+class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
+                               _PersistableIndexMixin, HasInputCol,
+                               HasIdColMixin):
     """Exact word-n-gram Jaccard dedup via prefix filtering.
 
     Candidate generation uses the AllPairs/SSJoin prefix filter (Bayardo,

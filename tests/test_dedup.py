@@ -455,3 +455,54 @@ def test_touch_dedup_cache_keeps_handle_young():
     finally:
         D._LIVE_CACHES.clear()
         D._LIVE_CACHES.extend(saved)
+
+
+def test_persistable_index_round_trip(spark, tmp_path):
+    """save_index → new operator instance → load_index →
+    transform_against equals the direct corpus run; param mismatch
+    (other than verification thresholds) is rejected; append mode
+    extends the index exactly."""
+    from flink_ml__spark.functions.dedup import MinHashDeduplicator
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i % 3}")
+         for i in range(10)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dog number 1"),
+         (101, "completely different text about spark engines here")],
+        ["doc_id", "text"])
+
+    op = MinHashDeduplicator().setSeed(11).setThreshold(0.8)
+    direct = sorted(r["doc_id"] for r in
+                    op.transform_against(new, corpus).collect())
+
+    p = str(tmp_path / "mh_index")
+    op.save_index(p, corpus)
+    fresh = MinHashDeduplicator().setSeed(11).setThreshold(0.8)
+    idx = fresh.load_index(spark, p)
+    via_index = sorted(r["doc_id"] for r in
+                       fresh.transform_against(new, corpus_hashed=idx)
+                       .collect())
+    assert via_index == direct == [101]
+
+    # threshold changes don't invalidate the index...
+    MinHashDeduplicator().setSeed(11).setThreshold(0.5).load_index(spark, p)
+    # ...signature-relevant params do
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seed"):
+        MinHashDeduplicator().setSeed(99).load_index(spark, p)
+    # wrong operator class rejected
+    from flink_ml__spark.functions.dedup import SimHashDeduplicator
+    with _pytest.raises(ValueError, match="built by"):
+        SimHashDeduplicator().load_index(spark, p)
+
+    # append a second corpus batch: new doc 100's duplicate source
+    batch2 = spark.createDataFrame(
+        [(50, "completely different text about spark engines here")],
+        ["doc_id", "text"])
+    op.save_index(p, batch2, mode="append")
+    idx2 = fresh.load_index(spark, p)
+    kept = sorted(r["doc_id"] for r in
+                  fresh.transform_against(new, corpus_hashed=idx2)
+                  .collect())
+    assert kept == []  # both new docs now duplicate some corpus row
