@@ -994,7 +994,9 @@ class SubstringDeduplicator(AlgoOperator, _MaterializeMixin, HasInputCol, HasIdC
         return self._rewrite(df, masks)
 
 
-class EmbeddingCosineDeduplicator(AlgoOperator, _MaterializeMixin, HasIdColMixin, HasSeed):
+class EmbeddingCosineDeduplicator(AlgoOperator, _MaterializeMixin,
+                                  _PersistableIndexMixin,
+                                  HasIdColMixin, HasSeed):
     """Embedding near-duplicate removal: banded random-hyperplane LSH →
     cosine verification → dominated-by-smaller-id drop.
 
@@ -1009,10 +1011,15 @@ class EmbeddingCosineDeduplicator(AlgoOperator, _MaterializeMixin, HasIdColMixin
     ``nBits`` shrinks the quadratic in-bucket term exponentially —
     tune the two independently instead of trading recall for blowup.
 
+    ``save_index``/``load_index`` persist the :meth:`keyed_table`
+    result (pass it back via ``corpus_keyed=``).
+
     Hyperplanes are seeded numpy draws folded into the plan as literals,
     so the whole pipeline stays deterministic and the oracle can replay
     it.
     """
+
+    _INDEX_TABLE_METHOD = "keyed_table"
 
     embeddingCol = Param(Params._dummy(), "embeddingCol",
                          "array<float/double> embedding column",

@@ -506,3 +506,33 @@ def test_persistable_index_round_trip(spark, tmp_path):
                   fresh.transform_against(new, corpus_hashed=idx2)
                   .collect())
     assert kept == []  # both new docs now duplicate some corpus row
+
+
+def test_persistable_index_embedding_variant(spark, tmp_path):
+    """The embedding deduplicator persists its keyed_table the same
+    way (corpus_keyed=), with the same param validation."""
+    from flink_ml__spark.functions.dedup import EmbeddingCosineDeduplicator
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.5]) for i in range(8)],
+        "doc_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(100, [2.0, 1.0, 0.5]), (101, [9.0, -3.0, 7.0])],
+        "doc_id long, embedding array<double>")
+    op = (EmbeddingCosineDeduplicator().setSeed(5).setThreshold(0.999)
+          .setIdCol("doc_id"))
+    direct = sorted(r["doc_id"] for r in
+                    op.transform_against(new, corpus).collect())
+    p = str(tmp_path / "emb_idx")
+    op.save_index(p, corpus)
+    fresh = (EmbeddingCosineDeduplicator().setSeed(5)
+             .setThreshold(0.999).setIdCol("doc_id"))
+    idx = fresh.load_index(spark, p)
+    via = sorted(r["doc_id"] for r in
+                 fresh.transform_against(new, corpus_keyed=idx).collect())
+    assert via == direct
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seed"):
+        (EmbeddingCosineDeduplicator().setSeed(6).setIdCol("doc_id")
+         .load_index(spark, p))
