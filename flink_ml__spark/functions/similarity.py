@@ -191,39 +191,96 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
         self._centroids = [c.tolist() for c in C]
         return self
 
-    def topk(self, queries: DataFrame, corpus: DataFrame) -> DataFrame:
-        """Corpus keyed by nearest cell; queries replicated to their
-        ``nProbe`` nearest cells; per-cell brute force as one vectorized
-        numpy matmul inside a cogrouped ``applyInPandas`` (candidates cut
-        to k per cell before the final global top-k window)."""
+    def index_table(self, corpus: DataFrame) -> DataFrame:
+        """(neighbor_id, __cv, __cell) — the corpus keyed by its
+        nearest IVF cell. This IS the index: persist it once per
+        corpus snapshot (``save_index``) and every later query batch
+        skips the full-corpus assignment pass."""
         import numpy as np
 
         if self._centroids is None:
             self.train(corpus)
         C = np.asarray(self._centroids)
-        idc = self.getIdCol()
-        k = self.getK()
-        n_probe = min(self.getNProbe(), len(C))
-        id_type = corpus.schema[idc].dataType.simpleString()
 
         @F.pandas_udf("int")
         def cell_of(embs: pd.Series) -> pd.Series:
             X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
             return pd.Series((X @ C.T).argmax(1)).astype("int32")
 
+        idc = self.getIdCol()
+        ca = as_double_array(corpus, self.getEmbeddingCol())
+        return (corpus.select(F.col(idc).alias("neighbor_id"),
+                              ca.alias("__cv"))
+                .withColumn("__cell", cell_of("__cv")))
+
+    def save_index(self, path: str, corpus: DataFrame | None = None, *,
+                   precomputed: DataFrame | None = None,
+                   mode: str = "overwrite") -> None:
+        """Persist the celled corpus + the trained centroids. The
+        centroids ship WITH the index (an IVF index is only meaningful
+        under the quantizer that built it); ``mode='append'`` adds a
+        new corpus batch celled under the SAME centroids."""
+        import json
+        import os
+
+        if precomputed is None:
+            if corpus is None:
+                raise ValueError("need corpus or precomputed")
+            precomputed = self.index_table(corpus)
+        precomputed.write.mode(mode).parquet(os.path.join(path, "data"))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump({"centroids": self._centroids,
+                       "nList": self.getNList()}, f)
+
+    def load_index(self, spark, path: str) -> DataFrame:
+        """Load a saved index: restores the centroids onto THIS
+        operator (so probe ranking matches the stored cells) and
+        returns the celled corpus for ``corpus_indexed=``."""
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        self._centroids = meta["centroids"]
+        return spark.read.parquet(os.path.join(path, "data"))
+
+    def topk(self, queries: DataFrame, corpus: DataFrame | None = None,
+             *, corpus_indexed: DataFrame | None = None) -> DataFrame:
+        """Corpus keyed by nearest cell; queries replicated to their
+        ``nProbe`` nearest cells; per-cell brute force as one vectorized
+        numpy matmul inside a cogrouped ``applyInPandas`` (candidates cut
+        to k per cell before the final global top-k window). Pass
+        ``corpus_indexed`` (an :meth:`index_table`/:meth:`load_index`
+        result) to skip the corpus assignment pass."""
+        import numpy as np
+
+        if corpus_indexed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_indexed")
+            c = self.index_table(corpus)
+        else:
+            if self._centroids is None:
+                raise ValueError(
+                    "corpus_indexed requires trained/loaded centroids")
+            c = corpus_indexed
+        C = np.asarray(self._centroids)
+        idc = self.getIdCol()
+        k = self.getK()
+        n_probe = min(self.getNProbe(), len(C))
+        src = corpus if corpus is not None else queries
+        id_type = src.schema[idc].dataType.simpleString()
+
         @F.pandas_udf("array<int>")
         def probes_of(embs: pd.Series) -> pd.Series:
             X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
             # descending dot == ascending L2 on the unit sphere; negate
             # so the stable sort keeps the lowest cell id on dot ties
-            # (same tie rule as the argmin in cell_of)
+            # (same tie rule as the argmax in cell assignment)
             order = np.argsort(-(X @ C.T), axis=1,
                                kind="stable")[:, :n_probe]
             return pd.Series(list(order.astype("int32")))
 
-        ca = as_double_array(corpus, self.getEmbeddingCol())
-        c = (corpus.select(F.col(idc).alias("neighbor_id"), ca.alias("__cv"))
-             .withColumn("__cell", cell_of("__cv")))
         qa = as_double_array(queries, self.getEmbeddingCol())
         q = (queries.select(F.col(idc).alias("query_id"), qa.alias("__qv"))
              .withColumn("__cell", F.explode(probes_of("__qv"))))

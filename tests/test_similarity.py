@@ -196,3 +196,48 @@ def test_zero_norm_vectors_never_rank(spark):
     got = {r["neighbor_id"] for r in ivf.filter("query_id = 0").collect()}
     want = {r["neighbor_id"] for r in exact.filter("query_id = 0").collect()}
     assert got == want                                # full probe = exact
+
+
+def test_ivf_persistable_index_round_trip(spark, tmp_path):
+    """save_index persists the celled corpus + centroids; a fresh
+    operator load_index + topk(corpus_indexed=) equals the direct run;
+    append mode extends the index under the same quantizer."""
+    from flink_ml__spark.functions.similarity import IVFCosineTopK
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id % 10 = 0")
+
+    op = IVFCosineTopK().setK(3).setNList(4).setNProbe(2).setSeed(9)
+    direct = sorted(map(tuple, op.topk(queries, corpus)
+                        .select("query_id", "neighbor_id", "rank")
+                        .collect()))
+
+    p = str(tmp_path / "ivf_idx")
+    op.save_index(p, corpus)
+    fresh = IVFCosineTopK().setK(3).setNList(4).setNProbe(2).setSeed(9)
+    idx = fresh.load_index(spark, p)
+    via = sorted(map(tuple, fresh.topk(queries, corpus_indexed=idx)
+                     .select("query_id", "neighbor_id", "rank")
+                     .collect()))
+    assert via == direct and via
+
+    # corpus_indexed without centroids is a usage error
+    import pytest as _pytest
+    bare = IVFCosineTopK().setK(3)
+    with _pytest.raises(ValueError, match="centroids"):
+        bare.topk(queries, corpus_indexed=idx)
+    with _pytest.raises(ValueError, match="corpus"):
+        bare.topk(queries)
+
+    # append a batch: its rows become findable neighbors
+    batch = spark.createDataFrame(
+        [(1000 + i, rng.normal(size=8).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    op.save_index(p, batch, mode="append")
+    idx2 = fresh.load_index(spark, p)
+    assert idx2.count() == 70
