@@ -662,7 +662,9 @@ def stream_sessionize(stream_df: DataFrame, op=None,
 
 
 def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
-                                        emit) -> "callable":
+                                        emit, *,
+                                        corpus_hashed: DataFrame | None
+                                        = None) -> "callable":
     """Streaming incremental near-dedup: returns a ``foreachBatch``
     processor that drops each micro-batch's near-duplicates of the
     static corpus and hands the surviving rows to
@@ -688,10 +690,16 @@ def stream_minhash_dedup_against_corpus(corpus_df: DataFrame, op,
     ``SubstringDeduplicator`` — the last turns this into streaming
     span-level decontamination (mask benchmark spans out of every
     micro-batch).
+
+    Pass ``corpus_hashed`` (e.g. an ``op.load_index(...)`` result) to
+    skip the up-front corpus signature pass entirely — the query then
+    starts against the parquet-persisted index without ever scanning
+    the corpus text (``corpus_df`` may be ``None`` in that case).
     """
     from flink_ml__spark.functions.dedup import touch_dedup_cache
 
-    corpus_hashed = op.hashed_table(corpus_df)
+    if corpus_hashed is None:
+        corpus_hashed = op.hashed_table(corpus_df)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # every batch's own signature table enters the bounded cache

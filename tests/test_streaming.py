@@ -866,3 +866,33 @@ def test_stream_weighted_sample_matches_batch_cut(spark):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_against_loaded_index(spark, tmp_path):
+    """The foreachBatch against-corpus dedup accepts a parquet-loaded
+    signature index (corpus_hashed=) and produces the same survivors
+    as the corpus-scanning path — the corpus text is never touched."""
+    from flink_ml__spark.functions.dedup import MinHashDeduplicator
+    from flink_ml__spark.streaming import stream_dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(i, f"shared boilerplate header unit {i % 2} end") for i in range(6)],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100, "shared boilerplate header unit 1 end"),
+         (101, "totally novel content nothing shared at all here")],
+        ["doc_id", "text"])
+
+    op = MinHashDeduplicator().setSeed(4).setThreshold(0.8)
+    p = str(tmp_path / "idx")
+    op.save_index(p, corpus)
+    idx = MinHashDeduplicator().setSeed(4).setThreshold(0.8) \
+        .load_index(spark, p)
+
+    got = {}
+    def emit(df, bid):
+        got[bid] = sorted(r["doc_id"] for r in df.collect())
+
+    proc = stream_dedup_against_corpus(None, op, emit, corpus_hashed=idx)
+    proc(batch, 0)
+    assert got[0] == [101]
