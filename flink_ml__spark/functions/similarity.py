@@ -727,3 +727,255 @@ class EmbeddingPCA(AlgoOperator, _SimilarityParams):
                                   float(np.trace(cov)))
         model._set(embeddingCol=ecol, idCol=self.getIdCol(), k=k)
         return model
+
+
+class ProductQuantizer(AlgoOperator, _SimilarityParams):
+    """Product quantization of an embedding column (Jégou, Douze &
+    Schmid, "Product quantization for nearest neighbor search", TPAMI
+    2011 — the PQ-code half; :class:`IVFCosineTopK` is the coarse half).
+
+    The vector is split into ``numSubspaces`` contiguous blocks; each
+    block is vector-quantized against its own ``2**bitsPerCode``-entry
+    codebook, so a ``d``-dim float vector compresses to ``m`` small
+    integer codes plus one reconstruction norm — at d=64 float32 /
+    m=8 / 8-bit codes that is 256 B → 9 B per vector (~28×), which is
+    what lets a 100 TB embedding corpus' INDEX live in cluster memory.
+
+    * ``train(df)``: one bounded seeded sample pull (the same
+      ``TakeOrderedAndProject`` shape as the IVF quantizer), then ``m``
+      independent driver-side numpy k-means on the O(sample·dims)
+      matrix. Codebooks are O(m · 2^bits · d/m) = O(2^bits · d)
+      doubles — broadcast-sized by construction.
+    * ``transform(df)``: appends ``pq_code`` (array<int>, length m;
+      per-subspace argmin distance, ties to the lowest code) and
+      ``pq_norm`` (double — ‖reconstruction‖₂; subspaces are disjoint
+      coordinate blocks, so the squared norm is the sum of the chosen
+      centroids' squared norms). One map-only Arrow pass; no shuffle.
+    * ``decode(df)``: appends ``pq_recon`` (array<double>) — the
+      concatenated chosen centroids; for audits and invariant gates.
+    * ``adc_topk(queries, corpus_codes)``: asymmetric-distance cosine
+      top-k — each query precomputes an m×2^bits lookup table of
+      subspace dot products driver-side (queries are the small side),
+      and the corpus pass is ONE broadcast map-only Arrow stage that
+      gathers+sums LUT entries per code — the corpus' float embeddings
+      are NEVER read, only the m-byte codes. Per-batch top-k prunes
+      candidates before the global window top-k, mirroring
+      :meth:`IVFCosineTopK.topk`.
+    """
+
+    numSubspaces = Param(Params._dummy(), "numSubspaces",
+                         "number of PQ subspaces (m); must divide dims",
+                         TypeConverters.toInt)
+    bitsPerCode = Param(Params._dummy(), "bitsPerCode",
+                        "bits per subspace code (codebook size 2^bits)",
+                        TypeConverters.toInt)
+    trainSampleSize = Param(Params._dummy(), "trainSampleSize",
+                            "bounded codebook-training sample size",
+                            TypeConverters.toInt)
+    trainIter = Param(Params._dummy(), "trainIter",
+                      "driver-side Lloyd iterations per subspace",
+                      TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(numSubspaces=8, bitsPerCode=8,
+                         trainSampleSize=8192, trainIter=5)
+        self._codebooks = None  # list[m] of (k_sub, d/m) lists
+
+    def getNumSubspaces(self):
+        return self.getOrDefault(self.numSubspaces)
+
+    def setNumSubspaces(self, v):
+        return self._set(numSubspaces=v)
+
+    def getBitsPerCode(self):
+        return self.getOrDefault(self.bitsPerCode)
+
+    def setBitsPerCode(self, v):
+        return self._set(bitsPerCode=v)
+
+    def setTrainSampleSize(self, v):
+        return self._set(trainSampleSize=int(v))
+
+    def setTrainIter(self, v):
+        return self._set(trainIter=int(v))
+
+    # -- training -------------------------------------------------------
+
+    def train(self, df: DataFrame) -> "ProductQuantizer":
+        import numpy as np
+
+        from flink_ml__spark.base import array_width
+
+        ecol = self.getEmbeddingCol()
+        dims = array_width(df, ecol)
+        m = self.getNumSubspaces()
+        if dims % m:
+            raise ValueError(
+                f"numSubspaces={m} must divide dims={dims}")
+        sub = dims // m
+        arr = as_double_array(df, ecol)
+        pts = df.select(arr.alias("__v"))
+        cap = max(self.getOrDefault(self.trainSampleSize), 2)
+        sample = (pts.orderBy(F.xxhash64(F.lit(self.getSeed()), "__v"))
+                  .limit(cap).collect())
+        X = np.asarray([list(r["__v"]) for r in sample])
+        k_sub = min(1 << self.getBitsPerCode(), len(X))
+        iters = max(self.getOrDefault(self.trainIter), 0)
+
+        books = []
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            # deterministic farthest-point-ish init: unique rows in
+            # sample (= seeded-hash) order — duplicates collapse so no
+            # two initial centroids coincide
+            _, first = np.unique(Xj, axis=0, return_index=True)
+            init = Xj[np.sort(first)][:k_sub]
+            C = np.vstack([init,
+                           Xj[:k_sub - len(init)]]) if len(init) < k_sub \
+                else init
+            for _ in range(iters):
+                d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                acc = np.zeros_like(C)
+                np.add.at(acc, a, Xj)
+                cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
+                live = cnt > 0
+                C[live] = acc[live] / cnt[live, None]
+            books.append(C.tolist())
+        self._codebooks = books
+        return self
+
+    # -- encode / decode ------------------------------------------------
+
+    def _require_books(self):
+        if self._codebooks is None:
+            raise ValueError("train() or load() the quantizer first")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        self._require_books()
+        B = [np.asarray(b) for b in self._codebooks]
+        m = len(B)
+        sub = B[0].shape[1]
+        # per-subspace ‖c‖² — argmin‖x−c‖² == argmax(x·c − ½‖c‖²)
+        halfsq = [0.5 * (b * b).sum(1) for b in B]
+        norms2 = [(b * b).sum(1) for b in B]
+
+        @F.pandas_udf("struct<code: array<int>, nrm: double>")
+        def encode(embs: pd.Series) -> pd.DataFrame:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            n2 = np.zeros(len(X))
+            for j in range(m):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                codes[:, j] = (Xj @ B[j].T - halfsq[j]).argmax(1)
+                n2 += norms2[j][codes[:, j]]
+            return pd.DataFrame({"code": list(codes),
+                                 "nrm": np.sqrt(n2)})
+
+        arr = as_double_array(df, self.getEmbeddingCol())
+        out = df.withColumn("__pq", encode(arr))
+        return (out.withColumn("pq_code", F.col("__pq.code"))
+                .withColumn("pq_norm", F.col("__pq.nrm"))
+                .drop("__pq"))
+
+    def decode(self, df: DataFrame, codeCol: str = "pq_code") -> DataFrame:
+        import numpy as np
+
+        self._require_books()
+        B = [np.asarray(b) for b in self._codebooks]
+
+        @F.pandas_udf("array<double>")
+        def recon(codes: pd.Series) -> pd.Series:
+            Cs = np.stack(codes.to_numpy())
+            parts = [B[j][Cs[:, j]] for j in range(len(B))]
+            return pd.Series(list(np.concatenate(parts, axis=1)))
+
+        return df.withColumn("pq_recon", recon(codeCol))
+
+    # -- asymmetric-distance search -------------------------------------
+
+    def adc_topk(self, queries: DataFrame,
+                 corpus_codes: DataFrame) -> DataFrame:
+        """(query_id, neighbor_id, adc_cosine, rank) — cosine between
+        each query and the RECONSTRUCTED corpus vectors, computed from
+        codes alone. ``corpus_codes`` is a :meth:`transform` result
+        (needs ``pq_code``, ``pq_norm`` and the id column)."""
+        import numpy as np
+
+        self._require_books()
+        B = [np.asarray(b) for b in self._codebooks]
+        m = len(B)
+        sub = B[0].shape[1]
+        k = self.getK()
+        idc = self.getIdCol()
+        id_type = corpus_codes.schema[idc].dataType.simpleString()
+
+        qrows = (queries.select(
+            F.col(idc).alias("query_id"),
+            as_double_array(queries, self.getEmbeddingCol())
+            .alias("__qv")).collect())
+        qid = np.asarray([r["query_id"] for r in qrows])
+        Q = np.asarray([list(r["__qv"]) for r in qrows])
+        qn = np.linalg.norm(Q, axis=1)
+        # LUT[q, j, c] = dot(q_subj, codebook_j[c]); adc dot(q, x̂) is a
+        # pure gather+sum over the corpus codes — no float matmul
+        lut = np.stack([Q[:, j * sub:(j + 1) * sub] @ B[j].T
+                        for j in range(m)], axis=1)
+
+        def score(batches):
+            for pdf in batches:
+                C = np.stack(pdf["pq_code"].to_numpy())
+                nid = pdf[idc].to_numpy()
+                rn = pdf["pq_norm"].to_numpy()
+                dots = np.zeros((len(qid), len(C)))
+                for j in range(m):
+                    dots += lut[:, j, :][:, C[:, j]]
+                denom = np.outer(np.where(qn == 0, 1.0, qn),
+                                 np.where(rn == 0, 1.0, rn))
+                cos = dots / denom
+                frames = []
+                for i in range(len(qid)):
+                    if qn[i] == 0:
+                        continue
+                    mask = (nid != qid[i]) & (rn > 0)
+                    cs, ns = cos[i][mask], nid[mask]
+                    if not len(cs):
+                        continue
+                    sel = np.lexsort((ns, -cs))[:k]
+                    frames.append(pd.DataFrame({
+                        "query_id": qid[i], "neighbor_id": ns[sel],
+                        "adc_cosine": cs[sel]}))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        cand = (corpus_codes.select(idc, "pq_code", "pq_norm")
+                .mapInPandas(score,
+                             f"query_id {id_type}, neighbor_id {id_type}, "
+                             f"adc_cosine double"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_cosine"), F.asc("neighbor_id"))
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "adc_cosine", "rank"))
+
+    # -- persistence ----------------------------------------------------
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        if self._codebooks is not None:
+            with open(os.path.join(path, "pq_codebooks.json"), "w") as f:
+                json.dump({"codebooks": self._codebooks}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        p = os.path.join(path, "pq_codebooks.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                self._codebooks = json.load(f)["codebooks"]

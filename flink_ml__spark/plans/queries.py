@@ -4944,6 +4944,139 @@ WHERE dom IS NULL OR dom NOT IN ('example0.com', 'example.co.uk')
 
 
 # ---------------------------------------------------------------------------
+# product quantization (round-7 additions; round-8 gate rotation)
+# ---------------------------------------------------------------------------
+
+def _trained_pq(spark, sf_dir):
+    from flink_ml__spark.functions.similarity import ProductQuantizer
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pq = (ProductQuantizer().setNumSubspaces(8).setBitsPerCode(6)
+          .setSeed(42).setK(5))
+    pq.train(emb)
+    return pq, emb
+
+
+def q_pq_invariants_embeddings(spark, sf_dir):
+    """Hard gate for the product quantizer: violations-only,
+    expected EMPTY, WHERE-false oracle (the fcm/canopy/semdedup
+    pattern — seeded k-means codebooks have no SQL replay, so the
+    gate re-verifies the quantizer's defining properties through an
+    INDEPENDENT pure-Catalyst path, taking only the codebooks as
+    given):
+
+    * ``bad_shape`` — ``pq_code`` length ≠ m, or any code outside
+      ``[0, 2^bits)``;
+    * ``not_argmin`` — some OTHER centroid of the row's subspace is
+      strictly closer than the chosen one (codebooks re-embedded as
+      nested array literals; distances recomputed with
+      ``zip_with``/``aggregate`` higher-order functions, not numpy);
+    * ``norm_mismatch`` — ``pq_norm`` ≠ √Σ‖chosen centroid‖² beyond
+      1e-9 (subspaces are disjoint coordinate blocks).
+
+    Per-subspace distance columns are MATERIALIZED via ``select``
+    before being compared so no subtree is re-embedded m times.
+    """
+    pq, emb = _trained_pq(spark, sf_dir)
+    codes = pq.transform(emb)
+    books = pq._codebooks
+    m = len(books)
+    sub = len(books[0][0])
+    k_sub = len(books[0])
+
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    base = codes.select("vec_id", "pq_code", "pq_norm",
+                        arr.alias("__v"))
+
+    def d2(xj, c):
+        return F.aggregate(F.zip_with(xj, c, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cols = []
+    for j in range(m):
+        bk = F.lit(books[j])
+        xj = F.slice("__v", j * sub + 1, sub)
+        chosen = F.element_at(bk, F.col("pq_code")[j] + 1)
+        cols.append(d2(xj, chosen).alias(f"__cd{j}"))
+        cols.append(F.array_min(
+            F.transform(bk, lambda c: d2(xj, c))).alias(f"__bd{j}"))
+        cols.append(F.aggregate(chosen, F.lit(0.0),
+                                lambda acc, x: acc + x * x)
+                    .alias(f"__cn{j}"))
+    mat = base.select("vec_id", "pq_code", "pq_norm", *cols)
+
+    gap = sum(F.greatest(F.col(f"__cd{j}") - F.col(f"__bd{j}"), F.lit(0.0))
+              for j in range(m))
+    norm_err = F.abs(
+        F.sqrt(sum(F.col(f"__cn{j}") for j in range(m))) - F.col("pq_norm"))
+    code_ok = (F.size("pq_code") == m) & F.forall(
+        "pq_code", lambda c: (c >= 0) & (c < k_sub))
+
+    shape_viol = (mat.filter(~code_ok)
+                  .select("vec_id", F.lit("bad_shape").alias("check"),
+                          F.lit(0.0).alias("detail")))
+    argmin_viol = (mat.filter(code_ok & (gap > 1e-9))
+                   .select("vec_id", F.lit("not_argmin").alias("check"),
+                           F.round(gap, 6).alias("detail")))
+    norm_viol = (mat.filter(code_ok & (norm_err > 1e-9))
+                 .select("vec_id", F.lit("norm_mismatch").alias("check"),
+                         F.round(norm_err, 6).alias("detail")))
+    return shape_viol.unionByName(argmin_viol).unionByName(norm_viol)
+
+
+ORACLE_PQ_INVARIANTS = """
+SELECT vec_id::BIGINT AS vec_id, '' AS check, 0.0::DOUBLE AS detail
+FROM embeddings WHERE false
+"""
+
+
+PQ_MEAN_RECALL_FLOOR = 0.25   # measured 0.36 (sf0.001) / 0.42 (sf0.01)
+PQ_QUERY_RECALL_FLOOR = 0.0   # no query may miss ALL its true neighbors
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Recall-floor gate for PQ asymmetric-distance search, mirroring
+    :func:`q_ann_ivf_topk`: violations-only vs the exact brute-force
+    baseline, expected EMPTY, WHERE-false oracle. The floors are set
+    for the synthetic ~uniform-sphere embeddings — the PQ worst case
+    (no cluster structure for the codebooks to exploit; 48-bit codes
+    at 64 dims measured 0.36–0.42 mean recall@5, min 1 hit/query);
+    real-world corpora quantize far tighter."""
+    pq, emb = _trained_pq(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    codes = pq.transform(emb)
+    adc = pq.adc_topk(queries, codes).select("query_id", "neighbor_id")
+    exact = (CosineTopK().setK(5).topk(queries, emb)
+             .select("query_id", "neighbor_id"))
+    hits = (exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    per_q = (n.join(hits, "query_id", "left")
+             .select("query_id",
+                     F.col("n_exact").cast("long").alias("n_exact"),
+                     n_hit.alias("n_hit"),
+                     F.round(n_hit / F.col("n_exact"), 3)
+                     .alias("recall_at_5")))
+    q_viol = per_q.filter(
+        F.col("recall_at_5") <= F.lit(PQ_QUERY_RECALL_FLOOR))
+    mean_viol = (per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(F.avg("recall_at_5"), 3).alias("recall_at_5"))
+        .filter(F.col("recall_at_5") < F.lit(PQ_MEAN_RECALL_FLOOR)))
+    return q_viol.unionByName(mean_viol)
+
+
+ORACLE_ANN_PQ = """
+SELECT vec_id::BIGINT AS query_id, 0::BIGINT AS n_exact,
+       0::BIGINT AS n_hit, 0.0::DOUBLE AS recall_at_5
+FROM embeddings WHERE false
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5006,6 +5139,8 @@ QUERIES = {
     "url_canonical_documents": q_url_canonical_documents,
     "url_dedup_documents": q_url_dedup_documents,
     "url_domain_filter_documents": q_url_domain_filter_documents,
+    "pq_invariants_embeddings": q_pq_invariants_embeddings,
+    "ann_pq_topk": q_ann_pq_topk,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5083,6 +5218,8 @@ ORACLES = {
     "url_canonical_documents": ORACLE_URL_CANONICAL,
     "url_dedup_documents": ORACLE_URL_DEDUP,
     "url_domain_filter_documents": ORACLE_URL_DOMAIN_FILTER,
+    "pq_invariants_embeddings": ORACLE_PQ_INVARIANTS,
+    "ann_pq_topk": ORACLE_ANN_PQ,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,
