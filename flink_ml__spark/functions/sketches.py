@@ -370,3 +370,186 @@ def stream_heavy_hitters(op: HeavyHitters, emit) -> "callable":
         emit(snapshot, batch_id)
 
     return process
+
+
+class CountMinSketch(AlgoOperator, HasInputCol):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    "An improved data stream summary: the count-min sketch and its
+    applications", J. Algorithms 2005).
+
+    A ``depth × width`` counter matrix: each of ``depth`` seeded hash
+    rows maps an item to one column; a point query reads the MINIMUM
+    of its ``depth`` cells. Guarantees (N = total items): never an
+    underestimate, and ``est ≤ true + e/width · N`` with probability
+    ``1 − e^-depth`` per query — a FIXED O(depth·width) memory budget
+    for frequency over an unbounded key space, where an exact
+    ``groupBy`` would shuffle the whole vocabulary.
+
+    Spark shape: the build is pure JVM — each row explodes to its
+    ``depth`` (row, xxhash64 % width) cells and ONE partial-aggregated
+    ``groupBy`` sums them, so the shuffle carries at most
+    ``partitions · depth · width`` pre-combined cells, never the raw
+    items; the O(depth·width) matrix collects to the driver. Sketches
+    are linearly mergeable (element-wise sum — Agarwal et al., PODS
+    2012), which is what the streaming twin folds across micro-batches.
+    ``transform`` appends each row's point estimate via one broadcast
+    map-only Arrow pass.
+    """
+
+    depth = Param(Params._dummy(), "depth", "hash rows (error prob e^-d)",
+                  TypeConverters.toInt)
+    width = Param(Params._dummy(), "width",
+                  "columns per row (error e/w per item)",
+                  TypeConverters.toInt)
+    seed = Param(Params._dummy(), "seed", "hash seed",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="item", depth=5, width=2048, seed=17)
+        self._matrix = None   # list[depth] of list[width] ints
+        self._total = 0
+
+    def getDepth(self):
+        return self.getOrDefault(self.depth)
+
+    def setDepth(self, v):
+        return self._set(depth=v)
+
+    def getWidth(self):
+        return self.getOrDefault(self.width)
+
+    def setWidth(self, v):
+        return self._set(width=v)
+
+    def getSeed(self):
+        return self.getOrDefault(self.seed)
+
+    def setSeed(self, v):
+        return self._set(seed=v)
+
+    def _cells(self, df: DataFrame) -> DataFrame:
+        d, w = self.getDepth(), self.getWidth()
+        s = self.getSeed()
+        item = F.col(self.getInputCol()).cast("string")
+        pairs = F.array(*[
+            F.struct(F.lit(i).alias("r"),
+                     F.pmod(F.xxhash64(F.lit(s + i), item), F.lit(w))
+                     .alias("c"))
+            for i in range(d)])
+        return (df.filter(item.isNotNull())
+                .select(F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    def build(self, df: DataFrame) -> "CountMinSketch":
+        import numpy as np
+
+        d, w = self.getDepth(), self.getWidth()
+        M = np.zeros((d, w), dtype=np.int64)
+        for row in self._cells(df).collect():
+            M[row["r"], row["c"]] = row["cnt"]
+        self._matrix = M.tolist()
+        self._total = int(M[0].sum()) if d else 0
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        """Fold another sketch (same depth/width/seed) into this one —
+        CMS is a linear sketch, so the merged matrix answers queries
+        over the UNION of both inputs."""
+        import numpy as np
+
+        if (other.getDepth() != self.getDepth()
+                or other.getWidth() != self.getWidth()
+                or other.getSeed() != self.getSeed()):
+            raise ValueError("can only merge sketches with identical "
+                             "depth/width/seed")
+        if other._matrix is None:
+            return self
+        if self._matrix is None:
+            self._matrix, self._total = other._matrix, other._total
+            return self
+        self._matrix = (np.asarray(self._matrix)
+                        + np.asarray(other._matrix)).tolist()
+        self._total += other._total
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Append ``cms_est`` — the point estimate for each row's item
+        (NULL items get NULL). One broadcast map-only Arrow pass."""
+        import numpy as np
+
+        if self._matrix is None:
+            raise ValueError("build() the sketch first")
+        M = np.asarray(self._matrix)
+        d, w = M.shape
+        s = self.getSeed()
+        item = F.col(self.getInputCol()).cast("string")
+        # reuse Spark's own xxhash64 so estimate and build hash alike:
+        # the d column indices are computed JVM-side, the gather+min in
+        # one Arrow pass over the broadcast matrix
+        idx = F.array(*[
+            F.pmod(F.xxhash64(F.lit(s + i), item), F.lit(w))
+            for i in range(d)])
+
+        @F.pandas_udf("long")
+        def gather_min(ix: pd.Series) -> pd.Series:
+            out = np.empty(len(ix), dtype=np.int64)
+            for n, cols in enumerate(ix):
+                if cols is None:
+                    out[n] = -1
+                else:
+                    out[n] = min(M[i, c] for i, c in enumerate(cols))
+            return pd.Series(out)
+
+        est = F.when(item.isNotNull(), gather_min(idx))
+        return df.withColumn("cms_est", est)
+
+    # -- persistence ----------------------------------------------------
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        if self._matrix is not None:
+            with open(os.path.join(path, "cms.json"), "w") as f:
+                json.dump({"matrix": self._matrix,
+                           "total": self._total}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        p = os.path.join(path, "cms.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            self._matrix = d["matrix"]
+            self._total = d["total"]
+
+
+def stream_count_min(op: CountMinSketch, emit) -> "callable":
+    """Streaming frequency sketch: a ``foreachBatch`` processor that
+    builds each micro-batch's CMS with the batch operator's JVM cell
+    pass and folds it into one running matrix (linear merge), then
+    calls ``emit(sketch, batch_id)`` with the running operator — call
+    ``sketch.transform`` (or read ``sketch._matrix``) for estimates
+    over everything seen so far. State is O(depth·width) regardless of
+    stream length or key cardinality."""
+    merged = (CountMinSketch()
+              .setInputCol(op.getInputCol())
+              .setDepth(op.getDepth())
+              .setWidth(op.getWidth())
+              .setSeed(op.getSeed()))
+
+    def process(batch_df, batch_id: int) -> None:
+        batch = (CountMinSketch()
+                 .setInputCol(op.getInputCol())
+                 .setDepth(op.getDepth())
+                 .setWidth(op.getWidth())
+                 .setSeed(op.getSeed())
+                 .build(batch_df))
+        merged.merge(batch)
+        emit(merged, batch_id)
+
+    return process

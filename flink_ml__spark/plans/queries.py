@@ -5076,6 +5076,46 @@ FROM embeddings WHERE false
 """
 
 
+def q_cms_invariants_events(spark, sf_dir):
+    """Hard gate for the count-min sketch: violations-only, expected
+    EMPTY, WHERE-false oracle. Per-key checks against the exact
+    ``groupBy`` counts:
+
+    * ``underestimate`` — ``est < true`` (impossible by construction;
+      any row here is a build/query hash mismatch);
+    * ``overrun`` — ``est > true + ceil(e/width · N)``, the paper's
+      per-query error bound (holds w.p. ``1 − e^-depth``; with the
+      fixed seed the outcome is deterministic — measured overestimate
+      is 0 at sf0.001/sf0.01 with width 2048).
+    """
+    import math
+
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    ev = load_table(spark, "events", sf_dir)
+    cms = (CountMinSketch().setInputCol("user_id")
+           .setDepth(5).setWidth(2048).setSeed(17).build(ev))
+    bound = math.ceil(math.e / cms.getWidth() * cms._total)
+    per_key = (cms.transform(ev)
+               .groupBy("user_id")
+               .agg(F.first("cms_est").alias("est"),
+                    F.count(F.lit(1)).alias("true_cnt")))
+    under = (per_key.filter(F.col("est") < F.col("true_cnt"))
+             .select("user_id", F.lit("underestimate").alias("check"),
+                     (F.col("true_cnt") - F.col("est")).alias("detail")))
+    over = (per_key.filter(
+        F.col("est") > F.col("true_cnt") + F.lit(bound))
+        .select("user_id", F.lit("overrun").alias("check"),
+                (F.col("est") - F.col("true_cnt")).alias("detail")))
+    return under.unionByName(over)
+
+
+ORACLE_CMS_INVARIANTS = """
+SELECT user_id::BIGINT AS user_id, '' AS check, 0::BIGINT AS detail
+FROM events WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5141,6 +5181,7 @@ QUERIES = {
     "url_domain_filter_documents": q_url_domain_filter_documents,
     "pq_invariants_embeddings": q_pq_invariants_embeddings,
     "ann_pq_topk": q_ann_pq_topk,
+    "cms_invariants_events": q_cms_invariants_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5220,6 +5261,7 @@ ORACLES = {
     "url_domain_filter_documents": ORACLE_URL_DOMAIN_FILTER,
     "pq_invariants_embeddings": ORACLE_PQ_INVARIANTS,
     "ann_pq_topk": ORACLE_ANN_PQ,
+    "cms_invariants_events": ORACLE_CMS_INVARIANTS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

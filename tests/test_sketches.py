@@ -168,3 +168,138 @@ def test_skew_profiler_summary(spark):
     assert s["n_rows"] == 10 and s["n_keys"] == 3
     assert s["max_cnt"] == 6 and abs(s["skew_factor"] - 1.8) < 1e-9
     assert abs(s["max_share"] - 0.6) < 1e-9
+
+
+def test_count_min_never_underestimates_and_exact_when_sparse(spark):
+    """Few keys vs a wide sketch: estimates equal the exact counts;
+    the no-underestimate guarantee is checked for every key."""
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    rows = [(k,) for k in
+            ["a"] * 30 + ["b"] * 20 + ["c"] * 5 + ["d"] * 1]
+    df = spark.createDataFrame(rows, "item string")
+    cms = (CountMinSketch().setInputCol("item")
+           .setDepth(4).setWidth(512).setSeed(7).build(df))
+    out = {r["item"]: r["cms_est"]
+           for r in cms.transform(df.distinct()).collect()}
+    assert out == {"a": 30, "b": 20, "c": 5, "d": 1}
+    assert cms._total == 56
+
+
+def test_count_min_collisions_only_overestimate(spark):
+    """A deliberately tiny sketch forces collisions: estimates may
+    exceed but never undershoot the true counts."""
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    rows = [(f"k{i}",) for i in range(200) for _ in range(i % 7 + 1)]
+    df = spark.createDataFrame(rows, "item string")
+    cms = (CountMinSketch().setInputCol("item")
+           .setDepth(3).setWidth(16).setSeed(11).build(df))
+    true = {r["item"]: r["count"] for r in
+            df.groupBy("item").count().collect()}
+    est = {r["item"]: r["cms_est"]
+           for r in cms.transform(df.distinct()).collect()}
+    assert all(est[k] >= true[k] for k in true)
+    assert any(est[k] > true[k] for k in true)   # the sketch IS lossy here
+
+
+def test_count_min_merge_equals_single_build(spark):
+    """Linear mergeability: sketch(A) + sketch(B) == sketch(A ∪ B)."""
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    rows = [(f"k{i % 40}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string")
+    a = df.filter(F.crc32("item") % 2 == 0)
+    b = df.filter(F.crc32("item") % 2 == 1)
+
+    def mk():
+        return (CountMinSketch().setInputCol("item")
+                .setDepth(4).setWidth(256).setSeed(5))
+
+    whole = mk().build(df)
+    merged = mk().build(a).merge(mk().build(b))
+    assert merged._matrix == whole._matrix
+    assert merged._total == whole._total
+
+
+def test_count_min_merge_rejects_mismatched_params(spark):
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    df = spark.createDataFrame([("x",)], "item string")
+    a = CountMinSketch().setInputCol("item").setWidth(64).build(df)
+    b = CountMinSketch().setInputCol("item").setWidth(128).build(df)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="identical"):
+        a.merge(b)
+
+
+def test_count_min_null_items_ignored_and_null_est(spark):
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "item string")
+    cms = (CountMinSketch().setInputCol("item")
+           .setDepth(3).setWidth(64).setSeed(2).build(df))
+    assert cms._total == 2          # NULLs don't count
+    rows = {r["item"]: r["cms_est"] for r in cms.transform(df).collect()}
+    assert rows["a"] == 2
+    assert rows[None] is None
+
+
+def test_count_min_save_load_round_trip(spark, tmp_path):
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    df = spark.createDataFrame([(f"k{i % 9}",) for i in range(90)],
+                               "item string")
+    cms = (CountMinSketch().setInputCol("item")
+           .setDepth(3).setWidth(128).setSeed(3).build(df))
+    p = str(tmp_path / "cms")
+    cms.save(p)
+    back = CountMinSketch.load(spark, p)
+    assert back._matrix == cms._matrix
+    assert back._total == cms._total
+
+
+def test_stream_count_min_matches_batch(spark):
+    """Folding per-micro-batch sketches equals one batch build over
+    the whole stream (linear merge), so stream estimates == batch."""
+    import shutil
+    import tempfile
+
+    from flink_ml__spark.functions.sketches import (
+        CountMinSketch,
+        stream_count_min,
+    )
+
+    rows = [(f"u{i % 25}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "item string")
+    op = (CountMinSketch().setInputCol("item")
+          .setDepth(4).setWidth(256).setSeed(13))
+    d = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        df.filter(F.crc32("item") % 2 == 0) \
+          .coalesce(1).write.mode("overwrite").parquet(d + "/p")
+        df.filter(F.crc32("item") % 2 == 1) \
+          .coalesce(1).write.parquet(d + "/p", mode="append")
+        stream = spark.readStream.schema(df.schema).parquet(d + "/p")
+        holder = {}
+        q = (stream.writeStream
+             .foreachBatch(stream_count_min(
+                 op, lambda s, b: holder.__setitem__("op", s)))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        batch = (CountMinSketch().setInputCol("item")
+                 .setDepth(4).setWidth(256).setSeed(13).build(df))
+        # the emitted operator IS the running merge; its matrix must
+        # equal one batch build over everything (linear sketch)
+        assert holder["op"]._total == 400
+        assert holder["op"]._matrix == batch._matrix
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cms_gate_query_empty(spark):
+    from flink_ml__spark.plans.queries import q_cms_invariants_events
+
+    df = q_cms_invariants_events(spark, "/root/testdata/sf0.001")
+    assert df.columns == ["user_id", "check", "detail"]
+    assert df.collect() == []
