@@ -124,3 +124,85 @@ class BinaryClassificationEvaluator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class CalibrationEvaluator(AlgoOperator):
+    """Probability-calibration metrics (Guo, Pleiss, Sun & Weinberger,
+    "On calibration of modern neural networks", ICML 2017; reliability
+    diagrams per DeGroot & Fienberg 1983) — the companion to
+    :class:`BinaryClassificationEvaluator` for any [0, 1] confidence
+    signal used to gate training data (quality classifiers, LM-score
+    filters): a well-ranked score can still be badly CALIBRATED, and a
+    calibration drift is invisible to AUC.
+
+    * ``reliability(df)`` — the reliability-diagram table: one row per
+      fixed-width score bin with ``n``, ``avg_score`` (confidence),
+      ``frac_pos`` (empirical accuracy) and ``gap = frac_pos −
+      avg_score``. ONE ``groupBy`` over O(numBins) groups.
+    * ``evaluate(df)`` — one row: ``n``, ``ece`` (expected calibration
+      error, the n-weighted mean |gap|), ``mce`` (max |gap|), and the
+      ``brier`` score (mean squared score−label error).
+
+    Pure Catalyst end to end: one O(numBins) aggregate plus one scan
+    aggregate for n/brier, joined as 1-row frames — no sort, no UDF,
+    no collect. Scores are clamped to [0, 1] before binning (same
+    clamp as the AUC evaluator); NULL labels/scores are excluded.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "boolean/0-1 label column", TypeConverters.toString)
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "score column in [0, 1]", TypeConverters.toString)
+    numBins = Param(Params._dummy(), "numBins",
+                    "fixed-width reliability bins",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label", scoreCol="score", numBins=10)
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setNumBins(self, v):
+        return self._set(numBins=v)
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        lbl = F.col(self.getOrDefault(self.labelCol)).cast("int")
+        score = F.col(self.getOrDefault(self.scoreCol)).cast("double")
+        return (df.filter(lbl.isNotNull() & score.isNotNull())
+                .select(lbl.alias("__y"),
+                        F.greatest(F.least(score, F.lit(1.0)),
+                                   F.lit(0.0)).alias("__s")))
+
+    def reliability(self, df: DataFrame) -> DataFrame:
+        bins = self.getOrDefault(self.numBins)
+        d = self._base(df)
+        bucket = F.least(F.floor(F.col("__s") * bins).cast("int"),
+                         F.lit(bins - 1))
+        return (d.groupBy(bucket.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("__s").alias("avg_score"),
+                     F.avg("__y").alias("frac_pos"))
+                .withColumn("gap",
+                            F.col("frac_pos") - F.col("avg_score")))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        d = self._base(df)
+        rel = self.reliability(df)
+        tot = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.pow(F.col("__s") - F.col("__y"), 2)).alias("brier"))
+        gaps = rel.agg(
+            F.sum(F.col("n") * F.abs("gap")).alias("__wgap"),
+            F.max(F.abs("gap")).alias("mce"))
+        return (tot.crossJoin(gaps)
+                .select("n",
+                        (F.col("__wgap") / F.col("n")).alias("ece"),
+                        "mce", "brier"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

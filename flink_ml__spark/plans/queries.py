@@ -5116,6 +5116,75 @@ FROM events WHERE false
 """
 
 
+def _calibration_frame(spark, sf_dir):
+    """Deterministic confidence signal for the calibration gates:
+    score = min(len(text)/2000, 1) as a 'long docs are English'
+    confidence, label = (lang == 'en') — related enough that bins are
+    populated unevenly, exactly replayable in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.least(F.length("text") / 2000.0, F.lit(1.0)).alias("score"))
+
+
+_CALIB_CTE = """
+s AS (SELECT (lang = 'en')::INT AS y,
+             least(length(text) / 2000.0, 1.0) AS sv
+      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+g AS (SELECT least(floor(sv * 10)::INT, 9) AS bin,
+             count(*) AS n, avg(sv) AS avg_score, avg(y) AS frac_pos
+      FROM s GROUP BY 1)
+"""
+
+
+def q_calibration_bins_documents(spark, sf_dir):
+    """Reliability-diagram table (10 fixed-width bins) for the
+    deterministic length→English confidence signal; the oracle
+    replays the clamp, the binning and the per-bin means."""
+    from flink_ml__spark.functions.evaluation import CalibrationEvaluator
+
+    rel = (CalibrationEvaluator().setNumBins(10)
+           .reliability(_calibration_frame(spark, sf_dir)))
+    return rel.select("bin", "n",
+                      F.round("avg_score", R).alias("avg_score"),
+                      F.round("frac_pos", R).alias("frac_pos"),
+                      F.round("gap", R).alias("gap"))
+
+
+ORACLE_CALIBRATION_BINS = f"""
+WITH {_CALIB_CTE}
+SELECT bin, n, round(avg_score, {R}) AS avg_score,
+       round(frac_pos, {R}) AS frac_pos,
+       round(frac_pos - avg_score, {R}) AS gap
+FROM g
+"""
+
+
+def q_calibration_eval_documents(spark, sf_dir):
+    """One-row calibration summary (ECE / MCE / Brier) for the same
+    signal; the oracle replays the n-weighted |gap| mean, the max
+    |gap| and the mean squared error."""
+    from flink_ml__spark.functions.evaluation import CalibrationEvaluator
+
+    out = (CalibrationEvaluator().setNumBins(10)
+           .evaluate(_calibration_frame(spark, sf_dir)))
+    return out.select("n",
+                      F.round("ece", R).alias("ece"),
+                      F.round("mce", R).alias("mce"),
+                      F.round("brier", R).alias("brier"))
+
+
+ORACLE_CALIBRATION_EVAL = f"""
+WITH {_CALIB_CTE}
+SELECT (SELECT count(*) FROM s)::BIGINT AS n,
+       round(sum(n * abs(frac_pos - avg_score))
+             / (SELECT count(*) FROM s), {R}) AS ece,
+       round(max(abs(frac_pos - avg_score)), {R}) AS mce,
+       round((SELECT avg((sv - y) * (sv - y)) FROM s), {R}) AS brier
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5182,6 +5251,8 @@ QUERIES = {
     "pq_invariants_embeddings": q_pq_invariants_embeddings,
     "ann_pq_topk": q_ann_pq_topk,
     "cms_invariants_events": q_cms_invariants_events,
+    "calibration_bins_documents": q_calibration_bins_documents,
+    "calibration_eval_documents": q_calibration_eval_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5262,6 +5333,8 @@ ORACLES = {
     "pq_invariants_embeddings": ORACLE_PQ_INVARIANTS,
     "ann_pq_topk": ORACLE_ANN_PQ,
     "cms_invariants_events": ORACLE_CMS_INVARIANTS,
+    "calibration_bins_documents": ORACLE_CALIBRATION_BINS,
+    "calibration_eval_documents": ORACLE_CALIBRATION_EVAL,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -66,3 +66,86 @@ def test_nulls_excluded_and_clamping(spark):
 def test_validation(spark):
     with pytest.raises(ValueError, match="numBins"):
         BinaryClassificationEvaluator().setNumBins(1)
+
+
+def test_calibration_hand_computed_goldens(spark):
+    """4 rows in 2 populated bins, every metric checked by hand:
+    bin2 [0.2,0.3): scores .2/.25 labels 1/0 -> conf .225, acc .5,
+    gap .275; bin9 [.9,1]: scores .9/1.0 labels 1/1 -> conf .95,
+    acc 1, gap .05. ECE = (2*.275 + 2*.05)/4 = .1625; MCE = .275;
+    Brier = ((.2-1)^2+(.25)^2+(.9-1)^2+(1-1)^2)/4 = .178125."""
+    import math
+
+    from flink_ml__spark.functions.evaluation import CalibrationEvaluator
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (0, 0.25), (1, 0.9), (1, 1.0)], ["label", "score"])
+    ev = CalibrationEvaluator().setNumBins(10)
+    rel = {r["bin"]: r for r in ev.reliability(df).collect()}
+    assert set(rel) == {2, 9}
+    assert math.isclose(rel[2]["avg_score"], 0.225)
+    assert math.isclose(rel[2]["frac_pos"], 0.5)
+    assert math.isclose(rel[2]["gap"], 0.275)
+    assert math.isclose(rel[9]["avg_score"], 0.95)
+    out = ev.evaluate(df).collect()[0]
+    assert out["n"] == 4
+    assert math.isclose(out["ece"], 0.1625)
+    assert math.isclose(out["mce"], 0.275)
+    assert math.isclose(out["brier"], 0.178125)
+
+
+def test_calibration_perfectly_calibrated_score(spark):
+    """Within each bin the positive rate equals the mean score →
+    ECE/MCE ~ 0."""
+    import math
+
+    from flink_ml__spark.functions.evaluation import CalibrationEvaluator
+
+    rows = []
+    for conf, n in ((0.25, 8), (0.75, 8)):
+        pos = int(conf * n)
+        rows += [(1, conf)] * pos + [(0, conf)] * (n - pos)
+    df = spark.createDataFrame(rows, ["label", "score"])
+    out = (CalibrationEvaluator().setNumBins(4)
+           .evaluate(df).collect()[0])
+    assert math.isclose(out["ece"], 0.0, abs_tol=1e-12)
+    assert math.isclose(out["mce"], 0.0, abs_tol=1e-12)
+
+
+def test_calibration_clamps_and_ignores_nulls(spark):
+    from flink_ml__spark.functions.evaluation import CalibrationEvaluator
+
+    df = spark.createDataFrame(
+        [(1, 1.7), (0, -0.3), (None, 0.5), (1, None)],
+        "label int, score double")
+    ev = CalibrationEvaluator().setNumBins(10)
+    rel = {r["bin"]: r for r in ev.reliability(df).collect()}
+    # 1.7 clamps to 1.0 (bin 9), -0.3 clamps to 0.0 (bin 0); NULL
+    # label/score rows are excluded entirely
+    assert set(rel) == {0, 9}
+    assert rel[9]["avg_score"] == 1.0 and rel[0]["avg_score"] == 0.0
+    out = ev.evaluate(df).collect()[0]
+    assert out["n"] == 2
+
+
+def test_calibration_empty_input(spark):
+    from flink_ml__spark.functions.evaluation import CalibrationEvaluator
+
+    df = spark.createDataFrame([], "label int, score double")
+    out = CalibrationEvaluator().evaluate(df).collect()[0]
+    assert out["n"] == 0
+    assert out["ece"] is None and out["brier"] is None
+
+
+def test_calibration_gate_queries(spark):
+    from flink_ml__spark.plans.queries import (
+        q_calibration_bins_documents,
+        q_calibration_eval_documents,
+    )
+
+    bins = q_calibration_bins_documents(spark, "/root/testdata/sf0.001")
+    assert bins.columns == ["bin", "n", "avg_score", "frac_pos", "gap"]
+    assert bins.count() > 0
+    out = q_calibration_eval_documents(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 1 and out[0]["n"] > 0
