@@ -672,3 +672,93 @@ class MeanShiftDetector(AlgoOperator):
             F.coalesce(F.col("shift")
                        >= self.getOrDefault(self.threshold),
                        F.lit(False)))
+
+
+class ExponentialSmoother(AlgoOperator):
+    """Exponentially weighted moving average + one-step-ahead forecast
+    over a per-key series (Brown/Holt simple exponential smoothing;
+    weighting identical to pandas ``ewm(alpha, adjust=True)`` truncated
+    at ``maxLag`` terms). For each row (ordered by ``timeCol`` within
+    ``keyCol``)::
+
+        ewma        Σ r^lag·x / Σ r^lag over the trailing maxLag
+                    values INCLUDING the current row (r = 1 − alpha)
+        forecast    the most recent PRIOR non-NULL ewma — the classic
+                    one-step-ahead SES forecast for this row
+        residual    value − forecast (NULL on each key's first row)
+
+    Truncation at ``maxLag`` is the scale design, not a shortcut: the
+    untruncated recurrence either runs sequentially per key or needs
+    r^-lag partial sums that overflow float64 within a few thousand
+    rows, while the truncated weighted mean is ONE bounded window frame
+    — O(maxLag) state per row, relative error ≤ r^maxLag (≈1e-8 at
+    r=0.7, maxLag=50; pick maxLag ≥ ln(ε)/ln(r)). Pure Catalyst:
+    ``collect_list`` over the frame + indexed-``transform`` dot
+    product; NULL values are dropped from the frame (pandas
+    ``ignore_na=True`` semantics) but keep their own NULL-ewma row.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    alpha = Param(Params._dummy(), "alpha",
+                  "smoothing factor in (0, 1]", TypeConverters.toFloat)
+    maxLag = Param(Params._dummy(), "maxLag",
+                   "trailing terms kept (truncation horizon)",
+                   TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="bucket_start", keyCol="user_id",
+                         valueCol="avg_value", alpha=0.3, maxLag=50)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setAlpha(self, v):
+        return self._set(alpha=float(v))
+
+    def setMaxLag(self, v):
+        return self._set(maxLag=int(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        a = self.getOrDefault(self.alpha)
+        lag_n = self.getOrDefault(self.maxLag)
+        if not (0.0 < a <= 1.0):
+            raise ValueError(f"alpha must be in (0, 1], got {a}")
+        r = 1.0 - a
+        frame = (Window.partitionBy(k).orderBy(t)
+                 .rowsBetween(-(lag_n - 1), 0))
+        # collect_list drops NULLs from the frame; the newest kept
+        # value sits at index size-1
+        xs = F.collect_list(F.col(v).cast("double")).over(frame)
+        n = F.size("__xs")
+        num = F.aggregate(
+            F.transform("__xs",
+                        lambda x, i: x * F.pow(F.lit(r), n - 1 - i)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        # Σ r^lag, lag = 0..n-1 — closed form (α=1 ⇒ r=0 ⇒ den=1)
+        den = (F.when(F.lit(r) == 0.0, F.lit(1.0))
+               .otherwise((1 - F.pow(F.lit(r), n)) / F.lit(1.0 - r)))
+        ordered = Window.partitionBy(k).orderBy(t)
+        out = (df.withColumn("__xs", xs)
+               .withColumn("ewma",
+                           F.when(F.col(v).isNotNull()
+                                  & (n > 0), num / den))
+               .drop("__xs"))
+        fc = F.last("ewma", ignorenulls=True).over(
+            ordered.rowsBetween(Window.unboundedPreceding, -1))
+        return (out.withColumn("forecast", fc)
+                .withColumn("residual", F.col(v) - F.col("forecast")))

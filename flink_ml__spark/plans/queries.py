@@ -5137,6 +5137,54 @@ g AS (SELECT least(floor(sv * 10)::INT, 9) AS bin,
 """
 
 
+def q_ewma_forecast_events(spark, sf_dir):
+    """Per-user exponential smoothing of the event metric, ordered by
+    event_id (unique → deterministic frames). The oracle replays the
+    truncated adjust-weighted mean with DuckDB's windowed ``list`` +
+    indexed lambda (1-based there, 0-based in Spark) and the
+    IGNORE-NULLS one-step forecast."""
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (ExponentialSmoother().setKeyCol("user_id")
+           .setTimeCol("event_id").setValueCol("value")
+           .setAlpha(0.3).setMaxLag(50).transform(ev))
+    return out.select("event_id", "user_id",
+                      F.round("ewma", R).alias("ewma"),
+                      F.round("forecast", R).alias("forecast"),
+                      F.round("residual", R).alias("residual"))
+
+
+ORACLE_EWMA = f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         list_filter(list(value) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+             x -> x IS NOT NULL) AS xs
+  FROM events),
+e AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN value IS NOT NULL AND len(xs) > 0 THEN
+           list_sum(list_transform(xs,
+               (x, i) -> x * pow(0.7, len(xs) - i)))
+           / ((1 - pow(0.7, len(xs))) / 0.3)
+         END AS ewma
+  FROM w),
+f AS (
+  SELECT event_id, user_id, value, ewma,
+         last_value(ewma IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS forecast
+  FROM e)
+SELECT event_id, user_id, round(ewma, {R}) AS ewma,
+       round(forecast, {R}) AS forecast,
+       round(value - forecast, {R}) AS residual
+FROM f
+"""
+
+
 def q_calibration_bins_documents(spark, sf_dir):
     """Reliability-diagram table (10 fixed-width bins) for the
     deterministic length→English confidence signal; the oracle
@@ -5253,6 +5301,7 @@ QUERIES = {
     "cms_invariants_events": q_cms_invariants_events,
     "calibration_bins_documents": q_calibration_bins_documents,
     "calibration_eval_documents": q_calibration_eval_documents,
+    "ewma_forecast_events": q_ewma_forecast_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5335,6 +5384,7 @@ ORACLES = {
     "cms_invariants_events": ORACLE_CMS_INVARIANTS,
     "calibration_bins_documents": ORACLE_CALIBRATION_BINS,
     "calibration_eval_documents": ORACLE_CALIBRATION_EVAL,
+    "ewma_forecast_events": ORACLE_EWMA,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

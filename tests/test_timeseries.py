@@ -379,3 +379,82 @@ def test_mean_shift_golden(spark):
     assert [t for t, r in sorted(out.items()) if r["is_shift"]] == [4]
     with pytest.raises(ValueError, match="window"):
         MeanShiftDetector().setWindow(0)
+
+
+def test_ewma_matches_pandas_adjust_ignore_na(spark):
+    """Golden parity with pandas ewm(adjust=True, ignore_na=True) —
+    the published SES weighting this operator truncates."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+
+    vals = [10.0, 12.0, None, 9.0, 14.0, 11.0, 8.0]
+    df = spark.createDataFrame([(1, i, v) for i, v in enumerate(vals)],
+                               "k int, t int, x double")
+    out = (ExponentialSmoother().setKeyCol("k").setTimeCol("t")
+           .setValueCol("x").setAlpha(0.3).setMaxLag(50)
+           .transform(df).orderBy("t").collect())
+    ref = pd.Series(vals, dtype=float).ewm(
+        alpha=0.3, adjust=True, ignore_na=True).mean()
+    for r, expect in zip(out, ref):
+        if r["x"] is None:
+            assert r["ewma"] is None       # null rows don't score
+        else:
+            assert abs(r["ewma"] - expect) < 1e-12
+    # one-step forecast skips the null row's missing ewma
+    assert abs(out[3]["forecast"] - ref[1]) < 1e-12
+    assert abs(out[3]["residual"] - (9.0 - ref[1])) < 1e-12
+    assert out[0]["forecast"] is None and out[0]["residual"] is None
+
+
+def test_ewma_truncation_window(spark):
+    """maxLag=2 keeps only the last two values: ewma =
+    (x_t + r·x_{t-1}) / (1 + r)."""
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+
+    df = spark.createDataFrame(
+        [(1, 0, 4.0), (1, 1, 8.0), (1, 2, 6.0)], "k int, t int, x double")
+    out = (ExponentialSmoother().setKeyCol("k").setTimeCol("t")
+           .setValueCol("x").setAlpha(0.5).setMaxLag(2)
+           .transform(df).orderBy("t").collect())
+    r = 0.5
+    assert abs(out[1]["ewma"] - (8.0 + r * 4.0) / (1 + r)) < 1e-12
+    assert abs(out[2]["ewma"] - (6.0 + r * 8.0) / (1 + r)) < 1e-12
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+
+    df = spark.createDataFrame(
+        [(1, 0, 3.0), (1, 1, 7.0)], "k int, t int, x double")
+    out = (ExponentialSmoother().setKeyCol("k").setTimeCol("t")
+           .setValueCol("x").setAlpha(1.0).transform(df)
+           .orderBy("t").collect())
+    assert out[0]["ewma"] == 3.0 and out[1]["ewma"] == 7.0
+    assert out[1]["forecast"] == 3.0 and out[1]["residual"] == 4.0
+
+
+def test_ewma_keys_independent_and_alpha_validated(spark):
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+
+    df = spark.createDataFrame(
+        [(1, 0, 2.0), (2, 0, 100.0), (1, 1, 4.0)],
+        "k int, t int, x double")
+    out = {(r["k"], r["t"]): r for r in
+           (ExponentialSmoother().setKeyCol("k").setTimeCol("t")
+            .setValueCol("x").setAlpha(0.5).transform(df).collect())}
+    assert out[(2, 0)]["ewma"] == 100.0       # key 2 untouched by key 1
+    assert out[(1, 1)]["forecast"] == 2.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        (ExponentialSmoother().setAlpha(0.0).transform(df))
+
+
+def test_ewma_gate_query(spark):
+    from flink_ml__spark.plans.queries import q_ewma_forecast_events
+
+    df = q_ewma_forecast_events(spark, "/root/testdata/sf0.001")
+    assert df.columns == ["event_id", "user_id", "ewma", "forecast",
+                          "residual"]
+    assert df.count() == 1000
