@@ -69,6 +69,26 @@ def _unit(M):
     return M / np.where(n == 0, 1.0, n)
 
 
+def _spherical_centroids(X, n_list: int, iters: int):
+    """Spherical Lloyd on an already-unit sample matrix → nList unit
+    centroids (list of lists). Shared by the IVF and IVF-PQ coarse
+    quantizers."""
+    import numpy as np
+
+    C = X[:n_list].copy()
+    for _ in range(iters):
+        # unit sphere: argmin ‖x−c‖² == argmax x·c — one BLAS matmul
+        a = (X @ C.T).argmax(1)
+        acc = np.zeros_like(C)
+        np.add.at(acc, a, X)
+        cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
+        live = cnt > 0
+        # empty cells keep their previous centroid (standard Lloyd
+        # dead-cell rule; keeps the cell count stable for nProbe)
+        C[live] = _unit(acc[live] / cnt[live, None])
+    return [c.tolist() for c in C]
+
+
 def _cos(v1: str, n1: str, v2: str, n2: str):
     dot = F.aggregate(F.zip_with(v1, v2, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
@@ -177,18 +197,8 @@ class IVFCosineTopK(AlgoOperator, _SimilarityParams):
                   .limit(cap).collect())
 
         X = _unit(np.asarray([list(r["__v"]) for r in sample]))
-        C = X[:n_list].copy()
-        for _ in range(max(self.getOrDefault(self.trainIter), 0)):
-            # unit sphere: argmin ‖x−c‖² == argmax x·c — one BLAS matmul
-            a = (X @ C.T).argmax(1)
-            acc = np.zeros_like(C)
-            np.add.at(acc, a, X)
-            cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
-            live = cnt > 0
-            # empty cells keep their previous centroid (standard Lloyd
-            # dead-cell rule; keeps the cell count stable for nProbe)
-            C[live] = _unit(acc[live] / cnt[live, None])
-        self._centroids = [c.tolist() for c in C]
+        self._centroids = _spherical_centroids(
+            X, n_list, max(self.getOrDefault(self.trainIter), 0))
         return self
 
     def index_table(self, corpus: DataFrame) -> DataFrame:
@@ -729,6 +739,36 @@ class EmbeddingPCA(AlgoOperator, _SimilarityParams):
         return model
 
 
+def _pq_train_books(X, m: int, k_sub: int, iters: int):
+    """``m`` independent driver-side k-means on the contiguous
+    subspace blocks of sample matrix ``X`` → list[m] of
+    (k_sub, dims/m) codebooks. Deterministic: init from the unique
+    rows in sample (= seeded-hash) order — duplicates collapse so no
+    two initial centroids coincide — then Lloyd with the standard
+    dead-cell rule."""
+    import numpy as np
+
+    sub = X.shape[1] // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        _, first = np.unique(Xj, axis=0, return_index=True)
+        init = Xj[np.sort(first)][:k_sub]
+        C = np.vstack([init,
+                       Xj[:k_sub - len(init)]]) if len(init) < k_sub \
+            else init.copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            acc = np.zeros_like(C)
+            np.add.at(acc, a, Xj)
+            cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
+            live = cnt > 0
+            C[live] = acc[live] / cnt[live, None]
+        books.append(C.tolist())
+    return books
+
+
 class ProductQuantizer(AlgoOperator, _SimilarityParams):
     """Product quantization of an embedding column (Jégou, Douze &
     Schmid, "Product quantization for nearest neighbor search", TPAMI
@@ -822,28 +862,7 @@ class ProductQuantizer(AlgoOperator, _SimilarityParams):
         X = np.asarray([list(r["__v"]) for r in sample])
         k_sub = min(1 << self.getBitsPerCode(), len(X))
         iters = max(self.getOrDefault(self.trainIter), 0)
-
-        books = []
-        for j in range(m):
-            Xj = X[:, j * sub:(j + 1) * sub]
-            # deterministic farthest-point-ish init: unique rows in
-            # sample (= seeded-hash) order — duplicates collapse so no
-            # two initial centroids coincide
-            _, first = np.unique(Xj, axis=0, return_index=True)
-            init = Xj[np.sort(first)][:k_sub]
-            C = np.vstack([init,
-                           Xj[:k_sub - len(init)]]) if len(init) < k_sub \
-                else init
-            for _ in range(iters):
-                d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-                a = d2.argmin(1)
-                acc = np.zeros_like(C)
-                np.add.at(acc, a, Xj)
-                cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
-                live = cnt > 0
-                C[live] = acc[live] / cnt[live, None]
-            books.append(C.tolist())
-        self._codebooks = books
+        self._codebooks = _pq_train_books(X, m, k_sub, iters)
         return self
 
     # -- encode / decode ------------------------------------------------
@@ -979,3 +998,349 @@ class ProductQuantizer(AlgoOperator, _SimilarityParams):
         if os.path.exists(p):
             with open(p) as f:
                 self._codebooks = json.load(f)["codebooks"]
+
+
+class IVFPQTopK(AlgoOperator, _SimilarityParams):
+    """IVF-PQ approximate cosine top-k — the COMPLETE Jégou, Douze &
+    Schmid (TPAMI 2011) pipeline: an IVF coarse quantizer partitions
+    the corpus into cells, each vector stores only its cell id + PQ
+    codes of the RESIDUAL (x − the cell's RAW-mean anchor; routing
+    stays spherical/cosine-correct, but residuals must subtract the
+    raw mean — unit directions sit far from larger-norm vectors) +
+    its reconstruction norm, and queries probe ``nProbe`` cells
+    scoring candidates by asymmetric distance (LUT gather) against
+    ``x̂ = anchor_cell + r̂``.
+
+    Residual encoding is what separates this from
+    :class:`ProductQuantizer` alone: residuals are centered and far
+    smaller in magnitude than raw vectors, so the same code budget
+    quantizes them with much lower error. Optionally
+    ``refineFactor > 1`` re-ranks the top ``k·refineFactor`` ADC
+    candidates with EXACT cosine against the raw corpus vectors (the
+    standard FAISS refine stage) — one candidate-sized join, never a
+    corpus-sized one.
+
+    100 TB shape: the index row is ~(1 int + m bytes + 1 double)
+    regardless of dims; train = ONE bounded sample pull (coarse
+    centroids and residual codebooks fit on the same sample — one
+    scan total); encode = one map-only Arrow pass; search = cell-
+    aligned cogroup over ``nProbe/nList`` of the CODES (not the
+    floats), candidates cut to k per cell before the single shuffle.
+    """
+
+    nList = Param(Params._dummy(), "nList", "number of IVF cells",
+                  TypeConverters.toInt)
+    nProbe = Param(Params._dummy(), "nProbe", "cells probed per query",
+                   TypeConverters.toInt)
+    numSubspaces = Param(Params._dummy(), "numSubspaces",
+                         "PQ subspaces over the residual",
+                         TypeConverters.toInt)
+    bitsPerCode = Param(Params._dummy(), "bitsPerCode",
+                        "bits per residual code", TypeConverters.toInt)
+    trainSampleSize = Param(Params._dummy(), "trainSampleSize",
+                            "bounded training sample size",
+                            TypeConverters.toInt)
+    trainIter = Param(Params._dummy(), "trainIter",
+                      "Lloyd iterations (coarse and per-subspace)",
+                      TypeConverters.toInt)
+    refineFactor = Param(Params._dummy(), "refineFactor",
+                         "exact re-rank pool = k·refineFactor "
+                         "(1 disables refinement)",
+                         TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(nList=16, nProbe=4, numSubspaces=8,
+                         bitsPerCode=6, trainSampleSize=8192,
+                         trainIter=3, refineFactor=1)
+        self._centroids = None    # nList × dims (unit rows; routing)
+        self._anchors = None      # nList × dims (raw cell means)
+        self._codebooks = None    # m × k_sub × dims/m (residual space)
+
+    def getNList(self):
+        return self.getOrDefault(self.nList)
+
+    def setNList(self, v):
+        return self._set(nList=v)
+
+    def getNProbe(self):
+        return self.getOrDefault(self.nProbe)
+
+    def setNProbe(self, v):
+        return self._set(nProbe=v)
+
+    def setNumSubspaces(self, v):
+        return self._set(numSubspaces=v)
+
+    def setBitsPerCode(self, v):
+        return self._set(bitsPerCode=v)
+
+    def setTrainSampleSize(self, v):
+        return self._set(trainSampleSize=int(v))
+
+    def setTrainIter(self, v):
+        return self._set(trainIter=int(v))
+
+    def setRefineFactor(self, v):
+        return self._set(refineFactor=int(v))
+
+    # -- training: coarse centroids + residual codebooks, ONE sample ----
+
+    def train(self, corpus: DataFrame) -> "IVFPQTopK":
+        import numpy as np
+
+        from flink_ml__spark.base import array_width
+
+        ecol = self.getEmbeddingCol()
+        dims = array_width(corpus, ecol)
+        m = self.getOrDefault(self.numSubspaces)
+        if dims % m:
+            raise ValueError(
+                f"numSubspaces={m} must divide dims={dims}")
+        arr = as_double_array(corpus, ecol)
+        pts = corpus.select(arr.alias("__v"))
+        cap = max(self.getOrDefault(self.trainSampleSize),
+                  self.getNList(), 2)
+        sample = (pts.orderBy(F.xxhash64(F.lit(self.getSeed()), "__v"))
+                  .limit(cap).collect())
+        X = np.asarray([list(r["__v"]) for r in sample])
+        iters = max(self.getOrDefault(self.trainIter), 0)
+        self._centroids = _spherical_centroids(
+            _unit(X), self.getNList(), iters)
+        C = np.asarray(self._centroids)
+        # cell ROUTING is spherical (cosine-correct probes), but the
+        # residual must subtract the RAW cell mean — unit directions
+        # sit far from raw vectors of larger norm, and residuals
+        # against them are as large as the vectors themselves (raw PQ
+        # would beat such "residuals"). One anchor per cell; empty
+        # cells anchor at the unit direction (no sample evidence).
+        a = (_unit(X) @ C.T).argmax(1)
+        anchors = C.copy()
+        acc = np.zeros_like(C)
+        np.add.at(acc, a, X)
+        cnt = np.bincount(a, minlength=len(C)).astype(np.float64)
+        live = cnt > 0
+        anchors[live] = acc[live] / cnt[live, None]
+        self._anchors = [v.tolist() for v in anchors]
+        resid = X - anchors[a]
+        k_sub = min(1 << self.getOrDefault(self.bitsPerCode), len(X))
+        self._codebooks = _pq_train_books(resid, m, k_sub, iters)
+        return self
+
+    def _require_trained(self):
+        if self._centroids is None or self._codebooks is None:
+            raise ValueError("train() or load() the index first")
+
+    # -- encode ---------------------------------------------------------
+
+    def index_table(self, corpus: DataFrame) -> DataFrame:
+        """(neighbor_id, __cell, pq_code, recon_norm) — the complete
+        compressed index row; persist once per corpus snapshot."""
+        import numpy as np
+
+        self._require_trained()
+        C = np.asarray(self._centroids)
+        A = np.asarray(self._anchors)
+        B = [np.asarray(b) for b in self._codebooks]
+        m = len(B)
+        sub = B[0].shape[1]
+        halfsq = [0.5 * (b * b).sum(1) for b in B]
+
+        @F.pandas_udf("struct<cell: int, code: array<int>, nrm: double>")
+        def encode(embs: pd.Series) -> pd.DataFrame:
+            X = np.stack(embs.to_numpy()).astype(np.float64)
+            cells = (_unit(X) @ C.T).argmax(1)
+            R = X - A[cells]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            recon = A[cells].copy()
+            for j in range(m):
+                Rj = R[:, j * sub:(j + 1) * sub]
+                codes[:, j] = (Rj @ B[j].T - halfsq[j]).argmax(1)
+                recon[:, j * sub:(j + 1) * sub] += B[j][codes[:, j]]
+            return pd.DataFrame({
+                "cell": cells.astype("int32"), "code": list(codes),
+                "nrm": np.linalg.norm(recon, axis=1)})
+
+        idc = self.getIdCol()
+        arr = as_double_array(corpus, self.getEmbeddingCol())
+        out = corpus.select(F.col(idc).alias("neighbor_id"),
+                            encode(arr).alias("__e"))
+        return out.select("neighbor_id",
+                          F.col("__e.cell").alias("__cell"),
+                          F.col("__e.code").alias("pq_code"),
+                          F.col("__e.nrm").alias("recon_norm"))
+
+    def save_index(self, path: str, corpus: DataFrame | None = None, *,
+                   precomputed: DataFrame | None = None,
+                   mode: str = "overwrite") -> None:
+        """Persist the compressed corpus + the model (centroids AND
+        residual codebooks travel with the index);
+        ``mode='append'`` adds a batch encoded under the SAME model."""
+        import json
+        import os
+
+        if precomputed is None:
+            if corpus is None:
+                raise ValueError("need corpus or precomputed")
+            precomputed = self.index_table(corpus)
+        precomputed.write.mode(mode).parquet(os.path.join(path, "data"))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump({"centroids": self._centroids,
+                       "anchors": self._anchors,
+                       "codebooks": self._codebooks}, f)
+
+    def load_index(self, spark, path: str) -> DataFrame:
+        import json
+        import os
+
+        with open(os.path.join(path, "model.json")) as f:
+            d = json.load(f)
+        self._centroids = d["centroids"]
+        self._anchors = d["anchors"]
+        self._codebooks = d["codebooks"]
+        return spark.read.parquet(os.path.join(path, "data"))
+
+    # -- search ---------------------------------------------------------
+
+    def topk(self, queries: DataFrame, corpus: DataFrame | None = None,
+             *, corpus_indexed: DataFrame | None = None) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank). ``cosine`` is the
+        ADC estimate, or the EXACT cosine when ``refineFactor > 1``
+        (requires ``corpus`` for the raw vectors)."""
+        import numpy as np
+
+        self._require_trained()
+        if corpus_indexed is None:
+            if corpus is None:
+                raise ValueError("need corpus or corpus_indexed")
+            corpus_indexed = self.index_table(corpus)
+        C = np.asarray(self._centroids)
+        A = np.asarray(self._anchors)
+        B = [np.asarray(b) for b in self._codebooks]
+        m = len(B)
+        sub = B[0].shape[1]
+        k = self.getK()
+        refine = max(self.getOrDefault(self.refineFactor), 1)
+        pool = k * refine
+        n_probe = min(self.getNProbe(), len(C))
+        idc = self.getIdCol()
+        src = corpus if corpus is not None else queries
+        id_type = src.schema[idc].dataType.simpleString()
+
+        @F.pandas_udf("array<int>")
+        def probes_of(embs: pd.Series) -> pd.Series:
+            X = _unit(np.stack(embs.to_numpy()).astype(np.float64))
+            order = np.argsort(-(X @ C.T), axis=1,
+                               kind="stable")[:, :n_probe]
+            return pd.Series(list(order.astype("int32")))
+
+        qa = as_double_array(queries, self.getEmbeddingCol())
+        q = (queries.select(F.col(idc).alias("query_id"), qa.alias("__qv"))
+             .withColumn("__cell", F.explode(probes_of("__qv"))))
+
+        empty = {"query_id": [], "neighbor_id": [], "adc": []}
+
+        def per_cell(key, left, right):
+            if not len(left) or not len(right):
+                return pd.DataFrame(empty)
+            cell = int(key[0])
+            anchor = A[cell]
+            codes = np.stack(left["pq_code"].to_numpy())
+            nid = left["neighbor_id"].to_numpy()
+            rn = left["recon_norm"].to_numpy()
+            Xq = np.stack(right["__qv"].to_numpy())
+            qid = right["query_id"].to_numpy()
+            qn = np.linalg.norm(Xq, axis=1)
+            # dot(q, x̂) = dot(q, anchor_cell) + Σ_j LUT_j[code_j]
+            dots = np.tile((Xq @ anchor)[:, None], (1, len(codes)))
+            for j in range(m):
+                lut = Xq[:, j * sub:(j + 1) * sub] @ B[j].T
+                dots += lut[:, codes[:, j]]
+            cos = dots / np.outer(np.where(qn == 0, 1.0, qn),
+                                  np.where(rn == 0, 1.0, rn))
+            frames = []
+            for i in range(len(Xq)):
+                if qn[i] == 0:
+                    continue
+                mask = (nid != qid[i]) & (rn > 0)
+                cs, ns = cos[i][mask], nid[mask]
+                if not len(cs):
+                    continue
+                sel = np.lexsort((ns, -cs))[:pool]
+                frames.append(pd.DataFrame({
+                    "query_id": qid[i], "neighbor_id": ns[sel],
+                    "adc": cs[sel]}))
+            return (pd.concat(frames, ignore_index=True)
+                    if frames else pd.DataFrame(empty))
+
+        cand = (corpus_indexed.groupby("__cell")
+                .cogroup(q.groupby("__cell"))
+                .applyInPandas(per_cell,
+                               f"query_id {id_type}, neighbor_id {id_type}, "
+                               f"adc double"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("adc"), F.asc("neighbor_id"))
+        ranked = (cand.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= pool))
+        if refine == 1:
+            return (ranked.filter(F.col("rank") <= k)
+                    .select("query_id", "neighbor_id",
+                            F.col("adc").alias("cosine"), "rank"))
+        if corpus is None:
+            raise ValueError("refineFactor > 1 needs the raw corpus")
+        ca = as_double_array(corpus, self.getEmbeddingCol())
+        cn = F.sqrt(F.aggregate(F.transform(ca, lambda x: x * x),
+                                F.lit(0.0), lambda a, x: a + x))
+        raw_c = corpus.select(F.col(idc).alias("neighbor_id"),
+                              ca.alias("__cv"), cn.alias("__cn"))
+        qn = F.sqrt(F.aggregate(F.transform("__qv", lambda x: x * x),
+                                F.lit(0.0), lambda a, x: a + x))
+        raw_q = (queries.select(F.col(idc).alias("query_id"),
+                                qa.alias("__qv"))
+                 .withColumn("__qn", qn))
+        # candidates (≤ queries·pool rows) are ALWAYS the broadcast
+        # side — letting the optimizer pick would broadcast the raw
+        # corpus at small scale and flip to a corpus-wide shuffle at
+        # large scale; this shape streams the corpus scan through a
+        # broadcast semi-filter at any size
+        exact = (raw_c
+                 .join(F.broadcast(ranked.select("query_id",
+                                                 "neighbor_id")),
+                       "neighbor_id")
+                 .join(F.broadcast(raw_q), "query_id")
+                 .filter(F.col("__cn") > 0)
+                 .withColumn("cosine",
+                             _cos("__qv", "__qn", "__cv", "__cn")))
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        return (exact.withColumn("rank", F.row_number().over(w2))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cosine", "rank"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.topk(df, df)
+
+    # -- persistence (model only; the index persists via save_index) ----
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        if self._centroids is not None:
+            with open(os.path.join(path, "ivfpq.json"), "w") as f:
+                json.dump({"centroids": self._centroids,
+                           "anchors": self._anchors,
+                           "codebooks": self._codebooks}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        p = os.path.join(path, "ivfpq.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            self._centroids = d["centroids"]
+            self._anchors = d["anchors"]
+            self._codebooks = d["codebooks"]

@@ -5076,6 +5076,56 @@ FROM embeddings WHERE false
 """
 
 
+IVFPQ_MEAN_RECALL_FLOOR = 0.45  # measured 0.54 (sf0.001) / 0.66 (sf0.01)
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """Recall-floor gate for the full IVF-PQ pipeline (coarse cells +
+    residual PQ codes + exact refine at 4·k), mirroring
+    :func:`q_ann_ivf_topk`: violations-only vs exact brute force,
+    expected EMPTY, WHERE-false oracle. ADC-only recall compounds the
+    cell-miss AND quantization error (measured 0.40 on the ~uniform
+    synthetic corpus); the refine stage recovers to 0.56–0.72,
+    bounded above by the coarse quantizer's own cell recall — floors
+    set accordingly."""
+    from flink_ml__spark.functions.similarity import IVFPQTopK
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    op = (IVFPQTopK().setK(5).setNList(16).setNProbe(8)
+          .setNumSubspaces(8).setBitsPerCode(6).setSeed(42)
+          .setRefineFactor(4))
+    op.train(emb)
+    got = op.topk(queries, emb).select("query_id", "neighbor_id")
+    exact = (CosineTopK().setK(5).topk(queries, emb)
+             .select("query_id", "neighbor_id"))
+    hits = (exact.join(got, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    per_q = (n.join(hits, "query_id", "left")
+             .select("query_id",
+                     F.col("n_exact").cast("long").alias("n_exact"),
+                     n_hit.alias("n_hit"),
+                     F.round(n_hit / F.col("n_exact"), 3)
+                     .alias("recall_at_5")))
+    q_viol = per_q.filter(F.col("recall_at_5") <= 0.0)
+    mean_viol = (per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(F.avg("recall_at_5"), 3).alias("recall_at_5"))
+        .filter(F.col("recall_at_5") < F.lit(IVFPQ_MEAN_RECALL_FLOOR)))
+    return q_viol.unionByName(mean_viol)
+
+
+ORACLE_ANN_IVFPQ = """
+SELECT vec_id::BIGINT AS query_id, 0::BIGINT AS n_exact,
+       0::BIGINT AS n_hit, 0.0::DOUBLE AS recall_at_5
+FROM embeddings WHERE false
+"""
+
+
 def q_cms_invariants_events(spark, sf_dir):
     """Hard gate for the count-min sketch: violations-only, expected
     EMPTY, WHERE-false oracle. Per-key checks against the exact
@@ -5299,6 +5349,7 @@ QUERIES = {
     "pq_invariants_embeddings": q_pq_invariants_embeddings,
     "ann_pq_topk": q_ann_pq_topk,
     "cms_invariants_events": q_cms_invariants_events,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "calibration_bins_documents": q_calibration_bins_documents,
     "calibration_eval_documents": q_calibration_eval_documents,
     "ewma_forecast_events": q_ewma_forecast_events,
@@ -5382,6 +5433,7 @@ ORACLES = {
     "pq_invariants_embeddings": ORACLE_PQ_INVARIANTS,
     "ann_pq_topk": ORACLE_ANN_PQ,
     "cms_invariants_events": ORACLE_CMS_INVARIANTS,
+    "ann_ivfpq_topk": ORACLE_ANN_IVFPQ,
     "calibration_bins_documents": ORACLE_CALIBRATION_BINS,
     "calibration_eval_documents": ORACLE_CALIBRATION_EVAL,
     "ewma_forecast_events": ORACLE_EWMA,

@@ -379,3 +379,141 @@ def test_pq_invariants_catch_corrupted_codes(spark):
         del pq.transform
     checks = {r["check"] for r in viol}
     assert "not_argmin" in checks or "norm_mismatch" in checks
+
+
+def test_ivfpq_exact_on_clustered_reconstructible_data(spark):
+    """Clustered data where cluster means ARE representable: with
+    enough cells+codes the residuals quantize to ~0, so IVF-PQ ADC
+    ranking matches brute force exactly even without refine."""
+    from flink_ml__spark.functions.similarity import (
+        CosineTopK,
+        IVFPQTopK,
+    )
+
+    rows = []
+    for i in range(30):
+        base = [1.0, 10.0, -5.0][i % 3]
+        rows.append((i, [base, base, 2 * base, -base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    op = (IVFPQTopK().setK(4).setNList(3).setNProbe(3)
+          .setNumSubspaces(2).setBitsPerCode(2).setSeed(5)
+          .setTrainIter(5).train(df))
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in op.topk(df.limit(6), df).collect()}
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in CosineTopK().setK(4).topk(df.limit(6), df)
+             .collect()}
+    assert got == exact
+
+
+def test_ivfpq_residuals_beat_raw_pq_reconstruction(spark):
+    """The point of residual encoding: with the same code budget the
+    IVF-PQ reconstruction error is below raw PQ's on clustered data."""
+    import numpy as np
+
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.functions.similarity import (
+        IVFPQTopK,
+        ProductQuantizer,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    raw = (ProductQuantizer().setNumSubspaces(8).setBitsPerCode(4)
+           .setSeed(42).train(emb))
+    ivfpq = (IVFPQTopK().setNList(16).setNumSubspaces(8)
+             .setBitsPerCode(4).setSeed(42).train(emb))
+    X = np.asarray([list(r["embedding"]) for r in
+                    emb.select("embedding").collect()], dtype=float)
+    # raw PQ recon error
+    dec = raw.decode(raw.transform(emb)).select("vec_id", "pq_recon")
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    raw_err = np.mean([
+        np.linalg.norm(np.array(r["pq_recon"]) - X[ids.index(r["vec_id"])])
+        for r in dec.collect()])
+    # ivfpq recon error via the stored recon_norm identity is not a
+    # distance; recompute recon driver-side from the model (routing by
+    # unit centroid, residual against the raw-mean anchor)
+    C = np.asarray(ivfpq._centroids)
+    A = np.asarray(ivfpq._anchors)
+    B = [np.asarray(b) for b in ivfpq._codebooks]
+    from flink_ml__spark.functions.similarity import _unit
+    cells = (_unit(X) @ C.T).argmax(1)
+    R = X - A[cells]
+    recon = A[cells].copy()
+    sub = B[0].shape[1]
+    for j in range(len(B)):
+        Rj = R[:, j * sub:(j + 1) * sub]
+        codes = (Rj @ B[j].T - 0.5 * (B[j] ** 2).sum(1)).argmax(1)
+        recon[:, j * sub:(j + 1) * sub] += B[j][codes]
+    ivfpq_err = np.mean(np.linalg.norm(recon - X, axis=1))
+    assert ivfpq_err < raw_err
+
+
+def test_ivfpq_refine_returns_exact_cosines(spark):
+    """With refineFactor > 1 the returned cosine is the TRUE cosine of
+    the selected neighbor, bit-equal to the brute-force value."""
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.functions.similarity import (
+        CosineTopK,
+        IVFPQTopK,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.limit(5)
+    op = (IVFPQTopK().setK(3).setNList(8).setNProbe(8)
+          .setNumSubspaces(8).setBitsPerCode(6).setSeed(42)
+          .setRefineFactor(8).train(emb))
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in op.topk(queries, emb).collect()}
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in CosineTopK().setK(10).topk(queries, emb).collect()}
+    for key, cos in got.items():
+        if key in exact:
+            assert abs(cos - exact[key]) < 1e-9
+
+
+def test_ivfpq_index_save_load_round_trip(spark, tmp_path):
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.functions.similarity import IVFPQTopK
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    op = (IVFPQTopK().setK(3).setNList(8).setNProbe(4)
+          .setNumSubspaces(8).setBitsPerCode(4).setSeed(42).train(emb))
+    p = str(tmp_path / "ivfpq")
+    op.save_index(p, emb)
+    fresh = IVFPQTopK().setK(3).setNList(8).setNProbe(4) \
+        .setNumSubspaces(8).setBitsPerCode(4).setSeed(42)
+    idx = fresh.load_index(spark, p)
+    a = sorted(tuple(r) for r in
+               op.topk(emb.limit(5), corpus_indexed=op.index_table(emb))
+               .collect())
+    b = sorted(tuple(r) for r in
+               fresh.topk(emb.limit(5), corpus_indexed=idx).collect())
+    assert a == b
+
+
+def test_ivfpq_guards(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.similarity import IVFPQTopK
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="must divide"):
+        IVFPQTopK().setNumSubspaces(2).train(df)
+    with _pytest.raises(ValueError, match="train"):
+        IVFPQTopK().topk(df, df)
+    op4 = spark.createDataFrame([(1, [1.0, 2.0, 3.0, 4.0])],
+                                ["vec_id", "embedding"])
+    trained = (IVFPQTopK().setNList(1).setNumSubspaces(2)
+               .setBitsPerCode(1).setRefineFactor(2).train(op4))
+    with _pytest.raises(ValueError, match="raw corpus"):
+        trained.topk(op4, corpus_indexed=trained.index_table(op4))
+
+
+def test_ivfpq_gate_query_empty(spark):
+    from flink_ml__spark.plans.queries import q_ann_ivfpq_topk
+
+    df = q_ann_ivfpq_topk(spark, "/root/testdata/sf0.001")
+    assert df.columns == ["query_id", "n_exact", "n_hit", "recall_at_5"]
+    assert df.collect() == []
