@@ -391,3 +391,115 @@ def test_corr_window_single_windowed_aggregate(spark):
     assert "Window\n" not in plan      # no analytic WindowExec
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_map_only(spark):
+    """PQ encode is ONE Arrow stage over the scan — no shuffle, no
+    join; the codebooks ride inside the UDF closure."""
+    from flink_ml__spark.functions.similarity import ProductQuantizer
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    pq = (ProductQuantizer().setNumSubspaces(8).setBitsPerCode(4)
+          .setSeed(42).train(emb))
+    plan = (pq.transform(emb)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_pq_adc_single_exchange_no_cartesian(spark):
+    """ADC top-k scans only the codes (one MapInPandas), prunes to k
+    map-side (partial WindowGroupLimit), and shuffles ONCE on
+    query_id for the final ranking — never a cartesian/NL join."""
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.similarity import ProductQuantizer
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    pq = (ProductQuantizer().setNumSubspaces(8).setBitsPerCode(4)
+          .setSeed(42).setK(5).train(emb))
+    plan = (pq.adc_topk(emb.filter(F.col("vec_id") % 50 == 0),
+                        pq.transform(emb))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" in plan
+
+
+def test_ivfpq_refine_never_broadcasts_corpus(spark):
+    """The refine join must broadcast the CANDIDATE set; the raw
+    corpus scan streams through it. A corpus-side broadcast works at
+    test scale and melts at 100 TB — pin the safe shape."""
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.similarity import IVFPQTopK
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    op = (IVFPQTopK().setK(3).setNList(8).setNProbe(4)
+          .setNumSubspaces(8).setBitsPerCode(4).setSeed(42)
+          .setRefineFactor(4).train(emb))
+    df = op.topk(emb.filter(F.col("vec_id") % 50 == 0), emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both broadcast exchanges must hang off candidate/query-sized
+    # inputs: every BroadcastHashJoin's build side is BuildRight and
+    # the stream side keeps the parquet corpus scan
+    assert "FlatMapCoGroupsInPandas" in plan   # the cell-aligned probe
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_build_single_bounded_exchange(spark):
+    """The sketch build shuffles pre-combined (row, col) cells only:
+    Generate → partial HashAggregate → ONE exchange."""
+    from flink_ml__spark.functions.sketches import CountMinSketch
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", SF)
+    cms = CountMinSketch().setInputCol("user_id").setWidth(256)
+    plan = (cms._cells(ev)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    assert "Generate explode" in plan
+
+
+def test_cms_estimate_map_only(spark):
+    """Point estimation against the broadcast matrix is one Arrow
+    pass — no join, no exchange."""
+    from flink_ml__spark.functions.sketches import CountMinSketch
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", SF)
+    cms = (CountMinSketch().setInputCol("user_id").setWidth(256)
+           .build(ev))
+    plan = (cms.transform(ev)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_calibration_pure_catalyst(spark):
+    """Reliability bins + summary: aggregates only — no Python, no
+    sort, no window."""
+    plan = _plan(spark, "calibration_eval_documents")
+    assert "Python" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    plan_bins = _plan(spark, "calibration_bins_documents")
+    assert "Python" not in plan_bins
+
+
+def test_ewma_single_window_pass_no_python(spark):
+    """EWMA is pure Catalyst window work: one exchange on the series
+    key feeds both window frames; no Arrow/Python stage."""
+    plan = _plan(spark, "ewma_forecast_events")
+    assert "Python" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
