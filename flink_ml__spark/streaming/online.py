@@ -830,3 +830,78 @@ def stream_online_topsis_apply(stream_df: DataFrame,
     out = src.join(F.broadcast(md), cond, "inner")
     return out.select(*stream_df.columns,
                       F.col("__ot_score").alias(model.getPredictionCol()))
+
+
+def stream_ewma(stream_df: DataFrame, op) -> DataFrame:
+    """Streaming twin of
+    :class:`~flink_ml__spark.functions.timeseries.ExponentialSmoother`:
+    per-key smoothed value / one-step forecast / residual emitted for
+    every arriving row (append mode).
+
+    Where the batch operator truncates the adjust-weighted mean at
+    ``maxLag`` (bounded window frame), the stream keeps the EXACT
+    untruncated recurrence — ``num = x + r·num_prev``,
+    ``den = 1 + r·den_prev``, ``ewma = num/den`` — because streaming
+    state is O(1) doubles per key either way; stream and batch agree
+    wherever ``maxLag`` covers the series (pinned in
+    ``test_streaming``), and differ only by the documented ≤ r^maxLag
+    truncation error beyond it.
+
+    Rows fold in ``timeCol`` order WITHIN each micro-batch; delivering
+    batches in key-time order across triggers is the source's contract
+    (the same contract as every at-least-ordered CDC/event feed).
+    NULL values pass through with NULL ewma and do not perturb the
+    state (ignore_na semantics).
+    """
+    import math
+
+    k = op.getOrDefault(op.keyCol)
+    t = op.getOrDefault(op.timeCol)
+    v = op.getOrDefault(op.valueCol)
+    a = op.getOrDefault(op.alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {a}")
+    r = 1.0 - a
+
+    out_fields = list(stream_df.schema.fields) + [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+        T.StructField("residual", T.DoubleType())]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+        T.StructField("last", T.DoubleType())])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = (pd.concat(frames, ignore_index=True)
+                 .sort_values(t, kind="stable").reset_index(drop=True))
+        num, den, last = (state.get if state.exists
+                          else (0.0, 0.0, float("nan")))
+        ewma = [float("nan")] * len(batch)
+        fc = [float("nan")] * len(batch)
+        xs = batch[v].astype(float).tolist()
+        for i, x in enumerate(xs):
+            fc[i] = last
+            if x is None or math.isnan(x):
+                continue
+            num = x + r * num
+            den = 1.0 + r * den
+            ewma[i] = num / den
+            last = ewma[i]
+        state.update((num, den, last))
+        out = batch.copy()
+        out["ewma"] = ewma
+        out["forecast"] = fc
+        out["residual"] = out[v].astype(float) - out["forecast"]
+        yield out
+
+    return (stream_df.groupBy(F.col(k))
+            .applyInPandasWithState(
+                fold, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

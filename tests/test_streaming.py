@@ -896,3 +896,50 @@ def test_stream_dedup_against_loaded_index(spark, tmp_path):
     proc = stream_dedup_against_corpus(None, op, emit, corpus_hashed=idx)
     proc(batch, 0)
     assert got[0] == [101]
+
+
+def test_stream_ewma_matches_batch_untruncated(spark):
+    """Stream (exact O(1) recurrence) == batch (window formulation)
+    whenever maxLag covers the series — including across micro-batch
+    boundaries, where the folded state must carry num/den/last."""
+    import math
+
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+    from flink_ml__spark.streaming.online import stream_ewma
+
+    rows = [(k, i, float(((i * 7 + k * 3) % 10) + 1))
+            for k in (1, 2) for i in range(12)]
+    # plant a null value mid-series for the ignore_na path
+    rows[5] = (rows[5][0], rows[5][1], None)
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    op = (ExponentialSmoother().setKeyCol("k").setTimeCol("t")
+          .setValueCol("x").setAlpha(0.4).setMaxLag(1000))
+    batch = {(r["k"], r["t"]): r for r in op.transform(df).collect()}
+
+    d = tempfile.mkdtemp(prefix="stream_ewma_")
+    try:
+        # two sequential files: early times then late times, so the
+        # per-key fold crosses a micro-batch boundary mid-series
+        df.filter("t < 6").coalesce(1).write.mode("overwrite") \
+          .parquet(d + "/p")
+        df.filter("t >= 6").coalesce(1).write.parquet(
+            d + "/p", mode="append")
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d + "/p"))
+        out = []
+        q = (stream_ewma(stream, op).writeStream
+             .foreachBatch(lambda b, i: out.extend(b.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["k"], r["t"]): r for r in out}
+        assert set(got) == set(batch)
+        for key in batch:
+            for col in ("ewma", "forecast", "residual"):
+                b, s = batch[key][col], got[key][col]
+                if b is None:
+                    assert s is None or math.isnan(s), (key, col, s)
+                else:
+                    assert s is not None and abs(b - s) < 1e-9, \
+                        (key, col, b, s)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
