@@ -118,6 +118,28 @@ def main():
                                 [("value", "user_id")], window="1 day")
      .orderBy("window_start").show(5))
 
+    print("== EWMA smoothing + one-step forecast of the value series ==")
+    from flink_ml__spark.functions.timeseries import ExponentialSmoother
+
+    (ExponentialSmoother().setKeyCol("user_id").setTimeCol("event_id")
+     .setValueCol("value").setAlpha(0.3)
+     .transform(ev)
+     .select("event_id", "user_id", "value",
+             F.round("ewma", 3).alias("ewma"),
+             F.round("residual", 3).alias("residual"))
+     .orderBy("user_id", "event_id").show(6))
+
+    print("== count-min frequency sketch: per-user event rates in "
+          "O(depth*width) memory ==")
+    from flink_ml__spark.functions.sketches import CountMinSketch
+
+    cms = (CountMinSketch().setInputCol("user_id")
+           .setDepth(5).setWidth(2048).build(ev))
+    (cms.transform(ev).groupBy("user_id")
+     .agg(F.first("cms_est").alias("cms_est"),
+          F.count(F.lit(1)).alias("exact"))
+     .orderBy(F.desc("exact")).show(5))
+
 
 if __name__ == "__main__":
     main()

@@ -77,6 +77,20 @@ def main():
           F.round(F.avg("ndcg_at_k"), 3).alias("mean_ndcg@5"))
      .show())
 
+    print("== compressed ANN: IVF-PQ (cells + residual codes + refine) ==")
+    from flink_ml__spark.functions.similarity import IVFPQTopK
+
+    ivfpq = (IVFPQTopK().setK(5).setNList(8).setNProbe(4)
+             .setNumSubspaces(8).setBitsPerCode(6).setSeed(42)
+             .setRefineFactor(4).train(emb))
+    approx_pq = (ivfpq.topk(queries_emb, emb)
+                 .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                         "rank"))
+    (RankingEvaluator().setK(5).evaluate(approx_pq, truth)
+     .agg(F.round(F.avg("recall_at_k"), 3).alias("mean_recall@5"),
+          F.round(F.avg("mrr"), 3).alias("mean_mrr"))
+     .show())
+
 
 if __name__ == "__main__":
     main()
