@@ -55,6 +55,49 @@ def _psi_summary(report_df: DataFrame) -> DataFrame:
             .withColumn("drift_level", drift_level(F.col("psi"))))
 
 
+def _psi_terms(out: DataFrame) -> DataFrame:
+    """Append floored proportions + psi_term to a joined
+    (column, ·, n_ref, n_cur) histogram frame. O(columns · buckets)
+    rows — the window runs on the tiny histogram table, never the
+    data. The SINGLE arithmetic shared by the two-frame and the
+    fitted-profile paths (they cannot diverge)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column")
+    p_ref = F.greatest(F.col("n_ref")
+                       / F.sum("n_ref").over(w), F.lit(_FLOOR))
+    p_cur = F.greatest(F.col("n_cur")
+                       / F.sum("n_cur").over(w), F.lit(_FLOOR))
+    return (out.withColumn("p_ref", p_ref)
+               .withColumn("p_cur", p_cur)
+               .withColumn("psi_term",
+                           (F.col("p_cur") - F.col("p_ref"))
+                           * F.log(F.col("p_cur") / F.col("p_ref"))))
+
+
+def _bucket_expr(col, edges: list[float]):
+    b = F.lit(0)
+    for e in edges:
+        b = b + (F.col(col) >= F.lit(e)).cast("int")
+    return b
+
+
+def _numeric_hist(df: DataFrame, edges: dict[str, list[float]],
+                  tag: str) -> DataFrame:
+    """ONE pass histograms every column: each row explodes into its
+    per-column (column, bucket) cells (NULLs dropped per column),
+    then one partial+final count aggregate."""
+    cells = F.explode(F.filter(F.array(*[
+        F.when(F.col(c).isNotNull(),
+               F.struct(F.lit(c).alias("column"),
+                        _bucket_expr(c, e).alias("bucket")))
+        for c, e in edges.items()]), lambda x: x.isNotNull()))
+    return (df.select(cells.alias("__cell"))
+              .groupBy(F.col("__cell.column").alias("column"),
+                       F.col("__cell.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+
 class DriftMonitor(AlgoOperator, HasRelativeError):
     """PSI drift report between a reference and a current DataFrame.
 
@@ -125,61 +168,35 @@ class DriftMonitor(AlgoOperator, HasRelativeError):
 
     @staticmethod
     def _bucket(col, edges: list[float]):
-        b = F.lit(0)
-        for e in edges:
-            b = b + (F.col(col) >= F.lit(e)).cast("int")
-        return b
+        return _bucket_expr(col, edges)
 
-    def _hist(self, df: DataFrame, edges: dict[str, list[float]],
+    @staticmethod
+    def _hist(df: DataFrame, edges: dict[str, list[float]],
               tag: str) -> DataFrame:
-        """ONE pass histograms every column: each row explodes into
-        its per-column (column, bucket) cells (NULLs dropped per
-        column), then one partial+final count aggregate."""
-        cells = F.explode(F.filter(F.array(*[
-            F.when(F.col(c).isNotNull(),
-                   F.struct(F.lit(c).alias("column"),
-                            self._bucket(c, e).alias("bucket")))
-            for c, e in edges.items()]), lambda x: x.isNotNull()))
-        return (df.select(cells.alias("__cell"))
-                  .groupBy(F.col("__cell.column").alias("column"),
-                           F.col("__cell.bucket").alias("bucket"))
-                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+        return _numeric_hist(df, edges, tag)
 
-    def report(self, reference: DataFrame, current: DataFrame
-               ) -> DataFrame:
+    def fit(self, reference: DataFrame) -> "DriftMonitorModel":
+        """Materialize the reference PROFILE — quantile edges + the
+        reference histogram, O(columns · buckets) numbers total — so
+        daily/streaming monitoring runs scan ONLY the current
+        snapshot. The profile persists (``save``/``load``): at 100 TB
+        re-scanning a fixed reference on every report is the dominant
+        cost, and the profile is also the auditable artifact of WHAT
+        the monitor compares against."""
         cols = self.getOrDefault(self.inputCols)
         if not cols:
             raise ValueError("no columns set — call setInputCols(...)")
         k = self.getOrDefault(self.numBuckets)
-        spark = reference.sparkSession
         edges = self._all_edges(reference, cols)
+        ref = {(r["column"], r["bucket"]): r["n_ref"]
+               for r in _numeric_hist(reference, edges,
+                                      "ref").collect()}
+        return DriftMonitorModel(cols=cols, num_buckets=k, edges=edges,
+                                 ref_hist=ref)
 
-        grid = spark.createDataFrame(
-            [(c, b) for c in cols for b in range(k)],
-            "column string, bucket int")
-        out = (grid
-               .join(self._hist(reference, edges, "ref"),
-                     ["column", "bucket"], "left")
-               .join(self._hist(current, edges, "cur"),
-                     ["column", "bucket"], "left")
-               .select("column", "bucket",
-                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
-
-        from pyspark.sql import Window
-
-        # O(columns · buckets) rows — the window runs on the tiny
-        # histogram table, never the data
-        w = Window.partitionBy("column")
-        p_ref = F.greatest(F.col("n_ref")
-                           / F.sum("n_ref").over(w), F.lit(_FLOOR))
-        p_cur = F.greatest(F.col("n_cur")
-                           / F.sum("n_cur").over(w), F.lit(_FLOOR))
-        return (out.withColumn("p_ref", p_ref)
-                   .withColumn("p_cur", p_cur)
-                   .withColumn("psi_term",
-                               (F.col("p_cur") - F.col("p_ref"))
-                               * F.log(F.col("p_cur") / F.col("p_ref"))))
+    def report(self, reference: DataFrame, current: DataFrame
+               ) -> DataFrame:
+        return self.fit(reference).report(current)
 
     def summary(self, reference: DataFrame, current: DataFrame
                 ) -> DataFrame:
@@ -188,6 +205,65 @@ class DriftMonitor(AlgoOperator, HasRelativeError):
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("DriftMonitor is binary — call "
                         "report(reference, current)")
+
+
+class DriftMonitorModel(AlgoOperator):
+    """Fitted numeric-drift reference profile (see
+    :meth:`DriftMonitor.fit`). ``report(current)``/``summary(current)``
+    histogram the current snapshot against the STORED edges and join
+    the STORED reference counts — one aggregation over current, zero
+    reference scans. Output is identical to
+    ``DriftMonitor.report(reference, current)`` (pinned by test)."""
+
+    def __init__(self, cols=None, num_buckets=None, edges=None,
+                 ref_hist=None):
+        super().__init__()
+        self._cols = cols or []
+        self._k = num_buckets or 0
+        self._edges = edges or {}
+        self._ref = ref_hist or {}
+
+    def report(self, current: DataFrame) -> DataFrame:
+        if not self._cols:
+            raise ValueError("empty profile — fit() or load() first")
+        spark = current.sparkSession
+        grid = spark.createDataFrame(
+            [(c, b, int(self._ref.get((c, b), 0)))
+             for c in self._cols for b in range(self._k)],
+            "column string, bucket int, n_ref long")
+        cur = _numeric_hist(current, self._edges, "cur")
+        out = (grid.join(cur, ["column", "bucket"], "left")
+               .select("column", "bucket", "n_ref",
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+        return _psi_terms(out)
+
+    def summary(self, current: DataFrame) -> DataFrame:
+        return _psi_summary(self.report(current))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.report(df)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "drift_profile.json"), "w") as f:
+            json.dump({
+                "cols": self._cols, "k": self._k,
+                "edges": self._edges,
+                "ref": [[c, b, n] for (c, b), n in self._ref.items()],
+            }, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "drift_profile.json")) as f:
+            d = json.load(f)
+        self._cols = d["cols"]
+        self._k = d["k"]
+        self._edges = d["edges"]
+        self._ref = {(c, b): n for c, b, n in d["ref"]}
 
 
 class CategoricalDriftMonitor(AlgoOperator):
@@ -274,8 +350,12 @@ class CategoricalDriftMonitor(AlgoOperator):
                   .select(F.col("__cell.column").alias("column"),
                           F.col("__cell.value").alias("value")))
 
-    def report(self, reference: DataFrame, current: DataFrame
-               ) -> DataFrame:
+    def fit(self, reference: DataFrame) -> "CategoricalDriftModel":
+        """Materialize the reference PROFILE — the per-column
+        vocabulary plus reference category counts (__other__/__null__
+        included), O(columns · maxCategories) values — so recurring
+        reports scan ONLY the current snapshot (the numeric
+        :meth:`DriftMonitor.fit` rationale)."""
         from pyspark.sql import Window
 
         cols = self.getOrDefault(self.inputCols)
@@ -293,12 +373,10 @@ class CategoricalDriftMonitor(AlgoOperator):
         vocab = (ref_counts.withColumn("__r", F.row_number().over(w))
                  .filter(F.col("__r") <= mx)
                  .select("column", "value"))
-
         in_vocab = vocab.withColumn("__in", F.lit(True))
         category = (F.when(F.col("__in").isNotNull(), F.col("value"))
                      .otherwise(F.lit(self.OTHER_CAT))
                      .alias("category"))
-
         # reference side derives from the ALREADY-AGGREGATED
         # ref_counts (O(distinct categories) rows) — re-exploding the
         # reference table would be a second full scan + shuffle
@@ -306,28 +384,15 @@ class CategoricalDriftMonitor(AlgoOperator):
                                     "left")
                     .groupBy("column", category)
                     .agg(F.sum("n").alias("n_ref")))
-        cur_side = (self._cells(current, cols)
-                    .join(in_vocab, ["column", "value"], "left")
-                    .select("column", category)
-                    .groupBy("column", "category")
-                    .agg(F.count(F.lit(1)).alias("n_cur")))
+        return CategoricalDriftModel(
+            cols=cols,
+            vocab=[(r["column"], r["value"]) for r in vocab.collect()],
+            ref_counts=[(r["column"], r["category"], r["n_ref"])
+                        for r in ref_side.collect()])
 
-        out = (ref_side
-               .join(cur_side, ["column", "category"], "full_outer")
-               .select("column", "category",
-                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
-
-        w2 = Window.partitionBy("column")
-        p_ref = F.greatest(F.col("n_ref")
-                           / F.sum("n_ref").over(w2), F.lit(_FLOOR))
-        p_cur = F.greatest(F.col("n_cur")
-                           / F.sum("n_cur").over(w2), F.lit(_FLOOR))
-        return (out.withColumn("p_ref", p_ref)
-                   .withColumn("p_cur", p_cur)
-                   .withColumn("psi_term",
-                               (F.col("p_cur") - F.col("p_ref"))
-                               * F.log(F.col("p_cur") / F.col("p_ref"))))
+    def report(self, reference: DataFrame, current: DataFrame
+               ) -> DataFrame:
+        return self.fit(reference).report(current)
 
     def summary(self, reference: DataFrame, current: DataFrame
                 ) -> DataFrame:
@@ -336,3 +401,78 @@ class CategoricalDriftMonitor(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("CategoricalDriftMonitor is binary — call "
                         "report(reference, current)")
+
+
+class CategoricalDriftModel(AlgoOperator):
+    """Fitted categorical-drift reference profile (see
+    :meth:`CategoricalDriftMonitor.fit`). ``report(current)`` maps the
+    current snapshot through the STORED vocabulary (broadcast-sized
+    literal frame) and joins the STORED reference counts — one
+    aggregation over current, zero reference scans; identical output
+    to the two-frame path (pinned by test)."""
+
+    # sentinel spellings shared with the monitor — _cells() reads them
+    # through self, so the borrowed method sees identical values
+    NULL_CAT = None   # bound below, after the monitor class exists
+    OTHER_CAT = None
+
+    def __init__(self, cols=None, vocab=None, ref_counts=None):
+        super().__init__()
+        self._cols = cols or []
+        self._vocab = vocab or []          # [(column, value)]
+        self._ref = ref_counts or []       # [(column, category, n_ref)]
+
+    def report(self, current: DataFrame) -> DataFrame:
+        if not self._cols:
+            raise ValueError("empty profile — fit() or load() first")
+        spark = current.sparkSession
+        in_vocab = (spark.createDataFrame(
+            self._vocab, "column string, value string")
+            .withColumn("__in", F.lit(True)))
+        category = (F.when(F.col("__in").isNotNull(), F.col("value"))
+                     .otherwise(F.lit(CategoricalDriftMonitor.OTHER_CAT))
+                     .alias("category"))
+        cur_side = (CategoricalDriftMonitor._cells(
+            self, current, self._cols)
+            .join(F.broadcast(in_vocab), ["column", "value"], "left")
+            .select("column", category)
+            .groupBy("column", "category")
+            .agg(F.count(F.lit(1)).alias("n_cur")))
+        ref_side = spark.createDataFrame(
+            self._ref, "column string, category string, n_ref long")
+        out = (ref_side
+               .join(cur_side, ["column", "category"], "full_outer")
+               .select("column", "category",
+                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+        return _psi_terms(out)
+
+    def summary(self, current: DataFrame) -> DataFrame:
+        return _psi_summary(self.report(current))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.report(df)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "cat_drift_profile.json"),
+                  "w") as f:
+            json.dump({"cols": self._cols,
+                       "vocab": self._vocab,
+                       "ref": self._ref}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "cat_drift_profile.json")) as f:
+            d = json.load(f)
+        self._cols = d["cols"]
+        self._vocab = [tuple(v) for v in d["vocab"]]
+        self._ref = [tuple(v) for v in d["ref"]]
+
+
+CategoricalDriftModel.NULL_CAT = CategoricalDriftMonitor.NULL_CAT
+CategoricalDriftModel.OTHER_CAT = CategoricalDriftMonitor.OTHER_CAT

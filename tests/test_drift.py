@@ -175,3 +175,61 @@ def test_approx_percentile_path_agrees_with_exact(spark):
         DriftMonitor().setRelativeError(1.5)
     with pytest.raises(ValueError):
         DriftMonitor().setRelativeError(-0.1)
+
+
+def test_numeric_profile_model_equals_two_frame_path(spark, tmp_path):
+    """fit(ref).report(cur) — including through save/load — must be
+    row-identical to report(ref, cur): one code path, zero drift."""
+    from flink_ml__spark.functions.drift import DriftMonitor, DriftMonitorModel
+
+    ref = _df(spark, [float(i) for i in range(1, 101)])
+    cur = _df(spark, [float(i) for i in range(40, 160)])
+    mon = DriftMonitor().setInputCols("a").setNumBuckets(5)
+    direct = sorted(tuple(r) for r in mon.report(ref, cur).collect())
+    model = mon.fit(ref)
+    via_model = sorted(tuple(r) for r in model.report(cur).collect())
+    assert via_model == direct
+    p = str(tmp_path / "profile")
+    model.save(p)
+    back = DriftMonitorModel.load(spark, p)
+    assert sorted(tuple(r) for r in back.report(cur).collect()) == direct
+    # the loaded profile answers without touching the reference frame
+    assert back._edges == model._edges and back._ref == model._ref
+
+
+def test_categorical_profile_model_equals_two_frame_path(spark, tmp_path):
+    from flink_ml__spark.functions.drift import (
+        CategoricalDriftModel,
+        CategoricalDriftMonitor,
+    )
+
+    ref = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 30 + [("z",)] * 20, "c string")
+    cur = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 30 + [("w",)] * 40, "c string")
+    mon = CategoricalDriftMonitor().setInputCols("c").setMaxCategories(2)
+    direct = sorted(tuple(r) for r in mon.report(ref, cur).collect())
+    model = mon.fit(ref)
+    assert sorted(tuple(r)
+                  for r in model.report(cur).collect()) == direct
+    p = str(tmp_path / "cat_profile")
+    model.save(p)
+    back = CategoricalDriftModel.load(spark, p)
+    assert sorted(tuple(r) for r in back.report(cur).collect()) == direct
+    # new category 'w' lands in __other__ through the stored vocab
+    cats = {r[1] for r in direct}
+    assert CategoricalDriftMonitor.OTHER_CAT in cats
+
+
+def test_profile_model_guards(spark):
+    from flink_ml__spark.functions.drift import (
+        CategoricalDriftModel,
+        DriftMonitorModel,
+    )
+
+    df = _df(spark, [1.0])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty profile"):
+        DriftMonitorModel().report(df)
+    with _pytest.raises(ValueError, match="empty profile"):
+        CategoricalDriftModel().report(df)
