@@ -2346,3 +2346,138 @@ class CompressionScorer(AlgoOperator, HasInputCol):
                   .withColumn("compress_ratio",
                               F.col("__cmp.compress_ratio"))
                   .drop("__cmp"))
+
+
+class NegativeSampler(AlgoOperator, HasIdColMixin):
+    """Deterministic uniform negative sampling for contrastive /
+    metric-learning training pairs (the random-negative baseline of
+    e.g. Mikolov et al. 2013 negative sampling; DPR, Karpukhin et al.
+    2020 in-batch-plus-random negatives): for every anchor row, draw
+    ``k`` corpus rows that are neither the anchor itself nor a known
+    positive.
+
+    Draws are a pure LCG over (anchor id, draw index) mapped onto the
+    corpus's dense id rank — NO RNG state, so the sample is
+    reproducible run-to-run, layout-independent, and exactly
+    replayable in SQL (the oracle recomputes every draw). Change
+    ``salt`` for an independent draw.
+
+    100 TB shape: the dense rank comes from ``repartitionByRange`` +
+    per-partition ``row_number`` + broadcast cumulative offsets — a
+    range shuffle, never a single-partition global window (the rank
+    is boundary-independent: disjoint ranges with cumulative offsets
+    yield the global order-by-id rank whatever boundaries the range
+    partitioner samples). Draws join the indexed corpus on the dense
+    rank (equi shuffle), positives/self drop via one anti-join /
+    filter, and a keyed ``row_number`` keeps the first ``k``
+    surviving draws per anchor. ``oversample`` extra draws absorb the
+    excluded ones; anchors with fewer than ``k`` survivors keep what
+    they got (raise ``oversample`` for dense positive sets).
+    """
+
+    k = Param(Params._dummy(), "k", "negatives per anchor",
+              TypeConverters.toInt)
+    oversample = Param(Params._dummy(), "oversample",
+                       "extra draws per anchor to absorb exclusions",
+                       TypeConverters.toInt)
+    salt = Param(Params._dummy(), "salt",
+                 "draw salt; change for an independent sample",
+                 TypeConverters.toInt)
+
+    # Knuth/Numerical-Recipes LCG multipliers; modulus 2^31-1 keeps
+    # every product within int64 for ids up to ~4.3e9
+    _A = 2654435761
+    _C = 1013904223
+    _M = 2147483647
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(k=4, oversample=4, salt=0, idCol="doc_id")
+
+    def setK(self, v):
+        return self._set(k=int(v))
+
+    def setOversample(self, v):
+        return self._set(oversample=int(v))
+
+    def setSalt(self, v):
+        return self._set(salt=int(v))
+
+    @staticmethod
+    def _dense_index(df: DataFrame, idc: str) -> DataFrame:
+        """(id, __idx) with __idx the 0-based rank of ``idc`` — a
+        range shuffle + per-partition row numbers + broadcast offsets,
+        never one global-window partition."""
+        from pyspark.sql import Window
+
+        part = (df.select(F.col(idc).alias("__nid"))
+                .repartitionByRange(F.col("__nid"))
+                .withColumn("__p", F.spark_partition_id()))
+        w = Window.partitionBy("__p").orderBy("__nid")
+        within = part.withColumn("__r", F.row_number().over(w) - 1)
+        counts = {r["__p"]: r["cnt"] for r in
+                  part.groupBy("__p").agg(
+                      F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        # map literal keyed by partition id (tiny: O(partitions))
+        mapping = F.create_map(*[
+            F.lit(v) for p in sorted(offsets)
+            for v in (p, offsets[p])])
+        return (within.withColumn(
+            "__idx", F.col("__r") + mapping[F.col("__p")])
+            .select("__nid", "__idx"))
+
+    def sample(self, anchors: DataFrame, corpus: DataFrame,
+               positives: DataFrame | None = None) -> DataFrame:
+        """(anchor_id, neg_id, draw) — ``draw`` is the surviving draw
+        rank (1..k). ``positives``: optional (anchor_id, pos_id)
+        pairs to exclude."""
+        idc = self.getIdCol()
+        k = self.getOrDefault(self.k)
+        extra = self.getOrDefault(self.oversample)
+        salt = self.getOrDefault(self.salt)
+        n = corpus.count()
+        if n == 0:
+            raise ValueError("empty corpus")
+        idx = self._dense_index(corpus, idc)
+
+        # every term forced to long: int32 draw indices times the LCG
+        # increment would silently wrap at 2^31 in non-ANSI Spark
+        # while a 64-bit SQL engine does not
+        draws = (anchors.select(F.col(idc).cast("long")
+                                .alias("anchor_id"))
+                 .withColumn("__i", F.explode(F.array(
+                     *[F.lit(i) for i in range(1, k + extra + 1)])))
+                 .withColumn("__t", F.pmod(
+                     F.pmod(F.col("anchor_id") * F.lit(self._A)
+                            + (F.col("__i") + F.lit(salt))
+                            .cast("long") * F.lit(self._C),
+                            F.lit(self._M)),
+                     F.lit(n))))
+        hit = (draws.join(idx, draws["__t"] == idx["__idx"])
+               .select("anchor_id", "__i",
+                       F.col("__nid").alias("neg_id"))
+               .filter(F.col("neg_id") != F.col("anchor_id"))
+               # LCG collisions can re-draw the same negative — keep
+               # the earliest draw index (deterministic, replayable)
+               .groupBy("anchor_id", "neg_id")
+               .agg(F.min("__i").alias("__i")))
+        if positives is not None:
+            hit = hit.join(
+                positives.select(
+                    F.col(positives.columns[0]).alias("anchor_id"),
+                    F.col(positives.columns[1]).alias("neg_id")),
+                ["anchor_id", "neg_id"], "left_anti")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("anchor_id").orderBy("__i")
+        return (hit.withColumn("draw", F.row_number().over(w))
+                .filter(F.col("draw") <= k)
+                .select("anchor_id", "neg_id", "draw"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Self-corpus sampling: every row is an anchor."""
+        return self.sample(df, df)

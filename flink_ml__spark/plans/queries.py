@@ -5166,6 +5166,50 @@ FROM events WHERE false
 """
 
 
+def q_negative_sample_documents(spark, sf_dir):
+    """Deterministic contrastive negative sampling: anchors are every
+    10th document, positives the (anchor, anchor+1) pairs, k=3 with
+    oversample 4. The oracle replays the dense id rank, every LCG
+    draw, the self/positive exclusions, the earliest-draw dedup and
+    the per-anchor cut — a full hash-match gate on a SAMPLER."""
+    from flink_ml__spark.functions.curation import NegativeSampler
+
+    docs = load_table(spark, "documents", sf_dir)
+    anchors = docs.filter(F.col("doc_id") % 10 == 0)
+    positives = anchors.select(
+        F.col("doc_id").alias("anchor_id"),
+        (F.col("doc_id") + 1).alias("pos_id"))
+    return (NegativeSampler().setK(3).setOversample(4).setSalt(0)
+            .sample(anchors, docs, positives))
+
+
+ORACLE_NEGATIVE_SAMPLE = """
+WITH idx AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM documents),
+anchors AS (SELECT doc_id AS anchor_id FROM documents
+            WHERE doc_id % 10 = 0),
+draws AS (
+  SELECT anchor_id, gs.i AS di,
+         ((anchor_id * 2654435761 + gs.i * 1013904223) % 2147483647)
+           % (SELECT n FROM tot) AS t
+  FROM anchors, generate_series(1, 7) AS gs(i)),
+hit AS (
+  SELECT d.anchor_id, d.di, idx.doc_id AS neg_id
+  FROM draws d JOIN idx ON d.t = idx.i
+  WHERE idx.doc_id <> d.anchor_id
+    AND idx.doc_id <> d.anchor_id + 1),
+ded AS (SELECT anchor_id, neg_id, min(di) AS di
+        FROM hit GROUP BY 1, 2),
+r AS (SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY di) AS draw
+      FROM ded)
+SELECT anchor_id, neg_id, draw::INT AS draw FROM r WHERE draw <= 3
+"""
+
+
 def _calibration_frame(spark, sf_dir):
     """Deterministic confidence signal for the calibration gates:
     score = min(len(text)/2000, 1) as a 'long docs are English'
@@ -5353,6 +5397,7 @@ QUERIES = {
     "calibration_bins_documents": q_calibration_bins_documents,
     "calibration_eval_documents": q_calibration_eval_documents,
     "ewma_forecast_events": q_ewma_forecast_events,
+    "negative_sample_documents": q_negative_sample_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5437,6 +5482,7 @@ ORACLES = {
     "calibration_bins_documents": ORACLE_CALIBRATION_BINS,
     "calibration_eval_documents": ORACLE_CALIBRATION_EVAL,
     "ewma_forecast_events": ORACLE_EWMA,
+    "negative_sample_documents": ORACLE_NEGATIVE_SAMPLE,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -1016,3 +1016,65 @@ def test_perplexity_bucketer_approx_percentile_path(spark):
                         .transform(df).collect())}
     diff = {k for k in exact if exact[k] != approx[k]}
     assert not diff, f"bucket mismatches at doc_ids {sorted(diff)[:5]}"
+
+
+def test_negative_sampler_basics(spark):
+    """k negatives per anchor, none equal to the anchor or a known
+    positive, all drawn from the corpus, deterministic across runs."""
+    from flink_ml__spark.functions.curation import NegativeSampler
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(50)],
+                                 ["doc_id", "text"])
+    anchors = docs.filter("doc_id % 10 = 0")
+    positives = anchors.select(
+        F.col("doc_id").alias("anchor_id"),
+        (F.col("doc_id") + 1).alias("pos_id"))
+    op = NegativeSampler().setK(3).setOversample(5)
+    out = op.sample(anchors, docs, positives).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r["neg_id"])
+        assert r["neg_id"] != r["anchor_id"]
+        assert r["neg_id"] != r["anchor_id"] + 1       # positive excluded
+        assert 0 <= r["neg_id"] < 50
+    assert all(len(v) == 3 for v in by_anchor.values())
+    assert all(len(set(v)) == 3 for v in by_anchor.values())  # deduped
+    again = op.sample(anchors, docs, positives).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_sampler_salt_gives_independent_draw(spark):
+    from flink_ml__spark.functions.curation import NegativeSampler
+
+    docs = spark.createDataFrame([(i, "x") for i in range(200)],
+                                 ["doc_id", "text"])
+    anchors = docs.filter("doc_id % 20 = 0")
+    a = (NegativeSampler().setK(4).setSalt(0)
+         .sample(anchors, docs).collect())
+    b = (NegativeSampler().setK(4).setSalt(99)
+         .sample(anchors, docs).collect())
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+
+
+def test_negative_sampler_dense_index_is_rank(spark):
+    """The scalable two-level index equals the global rank by id for
+    non-contiguous, shuffled ids."""
+    import random
+
+    from flink_ml__spark.functions.curation import NegativeSampler
+
+    ids = random.Random(5).sample(range(10000), 300)
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r["__nid"]: r["__idx"] for r in
+           NegativeSampler._dense_index(df, "doc_id").collect()}
+    for rank, i in enumerate(sorted(ids)):
+        assert got[i] == rank
+
+
+def test_negative_sampler_empty_corpus_raises(spark):
+    from flink_ml__spark.functions.curation import NegativeSampler
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty corpus"):
+        NegativeSampler().sample(df, df)
