@@ -25,6 +25,8 @@ interval_length / bin_width.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -399,3 +401,164 @@ class SaltedJoiner(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("SaltedJoiner is binary — call "
                         "join(big, small, on, how)")
+
+
+class BloomJoinFilter(AlgoOperator):
+    """Bloom-filter semi-join reduction (Bloom 1970; the classic
+    distributed-join optimization, e.g. Mackert & Lohman "R* join
+    site selection" 1986): build a bitset over the SMALL side's join
+    keys once, then drop big-side rows that cannot possibly match
+    BEFORE the join's shuffle — at 100 TB the shuffle is the cost, so
+    removing the non-matching fraction map-side is the single
+    highest-leverage join optimization after broadcasting. False
+    positives only let a few extra rows through to die in the real
+    join (result-identical — gated by an exact plain-join oracle);
+    false negatives are impossible.
+
+    Spark-side notes: Spark can inject its own runtime bloom only for
+    some shapes (and `bloom_filter_agg` is not SQL-registered here);
+    this operator makes the technique explicit, deterministic, and
+    reusable against a PERSISTED filter (``save``/``load`` — ship the
+    bitset to the ingest job instead of the dimension table). Build =
+    one pass over the small side (per-partition partial bitsets,
+    OR-merged); apply = map-only Arrow pass with the bitset broadcast
+    once per executor. Positions are Kirsch–Mitzenmacher double
+    hashes of the md5 hex of the '\\x1f'-joined key columns —
+    engine-portable, so a SQL oracle can replay even the FP set.
+    NULL keys never match a join and are dropped.
+    """
+
+    keyCols = Param(Params._dummy(), "keyCols", "join key columns",
+                    TypeConverters.toListString)
+    numBits = Param(Params._dummy(), "numBits",
+                    "bitset size in bits (m)", TypeConverters.toInt)
+    numHashes = Param(Params._dummy(), "numHashes",
+                      "probes per key (k)", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCols=[], numBits=1 << 20, numHashes=4)
+        self._bits = None
+        self._bc = None
+
+    def setKeyCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        return self._set(keyCols=list(v))
+
+    def setNumBits(self, v):
+        return self._set(numBits=int(v))
+
+    def setNumHashes(self, v):
+        return self._set(numHashes=int(v))
+
+    def _fp(self) -> F.Column:
+        cols = self.getOrDefault(self.keyCols)
+        if not cols:
+            raise ValueError("no key columns — call setKeyCols(...)")
+        anynull = None
+        for c in cols:
+            n = F.col(c).isNull()
+            anynull = n if anynull is None else (anynull | n)
+        joined = F.concat_ws("\x1f",
+                             *[F.col(c).cast("string") for c in cols])
+        return F.when(~anynull, F.md5(joined))
+
+    def fit(self, small: DataFrame) -> "BloomJoinFilter":
+        import numpy as np
+
+        m, k = (self.getOrDefault(self.numBits),
+                self.getOrDefault(self.numHashes))
+        nbytes = (m + 7) // 8
+        fp = small.select(self._fp().alias("__fp"))
+
+        def partial(batches):
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            seen = False
+            for pdf in batches:
+                for s in pdf["__fp"]:
+                    if s is None:
+                        continue
+                    h1, h2 = int(s[:15], 16), int(s[15:30], 16)
+                    for i in range(k):
+                        p = (h1 + i * h2) % m
+                        bits[p >> 3] |= 1 << (p & 7)
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"b": [bits.tobytes()]})
+
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for row in fp.mapInPandas(partial, "b binary").collect():
+            acc |= np.frombuffer(row["b"], dtype=np.uint8)
+        self._bits = acc.tobytes()
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
+        return self
+
+    def transform(self, big: DataFrame) -> DataFrame:
+        """Big side with can't-match rows (and NULL-key rows)
+        removed."""
+        import numpy as np
+
+        if self._bits is None:
+            raise ValueError("fit(small) before transform(big)")
+        m, k = (self.getOrDefault(self.numBits),
+                self.getOrDefault(self.numHashes))
+        if self._bc is None:
+            self._bc = big.sparkSession.sparkContext.broadcast(
+                self._bits)
+        bc = self._bc
+
+        @F.pandas_udf("boolean")
+        def might_contain(fps: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            out = []
+            for s in fps:
+                if s is None:
+                    out.append(False)
+                    continue
+                h1, h2 = int(s[:15], 16), int(s[15:30], 16)
+                hit = True
+                for i in range(k):
+                    p = (h1 + i * h2) % m
+                    if not (bits[p >> 3] >> (p & 7)) & 1:
+                        hit = False
+                        break
+                out.append(hit)
+            return pd.Series(out)
+
+        return (big.withColumn("__bjf", might_contain(self._fp()))
+                .filter(F.col("__bjf")).drop("__bjf"))
+
+    def filtered_join(self, big: DataFrame, small: DataFrame,
+                      how: str = "inner") -> DataFrame:
+        """``transform(big).join(small, keyCols, how)`` — fit() is
+        called on ``small`` if the filter is empty. Only join types
+        where dropping non-matching BIG rows is sound are accepted
+        (inner / left_semi — a right/outer join needs those rows)."""
+        if how not in ("inner", "left_semi", "semi"):
+            raise ValueError(f"unsupported join type for a big-side "
+                             f"pre-filter: {how}")
+        if self._bits is None:
+            self.fit(small)
+        return self.transform(big).join(
+            small, self.getOrDefault(self.keyCols), how)
+
+    # -- persistence ----------------------------------------------------
+
+    def _save_model_data(self, path: str) -> None:
+        import os
+
+        if self._bits is not None:
+            with open(os.path.join(path, "bloom.bin"), "wb") as f:
+                f.write(self._bits)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import os
+
+        p = os.path.join(path, "bloom.bin")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                self._bits = f.read()
+            self._bc = None

@@ -5210,6 +5210,33 @@ SELECT anchor_id, neg_id, draw::INT AS draw FROM r WHERE draw <= 3
 """
 
 
+def q_bloom_join_events(spark, sf_dir):
+    """Bloom-prefiltered inner join: events (big) ⋈ the distinct
+    click-user dim (small) on user_id, the big side pre-filtered by a
+    bitset built on the small side's keys. The filter has no false
+    negatives, and false positives die in the real join — so the
+    result must EQUAL the plain SQL join, which is the oracle (the
+    strongest possible gate for a lossy-pre-filter optimization)."""
+    from flink_ml__spark.functions.joins import BloomJoinFilter
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = (ev.filter(F.col("event_type") == "click")
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_clicks")))
+    out = (BloomJoinFilter().setKeyCols("user_id")
+           .setNumBits(1 << 16).setNumHashes(4)
+           .filtered_join(ev, dim, "inner"))
+    return out.select("event_id", "user_id", "event_type", "n_clicks")
+
+
+ORACLE_BLOOM_JOIN = """
+WITH dim AS (SELECT user_id, count(*) AS n_clicks FROM events
+             WHERE event_type = 'click' GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.event_type, dim.n_clicks
+FROM events e JOIN dim USING (user_id)
+"""
+
+
 def _calibration_frame(spark, sf_dir):
     """Deterministic confidence signal for the calibration gates:
     score = min(len(text)/2000, 1) as a 'long docs are English'
@@ -5398,6 +5425,7 @@ QUERIES = {
     "calibration_eval_documents": q_calibration_eval_documents,
     "ewma_forecast_events": q_ewma_forecast_events,
     "negative_sample_documents": q_negative_sample_documents,
+    "bloom_join_events": q_bloom_join_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5483,6 +5511,7 @@ ORACLES = {
     "calibration_eval_documents": ORACLE_CALIBRATION_EVAL,
     "ewma_forecast_events": ORACLE_EWMA,
     "negative_sample_documents": ORACLE_NEGATIVE_SAMPLE,
+    "bloom_join_events": ORACLE_BLOOM_JOIN,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -324,3 +324,84 @@ def test_salted_join_nondeterministic_mode_spreads_duplicates(spark):
     got = sorted(map(tuple, nd.join(big, small, ["k"]).collect()))
     want = sorted(map(tuple, big.join(small, ["k"]).collect()))
     assert got == want and len(got) == 405
+
+
+def test_bloom_join_filter_equals_plain_join(spark):
+    """The pre-filtered inner join must return EXACTLY the plain join
+    result — FPs die in the join, FNs are impossible."""
+    from flink_ml__spark.functions.joins import BloomJoinFilter
+
+    big = spark.createDataFrame(
+        [(i, i % 37) for i in range(500)], ["row_id", "k"])
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in (0, 5, 9, 12, 36)], ["k", "label"])
+    op = (BloomJoinFilter().setKeyCols("k")
+          .setNumBits(1 << 12).setNumHashes(3).fit(small))
+    got = sorted(tuple(r) for r in
+                 op.filtered_join(big, small, "inner").collect())
+    want = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == want
+
+
+def test_bloom_join_filter_prunes_and_never_misses(spark):
+    from flink_ml__spark.functions.joins import BloomJoinFilter
+
+    big = spark.createDataFrame(
+        [(i, i) for i in range(2000)], ["row_id", "k"])
+    small = spark.createDataFrame([(i * 100,) for i in range(5)], ["k"])
+    op = (BloomJoinFilter().setKeyCols("k")
+          .setNumBits(1 << 14).setNumHashes(4).fit(small))
+    kept = op.transform(big)
+    keys = {r["k"] for r in kept.collect()}
+    assert {0, 100, 200, 300, 400} <= keys          # no false negatives
+    assert kept.count() < 2000                      # real pruning happened
+
+
+def test_bloom_join_filter_null_keys_dropped_and_guards(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.joins import BloomJoinFilter
+
+    big = spark.createDataFrame([(1, None), (2, 3)],
+                                "row_id int, k int")
+    small = spark.createDataFrame([(3,)], ["k"])
+    op = BloomJoinFilter().setKeyCols("k").setNumBits(1 << 10).fit(small)
+    assert [r["row_id"] for r in op.transform(big).collect()] == [2]
+    with _pytest.raises(ValueError, match="unsupported join type"):
+        op.filtered_join(big, small, "left")
+    with _pytest.raises(ValueError, match="fit"):
+        BloomJoinFilter().setKeyCols("k").transform(big)
+    with _pytest.raises(ValueError, match="no key columns"):
+        BloomJoinFilter().fit(small)
+
+
+def test_bloom_join_filter_save_load_round_trip(spark, tmp_path):
+    from flink_ml__spark.functions.joins import BloomJoinFilter
+
+    small = spark.createDataFrame([(i,) for i in range(20)], ["k"])
+    big = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    op = (BloomJoinFilter().setKeyCols("k")
+          .setNumBits(1 << 12).setNumHashes(3).fit(small))
+    p = str(tmp_path / "bloom")
+    op.save(p)
+    back = BloomJoinFilter.load(spark, p)
+    assert back._bits == op._bits
+    a = sorted(r["k"] for r in op.transform(big).collect())
+    b = sorted(r["k"] for r in back.transform(big).collect())
+    assert a == b
+
+
+def test_bloom_join_filter_multi_column_keys(spark):
+    from flink_ml__spark.functions.joins import BloomJoinFilter
+
+    big = spark.createDataFrame(
+        [(i, i % 5, i % 3) for i in range(300)], ["row_id", "a", "b"])
+    small = spark.createDataFrame([(1, 2, "x"), (4, 0, "y")],
+                                  ["a", "b", "label"])
+    op = (BloomJoinFilter().setKeyCols("a", "b")
+          .setNumBits(1 << 12).fit(small))
+    got = sorted(tuple(r) for r in
+                 op.filtered_join(big, small, "inner").collect())
+    want = sorted(tuple(r) for r in
+                  big.join(small, ["a", "b"]).collect())
+    assert got == want
