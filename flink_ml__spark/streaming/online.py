@@ -905,3 +905,87 @@ def stream_ewma(stream_df: DataFrame, op) -> DataFrame:
                 fold, outputStructType=out_schema,
                 stateStructType=state_schema, outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_rolling_anomaly(stream_df: DataFrame, op) -> DataFrame:
+    """Streaming twin of
+    :class:`~flink_ml__spark.functions.timeseries.RollingAnomalyDetector`:
+    per-key trailing z-score flags emitted for every arriving row
+    (append mode), batch-identical (pinned in ``test_streaming``).
+
+    State per key is the last ``window`` values — the SAME O(window)
+    bound as one batch window frame; NULL values occupy frame slots
+    (the batch ROWS frame advances past them) but never contribute to
+    the mean/std, exactly like the batch ``avg``/``stddev_samp``.
+    Rows fold in ``timeCol`` order within each micro-batch;
+    cross-batch delivery order is the source's contract (the
+    :func:`stream_ewma` caveat)."""
+    import math
+
+    k = op.getOrDefault(op.keyCol)
+    t = op.getOrDefault(op.timeCol)
+    v = op.getOrDefault(op.valueCol)
+    n = op.getOrDefault(op.window)
+    mp = op.getOrDefault(op.minPeriods)
+    thr = op.getOrDefault(op.threshold)
+
+    out_fields = list(stream_df.schema.fields) + [
+        T.StructField("roll_mean", T.DoubleType()),
+        T.StructField("roll_std", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType())]
+    out_schema = T.StructType(out_fields)
+    # the trailing frame: NULL slots ride as NaN sentinels
+    state_schema = T.StructType([
+        T.StructField("vals", T.ArrayType(T.DoubleType()))])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = (pd.concat(frames, ignore_index=True)
+                 .sort_values(t, kind="stable").reset_index(drop=True))
+        (vals,) = state.get if state.exists else ([],)
+        window = list(vals or [])
+        means, stds, zs, flags = [], [], [], []
+        for x in batch[v].tolist():
+            live = [w for w in window if w is not None
+                    and not math.isnan(w)]
+            if len(live) >= mp and len(live) >= 1:
+                m = sum(live) / len(live)
+                if len(live) >= 2:
+                    var = (sum((w - m) ** 2 for w in live)
+                           / (len(live) - 1))
+                    s = math.sqrt(var)
+                else:
+                    s = None
+            else:
+                m = s = None
+            means.append(m)
+            stds.append(s)
+            z = ((x - m) / s
+                 if (x is not None and not (isinstance(x, float)
+                                            and math.isnan(x))
+                     and m is not None and s is not None and s > 0)
+                 else None)
+            zs.append(z)
+            flags.append(bool(z is not None and abs(z) >= thr))
+            window.append(float("nan") if x is None
+                          or (isinstance(x, float) and math.isnan(x))
+                          else float(x))
+            if len(window) > n:
+                window.pop(0)
+        state.update((window,))
+        out = batch.copy()
+        out["roll_mean"] = means
+        out["roll_std"] = stds
+        out["zscore"] = zs
+        out["is_anomaly"] = flags
+        yield out
+
+    return (stream_df.groupBy(F.col(k))
+            .applyInPandasWithState(
+                fold, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

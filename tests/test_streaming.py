@@ -943,3 +943,57 @@ def test_stream_ewma_matches_batch_untruncated(spark):
                         (key, col, b, s)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_rolling_anomaly_matches_batch(spark):
+    """Stream (per-key trailing deque) == batch (window frame)
+    including NULL slots, minPeriods gating and the sample-std
+    denominator — across a micro-batch boundary mid-series."""
+    import math
+
+    from flink_ml__spark.functions.timeseries import (
+        RollingAnomalyDetector,
+    )
+    from flink_ml__spark.streaming.online import stream_rolling_anomaly
+
+    rows = []
+    for k in (1, 2):
+        for i in range(14):
+            val = None if (k == 1 and i == 4) else \
+                float((i * 13 + k * 5) % 9) + (50.0 if i == 10 else 0.0)
+            rows.append((k, i, val))
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    op = (RollingAnomalyDetector().setKeyCol("k").setTimeCol("t")
+          .setValueCol("x").setWindow(5).setMinPeriods(3)
+          .setThreshold(2.0))
+    batch = {(r["k"], r["t"]): r for r in op.transform(df).collect()}
+
+    d = tempfile.mkdtemp(prefix="stream_anom_")
+    try:
+        df.filter("t < 7").coalesce(1).write.mode("overwrite") \
+          .parquet(d + "/p")
+        df.filter("t >= 7").coalesce(1).write.parquet(
+            d + "/p", mode="append")
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d + "/p"))
+        out = []
+        q = (stream_rolling_anomaly(stream, op).writeStream
+             .foreachBatch(lambda b, i: out.extend(b.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["k"], r["t"]): r for r in out}
+        assert set(got) == set(batch)
+        for key in batch:
+            for col in ("roll_mean", "roll_std", "zscore"):
+                b, s = batch[key][col], got[key][col]
+                if b is None:
+                    assert s is None or (isinstance(s, float)
+                                         and math.isnan(s)), (key, col)
+                else:
+                    assert s is not None and abs(b - s) < 1e-9, \
+                        (key, col, b, s)
+            assert batch[key]["is_anomaly"] == got[key]["is_anomaly"]
+        # the planted spike at t=10 actually fires
+        assert got[(2, 10)]["is_anomaly"] is True
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
