@@ -738,3 +738,50 @@ class PhraseMatcher(AlgoOperator, HasInputCol):
         idc = self.getOrDefault(self.idCol)
         hits = self.match(df).select(idc).distinct()
         return df.join(hits, idc, "left_anti")
+
+
+class ReadabilityScorer(AlgoOperator, HasInputCol):
+    """Classic readability indices (Flesch "A new readability
+    yardstick" 1948; Kincaid et al. 1975) — the standard complexity
+    signals used alongside quality scores when stratifying a training
+    corpus by difficulty::
+
+        n_words_rd       tokens ([a-zA-Z0-9']+ runs)
+        n_sentences      [.!?]+ runs, floored at 1
+        n_syllables      [aeiouy]+ vowel groups in the lowercased
+                         text — the standard regex approximation of
+                         syllable count (exact syllabification needs
+                         a dictionary; this is the published
+                         deterministic proxy)
+        flesch_ease      206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+        fk_grade         0.39·(words/sentences)
+                         + 11.8·(syllables/words) − 15.59
+
+    Empty/NULL text scores NULL. Map-only ``regexp_count``
+    projections — zero shuffle, streaming-compatible, exactly
+    replayable in SQL."""
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = F.col(self.getInputCol())
+        words = F.regexp_count(t, F.lit("[a-zA-Z0-9']+"))
+        sents = F.greatest(
+            F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+        sylls = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+        has = t.isNotNull() & (words > 0)
+        wps = words.cast("double") / sents
+        spw = sylls.cast("double") / words
+        return (df
+                .withColumn("n_words_rd", F.when(t.isNotNull(), words))
+                .withColumn("n_sentences", F.when(t.isNotNull(), sents))
+                .withColumn("n_syllables", F.when(t.isNotNull(), sylls))
+                .withColumn("flesch_ease",
+                            F.when(has, 206.835 - 1.015 * wps
+                                   - 84.6 * spw))
+                .withColumn("fk_grade",
+                            F.when(has, 0.39 * wps + 11.8 * spw
+                                   - 15.59)))

@@ -402,3 +402,50 @@ def test_phrase_matcher_validation(spark):
             spark.createDataFrame([(1, "x")], "doc_id long, text string"))
     with pytest.raises(ValueError, match="non-empty"):
         PhraseMatcher().setPhrases()
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. It ran!' — 5 words, 2 sentences, 5 vowel groups
+    (e/a/a/i/a): ease = 206.835 − 1.015·2.5 − 84.6·1.0 = 119.6975;
+    grade = 0.39·2.5 + 11.8·1.0 − 15.59 = −2.815."""
+    import math
+
+    from flink_ml__spark.functions.text import ReadabilityScorer
+
+    df = spark.createDataFrame([(1, "The cat sat. It ran!")],
+                               ["doc_id", "text"])
+    r = ReadabilityScorer().transform(df).collect()[0]
+    assert r["n_words_rd"] == 5
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 5
+    assert math.isclose(r["flesch_ease"], 119.6975)
+    assert math.isclose(r["fk_grade"], -2.815)
+
+
+def test_readability_null_and_empty(spark):
+    from flink_ml__spark.functions.text import ReadabilityScorer
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "...")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            ReadabilityScorer().transform(df).collect()}
+    assert rows[1]["flesch_ease"] is None      # NULL text
+    assert rows[2]["flesch_ease"] is None      # zero words
+    assert rows[3]["flesch_ease"] is None      # punctuation only
+    assert rows[2]["n_words_rd"] == 0
+    assert rows[3]["n_sentences"] == 1         # floored
+
+
+def test_readability_harder_text_scores_harder(spark):
+    from flink_ml__spark.functions.text import ReadabilityScorer
+
+    simple = "The dog ran. The cat sat. It was fun."
+    complex_ = ("Notwithstanding considerable epistemological "
+                "controversy, interdisciplinary collaboration "
+                "facilitates comprehensive organizational synergy.")
+    df = spark.createDataFrame([(1, simple), (2, complex_)],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            ReadabilityScorer().transform(df).collect()}
+    assert rows[1]["flesch_ease"] > rows[2]["flesch_ease"]
+    assert rows[1]["fk_grade"] < rows[2]["fk_grade"]
