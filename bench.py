@@ -139,6 +139,9 @@ HEADLINE = [
     "calibration_bins_documents",
     "calibration_eval_documents",
     "ewma_forecast_events",
+    "negative_sample_documents",
+    "bloom_join_events",
+    "readability_documents",
 ]
 
 

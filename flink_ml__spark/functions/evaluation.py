@@ -206,3 +206,62 @@ class CalibrationEvaluator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class LabelConsensus(AlgoOperator):
+    """Weak-supervision vote aggregation (the majority-vote baseline
+    of data-programming systems, Ratner et al. "Snorkel", VLDB 2017):
+    fold ``k`` labeling-function columns (each 0/1/NULL — NULL means
+    the function ABSTAINED on the row) into one consensus label plus
+    agreement diagnostics::
+
+        n_votes         non-abstaining functions on the row
+        n_pos           positive votes
+        consensus       majority label (ties → NULL, no invented
+                        label); NULL when every function abstained
+        agreement       majority share among cast votes
+        is_unanimous    all cast votes agree (false when no votes)
+
+    The canonical use: several cheap heuristic signals (keyword gate,
+    quality threshold, lang match…) label training data; rows with
+    high-agreement consensus feed the trained
+    :class:`~flink_ml__spark.functions.curation.QualityClassifier`,
+    low-agreement rows go to review. Map-only Catalyst arithmetic —
+    zero shuffle, streaming-compatible; per-column vote expressions
+    are materialized once each (no subtree re-embedding)."""
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "labeling-function columns (0/1/NULL)",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[])
+
+    def setInputCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        return self._set(inputCols=list(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols)
+        if not cols:
+            raise ValueError("no columns set — call setInputCols(...)")
+        votes = [F.col(c).cast("int") for c in cols]
+        n_votes = sum(v.isNotNull().cast("int") for v in votes)
+        n_pos = sum(F.coalesce(v, F.lit(0)) for v in votes)
+        out = (df.withColumn("n_votes", n_votes)
+               .withColumn("n_pos", n_pos))
+        nv, np_ = F.col("n_votes"), F.col("n_pos")
+        n_neg = nv - np_
+        consensus = (F.when(nv == 0, F.lit(None).cast("int"))
+                     .when(np_ * 2 > nv, F.lit(1))
+                     .when(np_ * 2 < nv, F.lit(0)))
+        return (out.withColumn("consensus", consensus)
+                .withColumn("agreement",
+                            F.when(nv > 0,
+                                   F.greatest(np_, n_neg) / nv))
+                .withColumn("is_unanimous",
+                            F.coalesce((nv > 0)
+                                       & ((np_ == nv) | (np_ == 0)),
+                                       F.lit(False))))

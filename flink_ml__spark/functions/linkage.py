@@ -423,3 +423,69 @@ class ExpectationValidator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.validate(df)
+
+
+class DatasetFingerprint(AlgoOperator):
+    """Order-independent dataset checksum — the reproducibility
+    primitive for 100 TB snapshots: two datasets with equal
+    fingerprints contain identical ROWS (over the selected columns)
+    regardless of partitioning, file layout, or row order, so an
+    ingest job can assert "this rebuild equals last week's snapshot"
+    without a sort or a join.
+
+    ``transform(df)`` returns ONE row::
+
+        n_rows        bigint
+        checksum      string  hex of the commutative sum (mod 2^61)
+                      of per-row md5-derived 60-bit values over the
+                      '\\x1f'-joined selected columns (NULL → the
+                      '\\x00' sentinel, so NULL ≠ empty string);
+                      summed in decimal(38,0) — a plain long sum
+                      silently wraps past ~8 large rows
+        n_distinct    bigint  distinct row-value count
+
+    A commutative SUM of per-row hashes is the standard mergeable
+    content signature (any partitioning yields the same total; two
+    shards' fingerprints ADD). Collision odds follow the birthday
+    bound on 60 bits (~1e-9 at 10^5 rows... still ~1e-4 at 10^9 —
+    pair with ``n_rows``/``n_distinct`` which must also match).
+    Engine-portable: md5 exists everywhere, so a SQL oracle replays
+    the exact checksum."""
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "columns folded into the fingerprint "
+                      "(default: all, in schema order)",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[])
+
+    def setInputCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        return self._set(inputCols=list(v))
+
+    _MOD = 1 << 61
+
+    def _row_hash(self, cols: list[str]) -> F.Column:
+        joined = F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in cols])
+        # top 15 md5 hex chars = 60 bits — fits a long with headroom
+        return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10) \
+                .cast("long")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols) or df.columns
+        h = self._row_hash(cols)
+        joined = F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in cols])
+        total = F.sum(F.col("__h").cast("decimal(38,0)"))
+        chk = F.conv(F.pmod(total, F.lit(self._MOD))
+                     .cast("long").cast("string"), 10, 16)
+        return (df.select(h.alias("__h"), joined.alias("__j"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     chk.alias("checksum"),
+                     F.count_distinct("__j").alias("n_distinct")))

@@ -5213,6 +5213,88 @@ SELECT anchor_id, neg_id, draw::INT AS draw FROM r WHERE draw <= 3
 """
 
 
+def q_dataset_fingerprint_orders(spark, sf_dir):
+    """Order-independent content checksum of three orders columns;
+    the oracle replays the md5-derived 60-bit row hashes, the
+    decimal mod-2^61 sum and the distinct count exactly — equal
+    fingerprints ⇔ equal row multisets, any layout."""
+    from flink_ml__spark.functions.linkage import DatasetFingerprint
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (DatasetFingerprint()
+            .setInputCols("o_orderkey", "o_orderstatus", "o_totalprice")
+            .transform(orders))
+
+
+ORACLE_DATASET_FINGERPRINT = """
+WITH h AS (
+  SELECT ('0x' || substring(md5(concat_ws(chr(31),
+            coalesce(o_orderkey::VARCHAR, chr(0)),
+            coalesce(o_orderstatus::VARCHAR, chr(0)),
+            coalesce(o_totalprice::VARCHAR, chr(0)))), 1, 15))::BIGINT
+           AS hv,
+         concat_ws(chr(31),
+            coalesce(o_orderkey::VARCHAR, chr(0)),
+            coalesce(o_orderstatus::VARCHAR, chr(0)),
+            coalesce(o_totalprice::VARCHAR, chr(0))) AS j
+  FROM orders)
+SELECT count(*)::BIGINT AS n_rows,
+       to_hex((sum(hv::HUGEINT) % 2305843009213693952)::BIGINT)
+         AS checksum,
+       count(DISTINCT j)::BIGINT AS n_distinct
+FROM h
+"""
+
+
+def q_label_consensus_documents(spark, sf_dir):
+    """Majority vote over three deterministic labeling functions
+    (lang gate, length gate, an abstaining id-parity rule); the
+    oracle replays every vote, the tie/abstain NULL semantics and
+    the agreement arithmetic."""
+    from flink_ml__spark.functions.evaluation import LabelConsensus
+
+    docs = load_table(spark, "documents", sf_dir)
+    frame = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("lf_en"),
+        (F.length("text") > 500).cast("int").alias("lf_long"),
+        F.when(F.col("doc_id") % 7 != 0,
+               (F.col("doc_id") % 3 == 0).cast("int"))
+        .alias("lf_parity"))
+    out = (LabelConsensus()
+           .setInputCols("lf_en", "lf_long", "lf_parity")
+           .transform(frame))
+    return out.select("doc_id", "n_votes", "n_pos", "consensus",
+                      F.round("agreement", R).alias("agreement"),
+                      "is_unanimous")
+
+
+ORACLE_LABEL_CONSENSUS = f"""
+WITH v AS (
+  SELECT doc_id,
+         (lang = 'en')::INT AS a,
+         (length(text) > 500)::INT AS b,
+         CASE WHEN doc_id % 7 <> 0 THEN (doc_id % 3 = 0)::INT END AS c
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         (a IS NOT NULL)::INT + (b IS NOT NULL)::INT
+           + (c IS NOT NULL)::INT AS nv,
+         coalesce(a, 0) + coalesce(b, 0) + coalesce(c, 0) AS np
+  FROM v)
+SELECT doc_id, nv AS n_votes, np AS n_pos,
+       CASE WHEN nv = 0 THEN NULL
+            WHEN np * 2 > nv THEN 1
+            WHEN np * 2 < nv THEN 0 END AS consensus,
+       CASE WHEN nv > 0 THEN
+         round(greatest(np, nv - np)::DOUBLE / nv, {R}) END
+         AS agreement,
+       coalesce(nv > 0 AND (np = nv OR np = 0), false)
+         AS is_unanimous
+FROM s
+"""
+
+
 def q_readability_documents(spark, sf_dir):
     """Flesch reading ease + Flesch–Kincaid grade per document; the
     oracle replays the token/sentence/vowel-group regex counts and
@@ -5465,6 +5547,8 @@ QUERIES = {
     "negative_sample_documents": q_negative_sample_documents,
     "bloom_join_events": q_bloom_join_events,
     "readability_documents": q_readability_documents,
+    "dataset_fingerprint_orders": q_dataset_fingerprint_orders,
+    "label_consensus_documents": q_label_consensus_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5552,6 +5636,8 @@ ORACLES = {
     "negative_sample_documents": ORACLE_NEGATIVE_SAMPLE,
     "bloom_join_events": ORACLE_BLOOM_JOIN,
     "readability_documents": ORACLE_READABILITY,
+    "dataset_fingerprint_orders": ORACLE_DATASET_FINGERPRINT,
+    "label_consensus_documents": ORACLE_LABEL_CONSENSUS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -149,3 +149,39 @@ def test_calibration_gate_queries(spark):
     out = q_calibration_eval_documents(
         spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 1 and out[0]["n"] > 0
+
+
+def test_label_consensus_goldens(spark):
+    """Hand-checked votes: majority, tie → NULL, all-abstain → NULL,
+    unanimity flags."""
+    from flink_ml__spark.functions.evaluation import LabelConsensus
+
+    rows = [
+        (1, 1, 1, 0),        # 2/3 pos -> consensus 1, agreement 2/3
+        (2, 0, 0, None),     # 0/2 -> consensus 0, unanimous
+        (3, 1, 0, None),     # 1/2 tie -> NULL consensus
+        (4, None, None, None),  # all abstain -> NULLs, not unanimous
+        (5, 1, 1, 1),        # unanimous positive
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a int, b int, c int")
+    out = {r["id"]: r for r in
+           (LabelConsensus().setInputCols("a", "b", "c")
+            .transform(df).collect())}
+    assert out[1]["consensus"] == 1 and abs(
+        out[1]["agreement"] - 2 / 3) < 1e-12
+    assert not out[1]["is_unanimous"]
+    assert out[2]["consensus"] == 0 and out[2]["is_unanimous"]
+    assert out[3]["consensus"] is None and out[3]["agreement"] == 0.5
+    assert out[4]["consensus"] is None and out[4]["n_votes"] == 0
+    assert out[4]["agreement"] is None and not out[4]["is_unanimous"]
+    assert out[5]["consensus"] == 1 and out[5]["is_unanimous"]
+
+
+def test_label_consensus_requires_cols(spark):
+    from flink_ml__spark.functions.evaluation import LabelConsensus
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no columns"):
+        LabelConsensus().transform(df)

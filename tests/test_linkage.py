@@ -245,3 +245,54 @@ def test_differ_reserved_name_collision_raises(spark):
     # without payload the 'op' data column never reaches the output
     got = SnapshotDiffer().setKeyCols("id").diff(old, new).collect()
     assert len(got) == 1 and list(got[0]["changed_cols"]) == ["op"]
+
+
+def test_dataset_fingerprint_layout_invariant(spark):
+    """Same rows, different order/partitioning → identical
+    fingerprint; one changed row → different checksum."""
+    from flink_ml__spark.functions.linkage import DatasetFingerprint
+
+    rows = [(i, f"v{i}", float(i) / 3) for i in range(200)]
+    a = spark.createDataFrame(rows, ["k", "s", "x"])
+    b = (spark.createDataFrame(list(reversed(rows)), ["k", "s", "x"])
+         .repartition(7))
+    op = DatasetFingerprint()
+    fa = op.transform(a).collect()[0]
+    fb = op.transform(b).collect()[0]
+    assert fa == fb
+    assert fa["n_rows"] == 200 and fa["n_distinct"] == 200
+    changed = rows[:100] + [(100, "CHANGED", 100 / 3)] + rows[101:]
+    fc = (op.transform(spark.createDataFrame(changed, ["k", "s", "x"]))
+          .collect()[0])
+    assert fc["checksum"] != fa["checksum"]
+    assert fc["n_rows"] == fa["n_rows"]
+
+
+def test_dataset_fingerprint_shards_add(spark):
+    """Mergeable: shard checksums sum (mod 2^61) to the whole-set
+    checksum — fingerprint shards independently, combine driver-side."""
+    from flink_ml__spark.functions.linkage import DatasetFingerprint
+
+    rows = [(i, f"d{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    op = DatasetFingerprint()
+    whole = int(op.transform(df).collect()[0]["checksum"], 16)
+    h1 = int(op.transform(df.filter("k < 50")).collect()[0]["checksum"],
+             16)
+    h2 = int(op.transform(df.filter("k >= 50")).collect()[0]["checksum"],
+             16)
+    assert (h1 + h2) % (1 << 61) == whole
+
+
+def test_dataset_fingerprint_null_vs_empty_and_cols(spark):
+    from flink_ml__spark.functions.linkage import DatasetFingerprint
+
+    a = spark.createDataFrame([(1, None)], "k int, s string")
+    b = spark.createDataFrame([(1, "")], "k int, s string")
+    op = DatasetFingerprint()
+    assert (op.transform(a).collect()[0]["checksum"]
+            != op.transform(b).collect()[0]["checksum"])
+    # restricting columns makes differing rows collide deliberately
+    c = spark.createDataFrame([(1, "x"), (1, "y")], "k int, s string")
+    fp = DatasetFingerprint().setInputCols("k").transform(c).collect()[0]
+    assert fp["n_distinct"] == 1 and fp["n_rows"] == 2
