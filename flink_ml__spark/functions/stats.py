@@ -291,3 +291,173 @@ class CooccurrencePMI(AlgoOperator):
                     / (F.col("n_a").cast("double") * F.col("n_b")))
         return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
                           pmi.alias("pmi"))
+
+
+class ABTestAnalyzer(AlgoOperator):
+    """Two-sample experiment readout — Welch's unequal-variance t
+    statistic (Welch 1947) on a numeric metric between every variant
+    and a designated control. One row per non-control variant::
+
+        variant      string
+        n_c, n_v     bigint   control / variant sample sizes
+        mean_c, mean_v   double
+        lift         double   mean_v − mean_c (absolute)
+        lift_pct     double   lift / mean_c (NULL when mean_c = 0)
+        t_stat       double   Welch t (NULL when either sample-size
+                              < 2 or both variances are 0)
+        dof          double   Welch–Satterthwaite degrees of freedom
+                              (same NULL rule)
+        significant  boolean  |t| > 1.96 — the z-approximation call
+                              at the sample sizes A/B tests run at
+
+    The statistic (not a p-value) is emitted: t and dof are exact
+    closed-form SQL arithmetic on per-group moments, portable to any
+    engine, while a p-value needs an incomplete-beta routine neither
+    Spark nor most warehouses expose — callers with scipy get it as
+    ``2 * stats.t.sf(abs(t), dof)``.
+
+    For a 0/1 conversion metric the same arithmetic IS the unpooled
+    two-proportion z-test (variance p(1−p) falls out of the sample
+    variance), so one operator covers both the revenue and the
+    conversion readout.
+
+    100 TB design: ONE groupBy(variant) computing count/avg/variance
+    — a single map-side-combinable aggregate pass — then a broadcast
+    join of the O(variants) moment table against its control row.
+    """
+
+    variantCol = Param(Params._dummy(), "variantCol",
+                       "experiment-arm column", TypeConverters.toString)
+    metricCol = Param(Params._dummy(), "metricCol",
+                      "numeric outcome column", TypeConverters.toString)
+    control = Param(Params._dummy(), "control",
+                    "variant value treated as the control arm",
+                    TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(variantCol="variant", metricCol="metric",
+                         control="control")
+
+    def setVariantCol(self, v):
+        return self._set(variantCol=v)
+
+    def setMetricCol(self, v):
+        return self._set(metricCol=v)
+
+    def setControl(self, v):
+        return self._set(control=str(v))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        vc = self.getOrDefault(self.variantCol)
+        mc = self.getOrDefault(self.metricCol)
+        ctl = self.getOrDefault(self.control)
+        v = F.col(vc).cast("string")
+        m = F.col(mc).cast("double")
+        g = (df.filter(v.isNotNull() & m.isNotNull())
+               .groupBy(v.alias("__v"))
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.avg(m).alias("__mean"),
+                    # sample variance; var_samp is NULL at n=1 → 0 so
+                    # the guards below see "no variance evidence"
+                    F.coalesce(F.var_samp(m), F.lit(0.0)).alias("__var")))
+        c = (g.filter(F.col("__v") == ctl)
+              .select(F.col("__n").alias("n_c"),
+                      F.col("__mean").alias("mean_c"),
+                      F.col("__var").alias("__var_c")))
+        t = (g.filter(F.col("__v") != ctl)
+              .select(F.col("__v").alias("variant"),
+                      F.col("__n").alias("n_v"),
+                      F.col("__mean").alias("mean_v"),
+                      F.col("__var").alias("__var_v")))
+        out = t.crossJoin(F.broadcast(c))
+        se2 = (F.col("__var_c") / F.col("n_c")
+               + F.col("__var_v") / F.col("n_v"))
+        ok = ((F.col("n_c") >= 2) & (F.col("n_v") >= 2)
+              & (se2 > 0))
+        lift = F.col("mean_v") - F.col("mean_c")
+        t_stat = F.when(ok, lift / F.sqrt(se2))
+        dof = F.when(ok, se2 * se2 / (
+            F.pow(F.col("__var_c") / F.col("n_c"), 2) / (F.col("n_c") - 1)
+            + F.pow(F.col("__var_v") / F.col("n_v"), 2) / (F.col("n_v") - 1)))
+        return (out.withColumn("lift", lift)
+                .withColumn("lift_pct",
+                            F.when(F.col("mean_c") != 0,
+                                   lift / F.abs(F.col("mean_c"))))
+                .withColumn("t_stat", t_stat)
+                .withColumn("dof", dof)
+                .withColumn("significant",
+                            F.coalesce(F.abs(t_stat) > 1.96, F.lit(False)))
+                .drop("__var_c", "__var_v")
+                .select("variant", "n_c", "n_v", "mean_c", "mean_v",
+                        "lift", "lift_pct", "t_stat", "dof",
+                        "significant"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class BenfordProfiler(AlgoOperator):
+    """First-significant-digit distribution vs Benford's law — the
+    classic screen for fabricated or truncated numeric feeds (Nigrini
+    1996): naturally-occurring multi-scale magnitudes follow
+    P(d) = log10(1 + 1/d); synthetic fills, capped sensors and
+    unit-constant columns don't.
+
+    ``transform(df)`` returns 9 rows (digits 1–9)::
+
+        digit         int
+        n             bigint   values whose first significant digit
+                               is ``digit``
+        observed      double   n / total
+        expected      double   log10(1 + 1/digit)
+        chi2_term     double   total · (observed − expected)² / expected
+                               (sums to the 8-dof Pearson χ² across
+                               the 9 rows — compare to 15.51 at 5%)
+
+    Zero/NULL values carry no leading digit and are excluded; signs
+    are dropped (|x|). The first significant digit is extracted
+    arithmetically — ``floor(|x| / 10^floor(log10 |x|))`` — not by
+    string formatting, so scientific-notation rendering can't skew it.
+
+    100 TB design: one map-only digit projection + one 9-group
+    aggregate with map-side combine; the expected-law comparison is
+    arithmetic on the 9-row table. Zero shuffles beyond the aggregate.
+    """
+
+    inputCol = Param(Params._dummy(), "inputCol",
+                     "numeric column to profile", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="value")
+
+    def setInputCol(self, v):
+        return self._set(inputCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        x = F.abs(F.col(self.getOrDefault(self.inputCol)).cast("double"))
+        digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))) \
+                 .cast("int")
+        d = (df.filter(x.isNotNull() & (x > 0))
+               .select(digit.alias("digit"))
+               # guard fp edge: log10 rounding can yield 0 or 10 for
+               # values like 9.9999...e±k; clamp into [1, 9]
+               .select(F.greatest(F.least(F.col("digit"), F.lit(9)),
+                                  F.lit(1)).alias("digit")))
+        spark = df.sparkSession
+        digits = spark.range(1, 10).select(F.col("id").cast("int")
+                                           .alias("digit"))
+        counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+        out = (digits.join(counts, "digit", "left").na.fill(0, ["n"])
+               .crossJoin(F.broadcast(
+                   counts.agg(F.coalesce(F.sum("n"), F.lit(0))
+                              .alias("__total")))))
+        obs = F.when(F.col("__total") > 0, F.col("n") / F.col("__total"))
+        exp_ = F.log10(1 + 1 / F.col("digit").cast("double"))
+        chi2 = F.when(F.col("__total") > 0,
+                      F.col("__total") * F.pow(obs - exp_, 2) / exp_)
+        return (out.withColumn("observed", obs)
+                .withColumn("expected", exp_)
+                .withColumn("chi2_term", chi2)
+                .drop("__total").orderBy("digit"))

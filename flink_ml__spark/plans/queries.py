@@ -5474,6 +5474,195 @@ FROM g
 """
 
 
+def q_classification_report_documents(spark, sf_dir):
+    """Per-class precision/recall/F1 of a deterministic mock lang
+    predictor (right for 4 of 5 id-residues, 'xx' otherwise) against
+    the true lang column; the oracle replays the full confusion
+    arithmetic including the never-predicted / never-true NULL rules."""
+    from flink_ml__spark.functions.evaluation import ClassificationReport
+
+    docs = load_table(spark, "documents", sf_dir)
+    frame = docs.select(
+        F.col("lang").alias("label"),
+        F.when(F.col("doc_id") % 5 < 4, F.col("lang"))
+        .otherwise(F.lit("xx")).alias("prediction"))
+    out = ClassificationReport().evaluate(frame)
+    return out.select("class_", "support", "predicted", "tp",
+                      F.round("precision", R).alias("precision"),
+                      F.round("recall", R).alias("recall"),
+                      F.round("f1", R).alias("f1"))
+
+
+ORACLE_CLASSIFICATION_REPORT = f"""
+WITH d AS (
+  SELECT lang AS y,
+         CASE WHEN doc_id % 5 < 4 THEN lang ELSE 'xx' END AS p
+  FROM documents),
+cls AS (SELECT y AS class_ FROM d UNION SELECT p FROM d),
+m AS (
+  SELECT class_,
+         (SELECT count(*) FROM d WHERE y = class_) AS support,
+         (SELECT count(*) FROM d WHERE p = class_) AS predicted,
+         (SELECT count(*) FROM d WHERE y = class_ AND p = class_) AS tp
+  FROM cls),
+r AS (
+  SELECT class_, support, predicted, tp,
+         CASE WHEN predicted > 0 THEN tp::DOUBLE / predicted END AS pr,
+         CASE WHEN support > 0 THEN tp::DOUBLE / support END AS rc
+  FROM m)
+SELECT class_, support::BIGINT AS support, predicted::BIGINT AS predicted,
+       coalesce(tp, 0)::BIGINT AS tp,
+       round(pr, {R}) AS precision,
+       round(rc, {R}) AS recall,
+       round(CASE WHEN pr IS NULL OR rc IS NULL THEN NULL
+                  WHEN pr + rc = 0 THEN 0.0
+                  ELSE 2 * pr * rc / (pr + rc) END, {R}) AS f1
+FROM r
+"""
+
+
+def q_kappa_documents(spark, sf_dir):
+    """Cohen's kappa between two overlapping length-threshold
+    'raters' (>400 and >350 chars); the oracle replays the agreement
+    matrix, both marginal products and the chance correction."""
+    from flink_ml__spark.functions.evaluation import AgreementEvaluator
+
+    docs = load_table(spark, "documents", sf_dir)
+    frame = docs.select(
+        (F.length("text") > 400).cast("int").alias("rater_a"),
+        (F.length("text") > 350).cast("int").alias("rater_b"))
+    out = AgreementEvaluator().evaluate(frame)
+    return out.select("n",
+                      F.round("po", R).alias("po"),
+                      F.round("pe", R).alias("pe"),
+                      F.round("kappa", R).alias("kappa"))
+
+
+ORACLE_KAPPA = f"""
+WITH d AS (
+  SELECT (length(text) > 400)::INT AS a,
+         (length(text) > 350)::INT AS b
+  FROM documents),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((a = b)::INT) AS agree,
+         (SELECT sum(na::DOUBLE * nb) FROM
+            (SELECT a AS c, count(*) AS na FROM d GROUP BY a) x
+            JOIN (SELECT b AS c, count(*) AS nb FROM d GROUP BY b) y
+            USING (c)) AS pe_num
+  FROM d),
+r AS (
+  SELECT n,
+         CASE WHEN n > 0 THEN agree::DOUBLE / n END AS po,
+         CASE WHEN n > 0 THEN pe_num / (n::DOUBLE * n) END AS pe
+  FROM s)
+SELECT n, round(po, {R}) AS po, round(pe, {R}) AS pe,
+       round(CASE WHEN pe < 1.0 THEN (po - pe) / (1 - pe) END, {R})
+         AS kappa
+FROM r
+"""
+
+
+def q_ab_test_orders(spark, sf_dir):
+    """Welch t readout of o_totalprice across three synthetic
+    experiment arms (orderkey-residue assignment, residue 0 =
+    control); the oracle replays the per-arm moments, the unequal-
+    variance t and the Welch–Satterthwaite dof exactly."""
+    from flink_ml__spark.functions.stats import ABTestAnalyzer
+
+    orders = load_table(spark, "orders", sf_dir)
+    frame = orders.select(
+        F.element_at(F.array(F.lit("control"), F.lit("a"), F.lit("b")),
+                     (F.col("o_orderkey") % 3 + 1).cast("int"))
+        .alias("variant"),
+        F.col("o_totalprice").alias("metric"))
+    out = ABTestAnalyzer().evaluate(frame)
+    return (out.select("variant", "n_c", "n_v",
+                       F.round("mean_c", R).alias("mean_c"),
+                       F.round("mean_v", R).alias("mean_v"),
+                       F.round("lift", R).alias("lift"),
+                       F.round("lift_pct", R).alias("lift_pct"),
+                       F.round("t_stat", R).alias("t_stat"),
+                       F.round("dof", R).alias("dof"),
+                       "significant")
+            .orderBy("variant"))
+
+
+ORACLE_AB_TEST = f"""
+WITH d AS (
+  SELECT ['control', 'a', 'b'][(o_orderkey % 3 + 1)::INT] AS v,
+         o_totalprice::DOUBLE AS m
+  FROM orders),
+g AS (
+  SELECT v, count(*)::BIGINT AS n, avg(m) AS mean,
+         coalesce(var_samp(m), 0.0) AS var
+  FROM d GROUP BY v),
+j AS (
+  SELECT t.v AS variant, c.n AS n_c, t.n AS n_v,
+         c.mean AS mean_c, t.mean AS mean_v,
+         c.var AS var_c, t.var AS var_v,
+         t.mean - c.mean AS lift,
+         c.var / c.n + t.var / t.n AS se2
+  FROM g t, g c WHERE c.v = 'control' AND t.v <> 'control'),
+r AS (
+  SELECT variant, n_c, n_v, mean_c, mean_v, lift,
+         CASE WHEN mean_c <> 0 THEN lift / abs(mean_c) END AS lift_pct,
+         CASE WHEN n_c >= 2 AND n_v >= 2 AND se2 > 0
+              THEN lift / sqrt(se2) END AS t_stat,
+         CASE WHEN n_c >= 2 AND n_v >= 2 AND se2 > 0
+              THEN se2 * se2 / (pow(var_c / n_c, 2) / (n_c - 1)
+                               + pow(var_v / n_v, 2) / (n_v - 1))
+              END AS dof
+  FROM j)
+SELECT variant, n_c, n_v,
+       round(mean_c, {R}) AS mean_c, round(mean_v, {R}) AS mean_v,
+       round(lift, {R}) AS lift, round(lift_pct, {R}) AS lift_pct,
+       round(t_stat, {R}) AS t_stat, round(dof, {R}) AS dof,
+       coalesce(abs(t_stat) > 1.96, false) AS significant
+FROM r ORDER BY variant
+"""
+
+
+def q_benford_orders(spark, sf_dir):
+    """First-significant-digit profile of o_totalprice vs Benford's
+    law; the oracle replays the arithmetic digit extraction, the
+    expected log-law and every chi-square term."""
+    from flink_ml__spark.functions.stats import BenfordProfiler
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = BenfordProfiler().setInputCol("o_totalprice").transform(orders)
+    return out.select("digit", "n",
+                      F.round("observed", R).alias("observed"),
+                      F.round("expected", R).alias("expected"),
+                      F.round("chi2_term", R).alias("chi2_term"))
+
+
+ORACLE_BENFORD = f"""
+WITH x AS (
+  SELECT abs(o_totalprice::DOUBLE) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
+d AS (
+  SELECT greatest(least(
+           floor(v / pow(10.0, floor(log10(v))))::INT, 9), 1) AS digit
+  FROM x),
+c AS (
+  SELECT dd.digit, count(d.digit)::BIGINT AS n
+  FROM (SELECT unnest(generate_series(1, 9)) AS digit) dd
+  LEFT JOIN d ON d.digit = dd.digit
+  GROUP BY dd.digit),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT c.digit, c.n,
+       round(CASE WHEN total > 0 THEN c.n::DOUBLE / total END, {R})
+         AS observed,
+       round(log10(1 + 1.0 / c.digit), {R}) AS expected,
+       round(CASE WHEN total > 0 THEN
+               total * pow(c.n::DOUBLE / total
+                           - log10(1 + 1.0 / c.digit), 2)
+                     / log10(1 + 1.0 / c.digit) END, {R}) AS chi2_term
+FROM c, t ORDER BY c.digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5549,6 +5738,10 @@ QUERIES = {
     "readability_documents": q_readability_documents,
     "dataset_fingerprint_orders": q_dataset_fingerprint_orders,
     "label_consensus_documents": q_label_consensus_documents,
+    "classification_report_documents": q_classification_report_documents,
+    "kappa_documents": q_kappa_documents,
+    "ab_test_orders": q_ab_test_orders,
+    "benford_orders": q_benford_orders,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5638,6 +5831,10 @@ ORACLES = {
     "readability_documents": ORACLE_READABILITY,
     "dataset_fingerprint_orders": ORACLE_DATASET_FINGERPRINT,
     "label_consensus_documents": ORACLE_LABEL_CONSENSUS,
+    "classification_report_documents": ORACLE_CLASSIFICATION_REPORT,
+    "kappa_documents": ORACLE_KAPPA,
+    "ab_test_orders": ORACLE_AB_TEST,
+    "benford_orders": ORACLE_BENFORD,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -185,3 +185,69 @@ def test_label_consensus_requires_cols(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no columns"):
         LabelConsensus().transform(df)
+
+
+def test_classification_report_goldens(spark):
+    from flink_ml__spark.functions.evaluation import ClassificationReport
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"),   # a: support 3, tp 2
+         ("b", "b"),                            # b: support 1, tp 1
+         ("c", "a"),                            # c: never predicted
+         (None, "a"), ("b", None)],             # excluded
+        "label string, prediction string")
+    out = {r["class_"]: r for r in
+           ClassificationReport().evaluate(df).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    # (None, "a") is excluded entirely -> only 3 'a' predictions count
+    assert a["support"] == 3 and a["predicted"] == 3 and a["tp"] == 2
+    assert abs(a["precision"] - 2 / 3) < 1e-12
+    assert abs(a["recall"] - 2 / 3) < 1e-12
+    assert abs(a["f1"] - 2 / 3) < 1e-12
+    assert b["support"] == 1 and b["predicted"] == 2 and b["tp"] == 1
+    assert abs(b["precision"] - 0.5) < 1e-12 and b["recall"] == 1.0
+    # never predicted: precision NULL, recall 0, f1 NULL
+    assert c["predicted"] == 0 and c["precision"] is None
+    assert c["recall"] == 0.0 and c["f1"] is None
+
+
+def test_classification_report_predicted_only_class(spark):
+    from flink_ml__spark.functions.evaluation import ClassificationReport
+
+    df = spark.createDataFrame(
+        [("a", "z"), ("a", "a")], "label string, prediction string")
+    out = {r["class_"]: r for r in
+           ClassificationReport().evaluate(df).collect()}
+    z = out["z"]  # hallucinated class: support 0
+    assert z["support"] == 0 and z["predicted"] == 1 and z["tp"] == 0
+    assert z["precision"] == 0.0 and z["recall"] is None and z["f1"] is None
+
+
+def test_kappa_goldens(spark):
+    from flink_ml__spark.functions.evaluation import AgreementEvaluator
+
+    # classic textbook table: 20 items, po = 0.7, pe = 0.5 -> kappa 0.4
+    rows = ([("y", "y")] * 7 + [("y", "n")] * 3
+            + [("n", "y")] * 3 + [("n", "n")] * 7)
+    df = spark.createDataFrame(rows, "rater_a string, rater_b string")
+    r = AgreementEvaluator().evaluate(df).first()
+    assert r["n"] == 20
+    assert abs(r["po"] - 0.7) < 1e-12
+    assert abs(r["pe"] - 0.5) < 1e-12
+    assert abs(r["kappa"] - 0.4) < 1e-12
+
+
+def test_kappa_degenerate(spark):
+    from flink_ml__spark.functions.evaluation import AgreementEvaluator
+
+    ev = AgreementEvaluator()
+    # both raters constant and equal: pe = 1 -> kappa undefined (NULL)
+    const = spark.createDataFrame(
+        [("y", "y")] * 5, "rater_a string, rater_b string")
+    r = ev.evaluate(const).first()
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+    # NULL votes excluded; all-NULL -> n 0, everything NULL
+    nul = spark.createDataFrame(
+        [(None, "y"), ("y", None)], "rater_a string, rater_b string")
+    r = ev.evaluate(nul).first()
+    assert r["n"] == 0 and r["po"] is None and r["kappa"] is None

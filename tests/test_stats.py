@@ -227,3 +227,74 @@ def test_pmi_matches_reference(spark, rows):
         assert got[p][1] == marg[a] and got[p][2] == marg[b]
         want = math.log(n_ab * n_total / (marg[a] * marg[b]))
         assert got[p][3] == pytest.approx(want, abs=1e-12)
+
+
+def test_ab_test_goldens(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import ABTestAnalyzer
+
+    # control: [10, 12, 14] (mean 12, var 4); treat: [20, 22, 24, 26]
+    # (mean 23, var 20/3); se2 = 4/3 + 5/3 = 3 -> t = 11/sqrt(3)
+    rows = ([("control", 10.0), ("control", 12.0), ("control", 14.0),
+             ("t", 20.0), ("t", 22.0), ("t", 24.0), ("t", 26.0)])
+    df = spark.createDataFrame(rows, "variant string, metric double")
+    r = ABTestAnalyzer().evaluate(df).first()
+    assert r["variant"] == "t" and r["n_c"] == 3 and r["n_v"] == 4
+    assert abs(r["lift"] - 11.0) < 1e-12
+    assert abs(r["lift_pct"] - 11 / 12) < 1e-12
+    assert abs(r["t_stat"] - 11 / math.sqrt(3)) < 1e-9
+    se2 = 4 / 3 + (20 / 3) / 4
+    dof = se2 ** 2 / ((4 / 3) ** 2 / 2 + ((20 / 3) / 4) ** 2 / 3)
+    assert abs(r["dof"] - dof) < 1e-9
+    assert r["significant"] is True
+
+
+def test_ab_test_degenerate_and_nulls(spark):
+    from flink_ml__spark.functions.stats import ABTestAnalyzer
+
+    # single-row arms and zero variance -> t/dof NULL, not an error
+    df = spark.createDataFrame(
+        [("control", 5.0), ("x", 9.0), ("x", None), (None, 1.0)],
+        "variant string, metric double")
+    r = ABTestAnalyzer().evaluate(df).first()
+    assert r["n_c"] == 1 and r["n_v"] == 1
+    assert r["lift"] == 4.0
+    assert r["t_stat"] is None and r["dof"] is None
+    assert r["significant"] is False
+    # constant metric in both arms: se2 = 0 -> NULL t
+    cz = spark.createDataFrame(
+        [("control", 2.0), ("control", 2.0), ("v", 2.0), ("v", 2.0)],
+        "variant string, metric double")
+    r = ABTestAnalyzer().evaluate(cz).first()
+    assert r["t_stat"] is None and r["significant"] is False
+
+
+def test_benford_goldens(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import BenfordProfiler
+
+    # digits: 1 (from 0.123, 1.0, 19, 1e6), 9 (0.95), 5 (-5.5);
+    # zeros/NULLs dropped
+    df = spark.createDataFrame(
+        [(0.123,), (1.0,), (19.0,), (1e6,), (0.95,), (-5.5,),
+         (0.0,), (None,)], "value double")
+    out = {r["digit"]: r for r in
+           (BenfordProfiler().setInputCol("value")
+            .transform(df).collect())}
+    assert len(out) == 9
+    assert out[1]["n"] == 4 and out[9]["n"] == 1 and out[5]["n"] == 1
+    assert out[2]["n"] == 0
+    assert abs(out[1]["observed"] - 4 / 6) < 1e-12
+    assert abs(out[1]["expected"] - math.log10(2)) < 1e-12
+    e1 = math.log10(2)
+    assert abs(out[1]["chi2_term"]
+               - 6 * (4 / 6 - e1) ** 2 / e1) < 1e-9
+    # empty input: 9 rows, n 0, observed/chi2 NULL
+    empty = spark.createDataFrame([], "value double")
+    rows = (BenfordProfiler().setInputCol("value")
+            .transform(empty).collect())
+    assert len(rows) == 9
+    assert all(r["n"] == 0 and r["observed"] is None
+               and r["chi2_term"] is None for r in rows)
