@@ -142,6 +142,12 @@ HEADLINE = [
     "negative_sample_documents",
     "bloom_join_events",
     "readability_documents",
+    "minmax_scale_lineitem",
+    "maxabs_scale_orders",
+    "robust_scale_lineitem",
+    "quantile_bins_orders",
+    "string_index_events",
+    "target_encode_orders",
 ]
 
 

@@ -1,0 +1,226 @@
+"""Categorical-encoding estimators.
+
+North-star extensions past the reference's feature family
+(``/root/reference/src/main/java/cn/swust/algorithms/featureGeneration/``
+stops at imputation / scaling / one-hot): the two encoders every
+tabular feature pipeline reaches for next —
+
+* ``StringIndexer``  — frequency-ordered label → dense integer index
+  (the pyspark.ml / Flink ML StringIndexer contract: most frequent
+  label gets 0, ties broken alphabetically).
+* ``TargetEncoder``  — m-estimate smoothed mean-target encoding
+  (Micci-Barreca 2001): ``(n·mean_cat + m·prior) / (n + m)``.
+
+Scale shape: both fits are ONE hash aggregation over the input
+(cardinality-sized output, i.e. a model artifact, not data); both
+transforms are a broadcast hash join against the fitted mapping —
+map-side at any corpus size as long as the category vocabulary is
+broadcastable, which is the regime these encoders are for (a
+vocabulary too big to broadcast is a vocabulary too big to one-hot or
+mean-encode meaningfully).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ml__spark.base import (
+    Estimator,
+    HasInputCol,
+    HasOutputCol,
+    Model,
+)
+from pyspark.ml.param import Param, Params, TypeConverters
+
+
+class _IndexerParams(HasInputCol, HasOutputCol):
+    handleInvalid = Param(
+        Params._dummy(), "handleInvalid",
+        "unseen/NULL policy: 'keep' maps them to index = vocabulary "
+        "size; 'null' emits NULL", TypeConverters.toString)
+
+    def setHandleInvalid(self, v):
+        if v not in ("keep", "null"):
+            raise ValueError("handleInvalid must be 'keep' or 'null'")
+        return self._set(handleInvalid=v)
+
+
+class StringIndexerModel(Model, _IndexerParams):
+    """Fitted label → index mapping. ``labels()`` returns the
+    vocabulary in index order; ``transform`` appends ``outputCol``
+    via a broadcast join on the label (NULL-safe equality so a NULL
+    category behaves like any other unseen value)."""
+
+    def __init__(self, mapping: DataFrame | None = None):
+        super().__init__()
+        self._setDefault(outputCol="label_index", handleInvalid="keep")
+        self._mapping = mapping  # columns: __label string, __index int
+
+    def labels(self) -> list[str]:
+        return [r["__label"] for r in
+                self._mapping.orderBy("__index").collect()]
+
+    @property
+    def vocab_size(self) -> int:
+        if not hasattr(self, "_vocab_size"):
+            self._vocab_size = self._mapping.count()
+        return self._vocab_size
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c, out = self.getInputCol(), self.getOutputCol()
+        invalid = (F.lit(self.vocab_size).cast("int")
+                   if self.getOrDefault(self.handleInvalid) == "keep"
+                   else F.lit(None).cast("int"))
+        joined = df.join(
+            F.broadcast(self._mapping),
+            on=F.col(c).cast("string").eqNullSafe(F.col("__label")),
+            how="left")
+        return (joined
+                .withColumn(out, F.coalesce(F.col("__index"), invalid))
+                .drop("__label", "__index"))
+
+    def _save_model_data(self, path: str) -> None:
+        self._mapping.coalesce(1).write.mode("overwrite").parquet(
+            path + "/mapping.parquet")
+
+    def _load_model_data(self, spark, path: str) -> None:
+        self._mapping = spark.read.parquet(path + "/mapping.parquet")
+
+
+class StringIndexer(Estimator, _IndexerParams):
+    """Frequency-ordered categorical indexing: the most frequent label
+    gets index 0; ties break on the label ascending (the pyspark.ml
+    ``frequencyDesc`` contract, so indexes are deterministic under
+    any partitioning). NULL values are not indexed — they take the
+    ``handleInvalid`` route at transform time.
+
+    Fit = one hash ``groupBy(label).count()`` plus a vocabulary-sized
+    rank; the ordering window partitions on a constant but runs over
+    the *aggregated* vocabulary (|categories| rows), not the input —
+    the standard cardinality-bounded exception to the no-global-window
+    rule, same as every top-k model artifact in the engine.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="label_index", handleInvalid="keep")
+
+    def fit(self, df: DataFrame) -> StringIndexerModel:
+        from pyspark.sql import Window
+
+        c = self.getInputCol()
+        counts = (df.filter(F.col(c).isNotNull())
+                  .groupBy(F.col(c).cast("string").alias("__label"))
+                  .count())
+        w = Window.orderBy(F.col("count").desc(), F.col("__label").asc())
+        mapping = (counts
+                   .withColumn("__index",
+                               (F.row_number().over(w) - 1).cast("int"))
+                   .select("__label", "__index"))
+        model = StringIndexerModel(mapping.localCheckpoint(eager=True))
+        model._set(inputCol=c, outputCol=self.getOutputCol(),
+                   handleInvalid=self.getOrDefault(self.handleInvalid))
+        return model
+
+
+class TargetEncoderModel(Model, HasInputCol, HasOutputCol):
+    """Fitted smoothed mean-target encoding. ``transform`` appends
+    ``outputCol`` = the category's shrunk target mean via a broadcast
+    join; unseen and NULL categories fall back to the global prior."""
+
+    def __init__(self, encoding: DataFrame | None = None,
+                 prior: float | None = None):
+        super().__init__()
+        self._setDefault(outputCol="target_enc")
+        self._encoding = encoding  # columns: __cat string, __enc double
+        self._prior = prior
+
+    @property
+    def prior(self) -> float:
+        return self._prior
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c, out = self.getInputCol(), self.getOutputCol()
+        joined = df.join(
+            F.broadcast(self._encoding),
+            on=F.col(c).cast("string").eqNullSafe(F.col("__cat")),
+            how="left")
+        return (joined
+                .withColumn(out, F.coalesce(F.col("__enc"),
+                                            F.lit(self._prior)))
+                .drop("__cat", "__enc"))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        self._encoding.coalesce(1).write.mode("overwrite").parquet(
+            path + "/encoding.parquet")
+        with open(os.path.join(path, "prior.json"), "w") as f:
+            json.dump({"prior": self._prior}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        self._encoding = spark.read.parquet(path + "/encoding.parquet")
+        with open(os.path.join(path, "prior.json")) as f:
+            self._prior = json.load(f)["prior"]
+
+
+class TargetEncoder(Estimator, HasInputCol, HasOutputCol):
+    """m-estimate target (mean) encoding — Micci-Barreca 2001 §3.1:
+
+    ``enc(cat) = (n_cat · mean_cat + smoothing · prior) / (n_cat +
+    smoothing)``
+
+    where ``prior`` is the global target mean. ``smoothing`` (the
+    m-estimate pseudo-count, default 20) pulls rare categories toward
+    the prior, the standard leakage/overfit guard for high-cardinality
+    categoricals. Rows with a NULL target are excluded from the fit;
+    a category whose targets are all NULL encodes as the prior.
+
+    Fit = ONE hash aggregation (per-category sum/count) + one 1-row
+    global aggregate; transform = broadcast join. The encoding table
+    is a model artifact sized by the category cardinality.
+    """
+
+    targetCol = Param(Params._dummy(), "targetCol",
+                      "numeric target column to average",
+                      TypeConverters.toString)
+    smoothing = Param(Params._dummy(), "smoothing",
+                      "m-estimate pseudo-count (>= 0)",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="target_enc", smoothing=20.0)
+
+    def setTargetCol(self, v):
+        return self._set(targetCol=v)
+
+    def setSmoothing(self, v):
+        v = float(v)
+        if v < 0:
+            raise ValueError("smoothing must be >= 0")
+        return self._set(smoothing=v)
+
+    def fit(self, df: DataFrame) -> TargetEncoderModel:
+        c = self.getInputCol()
+        t = F.col(self.getOrDefault(self.targetCol)).cast("double")
+        m = self.getOrDefault(self.smoothing)
+        fitted = df.filter(t.isNotNull() & F.col(c).isNotNull())
+        prior_row = fitted.agg(F.avg(t).alias("p")).first()
+        if prior_row["p"] is None:
+            raise ValueError("no non-null (category, target) rows to fit on")
+        prior = float(prior_row["p"])
+        enc = (fitted
+               .groupBy(F.col(c).cast("string").alias("__cat"))
+               .agg(F.sum(t).alias("__sum"), F.count(t).alias("__n"))
+               .select("__cat",
+                       ((F.col("__sum") + F.lit(m * prior))
+                        / (F.col("__n") + F.lit(m))).alias("__enc")))
+        model = TargetEncoderModel(enc.localCheckpoint(eager=True), prior)
+        model._set(inputCol=c, outputCol=self.getOutputCol())
+        return model

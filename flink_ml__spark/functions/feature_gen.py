@@ -408,3 +408,319 @@ class JsonColumnParser(AlgoOperator, HasInputCol):
         for f in StructType.fromDDL(ddl).fieldNames():
             out = out.withColumn(f"{pre}{f}", F.col(f"__j.{f}"))
         return out.drop("__j")
+
+
+class MinMaxScalerModel(Model, _SingleColOutputParams):
+    """Fitted range rescale: maps the input onto
+    ``[featureMin, featureMax]`` via ``(x - min) / (max - min)``.
+    A constant column (max == min) maps every value to the midpoint of
+    the target range, matching the pyspark.ml / Flink ML convention.
+    NULL passes through. Map-only codegen projection — the fitted
+    bounds are folded in as literals."""
+
+    featureMin = Param(Params._dummy(), "featureMin",
+                       "lower bound of the output range",
+                       TypeConverters.toFloat)
+    featureMax = Param(Params._dummy(), "featureMax",
+                       "upper bound of the output range",
+                       TypeConverters.toFloat)
+
+    def __init__(self, lo: float | None = None, hi: float | None = None):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value",
+                         featureMin=0.0, featureMax=1.0)
+        self._lo, self._hi = lo, hi
+
+    def setFeatureMin(self, v):
+        return self._set(featureMin=float(v))
+
+    def setFeatureMax(self, v):
+        return self._set(featureMax=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        fmin = self.getOrDefault(self.featureMin)
+        fmax = self.getOrDefault(self.featureMax)
+        x = F.col(self.getInputCol()).cast("double")
+        if self._hi == self._lo:
+            # degenerate fit: every non-null value is the same — emit
+            # the midpoint (pyspark.ml MinMaxScalerModel's 0.5 rule)
+            expr = F.when(x.isNotNull(), F.lit((fmin + fmax) / 2.0))
+        else:
+            unit = (x - F.lit(self._lo)) / F.lit(self._hi - self._lo)
+            expr = unit * F.lit(fmax - fmin) + F.lit(fmin)
+        return df.withColumn(self.getOutputCol(), expr)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "bounds.json"), "w") as f:
+            json.dump({"lo": self._lo, "hi": self._hi}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "bounds.json")) as f:
+            d = json.load(f)
+        self._lo, self._hi = d["lo"], d["hi"]
+
+
+class MinMaxScaler(Estimator, _SingleColOutputParams):
+    """Min-max range scaling onto ``[featureMin, featureMax]``
+    (default [0, 1]).
+
+    Fit is ONE distributed ``agg(min, max)`` — two partial-merge
+    scalars regardless of input size; the model transform is a
+    map-only projection, so the pair composes into exactly one scan +
+    one map pass at any scale. Contrast pyspark.ml's
+    vector-assembler-based MinMaxScaler, which forces an intermediate
+    vector column; this operates on the raw numeric column.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value")
+
+    def fit(self, df: DataFrame) -> MinMaxScalerModel:
+        x = F.col(self.getInputCol()).cast("double")
+        row = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+        if row["lo"] is None:
+            raise ValueError("no non-null values to fit on")
+        model = MinMaxScalerModel(float(row["lo"]), float(row["hi"]))
+        model._set(inputCol=self.getInputCol(),
+                   outputCol=self.getOutputCol())
+        return model
+
+
+class MaxAbsScalerModel(Model, _SingleColOutputParams):
+    """Fitted ``x / max(|x|)`` rescale onto [-1, 1]; preserves zero
+    (and therefore sparsity) and sign. An all-zero fit divides by 1,
+    leaving the column unchanged (pyspark.ml convention). NULL passes
+    through. Map-only projection."""
+
+    def __init__(self, max_abs: float | None = None):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value")
+        self._max_abs = max_abs
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        x = F.col(self.getInputCol()).cast("double")
+        denom = self._max_abs if self._max_abs else 1.0
+        return df.withColumn(self.getOutputCol(), x / F.lit(denom))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json"), "w") as f:
+            json.dump({"max_abs": self._max_abs}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json")) as f:
+            self._max_abs = json.load(f)["max_abs"]
+
+
+class MaxAbsScaler(Estimator, _SingleColOutputParams):
+    """Max-absolute-value scaling: one ``agg(max(abs(x)))`` fit, one
+    map-only apply. The scaler of choice for already-centered or
+    sparse features, since it never shifts zero."""
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value")
+
+    def fit(self, df: DataFrame) -> MaxAbsScalerModel:
+        x = F.col(self.getInputCol()).cast("double")
+        row = df.agg(F.max(F.abs(x)).alias("m")).first()
+        if row["m"] is None:
+            raise ValueError("no non-null values to fit on")
+        model = MaxAbsScalerModel(float(row["m"]))
+        model._set(inputCol=self.getInputCol(),
+                   outputCol=self.getOutputCol())
+        return model
+
+
+class RobustScalerModel(Model, _SingleColOutputParams):
+    """Fitted ``(x - median) / (q_hi - q_lo)`` rescale — outlier-robust
+    centering and spread (scikit-learn RobustScaler semantics).
+    ``withCentering=False`` skips the median shift;
+    ``withScaling=False`` skips the IQR division. A zero fitted range
+    divides by 1. NULL passes through. Map-only projection."""
+
+    withCentering = Param(Params._dummy(), "withCentering",
+                          "subtract the fitted median",
+                          TypeConverters.toBoolean)
+    withScaling = Param(Params._dummy(), "withScaling",
+                        "divide by the fitted quantile range",
+                        TypeConverters.toBoolean)
+
+    def __init__(self, median: float | None = None,
+                 q_range: float | None = None):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value",
+                         withCentering=True, withScaling=True)
+        self._median, self._range = median, q_range
+
+    def setWithCentering(self, v):
+        return self._set(withCentering=bool(v))
+
+    def setWithScaling(self, v):
+        return self._set(withScaling=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        expr = F.col(self.getInputCol()).cast("double")
+        if self.getOrDefault(self.withCentering):
+            expr = expr - F.lit(self._median)
+        if self.getOrDefault(self.withScaling):
+            expr = expr / F.lit(self._range if self._range else 1.0)
+        return df.withColumn(self.getOutputCol(), expr)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json"), "w") as f:
+            json.dump({"median": self._median, "range": self._range}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json")) as f:
+            d = json.load(f)
+        self._median, self._range = d["median"], d["range"]
+
+
+class RobustScaler(Estimator, _SingleColOutputParams, HasRelativeError):
+    """Quantile-based robust scaling: center on the median, scale by
+    the ``[lowerPct, upperPct]`` quantile range (default IQR,
+    [0.25, 0.75]).
+
+    Fit is ONE aggregate computing all three order statistics from a
+    single percentile evaluation (one sort buffer serves the whole cut
+    list). Exact ``percentile`` by default so the DuckDB oracle can
+    replay the fit verbatim; ``setRelativeError(>0)`` switches to the
+    mergeable Greenwald-Khanna ``approx_percentile`` sketch — the
+    bounded-memory production path for 100 TB high-cardinality
+    columns (see ``HasRelativeError``)."""
+
+    lowerPct = Param(Params._dummy(), "lowerPct",
+                     "lower quantile of the scaling range",
+                     TypeConverters.toFloat)
+    upperPct = Param(Params._dummy(), "upperPct",
+                     "upper quantile of the scaling range",
+                     TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value",
+                         lowerPct=0.25, upperPct=0.75)
+
+    def setLowerPct(self, v):
+        return self._set(lowerPct=float(v))
+
+    def setUpperPct(self, v):
+        return self._set(upperPct=float(v))
+
+    def fit(self, df: DataFrame) -> RobustScalerModel:
+        lo_p = self.getOrDefault(self.lowerPct)
+        hi_p = self.getOrDefault(self.upperPct)
+        if not 0.0 <= lo_p < hi_p <= 1.0:
+            raise ValueError("need 0 <= lowerPct < upperPct <= 1")
+        c = self.getInputCol()
+        row = df.agg(F.expr(
+            self._percentile_sql(c, [lo_p, 0.5, hi_p])).alias("q")).first()
+        if row["q"] is None or row["q"][1] is None:
+            raise ValueError("no non-null values to fit on")
+        lo, med, hi = (float(v) for v in row["q"])
+        model = RobustScalerModel(med, hi - lo)
+        model._set(inputCol=c, outputCol=self.getOutputCol())
+        return model
+
+
+class QuantileDiscretizerModel(Model, _SingleColOutputParams):
+    """Fitted quantile binning: maps a numeric column to an integer
+    bucket index in ``[0, len(edges)]`` via the fitted interior edges
+    (value <= edge[i] → bucket i; above the last edge → the top
+    bucket). NULL → NULL. The edges fold into ONE map-side CASE chain
+    — no join, no shuffle, whole-stage codegen."""
+
+    def __init__(self, edges: list[float] | None = None):
+        super().__init__()
+        self._setDefault(outputCol="bucket")
+        self._edges = edges
+
+    @property
+    def edges(self) -> list[float]:
+        return list(self._edges)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        x = F.col(self.getInputCol()).cast("double")
+        expr = F.when(x.isNull(), F.lit(None).cast("int"))
+        for i, e in enumerate(self._edges):
+            expr = expr.when(x <= F.lit(e), F.lit(i))
+        expr = expr.otherwise(F.lit(len(self._edges)))
+        return df.withColumn(self.getOutputCol(), expr)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "edges.json"), "w") as f:
+            json.dump({"edges": self._edges}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "edges.json")) as f:
+            self._edges = json.load(f)["edges"]
+
+
+class QuantileDiscretizer(Estimator, _SingleColOutputParams,
+                          HasRelativeError):
+    """Equal-frequency binning into ``numBuckets`` buckets — the
+    general form of the corpus-percentile cut ``PerplexityBucketer``
+    applies to LM scores.
+
+    Fit evaluates the ``numBuckets - 1`` interior quantiles in ONE
+    percentile aggregate (a single sort buffer serves the whole cut
+    list), then de-duplicates edges, so heavily-tied columns simply
+    produce fewer buckets (pyspark.ml QuantileDiscretizer semantics).
+    Exact by default for SQL-oracle replay; ``setRelativeError(>0)``
+    is the sketch-backed 100 TB path. The model transform is a folded
+    CASE chain — map-only at any scale."""
+
+    numBuckets = Param(Params._dummy(), "numBuckets",
+                       "number of equal-frequency buckets (>= 2)",
+                       TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="bucket", numBuckets=4)
+
+    def setNumBuckets(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError("numBuckets must be >= 2")
+        return self._set(numBuckets=v)
+
+    def fit(self, df: DataFrame) -> QuantileDiscretizerModel:
+        n = self.getOrDefault(self.numBuckets)
+        pcts = [i / n for i in range(1, n)]
+        c = self.getInputCol()
+        row = df.agg(F.expr(self._percentile_sql(c, pcts)).alias("q")).first()
+        if row["q"] is None or row["q"][0] is None:
+            raise ValueError("no non-null values to fit on")
+        edges: list[float] = []
+        for v in row["q"]:
+            v = float(v)
+            if not edges or v > edges[-1]:
+                edges.append(v)
+        model = QuantileDiscretizerModel(edges)
+        model._set(inputCol=c, outputCol=self.getOutputCol())
+        return model

@@ -5663,6 +5663,151 @@ FROM c, t ORDER BY c.digit
 """
 
 
+def q_minmax_scale_lineitem(spark, sf_dir):
+    """Min-max rescale of l_extendedprice onto [0, 1] — the fitted
+    min/max and the affine map replay verbatim in SQL."""
+    from flink_ml__spark.functions.feature_gen import MinMaxScaler
+
+    li = load_table(spark, "lineitem", sf_dir)
+    model = MinMaxScaler().setInputCol("l_extendedprice").fit(li)
+    return (model.transform(li)
+            .select("l_orderkey", "l_linenumber",
+                    F.round("scaled_value", R).alias("scaled_value")))
+
+
+ORACLE_MINMAX_SCALE = f"""
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice - b.lo) / (b.hi - b.lo), {R})
+         AS scaled_value
+FROM lineitem CROSS JOIN b
+"""
+
+
+def q_maxabs_scale_orders(spark, sf_dir):
+    """Max-abs rescale of o_totalprice onto [-1, 1] — one max(abs)
+    fit, map-only apply, both replayed in SQL."""
+    from flink_ml__spark.functions.feature_gen import MaxAbsScaler
+
+    orders = load_table(spark, "orders", sf_dir)
+    model = MaxAbsScaler().setInputCol("o_totalprice").fit(orders)
+    return (model.transform(orders)
+            .select("o_orderkey",
+                    F.round("scaled_value", R).alias("scaled_value")))
+
+
+ORACLE_MAXABS_SCALE = f"""
+WITH b AS (SELECT max(abs(o_totalprice)) AS m FROM orders)
+SELECT o_orderkey, round(o_totalprice / b.m, {R}) AS scaled_value
+FROM orders CROSS JOIN b
+"""
+
+
+def q_robust_scale_lineitem(spark, sf_dir):
+    """Median/IQR robust scaling of l_quantity — the exact
+    interpolated quantile fit and the affine map replay via
+    quantile_cont."""
+    from flink_ml__spark.functions.feature_gen import RobustScaler
+
+    li = load_table(spark, "lineitem", sf_dir)
+    model = RobustScaler().setInputCol("l_quantity").fit(li)
+    return (model.transform(li)
+            .select("l_orderkey", "l_linenumber",
+                    F.round("scaled_value", R).alias("scaled_value")))
+
+
+ORACLE_ROBUST_SCALE = f"""
+WITH b AS (SELECT quantile_cont(l_quantity, 0.25) AS lo,
+                  quantile_cont(l_quantity, 0.5)  AS med,
+                  quantile_cont(l_quantity, 0.75) AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - b.med)
+             / (CASE WHEN b.hi - b.lo = 0 THEN 1 ELSE b.hi - b.lo END),
+             {R}) AS scaled_value
+FROM lineitem CROSS JOIN b
+"""
+
+
+def q_quantile_bins_orders(spark, sf_dir):
+    """Equal-frequency quartile binning of o_totalprice — the three
+    exact interpolated edges and the folded CASE chain replay in SQL
+    (o_totalprice is continuous, so no edge collapses at this SF)."""
+    from flink_ml__spark.functions.feature_gen import QuantileDiscretizer
+
+    orders = load_table(spark, "orders", sf_dir)
+    model = (QuantileDiscretizer().setInputCol("o_totalprice")
+             .setNumBuckets(4).fit(orders))
+    return model.transform(orders).select("o_orderkey", "bucket")
+
+
+ORACLE_QUANTILE_BINS = """
+WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS e1,
+                  quantile_cont(o_totalprice, 0.50) AS e2,
+                  quantile_cont(o_totalprice, 0.75) AS e3
+           FROM orders)
+SELECT o_orderkey,
+       (CASE WHEN o_totalprice IS NULL THEN NULL
+             WHEN o_totalprice <= b.e1 THEN 0
+             WHEN o_totalprice <= b.e2 THEN 1
+             WHEN o_totalprice <= b.e3 THEN 2
+             ELSE 3 END)::INT AS bucket
+FROM orders CROSS JOIN b
+"""
+
+
+def q_string_index_events(spark, sf_dir):
+    """Frequency-ordered label indexing of event_type — the count
+    ranking (ties alphabetical) and the broadcast lookup replay as a
+    row_number + left join."""
+    from flink_ml__spark.functions.encoding import StringIndexer
+
+    events = load_table(spark, "events", sf_dir)
+    model = StringIndexer().setInputCol("event_type").fit(events)
+    return model.transform(events).select("event_id", "label_index")
+
+
+ORACLE_STRING_INDEX = """
+WITH c AS (SELECT event_type AS l, count(*) AS cnt FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+m AS (SELECT l, (row_number() OVER (ORDER BY cnt DESC, l ASC) - 1)::INT
+             AS idx
+      FROM c),
+v AS (SELECT count(*)::INT AS n FROM m)
+SELECT e.event_id, coalesce(m.idx, v.n) AS label_index
+FROM events e LEFT JOIN m ON e.event_type = m.l CROSS JOIN v
+"""
+
+
+def q_target_encode_orders(spark, sf_dir):
+    """m-estimate smoothed mean-target encoding of o_orderpriority
+    against o_totalprice (smoothing 20) — the per-category moments,
+    the global prior and the shrinkage formula replay exactly."""
+    from flink_ml__spark.functions.encoding import TargetEncoder
+
+    orders = load_table(spark, "orders", sf_dir)
+    model = (TargetEncoder().setInputCol("o_orderpriority")
+             .setTargetCol("o_totalprice").setSmoothing(20.0).fit(orders))
+    return (model.transform(orders)
+            .select("o_orderkey",
+                    F.round("target_enc", R).alias("target_enc")))
+
+
+ORACLE_TARGET_ENCODE = f"""
+WITH f AS (SELECT o_orderpriority AS cat, o_totalprice::DOUBLE AS t
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND o_orderpriority IS NOT NULL),
+p AS (SELECT avg(t) AS prior FROM f),
+e AS (SELECT cat, (sum(t) + 20.0 * p.prior) / (count(*) + 20.0) AS enc
+      FROM f CROSS JOIN p GROUP BY cat, p.prior)
+SELECT o.o_orderkey,
+       round(coalesce(e.enc, p.prior), {R}) AS target_enc
+FROM orders o LEFT JOIN e ON o.o_orderpriority = e.cat CROSS JOIN p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5742,6 +5887,12 @@ QUERIES = {
     "kappa_documents": q_kappa_documents,
     "ab_test_orders": q_ab_test_orders,
     "benford_orders": q_benford_orders,
+    "minmax_scale_lineitem": q_minmax_scale_lineitem,
+    "maxabs_scale_orders": q_maxabs_scale_orders,
+    "robust_scale_lineitem": q_robust_scale_lineitem,
+    "quantile_bins_orders": q_quantile_bins_orders,
+    "string_index_events": q_string_index_events,
+    "target_encode_orders": q_target_encode_orders,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5835,6 +5986,12 @@ ORACLES = {
     "kappa_documents": ORACLE_KAPPA,
     "ab_test_orders": ORACLE_AB_TEST,
     "benford_orders": ORACLE_BENFORD,
+    "minmax_scale_lineitem": ORACLE_MINMAX_SCALE,
+    "maxabs_scale_orders": ORACLE_MAXABS_SCALE,
+    "robust_scale_lineitem": ORACLE_ROBUST_SCALE,
+    "quantile_bins_orders": ORACLE_QUANTILE_BINS,
+    "string_index_events": ORACLE_STRING_INDEX,
+    "target_encode_orders": ORACLE_TARGET_ENCODE,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -1,0 +1,226 @@
+"""Tests for the scaler family and the categorical encoders."""
+
+import math
+
+import pytest
+
+from flink_ml__spark.functions import (
+    MaxAbsScaler,
+    MinMaxScaler,
+    MinMaxScalerModel,
+    QuantileDiscretizer,
+    QuantileDiscretizerModel,
+    RobustScaler,
+    StringIndexer,
+    StringIndexerModel,
+    TargetEncoder,
+    TargetEncoderModel,
+)
+
+ROWS = [
+    ("a", 10.0), ("a", 20.0), ("a", None), ("b", 40.0),
+    ("b", 60.0), ("c", 100.0), (None, 7.0),
+]
+COLS = ["cat", "value"]
+
+
+# ---------------------------------------------------------------- scalers
+
+def test_min_max_scaler(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = MinMaxScaler().setInputCol("value").fit(df)
+    got = {r["cat"]: r["scaled_value"] for r in model.transform(df).collect()}
+    # fit range [7, 100]
+    assert math.isclose(got["c"], 1.0)
+    assert math.isclose(got[None], 0.0)
+    # NULL passes through
+    assert [r["scaled_value"] for r in model.transform(df).collect()
+            if r["value"] is None] == [None]
+
+
+def test_min_max_scaler_custom_range_and_save_load(spark, tmp_path):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], ["value"])
+    model = (MinMaxScaler().setInputCol("value").fit(df)
+             .setFeatureMin(-1.0).setFeatureMax(1.0))
+    vals = [r["scaled_value"] for r in model.transform(df).collect()]
+    assert vals == [-1.0, 0.0, 1.0]
+    p = str(tmp_path / "mm")
+    model.save(p)
+    loaded = MinMaxScalerModel.load(spark, p)
+    vals2 = [r["scaled_value"] for r in loaded.transform(df).collect()]
+    assert vals == vals2
+
+
+def test_min_max_scaler_constant_column_midpoint(spark):
+    df = spark.createDataFrame([(3.0,), (3.0,)], ["value"])
+    model = MinMaxScaler().setInputCol("value").fit(df)
+    assert [r["scaled_value"] for r in model.transform(df).collect()] \
+        == [0.5, 0.5]
+
+
+def test_max_abs_scaler(spark):
+    df = spark.createDataFrame([(-4.0,), (2.0,), (0.0,), (None,)],
+                               ["value"])
+    model = MaxAbsScaler().setInputCol("value").fit(df)
+    vals = [r["scaled_value"] for r in model.transform(df).collect()]
+    assert vals == [-1.0, 0.5, 0.0, None]
+
+
+def test_max_abs_scaler_all_zero_identity(spark):
+    df = spark.createDataFrame([(0.0,), (0.0,)], ["value"])
+    model = MaxAbsScaler().setInputCol("value").fit(df)
+    assert [r["scaled_value"] for r in model.transform(df).collect()] \
+        == [0.0, 0.0]
+
+
+def test_robust_scaler(spark):
+    # values 1..9: median 5, q1 3, q3 7 (exact interpolated)
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)],
+                               ["value"])
+    model = RobustScaler().setInputCol("value").fit(df)
+    got = sorted(r["scaled_value"] for r in model.transform(df).collect())
+    assert math.isclose(got[0], (1 - 5) / 4)
+    assert math.isclose(got[4], 0.0)
+    assert math.isclose(got[-1], 1.0)
+
+
+def test_robust_scaler_toggles_and_approx(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)],
+                               ["value"])
+    m = (RobustScaler().setInputCol("value").fit(df)
+         .setWithScaling(False))
+    got = sorted(r["scaled_value"] for r in m.transform(df).collect())
+    assert math.isclose(got[0], -4.0)  # centered only
+    # approx path agrees on this tiny input
+    ma = (RobustScaler().setInputCol("value").setRelativeError(0.001)
+          .fit(df))
+    exact = RobustScaler().setInputCol("value").fit(df)
+    for a, b in zip(sorted(r["scaled_value"] for r in
+                           ma.transform(df).collect()),
+                    sorted(r["scaled_value"] for r in
+                           exact.transform(df).collect())):
+        assert math.isclose(a, b, abs_tol=0.15)
+
+
+def test_quantile_discretizer(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                               ["value"])
+    model = QuantileDiscretizer().setInputCol("value").setNumBuckets(4) \
+        .fit(df)
+    out = model.transform(df)
+    counts = {r["bucket"]: r["count"]
+              for r in out.groupBy("bucket").count().collect()}
+    # equal-frequency: 4 buckets of ~25 each
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in counts.values())
+
+
+def test_quantile_discretizer_ties_collapse_and_save_load(spark, tmp_path):
+    # heavy ties: one dominant value → duplicate edges collapse
+    df = spark.createDataFrame([(1.0,)] * 95 + [(9.0,)] * 5, ["value"])
+    model = (QuantileDiscretizer().setInputCol("value").setNumBuckets(4)
+             .fit(df))
+    assert len(model.edges) < 3
+    buckets = {r["bucket"] for r in model.transform(df).collect()}
+    assert len(buckets) <= len(model.edges) + 1
+    p = str(tmp_path / "qd")
+    model.save(p)
+    loaded = QuantileDiscretizerModel.load(spark, p)
+    assert loaded.edges == model.edges
+
+
+def test_quantile_discretizer_null_passthrough(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], ["value"])
+    model = QuantileDiscretizer().setInputCol("value").setNumBuckets(2) \
+        .fit(df)
+    rows = model.transform(df).collect()
+    assert [r["bucket"] for r in rows if r["value"] is None] == [None]
+
+
+# --------------------------------------------------------------- encoders
+
+def test_string_indexer_frequency_order(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = StringIndexer().setInputCol("cat").fit(df)
+    # a:3, b:2, c:1 → indexes 0,1,2
+    assert model.labels() == ["a", "b", "c"]
+    got = {r["cat"]: r["label_index"]
+           for r in model.transform(df).collect()}
+    assert (got["a"], got["b"], got["c"]) == (0, 1, 2)
+    # NULL → vocab-size bucket under 'keep' (the default)
+    assert got[None] == 3
+
+
+def test_string_indexer_tie_break_alphabetical(spark):
+    df = spark.createDataFrame([("z",), ("z",), ("a",), ("a",)], ["cat"])
+    model = StringIndexer().setInputCol("cat").fit(df)
+    assert model.labels() == ["a", "z"]
+
+
+def test_string_indexer_null_mode_and_unseen(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = (StringIndexer().setInputCol("cat").setHandleInvalid("null")
+             .fit(df))
+    new = spark.createDataFrame([("a",), ("zz",), (None,)], ["cat"])
+    got = [r["label_index"] for r in model.transform(new).collect()]
+    assert got == [0, None, None]
+
+
+def test_string_indexer_save_load(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = StringIndexer().setInputCol("cat").fit(df)
+    p = str(tmp_path / "si")
+    model.save(p)
+    loaded = StringIndexerModel.load(spark, p)
+    assert loaded.labels() == model.labels()
+
+
+def test_target_encoder_shrinkage(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = (TargetEncoder().setInputCol("cat").setTargetCol("value")
+             .setSmoothing(2.0).fit(df))
+    # fitted rows: a:(10,20) b:(40,60) c:(100,) null-cat excluded
+    prior = (10 + 20 + 40 + 60 + 100) / 5
+    assert math.isclose(model.prior, prior)
+    got = {r["cat"]: r["target_enc"]
+           for r in model.transform(df).collect()}
+    assert math.isclose(got["a"], (30 + 2 * prior) / 4)
+    assert math.isclose(got["b"], (100 + 2 * prior) / 4)
+    assert math.isclose(got["c"], (100 + 2 * prior) / 3)
+    # NULL category → prior fallback
+    assert math.isclose(got[None], prior)
+
+
+def test_target_encoder_unseen_and_save_load(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = (TargetEncoder().setInputCol("cat").setTargetCol("value")
+             .fit(df))
+    new = spark.createDataFrame([("unseen",)], ["cat"])
+    got = model.transform(new).first()["target_enc"]
+    assert math.isclose(got, model.prior)
+    p = str(tmp_path / "te")
+    model.save(p)
+    loaded = TargetEncoderModel.load(spark, p)
+    assert math.isclose(loaded.prior, model.prior)
+    a = {r["cat"]: r["target_enc"] for r in model.transform(df).collect()}
+    b = {r["cat"]: r["target_enc"] for r in loaded.transform(df).collect()}
+    assert a == b
+
+
+def test_target_encoder_zero_smoothing_is_raw_mean(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    model = (TargetEncoder().setInputCol("cat").setTargetCol("value")
+             .setSmoothing(0.0).fit(df))
+    got = {r["cat"]: r["target_enc"]
+           for r in model.transform(df).collect()}
+    assert math.isclose(got["a"], 15.0)
+    assert math.isclose(got["b"], 50.0)
+
+
+def test_bad_params_raise(spark):
+    with pytest.raises(ValueError):
+        QuantileDiscretizer().setNumBuckets(1)
+    with pytest.raises(ValueError):
+        TargetEncoder().setSmoothing(-1)
+    with pytest.raises(ValueError):
+        StringIndexer().setHandleInvalid("bogus")
