@@ -148,6 +148,8 @@ HEADLINE = [
     "quantile_bins_orders",
     "string_index_events",
     "target_encode_orders",
+    "regression_eval_orders",
+    "silhouette_lineitem",
 ]
 
 

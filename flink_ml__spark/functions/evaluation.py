@@ -409,3 +409,173 @@ class AgreementEvaluator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class RegressionEvaluator(AlgoOperator):
+    """Regression-quality metrics in ONE distributed aggregation.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n          bigint   rows with both label and prediction non-null
+        mae        double   mean |err|
+        mse        double   mean err²
+        rmse       double   sqrt(mse)
+        r2         double   1 - SS_res / SS_tot  (NULL when the label
+                            is constant — SS_tot = 0 has no R²)
+        mape       double   mean |err / label| over label <> 0 rows
+        max_error  double   max |err|
+
+    SS_tot uses the one-pass identity ``Σ(y-ȳ)² = Σy² - (Σy)²/n`` so
+    the whole readout is a single scan + single-row reduce at any
+    scale (same shape as the reference's scoring aggregations). No
+    second pass for the label mean, no sort, no UDF.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "ground-truth numeric column", TypeConverters.toString)
+    predictionCol = Param(Params._dummy(), "predictionCol",
+                          "predicted numeric column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label", predictionCol="prediction")
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setPredictionCol(self, v):
+        return self._set(predictionCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        y = F.col(self.getOrDefault(self.labelCol)).cast("double")
+        p = F.col(self.getOrDefault(self.predictionCol)).cast("double")
+        valid = y.isNotNull() & p.isNotNull()
+        err = F.when(valid, p - y)
+        agg = df.agg(
+            F.count(err).alias("n"),
+            F.avg(F.abs(err)).alias("mae"),
+            F.avg(err * err).alias("mse"),
+            F.max(F.abs(err)).alias("max_error"),
+            F.sum(F.when(valid, y)).alias("__sy"),
+            F.sum(F.when(valid, y * y)).alias("__syy"),
+            F.sum(F.when(valid, (p - y) * (p - y))).alias("__ss_res"),
+            F.avg(F.when(valid & (y != 0), F.abs((p - y) / y)))
+             .alias("mape"),
+        )
+        n = F.col("n").cast("double")
+        ss_tot = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+        r2 = F.when(ss_tot > 0, 1.0 - F.col("__ss_res") / ss_tot)
+        return agg.select(
+            "n", "mae", "mse", F.sqrt(F.col("mse")).alias("rmse"),
+            r2.alias("r2"), "mape", "max_error")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class ClusteringEvaluator(AlgoOperator):
+    """Simplified (centroid-based) silhouette — the same family of
+    silhouette pyspark.ml's ClusteringEvaluator computes: per point,
+    ``a`` = euclidean distance to its OWN cluster centroid, ``b`` =
+    distance to the NEAREST other centroid, silhouette =
+    ``(b - a) / max(a, b)`` (0 when both distances are 0, i.e. every
+    centroid sits on the point). Hruschka et al. 2004 show the
+    centroid form tracks the exact all-pairs silhouette at a linear
+    (not quadratic) cost — the only silhouette that exists at 100 TB.
+
+    ``transform(df)`` appends per-point ``a_dist / b_dist /
+    silhouette``; ``evaluate(df)`` returns per-cluster ``n`` + mean
+    silhouette plus an ``__overall__`` row.
+
+    Scale shape: centroids are ONE hash aggregation whose output is
+    k rows (a model artifact); they fold back in as literals, so the
+    per-point pass is a map-only codegen projection — no join, no
+    second shuffle. Expression size is O(k²) from the nearest-other
+    CASE fan-out; guarded at 64 clusters (past that, silhouette of a
+    k>64 clustering is not a per-point literal fold problem anymore —
+    route through a broadcast join instead).
+    """
+
+    featureCols = Param(Params._dummy(), "featureCols",
+                        "numeric feature columns",
+                        TypeConverters.toListString)
+    predictionCol = Param(Params._dummy(), "predictionCol",
+                          "cluster assignment column",
+                          TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "per-point silhouette column",
+                      TypeConverters.toString)
+
+    MAX_CLUSTERS = 64
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(predictionCol="cluster", outputCol="silhouette")
+
+    def setFeatureCols(self, *v):
+        cols = list(v[0]) if len(v) == 1 and not isinstance(v[0], str) else list(v)
+        return self._set(featureCols=cols)
+
+    def setPredictionCol(self, v):
+        return self._set(predictionCol=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def _centroids(self, df: DataFrame):
+        feats = self.getOrDefault(self.featureCols)
+        pred = self.getOrDefault(self.predictionCol)
+        rows = (df.filter(F.col(pred).isNotNull())
+                .groupBy(F.col(pred).cast("string").alias("__c"))
+                .agg(*[F.avg(F.col(c).cast("double")).alias(c)
+                       for c in feats])
+                .collect())
+        if len(rows) < 2:
+            raise ValueError("silhouette needs >= 2 clusters")
+        if len(rows) > self.MAX_CLUSTERS:
+            raise ValueError(
+                f"{len(rows)} clusters > {self.MAX_CLUSTERS}; the "
+                "literal-fold silhouette is for model-sized k")
+        return {r["__c"]: [float(r[c]) for c in feats] for r in rows}
+
+    def _with_distances(self, df: DataFrame, cents: dict):
+        feats = self.getOrDefault(self.featureCols)
+        pred = F.col(self.getOrDefault(self.predictionCol)).cast("string")
+
+        def dist(center):
+            s = F.lit(0.0)
+            for c, m in zip(feats, center):
+                d = F.col(c).cast("double") - F.lit(m)
+                s = s + d * d
+            return F.sqrt(s)
+
+        d_of = {c: dist(m) for c, m in cents.items()}
+        a = F.lit(None).cast("double")
+        b = F.lit(None).cast("double")
+        for c in sorted(d_of):
+            others = [d_of[o] for o in sorted(d_of) if o != c]
+            a = F.when(pred == c, d_of[c]).otherwise(a)
+            b = F.when(pred == c, F.least(*others) if len(others) > 1
+                       else others[0]).otherwise(b)
+        return df.withColumn("a_dist", a).withColumn("b_dist", b)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = self._with_distances(df, self._centroids(df))
+        a, b = F.col("a_dist"), F.col("b_dist")
+        sil = F.when(F.greatest(a, b) > 0,
+                     (b - a) / F.greatest(a, b)).otherwise(
+            F.when(a.isNotNull(), F.lit(0.0)))
+        return out.withColumn(self.getOrDefault(self.outputCol), sil)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        pred = self.getOrDefault(self.predictionCol)
+        oc = self.getOrDefault(self.outputCol)
+        per = self.transform(df).filter(F.col(pred).isNotNull())
+        grp = (per.groupBy(F.col(pred).cast("string").alias("cluster"))
+               .agg(F.count(oc).alias("n"),
+                    F.avg(oc).alias("mean_silhouette")))
+        overall = per.agg(
+            F.lit("__overall__").alias("cluster"),
+            F.count(oc).alias("n"),
+            F.avg(oc).alias("mean_silhouette"))
+        return grp.unionByName(overall)

@@ -5808,6 +5808,102 @@ FROM orders o LEFT JOIN e ON o.o_orderpriority = e.cat CROSS JOIN p
 """
 
 
+def q_regression_eval_orders(spark, sf_dir):
+    """Regression metrics for a per-priority group-mean predictor of
+    o_totalprice — the predictor join, every moment and every metric
+    replay exactly in SQL (single-row output)."""
+    from flink_ml__spark.functions.evaluation import RegressionEvaluator
+
+    orders = load_table(spark, "orders", sf_dir)
+    pred = (orders.groupBy("o_orderpriority")
+            .agg(F.avg("o_totalprice").alias("prediction")))
+    frame = (orders.join(F.broadcast(pred), "o_orderpriority")
+             .select(F.col("o_totalprice").alias("label"), "prediction"))
+    out = RegressionEvaluator().evaluate(frame)
+    return out.select(
+        "n", F.round("mae", R).alias("mae"),
+        F.round("mse", 3).alias("mse"),
+        F.round("rmse", R).alias("rmse"),
+        F.round("r2", R).alias("r2"),
+        F.round("mape", R).alias("mape"),
+        F.round("max_error", R).alias("max_error"))
+
+
+ORACLE_REGRESSION_EVAL = f"""
+WITH p AS (SELECT o_orderpriority, avg(o_totalprice) AS pred
+           FROM orders GROUP BY 1),
+j AS (SELECT o.o_totalprice::DOUBLE AS y, p.pred::DOUBLE AS yhat
+      FROM orders o JOIN p USING (o_orderpriority)),
+a AS (SELECT count(*) AS n,
+             avg(abs(yhat - y)) AS mae,
+             avg((yhat - y) * (yhat - y)) AS mse,
+             max(abs(yhat - y)) AS max_error,
+             sum(y) AS sy, sum(y * y) AS syy,
+             sum((yhat - y) * (yhat - y)) AS ss_res,
+             avg(CASE WHEN y <> 0 THEN abs((yhat - y) / y) END) AS mape
+      FROM j)
+SELECT n, round(mae, {R}) AS mae, round(mse, 3) AS mse,
+       round(sqrt(mse), {R}) AS rmse,
+       round(CASE WHEN syy - sy * sy / n > 0
+                  THEN 1.0 - ss_res / (syy - sy * sy / n) END, {R}) AS r2,
+       round(mape, {R}) AS mape, round(max_error, {R}) AS max_error
+FROM a
+"""
+
+
+def q_silhouette_lineitem(spark, sf_dir):
+    """Centroid-based (simplified) silhouette of the l_returnflag
+    'clustering' over (l_quantity, l_discount) — centroids, both
+    distances, the per-point silhouette and the per-cluster +
+    overall means all replay in SQL."""
+    from flink_ml__spark.functions.evaluation import ClusteringEvaluator
+
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = (ClusteringEvaluator()
+          .setFeatureCols("l_quantity", "l_discount")
+          .setPredictionCol("l_returnflag"))
+    out = ev.evaluate(li)
+    return out.select("cluster", "n",
+                      F.round("mean_silhouette", R)
+                      .alias("mean_silhouette"))
+
+
+ORACLE_SILHOUETTE = f"""
+WITH cent AS (
+  SELECT avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS rx,
+         avg(CASE WHEN l_returnflag = 'R' THEN l_discount END) AS ry,
+         avg(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS ax,
+         avg(CASE WHEN l_returnflag = 'A' THEN l_discount END) AS ay,
+         avg(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS nx,
+         avg(CASE WHEN l_returnflag = 'N' THEN l_discount END) AS ny
+  FROM lineitem),
+d AS (
+  SELECT l_returnflag AS c,
+         sqrt((l_quantity - rx) ^ 2 + (l_discount - ry) ^ 2) AS dr,
+         sqrt((l_quantity - ax) ^ 2 + (l_discount - ay) ^ 2) AS da,
+         sqrt((l_quantity - nx) ^ 2 + (l_discount - ny) ^ 2) AS dn
+  FROM lineitem CROSS JOIN cent),
+ab AS (
+  SELECT c,
+         CASE c WHEN 'R' THEN dr WHEN 'A' THEN da ELSE dn END AS a,
+         CASE c WHEN 'R' THEN least(da, dn)
+                WHEN 'A' THEN least(dr, dn)
+                ELSE least(dr, da) END AS b
+  FROM d),
+sil AS (
+  SELECT c, CASE WHEN greatest(a, b) > 0
+                 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+  FROM ab),
+per AS (SELECT c AS cluster, count(*) AS n, avg(s) AS ms
+        FROM sil GROUP BY 1),
+tot AS (SELECT '__overall__' AS cluster, count(*) AS n, avg(s) AS ms
+        FROM sil)
+SELECT cluster, n, round(ms, {R}) AS mean_silhouette FROM per
+UNION ALL
+SELECT cluster, n, round(ms, {R}) AS mean_silhouette FROM tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5893,6 +5989,8 @@ QUERIES = {
     "quantile_bins_orders": q_quantile_bins_orders,
     "string_index_events": q_string_index_events,
     "target_encode_orders": q_target_encode_orders,
+    "regression_eval_orders": q_regression_eval_orders,
+    "silhouette_lineitem": q_silhouette_lineitem,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -5992,6 +6090,8 @@ ORACLES = {
     "quantile_bins_orders": ORACLE_QUANTILE_BINS,
     "string_index_events": ORACLE_STRING_INDEX,
     "target_encode_orders": ORACLE_TARGET_ENCODE,
+    "regression_eval_orders": ORACLE_REGRESSION_EVAL,
+    "silhouette_lineitem": ORACLE_SILHOUETTE,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -251,3 +251,114 @@ def test_kappa_degenerate(spark):
         [(None, "y"), ("y", None)], "rater_a string, rater_b string")
     r = ev.evaluate(nul).first()
     assert r["n"] == 0 and r["po"] is None and r["kappa"] is None
+
+
+# ------------------------------------------------------------- regression
+
+def test_regression_evaluator_goldens(spark):
+    import math
+
+    from flink_ml__spark.functions.evaluation import RegressionEvaluator
+
+    rows = [(1.0, 2.0), (2.0, 2.0), (4.0, 3.0), (None, 1.0), (5.0, None)]
+    df = spark.createDataFrame(rows, "label double, prediction double")
+    r = RegressionEvaluator().evaluate(df).first()
+    # valid rows: (1,2) (2,2) (4,3) → errs 1, 0, -1
+    assert r["n"] == 3
+    assert math.isclose(r["mae"], 2 / 3)
+    assert math.isclose(r["mse"], 2 / 3)
+    assert math.isclose(r["rmse"], math.sqrt(2 / 3))
+    assert math.isclose(r["max_error"], 1.0)
+    # ybar = 7/3, ss_tot = (1-7/3)^2+(2-7/3)^2+(4-7/3)^2 = 14/3
+    assert math.isclose(r["r2"], 1 - 2 / (14 / 3))
+    assert math.isclose(r["mape"], (1 / 1 + 0 / 2 + 1 / 4) / 3)
+
+
+def test_regression_evaluator_constant_label_r2_null(spark):
+    from flink_ml__spark.functions.evaluation import RegressionEvaluator
+
+    df = spark.createDataFrame([(3.0, 2.0), (3.0, 4.0)],
+                               "label double, prediction double")
+    r = RegressionEvaluator().evaluate(df).first()
+    assert r["r2"] is None
+    assert r["mae"] == 1.0
+
+
+def test_regression_evaluator_zero_label_mape_excluded(spark):
+    import math
+
+    from flink_ml__spark.functions.evaluation import RegressionEvaluator
+
+    df = spark.createDataFrame([(0.0, 1.0), (2.0, 1.0)],
+                               "label double, prediction double")
+    r = RegressionEvaluator().evaluate(df).first()
+    assert math.isclose(r["mape"], 0.5)  # only the label=2 row
+
+
+# ------------------------------------------------------------- silhouette
+
+def test_silhouette_well_separated(spark):
+    import math
+
+    from flink_ml__spark.functions.evaluation import ClusteringEvaluator
+
+    rows = [(0.0, 0.0, "a"), (1.0, 0.0, "a"), (0.0, 1.0, "a"),
+            (10.0, 10.0, "b"), (11.0, 10.0, "b"), (10.0, 11.0, "b")]
+    df = spark.createDataFrame(rows, "x double, y double, cluster string")
+    ev = ClusteringEvaluator().setFeatureCols("x", "y")
+    per = ev.transform(df).collect()
+    assert all(r["silhouette"] > 0.9 for r in per)
+    summary = {r["cluster"]: r for r in ev.evaluate(df).collect()}
+    assert set(summary) == {"a", "b", "__overall__"}
+    assert summary["__overall__"]["n"] == 6
+    assert math.isclose(
+        summary["__overall__"]["mean_silhouette"],
+        sum(r["silhouette"] for r in per) / 6)
+
+
+def test_silhouette_point_on_centroids_zero(spark):
+    from flink_ml__spark.functions.evaluation import ClusteringEvaluator
+
+    # two clusters whose centroids coincide at the origin
+    rows = [(1.0, "a"), (-1.0, "a"), (2.0, "b"), (-2.0, "b"), (0.0, "a")]
+    df = spark.createDataFrame(rows, "x double, cluster string")
+    got = {(r["x"], r["cluster"]): r["silhouette"]
+           for r in (ClusteringEvaluator().setFeatureCols("x")
+                     .transform(df).collect())}
+    # both centroids are at 0 → a == b → silhouette 0 everywhere
+    assert all(v == 0.0 for v in got.values())
+
+
+def test_silhouette_matches_pure_python(spark):
+    import math
+
+    from flink_ml__spark.functions.evaluation import ClusteringEvaluator
+
+    rows = [(float(i % 7), float((i * 3) % 5), str(i % 3))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "x double, y double, cluster string")
+    got = {(r["x"], r["y"], r["cluster"]): r["silhouette"]
+           for r in (ClusteringEvaluator().setFeatureCols("x", "y")
+                     .transform(df).collect())}
+    # pure-python reference
+    from collections import defaultdict
+    pts = defaultdict(list)
+    for x, y, c in rows:
+        pts[c].append((x, y))
+    cents = {c: (sum(p[0] for p in v) / len(v),
+                 sum(p[1] for p in v) / len(v)) for c, v in pts.items()}
+    for x, y, c in rows:
+        a = math.dist((x, y), cents[c])
+        b = min(math.dist((x, y), cents[o]) for o in cents if o != c)
+        want = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        assert math.isclose(got[(x, y, c)], want, abs_tol=1e-9)
+
+
+def test_silhouette_needs_two_clusters(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.evaluation import ClusteringEvaluator
+
+    df = spark.createDataFrame([(1.0, "a")], "x double, cluster string")
+    with _pytest.raises(ValueError):
+        ClusteringEvaluator().setFeatureCols("x").transform(df)
