@@ -150,6 +150,7 @@ HEADLINE = [
     "target_encode_orders",
     "regression_eval_orders",
     "silhouette_lineitem",
+    "kmeans_embeddings_clusters",
 ]
 
 

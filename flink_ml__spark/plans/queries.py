@@ -5904,6 +5904,64 @@ SELECT cluster, n, round(ms, {R}) AS mean_silhouette FROM tot
 """
 
 
+def q_kmeans_embeddings_clusters(spark, sf_dir):
+    """Hard k-means over the embeddings table: per-cluster sizes
+    (rows-only gate — the fit is seeded-iterative like FCM/Canopy;
+    the paired invariants gate below is the hash-checked one)."""
+    from flink_ml__spark.operators.kmeans import KMeans
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = (KMeans().setK(4).setSeed(42).setMaxIter(10)
+             .setFeaturesCol("embedding").fit(emb))
+    return (model.transform(emb)
+            .groupBy("prediction").count().orderBy("prediction"))
+
+
+def q_kmeans_invariants_embeddings(spark, sf_dir):
+    """Hard gate for the seeded-iterative KMeans: emits every point
+    whose model prediction (pure-Catalyst folded-literal argmin) is
+    NOT a nearest final centroid when distances are recomputed through
+    an INDEPENDENT numpy path (Arrow batch, ‖x−c‖² = −2x·C + ‖C‖²
+    matmul — different arithmetic, different code), with a 1e-9
+    near-tie tolerance; plus any prediction outside [0, k). Expected
+    EMPTY; WHERE-false oracle makes this a count/hash-checked row."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_ml__spark.operators.kmeans import KMeans
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = (KMeans().setK(4).setSeed(42).setMaxIter(10)
+             .setFeaturesCol("embedding").fit(emb))
+    out = model.transform(emb).select("vec_id", "embedding", "prediction")
+    C = np.asarray(model.centroids)
+
+    def _excess(embs, preds):
+        X = np.stack(embs.apply(lambda v: np.asarray(v, dtype=float)))
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        own = d[np.arange(len(X)), preds.to_numpy()]
+        return pd.Series(own - d.min(1))
+
+    # real (non-string) hints: the module-level `from __future__ import
+    # annotations` would otherwise stringify them, which pandas_udf
+    # cannot introspect
+    _excess.__annotations__ = {"embs": pd.Series, "preds": pd.Series,
+                               "return": pd.Series}
+    excess = F.pandas_udf(_excess, "double")
+
+    bad = (F.col("prediction") < 0) | (F.col("prediction") >= len(C))
+    return (out.withColumn("__excess", excess("embedding", "prediction"))
+            .filter(bad | (F.col("__excess") > 1e-9))
+            .select("vec_id", "prediction",
+                    F.round("__excess", R).alias("excess")))
+
+
+ORACLE_KMEANS_INVARIANTS = """
+SELECT vec_id::BIGINT AS vec_id, 0::INT AS prediction, 0.0 AS excess
+FROM embeddings WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5991,6 +6049,8 @@ QUERIES = {
     "target_encode_orders": q_target_encode_orders,
     "regression_eval_orders": q_regression_eval_orders,
     "silhouette_lineitem": q_silhouette_lineitem,
+    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
+    "kmeans_invariants_embeddings": q_kmeans_invariants_embeddings,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6092,6 +6152,7 @@ ORACLES = {
     "target_encode_orders": ORACLE_TARGET_ENCODE,
     "regression_eval_orders": ORACLE_REGRESSION_EVAL,
     "silhouette_lineitem": ORACLE_SILHOUETTE,
+    "kmeans_invariants_embeddings": ORACLE_KMEANS_INVARIANTS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,
