@@ -151,6 +151,8 @@ HEADLINE = [
     "regression_eval_orders",
     "silhouette_lineitem",
     "kmeans_embeddings_clusters",
+    "ks_test_events",
+    "mwu_test_events",
 ]
 
 

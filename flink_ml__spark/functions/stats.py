@@ -461,3 +461,166 @@ class BenfordProfiler(AlgoOperator):
                 .withColumn("expected", exp_)
                 .withColumn("chi2_term", chi2)
                 .drop("__total").orderBy("digit"))
+
+
+
+class _BinnedTwoSampleTest(AlgoOperator):
+    """Shared machinery for the binned two-sample tests: one scan
+    fixes the pooled [min, max]; a second scan produces the per-bin
+    conditional counts for both groups (O(numBins) rows); the finisher
+    runs on the collected bin table — O(numBins) driver work, the same
+    shape as the binned AUC. No global sort at any scale; the binning
+    cost is the documented approximation (error bounded by the largest
+    in-bin mass, and EXACT whenever distinct values < bins)."""
+
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "numeric sample column", TypeConverters.toString)
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "group label column", TypeConverters.toString)
+    groupA = Param(Params._dummy(), "groupA",
+                   "label of sample A", TypeConverters.toString)
+    groupB = Param(Params._dummy(), "groupB",
+                   "label of sample B", TypeConverters.toString)
+    numBins = Param(Params._dummy(), "numBins",
+                    "value buckets for the binned statistic",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(valueCol="value", groupCol="group",
+                         groupA="a", groupB="b", numBins=1024)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setGroups(self, a, b):
+        return self._set(groupA=str(a), groupB=str(b))
+
+    def setNumBins(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBins must be >= 2, got {v}")
+        return self._set(numBins=v)
+
+    def _bin_counts(self, df: DataFrame):
+        """[(bin, count_a, count_b)] ascending, plus (n_a, n_b)."""
+        vc = self.getOrDefault(self.valueCol)
+        gc = self.getOrDefault(self.groupCol)
+        ga, gb = self.getOrDefault(self.groupA), self.getOrDefault(self.groupB)
+        bins = self.getOrDefault(self.numBins)
+
+        x = F.col(vc).cast("double")
+        g = F.col(gc).cast("string")
+        d = (df.filter(x.isNotNull() & g.isin([ga, gb]))
+             .select(x.alias("__x"), (g == ga).alias("__a")))
+        lohi = d.agg(F.min("__x").alias("lo"),
+                     F.max("__x").alias("hi")).first()
+        if lohi["lo"] is None:
+            raise ValueError("no non-null values in either sample")
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        span = hi - lo
+        if span <= 0:
+            bucket = F.lit(0)
+        else:
+            bucket = F.least(
+                F.floor((F.col("__x") - F.lit(lo)) / F.lit(span) * bins)
+                .cast("int"), F.lit(bins - 1))
+        hist = (d.groupBy(bucket.alias("__b"))
+                .agg(F.sum(F.col("__a").cast("long")).alias("ca"),
+                     F.sum((~F.col("__a")).cast("long")).alias("cb"))
+                .orderBy("__b").collect())
+        na = sum(r["ca"] for r in hist)
+        nb = sum(r["cb"] for r in hist)
+        return hist, na, nb
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class KolmogorovSmirnovTest(_BinnedTwoSampleTest):
+    """Binned two-sample Kolmogorov-Smirnov test.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_a, n_b    bigint   sample sizes (NULLs / other labels excluded)
+        d_stat      double   max |ECDF_a - ECDF_b| over the bin edges
+        p_value     double   Smirnov asymptotic 2·exp(−2·D²·nₐn_b/(nₐ+n_b))
+                             (clamped to [0, 1]; NULL when a sample is
+                             empty)
+
+    The binned D is the exact D evaluated on the bin-edge grid — a
+    lower bound whose error is at most the largest in-bin probability
+    mass (≤ 1/numBins + skew), and exact when distinct values < bins.
+    """
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        hist, na, nb = self._bin_counts(df)
+        spark = df.sparkSession
+        d_stat, p = None, None
+        if na > 0 and nb > 0:
+            import math
+
+            cum_a = cum_b = 0
+            d_stat = 0.0
+            for r in hist:
+                cum_a += r["ca"]
+                cum_b += r["cb"]
+                d_stat = max(d_stat, abs(cum_a / na - cum_b / nb))
+            ne = na * nb / (na + nb)
+            p = min(1.0, max(0.0, 2.0 * math.exp(-2.0 * d_stat * d_stat * ne)))
+        return spark.createDataFrame(
+            [(int(na), int(nb), d_stat, p)],
+            "n_a bigint, n_b bigint, d_stat double, p_value double")
+
+
+class MannWhitneyUTest(_BinnedTwoSampleTest):
+    """Binned two-sample Mann-Whitney U (Wilcoxon rank-sum) test.
+
+    Values sharing a bin are treated as tied at the bin midrank (the
+    standard tie convention, applied at bin granularity — exact when
+    distinct values < bins). ``evaluate(df)`` returns ONE row::
+
+        n_a, n_b     bigint
+        u_stat       double   U of sample A (pairs won + half-ties)
+        rank_sum_a   double   midrank sum of sample A
+        z_stat       double   tie-corrected normal approximation
+                              (NULL when σ = 0 — e.g. all values in
+                              one bin — or a sample is empty)
+        significant  boolean  |z| > 1.96 (two-sided 5%), false when z
+                              is NULL
+
+    Same two-scan + O(numBins) driver finish as the KS test.
+    """
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        hist, na, nb = self._bin_counts(df)
+        spark = df.sparkSession
+        u = rank_a = z = None
+        if na > 0 and nb > 0:
+            import math
+
+            n = na + nb
+            cum = 0
+            rank_a = 0.0
+            tie_term = 0.0
+            for r in hist:
+                c = r["ca"] + r["cb"]
+                if c == 0:
+                    continue
+                midrank = cum + (c + 1) / 2.0
+                rank_a += r["ca"] * midrank
+                tie_term += c ** 3 - c
+                cum += c
+            u = rank_a - na * (na + 1) / 2.0
+            mu = na * nb / 2.0
+            var = (na * nb / 12.0) * ((n + 1) - tie_term / (n * (n - 1))) \
+                if n > 1 else 0.0
+            z = (u - mu) / math.sqrt(var) if var > 0 else None
+        sig = bool(z is not None and abs(z) > 1.96)
+        return spark.createDataFrame(
+            [(int(na), int(nb), u, rank_a, z, sig)],
+            "n_a bigint, n_b bigint, u_stat double, rank_sum_a double,"
+            " z_stat double, significant boolean")

@@ -5962,6 +5962,95 @@ FROM embeddings WHERE false
 """
 
 
+_TS_BINS_SQL = """
+d AS (SELECT value::DOUBLE AS x, (event_type = 'click') AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+b AS (SELECT min(x) AS lo, max(x) AS hi FROM d),
+h AS (SELECT CASE WHEN hi - lo <= 0 THEN 0
+             ELSE least(floor((x - lo) / (hi - lo) * 1024)::INT, 1023)
+             END AS bin,
+             sum(a::INT)::BIGINT AS ca,
+             sum((NOT a)::INT)::BIGINT AS cb
+      FROM d CROSS JOIN b GROUP BY 1),
+n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h)
+"""
+
+
+def q_ks_test_events(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov: click vs purchase value
+    distributions — the pooled-range binning, both ECDFs, D and the
+    Smirnov p all replay in SQL."""
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (KolmogorovSmirnovTest().setValueCol("value")
+           .setGroupCol("event_type").setGroups("click", "purchase")
+           .evaluate(ev))
+    return out.select("n_a", "n_b",
+                      F.round("d_stat", R).alias("d_stat"),
+                      F.round("p_value", R).alias("p_value"))
+
+
+ORACLE_KS_TEST = f"""
+WITH {_TS_BINS_SQL},
+c AS (SELECT sum(ca) OVER (ORDER BY bin) AS cum_a,
+             sum(cb) OVER (ORDER BY bin) AS cum_b
+      FROM h),
+dd AS (SELECT max(abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb)) AS d
+       FROM c CROSS JOIN n)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(d, {R}) AS d_stat,
+       round(least(1.0, 2.0 * exp(-2.0 * d * d * (na * nb
+             / (na + nb)))), {R}) AS p_value
+FROM dd CROSS JOIN n
+"""
+
+
+def q_mwu_test_events(spark, sf_dir):
+    """Binned Mann-Whitney U (midrank ties at bin granularity): click
+    vs purchase values — the rank sums, U, the tie-corrected normal z
+    and the 5% verdict all replay in SQL."""
+    from flink_ml__spark.functions.stats import MannWhitneyUTest
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (MannWhitneyUTest().setValueCol("value")
+           .setGroupCol("event_type").setGroups("click", "purchase")
+           .evaluate(ev))
+    return out.select("n_a", "n_b",
+                      F.round("u_stat", 2).alias("u_stat"),
+                      F.round("rank_sum_a", 2).alias("rank_sum_a"),
+                      F.round("z_stat", R).alias("z_stat"),
+                      "significant")
+
+
+ORACLE_MWU_TEST = f"""
+WITH {_TS_BINS_SQL},
+c AS (SELECT ca, cb, ca + cb AS cnt,
+             sum(ca + cb) OVER (ORDER BY bin) - (ca + cb) AS before
+      FROM h),
+r AS (SELECT sum(ca * (before + (cnt + 1) / 2.0)) AS rank_a,
+             sum(cnt ^ 3 - cnt) AS tie
+      FROM c),
+s AS (SELECT na, nb, na + nb AS nn, rank_a, tie,
+             rank_a - na * (na + 1) / 2.0 AS u
+      FROM r CROSS JOIN n),
+z AS (SELECT na, nb, u, rank_a,
+             CASE WHEN nn > 1 AND (na * nb / 12.0)
+                       * ((nn + 1) - tie / (nn * (nn - 1.0))) > 0
+                  THEN (u - na * nb / 2.0)
+                       / sqrt((na * nb / 12.0)
+                              * ((nn + 1) - tie / (nn * (nn - 1.0))))
+                  END AS zs
+      FROM s)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(u, 2) AS u_stat, round(rank_a, 2) AS rank_sum_a,
+       round(zs, {R}) AS z_stat,
+       coalesce(abs(zs) > 1.96, false) AS significant
+FROM z
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6051,6 +6140,8 @@ QUERIES = {
     "silhouette_lineitem": q_silhouette_lineitem,
     "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
     "kmeans_invariants_embeddings": q_kmeans_invariants_embeddings,
+    "ks_test_events": q_ks_test_events,
+    "mwu_test_events": q_mwu_test_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6153,6 +6244,8 @@ ORACLES = {
     "regression_eval_orders": ORACLE_REGRESSION_EVAL,
     "silhouette_lineitem": ORACLE_SILHOUETTE,
     "kmeans_invariants_embeddings": ORACLE_KMEANS_INVARIANTS,
+    "ks_test_events": ORACLE_KS_TEST,
+    "mwu_test_events": ORACLE_MWU_TEST,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

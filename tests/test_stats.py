@@ -298,3 +298,107 @@ def test_benford_goldens(spark):
     assert len(rows) == 9
     assert all(r["n"] == 0 and r["observed"] is None
                and r["chi2_term"] is None for r in rows)
+
+
+# ---------------------------------------------------- two-sample tests
+
+def _ts_df(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + \
+           [("b", float(v)) for v in b_vals]
+    return spark.createDataFrame(rows, "group string, value double")
+
+
+def test_ks_exact_when_distinct_lt_bins(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    a = [1, 2, 3, 4, 5, 6]
+    b = [4, 5, 6, 7, 8, 9]
+    r = (KolmogorovSmirnovTest().setNumBins(1024)
+         .evaluate(_ts_df(spark, a, b)).first())
+    assert r["n_a"] == 6 and r["n_b"] == 6
+    # exact two-sample D via pure python ECDFs on the pooled grid
+    grid = sorted(set(a) | set(b))
+    d_exact = max(abs(sum(v <= g for v in a) / 6
+                      - sum(v <= g for v in b) / 6) for g in grid)
+    assert math.isclose(r["d_stat"], d_exact)
+    ne = 36 / 12
+    assert math.isclose(r["p_value"],
+                        min(1.0, 2 * math.exp(-2 * d_exact ** 2 * ne)))
+
+
+def test_ks_identical_samples_d_zero(spark):
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    vals = [1, 2, 3, 4, 5]
+    r = KolmogorovSmirnovTest().evaluate(_ts_df(spark, vals, vals)).first()
+    assert r["d_stat"] == 0.0 and r["p_value"] == 1.0
+
+
+def test_ks_disjoint_samples_d_one(spark):
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    r = (KolmogorovSmirnovTest()
+         .evaluate(_ts_df(spark, [1, 2, 3], [100, 101, 102])).first())
+    assert r["d_stat"] == 1.0
+
+
+def test_ks_other_labels_and_nulls_excluded(spark):
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 99.0), ("a", None)],
+        "group string, value double")
+    r = KolmogorovSmirnovTest().evaluate(df).first()
+    assert r["n_a"] == 1 and r["n_b"] == 1
+
+
+def test_mwu_exact_rank_sum_with_ties(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import MannWhitneyUTest
+
+    a = [1, 2, 2, 5]
+    b = [2, 3, 4, 6]
+    r = (MannWhitneyUTest().setNumBins(1024)
+         .evaluate(_ts_df(spark, a, b)).first())
+    # pooled sorted: 1,2,2,2,3,4,5,6 → ranks 1, (2+3+4)/3=3,3,3, 5,6,7,8
+    want_rank_a = 1 + 3 + 3 + 7
+    assert math.isclose(r["rank_sum_a"], want_rank_a)
+    assert math.isclose(r["u_stat"], want_rank_a - 4 * 5 / 2)
+    # tie-corrected z: n=8, ties: one group of 3
+    n, na, nb = 8, 4, 4
+    tie = 3 ** 3 - 3 + 6 * (1 ** 3 - 1)
+    var = na * nb / 12 * ((n + 1) - (tie) / (n * (n - 1)))
+    mu = na * nb / 2
+    assert math.isclose(r["z_stat"], (r["u_stat"] - mu) / math.sqrt(var))
+    assert r["significant"] is False
+
+
+def test_mwu_strong_shift_significant(spark):
+    from flink_ml__spark.functions.stats import MannWhitneyUTest
+
+    a = list(range(30))
+    b = list(range(100, 130))
+    r = MannWhitneyUTest().evaluate(_ts_df(spark, a, b)).first()
+    assert r["u_stat"] == 0.0  # A never wins
+    assert r["significant"] is True and r["z_stat"] < -1.96
+
+
+def test_mwu_all_one_bin_z_null(spark):
+    from flink_ml__spark.functions.stats import MannWhitneyUTest
+
+    r = (MannWhitneyUTest()
+         .evaluate(_ts_df(spark, [5, 5, 5], [5, 5])).first())
+    assert r["z_stat"] is None and r["significant"] is False
+
+
+def test_two_sample_empty_raises(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    df = spark.createDataFrame([], "group string, value double")
+    with _pytest.raises(ValueError):
+        KolmogorovSmirnovTest().evaluate(df)
