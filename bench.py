@@ -153,6 +153,8 @@ HEADLINE = [
     "kmeans_embeddings_clusters",
     "ks_test_events",
     "mwu_test_events",
+    "anova_events",
+    "ks_window_events",
 ]
 
 

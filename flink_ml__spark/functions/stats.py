@@ -624,3 +624,72 @@ class MannWhitneyUTest(_BinnedTwoSampleTest):
             [(int(na), int(nb), u, rank_a, z, sig)],
             "n_a bigint, n_b bigint, u_stat double, rank_sum_a double,"
             " z_stat double, significant boolean")
+
+
+class AnovaFTest(AlgoOperator):
+    """One-way ANOVA F readout: does a numeric metric's mean differ
+    across the levels of a categorical column?
+
+    ``evaluate(df)`` returns ONE row::
+
+        k_groups     bigint   distinct non-null group labels observed
+        n            bigint   rows with both value and group non-null
+        f_stat       double   MS_between / MS_within (NULL when any
+                              degree of freedom is ≤ 0 or MS_within=0)
+        df_between   bigint   k − 1
+        df_within    bigint   n − k
+        eta_sq       double   SS_between / SS_total effect size
+
+    Scale shape: ONE hash aggregation produces per-group (n, Σy, Σy²)
+    — a group-cardinality-sized table (a model artifact, not data) —
+    and a second 1-row reduce over it assembles the sums of squares
+    via the Σy²−(Σy)²/n identity. No window, no sort, no second data
+    scan.
+    """
+
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "numeric metric column", TypeConverters.toString)
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "categorical factor column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(valueCol="value", groupCol="group")
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        y = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+        per = (df.filter(y.isNotNull() & g.isNotNull())
+               .groupBy(g.alias("__g"))
+               .agg(F.count(y).alias("__n"), F.sum(y).alias("__s"),
+                    F.sum(y * y).alias("__ss")))
+        tot = per.agg(
+            F.count(F.lit(1)).alias("k_groups"),
+            F.sum("__n").alias("n"),
+            F.sum("__s").alias("__sy"),
+            F.sum("__ss").alias("__syy"),
+            # SS_within = Σ_g (Σy²_g − (Σy_g)²/n_g)
+            F.sum(F.col("__ss") - F.col("__s") * F.col("__s")
+                  / F.col("__n")).alias("__ss_w"))
+        n = F.col("n").cast("double")
+        ss_tot = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+        ss_b = ss_tot - F.col("__ss_w")
+        df_b = (F.col("k_groups") - 1).cast("bigint")
+        df_w = (F.col("n") - F.col("k_groups")).cast("bigint")
+        ms_b = F.when(df_b > 0, ss_b / df_b)
+        ms_w = F.when(df_w > 0, F.col("__ss_w") / df_w)
+        f = F.when(ms_w > 0, ms_b / ms_w)
+        eta = F.when(ss_tot > 0, ss_b / ss_tot)
+        return tot.select("k_groups", "n", f.alias("f_stat"),
+                          df_b.alias("df_between"),
+                          df_w.alias("df_within"),
+                          eta.alias("eta_sq"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -6051,6 +6051,106 @@ FROM z
 """
 
 
+def q_anova_events(spark, sf_dir):
+    """One-way ANOVA of event value across event types — per-group
+    moments, both sums of squares, F and η² replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import AnovaFTest
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (AnovaFTest().setValueCol("value").setGroupCol("event_type")
+           .evaluate(ev))
+    return out.select("k_groups", "n",
+                      F.round("f_stat", R).alias("f_stat"),
+                      "df_between", "df_within",
+                      F.round("eta_sq", R).alias("eta_sq"))
+
+
+ORACLE_ANOVA = f"""
+WITH per AS (
+  SELECT event_type AS g, count(value)::BIGINT AS n,
+         sum(value::DOUBLE) AS s, sum(value::DOUBLE ^ 2) AS ss
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1),
+tot AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+         sum(s) AS sy, sum(ss) AS syy,
+         sum(ss - s * s / n) AS ss_w
+  FROM per)
+SELECT k AS k_groups, n,
+       round(CASE WHEN n - k > 0 AND ss_w / (n - k) > 0 AND k > 1
+                  THEN ((syy - sy * sy / n) - ss_w) / (k - 1)
+                       / (ss_w / (n - k)) END, {R}) AS f_stat,
+       k - 1 AS df_between, n - k AS df_within,
+       round(CASE WHEN syy - sy * sy / n > 0
+                  THEN ((syy - sy * sy / n) - ss_w)
+                       / (syy - sy * sy / n) END, {R}) AS eta_sq
+FROM tot
+"""
+
+
+def q_ks_window_events(spark, sf_dir):
+    """Windowed two-sample KS vs the full-table reference with a 1.5×
+    scale planted on every 7th day (same plant as the PSI window gate)
+    — the reference quantile grid (+ max point), the reference ECDF,
+    every window's cumulative counts, D and the Smirnov p all replay
+    in SQL. The SAME code path runs on an unbounded stream
+    (`streaming.stream_ks_monitor`, parity-tested)."""
+    from flink_ml__spark.streaming.online import stream_ks_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    cur = ev.withColumn("value",
+                        F.when(day % 7 == 3, F.col("value") * 1.5)
+                         .otherwise(F.col("value")))
+    out = stream_ks_monitor(cur, "ts", "value", reference=ev,
+                            num_buckets=8, window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "n_rows",
+                      F.round("d_stat", R).alias("d_stat"),
+                      F.round("p_value", R).alias("p_value"))
+
+
+def _oracle_window_ks() -> str:
+    k = 8
+    pcts = ", ".join(repr(i / k) for i in range(1, k))
+    # edge list: the k-1 interior quantiles plus the reference max
+    edges = [f"e[{i}]" for i in range(1, k)] + ["mx"]
+    ref_counts = ", ".join(
+        f"sum((value <= {e})::INT)::BIGINT AS rc{j}"
+        for j, e in enumerate(edges))
+    win_counts = ", ".join(
+        f"sum((v <= {e})::INT)::BIGINT AS wc{j}"
+        for j, e in enumerate(edges))
+    terms = ", ".join(
+        f"abs(wc{j}::DOUBLE / n - rc{j}::DOUBLE / rn)"
+        for j in range(len(edges)))
+    return f"""
+WITH q AS (SELECT quantile_cont(value, [{pcts}]) AS e,
+                  max(value) AS mx, count(value)::BIGINT AS rn
+           FROM events WHERE ts IS NOT NULL),
+ref AS (SELECT {ref_counts} FROM events CROSS JOIN q
+        WHERE ts IS NOT NULL),
+cur AS (SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+          CASE WHEN (epoch_us(ts) // {_DAY_US}) % 7 = 3
+               THEN value * 1.5 ELSE value END AS v
+        FROM events WHERE ts IS NOT NULL),
+w AS (SELECT win_us, count(v)::BIGINT AS n, {win_counts}
+      FROM cur CROSS JOIN q GROUP BY 1),
+d AS (SELECT win_us, n,
+        CASE WHEN n > 0 THEN greatest({terms}) END AS ds
+      FROM w CROSS JOIN ref CROSS JOIN q)
+SELECT win_us, n AS n_rows, round(ds, {R}) AS d_stat,
+       round(least(1.0, 2.0 * exp(-2.0 * ds * ds
+             * (n * (SELECT rn FROM q)
+                / (n + (SELECT rn FROM q))))), {R}) AS p_value
+FROM d
+"""
+
+
+ORACLE_KS_WINDOW = _oracle_window_ks()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6142,6 +6242,8 @@ QUERIES = {
     "kmeans_invariants_embeddings": q_kmeans_invariants_embeddings,
     "ks_test_events": q_ks_test_events,
     "mwu_test_events": q_mwu_test_events,
+    "anova_events": q_anova_events,
+    "ks_window_events": q_ks_window_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6246,6 +6348,8 @@ ORACLES = {
     "kmeans_invariants_embeddings": ORACLE_KMEANS_INVARIANTS,
     "ks_test_events": ORACLE_KS_TEST,
     "mwu_test_events": ORACLE_MWU_TEST,
+    "anova_events": ORACLE_ANOVA,
+    "ks_window_events": ORACLE_KS_WINDOW,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -989,3 +989,71 @@ def stream_rolling_anomaly(stream_df: DataFrame, op) -> DataFrame:
                 fold, outputStructType=out_schema,
                 stateStructType=state_schema, outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_ks_monitor(stream_df: DataFrame, time_col: str,
+                      value_col: str, reference: DataFrame,
+                      num_buckets: int = 32,
+                      window: str = "1 minute",
+                      watermark_delay: str = "0 seconds") -> DataFrame:
+    """Windowed two-sample Kolmogorov-Smirnov drift against a static
+    reference — the distribution-shape twin of ``stream_drift_monitor``
+    (PSI tells you *how much* mass moved between buckets; KS gives a
+    calibrated test statistic with a p-value).
+
+    The reference is summarized ONCE at plan-build time into
+    ``num_buckets - 1`` exact interpolated quantile edges plus the
+    reference ECDF evaluated AT those edges (two bounded jobs on the
+    static side; O(buckets) literals). The stream then needs exactly
+    ONE stateful aggregation: each edge's cumulative count is a
+    conditional sum (``value <= edge``) inside the watermarked windowed
+    groupBy — cumulative BY CONSTRUCTION, no post-hoc prefix pass — and
+    D / the Smirnov p fall out as a pure projection. Evaluating D on
+    the reference-quantile grid bounds the approximation error by the
+    largest in-bucket reference mass (≈ 1/num_buckets).
+
+    Output: ``window_start``, ``window_end``, ``n_rows``, ``d_stat``,
+    ``p_value``. Runs identically on a batch frame — the batch run is
+    the oracle-gated query (``ks_window_events``), the stream run the
+    parity-tested twin.
+    """
+    k = int(num_buckets)
+    if k < 2:
+        raise ValueError("num_buckets must be >= 2")
+    x = F.col(value_col).cast("double")
+    pcts = ", ".join(repr(i / k) for i in range(1, k))
+    row = reference.agg(
+        F.expr(f"percentile({value_col}, array({pcts}))").alias("e"),
+        F.max(x).alias("mx"),
+        F.count(x).alias("n")).first()
+    if row["e"] is None or row["e"][0] is None:
+        raise ValueError("reference has no non-null values")
+    # the reference MAX is appended as a final evaluation point:
+    # F_ref(max) = 1, so a window shifted fully above the reference
+    # range reads D = 1 instead of the interior-grid cap (k-1)/k
+    edges = [float(v) for v in row["e"]] + [float(row["mx"])]
+    ref_row = reference.agg(
+        *[F.sum((x <= F.lit(e)).cast("long")).alias(f"c{j}")
+          for j, e in enumerate(edges)]).first()
+    ref_n = int(row["n"])
+    ref_cdf = [ref_row[f"c{j}"] / ref_n for j in range(len(edges))]
+
+    win = F.window(F.col(time_col), window)
+    src = stream_df
+    if stream_df.isStreaming:
+        src = stream_df.withWatermark(time_col, watermark_delay)
+    agg = (src.groupBy(win.alias("__w"))
+           .agg(F.count(x).alias("n_rows"),
+                *[F.sum((x <= F.lit(e)).cast("long")).alias(f"__c{j}")
+                  for j, e in enumerate(edges)]))
+    n = F.col("n_rows").cast("double")
+    terms = [F.abs(F.col(f"__c{j}") / n - F.lit(ref_cdf[j]))
+             for j in range(len(edges))]
+    d = F.when(F.col("n_rows") > 0,
+               F.greatest(*terms) if len(terms) > 1 else terms[0])
+    ne = n * ref_n / (n + F.lit(float(ref_n)))
+    p = F.when(d.isNotNull(),
+               F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * d * d * ne)))
+    return agg.select(F.col("__w.start").alias("window_start"),
+                      F.col("__w.end").alias("window_end"),
+                      "n_rows", d.alias("d_stat"), p.alias("p_value"))

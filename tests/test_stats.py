@@ -402,3 +402,54 @@ def test_two_sample_empty_raises(spark):
     df = spark.createDataFrame([], "group string, value double")
     with _pytest.raises(ValueError):
         KolmogorovSmirnovTest().evaluate(df)
+
+
+# ----------------------------------------------------------- one-way ANOVA
+
+def test_anova_goldens(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import AnovaFTest
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0),
+            ("c", 7.0), ("c", 8.0), ("c", 9.0),
+            (None, 100.0), ("a", None)]
+    df = spark.createDataFrame(rows, "group string, value double")
+    r = AnovaFTest().evaluate(df).first()
+    assert r["k_groups"] == 3 and r["n"] == 9
+    assert r["df_between"] == 2 and r["df_within"] == 6
+    # group means 2, 5, 8; grand 5; ss_b = 3*(9+0+9)=54; ss_w = 3*2=6
+    f_want = (54 / 2) / (6 / 6)
+    assert math.isclose(r["f_stat"], f_want)
+    assert math.isclose(r["eta_sq"], 54 / 60)
+
+
+def test_anova_identical_groups_f_zero(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import AnovaFTest
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "group string, value double")
+    r = AnovaFTest().evaluate(df).first()
+    assert math.isclose(r["f_stat"], 0.0, abs_tol=1e-12)
+
+
+def test_anova_constant_within_f_null(spark):
+    from flink_ml__spark.functions.stats import AnovaFTest
+
+    # zero within-group variance → MS_within = 0 → F undefined
+    rows = [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "group string, value double")
+    r = AnovaFTest().evaluate(df).first()
+    assert r["f_stat"] is None and r["eta_sq"] == 1.0
+
+
+def test_anova_single_group_dfs(spark):
+    from flink_ml__spark.functions.stats import AnovaFTest
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                               "group string, value double")
+    r = AnovaFTest().evaluate(df).first()
+    assert r["df_between"] == 0 and r["f_stat"] is None

@@ -997,3 +997,80 @@ def test_stream_rolling_anomaly_matches_batch(spark):
         assert got[(2, 10)]["is_anomaly"] is True
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ks_monitor_matches_batch(spark):
+    """Windowed two-sample KS on a stream equals the batch run of the
+    same monitor; the planted out-of-range window shows D near 1."""
+    import shutil
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_ks_monitor
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(200)], "id long, v double")
+    rows = []
+    for i in range(30):
+        ts = datetime(2024, 1, 1, 0, i // 10, 7, tzinfo=timezone.utc)
+        v = float((i * 7) % 20) + (100.0 if i // 10 == 1 else 0.0)
+        rows.append((i, ts, v))
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+
+    batch = {r["window_start"]:
+             (r["n_rows"], round(r["d_stat"], 9), round(r["p_value"], 9))
+             for r in stream_ks_monitor(df, "ts", "v", ref,
+                                        num_buckets=4).collect()}
+    assert len(batch) == 3
+    ordered = [batch[k] for k in sorted(batch)]
+    # shifted minute: every value > all reference values → D = 1 at
+    # the appended reference-max evaluation point
+    assert ordered[1][1] == 1.0
+    assert ordered[0][1] < 1.0 and ordered[2][1] < 1.0
+
+    d = _tf.mkdtemp(prefix="stream_ks_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_ks_monitor(stream, "ts", "v", ref, num_buckets=4)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("ksmon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["window_start"]:
+               (r["n_rows"], round(r["d_stat"], 9), round(r["p_value"], 9))
+               for r in spark.sql("SELECT * FROM ksmon").collect()}
+        assert got
+        for k, v in got.items():
+            assert batch[k] == v
+        open_windows = set(batch) - set(got)
+        assert open_windows <= {max(batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ks_monitor_identical_distribution_small_d(spark):
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_ks_monitor
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double")
+    rows = [(datetime(2024, 1, 1, 0, 0, i, tzinfo=timezone.utc),
+             float(i % 10)) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = stream_ks_monitor(df, "ts", "v", ref, num_buckets=5,
+                          window="10 minutes").first()
+    assert r["d_stat"] < 0.05 and r["p_value"] > 0.9
+
+
+def test_stream_ks_monitor_bad_params(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.streaming import stream_ks_monitor
+
+    df = spark.createDataFrame([], "ts timestamp, v double")
+    with _pytest.raises(ValueError):
+        stream_ks_monitor(df, "ts", "v", df, num_buckets=1)
+    with _pytest.raises(ValueError):
+        stream_ks_monitor(df, "ts", "v", df)
