@@ -224,3 +224,77 @@ def test_bad_params_raise(spark):
         TargetEncoder().setSmoothing(-1)
     with pytest.raises(ValueError):
         StringIndexer().setHandleInvalid("bogus")
+
+
+# ----------------------------------------------- composition / streaming
+
+def test_feature_pipeline_composition_and_save_load(spark, tmp_path):
+    """StringIndexer → TargetEncoder → MinMaxScaler as one Pipeline:
+    fit once, transform anywhere, survive save/load."""
+    from flink_ml__spark.functions import (
+        MinMaxScaler,
+        StringIndexer,
+        TargetEncoder,
+    )
+    from flink_ml__spark.pipeline import Pipeline, PipelineModel
+
+    df = spark.createDataFrame(ROWS, COLS).filter("value IS NOT NULL")
+    pipe = Pipeline([
+        StringIndexer().setInputCol("cat").setOutputCol("cat_idx"),
+        TargetEncoder().setInputCol("cat").setTargetCol("value")
+        .setOutputCol("cat_enc"),
+        MinMaxScaler().setInputCol("value").setOutputCol("value_01"),
+    ])
+    model = pipe.fit(df)
+    out = model.transform(df)
+    assert {"cat_idx", "cat_enc", "value_01"} <= set(out.columns)
+    a = sorted(map(tuple, out.collect()), key=repr)
+    p = str(tmp_path / "featpipe")
+    model.save(p)
+    loaded = PipelineModel.load(spark, p)
+    b = sorted(map(tuple, loaded.transform(df).collect()), key=repr)
+    assert a == b
+
+
+def test_scaler_and_encoder_models_apply_on_streams(spark, tmp_path):
+    """Fitted scaler/indexer/encoder models are map-only or
+    stream-static broadcast joins — they must run unchanged on an
+    unbounded stream and agree with the batch apply row-for-row."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions import (
+        MinMaxScaler,
+        StringIndexer,
+        TargetEncoder,
+    )
+
+    df = spark.createDataFrame(ROWS, COLS)
+    mm = MinMaxScaler().setInputCol("value").setOutputCol("v01").fit(df)
+    si = StringIndexer().setInputCol("cat").setOutputCol("idx").fit(df)
+    te = (TargetEncoder().setInputCol("cat").setTargetCol("value")
+          .setOutputCol("enc").fit(df))
+
+    def chain(frame):
+        return te.transform(si.transform(mm.transform(frame)))
+
+    batch = sorted(
+        ((r["cat"], r["value"], r["v01"], r["idx"], round(r["enc"], 9))
+         for r in chain(df).collect()), key=repr)
+
+    d = _tf.mkdtemp(prefix="enc_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = chain(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("encstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            ((r["cat"], r["value"], r["v01"], r["idx"], round(r["enc"], 9))
+             for r in spark.sql("SELECT * FROM encstream").collect()),
+            key=repr)
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

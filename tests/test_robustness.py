@@ -797,3 +797,79 @@ def test_url_canonicalizer_idempotent(spark, urls):
                  for r in op.transform(again_df).collect()}
         for i, c in twice.items():
             assert c == once[i], (urls[i], once[i], c)
+
+
+# ------------------------------------------------- scaler/encoder properties
+
+@H
+@given(vals=st.lists(finite, min_size=2, max_size=12, unique=True))
+def test_minmax_scaler_properties(spark, vals):
+    from flink_ml__spark.functions import MinMaxScaler
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    model = MinMaxScaler().setInputCol("v").fit(df)
+    got = [(r["v"], r["scaled_value"])
+           for r in model.transform(df).collect()]
+    lo, hi = min(vals), max(vals)
+    for v, s in got:
+        assert -1e-12 <= s <= 1 + 1e-12
+        assert s == pytest.approx((v - lo) / (hi - lo), abs=1e-9)
+    # order preserved
+    by_v = sorted(got)
+    assert all(a[1] <= b[1] + 1e-12 for a, b in zip(by_v, by_v[1:]))
+
+
+@H
+@given(vals=st.lists(finite, min_size=4, max_size=16))
+def test_quantile_discretizer_monotone(spark, vals):
+    from flink_ml__spark.functions import QuantileDiscretizer
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    model = QuantileDiscretizer().setInputCol("v").setNumBuckets(3).fit(df)
+    got = sorted((r["v"], r["bucket"])
+                 for r in model.transform(df).collect())
+    assert all(a[1] <= b[1] for a, b in zip(got, got[1:]))
+    assert all(0 <= b <= 2 for _, b in got)
+
+
+@H
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["x", "y", "z"]), finite),
+    min_size=2, max_size=12))
+def test_target_encoder_matches_numpy(spark, rows):
+    from flink_ml__spark.functions import TargetEncoder
+
+    df = spark.createDataFrame([(c, float(v)) for c, v in rows],
+                               "cat string, value double")
+    m = 5.0
+    model = (TargetEncoder().setInputCol("cat").setTargetCol("value")
+             .setSmoothing(m).fit(df))
+    prior = np.mean([v for _, v in rows])
+    got = {r["cat"]: r["target_enc"] for r in model.transform(df).collect()}
+    for c in {c for c, _ in rows}:
+        vs = [v for cc, v in rows if cc == c]
+        want = (sum(vs) + m * prior) / (len(vs) + m)
+        assert got[c] == pytest.approx(want, abs=1e-6)
+        # shrinkage: between the raw mean and the prior
+        lo, hi = sorted([np.mean(vs), prior])
+        assert lo - 1e-9 <= got[c] <= hi + 1e-9
+
+
+@H
+@given(a=st.lists(finite, min_size=2, max_size=10, unique=True),
+       b=st.lists(finite, min_size=2, max_size=10, unique=True))
+def test_ks_matches_pure_python_exact(spark, a, b):
+    from flink_ml__spark.functions.stats import KolmogorovSmirnovTest
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "group string, value double")
+    r = (KolmogorovSmirnovTest().setNumBins(4096)
+         .evaluate(df).first())
+    grid = sorted(set(a) | set(b))
+    d_exact = max(abs(sum(v <= g for v in a) / len(a)
+                      - sum(v <= g for v in b) / len(b)) for g in grid)
+    # binned D is a grid evaluation: exact when every distinct value
+    # lands in its own bin, which unique floats may not at extreme
+    # ranges — accept a one-bin-mass slack
+    slack = 1 / len(a) + 1 / len(b)
+    assert d_exact - slack - 1e-9 <= r["d_stat"] <= d_exact + 1e-9
