@@ -155,6 +155,7 @@ HEADLINE = [
     "mwu_test_events",
     "anova_events",
     "ks_window_events",
+    "feature_hash_events",
 ]
 
 

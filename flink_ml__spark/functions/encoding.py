@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_ml__spark.base import (
+    AlgoOperator,
     Estimator,
     HasInputCol,
     HasOutputCol,
@@ -224,3 +225,60 @@ class TargetEncoder(Estimator, HasInputCol, HasOutputCol):
         model = TargetEncoderModel(enc.localCheckpoint(eager=True), prior)
         model._set(inputCol=c, outputCol=self.getOutputCol())
         return model
+
+
+class FeatureHasher(AlgoOperator, HasOutputCol):
+    """Hashing-trick categorical encoding (Weinberger et al. 2009):
+    each input column's value maps to a bucket in ``[0, numFeatures)``
+    via a column-salted md5 — no vocabulary, no fit, no state.
+
+    This is the scale regime the broadcast encoders explicitly fence
+    off: when a categorical column's cardinality has degenerated into
+    an id space too big to broadcast (StringIndexer/TargetEncoder
+    docstrings), hash it. Appends ``<col>_hash`` per input column
+    (int; NULL passes through). Pure map-side codegen projection —
+    zero shuffle, zero model, and the salted-md5 primitive is the
+    engine's standard oracle-replayable hash (DuckDB:
+    ``('0x' || substring(md5('fh:<col>:' || v), 1, 15))::BIGINT %
+    numFeatures``). Identical on batch and unbounded streams.
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "categorical columns to hash",
+                      TypeConverters.toListString)
+    numFeatures = Param(Params._dummy(), "numFeatures",
+                        "hash-bucket count (>= 2)",
+                        TypeConverters.toInt)
+    suffix = Param(Params._dummy(), "suffix",
+                   "appended-column name suffix",
+                   TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(numFeatures=1 << 18, suffix="_hash")
+
+    def setInputCols(self, *v):
+        cols = list(v[0]) if len(v) == 1 and not isinstance(v[0], str) \
+            else list(v)
+        return self._set(inputCols=cols)
+
+    def setNumFeatures(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError("numFeatures must be >= 2")
+        return self._set(numFeatures=v)
+
+    def setSuffix(self, v):
+        return self._set(suffix=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        n = self.getOrDefault(self.numFeatures)
+        suf = self.getOrDefault(self.suffix)
+        out = df
+        for c in self.getOrDefault(self.inputCols):
+            s = F.concat(F.lit(f"fh:{c}:"), F.col(c).cast("string"))
+            # first 60 bits of the md5 — exceeds any sane bucket count
+            # while staying inside a signed BIGINT for the SQL replay
+            h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+            out = out.withColumn(f"{c}{suf}", (h % n).cast("int"))
+        return out

@@ -6151,6 +6151,27 @@ FROM d
 ORACLE_KS_WINDOW = _oracle_window_ks()
 
 
+def q_feature_hash_events(spark, sf_dir):
+    """Hashing-trick encoding of event_type and user_id into 4096
+    buckets — the column-salted md5 recipe replays verbatim in SQL."""
+    from flink_ml__spark.functions.encoding import FeatureHasher
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (FeatureHasher().setInputCols("event_type", "user_id")
+           .setNumFeatures(4096).transform(ev))
+    return out.select("event_id", "event_type_hash", "user_id_hash")
+
+
+ORACLE_FEATURE_HASH = """
+SELECT event_id,
+       (('0x' || substring(md5('fh:event_type:' || event_type), 1, 15))
+        ::BIGINT % 4096)::INT AS event_type_hash,
+       (('0x' || substring(md5('fh:user_id:' || user_id), 1, 15))
+        ::BIGINT % 4096)::INT AS user_id_hash
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6244,6 +6265,7 @@ QUERIES = {
     "mwu_test_events": q_mwu_test_events,
     "anova_events": q_anova_events,
     "ks_window_events": q_ks_window_events,
+    "feature_hash_events": q_feature_hash_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6350,6 +6372,7 @@ ORACLES = {
     "mwu_test_events": ORACLE_MWU_TEST,
     "anova_events": ORACLE_ANOVA,
     "ks_window_events": ORACLE_KS_WINDOW,
+    "feature_hash_events": ORACLE_FEATURE_HASH,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

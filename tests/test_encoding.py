@@ -298,3 +298,51 @@ def test_scaler_and_encoder_models_apply_on_streams(spark, tmp_path):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------ hashing trick
+
+def test_feature_hasher_deterministic_and_bounded(spark):
+    from flink_ml__spark.functions import FeatureHasher
+
+    df = spark.createDataFrame(ROWS, COLS)
+    fh = FeatureHasher().setInputCols("cat").setNumFeatures(16)
+    a = [r["cat_hash"] for r in fh.transform(df).collect()]
+    b = [r["cat_hash"] for r in fh.transform(df.repartition(5))
+         .orderBy("value").collect()]
+    assert all(h is None or 0 <= h < 16 for h in a)
+    # same value → same bucket, independent of layout
+    got = {r["cat"]: r["cat_hash"] for r in fh.transform(df).collect()}
+    assert got["a"] is not None and got[None] is None
+    assert sorted(x for x in a if x is not None) == \
+        sorted(x for x in b if x is not None)
+
+
+def test_feature_hasher_salted_per_column(spark):
+    from flink_ml__spark.functions import FeatureHasher
+
+    # same VALUE in two different columns should not collide by
+    # construction (column-salted hash)
+    df = spark.createDataFrame([("k", "k")], ["c1", "c2"])
+    fh = FeatureHasher().setInputCols("c1", "c2").setNumFeatures(1 << 18)
+    r = fh.transform(df).first()
+    assert r["c1_hash"] != r["c2_hash"]
+
+
+def test_feature_hasher_matches_md5_recipe(spark):
+    import hashlib
+
+    from flink_ml__spark.functions import FeatureHasher
+
+    df = spark.createDataFrame([("hello",)], ["cat"])
+    r = (FeatureHasher().setInputCols("cat").setNumFeatures(1000)
+         .transform(df).first())
+    want = int(hashlib.md5(b"fh:cat:hello").hexdigest()[:15], 16) % 1000
+    assert r["cat_hash"] == want
+
+
+def test_feature_hasher_bad_params(spark):
+    with pytest.raises(ValueError):
+        from flink_ml__spark.functions import FeatureHasher
+
+        FeatureHasher().setNumFeatures(1)
