@@ -156,6 +156,8 @@ HEADLINE = [
     "anova_events",
     "ks_window_events",
     "feature_hash_events",
+    "mad_outliers_orders",
+    "transitions_events",
 ]
 
 

@@ -724,3 +724,87 @@ class QuantileDiscretizer(Estimator, _SingleColOutputParams,
         model = QuantileDiscretizerModel(edges)
         model._set(inputCol=c, outputCol=self.getOutputCol())
         return model
+
+
+class MadOutlierModel(Model, _SingleColOutputParams):
+    """Fitted robust z-score flagging: appends ``<outputCol>`` =
+    ``(x − median) / (1.4826 · MAD)`` and ``<outputCol>_outlier`` =
+    |robust z| > threshold. The 1.4826 factor makes MAD a consistent
+    σ estimator under normality (Hampel 1974). A zero MAD (over half
+    the values identical) leaves z NULL and flags only values ≠
+    median. NULL passes through. Map-only folded-literal projection."""
+
+    threshold = Param(Params._dummy(), "threshold",
+                      "|robust z| beyond which a value is an outlier",
+                      TypeConverters.toFloat)
+
+    def __init__(self, median: float | None = None,
+                 mad: float | None = None):
+        super().__init__()
+        self._setDefault(outputCol="robust_z", threshold=3.5)
+        self._median, self._mad = median, mad
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        x = F.col(self.getInputCol()).cast("double")
+        oc = self.getOutputCol()
+        thr = self.getOrDefault(self.threshold)
+        scale = 1.4826 * self._mad if self._mad else 0.0
+        if scale > 0:
+            z = (x - F.lit(self._median)) / F.lit(scale)
+            flag = F.when(x.isNotNull(), F.abs(z) > thr)
+        else:
+            z = F.lit(None).cast("double")
+            flag = F.when(x.isNotNull(), x != F.lit(self._median))
+        return (df.withColumn(oc, z)
+                .withColumn(f"{oc}_outlier", flag))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json"), "w") as f:
+            json.dump({"median": self._median, "mad": self._mad}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "model_data.json")) as f:
+            d = json.load(f)
+        self._median, self._mad = d["median"], d["mad"]
+
+
+class MadOutlierDetector(Estimator, _SingleColOutputParams,
+                         HasRelativeError):
+    """Median/MAD robust outlier detection — the heavy-tail-safe
+    alternative to mean/std z-scores (a single extreme value moves the
+    mean and inflates std, masking itself; the median and the median
+    absolute deviation ignore it).
+
+    Fit is TWO bounded aggregations (median, then median of
+    |x − median| — the second needs the first as a literal); both use
+    exact ``percentile`` by default for SQL-oracle replay and switch
+    to the Greenwald-Khanna sketch via ``setRelativeError(>0)`` at
+    100 TB. The model transform is map-only.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="robust_z")
+
+    def fit(self, df: DataFrame) -> MadOutlierModel:
+        c = self.getInputCol()
+        row = df.agg(F.expr(self._percentile_sql(c, 0.5)).alias("m")).first()
+        if row["m"] is None:
+            raise ValueError("no non-null values to fit on")
+        med = float(row["m"])
+        dev = df.select(F.abs(F.col(c).cast("double") - F.lit(med))
+                        .alias("__d"))
+        row2 = dev.agg(
+            F.expr(self._percentile_sql("__d", 0.5)).alias("m")).first()
+        model = MadOutlierModel(med, float(row2["m"]))
+        model._set(inputCol=c, outputCol=self.getOutputCol())
+        return model

@@ -762,3 +762,63 @@ class ExponentialSmoother(AlgoOperator):
             ordered.rowsBetween(Window.unboundedPreceding, -1))
         return (out.withColumn("forecast", fc)
                 .withColumn("residual", F.col(v) - F.col("forecast")))
+
+
+class TransitionMatrix(AlgoOperator):
+    """First-order Markov transition profile over per-key event
+    sequences: for every observed (state → next_state) pair, the
+    count and the row-normalized transition probability — the standard
+    behavioral-flow readout (what do users do after a click?).
+
+    Semantics: events are ordered by ``timeCol`` WITHIN each
+    ``keyCol`` (ties broken by the state value so the result is
+    layout-independent); the last event of each key has no successor
+    and contributes no pair; NULL states/keys/times are excluded.
+
+    Scale shape: one keyed window (``lead`` over the per-key order —
+    a single shuffle on the key, the engine's sessionizer shape, never
+    a global sort) followed by one hash aggregation whose output is
+    O(states²) — a model-sized table. ``probabilities()`` adds the
+    per-source normalization via a broadcast-sized self-aggregation.
+    """
+
+    keyCol = Param(Params._dummy(), "keyCol", "sequence key column",
+                   TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol", "event-order column",
+                    TypeConverters.toString)
+    stateCol = Param(Params._dummy(), "stateCol", "state label column",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="user_id", timeCol="ts",
+                         stateCol="event_type")
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setStateCol(self, v):
+        return self._set(stateCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        k = F.col(self.getOrDefault(self.keyCol))
+        t = F.col(self.getOrDefault(self.timeCol))
+        s = F.col(self.getOrDefault(self.stateCol)).cast("string")
+        base = (df.filter(k.isNotNull() & t.isNotNull() & s.isNotNull())
+                .select(k.alias("__k"), t.alias("__t"), s.alias("__s")))
+        w = Window.partitionBy("__k").orderBy(F.col("__t").asc(),
+                                              F.col("__s").asc())
+        pairs = (base.withColumn("__next", F.lead("__s").over(w))
+                 .filter(F.col("__next").isNotNull()))
+        counts = (pairs.groupBy(F.col("__s").alias("state"),
+                                F.col("__next").alias("next_state"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        tot = counts.groupBy("state").agg(F.sum("n").alias("__tot"))
+        return (counts.join(F.broadcast(tot), "state")
+                .withColumn("prob", F.col("n") / F.col("__tot"))
+                .drop("__tot"))

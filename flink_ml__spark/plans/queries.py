@@ -6172,6 +6172,63 @@ FROM events
 """
 
 
+def q_mad_outliers_orders(spark, sf_dir):
+    """Median/MAD robust z-scores for order totals — both quantile
+    fits and the scaled flagging replay via quantile_cont."""
+    from flink_ml__spark.functions.feature_gen import MadOutlierDetector
+
+    orders = load_table(spark, "orders", sf_dir)
+    model = MadOutlierDetector().setInputCol("o_totalprice").fit(orders)
+    return (model.transform(orders)
+            .select("o_orderkey",
+                    F.round("robust_z", R).alias("robust_z"),
+                    "robust_z_outlier"))
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+d AS (SELECT quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+      FROM orders CROSS JOIN m)
+SELECT o_orderkey,
+       round((o_totalprice - med) / (1.4826 * mad), {R}) AS robust_z,
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            ELSE abs((o_totalprice - med) / (1.4826 * mad)) > 3.5
+            END AS robust_z_outlier
+FROM orders CROSS JOIN m CROSS JOIN d
+"""
+
+
+def q_transitions_events(spark, sf_dir):
+    """First-order Markov transitions over per-user event sequences —
+    the keyed lead window, the pair counts and the row-normalized
+    probabilities replay exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import TransitionMatrix
+
+    ev = load_table(spark, "events", sf_dir)
+    out = TransitionMatrix().transform(ev)
+    return out.select("state", "next_state", "n",
+                      F.round("prob", R).alias("prob"))
+
+
+ORACLE_TRANSITIONS = f"""
+WITH base AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+p AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS next_state
+  FROM base),
+c AS (SELECT state, next_state, count(*)::BIGINT AS n
+      FROM p WHERE next_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT state, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.state, c.next_state, c.n,
+       round(c.n::DOUBLE / t.tot, {R}) AS prob
+FROM c JOIN t USING (state)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6266,6 +6323,8 @@ QUERIES = {
     "anova_events": q_anova_events,
     "ks_window_events": q_ks_window_events,
     "feature_hash_events": q_feature_hash_events,
+    "mad_outliers_orders": q_mad_outliers_orders,
+    "transitions_events": q_transitions_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6373,6 +6432,8 @@ ORACLES = {
     "anova_events": ORACLE_ANOVA,
     "ks_window_events": ORACLE_KS_WINDOW,
     "feature_hash_events": ORACLE_FEATURE_HASH,
+    "mad_outliers_orders": ORACLE_MAD_OUTLIERS,
+    "transitions_events": ORACLE_TRANSITIONS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

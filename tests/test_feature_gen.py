@@ -179,3 +179,54 @@ def test_winsorizer_approx_percentile_path(spark):
     # linear interpolation so allow one inter-value step of slack
     assert abs(approx._lo - exact._lo) <= 1.0
     assert abs(approx._hi - exact._hi) <= 1.0
+
+
+def test_mad_outlier_detector(spark):
+    import math
+
+    from flink_ml__spark.functions.feature_gen import (
+        MadOutlierDetector,
+        MadOutlierModel,
+    )
+
+    # 1..9 plus a wild outlier; interpolated median 5.5,
+    # MAD = median(|x-5.5|) over [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,
+    # 94.5] = 2.5
+    vals = [float(i) for i in range(1, 10)] + [100.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    model = MadOutlierDetector().setInputCol("v").fit(df)
+    got = {r["v"]: (r["robust_z"], r["robust_z_outlier"])
+           for r in model.transform(df).collect()}
+    scale = 1.4826 * 2.5
+    assert math.isclose(got[100.0][0], 94.5 / scale)
+    assert got[100.0][1] is True
+    assert math.isclose(got[5.0][0], -0.5 / scale)
+    assert got[5.0][1] is False
+    assert got[None] == (None, None)
+    # mean/std z would NOT flag this outlier at 3.5 (it inflates std);
+    # the robust z does — the point of the operator
+    import statistics
+    clean = [v for v in vals if v is not None]
+    classic_z = (100 - statistics.mean(clean)) / statistics.stdev(clean)
+    assert abs(classic_z) < 3.5 < abs(got[100.0][0])
+
+
+def test_mad_outlier_zero_mad_flags_non_median(spark, tmp_path):
+    from flink_ml__spark.functions.feature_gen import (
+        MadOutlierDetector,
+        MadOutlierModel,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,)] * 9 + [(7.0,)], ["v"])
+    model = MadOutlierDetector().setInputCol("v").fit(df)
+    got = {r["v"]: (r["robust_z"], r["robust_z_outlier"])
+           for r in model.transform(df).collect()}
+    assert got[1.0] == (None, False)
+    assert got[7.0] == (None, True)
+    p = str(tmp_path / "mad")
+    model.save(p)
+    loaded = MadOutlierModel.load(spark, p)
+    got2 = {r["v"]: (r["robust_z"], r["robust_z_outlier"])
+            for r in loaded.transform(df).collect()}
+    assert got == got2

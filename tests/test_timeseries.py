@@ -458,3 +458,47 @@ def test_ewma_gate_query(spark):
     assert df.columns == ["event_id", "user_id", "ewma", "forecast",
                           "residual"]
     assert df.count() == 1000
+
+
+def test_transition_matrix_goldens(spark):
+    import math
+    from datetime import datetime
+
+    from flink_ml__spark.functions.timeseries import TransitionMatrix
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, ts(1), "a"), (1, ts(2), "b"), (1, ts(3), "a"),
+        (2, ts(1), "a"), (2, ts(2), "b"),
+        (3, ts(5), "c"),                      # singleton: no pair
+        (4, None, "a"), (None, ts(1), "a"),   # excluded
+        (5, ts(1), None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp,"
+                                     " event_type string")
+    out = {(r["state"], r["next_state"]): (r["n"], r["prob"])
+           for r in TransitionMatrix().transform(df).collect()}
+    # pairs: u1 a->b, b->a; u2 a->b
+    assert out[("a", "b")][0] == 2 and out[("b", "a")][0] == 1
+    assert math.isclose(out[("a", "b")][1], 1.0)  # a always → b
+    assert math.isclose(out[("b", "a")][1], 1.0)
+    assert ("c", "c") not in out and len(out) == 2
+
+
+def test_transition_matrix_tie_break_layout_invariant(spark):
+    from datetime import datetime
+
+    from flink_ml__spark.functions.timeseries import TransitionMatrix
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0, "z"), (1, t0, "a"), (1, t0, "m")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp,"
+                                     " event_type string")
+    a = sorted(map(tuple, TransitionMatrix().transform(df).collect()))
+    b = sorted(map(tuple, TransitionMatrix().transform(
+        df.repartition(7)).collect()))
+    # equal timestamps order by state: a -> m -> z
+    assert [(x[0], x[1]) for x in a] == [("a", "m"), ("m", "z")]
+    assert a == b
