@@ -158,6 +158,8 @@ HEADLINE = [
     "feature_hash_events",
     "mad_outliers_orders",
     "transitions_events",
+    "rare_collapse_documents",
+    "table_profile_orders",
 ]
 
 

@@ -282,3 +282,102 @@ class FeatureHasher(AlgoOperator, HasOutputCol):
             h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
             out = out.withColumn(f"{c}{suf}", (h % n).cast("int"))
         return out
+
+
+class RareCategoryCollapserModel(Model, HasInputCol, HasOutputCol):
+    """Fitted kept-vocabulary collapse: categories outside the kept
+    set map to ``otherLabel``; NULL passes through. Broadcast-join
+    apply (kept vocabulary is the model artifact)."""
+
+    otherLabel = Param(Params._dummy(), "otherLabel",
+                       "replacement label for collapsed categories",
+                       TypeConverters.toString)
+
+    def __init__(self, kept: DataFrame | None = None):
+        super().__init__()
+        self._setDefault(outputCol="collapsed", otherLabel="__other__")
+        self._kept = kept  # column: __label string
+
+    def setOtherLabel(self, v):
+        return self._set(otherLabel=v)
+
+    def kept_labels(self) -> list[str]:
+        return sorted(r["__label"] for r in self._kept.collect())
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c, out = self.getInputCol(), self.getOutputCol()
+        other = self.getOrDefault(self.otherLabel)
+        joined = df.join(
+            F.broadcast(self._kept.withColumn("__kept", F.lit(True))),
+            on=F.col(c).cast("string") == F.col("__label"), how="left")
+        col = F.col(c)
+        return (joined.withColumn(
+            out,
+            F.when(col.isNull(), F.lit(None).cast("string"))
+             .when(F.col("__kept"), col.cast("string"))
+             .otherwise(F.lit(other)))
+            .drop("__label", "__kept"))
+
+    def _save_model_data(self, path: str) -> None:
+        self._kept.coalesce(1).write.mode("overwrite").parquet(
+            path + "/kept.parquet")
+
+    def _load_model_data(self, spark, path: str) -> None:
+        self._kept = spark.read.parquet(path + "/kept.parquet")
+
+
+class RareCategoryCollapser(Estimator, HasInputCol, HasOutputCol):
+    """Long-tail category collapse: keep categories seen at least
+    ``minCount`` times (or, with ``minFraction`` set, at least that
+    share of non-null rows); everything rarer becomes ``__other__``
+    at transform time. The standard cardinality guard in front of
+    one-hot / target encoding and the categorical drift monitor's
+    vocabulary rule, as a fitted, persistable stage.
+
+    Fit = one hash count aggregation filtered to the kept set (model
+    artifact, vocabulary-sized); apply = broadcast join. NULL is never
+    collapsed — it stays NULL (imputation is a different decision).
+    """
+
+    minCount = Param(Params._dummy(), "minCount",
+                     "minimum occurrences to keep a category",
+                     TypeConverters.toInt)
+    minFraction = Param(Params._dummy(), "minFraction",
+                        "minimum share of non-null rows to keep "
+                        "(overrides minCount when > 0)",
+                        TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="collapsed", minCount=2,
+                         minFraction=0.0)
+
+    def setMinCount(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError("minCount must be >= 1")
+        return self._set(minCount=v)
+
+    def setMinFraction(self, v):
+        v = float(v)
+        if not 0.0 <= v < 1.0:
+            raise ValueError("minFraction must be in [0, 1)")
+        return self._set(minFraction=v)
+
+    def fit(self, df: DataFrame) -> RareCategoryCollapserModel:
+        c = self.getInputCol()
+        counts = (df.filter(F.col(c).isNotNull())
+                  .groupBy(F.col(c).cast("string").alias("__label"))
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        frac = self.getOrDefault(self.minFraction)
+        if frac > 0:
+            total = counts.agg(F.sum("__n").alias("t")).first()["t"] or 0
+            floor = frac * total
+            kept = counts.filter(F.col("__n") >= floor)
+        else:
+            kept = counts.filter(
+                F.col("__n") >= self.getOrDefault(self.minCount))
+        model = RareCategoryCollapserModel(
+            kept.select("__label").localCheckpoint(eager=True))
+        model._set(inputCol=c, outputCol=self.getOrDefault(self.outputCol))
+        return model

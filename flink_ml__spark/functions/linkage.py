@@ -489,3 +489,83 @@ class DatasetFingerprint(AlgoOperator):
                 .agg(F.count(F.lit(1)).alias("n_rows"),
                      chk.alias("checksum"),
                      F.count_distinct("__j").alias("n_distinct")))
+
+
+class TableProfiler(AlgoOperator):
+    """One-pass per-column table profile — the first thing a data
+    audit runs on an unfamiliar 100 TB table::
+
+        column        string
+        n             bigint   total rows
+        n_null        bigint
+        null_frac     double
+        n_distinct    bigint   exact, or HLL++ when rsd > 0
+        min_value     string   (stringified; numeric min/max for
+        max_value     string    numeric columns, lexicographic else)
+        mean_value    double   numeric columns only, else NULL
+
+    Scale shape: every statistic for every profiled column folds into
+    ONE scan aggregation (count/sum/min/max/count_distinct are all
+    partial-merge aggregates), producing a single wide row that a
+    bounded ``stack`` projection pivots into O(columns) rows. Exact
+    ``count_distinct`` adds a distinct-expansion cost per column —
+    ``setRsd(>0)`` switches to the mergeable HLL++ sketch, the 100 TB
+    default (same contract as ``DistinctCounter``).
+    """
+
+    columns = Param(Params._dummy(), "columns",
+                    "columns to profile (default: all)",
+                    TypeConverters.toListString)
+    rsd = Param(Params._dummy(), "rsd",
+                "0.0 = exact distinct counts; > 0 = HLL++ at this "
+                "relative standard deviation", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(rsd=0.0)
+
+    def setColumns(self, *v):
+        cols = list(v[0]) if len(v) == 1 and not isinstance(v[0], str) \
+            else list(v)
+        return self._set(columns=cols)
+
+    def setRsd(self, v):
+        v = float(v)
+        if not 0.0 <= v < 1.0:
+            raise ValueError("rsd must be in [0, 1)")
+        return self._set(rsd=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = (self.getOrDefault(self.columns)
+                if self.isDefined(self.columns) else df.columns)
+        rsd = self.getOrDefault(self.rsd)
+        numeric = {f.name for f in df.schema.fields
+                   if isinstance(f.dataType, T.NumericType)}
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            col = F.col(c)
+            aggs += [
+                F.count(F.when(col.isNull(), 1)).alias(f"__null_{c}"),
+                (F.approx_count_distinct(c, rsd) if rsd > 0
+                 else F.count_distinct(col)).alias(f"__dist_{c}"),
+                F.min(col).cast("string").alias(f"__min_{c}"),
+                F.max(col).cast("string").alias(f"__max_{c}"),
+                (F.avg(col.cast("double")) if c in numeric
+                 else F.lit(None).cast("double")).alias(f"__mean_{c}"),
+            ]
+        wide = df.agg(*aggs)
+        stacked = ", ".join(
+            f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c},"
+            f" __mean_{c}" for c in cols)
+        return wide.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column, n_null, n_distinct, min_value, max_value,"
+            " mean_value)"
+        ).select(
+            "column", F.col("__n").alias("n"), "n_null",
+            F.when(F.col("__n") > 0,
+                   F.col("n_null") / F.col("__n")).alias("null_frac"),
+            "n_distinct", "min_value", "max_value", "mean_value")

@@ -6229,6 +6229,68 @@ FROM c JOIN t USING (state)
 """
 
 
+def q_rare_collapse_documents(spark, sf_dir):
+    """Long-tail language collapse at minCount=70 — the kept
+    vocabulary and the collapse rule replay as a HAVING + CASE."""
+    from flink_ml__spark.functions.encoding import RareCategoryCollapser
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = (RareCategoryCollapser().setInputCol("lang")
+             .setMinCount(70).fit(docs))
+    return model.transform(docs).select("doc_id", "collapsed")
+
+
+ORACLE_RARE_COLLAPSE = """
+WITH k AS (SELECT lang FROM documents WHERE lang IS NOT NULL
+           GROUP BY 1 HAVING count(*) >= 70)
+SELECT doc_id,
+       CASE WHEN lang IS NULL THEN NULL
+            WHEN lang IN (SELECT lang FROM k) THEN lang
+            ELSE '__other__' END AS collapsed
+FROM documents
+"""
+
+
+def q_table_profile_orders(spark, sf_dir):
+    """One-pass per-column profile of the orders key/status columns
+    (bigint + varchar only — double/timestamp string casts are
+    engine-specific) — every statistic replays as a per-column
+    UNION ALL."""
+    from flink_ml__spark.functions.linkage import TableProfiler
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = (TableProfiler()
+           .setColumns("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_orderpriority")
+           .transform(orders))
+    return out.select("column", "n", "n_null",
+                      F.round("null_frac", R).alias("null_frac"),
+                      "n_distinct", "min_value", "max_value",
+                      F.round("mean_value", R).alias("mean_value"))
+
+
+def _oracle_table_profile() -> str:
+    def one(c, numeric):
+        mean = (f"round(avg({c}::DOUBLE), {R})" if numeric
+                else "NULL::DOUBLE")
+        return f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+       sum(({c} IS NULL)::INT)::BIGINT AS n_null,
+       round(sum(({c} IS NULL)::INT)::DOUBLE / count(*), {R})
+         AS null_frac,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value,
+       {mean} AS mean_value
+FROM orders"""
+
+    parts = [one("o_orderkey", True), one("o_custkey", True),
+             one("o_orderstatus", False), one("o_orderpriority", False)]
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_TABLE_PROFILE = _oracle_table_profile()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6325,6 +6387,8 @@ QUERIES = {
     "feature_hash_events": q_feature_hash_events,
     "mad_outliers_orders": q_mad_outliers_orders,
     "transitions_events": q_transitions_events,
+    "rare_collapse_documents": q_rare_collapse_documents,
+    "table_profile_orders": q_table_profile_orders,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6434,6 +6498,8 @@ ORACLES = {
     "feature_hash_events": ORACLE_FEATURE_HASH,
     "mad_outliers_orders": ORACLE_MAD_OUTLIERS,
     "transitions_events": ORACLE_TRANSITIONS,
+    "rare_collapse_documents": ORACLE_RARE_COLLAPSE,
+    "table_profile_orders": ORACLE_TABLE_PROFILE,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -346,3 +346,71 @@ def test_feature_hasher_bad_params(spark):
         from flink_ml__spark.functions import FeatureHasher
 
         FeatureHasher().setNumFeatures(1)
+
+
+# -------------------------------------------------------- rare collapse
+
+def test_rare_collapser_min_count(spark):
+    from flink_ml__spark.functions import (
+        RareCategoryCollapser,
+        RareCategoryCollapserModel,
+    )
+
+    df = spark.createDataFrame(ROWS, COLS)
+    model = RareCategoryCollapser().setInputCol("cat").setMinCount(2) \
+        .fit(df)
+    assert model.kept_labels() == ["a", "b"]
+    got = {r["cat"]: r["collapsed"]
+           for r in model.transform(df).collect()}
+    assert got["a"] == "a" and got["b"] == "b"
+    assert got["c"] == "__other__"
+    assert got[None] is None
+
+
+def test_rare_collapser_min_fraction_and_unseen(spark, tmp_path):
+    from flink_ml__spark.functions import (
+        RareCategoryCollapser,
+        RareCategoryCollapserModel,
+    )
+
+    df = spark.createDataFrame(ROWS, COLS)
+    # non-null cats: a×3, b×2, c×1 of 6 → fraction floor 0.4 keeps a
+    model = (RareCategoryCollapser().setInputCol("cat")
+             .setMinFraction(0.4).fit(df))
+    assert model.kept_labels() == ["a"]
+    new = spark.createDataFrame([("zz",)], ["cat"])
+    assert model.transform(new).first()["collapsed"] == "__other__"
+    p = str(tmp_path / "rc")
+    model.save(p)
+    loaded = RareCategoryCollapserModel.load(spark, p)
+    assert loaded.kept_labels() == ["a"]
+
+
+# ------------------------------------------------------------- profiler
+
+def test_table_profiler(spark):
+    import math
+
+    from flink_ml__spark.functions import TableProfiler
+
+    df = spark.createDataFrame(ROWS, COLS)
+    got = {r["column"]: r for r in TableProfiler().transform(df).collect()}
+    assert set(got) == {"cat", "value"}
+    c, v = got["cat"], got["value"]
+    assert c["n"] == 7 and c["n_null"] == 1 and c["n_distinct"] == 3
+    assert math.isclose(c["null_frac"], 1 / 7)
+    assert (c["min_value"], c["max_value"]) == ("a", "c")
+    assert c["mean_value"] is None
+    assert v["n_distinct"] == 6 and v["min_value"] == "7.0"
+    assert math.isclose(v["mean_value"], (10 + 20 + 40 + 60 + 100 + 7) / 6)
+
+
+def test_table_profiler_rsd_and_column_subset(spark):
+    from flink_ml__spark.functions import TableProfiler
+
+    df = spark.createDataFrame(ROWS, COLS)
+    got = (TableProfiler().setColumns("value").setRsd(0.05)
+           .transform(df).collect())
+    assert len(got) == 1 and got[0]["column"] == "value"
+    # HLL++ at 5% rsd on 6 distinct values is exact in practice
+    assert abs(got[0]["n_distinct"] - 6) <= 1
