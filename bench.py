@@ -160,6 +160,8 @@ HEADLINE = [
     "transitions_events",
     "rare_collapse_documents",
     "table_profile_orders",
+    "image_dhash_documents",
+    "image_dup_pairs_documents",
 ]
 
 

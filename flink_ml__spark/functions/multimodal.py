@@ -541,3 +541,99 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
         # no repartition: measured slightly NEGATIVE at sf0.1 (payload
         # shuffle > parallelism gain for this cheap pass)
         return df.mapInPandas(feats, schema)
+
+
+class PerceptualImageHasher(AlgoOperator):
+    """Difference-hash (dHash) perceptual image fingerprinting over a
+    DECODED (height, width, pixels) table — the image-domain twin of
+    the text SimHash family: visually identical / near-identical
+    images land on identical / near-identical 64-bit hashes, so image
+    near-dup reduces to hamming-distance search.
+
+    dHash (Krawetz 2013): nearest-neighbor resize to 8×9 grayscale,
+    bit(i,j) = px[i][j] > px[i][j+1] → 64 bits. Appends
+
+    * ``dhash_hex``            — 16-char hex (row-major, row 0 most
+                                 significant),
+    * ``dhash_b0..dhash_b3``   — the four 16-bit bands (two rows each),
+                                 the LSH keys for banded hamming join.
+
+    ``duplicate_pairs(df, id_col, max_distance)`` returns verified
+    near-dup pairs: candidates from FOUR band equi-joins (a pair within
+    hamming distance ≤ 3 shares at least one intact band by
+    pigeonhole — max_distance > 3 would need wider bands), verified by
+    exact hamming via per-band xor bit_count. Never an all-pairs join.
+
+    Scale shape: hashing is one Arrow ``mapInPandas`` pass (vectorized
+    numpy resize + comparisons); the pair search is a bucketed
+    self-join on uniform 16-bit keys + a map-side verify — the
+    SimHash/MinHash banding shape, output-bound by construction.
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        schema = _passthrough_schema(
+            df, ["dhash_hex string", "dhash_b0 int", "dhash_b1 int",
+                 "dhash_b2 int", "dhash_b3 int"],
+            exclude=("dhash_hex", "dhash_b0", "dhash_b1", "dhash_b2",
+                     "dhash_b3"))
+
+        def hash_batch(batches):
+            for pdf in batches:
+                hexes, bands = [], [[], [], [], []]
+                for _, r in pdf.iterrows():
+                    if r["pixels"] is None:
+                        hexes.append(None)
+                        for b in bands:
+                            b.append(None)
+                        continue
+                    img = np.asarray(r["pixels"]).reshape(
+                        r["height"], r["width"])
+                    yi = (np.arange(8) * r["height"]) // 8
+                    xi = (np.arange(9) * r["width"]) // 9
+                    small = img[np.ix_(yi, xi)]
+                    bits = (small[:, :-1] > small[:, 1:]).ravel()
+                    bvals = []
+                    for k in range(4):
+                        chunk = bits[k * 16:(k + 1) * 16]
+                        bvals.append(int(
+                            sum(int(b) << (15 - i)
+                                for i, b in enumerate(chunk))))
+                    hexes.append("".join(f"{v:04x}" for v in bvals))
+                    for b, v in zip(bands, bvals):
+                        b.append(v)
+                out = pdf.copy()
+                out["dhash_hex"] = hexes
+                for k in range(4):
+                    out[f"dhash_b{k}"] = pd.array(bands[k],
+                                                  dtype="Int32")
+                yield out
+
+        return df.mapInPandas(hash_batch, schema)
+
+    def duplicate_pairs(self, df: DataFrame, id_col: str = "doc_id",
+                        max_distance: int = 2) -> DataFrame:
+        """Verified near-dup pairs (id_a < id_b, hamming ≤
+        max_distance) from a table ALREADY carrying the dhash columns
+        (run ``transform`` first)."""
+        if not 0 <= max_distance <= 3:
+            raise ValueError("max_distance must be in [0, 3] for "
+                             "4-band 64-bit pigeonhole coverage")
+        cols = [id_col, "dhash_b0", "dhash_b1", "dhash_b2", "dhash_b3"]
+        h = df.select(*cols).filter(F.col("dhash_b0").isNotNull())
+        a = h.select(*[F.col(c).alias(f"{c}_a") for c in cols])
+        b = h.select(*[F.col(c).alias(f"{c}_b") for c in cols])
+        cands = None
+        for k in range(4):
+            pair = a.join(
+                b, (F.col(f"dhash_b{k}_a") == F.col(f"dhash_b{k}_b"))
+                & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b")))
+            cands = pair if cands is None else cands.unionByName(pair)
+        cands = cands.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+        ham = sum(
+            F.bit_count(F.col(f"dhash_b{k}_a")
+                        .bitwiseXOR(F.col(f"dhash_b{k}_b")))
+            for k in range(4))
+        return (cands.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_distance)
+                .select(F.col(f"{id_col}_a").alias("id_a"),
+                        F.col(f"{id_col}_b").alias("id_b"), "hamming"))

@@ -2914,10 +2914,10 @@ def q_multimodal_image_stats(spark, sf_dir):
 # The stub codec's keystream lives in the hex-string domain precisely so
 # these oracles exist: block i of a payload is
 # sha256(sha256(payload_text) || ':' || i), bytes read as hex pairs.
-def _fake_bytes_ctes(n_bytes: int) -> str:
+def _fake_bytes_ctes(n_bytes: int, src: str = "documents") -> str:
     n_blocks = (n_bytes + 31) // 32
     return f"""
-fp_seed AS (SELECT doc_id, sha256(text) AS seed FROM documents),
+fp_seed AS (SELECT doc_id, sha256(text) AS seed FROM {src}),
 fp_blk AS (SELECT doc_id, i,
                   sha256(seed || ':' || i::VARCHAR) AS hx
            FROM fp_seed, range(0, {n_blocks}) t(i)),
@@ -6291,6 +6291,111 @@ FROM orders"""
 ORACLE_TABLE_PROFILE = _oracle_table_profile()
 
 
+_DHASH_SRC = """(SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 25 = 0) planted"""
+
+_DHASH_CTES = f"""
+{_fake_bytes_ctes(256, _DHASH_SRC)},
+dh_grid AS (
+  SELECT i, j, (i * 2) * 16 + (j * 16 // 9) AS pos
+  FROM range(0, 8) t(i), range(0, 9) u(j)),
+dh_small AS (
+  SELECT fb.doc_id, g.i, g.j, fb.b
+  FROM fp_byte fb JOIN dh_grid g ON fb.pos = g.pos),
+dh_bits AS (
+  SELECT a.doc_id, a.i, a.j, (a.b > c.b)::INT AS bit
+  FROM dh_small a
+  JOIN dh_small c ON a.doc_id = c.doc_id AND a.i = c.i
+                 AND c.j = a.j + 1
+  WHERE a.j < 8),
+dh_bands AS (
+  SELECT doc_id, (i * 8 + j) // 16 AS k,
+         sum(bit * (1::BIGINT << (15 - ((i * 8 + j) % 16))))::INT AS v
+  FROM dh_bits GROUP BY 1, 2),
+dh AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN v END) AS b0,
+         max(CASE WHEN k = 1 THEN v END) AS b1,
+         max(CASE WHEN k = 2 THEN v END) AS b2,
+         max(CASE WHEN k = 3 THEN v END) AS b3
+  FROM dh_bands GROUP BY doc_id)
+"""
+
+
+def _dhash_payloads(spark, sf_dir):
+    """Document payloads with planted exact duplicates: every 25th doc
+    re-enters under a shifted id with the same bytes, so the pair gate
+    has guaranteed distance-0 structure (the raw corpus has no exact
+    text dups). The oracle plants the identical union."""
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return planted.select("doc_id",
+                          F.encode("text", "UTF-8").alias("payload"))
+
+
+def q_image_dhash_documents(spark, sf_dir):
+    """Perceptual dHash fingerprints of the stub-decoded document
+    payloads — the keystream decode, the 8×9 nearest-neighbor grid,
+    every bit comparison, the band packing and the hex rendering all
+    replay in SQL."""
+    from flink_ml__spark.functions.multimodal import (
+        ImageDecoder,
+        PerceptualImageHasher,
+    )
+
+    decoded = (ImageDecoder().setHeight(16).setWidth(16)
+               .transform(_dhash_payloads(spark, sf_dir)))
+    out = PerceptualImageHasher().transform(decoded)
+    return out.select("doc_id", "dhash_hex", "dhash_b0", "dhash_b1",
+                      "dhash_b2", "dhash_b3")
+
+
+ORACLE_IMAGE_DHASH = f"""
+WITH {_DHASH_CTES}
+SELECT doc_id,
+       format('{{:04x}}', b0) || format('{{:04x}}', b1)
+       || format('{{:04x}}', b2) || format('{{:04x}}', b3) AS dhash_hex,
+       b0 AS dhash_b0, b1 AS dhash_b1, b2 AS dhash_b2, b3 AS dhash_b3
+FROM dh
+"""
+
+
+def q_image_dup_pairs_documents(spark, sf_dir):
+    """Banded-hamming image near-dup pairs at distance ≤ 2 — the
+    corpus's planted duplicate texts stub-decode to identical images,
+    so distance-0 pairs are guaranteed; the band candidate join and
+    the xor bit_count verify replay in SQL."""
+    from flink_ml__spark.functions.multimodal import (
+        ImageDecoder,
+        PerceptualImageHasher,
+    )
+
+    decoded = (ImageDecoder().setHeight(16).setWidth(16)
+               .transform(_dhash_payloads(spark, sf_dir)))
+    hasher = PerceptualImageHasher()
+    hashed = hasher.transform(decoded)
+    return hasher.duplicate_pairs(hashed, "doc_id", max_distance=2)
+
+
+ORACLE_IMAGE_DUP_PAIRS = f"""
+WITH {_DHASH_CTES},
+pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
+          + bit_count(xor(a.b1::BIGINT, b.b1::BIGINT))
+          + bit_count(xor(a.b2::BIGINT, b.b2::BIGINT))
+          + bit_count(xor(a.b3::BIGINT, b.b3::BIGINT)))::INT AS hamming
+  FROM dh a JOIN dh b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+SELECT id_a, id_b, hamming FROM pair WHERE hamming <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6389,6 +6494,8 @@ QUERIES = {
     "transitions_events": q_transitions_events,
     "rare_collapse_documents": q_rare_collapse_documents,
     "table_profile_orders": q_table_profile_orders,
+    "image_dhash_documents": q_image_dhash_documents,
+    "image_dup_pairs_documents": q_image_dup_pairs_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6500,6 +6607,8 @@ ORACLES = {
     "transitions_events": ORACLE_TRANSITIONS,
     "rare_collapse_documents": ORACLE_RARE_COLLAPSE,
     "table_profile_orders": ORACLE_TABLE_PROFILE,
+    "image_dhash_documents": ORACLE_IMAGE_DHASH,
+    "image_dup_pairs_documents": ORACLE_IMAGE_DUP_PAIRS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

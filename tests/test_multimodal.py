@@ -241,3 +241,92 @@ def test_scene_change_detector_custom_columns(spark):
     got = op.transform(frames).orderBy("idx").collect()
     assert [r["is_scene_change"] for r in got] == [True, True]
     assert got[1]["mean_delta"] == 9.0
+
+
+# ------------------------------------------------------- perceptual hash
+
+def _decoded(spark, payloads):
+    from flink_ml__spark.functions.multimodal import ImageDecoder
+
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    return ImageDecoder().setHeight(16).setWidth(16).transform(df)
+
+
+def test_dhash_matches_pure_python(spark):
+    from flink_ml__spark.functions.multimodal import (
+        PerceptualImageHasher,
+        fake_pixels,
+    )
+
+    payloads = [(1, b"hello world"), (2, b"another image"), (3, None)]
+    out = {r["doc_id"]: r for r in
+           PerceptualImageHasher().transform(_decoded(spark, payloads))
+           .collect()}
+
+    import numpy as np
+    for doc_id, payload in payloads[:2]:
+        img = fake_pixels(payload, 16, 16)
+        yi = (np.arange(8) * 16) // 8
+        xi = (np.arange(9) * 16) // 9
+        small = img[np.ix_(yi, xi)]
+        bits = (small[:, :-1] > small[:, 1:]).ravel()
+        bands = [int(sum(int(b) << (15 - i)
+                         for i, b in enumerate(bits[k * 16:(k + 1) * 16])))
+                 for k in range(4)]
+        want_hex = "".join(f"{v:04x}" for v in bands)
+        r = out[doc_id]
+        assert r["dhash_hex"] == want_hex
+        assert [r[f"dhash_b{k}"] for k in range(4)] == bands
+    # NULL payload decodes to the keystream of b"" under the stub —
+    # but a NULL pixels row (real decoder) must map to NULL hash
+    assert out[3]["dhash_hex"] is not None  # stub decodes empty bytes
+
+
+def test_dhash_null_pixels_passthrough(spark):
+    import pandas as pd
+
+    from flink_ml__spark.functions.multimodal import PerceptualImageHasher
+
+    df = spark.createDataFrame(
+        [(1, 16, 16, None)],
+        "doc_id long, height int, width int, pixels array<int>")
+    r = PerceptualImageHasher().transform(df).first()
+    assert r["dhash_hex"] is None and r["dhash_b0"] is None
+
+
+def test_dhash_duplicate_pairs(spark):
+    from flink_ml__spark.functions.multimodal import PerceptualImageHasher
+
+    # 1 and 2 share a payload (exact dup, hamming 0); 3 is different
+    payloads = [(1, b"same bytes"), (2, b"same bytes"), (3, b"other")]
+    hashed = PerceptualImageHasher().transform(_decoded(spark, payloads))
+    pairs = (PerceptualImageHasher()
+             .duplicate_pairs(hashed, "doc_id", max_distance=0)
+             .collect())
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == \
+        [(1, 2, 0)]
+
+
+def test_dhash_near_dup_within_distance(spark):
+    import numpy as np
+
+    from flink_ml__spark.functions.multimodal import PerceptualImageHasher
+
+    # hand-built decoded rows: identical image vs one flipped dhash bit
+    base = np.arange(256).reshape(16, 16) % 191
+    tweaked = base.copy()
+    # flip the comparison at resized cell (0,0)-(0,1): raise one pixel
+    tweaked[0, 0] = 190
+    rows = [(1, 16, 16, base.ravel().tolist()),
+            (2, 16, 16, tweaked.ravel().tolist())]
+    df = spark.createDataFrame(
+        rows, "doc_id long, height int, width int, pixels array<int>")
+    hashed = PerceptualImageHasher().transform(df)
+    pairs = (PerceptualImageHasher()
+             .duplicate_pairs(hashed, "doc_id", max_distance=3)
+             .collect())
+    assert len(pairs) == 1 and pairs[0]["hamming"] <= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PerceptualImageHasher().duplicate_pairs(hashed, "doc_id", 4)
