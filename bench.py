@@ -162,6 +162,7 @@ HEADLINE = [
     "table_profile_orders",
     "image_dhash_documents",
     "image_dup_pairs_documents",
+    "random_projection_embeddings",
 ]
 
 

@@ -1344,3 +1344,76 @@ class IVFPQTopK(AlgoOperator, _SimilarityParams):
             self._centroids = d["centroids"]
             self._anchors = d["anchors"]
             self._codebooks = d["codebooks"]
+
+
+class RandomProjection(AlgoOperator, _SimilarityParams):
+    """Data-independent Johnson-Lindenstrauss dimensionality reduction
+    with an Achlioptas (2003) ±1 sign matrix: output component j is
+    ``Σ_i sign(j, i) · x_i / sqrt(outputDim)``, where the sign is
+    derived from a seeded md5 of (j, i) — no training pass, no model
+    state, and the SAME matrix regenerates from (seed, dims) anywhere
+    (a new session, the SQL oracle, a different cluster).
+
+    The complement of ``EmbeddingPCA``: PCA spends a data pass to find
+    the best k directions; JL projection spends nothing and bounds the
+    distance distortion probabilistically — the right trade when the
+    corpus is 100 TB and the embedding column merely needs to be
+    cheaper downstream (coarse ANN routing, dedup pre-filters,
+    sketches).
+
+    Pure Catalyst: each output component folds its ±1 row in as an
+    array literal and reduces via ``zip_with``/``aggregate`` — a
+    map-only whole-stage-codegen projection, no Python, no shuffle.
+    Appends ``outputCol`` (array<double>, length ``outputDim``);
+    NULL embedding → NULL.
+    """
+
+    outputDim = Param(Params._dummy(), "outputDim",
+                      "projected dimensionality (>= 1)",
+                      TypeConverters.toInt)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "projected column name", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputDim=4, outputCol="projected")
+
+    def setOutputDim(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError("outputDim must be >= 1")
+        return self._set(outputDim=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    @staticmethod
+    def sign(seed: int, j: int, i: int) -> int:
+        """±1 from the first hex nibble of md5('rp:<seed>:<j>:<i>') —
+        the engine-portable deterministic coin (DuckDB replay:
+        ``CASE WHEN ('0x' || substr(md5(...), 1, 1))::INT % 2 = 0
+        THEN 1 ELSE -1 END``)."""
+        import hashlib
+
+        h = hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import math
+
+        from flink_ml__spark.base import array_width
+
+        k = self.getOrDefault(self.outputDim)
+        seed = self.getSeed()
+        arr = as_double_array(df, self.getEmbeddingCol())
+        dims = array_width(df, self.getEmbeddingCol())
+        inv = 1.0 / math.sqrt(k)
+        comps = []
+        for j in range(k):
+            signs = F.array(*[F.lit(float(self.sign(seed, j, i)))
+                              for i in range(dims)])
+            comps.append(F.aggregate(
+                F.zip_with(arr, signs, lambda a, s: a * s),
+                F.lit(0.0), lambda acc, x: acc + x) * F.lit(inv))
+        out = F.when(arr.isNotNull(), F.array(*comps))
+        return df.withColumn(self.getOrDefault(self.outputCol), out)

@@ -6396,6 +6396,41 @@ SELECT id_a, id_b, hamming FROM pair WHERE hamming <= 2
 """
 
 
+def q_random_projection_embeddings(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 projection of the 64-dim embeddings
+    onto 4 dims (seed 42) — the md5-derived Achlioptas sign matrix and
+    every dot product replay exactly in SQL."""
+    from flink_ml__spark.functions.similarity import RandomProjection
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = (RandomProjection().setOutputDim(4).setSeed(42)
+           .transform(emb))
+    p = F.col("projected")
+    return out.select(
+        "vec_id", *[F.round(p[j], R).alias(f"p{j}") for j in range(4)])
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+WITH sg AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substr(
+                md5('rp:42:' || j || ':' || i), 1, 1))::INT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, 4) t(j), range(0, 64) u(i)),
+proj AS (
+  SELECT m.vec_id, sg.j,
+         sum(m.embedding[sg.i + 1]::DOUBLE * sg.s) / sqrt(4) AS v
+  FROM embeddings m CROSS JOIN sg
+  GROUP BY 1, 2)
+SELECT vec_id,
+       round(max(CASE WHEN j = 0 THEN v END), {R}) AS p0,
+       round(max(CASE WHEN j = 1 THEN v END), {R}) AS p1,
+       round(max(CASE WHEN j = 2 THEN v END), {R}) AS p2,
+       round(max(CASE WHEN j = 3 THEN v END), {R}) AS p3
+FROM proj GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6496,6 +6531,7 @@ QUERIES = {
     "table_profile_orders": q_table_profile_orders,
     "image_dhash_documents": q_image_dhash_documents,
     "image_dup_pairs_documents": q_image_dup_pairs_documents,
+    "random_projection_embeddings": q_random_projection_embeddings,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6609,6 +6645,7 @@ ORACLES = {
     "table_profile_orders": ORACLE_TABLE_PROFILE,
     "image_dhash_documents": ORACLE_IMAGE_DHASH,
     "image_dup_pairs_documents": ORACLE_IMAGE_DUP_PAIRS,
+    "random_projection_embeddings": ORACLE_RANDOM_PROJECTION,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -517,3 +517,59 @@ def test_ivfpq_gate_query_empty(spark):
     df = q_ann_ivfpq_topk(spark, "/root/testdata/sf0.001")
     assert df.columns == ["query_id", "n_exact", "n_hit", "recall_at_5"]
     assert df.collect() == []
+
+
+# -------------------------------------------------- random projection (JL)
+
+def test_random_projection_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from flink_ml__spark.functions.similarity import RandomProjection
+
+    rows = [(i, [float((i * 3 + d) % 7) - 3.0 for d in range(6)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    op = RandomProjection().setOutputDim(3).setSeed(11)
+    got = {r["vec_id"]: list(r["projected"])
+           for r in op.transform(df).collect()}
+    P = np.array([[RandomProjection.sign(11, j, i) for i in range(6)]
+                  for j in range(3)], dtype=float)
+    for vid, emb in rows:
+        want = (P @ np.array(emb)) / math.sqrt(3)
+        assert np.allclose(got[vid], want, atol=1e-9)
+
+
+def test_random_projection_norm_preservation_in_expectation(spark):
+    import numpy as np
+
+    from flink_ml__spark.functions.similarity import RandomProjection
+
+    # JL with +-1 signs preserves squared norms in expectation;
+    # averaged over many vectors the ratio concentrates near 1
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (RandomProjection().setOutputDim(8).setSeed(3)
+           .transform(df).collect())
+    ratios = []
+    for r in out:
+        x = np.array(rows[r["vec_id"]][1])
+        p = np.array(r["projected"])
+        ratios.append((p @ p) / (x @ x))
+    assert 0.8 < float(np.mean(ratios)) < 1.2
+
+
+def test_random_projection_null_and_plan(spark):
+    from flink_ml__spark.functions.similarity import RandomProjection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    op = RandomProjection().setOutputDim(2).setSeed(1)
+    out = op.transform(df)
+    got = {r["vec_id"]: r["projected"] for r in out.collect()}
+    assert got[2] is None and len(got[1]) == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
