@@ -163,6 +163,7 @@ HEADLINE = [
     "image_dhash_documents",
     "image_dup_pairs_documents",
     "random_projection_embeddings",
+    "ohlc_events",
 ]
 
 

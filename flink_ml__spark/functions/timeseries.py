@@ -822,3 +822,80 @@ class TransitionMatrix(AlgoOperator):
         return (counts.join(F.broadcast(tot), "state")
                 .withColumn("prob", F.col("n") / F.col("__tot"))
                 .drop("__tot"))
+
+
+class OhlcRollup(AlgoOperator):
+    """Per-key fixed-width OHLC (open/high/low/close) time-bucket
+    rollup — the candlestick shape every metrics/financial downsampler
+    needs, and the piece ``TimeBucketRollup`` (sum/avg) doesn't cover
+    because open/close are ORDER statistics, not algebraic aggregates.
+
+    One row per observed (key, bucket)::
+
+        <keyCol>, bucket_start,
+        open   first value by (time, value) in the bucket
+        high   max value
+        low    min value
+        close  last value by (time, value)
+        n_events
+
+    Open/close order by ``(timeCol, valueCol)`` — the value tie-break
+    makes equal-timestamp buckets deterministic under any partitioning
+    (same contract as ``TransitionMatrix``). NULL values/times/keys
+    are excluded.
+
+    100 TB shape: ONE ``groupBy(key, bucket)`` aggregation; open and
+    close ride the same hash aggregate as ``min_by``/``max_by`` over a
+    (time, value) struct — no per-bucket window, no row sort, map-side
+    partial merge like any min/max.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "numeric metric column",
+                     TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "bucket width in seconds",
+                           TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", keyCol="event_type",
+                         valueCol="value", bucketWidthSec=3600.0)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setBucketWidthSec(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError("bucketWidthSec must be > 0")
+        return self._set(bucketWidthSec=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = F.col(self.getOrDefault(self.keyCol))
+        t = F.col(self.getOrDefault(self.timeCol))
+        v = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        w_us = int(self.getOrDefault(self.bucketWidthSec) * 1_000_000)
+        base = (df.filter(k.isNotNull() & t.isNotNull() & v.isNotNull())
+                .select(k.alias("__k"), v.alias("__v"),
+                        F.unix_micros(t).alias("__us")))
+        bucket = F.timestamp_micros(
+            (F.col("__us") - (F.col("__us") % w_us)).cast("bigint"))
+        order = F.struct(F.col("__us"), F.col("__v"))
+        return (base
+                .groupBy(F.col("__k").alias(self.getOrDefault(self.keyCol)),
+                         bucket.alias("bucket_start"))
+                .agg(F.min_by("__v", order).alias("open"),
+                     F.max("__v").alias("high"),
+                     F.min("__v").alias("low"),
+                     F.max_by("__v", order).alias("close"),
+                     F.count(F.lit(1)).alias("n_events")))

@@ -6431,6 +6431,44 @@ FROM proj GROUP BY vec_id
 """
 
 
+def q_ohlc_events(spark, sf_dir):
+    """Per-type daily OHLC candles over event values — the bucket
+    arithmetic, the (time, value)-ordered open/close and the extrema
+    replay exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import OhlcRollup
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (OhlcRollup().setBucketWidthSec(86400.0).transform(ev))
+    return out.select("event_type",
+                      F.unix_micros("bucket_start").alias("bucket_us"),
+                      F.round("open", R).alias("open"),
+                      F.round("high", R).alias("high"),
+                      F.round("low", R).alias("low"),
+                      F.round("close", R).alias("close"),
+                      "n_events")
+
+
+ORACLE_OHLC = f"""
+WITH base AS (
+  SELECT event_type AS k, value::DOUBLE AS v, epoch_us(ts) AS us
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+b AS (SELECT k, us - us % {_DAY_US} AS bs, v, us FROM base),
+r AS (SELECT k, bs, v,
+        row_number() OVER (PARTITION BY k, bs ORDER BY us, v) AS ra,
+        row_number() OVER (PARTITION BY k, bs ORDER BY us DESC, v DESC)
+          AS rd
+      FROM b)
+SELECT k AS event_type, bs AS bucket_us,
+       round(max(CASE WHEN ra = 1 THEN v END), {R}) AS open,
+       round(max(v), {R}) AS high, round(min(v), {R}) AS low,
+       round(max(CASE WHEN rd = 1 THEN v END), {R}) AS close,
+       count(*)::BIGINT AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6532,6 +6570,7 @@ QUERIES = {
     "image_dhash_documents": q_image_dhash_documents,
     "image_dup_pairs_documents": q_image_dup_pairs_documents,
     "random_projection_embeddings": q_random_projection_embeddings,
+    "ohlc_events": q_ohlc_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6646,6 +6685,7 @@ ORACLES = {
     "image_dhash_documents": ORACLE_IMAGE_DHASH,
     "image_dup_pairs_documents": ORACLE_IMAGE_DUP_PAIRS,
     "random_projection_embeddings": ORACLE_RANDOM_PROJECTION,
+    "ohlc_events": ORACLE_OHLC,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -502,3 +502,59 @@ def test_transition_matrix_tie_break_layout_invariant(spark):
     # equal timestamps order by state: a -> m -> z
     assert [(x[0], x[1]) for x in a] == [("a", "m"), ("m", "z")]
     assert a == b
+
+
+def test_ohlc_rollup_goldens(spark):
+    from datetime import datetime
+
+    from flink_ml__spark.functions.timeseries import OhlcRollup
+
+    def ts(m, s=0):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    rows = [
+        ("a", ts(0, 5), 10.0), ("a", ts(0, 20), 3.0),
+        ("a", ts(0, 50), 7.0),
+        ("a", ts(1, 10), 4.0),                    # next bucket
+        ("b", ts(0, 30), 1.0),
+        ("a", None, 99.0), (None, ts(0, 1), 99.0),
+        ("a", ts(0, 2), None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp,"
+                                     " value double")
+    out = {(r["event_type"], r["bucket_start"].minute): r
+           for r in (OhlcRollup().setBucketWidthSec(60.0)
+                     .transform(df).collect())}
+    a0 = out[("a", 0)]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"],
+            a0["n_events"]) == (10.0, 10.0, 3.0, 7.0, 3)
+    a1 = out[("a", 1)]
+    assert (a1["open"], a1["close"]) == (4.0, 4.0)
+    assert out[("b", 0)]["n_events"] == 1
+    assert len(out) == 3
+
+
+def test_ohlc_equal_timestamps_deterministic(spark):
+    from datetime import datetime
+
+    from flink_ml__spark.functions.timeseries import OhlcRollup
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0, 5.0), ("a", t0, 1.0), ("a", t0, 9.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp,"
+                                     " value double")
+    for reps in (1, 7):
+        r = (OhlcRollup().setBucketWidthSec(60.0)
+             .transform(df.repartition(reps)).first())
+        # ties order by (ts, value): open = smallest value, close =
+        # largest value at the shared timestamp
+        assert (r["open"], r["close"]) == (1.0, 9.0)
+
+
+def test_ohlc_bad_width(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.timeseries import OhlcRollup
+
+    with _pytest.raises(ValueError):
+        OhlcRollup().setBucketWidthSec(0)
