@@ -164,6 +164,7 @@ HEADLINE = [
     "image_dup_pairs_documents",
     "random_projection_embeddings",
     "ohlc_events",
+    "isotonic_invariants_documents",
 ]
 
 

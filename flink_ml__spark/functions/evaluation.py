@@ -579,3 +579,145 @@ class ClusteringEvaluator(AlgoOperator):
             F.count(oc).alias("n"),
             F.avg(oc).alias("mean_silhouette"))
         return grp.unionByName(overall)
+
+
+class IsotonicCalibratorModel(AlgoOperator):
+    """Fitted isotonic (monotone step) calibration map: score s →
+    the calibrated probability of the LAST step whose lower edge is
+    ≤ s. The steps fold in as one CASE chain — map-only codegen, no
+    join (segment count is bounded by the fit's bin count)."""
+
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "score column in [0, 1]", TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "calibrated-probability column",
+                      TypeConverters.toString)
+
+    def __init__(self, boundaries: list[float] | None = None,
+                 values: list[float] | None = None):
+        super().__init__()
+        self._setDefault(scoreCol="score", outputCol="calibrated")
+        self._boundaries = boundaries  # ascending step lower edges
+        self._values = values          # non-decreasing step values
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    @property
+    def steps(self) -> list[tuple[float, float]]:
+        return list(zip(self._boundaries, self._values))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        s = F.col(self.getOrDefault(self.scoreCol)).cast("double")
+        expr = F.when(s.isNull(), F.lit(None).cast("double"))
+        # descending scan: first matching lower edge wins
+        for lo, val in reversed(self.steps):
+            expr = expr.when(s >= F.lit(lo), F.lit(val))
+        expr = expr.otherwise(F.lit(self._values[0]))
+        return df.withColumn(self.getOrDefault(self.outputCol), expr)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "steps.json"), "w") as f:
+            json.dump({"boundaries": self._boundaries,
+                       "values": self._values}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "steps.json")) as f:
+            d = json.load(f)
+        self._boundaries, self._values = d["boundaries"], d["values"]
+
+
+class IsotonicCalibrator(AlgoOperator):
+    """Isotonic probability calibration (Zadrozny & Elkan 2002):
+    learn the best monotone non-decreasing map from scores to observed
+    positive rates via pool-adjacent-violators, then calibrate any
+    frame with the fitted step function.
+
+    Scale shape — the binned-AUC recipe: ONE O(numBins) aggregation
+    bins the scores and carries (n, Σlabel) per bin; PAV runs on the
+    collected bin table (O(numBins) driver work, the model-fit
+    finalizer pattern), so no global sort ever happens. Binning makes
+    the fit approximate in the same bounded sense as the AUC: exact
+    whenever distinct scores < bins. The fitted map preserves the
+    global positive rate by construction (PAV pools are weighted
+    means).
+
+    ``fit(df)`` needs ``labelCol`` (0/1) and ``scoreCol`` in [0, 1]
+    (clamped). Returns :class:`IsotonicCalibratorModel`.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "boolean/0-1 label column", TypeConverters.toString)
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "score column in [0, 1]", TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "calibrated-probability column",
+                      TypeConverters.toString)
+    numBins = Param(Params._dummy(), "numBins",
+                    "score buckets for the binned fit",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label", scoreCol="score",
+                         outputCol="calibrated", numBins=1024)
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def setNumBins(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBins must be >= 2, got {v}")
+        return self._set(numBins=v)
+
+    def fit(self, df: DataFrame) -> IsotonicCalibratorModel:
+        bins = self.getOrDefault(self.numBins)
+        lbl = F.col(self.getOrDefault(self.labelCol)).cast("int")
+        score = F.col(self.getOrDefault(self.scoreCol)).cast("double")
+        d = (df.filter(lbl.isNotNull() & score.isNotNull())
+             .select(lbl.alias("__y"), score.alias("__s")))
+        clamped = F.greatest(F.least(F.col("__s"), F.lit(1.0)),
+                             F.lit(0.0))
+        bucket = F.least(F.floor(clamped * bins).cast("int"),
+                         F.lit(bins - 1))
+        hist = (d.groupBy(bucket.alias("__b"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("__y").alias("pos"))
+                .orderBy("__b").collect())
+        if not hist:
+            raise ValueError("no non-null (label, score) rows to fit on")
+
+        # pool adjacent violators over the bin means (weighted)
+        pools = []  # [lower_bin, weight, mean]
+        for r in hist:
+            pools.append([r["__b"], float(r["n"]), r["pos"] / r["n"]])
+            while len(pools) > 1 and pools[-2][2] >= pools[-1][2]:
+                b, w, m = pools.pop()
+                pools[-1][2] = ((pools[-1][1] * pools[-1][2] + w * m)
+                                / (pools[-1][1] + w))
+                pools[-1][1] += w
+        boundaries = [p[0] / bins for p in pools]
+        values = [p[2] for p in pools]
+        model = IsotonicCalibratorModel(boundaries, values)
+        model._set(scoreCol=self.getOrDefault(self.scoreCol),
+                   outputCol=self.getOrDefault(self.outputCol))
+        return model
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)

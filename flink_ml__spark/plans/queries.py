@@ -6469,6 +6469,50 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_isotonic_invariants_documents(spark, sf_dir):
+    """Hard gate for the isotonic calibrator (PAV has no closed-form
+    SQL): emits one row per violated defining property of the fitted
+    map over the length→English confidence frame — (a) a score pair
+    where calibration breaks monotonicity (checked via lag over the
+    DISTINCT-score table, bounded), (b) a calibrated value outside
+    [0, 1], (c) a global positive-rate mismatch beyond 1e-9 (PAV is
+    mean-preserving by construction). Expected EMPTY; WHERE-false
+    oracle makes this a count/hash-checked row."""
+    from pyspark.sql import Window
+
+    from flink_ml__spark.functions.evaluation import IsotonicCalibrator
+
+    frame = _calibration_frame(spark, sf_dir)
+    model = IsotonicCalibrator().setNumBins(1024).fit(frame)
+    out = model.transform(frame)
+
+    per_score = (out.groupBy("score")
+                 .agg(F.min("calibrated").alias("cal_min"),
+                      F.max("calibrated").alias("cal_max")))
+    w = Window.orderBy("score")  # distinct scores: bounded model table
+    mono = (per_score
+            .withColumn("prev", F.lag("cal_min").over(w))
+            .filter((F.col("cal_min") < F.col("prev") - 1e-12)
+                    | (F.col("cal_min") != F.col("cal_max")))
+            .select(F.lit("monotone").alias("violation"),
+                    F.col("score").cast("double").alias("detail")))
+    rng = (out.filter((F.col("calibrated") < -1e-12)
+                      | (F.col("calibrated") > 1 + 1e-12))
+           .select(F.lit("range").alias("violation"),
+                   F.col("calibrated").alias("detail")))
+    means = out.agg(F.avg("calibrated").alias("mc"),
+                    F.avg(F.col("label").cast("double")).alias("ml"))
+    mean_v = (means.filter(F.abs(F.col("mc") - F.col("ml")) > 1e-9)
+              .select(F.lit("mean").alias("violation"),
+                      (F.col("mc") - F.col("ml")).alias("detail")))
+    return mono.unionByName(rng).unionByName(mean_v)
+
+
+ORACLE_ISOTONIC_INVARIANTS = """
+SELECT 'x' AS violation, 0.0 AS detail FROM documents WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6571,6 +6615,7 @@ QUERIES = {
     "image_dup_pairs_documents": q_image_dup_pairs_documents,
     "random_projection_embeddings": q_random_projection_embeddings,
     "ohlc_events": q_ohlc_events,
+    "isotonic_invariants_documents": q_isotonic_invariants_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6686,6 +6731,7 @@ ORACLES = {
     "image_dup_pairs_documents": ORACLE_IMAGE_DUP_PAIRS,
     "random_projection_embeddings": ORACLE_RANDOM_PROJECTION,
     "ohlc_events": ORACLE_OHLC,
+    "isotonic_invariants_documents": ORACLE_ISOTONIC_INVARIANTS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -362,3 +362,79 @@ def test_silhouette_needs_two_clusters(spark):
     df = spark.createDataFrame([(1.0, "a")], "x double, cluster string")
     with _pytest.raises(ValueError):
         ClusteringEvaluator().setFeatureCols("x").transform(df)
+
+
+# -------------------------------------------------------------- isotonic
+
+def test_isotonic_matches_pure_python_pav(spark):
+    import math
+
+    from flink_ml__spark.functions.evaluation import IsotonicCalibrator
+
+    # scores with a deliberate violation: mid scores have HIGHER
+    # positive rate than upper-mid
+    rows = [(0, 0.05), (0, 0.1), (1, 0.3), (1, 0.35), (0, 0.55),
+            (0, 0.6), (1, 0.62), (1, 0.9), (1, 0.95), (0, 0.92)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    model = IsotonicCalibrator().setNumBins(4096).fit(df)
+
+    # pure-python PAV on the same binned means (distinct < bins →
+    # each distinct score is its own bin)
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    for y, s in rows:
+        b = min(int(s * 4096), 4095)
+        agg[b][0] += 1
+        agg[b][1] += y
+    pools = []
+    for b in sorted(agg):
+        n, pos = agg[b]
+        pools.append([b, float(n), pos / n])
+        while len(pools) > 1 and pools[-2][2] >= pools[-1][2]:
+            bb, w, m = pools.pop()
+            pools[-1][2] = (pools[-1][1] * pools[-1][2] + w * m) / (
+                pools[-1][1] + w)
+            pools[-1][1] += w
+    want = [(p[0] / 4096, p[2]) for p in pools]
+    assert len(model.steps) == len(want)
+    for (gb, gv), (wb, wv) in zip(model.steps, want):
+        assert math.isclose(gb, wb) and math.isclose(gv, wv)
+
+    # calibrated output is monotone in score and mean-preserving
+    out = model.transform(df).collect()
+    by_score = sorted((r["score"], r["calibrated"]) for r in out)
+    assert all(a[1] <= b[1] + 1e-12 for a, b in zip(by_score, by_score[1:]))
+    assert math.isclose(sum(r["calibrated"] for r in out) / len(out),
+                        sum(y for y, _ in rows) / len(rows))
+
+
+def test_isotonic_perfectly_ordered_identity_rates(spark):
+    from flink_ml__spark.functions.evaluation import IsotonicCalibrator
+
+    rows = [(0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    model = IsotonicCalibrator().fit(df)
+    got = {r["score"]: r["calibrated"]
+           for r in model.transform(df).collect()}
+    assert got[0.1] == 0.0 and got[0.9] == 1.0
+
+
+def test_isotonic_save_load_and_clamp(spark, tmp_path):
+    from flink_ml__spark.functions.evaluation import (
+        IsotonicCalibrator,
+        IsotonicCalibratorModel,
+    )
+
+    rows = [(0, 0.2), (1, 0.8), (1, 0.6), (0, 0.4)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    model = IsotonicCalibrator().fit(df)
+    p = str(tmp_path / "iso")
+    model.save(p)
+    loaded = IsotonicCalibratorModel.load(spark, p)
+    assert loaded.steps == model.steps
+    # out-of-range scores clamp into the step map; NULL passes
+    probe = spark.createDataFrame([(2.0,), (-1.0,), (None,)], ["score"])
+    got = [r["calibrated"] for r in loaded.transform(probe).collect()]
+    assert got[0] == model.steps[-1][1]
+    assert got[1] == model.steps[0][1]
+    assert got[2] is None
