@@ -165,6 +165,8 @@ HEADLINE = [
     "random_projection_embeddings",
     "ohlc_events",
     "isotonic_invariants_documents",
+    "assemble_features_lineitem",
+    "grouped_scale_events",
 ]
 
 

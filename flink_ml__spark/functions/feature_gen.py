@@ -808,3 +808,130 @@ class MadOutlierDetector(Estimator, _SingleColOutputParams,
         model = MadOutlierModel(med, float(row2["m"]))
         model._set(inputCol=c, outputCol=self.getOutputCol())
         return model
+
+
+class FeatureAssembler(AlgoOperator):
+    """VectorAssembler counterpart: packs numeric columns into ONE
+    ``array<double>`` feature column — the glue between tabular
+    features and the array-input estimators (KMeans, FCM, PCA, ANN).
+
+    ``handleInvalid``: 'error' (default) fails the job on a NULL in
+    any input column (Spark MLlib behavior), 'keep' emits NULL array
+    elements, 'skip' nulls the whole output array for rows with any
+    NULL. Pure codegen projection — zero shuffle, batch == stream.
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "numeric columns to assemble, in order",
+                      TypeConverters.toListString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "assembled array column", TypeConverters.toString)
+    handleInvalid = Param(Params._dummy(), "handleInvalid",
+                          "'error' | 'keep' | 'skip'",
+                          TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="features", handleInvalid="error")
+
+    def setInputCols(self, *v):
+        cols = list(v[0]) if len(v) == 1 and not isinstance(v[0], str) \
+            else list(v)
+        return self._set(inputCols=cols)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def setHandleInvalid(self, v):
+        if v not in ("error", "keep", "skip"):
+            raise ValueError("handleInvalid must be error|keep|skip")
+        return self._set(handleInvalid=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols)
+        mode = self.getOrDefault(self.handleInvalid)
+        parts = [F.col(c).cast("double") for c in cols]
+        arr = F.array(*parts)
+        any_null = None
+        for p in parts:
+            any_null = p.isNull() if any_null is None \
+                else (any_null | p.isNull())
+        if mode == "error":
+            msg = F.concat(F.lit("FeatureAssembler: NULL among "),
+                           F.lit(",".join(cols)))
+            arr = F.when(any_null, F.raise_error(msg)).otherwise(arr)
+        elif mode == "skip":
+            arr = F.when(~any_null, arr)
+        return df.withColumn(self.getOrDefault(self.outputCol), arr)
+
+
+class GroupedStandardScalerModel(Model, _SingleColOutputParams):
+    """Fitted per-group z-scaling: ``(x − mean_g) / std_g`` via a
+    broadcast join on the group (the moments table is the model,
+    group-cardinality-sized). Unseen groups and NULL values yield
+    NULL; a single-valued group (std NULL/0) divides by 1."""
+
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "normalization group column",
+                     TypeConverters.toString)
+
+    def __init__(self, moments: DataFrame | None = None):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value")
+        self._moments = moments  # __g string, __mean double, __std double
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+        x = F.col(self.getInputCol()).cast("double")
+        joined = df.join(F.broadcast(self._moments),
+                         on=g.eqNullSafe(F.col("__g")), how="left")
+        std = F.when(F.col("__std").isNull() | (F.col("__std") == 0),
+                     F.lit(1.0)).otherwise(F.col("__std"))
+        z = F.when(x.isNotNull() & F.col("__mean").isNotNull(),
+                   (x - F.col("__mean")) / std)
+        return (joined.withColumn(self.getOutputCol(), z)
+                .drop("__g", "__mean", "__std"))
+
+    def _save_model_data(self, path: str) -> None:
+        self._moments.coalesce(1).write.mode("overwrite").parquet(
+            path + "/moments.parquet")
+
+    def _load_model_data(self, spark, path: str) -> None:
+        self._moments = spark.read.parquet(path + "/moments.parquet")
+
+
+class GroupedStandardScaler(Estimator, _SingleColOutputParams):
+    """Per-group standardization — normalize a metric WITHIN each
+    group (per-domain quality scores, per-language lengths, per-tenant
+    metrics) so groups with different baselines become comparable.
+    The grouped generalization of ``StandardScaler``.
+
+    Fit = ONE hash aggregation of per-group (mean, stddev_samp) —
+    a group-cardinality-sized model artifact; apply = broadcast join +
+    map projection (the TargetEncoder shape).
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "normalization group column",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="scaled_value")
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def fit(self, df: DataFrame) -> GroupedStandardScalerModel:
+        c = self.getInputCol()
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+        x = F.col(c).cast("double")
+        moments = (df.filter(x.isNotNull())
+                   .groupBy(g.alias("__g"))
+                   .agg(F.avg(x).alias("__mean"),
+                        F.stddev_samp(x).alias("__std")))
+        model = GroupedStandardScalerModel(
+            moments.localCheckpoint(eager=True))
+        model._set(inputCol=c, outputCol=self.getOutputCol(),
+                   groupCol=self.getOrDefault(self.groupCol))
+        return model

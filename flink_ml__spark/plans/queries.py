@@ -6513,6 +6513,59 @@ SELECT 'x' AS violation, 0.0 AS detail FROM documents WHERE false
 """
 
 
+def q_assemble_features_lineitem(spark, sf_dir):
+    """Assemble (quantity, discount, tax) into one feature array —
+    element order and the double casts replay by projecting the
+    array back out positionally."""
+    from flink_ml__spark.functions.feature_gen import FeatureAssembler
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = (FeatureAssembler()
+           .setInputCols("l_quantity", "l_discount", "l_tax")
+           .setHandleInvalid("keep").transform(li))
+    f = F.col("features")
+    return out.select("l_orderkey", "l_linenumber",
+                      *[F.round(f[i], R).alias(f"f{i}") for i in range(3)])
+
+
+ORACLE_ASSEMBLE = f"""
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity::DOUBLE, {R}) AS f0,
+       round(l_discount::DOUBLE, {R}) AS f1,
+       round(l_tax::DOUBLE, {R}) AS f2
+FROM lineitem
+"""
+
+
+def q_grouped_scale_events(spark, sf_dir):
+    """Per-event-type z-scaling of the value metric — the per-group
+    moments and the normalized projection replay exactly (single-
+    valued groups divide by 1)."""
+    from flink_ml__spark.functions.feature_gen import GroupedStandardScaler
+
+    ev = load_table(spark, "events", sf_dir)
+    model = (GroupedStandardScaler().setInputCol("value")
+             .setGroupCol("event_type").fit(ev))
+    return (model.transform(ev)
+            .select("event_id",
+                    F.round("scaled_value", R).alias("scaled_value")))
+
+
+ORACLE_GROUPED_SCALE = f"""
+WITH m AS (
+  SELECT event_type AS g, avg(value::DOUBLE) AS mu,
+         stddev_samp(value::DOUBLE) AS sd
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT e.event_id,
+       round(CASE WHEN e.value IS NOT NULL AND m.mu IS NOT NULL
+                  THEN (e.value - m.mu)
+                       / (CASE WHEN m.sd IS NULL OR m.sd = 0
+                               THEN 1.0 ELSE m.sd END) END, {R})
+         AS scaled_value
+FROM events e LEFT JOIN m ON e.event_type IS NOT DISTINCT FROM m.g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6616,6 +6669,8 @@ QUERIES = {
     "random_projection_embeddings": q_random_projection_embeddings,
     "ohlc_events": q_ohlc_events,
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
+    "assemble_features_lineitem": q_assemble_features_lineitem,
+    "grouped_scale_events": q_grouped_scale_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6732,6 +6787,8 @@ ORACLES = {
     "random_projection_embeddings": ORACLE_RANDOM_PROJECTION,
     "ohlc_events": ORACLE_OHLC,
     "isotonic_invariants_documents": ORACLE_ISOTONIC_INVARIANTS,
+    "assemble_features_lineitem": ORACLE_ASSEMBLE,
+    "grouped_scale_events": ORACLE_GROUPED_SCALE,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -230,3 +230,66 @@ def test_mad_outlier_zero_mad_flags_non_median(spark, tmp_path):
     got2 = {r["v"]: (r["robust_z"], r["robust_z_outlier"])
             for r in loaded.transform(df).collect()}
     assert got == got2
+
+
+def test_feature_assembler_modes(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.feature_gen import FeatureAssembler
+
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, None)], ["a", "b"])
+    keep = (FeatureAssembler().setInputCols("a", "b")
+            .setHandleInvalid("keep").transform(df).collect())
+    assert list(keep[0]["features"]) == [1.0, 2.0]
+    assert keep[1]["features"][1] is None
+    skip = (FeatureAssembler().setInputCols("a", "b")
+            .setHandleInvalid("skip").transform(df).collect())
+    assert skip[1]["features"] is None
+    err = FeatureAssembler().setInputCols("a", "b").transform(df)
+    with _pytest.raises(Exception, match="FeatureAssembler"):
+        err.collect()
+
+
+def test_feature_assembler_feeds_kmeans(spark):
+    from flink_ml__spark.functions.feature_gen import FeatureAssembler
+    from flink_ml__spark.operators import KMeans
+
+    rows = [(float(i % 2 * 10), float(i % 2 * 10)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    feat = FeatureAssembler().setInputCols("x", "y").transform(df)
+    model = KMeans().setK(2).setFeaturesCol("features").setSeed(1).fit(feat)
+    assert model.wssse(feat) < 1e-9
+
+
+def test_grouped_standard_scaler(spark, tmp_path):
+    import math
+
+    from flink_ml__spark.functions.feature_gen import (
+        GroupedStandardScaler,
+        GroupedStandardScalerModel,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0),
+            ("c", 5.0), (None, 7.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    model = (GroupedStandardScaler().setInputCol("v").setGroupCol("g")
+             .fit(df))
+    got = {(r["g"], r["v"]): r["scaled_value"]
+           for r in model.transform(df).collect()}
+    sa = math.sqrt(2)  # stddev_samp of (1,3)
+    assert math.isclose(got[("a", 1.0)], (1 - 2) / sa)
+    assert math.isclose(got[("b", 30.0)], (30 - 20) / (10 * sa))
+    # single-valued group: centered, divide by 1
+    assert got[("c", 5.0)] == 0.0
+    # NULL group has its own moments (eqNullSafe join)
+    assert got[(None, 7.0)] == 0.0
+    assert got[("a", None)] is None
+    p = str(tmp_path / "gss")
+    model.save(p)
+    loaded = GroupedStandardScalerModel.load(spark, p)
+    got2 = {(r["g"], r["v"]): r["scaled_value"]
+            for r in loaded.transform(df).collect()}
+    assert got == got2
+    # unseen group → NULL
+    new = spark.createDataFrame([("zz", 5.0)], "g string, v double")
+    assert loaded.transform(new).first()["scaled_value"] is None
