@@ -140,6 +140,28 @@ def main():
           F.count(F.lit(1)).alias("exact"))
      .orderBy(F.desc("exact")).show(5))
 
+    print("== daily OHLC candles per event type (order stats inside "
+          "one hash aggregate) ==")
+    from flink_ml__spark.functions.timeseries import OhlcRollup
+
+    (OhlcRollup().setBucketWidthSec(86400.0).transform(ev)
+     .orderBy("event_type", "bucket_start").show(6))
+
+    print("== what do users do next? first-order Markov transitions ==")
+    from flink_ml__spark.functions.timeseries import TransitionMatrix
+
+    (TransitionMatrix().transform(ev)
+     .orderBy(F.desc("prob")).show(8))
+
+    print("== windowed KS drift vs the full-table reference "
+          "(distribution-shape twin of the PSI monitor) ==")
+    from flink_ml__spark.streaming import stream_ks_monitor
+
+    (stream_ks_monitor(ev.filter("ts IS NOT NULL"), "ts", "value",
+                       reference=ev.filter("ts IS NOT NULL"),
+                       num_buckets=8, window="7 days")
+     .orderBy("window_start").show(5))
+
 
 if __name__ == "__main__":
     main()
