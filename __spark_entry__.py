@@ -6,10 +6,12 @@ lineitem) at sf0.001.
 the north-star pipeline operators (dedup / similarity / text analysis /
 multimodal).
 ``oracle_sql()`` — matching DuckDB SQL for every SQL-expressible query;
-rows-only by design: FCM and Canopy (iterative + seeded). The IVF gate
-is a violations-only recall-floor check (expected empty, WHERE-false
-oracle); the stub-codec image/audio/resize/frame gates ARE
-oracle-checked (hex-domain keystream replayed in SQL).
+rows-only by design: FCM, Canopy, KMeans and SemDeDup cluster outputs
+(iterative + seeded — each is paired with an oracle-checked
+expected-empty invariants gate). The ANN gates are violations-only
+recall-floor checks (expected empty, WHERE-false oracle); the
+stub-codec image/audio/resize/frame/dhash gates ARE oracle-checked
+(hex-domain keystream replayed in SQL).
 """
 
 from __future__ import annotations
