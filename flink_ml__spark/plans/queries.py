@@ -6114,8 +6114,10 @@ def q_ks_window_events(spark, sf_dir):
 def _oracle_window_ks() -> str:
     k = 8
     pcts = ", ".join(repr(i / k) for i in range(1, k))
-    # edge list: the k-1 interior quantiles plus the reference max
-    edges = [f"e[{i}]" for i in range(1, k)] + ["mx"]
+    # edge list: the k-1 interior quantiles plus the reference max,
+    # rounded to 6 dp exactly as the monitor rounds its fitted edges
+    # (pins cross-engine tie behavior when an edge IS a data value)
+    edges = [f"round(e[{i}], 6)" for i in range(1, k)] + ["round(mx, 6)"]
     ref_counts = ", ".join(
         f"sum((value <= {e})::INT)::BIGINT AS rc{j}"
         for j, e in enumerate(edges))

@@ -1030,8 +1030,14 @@ def stream_ks_monitor(stream_df: DataFrame, time_col: str,
         raise ValueError("reference has no non-null values")
     # the reference MAX is appended as a final evaluation point:
     # F_ref(max) = 1, so a window shifted fully above the reference
-    # range reads D = 1 instead of the interior-grid cap (k-1)/k
-    edges = [float(v) for v in row["e"]] + [float(row["mx"])]
+    # range reads D = 1 instead of the interior-grid cap (k-1)/k.
+    # Edges are rounded to 6 dp BEFORE the cumulative counts: an
+    # interpolated percentile can differ across engines by one ulp,
+    # and when the edge lands exactly on a data value that ulp flips
+    # every tie — rounding pins the grid identically everywhere (the
+    # grid itself is an arbitrary choice, so this costs nothing)
+    edges = ([round(float(v), 6) for v in row["e"]]
+             + [round(float(row["mx"]), 6)])
     ref_row = reference.agg(
         *[F.sum((x <= F.lit(e)).cast("long")).alias(f"c{j}")
           for j, e in enumerate(edges)]).first()
