@@ -167,6 +167,7 @@ HEADLINE = [
     "isotonic_invariants_documents",
     "assemble_features_lineitem",
     "grouped_scale_events",
+    "platt_invariants_documents",
 ]
 
 

@@ -721,3 +721,163 @@ class IsotonicCalibrator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
+
+
+class PlattCalibratorModel(AlgoOperator):
+    """Fitted sigmoid calibration ``σ(a·s + b)`` — a two-double model,
+    map-only codegen apply. NULL score → NULL."""
+
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "score column", TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "calibrated-probability column",
+                      TypeConverters.toString)
+
+    def __init__(self, a: float | None = None, b: float | None = None):
+        super().__init__()
+        self._setDefault(scoreCol="score", outputCol="calibrated")
+        self._a, self._b = a, b
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    @property
+    def coefficients(self) -> tuple[float, float]:
+        return (self._a, self._b)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        s = F.col(self.getOrDefault(self.scoreCol)).cast("double")
+        z = F.lit(self._a) * s + F.lit(self._b)
+        return df.withColumn(self.getOrDefault(self.outputCol),
+                             F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "coef.json"), "w") as f:
+            json.dump({"a": self._a, "b": self._b}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "coef.json")) as f:
+            d = json.load(f)
+        self._a, self._b = d["a"], d["b"]
+
+
+class PlattCalibrator(AlgoOperator):
+    """Platt (1999) sigmoid calibration: fit ``P(y=1|s) = σ(a·s + b)``
+    by Newton-Raphson on the regularized cross-entropy, with Platt's
+    label-smoothing targets ``t₊ = (n₊+1)/(n₊+2)``, ``t₋ = 1/(n₋+2)``.
+    The parametric companion to :class:`IsotonicCalibrator` — two
+    parameters instead of a step table, so it extrapolates smoothly
+    and never overfits sparse score regions.
+
+    Scale shape — binned sufficient statistics: ONE O(numBins)
+    aggregation produces per-bin (mean score, n₊, n₋); Newton runs on
+    that collected table (O(numBins·iters) driver work, the binned-AUC
+    finalizer pattern). Exact whenever distinct scores < bins, like
+    the rest of the binned family.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "boolean/0-1 label column", TypeConverters.toString)
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "score column", TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "calibrated-probability column",
+                      TypeConverters.toString)
+    numBins = Param(Params._dummy(), "numBins",
+                    "score buckets for the binned fit",
+                    TypeConverters.toInt)
+    maxIter = Param(Params._dummy(), "maxIter",
+                    "Newton iterations", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label", scoreCol="score",
+                         outputCol="calibrated", numBins=1024,
+                         maxIter=50)
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def setNumBins(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBins must be >= 2, got {v}")
+        return self._set(numBins=v)
+
+    def setMaxIter(self, v):
+        return self._set(maxIter=int(v))
+
+    def fit(self, df: DataFrame) -> PlattCalibratorModel:
+        import math
+
+        bins = self.getOrDefault(self.numBins)
+        lbl = F.col(self.getOrDefault(self.labelCol)).cast("int")
+        score = F.col(self.getOrDefault(self.scoreCol)).cast("double")
+        d = (df.filter(lbl.isNotNull() & score.isNotNull())
+             .select(lbl.alias("__y"), score.alias("__s")))
+        clamped = F.greatest(F.least(F.col("__s"), F.lit(1.0)),
+                             F.lit(0.0))
+        bucket = F.least(F.floor(clamped * bins).cast("int"),
+                         F.lit(bins - 1))
+        hist = (d.groupBy(bucket.alias("__b"))
+                .agg(F.avg("__s").alias("s"),
+                     F.sum("__y").alias("pos"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        if not hist:
+            raise ValueError("no non-null (label, score) rows to fit on")
+        n_pos = sum(r["pos"] for r in hist)
+        n_neg = sum(r["n"] - r["pos"] for r in hist)
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        # weighted points: (score, target, weight)
+        pts = []
+        for r in hist:
+            if r["pos"]:
+                pts.append((r["s"], t_pos, float(r["pos"])))
+            if r["n"] - r["pos"]:
+                pts.append((r["s"], t_neg, float(r["n"] - r["pos"])))
+
+        a, b = 0.0, math.log((n_pos + 1.0) / (n_neg + 1.0))
+        lam = 1e-9  # Levenberg damping keeps the Hessian invertible
+        for _ in range(self.getOrDefault(self.maxIter)):
+            g_a = g_b = h_aa = h_ab = h_bb = 0.0
+            for s, t, w in pts:
+                p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+                r = w * (p - t)
+                g_a += r * s
+                g_b += r
+                q = w * p * (1.0 - p)
+                h_aa += q * s * s
+                h_ab += q * s
+                h_bb += q
+            det = (h_aa + lam) * (h_bb + lam) - h_ab * h_ab
+            if det <= 0:
+                break
+            da = (g_a * (h_bb + lam) - g_b * h_ab) / det
+            db = (g_b * (h_aa + lam) - g_a * h_ab) / det
+            a, b = a - da, b - db
+            if abs(da) < 1e-12 and abs(db) < 1e-12:
+                break
+        model = PlattCalibratorModel(a, b)
+        model._set(scoreCol=self.getOrDefault(self.scoreCol),
+                   outputCol=self.getOrDefault(self.outputCol))
+        return model
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)

@@ -6568,6 +6568,54 @@ FROM events e LEFT JOIN m ON e.event_type IS NOT DISTINCT FROM m.g
 """
 
 
+def q_platt_invariants_documents(spark, sf_dir):
+    """Hard gate for the Platt sigmoid calibrator (Newton fit has no
+    SQL form): over the length→English confidence frame, emits one row
+    per violated defining property — (a) a calibrated value outside
+    (0, 1), (b) a score mapping to two different outputs (σ is a
+    function), (c) any pair of adjacent distinct scores breaking
+    STRICT one-directional monotonicity (σ(a·s+b) is strictly monotone
+    for a ≠ 0 — consecutive inversions in BOTH directions are
+    impossible). Expected EMPTY; WHERE-false oracle."""
+    from pyspark.sql import Window
+
+    from flink_ml__spark.functions.evaluation import PlattCalibrator
+
+    frame = _calibration_frame(spark, sf_dir)
+    model = PlattCalibrator().setNumBins(1024).fit(frame)
+    out = model.transform(frame)
+
+    rng = (out.filter((F.col("calibrated") <= 0)
+                      | (F.col("calibrated") >= 1))
+           .select(F.lit("range").alias("violation"),
+                   F.col("calibrated").alias("detail")))
+    per_score = (out.groupBy("score")
+                 .agg(F.min("calibrated").alias("lo"),
+                      F.max("calibrated").alias("hi")))
+    func = (per_score.filter(F.col("lo") != F.col("hi"))
+            .select(F.lit("functional").alias("violation"),
+                    F.col("score").cast("double").alias("detail")))
+    w = Window.orderBy("score")  # distinct scores: bounded table
+    steps = (per_score
+             .withColumn("prev", F.lag("lo").over(w))
+             .filter(F.col("prev").isNotNull())
+             .select((F.col("lo") > F.col("prev") + 1e-15)
+                     .alias("up"),
+                     (F.col("lo") < F.col("prev") - 1e-15)
+                     .alias("down")))
+    dirs = steps.agg(F.max("up").alias("any_up"),
+                     F.max("down").alias("any_down"))
+    mono = (dirs.filter(F.col("any_up") & F.col("any_down"))
+            .select(F.lit("monotone").alias("violation"),
+                    F.lit(0.0).alias("detail")))
+    return rng.unionByName(func).unionByName(mono)
+
+
+ORACLE_PLATT_INVARIANTS = """
+SELECT 'x' AS violation, 0.0 AS detail FROM documents WHERE false
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6673,6 +6721,7 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "platt_invariants_documents": q_platt_invariants_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6791,6 +6840,7 @@ ORACLES = {
     "isotonic_invariants_documents": ORACLE_ISOTONIC_INVARIANTS,
     "assemble_features_lineitem": ORACLE_ASSEMBLE,
     "grouped_scale_events": ORACLE_GROUPED_SCALE,
+    "platt_invariants_documents": ORACLE_PLATT_INVARIANTS,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

@@ -438,3 +438,55 @@ def test_isotonic_save_load_and_clamp(spark, tmp_path):
     assert got[0] == model.steps[-1][1]
     assert got[1] == model.steps[0][1]
     assert got[2] is None
+
+
+# ----------------------------------------------------------------- platt
+
+def test_platt_recovers_known_sigmoid(spark):
+    import math
+
+    from flink_ml__spark.functions.evaluation import PlattCalibrator
+
+    # labels drawn deterministically to match P(y=1) = sigmoid(4s - 2)
+    rows = []
+    for i in range(2000):
+        s = (i % 100) / 99.0
+        p = 1.0 / (1.0 + math.exp(-(4.0 * s - 2.0)))
+        rows.append((1 if (i * 37 % 1000) < 1000 * p else 0, s))
+    df = spark.createDataFrame(rows, "label int, score double")
+    model = PlattCalibrator().fit(df)
+    a, b = model.coefficients
+    assert 3.0 < a < 5.0 and -2.6 < b < -1.4
+    out = model.transform(df).collect()
+    # calibrated probabilities track the true sigmoid closely
+    err = [abs(r["calibrated"]
+               - 1 / (1 + math.exp(-(4 * r["score"] - 2)))) for r in out]
+    assert sum(err) / len(err) < 0.05
+
+
+def test_platt_monotone_and_bounded(spark):
+    from flink_ml__spark.functions.evaluation import PlattCalibrator
+
+    rows = [(0, 0.1), (0, 0.3), (1, 0.6), (1, 0.9)] * 5
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = PlattCalibrator().fit(df).transform(df).collect()
+    assert all(0 < r["calibrated"] < 1 for r in out)
+    pairs = sorted((r["score"], r["calibrated"]) for r in out)
+    assert all(x[1] <= y[1] for x, y in zip(pairs, pairs[1:]))
+
+
+def test_platt_save_load_and_null(spark, tmp_path):
+    from flink_ml__spark.functions.evaluation import (
+        PlattCalibrator,
+        PlattCalibratorModel,
+    )
+
+    df = spark.createDataFrame([(0, 0.2), (1, 0.8)] * 3,
+                               "label int, score double")
+    model = PlattCalibrator().fit(df)
+    p = str(tmp_path / "platt")
+    model.save(p)
+    loaded = PlattCalibratorModel.load(spark, p)
+    assert loaded.coefficients == model.coefficients
+    probe = spark.createDataFrame([(None,)], "score double")
+    assert loaded.transform(probe).first()["calibrated"] is None
