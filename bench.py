@@ -168,6 +168,7 @@ HEADLINE = [
     "assemble_features_lineitem",
     "grouped_scale_events",
     "platt_invariants_documents",
+    "quantile_match_events",
 ]
 
 

@@ -935,3 +935,119 @@ class GroupedStandardScaler(Estimator, _SingleColOutputParams):
         model._set(inputCol=c, outputCol=self.getOutputCol(),
                    groupCol=self.getOrDefault(self.groupCol))
         return model
+
+
+class QuantileMatcherModel(Model, _SingleColOutputParams):
+    """Fitted quantile-mapping transform: values move from the CURRENT
+    distribution onto the fitted REFERENCE distribution by piecewise-
+    linear quantile matching (the climate-science "quantile mapping" /
+    bioinformatics "quantile normalization" recipe). The current
+    column's grid is computed once per transform (one bounded
+    aggregate); the map itself folds both grids into one CASE chain —
+    map-only codegen. Values outside the current grid clamp to the
+    reference extremes; NULL passes through."""
+
+    def __init__(self, ref_grid: list[float] | None = None,
+                 relative_error: float = 0.0):
+        super().__init__()
+        self._setDefault(outputCol="matched")
+        self._ref_grid = ref_grid
+        self._relative_error = relative_error
+
+    @property
+    def reference_grid(self) -> list[float]:
+        return list(self._ref_grid)
+
+    def _grid_of(self, df: DataFrame, col: str) -> list[float]:
+        k = len(self._ref_grid) - 1
+        pcts = [j / k for j in range(k + 1)]
+        if self._relative_error > 0:
+            import math
+
+            acc = int(math.ceil(1.0 / self._relative_error))
+            expr = (f"approx_percentile({col}, array("
+                    f"{', '.join(map(repr, pcts))}), {acc})")
+        else:
+            expr = (f"percentile({col}, array("
+                    f"{', '.join(map(repr, pcts))}))")
+        row = df.agg(F.expr(expr).alias("g")).first()
+        if row["g"] is None or row["g"][0] is None:
+            raise ValueError("no non-null values to match")
+        # 6 dp pin: keeps segment boundaries identical across engines
+        return [round(float(v), 6) for v in row["g"]]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cur = self._grid_of(df, self.getInputCol())
+        ref = self._ref_grid
+        x = F.col(self.getInputCol()).cast("double")
+        expr = F.when(x.isNull(), F.lit(None).cast("double"))
+        expr = expr.when(x <= F.lit(cur[0]), F.lit(ref[0]))
+        for j in range(1, len(cur)):
+            lo, hi = cur[j - 1], cur[j]
+            rl, rh = ref[j - 1], ref[j]
+            if hi > lo:
+                seg = F.lit(rl) + (F.lit(rh - rl)
+                                   * (x - F.lit(lo)) / F.lit(hi - lo))
+            else:  # zero-width current segment: jump to its ref edge
+                seg = F.lit(rh)
+            expr = expr.when(x <= F.lit(hi), seg)
+        expr = expr.otherwise(F.lit(ref[-1]))
+        return df.withColumn(self.getOutputCol(), expr)
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "grid.json"), "w") as f:
+            json.dump({"ref_grid": self._ref_grid,
+                       "relative_error": self._relative_error}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "grid.json")) as f:
+            d = json.load(f)
+        self._ref_grid = d["ref_grid"]
+        self._relative_error = d.get("relative_error", 0.0)
+
+
+class QuantileMatcher(Estimator, _SingleColOutputParams,
+                      HasRelativeError):
+    """Distribution alignment by quantile mapping: fit a reference
+    column's quantile grid, then transform any frame so its values'
+    quantile positions land on the reference distribution — the
+    engine's answer to "make feature X from source B comparable to
+    source A" (batch-effect correction, per-source score alignment
+    before a global threshold).
+
+    Fit = ONE percentile aggregate on the reference (``numBuckets+1``
+    grid points including min/max, one sort buffer for the whole
+    list); exact by default for SQL-oracle replay, Greenwald-Khanna
+    via ``setRelativeError(>0)`` at 100 TB. Transform adds one bounded
+    aggregate for the current column's grid, then a folded-literal
+    piecewise-linear CASE — map-only. Grids are pinned at 6 dp on both
+    engines (same ulp-tie rationale as the KS monitor).
+    """
+
+    numBuckets = Param(Params._dummy(), "numBuckets",
+                       "grid segments (>= 2)", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="matched", numBuckets=8)
+
+    def setNumBuckets(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError("numBuckets must be >= 2")
+        return self._set(numBuckets=v)
+
+    def fit(self, reference: DataFrame) -> QuantileMatcherModel:
+        rel = self.getRelativeError()
+        model = QuantileMatcherModel([0.0] * (self.getOrDefault(
+            self.numBuckets) + 1), rel)
+        model._set(inputCol=self.getInputCol(),
+                   outputCol=self.getOutputCol())
+        model._ref_grid = model._grid_of(reference, self.getInputCol())
+        return model

@@ -6616,6 +6616,52 @@ SELECT 'x' AS violation, 0.0 AS detail FROM documents WHERE false
 """
 
 
+def q_quantile_match_events(spark, sf_dir):
+    """Quantile-map purchase values onto the click distribution
+    (4-segment grid) — both grids and the piecewise-linear map replay
+    exactly in SQL (grids pinned at 6 dp on both engines)."""
+    from flink_ml__spark.functions.feature_gen import QuantileMatcher
+
+    ev = load_table(spark, "events", sf_dir)
+    ref = ev.filter(F.col("event_type") == "click")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    model = (QuantileMatcher().setInputCol("value").setNumBuckets(4)
+             .fit(ref))
+    return (model.transform(cur)
+            .select("event_id", F.round("matched", R).alias("matched")))
+
+
+def _oracle_quantile_match() -> str:
+    pcts = "[0.0, 0.25, 0.5, 0.75, 1.0]"
+    seg = []
+    for j in range(2, 6):
+        seg.append(
+            f"WHEN value <= c.g[{j}] THEN r.g[{j - 1}] + "
+            f"(r.g[{j}] - r.g[{j - 1}]) * (value - c.g[{j - 1}])"
+            f" / (c.g[{j}] - c.g[{j - 1}])")
+    chain = "\n         ".join(seg)
+    return f"""
+WITH r AS (SELECT list_transform(quantile_cont(value, {pcts}),
+                                 x -> round(x, 6)) AS g
+           FROM events
+           WHERE event_type = 'click' AND value IS NOT NULL),
+c AS (SELECT list_transform(quantile_cont(value, {pcts}),
+                            x -> round(x, 6)) AS g
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL)
+SELECT event_id,
+       round(CASE WHEN value IS NULL THEN NULL
+             WHEN value <= c.g[1] THEN r.g[1]
+         {chain}
+             ELSE r.g[5] END, {R}) AS matched
+FROM events CROSS JOIN r CROSS JOIN c
+WHERE event_type = 'purchase'
+"""
+
+
+ORACLE_QUANTILE_MATCH = _oracle_quantile_match()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6722,6 +6768,7 @@ QUERIES = {
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
     "platt_invariants_documents": q_platt_invariants_documents,
+    "quantile_match_events": q_quantile_match_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6841,6 +6888,7 @@ ORACLES = {
     "assemble_features_lineitem": ORACLE_ASSEMBLE,
     "grouped_scale_events": ORACLE_GROUPED_SCALE,
     "platt_invariants_documents": ORACLE_PLATT_INVARIANTS,
+    "quantile_match_events": ORACLE_QUANTILE_MATCH,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

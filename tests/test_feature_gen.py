@@ -293,3 +293,52 @@ def test_grouped_standard_scaler(spark, tmp_path):
     # unseen group → NULL
     new = spark.createDataFrame([("zz", 5.0)], "g string, v double")
     assert loaded.transform(new).first()["scaled_value"] is None
+
+
+def test_quantile_matcher_aligns_shifted_distribution(spark):
+    import math
+
+    from flink_ml__spark.functions import QuantileMatcher
+
+    # reference uniform on [0, 100]; current = reference * 3 + 500
+    ref = spark.createDataFrame([(float(i),) for i in range(101)], ["v"])
+    cur = spark.createDataFrame([(float(i) * 3 + 500,)
+                                 for i in range(101)], ["v"])
+    model = QuantileMatcher().setInputCol("v").setNumBuckets(4).fit(ref)
+    out = {r["v"]: r["matched"] for r in model.transform(cur).collect()}
+    # affine shifts are undone exactly by piecewise-linear matching
+    for i in range(101):
+        assert math.isclose(out[i * 3 + 500], float(i), abs_tol=1e-6)
+
+
+def test_quantile_matcher_identity_on_same_distribution(spark):
+    import math
+
+    from flink_ml__spark.functions import QuantileMatcher
+
+    df = spark.createDataFrame([(float(i % 37),) for i in range(300)],
+                               ["v"])
+    model = QuantileMatcher().setInputCol("v").setNumBuckets(8).fit(df)
+    out = model.transform(df).collect()
+    for r in out:
+        assert math.isclose(r["matched"], r["v"], abs_tol=1e-6)
+
+
+def test_quantile_matcher_clamp_null_save_load(spark, tmp_path):
+    from flink_ml__spark.functions import (
+        QuantileMatcher,
+        QuantileMatcherModel,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(11)], ["v"])
+    model = QuantileMatcher().setInputCol("v").setNumBuckets(2).fit(ref)
+    # probe spans the same distribution plus a NULL — the NULL must
+    # pass through and not poison the probe-side grid
+    probe = spark.createDataFrame(
+        [(float(i),) for i in range(11)] + [(None,)], ["v"])
+    got = {r["v"]: r["matched"] for r in model.transform(probe).collect()}
+    assert got[5.0] == 5.0 and got[None] is None
+    p = str(tmp_path / "qm")
+    model.save(p)
+    loaded = QuantileMatcherModel.load(spark, p)
+    assert loaded.reference_grid == model.reference_grid
