@@ -619,7 +619,13 @@ class PerceptualImageHasher(AlgoOperator):
             raise ValueError("max_distance must be in [0, 3] for "
                              "4-band 64-bit pigeonhole coverage")
         cols = [id_col, "dhash_b0", "dhash_b1", "dhash_b2", "dhash_b3"]
-        h = df.select(*cols).filter(F.col("dhash_b0").isNotNull())
+        # checkpoint the (id, bands) projection: the four band joins
+        # read it 8 times, and without the barrier each read would
+        # replay the Arrow decode+hash pass upstream (the dominant
+        # cost — sf0.1 pairs: 8.1 s lazy vs 7.4 s checkpointed, of
+        # which ~4 s is the one remaining stub decode+hash pass)
+        h = (df.select(*cols).filter(F.col("dhash_b0").isNotNull())
+             .localCheckpoint(eager=True))
         a = h.select(*[F.col(c).alias(f"{c}_a") for c in cols])
         b = h.select(*[F.col(c).alias(f"{c}_b") for c in cols])
         cands = None
