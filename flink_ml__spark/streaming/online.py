@@ -1063,3 +1063,38 @@ def stream_ks_monitor(stream_df: DataFrame, time_col: str,
     return agg.select(F.col("__w.start").alias("window_start"),
                       F.col("__w.end").alias("window_end"),
                       "n_rows", d.alias("d_stat"), p.alias("p_value"))
+
+
+def stream_ohlc(stream_df: DataFrame, time_col: str, key_col: str,
+                value_col: str, window: str = "1 minute",
+                watermark_delay: str = "0 seconds") -> DataFrame:
+    """Windowed OHLC candles on an unbounded stream — the live twin of
+    :class:`~flink_ml__spark.functions.timeseries.OhlcRollup`.
+
+    Open/close are ``min_by``/``max_by`` over a (event-time, value)
+    struct INSIDE the single watermarked windowed aggregation — order
+    statistics without any per-window sort or row buffering, so state
+    per open (window, key) is five doubles regardless of event volume
+    (the same reason the batch operator scales). Value tie-break keeps
+    equal-timestamp candles deterministic.
+
+    Output: ``window_start``, ``window_end``, the key column,
+    ``open/high/low/close/n_events``. Runs identically on a batch
+    frame (parity-pinned)."""
+    t = F.col(time_col)
+    k = F.col(key_col)
+    v = F.col(value_col).cast("double")
+    src = stream_df.filter(t.isNotNull() & k.isNotNull() & v.isNotNull())
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    order = F.struct(t, v)
+    return (src.groupBy(F.window(t, window).alias("__w"), k)
+            .agg(F.min_by(v, order).alias("open"),
+                 F.max(v).alias("high"),
+                 F.min(v).alias("low"),
+                 F.max_by(v, order).alias("close"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("__w.end").alias("window_end"),
+                    key_col, "open", "high", "low", "close",
+                    "n_events"))

@@ -1074,3 +1074,47 @@ def test_stream_ks_monitor_bad_params(spark):
         stream_ks_monitor(df, "ts", "v", df, num_buckets=1)
     with _pytest.raises(ValueError):
         stream_ks_monitor(df, "ts", "v", df)
+
+
+def test_stream_ohlc_matches_batch(spark):
+    """Windowed OHLC candles on a stream equal the batch run — open
+    and close are min_by/max_by order statistics inside the single
+    stateful aggregation, no sort, no row buffer."""
+    import shutil
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_ohlc
+
+    rows = []
+    for i in range(40):
+        ts = datetime(2024, 1, 1, 0, i // 15, (i * 7) % 60,
+                      tzinfo=timezone.utc)
+        rows.append((i, ts, "k" + str(i % 2), float((i * 13) % 29)))
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, key string, v double")
+
+    batch = {(r["window_start"], r["key"]):
+             (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+             for r in stream_ohlc(df, "ts", "key", "v").collect()}
+    assert len(batch) >= 4
+
+    d = _tf.mkdtemp(prefix="stream_ohlc_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_ohlc(stream, "ts", "key", "v")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("ohlcstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["key"]):
+               (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+               for r in spark.sql("SELECT * FROM ohlcstream").collect()}
+        assert got
+        for kk, vv in got.items():
+            assert batch[kk] == vv
+        open_windows = {ws for ws, _ in set(batch) - set(got)}
+        assert open_windows <= {max(ws for ws, _ in batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
