@@ -169,6 +169,7 @@ HEADLINE = [
     "grouped_scale_events",
     "platt_invariants_documents",
     "quantile_match_events",
+    "regression_window_events",
 ]
 
 

@@ -6662,6 +6662,52 @@ WHERE event_type = 'purchase'
 ORACLE_QUANTILE_MATCH = _oracle_quantile_match()
 
 
+def q_regression_window_events(spark, sf_dir):
+    """Windowed regression drift of a per-type mean predictor against
+    the live value — the predictor join, every windowed moment and
+    every metric replay exactly in SQL. The SAME code path runs on an
+    unbounded stream (`streaming.stream_regression_monitor`,
+    parity-tested)."""
+    from flink_ml__spark.streaming.online import stream_regression_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull())
+    pred = (ev.groupBy("event_type")
+            .agg(F.avg("value").alias("pred")))
+    frame = ev.join(F.broadcast(pred), "event_type")
+    out = stream_regression_monitor(frame, "ts", "value", "pred",
+                                    window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "n", F.round("mae", R).alias("mae"),
+                      F.round("rmse", R).alias("rmse"),
+                      F.round("bias", R).alias("bias"),
+                      F.round("r2", R).alias("r2"))
+
+
+ORACLE_REGRESSION_WINDOW = f"""
+WITH p AS (SELECT event_type, avg(value::DOUBLE) AS pred
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+j AS (SELECT (epoch_us(e.ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+             e.value::DOUBLE AS y, p.pred
+      FROM events e JOIN p USING (event_type)
+      WHERE e.ts IS NOT NULL),
+a AS (SELECT win_us,
+             count(CASE WHEN y IS NOT NULL AND pred IS NOT NULL
+                        THEN 1 END)::BIGINT AS n,
+             avg(abs(pred - y)) AS mae,
+             avg((pred - y) * (pred - y)) AS mse,
+             avg(pred - y) AS bias,
+             sum(y) AS sy, sum(y * y) AS syy,
+             sum((pred - y) * (pred - y)) AS ssr
+      FROM j GROUP BY 1)
+SELECT win_us, n, round(mae, {R}) AS mae,
+       round(sqrt(mse), {R}) AS rmse, round(bias, {R}) AS bias,
+       round(CASE WHEN syy - sy * sy / n > 0
+                  THEN 1.0 - ssr / (syy - sy * sy / n) END, {R}) AS r2
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6769,6 +6815,7 @@ QUERIES = {
     "grouped_scale_events": q_grouped_scale_events,
     "platt_invariants_documents": q_platt_invariants_documents,
     "quantile_match_events": q_quantile_match_events,
+    "regression_window_events": q_regression_window_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6889,6 +6936,7 @@ ORACLES = {
     "grouped_scale_events": ORACLE_GROUPED_SCALE,
     "platt_invariants_documents": ORACLE_PLATT_INVARIANTS,
     "quantile_match_events": ORACLE_QUANTILE_MATCH,
+    "regression_window_events": ORACLE_REGRESSION_WINDOW,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

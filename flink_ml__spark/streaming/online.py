@@ -1098,3 +1098,45 @@ def stream_ohlc(stream_df: DataFrame, time_col: str, key_col: str,
                     F.col("__w.end").alias("window_end"),
                     key_col, "open", "high", "low", "close",
                     "n_events"))
+
+
+def stream_regression_monitor(stream_df: DataFrame, time_col: str,
+                              label_col: str, prediction_col: str,
+                              window: str = "1 minute",
+                              watermark_delay: str = "0 seconds"
+                              ) -> DataFrame:
+    """Windowed regression-quality monitoring — the live twin of
+    :class:`~flink_ml__spark.functions.evaluation.RegressionEvaluator`:
+    per event-time window, how well a deployed predictor tracks the
+    observed label (the model-degradation dashboard).
+
+    Every metric is algebraic (MAE/MSE/RMSE and R² via the
+    Σy²−(Σy)²/n identity), so the whole readout folds into ONE
+    watermarked windowed aggregation with O(1) state per open window —
+    no percentiles, no sort, no second pass. Output: ``window_start``,
+    ``window_end``, ``n``, ``mae``, ``rmse``, ``bias`` (mean signed
+    error), ``r2``. Runs identically on a batch frame (the batch run
+    is the oracle-gated query)."""
+    t = F.col(time_col)
+    y = F.col(label_col).cast("double")
+    p = F.col(prediction_col).cast("double")
+    src = stream_df.filter(t.isNotNull())
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    valid = y.isNotNull() & p.isNotNull()
+    err = F.when(valid, p - y)
+    agg = (src.groupBy(F.window(t, window).alias("__w"))
+           .agg(F.count(err).alias("n"),
+                F.avg(F.abs(err)).alias("mae"),
+                F.avg(err * err).alias("__mse"),
+                F.avg(err).alias("bias"),
+                F.sum(F.when(valid, y)).alias("__sy"),
+                F.sum(F.when(valid, y * y)).alias("__syy"),
+                F.sum(F.when(valid, (p - y) * (p - y))).alias("__ssr")))
+    n = F.col("n").cast("double")
+    ss_tot = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    r2 = F.when(ss_tot > 0, 1.0 - F.col("__ssr") / ss_tot)
+    return agg.select(F.col("__w.start").alias("window_start"),
+                      F.col("__w.end").alias("window_end"),
+                      "n", "mae", F.sqrt(F.col("__mse")).alias("rmse"),
+                      "bias", r2.alias("r2"))

@@ -1118,3 +1118,55 @@ def test_stream_ohlc_matches_batch(spark):
         assert open_windows <= {max(ws for ws, _ in batch)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_regression_monitor_matches_batch(spark):
+    """Windowed regression metrics on a stream equal the batch run —
+    every metric is algebraic, one stateful aggregation."""
+    import math
+    import shutil
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.streaming import stream_regression_monitor
+
+    rows = []
+    for i in range(30):
+        ts = datetime(2024, 1, 1, 0, i // 10, 3, tzinfo=timezone.utc)
+        y = float((i * 7) % 11)
+        rows.append((i, ts, y, y + ((i % 3) - 1.0)))  # errors -1/0/+1
+    rows.append((99, datetime(2024, 1, 1, tzinfo=timezone.utc),
+                 None, 1.0))  # NULL label excluded from metrics
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, label double, pred double")
+
+    def canon(frame):
+        return {r["window_start"]:
+                (r["n"], round(r["mae"], 9), round(r["rmse"], 9),
+                 round(r["bias"], 9),
+                 round(r["r2"], 9) if r["r2"] is not None else None)
+                for r in frame.collect()}
+
+    batch = canon(stream_regression_monitor(df, "ts", "label", "pred"))
+    assert len(batch) == 3
+    first = batch[min(batch)]
+    assert first[0] == 10  # the NULL-label row doesn't count
+    assert math.isclose(first[1], sum(abs((i % 3) - 1)
+                                      for i in range(10)) / 10)
+
+    d = _tf.mkdtemp(prefix="stream_reg_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_regression_monitor(stream, "ts", "label", "pred")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("regmon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM regmon"))
+        assert got
+        for kk, vv in got.items():
+            assert batch[kk] == vv
+        assert set(batch) - set(got) <= {max(batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
