@@ -170,6 +170,7 @@ HEADLINE = [
     "platt_invariants_documents",
     "quantile_match_events",
     "regression_window_events",
+    "count_encode_documents",
 ]
 
 

@@ -381,3 +381,80 @@ class RareCategoryCollapser(Estimator, HasInputCol, HasOutputCol):
             kept.select("__label").localCheckpoint(eager=True))
         model._set(inputCol=c, outputCol=self.getOrDefault(self.outputCol))
         return model
+
+
+class CountEncoderModel(Model, HasInputCol, HasOutputCol):
+    """Fitted frequency encoding: category → its fit-time count (or
+    share with ``normalize``). Unseen categories encode 0; NULL
+    passes through. Broadcast-join apply."""
+
+    normalize = Param(Params._dummy(), "normalize",
+                      "emit the share of non-null rows instead of the "
+                      "raw count", TypeConverters.toBoolean)
+
+    def __init__(self, counts: DataFrame | None = None,
+                 total: int | None = None):
+        super().__init__()
+        self._setDefault(outputCol="cat_count", normalize=False)
+        self._counts = counts  # __cat string, __n bigint
+        self._total = total
+
+    def setNormalize(self, v):
+        return self._set(normalize=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c, out = self.getInputCol(), self.getOutputCol()
+        joined = df.join(
+            F.broadcast(self._counts),
+            on=F.col(c).cast("string") == F.col("__cat"), how="left")
+        val = F.when(F.col(c).isNull(), F.lit(None).cast("double")) \
+            .otherwise(F.coalesce(F.col("__n"), F.lit(0)).cast("double"))
+        if self.getOrDefault(self.normalize):
+            val = val / F.lit(float(self._total))
+        return (joined.withColumn(out, val)
+                .drop("__cat", "__n"))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        self._counts.coalesce(1).write.mode("overwrite").parquet(
+            path + "/counts.parquet")
+        with open(os.path.join(path, "total.json"), "w") as f:
+            json.dump({"total": self._total}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        self._counts = spark.read.parquet(path + "/counts.parquet")
+        with open(os.path.join(path, "total.json")) as f:
+            self._total = json.load(f)["total"]
+
+
+class CountEncoder(Estimator, HasInputCol, HasOutputCol):
+    """Frequency (count) encoding: replace a category with how often
+    it occurs — the zero-leakage numeric encoding that survives
+    arbitrary cardinality (no target involved, no vocabulary cap) and
+    the usual companion feature to target encoding in tabular models.
+
+    Fit = one hash count aggregation (vocabulary-sized model); apply =
+    broadcast join. ``setNormalize(True)`` emits the share instead of
+    the raw count, making the encoding scale-invariant across
+    refits on differently-sized corpora.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputCol="cat_count")
+
+    def fit(self, df: DataFrame) -> CountEncoderModel:
+        c = self.getInputCol()
+        counts = (df.filter(F.col(c).isNotNull())
+                  .groupBy(F.col(c).cast("string").alias("__cat"))
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        total = counts.agg(F.sum("__n").alias("t")).first()["t"] or 0
+        model = CountEncoderModel(counts.localCheckpoint(eager=True),
+                                  int(total))
+        model._set(inputCol=c, outputCol=self.getOrDefault(self.outputCol))
+        return model

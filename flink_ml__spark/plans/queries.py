@@ -6708,6 +6708,30 @@ FROM a
 """
 
 
+def q_count_encode_documents(spark, sf_dir):
+    """Normalized frequency encoding of the document language — the
+    count aggregation and the share projection replay exactly."""
+    from flink_ml__spark.functions.encoding import CountEncoder
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = (CountEncoder().setInputCol("lang").setOutputCol("lang_freq")
+             .fit(docs).setNormalize(True))
+    return (model.transform(docs)
+            .select("doc_id", F.round("lang_freq", R).alias("lang_freq")))
+
+
+ORACLE_COUNT_ENCODE = f"""
+WITH c AS (SELECT lang AS cat, count(*)::BIGINT AS n
+           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT d.doc_id,
+       round(CASE WHEN d.lang IS NULL THEN NULL
+                  ELSE coalesce(c.n, 0)::DOUBLE / t.total END, {R})
+         AS lang_freq
+FROM documents d LEFT JOIN c ON d.lang = c.cat CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6816,6 +6840,7 @@ QUERIES = {
     "platt_invariants_documents": q_platt_invariants_documents,
     "quantile_match_events": q_quantile_match_events,
     "regression_window_events": q_regression_window_events,
+    "count_encode_documents": q_count_encode_documents,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6937,6 +6962,7 @@ ORACLES = {
     "platt_invariants_documents": ORACLE_PLATT_INVARIANTS,
     "quantile_match_events": ORACLE_QUANTILE_MATCH,
     "regression_window_events": ORACLE_REGRESSION_WINDOW,
+    "count_encode_documents": ORACLE_COUNT_ENCODE,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

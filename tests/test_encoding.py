@@ -414,3 +414,32 @@ def test_table_profiler_rsd_and_column_subset(spark):
     assert len(got) == 1 and got[0]["column"] == "value"
     # HLL++ at 5% rsd on 6 distinct values is exact in practice
     assert abs(got[0]["n_distinct"] - 6) <= 1
+
+
+# ------------------------------------------------------------ count encode
+
+def test_count_encoder(spark, tmp_path):
+    import math
+
+    from flink_ml__spark.functions import CountEncoder, CountEncoderModel
+
+    df = spark.createDataFrame(ROWS, COLS)
+    model = CountEncoder().setInputCol("cat").fit(df)
+    got = {r["cat"]: r["cat_count"]
+           for r in model.transform(df).collect()}
+    assert (got["a"], got["b"], got["c"]) == (3.0, 2.0, 1.0)
+    assert got[None] is None
+    # unseen → 0
+    new = spark.createDataFrame([("zz",)], ["cat"])
+    assert model.transform(new).first()["cat_count"] == 0.0
+    # normalized share
+    norm = {r["cat"]: r["cat_count"]
+            for r in model.setNormalize(True).transform(df).collect()}
+    assert math.isclose(norm["a"], 3 / 6)
+    p = str(tmp_path / "ce")
+    model.save(p)
+    loaded = CountEncoderModel.load(spark, p)
+    assert loaded._total == 6
+    got2 = {r["cat"]: r["cat_count"]
+            for r in loaded.setNormalize(False).transform(df).collect()}
+    assert got2 == got
