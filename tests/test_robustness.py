@@ -868,8 +868,22 @@ def test_ks_matches_pure_python_exact(spark, a, b):
     grid = sorted(set(a) | set(b))
     d_exact = max(abs(sum(v <= g for v in a) / len(a)
                       - sum(v <= g for v in b) / len(b)) for g in grid)
-    # binned D is a grid evaluation: exact when every distinct value
-    # lands in its own bin, which unique floats may not at extreme
-    # ranges — accept a one-bin-mass slack
-    slack = 1 / len(a) + 1 / len(b)
+    # binned D is a grid evaluation whose error is bounded by the
+    # LARGEST combined in-bin mass — adversarial ranges (denormals
+    # next to ±1e6 values) can drop many distinct values into one
+    # bin, so compute that bound from the operator's own binning
+    lo, hi = min(a + b), max(a + b)
+    span = hi - lo
+
+    def bins(vals):
+        from collections import Counter
+
+        if span <= 0:
+            return Counter({0: len(vals)})
+        return Counter(min(int((v - lo) / span * 4096), 4095)
+                       for v in vals)
+
+    ba, bb = bins(a), bins(b)
+    slack = max(ba.get(k, 0) / len(a) + bb.get(k, 0) / len(b)
+                for k in set(ba) | set(bb))
     assert d_exact - slack - 1e-9 <= r["d_stat"] <= d_exact + 1e-9
