@@ -171,6 +171,7 @@ HEADLINE = [
     "quantile_match_events",
     "regression_window_events",
     "count_encode_documents",
+    "anova_window_events",
 ]
 
 

@@ -6732,6 +6732,51 @@ FROM documents d LEFT JOIN c ON d.lang = c.cat CROSS JOIN t
 """
 
 
+def q_anova_window_events(spark, sf_dir):
+    """Per-day one-way ANOVA of event values across types (vocabulary
+    fitted on the full table) — every window's group moments, F, dfs
+    and η² replay exactly in SQL. The SAME code path runs on an
+    unbounded stream (`streaming.stream_anova_monitor`,
+    parity-tested)."""
+    from flink_ml__spark.streaming.online import stream_anova_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull())
+    out = stream_anova_monitor(ev, "ts", "value", "event_type",
+                               reference=ev, window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "k_groups", "n",
+                      F.round("f_stat", R).alias("f_stat"),
+                      "df_between", "df_within",
+                      F.round("eta_sq", R).alias("eta_sq"))
+
+
+ORACLE_ANOVA_WINDOW = f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+         event_type AS g, value::DOUBLE AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL),
+per AS (SELECT win_us, g, count(*)::BIGINT AS n, sum(y) AS s,
+               sum(y * y) AS q
+        FROM base GROUP BY 1, 2),
+w AS (SELECT win_us, count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+             sum(s) AS sy, sum(q) AS syy,
+             sum(q - s * s / n) AS ssw
+      FROM per GROUP BY 1)
+SELECT win_us, k AS k_groups, n,
+       round(CASE WHEN n - k > 0 AND ssw / (n - k) > 0 AND k > 1
+                  THEN ((syy - sy * sy / n) - ssw) / (k - 1)
+                       / (ssw / (n - k)) END, {R}) AS f_stat,
+       k - 1 AS df_between, n - k AS df_within,
+       round(CASE WHEN syy - sy * sy / n > 0
+                  THEN ((syy - sy * sy / n) - ssw)
+                       / (syy - sy * sy / n) END, {R}) AS eta_sq
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6841,6 +6886,7 @@ QUERIES = {
     "quantile_match_events": q_quantile_match_events,
     "regression_window_events": q_regression_window_events,
     "count_encode_documents": q_count_encode_documents,
+    "anova_window_events": q_anova_window_events,
     # --- driver-green in earlier rounds (rotated out of the window)
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
@@ -6963,6 +7009,7 @@ ORACLES = {
     "quantile_match_events": ORACLE_QUANTILE_MATCH,
     "regression_window_events": ORACLE_REGRESSION_WINDOW,
     "count_encode_documents": ORACLE_COUNT_ENCODE,
+    "anova_window_events": ORACLE_ANOVA_WINDOW,
     "ahp_score_lineitem": ORACLE_AHP,
     "topsis_score_part": ORACLE_TOPSIS,
     "online_ahp_events": ORACLE_ONLINE_AHP,

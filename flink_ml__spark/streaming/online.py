@@ -1140,3 +1140,84 @@ def stream_regression_monitor(stream_df: DataFrame, time_col: str,
                       F.col("__w.end").alias("window_end"),
                       "n", "mae", F.sqrt(F.col("__mse")).alias("rmse"),
                       "bias", r2.alias("r2"))
+
+
+def stream_anova_monitor(stream_df: DataFrame, time_col: str,
+                         value_col: str, group_col: str,
+                         reference: DataFrame,
+                         max_groups: int = 64,
+                         window: str = "1 minute",
+                         watermark_delay: str = "0 seconds"
+                         ) -> DataFrame:
+    """Windowed one-way ANOVA against a fitted group vocabulary — the
+    live twin of :class:`~flink_ml__spark.functions.stats.AnovaFTest`:
+    per event-time window, does the metric's mean differ across
+    groups? (A rising F per window = one segment's behavior drifting
+    from the rest.)
+
+    The group vocabulary comes from the static reference ONCE at
+    plan-build time (the categorical-drift-monitor recipe — streaming
+    allows exactly one stateful aggregation, so groups must fold in as
+    literals; unseen stream groups are ignored and surface through the
+    categorical drift monitor instead). Per window, each group's
+    (n, Σy, Σy²) are conditional sums inside the ONE watermarked
+    aggregate; F / dfs / η² are projections over those O(groups)
+    columns. Capped at ``max_groups`` (by reference frequency) —
+    past that, a per-window ANOVA is not a conditional-sum problem.
+
+    Output: ``window_start``, ``window_end``, ``k_groups`` (observed
+    in the window), ``n``, ``f_stat``, ``df_between``, ``df_within``,
+    ``eta_sq``. Runs identically on a batch frame (oracle-gated)."""
+    g = F.col(group_col).cast("string")
+    y = F.col(value_col).cast("double")
+    vocab_rows = (reference
+                  .filter(g.isNotNull() & y.isNotNull())
+                  .groupBy(g.alias("__g"))
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .orderBy(F.desc("__n"), F.asc("__g"))
+                  .limit(int(max_groups)).collect())
+    if not vocab_rows:
+        raise ValueError("reference has no (group, value) rows")
+    vocab = [r["__g"] for r in vocab_rows]
+
+    t = F.col(time_col)
+    src = stream_df.filter(t.isNotNull() & y.isNotNull()
+                           & g.isin(vocab))
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    aggs = []
+    for i, grp in enumerate(vocab):
+        hit = g == F.lit(grp)
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"__n{i}"),
+            F.sum(F.when(hit, y).otherwise(0.0)).alias(f"__s{i}"),
+            F.sum(F.when(hit, y * y).otherwise(0.0)).alias(f"__q{i}"),
+        ]
+    agg = src.groupBy(F.window(t, window).alias("__w")).agg(*aggs)
+
+    k_obs = sum((F.col(f"__n{i}") > 0).cast("int")
+                for i in range(len(vocab)))
+    n = sum(F.col(f"__n{i}") for i in range(len(vocab)))
+    sy = sum(F.col(f"__s{i}") for i in range(len(vocab)))
+    syy = sum(F.col(f"__q{i}") for i in range(len(vocab)))
+    ss_w = sum(F.when(F.col(f"__n{i}") > 0,
+                      F.col(f"__q{i}") - F.col(f"__s{i}")
+                      * F.col(f"__s{i}") / F.col(f"__n{i}"))
+               .otherwise(0.0) for i in range(len(vocab)))
+    out = (agg.withColumn("k_groups", k_obs.cast("bigint"))
+           .withColumn("n", n.cast("bigint"))
+           .withColumn("__sy", sy).withColumn("__syy", syy)
+           .withColumn("__ssw", ss_w))
+    nd = F.col("n").cast("double")
+    ss_tot = F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    df_b = (F.col("k_groups") - 1).cast("bigint")
+    df_w = (F.col("n") - F.col("k_groups")).cast("bigint")
+    ms_b = F.when(df_b > 0, (ss_tot - F.col("__ssw")) / df_b)
+    ms_w = F.when(df_w > 0, F.col("__ssw") / df_w)
+    f_stat = F.when(ms_w > 0, ms_b / ms_w)
+    eta = F.when(ss_tot > 0, (ss_tot - F.col("__ssw")) / ss_tot)
+    return out.select(F.col("__w.start").alias("window_start"),
+                      F.col("__w.end").alias("window_end"),
+                      "k_groups", "n", f_stat.alias("f_stat"),
+                      df_b.alias("df_between"), df_w.alias("df_within"),
+                      eta.alias("eta_sq"))

@@ -1170,3 +1170,68 @@ def test_stream_regression_monitor_matches_batch(spark):
         assert set(batch) - set(got) <= {max(batch)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_anova_monitor_matches_batch_and_anova(spark):
+    """Windowed ANOVA on a stream equals the batch run, and a window
+    whose groups coincide with the batch AnovaFTest input yields the
+    same F."""
+    import math
+    import shutil
+    import tempfile as _tf
+    from datetime import datetime, timezone
+
+    from flink_ml__spark.functions.stats import AnovaFTest
+    from flink_ml__spark.streaming import stream_anova_monitor
+
+    rows = []
+    for i in range(36):
+        ts = datetime(2024, 1, 1, 0, i // 18, 5, tzinfo=timezone.utc)
+        grp = "g" + str(i % 3)
+        # second window: group means pulled far apart
+        v = float(i % 5) + (100.0 * (i % 3) if i // 18 == 1 else 0.0)
+        rows.append((i, ts, grp, v))
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, grp string, v double")
+
+    def canon(frame):
+        return {r["window_start"]:
+                (r["k_groups"], r["n"],
+                 round(r["f_stat"], 9) if r["f_stat"] is not None
+                 else None, r["df_between"], r["df_within"])
+                for r in frame.collect()}
+
+    batch = canon(stream_anova_monitor(df, "ts", "v", "grp",
+                                       reference=df))
+    assert len(batch) == 2
+    w0, w1 = (batch[k] for k in sorted(batch))
+    assert w0[0] == 3 and w0[1] == 18
+    # the shifted window separates group means → much larger F
+    assert w1[2] > 100 * (w0[2] or 1)
+
+    # window 0 vs the batch evaluator on the same slice
+    from pyspark.sql import functions as _F
+
+    slice0 = df.filter(_F.col("ts") < datetime(
+        2024, 1, 1, 0, 1, tzinfo=timezone.utc))
+    r = (AnovaFTest().setValueCol("v").setGroupCol("grp")
+         .evaluate(slice0).first())
+    assert math.isclose(w0[2], round(r["f_stat"], 9), rel_tol=1e-6)
+
+    d = _tf.mkdtemp(prefix="stream_anova_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_anova_monitor(stream, "ts", "v", "grp",
+                                   reference=df)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("anovamon")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM anovamon"))
+        assert got
+        for kk, vv in got.items():
+            assert batch[kk] == vv
+        assert set(batch) - set(got) <= {max(batch)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
