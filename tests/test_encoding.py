@@ -443,3 +443,61 @@ def test_count_encoder(spark, tmp_path):
     got2 = {r["cat"]: r["cat_count"]
             for r in loaded.setNormalize(False).transform(df).collect()}
     assert got2 == got
+
+
+def test_session_models_all_apply_on_streams(spark, tmp_path):
+    """Every fitted model added this round is a folded-literal map or
+    a stream-static broadcast join — chain them over one unbounded
+    stream and pin row-for-row equality with the batch apply."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions import (
+        CountEncoder,
+        FeatureHasher,
+        QuantileDiscretizer,
+        RareCategoryCollapser,
+        RobustScaler,
+    )
+    from flink_ml__spark.functions.feature_gen import MadOutlierDetector
+
+    df = spark.createDataFrame(ROWS, COLS)
+    ce = CountEncoder().setInputCol("cat").setOutputCol("freq").fit(df)
+    rc = (RareCategoryCollapser().setInputCol("cat").setMinCount(2)
+          .setOutputCol("coll").fit(df))
+    rs = RobustScaler().setInputCol("value").setOutputCol("rz").fit(df)
+    qd = (QuantileDiscretizer().setInputCol("value").setNumBuckets(2)
+          .setOutputCol("qb").fit(df))
+    mad = MadOutlierDetector().setInputCol("value").setOutputCol("mz") \
+        .fit(df)
+    fh = FeatureHasher().setInputCols("cat").setNumFeatures(64)
+
+    def chain(frame):
+        out = ce.transform(frame)
+        out = rc.transform(out)
+        out = rs.transform(out)
+        out = qd.transform(out)
+        out = mad.transform(out)
+        return fh.transform(out)
+
+    cols = ["cat", "value", "freq", "coll", "rz", "qb", "mz",
+            "mz_outlier", "cat_hash"]
+
+    def canon(frame):
+        return sorted((tuple(r[c] for c in cols)
+                       for r in frame.collect()), key=repr)
+
+    batch = canon(chain(df))
+    d = _tf.mkdtemp(prefix="models_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = chain(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("modelsstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM modelsstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
