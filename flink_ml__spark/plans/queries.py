@@ -2054,7 +2054,7 @@ def q_skew_summary_events(spark, sf_dir):
 
 ORACLE_SKEW_SUMMARY = f"""
 WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
-SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
+SELECT sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
        round(avg(cnt), {R}) AS avg_cnt,
        round(max(cnt)::DOUBLE / sum(cnt), {R}) AS max_share,
        round(max(cnt)::DOUBLE / avg(cnt), {R}) AS skew_factor
@@ -2080,7 +2080,7 @@ def q_json_props_events(spark, sf_dir):
 
 ORACLE_JSON_PROPS = f"""
 SELECT event_type, count(*) AS n,
-       sum(json_extract(props, '$.k')::INT) AS sum_k,
+       sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
        round(avg(json_extract(props, '$.k')::INT), {R}) AS avg_k
 FROM events GROUP BY event_type
 """
@@ -3617,7 +3617,8 @@ rules AS (
   SELECT 'custkey_fk', 'referential',
          (SELECT count(*) FROM u WHERE o_custkey IS NOT NULL
             AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
-SELECT rule, rule_type, n_violations, n_violations = 0 AS passed
+SELECT rule, rule_type, n_violations::BIGINT AS n_violations,
+       n_violations = 0 AS passed
 FROM rules
 """
 
@@ -4079,7 +4080,7 @@ j AS (SELECT tk.query_id, tk."rank",
              CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
       FROM tk LEFT JOIN qr
         ON tk.query_id = qr.query_id AND tk.doc_id = qr.doc_id),
-pq AS (SELECT query_id, sum(rel) AS hits,
+pq AS (SELECT query_id, sum(rel)::BIGINT AS hits,
               min(CASE WHEN rel = 1 THEN "rank" END) AS frr,
               sum(CASE WHEN rel = 1
                        THEN 1.0 / log2("rank" + 1) END) AS dcg
@@ -6782,60 +6783,13 @@ FROM w
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    # --- round-7 driver-gate window (first 50): every entry below
-    # has never earned a CORRECTNESS row (rounds 1-6 gated only the
-    # first 50 registry keys), plus the round-6 red quantize row.
-    "anomaly_events": q_anomaly_events,
-    "scd2_events": q_scd2_events,
-    "zorder_key_events": q_zorder_key_events,
-    "fuzzy_link_part": q_fuzzy_link_part,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
+    # --- driver-gate window (first 50): fewest
+    # driver CORRECTNESS checks first — rotated by
+    # tools/rotate_gates.py
     "expectations_orders": q_expectations_orders,
-    "expectation_monitor_events": q_expectation_monitor_events,
-    "markup_strip_documents": q_markup_strip_documents,
-    "script_profile_documents": q_script_profile_documents,
-    "compression_invariants_documents": q_compression_invariants_documents,
-    "bpe_tokenize_documents": q_bpe_tokenize_documents,
-    "phrase_match_documents": q_phrase_match_documents,
-    "drift_report_orders": q_drift_report_orders,
     "ranking_eval_documents": q_ranking_eval_documents,
-    "classification_eval_documents": q_classification_eval_documents,
-    "categorical_drift_events": q_categorical_drift_events,
-    "drift_monitor_window_events": q_drift_monitor_window_events,
-    "trending_events": q_trending_events,
-    "cohort_retention_events": q_cohort_retention_events,
-    "funnel_events": q_funnel_events,
-    "pagerank_events": q_pagerank_events,
-    "triangles_events": q_triangles_events,
-    "components_events": q_components_events,
-    "label_prop_events": q_label_prop_events,
-    "assoc_lineitem": q_assoc_lineitem,
-    "corr_matrix_lineitem": q_corr_matrix_lineitem,
-    "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
-    "mean_shift_events": q_mean_shift_events,
-    "corr_window_events": q_corr_window_events,
-    "stratified_sample_documents": q_stratified_sample_documents,
-    "best_per_stratum_documents": q_best_per_stratum_documents,
-    "salted_join_events": q_salted_join_events,
-    "bm25_retrieval_documents": q_bm25_documents,
-    "hybrid_rrf_documents": q_hybrid_rrf_documents,
-    "heavy_hitters_documents": q_heavy_hitters_documents,
-    "cardinality_events": q_cardinality_events,
-    "cardinality_invariants_events": q_cardinality_invariants_events,
-    "skew_profile_events": q_skew_profile_events,
     "skew_summary_events": q_skew_summary_events,
     "json_props_events": q_json_props_events,
-    "bigram_lm_documents": q_bigram_lm_documents,
-    "line_dedup_documents": q_line_dedup_documents,
-    "ppl_bucket_documents": q_ppl_bucket_documents,
-    "dsir_weights_documents": q_dsir_weights_documents,
-    "quantile_invariants_documents": q_quantile_invariants_documents,
-    "split_leakage_documents": q_split_leakage_documents,
-    "cluster_reps_documents": q_cluster_reps_documents,
-    "chunk_documents": q_chunk_documents,
-    "multimodal_scene_changes": q_multimodal_scene_changes,
-    "quantize_embeddings": q_quantize_embeddings,
-    # --- round-7 additions: next in line for the round-8 rotation
     "url_parse_documents": q_url_parse_documents,
     "url_canonical_documents": q_url_canonical_documents,
     "url_dedup_documents": q_url_dedup_documents,
@@ -6882,48 +6836,68 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    # --- outside the window this round
     "platt_invariants_documents": q_platt_invariants_documents,
     "quantile_match_events": q_quantile_match_events,
     "regression_window_events": q_regression_window_events,
     "count_encode_documents": q_count_encode_documents,
     "anova_window_events": q_anova_window_events,
-    # --- driver-green in earlier rounds (rotated out of the window)
-    "ahp_score_lineitem": q_ahp_score_lineitem,
-    "topsis_score_part": q_topsis_score_part,
-    "online_ahp_events": q_online_ahp_events,
-    "online_topsis_model_events": q_online_topsis_model_events,
-    "online_topsis_predict_events": q_online_topsis_predict_events,
-    "apriori_rules_events": q_apriori_rules_events,
-    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
-    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    "anomaly_events": q_anomaly_events,
+    "scd2_events": q_scd2_events,
+    "zorder_key_events": q_zorder_key_events,
+    "fuzzy_link_part": q_fuzzy_link_part,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "expectation_monitor_events": q_expectation_monitor_events,
+    "markup_strip_documents": q_markup_strip_documents,
+    "script_profile_documents": q_script_profile_documents,
+    "compression_invariants_documents": q_compression_invariants_documents,
+    "bpe_tokenize_documents": q_bpe_tokenize_documents,
+    "phrase_match_documents": q_phrase_match_documents,
+    "drift_report_orders": q_drift_report_orders,
+    "classification_eval_documents": q_classification_eval_documents,
+    "categorical_drift_events": q_categorical_drift_events,
+    "drift_monitor_window_events": q_drift_monitor_window_events,
+    "trending_events": q_trending_events,
+    "cohort_retention_events": q_cohort_retention_events,
+    "funnel_events": q_funnel_events,
+    "pagerank_events": q_pagerank_events,
+    "triangles_events": q_triangles_events,
+    "components_events": q_components_events,
+    "label_prop_events": q_label_prop_events,
+    "assoc_lineitem": q_assoc_lineitem,
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
+    "mean_shift_events": q_mean_shift_events,
+    "corr_window_events": q_corr_window_events,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "best_per_stratum_documents": q_best_per_stratum_documents,
+    "salted_join_events": q_salted_join_events,
+    "bm25_retrieval_documents": q_bm25_documents,
+    "hybrid_rrf_documents": q_hybrid_rrf_documents,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
+    "cardinality_events": q_cardinality_events,
+    "cardinality_invariants_events": q_cardinality_invariants_events,
+    "skew_profile_events": q_skew_profile_events,
+    "bigram_lm_documents": q_bigram_lm_documents,
+    "line_dedup_documents": q_line_dedup_documents,
+    "ppl_bucket_documents": q_ppl_bucket_documents,
+    "dsir_weights_documents": q_dsir_weights_documents,
+    "quantile_invariants_documents": q_quantile_invariants_documents,
+    "split_leakage_documents": q_split_leakage_documents,
+    "cluster_reps_documents": q_cluster_reps_documents,
+    "chunk_documents": q_chunk_documents,
+    "multimodal_scene_changes": q_multimodal_scene_changes,
+    "quantize_embeddings": q_quantize_embeddings,
     "pca_invariants_embeddings": q_pca_invariants_embeddings,
-    "canopy_customer": q_canopy_customer,
-    "canopy_invariants_customer": q_canopy_invariants_customer,
-    "mean_imputer_orders": q_mean_imputer_orders,
-    "standard_scaler_lineitem": q_standard_scaler_lineitem,
-    "time_features_orders": q_time_features_orders,
-    "auto_features_orders": q_auto_features_orders,
     "winsorize_orders": q_winsorize_orders,
-    "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_exact_against_documents": q_dedup_exact_against_documents,
     "dedup_bloom_documents": q_dedup_bloom_documents,
-    "dedup_minhash_documents": q_dedup_minhash_documents,
-    "dedup_simhash_documents": q_dedup_simhash_documents,
-    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
     "dedup_substring_documents": q_dedup_substring_documents,
     "substring_decontaminate_documents": q_substring_decontaminate_documents,
-    "minhash_recall_documents": q_minhash_recall_documents,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_contamination": q_embedding_contamination,
     "semdedup_embeddings": q_semdedup_embeddings,
     "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
-    "lang_id_documents": q_lang_id_documents,
-    "quality_documents": q_quality_documents,
-    "quality_filter_documents": q_quality_filter_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
-    "token_count_documents": q_token_count_documents,
     "normalize_documents": q_normalize_documents,
     "frequent_ngrams_documents": q_frequent_ngrams_documents,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
@@ -6937,12 +6911,17 @@ QUERIES = {
     "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
-    "fingerprint_documents": q_fingerprint_documents,
-    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "corpus_profile_documents": q_corpus_profile_documents,
+    "balance_targets_documents": q_balance_targets_documents,
+    "multimodal_image_resize": q_multimodal_image_resize,
+    "multimodal_frame_means": q_multimodal_frame_means,
+    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    "canopy_invariants_customer": q_canopy_invariants_customer,
+    "minhash_recall_documents": q_minhash_recall_documents,
+    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
@@ -6951,12 +6930,33 @@ QUERIES = {
     "dup_clusters_documents": q_dup_clusters_documents,
     "pack_documents": q_pack_documents,
     "balance_documents": q_balance_documents,
-    "balance_targets_documents": q_balance_targets_documents,
+    "online_topsis_model_events": q_online_topsis_model_events,
+    "online_topsis_predict_events": q_online_topsis_predict_events,
+    "auto_features_orders": q_auto_features_orders,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "fingerprint_documents": q_fingerprint_documents,
     "multimodal_meta_documents": q_multimodal_meta_documents,
     "multimodal_image_stats": q_multimodal_image_stats,
-    "multimodal_image_resize": q_multimodal_image_resize,
-    "multimodal_frame_means": q_multimodal_frame_means,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "ahp_score_lineitem": q_ahp_score_lineitem,
+    "topsis_score_part": q_topsis_score_part,
+    "online_ahp_events": q_online_ahp_events,
+    "apriori_rules_events": q_apriori_rules_events,
+    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "canopy_customer": q_canopy_customer,
+    "mean_imputer_orders": q_mean_imputer_orders,
+    "standard_scaler_lineitem": q_standard_scaler_lineitem,
+    "time_features_orders": q_time_features_orders,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_minhash_documents": q_dedup_minhash_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id_documents": q_lang_id_documents,
+    "quality_documents": q_quality_documents,
+    "quality_filter_documents": q_quality_filter_documents,
+    "token_count_documents": q_token_count_documents,
 }
 
 ORACLES = {
