@@ -6783,8 +6783,8 @@ FROM w
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    # --- driver-gate window (first 50): fewest
-    # driver CORRECTNESS checks first — rotated by
+    # --- driver-gate window (first 50): stalest
+    # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
     "expectations_orders": q_expectations_orders,
     "ranking_eval_documents": q_ranking_eval_documents,
@@ -6842,6 +6842,75 @@ QUERIES = {
     "regression_window_events": q_regression_window_events,
     "count_encode_documents": q_count_encode_documents,
     "anova_window_events": q_anova_window_events,
+    "pii_redact_documents": q_pii_redact_documents,
+    "line_filter_documents": q_line_filter_documents,
+    "unigram_logprob_documents": q_unigram_logprob_documents,
+    "corpus_profile_documents": q_corpus_profile_documents,
+    "balance_targets_documents": q_balance_targets_documents,
+    "multimodal_image_resize": q_multimodal_image_resize,
+    "multimodal_frame_means": q_multimodal_frame_means,
+    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+    "curation_pipeline_documents": q_curation_pipeline_documents,
+    "repetition_documents": q_repetition_documents,
+    "split_documents": q_split_documents,
+    "contamination_documents": q_contamination_documents,
+    "tfidf_keywords_documents": q_tfidf_keywords_documents,
+    "dup_clusters_documents": q_dup_clusters_documents,
+    "pack_documents": q_pack_documents,
+    "balance_documents": q_balance_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "multimodal_meta_documents": q_multimodal_meta_documents,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "pca_invariants_embeddings": q_pca_invariants_embeddings,
+    "winsorize_orders": q_winsorize_orders,
+    "dedup_exact_against_documents": q_dedup_exact_against_documents,
+    "dedup_bloom_documents": q_dedup_bloom_documents,
+    "dedup_substring_documents": q_dedup_substring_documents,
+    "substring_decontaminate_documents": q_substring_decontaminate_documents,
+    "embedding_contamination": q_embedding_contamination,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
+    "gopher_quality_documents": q_gopher_quality_documents,
+    "normalize_documents": q_normalize_documents,
+    "frequent_ngrams_documents": q_frequent_ngrams_documents,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "domain_divergence_documents": q_domain_divergence_documents,
+    "token_budget_documents": q_token_budget_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "quality_classifier_documents": q_quality_classifier_documents,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_forward_events": q_asof_forward_events,
+    "asof_nearest_events": q_asof_nearest_events,
+    "range_join_events": q_range_join_events,
+    "rollup_gapfill_events": q_rollup_gapfill_events,
+    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    "canopy_invariants_customer": q_canopy_invariants_customer,
+    "minhash_recall_documents": q_minhash_recall_documents,
+    "online_topsis_model_events": q_online_topsis_model_events,
+    "online_topsis_predict_events": q_online_topsis_predict_events,
+    "auto_features_orders": q_auto_features_orders,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ahp_score_lineitem": q_ahp_score_lineitem,
+    "topsis_score_part": q_topsis_score_part,
+    "online_ahp_events": q_online_ahp_events,
+    "apriori_rules_events": q_apriori_rules_events,
+    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "canopy_customer": q_canopy_customer,
+    "mean_imputer_orders": q_mean_imputer_orders,
+    "standard_scaler_lineitem": q_standard_scaler_lineitem,
+    "time_features_orders": q_time_features_orders,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_minhash_documents": q_dedup_minhash_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id_documents": q_lang_id_documents,
+    "quality_documents": q_quality_documents,
+    "quality_filter_documents": q_quality_filter_documents,
+    "token_count_documents": q_token_count_documents,
     "anomaly_events": q_anomaly_events,
     "scd2_events": q_scd2_events,
     "zorder_key_events": q_zorder_key_events,
@@ -6888,75 +6957,6 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "multimodal_scene_changes": q_multimodal_scene_changes,
     "quantize_embeddings": q_quantize_embeddings,
-    "pca_invariants_embeddings": q_pca_invariants_embeddings,
-    "winsorize_orders": q_winsorize_orders,
-    "dedup_exact_against_documents": q_dedup_exact_against_documents,
-    "dedup_bloom_documents": q_dedup_bloom_documents,
-    "dedup_substring_documents": q_dedup_substring_documents,
-    "substring_decontaminate_documents": q_substring_decontaminate_documents,
-    "embedding_contamination": q_embedding_contamination,
-    "semdedup_embeddings": q_semdedup_embeddings,
-    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
-    "gopher_quality_documents": q_gopher_quality_documents,
-    "normalize_documents": q_normalize_documents,
-    "frequent_ngrams_documents": q_frequent_ngrams_documents,
-    "epoch_shuffle_documents": q_epoch_shuffle_documents,
-    "domain_divergence_documents": q_domain_divergence_documents,
-    "token_budget_documents": q_token_budget_documents,
-    "weighted_sample_documents": q_weighted_sample_documents,
-    "quality_classifier_documents": q_quality_classifier_documents,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_forward_events": q_asof_forward_events,
-    "asof_nearest_events": q_asof_nearest_events,
-    "range_join_events": q_range_join_events,
-    "rollup_gapfill_events": q_rollup_gapfill_events,
-    "pii_redact_documents": q_pii_redact_documents,
-    "line_filter_documents": q_line_filter_documents,
-    "unigram_logprob_documents": q_unigram_logprob_documents,
-    "corpus_profile_documents": q_corpus_profile_documents,
-    "balance_targets_documents": q_balance_targets_documents,
-    "multimodal_image_resize": q_multimodal_image_resize,
-    "multimodal_frame_means": q_multimodal_frame_means,
-    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
-    "canopy_invariants_customer": q_canopy_invariants_customer,
-    "minhash_recall_documents": q_minhash_recall_documents,
-    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
-    "curation_pipeline_documents": q_curation_pipeline_documents,
-    "repetition_documents": q_repetition_documents,
-    "split_documents": q_split_documents,
-    "contamination_documents": q_contamination_documents,
-    "tfidf_keywords_documents": q_tfidf_keywords_documents,
-    "dup_clusters_documents": q_dup_clusters_documents,
-    "pack_documents": q_pack_documents,
-    "balance_documents": q_balance_documents,
-    "online_topsis_model_events": q_online_topsis_model_events,
-    "online_topsis_predict_events": q_online_topsis_predict_events,
-    "auto_features_orders": q_auto_features_orders,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "fingerprint_documents": q_fingerprint_documents,
-    "multimodal_meta_documents": q_multimodal_meta_documents,
-    "multimodal_image_stats": q_multimodal_image_stats,
-    "multimodal_audio_features": q_multimodal_audio_features,
-    "ahp_score_lineitem": q_ahp_score_lineitem,
-    "topsis_score_part": q_topsis_score_part,
-    "online_ahp_events": q_online_ahp_events,
-    "apriori_rules_events": q_apriori_rules_events,
-    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
-    "canopy_customer": q_canopy_customer,
-    "mean_imputer_orders": q_mean_imputer_orders,
-    "standard_scaler_lineitem": q_standard_scaler_lineitem,
-    "time_features_orders": q_time_features_orders,
-    "dedup_exact_documents": q_dedup_exact_documents,
-    "dedup_minhash_documents": q_dedup_minhash_documents,
-    "dedup_simhash_documents": q_dedup_simhash_documents,
-    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "lang_id_documents": q_lang_id_documents,
-    "quality_documents": q_quality_documents,
-    "quality_filter_documents": q_quality_filter_documents,
-    "token_count_documents": q_token_count_documents,
 }
 
 ORACLES = {
