@@ -232,6 +232,13 @@ def main() -> None:
     from flink_ml__spark.plans import QUERIES
     from flink_ml__spark.session import get_spark
 
+    # One JVM runs ~160 queries x 3 reps; at the 16g default the old
+    # heap fills with broadcast/code-cache debris and late queries pay
+    # GC pauses the same query never sees isolated (measured: 7.7 s
+    # in-session vs 2.1 s isolated for dedup_minhash_documents, r07).
+    # A larger heap + explicit GC between reps keeps in-session
+    # timings close to the isolated truth (tools/bench_isolated.py).
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark("flink_ml__spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     all_queries = dict(QUERIES)
@@ -255,6 +262,9 @@ def main() -> None:
     # 2s..14s for the same query on a loaded host)
     timings: dict[str, float] = {}
     for _rep in range(3):
+        # settle the JVM between reps so rep N's tail GC debt doesn't
+        # land in rep N+1's first queries
+        spark.sparkContext._jvm.System.gc()
         for name in HEADLINE + ["ann_ivf_topk", "ann_pq_topk",
                                 "ann_ivfpq_topk", "cms_estimates_events"]:
             fn = all_queries[name]
