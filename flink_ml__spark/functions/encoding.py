@@ -454,6 +454,10 @@ class CountEncoder(Estimator, HasInputCol, HasOutputCol):
                   .groupBy(F.col(c).cast("string").alias("__cat"))
                   .agg(F.count(F.lit(1)).alias("__n")))
         total = counts.agg(F.sum("__n").alias("t")).first()["t"] or 0
+        if total == 0:
+            raise ValueError(
+                f"CountEncoder: no non-null values in column {c!r} to "
+                "fit on")
         model = CountEncoderModel(counts.localCheckpoint(eager=True),
                                   int(total))
         model._set(inputCol=c, outputCol=self.getOrDefault(self.outputCol))

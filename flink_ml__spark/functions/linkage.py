@@ -543,28 +543,35 @@ class TableProfiler(AlgoOperator):
         rsd = self.getOrDefault(self.rsd)
         numeric = {f.name for f in df.schema.fields
                    if isinstance(f.dataType, T.NumericType)}
+        # aliases are POSITIONAL (__null_0, __dist_0, ...), never the
+        # raw column name: a profiler's whole job is unfamiliar tables,
+        # where names with spaces/dots/quotes would break alias
+        # resolution and the stack() expression string. The display
+        # name enters only as a bound literal.
         aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in cols:
-            col = F.col(c)
+        for i, c in enumerate(cols):
+            # backtick-quote (doubling embedded backticks) so dots,
+            # spaces and quotes in the name are literal, not multipart
+            col = F.col("`%s`" % c.replace("`", "``"))
             aggs += [
-                F.count(F.when(col.isNull(), 1)).alias(f"__null_{c}"),
-                (F.approx_count_distinct(c, rsd) if rsd > 0
-                 else F.count_distinct(col)).alias(f"__dist_{c}"),
-                F.min(col).cast("string").alias(f"__min_{c}"),
-                F.max(col).cast("string").alias(f"__max_{c}"),
+                F.count(F.when(col.isNull(), 1)).alias(f"__null_{i}"),
+                (F.approx_count_distinct(col, rsd) if rsd > 0
+                 else F.count_distinct(col)).alias(f"__dist_{i}"),
+                F.min(col).cast("string").alias(f"__min_{i}"),
+                F.max(col).cast("string").alias(f"__max_{i}"),
                 (F.avg(col.cast("double")) if c in numeric
-                 else F.lit(None).cast("double")).alias(f"__mean_{c}"),
+                 else F.lit(None).cast("double")).alias(f"__mean_{i}"),
             ]
         wide = df.agg(*aggs)
-        stacked = ", ".join(
-            f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c},"
-            f" __mean_{c}" for c in cols)
-        return wide.selectExpr(
-            "__n",
-            f"stack({len(cols)}, {stacked}) AS "
-            "(column, n_null, n_distinct, min_value, max_value,"
-            " mean_value)"
-        ).select(
+        rows = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.col(f"__null_{i}").alias("n_null"),
+                     F.col(f"__dist_{i}").alias("n_distinct"),
+                     F.col(f"__min_{i}").alias("min_value"),
+                     F.col(f"__max_{i}").alias("max_value"),
+                     F.col(f"__mean_{i}").alias("mean_value"))
+            for i, c in enumerate(cols)])).alias("r")
+        return wide.select("__n", rows).select("__n", "r.*").select(
             "column", F.col("__n").alias("n"), "n_null",
             F.when(F.col("__n") > 0,
                    F.col("n_null") / F.col("__n")).alias("null_frac"),

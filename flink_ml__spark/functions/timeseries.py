@@ -888,8 +888,13 @@ class OhlcRollup(AlgoOperator):
         base = (df.filter(k.isNotNull() & t.isNotNull() & v.isNotNull())
                 .select(k.alias("__k"), v.alias("__v"),
                         F.unix_micros(t).alias("__us")))
+        # floor division, NOT us - (us % w): Spark's % takes the
+        # dividend's sign, so pre-1970 (negative-micros) timestamps
+        # would round toward zero instead of flooring — diverging from
+        # the F.window() alignment the streaming twin (stream_ohlc)
+        # uses. floor() keeps both sides bucket-identical everywhere.
         bucket = F.timestamp_micros(
-            (F.col("__us") - (F.col("__us") % w_us)).cast("bigint"))
+            (F.floor(F.col("__us") / w_us) * w_us).cast("bigint"))
         order = F.struct(F.col("__us"), F.col("__v"))
         return (base
                 .groupBy(F.col("__k").alias(self.getOrDefault(self.keyCol)),

@@ -501,3 +501,31 @@ def test_session_models_all_apply_on_streams(spark, tmp_path):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_count_encoder_all_null_raises(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions import CountEncoder
+
+    df = spark.createDataFrame([(None,), (None,)], "cat string")
+    with _pytest.raises(ValueError, match="no non-null"):
+        CountEncoder().setInputCol("cat").fit(df)
+
+
+def test_table_profiler_hostile_column_names(spark):
+    """Profiler is pitched at unfamiliar tables — names with spaces,
+    dots and quotes must survive (aliases are positional; the display
+    name enters only as a bound literal)."""
+    from flink_ml__spark.functions import TableProfiler
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "y")],
+        ["weird col.name", "it's \"quoted\""])
+    got = {r["column"]: r for r in TableProfiler().transform(df).collect()}
+    assert set(got) == {"weird col.name", "it's \"quoted\""}
+    w = got["weird col.name"]
+    assert w["n"] == 3 and w["n_null"] == 1 and w["n_distinct"] == 2
+    assert w["mean_value"] == 1.5
+    q = got["it's \"quoted\""]
+    assert q["n_distinct"] == 2 and q["mean_value"] is None

@@ -558,3 +558,27 @@ def test_ohlc_bad_width(spark):
 
     with _pytest.raises(ValueError):
         OhlcRollup().setBucketWidthSec(0)
+
+
+def test_ohlc_pre_1970_floor_matches_window(spark):
+    """Pre-1970 (negative-micros) timestamps must FLOOR into their
+    bucket, identically to F.window's alignment (the streaming twin's
+    path) — `us - (us % w)` would round toward zero instead."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.timeseries import OhlcRollup
+
+    rows = [("a", datetime(1969, 12, 31, 23, 59, 30), 5.0),
+            ("a", datetime(1969, 12, 31, 23, 58, 45), 2.0),
+            ("a", datetime(1970, 1, 1, 0, 0, 30), 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp,"
+                                     " value double")
+    got = sorted(r["bucket_start"]
+                 for r in (OhlcRollup().setBucketWidthSec(60.0)
+                           .transform(df).collect()))
+    want = sorted(r["w"]["start"] for r in df.select(
+        F.window("ts", "60 seconds").alias("w")).distinct().collect())
+    assert got == want
+    assert got[0] == datetime(1969, 12, 31, 23, 58)
