@@ -64,8 +64,10 @@ class HasBinaryCol(Params):
 
 class HasDecoder(Params):
     decoder = Param(Params._dummy(), "decoder",
-                    "codec backend: 'fake' (deterministic stub) or a real "
-                    "library name ('pil', 'soundfile') if importable",
+                    "codec backend: 'fake' (deterministic stub), a "
+                    "dependency-free real format ('ppm' binary netpbm, "
+                    "'wav' stdlib RIFF PCM), or a real library name "
+                    "('pil', 'soundfile') if importable",
                     typeConverter=TypeConverters.toString)
 
     def __init__(self):
@@ -131,6 +133,81 @@ def fake_samples(payload: bytes, n: int) -> np.ndarray:
     return (raw - 128.0) / 128.0
 
 
+def decode_wav_bytes(payload: bytes) -> np.ndarray:
+    """REAL audio decode for RIFF/WAVE PCM via the stdlib ``wave``
+    module — no third-party codec needed, so the real-bytes path is
+    exercisable even where soundfile/libsndfile is absent. Returns
+    mono-folded float64 samples scaled to [-1, 1] (8-bit unsigned,
+    16/32-bit signed PCM). Non-PCM (e.g. float/IEEE, compressed) WAVs
+    raise — soundfile handles those via ``decoder='soundfile'``."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, _rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                   w.getframerate(), w.getnframes())
+        raw = w.readframes(nframes)
+    if sw == 1:  # unsigned 8-bit
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif sw == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.float64) \
+            / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        s = s[: (len(s) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return s
+
+
+def decode_ppm_bytes(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary netpbm (P5 grayscale / P6 RGB,
+    maxval <= 255) in pure numpy — a public uncompressed format that
+    keeps the real-image path testable without Pillow. RGB folds to
+    grayscale with the same ITU-R 601-2 luma weights PIL's
+    ``convert('L')`` uses, so 'ppm' and 'pil' agree on netpbm inputs.
+    Returns a (height, width) uint8 array."""
+    if not payload[:2] in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header: magic, width, height, maxval — '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end:end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("2-byte netpbm samples not supported; "
+                         "use decoder='pil'")
+    ch = 1 if payload[:2] == b"P5" else 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * ch,
+                       offset=pos)
+    if ch == 3:
+        rgb = px.reshape(height, width, 3).astype(np.uint32)
+        px = ((rgb[..., 0] * 299 + rgb[..., 1] * 587
+               + rgb[..., 2] * 114) // 1000).astype(np.uint8)
+    return px.reshape(height, width)
+
+
+def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbour resample of a 2-D array to (h, w) — the same
+    sample-point convention PIL's NEAREST uses (pixel centers)."""
+    sh, sw = img.shape
+    rows = np.minimum((np.arange(h) + 0.5) * sh / h, sh - 1).astype(int)
+    cols = np.minimum((np.arange(w) + 0.5) * sw / w, sw - 1).astype(int)
+    return img[rows][:, cols]
+
+
 def _passthrough_schema(df, extra: list[str],
                         exclude: tuple = ()) -> str:
     """mapInPandas schema string: the input fields (minus ``exclude``
@@ -189,8 +266,9 @@ class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
 
     def transform(self, df: DataFrame) -> DataFrame:
         dec = self.getDecoder()
-        if dec != "fake":
+        if dec not in ("fake", "ppm"):
             # fail fast on the driver; workers re-import by name below
+            # ('ppm' is pure numpy — nothing to import)
             _load_real_decoder(dec, {"pil": "PIL.Image"})
         bcol = self.getBinaryCol()
         h, w = self.getHeight(), self.getWidth()
@@ -204,6 +282,15 @@ class ImageDecoder(AlgoOperator, HasBinaryCol, HasDecoder):
                     return fake_pixels(
                         bytes(p) if p is not None else b"", h, w) \
                         .ravel().astype("int64").tolist()
+            elif dec == "ppm":
+                def px(p):
+                    # real decode, no library: binary netpbm →
+                    # grayscale + nearest resize; NULL payload → NULL
+                    if p is None:
+                        return None
+                    img = decode_ppm_bytes(bytes(p))
+                    return (_nearest_resize(img, h, w)
+                            .ravel().astype("int64").tolist())
             else:
                 import io
 
@@ -493,8 +580,9 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
 
     def transform(self, df: DataFrame) -> DataFrame:
         dec = self.getDecoder()
-        if dec != "fake":
+        if dec not in ("fake", "wav"):
             # fail fast on the driver; workers re-import by name below
+            # ('wav' is the stdlib wave module — always present)
             _load_real_decoder(dec, {"soundfile": "soundfile"})
         bcol = self.getBinaryCol()
         n = self.getOrDefault(self.sampleCount)
@@ -507,6 +595,13 @@ class AudioFeatureExtractor(AlgoOperator, HasBinaryCol, HasDecoder):
                 def samples(p):
                     return fake_samples(
                         bytes(p) if p is not None else b"", n)
+            elif dec == "wav":
+                def samples(p):
+                    # real decode via stdlib wave: RIFF PCM → mono
+                    # float64 in [-1, 1]; NULL payload → NULL feats
+                    if p is None:
+                        return None
+                    return decode_wav_bytes(bytes(p))
             else:
                 import io
 
