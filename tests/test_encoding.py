@@ -529,3 +529,74 @@ def test_table_profiler_hostile_column_names(spark):
     assert w["mean_value"] == 1.5
     q = got["it's \"quoted\""]
     assert q["n_distinct"] == 2 and q["mean_value"] is None
+
+
+def test_indexer_target_scaler_calibrators_apply_on_streams(spark):
+    """The remaining round-7 fitted appliers — StringIndexer and
+    TargetEncoder (stream-static broadcast joins), MinMax/MaxAbs
+    scalers (folded-literal maps), isotonic and Platt calibrators
+    (CASE chain / sigmoid) — chained over one unbounded stream,
+    row-for-row equal to the batch apply."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions import (
+        MaxAbsScaler,
+        MinMaxScaler,
+        StringIndexer,
+        TargetEncoder,
+    )
+    from flink_ml__spark.functions.evaluation import (
+        IsotonicCalibrator,
+        PlattCalibrator,
+    )
+
+    rows = [("a", 10.0, 0.9, 1), ("a", 20.0, 0.8, 1), ("b", -40.0, 0.3, 0),
+            ("b", 60.0, 0.7, 1), ("c", 100.0, 0.2, 0), (None, 7.0, 0.1, 0),
+            ("a", None, 0.55, 1), ("c", -5.0, None, 0)]
+    df = spark.createDataFrame(rows, "cat string, value double,"
+                                     " score double, label int")
+    si = (StringIndexer().setInputCol("cat").setOutputCol("cat_ix")
+          .fit(df))
+    te = (TargetEncoder().setInputCol("cat").setTargetCol("label")
+          .setOutputCol("cat_te").fit(df))
+    mm = (MinMaxScaler().setInputCol("value").setOutputCol("v_mm")
+          .fit(df))
+    ma = (MaxAbsScaler().setInputCol("value").setOutputCol("v_ma")
+          .fit(df))
+    iso = (IsotonicCalibrator().setLabelCol("label").setScoreCol("score")
+           .fit(df))
+    iso.setOutputCol("p_iso")
+    pl = (PlattCalibrator().setLabelCol("label").setScoreCol("score")
+          .fit(df))
+    pl.setOutputCol("p_platt")
+
+    def chain(frame):
+        out = si.transform(frame)
+        out = te.transform(out)
+        out = mm.transform(out)
+        out = ma.transform(out)
+        out = iso.transform(out)
+        return pl.transform(out)
+
+    cols = ["cat", "value", "score", "label", "cat_ix", "cat_te",
+            "v_mm", "v_ma", "p_iso", "p_platt"]
+
+    def canon(frame):
+        return sorted((tuple(r[c] for c in cols)
+                       for r in frame.collect()), key=repr)
+
+    batch = canon(chain(df))
+    d = _tf.mkdtemp(prefix="appliers_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = chain(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("appliersstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM appliersstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
