@@ -617,6 +617,117 @@ class SimHashDeduplicator(AlgoOperator, _MaterializeMixin,
         return _keep_non_dominated(df, dups, self.getIdCol())
 
 
+class MinHashTopK(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
+    """Ranked lexical similarity SEARCH via MinHash LSH: for every
+    query document, the ``k`` most Jaccard-similar corpus documents —
+    the retrieval complement to :class:`MinHashDeduplicator`'s boolean
+    dedup verdicts (near-dup mining, attribution, "show me training
+    docs like this eval example").
+
+    Pipeline: both sides shingle → minhash signature → band keys; a
+    band-key equi-join yields candidates (never all pairs); exact
+    n-gram Jaccard on the 60-bit shingle-hash sets re-ranks them; a
+    per-query ``row_number`` keeps the top ``k`` (ties break toward
+    the smaller doc id, so results are deterministic and
+    engine-portable). Self-matches (same id) are excluded.
+
+    100 TB design: candidate generation is the banded equi-join on
+    ~uniform hash keys (skew-free); the top-k window compiles to
+    WindowGroupLimit, so each task prunes to its local k BEFORE the
+    exchange — the shuffle carries O(k · tasks) rows per query, never
+    the candidate set. Recall follows the usual LSH S-curve: raise
+    ``bands`` for lower-similarity matches, ``numHashes`` for a
+    sharper threshold.
+    """
+
+    shingleSize = Param(Params._dummy(), "shingleSize",
+                        "words per shingle", TypeConverters.toInt)
+    numHashes = Param(Params._dummy(), "numHashes",
+                      "minhash signature length", TypeConverters.toInt)
+    bands = Param(Params._dummy(), "bands",
+                  "LSH bands (must divide numHashes)",
+                  TypeConverters.toInt)
+    k = Param(Params._dummy(), "k", "results kept per query",
+              TypeConverters.toInt)
+    minJaccard = Param(Params._dummy(), "minJaccard",
+                       "drop candidates below this exact Jaccard",
+                       TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", shingleSize=3, numHashes=12,
+                         bands=4, k=5, minJaccard=0.0)
+
+    def setShingleSize(self, v):
+        return self._set(shingleSize=v)
+
+    def setNumHashes(self, v):
+        return self._set(numHashes=v)
+
+    def setBands(self, v):
+        return self._set(bands=v)
+
+    def getK(self):
+        return self.getOrDefault(self.k)
+
+    def setK(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"k must be >= 1, got {v}")
+        return self._set(k=v)
+
+    def getMinJaccard(self):
+        return self.getOrDefault(self.minJaccard)
+
+    def setMinJaccard(self, v):
+        return self._set(minJaccard=float(v))
+
+    def _dedup(self) -> MinHashDeduplicator:
+        """Signature/banding twin — ONE parameterization shared with
+        the dedup operator, so an index persisted by either is valid
+        for both."""
+        return (MinHashDeduplicator()
+                .setInputCol(self.getInputCol())
+                .setIdCol(self.getIdCol())
+                .setSeed(self.getSeed())
+                .setShingleSize(self.getOrDefault(self.shingleSize))
+                .setNumHashes(self.getOrDefault(self.numHashes))
+                .setBands(self.getOrDefault(self.bands)))
+
+    def topk(self, queries: DataFrame, corpus: DataFrame) -> DataFrame:
+        """(query_id, doc_id, jaccard, rank) — top-k per query."""
+        from pyspark.sql import Window
+
+        d = self._dedup()
+        qh, ch = d.hashed_table(queries), d.hashed_table(corpus)
+        cand = (d.band_table(qh)
+                .select(F.col("__id").alias("query_id"), "__b")
+                .join(d.band_table(ch)
+                      .select(F.col("__id").alias("doc_id"), "__b"),
+                      "__b")
+                .filter(F.col("query_id") != F.col("doc_id"))
+                .select("query_id", "doc_id").distinct())
+        qx = qh.select(F.col("__id").alias("query_id"),
+                       F.col("__xs").alias("__qxs"))
+        cx = ch.select(F.col("__id").alias("doc_id"),
+                       F.col("__xs").alias("__cxs"))
+        jac = (F.size(F.array_intersect("__qxs", "__cxs"))
+               / F.size(F.array_union("__qxs", "__cxs")))
+        scored = (cand.join(qx, "query_id").join(cx, "doc_id")
+                  .select("query_id", "doc_id", jac.alias("jaccard"))
+                  .filter(F.col("jaccard").isNotNull()
+                          & (F.col("jaccard")
+                             >= self.getMinJaccard())))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("jaccard").desc(), F.col("doc_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getK()))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Self-search: every document queries the rest of the frame."""
+        return self.topk(df, df)
+
+
 class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
                                _PersistableIndexMixin, HasInputCol,
                                HasIdColMixin):

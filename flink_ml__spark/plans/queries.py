@@ -735,6 +735,78 @@ FROM pairs WHERE jaccard >= {t!r}
 """
 
 
+def q_minhash_topk_documents(spark, sf_dir):
+    """MinHashTopK gate: ranked Jaccard SEARCH (not dedup) — every
+    17th document queries the full corpus for its 3 most-similar
+    lexical neighbours via banded-LSH candidates + exact-Jaccard
+    re-rank + WindowGroupLimit top-k."""
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    docs = load_table(spark, "documents", sf_dir) \
+        .select("doc_id", "text")
+    # plant near-duplicates: every 3rd document gains an id-shifted
+    # copy with a short suffix, so queries have true high-Jaccard
+    # neighbours to rank (raw sf0.01 docs are mutually dissimilar)
+    planted = (docs.filter(F.col("doc_id") % 3 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat("text", F.lit(" trailing suffix"))
+                        .alias("text")))
+    corpus = docs.unionByName(planted)
+    queries = docs.filter(F.col("doc_id") % 17 == 0)
+    op = (MinHashTopK().setSeed(42).setK(3).setMinJaccard(0.05)
+          .setBands(12))  # rows-per-band=1: P(candidate)=1-(1-J)^12,
+    # high-recall search banding (vs the dedup default 4x3)
+    return (op.topk(queries, corpus)
+            .select("query_id", "doc_id",
+                    F.round("jaccard", R).alias("jaccard"), "rank"))
+
+
+def _oracle_minhash_topk() -> str:
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    op = MinHashTopK().setSeed(42).setK(3).setMinJaccard(0.05).setBands(12)
+    d = op._dedup()
+    coeffs = d.hash_coefficients()
+    rows = d.getNumHashes() // d.getBands()
+    sig_terms = ", ".join(
+        f"list_min(list_transform(xs.xs, x -> ({a} * (x % {MERSENNE31})"
+        f" + {b}) % {MERSENNE31}))"
+        for a, b in coeffs)
+    band_terms = ", ".join(
+        f"struct_pack(band := {b}, key := array_to_string("
+        f"list_slice(sig, {b * rows + 1}, {b * rows + rows}), ','))"
+        for b in range(d.getBands()))
+    return f"""
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' trailing suffix' AS text
+  FROM documents WHERE doc_id % 3 = 0),
+toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM corp),
+sh AS (SELECT doc_id, {_shingle_sql(d.getShingleSize())} AS sh
+       FROM toks),
+xs AS (SELECT doc_id, list_transform(sh, s -> {_H60.format(x='s')})
+         AS xs FROM sh),
+sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM xs),
+bands AS (SELECT doc_id, unnest([{band_terms}]) AS b FROM sig),
+cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS doc_id
+         FROM bands q JOIN bands c ON q.b = c.b
+         WHERE q.doc_id % 17 = 0 AND q.doc_id < 1000000
+           AND q.doc_id <> c.doc_id),
+j AS (SELECT cand.query_id, cand.doc_id,
+             len(list_intersect(qx.xs, cx.xs))::DOUBLE /
+             len(list_distinct(list_concat(qx.xs, cx.xs))) AS jaccard
+      FROM cand JOIN xs qx ON qx.doc_id = cand.query_id
+                JOIN xs cx ON cx.doc_id = cand.doc_id
+      WHERE len(list_distinct(list_concat(qx.xs, cx.xs))) > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY jaccard DESC, doc_id ASC) AS "rank"
+      FROM j WHERE jaccard >= {op.getMinJaccard()!r})
+SELECT query_id, doc_id, round(jaccard, {R}) AS jaccard, "rank"
+FROM r WHERE "rank" <= {op.getK()}
+"""
+
+
 def q_dedup_substring_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     op = SubstringDeduplicator().setSpanTokens(8)
@@ -6957,9 +7029,11 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "multimodal_scene_changes": q_multimodal_scene_changes,
     "quantize_embeddings": q_quantize_embeddings,
+    "minhash_topk_documents": q_minhash_topk_documents,
 }
 
 ORACLES = {
+    "minhash_topk_documents": _oracle_minhash_topk(),
     "url_parse_documents": ORACLE_URL_PARSE,
     "url_canonical_documents": ORACLE_URL_CANONICAL,
     "url_dedup_documents": ORACLE_URL_DEDUP,

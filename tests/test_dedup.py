@@ -536,3 +536,51 @@ def test_persistable_index_embedding_variant(spark, tmp_path):
     with _pytest.raises(ValueError, match="seed"):
         (EmbeddingCosineDeduplicator().setSeed(6).setIdCol("doc_id")
          .load_index(spark, p))
+
+
+def test_minhash_topk_search(spark):
+    """Ranked search: query 1's neighbours are its exact/near dups in
+    similarity order; self-match excluded; k and minJaccard cut."""
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    df = _df(spark)
+    op = MinHashTopK().setSeed(42).setK(3).setBands(12)
+    out = (op.topk(df.filter("doc_id = 1"), df)
+           .orderBy("rank").collect())
+    assert [r["doc_id"] for r in out] == [2, 3, 4]
+    assert out[0]["jaccard"] == 1.0          # exact dup
+    assert out[1]["jaccard"] == 1.0          # case/ws variant, same set
+    assert 0.5 < out[2]["jaccard"] < 1.0     # near dup
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["query_id"] == 1 for r in out)
+
+    # k cuts; minJaccard drops the tail
+    one = op.setK(1).topk(df.filter("doc_id = 1"), df).collect()
+    assert len(one) == 1 and one[0]["doc_id"] == 2
+    high = (op.setK(3).setMinJaccard(0.99)
+            .topk(df.filter("doc_id = 1"), df).collect())
+    assert {r["doc_id"] for r in high} == {2, 3}
+
+
+def test_minhash_topk_self_transform(spark):
+    """transform = self-search: unrelated docs (5, 6) find nothing at
+    a 0.3 floor; every doc_id 1-4 finds its dup group."""
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    op = (MinHashTopK().setSeed(42).setK(5).setBands(12)
+          .setMinJaccard(0.3))
+    got = {}
+    for r in op.transform(_df(spark)).collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert got.get(1) == {2, 3, 4}
+    assert got.get(4) == {1, 2, 3}
+    assert 5 not in got and 6 not in got
+
+
+def test_minhash_topk_validates_k(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    with _pytest.raises(ValueError):
+        MinHashTopK().setK(0)

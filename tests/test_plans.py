@@ -503,3 +503,13 @@ def test_ewma_single_window_pass_no_python(spark):
     assert "Python" not in plan
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_minhash_topk_banded_join_no_cartesian(spark):
+    """Search candidates come from the band-key equi-join and the
+    top-k window must plan as WindowGroupLimit (per-task k-prune
+    before the exchange) — never a cartesian over documents."""
+    plan = _plan(spark, "minhash_topk_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
