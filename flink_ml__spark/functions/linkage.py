@@ -576,3 +576,104 @@ class TableProfiler(AlgoOperator):
             F.when(F.col("__n") > 0,
                    F.col("n_null") / F.col("__n")).alias("null_frac"),
             "n_distinct", "min_value", "max_value", "mean_value")
+
+
+class JsonSchemaProfiler(AlgoOperator, HasInputCol):
+    """Schema inference over a semi-structured JSON string column —
+    the first pass over an unfamiliar event/metadata feed: which
+    top-level keys exist, how often, with what value types.
+
+    Output, one row per top-level key::
+
+        key             top-level object key
+        n_present       documents containing the key (any value,
+                        including JSON null)
+        frac_present    n_present / parsed-object count
+        n_string n_number n_boolean n_null n_object n_array
+                        value-type tallies (JSON type classes;
+                        ints and floats both count as number)
+        dominant_type   the most frequent class (ties alphabetical)
+
+    Documents that are NULL, malformed JSON, or non-objects are
+    excluded from the denominator. Top-level keys only by design —
+    re-apply the profiler to an extracted subdocument
+    (``get_json_object(col, '$.nested')``) to descend one level.
+
+    100 TB design: Catalyst has no dynamic-typed per-key extraction,
+    so typing is ONE Arrow ``mapInPandas`` pass that emits per-BATCH
+    partial counts (key, type, count) — traffic is O(distinct keys ×
+    7 types) per batch, never per row — followed by a single
+    O(keys·types) aggregation; the parsed-doc denominator rides the
+    same stream as a sentinel row, so the whole profile is one scan
+    plus one tiny shuffle.
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c = self.getInputCol()
+        sch = "key string, vtype string, cnt long"
+
+        def partials(batches):
+            import json
+            from collections import Counter
+
+            import pandas as pd
+
+            def vclass(v):
+                if v is None:
+                    return "null"
+                if isinstance(v, bool):   # before int: bool <: int
+                    return "boolean"
+                if isinstance(v, (int, float)):
+                    return "number"
+                if isinstance(v, str):
+                    return "string"
+                if isinstance(v, dict):
+                    return "object"
+                return "array"
+
+            for pdf in batches:
+                counts: Counter = Counter()
+                n_docs = 0
+                for s in pdf[c]:
+                    if s is None:
+                        continue
+                    try:
+                        obj = json.loads(s)
+                    except (ValueError, TypeError):
+                        continue
+                    if not isinstance(obj, dict):
+                        continue
+                    n_docs += 1
+                    for k, v in obj.items():
+                        counts[(k, vclass(v))] += 1
+                out = [(k, t, n) for (k, t), n in counts.items()]
+                out.append(("", "__doc__", n_docs))
+                yield pd.DataFrame(out, columns=["key", "vtype", "cnt"])
+
+        from flink_ml__spark.base import ensure_min_parallelism
+
+        parts = (ensure_min_parallelism(df.select(c))
+                 .mapInPandas(partials, sch))
+        merged = (parts.groupBy("key", "vtype")
+                  .agg(F.sum("cnt").alias("n")))
+        docs = (merged.filter(F.col("vtype") == "__doc__")
+                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__docs")))
+        types = ["string", "number", "boolean", "null", "object",
+                 "array"]
+        pivoted = (merged.filter(F.col("vtype") != "__doc__")
+                   .groupBy("key")
+                   .pivot("vtype", types).agg(F.first("n"))
+                   .na.fill(0, types))
+        present = sum((F.col(t) for t in types[1:]), F.col(types[0]))
+        dom = F.array_sort(F.array(*[
+            F.struct((-F.col(t)).alias("neg"), F.lit(t).alias("t"))
+            for t in types]))[0]["t"]
+        return (pivoted.crossJoin(F.broadcast(docs))
+                .select(
+                    "key",
+                    present.alias("n_present"),
+                    F.when(F.col("__docs") > 0,
+                           present / F.col("__docs"))
+                     .alias("frac_present"),
+                    *[F.col(t).alias(f"n_{t}") for t in types],
+                    dom.alias("dominant_type")))

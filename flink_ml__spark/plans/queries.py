@@ -2158,6 +2158,88 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_schema_events(spark, sf_dir):
+    """JsonSchemaProfiler gate: infer the key/type profile of a
+    synthesized semi-structured column (conditional keys, mixed value
+    classes, malformed docs, NULLs) built identically in both engines
+    from integer/string event fields."""
+    from flink_ml__spark.functions.linkage import JsonSchemaProfiler
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    built = F.concat(
+        F.lit('{"id": '), k.cast("string"),
+        F.lit(', "type": "'), F.col("event_type"), F.lit('"'),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(', "uid": '),
+                        F.col("user_id").cast("string")))
+         .otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit(', "flags": [1, 2]'))
+         .otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit(', "extra": null'))
+         .otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit(', "meta": {"a": true}'))
+         .otherwise(F.lit("")),
+        F.lit("}"))
+    j = (F.when(k % 13 == 0, F.lit('{"broken": '))
+          .when(k % 17 == 0, F.lit(None).cast("string"))
+          .otherwise(built))
+    prof = (JsonSchemaProfiler().setInputCol("j")
+            .transform(ev.select(j.alias("j"))))
+    return prof.select(
+        "key", "n_present",
+        F.round("frac_present", R).alias("frac_present"),
+        "n_string", "n_number", "n_boolean", "n_null",
+        "n_object", "n_array", "dominant_type")
+
+
+_JSP_TYPES = ["string", "number", "boolean", "null", "object", "array"]
+
+ORACLE_JSON_SCHEMA = f"""
+WITH built AS (
+  SELECT CASE
+      WHEN event_id % 13 = 0 THEN '{{"broken": '
+      WHEN event_id % 17 = 0 THEN NULL
+      ELSE '{{"id": ' || event_id || ', "type": "' || event_type || '"'
+           || CASE WHEN event_id % 3 = 0
+                   THEN ', "uid": ' || user_id ELSE '' END
+           || CASE WHEN event_id % 5 = 0
+                   THEN ', "flags": [1, 2]' ELSE '' END
+           || CASE WHEN event_id % 7 = 0
+                   THEN ', "extra": null' ELSE '' END
+           || CASE WHEN event_id % 11 = 0
+                   THEN ', "meta": {{"a": true}}' ELSE '' END
+           || '}}' END AS j
+  FROM events),
+objs AS (SELECT j FROM built
+         WHERE j IS NOT NULL AND json_valid(j)
+           AND json_type(j::JSON) = 'OBJECT'),
+docs AS (SELECT count(*) AS n FROM objs),
+typed AS (SELECT key,
+                 CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                        THEN 'number'
+                      WHEN t = 'VARCHAR' THEN 'string'
+                      WHEN t = 'BOOLEAN' THEN 'boolean'
+                      WHEN t = 'NULL' THEN 'null'
+                      WHEN t = 'OBJECT' THEN 'object'
+                      ELSE 'array' END AS cls
+          FROM (SELECT coalesce(json_type(j::JSON, key), 'NULL') AS t,
+                       key
+                FROM (SELECT j, unnest(json_keys(j)) AS key
+                      FROM objs))),
+agg AS (SELECT key,
+  {", ".join(f"sum(CASE WHEN cls = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}" for t in _JSP_TYPES)}
+  FROM typed GROUP BY key)
+SELECT key,
+       ({" + ".join(f"n_{t}" for t in _JSP_TYPES)}) AS n_present,
+       round(({" + ".join(f"n_{t}" for t in _JSP_TYPES)})::DOUBLE
+             / (SELECT n FROM docs), {R}) AS frac_present,
+       {", ".join(f"n_{t}" for t in _JSP_TYPES)},
+       list_sort([{", ".join(f"struct_pack(neg := -n_{t}, t := '{t}')" for t in _JSP_TYPES)}])[1].t AS dominant_type
+FROM agg
+"""
+
+
 def q_hybrid_rrf_documents(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 and exact cosine top-10
     (doc_id and vec_id share the id space) fused with reciprocal rank
@@ -7030,9 +7112,11 @@ QUERIES = {
     "multimodal_scene_changes": q_multimodal_scene_changes,
     "quantize_embeddings": q_quantize_embeddings,
     "minhash_topk_documents": q_minhash_topk_documents,
+    "json_schema_events": q_json_schema_events,
 }
 
 ORACLES = {
+    "json_schema_events": ORACLE_JSON_SCHEMA,
     "minhash_topk_documents": _oracle_minhash_topk(),
     "url_parse_documents": ORACLE_URL_PARSE,
     "url_canonical_documents": ORACLE_URL_CANONICAL,

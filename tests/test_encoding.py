@@ -600,3 +600,58 @@ def test_indexer_target_scaler_calibrators_apply_on_streams(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------- json schema profiler
+
+def test_json_schema_profiler(spark):
+    import math
+
+    from flink_ml__spark.functions.linkage import JsonSchemaProfiler
+
+    rows = [
+        (1, '{"a": 1, "b": "x", "c": null}'),
+        (2, '{"a": 2.5, "b": true, "d": [1, 2]}'),
+        (3, '{"a": "s", "e": {"n": 1}}'),
+        (4, "not json"),          # malformed: excluded from denominator
+        (5, None),                # NULL: excluded
+        (6, "[1, 2, 3]"),         # non-object: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, j string")
+    got = {r["key"]: r for r in (JsonSchemaProfiler().setInputCol("j")
+                                 .transform(df).collect())}
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    a = got["a"]
+    assert a["n_present"] == 3 and math.isclose(a["frac_present"], 1.0)
+    assert (a["n_number"], a["n_string"]) == (2, 1)
+    assert a["dominant_type"] == "number"
+    b = got["b"]
+    assert (b["n_string"], b["n_boolean"]) == (1, 1)
+    # tie breaks alphabetically
+    assert b["dominant_type"] == "boolean"
+    assert got["c"]["n_null"] == 1 and got["c"]["dominant_type"] == "null"
+    assert got["d"]["n_array"] == 1 and got["e"]["n_object"] == 1
+    assert math.isclose(got["e"]["frac_present"], 1 / 3)
+
+
+def test_json_schema_profiler_bool_is_not_number(spark):
+    """bool <: int in Python — the classifier must check bool first."""
+    from flink_ml__spark.functions.linkage import JsonSchemaProfiler
+
+    df = spark.createDataFrame(
+        [(1, '{"f": true}'), (2, '{"f": false}'), (3, '{"f": 0}')],
+        "id long, j string")
+    r = (JsonSchemaProfiler().setInputCol("j").transform(df)
+         .collect())[0]
+    assert (r["n_boolean"], r["n_number"]) == (2, 1)
+    assert r["dominant_type"] == "boolean"
+
+
+def test_json_schema_profiler_all_invalid(spark):
+    """No parseable objects: empty profile, no division error."""
+    from flink_ml__spark.functions.linkage import JsonSchemaProfiler
+
+    df = spark.createDataFrame([(1, "nope"), (2, None)],
+                               "id long, j string")
+    assert (JsonSchemaProfiler().setInputCol("j").transform(df)
+            .count()) == 0
