@@ -62,6 +62,7 @@ from flink_ml__spark.base import (
     HasInputCol,
     HasMaxIter,
     HasRelativeError,
+    ensure_min_parallelism,
 )
 from flink_ml__spark.functions.dedup import (
     HasIdColMixin,
@@ -2481,3 +2482,153 @@ class NegativeSampler(AlgoOperator, HasIdColMixin):
     def transform(self, df: DataFrame) -> DataFrame:
         """Self-corpus sampling: every row is an anchor."""
         return self.sample(df, df)
+
+
+class ContentDefinedChunker(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Content-defined chunking (CDC): split documents at positions
+    where a 32-character Gear rolling hash of the trailing text hits a
+    mask — so chunk boundaries move WITH the content, and an insertion
+    near the front of a document shifts only the chunks it touches
+    (fixed-size chunking would re-cut everything downstream). Chunk
+    hashes then support insertion-robust chunk-level dedup / delta
+    storage (Manber, "Finding similar files in a large file system",
+    USENIX 1994; FastCDC, Xia et al., USENIX ATC 2016).
+
+    One output row per chunk::
+
+        chunk_index  int     1-based within the document
+        chunk_start  int     1-based character offset
+        chunk_len    int     characters
+        chunk_text   string
+        chunk_hash   string  md5 of the chunk text
+
+    Boundary rule (engine-portable, oracle-replayable): after
+    character ``i`` iff ``h_i % 2^maskBits == 0``, where ``h_i`` is
+    the Gear hash ``h_i = (2·h_{i-1} + g(c_i)) mod 2^32`` with
+    per-codepoint gear values ``g(c) = md5-60bit(str(codepoint)) mod
+    2^31``. The recursion has a closed form — the 32-term shifted sum
+    ``Σ_j g(c_{i-j})·2^j mod 2^32`` — which is what the DuckDB oracle
+    replays; expected chunk length is ``2^maskBits`` characters.
+
+    ``minChunk``/``maxChunk`` add the FastCDC size clamps (skip
+    boundaries closer than ``minChunk`` to the previous cut; force a
+    cut at ``maxChunk``). The clamp decision is inherently sequential
+    per document, which is why the whole operator is one Arrow
+    ``mapInPandas`` pass — per-document state never crosses rows, so
+    it partitions perfectly. With the default ``minChunk=1`` and no
+    ``maxChunk`` the cut set is a pure position predicate (the
+    SQL-oracle mode).
+
+    100 TB design: map-only (no shuffle); output size = input size +
+    O(1) per chunk. Gear values are memoized per distinct codepoint
+    inside each Python worker. NULL/empty documents emit no rows.
+    """
+
+    maskBits = Param(Params._dummy(), "maskBits",
+                     "boundary mask width; expected chunk = 2^maskBits"
+                     " chars", TypeConverters.toInt)
+    minChunk = Param(Params._dummy(), "minChunk",
+                     "suppress boundaries closer than this to the "
+                     "previous cut", TypeConverters.toInt)
+    maxChunk = Param(Params._dummy(), "maxChunk",
+                     "force a cut at this length (0 = no cap)",
+                     TypeConverters.toInt)
+
+    GEAR_MOD = 1 << 32
+    GEAR_VAL_MOD = 1 << 31
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id", maskBits=6,
+                         minChunk=1, maxChunk=0)
+
+    def setMaskBits(self, v):
+        v = int(v)
+        if not 1 <= v <= 31:
+            raise ValueError(f"maskBits must be in [1, 31], got {v}")
+        return self._set(maskBits=v)
+
+    def setMinChunk(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"minChunk must be >= 1, got {v}")
+        return self._set(minChunk=v)
+
+    def setMaxChunk(self, v):
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"maxChunk must be >= 0, got {v}")
+        return self._set(maxChunk=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        c = self.getInputCol()
+        mask = (1 << self.getOrDefault(self.maskBits)) - 1
+        mn = self.getOrDefault(self.minChunk)
+        mx = self.getOrDefault(self.maxChunk)
+        if mx and mx < mn:
+            raise ValueError("maxChunk must be >= minChunk")
+        id_type = df.schema[idc].dataType.simpleString()
+        sch = (f"{idc} {id_type}, chunk_index int, chunk_start int,"
+               " chunk_len int, chunk_text string, chunk_hash string")
+
+        def chunks(batches):
+            import hashlib
+
+            import pandas as pd
+
+            gear: dict[int, int] = {}
+
+            def g(cp: int) -> int:
+                v = gear.get(cp)
+                if v is None:
+                    v = int(hashlib.md5(str(cp).encode("ascii"))
+                            .hexdigest()[:15], 16) % self.GEAR_VAL_MOD
+                    gear[cp] = v
+                return v
+
+            def cut_points(text: str) -> list[int]:
+                h, last, out = 0, 0, []
+                for i, ch in enumerate(text, start=1):
+                    h = (2 * h + g(ord(ch))) % self.GEAR_MOD
+                    if i == len(text):
+                        break
+                    if mx and i - last >= mx:
+                        out.append(i)
+                        last = i
+                        continue
+                    if (h & mask) == 0 and i - last >= mn:
+                        out.append(i)
+                        last = i
+                return out
+
+            for pdf in batches:
+                rows = []
+                for did, text in zip(pdf[idc], pdf[c]):
+                    if text is None or not len(text):
+                        continue
+                    bounds = [0] + cut_points(text) + [len(text)]
+                    for k in range(len(bounds) - 1):
+                        lo, hi = bounds[k], bounds[k + 1]
+                        piece = text[lo:hi]
+                        rows.append((
+                            did, k + 1, lo + 1, hi - lo, piece,
+                            hashlib.md5(piece.encode("utf-8"))
+                            .hexdigest()))
+                yield pd.DataFrame(
+                    rows, columns=[idc, "chunk_index", "chunk_start",
+                                   "chunk_len", "chunk_text",
+                                   "chunk_hash"])
+
+        return (ensure_min_parallelism(df.select(idc, c))
+                .mapInPandas(chunks, sch))
+
+    def duplicate_chunks(self, chunked: DataFrame) -> DataFrame:
+        """(chunk_hash, n_docs, n_occurrences) for chunks seen more
+        than once — the chunk-level dedup ledger. One aggregation on
+        the already-content-keyed hash."""
+        idc = self.getIdCol()
+        return (chunked.groupBy("chunk_hash")
+                .agg(F.countDistinct(idc).alias("n_docs"),
+                     F.count(F.lit(1)).alias("n_occurrences"))
+                .filter(F.col("n_occurrences") > 1))

@@ -2240,6 +2240,54 @@ FROM agg
 """
 
 
+def q_cdc_chunks_documents(spark, sf_dir):
+    """ContentDefinedChunker gate (pure-predicate mode, minChunk=1,
+    no maxChunk): Gear-hash chunk boundaries, offsets, lengths and
+    chunk md5s over every 5th document — the DuckDB oracle replays
+    the rolling hash through its 32-term shifted-sum closed form."""
+    from flink_ml__spark.functions.curation import ContentDefinedChunker
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .filter(F.col("doc_id") % 5 == 0))
+    op = ContentDefinedChunker()  # maskBits=6 default
+    return op.transform(docs).select(
+        "doc_id", "chunk_index", "chunk_start", "chunk_len",
+        "chunk_hash")
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % 5 = 0 AND text IS NOT NULL
+                AND length(text) > 0),
+gears AS (SELECT doc_id, text,
+  list_transform(range(1, length(text) + 1),
+    i -> ('0x' || substr(md5(ascii(substr(text, i, 1))::VARCHAR),
+          1, 15))::BIGINT % 2147483648) AS gv
+  FROM docs),
+hs AS (SELECT doc_id, text,
+  list_transform(range(1, len(gv) + 1), i ->
+    ((list_sum(list_transform(range(0, least(32, i)),
+       j -> gv[i - j]::HUGEINT * ([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304, 8388608, 16777216, 33554432, 67108864, 134217728, 268435456, 536870912, 1073741824, 2147483648])[j + 1]::HUGEINT))
+      % 4294967296))::BIGINT) AS h
+  FROM gears),
+bounds AS (SELECT doc_id, text,
+  list_concat(list_concat([0::BIGINT],
+              list_filter(range(1, length(text)),
+                          i -> (h[i] % 64) = 0)),
+              [length(text)::BIGINT]) AS b
+  FROM hs),
+ex AS (SELECT doc_id, text, b,
+              unnest(range(1, len(b))) AS k
+       FROM bounds)
+SELECT doc_id, k::INT AS chunk_index,
+       (b[k] + 1)::INT AS chunk_start,
+       (b[k + 1] - b[k])::INT AS chunk_len,
+       md5(substr(text, (b[k] + 1)::INT, (b[k + 1] - b[k])::INT))
+         AS chunk_hash
+FROM ex
+"""
+
+
 def q_hybrid_rrf_documents(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-10 and exact cosine top-10
     (doc_id and vec_id share the id space) fused with reciprocal rank
@@ -7113,9 +7161,11 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "minhash_topk_documents": q_minhash_topk_documents,
     "json_schema_events": q_json_schema_events,
+    "cdc_chunks_documents": q_cdc_chunks_documents,
 }
 
 ORACLES = {
+    "cdc_chunks_documents": ORACLE_CDC_CHUNKS,
     "json_schema_events": ORACLE_JSON_SCHEMA,
     "minhash_topk_documents": _oracle_minhash_topk(),
     "url_parse_documents": ORACLE_URL_PARSE,

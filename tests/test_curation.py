@@ -1078,3 +1078,73 @@ def test_negative_sampler_empty_corpus_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty corpus"):
         NegativeSampler().sample(df, df)
+
+
+# ------------------------------------------------ content-defined chunks
+
+def test_cdc_chunker_reassembles_and_is_insertion_robust(spark):
+    from flink_ml__spark.functions.curation import ContentDefinedChunker
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the forest while birds sing ") * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX " + base), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = ContentDefinedChunker().setMaskBits(5).transform(df).toPandas()
+    assert set(out.doc_id) == {1, 2}    # NULL/empty emit nothing
+    d1 = out[out.doc_id == 1].sort_values("chunk_index")
+    assert "".join(d1.chunk_text) == base
+    assert list(d1.chunk_index) == list(range(1, len(d1) + 1))
+    assert (d1.chunk_len == d1.chunk_text.str.len()).all()
+    # content-defined: an insertion at the front leaves most of the
+    # downstream chunking untouched
+    h1 = set(d1.chunk_hash)
+    h2 = set(out[out.doc_id == 2].chunk_hash)
+    assert len(h1 & h2) / len(h1) > 0.7
+
+
+def test_cdc_chunker_min_max_clamps(spark):
+    from flink_ml__spark.functions.curation import ContentDefinedChunker
+
+    text = "abcdefgh " * 40
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    base = (ContentDefinedChunker().setMaskBits(3).transform(df)
+            .toPandas())
+    clamped = (ContentDefinedChunker().setMaskBits(3).setMinChunk(12)
+               .setMaxChunk(24).transform(df).toPandas())
+    assert (clamped.chunk_len >= 12).iloc[:-1].all()  # tail may be short
+    assert (clamped.chunk_len <= 24).all()
+    assert not (base.chunk_len <= 24).all() or (base.chunk_len < 12).any()
+    # clamps never break reassembly
+    assert "".join(clamped.sort_values("chunk_index").chunk_text) == text
+
+
+def test_cdc_chunker_duplicate_chunks_ledger(spark):
+    from flink_ml__spark.functions.curation import ContentDefinedChunker
+
+    shared = ("common boilerplate that appears in both documents and "
+              "is long enough to form several chunks of text here ") * 3
+    df = spark.createDataFrame(
+        [(1, shared + "unique tail one"),
+         (2, shared + "completely different ending text")],
+        "doc_id long, text string")
+    op = ContentDefinedChunker().setMaskBits(4)
+    dup = op.duplicate_chunks(op.transform(df)).toPandas()
+    assert len(dup) > 0
+    assert (dup.n_docs == 2).any()          # cross-doc shared chunks
+    assert (dup.n_occurrences >= 2).all()
+
+
+def test_cdc_chunker_validates_params(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.curation import ContentDefinedChunker
+
+    with _pytest.raises(ValueError):
+        ContentDefinedChunker().setMaskBits(0)
+    with _pytest.raises(ValueError):
+        ContentDefinedChunker().setMinChunk(0)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        (ContentDefinedChunker().setMinChunk(10).setMaxChunk(5)
+         .transform(df))
