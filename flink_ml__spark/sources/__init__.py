@@ -3,6 +3,8 @@ from flink_ml__spark.sources.registry import (
     load_table,
     read_csv,
     read_json,
+    read_jsonl_stream,
+    read_kafka_json,
     read_stream,
     register_tables,
     write_bucketed_table,
@@ -11,6 +13,7 @@ from flink_ml__spark.sources.registry import (
     zorder_key,
 )
 
-__all__ = ["TABLES", "load_table", "read_csv", "read_json", "read_stream",
+__all__ = ["TABLES", "load_table", "read_csv", "read_json",
+           "read_jsonl_stream", "read_kafka_json", "read_stream",
            "register_tables", "write_bucketed_table", "write_parquet",
            "write_zorder_parquet", "zorder_key"]
