@@ -677,3 +677,48 @@ class JsonSchemaProfiler(AlgoOperator, HasInputCol):
                      .alias("frac_present"),
                     *[F.col(t).alias(f"n_{t}") for t in types],
                     dom.alias("dominant_type")))
+
+    def drift(self, ref: DataFrame, cur: DataFrame) -> DataFrame:
+        """Schema drift between two snapshots of a JSON feed: profile
+        both frames and report, per top-level key::
+
+            status          'added' | 'removed' | 'common'
+            ref_present cur_present      presence counts (0 if absent)
+            ref_frac cur_frac            presence rates (0.0 if absent)
+            frac_shift                   cur_frac - ref_frac
+            ref_dominant cur_dominant    dominant type class (NULL if
+                                         absent on that side)
+            type_changed                 dominant class differs (common
+                                         keys only; False otherwise)
+
+        The upstream-producer alarms a pipeline wants before a
+        deploy: new keys, dropped keys, a field that silently went
+        from number to string, a mostly-present field going sparse.
+        Cost is two profiler passes (one scan each) joined on the
+        O(keys) results.
+        """
+        p_ref = self.transform(ref).select(
+            "key", F.col("n_present").alias("ref_present"),
+            F.col("frac_present").alias("ref_frac"),
+            F.col("dominant_type").alias("ref_dominant"))
+        p_cur = self.transform(cur).select(
+            "key", F.col("n_present").alias("cur_present"),
+            F.col("frac_present").alias("cur_frac"),
+            F.col("dominant_type").alias("cur_dominant"))
+        j = p_ref.join(p_cur, "key", "full_outer")
+        status = (F.when(F.col("ref_present").isNull(), F.lit("added"))
+                  .when(F.col("cur_present").isNull(), F.lit("removed"))
+                  .otherwise(F.lit("common")))
+        return j.select(
+            "key", status.alias("status"),
+            F.coalesce("ref_present", F.lit(0)).alias("ref_present"),
+            F.coalesce("cur_present", F.lit(0)).alias("cur_present"),
+            F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
+            F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
+            (F.coalesce("cur_frac", F.lit(0.0))
+             - F.coalesce("ref_frac", F.lit(0.0))).alias("frac_shift"),
+            "ref_dominant", "cur_dominant",
+            F.when(F.col("ref_dominant").isNotNull()
+                   & F.col("cur_dominant").isNotNull(),
+                   F.col("ref_dominant") != F.col("cur_dominant"))
+             .otherwise(F.lit(False)).alias("type_changed"))

@@ -2240,6 +2240,121 @@ FROM agg
 """
 
 
+def q_json_drift_events(spark, sf_dir):
+    """JsonSchemaProfiler.drift gate: even-id events are the reference
+    feed, odd-id events a drifted deploy — "uid" silently becomes a
+    string, "extra" disappears, "v2" appears — and the report must
+    call out each, with presence-rate shifts, identically to the
+    two-profile DuckDB replay."""
+    from flink_ml__spark.functions.linkage import JsonSchemaProfiler
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+
+    def build(frame, drifted):
+        uid = (F.concat(F.lit(', "uid": "u'),
+                        F.col("user_id").cast("string"), F.lit('"'))
+               if drifted else
+               F.concat(F.lit(', "uid": '),
+                        F.col("user_id").cast("string")))
+        parts = [
+            F.lit('{"id": '), k.cast("string"),
+            F.lit(', "type": "'), F.col("event_type"), F.lit('"'),
+            F.when(k % 3 == 0, uid).otherwise(F.lit("")),
+            F.when(k % 5 == 0, F.lit(', "flags": [1, 2]'))
+             .otherwise(F.lit("")),
+        ]
+        if drifted:
+            parts.append(F.when(k % 3 == 0, F.lit(', "v2": true'))
+                          .otherwise(F.lit("")))
+        else:
+            parts.append(F.when(k % 7 == 0, F.lit(', "extra": null'))
+                          .otherwise(F.lit("")))
+        parts.append(F.lit("}"))
+        return frame.select(F.concat(*parts).alias("j"))
+
+    ref = build(ev.filter(k % 2 == 0), drifted=False)
+    cur = build(ev.filter(k % 2 == 1), drifted=True)
+    rep = (JsonSchemaProfiler().setInputCol("j").drift(ref, cur))
+    return rep.select(
+        "key", "status", "ref_present", "cur_present",
+        F.round("ref_frac", R).alias("ref_frac"),
+        F.round("cur_frac", R).alias("cur_frac"),
+        F.round("frac_shift", R).alias("frac_shift"),
+        "ref_dominant", "cur_dominant", "type_changed")
+
+
+def _jsp_drift_oracle() -> str:
+    def built(par, drifted):
+        uid = ("""', "uid": "u' || user_id || '"'"""
+               if drifted else """', "uid": ' || user_id""")
+        tail = ("""|| CASE WHEN event_id % 3 = 0 THEN ', "v2": true'
+                 ELSE '' END""" if drifted else
+                """|| CASE WHEN event_id % 7 = 0
+                 THEN ', "extra": null' ELSE '' END""")
+        return f"""
+  SELECT '{{"id": ' || event_id || ', "type": "' || event_type || '"'
+         || CASE WHEN event_id % 3 = 0 THEN {uid} ELSE '' END
+         || CASE WHEN event_id % 5 = 0 THEN ', "flags": [1, 2]'
+                 ELSE '' END
+         {tail}
+         || '}}' AS j
+  FROM events WHERE event_id % 2 = {par}"""
+
+    def profile(p, src_sql):
+        counts = ", ".join(
+            f"sum(CASE WHEN cls = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_{t}" for t in _JSP_TYPES)
+        present = " + ".join(f"n_{t}" for t in _JSP_TYPES)
+        dom = ", ".join(f"struct_pack(neg := -n_{t}, t := '{t}')"
+                        for t in _JSP_TYPES)
+        return f"""
+{p}built AS ({src_sql}),
+{p}objs AS (SELECT j FROM {p}built
+            WHERE j IS NOT NULL AND json_valid(j)
+              AND json_type(j::JSON) = 'OBJECT'),
+{p}docs AS (SELECT count(*) AS n FROM {p}objs),
+{p}typed AS (SELECT key,
+                 CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                        THEN 'number'
+                      WHEN t = 'VARCHAR' THEN 'string'
+                      WHEN t = 'BOOLEAN' THEN 'boolean'
+                      WHEN t = 'NULL' THEN 'null'
+                      WHEN t = 'OBJECT' THEN 'object'
+                      ELSE 'array' END AS cls
+          FROM (SELECT coalesce(json_type(j::JSON, key), 'NULL') AS t,
+                       key
+                FROM (SELECT j, unnest(json_keys(j)) AS key
+                      FROM {p}objs))),
+{p}agg AS (SELECT key, {counts} FROM {p}typed GROUP BY key),
+{p}profile AS (
+  SELECT key, ({present}) AS n_present,
+         ({present})::DOUBLE / (SELECT n FROM {p}docs) AS frac,
+         list_sort([{dom}])[1].t AS dominant
+  FROM {p}agg)"""
+
+    return f"""
+WITH {profile("r_", built(0, False))},
+{profile("c_", built(1, True))}
+SELECT coalesce(r.key, c.key) AS key,
+       CASE WHEN r.key IS NULL THEN 'added'
+            WHEN c.key IS NULL THEN 'removed'
+            ELSE 'common' END AS status,
+       coalesce(r.n_present, 0) AS ref_present,
+       coalesce(c.n_present, 0) AS cur_present,
+       round(coalesce(r.frac, 0.0), {R}) AS ref_frac,
+       round(coalesce(c.frac, 0.0), {R}) AS cur_frac,
+       round(coalesce(c.frac, 0.0) - coalesce(r.frac, 0.0), {R})
+         AS frac_shift,
+       r.dominant AS ref_dominant,
+       c.dominant AS cur_dominant,
+       CASE WHEN r.dominant IS NOT NULL AND c.dominant IS NOT NULL
+            THEN r.dominant <> c.dominant ELSE FALSE END
+         AS type_changed
+FROM r_profile r FULL OUTER JOIN c_profile c USING (key)
+"""
+
+
 def q_cdc_chunks_documents(spark, sf_dir):
     """ContentDefinedChunker gate (pure-predicate mode, minChunk=1,
     no maxChunk): Gear-hash chunk boundaries, offsets, lengths and
@@ -7162,9 +7277,11 @@ QUERIES = {
     "minhash_topk_documents": q_minhash_topk_documents,
     "json_schema_events": q_json_schema_events,
     "cdc_chunks_documents": q_cdc_chunks_documents,
+    "json_drift_events": q_json_drift_events,
 }
 
 ORACLES = {
+    "json_drift_events": _jsp_drift_oracle(),
     "cdc_chunks_documents": ORACLE_CDC_CHUNKS,
     "json_schema_events": ORACLE_JSON_SCHEMA,
     "minhash_topk_documents": _oracle_minhash_topk(),

@@ -655,3 +655,28 @@ def test_json_schema_profiler_all_invalid(spark):
                                "id long, j string")
     assert (JsonSchemaProfiler().setInputCol("j").transform(df)
             .count()) == 0
+
+
+def test_json_schema_drift(spark):
+    from flink_ml__spark.functions.linkage import JsonSchemaProfiler
+
+    ref = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "b": "y"}'),
+         (3, '{"a": 3, "old": true}')], "id long, j string")
+    cur = spark.createDataFrame(
+        [(1, '{"a": "one", "b": "x"}'), (2, '{"a": "two", "nu": 1}')],
+        "id long, j string")
+    got = {r["key"]: r for r in
+           (JsonSchemaProfiler().setInputCol("j").drift(ref, cur)
+            .collect())}
+    assert got["old"]["status"] == "removed"
+    assert got["nu"]["status"] == "added"
+    assert got["nu"]["ref_present"] == 0 and got["nu"]["cur_present"] == 1
+    a = got["a"]
+    assert a["status"] == "common" and a["type_changed"]
+    assert (a["ref_dominant"], a["cur_dominant"]) == ("number", "string")
+    b = got["b"]
+    assert not b["type_changed"]
+    assert abs(b["frac_shift"] - (1 / 2 - 2 / 3)) < 1e-12
+    # added/removed never flag a type change
+    assert not got["old"]["type_changed"] and not got["nu"]["type_changed"]
