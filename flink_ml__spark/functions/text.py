@@ -785,3 +785,73 @@ class ReadabilityScorer(AlgoOperator, HasInputCol):
                 .withColumn("fk_grade",
                             F.when(has, 0.39 * wps + 11.8 * spw
                                    - 15.59)))
+
+
+class HashedTfEmbedder(AlgoOperator, HasInputCol, HasOutputCol):
+    """Text → L2-normalized hashed term-frequency vector
+    (``array<double>``, the hashing trick of Weinberger et al.,
+    "Feature hashing for large scale multitask learning", ICML 2009)
+    — the model-free bridge from the text operators to the embedding
+    family: its output feeds :class:`~flink_ml__spark.functions.
+    similarity.CosineTopK` / IVF ANN / ``EmbeddingCosineDeduplicator``
+    directly, giving lexical-cosine retrieval and dedup with no
+    trained model and no vocabulary state.
+
+    Each token lands in bucket ``md5-60bit(token) mod dim`` (the
+    engine-portable hash every operator here uses, so DuckDB replays
+    vectors bit-for-bit); bucket weights are raw counts or
+    ``ln(1+count)`` (``setSublinear``), then the vector L2-normalizes.
+    NULL/token-free documents emit NULL (a zero vector has no cosine
+    direction — let downstream drop it explicitly).
+
+    100 TB design: pure map-side higher-order functions — no UDF, no
+    shuffle, no fitted state (the hash IS the vocabulary), so it
+    composes into any scan. Work is O(tokens · dim) per row; keep
+    ``dim`` ≤ a few hundred (classic hashing-trick regime — collisions
+    are the accepted trade).
+    """
+
+    dim = Param(Params._dummy(), "dim", "vector width",
+                TypeConverters.toInt)
+    sublinear = Param(Params._dummy(), "sublinear",
+                      "ln(1+tf) instead of raw counts",
+                      TypeConverters.toBoolean)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="embedding",
+                         dim=64, sublinear=False)
+
+    def getDim(self):
+        return self.getOrDefault(self.dim)
+
+    def setDim(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"dim must be >= 1, got {v}")
+        return self._set(dim=v)
+
+    def setSublinear(self, v):
+        return self._set(sublinear=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from flink_ml__spark.functions.dedup import portable_hash60
+
+        d = self.getDim()
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        buckets = F.transform(toks, lambda t: portable_hash60(t) % d)
+        counts = F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.size(F.filter(buckets, lambda b: b == i))
+            .cast("double"))
+        if self.getOrDefault(self.sublinear):
+            counts = F.transform(counts, lambda x: F.log1p(x))
+        norm = F.sqrt(F.aggregate(counts, F.lit(0.0),
+                                  lambda a, x: a + x * x))
+        vec = F.when(
+            F.size(toks) > 0,
+            F.transform(counts, lambda x: x / norm))
+        return df.withColumn(self.getOrDefault(self.outputCol), vec)

@@ -449,3 +449,70 @@ def test_readability_harder_text_scores_harder(spark):
             ReadabilityScorer().transform(df).collect()}
     assert rows[1]["flesch_ease"] > rows[2]["flesch_ease"]
     assert rows[1]["fk_grade"] < rows[2]["fk_grade"]
+
+
+# ---------------------------------------------------- hashed-tf embedder
+
+def test_hashed_tf_embedder_unit_norm_and_counts(spark):
+    import math
+
+    from flink_ml__spark.functions.text import HashedTfEmbedder
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None), (3, "!!! ---")],
+        "id long, text string")
+    out = {r["id"]: r["embedding"]
+           for r in HashedTfEmbedder().setDim(8).transform(df).collect()}
+    v = out[1]
+    assert math.isclose(sum(x * x for x in v), 1.0)
+    # tf 2 ('hello') vs 1 ('world'): weights 2/sqrt5, 1/sqrt5
+    assert sorted(x for x in v if x > 0) == sorted(
+        [1 / math.sqrt(5), 2 / math.sqrt(5)])
+    assert out[2] is None and out[3] is None   # no tokens -> NULL
+
+
+def test_hashed_tf_embedder_sublinear_and_identical_docs(spark):
+    import math
+
+    from flink_ml__spark.functions.text import HashedTfEmbedder
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark sql"), (2, "spark spark spark sql"),
+         (3, "entirely different words here")],
+        "id long, text string")
+    op = HashedTfEmbedder().setDim(32).setSublinear(True)
+    got = {r["id"]: r["embedding"] for r in op.transform(df).collect()}
+    assert got[1] == got[2]            # deterministic
+    # sublinear: ratio between buckets is ln(4)/ln(2), not 3/1
+    pos = sorted((x for x in got[1] if x > 0), reverse=True)
+    assert math.isclose(pos[0] / pos[1], math.log(4) / math.log(2))
+
+
+def test_hashed_tf_feeds_cosine_topk_end_to_end(spark):
+    """The embedder's contract: its output drives the ANN family
+    unchanged — near-duplicate texts rank first by cosine."""
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.similarity import CosineTopK
+    from flink_ml__spark.functions.text import HashedTfEmbedder
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about query planners"),
+            (4, "another unrelated doc on shuffle partitioning")]
+    df = spark.createDataFrame(rows, "vec_id long, text string")
+    emb = (HashedTfEmbedder().setDim(64).transform(df)
+           .select("vec_id", "embedding"))
+    got = (CosineTopK().setK(1)
+           .topk(emb.filter(F.col("vec_id") == 1), emb.filter("vec_id != 1"))
+           .collect())
+    assert len(got) == 1 and got[0]["neighbor_id"] == 2
+
+
+def test_hashed_tf_validates_dim(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.text import HashedTfEmbedder
+
+    with _pytest.raises(ValueError):
+        HashedTfEmbedder().setDim(0)
