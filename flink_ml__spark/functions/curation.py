@@ -2632,3 +2632,81 @@ class ContentDefinedChunker(AlgoOperator, HasInputCol, HasIdColMixin):
                 .agg(F.countDistinct(idc).alias("n_docs"),
                      F.count(F.lit(1)).alias("n_occurrences"))
                 .filter(F.col("n_occurrences") > 1))
+
+
+class ChunkOverlapDetector(AlgoOperator, HasIdColMixin):
+    """Document near-dup pairs from shared content-defined chunks:
+    two documents are related when they share at least
+    ``minFraction`` of the smaller one's chunks — the CDC-native
+    alternative to MinHash when :class:`ContentDefinedChunker` output
+    already exists (storage dedup ledgers, incremental crawls).
+
+    ``pairs(chunked)`` takes chunker output and returns::
+
+        id_a, id_b        doc ids (id_a < id_b)
+        n_shared          distinct shared chunk hashes
+        overlap_frac      n_shared / min(chunks_a, chunks_b)
+
+    100 TB design: candidates come from an equi-join on
+    ``chunk_hash`` (content-keyed, ~uniform) — never all pairs. The
+    one data-dependent hazard is a boilerplate chunk shared by k
+    documents contributing k² join rows, so chunks with document
+    frequency above ``maxDf`` are dropped FIRST (they carry no
+    discriminative signal — the exact trick prefix-filter joins use);
+    the pair aggregation then bounds output by true overlap.
+    """
+
+    minFraction = Param(Params._dummy(), "minFraction",
+                        "min shared fraction of the smaller doc's "
+                        "chunks", TypeConverters.toFloat)
+    maxDf = Param(Params._dummy(), "maxDf",
+                  "drop chunks appearing in more than this many docs",
+                  TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="doc_id", minFraction=0.5, maxDf=1000)
+
+    def setMinFraction(self, v):
+        v = float(v)
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"minFraction must be in (0, 1], got {v}")
+        return self._set(minFraction=v)
+
+    def setMaxDf(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"maxDf must be >= 2, got {v}")
+        return self._set(maxDf=v)
+
+    def pairs(self, chunked: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        mf = self.getOrDefault(self.minFraction)
+        # distinct (doc, hash): repeated chunks within one doc count once
+        dh = chunked.select(idc, "chunk_hash").distinct()
+        sizes = dh.groupBy(idc).agg(F.count(F.lit(1)).alias("__sz"))
+        df_ok = (dh.groupBy("chunk_hash")
+                 .agg(F.count(F.lit(1)).alias("__df"))
+                 .filter(F.col("__df") <= self.getOrDefault(self.maxDf))
+                 .filter(F.col("__df") > 1)
+                 .select("chunk_hash"))
+        keyed = dh.join(df_ok, "chunk_hash")
+        shared = (keyed.alias("l")
+                  .join(keyed.alias("r"), "chunk_hash")
+                  .filter(F.col(f"l.{idc}") < F.col(f"r.{idc}"))
+                  .groupBy(F.col(f"l.{idc}").alias("id_a"),
+                           F.col(f"r.{idc}").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("n_shared")))
+        sa = sizes.select(F.col(idc).alias("id_a"),
+                          F.col("__sz").alias("__sza"))
+        sb = sizes.select(F.col(idc).alias("id_b"),
+                          F.col("__sz").alias("__szb"))
+        return (shared.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("overlap_frac",
+                            F.col("n_shared")
+                            / F.least("__sza", "__szb"))
+                .filter(F.col("overlap_frac") >= mf)
+                .select("id_a", "id_b", "n_shared", "overlap_frac"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.pairs(df)

@@ -2240,6 +2240,83 @@ FROM agg
 """
 
 
+def q_chunk_overlap_documents(spark, sf_dir):
+    """ChunkOverlapDetector gate: CDC-chunk every 5th document plus a
+    planted 85%-overlap variant of every 15th (same text, new tail),
+    then detect pairs sharing >= 30% of the smaller side's chunks.
+    The oracle replays chunking (closed-form Gear hash) AND the
+    df-filtered hash join."""
+    from flink_ml__spark.functions.curation import (
+        ChunkOverlapDetector,
+        ContentDefinedChunker,
+    )
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"))
+    planted = (docs.filter(F.col("doc_id") % 15 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat("text",
+                                F.lit(" an appended tail of fresh "
+                                      "words")).alias("text")))
+    corpus = docs.unionByName(planted)
+    chunked = ContentDefinedChunker().transform(corpus)
+    return (ChunkOverlapDetector().setMinFraction(0.3)
+            .pairs(chunked)
+            .select("id_a", "id_b", "n_shared",
+                    F.round("overlap_frac", R).alias("overlap_frac")))
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH corp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' an appended tail of fresh words' AS text
+  FROM documents WHERE doc_id % 15 = 0),
+docs AS (SELECT doc_id, text FROM corp
+         WHERE text IS NOT NULL AND length(text) > 0),
+gears AS (SELECT doc_id, text,
+  list_transform(range(1, length(text) + 1),
+    i -> ('0x' || substr(md5(ascii(substr(text, i, 1))::VARCHAR),
+          1, 15))::BIGINT % 2147483648) AS gv
+  FROM docs),
+hs AS (SELECT doc_id, text,
+  list_transform(range(1, len(gv) + 1), i ->
+    ((list_sum(list_transform(range(0, least(32, i)),
+       j -> gv[i - j]::HUGEINT * ({"[" + ", ".join(str(1 << j) for j in range(32)) + "]"})[j + 1]::HUGEINT))
+      % 4294967296))::BIGINT) AS h
+  FROM gears),
+bounds AS (SELECT doc_id, text,
+  list_concat(list_concat([0::BIGINT],
+              list_filter(range(1, length(text)),
+                          i -> (h[i] % 64) = 0)),
+              [length(text)::BIGINT]) AS b
+  FROM hs),
+ex AS (SELECT doc_id, text, b, unnest(range(1, len(b))) AS k
+       FROM bounds),
+dh AS (SELECT DISTINCT doc_id,
+              md5(substr(text, (b[k] + 1)::INT,
+                         (b[k + 1] - b[k])::INT)) AS chunk_hash
+       FROM ex),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dh GROUP BY doc_id),
+df_ok AS (SELECT chunk_hash FROM dh GROUP BY chunk_hash
+          HAVING count(*) > 1 AND count(*) <= 1000),
+keyed AS (SELECT dh.doc_id, dh.chunk_hash
+          FROM dh JOIN df_ok USING (chunk_hash)),
+shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                  count(*) AS n_shared
+           FROM keyed l JOIN keyed r ON l.chunk_hash = r.chunk_hash
+            AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       round(n_shared::DOUBLE / least(sa.sz, sb.sz), {R})
+         AS overlap_frac
+FROM shared JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared::DOUBLE / least(sa.sz, sb.sz) >= 0.3
+"""
+
+
 def q_json_drift_events(spark, sf_dir):
     """JsonSchemaProfiler.drift gate: even-id events are the reference
     feed, odd-id events a drifted deploy — "uid" silently becomes a
@@ -7317,9 +7394,11 @@ QUERIES = {
     "cdc_chunks_documents": q_cdc_chunks_documents,
     "json_drift_events": q_json_drift_events,
     "hashed_tf_documents": q_hashed_tf_documents,
+    "chunk_overlap_documents": q_chunk_overlap_documents,
 }
 
 ORACLES = {
+    "chunk_overlap_documents": ORACLE_CHUNK_OVERLAP,
     "hashed_tf_documents": ORACLE_HASHED_TF,
     "json_drift_events": _jsp_drift_oracle(),
     "cdc_chunks_documents": ORACLE_CDC_CHUNKS,

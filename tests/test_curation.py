@@ -1148,3 +1148,50 @@ def test_cdc_chunker_validates_params(spark):
     with _pytest.raises(ValueError):
         (ContentDefinedChunker().setMinChunk(10).setMaxChunk(5)
          .transform(df))
+
+
+def test_chunk_overlap_detector(spark):
+    from flink_ml__spark.functions.curation import (
+        ChunkOverlapDetector,
+        ContentDefinedChunker,
+    )
+
+    base = ("shared passage of text that chunks into several pieces "
+            "and keeps going with more and more words ") * 4
+    rows = [(1, base + "tail one"),
+            (2, base + "a different tail entirely"),
+            (3, "no overlap with anything else in this corpus at all "
+                "just its own words repeated " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunked = ContentDefinedChunker().setMaskBits(4).transform(df)
+    got = (ChunkOverlapDetector().setMinFraction(0.3)
+           .pairs(chunked).collect())
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["overlap_frac"] > 0.5 and r["n_shared"] >= 3
+
+
+def test_chunk_overlap_max_df_drops_boilerplate(spark):
+    """A chunk shared by every document exceeds maxDf and generates
+    no candidate pairs on its own."""
+    from flink_ml__spark.functions.curation import ChunkOverlapDetector
+
+    rows = [(i, "boiler", 1) for i in range(1, 6)]
+    chunked = spark.createDataFrame(
+        [(i, h, 1) for i, h, _ in rows],
+        "doc_id long, chunk_hash string, chunk_index int")
+    out = (ChunkOverlapDetector().setMaxDf(3).setMinFraction(0.1)
+           .pairs(chunked).collect())
+    assert out == []
+
+
+def test_chunk_overlap_validates_params(spark):
+    import pytest as _pytest
+
+    from flink_ml__spark.functions.curation import ChunkOverlapDetector
+
+    with _pytest.raises(ValueError):
+        ChunkOverlapDetector().setMinFraction(0.0)
+    with _pytest.raises(ValueError):
+        ChunkOverlapDetector().setMaxDf(1)
