@@ -106,6 +106,44 @@ class KMeansModel(Model, KMeansParams):
         nearest = (F.array_position(dists, F.array_min(dists)) - 1)
         return df.withColumn(self.getPredictionCol(), nearest.cast("int"))
 
+    def prototypicality(self, df: DataFrame) -> DataFrame:
+        """Appends ``predictionCol`` (nearest centroid) and
+        ``prototypicality`` — the cosine similarity of each row to its
+        ASSIGNED centroid. This is the SSL-prototypes data-pruning
+        signal (Sorscher et al., "Beyond neural scaling laws: beating
+        power law scaling via data pruning", NeurIPS 2022): drop the
+        most prototypical rows when data is abundant (they're
+        redundant), the least when it's scarce (they're noise). Keep a
+        per-cluster quota by composing with ``StratifiedSampler``
+        (``groupCol=prediction, scoreCol=prototypicality``).
+
+        Map-only: distances AND cosines fold the k centroids in as
+        literals — one codegen projection, no join, no shuffle. Zero
+        vectors (no direction) get NULL prototypicality."""
+        arr = as_double_array(df, self.getFeaturesCol())
+        dists = _dist_exprs(arr, self._centroids)
+        nearest = (F.array_position(dists, F.array_min(dists)) - 1)
+        dots = F.array(*[
+            F.aggregate(
+                F.zip_with(arr,
+                           F.array(*[F.lit(float(v)) for v in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for c in self._centroids])
+        cnorms = F.array(*[
+            F.lit(float(sum(v * v for v in c) ** 0.5))
+            for c in self._centroids])
+        xnorm = F.sqrt(F.aggregate(
+            F.transform(arr, lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x))
+        idx = (nearest + 1).cast("int")
+        denom = xnorm * F.element_at(cnorms, idx)
+        proto = F.when(denom > 0,
+                       F.element_at(dots, idx) / denom)
+        return (df.withColumn(self.getPredictionCol(),
+                              nearest.cast("int"))
+                .withColumn("prototypicality", proto))
+
     def wssse(self, df: DataFrame) -> float:
         """Within-set sum of squared errors — one scan aggregate."""
         arr = as_double_array(df, self.getFeaturesCol())

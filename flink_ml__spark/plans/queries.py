@@ -2317,6 +2317,60 @@ WHERE n_shared::DOUBLE / least(sa.sz, sb.sz) >= 0.3
 """
 
 
+def q_prototypicality_embeddings(spark, sf_dir):
+    """KMeansModel.prototypicality gate with DETERMINISTIC centroids:
+    the 4 group-mean vectors of vec_id % 4 (one agg, folded as
+    literals) stand in for a seeded fit, so assignment + cosine to the
+    assigned centroid replay exactly in SQL — the apply path under
+    test is the production one."""
+    from flink_ml__spark.operators.kmeans import KMeansModel
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    dim = 64
+    means = (emb.select((F.col("vec_id") % 4).alias("g"),
+                        arr.alias("__v"))
+             .groupBy("g")
+             .agg(*[F.avg(F.element_at("__v", d)).alias(f"c{d}")
+                    for d in range(1, dim + 1)])
+             .orderBy("g").collect())
+    cents = [[r[f"c{d}"] for d in range(1, dim + 1)] for r in means]
+    model = KMeansModel(cents).setFeaturesCol("embedding")
+    out = model.prototypicality(emb)
+    return out.select("vec_id", "prediction",
+                      F.round("prototypicality", R)
+                       .alias("prototypicality"))
+
+
+ORACLE_PROTOTYPICALITY = f"""
+WITH cents AS (
+  SELECT vec_id % 4 AS g, [avg(embedding[1]), avg(embedding[2]), avg(embedding[3]), avg(embedding[4]), avg(embedding[5]), avg(embedding[6]), avg(embedding[7]), avg(embedding[8]), avg(embedding[9]), avg(embedding[10]), avg(embedding[11]), avg(embedding[12]), avg(embedding[13]), avg(embedding[14]), avg(embedding[15]), avg(embedding[16]), avg(embedding[17]), avg(embedding[18]), avg(embedding[19]), avg(embedding[20]), avg(embedding[21]), avg(embedding[22]), avg(embedding[23]), avg(embedding[24]), avg(embedding[25]), avg(embedding[26]), avg(embedding[27]), avg(embedding[28]), avg(embedding[29]), avg(embedding[30]), avg(embedding[31]), avg(embedding[32]), avg(embedding[33]), avg(embedding[34]), avg(embedding[35]), avg(embedding[36]), avg(embedding[37]), avg(embedding[38]), avg(embedding[39]), avg(embedding[40]), avg(embedding[41]), avg(embedding[42]), avg(embedding[43]), avg(embedding[44]), avg(embedding[45]), avg(embedding[46]), avg(embedding[47]), avg(embedding[48]), avg(embedding[49]), avg(embedding[50]), avg(embedding[51]), avg(embedding[52]), avg(embedding[53]), avg(embedding[54]), avg(embedding[55]), avg(embedding[56]), avg(embedding[57]), avg(embedding[58]), avg(embedding[59]), avg(embedding[60]), avg(embedding[61]), avg(embedding[62]), avg(embedding[63]), avg(embedding[64])] AS c
+  FROM embeddings GROUP BY 1),
+allc AS (SELECT list(struct_pack(g := g, c := c) ORDER BY g) AS cs
+         FROM cents),
+base AS (SELECT e.vec_id,
+                list_transform(e.embedding, x -> x::DOUBLE) AS x, cs
+         FROM embeddings e CROSS JOIN allc),
+scored AS (SELECT vec_id, x, cs,
+  list_transform(cs, s -> list_sum(list_transform(range(1, 65),
+      d -> (x[d] - s.c[d]) * (x[d] - s.c[d])))) AS dists
+  FROM base),
+pick AS (SELECT vec_id, x,
+                cs[list_position(dists, list_min(dists))] AS s
+         FROM scored),
+fin AS (SELECT vec_id, s.g AS prediction,
+  list_sum(list_transform(range(1, 65), d -> x[d] * s.c[d]))
+    / (sqrt(list_sum(list_transform(x, v -> v * v)))
+       * sqrt(list_sum(list_transform(s.c, v -> v * v)))) AS proto,
+  sqrt(list_sum(list_transform(x, v -> v * v))) AS xn
+  FROM pick)
+SELECT vec_id, prediction::INT AS prediction,
+       CASE WHEN xn > 0 THEN round(proto, {R}) END
+         AS prototypicality
+FROM fin
+"""
+
+
 def q_json_drift_events(spark, sf_dir):
     """JsonSchemaProfiler.drift gate: even-id events are the reference
     feed, odd-id events a drifted deploy — "uid" silently becomes a
@@ -7395,9 +7449,11 @@ QUERIES = {
     "json_drift_events": q_json_drift_events,
     "hashed_tf_documents": q_hashed_tf_documents,
     "chunk_overlap_documents": q_chunk_overlap_documents,
+    "prototypicality_embeddings": q_prototypicality_embeddings,
 }
 
 ORACLES = {
+    "prototypicality_embeddings": ORACLE_PROTOTYPICALITY,
     "chunk_overlap_documents": ORACLE_CHUNK_OVERLAP,
     "hashed_tf_documents": ORACLE_HASHED_TF,
     "json_drift_events": _jsp_drift_oracle(),

@@ -74,3 +74,50 @@ def test_kmeans_needs_enough_points(spark):
     df = spark.createDataFrame([([1.0],)], "embedding array<double>")
     with pytest.raises(ValueError):
         KMeans().setK(2).fit(df)
+
+
+def test_prototypicality_scores(spark):
+    import math
+
+    from flink_ml__spark.operators.kmeans import KMeansModel
+
+    model = (KMeansModel([[1.0, 0.0], [0.0, 1.0]])
+             .setFeaturesCol("v"))
+    rows = [(1, [2.0, 0.0]),     # exactly along centroid 0
+            (2, [1.0, 1.0]),     # equidistant -> cluster 0 (tie low)
+            (3, [0.0, 5.0]),     # along centroid 1
+            (4, [0.0, 0.0])]     # zero vector -> NULL proto
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {r["id"]: r for r in model.prototypicality(df).collect()}
+    assert got[1]["prediction"] == 0
+    assert math.isclose(got[1]["prototypicality"], 1.0)
+    assert got[2]["prediction"] == 0
+    assert math.isclose(got[2]["prototypicality"], 1 / math.sqrt(2))
+    assert got[3]["prediction"] == 1
+    assert math.isclose(got[3]["prototypicality"], 1.0)
+    assert got[4]["prototypicality"] is None
+
+
+def test_prototypicality_composes_with_stratified_pruning(spark):
+    """The pruning recipe: per-cluster keep-k by LOWEST
+    prototypicality (abundant-data regime drops redundant rows)."""
+    from flink_ml__spark.functions.curation import StratifiedSampler
+    from flink_ml__spark.operators.kmeans import KMeansModel
+
+    model = (KMeansModel([[1.0, 0.0], [0.0, 1.0]])
+             .setFeaturesCol("v"))
+    rows = [(i, [1.0, 0.05 * i]) for i in range(6)] + \
+           [(10 + i, [0.05 * i, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, v array<double>")
+    scored = model.prototypicality(df).withColumn(
+        "neg_proto", -1 * __import__("pyspark").sql.functions.col(
+            "prototypicality"))
+    kept = (StratifiedSampler().setGroupCol("prediction").setK(2)
+            .setScoreCol("neg_proto")
+            .transform(scored))
+    counts = (kept.groupBy("prediction").count().collect())
+    assert {r["prediction"]: r["count"] for r in counts} == {0: 2, 1: 2}
+    # least prototypical of cluster 0 = largest tilt = ids 4, 5
+    ids = sorted(r["doc_id"] for r in kept.collect()
+                 if r["prediction"] == 0)
+    assert ids == [4, 5]
