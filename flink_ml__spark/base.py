@@ -423,6 +423,11 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     source (the 100 TB lake case: one split per ~128 MB) this is a
     no-op, so no shuffle is added where the scan already parallelizes.
     """
+    if df.isStreaming:
+        # partition introspection (df.rdd) is a batch-only API; a
+        # micro-batch inherits the source's split count and map-only
+        # consumers of this helper run on streams unchanged
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

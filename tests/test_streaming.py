@@ -1235,3 +1235,50 @@ def test_stream_anova_monitor_matches_batch_and_anova(spark):
         assert set(batch) - set(got) <= {max(batch)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_chunker_and_hashed_tf_apply_on_streams(spark, tmp_path):
+    """Both new map-only ops — ContentDefinedChunker (Arrow
+    mapInPandas) and HashedTfEmbedder (pure HOFs) — run unmodified on
+    an unbounded stream, row-for-row equal to batch."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.curation import ContentDefinedChunker
+    from flink_ml__spark.functions.text import HashedTfEmbedder
+
+    base = ("streaming chunk parity text with enough words to split "
+            "into several content defined chunks repeatedly ") * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "extra tail"), (3, None)],
+        "doc_id long, text string")
+
+    chunker = ContentDefinedChunker().setMaskBits(4)
+    embedder = HashedTfEmbedder().setDim(16).setInputCol("chunk_text") \
+        .setOutputCol("chunk_vec")
+
+    def chain(frame):
+        return embedder.transform(chunker.transform(frame))
+
+    def canon(frame):
+        return sorted(
+            ((r["doc_id"], r["chunk_index"], r["chunk_hash"],
+              None if r["chunk_vec"] is None
+              else tuple(round(x, 9) for x in r["chunk_vec"]))
+             for r in frame.collect()))
+
+    batch = canon(chain(df))
+    assert len(batch) > 4
+    d = _tf.mkdtemp(prefix="cdc_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = chain(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("cdcstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM cdcstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
