@@ -172,6 +172,13 @@ HEADLINE = [
     "regression_window_events",
     "count_encode_documents",
     "anova_window_events",
+    "minhash_topk_documents",
+    "json_schema_events",
+    "json_drift_events",
+    "cdc_chunks_documents",
+    "chunk_overlap_documents",
+    "hashed_tf_documents",
+    "prototypicality_embeddings",
 ]
 
 

@@ -631,7 +631,7 @@ def _minhash_dup_ctes(op, src: str, p: str = "") -> str:
         f"list_slice(sig, {b * rows + 1}, {b * rows + rows}), ','))"
         for b in range(op.getBands()))
     return f"""
-{p}toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM {src}),
+{p}toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM {src}),
 {p}sh AS (SELECT doc_id, {_shingle_sql(op.getShingleSize())} AS sh
           FROM {p}toks),
 {p}xs AS (SELECT doc_id, sh,
@@ -677,7 +677,7 @@ def _oracle_simhash() -> str:
         f"{(1 << width) - 1})"
         for b in range(op.N_BANDS))
     return f"""
-WITH toks AS (SELECT doc_id, list_distinct(" + _TOK_SQL + ") AS toks
+WITH toks AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks
               FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
 h AS (SELECT doc_id, {_H60.format(x='t')} AS th FROM tok),
@@ -709,7 +709,7 @@ def _oracle_ngram_jaccard() -> str:
     n = op.getShingleSize()
     t = op.getThreshold()
     return f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id, {_shingle_sql(n)} AS sh FROM toks),
 hs AS (SELECT doc_id, sh,
               list_sort(list_transform(sh, s -> {_H60.format(x='s')}))
@@ -782,7 +782,7 @@ WITH corp AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || ' trailing suffix' AS text
   FROM documents WHERE doc_id % 3 = 0),
-toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM corp),
+toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM corp),
 sh AS (SELECT doc_id, {_shingle_sql(d.getShingleSize())} AS sh
        FROM toks),
 xs AS (SELECT doc_id, list_transform(sh, s -> {_H60.format(x='s')})
@@ -820,7 +820,7 @@ def _oracle_substring() -> str:
     m = op.LOC_M
     gram = f"array_to_string(list_slice(toks, i, i + {k} - 1), ' ')"
     return f"""
-WITH toks AS (SELECT doc_id, coalesce(" + _TOK_SQL + ", []) AS toks
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
               FROM documents),
 occ AS (
   SELECT doc_id, i AS pos, {_H60.format(x=gram)} AS gh
@@ -869,7 +869,7 @@ def _oracle_substring_decontaminate() -> str:
     k = 6
     gram = f"array_to_string(list_slice(toks, i, i + {k} - 1), ' ')"
     return f"""
-WITH toks AS (SELECT doc_id, coalesce(" + _TOK_SQL + ", []) AS toks
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
               FROM documents),
 occ AS (
   SELECT doc_id, i AS pos, {_H60.format(x=gram)} AS gh
@@ -1254,7 +1254,7 @@ def _lang_pred_sql(src: str) -> str:
     """``SELECT doc_id, lang_pred FROM <derived>`` — parameterized over
     the source relation so composed pipelines can re-run language ID on
     intermediate result sets."""
-    toks = f"list_distinct(" + _TOK_SQL + ")"
+    toks = f"list_distinct({_TOK_SQL})"
     scores = {
         lang: (f"len(list_intersect(toks, "
                f"[{', '.join(repr(w) for w in words)}]))")
@@ -1892,7 +1892,7 @@ def q_bm25_documents(spark, sf_dir):
 
 
 ORACLE_BM25 = f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf
        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
        GROUP BY 1, 2),
@@ -1939,7 +1939,7 @@ def q_bigram_lm_documents(spark, sf_dir):
 
 _BLM_LAM, _BLM_1MLAM = repr(0.7), repr(1.0 - 0.7)
 ORACLE_BIGRAM_LM = f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 ex AS (SELECT unnest(toks) AS token FROM toks),
 tot AS (SELECT count(*)::DOUBLE AS total FROM ex),
 uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1
@@ -2041,7 +2041,7 @@ def q_heavy_hitters_documents(spark, sf_dir):
 
 
 ORACLE_HEAVY_HITTERS = f"""
-WITH ex AS (SELECT unnest(" + _TOK_SQL + ") AS item FROM documents),
+WITH ex AS (SELECT unnest({_TOK_SQL}) AS item FROM documents),
 n AS (SELECT count(*) AS n FROM ex),
 c AS (SELECT item, count(*) AS cnt FROM ex GROUP BY 1)
 SELECT item, cnt AS count, round(cnt::DOUBLE / n.n, {R}) AS share
@@ -2605,7 +2605,7 @@ def q_hybrid_rrf_documents(spark, sf_dir):
 
 
 ORACLE_HYBRID_RRF = f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf
        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
        GROUP BY 1, 2),
@@ -3206,7 +3206,7 @@ def q_unigram_logprob_documents(spark, sf_dir):
 
 
 ORACLE_UNIGRAM = f"""
-WITH toks AS (SELECT doc_id, unnest(" + _TOK_SQL + ") AS tok FROM documents),
+WITH toks AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
 counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 tot AS (SELECT sum(cnt) AS n FROM counts),
 vocab AS (SELECT tok, ln(cnt / (SELECT n FROM tot)) AS logp
@@ -3237,7 +3237,7 @@ def q_ppl_bucket_documents(spark, sf_dir):
 def _oracle_ppl_bucket() -> str:
     hf = tf = 1 / 3
     return f"""
-WITH toks AS (SELECT doc_id, unnest(" + _TOK_SQL + ") AS tok FROM documents),
+WITH toks AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
 counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 tot AS (SELECT sum(cnt) AS n FROM counts),
 vocab AS (SELECT tok, ln(cnt / (SELECT n FROM tot)) AS logp
@@ -3277,7 +3277,7 @@ def _oracle_dsir() -> str:
     bigrams = ("list_transform(range(1, len(toks)), "
                "i -> array_to_string(list_slice(toks, i, i + 1), ' '))")
     return f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 big AS (SELECT doc_id, unnest({bigrams}) AS bg
         FROM toks WHERE len(toks) >= 2),
 feat AS (SELECT doc_id, {_H60.format(x='bg')} % {nb} AS bk FROM big),
@@ -3585,7 +3585,7 @@ WITH base AS (
   SELECT doc_id,
          list_filter(list_transform(string_split_regex(text, '\\.'),
                                     x -> trim(x)), x -> x <> '') AS lines,
-         " + _TOK_SQL + " AS toks
+         {_TOK_SQL} AS toks
   FROM documents),
 bi AS (
   SELECT doc_id, lines, toks,
@@ -3709,7 +3709,7 @@ def q_contamination_documents(spark, sf_dir):
 
 
 ORACLE_CONTAMINATION = f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id, {_shingle_sql(5)} AS sh FROM toks),
 bk AS (SELECT k FROM (SELECT DISTINCT unnest(sh) AS k FROM sh
        WHERE doc_id % 97 = 0) WHERE k <> ''),
@@ -3733,7 +3733,7 @@ def q_tfidf_keywords_documents(spark, sf_dir):
 
 
 ORACLE_TFIDF = f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 ex AS (SELECT doc_id, unnest(toks) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
 dfq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY 1),
@@ -3792,7 +3792,7 @@ def _oracle_chunks() -> str:
     ct, ov = 32, 8
     s = ct - ov
     return f"""
-WITH toks AS (SELECT doc_id, coalesce(" + _TOK_SQL + ", []) AS toks
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
               FROM documents),
 m AS (SELECT doc_id, toks,
              CASE WHEN len(toks) <= 0 THEN 0
@@ -4532,7 +4532,7 @@ def q_ranking_eval_documents(spark, sf_dir):
 
 
 ORACLE_RANKING_EVAL = f"""
-WITH toks AS (SELECT doc_id, " + _TOK_SQL + " AS toks FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf
        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
        GROUP BY 1, 2),
