@@ -179,6 +179,13 @@ HEADLINE = [
     "chunk_overlap_documents",
     "hashed_tf_documents",
     "prototypicality_embeddings",
+    "interval_merge_events",
+    "acf_events",
+    "rolling_features_events",
+    "link_prediction_orders",
+    "kcore_orders",
+    "encoding_corruption_documents",
+    "outlinks_documents",
 ]
 
 

@@ -1051,3 +1051,98 @@ class QuantileMatcher(Estimator, _SingleColOutputParams,
                    outputCol=self.getOutputCol())
         model._ref_grid = model._grid_of(reference, self.getInputCol())
         return model
+
+
+class RollingFeatureGenerator(AlgoOperator):
+    """Per-key lag/rolling features for forecasting and monitoring
+    models — the one window pass that turns a bucketed series into a
+    supervised-learning frame.
+
+    For each lag ``L`` in ``lags`` appends ``lag_<L>``; for each
+    window ``W`` in ``windows`` appends trailing (current row
+    included) ``roll_mean_<W>``/``roll_std_<W>``/``roll_min_<W>``/
+    ``roll_max_<W>``; plus ``delta`` (x − lag_1-equivalent previous
+    value) and ``pct_change`` (delta / previous, NULL when the
+    previous value is 0 or absent). Rolling stats emit NULL until the
+    frame holds a full W rows, so a model never trains on silently
+    truncated windows; ``roll_std_<W>`` is the sample std.
+
+    Feed a BUCKETED series (e.g. ``TimeBucketRollup`` output) so
+    (key, time) is unique — duplicate timestamps make frames
+    order-ambiguous.
+
+    100 TB design: ONE window sort per key serves every feature —
+    all lags and all frames are Catalyst window aggregates over the
+    same (partitionBy key, orderBy time) spec, so the physical plan
+    is a single sort + one Window operator, state bounded by
+    max(windows) rows. Exact SQL replay with ROWS BETWEEN frames.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    lags = Param(Params._dummy(), "lags", "lag offsets to emit",
+                 TypeConverters.toListInt)
+    windows = Param(Params._dummy(), "windows",
+                    "trailing frame widths to emit",
+                    TypeConverters.toListInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="bucket_start", keyCol="user_id",
+                         valueCol="avg_value", lags=[1, 2, 3],
+                         windows=[3, 7])
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setLags(self, v):
+        v = [int(x) for x in v]
+        if not v or any(x < 1 for x in v) or len(set(v)) != len(v):
+            raise ValueError(
+                f"lags must be distinct integers >= 1, got {v}")
+        return self._set(lags=v)
+
+    def setWindows(self, v):
+        v = [int(x) for x in v]
+        if not v or any(x < 2 for x in v) or len(set(v)) != len(v):
+            raise ValueError(
+                f"windows must be distinct integers >= 2, got {v}")
+        return self._set(windows=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        x = F.col(v).cast("double")
+        w = Window.partitionBy(k).orderBy(t)
+        cols = {}
+        for lag in self.getOrDefault(self.lags):
+            cols[f"lag_{lag}"] = F.lag(x, lag).over(w)
+        for width in self.getOrDefault(self.windows):
+            frame = w.rowsBetween(-(width - 1), 0)
+            full = F.count(x).over(frame) == width
+            cols[f"roll_mean_{width}"] = F.when(full,
+                                                F.avg(x).over(frame))
+            cols[f"roll_std_{width}"] = F.when(full,
+                                               F.stddev_samp(x)
+                                               .over(frame))
+            cols[f"roll_min_{width}"] = F.when(full,
+                                               F.min(x).over(frame))
+            cols[f"roll_max_{width}"] = F.when(full,
+                                               F.max(x).over(frame))
+        prev = F.lag(x, 1).over(w)
+        cols["delta"] = x - prev
+        cols["pct_change"] = F.when(prev != 0, (x - prev) / prev)
+        return df.withColumns(cols)

@@ -352,3 +352,187 @@ class LabelPropagation(AlgoOperator):
                       .select("node", "label")
                       .localCheckpoint(eager=True))
         return labels
+
+
+class CommonNeighborsLinkPredictor(AlgoOperator):
+    """Topological link prediction over an undirected edge list —
+    the classic Liben-Nowell & Kleinberg (2003) neighborhood scores
+    for every NON-edge pair sharing at least one neighbor::
+
+        u, v               candidate pair, u < v, (u,v) not an edge
+        common_neighbors   |N(u) ∩ N(v)|
+        jaccard            |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+        adamic_adar        Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+
+    (deg(w) ≥ 2 for any common neighbor, so ln never hits 0.)
+    Direction is ignored; parallel edges dedup; self-loops drop.
+
+    100 TB design: candidates come from the wedge self-join keyed on
+    the shared neighbor ``w`` — fan-out per pivot is deg(w)², so one
+    power-law hub explodes the pair set. ``setMaxPivotDegree(d)``
+    excludes nodes above ``d`` from the PIVOT role (their wedges are
+    skipped; they still count in degrees) — the standard bounded-
+    fanout approximation, and a deterministic filter the SQL oracle
+    replays exactly. Everything else is keyed joins + one (u, v)
+    aggregation; degree joins shuffle on node id (degree table is
+    node-sized — not broadcastable at scale, co-partitioned instead).
+    """
+
+    srcCol = Param(Params._dummy(), "srcCol", "edge source column",
+                   TypeConverters.toString)
+    dstCol = Param(Params._dummy(), "dstCol", "edge destination column",
+                   TypeConverters.toString)
+    maxPivotDegree = Param(Params._dummy(), "maxPivotDegree",
+                           "pivot-degree cap, 0 = uncapped",
+                           TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(srcCol="src", dstCol="dst", maxPivotDegree=0)
+
+    def setSrcCol(self, v):
+        return self._set(srcCol=v)
+
+    def setDstCol(self, v):
+        return self._set(dstCol=v)
+
+    def setMaxPivotDegree(self, v):
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"maxPivotDegree must be >= 0, got {v}")
+        return self._set(maxPivotDegree=v)
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        s = F.col(self.getOrDefault(self.srcCol))
+        t = F.col(self.getOrDefault(self.dstCol))
+        cap = self.getOrDefault(self.maxPivotDegree)
+        und = (edges
+               .filter(s.isNotNull() & t.isNotNull() & (s != t))
+               .select(F.least(s, t).alias("u"),
+                       F.greatest(s, t).alias("v"))
+               .distinct())
+        adj = (und.select(F.col("u").alias("w"), F.col("v").alias("n"))
+               .unionAll(und.select(F.col("v"), F.col("u"))))
+        deg = adj.groupBy(F.col("w").alias("node")) \
+                 .agg(F.count(F.lit(1)).alias("degree"))
+        pivots = adj.join(deg.select(F.col("node").alias("w"),
+                                     "degree"), "w")
+        if cap > 0:
+            pivots = pivots.filter(F.col("degree") <= cap)
+        a = pivots.select("w", F.col("n").alias("u"), "degree")
+        b = pivots.select("w", F.col("n").alias("v"))
+        scored = (a.join(b, "w")
+                  .filter(F.col("u") < F.col("v"))
+                  .groupBy("u", "v")
+                  .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                       F.sum(1.0 / F.log(F.col("degree")
+                                         .cast("double")))
+                        .alias("adamic_adar"))
+                  .join(und, ["u", "v"], "left_anti"))
+        du = deg.select(F.col("node").alias("u"),
+                        F.col("degree").alias("__du"))
+        dv = deg.select(F.col("node").alias("v"),
+                        F.col("degree").alias("__dv"))
+        return (scored.join(du, "u").join(dv, "v")
+                .select("u", "v", "common_neighbors",
+                        (F.col("common_neighbors").cast("double")
+                         / (F.col("__du") + F.col("__dv")
+                            - F.col("common_neighbors")))
+                        .alias("jaccard"),
+                        "adamic_adar"))
+
+
+class KCoreExtractor(AlgoOperator):
+    """k-core decomposition for a fixed ``k``: the maximal subgraph in
+    which every node has ≥ k neighbors (Seidman 1983), by iterative
+    peeling — drop nodes under degree k, restrict edges to survivors,
+    repeat to fixpoint. The standard dense-subgraph / spam-farm /
+    community-seed primitive.
+
+    ``transform(edges)`` returns one row per surviving node::
+
+        node         the vertex id
+        core_degree  its degree inside the k-core (≥ k)
+
+    100 TB design: each round is one degree aggregation + two
+    semi-joins, with a ``localCheckpoint`` per round to sever the
+    growing lineage (the same loop discipline as
+    :class:`ConnectedComponents`). Rounds are bounded by
+    ``maxIter`` — peeling removes at least one node per round until
+    stable, but converges in a handful of rounds on real graphs;
+    hitting the cap raises rather than returning a superset. The
+    result is exact and unique (the k-core is well-defined), so the
+    gate checks both directions: every kept node has ≥ k kept
+    neighbors, and no dropped node does.
+    """
+
+    srcCol = Param(Params._dummy(), "srcCol", "edge source column",
+                   TypeConverters.toString)
+    dstCol = Param(Params._dummy(), "dstCol", "edge destination column",
+                   TypeConverters.toString)
+    k = Param(Params._dummy(), "k", "minimum in-core degree",
+              TypeConverters.toInt)
+    maxIter = Param(Params._dummy(), "maxIter", "peeling round cap",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(srcCol="src", dstCol="dst", k=2, maxIter=50)
+
+    def setSrcCol(self, v):
+        return self._set(srcCol=v)
+
+    def setDstCol(self, v):
+        return self._set(dstCol=v)
+
+    def setK(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"k must be >= 1, got {v}")
+        return self._set(k=v)
+
+    def setMaxIter(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"maxIter must be >= 1, got {v}")
+        return self._set(maxIter=v)
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        s = F.col(self.getOrDefault(self.srcCol))
+        t = F.col(self.getOrDefault(self.dstCol))
+        k = self.getOrDefault(self.k)
+        cur = (edges
+               .filter(s.isNotNull() & t.isNotNull() & (s != t))
+               .select(F.least(s, t).alias("u"),
+                       F.greatest(s, t).alias("v"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        n_edges = cur.count()
+        for _ in range(self.getOrDefault(self.maxIter)):
+            if n_edges == 0:
+                break
+            deg = (cur.select(F.col("u").alias("node"))
+                   .unionAll(cur.select(F.col("v")))
+                   .groupBy("node")
+                   .agg(F.count(F.lit(1)).alias("degree")))
+            keep = deg.filter(F.col("degree") >= k) \
+                      .select("node").localCheckpoint(eager=True)
+            nxt = (cur
+                   .join(keep.select(F.col("node").alias("u")),
+                         "u", "left_semi")
+                   .join(keep.select(F.col("node").alias("v")),
+                         "v", "left_semi")
+                   .select("u", "v").localCheckpoint(eager=True))
+            n_next = nxt.count()
+            if n_next == n_edges:
+                cur = nxt
+                break
+            cur, n_edges = nxt, n_next
+        else:
+            raise RuntimeError(
+                f"k-core peeling did not converge in "
+                f"{self.getOrDefault(self.maxIter)} rounds")
+        return (cur.select(F.col("u").alias("node"))
+                .unionAll(cur.select(F.col("v")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_degree")))

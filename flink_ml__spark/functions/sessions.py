@@ -89,3 +89,78 @@ class Sessionizer(AlgoOperator):
                 .groupBy(k, F.session_window(F.col(t), self.getGap()))
                 .agg(*aggs)
                 .drop("session_window"))
+
+
+class IntervalMerger(AlgoOperator):
+    """Per-key union of (possibly overlapping) intervals — the span
+    flattening every coverage/uptime/exposure analysis needs: merge a
+    key's [start, end] rows into maximal non-overlapping spans
+    (touching intervals — next start == previous end — merge too).
+
+    ``transform(df)`` returns one row per merged span::
+
+        <keyCol>      the key
+        span_start    min start of the merged run
+        span_end      max end of the merged run
+        n_intervals   source intervals folded into the span
+
+    Rows with a NULL key/start/end and inverted intervals
+    (end < start) are dropped. Start/end may be timestamps or
+    numerics — only ordering comparisons are used.
+
+    100 TB design: the classic islands formulation — one shuffle
+    (window sort per key), a running ``max(end)`` over preceding rows
+    flags span starts, a running sum turns flags into span ids, one
+    aggregation per (key, span). All Catalyst window/agg primitives,
+    exact SQL window replay, no per-key state beyond the sort.
+    Per-key data lives in one task — keys with hundreds of millions
+    of intervals should pre-aggregate (e.g. daily sub-merges) first.
+    """
+
+    keyCol = Param(Params._dummy(), "keyCol", "grouping key column",
+                   TypeConverters.toString)
+    startCol = Param(Params._dummy(), "startCol",
+                     "interval start column", TypeConverters.toString)
+    endCol = Param(Params._dummy(), "endCol",
+                   "interval end column (inclusive bound semantics "
+                   "are the caller's; merging only compares)",
+                   TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="user_id", startCol="span_start",
+                         endCol="span_end")
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setStartCol(self, v):
+        return self._set(startCol=v)
+
+    def setEndCol(self, v):
+        return self._set(endCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        k = self.getOrDefault(self.keyCol)
+        s = self.getOrDefault(self.startCol)
+        e = self.getOrDefault(self.endCol)
+        base = (df.filter(F.col(k).isNotNull() & F.col(s).isNotNull()
+                          & F.col(e).isNotNull()
+                          & (F.col(e) >= F.col(s)))
+                .select(F.col(k).alias("__k"), F.col(s).alias("__s"),
+                        F.col(e).alias("__e")))
+        w = Window.partitionBy("__k").orderBy("__s", "__e")
+        prev_max = (F.max("__e")
+                    .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        flag = F.when(prev_max.isNull()
+                      | (F.col("__s") > prev_max), 1).otherwise(0)
+        span = (base.withColumn("__new", flag)
+                .withColumn("__span", F.sum("__new").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (span.groupBy(F.col("__k").alias(k), "__span")
+                .agg(F.min("__s").alias("span_start"),
+                     F.max("__e").alias("span_end"),
+                     F.count(F.lit(1)).alias("n_intervals"))
+                .drop("__span"))

@@ -855,3 +855,73 @@ class HashedTfEmbedder(AlgoOperator, HasInputCol, HasOutputCol):
             F.size(toks) > 0,
             F.transform(counts, lambda x: x / norm))
         return df.withColumn(self.getOrDefault(self.outputCol), vec)
+
+
+class EncodingCorruptionDetector(AlgoOperator, HasInputCol):
+    """Mojibake / encoding-damage signals per document — the
+    crawl-hygiene pass that catches double-decoded UTF-8, lossy
+    transcodes, and binary bleed before text ever reaches dedup or
+    training (cf. the ftfy problem statement, Speer 2019).
+
+    Appends::
+
+        n_replacement   U+FFFD replacement characters (a decoder
+                        already gave up here)
+        n_mojibake      classic UTF-8-read-as-Latin-1/cp1252 digraphs:
+                        'A-tilde'/'A-circumflex' (U+00C3/U+00C2)
+                        followed by U+0080-U+00BF, and U+00E2 followed
+                        by U+20AC or U+0080 (double-decoded
+                        punctuation's prefix)
+        n_control       C0/C1 control characters (tab/newline/CR
+                        exempt) — binary bleed
+        corrupt_ratio   (sum of the above) / max(chars, 1); a char can
+                        count twice when classes overlap (C1 chars
+                        inside a mojibake digraph) — it IS corrupt
+        is_corrupt      any replacement char, or corrupt_ratio >=
+                        ``threshold``
+
+    All counts are single-pass JVM ``regexp_count`` projections; the
+    patterns use only ``\\x{..}`` escapes and character classes, valid
+    in BOTH Java regex and RE2 — the SQL oracle runs the identical
+    strings. NULL text → NULL signals, is_corrupt false.
+    """
+
+    threshold = Param(Params._dummy(), "threshold",
+                      "corrupt_ratio at/above which is_corrupt fires",
+                      TypeConverters.toFloat)
+
+    RE_REPLACEMENT = "\\x{FFFD}"
+    RE_MOJIBAKE = ("(?:[\\x{C3}\\x{C2}][\\x{80}-\\x{BF}]"
+                   "|\\x{E2}[\\x{20AC}\\x{80}])")
+    RE_CONTROL = ("[\\x{00}-\\x{08}\\x{0B}\\x{0C}"
+                  "\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]")
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", threshold=0.01)
+
+    def setThreshold(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError(f"threshold must be > 0, got {v}")
+        return self._set(threshold=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.getInputCol())
+        rep = F.regexp_count(text, F.lit(self.RE_REPLACEMENT))
+        moj = F.regexp_count(text, F.lit(self.RE_MOJIBAKE))
+        ctl = F.regexp_count(text, F.lit(self.RE_CONTROL))
+        out = (df.withColumn("n_replacement", rep)
+               .withColumn("n_mojibake", moj)
+               .withColumn("n_control", ctl)
+               .withColumn("corrupt_ratio",
+                           (F.col("n_replacement") + F.col("n_mojibake")
+                            + F.col("n_control"))
+                           / F.greatest(F.length(text), F.lit(1))
+                           .cast("double")))
+        thr = self.getOrDefault(self.threshold)
+        return out.withColumn(
+            "is_corrupt",
+            F.coalesce((F.col("n_replacement") > 0)
+                       | (F.col("corrupt_ratio") >= thr),
+                       F.lit(False)))

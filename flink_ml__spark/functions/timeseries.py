@@ -904,3 +904,101 @@ class OhlcRollup(AlgoOperator):
                      F.min("__v").alias("low"),
                      F.max_by("__v", order).alias("close"),
                      F.count(F.lit(1)).alias("n_events")))
+
+
+class AutocorrelationAnalyzer(AlgoOperator):
+    """Sample autocorrelation function (ACF) per key: for each lag
+    ``1..maxLag`` over a per-key series ordered by ``timeCol``,
+
+        acf(k) = Σ_t (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+
+    with the key's full-series mean x̄ (the standard biased sample
+    ACF — numerator over n−k pairs, denominator over all n). The
+    argmax lag of a strongly positive ACF is the classic
+    seasonality-period detector for bucketed telemetry.
+
+    One row per (key, lag)::
+
+        <keyCol>   the key
+        lag        1..maxLag (lags with zero overlapping pairs —
+                   series shorter than the lag — emit no row)
+        n_pairs    overlapping pairs at that lag
+        acf        NULL for constant series (zero variance)
+
+    Feed a BUCKETED series (e.g. :class:`TimeBucketRollup` output) so
+    (key, time) is unique — duplicate timestamps make lag frames
+    order-ambiguous. NULL values/times/keys are dropped first.
+
+    100 TB design: one window sort per key computes all ``maxLag``
+    lagged copies in a single pass (no self-joins), an inline
+    explode reshapes to (key, lag) rows map-side, and one hash
+    aggregation finishes — 2 shuffles total, state O(maxLag) per row.
+    Exact SQL window replay; no Python in the plan.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    maxLag = Param(Params._dummy(), "maxLag",
+                   "largest lag to evaluate", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="bucket_start", keyCol="user_id",
+                         valueCol="avg_value", maxLag=12)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setMaxLag(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"maxLag must be >= 1, got {v}")
+        return self._set(maxLag=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        lags = self.getOrDefault(self.maxLag)
+        base = (df.filter(F.col(k).isNotNull() & F.col(t).isNotNull()
+                          & F.col(v).isNotNull())
+                .select(F.col(k).alias("__k"), F.col(t).alias("__t"),
+                        F.col(v).cast("double").alias("__x")))
+        part = Window.partitionBy("__k")
+        w = part.orderBy("__t")
+        # per-key mean and centered-square denominator, carried on
+        # every row by unbounded window aggregates (no join)
+        dev = F.col("__x") - F.avg("__x").over(part)
+        rows = base.withColumn("__dev", dev).withColumn(
+            "__den", F.sum(dev * dev).over(part))
+        # materialize every lagged deviation in ONE window pass, then
+        # explode plain columns (window expressions are not allowed
+        # inside a generator)
+        lagged = rows.select(
+            "__k", "__den", "__dev",
+            *[F.lag("__dev", i).over(w).alias(f"__lag_{i}")
+              for i in range(1, lags + 1)])
+        pairs = lagged.select(
+            "__k", "__den",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("lag"),
+                         (F.col("__dev")
+                          * F.col(f"__lag_{i}")).alias("prod"))
+                for i in range(1, lags + 1)])).alias("p"))
+        return (pairs.select("__k", "__den", "p.lag", "p.prod")
+                .filter(F.col("prod").isNotNull())
+                .groupBy(F.col("__k").alias(k), "lag")
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.when(F.first("__den") > 0,
+                            F.sum("prod") / F.first("__den"))
+                      .alias("acf")))

@@ -277,3 +277,61 @@ class DomainFilter(AlgoOperator, HasInputCol):
         tagged = df.withColumn("__dom", self._domain())
         how = "left_anti" if mode == "block" else "left_semi"
         return tagged.join(keys, "__dom", how).drop("__dom")
+
+
+class OutlinkExtractor(AlgoOperator, HasInputCol):
+    """Hyperlink (outlink) extraction from an HTML/markup column —
+    the edge-list producer of every web graph: feed the output to
+    :class:`~flink_ml__spark.functions.graph.PageRank` /
+    :class:`~flink_ml__spark.functions.graph.ConnectedComponents`
+    for crawl-frontier scoring, or count per-domain inlinks as a
+    quality prior (Common Crawl's harmonic-centrality ranking).
+
+    ``transform(df)`` returns one row per extracted link::
+
+        <idCol>     the source document id
+        outlink     the raw href/src value (entity-decoding and
+                    canonicalization are downstream:
+                    :class:`UrlCanonicalizer`)
+        out_domain  registrable domain of absolute http(s) links,
+                    NULL for relative/other schemes
+
+    Matches ``href``/``src`` attributes with either quote style,
+    case-insensitive; unquoted attribute values (legacy HTML) are out
+    of scope. Documents without links emit no rows.
+
+    100 TB design: ONE ``regexp_extract_all`` projection + explode —
+    map-only, zero shuffle, output-proportional; the regex is
+    RE2-compatible so the SQL oracle replays it verbatim.
+    """
+
+    idCol = Param(Params._dummy(), "idCol", "document id column",
+                  TypeConverters.toString)
+
+    # group 1: quote char (backreference-free: match both quote
+    # alternatives explicitly so RE2 accepts the pattern)
+    RE_HREF = "(?i)(?:href|src)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id")
+
+    def setIdCol(self, v):
+        return self._set(idCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        i = self.getOrDefault(self.idCol)
+        text = F.col(self.getInputCol())
+        dq = F.regexp_extract_all(text, F.lit(self.RE_HREF), 1)
+        sq = F.regexp_extract_all(text, F.lit(self.RE_HREF), 2)
+        # the unmatched alternative yields '' — zip the two capture
+        # groups and keep the non-empty side of each match
+        links = F.zip_with(dq, sq,
+                           lambda a, b: F.when(a != "", a).otherwise(b))
+        out = (df.filter(text.isNotNull())
+               .select(F.col(i), F.explode(links).alias("outlink")))
+        is_abs = F.col("outlink").rlike("(?i)^https?://")
+        return out.withColumn(
+            "out_domain",
+            F.when(is_abs,
+                   registrable_domain(_host_expr(F.col("outlink")))))

@@ -7268,6 +7268,392 @@ FROM w
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-8 additions: interval union, ACF, rolling features, link
+# prediction, k-core, encoding corruption, outlink graph
+# ---------------------------------------------------------------------------
+
+
+def q_interval_merge_events(spark, sf_dir):
+    """IntervalMerger gate: synthesize per-event exposure intervals
+    [ts, ts + (event_id % 120) s] and flatten each user's overlaps
+    into maximal spans — the islands window pattern, exact SQL
+    replay."""
+    from flink_ml__spark.functions.sessions import IntervalMerger
+
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id", F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts"))
+            + (F.col("event_id") % 120) * 1_000_000).alias("e"))
+    return (IntervalMerger().setKeyCol("user_id").setStartCol("s")
+            .setEndCol("e").transform(iv))
+
+
+ORACLE_INTERVAL_MERGE = """
+WITH iv AS (SELECT user_id, ts AS s,
+                   ts + to_seconds(event_id % 120) AS e
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL),
+m AS (SELECT user_id, s, e,
+             CASE WHEN max(e) OVER pre IS NULL
+                    OR s > max(e) OVER pre THEN 1 ELSE 0 END AS nw
+      FROM iv
+      WINDOW pre AS (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)),
+g AS (SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS span
+      FROM m)
+SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+       count(*) AS n_intervals
+FROM g GROUP BY user_id, span
+"""
+
+
+def q_acf_events(spark, sf_dir):
+    """AutocorrelationAnalyzer gate: hourly per-user value series,
+    sample ACF at lags 1..4 — one window pass computes every lag."""
+    from flink_ml__spark.functions.timeseries import (
+        AutocorrelationAnalyzer,
+    )
+
+    ev = _events(spark, sf_dir)
+    b = (ev.groupBy("user_id",
+                    F.date_trunc("hour", "ts").alias("bk"))
+         .agg(F.avg("value").alias("x")))
+    out = (AutocorrelationAnalyzer().setKeyCol("user_id")
+           .setTimeCol("bk").setValueCol("x").setMaxLag(4)
+           .transform(b))
+    return out.select("user_id", "lag", "n_pairs",
+                      F.round("acf", R).alias("acf"))
+
+
+def _acf_lag_select(lag: int) -> str:
+    return f"""
+SELECT user_id, {lag} AS lag, count(*) AS n_pairs,
+       CASE WHEN min(den) > 0
+            THEN round(sum(dev * l{lag}) / min(den), {R}) END AS acf
+FROM dd WHERE l{lag} IS NOT NULL GROUP BY user_id"""
+
+
+ORACLE_ACF = f"""
+WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bk,
+                  avg(value) AS x
+           FROM events GROUP BY 1, 2),
+f AS (SELECT * FROM b WHERE user_id IS NOT NULL
+       AND bk IS NOT NULL AND x IS NOT NULL),
+d AS (SELECT user_id, bk,
+             x - avg(x) OVER (PARTITION BY user_id) AS dev
+      FROM f),
+dd AS (SELECT user_id, bk, dev,
+              sum(dev * dev) OVER (PARTITION BY user_id) AS den,
+              lag(dev, 1) OVER w AS l1, lag(dev, 2) OVER w AS l2,
+              lag(dev, 3) OVER w AS l3, lag(dev, 4) OVER w AS l4
+       FROM d WINDOW w AS (PARTITION BY user_id ORDER BY bk))
+{' UNION ALL '.join(_acf_lag_select(i) for i in range(1, 5))}
+"""
+
+
+def q_rolling_features_events(spark, sf_dir):
+    """RollingFeatureGenerator gate: hourly per-user series ->
+    lags 1/2, trailing mean/std/min/max over 3 buckets, delta and
+    pct_change — a single Window operator in the plan."""
+    from flink_ml__spark.functions import RollingFeatureGenerator
+
+    ev = _events(spark, sf_dir)
+    b = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("ts").isNotNull())
+         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bk"))
+         .agg(F.avg("value").alias("x")))
+    out = (RollingFeatureGenerator().setKeyCol("user_id")
+           .setTimeCol("bk").setValueCol("x").setLags([1, 2])
+           .setWindows([3]).transform(b))
+    return out.select(
+        "user_id", "bk",
+        F.round("x", R).alias("x"),
+        F.round("lag_1", R).alias("lag_1"),
+        F.round("lag_2", R).alias("lag_2"),
+        F.round("roll_mean_3", R).alias("roll_mean_3"),
+        F.round("roll_std_3", R).alias("roll_std_3"),
+        F.round("roll_min_3", R).alias("roll_min_3"),
+        F.round("roll_max_3", R).alias("roll_max_3"),
+        F.round("delta", R).alias("delta"),
+        F.round("pct_change", R).alias("pct_change"))
+
+
+ORACLE_ROLLING_FEATURES = f"""
+WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bk,
+                  avg(value) AS x
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+r AS (SELECT user_id, bk, x,
+             lag(x, 1) OVER w AS lag_1, lag(x, 2) OVER w AS lag_2,
+             CASE WHEN count(x) OVER f3 = 3
+                  THEN avg(x) OVER f3 END AS roll_mean_3,
+             CASE WHEN count(x) OVER f3 = 3
+                  THEN stddev_samp(x) OVER f3 END AS roll_std_3,
+             CASE WHEN count(x) OVER f3 = 3
+                  THEN min(x) OVER f3 END AS roll_min_3,
+             CASE WHEN count(x) OVER f3 = 3
+                  THEN max(x) OVER f3 END AS roll_max_3,
+             x - lag(x, 1) OVER w AS delta,
+             CASE WHEN lag(x, 1) OVER w <> 0
+                  THEN (x - lag(x, 1) OVER w) / lag(x, 1) OVER w
+             END AS pct_change
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY bk),
+             f3 AS (PARTITION BY user_id ORDER BY bk
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+SELECT user_id, bk, round(x, {R}) AS x,
+       round(lag_1, {R}) AS lag_1, round(lag_2, {R}) AS lag_2,
+       round(roll_mean_3, {R}) AS roll_mean_3,
+       round(roll_std_3, {R}) AS roll_std_3,
+       round(roll_min_3, {R}) AS roll_min_3,
+       round(roll_max_3, {R}) AS roll_max_3,
+       round(delta, {R}) AS delta,
+       round(pct_change, {R}) AS pct_change
+FROM r
+"""
+
+
+def _order_edges(spark, sf_dir, mod: int, keep: int):
+    """Deterministic pseudo-random edge list both engines build
+    identically from orders: (o_custkey % mod, o_orderkey % mod)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (o.filter(F.col("o_orderkey") % keep == 0)
+            .select((F.col("o_custkey") % mod).alias("src"),
+                    (F.col("o_orderkey") % mod).alias("dst")))
+
+
+_EDGE_SQL = """raw AS (SELECT o_custkey % {mod} AS a,
+                   o_orderkey % {mod} AS b
+            FROM orders WHERE o_orderkey % {keep} = 0),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM raw
+        WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b)"""
+
+
+def q_link_prediction_orders(spark, sf_dir):
+    """CommonNeighborsLinkPredictor gate: common-neighbor / Jaccard /
+    Adamic-Adar scores for every non-adjacent 2-hop pair of the
+    synthesized order graph."""
+    from flink_ml__spark.functions.graph import (
+        CommonNeighborsLinkPredictor,
+    )
+
+    edges = _order_edges(spark, sf_dir, 97, 7)
+    out = CommonNeighborsLinkPredictor().transform(edges)
+    return out.select("u", "v", "common_neighbors",
+                      F.round("jaccard", R).alias("jaccard"),
+                      F.round("adamic_adar", R).alias("adamic_adar"))
+
+
+ORACLE_LINK_PREDICTION = f"""
+WITH {_EDGE_SQL.format(mod=97, keep=7)},
+adj AS (SELECT u AS w, v AS n FROM und
+        UNION ALL SELECT v, u FROM und),
+deg AS (SELECT w AS node, count(*) AS degree FROM adj GROUP BY 1),
+piv AS (SELECT adj.w, adj.n, deg.degree
+        FROM adj JOIN deg ON adj.w = deg.node),
+wed AS (SELECT a.w, a.n AS u, b.n AS v, a.degree
+        FROM piv a JOIN piv b ON a.w = b.w AND a.n < b.n),
+sc AS (SELECT u, v, count(*) AS common_neighbors,
+              sum(1.0 / ln(degree)) AS aa
+       FROM wed GROUP BY 1, 2),
+ne AS (SELECT sc.* FROM sc WHERE NOT EXISTS
+        (SELECT 1 FROM und
+         WHERE und.u = sc.u AND und.v = sc.v))
+SELECT ne.u, ne.v, common_neighbors,
+       round(common_neighbors::DOUBLE
+             / (du.degree + dv.degree - common_neighbors),
+             {R}) AS jaccard,
+       round(aa, {R}) AS adamic_adar
+FROM ne
+JOIN deg du ON ne.u = du.node
+JOIN deg dv ON ne.v = dv.node
+"""
+
+
+def q_kcore_orders(spark, sf_dir):
+    """KCoreExtractor gate: 3-core of the synthesized order graph
+    (degrees 1..8 at sf0.01 — six real peeling rounds drop ~a quarter
+    of the nodes). The k-core is unique, so the oracle replays the
+    peeling as a fixed unroll of 24 rounds (excess rounds are
+    no-ops)."""
+    from flink_ml__spark.functions.graph import KCoreExtractor
+
+    edges = _order_edges(spark, sf_dir, 211, 37)
+    return KCoreExtractor().setK(3).transform(edges)
+
+
+def _kcore_oracle_sql(k: int, rounds: int, mod: int, keep: int) -> str:
+    # MATERIALIZED is load-bearing: each round references the prior
+    # edge CTE twice, so inlined CTEs would expand the plan (and the
+    # parquet scan count) exponentially in `rounds`
+    parts = [_EDGE_SQL.format(mod=mod, keep=keep)
+             + ",\ne0 AS MATERIALIZED (SELECT u, v FROM und)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS degree "
+            f"FROM (SELECT u AS node FROM e{p} "
+            f"UNION ALL SELECT v FROM e{p}) GROUP BY 1)")
+        parts.append(
+            f"k{i} AS MATERIALIZED "
+            f"(SELECT node FROM d{i} WHERE degree >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e{p}.u, e{p}.v FROM e{p} "
+            f"JOIN k{i} ku ON e{p}.u = ku.node "
+            f"JOIN k{i} kv ON e{p}.v = kv.node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+SELECT node, count(*) AS core_degree
+FROM (SELECT u AS node FROM e{rounds}
+      UNION ALL SELECT v FROM e{rounds})
+GROUP BY 1""")
+
+
+ORACLE_KCORE = _kcore_oracle_sql(3, 24, 211, 37)
+
+
+def q_encoding_corruption_documents(spark, sf_dir):
+    """EncodingCorruptionDetector gate: deterministic corruption
+    injected identically in both engines (mojibake digraph on
+    doc_id%7, U+FFFD on %13, two control chars on %17), then the
+    regexp_count signal pass."""
+    from flink_ml__spark.functions.text import (
+        EncodingCorruptionDetector,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.col("doc_id")
+    extra = F.concat(
+        F.when(k % 7 == 0, F.lit("\u00c3\u00a9")).otherwise(F.lit("")),
+        F.when(k % 13 == 0, F.lit("\ufffd")).otherwise(F.lit("")),
+        F.when(k % 17 == 0,
+               F.lit("")).otherwise(F.lit("")))
+    df = docs.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text"))
+    out = (EncodingCorruptionDetector().setThreshold(0.0005)
+           .transform(df))
+    return out.select("doc_id", "n_replacement", "n_mojibake",
+                      "n_control",
+                      F.round("corrupt_ratio", R)
+                       .alias("corrupt_ratio"),
+                      "is_corrupt")
+
+
+def _encoding_oracle() -> str:
+    from flink_ml__spark.functions.text import (
+        EncodingCorruptionDetector as _E,
+    )
+
+    return f"""
+WITH c AS (SELECT doc_id,
+       text || CASE WHEN doc_id % 7 = 0
+                    THEN chr(195) || chr(169) ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN chr(65533) ELSE '' END
+            || CASE WHEN doc_id % 17 = 0
+                    THEN chr(7) || chr(127) ELSE '' END AS t
+       FROM documents),
+n AS (SELECT doc_id, t,
+        len(regexp_extract_all(t, '{_E.RE_REPLACEMENT}')) AS n_replacement,
+        len(regexp_extract_all(t, '{_E.RE_MOJIBAKE}')) AS n_mojibake,
+        len(regexp_extract_all(t, '{_E.RE_CONTROL}')) AS n_control
+      FROM c)
+SELECT doc_id, n_replacement, n_mojibake, n_control,
+       round((n_replacement + n_mojibake + n_control)
+             / greatest(len(t), 1)::DOUBLE, {R}) AS corrupt_ratio,
+       coalesce(n_replacement > 0
+                OR (n_replacement + n_mojibake + n_control)
+                   / greatest(len(t), 1)::DOUBLE >= 0.0005,
+                false) AS is_corrupt
+FROM n
+"""
+
+
+ORACLE_ENCODING_CORRUPTION = _encoding_oracle()
+
+
+def q_outlinks_documents(spark, sf_dir):
+    """OutlinkExtractor gate: deterministic HTML synthesized
+    identically in both engines (absolute https link per doc, a
+    single-quoted relative link on doc_id%3, an http img on %4),
+    extracted to (doc, outlink, registrable domain) edge rows."""
+    from flink_ml__spark.functions.web import OutlinkExtractor
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="https://site'), (k % 5).cast("string"),
+        F.lit('.example.com/p/'), k.cast("string"),
+        F.lit('">x</a>'),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" <a href='/rel/"), k.cast("string"),
+                        F.lit("'>y</a>"))).otherwise(F.lit("")),
+        F.when(k % 4 == 0,
+               F.concat(F.lit(' <img src="http://img'),
+                        (k % 7).cast("string"),
+                        F.lit('.example.co.uk/i.png">')))
+         .otherwise(F.lit("")))
+    return (OutlinkExtractor()
+            .transform(docs.select("doc_id", html.alias("text"))))
+
+
+def _outlinks_oracle() -> str:
+    from flink_ml__spark.functions.web import OutlinkExtractor as _O
+
+    href = _O.RE_HREF.replace("'", "''")
+    return f"""
+WITH h AS (SELECT doc_id,
+       '<a href="https://site' || (doc_id % 5)
+       || '.example.com/p/' || doc_id || '">x</a>'
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' <a href=' || chr(39) || '/rel/' || doc_id
+                    || chr(39) || '>y</a>'
+               ELSE '' END
+       || CASE WHEN doc_id % 4 = 0
+               THEN ' <img src="http://img' || (doc_id % 7)
+                    || '.example.co.uk/i.png">'
+               ELSE '' END AS t
+       FROM documents),
+m AS (SELECT doc_id, unnest(list_filter(
+            regexp_extract_all(t, '{href}', 1),
+            x -> x <> '')) AS outlink FROM h
+      UNION ALL
+      SELECT doc_id, unnest(list_filter(
+            regexp_extract_all(t, '{href}', 2),
+            x -> x <> '')) AS outlink FROM h),
+a AS (SELECT doc_id, outlink,
+             CASE WHEN regexp_matches(outlink, '(?i)^https?://')
+                  THEN lower(regexp_extract(outlink,
+                             '{_W_RE}', 2)) END AS host
+      FROM m)
+SELECT doc_id, outlink,
+       CASE
+        WHEN host IS NULL OR host = '' THEN NULL
+        WHEN regexp_matches(host,
+             '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$') THEN host
+        WHEN len(string_split(host, '.')) <= 2 THEN host
+        WHEN array_to_string(string_split(host, '.')[-2:], '.')
+             IN ({_web_suffix_sql()})
+          THEN array_to_string(string_split(host, '.')[-3:], '.')
+        ELSE array_to_string(string_split(host, '.')[-2:], '.')
+       END AS out_domain
+FROM a
+"""
+
+
+ORACLE_OUTLINKS = _outlinks_oracle()
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -7450,6 +7836,13 @@ QUERIES = {
     "hashed_tf_documents": q_hashed_tf_documents,
     "chunk_overlap_documents": q_chunk_overlap_documents,
     "prototypicality_embeddings": q_prototypicality_embeddings,
+    "interval_merge_events": q_interval_merge_events,
+    "acf_events": q_acf_events,
+    "rolling_features_events": q_rolling_features_events,
+    "link_prediction_orders": q_link_prediction_orders,
+    "kcore_orders": q_kcore_orders,
+    "encoding_corruption_documents": q_encoding_corruption_documents,
+    "outlinks_documents": q_outlinks_documents,
 }
 
 ORACLES = {
@@ -7638,4 +8031,11 @@ ORACLES = {
     "multimodal_frame_means": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_scene_changes": ORACLE_MULTIMODAL_SCENES,
     "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO,
+    "interval_merge_events": ORACLE_INTERVAL_MERGE,
+    "acf_events": ORACLE_ACF,
+    "rolling_features_events": ORACLE_ROLLING_FEATURES,
+    "link_prediction_orders": ORACLE_LINK_PREDICTION,
+    "kcore_orders": ORACLE_KCORE,
+    "encoding_corruption_documents": ORACLE_ENCODING_CORRUPTION,
+    "outlinks_documents": ORACLE_OUTLINKS,
 }

@@ -145,3 +145,112 @@ def test_label_propagation_matches_reference(spark, iters):
                spark.createDataFrame(edges, "src long, dst long"))
            .collect()}
     assert got == _lpa_reference(edges, iters)
+
+
+# ------------------------------------------------------ link prediction
+
+def test_common_neighbors_square_graph(spark):
+    from flink_ml__spark.functions.graph import (
+        CommonNeighborsLinkPredictor,
+    )
+
+    # square 1-2-3-4-1: the two diagonals are the only candidates,
+    # each with both opposite corners as common neighbors
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = CommonNeighborsLinkPredictor().transform(df)
+    got = {(r["u"], r["v"]): r for r in out.collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    import math
+    for r in got.values():
+        assert r["common_neighbors"] == 2
+        assert abs(r["jaccard"] - 2 / (2 + 2 - 2)) < 1e-12
+        assert abs(r["adamic_adar"] - 2 / math.log(2)) < 1e-12
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    from flink_ml__spark.functions.graph import (
+        CommonNeighborsLinkPredictor,
+    )
+
+    # triangle + pendant: every 2-hop pair is already an edge except
+    # (1, 4) via 3 -- wait: 4-3, 3-1 => candidate (1, 4); 4-3, 3-2 =>
+    # candidate (2, 4)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = CommonNeighborsLinkPredictor().transform(df)
+    pairs = {(r["u"], r["v"]) for r in out.collect()}
+    assert pairs == {(1, 4), (2, 4)}   # (1,2),(1,3),(2,3) are edges
+
+
+def test_common_neighbors_pivot_cap_drops_hub_wedges(spark):
+    from flink_ml__spark.functions.graph import (
+        CommonNeighborsLinkPredictor,
+    )
+
+    # star: hub 0 with leaves 1..5 — uncapped, every leaf pair is a
+    # candidate through the hub; capping the pivot degree below 5
+    # removes them all
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert CommonNeighborsLinkPredictor().transform(df).count() == 10
+    capped = (CommonNeighborsLinkPredictor().setMaxPivotDegree(4)
+              .transform(df))
+    assert capped.count() == 0
+
+
+def test_common_neighbors_ignores_direction_and_self_loops(spark):
+    from flink_ml__spark.functions.graph import (
+        CommonNeighborsLinkPredictor,
+    )
+
+    edges = [(2, 1), (1, 2), (2, 3), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = CommonNeighborsLinkPredictor().transform(df)
+    got = {(r["u"], r["v"]): r["common_neighbors"]
+           for r in out.collect()}
+    assert got == {(1, 3): 1}
+
+
+# --------------------------------------------------------------- k-core
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    from flink_ml__spark.functions.graph import KCoreExtractor
+
+    # triangle 1-2-3 with a path 3-4-5 hanging off: 2-core = triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = KCoreExtractor().setK(2).transform(df)
+    got = {r["node"]: r["core_degree"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    from flink_ml__spark.functions.graph import KCoreExtractor
+
+    # K4 plus a chain that only dies after repeated peeling rounds
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    out = KCoreExtractor().setK(3).transform(df)
+    assert {r["node"] for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    from flink_ml__spark.functions.graph import KCoreExtractor
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = KCoreExtractor().setK(5).transform(df)
+    assert out.count() == 0
+    assert out.columns == ["node", "core_degree"]
+
+
+def test_kcore_bad_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.graph import KCoreExtractor
+
+    with _pt.raises(ValueError):
+        KCoreExtractor().setK(0)
+    with _pt.raises(ValueError):
+        KCoreExtractor().setMaxIter(0)

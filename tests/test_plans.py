@@ -513,3 +513,56 @@ def test_minhash_topk_banded_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_interval_merge_single_window_pass(spark):
+    plan = _plan(spark, "interval_merge_events")
+    # islands: ONE window sort feeds both running aggregates, then a
+    # hash aggregate — no join, no Python
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_acf_one_window_operator_for_all_lags(spark):
+    plan = _plan(spark, "acf_events")
+    # every lag and the per-key mean/denominator ride the same
+    # partitioning: Catalyst may split mean/denominator/lags into up
+    # to 3 Window operators, but they share ONE key exchange — the
+    # shuffle count is what survives a 100× scale-up. 2 exchanges
+    # total: the bucket groupBy and the key repartition.
+    assert plan.count("Window") <= 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_rolling_features_single_window_operator(spark):
+    plan = _plan(spark, "rolling_features_events")
+    # all lags + all frames share one (partitionBy, orderBy) spec ->
+    # exactly one Window operator, one sort underneath
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    plan = _plan(spark, "link_prediction_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_outlinks_map_only_no_shuffle(spark):
+    plan = _plan(spark, "outlinks_documents")
+    # regexp extract + explode is a scan-stage projection: no
+    # exchange anywhere, no Python
+    assert "Exchange" not in plan
+    assert "Generate" in plan       # the explode
+    assert "Python" not in plan
+
+
+def test_encoding_corruption_map_only(spark):
+    plan = _plan(spark, "encoding_corruption_documents")
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -405,3 +405,66 @@ def test_bloom_join_filter_multi_column_keys(spark):
     want = sorted(tuple(r) for r in
                   big.join(small, ["a", "b"]).collect())
     assert got == want
+
+
+# ------------------------------------------------------------ intervals
+
+def test_interval_merger_basic_overlap_touch_disjoint(spark):
+    from flink_ml__spark.functions.sessions import IntervalMerger
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 12),      # overlap -> one span
+        ("a", 12, 15),                   # touching -> still merges
+        ("a", 20, 25),                   # disjoint -> new span
+        ("b", 3, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    m = (IntervalMerger().setKeyCol("k").setStartCol("s")
+         .setEndCol("e").transform(df))
+    got = sorted((r["k"], r["span_start"], r["span_end"],
+                  r["n_intervals"]) for r in m.collect())
+    assert got == [("a", 0, 15, 3), ("a", 20, 25, 1), ("b", 3, 4, 1)]
+
+
+def test_interval_merger_contained_and_duplicate_intervals(spark):
+    from flink_ml__spark.functions.sessions import IntervalMerger
+
+    rows = [("a", 0, 100), ("a", 10, 20), ("a", 10, 20), ("a", 30, 40)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    m = (IntervalMerger().setKeyCol("k").setStartCol("s")
+         .setEndCol("e").transform(df))
+    got = [(r["span_start"], r["span_end"], r["n_intervals"])
+           for r in m.collect()]
+    assert got == [(0, 100, 4)]
+
+
+def test_interval_merger_drops_null_and_inverted(spark):
+    from flink_ml__spark.functions.sessions import IntervalMerger
+
+    rows = [("a", 0, 5), ("a", 9, 2), (None, 0, 5), ("a", None, 5),
+            ("a", 0, None)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    m = (IntervalMerger().setKeyCol("k").setStartCol("s")
+         .setEndCol("e").transform(df))
+    got = [(r["k"], r["span_start"], r["span_end"]) for r in m.collect()]
+    assert got == [("a", 0, 5)]
+
+
+def test_interval_merger_timestamps(spark):
+    import datetime as dt
+
+    from flink_ml__spark.functions.sessions import IntervalMerger
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [("u", ts(0), ts(30)), ("u", ts(15), ts(45)),
+            ("u", ts(60), ts(70))]
+    df = spark.createDataFrame(
+        rows, "k string, s timestamp, e timestamp")
+    m = (IntervalMerger().setKeyCol("k").setStartCol("s")
+         .setEndCol("e").transform(df))
+    got = sorted((r["span_start"], r["span_end"]) for r in m.collect())
+    assert got == [(ts(0), ts(45)), (ts(60), ts(70))]

@@ -516,3 +516,60 @@ def test_hashed_tf_validates_dim(spark):
 
     with _pytest.raises(ValueError):
         HashedTfEmbedder().setDim(0)
+
+
+# ------------------------------------------------- encoding corruption
+
+def test_encoding_corruption_counts_and_flag(spark):
+    from flink_ml__spark.functions.text import EncodingCorruptionDetector
+
+    clean = "A perfectly ordinary sentence with caf\u00e9 accents."
+    # mojibake of 'café "quoted"' read as cp1252: \xc3\xa9 -> 'caf\u00c3\u00a9',
+    # \xe2\x80\x9c -> '\u00e2\u20ac\u0153', \xe2\x80\x9d -> '\u00e2\u20ac\u009d'
+    mojibake = ("caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d")
+    replaced = "broken \ufffd decode"
+    binary = "x" + "".join(chr(c) for c in (0, 1, 2, 3, 4)) + "y"
+    df = spark.createDataFrame(
+        [(1, clean), (2, mojibake), (3, replaced), (4, binary),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in EncodingCorruptionDetector().transform(df).collect()}
+    assert out[1]["n_replacement"] == 0 and out[1]["n_mojibake"] == 0
+    assert out[1]["n_control"] == 0 and out[1]["is_corrupt"] is False
+    # one 'caf\xc3\xa9' digraph + two '\xe2\u20ac' prefixes
+    assert out[2]["n_mojibake"] == 3
+    assert out[2]["n_control"] == 1          # trailing U+009D is C1
+    assert out[2]["is_corrupt"] is True
+    assert out[3]["n_replacement"] == 1 and out[3]["is_corrupt"] is True
+    assert out[4]["n_control"] == 5 and out[4]["is_corrupt"] is True
+    assert out[5]["n_mojibake"] is None
+    assert out[5]["is_corrupt"] is False
+
+
+def test_encoding_corruption_threshold(spark):
+    from flink_ml__spark.functions.text import EncodingCorruptionDetector
+
+    # one mojibake digraph in a long doc: under a loose threshold ok,
+    # over a tight one corrupt
+    text = ("clean text " * 50) + "caf\u00c3\u00a9"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    loose = (EncodingCorruptionDetector().setThreshold(0.5)
+             .transform(df).first())
+    tight = (EncodingCorruptionDetector().setThreshold(0.001)
+             .transform(df).first())
+    assert loose["is_corrupt"] is False
+    assert tight["is_corrupt"] is True
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        EncodingCorruptionDetector().setThreshold(0.0)
+
+
+def test_encoding_corruption_exempts_whitespace_controls(spark):
+    from flink_ml__spark.functions.text import EncodingCorruptionDetector
+
+    df = spark.createDataFrame(
+        [(1, "line one\nline two\ttabbed\r\n")],
+        "doc_id long, text string")
+    r = EncodingCorruptionDetector().transform(df).first()
+    assert r["n_control"] == 0 and r["is_corrupt"] is False

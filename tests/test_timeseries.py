@@ -582,3 +582,115 @@ def test_ohlc_pre_1970_floor_matches_window(spark):
         F.window("ts", "60 seconds").alias("w")).distinct().collect())
     assert got == want
     assert got[0] == datetime(1969, 12, 31, 23, 58)
+
+
+# ----------------------------------------------------------------- ACF
+
+def test_acf_matches_numpy_definition(spark):
+    import numpy as np
+
+    from flink_ml__spark.functions.timeseries import (
+        AutocorrelationAnalyzer,
+    )
+
+    x = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0])
+    rows = [("k", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = (AutocorrelationAnalyzer().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setMaxLag(3).transform(df))
+    got = {r["lag"]: (r["n_pairs"], r["acf"]) for r in out.collect()}
+    dev = x - x.mean()
+    den = float((dev * dev).sum())
+    for lag in (1, 2, 3):
+        want = float((dev[lag:] * dev[:-lag]).sum()) / den
+        n, acf = got[lag]
+        assert n == len(x) - lag
+        assert abs(acf - want) < 1e-12
+
+
+def test_acf_periodic_series_peaks_at_period(spark):
+    import math
+
+    from flink_ml__spark.functions.timeseries import (
+        AutocorrelationAnalyzer,
+    )
+
+    rows = [("k", i, math.sin(2 * math.pi * i / 8)) for i in range(64)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = (AutocorrelationAnalyzer().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setMaxLag(10).transform(df))
+    acf = {r["lag"]: r["acf"] for r in out.collect()}
+    assert acf[8] == max(acf.values())     # the true period wins
+    assert acf[4] < 0                      # anti-phase lag is negative
+
+
+def test_acf_constant_series_and_short_series(spark):
+    from flink_ml__spark.functions.timeseries import (
+        AutocorrelationAnalyzer,
+    )
+
+    rows = [("const", i, 7.0) for i in range(5)] + [("short", 0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = (AutocorrelationAnalyzer().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setMaxLag(3).transform(df))
+    rows_out = out.collect()
+    const = [r for r in rows_out if r["k"] == "const"]
+    assert const and all(r["acf"] is None for r in const)
+    # 1-row series has no pairs at any lag -> no rows at all
+    assert not [r for r in rows_out if r["k"] == "short"]
+
+
+def test_acf_bad_params(spark):
+    from flink_ml__spark.functions.timeseries import (
+        AutocorrelationAnalyzer,
+    )
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        AutocorrelationAnalyzer().setMaxLag(0)
+
+
+# ------------------------------------------------- rolling features
+
+def test_rolling_features_windows_and_lags(spark):
+    from flink_ml__spark.functions import RollingFeatureGenerator
+
+    rows = [("k", i, float(v))
+            for i, v in enumerate([1, 2, 4, 8, 16])]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = (RollingFeatureGenerator().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setLags([1, 2]).setWindows([3])
+           .transform(df))
+    got = {r["t"]: r for r in out.collect()}
+    assert got[0]["lag_1"] is None and got[2]["lag_2"] == 1.0
+    assert got[1]["roll_mean_3"] is None          # frame not full yet
+    assert got[2]["roll_mean_3"] == (1 + 2 + 4) / 3
+    assert got[4]["roll_min_3"] == 4.0 and got[4]["roll_max_3"] == 16.0
+    assert got[3]["delta"] == 4.0
+    assert got[3]["pct_change"] == 1.0
+    assert got[0]["pct_change"] is None
+
+
+def test_rolling_features_zero_prev_pct_change_null(spark):
+    from flink_ml__spark.functions import RollingFeatureGenerator
+
+    df = spark.createDataFrame(
+        [("k", 0, 0.0), ("k", 1, 5.0)], "k string, t long, v double")
+    out = (RollingFeatureGenerator().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setLags([1]).setWindows([2])
+           .transform(df))
+    got = {r["t"]: r for r in out.collect()}
+    assert got[1]["pct_change"] is None and got[1]["delta"] == 5.0
+
+
+def test_rolling_features_bad_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions import RollingFeatureGenerator
+
+    with _pt.raises(ValueError):
+        RollingFeatureGenerator().setLags([0])
+    with _pt.raises(ValueError):
+        RollingFeatureGenerator().setWindows([1])
+    with _pt.raises(ValueError):
+        RollingFeatureGenerator().setLags([2, 2])

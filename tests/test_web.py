@@ -107,3 +107,45 @@ def test_web_plan_shapes(spark, urls_df):
     plan = (UrlDeduplicator().setInputCol("url").transform(urls_df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
+
+
+# ------------------------------------------------------------ outlinks
+
+def test_outlink_extractor_quotes_schemes_domains(spark):
+    from flink_ml__spark.functions.web import OutlinkExtractor
+
+    html = ('<a href="https://news.example.co.uk/a?x=1">one</a> '
+            "<a href='http://blog.example.com/'>two</a> "
+            '<img src="/static/logo.png"> '
+            '<a href="ftp://files.example.com/f">three</a> '
+            '<a HREF="HTTPS://CAPS.EXAMPLE.COM/P">four</a>')
+    df = spark.createDataFrame(
+        [(1, html), (2, "no links here"), (3, None)],
+        "doc_id long, text string")
+    out = OutlinkExtractor().transform(df)
+    got = sorted((r["doc_id"], r["outlink"], r["out_domain"])
+                 for r in out.collect())
+    assert got == [
+        (1, "/static/logo.png", None),
+        (1, "HTTPS://CAPS.EXAMPLE.COM/P", "example.com"),
+        (1, "ftp://files.example.com/f", None),
+        (1, "http://blog.example.com/", "example.com"),
+        (1, "https://news.example.co.uk/a?x=1", "example.co.uk"),
+    ]
+
+
+def test_outlink_extractor_composes_with_pagerank(spark):
+    from flink_ml__spark.functions.graph import PageRank
+    from flink_ml__spark.functions.web import OutlinkExtractor
+
+    rows = [
+        (10, '<a href="https://b.com/">x</a><a href="https://c.com/">y</a>'),
+        (20, '<a href="https://c.com/">z</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    links = OutlinkExtractor().transform(df)
+    edges = links.filter(links.out_domain.isNotNull()).selectExpr(
+        "cast(doc_id as string) AS src", "out_domain AS dst")
+    pr = PageRank().setMaxIter(5).transform(edges)
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert ranks["c.com"] > ranks["b.com"]   # two inlinks beat one
