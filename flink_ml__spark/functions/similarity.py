@@ -1373,10 +1373,22 @@ class RandomProjection(AlgoOperator, _SimilarityParams):
                       TypeConverters.toInt)
     outputCol = Param(Params._dummy(), "outputCol",
                       "projected column name", TypeConverters.toString)
+    inputDim = Param(Params._dummy(), "inputDim",
+                     "source dimensionality; 0 = sample the first "
+                     "non-null row (batch only — sampling is an "
+                     "action, so STREAMING input requires an explicit "
+                     "setInputDim)", TypeConverters.toInt)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(outputDim=4, outputCol="projected")
+        self._setDefault(outputDim=4, outputCol="projected",
+                         inputDim=0)
+
+    def setInputDim(self, v):
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"inputDim must be >= 0, got {v}")
+        return self._set(inputDim=v)
 
     def setOutputDim(self, v):
         v = int(v)
@@ -1406,7 +1418,13 @@ class RandomProjection(AlgoOperator, _SimilarityParams):
         k = self.getOrDefault(self.outputDim)
         seed = self.getSeed()
         arr = as_double_array(df, self.getEmbeddingCol())
-        dims = array_width(df, self.getEmbeddingCol())
+        dims = self.getOrDefault(self.inputDim)
+        if dims == 0:
+            if df.isStreaming:
+                raise ValueError(
+                    "RandomProjection on a streaming frame needs "
+                    "setInputDim(dims): width sampling is an action")
+            dims = array_width(df, self.getEmbeddingCol())
         inv = 1.0 / math.sqrt(k)
         comps = []
         for j in range(k):

@@ -1282,3 +1282,61 @@ def test_cdc_chunker_and_hashed_tf_apply_on_streams(spark, tmp_path):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_embedding_models_encode_matches_batch(spark):
+    """The trained embedding-model family — PQ codes, int8 quantizer,
+    PCA projection, random projection — are all broadcast-model Arrow
+    map passes; chained over one unbounded stream they must emit
+    exactly the batch encodings. This is the streaming half of the
+    ANN story: index building is batch, INGEST encoding is a stream."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.similarity import (
+        EmbeddingPCA,
+        EmbeddingQuantizer,
+        ProductQuantizer,
+        RandomProjection,
+    )
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001") \
+        .limit(64).localCheckpoint(eager=True)
+    pq = (ProductQuantizer().setNumSubspaces(8).setBitsPerCode(4)
+          .setSeed(7).setK(5).train(emb))
+    pca = EmbeddingPCA().setK(4).fit(emb)
+    rp = (RandomProjection().setOutputDim(8).setSeed(7)
+          .setOutputCol("rp").setInputDim(64))
+    q8 = EmbeddingQuantizer()
+
+    def chain(frame):
+        out = pq.transform(frame)
+        out = pca.transform(out)
+        out = rp.transform(out)
+        return q8.transform(out)
+
+    def canon(frame):
+        rows = frame.collect()
+        return sorted(
+            ((r["vec_id"], tuple(r["pq_code"]), round(r["pq_norm"], 9),
+              tuple(round(x, 9) for x in r["pca"]),
+              tuple(round(x, 9) for x in r["rp"]),
+              tuple(r["emb_q8"]), round(r["emb_scale"], 9))
+             for r in rows))
+
+    batch = canon(chain(emb))
+    assert len(batch) == 64
+    d = _tf.mkdtemp(prefix="emb_stream_")
+    try:
+        emb.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        out = chain(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("embstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM embstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
