@@ -186,6 +186,8 @@ HEADLINE = [
     "kcore_orders",
     "encoding_corruption_documents",
     "outlinks_documents",
+    "ppr_events",
+    "interval_overlap_events",
 ]
 
 

@@ -57,6 +57,17 @@ class PageRank(AlgoOperator):
         super().__init__()
         self._setDefault(srcCol="src", dstCol="dst", damping=0.85,
                          maxIter=5)
+        self._seed_nodes: list | None = None
+
+    def setSeedNodes(self, seeds):
+        """Personalized PageRank (Jeh & Widom 2003): teleport and
+        dangling mass go to these nodes (uniformly) instead of the
+        whole graph. Seeds absent from the graph are ignored and the
+        remaining seeds renormalize; an empty/None list is standard
+        PageRank. Node type must match the edge columns."""
+        seeds = list(seeds) if seeds is not None else None
+        self._seed_nodes = seeds if seeds else None
+        return self
 
     def getSrcCol(self):
         return self.getOrDefault(self.srcCol)
@@ -108,7 +119,34 @@ class PageRank(AlgoOperator):
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
         has_out = trans.select(F.col("__s").alias("node")).distinct()
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        # teleport distribution: uniform 1/n, or uniform over the
+        # present seed nodes (personalized). Carried as a column so
+        # the iteration below is one expression either way; the seed
+        # table is tiny and broadcast.
+        if self._seed_nodes is not None:
+            spark = edges.sparkSession
+            seed_df = (spark.createDataFrame(
+                [(x,) for x in set(self._seed_nodes)],
+                nodes.select("node").schema).distinct())
+            marked = nodes.join(F.broadcast(seed_df), "node",
+                                "left_semi")
+            m = marked.count()
+            if m == 0:
+                raise ValueError(
+                    "none of the seed nodes appear in the graph")
+            tele_nodes = (nodes
+                          .join(F.broadcast(seed_df)
+                                .withColumn("__tele",
+                                            F.lit(1.0 / m)),
+                                "node", "left")
+                          .select("node",
+                                  F.coalesce("__tele", F.lit(0.0))
+                                  .alias("__tele"))
+                          .localCheckpoint(eager=True))
+        else:
+            tele_nodes = nodes.withColumn("__tele", F.lit(1.0 / n))
+        ranks = tele_nodes.select(
+            "node", F.col("__tele").alias("rank"))
         for _ in range(self.getMaxIter()):
             dangling = (ranks.join(has_out, "node", "left_anti")
                         .agg(F.sum("rank")).first()[0]) or 0.0
@@ -118,12 +156,18 @@ class PageRank(AlgoOperator):
                        .groupBy(F.col("__t").alias("node"))
                        .agg(F.sum(F.col("__p") * F.col("rank"))
                             .alias("__c")))
-            ranks = (nodes.join(contrib, "node", "left")
-                     .select("node",
-                             (F.lit((1.0 - d) / n)
-                              + F.lit(d) * (F.coalesce("__c", F.lit(0.0))
-                                            + F.lit(dangling / n)))
-                             .alias("rank"))
+            if self._seed_nodes is None:
+                # keep the historical float association — the SQL
+                # oracle replays exactly these literals
+                expr = (F.lit((1.0 - d) / n)
+                        + F.lit(d) * (F.coalesce("__c", F.lit(0.0))
+                                      + F.lit(dangling / n)))
+            else:
+                expr = ((F.lit(1.0 - d) + F.lit(d * dangling))
+                        * F.col("__tele")
+                        + F.lit(d) * F.coalesce("__c", F.lit(0.0)))
+            ranks = (tele_nodes.join(contrib, "node", "left")
+                     .select("node", expr.alias("rank"))
                      .localCheckpoint(eager=True))
         return ranks
 

@@ -164,3 +164,113 @@ class IntervalMerger(AlgoOperator):
                      F.max("__e").alias("span_end"),
                      F.count(F.lit(1)).alias("n_intervals"))
                 .drop("__span"))
+
+
+class IntervalOverlapJoiner(AlgoOperator):
+    """Keyed interval-overlap join: pair every left interval with
+    every right interval of the same key that overlaps it (closed
+    intervals — touching endpoints count). The temporal-join behind
+    exposure attribution, shift/incident matching, ad-viewability.
+
+    ``join(left, right)`` expects both frames to carry ``keyCol``,
+    ``startCol``, ``endCol`` (other columns are dropped) and returns::
+
+        <keyCol>                      the key
+        l_start l_end r_start r_end   the paired intervals
+        overlap_start overlap_end     the intersection
+                                      (max of starts, min of ends)
+
+    Rows with NULL key/bounds or inverted intervals drop, as in
+    :class:`IntervalMerger`.
+
+    100 TB design: with ``bucketWidthSec=0`` this is ONE equi-join on
+    the key plus a codegen overlap filter — right for well-keyed
+    data. A hot key degrades to a per-key cross product; for that,
+    set ``bucketWidthSec > 0`` (timestamp bounds only): each interval
+    explodes to the coarse time buckets it covers, the join runs on
+    (key, bucket) — co-partitioning by time — and a canonical-bucket
+    predicate (pair counted only in the first shared bucket) dedups
+    without a distinct. Pick a width near the typical interval span
+    so the explode factor stays ~2.
+    """
+
+    keyCol = Param(Params._dummy(), "keyCol", "join key column",
+                   TypeConverters.toString)
+    startCol = Param(Params._dummy(), "startCol",
+                     "interval start column", TypeConverters.toString)
+    endCol = Param(Params._dummy(), "endCol", "interval end column",
+                   TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "0 = plain keyed join; > 0 = bucketized "
+                           "(key, time-bucket) join for hot keys",
+                           TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="user_id", startCol="span_start",
+                         endCol="span_end", bucketWidthSec=0.0)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setStartCol(self, v):
+        return self._set(startCol=v)
+
+    def setEndCol(self, v):
+        return self._set(endCol=v)
+
+    def setBucketWidthSec(self, v):
+        v = float(v)
+        if v < 0:
+            raise ValueError(f"bucketWidthSec must be >= 0, got {v}")
+        return self._set(bucketWidthSec=v)
+
+    def _side(self, df: DataFrame, tag: str) -> DataFrame:
+        k = self.getOrDefault(self.keyCol)
+        s = self.getOrDefault(self.startCol)
+        e = self.getOrDefault(self.endCol)
+        return (df.filter(F.col(k).isNotNull() & F.col(s).isNotNull()
+                          & F.col(e).isNotNull()
+                          & (F.col(e) >= F.col(s)))
+                .select(F.col(k).alias("__k"),
+                        F.col(s).alias(f"{tag}_start"),
+                        F.col(e).alias(f"{tag}_end")))
+
+    def join(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.keyCol)
+        w = self.getOrDefault(self.bucketWidthSec)
+        a, b = self._side(left, "l"), self._side(right, "r")
+        overlap = ((F.col("l_start") <= F.col("r_end"))
+                   & (F.col("r_start") <= F.col("l_end")))
+        if w == 0:
+            pairs = a.join(b, "__k").filter(overlap)
+        else:
+            w_us = int(w * 1_000_000)
+
+            def bucketize(df, tag):
+                lo = F.floor(F.unix_micros(F.col(f"{tag}_start"))
+                             / w_us).cast("bigint")
+                hi = F.floor(F.unix_micros(F.col(f"{tag}_end"))
+                             / w_us).cast("bigint")
+                return df.withColumn(
+                    "__b", F.explode(F.sequence(lo, hi)))
+
+            ab, bb = bucketize(a, "l"), bucketize(b, "r")
+            # canonical bucket: count the pair only in the FIRST
+            # bucket both intervals cover — max of the two start
+            # buckets — so no distinct is needed
+            first_shared = F.greatest(
+                F.floor(F.unix_micros(F.col("l_start")) / w_us),
+                F.floor(F.unix_micros(F.col("r_start")) / w_us)
+            ).cast("bigint")
+            pairs = (ab.join(bb, ["__k", "__b"])
+                     .filter(overlap & (F.col("__b") == first_shared))
+                     .drop("__b"))
+        return pairs.select(
+            F.col("__k").alias(k), "l_start", "l_end",
+            "r_start", "r_end",
+            F.greatest("l_start", "r_start").alias("overlap_start"),
+            F.least("l_end", "r_end").alias("overlap_end"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.join(df, df)

@@ -7654,6 +7654,106 @@ FROM a
 ORACLE_OUTLINKS = _outlinks_oracle()
 
 
+
+_PPR_SEEDS = list(range(10))
+
+
+def q_ppr_events(spark, sf_dir):
+    """Personalized PageRank gate: teleport + dangling mass pinned to
+    seed users 0..9 over the same interaction graph as
+    ``pagerank_events`` — 5 deterministic iterations, oracle replays
+    each as a chained CTE with identical literals."""
+    from flink_ml__spark.functions.graph import PageRank
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.col("event_id") % 150).alias("dst"))
+    out = (PageRank().setMaxIter(5).setSeedNodes(_PPR_SEEDS)
+           .transform(edges))
+    return out.select("node", F.round("rank", R).alias("rank"))
+
+
+def _oracle_ppr(iters: int = 5, d: float = 0.85) -> str:
+    dd, omd = repr(d), repr(1.0 - d)
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    ctes = [f"""e AS (SELECT user_id AS src, event_id % 150 AS dst
+     FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+ew AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e GROUP BY 1, 2),
+tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+       FROM ew),
+nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+sd AS (SELECT DISTINCT node FROM (SELECT unnest([{seeds}]) AS node)
+       WHERE node IN (SELECT node FROM nodes)),
+sm AS (SELECT count(*)::DOUBLE AS m FROM sd),
+tele AS (SELECT nodes.node,
+                CASE WHEN sd.node IS NOT NULL THEN 1.0 / sm.m
+                     ELSE 0.0 END AS t
+         FROM nodes CROSS JOIN sm
+         LEFT JOIN sd ON nodes.node = sd.node),
+r0 AS (SELECT node, t AS rank FROM tele)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""dg{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {p}
+        WHERE node NOT IN (SELECT src FROM ew)),
+c{i} AS (SELECT tr.dst AS node, sum(tr.p * {p}.rank) AS c
+        FROM tr JOIN {p} ON tr.src = {p}.node GROUP BY 1),
+r{i} AS (SELECT tele.node,
+        ({omd} + {dd} * dg{i}.dm) * tele.t
+        + {dd} * coalesce(c{i}.c, 0.0) AS rank
+        FROM tele CROSS JOIN dg{i}
+        LEFT JOIN c{i} ON tele.node = c{i}.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(rank, {R}) AS rank FROM r{iters}")
+
+
+ORACLE_PPR = _oracle_ppr()
+
+
+def q_interval_overlap_events(spark, sf_dir):
+    """IntervalOverlapJoiner gate (plain keyed mode): per-user
+    exposure intervals [ts, ts+(event_id%120)s] joined against
+    synthesized incident windows [ts+30s, ts+90s] of every 5th
+    event — closed-interval overlap, intersection bounds emitted."""
+    from flink_ml__spark.functions.sessions import IntervalOverlapJoiner
+
+    ev = _events(spark, sf_dir)
+
+    def span(base_off, width_col_or_lit, flt):
+        src = ev.filter(flt)
+        s = F.timestamp_micros(F.unix_micros(F.col("ts"))
+                               + base_off * 1_000_000)
+        e = F.timestamp_micros(F.unix_micros(F.col("ts"))
+                               + width_col_or_lit * 1_000_000)
+        return src.select("user_id", s.alias("s"), e.alias("e"))
+
+    left = span(0, (F.col("event_id") % 120),
+                F.col("event_id") % 3 == 0)
+    right = span(30, F.lit(90), F.col("event_id") % 5 == 0)
+    j = (IntervalOverlapJoiner().setKeyCol("user_id")
+         .setStartCol("s").setEndCol("e"))
+    return j.join(left, right)
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH l AS (SELECT user_id, ts AS s,
+                  ts + to_seconds(event_id % 120) AS e
+           FROM events
+           WHERE event_id % 3 = 0 AND user_id IS NOT NULL
+             AND ts IS NOT NULL AND event_id IS NOT NULL),
+r AS (SELECT user_id, ts + to_seconds(30) AS s,
+             ts + to_seconds(90) AS e
+      FROM events
+      WHERE event_id % 5 = 0 AND user_id IS NOT NULL
+        AND ts IS NOT NULL)
+SELECT l.user_id, l.s AS l_start, l.e AS l_end,
+       r.s AS r_start, r.e AS r_end,
+       greatest(l.s, r.s) AS overlap_start,
+       least(l.e, r.e) AS overlap_end
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE l.s <= r.e AND r.s <= l.e
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -7843,6 +7943,8 @@ QUERIES = {
     "kcore_orders": q_kcore_orders,
     "encoding_corruption_documents": q_encoding_corruption_documents,
     "outlinks_documents": q_outlinks_documents,
+    "ppr_events": q_ppr_events,
+    "interval_overlap_events": q_interval_overlap_events,
 }
 
 ORACLES = {
@@ -8038,4 +8140,6 @@ ORACLES = {
     "kcore_orders": ORACLE_KCORE,
     "encoding_corruption_documents": ORACLE_ENCODING_CORRUPTION,
     "outlinks_documents": ORACLE_OUTLINKS,
+    "ppr_events": ORACLE_PPR,
+    "interval_overlap_events": ORACLE_INTERVAL_OVERLAP,
 }

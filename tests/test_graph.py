@@ -254,3 +254,59 @@ def test_kcore_bad_params(spark):
         KCoreExtractor().setK(0)
     with _pt.raises(ValueError):
         KCoreExtractor().setMaxIter(0)
+
+
+# ------------------------------------------------- personalized pagerank
+
+def test_personalized_pagerank_matches_reference_loop(spark):
+    from flink_ml__spark.functions.graph import PageRank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]   # 4 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [1]
+    got = {r["node"]: r["rank"]
+           for r in (PageRank().setMaxIter(4).setSeedNodes(seeds)
+                     .transform(df).collect())}
+
+    # reference loop with identical semantics
+    d = 0.85
+    nodes = [1, 2, 3, 4]
+    out = {1: [(2, 1.0)], 2: [(3, 1.0)], 3: [(1, 0.5), (4, 0.5)]}
+    tele = {n: (1.0 / len(seeds) if n in seeds else 0.0)
+            for n in nodes}
+    rank = dict(tele)
+    for _ in range(4):
+        dang = sum(rank[n] for n in nodes if n not in out)
+        contrib = {n: 0.0 for n in nodes}
+        for u, targets in out.items():
+            for v, p in targets:
+                contrib[v] += p * rank[u]
+        rank = {n: (1.0 - d + d * dang) * tele[n] + d * contrib[n]
+                for n in nodes}
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-12, (n, got[n], rank[n])
+    # mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_empty_seeds_is_standard(spark):
+    from flink_ml__spark.functions.graph import PageRank
+
+    edges = [(1, 2), (2, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    std = {r["node"]: r["rank"]
+           for r in PageRank().setMaxIter(3).transform(df).collect()}
+    via_empty = {r["node"]: r["rank"]
+                 for r in (PageRank().setMaxIter(3).setSeedNodes([])
+                           .transform(df).collect())}
+    assert std == via_empty
+
+
+def test_personalized_pagerank_absent_seeds_raise(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.graph import PageRank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pt.raises(ValueError):
+        (PageRank().setSeedNodes([99]).transform(df))

@@ -468,3 +468,66 @@ def test_interval_merger_timestamps(spark):
          .setEndCol("e").transform(df))
     got = sorted((r["span_start"], r["span_end"]) for r in m.collect())
     assert got == [(ts(0), ts(45)), (ts(60), ts(70))]
+
+
+# ------------------------------------------------------- overlap join
+
+def test_interval_overlap_join_plain(spark):
+    from flink_ml__spark.functions.sessions import IntervalOverlapJoiner
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("a", 20, 30), ("b", 0, 5)],
+        "k string, s long, e long")
+    right = spark.createDataFrame(
+        [("a", 5, 15), ("a", 10, 12), ("a", 31, 40), ("b", 6, 9)],
+        "k string, s long, e long")
+    j = (IntervalOverlapJoiner().setKeyCol("k").setStartCol("s")
+         .setEndCol("e"))
+    got = sorted((r["k"], r["l_start"], r["r_start"],
+                  r["overlap_start"], r["overlap_end"])
+                 for r in j.join(left, right).collect())
+    # (0,10) overlaps (5,15) and touches (10,12); (20,30) neither;
+    # b: (0,5) vs (6,9) disjoint
+    assert got == [("a", 0, 5, 5, 10), ("a", 0, 10, 10, 10)]
+
+
+def test_interval_overlap_bucketized_matches_plain(spark):
+    import datetime as dt
+
+    from flink_ml__spark.functions.sessions import IntervalOverlapJoiner
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    import random
+    rnd = random.Random(7)
+    left = [("u%d" % (i % 3), ts(rnd.randint(0, 500)), 0)
+            for i in range(40)]
+    left = [(k, s, s + dt.timedelta(minutes=rnd.randint(0, 90)))
+            for k, s, _ in left]
+    right = [("u%d" % (i % 3), ts(rnd.randint(0, 500)), 0)
+             for i in range(40)]
+    right = [(k, s, s + dt.timedelta(minutes=rnd.randint(0, 90)))
+             for k, s, _ in right]
+    ldf = spark.createDataFrame(
+        left, "k string, s timestamp, e timestamp")
+    rdf = spark.createDataFrame(
+        right, "k string, s timestamp, e timestamp")
+    base = (IntervalOverlapJoiner().setKeyCol("k").setStartCol("s")
+            .setEndCol("e"))
+    plain = sorted(map(tuple, base.join(ldf, rdf).collect()))
+    bucketized = sorted(map(tuple,
+                            base.setBucketWidthSec(3600)
+                            .join(ldf, rdf).collect()))
+    assert plain and plain == bucketized
+
+
+def test_interval_overlap_bad_param(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.sessions import IntervalOverlapJoiner
+
+    with _pt.raises(ValueError):
+        IntervalOverlapJoiner().setBucketWidthSec(-1)
