@@ -1340,3 +1340,47 @@ def test_stream_embedding_models_encode_matches_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_text_hygiene_chain_matches_batch(spark):
+    """EncodingCorruptionDetector + OutlinkExtractor are pure codegen
+    projections — the crawl-hygiene ingest chain must run unchanged on
+    an unbounded stream of raw documents."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.text import EncodingCorruptionDetector
+    from flink_ml__spark.functions.web import OutlinkExtractor
+
+    rows = [
+        (1, '<a href="https://a.example.com/x">ok</a> clean text'),
+        (2, 'cafÃ© mojibake <a href="https://b.io/">m</a>'),
+        (3, "� broken"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def chain(frame):
+        flagged = EncodingCorruptionDetector().transform(frame)
+        clean = flagged.filter(~flagged.is_corrupt)
+        return OutlinkExtractor().transform(clean)
+
+    def canon(frame):
+        return sorted((r["doc_id"], r["outlink"], r["out_domain"])
+                      for r in frame.collect())
+
+    batch = canon(chain(df))
+    assert batch == [(1, "https://a.example.com/x", "example.com")]
+    d = _tf.mkdtemp(prefix="hygiene_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = chain(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("hygienestream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM hygienestream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
