@@ -188,6 +188,7 @@ HEADLINE = [
     "outlinks_documents",
     "ppr_events",
     "interval_overlap_events",
+    "image_ahash_documents",
 ]
 
 

@@ -738,3 +738,63 @@ class PerceptualImageHasher(AlgoOperator):
                 .filter(F.col("hamming") <= max_distance)
                 .select(F.col(f"{id_col}_a").alias("id_a"),
                         F.col(f"{id_col}_b").alias("id_b"), "hamming"))
+
+
+class AverageImageHasher(AlgoOperator):
+    """Average-hash (aHash) perceptual fingerprinting over a DECODED
+    (height, width, pixels) table — the mean-threshold member of the
+    Krawetz hash family, complementing :class:`PerceptualImageHasher`'s
+    gradient dHash: aHash keys on global luminance structure, dHash on
+    local gradients, and near-dup pipelines commonly AND the two to
+    cut false positives.
+
+    aHash: nearest-neighbor resize to 8×8, bit(i,j) = 64·px[i][j] >
+    Σpx (the integer cross-multiplied form of px > mean, so the
+    threshold is EXACT — no float mean, engine-portable). Appends
+    ``ahash_hex`` and the four 16-bit bands ``ahash_b0..ahash_b3``
+    (LSH keys for banded hamming join, same convention as dHash so
+    the two hash families share downstream pair machinery).
+
+    Scale shape: one Arrow ``mapInPandas`` pass, no shuffle.
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        schema = _passthrough_schema(
+            df, ["ahash_hex string", "ahash_b0 int", "ahash_b1 int",
+                 "ahash_b2 int", "ahash_b3 int"],
+            exclude=("ahash_hex", "ahash_b0", "ahash_b1", "ahash_b2",
+                     "ahash_b3"))
+
+        def hash_batch(batches):
+            for pdf in batches:
+                hexes, bands = [], [[], [], [], []]
+                for _, r in pdf.iterrows():
+                    if r["pixels"] is None:
+                        hexes.append(None)
+                        for b in bands:
+                            b.append(None)
+                        continue
+                    img = np.asarray(r["pixels"]).reshape(
+                        r["height"], r["width"]).astype(np.int64)
+                    yi = (np.arange(8) * r["height"]) // 8
+                    xi = (np.arange(8) * r["width"]) // 8
+                    small = img[np.ix_(yi, xi)]
+                    total = int(small.sum())
+                    bits = (small.ravel() * 64 > total)
+                    bvals = []
+                    for k in range(4):
+                        chunk = bits[k * 16:(k + 1) * 16]
+                        bvals.append(int(
+                            sum(int(b) << (15 - i)
+                                for i, b in enumerate(chunk))))
+                    hexes.append("".join(f"{v:04x}" for v in bvals))
+                    for b, v in zip(bands, bvals):
+                        b.append(v)
+                out = pdf.copy()
+                out["ahash_hex"] = hexes
+                for k in range(4):
+                    out[f"ahash_b{k}"] = pd.array(bands[k],
+                                                  dtype="Int32")
+                yield out
+
+        return df.mapInPandas(hash_batch, schema)

@@ -7754,6 +7754,61 @@ WHERE l.s <= r.e AND r.s <= l.e
 """
 
 
+
+def q_image_ahash_documents(spark, sf_dir):
+    """Average-hash fingerprints of the stub-decoded document
+    payloads — the 8×8 grid, the integer cross-multiplied mean
+    threshold (64·px > Σpx, exact), the band packing and hex all
+    replay in SQL."""
+    from flink_ml__spark.functions.multimodal import (
+        AverageImageHasher,
+        ImageDecoder,
+    )
+
+    decoded = (ImageDecoder().setHeight(16).setWidth(16)
+               .transform(_dhash_payloads(spark, sf_dir)))
+    out = AverageImageHasher().transform(decoded)
+    return out.select("doc_id", "ahash_hex", "ahash_b0", "ahash_b1",
+                      "ahash_b2", "ahash_b3")
+
+
+_AHASH_CTES = f"""
+{_fake_bytes_ctes(256, _DHASH_SRC)},
+ah_grid AS (
+  SELECT i, j, (i * 2) * 16 + (j * 2) AS pos
+  FROM range(0, 8) t(i), range(0, 8) u(j)),
+ah_small AS (
+  SELECT fb.doc_id, g.i, g.j, fb.b
+  FROM fp_byte fb JOIN ah_grid g ON fb.pos = g.pos),
+ah_tot AS (
+  SELECT doc_id, sum(b)::BIGINT AS total FROM ah_small GROUP BY 1),
+ah_bits AS (
+  SELECT s.doc_id, s.i, s.j,
+         (s.b * 64 > t.total)::INT AS bit
+  FROM ah_small s JOIN ah_tot t ON s.doc_id = t.doc_id),
+ah_bands AS (
+  SELECT doc_id, (i * 8 + j) // 16 AS k,
+         sum(bit * (1::BIGINT << (15 - ((i * 8 + j) % 16))))::INT AS v
+  FROM ah_bits GROUP BY 1, 2),
+ah AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN v END) AS b0,
+         max(CASE WHEN k = 1 THEN v END) AS b1,
+         max(CASE WHEN k = 2 THEN v END) AS b2,
+         max(CASE WHEN k = 3 THEN v END) AS b3
+  FROM ah_bands GROUP BY doc_id)
+"""
+
+ORACLE_IMAGE_AHASH = f"""
+WITH {_AHASH_CTES}
+SELECT doc_id,
+       format('{{:04x}}', b0) || format('{{:04x}}', b1)
+       || format('{{:04x}}', b2) || format('{{:04x}}', b3) AS ahash_hex,
+       b0 AS ahash_b0, b1 AS ahash_b1, b2 AS ahash_b2, b3 AS ahash_b3
+FROM ah
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -7945,6 +8000,7 @@ QUERIES = {
     "outlinks_documents": q_outlinks_documents,
     "ppr_events": q_ppr_events,
     "interval_overlap_events": q_interval_overlap_events,
+    "image_ahash_documents": q_image_ahash_documents,
 }
 
 ORACLES = {
@@ -8142,4 +8198,5 @@ ORACLES = {
     "outlinks_documents": ORACLE_OUTLINKS,
     "ppr_events": ORACLE_PPR,
     "interval_overlap_events": ORACLE_INTERVAL_OVERLAP,
+    "image_ahash_documents": ORACLE_IMAGE_AHASH,
 }

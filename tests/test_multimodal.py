@@ -492,3 +492,42 @@ def test_real_flac_via_soundfile_when_available(spark):
     r = (AudioFeatureExtractor().setDecoder("soundfile")
          .transform(df).first())
     assert abs(r["rms"] - np.sqrt((sig * sig).mean())) < 1e-3
+
+
+def test_average_hash_known_patterns(spark):
+    from flink_ml__spark.functions.multimodal import AverageImageHasher
+
+    # 8x8 inputs used as-is by the resize grid
+    bright_half = np.zeros((8, 8), dtype=np.uint8)
+    bright_half[:4, :] = 200          # top half above mean
+    const = np.full((8, 8), 9, dtype=np.uint8)
+    rows = [
+        (1, 8, 8, [int(x) for x in bright_half.ravel()]),
+        (2, 8, 8, [int(x) for x in const.ravel()]),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, height int, width int, pixels array<int>")
+    got = {r["doc_id"]: r
+           for r in AverageImageHasher().transform(df).collect()}
+    assert got[1]["ahash_hex"] == "ffffffff00000000"
+    # constant image: 64*px == sum exactly -> strict > is false
+    assert got[2]["ahash_hex"] == "0" * 16
+    assert got[3]["ahash_hex"] is None and got[3]["ahash_b2"] is None
+
+
+def test_average_hash_matches_dhash_grid_convention(spark):
+    from flink_ml__spark.functions.multimodal import (
+        AverageImageHasher,
+        ImageDecoder,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-a")),
+         (3, bytearray(b"payload-b"))],
+        "doc_id long, payload binary")
+    dec = ImageDecoder().setHeight(16).setWidth(16).transform(df)
+    got = {r["doc_id"]: r["ahash_hex"]
+           for r in AverageImageHasher().transform(dec).collect()}
+    assert got[1] == got[2]           # identical bytes, identical hash
+    assert got[1] != got[3]
