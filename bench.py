@@ -189,6 +189,8 @@ HEADLINE = [
     "ppr_events",
     "interval_overlap_events",
     "image_ahash_documents",
+    "seasonal_decompose_events",
+    "mutual_info_orders",
 ]
 
 

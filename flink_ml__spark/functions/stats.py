@@ -693,3 +693,80 @@ class AnovaFTest(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class MutualInformationRanker(AlgoOperator):
+    """Categorical feature ranking by mutual information with a label
+    — the model-free feature-selection pass of tabular/feature-store
+    pipelines (Cover & Thomas ch. 2; scikit-learn's
+    ``mutual_info_score`` for the discrete-discrete case):
+
+        MI(X; Y) = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x) p(y)) )
+
+    ``transform(df)`` evaluates every column of ``inputCols`` against
+    ``labelCol`` and returns one row per feature::
+
+        feature    the column name
+        n_rows     rows with both the feature and the label non-NULL
+        n_values   distinct feature values observed
+        mi         mutual information in nats (0 when n_rows is 0 is
+                   impossible — such features emit no row)
+
+    Values and labels compare as strings (numeric features should be
+    binned first — :class:`~flink_ml__spark.functions.feature_gen.
+    QuantileDiscretizer` composes). NULL feature or label rows drop
+    per-feature (pairwise deletion).
+
+    100 TB design: ONE pass melts every feature into (feature, value,
+    label) rows map-side (explode of an F-wide struct array), one
+    hash aggregation counts cells, and the marginals come from window
+    sums over the feature's partition — no per-feature jobs, no
+    joins, shuffle volume F × |cells|. Exact SQL replay.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "target column", TypeConverters.toString)
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "categorical feature columns",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label")
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setInputCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        if not cols:
+            raise ValueError("inputCols must be non-empty")
+        return self._set(inputCols=cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        cols = self.getOrDefault(self.inputCols)
+        y = F.col(self.getOrDefault(self.labelCol)).cast("string")
+        melted = (df.filter(y.isNotNull())
+                  .select(y.alias("__y"), F.explode(F.array(*[
+                      F.struct(F.lit(c).alias("feature"),
+                               F.col(c).cast("string").alias("value"))
+                      for c in cols])).alias("f"))
+                  .select("f.feature", "f.value", "__y")
+                  .filter(F.col("value").isNotNull()))
+        cells = (melted.groupBy("feature", "value", "__y")
+                 .agg(F.count(F.lit(1)).alias("__n")))
+        by_f = Window.partitionBy("feature")
+        n_tot = F.sum("__n").over(by_f)
+        n_x = F.sum("__n").over(Window.partitionBy("feature", "value"))
+        n_y = F.sum("__n").over(Window.partitionBy("feature", "__y"))
+        term = (F.col("__n") / n_tot) * F.log(
+            (F.col("__n") * n_tot) / (n_x * n_y))
+        return (cells.withColumn("__t", term)
+                .withColumn("__nt", n_tot)
+                .groupBy("feature")
+                .agg(F.first("__nt").alias("n_rows"),
+                     F.count_distinct("value").alias("n_values"),
+                     F.sum("__t").alias("mi")))

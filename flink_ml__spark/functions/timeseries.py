@@ -1002,3 +1002,86 @@ class AutocorrelationAnalyzer(AlgoOperator):
                      F.when(F.first("__den") > 0,
                             F.sum("prod") / F.first("__den"))
                       .alias("acf")))
+
+
+class SeasonalDecomposer(AlgoOperator):
+    """Phase-mean seasonal decomposition of a per-key bucketed series
+    — the classical-decomposition seasonal step (seasonal component =
+    mean of all observations sharing a phase), the natural companion
+    to :class:`AutocorrelationAnalyzer`: detect the period from the
+    ACF peak, then remove it here before anomaly/trend logic.
+
+    Buckets are derived from the raw timestamp: ``bucket = floor(us /
+    width)``, ``phase = bucket mod period``. Appends::
+
+        phase           0..period-1
+        phase_mean      key's mean of ``valueCol`` at that phase
+        deseasonalized  value − phase_mean + key_mean (seasonal
+                        swing removed, level preserved)
+
+    NULL key/time rows drop; NULL values pass through (they join
+    their phase's mean but contribute nothing to it).
+
+    100 TB design: two window aggregates over the same (key[, phase])
+    partitioning — no joins, no Python; one shuffle on (key) with
+    phase computed in the projection. Exact SQL window replay.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "timestamp column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "bucket width in seconds",
+                           TypeConverters.toFloat)
+    period = Param(Params._dummy(), "period",
+                   "season length in buckets", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", keyCol="user_id",
+                         valueCol="value", bucketWidthSec=3600.0,
+                         period=24)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setBucketWidthSec(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError(f"bucketWidthSec must be > 0, got {v}")
+        return self._set(bucketWidthSec=v)
+
+    def setPeriod(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"period must be >= 2, got {v}")
+        return self._set(period=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        w_us = int(self.getOrDefault(self.bucketWidthSec) * 1_000_000)
+        p = self.getOrDefault(self.period)
+        base = df.filter(F.col(k).isNotNull() & F.col(t).isNotNull())
+        phase = F.pmod(F.floor(F.unix_micros(F.col(t)) / w_us),
+                       F.lit(p)).cast("int")
+        out = base.withColumn("phase", phase)
+        by_phase = Window.partitionBy(k, "phase")
+        by_key = Window.partitionBy(k)
+        x = F.col(v).cast("double")
+        out = (out
+               .withColumn("phase_mean", F.avg(x).over(by_phase))
+               .withColumn("deseasonalized",
+                           x - F.col("phase_mean")
+                           + F.avg(x).over(by_key)))
+        return out

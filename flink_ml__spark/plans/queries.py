@@ -2494,10 +2494,13 @@ def q_hashed_tf_documents(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     out = HashedTfEmbedder().setDim(16).transform(docs)
+    # exploded (doc, bucket, weight) rows, NOT an array column: the
+    # driver gate canonicalizes with a pandas sort, where list cells
+    # are unsortable (posexplode_outer keeps token-free docs as one
+    # NULL row)
     return out.select(
-        "doc_id",
-        F.transform("embedding", lambda x: F.round(x, R))
-         .alias("embedding"))
+        "doc_id", F.posexplode_outer(
+            F.transform("embedding", lambda x: F.round(x, R))))
 
 
 _HTF_DIM = 16
@@ -2515,12 +2518,16 @@ c AS (SELECT doc_id, n,
       FROM b),
 n2 AS (SELECT doc_id, n, cnt,
               sqrt(list_sum(list_transform(cnt, x -> x * x))) AS nrm
-       FROM c)
-SELECT doc_id,
-       CASE WHEN n > 0
-            THEN list_transform(cnt, x -> round(x / nrm, {R}))
-       END AS embedding
-FROM n2
+       FROM c),
+f AS (SELECT doc_id,
+             CASE WHEN n > 0
+                  THEN list_transform(cnt, x -> round(x / nrm, {R}))
+             END AS emb
+      FROM n2)
+SELECT doc_id, i - 1 AS pos, emb[i] AS col
+FROM f, range(1, {_HTF_DIM} + 1) t(i) WHERE emb IS NOT NULL
+UNION ALL
+SELECT doc_id, NULL AS pos, NULL AS col FROM f WHERE emb IS NULL
 """
 
 
@@ -7809,6 +7816,106 @@ FROM ah
 """
 
 
+
+def q_seasonal_decompose_events(spark, sf_dir):
+    """SeasonalDecomposer gate: hourly buckets, daily (24-phase)
+    season per user — phase means and the level-preserving
+    deseasonalized series replay as SQL window aggregates."""
+    from flink_ml__spark.functions.timeseries import SeasonalDecomposer
+
+    ev = _events(spark, sf_dir)
+    # cent-scaled integer metric: integer-valued doubles sum EXACTLY
+    # (no float summation-order jitter across partitions/runs), so
+    # the window averages — and therefore every rounding-tie — are
+    # deterministic and engine-identical
+    ev = ev.withColumn("value_c",
+                       F.round(F.col("value") * 100).cast("bigint"))
+    out = (SeasonalDecomposer().setKeyCol("user_id").setTimeCol("ts")
+           .setValueCol("value_c").setBucketWidthSec(3600.0)
+           .setPeriod(24).transform(ev))
+    # 4 dp with a decimal-tie-matched oracle: 2-decimal inputs
+    # averaged over power-of-ten-friendly counts land EXACTLY on
+    # rounding-boundary halves (observed r08: des = 25.85975), where
+    # Spark (BigDecimal HALF_UP on the shortest decimal) and a raw
+    # DuckDB round (binary double, which sits just below the half)
+    # disagree — the oracle therefore rounds the double's SHORTEST
+    # DECIMAL STRING (::VARCHAR::DECIMAL(28,14)), which is exactly
+    # the value Spark's BigDecimal.valueOf sees, so ties and
+    # near-ties (...4999999) resolve identically
+    return out.select(
+        "event_id", "user_id", "phase",
+        F.round("phase_mean", 4).alias("phase_mean"),
+        F.round("deseasonalized", 4).alias("deseasonalized"))
+
+
+ORACLE_SEASONAL_DECOMPOSE = f"""
+WITH b AS (SELECT event_id, user_id,
+                  round(value * 100)::BIGINT AS value_c,
+                  (floor(epoch_us(ts) / 3600000000) % 24)::INT
+                    AS phase
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, user_id, phase,
+       round((avg(value_c) OVER (PARTITION BY user_id, phase)
+             )::VARCHAR::DECIMAL(28, 14), 4)::DOUBLE AS phase_mean,
+       round((value_c
+             - avg(value_c) OVER (PARTITION BY user_id, phase)
+             + avg(value_c) OVER (PARTITION BY user_id)
+             )::VARCHAR::DECIMAL(28, 14), 4)::DOUBLE
+         AS deseasonalized
+FROM b
+"""
+
+
+def q_mutual_info_orders(spark, sf_dir):
+    """MutualInformationRanker gate: order priority, price bucket and
+    order year ranked by MI against the order status — one melt pass,
+    one cell aggregation, window marginals."""
+    from flink_ml__spark.functions.stats import MutualInformationRanker
+
+    o = load_table(spark, "orders", sf_dir)
+    feat = o.select(
+        F.col("o_orderstatus").alias("label"),
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 50000).alias("price_bucket"),
+        F.year("o_orderdate").alias("order_year"))
+    out = (MutualInformationRanker().setLabelCol("label")
+           .setInputCols("o_orderpriority", "price_bucket",
+                         "order_year").transform(feat))
+    return out.select("feature", "n_rows", "n_values",
+                      F.round("mi", R).alias("mi"))
+
+
+ORACLE_MUTUAL_INFO = f"""
+WITH base AS (SELECT o_orderstatus AS y,
+                     o_orderpriority,
+                     floor(o_totalprice / 50000)::BIGINT::VARCHAR
+                       AS price_bucket,
+                     year(o_orderdate)::BIGINT::VARCHAR
+                       AS order_year
+              FROM orders),
+m AS (SELECT 'o_orderpriority' AS feature,
+             o_orderpriority AS value, y FROM base
+      UNION ALL
+      SELECT 'price_bucket', price_bucket, y FROM base
+      UNION ALL
+      SELECT 'order_year', order_year, y FROM base),
+cells AS (SELECT feature, value, y, count(*) AS n FROM m
+          WHERE value IS NOT NULL AND y IS NOT NULL
+          GROUP BY 1, 2, 3),
+w AS (SELECT feature, value, y, n,
+             sum(n) OVER (PARTITION BY feature) AS nt,
+             sum(n) OVER (PARTITION BY feature, value) AS nx,
+             sum(n) OVER (PARTITION BY feature, y) AS ny
+      FROM cells)
+SELECT feature, min(nt)::BIGINT AS n_rows,
+       count(DISTINCT value) AS n_values,
+       round(sum((n / nt::DOUBLE)
+                 * ln((n * nt)::DOUBLE / (nx * ny))), {R}) AS mi
+FROM w GROUP BY feature
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8001,6 +8108,8 @@ QUERIES = {
     "ppr_events": q_ppr_events,
     "interval_overlap_events": q_interval_overlap_events,
     "image_ahash_documents": q_image_ahash_documents,
+    "seasonal_decompose_events": q_seasonal_decompose_events,
+    "mutual_info_orders": q_mutual_info_orders,
 }
 
 ORACLES = {
@@ -8199,4 +8308,6 @@ ORACLES = {
     "ppr_events": ORACLE_PPR,
     "interval_overlap_events": ORACLE_INTERVAL_OVERLAP,
     "image_ahash_documents": ORACLE_IMAGE_AHASH,
+    "seasonal_decompose_events": ORACLE_SEASONAL_DECOMPOSE,
+    "mutual_info_orders": ORACLE_MUTUAL_INFO,
 }

@@ -453,3 +453,42 @@ def test_anova_single_group_dfs(spark):
                                "group string, value double")
     r = AnovaFTest().evaluate(df).first()
     assert r["df_between"] == 0 and r["f_stat"] is None
+
+
+# ------------------------------------------------- mutual information
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import MutualInformationRanker
+
+    # perfect predictor, independent column, and a NULL-y column
+    rows = []
+    for i in range(40):
+        label = "pos" if i % 2 == 0 else "neg"
+        rows.append((label,                       # mirror: MI = H(Y)=ln2
+                     label.upper(),
+                     "c%d" % (i % 4 // 2),        # independent of label
+                     None if i % 2 == 0 else "z"))
+    df = spark.createDataFrame(
+        rows, "label string, mirror string, indep string, holey string")
+    out = (MutualInformationRanker().setLabelCol("label")
+           .setInputCols("mirror", "indep", "holey").transform(df))
+    got = {r["feature"]: r for r in out.collect()}
+    assert abs(got["mirror"]["mi"] - math.log(2)) < 1e-12
+    assert abs(got["indep"]["mi"]) < 1e-12
+    assert got["mirror"]["n_rows"] == 40
+    # holey: only the 20 'neg' rows survive pairwise deletion; the
+    # label is then constant -> MI 0
+    assert got["holey"]["n_rows"] == 20
+    assert abs(got["holey"]["mi"]) < 1e-12
+    assert got["mirror"]["n_values"] == 2
+
+
+def test_mutual_information_bad_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.stats import MutualInformationRanker
+
+    with _pt.raises(ValueError):
+        MutualInformationRanker().setInputCols([])

@@ -694,3 +694,41 @@ def test_rolling_features_bad_params(spark):
         RollingFeatureGenerator().setWindows([1])
     with _pt.raises(ValueError):
         RollingFeatureGenerator().setLags([2, 2])
+
+
+# -------------------------------------------------------- seasonality
+
+def test_seasonal_decomposer_recovers_phase_means(spark):
+    import datetime as dt
+
+    from flink_ml__spark.functions.timeseries import SeasonalDecomposer
+
+    t0 = dt.datetime(2024, 1, 1)
+    season = [10.0, 0.0, -10.0, 0.0]          # period 4, hourly
+    rows = []
+    for h in range(48):
+        rows.append(("k", t0 + dt.timedelta(hours=h),
+                     100.0 + season[h % 4]))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = (SeasonalDecomposer().setKeyCol("k").setTimeCol("ts")
+           .setValueCol("v").setBucketWidthSec(3600).setPeriod(4)
+           .transform(df))
+    got = out.collect()
+    # constant-amplitude season -> deseasonalized is flat at the key
+    # mean, and each phase's mean recovers its seasonal level
+    for r in got:
+        assert abs(r["deseasonalized"] - 100.0) < 1e-9
+    by_phase = {r["phase"]: r["phase_mean"] for r in got}
+    assert sorted(round(v, 6) for v in by_phase.values()) \
+        == [90.0, 100.0, 100.0, 110.0]
+
+
+def test_seasonal_decomposer_bad_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.timeseries import SeasonalDecomposer
+
+    with _pt.raises(ValueError):
+        SeasonalDecomposer().setPeriod(1)
+    with _pt.raises(ValueError):
+        SeasonalDecomposer().setBucketWidthSec(0)
