@@ -566,3 +566,27 @@ def test_encoding_corruption_map_only(spark):
     plan = _plan(spark, "encoding_corruption_documents")
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_mutual_info_one_melt_pass_no_join(spark):
+    plan = _plan(spark, "mutual_info_orders")
+    # one Generate (the melt explode) over the data; marginals are
+    # window sums over CELL-sized frames — no joins, no Python
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_seasonal_decompose_windows_no_join(spark):
+    plan = _plan(spark, "seasonal_decompose_events")
+    assert "Join" not in plan
+    assert "Python" not in plan
+    # (key, phase) and (key) window aggregates: at most 2 exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_interval_overlap_keyed_join_no_cartesian(spark):
+    plan = _plan(spark, "interval_overlap_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
