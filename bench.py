@@ -191,6 +191,7 @@ HEADLINE = [
     "image_ahash_documents",
     "seasonal_decompose_events",
     "mutual_info_orders",
+    "cusum_events",
 ]
 
 

@@ -1085,3 +1085,117 @@ class SeasonalDecomposer(AlgoOperator):
                            x - F.col("phase_mean")
                            + F.avg(x).over(by_key)))
         return out
+
+
+class CusumDetector(AlgoOperator):
+    """Two-sided CUSUM change detection (Page 1954) over a per-key
+    ordered series — the sequential-analysis classic for small
+    persistent mean shifts, complementing
+    :class:`MeanShiftDetector`'s sliding two-window contrast.
+
+    The textbook recursion ``S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k)``
+    LOOKS unexpressible in window functions, but has the closed form
+
+        S⁺_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t}(x_i − μ − k)
+
+    (a prefix sum minus its running minimum floored at 0), so the
+    whole detector is two cumulative windows per side — no recursion,
+    no Python, exact SQL replay. μ defaults to the key's series mean
+    (retrospective monitoring); pass ``setTargetMean`` for a known
+    process target.
+
+    Appends::
+
+        cusum_pos   S⁺ (upward-shift statistic)
+        cusum_neg   S⁻ (downward-shift statistic)
+        is_alarm    max(S⁺, S⁻) >= threshold
+
+    Feed a BUCKETED series so (key, time) is unique. NULL values
+    break CUSUM continuity and are rejected — filter or impute first.
+
+    100 TB design: one window sort per key serves the prefix sums
+    and running minima of both sides; frames are cumulative (O(1)
+    running state per row), ONE exchange on the key.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    slack = Param(Params._dummy(), "slack",
+                  "per-step allowance k (half the shift to detect)",
+                  TypeConverters.toFloat)
+    threshold = Param(Params._dummy(), "threshold",
+                      "alarm level h", TypeConverters.toFloat)
+    targetMean = Param(Params._dummy(), "targetMean",
+                       "process target mu; NaN = per-key series mean",
+                       TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="bucket_start", keyCol="user_id",
+                         valueCol="avg_value", slack=0.5,
+                         threshold=5.0, targetMean=float("nan"))
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setSlack(self, v):
+        v = float(v)
+        if v < 0:
+            raise ValueError(f"slack must be >= 0, got {v}")
+        return self._set(slack=v)
+
+    def setThreshold(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError(f"threshold must be > 0, got {v}")
+        return self._set(threshold=v)
+
+    def setTargetMean(self, v):
+        return self._set(targetMean=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import math
+
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = self.getOrDefault(self.valueCol)
+        kk = self.getOrDefault(self.slack)
+        h = self.getOrDefault(self.threshold)
+        mu_param = self.getOrDefault(self.targetMean)
+        x = F.col(v).cast("double")
+        part = Window.partitionBy(k)
+        cum = part.orderBy(t).rowsBetween(Window.unboundedPreceding, 0)
+        mu = (F.lit(mu_param) if not math.isnan(mu_param)
+              else F.avg(x).over(part))
+        # prefix sums via cumsum(x) − n·(μ±k), NOT cumsum(x−μ−k): one
+        # accumulation over the raw metric means integer-valued inputs
+        # (counts, cents) stay EXACT under any summation order — the
+        # determinism the SQL-oracle gate and cross-run stability rely
+        # on. Materialized first: running-min-of-running-sum is a
+        # nested window, which Spark (rightly) rejects inline.
+        csum = F.sum(x).over(cum)
+        n = F.row_number().over(part.orderBy(t)).cast("double")
+        staged = (df.withColumn("__pp",
+                                csum - n * (mu + F.lit(kk)))
+                  .withColumn("__pn",
+                              n * (mu - F.lit(kk)) - csum))
+        s_pos = (F.col("__pp")
+                 - F.least(F.lit(0.0), F.min("__pp").over(cum)))
+        s_neg = (F.col("__pn")
+                 - F.least(F.lit(0.0), F.min("__pn").over(cum)))
+        return (staged.withColumn("cusum_pos", s_pos)
+                .withColumn("cusum_neg", s_neg)
+                .withColumn("is_alarm",
+                            F.greatest("cusum_pos", "cusum_neg")
+                            >= F.lit(h))
+                .drop("__pp", "__pn"))

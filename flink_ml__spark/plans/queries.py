@@ -7916,6 +7916,62 @@ FROM w GROUP BY feature
 """
 
 
+
+def q_cusum_events(spark, sf_dir):
+    """CusumDetector gate: two-sided CUSUM over each user's hourly
+    cent-summed value series (integer-valued doubles — cumulative
+    sums are exact under any summation order, so both statistics are
+    engine- and run-deterministic; default per-key mean target)."""
+    from flink_ml__spark.functions.timeseries import CusumDetector
+
+    ev = _events(spark, sf_dir)
+    b = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("ts").isNotNull())
+         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bk"))
+         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .alias("x")))
+    out = (CusumDetector().setKeyCol("user_id").setTimeCol("bk")
+           .setValueCol("x").setSlack(50.0).setThreshold(20000.0)
+           .transform(b))
+    return out.select(
+        "user_id", "bk", "x",
+        F.round("cusum_pos", R).alias("cusum_pos"),
+        F.round("cusum_neg", R).alias("cusum_neg"), "is_alarm")
+
+
+ORACLE_CUSUM = f"""
+WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bk,
+                  sum(round(value * 100)::BIGINT)::BIGINT AS x
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+m AS (SELECT user_id, bk, x,
+             sum(x::DOUBLE) OVER cum AS csum,
+             row_number() OVER w AS n,
+             avg(x) OVER (PARTITION BY user_id) AS mu
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY bk),
+             cum AS (PARTITION BY user_id ORDER BY bk
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+p AS (SELECT user_id, bk, x,
+             csum - n * (mu + 50.0) AS pp,
+             n * (mu - 50.0) - csum AS pn
+      FROM m),
+s AS (SELECT user_id, bk, x,
+             pp - least(0.0, min(pp) OVER cum) AS sp,
+             pn - least(0.0, min(pn) OVER cum) AS sn
+      FROM p
+      WINDOW cum AS (PARTITION BY user_id ORDER BY bk
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW))
+SELECT user_id, bk, x,
+       round(sp, {R}) AS cusum_pos, round(sn, {R}) AS cusum_neg,
+       greatest(sp, sn) >= 20000.0 AS is_alarm
+FROM s
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8110,6 +8166,7 @@ QUERIES = {
     "image_ahash_documents": q_image_ahash_documents,
     "seasonal_decompose_events": q_seasonal_decompose_events,
     "mutual_info_orders": q_mutual_info_orders,
+    "cusum_events": q_cusum_events,
 }
 
 ORACLES = {
@@ -8310,4 +8367,5 @@ ORACLES = {
     "image_ahash_documents": ORACLE_IMAGE_AHASH,
     "seasonal_decompose_events": ORACLE_SEASONAL_DECOMPOSE,
     "mutual_info_orders": ORACLE_MUTUAL_INFO,
+    "cusum_events": ORACLE_CUSUM,
 }

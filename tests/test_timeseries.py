@@ -732,3 +732,60 @@ def test_seasonal_decomposer_bad_params(spark):
         SeasonalDecomposer().setPeriod(1)
     with _pt.raises(ValueError):
         SeasonalDecomposer().setBucketWidthSec(0)
+
+
+# -------------------------------------------------------------- cusum
+
+def test_cusum_matches_textbook_recursion(spark):
+    from flink_ml__spark.functions.timeseries import CusumDetector
+
+    vals = [0.1, -0.2, 0.0, 0.3, 2.0, 2.2, 1.9, 2.1, -0.1, 0.0]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = (CusumDetector().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setTargetMean(0.0).setSlack(0.5)
+           .setThreshold(2.0).transform(df))
+    got = {r["t"]: r for r in out.collect()}
+
+    sp = sn = 0.0
+    for i, x in enumerate(vals):
+        sp = max(0.0, sp + x - 0.0 - 0.5)
+        sn = max(0.0, sn + 0.0 - x - 0.5)
+        assert abs(got[i]["cusum_pos"] - sp) < 1e-12, (i, sp)
+        assert abs(got[i]["cusum_neg"] - sn) < 1e-12, (i, sn)
+        assert got[i]["is_alarm"] is (max(sp, sn) >= 2.0)
+    # the shift at t=4..7 must alarm
+    assert any(got[i]["is_alarm"] for i in range(4, 8))
+
+
+def test_cusum_default_mu_is_series_mean_and_downshift(spark):
+    from flink_ml__spark.functions.timeseries import CusumDetector
+
+    # symmetric series: default mu = mean; a persistent downshift at
+    # the tail drives cusum_neg
+    vals = [5.0] * 6 + [1.0] * 6
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = (CusumDetector().setKeyCol("k").setTimeCol("t")
+           .setValueCol("v").setSlack(0.5).setThreshold(3.0)
+           .transform(df))
+    got = sorted(out.collect(), key=lambda r: r["t"])
+    mu = sum(vals) / len(vals)
+    sp = sn = 0.0
+    for r, x in zip(got, vals):
+        sp = max(0.0, sp + x - mu - 0.5)
+        sn = max(0.0, sn + mu - x - 0.5)
+        assert abs(r["cusum_pos"] - sp) < 1e-9
+        assert abs(r["cusum_neg"] - sn) < 1e-9
+    assert got[-1]["is_alarm"]
+
+
+def test_cusum_bad_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.timeseries import CusumDetector
+
+    with _pt.raises(ValueError):
+        CusumDetector().setSlack(-1)
+    with _pt.raises(ValueError):
+        CusumDetector().setThreshold(0)
