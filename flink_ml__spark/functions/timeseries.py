@@ -591,8 +591,8 @@ class SCD2Builder(AlgoOperator):
 class MeanShiftDetector(AlgoOperator):
     """Sliding two-window change-point scoring over a per-key series
     — the "window" method of the change-point literature (cf. Truong,
-    Oudre & Vayatis 2020's review; CUSUM's recursion is not
-    window-expressible, the two-sample sliding contrast is): at each
+    Oudre & Vayatis 2020's review; for the sequential CUSUM
+    alternative see :class:`CusumDetector`): at each
     row, compare the mean of the ``window`` rows BEFORE against the
     mean of the ``window`` rows starting AT the row.
 
