@@ -192,6 +192,7 @@ HEADLINE = [
     "seasonal_decompose_events",
     "mutual_info_orders",
     "cusum_events",
+    "sentences_documents",
 ]
 
 

@@ -7972,6 +7972,48 @@ FROM s
 """
 
 
+
+def q_sentences_documents(spark, sf_dir):
+    """SentenceSplitter gate: every 7th document segmented to
+    (doc, idx, sentence) rows — the lookaround-free extraction
+    replays verbatim under RE2."""
+    from flink_ml__spark.functions.text import SentenceSplitter
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .filter(F.col("doc_id") % 7 == 0))
+    # the synthetic corpus is punctuation-poor; inject deterministic
+    # sentence breaks (same replace in the oracle) so the gate
+    # exercises real multi-sentence segmentation
+    docs = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". The "))
+         .alias("text"))
+    return SentenceSplitter().transform(docs)
+
+
+def _sentences_oracle() -> str:
+    from flink_ml__spark.functions.text import SentenceSplitter as _S
+
+    return f"""
+WITH m AS (SELECT doc_id,
+                  list_filter(
+                    list_transform(
+                      regexp_extract_all(
+                        replace(text, ' the ', '. The '),
+                        '{_S.RE_SENT}'),
+                      s -> trim(s)),
+                    s -> s <> '') AS sents
+           FROM documents
+           WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+x AS (SELECT doc_id, sents,
+             unnest(range(1, len(sents) + 1)) AS i FROM m)
+SELECT doc_id, i - 1 AS sent_idx, sents[i] AS sentence FROM x
+"""
+
+
+ORACLE_SENTENCES = _sentences_oracle()
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8167,6 +8209,7 @@ QUERIES = {
     "seasonal_decompose_events": q_seasonal_decompose_events,
     "mutual_info_orders": q_mutual_info_orders,
     "cusum_events": q_cusum_events,
+    "sentences_documents": q_sentences_documents,
 }
 
 ORACLES = {
@@ -8368,4 +8411,5 @@ ORACLES = {
     "seasonal_decompose_events": ORACLE_SEASONAL_DECOMPOSE,
     "mutual_info_orders": ORACLE_MUTUAL_INFO,
     "cusum_events": ORACLE_CUSUM,
+    "sentences_documents": ORACLE_SENTENCES,
 }

@@ -573,3 +573,23 @@ def test_encoding_corruption_exempts_whitespace_controls(spark):
         "doc_id long, text string")
     r = EncodingCorruptionDetector().transform(df).first()
     assert r["n_control"] == 0 and r["is_corrupt"] is False
+
+
+def test_sentence_splitter_basic(spark):
+    from flink_ml__spark.functions.text import SentenceSplitter
+
+    rows = [
+        (1, "First one. Second!  Third?? And a tail without end"),
+        (2, "... leading dots. ok."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in SentenceSplitter().transform(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"]))
+    assert got[1] == [(0, "First one."), (1, "Second!"),
+                      (2, "Third??"), (3, "And a tail without end")]
+    assert got[2] == [(0, "leading dots."), (1, "ok.")]
+    assert 3 not in got and 4 not in got
