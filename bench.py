@@ -193,6 +193,7 @@ HEADLINE = [
     "mutual_info_orders",
     "cusum_events",
     "sentences_documents",
+    "golden_records_orders",
 ]
 
 

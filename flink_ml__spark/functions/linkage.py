@@ -722,3 +722,80 @@ class JsonSchemaProfiler(AlgoOperator, HasInputCol):
                    & F.col("cur_dominant").isNotNull(),
                    F.col("ref_dominant") != F.col("cur_dominant"))
              .otherwise(F.lit(False)).alias("type_changed"))
+
+
+class GoldenRecordBuilder(AlgoOperator):
+    """Survivorship / golden-record construction over clustered
+    records — the step after blocked fuzzy matching
+    (:class:`FuzzyRecordLinker`) and duplicate clustering
+    (:class:`~flink_ml__spark.functions.curation.DuplicateClusterer`):
+    collapse each entity cluster to ONE record whose every attribute
+    is the cluster's modal (most frequent) non-NULL value, ties
+    broken by the smallest value string — deterministic, so repair
+    runs are reproducible.
+
+    ``transform(df)`` expects ``clusterCol`` plus ``valueCols`` and
+    returns one row per cluster::
+
+        <clusterCol>   the entity id
+        n_members      records merged
+        <each valueCol>   its modal value AS STRING (cast upstream
+                          if typed output is needed); NULL when the
+                          column is NULL across the whole cluster
+
+    100 TB design: every attribute resolves in ONE pass — a map-side
+    melt to (cluster, attr, value) rows, one count aggregation, a
+    per-(cluster, attr) max_by pick, and a pivot-back aggregation.
+    Shuffle volume is O(rows × attrs) once, never per-attribute jobs.
+    """
+
+    clusterCol = Param(Params._dummy(), "clusterCol",
+                       "entity-cluster id column",
+                       TypeConverters.toString)
+    valueCols = Param(Params._dummy(), "valueCols",
+                      "attribute columns to survive",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(clusterCol="cluster")
+
+    def setClusterCol(self, v):
+        return self._set(clusterCol=v)
+
+    def setValueCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        if not cols:
+            raise ValueError("valueCols must be non-empty")
+        return self._set(valueCols=cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c = self.getOrDefault(self.clusterCol)
+        cols = self.getOrDefault(self.valueCols)
+        base = df.filter(F.col(c).isNotNull())
+        members = (base.groupBy(F.col(c))
+                   .agg(F.count(F.lit(1)).alias("n_members")))
+        melted = (base.select(
+            F.col(c), F.explode(F.array(*[
+                F.struct(F.lit(a).alias("__attr"),
+                         F.col(a).cast("string").alias("__val"))
+                for a in cols])).alias("m"))
+            .select(c, "m.__attr", "m.__val")
+            .filter(F.col("__val").isNotNull()))
+        counts = (melted.groupBy(c, "__attr", "__val")
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        # modal pick: min_by over (−count, value) — largest count,
+        # ties to the smallest value; one aggregation, no window sort
+        picked = (counts.groupBy(c, "__attr")
+                  .agg(F.min_by(
+                      "__val",
+                      F.struct((-F.col("__n")).alias("nn"),
+                               F.col("__val").alias("v")))
+                      .alias("__win")))
+        wide = (picked.groupBy(c)
+                .agg(*[F.max(F.when(F.col("__attr") == a,
+                                    F.col("__win"))).alias(a)
+                       for a in cols]))
+        return (members.join(wide, c, "left")
+                .select(c, "n_members", *cols))

@@ -8014,6 +8014,48 @@ SELECT doc_id, i - 1 AS sent_idx, sents[i] AS sentence FROM x
 ORACLE_SENTENCES = _sentences_oracle()
 
 
+
+def q_golden_records_orders(spark, sf_dir):
+    """GoldenRecordBuilder gate: orders clustered by o_custkey%500,
+    status/priority surviving by modal value (deterministic ties) —
+    melt, count, modal pick and pivot-back replayed in SQL."""
+    from flink_ml__spark.functions.linkage import GoldenRecordBuilder
+
+    o = load_table(spark, "orders", sf_dir)
+    df = o.select((F.col("o_custkey") % 500).alias("cluster"),
+                  "o_orderstatus", "o_orderpriority")
+    return (GoldenRecordBuilder().setClusterCol("cluster")
+            .setValueCols("o_orderstatus", "o_orderpriority")
+            .transform(df))
+
+
+ORACLE_GOLDEN_RECORDS = """
+WITH base AS (SELECT o_custkey % 500 AS cluster, o_orderstatus,
+                     o_orderpriority
+              FROM orders WHERE o_custkey IS NOT NULL),
+members AS (SELECT cluster, count(*) AS n_members
+            FROM base GROUP BY 1),
+m AS (SELECT cluster, 'o_orderstatus' AS attr,
+             o_orderstatus AS val FROM base
+      UNION ALL
+      SELECT cluster, 'o_orderpriority', o_orderpriority FROM base),
+counts AS (SELECT cluster, attr, val, count(*) AS n FROM m
+           WHERE val IS NOT NULL GROUP BY 1, 2, 3),
+picked AS (SELECT cluster, attr, val FROM counts
+           QUALIFY row_number() OVER (
+             PARTITION BY cluster, attr
+             ORDER BY n DESC, val ASC) = 1),
+wide AS (SELECT cluster,
+                max(CASE WHEN attr = 'o_orderstatus' THEN val END)
+                  AS o_orderstatus,
+                max(CASE WHEN attr = 'o_orderpriority' THEN val END)
+                  AS o_orderpriority
+         FROM picked GROUP BY 1)
+SELECT members.cluster, n_members, o_orderstatus, o_orderpriority
+FROM members LEFT JOIN wide ON members.cluster = wide.cluster
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8210,6 +8252,7 @@ QUERIES = {
     "mutual_info_orders": q_mutual_info_orders,
     "cusum_events": q_cusum_events,
     "sentences_documents": q_sentences_documents,
+    "golden_records_orders": q_golden_records_orders,
 }
 
 ORACLES = {
@@ -8412,4 +8455,5 @@ ORACLES = {
     "mutual_info_orders": ORACLE_MUTUAL_INFO,
     "cusum_events": ORACLE_CUSUM,
     "sentences_documents": ORACLE_SENTENCES,
+    "golden_records_orders": ORACLE_GOLDEN_RECORDS,
 }

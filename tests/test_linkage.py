@@ -296,3 +296,38 @@ def test_dataset_fingerprint_null_vs_empty_and_cols(spark):
     c = spark.createDataFrame([(1, "x"), (1, "y")], "k int, s string")
     fp = DatasetFingerprint().setInputCols("k").transform(c).collect()[0]
     assert fp["n_distinct"] == 1 and fp["n_rows"] == 2
+
+
+# ----------------------------------------------------- golden records
+
+def test_golden_record_modal_values_and_ties(spark):
+    from flink_ml__spark.functions.linkage import GoldenRecordBuilder
+
+    rows = [
+        (1, "Acme Corp", "NYC"), (1, "Acme Corp", "NYC"),
+        (1, "ACME", None),
+        (2, "Globex", "LA"), (2, "Initech", "SF"),   # 1-1 tie
+        (3, None, None),
+        (None, "noise", "noise"),
+    ]
+    df = spark.createDataFrame(rows, "cluster long, name string, city string")
+    out = (GoldenRecordBuilder().setClusterCol("cluster")
+           .setValueCols("name", "city").transform(df))
+    got = {r["cluster"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_members"] == 3
+    assert got[1]["name"] == "Acme Corp" and got[1]["city"] == "NYC"
+    # tie -> lexicographically smallest
+    assert got[2]["name"] == "Globex" and got[2]["city"] == "LA"
+    # all-NULL attribute survives as NULL
+    assert got[3]["name"] is None and got[3]["city"] is None
+    assert got[3]["n_members"] == 1
+
+
+def test_golden_record_bad_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.linkage import GoldenRecordBuilder
+
+    with _pt.raises(ValueError):
+        GoldenRecordBuilder().setValueCols([])
