@@ -52,12 +52,22 @@ class PageRank(AlgoOperator):
                     TypeConverters.toFloat)
     maxIter = Param(Params._dummy(), "maxIter",
                     "exact synchronous iterations", TypeConverters.toInt)
+    weightCol = Param(Params._dummy(), "weightCol",
+                      "explicit edge-weight column ('' = parallel "
+                      "edges count as weight)", TypeConverters.toString)
 
     def __init__(self):
         super().__init__()
         self._setDefault(srcCol="src", dstCol="dst", damping=0.85,
-                         maxIter=5)
+                         maxIter=5, weightCol="")
         self._seed_nodes: list | None = None
+
+    def setWeightCol(self, v):
+        """Weighted PageRank: transition probability proportional to
+        the summed ``weightCol`` per (src, dst) instead of the
+        parallel-edge count. NULL/non-positive weights drop (a zero
+        or negative transition mass is undefined)."""
+        return self._set(weightCol=v)
 
     def setSeedNodes(self, seeds):
         """Personalized PageRank (Jeh & Widom 2003): teleport and
@@ -96,10 +106,17 @@ class PageRank(AlgoOperator):
     def transform(self, edges: DataFrame) -> DataFrame:
         s, t = self.getSrcCol(), self.getDstCol()
         d = self.getDamping()
-        ew = (edges
-              .filter(F.col(s).isNotNull() & F.col(t).isNotNull())
+        wc = self.getOrDefault(self.weightCol)
+        base = edges.filter(F.col(s).isNotNull() & F.col(t).isNotNull())
+        if wc:
+            base = base.filter(F.col(wc).isNotNull()
+                               & (F.col(wc) > 0))
+            agg = F.sum(F.col(wc).cast("double")).alias("__w")
+        else:
+            agg = F.count(F.lit(1)).cast("double").alias("__w")
+        ew = (base
               .groupBy(F.col(s).alias("__s"), F.col(t).alias("__t"))
-              .agg(F.count(F.lit(1)).cast("double").alias("__w"))
+              .agg(agg)
               .localCheckpoint(eager=True))
         from pyspark.sql import Window
 

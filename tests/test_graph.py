@@ -310,3 +310,24 @@ def test_personalized_pagerank_absent_seeds_raise(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pt.raises(ValueError):
         (PageRank().setSeedNodes([99]).transform(df))
+
+
+def test_weighted_pagerank_weight_column(spark):
+    from flink_ml__spark.functions.graph import PageRank
+
+    # weight 3 on 1->2 must equal three parallel 1->2 edges
+    weighted = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 1.0), (1, 4, None),
+         (1, 4, 0.0)],
+        "src long, dst long, w double")
+    parallel = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (1, 3), (2, 3)],
+        "src long, dst long")
+    a = {r["node"]: r["rank"]
+         for r in (PageRank().setMaxIter(4).setWeightCol("w")
+                   .transform(weighted).collect())}
+    b = {r["node"]: r["rank"]
+         for r in PageRank().setMaxIter(4).transform(parallel).collect()}
+    assert set(a) == set(b) == {1, 2, 3}   # zero/null-weight edge gone
+    for n in a:
+        assert abs(a[n] - b[n]) < 1e-12
