@@ -838,23 +838,36 @@ class HashedTfEmbedder(AlgoOperator, HasInputCol, HasOutputCol):
         from flink_ml__spark.functions.dedup import portable_hash60
 
         d = self.getDim()
+        out = self.getOrDefault(self.outputCol)
         toks = F.filter(
             F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
                                        F.lit(""))), TOKEN_SPLIT),
             lambda t: t != "")
+        # each stage MATERIALIZES as a column before the next uses it:
+        # Catalyst does no common-subexpression elimination across
+        # higher-order-function lambdas, so inlining `buckets` into
+        # the d per-bucket counts re-ran the md5 token hash d times
+        # (and the counts again for the norm and the vector —
+        # measured 114 s -> ~3 s at sf0.1 for the dim=16 gate)
         buckets = F.transform(toks, lambda t: portable_hash60(t) % d)
         counts = F.transform(
             F.sequence(F.lit(0), F.lit(d - 1)),
-            lambda i: F.size(F.filter(buckets, lambda b: b == i))
+            lambda i: F.size(F.filter(F.col("__htf_b"),
+                                      lambda b: b == i))
             .cast("double"))
         if self.getOrDefault(self.sublinear):
             counts = F.transform(counts, lambda x: F.log1p(x))
-        norm = F.sqrt(F.aggregate(counts, F.lit(0.0),
+        norm = F.sqrt(F.aggregate(F.col("__htf_c"), F.lit(0.0),
                                   lambda a, x: a + x * x))
         vec = F.when(
-            F.size(toks) > 0,
-            F.transform(counts, lambda x: x / norm))
-        return df.withColumn(self.getOrDefault(self.outputCol), vec)
+            F.size(F.col("__htf_b")) > 0,
+            F.transform(F.col("__htf_c"),
+                        lambda x: x / F.col("__htf_n")))
+        return (df.withColumn("__htf_b", buckets)
+                .withColumn("__htf_c", counts)
+                .withColumn("__htf_n", norm)
+                .withColumn(out, vec)
+                .drop("__htf_b", "__htf_c", "__htf_n"))
 
 
 class EncodingCorruptionDetector(AlgoOperator, HasInputCol):
