@@ -652,11 +652,30 @@ class MinHashTopK(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
     minJaccard = Param(Params._dummy(), "minJaccard",
                        "drop candidates below this exact Jaccard",
                        TypeConverters.toFloat)
+    maxBandBucket = Param(Params._dummy(), "maxBandBucket",
+                          "drop corpus band buckets larger than this "
+                          "(0 = uncapped) — the LSH skew guard",
+                          TypeConverters.toInt)
 
     def __init__(self):
         super().__init__()
         self._setDefault(inputCol="text", shingleSize=3, numHashes=12,
-                         bands=4, k=5, minJaccard=0.0)
+                         bands=4, k=5, minJaccard=0.0,
+                         maxBandBucket=0)
+
+    def setMaxBandBucket(self, v):
+        """Skew guard for high-recall bandings (rows-per-band 1-2):
+        lexical minhash minima concentrate on globally common
+        shingles, so a few band keys collect thousands of docs and
+        the candidate join goes quadratic in THEIR bucket sizes.
+        Dropping corpus buckets over the cap removes only those
+        near-useless discriminator keys (a doc pair with real overlap
+        still collides on its rarer minima). Deterministic, so the
+        SQL oracle replays the cap exactly."""
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"maxBandBucket must be >= 0, got {v}")
+        return self._set(maxBandBucket=v)
 
     def setShingleSize(self, v):
         return self._set(shingleSize=v)
@@ -700,11 +719,16 @@ class MinHashTopK(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
 
         d = self._dedup()
         qh, ch = d.hashed_table(queries), d.hashed_table(corpus)
+        cb = d.band_table(ch).select(F.col("__id").alias("doc_id"),
+                                     "__b")
+        cap = self.getOrDefault(self.maxBandBucket)
+        if cap > 0:
+            bn = F.count(F.lit(1)).over(Window.partitionBy("__b"))
+            cb = (cb.withColumn("__bn", bn)
+                  .filter(F.col("__bn") <= cap).drop("__bn"))
         cand = (d.band_table(qh)
                 .select(F.col("__id").alias("query_id"), "__b")
-                .join(d.band_table(ch)
-                      .select(F.col("__id").alias("doc_id"), "__b"),
-                      "__b")
+                .join(cb, "__b")
                 .filter(F.col("query_id") != F.col("doc_id"))
                 .select("query_id", "doc_id").distinct())
         qx = qh.select(F.col("__id").alias("query_id"),

@@ -754,8 +754,13 @@ def q_minhash_topk_documents(spark, sf_dir):
     corpus = docs.unionByName(planted)
     queries = docs.filter(F.col("doc_id") % 17 == 0)
     op = (MinHashTopK().setSeed(42).setK(3).setMinJaccard(0.05)
-          .setBands(12))  # rows-per-band=1: P(candidate)=1-(1-J)^12,
-    # high-recall search banding (vs the dedup default 4x3)
+          .setBands(12)   # rows-per-band=1: P(candidate)=1-(1-J)^12,
+          # high-recall search banding (vs the dedup default 4x3) —
+          # which NEEDS the bucket cap: single-hash band keys
+          # concentrate on globally common shingle minima, and the
+          # uncapped join went quadratic in those buckets (measured
+          # 15 s cold at sf0.1; ~3 s with the cap)
+          .setMaxBandBucket(64))
     return (op.topk(queries, corpus)
             .select("query_id", "doc_id",
                     F.round("jaccard", R).alias("jaccard"), "rank"))
@@ -764,7 +769,8 @@ def q_minhash_topk_documents(spark, sf_dir):
 def _oracle_minhash_topk() -> str:
     from flink_ml__spark.functions.dedup import MinHashTopK
 
-    op = MinHashTopK().setSeed(42).setK(3).setMinJaccard(0.05).setBands(12)
+    op = (MinHashTopK().setSeed(42).setK(3).setMinJaccard(0.05)
+          .setBands(12).setMaxBandBucket(64))
     d = op._dedup()
     coeffs = d.hash_coefficients()
     rows = d.getNumHashes() // d.getBands()
@@ -789,8 +795,11 @@ xs AS (SELECT doc_id, list_transform(sh, s -> {_H60.format(x='s')})
          AS xs FROM sh),
 sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM xs),
 bands AS (SELECT doc_id, unnest([{band_terms}]) AS b FROM sig),
+cb AS (SELECT doc_id, b FROM bands
+       QUALIFY count(*) OVER (PARTITION BY b)
+               <= {op.getOrDefault(op.maxBandBucket)}),
 cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS doc_id
-         FROM bands q JOIN bands c ON q.b = c.b
+         FROM bands q JOIN cb c ON q.b = c.b
          WHERE q.doc_id % 17 = 0 AND q.doc_id < 1000000
            AND q.doc_id <> c.doc_id),
 j AS (SELECT cand.query_id, cand.doc_id,

@@ -584,3 +584,23 @@ def test_minhash_topk_validates_k(spark):
 
     with _pytest.raises(ValueError):
         MinHashTopK().setK(0)
+
+
+def test_minhash_topk_band_bucket_cap(spark):
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again with words ")
+    rows = [(i, base + f"tail {i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    op = MinHashTopK().setSeed(7).setK(3).setBands(12)
+    uncapped = op.topk(df, df)
+    assert uncapped.count() > 0
+    # every doc shares the same minima -> every band bucket holds all
+    # 12 docs; a cap below that kills every candidate
+    capped = (MinHashTopK().setSeed(7).setK(3).setBands(12)
+              .setMaxBandBucket(4).topk(df, df))
+    assert capped.count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        MinHashTopK().setMaxBandBucket(-1)
