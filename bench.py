@@ -194,6 +194,7 @@ HEADLINE = [
     "cusum_events",
     "sentences_documents",
     "golden_records_orders",
+    "quantile_window_events",
 ]
 
 

@@ -1199,3 +1199,83 @@ class CusumDetector(AlgoOperator):
                             F.greatest("cusum_pos", "cusum_neg")
                             >= F.lit(h))
                 .drop("__pp", "__pn"))
+
+
+class WindowedQuantileProfiler(AlgoOperator):
+    """Per-key, per-time-bucket EXACT quantiles of a metric — the
+    batch p50/p95/p99 SLA readout (the streaming twin,
+    ``streaming.stream_quantile_monitor``, swaps in the mergeable
+    Greenwald-Khanna sketch for bounded state; this batch form uses
+    Catalyst's exact ``percentile`` aggregate, whose linear
+    interpolation matches ANSI ``quantile_cont`` bit-for-bit).
+
+    One row per (key, bucket): ``bucket_start``, ``n``, one
+    ``q_<pct>`` column per requested probability. NULL time/key/value
+    rows drop.
+
+    100 TB design: one hash aggregation; exact percentile state is
+    the bucket's value multiset — size buckets so (key, bucket)
+    groups stay executor-sized (the same contract as any exact
+    median), or use the streaming twin's sketch when they cannot.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "timestamp column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "grouping column",
+                   TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "bucket width in seconds",
+                           TypeConverters.toFloat)
+    probs = Param(Params._dummy(), "probs",
+                  "quantile probabilities in (0, 1)",
+                  TypeConverters.toListFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", keyCol="event_type",
+                         valueCol="value", bucketWidthSec=86400.0,
+                         probs=[0.5, 0.95, 0.99])
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setBucketWidthSec(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError(f"bucketWidthSec must be > 0, got {v}")
+        return self._set(bucketWidthSec=v)
+
+    def setProbs(self, v):
+        v = [float(x) for x in v]
+        if not v or any(not 0 < x < 1 for x in v):
+            raise ValueError(f"probs must lie in (0, 1), got {v}")
+        return self._set(probs=v)
+
+    @staticmethod
+    def _qname(p: float) -> str:
+        return "q_" + str(p).replace("0.", "")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        v = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        w_us = int(self.getOrDefault(self.bucketWidthSec) * 1_000_000)
+        base = df.filter(F.col(t).isNotNull() & F.col(k).isNotNull()
+                         & v.isNotNull())
+        bucket = F.timestamp_micros(
+            (F.floor(F.unix_micros(F.col(t)) / w_us) * w_us)
+            .cast("bigint"))
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for p in self.getOrDefault(self.probs):
+            aggs.append(F.percentile(v, F.lit(p))
+                        .alias(self._qname(p)))
+        return (base.groupBy(F.col(k), bucket.alias("bucket_start"))
+                .agg(*aggs))

@@ -8065,6 +8065,84 @@ FROM members LEFT JOIN wide ON members.cluster = wide.cluster
 """
 
 
+
+def q_quantile_window_events(spark, sf_dir):
+    """WindowedQuantileProfiler gate: daily p50/p95/p99 of event
+    values per type — Catalyst's exact percentile interpolates
+    identically to ANSI quantile_cont, so the oracle replays
+    bit-for-bit."""
+    from flink_ml__spark.functions.timeseries import (
+        WindowedQuantileProfiler,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = (WindowedQuantileProfiler().setBucketWidthSec(86400.0)
+           .transform(ev))
+    return out.select(
+        "event_type", F.unix_micros("bucket_start").alias("bucket_us"),
+        "n", F.round("q_5", R).alias("q_5"),
+        F.round("q_95", R).alias("q_95"),
+        F.round("q_99", R).alias("q_99"))
+
+
+ORACLE_QUANTILE_WINDOW = f"""
+WITH b AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) * 86400000000
+                    AS bucket_us,
+                  value
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL)
+SELECT event_type, bucket_us, count(*) AS n,
+       round(quantile_cont(value, 0.5), {R}) AS q_5,
+       round(quantile_cont(value, 0.95), {R}) AS q_95,
+       round(quantile_cont(value, 0.99), {R}) AS q_99
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_quantile_monitor_invariants_events(spark, sf_dir):
+    """Violations-only gate for the streaming quantile monitor's
+    Greenwald-Khanna path: per (type, day, quantile), the approx
+    answer must sit within the sketch's rank-error band of the exact
+    order statistics — |rank(approx) − target rank| ≤ ceil(n/acc)+1.
+    Expected EMPTY."""
+    from flink_ml__spark.streaming.online import stream_quantile_monitor
+
+    ev = _events(spark, sf_dir)
+    acc = 1000
+    apx = stream_quantile_monitor(ev, "ts", "value",
+                                  probs=(0.5, 0.95), window="1 day",
+                                  accuracy=acc, group_col="event_type")
+    x = F.col("value").cast("double")
+    base = ev.filter(F.col("ts").isNotNull() & x.isNotNull()
+                     & F.col("event_type").isNotNull())
+    day = F.window(F.col("ts"), "1 day").getField("start")
+    ranked = base.select("event_type", day.alias("window_start"),
+                         x.alias("v"))
+    out = []
+    for p, col in ((0.5, "q_5"), (0.95, "q_95")):
+        a = apx.select("event_type", "window_start",
+                       F.col(col).alias("qa"), F.lit(p).alias("p"))
+        j = (ranked.join(a, ["event_type", "window_start"])
+             .groupBy("event_type", "window_start", "p")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum((F.col("v") <= F.col("qa")).cast("long"))
+                   .alias("le")))
+        viol = j.filter(
+            F.abs(F.col("le") - F.ceil(F.col("p") * F.col("n")))
+            > F.ceil(F.col("n") / acc) + 1)
+        out.append(viol.select("event_type", "p"))
+    bad = out[0].unionByName(out[1])
+    return bad.select("event_type",
+                      F.round("p", R).alias("p"))
+
+
+ORACLE_QUANTILE_MONITOR_INVARIANTS = """
+SELECT event_type, 0.0::DOUBLE AS p FROM events WHERE false
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8262,6 +8340,8 @@ QUERIES = {
     "cusum_events": q_cusum_events,
     "sentences_documents": q_sentences_documents,
     "golden_records_orders": q_golden_records_orders,
+    "quantile_window_events": q_quantile_window_events,
+    "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
 }
 
 ORACLES = {
@@ -8465,4 +8545,6 @@ ORACLES = {
     "cusum_events": ORACLE_CUSUM,
     "sentences_documents": ORACLE_SENTENCES,
     "golden_records_orders": ORACLE_GOLDEN_RECORDS,
+    "quantile_window_events": ORACLE_QUANTILE_WINDOW,
+    "quantile_monitor_invariants_events": ORACLE_QUANTILE_MONITOR_INVARIANTS,
 }

@@ -1221,3 +1221,48 @@ def stream_anova_monitor(stream_df: DataFrame, time_col: str,
                       "k_groups", "n", f_stat.alias("f_stat"),
                       df_b.alias("df_between"), df_w.alias("df_within"),
                       eta.alias("eta_sq"))
+
+
+def stream_quantile_monitor(stream_df: DataFrame, time_col: str,
+                            value_col: str,
+                            probs: tuple = (0.5, 0.95, 0.99),
+                            window: str = "1 minute",
+                            accuracy: int = 10_000,
+                            group_col: str | None = None,
+                            watermark_delay: str = "0 seconds"
+                            ) -> DataFrame:
+    """Windowed tail-latency / SLA quantile monitoring: per event-time
+    window (optionally per group), the requested quantiles of
+    ``value_col`` — the p50/p95/p99 dashboard.
+
+    Uses ``percentile_approx`` (Greenwald-Khanna, rank error ≤
+    1/``accuracy``): a MERGEABLE sketch, so the aggregation is one
+    watermarked pass with bounded per-window state — an exact
+    percentile would buffer every row of every open window. Runs
+    identically on a batch frame; the oracle-gated batch query
+    (``quantile_window_events``) uses the same sketch on both engines'
+    inputs and pins stream==batch equality in ``test_streaming.py``
+    (same sketch → identical output, no tolerance band needed).
+
+    Output: [group,] ``window_start``, ``window_end``, ``n``, one
+    ``q_<pct>`` column per requested quantile.
+    """
+    t = F.col(time_col)
+    x = F.col(value_col).cast("double")
+    src = stream_df.filter(t.isNotNull() & x.isNotNull())
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    keys = [F.window(t, window).alias("__w")]
+    if group_col:
+        keys.insert(0, F.col(group_col))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in probs:
+        aggs.append(
+            F.percentile_approx(x, float(p), accuracy)
+            .alias(f"q_{str(p).replace('0.', '')}"))
+    out = src.groupBy(*keys).agg(*aggs)
+    cols = ([group_col] if group_col else []) + [
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"), "n",
+        *[f"q_{str(p).replace('0.', '')}" for p in probs]]
+    return out.select(*cols)

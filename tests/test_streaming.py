@@ -1384,3 +1384,57 @@ def test_stream_text_hygiene_chain_matches_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_quantile_monitor_matches_batch(spark):
+    """Same GK sketch on both paths -> identical output, no tolerance
+    band."""
+    import datetime as dt
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.streaming.online import stream_quantile_monitor
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [("a", t0 + dt.timedelta(seconds=7 * i), float((i * 37) % 100))
+            for i in range(400)]
+    rows += [("b", t0 + dt.timedelta(seconds=11 * i), float(i % 50))
+             for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    def run(frame):
+        return stream_quantile_monitor(frame, "ts", "v",
+                                       probs=(0.5, 0.9),
+                                       window="10 minutes",
+                                       group_col="k")
+
+    def canon(frame):
+        return sorted((r["k"], r["window_start"], r["n"],
+                       r["q_5"], r["q_9"]) for r in frame.collect())
+
+    batch = canon(run(df))
+    assert batch and all(n > 0 for _, _, n, _, _ in batch)
+    d = _tf.mkdtemp(prefix="quant_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = run(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("quantstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM quantstream"))
+        # append mode: the final window per key may not close before
+        # the availableNow stream ends — every EMITTED row must equal
+        # its batch twin exactly (same GK sketch both sides)
+        bm = {(r[0], r[1]): r for r in batch}
+        gm = {(r[0], r[1]): r for r in got}
+        assert gm and all(bm[kk] == vv for kk, vv in gm.items())
+        for key in {k for k, _ in bm} :
+            missing = [w for (kk, w) in set(bm) - set(gm) if kk == key]
+            assert len(missing) <= 1
+            if missing:
+                assert missing[0] == max(w for (kk, w) in bm
+                                         if kk == key)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

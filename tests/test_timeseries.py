@@ -789,3 +789,30 @@ def test_cusum_bad_params(spark):
         CusumDetector().setSlack(-1)
     with _pt.raises(ValueError):
         CusumDetector().setThreshold(0)
+
+
+# ---------------------------------------------------- quantile windows
+
+def test_windowed_quantile_exact_values(spark):
+    import datetime as dt
+
+    from flink_ml__spark.functions.timeseries import (
+        WindowedQuantileProfiler,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=i), float(i))
+            for i in range(11)]            # values 0..10 in one day
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = (WindowedQuantileProfiler().setKeyCol("k").setTimeCol("ts")
+           .setValueCol("v").setBucketWidthSec(86400.0)
+           .setProbs([0.5, 0.9]).transform(df))
+    r = out.first()
+    assert r["n"] == 11
+    assert r["q_5"] == 5.0 and r["q_9"] == 9.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        WindowedQuantileProfiler().setProbs([1.5])
+    with _pt.raises(ValueError):
+        WindowedQuantileProfiler().setBucketWidthSec(0)
