@@ -195,6 +195,7 @@ HEADLINE = [
     "sentences_documents",
     "golden_records_orders",
     "quantile_window_events",
+    "temporal_split_events",
 ]
 
 

@@ -2710,3 +2710,64 @@ class ChunkOverlapDetector(AlgoOperator, HasIdColMixin):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.pairs(df)
+
+
+class TemporalSplitter(AlgoOperator):
+    """Time-ordered train/test split with an embargo gap — the
+    leakage-safe protocol for forecasting / time-series ML (cf. the
+    purged split of de Prado 2018 ch. 7): everything before
+    ``trainEnd`` trains, the ``embargoSec`` seconds after it are
+    DISCARDED from both sides (quarantined — features computed with
+    lookback windows straddle the boundary there), and the rest
+    tests.
+
+    Appends ``outputCol`` ∈ {'train', 'embargo', 'test'}; NULL
+    timestamps get NULL. Pure projection — deterministic on every
+    engine/partitioning, composes with
+    :class:`SplitLeakageAuditor` downstream.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    trainEnd = Param(Params._dummy(), "trainEnd",
+                     "first instant NOT in train "
+                     "('yyyy-MM-dd[ HH:mm:ss]')",
+                     TypeConverters.toString)
+    embargoSec = Param(Params._dummy(), "embargoSec",
+                       "quarantined seconds after trainEnd",
+                       TypeConverters.toFloat)
+    outputCol = Param(Params._dummy(), "outputCol", "split column",
+                      TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", embargoSec=0.0,
+                         outputCol="split")
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setTrainEnd(self, v):
+        return self._set(trainEnd=str(v))
+
+    def setEmbargoSec(self, v):
+        v = float(v)
+        if v < 0:
+            raise ValueError(f"embargoSec must be >= 0, got {v}")
+        return self._set(embargoSec=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if not self.isDefined(self.trainEnd):
+            raise ValueError("setTrainEnd is required")
+        t = F.col(self.getOrDefault(self.timeCol))
+        end = F.lit(self.getOrDefault(self.trainEnd)).cast("timestamp")
+        emb_us = int(self.getOrDefault(self.embargoSec) * 1_000_000)
+        emb_end = F.timestamp_micros(F.unix_micros(end) + emb_us)
+        split = (F.when(t.isNull(), F.lit(None).cast("string"))
+                 .when(t < end, F.lit("train"))
+                 .when(t < emb_end, F.lit("embargo"))
+                 .otherwise(F.lit("test")))
+        return df.withColumn(self.getOrDefault(self.outputCol), split)

@@ -8143,6 +8143,35 @@ SELECT event_type, 0.0::DOUBLE AS p FROM events WHERE false
 """
 
 
+
+def q_temporal_split_events(spark, sf_dir):
+    """TemporalSplitter gate: time-ordered train/embargo/test counts
+    over events (trainEnd mid-corpus, 1-day embargo) — the
+    leakage-safe forecasting split."""
+    from flink_ml__spark.functions.curation import TemporalSplitter
+
+    ev = _events(spark, sf_dir)
+    out = (TemporalSplitter().setTrainEnd("2024-01-05 00:00:00")
+           .setEmbargoSec(86400.0).transform(ev))
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.unix_micros("ts")).alias("min_us"),
+                 F.max(F.unix_micros("ts")).alias("max_us")))
+
+
+ORACLE_TEMPORAL_SPLIT = """
+WITH s AS (SELECT ts,
+       CASE WHEN ts IS NULL THEN NULL
+            WHEN ts < TIMESTAMP '2024-01-05 00:00:00' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-06 00:00:00' THEN 'embargo'
+            ELSE 'test' END AS split
+       FROM events)
+SELECT split, count(*) AS n,
+       min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8342,6 +8371,7 @@ QUERIES = {
     "golden_records_orders": q_golden_records_orders,
     "quantile_window_events": q_quantile_window_events,
     "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
+    "temporal_split_events": q_temporal_split_events,
 }
 
 ORACLES = {
@@ -8547,4 +8577,5 @@ ORACLES = {
     "golden_records_orders": ORACLE_GOLDEN_RECORDS,
     "quantile_window_events": ORACLE_QUANTILE_WINDOW,
     "quantile_monitor_invariants_events": ORACLE_QUANTILE_MONITOR_INVARIANTS,
+    "temporal_split_events": ORACLE_TEMPORAL_SPLIT,
 }

@@ -1195,3 +1195,28 @@ def test_chunk_overlap_validates_params(spark):
         ChunkOverlapDetector().setMinFraction(0.0)
     with _pytest.raises(ValueError):
         ChunkOverlapDetector().setMaxDf(1)
+
+
+# ------------------------------------------------------ temporal split
+
+def test_temporal_splitter_embargo(spark):
+    import datetime as dt
+
+    from flink_ml__spark.functions.curation import TemporalSplitter
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i)) for i in range(10)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = (TemporalSplitter().setTrainEnd("2024-06-01 04:00:00")
+           .setEmbargoSec(2 * 3600).transform(df))
+    got = {r["id"]: r["split"] for r in out.collect()}
+    assert [got[i] for i in range(10)] == (
+        ["train"] * 4 + ["embargo"] * 2 + ["test"] * 4)
+    assert got[99] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TemporalSplitter().transform(df)
+    with _pt.raises(ValueError):
+        TemporalSplitter().setEmbargoSec(-1)
