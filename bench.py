@@ -196,6 +196,7 @@ HEADLINE = [
     "golden_records_orders",
     "quantile_window_events",
     "temporal_split_events",
+    "correlation_rank_lineitem",
 ]
 
 

@@ -770,3 +770,70 @@ class MutualInformationRanker(AlgoOperator):
                 .agg(F.first("__nt").alias("n_rows"),
                      F.count_distinct("value").alias("n_values"),
                      F.sum("__t").alias("mi")))
+
+
+class CorrelationRanker(AlgoOperator):
+    """Numeric feature ranking by Pearson correlation with a target —
+    the numeric companion to :class:`MutualInformationRanker`
+    (categoricals): one pass scores every candidate column's linear
+    association with the label.
+
+    ``transform(df)`` returns one row per feature::
+
+        feature   the column name
+        n_rows    rows where both the feature and label are non-NULL
+                  (pairwise deletion)
+        r         Pearson correlation, NULL when either side is
+                  constant (zero variance)
+
+    100 TB design: ONE map-side melt to (feature, x, y) rows and ONE
+    hash aggregation of the five moment sums per feature — no
+    per-feature jobs, no second pass; ``r`` assembles from the
+    Σ-identities exactly as :class:`~flink_ml__spark.functions.
+    evaluation.RegressionEvaluator` does, so the SQL oracle replays
+    the same arithmetic.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "numeric target column", TypeConverters.toString)
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "numeric feature columns",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label")
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setInputCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        if not cols:
+            raise ValueError("inputCols must be non-empty")
+        return self._set(inputCols=cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols)
+        y = F.col(self.getOrDefault(self.labelCol)).cast("double")
+        melted = (df.filter(y.isNotNull())
+                  .select(y.alias("__y"), F.explode(F.array(*[
+                      F.struct(F.lit(c).alias("feature"),
+                               F.col(c).cast("double").alias("x"))
+                      for c in cols])).alias("f"))
+                  .select("f.feature", "f.x", "__y")
+                  .filter(F.col("x").isNotNull()))
+        x, yy = F.col("x"), F.col("__y")
+        agg = (melted.groupBy("feature")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(x).alias("__sx"), F.sum(yy).alias("__sy"),
+                    F.sum(x * x).alias("__sxx"),
+                    F.sum(yy * yy).alias("__syy"),
+                    F.sum(x * yy).alias("__sxy")))
+        n = F.col("n_rows").cast("double")
+        cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+        vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        return agg.select("feature", "n_rows", r.alias("r"))

@@ -8172,6 +8172,45 @@ FROM s GROUP BY 1
 """
 
 
+
+def q_correlation_rank_lineitem(spark, sf_dir):
+    """CorrelationRanker gate: lineitem numerics ranked by Pearson r
+    against the extended price — one melt pass, five moment sums per
+    feature, Σ-identity assembly replayed in SQL."""
+    from flink_ml__spark.functions.stats import CorrelationRanker
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = (CorrelationRanker().setLabelCol("l_extendedprice")
+           .setInputCols("l_quantity", "l_discount", "l_tax")
+           .transform(li))
+    return out.select("feature", "n_rows",
+                      F.round("r", R).alias("r"))
+
+
+ORACLE_CORRELATION_RANK = f"""
+WITH m AS (SELECT 'l_quantity' AS feature, l_quantity::DOUBLE AS x,
+                  l_extendedprice::DOUBLE AS y FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', l_discount::DOUBLE,
+                  l_extendedprice::DOUBLE FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', l_tax::DOUBLE,
+                  l_extendedprice::DOUBLE FROM lineitem),
+a AS (SELECT feature, count(*) AS n_rows,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM m WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1)
+SELECT feature, n_rows,
+       CASE WHEN n_rows * sxx - sx * sx > 0
+             AND n_rows * syy - sy * sy > 0
+            THEN round((n_rows * sxy - sx * sy)
+                       / sqrt((n_rows * sxx - sx * sx)
+                              * (n_rows * syy - sy * sy)), {R})
+       END AS r
+FROM a
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8372,6 +8411,7 @@ QUERIES = {
     "quantile_window_events": q_quantile_window_events,
     "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
     "temporal_split_events": q_temporal_split_events,
+    "correlation_rank_lineitem": q_correlation_rank_lineitem,
 }
 
 ORACLES = {
@@ -8578,4 +8618,5 @@ ORACLES = {
     "quantile_window_events": ORACLE_QUANTILE_WINDOW,
     "quantile_monitor_invariants_events": ORACLE_QUANTILE_MONITOR_INVARIANTS,
     "temporal_split_events": ORACLE_TEMPORAL_SPLIT,
+    "correlation_rank_lineitem": ORACLE_CORRELATION_RANK,
 }

@@ -492,3 +492,32 @@ def test_mutual_information_bad_params(spark):
 
     with _pt.raises(ValueError):
         MutualInformationRanker().setInputCols([])
+
+
+def test_correlation_ranker_known_values(spark):
+    import math
+
+    from flink_ml__spark.functions.stats import CorrelationRanker
+
+    rows = []
+    for i in range(30):
+        y = float(i)
+        rows.append((y, 2.0 * y + 1.0,            # perfect +
+                     -3.0 * y,                    # perfect −
+                     7.0,                         # constant
+                     None if i % 2 else y))       # half NULL
+    df = spark.createDataFrame(
+        rows, "label double, up double, down double, const double,"
+              " holey double")
+    out = (CorrelationRanker().setLabelCol("label")
+           .setInputCols("up", "down", "const", "holey").transform(df))
+    got = {r["feature"]: r for r in out.collect()}
+    assert math.isclose(got["up"]["r"], 1.0, abs_tol=1e-12)
+    assert math.isclose(got["down"]["r"], -1.0, abs_tol=1e-12)
+    assert got["const"]["r"] is None
+    assert got["holey"]["n_rows"] == 15
+    assert math.isclose(got["holey"]["r"], 1.0, abs_tol=1e-12)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        CorrelationRanker().setInputCols([])
