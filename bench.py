@@ -197,6 +197,7 @@ HEADLINE = [
     "quantile_window_events",
     "temporal_split_events",
     "correlation_rank_lineitem",
+    "hashed_tfidf_documents",
 ]
 
 

@@ -983,3 +983,123 @@ class SentenceSplitter(AlgoOperator, HasInputCol):
         return (df.filter(text.isNotNull())
                 .select(F.col(i), F.posexplode(sents)
                         .alias("sent_idx", "sentence")))
+
+
+class HashedTfIdfModel(AlgoOperator, HasInputCol, HasOutputCol):
+    """Fitted hashed TF-IDF vectorizer: per-bucket IDF weights learned
+    by :class:`HashedTfIdfEmbedder`, applied as a map-only HOF pass —
+    the corpus-aware upgrade of :class:`HashedTfEmbedder` (common
+    buckets downweight, discriminative ones dominate the cosine).
+
+    ``idf[b] = ln((N + 1) / (df_b + 1)) + 1`` (smooth IDF — never
+    zero, unseen buckets get the max weight). Output is the
+    L2-normalized ``tf · idf`` vector; NULL/token-free docs emit
+    NULL. The model is ``dim`` doubles folded in as a literal array —
+    no join, stream-compatible.
+    """
+
+    def __init__(self, dim: int | None = None,
+                 idf: list | None = None):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="embedding")
+        self._dim = dim
+        self._idf = idf    # length-dim doubles
+
+    @property
+    def idf(self) -> list:
+        return list(self._idf)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from flink_ml__spark.functions.dedup import portable_hash60
+
+        d = self._dim
+        out = self.getOrDefault(self.outputCol)
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        buckets = F.transform(toks, lambda t: portable_hash60(t) % d)
+        idf_arr = F.array(*[F.lit(float(w)) for w in self._idf])
+        counts = F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.size(F.filter(F.col("__hti_b"),
+                                      lambda b: b == i))
+            .cast("double"))
+        weighted = F.zip_with(F.col("__hti_c"), idf_arr,
+                              lambda c, w: c * w)
+        norm = F.sqrt(F.aggregate(F.col("__hti_w"), F.lit(0.0),
+                                  lambda a, x: a + x * x))
+        vec = F.when(
+            F.size(F.col("__hti_b")) > 0,
+            F.transform(F.col("__hti_w"),
+                        lambda x: x / F.col("__hti_n")))
+        return (df.withColumn("__hti_b", buckets)
+                .withColumn("__hti_c", counts)
+                .withColumn("__hti_w", weighted)
+                .withColumn("__hti_n", norm)
+                .withColumn(out, vec)
+                .drop("__hti_b", "__hti_c", "__hti_w", "__hti_n"))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "idf.json"), "w") as f:
+            json.dump({"dim": self._dim, "idf": self._idf}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(path, "idf.json")) as f:
+            d = json.load(f)
+        self._dim, self._idf = d["dim"], d["idf"]
+
+
+class HashedTfIdfEmbedder(AlgoOperator, HasInputCol, HasOutputCol):
+    """Fits :class:`HashedTfIdfModel`: one pass counts, per hash
+    bucket, the number of documents containing it (distinct buckets
+    per doc → one count aggregation, output is ``dim`` rows), and the
+    smooth-IDF table folds into the model as literals.
+
+    100 TB design: fit shuffles only (bucket, count) — O(dim) final
+    rows; the model artifact is O(dim) doubles; apply is map-only.
+    """
+
+    dim = Param(Params._dummy(), "dim", "vector width",
+                TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", outputCol="embedding",
+                         dim=64)
+
+    def setDim(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"dim must be >= 1, got {v}")
+        return self._set(dim=v)
+
+    def fit(self, df: DataFrame) -> HashedTfIdfModel:
+        import math
+
+        from flink_ml__spark.functions.dedup import portable_hash60
+
+        d = self.getOrDefault(self.dim)
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        buckets = F.array_distinct(
+            F.transform(toks, lambda t: portable_hash60(t) % d))
+        base = df.select(F.explode(buckets).alias("__b"))
+        n_docs = df.count()
+        dfreq = {r["__b"]: r["c"]
+                 for r in base.groupBy("__b")
+                 .agg(F.count(F.lit(1)).alias("c")).collect()}
+        idf = [math.log((n_docs + 1.0) / (dfreq.get(b, 0) + 1.0)) + 1.0
+               for b in range(d)]
+        model = HashedTfIdfModel(d, idf)
+        model._set(inputCol=self.getInputCol(),
+                   outputCol=self.getOrDefault(self.outputCol))
+        return model

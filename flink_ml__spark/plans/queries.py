@@ -8211,6 +8211,64 @@ FROM a
 """
 
 
+
+def q_hashed_tfidf_documents(spark, sf_dir):
+    """HashedTfIdfEmbedder gate: fit smooth-IDF bucket weights on the
+    corpus, emit the L2-normalized tf·idf vectors as exploded
+    (doc, pos, weight) rows — BOTH stages (the document-frequency
+    fit and the weighted apply) replay independently in SQL."""
+    from flink_ml__spark.functions.text import HashedTfIdfEmbedder
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = HashedTfIdfEmbedder().setDim(16).fit(docs)
+    out = model.transform(docs)
+    return out.select(
+        "doc_id", F.posexplode_outer(
+            F.transform("embedding", lambda x: F.round(x, R))))
+
+
+ORACLE_HASHED_TFIDF = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+b AS (SELECT doc_id,
+             list_transform(toks, t -> {_H60.format(x='t')}
+                                        % {_HTF_DIM}) AS bk
+      FROM toks),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfq AS (SELECT bk2 AS bucket, count(*) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(bk)) AS bk2 FROM b)
+        GROUP BY 1),
+idf AS (SELECT i AS bucket,
+               ln((nd.n + 1.0) / (coalesce(dfq.df, 0) + 1.0)) + 1.0
+                 AS w
+        FROM range(0, {_HTF_DIM}) t(i)
+        CROSS JOIN nd LEFT JOIN dfq ON dfq.bucket = i),
+c AS (SELECT doc_id, len(bk) AS ntok,
+             list_transform(range(0, {_HTF_DIM}),
+                            i -> len(list_filter(bk, x -> x = i))::DOUBLE)
+               AS cnt
+      FROM b),
+iw AS (SELECT list(w ORDER BY bucket) AS ws FROM idf),
+wv AS (SELECT doc_id, ntok,
+              list_transform(range(1, {_HTF_DIM} + 1),
+                             i -> cnt[i] * ws[i]) AS wvec
+       FROM c CROSS JOIN iw),
+n2 AS (SELECT doc_id, ntok, wvec,
+              sqrt(list_sum(list_transform(wvec, x -> x * x))) AS nrm
+       FROM wv),
+f AS (SELECT doc_id,
+             CASE WHEN ntok > 0
+                  THEN list_transform(wvec, x -> round(x / nrm, {R}))
+             END AS emb
+      FROM n2)
+SELECT doc_id, i - 1 AS pos, emb[i] AS col
+FROM (SELECT doc_id, emb,
+             unnest(range(1, {_HTF_DIM} + 1)) AS i
+      FROM f WHERE emb IS NOT NULL)
+UNION ALL
+SELECT doc_id, NULL AS pos, NULL AS col FROM f WHERE emb IS NULL
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -8412,6 +8470,7 @@ QUERIES = {
     "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
     "temporal_split_events": q_temporal_split_events,
     "correlation_rank_lineitem": q_correlation_rank_lineitem,
+    "hashed_tfidf_documents": q_hashed_tfidf_documents,
 }
 
 ORACLES = {
@@ -8619,4 +8678,5 @@ ORACLES = {
     "quantile_monitor_invariants_events": ORACLE_QUANTILE_MONITOR_INVARIANTS,
     "temporal_split_events": ORACLE_TEMPORAL_SPLIT,
     "correlation_rank_lineitem": ORACLE_CORRELATION_RANK,
+    "hashed_tfidf_documents": ORACLE_HASHED_TFIDF,
 }

@@ -593,3 +593,57 @@ def test_sentence_splitter_basic(spark):
                       (2, "Third??"), (3, "And a tail without end")]
     assert got[2] == [(0, "leading dots."), (1, "ok.")]
     assert 3 not in got and 4 not in got
+
+
+def test_hashed_tfidf_fit_and_apply(spark, tmp_path):
+    import math
+
+    import hashlib
+
+    from flink_ml__spark.functions.text import (
+        HashedTfIdfEmbedder,
+        HashedTfIdfModel,
+    )
+
+    def PORTABLE_HASH60_PY(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha alpha delta"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dim = 8
+    model = HashedTfIdfEmbedder().setDim(dim).fit(df)
+
+    def bucket(tok):
+        return PORTABLE_HASH60_PY(tok) % dim
+
+    n = 4
+    dfreq = {}
+    for _, t in docs:
+        for b in {bucket(w) for w in (t or "").split() if w}:
+            dfreq[b] = dfreq.get(b, 0) + 1
+    idf = [math.log((n + 1) / (dfreq.get(b, 0) + 1)) + 1
+           for b in range(dim)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(model.idf, idf))
+
+    got = {r["doc_id"]: r["embedding"]
+           for r in model.transform(df).collect()}
+    # doc 3: alpha x2 + delta x1, idf-weighted, L2-normalized
+    w = [0.0] * dim
+    w[bucket("alpha")] += 2 * idf[bucket("alpha")]
+    w[bucket("delta")] += 1 * idf[bucket("delta")]
+    nrm = math.sqrt(sum(x * x for x in w))
+    for a, b in zip(got[3], [x / nrm for x in w]):
+        assert abs(a - b) < 1e-12
+    assert got[4] is None
+
+    p = str(tmp_path / "tfidf")
+    model.save(p)
+    loaded = HashedTfIdfModel.load(spark, p)
+    got2 = {r["doc_id"]: r["embedding"]
+            for r in loaded.transform(df).collect()}
+    assert got2[3] == got[3]
