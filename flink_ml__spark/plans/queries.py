@@ -356,29 +356,94 @@ WHERE confidence >= 0.3 AND lift >= 1.0
 """
 
 # ---------------------------------------------------------------------------
-# 7/8. FCM + Canopy (iterative, seeded — rows-only checks)
+# 7/8. FCM + Canopy (iterative, seeded — invariant gates; the free
+# cluster-size outputs live in pytest goldens, not the driver gate)
 # ---------------------------------------------------------------------------
 
 def q_fcm_embeddings_clusters(spark, sf_dir):
+    """Partition-invariant gate for the seeded-iterative FCM (the
+    free per-cluster sizes are seeded output with no SQL oracle, so
+    they are pytest-only; this entry hash-checks what IS provable):
+    emits (a) any row whose prediction is outside [0, k), (b) a
+    sentinel if the per-cluster sizes do not sum back to the input
+    count (every point assigned exactly once), (c) a sentinel if more
+    than k distinct clusters appear. Complementary to
+    ``fcm_invariants_embeddings`` (prediction == nearest centroid).
+    Expected EMPTY; WHERE-false oracle makes this hash-checked."""
+    k = 4
     emb = load_table(spark, "embeddings", sf_dir)
-    model = (FCM().setK(4).setSeed(42).setMaxIter(10)
+    model = (FCM().setK(k).setSeed(42).setMaxIter(10)
              .setFeaturesCol("embedding").fit(emb))
     out = model.transform(emb)
-    return (out.groupBy("prediction")
-            .agg(F.count(F.lit(1)).alias("cluster_size"))
-            .orderBy("prediction"))
+    out_of_range = (out.filter((F.col("prediction") < 0)
+                               | (F.col("prediction") >= k))
+                    .select("vec_id",
+                            F.lit("prediction_out_of_range")
+                            .alias("violation")))
+    sizes = out.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    total = emb.select(F.count(F.lit(1)).alias("__t"))
+    sums = sizes.agg(F.sum("cluster_size").alias("__s"),
+                     F.count(F.lit(1)).alias("__k"))
+    sentinels = (sums.crossJoin(total)
+                 .filter((F.col("__s") != F.col("__t"))
+                         | (F.col("__k") > k))
+                 .select(F.lit(-1).cast("long").alias("vec_id"),
+                         F.lit("partition_broken").alias("violation")))
+    return out_of_range.unionByName(sentinels)
+
+
+ORACLE_FCM_PARTITION = """
+SELECT vec_id::BIGINT AS vec_id, '' AS violation
+FROM embeddings WHERE false
+"""
 
 
 def q_canopy_customer(spark, sf_dir):
+    """Coverage + center-separation gate for seeded-iterative Canopy
+    (the free per-canopy sizes are seeded output with no SQL oracle,
+    so they are pytest-only; this entry hash-checks what IS provable):
+    emits (a) any input point that landed in NO canopy — canopy
+    guarantees every point is within T2 of some center, and T2 < T1
+    means it must be a member there — and (b) any pair of canopy
+    centers closer than T2 (a point inside an existing center's T2
+    ball is deleted from the candidate pool, so it can never become a
+    center itself). Complementary to ``canopy_invariants_customer``
+    (every membership edge within T1). Expected EMPTY; WHERE-false
+    oracle makes this hash-checked."""
+    t2 = 4.0
     cust = load_table(spark, "customer", sf_dir).withColumn(
         "features",
         F.array(F.col("c_acctbal") / 1000.0,
                 F.col("c_nationkey").cast("double")))
-    flat = (Canopy().setT1(8.0).setT2(4.0).setSeed(42).setMaxIter(30)
+    flat = (Canopy().setT1(8.0).setT2(t2).setSeed(42).setMaxIter(30)
             .assign(cust))
-    return (flat.groupBy("canopy_id")
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .orderBy("canopy_id"))
+    uncovered = (cust.select("features")
+                 .join(flat.select(F.col("point").alias("features")),
+                       "features", "left_anti")
+                 .select(F.lit("uncovered_point").alias("violation"),
+                         F.round(F.element_at("features", 1), R)
+                         .alias("x1"),
+                         F.round(F.element_at("features", 2), R)
+                         .alias("x2")))
+    centers = (flat.groupBy("canopy_id")
+               .agg(F.first("centroid").alias("c")))
+    a, b = centers.alias("a"), centers.alias("b")
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("a.c", "b.c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    too_close = (a.join(b, F.col("a.canopy_id") < F.col("b.canopy_id"))
+                 .filter(dist < F.lit(t2))
+                 .select(F.lit("centers_within_t2").alias("violation"),
+                         F.col("a.canopy_id").cast("double").alias("x1"),
+                         F.col("b.canopy_id").cast("double").alias("x2")))
+    return uncovered.unionByName(too_close)
+
+
+ORACLE_CANOPY_COVERAGE = """
+SELECT '' AS violation, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS x2
+FROM customer WHERE false
+"""
 
 
 def q_fcm_invariants_embeddings(spark, sf_dir):
@@ -1120,15 +1185,40 @@ def _semdedup_frame(spark, sf_dir):
 
 
 def q_semdedup_embeddings(spark, sf_dir):
-    """SemDeDup kept set over the planted frame (rows-only: seeded
-    k-means cells have no SQL oracle; the paired invariant gate below
-    is the hard check). Each planted duplicate collapses onto its
-    original — ties on centroid similarity break toward the smaller
-    id, so the original survives."""
+    """Planted-duplicate gate for SemDeDup (the free kept set depends
+    on seeded cells, so it is pytest-only; this entry hash-checks what
+    IS provable): every planted duplicate (``vec_id >= 100000``,
+    bit-identical unit direction → cosine exactly 1 to its original,
+    same quantizer cell, centroid-similarity tie broken toward the
+    smaller id) must be REMOVED — a surviving plant is emitted as a
+    violation; so is any kept id not present in the input, and a
+    sentinel fires if the kept set contains duplicates. Complementary
+    to ``semdedup_invariants_embeddings`` (removed-has-kept-witness +
+    partition). Expected EMPTY; WHERE-false oracle."""
     from flink_ml__spark.functions.similarity import SemDeDup
 
+    emb = _semdedup_frame(spark, sf_dir)
     op = SemDeDup().setNList(8).setSeed(42).setThreshold(0.95)
-    return op.transform(_semdedup_frame(spark, sf_dir)).select("vec_id")
+    kept = op.transform(emb).select("vec_id")
+    surviving_plants = (kept.filter(F.col("vec_id") >= 100000)
+                        .select("vec_id",
+                                F.lit("planted_dup_kept")
+                                .alias("violation")))
+    junk = (kept.join(emb.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", F.lit("kept_id_not_in_input")
+                    .alias("violation")))
+    dup_rows = (kept.groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select("vec_id",
+                        F.lit("kept_id_duplicated").alias("violation")))
+    return surviving_plants.unionByName(junk).unionByName(dup_rows)
+
+
+ORACLE_SEMDEDUP_PLANTS = """
+SELECT vec_id::BIGINT AS vec_id, '' AS violation
+FROM embeddings WHERE false
+"""
 
 
 def q_semdedup_invariants_embeddings(spark, sf_dir):
@@ -6408,16 +6498,43 @@ SELECT cluster, n, round(ms, {R}) AS mean_silhouette FROM tot
 
 
 def q_kmeans_embeddings_clusters(spark, sf_dir):
-    """Hard k-means over the embeddings table: per-cluster sizes
-    (rows-only gate — the fit is seeded-iterative like FCM/Canopy;
-    the paired invariants gate below is the hash-checked one)."""
+    """Partition-invariant gate for the seeded-iterative KMeans (the
+    free per-cluster sizes are pytest-only): emits (a) any row whose
+    prediction is outside [0, k), (b) a sentinel if per-cluster sizes
+    do not sum back to the input count, (c) a sentinel if more than k
+    distinct clusters appear. Complementary to
+    ``kmeans_invariants_embeddings`` (prediction == argmin distance
+    via an independent numpy path). Expected EMPTY; WHERE-false
+    oracle makes this hash-checked."""
     from flink_ml__spark.operators.kmeans import KMeans
 
+    k = 4
     emb = load_table(spark, "embeddings", sf_dir)
-    model = (KMeans().setK(4).setSeed(42).setMaxIter(10)
+    model = (KMeans().setK(k).setSeed(42).setMaxIter(10)
              .setFeaturesCol("embedding").fit(emb))
-    return (model.transform(emb)
-            .groupBy("prediction").count().orderBy("prediction"))
+    out = model.transform(emb)
+    out_of_range = (out.filter((F.col("prediction") < 0)
+                               | (F.col("prediction") >= k))
+                    .select("vec_id",
+                            F.lit("prediction_out_of_range")
+                            .alias("violation")))
+    sizes = out.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    total = emb.select(F.count(F.lit(1)).alias("__t"))
+    sums = sizes.agg(F.sum("cluster_size").alias("__s"),
+                     F.count(F.lit(1)).alias("__k"))
+    sentinels = (sums.crossJoin(total)
+                 .filter((F.col("__s") != F.col("__t"))
+                         | (F.col("__k") > k))
+                 .select(F.lit(-1).cast("long").alias("vec_id"),
+                         F.lit("partition_broken").alias("violation")))
+    return out_of_range.unionByName(sentinels)
+
+
+ORACLE_KMEANS_PARTITION = """
+SELECT vec_id::BIGINT AS vec_id, '' AS violation
+FROM embeddings WHERE false
+"""
 
 
 def q_kmeans_invariants_embeddings(spark, sf_dir):
@@ -8537,9 +8654,14 @@ ORACLES = {
     "online_topsis_model_events": ORACLE_ONLINE_TOPSIS_MODEL,
     "online_topsis_predict_events": ORACLE_ONLINE_TOPSIS_PREDICT,
     "apriori_rules_events": ORACLE_APRIORI,
-    # fcm / canopy cluster outputs: iterative + seeded → rows-only check
-    # (no oracle); their INVARIANT gates below are hard expected-empty
-    # checks (violations-only, WHERE-false oracle)
+    # fcm / canopy / kmeans / semdedup: iterative + seeded, so the free
+    # outputs are pytest-only; BOTH registry entries per operator are
+    # hard expected-empty invariant checks (WHERE-false oracles) that
+    # cover complementary invariants
+    "fcm_embeddings_clusters": ORACLE_FCM_PARTITION,
+    "canopy_customer": ORACLE_CANOPY_COVERAGE,
+    "kmeans_embeddings_clusters": ORACLE_KMEANS_PARTITION,
+    "semdedup_embeddings": ORACLE_SEMDEDUP_PLANTS,
     "fcm_invariants_embeddings": ORACLE_FCM_INVARIANTS,
     "pca_invariants_embeddings": ORACLE_PCA_INVARIANTS,
     "canopy_invariants_customer": ORACLE_CANOPY_INVARIANTS,
