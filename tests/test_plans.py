@@ -74,12 +74,17 @@ def test_text_queries_no_python_udfs(spark, name):
 
 
 def test_bench_headline_names_resolve():
-    """Every bench headline name must exist in the query registry — a
-    rename that misses bench.py would crash the driver's bench run."""
+    """Every name bench.py times must exist in the query registry — a
+    rename that misses bench.py would crash the driver's bench run, and
+    a bench-local query override would time code the CORRECTNESS gate
+    never checks (seen: cms_estimates_events, r08)."""
     import bench
 
     for name in bench.HEADLINE:
         assert name in QUERIES, name
+    # no bench-local query definitions: bench times the registry only
+    local_queries = [n for n in dir(bench) if n.startswith("q_")]
+    assert local_queries == [], local_queries
 
 
 def test_entry_contract_shape(spark):
