@@ -389,7 +389,17 @@ class MinHashDeduplicator(AlgoOperator, _MaterializeMixin,
             ])).alias("__b"))
 
     def duplicate_pairs(self, df: DataFrame) -> DataFrame:
-        """(id_keep, id_dup, jaccard) verified near-duplicate pairs.
+        """(id_keep, id_dup, jaccard) verified near-duplicate pairs —
+        ALL pairs sharing a band bucket.
+
+        .. warning:: this is the opt-in all-pairs path for consumers
+           that need the full edge set (duplicate clustering, leakage
+           audits, recall telemetry). A band bucket of C true
+           duplicates emits C²/2 candidates — boilerplate mega-clusters
+           at lake scale make that quadratic. The :meth:`transform`
+           dedup path does NOT use it; it star-pairs each bucket member
+           with the bucket's min-id representative (see
+           :meth:`dominated_ids`), which stays linear in bucket size.
 
         The hashed shingle set is materialized once behind a shuffle
         barrier: without it, CollapseProject inlines the tokenize+md5
@@ -421,10 +431,45 @@ class MinHashDeduplicator(AlgoOperator, _MaterializeMixin,
                         F.col("__id_r").alias("id_dup"),
                         "jaccard"))
 
+    def dominated_ids(self, df: DataFrame) -> DataFrame:
+        """(__dup_id) documents with a verified near-duplicate at a
+        smaller id, found by STAR PAIRING: each band-bucket member is
+        paired only with the bucket's min-id representative, never with
+        every bucket-mate.
+
+        Why not all-pairs: a bucket of C members emits C²/2 candidate
+        pairs under all-pairs — and TRUE duplicate mega-clusters
+        (boilerplate pages, mirrored docs) share every band key, so at
+        lake scale one hot bucket goes quadratic. Star pairing emits
+        exactly C−1 pairs per bucket (one aggregate + one equi-join on
+        the bucket key), linear whatever the cluster size. For the
+        mega-cluster case the result is identical (every member
+        verifies against the min-id representative); results can differ
+        from all-pairs only when a bucket's min-id member is a FALSE
+        POSITIVE for some true-duplicate bucket-mates — rare under
+        compound band keys, and those mates still meet in their other
+        bands. The DuckDB oracle replays star pairing exactly.
+        """
+        hashed = self.hashed_table(df)
+        bands = self.band_table(hashed)
+        reps = bands.groupBy("__b").agg(F.min("__id").alias("__id_l"))
+        pairs = (bands.join(reps, "__b")
+                 .filter(F.col("__id") > F.col("__id_l"))
+                 .select("__id_l", F.col("__id").alias("__id_r"))
+                 .dropDuplicates(["__id_l", "__id_r"]))
+        lsh = hashed.select(F.col("__id").alias("__id_l"),
+                            F.col("__xs").alias("__xs_l"))
+        rsh = hashed.select(F.col("__id").alias("__id_r"),
+                            F.col("__xs").alias("__xs_r"))
+        jac = (F.size(F.array_intersect("__xs_l", "__xs_r"))
+               / F.size(F.array_union("__xs_l", "__xs_r")))
+        return (pairs.join(lsh, "__id_l").join(rsh, "__id_r")
+                .filter(jac >= self.getThreshold())
+                .select(F.col("__id_r").alias("__dup_id")).distinct())
+
     def transform(self, df: DataFrame) -> DataFrame:
-        dups = (self.duplicate_pairs(df)
-                .select(F.col("id_dup").alias("__dup_id")).distinct())
-        return _keep_non_dominated(df, dups, self.getIdCol())
+        return _keep_non_dominated(df, self.dominated_ids(df),
+                                   self.getIdCol())
 
     def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
                           *, corpus_hashed: DataFrame | None = None) -> DataFrame:

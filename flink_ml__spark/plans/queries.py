@@ -685,7 +685,15 @@ def _minhash_dup_ctes(op, src: str, p: str = "") -> str:
     """CTE block ``<p>toks, …, <p>dups`` computing the MinHash duplicate
     id set (column ``id_r``) over the given source relation —
     parameterized so composed pipelines can dedup intermediate results.
-    ``p`` prefixes the CTE names to avoid collisions."""
+    ``p`` prefixes the CTE names to avoid collisions.
+
+    Two candidate shapes are exposed, mirroring the Spark operator:
+    ``<p>pairs`` is the ALL-pairs bucket self-join (consumed by the
+    pair-set queries: clustering, leakage audit, recall telemetry),
+    while ``<p>dups`` replays the ``transform()`` dedup path's STAR
+    pairing — each bucket member paired only with the bucket's min-id
+    representative (``MinHashDeduplicator.dominated_ids``), the bound
+    that keeps duplicate mega-clusters linear instead of quadratic."""
     coeffs = op.hash_coefficients()
     rows = op.getNumHashes() // op.getBands()
     sig_terms = ", ".join(
@@ -708,8 +716,15 @@ def _minhash_dup_ctes(op, src: str, p: str = "") -> str:
   SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
          l.sh AS sh_l, r.sh AS sh_r
   FROM {p}bands l JOIN {p}bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+{p}reps AS (SELECT b, min(doc_id) AS rep FROM {p}bands GROUP BY b),
+{p}spairs AS (
+  SELECT DISTINCT r.rep AS id_l, m.doc_id AS id_r,
+         rs.sh AS sh_l, m.sh AS sh_r
+  FROM {p}bands m
+  JOIN {p}reps r ON m.b = r.b AND m.doc_id > r.rep
+  JOIN {p}sh rs ON rs.doc_id = r.rep),
 {p}dups AS (
-  SELECT DISTINCT id_r FROM {p}pairs
+  SELECT DISTINCT id_r FROM {p}spairs
   WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
         len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r})"""
 

@@ -82,6 +82,24 @@ def test_dedup_on_documents_table(spark):
     assert 0 < out2.count() <= n
 
 
+def test_minhash_transform_star_pairing_mega_cluster(spark):
+    """transform() must stay linear in duplicate-cluster size: a
+    planted cluster of C identical docs (they share EVERY band key —
+    the 100 TB boilerplate case) generates exactly C−1 star candidates
+    (each member vs the bucket min-id), never C²/2 all-pairs, and the
+    kept set is the cluster min plus all non-duplicates."""
+    rows = [(i, "boilerplate page text repeated everywhere exactly "
+                "the same way across mirrored sites")
+            for i in range(100, 140)]
+    rows.append((1, "a genuinely unique document about spark engines"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    kept = sorted(r["doc_id"] for r in op.transform(df).collect())
+    assert kept == [1, 100]
+    # star candidate volume: C−1 dominated ids for the 40-copy cluster
+    assert op.dominated_ids(df).count() == 39
+
+
 def test_minhash_transform_against_corpus(spark):
     """Incremental dedup: new docs near-duplicating ANY corpus doc drop;
     novel docs survive; intra-batch duplicates are untouched."""

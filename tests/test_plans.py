@@ -520,6 +520,17 @@ def test_minhash_topk_banded_join_no_cartesian(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_minhash_transform_plans_star_pairing(spark):
+    """The dedup transform path must plan the star-pairing shape: a
+    min(__id) aggregate over band buckets feeding equi-joins — never
+    the bands×bands all-pairs self-join (quadratic in a true duplicate
+    mega-cluster) and never a cartesian."""
+    plan = _plan(spark, "dedup_minhash_documents")
+    assert "min(__id" in plan, "bucket-representative aggregate missing"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_interval_merge_single_window_pass(spark):
     plan = _plan(spark, "interval_merge_events")
     # islands: ONE window sort feeds both running aggregates, then a
