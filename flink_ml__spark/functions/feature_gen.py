@@ -976,8 +976,17 @@ class QuantileMatcherModel(Model, _SingleColOutputParams):
         # 6 dp pin: keeps segment boundaries identical across engines
         return [round(float(v), 6) for v in row["g"]]
 
-    def transform(self, df: DataFrame) -> DataFrame:
-        cur = self._grid_of(df, self.getInputCol())
+    def transform(self, df: DataFrame,
+                  current: DataFrame | None = None) -> DataFrame:
+        """Apply the quantile map. ``current`` (optional) is the batch
+        frame whose distribution defines the CURRENT grid; it defaults
+        to ``df`` itself. Pass it explicitly when ``df`` is a STREAM —
+        the current grid needs one bounded aggregate, which an
+        unbounded frame cannot run, so the streaming shape is "fit both
+        grids on batch calibration windows, apply the folded CASE
+        map-only on the stream"."""
+        cur = self._grid_of(df if current is None else current,
+                            self.getInputCol())
         ref = self._ref_grid
         x = F.col(self.getInputCol()).cast("double")
         expr = F.when(x.isNull(), F.lit(None).cast("double"))

@@ -405,6 +405,27 @@ def test_table_profiler(spark):
     assert math.isclose(v["mean_value"], (10 + 20 + 40 + 60 + 100 + 7) / 6)
 
 
+def test_table_profiler_hostile_column_names(spark):
+    """First-pass profiling meets raw warehouse tables: names with
+    spaces, dots, quotes and backticks must profile, not crash the
+    column-reference parsing (ADVICE r08: raw names were interpolated
+    into selectExpr/aliases)."""
+    import math
+
+    from flink_ml__spark.functions import TableProfiler
+
+    names = ["col with space", "dotted.name", 'quo"ted', "back`tick"]
+    df = spark.createDataFrame(
+        [(1.0, "x", "a", 5), (2.0, None, "b", 7), (None, "y", "a", 7)],
+        names)
+    got = {r["column"]: r for r in TableProfiler().transform(df).collect()}
+    assert set(got) == set(names)
+    assert got["col with space"]["n_null"] == 1
+    assert math.isclose(got["col with space"]["mean_value"], 1.5)
+    assert got["dotted.name"]["n_distinct"] == 2
+    assert got["back`tick"]["min_value"] == "5"
+
+
 def test_table_profiler_rsd_and_column_subset(spark):
     from flink_ml__spark.functions import TableProfiler
 

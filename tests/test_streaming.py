@@ -1438,3 +1438,61 @@ def test_stream_quantile_monitor_matches_batch(spark):
                                          if kk == key)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_fitted_apply_chain_matches_batch(spark):
+    """The round-8 fitted-model applies — QuantileMatcher (both grids
+    frozen from batch calibration windows), Platt + isotonic
+    calibration (folded CASE/sigmoid), CountEncoder (broadcast
+    stream-static join) — chained over one unbounded stream must emit
+    exactly the batch transforms. Scoring models are fit offline;
+    INFERENCE is a stream."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions import CountEncoder, QuantileMatcher
+    from flink_ml__spark.functions.evaluation import (
+        IsotonicCalibrator,
+        PlattCalibrator,
+    )
+
+    rows = [(i, "abc"[i % 3], (i * 37 % 100) / 100.0, i % 2)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, cat string, score double,"
+                                     " label int")
+    reference = df.filter("id % 2 = 0")
+
+    qm = (QuantileMatcher().setInputCol("score").setOutputCol("matched")
+          .setNumBuckets(4).fit(reference))
+    platt = (PlattCalibrator().setScoreCol("score").fit(df)
+             .setOutputCol("platt"))
+    iso = (IsotonicCalibrator().setScoreCol("score").fit(df)
+           .setOutputCol("iso"))
+    ce = CountEncoder().setInputCol("cat").fit(df)
+
+    def chain(frame, calibration):
+        out = qm.transform(frame, current=calibration)
+        out = platt.transform(out)
+        out = iso.transform(out)
+        return ce.transform(out)
+
+    def canon(frame):
+        return sorted((r["id"], round(r["matched"], 9),
+                       round(r["platt"], 9), round(r["iso"], 9),
+                       r["cat_count"]) for r in frame.collect())
+
+    batch = canon(chain(df, df))
+    assert len(batch) == 120
+    d = _tf.mkdtemp(prefix="fitted_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = chain(stream, df)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("fittedstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM fittedstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
