@@ -33,12 +33,8 @@ def _warm(s: pd.Series) -> pd.Series:
 
 spark.range(1000).select(F.sum(_warm("id"))).collect()
 
-fns = dict(QUERIES)
-fns["ann_ivf_topk"] = bench.q_ann_ivf
-fns["ann_pq_topk"] = bench.q_ann_pq
-fns["ann_ivfpq_topk"] = bench.q_ann_ivfpq
-fns["cms_estimates_events"] = bench.q_cms_estimates
-fn = fns[name]
+assert name in bench.HEADLINE or name in QUERIES, name
+fn = QUERIES[name]
 best = None
 for _ in range(3):
     t0 = time.perf_counter()
