@@ -201,6 +201,10 @@ HEADLINE = [
     # ANN + CMS: benched as their registry recall/bound gates, so every
     # benched name is a registry key (the gates include the exact
     # baseline, which is the honest cost of the scale path anyway)
+    "holt_forecast_events",
+    "lexical_diversity_documents",
+    "code_density_documents",
+    "nb_lang_documents",
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",

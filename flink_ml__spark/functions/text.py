@@ -1103,3 +1103,131 @@ class HashedTfIdfEmbedder(AlgoOperator, HasInputCol, HasOutputCol):
         model._set(inputCol=self.getInputCol(),
                    outputCol=self.getOrDefault(self.outputCol))
         return model
+
+
+class LexicalDiversityScorer(AlgoOperator, HasInputCol):
+    """Vocabulary-diversity signals per document — the standard
+    low-diversity spam/boilerplate detectors used alongside quality
+    and repetition scores when curating a training corpus::
+
+        n_tokens_ld       tokens (lowercased ``[a-zA-Z0-9']`` runs)
+        n_types           distinct tokens
+        ttr               type-token ratio  n_types / n_tokens
+        hapax_frac        fraction of TYPES occurring exactly once
+        shannon_entropy   −Σ p·log2(p) over the token frequency
+                          distribution (bits; 0 for a one-token doc)
+        simpson_index     Σ p² (repeat-probability; 1 = one token
+                          repeated, → 0 for maximally diverse)
+
+    NULL/empty-token documents emit ``n_tokens_ld = 0`` and NULL for
+    the ratios. One explode + two hash aggregations — (doc, token)
+    counts then the per-doc fold — the same two-shuffle shape as the
+    unigram LM; no Python anywhere."""
+
+    idCol = Param(Params._dummy(), "idCol", "document id column",
+                  TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id")
+
+    def setIdCol(self, v):
+        return self._set(idCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getOrDefault(self.idCol)
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        counts = (df.select(idc, F.explode(toks).alias("__t"))
+                  .groupBy(idc, "__t")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        # entropy/simpson from raw-count sums so the per-doc fold is
+        # ONE aggregate: H = log2(n) − (Σ c·log2 c)/n, D = Σ c² / n²
+        c = F.col("__c").cast("double")
+        stats = (counts.groupBy(idc).agg(
+            F.sum("__c").alias("n_tokens_ld"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            .alias("__hapax"),
+            F.sum(c * F.log2(c)).alias("__clogc"),
+            F.sum(c * c).alias("__csq")))
+        n = F.col("n_tokens_ld").cast("double")
+        stats = stats.select(
+            idc, "n_tokens_ld", "n_types",
+            (F.col("n_types") / n).alias("ttr"),
+            (F.col("__hapax") / F.col("n_types").cast("double"))
+            .alias("hapax_frac"),
+            (F.log2(n) - F.col("__clogc") / n).alias("shannon_entropy"),
+            (F.col("__csq") / (n * n)).alias("simpson_index"))
+        return (df.join(stats, idc, "left")
+                .withColumn("n_tokens_ld",
+                            F.coalesce("n_tokens_ld", F.lit(0))))
+
+
+class CodeDensityProfiler(AlgoOperator, HasInputCol):
+    """Code-vs-prose signals per document — the training-mix router
+    that decides whether a crawl document belongs in the code bucket,
+    the prose bucket, or the bin. Line-structural heuristics only (no
+    language parser), all codegen projections::
+
+        n_lines           newline-split segments
+        indent_frac       lines starting with 4+ spaces or a tab
+        symbol_line_frac  lines whose rstrip ends in ``;``, ``{``,
+                          ``}``, ``)``, or ``:``
+        fence_count       markdown code fences (lines starting ```)
+        symbol_ratio      ``{}()[];=<>`` characters / total characters
+        code_score        0.4·indent_frac + 0.3·symbol_line_frac
+                          + 0.3·min(10·symbol_ratio, 1), +0.2 if a
+                          fence exists, capped at 1.0
+        is_code           code_score >= threshold
+
+    NULL text emits NULLs. Map-only, zero shuffle, stream-safe, and
+    exactly SQL-replayable."""
+
+    threshold = Param(Params._dummy(), "threshold",
+                      "code_score flag threshold",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", threshold=0.4)
+
+    def setThreshold(self, v):
+        return self._set(threshold=float(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = F.col(self.getInputCol())
+        lines = F.split(t, "\n")
+        nl = F.size(lines)
+        indent = F.size(F.filter(
+            lines, lambda s: s.rlike("^(    |\t)")))
+        symline = F.size(F.filter(
+            lines, lambda s: s.rlike("[;{})(:]\\s*$")))
+        fences = F.size(F.filter(
+            lines, lambda s: s.startswith("```")))
+        nchars = F.length(t)
+        nsym = nchars - F.length(F.regexp_replace(
+            t, "[{}()\\[\\];=<>]", ""))
+        sr = F.when(nchars > 0, nsym.cast("double") / nchars) \
+            .otherwise(F.lit(0.0))
+        score = F.least(
+            F.lit(0.4) * (indent.cast("double") / nl)
+            + F.lit(0.3) * (symline.cast("double") / nl)
+            + F.lit(0.3) * F.least(F.lit(10.0) * sr, F.lit(1.0))
+            + F.when(fences > 0, F.lit(0.2)).otherwise(F.lit(0.0)),
+            F.lit(1.0))
+        has = t.isNotNull()
+        return (df
+                .withColumn("n_lines", F.when(has, nl))
+                .withColumn("indent_frac",
+                            F.when(has, indent.cast("double") / nl))
+                .withColumn("symbol_line_frac",
+                            F.when(has, symline.cast("double") / nl))
+                .withColumn("fence_count", F.when(has, fences))
+                .withColumn("symbol_ratio", F.when(has, sr))
+                .withColumn("code_score", F.when(has, score))
+                .withColumn("is_code",
+                            F.when(has, score >= F.lit(
+                                self.getOrDefault(self.threshold)))))

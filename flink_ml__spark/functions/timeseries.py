@@ -764,6 +764,119 @@ class ExponentialSmoother(AlgoOperator):
                 .withColumn("residual", F.col(v) - F.col("forecast")))
 
 
+class HoltForecaster(AlgoOperator):
+    """Holt double exponential smoothing (Holt, "Forecasting seasonals
+    and trends by exponentially weighted moving averages", 1957) —
+    level + linear trend per series key, the standard next tier above
+    :class:`ExponentialSmoother` when series drift::
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized ``l_1 = x_1, b_1 = 0``; NULL values are dropped from
+    the series. Output one row per key::
+
+        n          non-NULL observations folded
+        level      final l_T
+        trend      final b_T (per observation step)
+        forecast   l_T + horizon·b_T
+
+    The recursion is inherently sequential, so it folds ONCE per key
+    over the time-sorted value array (``array_sort(collect_list)`` +
+    ``F.aggregate``): state is O(1), the shuffle carries each series
+    once, and the per-key memory bound is the series length — the same
+    contract as :class:`SeasonalDecomposer` (resample/bucket first for
+    billion-point keys; at 100 TB the series per entity is the small
+    dimension). The fold order is deterministic (ties on the time
+    column break by value), so the DuckDB ``list_reduce`` oracle
+    replays the EXACT IEEE-double sequence — no tolerance band."""
+
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol", "ordering column",
+                    TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    alpha = Param(Params._dummy(), "alpha",
+                  "level smoothing factor in (0, 1]",
+                  TypeConverters.toFloat)
+    beta = Param(Params._dummy(), "beta",
+                 "trend smoothing factor in [0, 1]",
+                 TypeConverters.toFloat)
+    horizon = Param(Params._dummy(), "horizon",
+                    "forecast steps ahead (>= 1)", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="event_type", timeCol="ts",
+                         valueCol="value", alpha=0.5, beta=0.3,
+                         horizon=1)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setAlpha(self, v):
+        v = float(v)
+        if not (0.0 < v <= 1.0):
+            raise ValueError(f"alpha must be in (0, 1], got {v}")
+        return self._set(alpha=v)
+
+    def setBeta(self, v):
+        v = float(v)
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"beta must be in [0, 1], got {v}")
+        return self._set(beta=v)
+
+    def setHorizon(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"horizon must be >= 1, got {v}")
+        return self._set(horizon=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.keyCol)
+        t = self.getOrDefault(self.timeCol)
+        v = self.getOrDefault(self.valueCol)
+        a = F.lit(self.getOrDefault(self.alpha))
+        b = F.lit(self.getOrDefault(self.beta))
+        h = self.getOrDefault(self.horizon)
+
+        series = (df.filter(F.col(v).isNotNull())
+                  .groupBy(k)
+                  .agg(F.array_sort(F.collect_list(F.struct(
+                      F.col(t).alias("t"),
+                      F.col(v).cast("double").alias("x"))))
+                      .alias("__s")))
+        xs = F.transform("__s", lambda s: s["x"])
+
+        def step(acc, x):
+            lvl = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+            return F.struct(
+                lvl.alias("l"),
+                (b * (lvl - acc["l"])
+                 + (F.lit(1.0) - b) * acc["b"]).alias("b"))
+
+        zero = F.struct(F.element_at(xs, 1).alias("l"),
+                        F.lit(0.0).alias("b"))
+        fin = F.aggregate(F.slice(xs, 2, F.greatest(
+            F.size(xs) - 1, F.lit(0))), zero, step)
+        return (series
+                .withColumn("__f", fin)
+                .select(k,
+                        F.size("__s").alias("n"),
+                        F.round(F.col("__f.l"), 6).alias("level"),
+                        F.round(F.col("__f.b"), 6).alias("trend"),
+                        F.round(F.col("__f.l")
+                                + F.lit(float(h)) * F.col("__f.b"), 6)
+                        .alias("forecast")))
+
+
 class TransitionMatrix(AlgoOperator):
     """First-order Markov transition profile over per-key event
     sequences: for every observed (state → next_state) pair, the

@@ -8401,7 +8401,217 @@ SELECT doc_id, NULL AS pos, NULL AS col FROM f WHERE emb IS NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# round 9: Holt trend forecast, lexical diversity, code density, NB text
+# ---------------------------------------------------------------------------
+
+def q_holt_forecast_events(spark, sf_dir):
+    """HoltForecaster gate: level+trend double exponential smoothing
+    per event_type. The fold is sequential over the time-sorted series,
+    so the DuckDB list_reduce oracle replays the exact IEEE-double
+    recursion (identical order → identical bits, rounded at 6 dp)."""
+    from flink_ml__spark.functions.timeseries import HoltForecaster
+
+    ev = load_table(spark, "events", sf_dir)
+    return (HoltForecaster().setKeyCol("event_type").setTimeCol("ts")
+            .setValueCol("value").setAlpha(0.5).setBeta(0.3)
+            .setHorizon(3).transform(ev)
+            .withColumnRenamed("event_type", "key"))
+
+
+ORACLE_HOLT = """
+WITH s AS (
+  SELECT event_type AS key, list(value::DOUBLE ORDER BY ts, value) AS xs
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1),
+f AS (
+  SELECT key, len(xs) AS n,
+    CASE WHEN len(xs) = 1 THEN [xs[1], 0.0]
+    ELSE list_reduce(list_prepend([xs[1], 0.0],
+           list_transform(xs[2:], x -> [x, 0.0])),
+      (acc, e) -> [0.5*e[1] + 0.5*(acc[1]+acc[2]),
+                   0.3*((0.5*e[1] + 0.5*(acc[1]+acc[2])) - acc[1])
+                     + 0.7*acc[2]])
+    END AS lb
+  FROM s)
+SELECT key, n, round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
+       round(lb[1] + 3.0*lb[2], 6) AS forecast
+FROM f
+"""
+
+
+def q_lexical_diversity_documents(spark, sf_dir):
+    """LexicalDiversityScorer gate: TTR / hapax / entropy / Simpson per
+    document — the low-diversity spam detectors. Entropy and Simpson
+    come from raw-count sums (Σ c·log2 c, Σ c²) so the per-doc fold is
+    one aggregate on both engines."""
+    from flink_ml__spark.functions.text import LexicalDiversityScorer
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = LexicalDiversityScorer().transform(docs)
+    return out.select(
+        "doc_id", "n_tokens_ld", "n_types",
+        F.round("ttr", R).alias("ttr"),
+        F.round("hapax_frac", R).alias("hapax_frac"),
+        F.round("shannon_entropy", R).alias("shannon_entropy"),
+        F.round("simpson_index", R).alias("simpson_index"))
+
+
+ORACLE_LEXICAL_DIVERSITY = f"""
+WITH toks AS (SELECT doc_id,
+                     coalesce({_TOK_SQL}, []) AS toks
+              FROM documents),
+tc AS (SELECT doc_id, t, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+       GROUP BY 1, 2),
+st AS (SELECT doc_id, sum(c) AS n, count(*) AS k,
+              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+              sum(c::DOUBLE * log2(c::DOUBLE)) AS clogc,
+              sum(c::DOUBLE * c::DOUBLE) AS csq
+       FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(st.n, 0)::BIGINT AS n_tokens_ld,
+       st.k::BIGINT AS n_types,
+       round(st.k / st.n::DOUBLE, {R}) AS ttr,
+       round(st.hapax / st.k::DOUBLE, {R}) AS hapax_frac,
+       round(log2(st.n::DOUBLE) - st.clogc / st.n::DOUBLE, {R})
+         AS shannon_entropy,
+       round(st.csq / (st.n::DOUBLE * st.n::DOUBLE), {R})
+         AS simpson_index
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def q_code_density_documents(spark, sf_dir):
+    """CodeDensityProfiler gate: line-structural code-vs-prose signals
+    — map-only codegen, exact SQL replay."""
+    from flink_ml__spark.functions.text import CodeDensityProfiler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = CodeDensityProfiler().setThreshold(0.4).transform(docs)
+    return out.select(
+        "doc_id", "n_lines",
+        F.round("indent_frac", R).alias("indent_frac"),
+        F.round("symbol_line_frac", R).alias("symbol_line_frac"),
+        "fence_count",
+        F.round("symbol_ratio", R).alias("symbol_ratio"),
+        F.round("code_score", R).alias("code_score"),
+        "is_code")
+
+
+ORACLE_CODE_DENSITY = f"""
+WITH l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         length(text) AS nchars
+  FROM documents),
+m AS (
+  SELECT doc_id, text, len(lines) AS nl,
+         len(list_filter(lines,
+             s -> regexp_matches(s, '^(    |\t)'))) AS ind,
+         len(list_filter(lines,
+             s -> regexp_matches(s, '[;{{}})(:]\\s*$'))) AS syml,
+         len(list_filter(lines, s -> s LIKE '```%')) AS fence,
+         nchars,
+         nchars - length(regexp_replace(text, '[{{}}()\\[\\];=<>]',
+                                        '', 'g')) AS nsym
+  FROM l),
+sc AS (
+  SELECT doc_id, nl, ind, syml, fence,
+         CASE WHEN nchars > 0 THEN nsym / nchars::DOUBLE
+              ELSE 0.0 END AS sr
+  FROM m)
+SELECT doc_id,
+       nl::INT AS n_lines,
+       round(ind / nl::DOUBLE, {R}) AS indent_frac,
+       round(syml / nl::DOUBLE, {R}) AS symbol_line_frac,
+       fence::INT AS fence_count,
+       round(sr, {R}) AS symbol_ratio,
+       round(least(0.4 * ind / nl::DOUBLE + 0.3 * syml / nl::DOUBLE
+                   + 0.3 * least(10.0 * sr, 1.0)
+                   + CASE WHEN fence > 0 THEN 0.2 ELSE 0.0 END,
+                   1.0), {R}) AS code_score,
+       (least(0.4 * ind / nl::DOUBLE + 0.3 * syml / nl::DOUBLE
+              + 0.3 * least(10.0 * sr, 1.0)
+              + CASE WHEN fence > 0 THEN 0.2 ELSE 0.0 END, 1.0)
+        >= 0.4) AS is_code
+FROM sc
+"""
+
+
+_NB_V = 4096
+
+
+def q_nb_lang_documents(spark, sf_dir):
+    """NaiveBayesTextClassifier gate: fit multinomial NB (hashed
+    features, Laplace smoothing) on the documents table's lang labels,
+    score the same corpus. Log-probabilities are FIXED-POINT int64
+    (round(ln·1e6)), so scores are integer sums — bit-exact across
+    Spark/numpy/DuckDB whatever the summation order, and every argmax
+    tie breaks identically (smaller label)."""
+    from flink_ml__spark.functions.bayes import NaiveBayesTextClassifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = (NaiveBayesTextClassifier().setLabelCol("lang")
+             .setNumFeatures(_NB_V).fit(docs))
+    out = model.transform(docs)
+    return out.select("doc_id", "nb_pred",
+                      F.round("nb_score", R).alias("nb_score"))
+
+
+ORACLE_NB_LANG = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(coalesce({_TOK_SQL}, [])) AS t
+  FROM documents),
+tb AS (SELECT doc_id, lang,
+              {_H60.format(x='t')} % {_NB_V} AS b
+       FROM tok),
+cell AS (SELECT lang AS l, b, count(*) AS n
+         FROM tb WHERE lang IS NOT NULL GROUP BY 1, 2),
+dc AS (SELECT lang AS l, count(*) AS d
+       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(d)::DOUBLE AS td FROM dc),
+tokt AS (SELECT l, sum(n) AS tt FROM cell GROUP BY 1),
+lbl AS (SELECT dc.l, dc.d, coalesce(tokt.tt, 0) AS tt
+        FROM dc LEFT JOIN tokt ON dc.l = tokt.l),
+prior AS (SELECT l,
+                 round(ln(d / td) * 1000000)::BIGINT AS pr,
+                 round(ln(1.0 / (tt + {_NB_V})) * 1000000)::BIGINT
+                   AS dflt
+          FROM lbl CROSS JOIN tot),
+ll AS (SELECT cell.l, cell.b,
+              round(ln((cell.n + 1.0) / (lbl.tt + {_NB_V}))
+                    * 1000000)::BIGINT AS ll
+       FROM cell JOIN lbl ON cell.l = lbl.l),
+tsum AS (SELECT tb2.doc_id, p.l,
+                sum(coalesce(ll.ll, p.dflt)) AS s
+         FROM (SELECT doc_id, b FROM tb) tb2
+         CROSS JOIN prior p
+         LEFT JOIN ll ON ll.l = p.l AND ll.b = tb2.b
+         GROUP BY 1, 2),
+spine AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+sc AS (SELECT sp.doc_id, p.l,
+              p.pr + coalesce(tsum.s, 0) AS s
+       FROM spine sp CROSS JOIN prior p
+       LEFT JOIN tsum ON tsum.doc_id = sp.doc_id AND tsum.l = p.l),
+best AS (SELECT doc_id, l, s,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, l ASC) AS rn
+         FROM sc)
+SELECT doc_id, l AS nb_pred, round(s / 1000000.0, {R}) AS nb_score
+FROM best WHERE rn = 1
+UNION ALL
+SELECT doc_id, NULL AS nb_pred, NULL AS nb_score
+FROM documents WHERE text IS NULL
+"""
+
+
 QUERIES = {
+    # round-9 additions (rotation tool reorders the window each round)
+    "holt_forecast_events": q_holt_forecast_events,
+    "lexical_diversity_documents": q_lexical_diversity_documents,
+    "code_density_documents": q_code_density_documents,
+    "nb_lang_documents": q_nb_lang_documents,
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
@@ -8606,6 +8816,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "holt_forecast_events": ORACLE_HOLT,
+    "lexical_diversity_documents": ORACLE_LEXICAL_DIVERSITY,
+    "code_density_documents": ORACLE_CODE_DENSITY,
+    "nb_lang_documents": ORACLE_NB_LANG,
     "prototypicality_embeddings": ORACLE_PROTOTYPICALITY,
     "chunk_overlap_documents": ORACLE_CHUNK_OVERLAP,
     "hashed_tf_documents": ORACLE_HASHED_TF,

@@ -606,3 +606,21 @@ def test_interval_overlap_keyed_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_round9_ops_plan_shapes(spark):
+    """Round-9 additions: code density is a zero-exchange codegen
+    projection; NB scoring is ONE Arrow map pass (model broadcast in
+    closure — no join, no aggregate); Holt folds each series once
+    behind a single key exchange; lexical diversity is the two-agg
+    unigram shape plus the join back to the input."""
+    p = _plan(spark, "code_density_documents")
+    assert "Exchange" not in p and "Python" not in p
+    p = _plan(spark, "nb_lang_documents")
+    assert "ArrowEvalPython" in p and "Exchange" not in p
+    assert "Join" not in p
+    p = _plan(spark, "holt_forecast_events")
+    assert p.count("Exchange") == 1 and "Python" not in p
+    p = _plan(spark, "lexical_diversity_documents")
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning") <= 3

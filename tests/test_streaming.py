@@ -1450,16 +1450,22 @@ def test_stream_fitted_apply_chain_matches_batch(spark):
     import shutil
     import tempfile as _tf
 
-    from flink_ml__spark.functions import CountEncoder, QuantileMatcher
+    from flink_ml__spark.functions import (
+        CountEncoder,
+        NaiveBayesTextClassifier,
+        QuantileMatcher,
+    )
     from flink_ml__spark.functions.evaluation import (
         IsotonicCalibrator,
         PlattCalibrator,
     )
 
-    rows = [(i, "abc"[i % 3], (i * 37 % 100) / 100.0, i % 2)
+    rows = [(i, "abc"[i % 3], (i * 37 % 100) / 100.0, i % 2,
+             ["buy cheap pills now", "meeting agenda review",
+              "the quarterly notes"][i % 3])
             for i in range(120)]
     df = spark.createDataFrame(rows, "id long, cat string, score double,"
-                                     " label int")
+                                     " label int, text string")
     reference = df.filter("id % 2 = 0")
 
     qm = (QuantileMatcher().setInputCol("score").setOutputCol("matched")
@@ -1469,17 +1475,21 @@ def test_stream_fitted_apply_chain_matches_batch(spark):
     iso = (IsotonicCalibrator().setScoreCol("score").fit(df)
            .setOutputCol("iso"))
     ce = CountEncoder().setInputCol("cat").fit(df)
+    nb = NaiveBayesTextClassifier().setLabelCol("cat") \
+        .setNumFeatures(128).fit(df)
 
     def chain(frame, calibration):
         out = qm.transform(frame, current=calibration)
         out = platt.transform(out)
         out = iso.transform(out)
-        return ce.transform(out)
+        out = ce.transform(out)
+        return nb.transform(out)
 
     def canon(frame):
         return sorted((r["id"], round(r["matched"], 9),
                        round(r["platt"], 9), round(r["iso"], 9),
-                       r["cat_count"]) for r in frame.collect())
+                       r["cat_count"], r["nb_pred"], r["nb_score"])
+                      for r in frame.collect())
 
     batch = canon(chain(df, df))
     assert len(batch) == 120

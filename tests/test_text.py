@@ -647,3 +647,39 @@ def test_hashed_tfidf_fit_and_apply(spark, tmp_path):
     got2 = {r["doc_id"]: r["embedding"]
             for r in loaded.transform(df).collect()}
     assert got2[3] == got[3]
+
+
+def test_lexical_diversity_golden(spark):
+    from flink_ml__spark.functions.text import LexicalDiversityScorer
+
+    rows = [(1, "the the the the"), (2, "alpha beta gamma delta"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in LexicalDiversityScorer().transform(df).collect()}
+    one, four = got[1], got[2]
+    assert (one["n_tokens_ld"], one["n_types"]) == (4, 1)
+    assert one["ttr"] == 0.25 and one["hapax_frac"] == 0.0
+    assert one["shannon_entropy"] == 0.0 and one["simpson_index"] == 1.0
+    assert (four["n_tokens_ld"], four["n_types"]) == (4, 4)
+    assert four["ttr"] == 1.0 and four["hapax_frac"] == 1.0
+    assert four["shannon_entropy"] == 2.0 and four["simpson_index"] == 0.25
+    assert got[3]["n_tokens_ld"] == 0 and got[3]["ttr"] is None
+
+
+def test_code_density_golden(spark):
+    from flink_ml__spark.functions.text import CodeDensityProfiler
+
+    rows = [(1, "def f(x):\n    return x + 1\n\nprint(f(2));"),
+            (2, "Just a normal English sentence, nothing else."),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in CodeDensityProfiler().transform(df).collect()}
+    code, prose = got[1], got[2]
+    assert code["n_lines"] == 4
+    assert code["indent_frac"] == 0.25        # the indented return
+    assert code["symbol_line_frac"] == 0.5    # ':' and ';' line ends
+    assert code["is_code"] is True
+    assert prose["code_score"] == 0.0 and prose["is_code"] is False
+    assert got[3]["code_score"] is None and got[3]["is_code"] is None

@@ -816,3 +816,54 @@ def test_windowed_quantile_exact_values(spark):
         WindowedQuantileProfiler().setProbs([1.5])
     with _pt.raises(ValueError):
         WindowedQuantileProfiler().setBucketWidthSec(0)
+
+
+# ---------------------------------------------------------- Holt trend
+
+def test_holt_matches_hand_recursion(spark):
+    from flink_ml__spark.functions.timeseries import HoltForecaster
+
+    xs = [10.0, 12.0, 14.0, 13.0]
+    a, b = 0.5, 0.4
+    l, t = xs[0], 0.0
+    for x in xs[1:]:
+        l_new = a * x + (1 - a) * (l + t)
+        t = b * (l_new - l) + (1 - b) * t
+        l = l_new
+    rows = [("k", i, v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, ts long, v double")
+    out = (HoltForecaster().setKeyCol("key").setTimeCol("ts")
+           .setValueCol("v").setAlpha(a).setBeta(b).setHorizon(2)
+           .transform(df).first())
+    assert out["n"] == 4
+    assert out["level"] == round(l, 6)
+    assert out["trend"] == round(t, 6)
+    assert out["forecast"] == round(l + 2 * t, 6)
+
+
+def test_holt_single_point_and_nulls(spark):
+    from flink_ml__spark.functions.timeseries import HoltForecaster
+
+    rows = [("a", 0, 5.0), ("a", 1, None), ("b", 0, None)]
+    df = spark.createDataFrame(rows, "key string, ts long, v double")
+    got = {r["key"]: r for r in (HoltForecaster().setKeyCol("key")
+                                 .setTimeCol("ts").setValueCol("v")
+                                 .transform(df).collect())}
+    # key b is all-NULL -> no series row; key a folds one point
+    assert set(got) == {"a"}
+    assert got["a"]["n"] == 1
+    assert got["a"]["level"] == 5.0 and got["a"]["trend"] == 0.0
+    assert got["a"]["forecast"] == 5.0
+
+
+def test_holt_validates_params(spark):
+    import pytest as _pt
+
+    from flink_ml__spark.functions.timeseries import HoltForecaster
+
+    with _pt.raises(ValueError):
+        HoltForecaster().setAlpha(0.0)
+    with _pt.raises(ValueError):
+        HoltForecaster().setBeta(1.5)
+    with _pt.raises(ValueError):
+        HoltForecaster().setHorizon(0)
