@@ -202,6 +202,9 @@ HEADLINE = [
     # benched name is a registry key (the gates include the exact
     # baseline, which is the honest cost of the scale path anyway)
     "holt_forecast_events",
+    "hard_negatives_embeddings",
+    "zipf_documents",
+    "interarrival_events",
     "lexical_diversity_documents",
     "code_density_documents",
     "nb_lang_documents",

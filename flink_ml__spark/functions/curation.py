@@ -1063,6 +1063,68 @@ class PerplexityBucketer(AlgoOperator, HasRelativeError):
         return df.withColumn("ppl_bucket", bucket)
 
 
+class ZipfProfiler(AlgoOperator, HasInputCol):
+    """Rank-frequency (Zipf) fit over the corpus token distribution —
+    the one-row corpus health check: natural text follows
+    ``freq ∝ rank^(-s)`` with s ≈ 1; machine-generated spam, template
+    boilerplate and broken extractions bend the curve (|slope| far
+    from 1, low r²).
+
+    Output (one row)::
+
+        n_tokens     total token occurrences
+        n_types      distinct tokens
+        top_rank     ranks fitted (min(maxRank, n_types))
+        zipf_slope   OLS slope of ln(freq) on ln(rank) over the top
+                     ranks (≈ −s)
+        zipf_r2      fit r²
+
+    Token counts are one hash aggregation; the rank cut is
+    ``TakeOrderedAndProject`` (per-partition top-k, O(maxRank) to the
+    final fit — never a global sort of the vocabulary), and the
+    regression is one tiny aggregate over maxRank rows. Ranking ties
+    break token-ascending on both engines."""
+
+    maxRank = Param(Params._dummy(), "maxRank",
+                    "top frequency ranks fitted", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", maxRank=256)
+
+    def setMaxRank(self, v):
+        v = int(v)
+        if v < 8:
+            raise ValueError(f"maxRank must be >= 8, got {v}")
+        return self._set(maxRank=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        m = self.getOrDefault(self.maxRank)
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getInputCol()),
+                                       F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        counts = (df.select(F.explode(toks).alias("__t"))
+                  .groupBy("__t")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        totals = counts.agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"))
+        top = (counts.orderBy(F.desc("__c"), F.asc("__t")).limit(m)
+               .select("__c"))
+        w = Window.orderBy(F.desc("__c"))
+        ranked = top.withColumn("__r", F.row_number().over(w))
+        fit = ranked.agg(
+            F.count(F.lit(1)).alias("top_rank"),
+            F.regr_slope(F.log("__c"), F.log("__r"))
+            .alias("zipf_slope"),
+            F.regr_r2(F.log("__c"), F.log("__r")).alias("zipf_r2"))
+        return totals.crossJoin(fit).select(
+            "n_tokens", "n_types", "top_rank",
+            F.round("zipf_slope", 6).alias("zipf_slope"),
+            F.round("zipf_r2", 6).alias("zipf_r2"))
+
+
 class CorpusProfiler(AlgoOperator):
     """Per-group corpus statistics: document count, total/mean size, and
     exact p50/p90/p99 of a numeric column, grouped by arbitrary columns

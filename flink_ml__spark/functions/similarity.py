@@ -127,6 +127,91 @@ class CosineTopK(AlgoOperator, _SimilarityParams):
         return self.topk(df, df)
 
 
+class HardNegativeMiner(AlgoOperator, _SimilarityParams):
+    """Contrastive-pair mining for embedding-model training: for each
+    anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    label whose cosine lies in ``[simLo, simHi]`` — "hard" negatives
+    (similar enough to teach the margin) with the near-duplicate band
+    above ``simHi`` excluded (those are usually mislabeled positives,
+    the standard false-negative trap in contrastive mining).
+
+    ``mine(anchors, corpus)`` → (query_id, neighbor_id, label_anchor,
+    label_negative, cosine, rank). Exact semantics, same plan shape as
+    :class:`CosineTopK`: the ANCHOR side broadcasts (mining runs per
+    training batch, so anchors are the bounded side by construction),
+    the corpus is scanned map-side — no corpus shuffle, no cartesian
+    through the exchange, and the per-anchor top-k plans as
+    WindowGroupLimit. For corpus×corpus mining at lake scale, generate
+    candidates with :class:`IVFCosineTopK` first and band-filter its
+    output — same filter expressions, celled candidate generation.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "class label column (negatives must differ)",
+                     TypeConverters.toString)
+    simLo = Param(Params._dummy(), "simLo",
+                  "minimum cosine for a hard negative",
+                  TypeConverters.toFloat)
+    simHi = Param(Params._dummy(), "simHi",
+                  "maximum cosine (near-dup exclusion band above)",
+                  TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(labelCol="label", simLo=0.0, simHi=0.95)
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setSimLo(self, v):
+        return self._set(simLo=float(v))
+
+    def setSimHi(self, v):
+        v = float(v)
+        if not (-1.0 <= v <= 1.0):
+            raise ValueError(f"simHi must be in [-1, 1], got {v}")
+        return self._set(simHi=v)
+
+    def mine(self, anchors: DataFrame, corpus: DataFrame) -> DataFrame:
+        if self.getOrDefault(self.simLo) >= self.getOrDefault(self.simHi):
+            raise ValueError("simLo must be < simHi")
+        idc = self.getIdCol()
+        lc = self.getOrDefault(self.labelCol)
+        qa = as_double_array(anchors, self.getEmbeddingCol())
+        ca = as_double_array(corpus, self.getEmbeddingCol())
+        q = anchors.select(
+            F.col(idc).alias("query_id"),
+            F.col(lc).alias("label_anchor"),
+            qa.alias("__qv"),
+            F.sqrt(F.aggregate(F.transform(qa, lambda x: x * x),
+                               F.lit(0.0), lambda a, x: a + x))
+            .alias("__qn"))
+        c = corpus.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(lc).alias("label_negative"),
+            ca.alias("__cv"),
+            F.sqrt(F.aggregate(F.transform(ca, lambda x: x * x),
+                               F.lit(0.0), lambda a, x: a + x))
+            .alias("__cn"))
+        joined = (c.filter(F.col("__cn") > 0)
+                  .crossJoin(F.broadcast(q.filter(F.col("__qn") > 0)))
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .filter(F.col("label_anchor") != F.col("label_negative"))
+                  .withColumn("cosine",
+                              _cos("__qv", "__qn", "__cv", "__cn"))
+                  .filter((F.col("cosine")
+                           >= F.lit(self.getOrDefault(self.simLo)))
+                          & (F.col("cosine")
+                             <= F.lit(self.getOrDefault(self.simHi)))))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        return (joined
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getK())
+                .select("query_id", "neighbor_id", "label_anchor",
+                        "label_negative", "cosine", "rank"))
+
+
 class IVFCosineTopK(AlgoOperator, _SimilarityParams):
     """IVF-bucketed approximate cosine top-k.
 

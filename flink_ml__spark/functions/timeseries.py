@@ -764,6 +764,71 @@ class ExponentialSmoother(AlgoOperator):
                 .withColumn("residual", F.col(v) - F.col("forecast")))
 
 
+class InterArrivalProfiler(AlgoOperator):
+    """Inter-arrival-time profile per series key — the burstiness
+    telemetry that separates steady heartbeats from bursty/flaky
+    event sources (Goh & Barabási, "Burstiness and memory in complex
+    systems", EPL 2008)::
+
+        n_events     rows for the key
+        n_gaps       n_events − 1 (NULL-ts rows dropped)
+        mean_gap_s   mean inter-arrival seconds
+        std_gap_s    sample stddev of the gaps (NULL for < 2 gaps)
+        cv           std/mean coefficient of variation
+        burstiness   (cv − 1)/(cv + 1): −1 periodic, 0 Poisson,
+                     → 1 maximally bursty
+
+    One ``lag`` window pass (key-partitioned, time-ordered; ties break
+    on a deterministic second key so both engines difference the same
+    sequence) feeding one aggregate — two exchanges total, output
+    O(keys)."""
+
+    keyCol = Param(Params._dummy(), "keyCol", "series key column",
+                   TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    tieCol = Param(Params._dummy(), "tieCol",
+                   "deterministic tie-break column within equal "
+                   "timestamps", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="event_type", timeCol="ts",
+                         tieCol="event_id")
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setTieCol(self, v):
+        return self._set(tieCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.keyCol)
+        t = self.getOrDefault(self.timeCol)
+        tb = self.getOrDefault(self.tieCol)
+        base = df.filter(F.col(t).isNotNull())
+        w = Window.partitionBy(k).orderBy(t, tb)
+        us = F.unix_micros(F.col(t).cast("timestamp"))
+        gap = (us - F.lag(us).over(w)) / F.lit(1e6)
+        gaps = base.withColumn("__gap", gap)
+        out = (gaps.groupBy(k).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__gap").alias("n_gaps"),
+            F.avg("__gap").alias("mean_gap_s"),
+            F.stddev_samp("__gap").alias("std_gap_s")))
+        cv = (F.when(F.col("mean_gap_s") > 0,
+                     F.col("std_gap_s") / F.col("mean_gap_s")))
+        return out.select(
+            k, "n_events", "n_gaps",
+            F.round("mean_gap_s", 6).alias("mean_gap_s"),
+            F.round("std_gap_s", 6).alias("std_gap_s"),
+            F.round(cv, 6).alias("cv"),
+            F.round((cv - 1) / (cv + 1), 6).alias("burstiness"))
+
+
 class HoltForecaster(AlgoOperator):
     """Holt double exponential smoothing (Holt, "Forecasting seasonals
     and trends by exponentially weighted moving averages", 1957) —

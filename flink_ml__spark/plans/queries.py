@@ -8538,6 +8538,108 @@ FROM sc
 """
 
 
+def q_hard_negatives_embeddings(spark, sf_dir):
+    """HardNegativeMiner gate: per-anchor top-5 different-label
+    negatives in the cosine band [0.0, 0.95] — exact semantics, ranked
+    like the proven ann_cosine_topk gate (cosine desc, id asc)."""
+    from flink_ml__spark.functions.similarity import HardNegativeMiner
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    out = (HardNegativeMiner().setK(5).setLabelCol("label")
+           .setSimLo(0.0).setSimHi(0.95).mine(anchors, emb))
+    return out.select("query_id", "rank", "neighbor_id",
+                      "label_anchor", "label_negative",
+                      F.round("cosine", R).alias("cosine"))
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> v::DOUBLE) AS emb
+  FROM embeddings),
+nv AS (SELECT vec_id, label, emb,
+              sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum'))
+              AS nrm FROM base),
+q AS (SELECT * FROM nv WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label AS label_anchor, c.label AS label_negative,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN nv c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+banded AS (SELECT * FROM scored WHERE cosine >= 0.0 AND cosine <= 0.95),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+  FROM banded)
+SELECT query_id, rank, neighbor_id, label_anchor, label_negative,
+       round(cosine, {R}) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_zipf_documents(spark, sf_dir):
+    """ZipfProfiler gate: one-row rank-frequency fit over the corpus
+    token distribution (OLS of ln freq on ln rank over the top 256
+    ranks; TakeOrderedAndProject rank cut, never a vocabulary sort)."""
+    from flink_ml__spark.functions.curation import ZipfProfiler
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ZipfProfiler().setMaxRank(256).transform(docs)
+
+
+ORACLE_ZIPF = f"""
+WITH toks AS (SELECT doc_id, coalesce({_TOK_SQL}, []) AS toks
+              FROM documents),
+tc AS (SELECT t, count(*) AS c
+       FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+        FROM tc),
+top AS (SELECT c FROM tc ORDER BY c DESC, t ASC LIMIT 256),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS r FROM top),
+fit AS (SELECT count(*)::BIGINT AS top_rank,
+               round(regr_slope(ln(c::DOUBLE), ln(r::DOUBLE)), 6)
+                 AS zipf_slope,
+               round(regr_r2(ln(c::DOUBLE), ln(r::DOUBLE)), 6)
+                 AS zipf_r2
+        FROM ranked)
+SELECT n_tokens, n_types, top_rank, zipf_slope, zipf_r2
+FROM tot CROSS JOIN fit
+"""
+
+
+def q_interarrival_events(spark, sf_dir):
+    """InterArrivalProfiler gate: per-event-type burstiness profile —
+    one lag window pass + one aggregate, O(keys) output."""
+    from flink_ml__spark.functions.timeseries import InterArrivalProfiler
+
+    ev = load_table(spark, "events", sf_dir)
+    return (InterArrivalProfiler().setKeyCol("event_type")
+            .setTimeCol("ts").setTieCol("event_id").transform(ev)
+            .withColumnRenamed("event_type", "key"))
+
+
+ORACLE_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type AS key,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY event_type ORDER BY ts, event_id)) / 1e6
+           AS gap
+  FROM events WHERE ts IS NOT NULL),
+a AS (SELECT key, count(*) AS n_events, count(gap) AS n_gaps,
+             avg(gap) AS m, stddev_samp(gap) AS s
+      FROM g GROUP BY key)
+SELECT key, n_events, n_gaps,
+       round(m, 6) AS mean_gap_s,
+       round(s, 6) AS std_gap_s,
+       round(CASE WHEN m > 0 THEN s / m END, 6) AS cv,
+       round(CASE WHEN m > 0 THEN (s / m - 1) / (s / m + 1) END, 6)
+         AS burstiness
+FROM a
+"""
+
+
 _NB_V = 4096
 
 
@@ -8612,6 +8714,9 @@ QUERIES = {
     "lexical_diversity_documents": q_lexical_diversity_documents,
     "code_density_documents": q_code_density_documents,
     "nb_lang_documents": q_nb_lang_documents,
+    "hard_negatives_embeddings": q_hard_negatives_embeddings,
+    "zipf_documents": q_zipf_documents,
+    "interarrival_events": q_interarrival_events,
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
@@ -8817,6 +8922,9 @@ QUERIES = {
 
 ORACLES = {
     "holt_forecast_events": ORACLE_HOLT,
+    "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
+    "zipf_documents": ORACLE_ZIPF,
+    "interarrival_events": ORACLE_INTERARRIVAL,
     "lexical_diversity_documents": ORACLE_LEXICAL_DIVERSITY,
     "code_density_documents": ORACLE_CODE_DENSITY,
     "nb_lang_documents": ORACLE_NB_LANG,

@@ -1220,3 +1220,21 @@ def test_temporal_splitter_embargo(spark):
         TemporalSplitter().transform(df)
     with _pt.raises(ValueError):
         TemporalSplitter().setEmbargoSec(-1)
+
+
+def test_zipf_profiler(spark):
+    from flink_ml__spark.functions.curation import ZipfProfiler
+
+    # perfect Zipf: token k appears round(64/k) times
+    rows = []
+    for k in range(1, 9):
+        rows += [(f"tok{k}",)] * round(64 / k)
+    df = spark.createDataFrame([(i, " ".join(t for t, in rows))
+                                for i in range(1)],
+                               "doc_id long, text string")
+    out = ZipfProfiler().setMaxRank(8).transform(df).first()
+    assert out["n_types"] == 8 and out["top_rank"] == 8
+    assert out["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+    assert out["zipf_r2"] > 0.99
+    with pytest.raises(ValueError):
+        ZipfProfiler().setMaxRank(4)

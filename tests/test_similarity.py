@@ -573,3 +573,45 @@ def test_random_projection_null_and_plan(spark):
     assert got[2] is None and len(got[1]) == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_hard_negative_miner(spark):
+    """Negatives must differ in label, respect the cosine band, and
+    rank deterministically; the near-dup band above simHi is excluded."""
+    from flink_ml__spark.functions.similarity import HardNegativeMiner
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.999, 0.04], "a"),   # same label: never a negative of 1
+        (3, [0.9, 0.43], "b"),     # hard negative of 1
+        (4, [0.0, 1.0], "b"),      # orthogonal: below simLo band? cos=0 kept
+        (5, [1.0, 0.001], "b"),    # near-dup of 1 (cos>0.95): excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>,"
+                                     " label string")
+    anchors = df.filter("vec_id = 1")
+    out = (HardNegativeMiner().setK(5).setSimLo(0.0).setSimHi(0.95)
+           .mine(anchors, df).collect())
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(3, 1), (4, 2)]
+    assert all(r["label_negative"] == "b" and r["label_anchor"] == "a"
+               for r in out)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        (HardNegativeMiner().setSimLo(0.9).setSimHi(0.5)
+         .mine(anchors, df))
+
+
+def test_hard_negative_miner_broadcasts_anchors(spark):
+    """The corpus side must never broadcast or shuffle: anchors are the
+    bounded side by construction."""
+    from flink_ml__spark.functions.similarity import HardNegativeMiner
+    from flink_ml__spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    anchors = emb.filter("vec_id % 50 = 0")
+    out = HardNegativeMiner().setK(3).setLabelCol("label") \
+        .mine(anchors, emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan

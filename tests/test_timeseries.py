@@ -867,3 +867,25 @@ def test_holt_validates_params(spark):
         HoltForecaster().setBeta(1.5)
     with _pt.raises(ValueError):
         HoltForecaster().setHorizon(0)
+
+
+def test_interarrival_profiler(spark):
+    from datetime import datetime, timedelta
+
+    from flink_ml__spark.functions.timeseries import InterArrivalProfiler
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("steady", i, t0 + timedelta(seconds=10 * i))
+            for i in range(5)]
+    rows += [("bursty", 100 + i, t0 + timedelta(seconds=s))
+             for i, s in enumerate([0, 1, 2, 100, 101])]
+    df = spark.createDataFrame(rows, "event_type string, event_id long,"
+                                     " ts timestamp")
+    got = {r["event_type"]: r
+           for r in (InterArrivalProfiler().transform(df).collect())}
+    s, b = got["steady"], got["bursty"]
+    assert (s["n_events"], s["n_gaps"]) == (5, 4)
+    assert s["mean_gap_s"] == 10.0 and s["std_gap_s"] == 0.0
+    assert s["cv"] == 0.0 and s["burstiness"] == -1.0
+    assert b["mean_gap_s"] == 25.25
+    assert b["burstiness"] > 0.3  # strongly bursty
