@@ -8709,7 +8709,9 @@ FROM documents WHERE text IS NULL
 
 
 QUERIES = {
-    # round-9 additions (rotation tool reorders the window each round)
+    # --- driver-gate window (first 50): stalest
+    # driver CORRECTNESS evidence first — rotated by
+    # tools/rotate_gates.py
     "holt_forecast_events": q_holt_forecast_events,
     "lexical_diversity_documents": q_lexical_diversity_documents,
     "code_density_documents": q_code_density_documents,
@@ -8717,65 +8719,38 @@ QUERIES = {
     "hard_negatives_embeddings": q_hard_negatives_embeddings,
     "zipf_documents": q_zipf_documents,
     "interarrival_events": q_interarrival_events,
-    # --- driver-gate window (first 50): stalest
-    # driver CORRECTNESS evidence first — rotated by
-    # tools/rotate_gates.py
-    "expectations_orders": q_expectations_orders,
-    "ranking_eval_documents": q_ranking_eval_documents,
-    "skew_summary_events": q_skew_summary_events,
-    "json_props_events": q_json_props_events,
-    "url_parse_documents": q_url_parse_documents,
-    "url_canonical_documents": q_url_canonical_documents,
-    "url_dedup_documents": q_url_dedup_documents,
-    "url_domain_filter_documents": q_url_domain_filter_documents,
-    "pq_invariants_embeddings": q_pq_invariants_embeddings,
-    "ann_pq_topk": q_ann_pq_topk,
-    "cms_invariants_events": q_cms_invariants_events,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    "calibration_bins_documents": q_calibration_bins_documents,
-    "calibration_eval_documents": q_calibration_eval_documents,
-    "ewma_forecast_events": q_ewma_forecast_events,
-    "negative_sample_documents": q_negative_sample_documents,
-    "bloom_join_events": q_bloom_join_events,
-    "readability_documents": q_readability_documents,
-    "dataset_fingerprint_orders": q_dataset_fingerprint_orders,
-    "label_consensus_documents": q_label_consensus_documents,
-    "classification_report_documents": q_classification_report_documents,
-    "kappa_documents": q_kappa_documents,
-    "ab_test_orders": q_ab_test_orders,
-    "benford_orders": q_benford_orders,
-    "minmax_scale_lineitem": q_minmax_scale_lineitem,
-    "maxabs_scale_orders": q_maxabs_scale_orders,
-    "robust_scale_lineitem": q_robust_scale_lineitem,
-    "quantile_bins_orders": q_quantile_bins_orders,
-    "string_index_events": q_string_index_events,
-    "target_encode_orders": q_target_encode_orders,
-    "regression_eval_orders": q_regression_eval_orders,
-    "silhouette_lineitem": q_silhouette_lineitem,
-    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
-    "kmeans_invariants_embeddings": q_kmeans_invariants_embeddings,
-    "ks_test_events": q_ks_test_events,
-    "mwu_test_events": q_mwu_test_events,
-    "anova_events": q_anova_events,
-    "ks_window_events": q_ks_window_events,
-    "feature_hash_events": q_feature_hash_events,
-    "mad_outliers_orders": q_mad_outliers_orders,
-    "transitions_events": q_transitions_events,
-    "rare_collapse_documents": q_rare_collapse_documents,
-    "table_profile_orders": q_table_profile_orders,
-    "image_dhash_documents": q_image_dhash_documents,
-    "image_dup_pairs_documents": q_image_dup_pairs_documents,
-    "random_projection_embeddings": q_random_projection_embeddings,
-    "ohlc_events": q_ohlc_events,
-    "isotonic_invariants_documents": q_isotonic_invariants_documents,
-    "assemble_features_lineitem": q_assemble_features_lineitem,
-    "grouped_scale_events": q_grouped_scale_events,
-    # --- outside the window this round
     "platt_invariants_documents": q_platt_invariants_documents,
     "quantile_match_events": q_quantile_match_events,
     "regression_window_events": q_regression_window_events,
     "count_encode_documents": q_count_encode_documents,
     "anova_window_events": q_anova_window_events,
+    "minhash_topk_documents": q_minhash_topk_documents,
+    "json_schema_events": q_json_schema_events,
+    "cdc_chunks_documents": q_cdc_chunks_documents,
+    "json_drift_events": q_json_drift_events,
+    "hashed_tf_documents": q_hashed_tf_documents,
+    "chunk_overlap_documents": q_chunk_overlap_documents,
+    "prototypicality_embeddings": q_prototypicality_embeddings,
+    "interval_merge_events": q_interval_merge_events,
+    "acf_events": q_acf_events,
+    "rolling_features_events": q_rolling_features_events,
+    "link_prediction_orders": q_link_prediction_orders,
+    "kcore_orders": q_kcore_orders,
+    "encoding_corruption_documents": q_encoding_corruption_documents,
+    "outlinks_documents": q_outlinks_documents,
+    "ppr_events": q_ppr_events,
+    "interval_overlap_events": q_interval_overlap_events,
+    "image_ahash_documents": q_image_ahash_documents,
+    "seasonal_decompose_events": q_seasonal_decompose_events,
+    "mutual_info_orders": q_mutual_info_orders,
+    "cusum_events": q_cusum_events,
+    "sentences_documents": q_sentences_documents,
+    "golden_records_orders": q_golden_records_orders,
+    "quantile_window_events": q_quantile_window_events,
+    "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
+    "temporal_split_events": q_temporal_split_events,
+    "correlation_rank_lineitem": q_correlation_rank_lineitem,
+    "hashed_tfidf_documents": q_hashed_tfidf_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -8787,6 +8762,7 @@ QUERIES = {
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
+    # --- outside the window this round
     "contamination_documents": q_contamination_documents,
     "tfidf_keywords_documents": q_tfidf_keywords_documents,
     "dup_clusters_documents": q_dup_clusters_documents,
@@ -8891,33 +8867,56 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "multimodal_scene_changes": q_multimodal_scene_changes,
     "quantize_embeddings": q_quantize_embeddings,
-    "minhash_topk_documents": q_minhash_topk_documents,
-    "json_schema_events": q_json_schema_events,
-    "cdc_chunks_documents": q_cdc_chunks_documents,
-    "json_drift_events": q_json_drift_events,
-    "hashed_tf_documents": q_hashed_tf_documents,
-    "chunk_overlap_documents": q_chunk_overlap_documents,
-    "prototypicality_embeddings": q_prototypicality_embeddings,
-    "interval_merge_events": q_interval_merge_events,
-    "acf_events": q_acf_events,
-    "rolling_features_events": q_rolling_features_events,
-    "link_prediction_orders": q_link_prediction_orders,
-    "kcore_orders": q_kcore_orders,
-    "encoding_corruption_documents": q_encoding_corruption_documents,
-    "outlinks_documents": q_outlinks_documents,
-    "ppr_events": q_ppr_events,
-    "interval_overlap_events": q_interval_overlap_events,
-    "image_ahash_documents": q_image_ahash_documents,
-    "seasonal_decompose_events": q_seasonal_decompose_events,
-    "mutual_info_orders": q_mutual_info_orders,
-    "cusum_events": q_cusum_events,
-    "sentences_documents": q_sentences_documents,
-    "golden_records_orders": q_golden_records_orders,
-    "quantile_window_events": q_quantile_window_events,
-    "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
-    "temporal_split_events": q_temporal_split_events,
-    "correlation_rank_lineitem": q_correlation_rank_lineitem,
-    "hashed_tfidf_documents": q_hashed_tfidf_documents,
+    "expectations_orders": q_expectations_orders,
+    "ranking_eval_documents": q_ranking_eval_documents,
+    "skew_summary_events": q_skew_summary_events,
+    "json_props_events": q_json_props_events,
+    "url_parse_documents": q_url_parse_documents,
+    "url_canonical_documents": q_url_canonical_documents,
+    "url_dedup_documents": q_url_dedup_documents,
+    "url_domain_filter_documents": q_url_domain_filter_documents,
+    "pq_invariants_embeddings": q_pq_invariants_embeddings,
+    "ann_pq_topk": q_ann_pq_topk,
+    "cms_invariants_events": q_cms_invariants_events,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "calibration_bins_documents": q_calibration_bins_documents,
+    "calibration_eval_documents": q_calibration_eval_documents,
+    "ewma_forecast_events": q_ewma_forecast_events,
+    "negative_sample_documents": q_negative_sample_documents,
+    "bloom_join_events": q_bloom_join_events,
+    "readability_documents": q_readability_documents,
+    "dataset_fingerprint_orders": q_dataset_fingerprint_orders,
+    "label_consensus_documents": q_label_consensus_documents,
+    "classification_report_documents": q_classification_report_documents,
+    "kappa_documents": q_kappa_documents,
+    "ab_test_orders": q_ab_test_orders,
+    "benford_orders": q_benford_orders,
+    "minmax_scale_lineitem": q_minmax_scale_lineitem,
+    "maxabs_scale_orders": q_maxabs_scale_orders,
+    "robust_scale_lineitem": q_robust_scale_lineitem,
+    "quantile_bins_orders": q_quantile_bins_orders,
+    "string_index_events": q_string_index_events,
+    "target_encode_orders": q_target_encode_orders,
+    "regression_eval_orders": q_regression_eval_orders,
+    "silhouette_lineitem": q_silhouette_lineitem,
+    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
+    "kmeans_invariants_embeddings": q_kmeans_invariants_embeddings,
+    "ks_test_events": q_ks_test_events,
+    "mwu_test_events": q_mwu_test_events,
+    "anova_events": q_anova_events,
+    "ks_window_events": q_ks_window_events,
+    "feature_hash_events": q_feature_hash_events,
+    "mad_outliers_orders": q_mad_outliers_orders,
+    "transitions_events": q_transitions_events,
+    "rare_collapse_documents": q_rare_collapse_documents,
+    "table_profile_orders": q_table_profile_orders,
+    "image_dhash_documents": q_image_dhash_documents,
+    "image_dup_pairs_documents": q_image_dup_pairs_documents,
+    "random_projection_embeddings": q_random_projection_embeddings,
+    "ohlc_events": q_ohlc_events,
+    "isotonic_invariants_documents": q_isotonic_invariants_documents,
+    "assemble_features_lineitem": q_assemble_features_lineitem,
+    "grouped_scale_events": q_grouped_scale_events,
 }
 
 ORACLES = {
