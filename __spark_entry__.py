@@ -5,13 +5,13 @@ lineitem) at sf0.001.
 ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
 the north-star pipeline operators (dedup / similarity / text analysis /
 multimodal).
-``oracle_sql()`` — matching DuckDB SQL for every SQL-expressible query;
-rows-only by design: FCM, Canopy, KMeans and SemDeDup cluster outputs
-(iterative + seeded — each is paired with an oracle-checked
-expected-empty invariants gate). The ANN gates are violations-only
-recall-floor checks (expected empty, WHERE-false oracle); the
-stub-codec image/audio/resize/frame/dhash gates ARE oracle-checked
-(hex-domain keystream replayed in SQL).
+``oracle_sql()`` — matching DuckDB SQL for EVERY query: since round 9
+there are no rows-only entries. Seeded-iterative operators (FCM,
+Canopy, KMeans, SemDeDup) are gated by pairs of complementary
+expected-empty invariant projections (WHERE-false oracles); the ANN
+gates are violations-only recall-floor checks; the stub-codec
+image/audio/resize/frame/dhash gates are oracle-checked via the
+hex-domain keystream replayed in SQL.
 """
 
 from __future__ import annotations
