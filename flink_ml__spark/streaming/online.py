@@ -1266,3 +1266,73 @@ def stream_quantile_monitor(stream_df: DataFrame, time_col: str,
         F.col("__w.end").alias("window_end"), "n",
         *[f"q_{str(p).replace('0.', '')}" for p in probs]]
     return out.select(*cols)
+
+
+def stream_holt(stream_df: DataFrame, op) -> DataFrame:
+    """Streaming twin of
+    :class:`~flink_ml__spark.functions.timeseries.HoltForecaster`:
+    per-key level/trend state folded across micro-batches, emitting for
+    every arriving non-NULL value the UPDATED level, trend and
+    ``horizon``-step forecast (append mode). State is two doubles + a
+    count per key — O(1) whatever the series length, the property that
+    makes Holt a streaming-native recursion.
+
+    Rows fold in ``timeCol`` order (ties by value, matching the batch
+    operator's ``array_sort`` on (t, x) structs) WITHIN each
+    micro-batch; delivering batches in key-time order across triggers
+    is the source's contract. After the final batch the per-key state
+    equals the batch fold exactly (pinned in ``test_streaming``)."""
+    import math
+
+    k = op.getOrDefault(op.keyCol)
+    t = op.getOrDefault(op.timeCol)
+    v = op.getOrDefault(op.valueCol)
+    a = op.getOrDefault(op.alpha)
+    b = op.getOrDefault(op.beta)
+    h = float(op.getOrDefault(op.horizon))
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("l", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("n", T.LongType())])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = (pd.concat(frames, ignore_index=True)
+                 .sort_values([t, v], kind="stable")
+                 .reset_index(drop=True))
+        lvl, trd, n = (state.get if state.exists
+                       else (float("nan"), 0.0, 0))
+        rows = []
+        for x in batch[v].astype(float).tolist():
+            if x is None or math.isnan(x):
+                continue
+            if n == 0:
+                lvl, trd = x, 0.0
+            else:
+                l_new = a * x + (1.0 - a) * (lvl + trd)
+                trd = b * (l_new - lvl) + (1.0 - b) * trd
+                lvl = l_new
+            n += 1
+            rows.append((key[0], n, round(lvl, 6), round(trd, 6),
+                         round(lvl + h * trd, 6)))
+        state.update((lvl, trd, n))
+        if rows:
+            yield pd.DataFrame(rows,
+                               columns=["key", "n", "level", "trend",
+                                        "forecast"])
+
+    return (stream_df.groupBy(F.col(k))
+            .applyInPandasWithState(
+                fold, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1506,3 +1506,39 @@ def test_stream_fitted_apply_chain_matches_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_holt_matches_batch_final_state(spark):
+    """Holt level/trend recursion is O(1) state per key: the stream's
+    LAST emitted row per key (after all micro-batches) must equal the
+    batch fold exactly — same fixed ordering, same IEEE sequence."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.timeseries import HoltForecaster
+    from flink_ml__spark.streaming.online import stream_holt
+
+    rows = [("a", i, float((i * 37) % 100)) for i in range(60)]
+    rows += [("b", i, float((i * 11) % 50)) for i in range(45)]
+    df = spark.createDataFrame(rows, "key string, ts long, v double")
+    op = (HoltForecaster().setKeyCol("key").setTimeCol("ts")
+          .setValueCol("v").setAlpha(0.4).setBeta(0.2).setHorizon(2))
+    batch = {r["key"]: (r["n"], r["level"], r["trend"], r["forecast"])
+             for r in op.transform(df).collect()}
+    d = _tf.mkdtemp(prefix="holt_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_holt(stream, op)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("holtstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["key"]: (r["n"], r["level"], r["trend"], r["forecast"])
+               for r in spark.sql(
+                   "SELECT * FROM holtstream t WHERE n = "
+                   "(SELECT max(n) FROM holtstream u"
+                   " WHERE u.key = t.key)").collect()}
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
