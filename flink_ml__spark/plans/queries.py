@@ -428,11 +428,15 @@ def q_canopy_customer(spark, sf_dir):
                          .alias("x2")))
     centers = (flat.groupBy("canopy_id")
                .agg(F.first("centroid").alias("c")))
+    # all-pairs over CENTERS only — O(canopies) rows by construction
+    # (T2 separation bounds the center count), so the small side
+    # broadcasts and this is never a data-scale cross join
     a, b = centers.alias("a"), centers.alias("b")
     dist = F.sqrt(F.aggregate(
         F.zip_with("a.c", "b.c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x))
-    too_close = (a.join(b, F.col("a.canopy_id") < F.col("b.canopy_id"))
+    too_close = (a.crossJoin(F.broadcast(b))
+                 .filter(F.col("a.canopy_id") < F.col("b.canopy_id"))
                  .filter(dist < F.lit(t2))
                  .select(F.lit("centers_within_t2").alias("violation"),
                          F.col("a.canopy_id").cast("double").alias("x1"),
