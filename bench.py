@@ -202,6 +202,8 @@ HEADLINE = [
     # benched name is a registry key (the gates include the exact
     # baseline, which is the honest cost of the scale path anyway)
     "holt_forecast_events",
+    "ql_retrieval_documents",
+    "leakage_safe_split_documents",
     "hard_negatives_embeddings",
     "zipf_documents",
     "interarrival_events",

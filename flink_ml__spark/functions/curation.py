@@ -422,6 +422,74 @@ class TfIdfKeywords(AlgoOperator, HasInputCol, HasIdColMixin):
                 .select(F.col("__id").alias(idc), "term", "tfidf", "rank"))
 
 
+class LeakageSafeSplitter(AlgoOperator, HasIdColMixin):
+    """Duplicate-cluster-aware train/val/test assignment: the fix for
+    what :class:`SplitLeakageAuditor` detects. Documents are split by
+    the salted hash of their duplicate CLUSTER id (connected components
+    over ``duplicate_pairs`` edges, via :class:`DuplicateClusterer`),
+    so every near-duplicate cluster lands wholly in one split —
+    leakage-free by construction, deterministic across runs and
+    partitionings, with singletons hashing on their own id exactly like
+    :class:`DeterministicSplitter` (the two splitters agree on every
+    non-duplicated document, so upgrading a pipeline reassigns ONLY the
+    leaky clusters).
+
+    ``split(df, pairs)`` appends ``cluster_id`` and the split label.
+    Cost on top of the plain splitter is the CC iteration —
+    O(log diameter) keyed-join rounds over the EDGE set (pairs are
+    dedup output, a tiny fraction of the corpus) — plus one join of the
+    label table back to the corpus.
+    """
+
+    trainFrac = Param(Params._dummy(), "trainFrac",
+                      "fraction of buckets assigned to train",
+                      TypeConverters.toFloat)
+    valFrac = Param(Params._dummy(), "valFrac",
+                    "fraction of buckets assigned to val",
+                    TypeConverters.toFloat)
+    salt = Param(Params._dummy(), "salt",
+                 "hash salt; change to draw an independent split",
+                 TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "split label column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(trainFrac=0.8, valFrac=0.1, salt="split",
+                         outputCol="split", idCol="doc_id")
+
+    def setTrainFrac(self, v):
+        return self._set(trainFrac=float(v))
+
+    def setValFrac(self, v):
+        return self._set(valFrac=float(v))
+
+    def setSalt(self, v):
+        return self._set(salt=v)
+
+    def setOutputCol(self, v):
+        return self._set(outputCol=v)
+
+    def split(self, df: DataFrame, pairs: DataFrame,
+              id_a: str = "id_keep", id_b: str = "id_dup") -> DataFrame:
+        tf = self.getOrDefault(self.trainFrac)
+        vf = self.getOrDefault(self.valFrac)
+        if tf + vf > 1.0:
+            raise ValueError("trainFrac + valFrac must be <= 1")
+        idc = self.getIdCol()
+        clusters = (DuplicateClusterer().setIdCol(idc)
+                    .cluster(pairs, nodes=df, id_a=id_a, id_b=id_b))
+        b = _hash_bucket16(F.col("cluster_id"),
+                           self.getOrDefault(self.salt))
+        t_hi = int(tf * 65536)
+        v_hi = t_hi + int(vf * 65536)
+        label = (F.when(b < t_hi, F.lit("train"))
+                 .when(b < v_hi, F.lit("val"))
+                 .otherwise(F.lit("test")))
+        return (df.join(clusters, idc)
+                .withColumn(self.getOrDefault(self.outputCol), label))
+
+
 class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
     """Connected components over near-duplicate pairs.
 

@@ -222,6 +222,91 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
                 .filter(F.col("rank") <= self.getTopK()))
 
 
+class QueryLikelihoodRetriever(BM25Retriever):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    "A study of smoothing methods for language models applied to ad
+    hoc information retrieval", SIGIR 2001) — the probabilistic LM
+    baseline alongside :class:`BM25Retriever`, sharing its postings
+    index, tokenizer, query interface and top-k contract (``k1``/``b``
+    are inherited but unused; ``mu`` is the smoothing mass).
+
+    Score of document d for query q (query terms COUNTED, the QL
+    convention, unlike BM25's distinct-term bag)::
+
+        Σ_t c(t,q) · ln(1 + tf_td / (μ·p(t|C)))  +  |q|·ln(μ/(|d|+μ))
+
+    which equals ``Σ_t c(t,q)·ln((tf_td + μ·p(t|C)) / (|d| + μ))`` but
+    needs postings rows ONLY for matched (doc, term) pairs — the
+    decomposition that keeps the probe proportional to postings
+    matched, never queries × corpus. ``p(t|C)`` is the collection
+    frequency share; query terms absent from the corpus drop (their
+    contribution is a per-query constant under Dirichlet smoothing).
+    Documents matching no query term score only when some term
+    matches — standard candidate-set semantics, same as BM25's.
+    """
+
+    mu = Param(Params._dummy(), "mu", "Dirichlet smoothing mass",
+               TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(mu=2000.0)
+
+    def getMu(self):
+        return self.getOrDefault(self.mu)
+
+    def setMu(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError(f"mu must be > 0, got {v}")
+        return self._set(mu=v)
+
+    def retrieve(self, docs: DataFrame, queries: DataFrame, *,
+                 postings: DataFrame | None = None) -> DataFrame:
+        idc = self.getIdCol()
+        qid, qtx = self.getQueryIdCol(), self.getQueryTextCol()
+        mu = self.getMu()
+        if postings is None:
+            postings = self.postings(docs)
+
+        total_tokens = postings.agg(F.sum("__tf")).first()[0] or 0
+        if total_tokens == 0:
+            raise ValueError("empty corpus: no tokens to model")
+        # collection LM: p(t|C) = cf_t / total — O(vocab) rows
+        cf = postings.groupBy("__term").agg(
+            (F.sum("__tf") / F.lit(float(total_tokens))).alias("__pc"))
+
+        # query terms with counts (QL counts repeats, unlike BM25)
+        qterms = (queries
+                  .select(F.col(qid),
+                          F.explode(self._toks(qtx)).alias("__term"))
+                  .groupBy(qid, "__term")
+                  .agg(F.count(F.lit(1)).alias("__qc")))
+        # |q| counts only collection-vocabulary tokens — OOV terms are
+        # dropped from BOTH sums (their Dirichlet contribution is the
+        # same per-query constant for every document)
+        qlen = (qterms.join(cf.select("__term"), "__term", "left_semi")
+                .groupBy(qid).agg(F.sum("__qc").alias("__qlen")))
+
+        matched = (postings.join(F.broadcast(qterms), "__term")
+                   .join(cf, "__term"))
+        contrib = (F.col("__qc")
+                   * F.log(F.lit(1.0)
+                           + F.col("__tf") / (F.lit(mu) * F.col("__pc"))))
+        scored = (matched.groupBy(qid, idc)
+                  .agg(F.sum(contrib).alias("__s"),
+                       F.first("__dl").alias("__dl")))
+        out = (scored.join(F.broadcast(qlen), qid)
+               .withColumn("score",
+                           F.col("__s") + F.col("__qlen")
+                           * F.log(F.lit(mu) / (F.col("__dl") + mu))))
+        w = (Window.partitionBy(qid)
+             .orderBy(F.round("score", 9).desc(), F.col(idc).asc()))
+        return (out.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.getTopK())
+                .select(qid, idc, "score", "rank"))
+
+
 class ReciprocalRankFusion(AlgoOperator):
     """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
     — the standard combiner for hybrid retrieval (lexical BM25 +

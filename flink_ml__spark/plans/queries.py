@@ -8644,6 +8644,104 @@ FROM a
 """
 
 
+def q_ql_retrieval_documents(spark, sf_dir):
+    """QueryLikelihoodRetriever gate: Dirichlet-smoothed LM retrieval
+    over the same first-6-token query set as the BM25 gate — postings
+    + collection LM + broadcast probe + keyed top-k, replayed term by
+    term in SQL."""
+    from flink_ml__spark.functions.retrieval import (
+        QueryLikelihoodRetriever,
+    )
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                            TOKEN_SPLIT), lambda t: t != "")
+    queries = (docs.filter(F.col("doc_id") % 29 == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(toks, 1, 6), " ")
+                       .alias("query_text")))
+    out = (QueryLikelihoodRetriever().setTopK(10).setMu(2000.0)
+           .retrieve(docs, queries))
+    return out.select("query_id", "doc_id",
+                      F.round("score", R).alias("score"), "rank")
+
+
+ORACLE_QL = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+tot AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+cf AS (SELECT term, sum(tf) / tot.total AS pc
+       FROM tf CROSS JOIN tot GROUP BY term, tot.total),
+q AS (SELECT doc_id AS query_id, term, count(*) AS qc
+      FROM (SELECT doc_id, unnest(toks[1:6]) AS term
+            FROM toks WHERE doc_id % 29 = 0)
+      GROUP BY 1, 2),
+qlen AS (SELECT query_id, sum(qc) AS qlen
+         FROM q JOIN cf USING (term) GROUP BY 1),
+m AS (SELECT q.query_id, tf.doc_id,
+             q.qc * ln(1 + tf.tf / (2000.0 * cf.pc)) AS s,
+             dl.dl
+      FROM q JOIN tf USING (term) JOIN cf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id),
+sc AS (SELECT query_id, doc_id, sum(s) AS s, any_value(dl) AS dl
+       FROM m GROUP BY 1, 2),
+f AS (SELECT sc.query_id, sc.doc_id,
+             sc.s + qlen.qlen * ln(2000.0 / (sc.dl + 2000.0)) AS score
+      FROM sc JOIN qlen ON sc.query_id = qlen.query_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+      FROM f)
+SELECT query_id, doc_id, round(score, {R}) AS score, "rank"
+FROM r WHERE "rank" <= 10
+"""
+
+
+def q_leakage_safe_split_documents(spark, sf_dir):
+    """LeakageSafeSplitter gate: assign splits by duplicate-CLUSTER
+    hash so near-duplicate clusters never straddle a boundary — the
+    constructive fix for what split_leakage_documents audits. The
+    oracle replays the CC labels recursively and the salted bucket
+    split on the cluster id."""
+    from flink_ml__spark.functions.curation import LeakageSafeSplitter
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = (MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+             .duplicate_pairs(docs))
+    out = (LeakageSafeSplitter().setTrainFrac(0.8).setValFrac(0.1)
+           .split(docs, pairs))
+    return out.select("doc_id", "cluster_id", "split")
+
+
+def _oracle_leakage_safe_split() -> str:
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    split_case = f"""CASE
+      WHEN {_BUCKET16.format(salt='split', x='cluster_id')}
+           < {int(0.8 * 65536)} THEN 'train'
+      WHEN {_BUCKET16.format(salt='split', x='cluster_id')}
+           < {int(0.8 * 65536) + int(0.1 * 65536)} THEN 'val'
+      ELSE 'test' END"""
+    return f"""
+WITH RECURSIVE {_minhash_dup_ctes(op, "documents")},
+vp AS (
+  SELECT id_l, id_r FROM pairs
+  WHERE len(list_intersect(sh_l, sh_r))::DOUBLE /
+        len(list_distinct(list_concat(sh_l, sh_r))) >= {op.getThreshold()!r}),
+ed AS (SELECT id_l AS src, id_r AS dst FROM vp
+       UNION SELECT id_r, id_l FROM vp),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.id),
+cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id, {split_case} AS split FROM cl
+"""
+
+
 _NB_V = 4096
 
 
@@ -8716,6 +8814,8 @@ QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
+    "ql_retrieval_documents": q_ql_retrieval_documents,
+    "leakage_safe_split_documents": q_leakage_safe_split_documents,
     "holt_forecast_events": q_holt_forecast_events,
     "lexical_diversity_documents": q_lexical_diversity_documents,
     "code_density_documents": q_code_density_documents,
@@ -8925,6 +9025,8 @@ QUERIES = {
 
 ORACLES = {
     "holt_forecast_events": ORACLE_HOLT,
+    "ql_retrieval_documents": ORACLE_QL,
+    "leakage_safe_split_documents": _oracle_leakage_safe_split(),
     "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
     "zipf_documents": ORACLE_ZIPF,
     "interarrival_events": ORACLE_INTERARRIVAL,

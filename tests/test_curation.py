@@ -1238,3 +1238,40 @@ def test_zipf_profiler(spark):
     assert out["zipf_r2"] > 0.99
     with pytest.raises(ValueError):
         ZipfProfiler().setMaxRank(4)
+
+
+def test_leakage_safe_splitter(spark):
+    """Every near-duplicate cluster lands wholly in one split, and
+    singletons get exactly the DeterministicSplitter assignment."""
+    from flink_ml__spark.functions.curation import (
+        DeterministicSplitter,
+        LeakageSafeSplitter,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} about topic {i}")
+         for i in range(20)] +
+        [(100, "the exact same boilerplate text here"),
+         (101, "the exact same boilerplate text here"),
+         (102, "the exact same boilerplate text here")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(100, 101), (101, 102)], ["id_keep", "id_dup"])
+    out = (LeakageSafeSplitter().setTrainFrac(0.6).setValFrac(0.2)
+           .split(docs, pairs))
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in out.collect()}
+    assert len(rows) == 23
+    # the cluster shares one label and one cluster id (the min member)
+    assert {rows[i][0] for i in (100, 101, 102)} == {100}
+    assert len({rows[i][1] for i in (100, 101, 102)}) == 1
+    # singletons match the plain splitter exactly
+    plain = {r["doc_id"]: r["split"]
+             for r in (DeterministicSplitter().setTrainFrac(0.6)
+                       .setValFrac(0.2).transform(docs).collect())}
+    for i in range(20):
+        assert rows[i][1] == plain[i]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        (LeakageSafeSplitter().setTrainFrac(0.9).setValFrac(0.2)
+         .split(docs, pairs))

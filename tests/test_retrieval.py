@@ -253,3 +253,36 @@ def test_ranking_evaluator_keeps_beyond_cutoff_queries(spark):
     assert set(got) == {1, 2}
     assert got[2]["hits"] == 0 and got[2]["mrr"] == 0.0
     assert got[2]["recall_at_k"] == 0.0 and got[2]["n_rel"] == 1
+
+
+def test_query_likelihood_retrieval(spark):
+    """Dirichlet QL: the doc containing the query terms most densely
+    ranks first; longer docs with the same tf rank lower (length
+    normalization); OOV query terms drop cleanly."""
+    import math
+
+    from flink_ml__spark.functions.retrieval import (
+        QueryLikelihoodRetriever,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "apple banana apple " + "filler " * 40),
+         (3, "cherry date elderberry fig grape")],
+        ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(100, "apple apple zzz_oov")], ["query_id", "query_text"])
+    op = QueryLikelihoodRetriever().setTopK(3).setMu(10.0)
+    out = op.retrieve(docs, queries).collect()
+    got = [(r["doc_id"], r["rank"]) for r in out]
+    assert got[0] == (1, 1) and got[1] == (2, 2)
+    assert all(r["doc_id"] != 3 for r in out)  # no shared term: no row
+    # hand-check doc 1: tf(apple)=2, dl=3, cf(apple)=4/48, mu=10
+    total = 3 + 43 + 5
+    pc = 4 / total
+    want = 2 * math.log(1 + 2 / (10 * pc)) + 2 * math.log(10 / (3 + 10))
+    r1 = [r for r in out if r["doc_id"] == 1][0]
+    assert abs(r1["score"] - want) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        QueryLikelihoodRetriever().setMu(0)
