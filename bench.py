@@ -203,6 +203,8 @@ HEADLINE = [
     # baseline, which is the honest cost of the scale path anyway)
     "holt_forecast_events",
     "ql_retrieval_documents",
+    "paraphrase_pairs_documents",
+    "temperature_mix_documents",
     "leakage_safe_split_documents",
     "hard_negatives_embeddings",
     "zipf_documents",

@@ -422,6 +422,98 @@ class TfIdfKeywords(AlgoOperator, HasInputCol, HasIdColMixin):
                 .select(F.col("__id").alias(idc), "term", "tfidf", "rank"))
 
 
+class TemperatureMixer(AlgoOperator):
+    """Temperature-scaled domain mixture weights — the multilingual /
+    multi-source sampling recipe (Conneau & Lample's XLM ``p_i^α``
+    rescaling, NeurIPS 2019; the same exponent trick behind the Pile
+    and LLaMA training mixes): raw per-domain token shares ``p_i`` are
+    flattened to ``w_i ∝ p_i^τ``, so τ = 1 keeps natural proportions,
+    τ → 0 approaches uniform, and low-resource domains are upsampled
+    without drowning the head domains.
+
+    Output, one row per ``groupCol`` value::
+
+        n_docs / n_tokens   raw inventory
+        p_raw               natural token share
+        weight              p_raw^τ / Σ p^τ  (the sampling mixture)
+        expected_tokens     weight · tokenBudget
+        sample_factor       expected_tokens / n_tokens — the per-domain
+                            up/down-sampling rate a sampler must apply
+                            (> 1 means repeat epochs of that domain)
+
+    ONE aggregation over the corpus plus an O(domains) normalization —
+    the whole operator is two tiny shuffles whatever the corpus size.
+    Token counts use the engine-wide ``TOKEN_SPLIT`` tokens.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol", "domain column",
+                     TypeConverters.toString)
+    textCol = Param(Params._dummy(), "textCol", "text column",
+                    TypeConverters.toString)
+    temperature = Param(Params._dummy(), "temperature",
+                        "mixture exponent τ in (0, 1]",
+                        TypeConverters.toFloat)
+    tokenBudget = Param(Params._dummy(), "tokenBudget",
+                        "total training tokens to allocate (0 = use "
+                        "the corpus total)", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="lang", textCol="text",
+                         temperature=0.7, tokenBudget=0)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setTextCol(self, v):
+        return self._set(textCol=v)
+
+    def setTemperature(self, v):
+        v = float(v)
+        if not (0.0 < v <= 1.0):
+            raise ValueError(f"temperature must be in (0, 1], got {v}")
+        return self._set(temperature=v)
+
+    def setTokenBudget(self, v):
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"tokenBudget must be >= 0, got {v}")
+        return self._set(tokenBudget=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        g = self.getOrDefault(self.groupCol)
+        tau = self.getOrDefault(self.temperature)
+        budget = self.getOrDefault(self.tokenBudget)
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(self.getOrDefault(
+                self.textCol)), F.lit(""))), TOKEN_SPLIT),
+            lambda t: t != "")
+        per = (df.groupBy(g).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("n_tokens")))
+        tot = per.agg(F.sum("n_tokens").alias("__t"))
+        shared = per.crossJoin(F.broadcast(tot)).withColumn(
+            "p_raw", F.col("n_tokens") / F.col("__t"))
+        z = shared.agg(F.sum(F.pow("p_raw", F.lit(tau))).alias("__z"))
+        out = (shared.crossJoin(F.broadcast(z))
+               .withColumn("weight",
+                           F.pow("p_raw", F.lit(tau)) / F.col("__z")))
+        budget_col = (F.lit(float(budget)) if budget > 0
+                      else F.col("__t").cast("double"))
+        return (out
+                .withColumn("expected_tokens",
+                            F.col("weight") * budget_col)
+                .withColumn("sample_factor",
+                            F.col("expected_tokens") / F.col("n_tokens"))
+                .select(g, "n_docs", "n_tokens",
+                        F.round("p_raw", 6).alias("p_raw"),
+                        F.round("weight", 6).alias("weight"),
+                        F.round("expected_tokens", 2)
+                        .alias("expected_tokens"),
+                        F.round("sample_factor", 6)
+                        .alias("sample_factor")))
+
+
 class LeakageSafeSplitter(AlgoOperator, HasIdColMixin):
     """Duplicate-cluster-aware train/val/test assignment: the fix for
     what :class:`SplitLeakageAuditor` detects. Documents are split by

@@ -828,6 +828,9 @@ class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
     def getShingleSize(self):
         return self.getOrDefault(self.shingleSize)
 
+    def setShingleSize(self, v):
+        return self._set(shingleSize=int(v))
+
     def getThreshold(self):
         return self.getOrDefault(self.threshold)
 
@@ -925,6 +928,28 @@ class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
         dups = (self.duplicate_pairs(df)
                 .select(F.col("id_dup").alias("__dup_id")).distinct())
         return _keep_non_dominated(df, dups, self.getIdCol())
+
+    def similar_pairs(self, df: DataFrame, lo: float,
+                      hi: float = 1.0) -> DataFrame:
+        """Paraphrase-BAND mining: (id_keep, id_dup, jaccard) pairs
+        with ``lo ≤ J < hi`` — the weak-supervision positive-pair
+        source for training embedding/rerank models ("same content,
+        different words": similar enough to be related, below the
+        near-duplicate band that :meth:`duplicate_pairs` removes).
+
+        Exactness carries over: the prefix filter runs at ``lo``, so
+        the band has zero false negatives, and the upper cut is a
+        plain post-verification filter. ``hi = 1.0`` excludes only
+        bit-identical shingle sets (J = 1)."""
+        if not (0.0 < lo < hi <= 1.0):
+            raise ValueError(
+                f"need 0 < lo < hi <= 1, got lo={lo}, hi={hi}")
+        band_op = NgramJaccardDeduplicator()
+        band_op._set(inputCol=self.getInputCol(), idCol=self.getIdCol(),
+                     shingleSize=self.getShingleSize(),
+                     threshold=float(lo))
+        return (band_op.duplicate_pairs(df)
+                .filter(F.col("jaccard") < F.lit(float(hi))))
 
     def transform_against(self, df: DataFrame, corpus: DataFrame | None = None,
                           *, corpus_hashed: DataFrame | None = None) -> DataFrame:

@@ -8742,6 +8742,103 @@ SELECT doc_id, cluster_id, {split_case} AS split FROM cl
 """
 
 
+def _paraphrase_frame_sql() -> str:
+    """The planted-paraphrase source relation: every 4th document
+    re-enters under ``doc_id + 500000`` truncated to its first 60 %
+    of tokens — mid-Jaccard pairs (J ≈ 0.4-0.7 on 2-gram sets), since
+    the raw synthetic corpus is mutually dissimilar."""
+    return f"""
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 500000,
+        array_to_string(list_slice(t, 1,
+            greatest((len(t) * 3) // 5, 1)), ' ')
+ FROM (SELECT doc_id, {_TOK_SQL} AS t FROM documents
+       WHERE doc_id % 4 = 0))"""
+
+
+def q_paraphrase_pairs_documents(spark, sf_dir):
+    """Paraphrase-band mining gate: exact-Jaccard pairs in [0.2, 0.9)
+    over the corpus plus planted 60%-prefix paraphrases — the
+    weak-supervision positive-pair source (prefix filter at the lower
+    edge → zero false negatives; upper cut drops near-dups)."""
+    from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    t = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                         TOKEN_SPLIT), lambda x: x != "")
+    planted = (docs.filter(F.col("doc_id") % 4 == 0)
+               .select((F.col("doc_id") + 500000).alias("doc_id"),
+                       F.array_join(
+                           F.slice(t, 1, F.greatest(
+                               (F.size(t) * 3).cast("long") / F.lit(5),
+                               F.lit(1)).cast("int")), " ")
+                       .alias("text")))
+    frame = docs.unionByName(planted)
+    op = NgramJaccardDeduplicator().setShingleSize(2)
+    pairs = op.similar_pairs(frame, lo=0.2, hi=0.9)
+    return pairs.select("id_keep", "id_dup",
+                        F.round("jaccard", R).alias("jaccard"))
+
+
+def _oracle_paraphrase_pairs() -> str:
+    n, lo, hi = 2, 0.2, 0.9
+    return f"""
+WITH src AS (SELECT * FROM {_paraphrase_frame_sql()} s(doc_id, text)),
+toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM src),
+sh AS (SELECT doc_id, {_shingle_sql(n)} AS sh FROM toks),
+hs AS (SELECT doc_id, sh,
+              list_sort(list_transform(sh, s -> {_H60.format(x='s')}))
+                AS hs
+       FROM sh),
+pre AS (SELECT doc_id, len(hs) AS sz,
+               unnest(list_slice(hs, 1,
+                      floor({1.0 - lo!r} * len(hs))::INT + 1)) AS kh
+        FROM hs),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_keep, r.doc_id AS id_dup
+  FROM pre l JOIN pre r
+    ON l.kh = r.kh AND l.doc_id < r.doc_id
+   AND l.sz >= {lo!r} * r.sz AND r.sz >= {lo!r} * l.sz),
+pairs AS (
+  SELECT c.id_keep, c.id_dup,
+         len(list_intersect(l.sh, r.sh))::DOUBLE /
+         len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
+  FROM cand c JOIN hs l ON l.doc_id = c.id_keep
+              JOIN hs r ON r.doc_id = c.id_dup)
+SELECT id_keep, id_dup, round(jaccard, {R}) AS jaccard
+FROM pairs WHERE jaccard >= {lo!r} AND jaccard < {hi!r}
+"""
+
+
+def q_temperature_mix_documents(spark, sf_dir):
+    """TemperatureMixer gate: τ=0.7 domain mixture over lang with a
+    1M-token budget — one corpus aggregation + O(domains) math."""
+    from flink_ml__spark.functions.curation import TemperatureMixer
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (TemperatureMixer().setGroupCol("lang").setTemperature(0.7)
+            .setTokenBudget(1_000_000).transform(docs))
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(coalesce({_TOK_SQL}, []))) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
+p AS (SELECT per.*, n_tokens / tot.t AS p_raw FROM per CROSS JOIN tot),
+z AS (SELECT sum(p_raw ^ 0.7) AS z FROM p)
+SELECT lang, n_docs, n_tokens,
+       round(p_raw, 6) AS p_raw,
+       round(p_raw ^ 0.7 / z.z, 6) AS weight,
+       round(p_raw ^ 0.7 / z.z * 1000000.0, 2) AS expected_tokens,
+       round(p_raw ^ 0.7 / z.z * 1000000.0 / n_tokens, 6)
+         AS sample_factor
+FROM p CROSS JOIN z
+"""
+
+
 _NB_V = 4096
 
 
@@ -8815,6 +8912,8 @@ QUERIES = {
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
     "ql_retrieval_documents": q_ql_retrieval_documents,
+    "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
+    "temperature_mix_documents": q_temperature_mix_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
     "holt_forecast_events": q_holt_forecast_events,
     "lexical_diversity_documents": q_lexical_diversity_documents,
@@ -9026,6 +9125,8 @@ QUERIES = {
 ORACLES = {
     "holt_forecast_events": ORACLE_HOLT,
     "ql_retrieval_documents": ORACLE_QL,
+    "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
+    "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),
     "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
     "zipf_documents": ORACLE_ZIPF,

@@ -1275,3 +1275,37 @@ def test_leakage_safe_splitter(spark):
     with _pt.raises(ValueError):
         (LeakageSafeSplitter().setTrainFrac(0.9).setValFrac(0.2)
          .split(docs, pairs))
+
+
+def test_temperature_mixer(spark):
+    import math
+
+    from flink_ml__spark.functions.curation import TemperatureMixer
+
+    rows = [(i, "tok " * 90, "big") for i in range(10)]
+    rows += [(100 + i, "tok " * 10, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["lang"]: r
+           for r in (TemperatureMixer().setGroupCol("lang")
+                     .setTemperature(0.5).setTokenBudget(1000)
+                     .transform(df).collect())}
+    big, small = got["big"], got["small"]
+    assert big["n_tokens"] == 900 and small["n_tokens"] == 100
+    assert big["p_raw"] == 0.9 and small["p_raw"] == 0.1
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert abs(big["weight"] - math.sqrt(0.9) / z) < 1e-6
+    # weights sum to 1; the small domain is upsampled relative to raw
+    assert abs(big["weight"] + small["weight"] - 1.0) < 1e-6
+    assert small["weight"] > small["p_raw"]
+    assert small["sample_factor"] > big["sample_factor"]
+    # tau=1 keeps natural proportions
+    nat = {r["lang"]: r for r in (TemperatureMixer().setGroupCol("lang")
+                                  .setTemperature(1.0).transform(df)
+                                  .collect())}
+    assert abs(nat["big"]["weight"] - 0.9) < 1e-6
+    assert abs(nat["big"]["sample_factor"] - 1.0) < 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TemperatureMixer().setTemperature(0.0)
+    with _pt.raises(ValueError):
+        TemperatureMixer().setTokenBudget(-1)

@@ -622,3 +622,32 @@ def test_minhash_topk_band_bucket_cap(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         MinHashTopK().setMaxBandBucket(-1)
+
+
+def test_ngram_similar_pairs_band(spark):
+    """similar_pairs returns exactly the [lo, hi) Jaccard band: the
+    paraphrase survives, the exact duplicate (J=1) and the unrelated
+    doc (J~0) are cut."""
+    from flink_ml__spark.functions.dedup import NgramJaccardDeduplicator
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (2, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (3, "the quick brown fox jumps over the fence"),
+        (4, "an entirely different corpus document about spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    op = NgramJaccardDeduplicator().setShingleSize(2)
+    got = {(r["id_keep"], r["id_dup"]): r["jaccard"]
+           for r in op.similar_pairs(df, lo=0.2, hi=0.99).collect()}
+    assert (1, 2) not in got            # exact dup: J = 1 >= hi
+    assert (1, 3) in got and (2, 3) in got
+    assert 0.2 <= got[(1, 3)] < 0.99
+    assert not any(4 in p for p in got)
+    # the full band [0.2, 1.0] readmits the exact duplicate
+    full = {(r["id_keep"], r["id_dup"])
+            for r in op.similar_pairs(df, lo=0.2, hi=1.0).collect()}
+    assert (1, 2) not in full           # hi=1.0 still excludes J=1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        op.similar_pairs(df, lo=0.9, hi=0.5)
