@@ -624,3 +624,19 @@ def test_round9_ops_plan_shapes(spark):
     p = _plan(spark, "lexical_diversity_documents")
     assert "Python" not in p
     assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_round9_batch2_plan_shapes(spark):
+    """QL retrieval probes the postings with a BROADCAST of the query
+    terms and prunes top-k per task (WindowGroupLimit) — never a
+    cartesian; paraphrase band mining keeps the prefix-filter
+    hash-join shape; the temperature mix is aggregates only."""
+    p = _plan(spark, "ql_retrieval_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    p = _plan(spark, "paraphrase_pairs_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    p = _plan(spark, "temperature_mix_documents")
+    assert "SortMergeJoin" not in p and "Python" not in p
