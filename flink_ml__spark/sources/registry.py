@@ -297,3 +297,44 @@ def read_kafka_json(spark: SparkSession, bootstrap_servers: str,
     if watermark is not None:
         out = out.withWatermark(*watermark)
     return out
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: str | None = None) -> DataFrame:
+    """ORC source (built into Spark; the columnar lake format besides
+    parquet that warehouse migrations actually carry). Predicate
+    pushdown and column pruning work identically to parquet — the
+    `.explain` PushedFilters/ReadSchema contract holds."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """Partitioned ORC sink — same partition-pruning contract as
+    :func:`write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, *,
+              whole: bool = False) -> DataFrame:
+    """Raw-text corpus source: one row per LINE (``value`` string), or
+    one row per FILE with ``wholetext`` — the two shapes raw crawl/
+    corpus drops arrive in before any schema exists. Pair with
+    ``F.input_file_name()`` upstream for provenance columns."""
+    return spark.read.option("wholetext", whole).text(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSON-lines sink (one object per line, optionally gzipped) — the
+    interchange format most external training-data tooling consumes."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -306,3 +306,40 @@ def test_read_kafka_json_fails_fast_without_connector(spark):
     assert df.isStreaming
     assert {"k", "ts", "topic", "partition", "offset",
             "kafka_ts"} <= set(df.columns)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC carries the same pushdown contract as parquet: the filter
+    must reach the scan (PushedFilters) and the projection must prune
+    the read schema."""
+    from flink_ml__spark.sources import load_table, read_orc, write_orc
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p, partition_by=["lang"])
+    back = read_orc(spark, p)
+    assert back.count() == docs.count()
+    q = back.filter("lang = 'en'").select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan
+    got = q.count()
+    want = docs.filter("lang = 'en'").count()
+    assert got == want
+
+
+def test_text_and_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.sources import read_text, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    p = str(tmp_path / "out_jsonl")
+    write_jsonl(df, p, compression=None)
+    back = spark.read.json(p)
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) \
+        == [(1, "alpha"), (2, "beta")]
+    # raw line reader sees one JSON object per line
+    lines = read_text(spark, p)
+    assert lines.count() == 2
+    assert lines.filter(F.col("value").contains('"alpha"')).count() == 1
