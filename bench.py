@@ -203,6 +203,7 @@ HEADLINE = [
     # baseline, which is the honest cost of the scale path anyway)
     "holt_forecast_events",
     "ql_retrieval_documents",
+    "embedding_drift_embeddings",
     "paraphrase_pairs_documents",
     "temperature_mix_documents",
     "leakage_safe_split_documents",

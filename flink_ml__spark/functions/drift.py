@@ -476,3 +476,84 @@ class CategoricalDriftModel(AlgoOperator):
 
 CategoricalDriftModel.NULL_CAT = CategoricalDriftMonitor.NULL_CAT
 CategoricalDriftModel.OTHER_CAT = CategoricalDriftMonitor.OTHER_CAT
+
+
+class EmbeddingDriftMonitor(AlgoOperator):
+    """Embedding-space drift between two corpus snapshots — the vector
+    companion of the scalar PSI and categorical monitors: a retrieval /
+    dedup / semantic-filter stack built on embeddings degrades when the
+    EMBEDDING DISTRIBUTION moves (new domains, a new encoder version,
+    preprocessing drift), which per-scalar-column monitors never see.
+
+    ``compare(reference, current)`` → one row per dimension::
+
+        pos          0-based dimension
+        mean_ref / mean_cur / std_ref / std_cur
+        smd          standardized mean difference
+                     |Δmean| / sqrt((var_ref + var_cur)/2)
+                     (Cohen's d with pooled spread; 0 when both
+                     sides are constant), the per-dim drift score
+
+    plus one summary row ``pos = -1`` whose ``smd`` is the COSINE
+    between the two mean vectors (1 = aligned centroids) and whose
+    mean/std columns carry the row counts.
+
+    100 TB design: ``posexplode`` + one ``groupBy(pos)`` moment
+    aggregate per side — O(rows · dims) map work into O(dims) rows, a
+    partial-merged aggregation with no driver state beyond the final
+    O(dims) frame. No sampling, no iteration.
+    """
+
+    embeddingCol = Param(Params._dummy(), "embeddingCol",
+                         "array<float/double> embedding column",
+                         TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(embeddingCol="embedding")
+
+    def setEmbeddingCol(self, v):
+        return self._set(embeddingCol=v)
+
+    def _moments(self, df: DataFrame, tag: str) -> DataFrame:
+        arr = F.transform(F.col(self.getOrDefault(self.embeddingCol)),
+                          lambda x: x.cast("double"))
+        ex = df.select(F.posexplode(arr).alias("pos", "__v"))
+        return ex.groupBy("pos").agg(
+            F.avg("__v").alias(f"mean_{tag}"),
+            F.coalesce(F.stddev_samp("__v"), F.lit(0.0))
+            .alias(f"std_{tag}"),
+            F.count(F.lit(1)).alias(f"__n_{tag}"))
+
+    def compare(self, reference: DataFrame,
+                current: DataFrame) -> DataFrame:
+        r = self._moments(reference, "ref")
+        c = self._moments(current, "cur")
+        j = r.join(c, "pos")
+        pooled = F.sqrt((F.col("std_ref") * F.col("std_ref")
+                         + F.col("std_cur") * F.col("std_cur")) / 2.0)
+        smd = (F.when(pooled > 0,
+                      F.abs(F.col("mean_cur") - F.col("mean_ref"))
+                      / pooled)
+               .otherwise(F.lit(0.0)))
+        per_dim = j.select(
+            "pos",
+            F.round("mean_ref", 6).alias("mean_ref"),
+            F.round("mean_cur", 6).alias("mean_cur"),
+            F.round("std_ref", 6).alias("std_ref"),
+            F.round("std_cur", 6).alias("std_cur"),
+            F.round(smd, 6).alias("smd"),
+            "__n_ref", "__n_cur")
+        dot = F.sum(F.col("mean_ref") * F.col("mean_cur"))
+        nr = F.sqrt(F.sum(F.col("mean_ref") * F.col("mean_ref")))
+        nc = F.sqrt(F.sum(F.col("mean_cur") * F.col("mean_cur")))
+        summary = j.agg(
+            F.lit(-1).alias("pos"),
+            F.max("__n_ref").cast("double").alias("mean_ref"),
+            F.max("__n_cur").cast("double").alias("mean_cur"),
+            F.lit(0.0).alias("std_ref"),
+            F.lit(0.0).alias("std_cur"),
+            F.round(F.when((nr > 0) & (nc > 0), dot / (nr * nc))
+                    .otherwise(F.lit(0.0)), 6).alias("smd"))
+        return (per_dim.drop("__n_ref", "__n_cur")
+                .unionByName(summary))

@@ -8839,6 +8839,56 @@ FROM p CROSS JOIN z
 """
 
 
+def q_embedding_drift_embeddings(spark, sf_dir):
+    """EmbeddingDriftMonitor gate: per-dimension moment drift between
+    the even- and odd-id halves of the embeddings table, plus the
+    mean-vector cosine summary row — one moment aggregate per side."""
+    from flink_ml__spark.functions.drift import EmbeddingDriftMonitor
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return EmbeddingDriftMonitor().compare(ref, cur)
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+  FROM embeddings),
+ex AS (SELECT vec_id % 2 AS side, i - 1 AS pos, e[i] AS v
+       FROM base, unnest(generate_series(1, len(e))) AS u(i)),
+m AS (SELECT side, pos, avg(v) AS mean,
+             coalesce(stddev_samp(v), 0.0) AS std, count(*) AS n
+      FROM ex GROUP BY 1, 2),
+j AS (SELECT r.pos, r.mean AS mean_ref, c.mean AS mean_cur,
+             r.std AS std_ref, c.std AS std_cur,
+             r.n AS n_ref, c.n AS n_cur
+      FROM (SELECT * FROM m WHERE side = 0) r
+      JOIN (SELECT * FROM m WHERE side = 1) c ON r.pos = c.pos),
+per_dim AS (
+  SELECT pos, round(mean_ref, 6) AS mean_ref,
+         round(mean_cur, 6) AS mean_cur,
+         round(std_ref, 6) AS std_ref, round(std_cur, 6) AS std_cur,
+         round(CASE WHEN sqrt((std_ref*std_ref + std_cur*std_cur)/2) > 0
+                    THEN abs(mean_cur - mean_ref)
+                         / sqrt((std_ref*std_ref + std_cur*std_cur)/2)
+                    ELSE 0.0 END, 6) AS smd
+  FROM j),
+summary AS (
+  SELECT -1 AS pos,
+         max(n_ref)::DOUBLE AS mean_ref, max(n_cur)::DOUBLE AS mean_cur,
+         0.0 AS std_ref, 0.0 AS std_cur,
+         round(CASE WHEN sqrt(sum(mean_ref*mean_ref)) > 0
+                     AND sqrt(sum(mean_cur*mean_cur)) > 0
+                    THEN sum(mean_ref*mean_cur)
+                         / (sqrt(sum(mean_ref*mean_ref))
+                            * sqrt(sum(mean_cur*mean_cur)))
+                    ELSE 0.0 END, 6) AS smd
+  FROM j)
+SELECT * FROM per_dim UNION ALL SELECT * FROM summary
+"""
+
+
 _NB_V = 4096
 
 
@@ -8912,6 +8962,7 @@ QUERIES = {
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
     "ql_retrieval_documents": q_ql_retrieval_documents,
+    "embedding_drift_embeddings": q_embedding_drift_embeddings,
     "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
     "temperature_mix_documents": q_temperature_mix_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
@@ -9125,6 +9176,7 @@ QUERIES = {
 ORACLES = {
     "holt_forecast_events": ORACLE_HOLT,
     "ql_retrieval_documents": ORACLE_QL,
+    "embedding_drift_embeddings": ORACLE_EMBEDDING_DRIFT,
     "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),

@@ -233,3 +233,28 @@ def test_profile_model_guards(spark):
         DriftMonitorModel().report(df)
     with _pytest.raises(ValueError, match="empty profile"):
         CategoricalDriftModel().report(df)
+
+
+def test_embedding_drift_monitor(spark):
+    """A planted mean shift in one dimension shows up as that dim's
+    SMD; identical snapshots report zero drift and cosine 1."""
+    from flink_ml__spark.functions.drift import EmbeddingDriftMonitor
+
+    ref = spark.createDataFrame(
+        [(i, [1.0, 0.0 + 0.01 * (i % 3), 2.0]) for i in range(30)],
+        ["vec_id", "embedding"])
+    # dimension 0 shifted by +2, others identical
+    cur = ref.selectExpr(
+        "vec_id",
+        "array(embedding[0] + 2.0, embedding[1], embedding[2])"
+        " AS embedding")
+    rows = {r["pos"]: r
+            for r in EmbeddingDriftMonitor().compare(ref, cur).collect()}
+    assert rows[0]["smd"] == 0.0  # std 0 both sides -> guarded 0
+    assert rows[0]["mean_cur"] - rows[0]["mean_ref"] == 2.0
+    assert rows[1]["smd"] == 0.0 and rows[2]["smd"] == 0.0
+    assert rows[-1]["mean_ref"] == 30.0  # summary carries row counts
+    same = {r["pos"]: r
+            for r in EmbeddingDriftMonitor().compare(ref, ref).collect()}
+    assert same[-1]["smd"] == 1.0  # centroid cosine
+    assert all(same[p]["smd"] == 0.0 for p in (0, 1, 2))
