@@ -887,3 +887,87 @@ def test_ks_matches_pure_python_exact(spark, a, b):
     slack = max(ba.get(k, 0) / len(a) + bb.get(k, 0) / len(b)
                 for k in set(ba) | set(bb))
     assert d_exact - slack - 1e-9 <= r["d_stat"] <= d_exact + 1e-9
+
+
+@H
+@given(xs=st.lists(finite, min_size=2, max_size=10))
+def test_holt_alpha1_tracks_last_value(spark, xs):
+    """α=1 makes the level the latest observation exactly; β=0 pins
+    the trend at its init (0) — the recursion's two fixed points."""
+    from flink_ml__spark.functions.timeseries import HoltForecaster
+
+    rows = [("k", i, float(v)) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, ts long, v double")
+    out = (HoltForecaster().setKeyCol("key").setTimeCol("ts")
+           .setValueCol("v").setAlpha(1.0).setBeta(0.0)
+           .transform(df).first())
+    assert out["level"] == round(float(xs[-1]), 6)
+    assert out["trend"] == 0.0
+
+
+@H
+@given(toks=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                     min_size=1, max_size=30))
+def test_lexical_diversity_bounds(spark, toks):
+    """Entropy ≤ log2(n_types); Simpson ∈ [1/types, 1]; TTR ∈ (0, 1]."""
+    import math
+
+    from flink_ml__spark.functions.text import LexicalDiversityScorer
+
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    r = LexicalDiversityScorer().transform(df).first()
+    k = r["n_types"]
+    assert r["n_tokens_ld"] == len(toks)
+    assert 0 < r["ttr"] <= 1.0
+    assert -1e-9 <= r["shannon_entropy"] <= math.log2(k) + 1e-9
+    assert 1.0 / k - 1e-9 <= r["simpson_index"] <= 1.0 + 1e-9
+
+
+@H
+@given(sizes=st.lists(st.integers(min_value=1, max_value=50),
+                      min_size=2, max_size=5),
+       tau=st.floats(min_value=0.1, max_value=1.0))
+def test_temperature_mixer_weights_sum_to_one(spark, sizes, tau):
+    from flink_ml__spark.functions.curation import TemperatureMixer
+
+    rows = []
+    for d, n in enumerate(sizes):
+        rows += [(len(rows) + i, "tok " * 5, f"d{d}")
+                 for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = (TemperatureMixer().setGroupCol("lang").setTemperature(tau)
+           .transform(df).collect())
+    total_w = sum(r["weight"] for r in out)
+    assert abs(total_w - 1.0) < 1e-4
+    if abs(tau - 1.0) < 1e-9:
+        for r in out:
+            assert abs(r["weight"] - r["p_raw"]) < 1e-5
+
+
+@H
+@given(dup_factor=st.integers(min_value=2, max_value=3))
+def test_nb_duplicating_corpus_preserves_predictions(spark, dup_factor):
+    """Repeating every training document k× leaves priors and token
+    shares unchanged; only the (count+α)/(total+αV) smoothing mass
+    shifts, and it shifts the same way for every class — predictions
+    on separable inputs must not flip."""
+    from flink_ml__spark.functions import NaiveBayesTextClassifier
+
+    base = [(i, ["spam buy pills now", "meeting agenda notes",
+                 "quarterly review report"][i % 3],
+             ["s", "h", "h"][i % 3]) for i in range(9)]
+    df1 = spark.createDataFrame(base, ["doc_id", "text", "lang"])
+    dup = [(r[0] + 1000 * k, r[1], r[2])
+           for k in range(dup_factor) for r in base]
+    df2 = spark.createDataFrame(dup, ["doc_id", "text", "lang"])
+    m1 = NaiveBayesTextClassifier().setLabelCol("lang") \
+        .setNumFeatures(128).fit(df1)
+    m2 = NaiveBayesTextClassifier().setLabelCol("lang") \
+        .setNumFeatures(128).fit(df2)
+    test = spark.createDataFrame(
+        [(1, "buy pills"), (2, "agenda review")],
+        ["doc_id", "text"])
+    p1 = {r["doc_id"]: r["nb_pred"] for r in m1.transform(test).collect()}
+    p2 = {r["doc_id"]: r["nb_pred"] for r in m2.transform(test).collect()}
+    assert p1 == p2
