@@ -8775,14 +8775,19 @@ def q_paraphrase_pairs_documents(spark, sf_dir):
                                F.lit(1)).cast("int")), " ")
                        .alias("text")))
     frame = docs.unionByName(planted)
-    op = NgramJaccardDeduplicator().setShingleSize(2)
-    pairs = op.similar_pairs(frame, lo=0.2, hi=0.9)
+    # 3-gram shingles (2-grams share "of the"-style hot join keys —
+    # the prefix join's ~unique-key assumption needs n >= 3) and a
+    # 0.35 lower edge (prefix length is (1-lo)·|X|+1: a low lo indexes
+    # most of every document and the join degenerates — measured 56.8 s
+    # vs 2.4 s at sf0.1 for lo=0.2/n=2 vs lo=0.35/n=3)
+    op = NgramJaccardDeduplicator().setShingleSize(3)
+    pairs = op.similar_pairs(frame, lo=0.35, hi=0.9)
     return pairs.select("id_keep", "id_dup",
                         F.round("jaccard", R).alias("jaccard"))
 
 
 def _oracle_paraphrase_pairs() -> str:
-    n, lo, hi = 2, 0.2, 0.9
+    n, lo, hi = 3, 0.35, 0.9
     return f"""
 WITH src AS (SELECT * FROM {_paraphrase_frame_sql()} s(doc_id, text)),
 toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM src),
