@@ -204,6 +204,8 @@ HEADLINE = [
     "holt_forecast_events",
     "ql_retrieval_documents",
     "embedding_drift_embeddings",
+    "otsu_threshold_documents",
+    "gini_documents",
     "paraphrase_pairs_documents",
     "temperature_mix_documents",
     "leakage_safe_split_documents",

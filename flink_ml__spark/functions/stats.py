@@ -19,7 +19,7 @@ from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_ml__spark.base import AlgoOperator
+from flink_ml__spark.base import AlgoOperator, HasInputCol
 
 
 class CategoricalAssociation(AlgoOperator):
@@ -837,3 +837,150 @@ class CorrelationRanker(AlgoOperator):
         vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
         r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
         return agg.select("feature", "n_rows", r.alias("r"))
+
+
+class OtsuThreshold(AlgoOperator, HasInputCol):
+    """Automatic threshold selection over a score distribution (Otsu,
+    "A threshold selection method from gray-level histograms", IEEE
+    TSMC 1979) — the curation use: pick the quality-score /
+    perplexity / code-score cutoff that best separates the two modes
+    of a bimodal corpus instead of hand-tuning it.
+
+    One ``numBins``-bin histogram aggregate over the column (min/max
+    from the same pass via a first tiny agg), then the maximizer of
+    the between-class variance ``ω₀ω₁(μ₀−μ₁)²`` over bin cuts — an
+    O(bins) prefix-sum scan expressed as ONE window over the histogram
+    rows (bins default 256, so the window is bounded by construction,
+    never by data). Ties break toward the LOWEST cut. Output one row::
+
+        threshold      lower edge of the first bin ABOVE the cut
+        between_var    the maximized between-class variance
+        n_below / n_above
+    """
+
+    numBins = Param(Params._dummy(), "numBins", "histogram bins",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="quality_score", numBins=256)
+
+    def setNumBins(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBins must be >= 2, got {v}")
+        return self._set(numBins=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        c = self.getInputCol()
+        nb = self.getOrDefault(self.numBins)
+        x = F.col(c).cast("double")
+        base = df.filter(x.isNotNull()).select(x.alias("__x"))
+        lohi = base.agg(F.min("__x").alias("__lo"),
+                        F.max("__x").alias("__hi"))
+        binned = (base.crossJoin(F.broadcast(lohi))
+                  .select(
+                      F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+                      .otherwise(F.least(
+                          F.floor((F.col("__x") - F.col("__lo"))
+                                  / (F.col("__hi") - F.col("__lo"))
+                                  * nb).cast("int"),
+                          F.lit(nb - 1))).alias("__b"),
+                      F.col("__x"), F.col("__lo"), F.col("__hi")))
+        hist = binned.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__x").alias("__s"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"))
+        w = Window.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, 0)
+        tot_n = F.sum("__n").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        tot_s = F.sum("__s").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        cum_n = F.sum("__n").over(w)
+        cum_s = F.sum("__s").over(w)
+        scored = hist.select(
+            "__b", "__lo", "__hi",
+            cum_n.alias("__cn"), cum_s.alias("__cs"),
+            tot_n.alias("__tn"), tot_s.alias("__ts"))
+        w0 = F.col("__cn") / F.col("__tn")
+        mu0 = F.col("__cs") / F.col("__cn")
+        mu1 = ((F.col("__ts") - F.col("__cs"))
+               / (F.col("__tn") - F.col("__cn")))
+        bv = F.when(
+            (F.col("__cn") > 0) & (F.col("__cn") < F.col("__tn")),
+            w0 * (1 - w0) * (mu0 - mu1) * (mu0 - mu1))
+        # rank on 9-dp-rounded variance so fp summation noise cannot
+        # flip the argmax between engines (the BM25 ranking discipline)
+        ranked = (scored.withColumn("__bv", bv)
+                  .filter(F.col("__bv").isNotNull())
+                  .withColumn("__rk", F.row_number().over(
+                      Window.orderBy(F.round("__bv", 9).desc(),
+                                     F.asc("__b")))))
+        width = (F.col("__hi") - F.col("__lo")) / nb
+        return (ranked.filter(F.col("__rk") == 1)
+                .select(
+                    F.round(F.col("__lo")
+                            + (F.col("__b") + 1) * width, 6)
+                    .alias("threshold"),
+                    F.round("__bv", 6).alias("between_var"),
+                    F.col("__cn").alias("n_below"),
+                    (F.col("__tn") - F.col("__cn")).alias("n_above")))
+
+
+class GiniConcentration(AlgoOperator):
+    """Gini coefficient of a weight column over groups — the corpus-
+    composition inequality readout ("how concentrated are training
+    tokens across domains?"; 0 = perfectly even, → 1 = one group owns
+    everything). Standard companion to :class:`~flink_ml__spark.
+    functions.curation.TemperatureMixer`: the mixer changes the
+    weights, this measures how unequal they still are.
+
+    Gini = Σᵢ (2i − n − 1)·wᵢ / (n·Σw) over weights sorted ascending —
+    one aggregate to the per-group weights (O(groups) rows), one
+    bounded window for the ranks, one final fold. Output one row
+    (n_groups, total, gini)."""
+
+    groupCol = Param(Params._dummy(), "groupCol", "group column",
+                     TypeConverters.toString)
+    weightCol = Param(Params._dummy(), "weightCol",
+                      "per-row weight ('' counts rows)",
+                      TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="lang", weightCol="")
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setWeightCol(self, v):
+        return self._set(weightCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        g = self.getOrDefault(self.groupCol)
+        wc = self.getOrDefault(self.weightCol)
+        w = (F.count(F.lit(1)).cast("double") if not wc
+             else F.sum(F.col(wc).cast("double")))
+        per = df.groupBy(g).agg(w.alias("__w"))
+        rk = F.row_number().over(
+            Window.orderBy(F.asc("__w"), F.asc(g)))
+        n_all = F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+        ranked = (per.withColumn("__i", rk)
+                  .withColumn("__n", n_all))
+        return ranked.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.sum("__w"), 6).alias("total"),
+            F.round(
+                F.sum((2 * F.col("__i") - F.col("__n") - 1)
+                      * F.col("__w"))
+                / (F.count(F.lit(1)) * F.sum("__w")), 6).alias("gini"))

@@ -8894,6 +8894,73 @@ SELECT * FROM per_dim UNION ALL SELECT * FROM summary
 """
 
 
+def q_otsu_threshold_documents(spark, sf_dir):
+    """OtsuThreshold gate: automatic cutoff over the documents' size
+    distribution (256-bin histogram + between-class-variance argmax,
+    ranked on 9-dp-rounded variance with lowest-cut ties)."""
+    from flink_ml__spark.functions.stats import OtsuThreshold
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (OtsuThreshold().setInputCol("n_chars").setNumBins(256)
+            .transform(docs))
+
+
+ORACLE_OTSU = """
+WITH base AS (SELECT n_chars::DOUBLE AS x FROM documents
+              WHERE n_chars IS NOT NULL),
+lh AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
+b AS (SELECT CASE WHEN hi <= lo THEN 0
+             ELSE least(floor((x - lo) / (hi - lo) * 256)::INT, 255)
+             END AS bin, x, lo, hi
+      FROM base CROSS JOIN lh),
+h AS (SELECT bin, count(*) AS n, sum(x) AS s,
+             any_value(lo) AS lo, any_value(hi) AS hi
+      FROM b GROUP BY bin),
+c AS (SELECT bin, lo, hi,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(s) OVER (ORDER BY bin) AS cs,
+             sum(n) OVER () AS tn, sum(s) OVER () AS ts
+      FROM h),
+v AS (SELECT bin, lo, hi, cn, tn,
+             CASE WHEN cn > 0 AND cn < tn THEN
+               (cn::DOUBLE / tn) * (1 - cn::DOUBLE / tn)
+               * ((cs / cn) - ((ts - cs) / (tn - cn)))
+               * ((cs / cn) - ((ts - cs) / (tn - cn)))
+             END AS bv
+      FROM c),
+r AS (SELECT *, row_number() OVER (ORDER BY round(bv, 9) DESC,
+                                   bin ASC) AS rk
+      FROM v WHERE bv IS NOT NULL)
+SELECT round(lo + (bin + 1) * (hi - lo) / 256, 6) AS threshold,
+       round(bv, 6) AS between_var,
+       cn AS n_below, tn - cn AS n_above
+FROM r WHERE rk = 1
+"""
+
+
+def q_gini_documents(spark, sf_dir):
+    """GiniConcentration gate: how unequally corpus characters are
+    distributed across languages — one O(groups) window + fold."""
+    from flink_ml__spark.functions.stats import GiniConcentration
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (GiniConcentration().setGroupCol("lang")
+            .setWeightCol("n_chars").transform(docs))
+
+
+ORACLE_GINI = """
+WITH per AS (SELECT lang, sum(n_chars)::DOUBLE AS w
+             FROM documents GROUP BY lang),
+rk AS (SELECT w, row_number() OVER (ORDER BY w ASC, lang ASC) AS i,
+              count(*) OVER () AS n
+       FROM per)
+SELECT count(*)::BIGINT AS n_groups,
+       round(sum(w), 6) AS total,
+       round(sum((2 * i - n - 1) * w) / (count(*) * sum(w)), 6) AS gini
+FROM rk
+"""
+
+
 _NB_V = 4096
 
 
@@ -8968,6 +9035,8 @@ QUERIES = {
     # tools/rotate_gates.py
     "ql_retrieval_documents": q_ql_retrieval_documents,
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
+    "otsu_threshold_documents": q_otsu_threshold_documents,
+    "gini_documents": q_gini_documents,
     "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
     "temperature_mix_documents": q_temperature_mix_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
@@ -9182,6 +9251,8 @@ ORACLES = {
     "holt_forecast_events": ORACLE_HOLT,
     "ql_retrieval_documents": ORACLE_QL,
     "embedding_drift_embeddings": ORACLE_EMBEDDING_DRIFT,
+    "otsu_threshold_documents": ORACLE_OTSU,
+    "gini_documents": ORACLE_GINI,
     "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),

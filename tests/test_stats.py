@@ -521,3 +521,43 @@ def test_correlation_ranker_known_values(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         CorrelationRanker().setInputCols([])
+
+
+def test_otsu_threshold_separates_bimodal(spark):
+    from flink_ml__spark.functions.stats import OtsuThreshold
+
+    vals = [0.15 + 0.01 * (i % 10) for i in range(50)] \
+        + [0.75 + 0.01 * (i % 10) for i in range(50)]
+    df = spark.createDataFrame([(float(v),) for v in vals],
+                               ["quality_score"])
+    r = OtsuThreshold().setNumBins(64).transform(df).first()
+    assert 0.24 < r["threshold"] < 0.76  # lands in the gap
+    assert r["n_below"] == 50 and r["n_above"] == 50
+    assert r["between_var"] > 0.08
+    # constant column: no valid cut -> empty result, not a crash
+    const = spark.createDataFrame([(1.0,)] * 5, ["quality_score"])
+    assert OtsuThreshold().transform(const).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        OtsuThreshold().setNumBins(1)
+
+
+def test_gini_concentration(spark):
+    from flink_ml__spark.functions.stats import GiniConcentration
+
+    even = spark.createDataFrame([(i, "ab"[i % 2]) for i in range(100)],
+                                 ["id", "lang"])
+    assert (GiniConcentration().setGroupCol("lang")
+            .transform(even).first()["gini"]) == 0.0
+    skew = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)],
+        ["id", "lang"])
+    r = GiniConcentration().setGroupCol("lang").transform(skew).first()
+    assert r["gini"] == 0.3 and r["n_groups"] == 2
+    # weighted: all weight on one group -> gini = (n-1)/n for n groups
+    w = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 0.0), (3, "c", 0.0)],
+        ["id", "lang", "wt"])
+    r2 = (GiniConcentration().setGroupCol("lang").setWeightCol("wt")
+          .transform(w).first())
+    assert abs(r2["gini"] - 2 / 3) < 1e-6
