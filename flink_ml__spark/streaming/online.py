@@ -1336,3 +1336,77 @@ def stream_holt(stream_df: DataFrame, op) -> DataFrame:
                 fold, outputStructType=out_schema,
                 stateStructType=state_schema, outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_interarrival(stream_df: DataFrame, op) -> DataFrame:
+    """Streaming twin of
+    :class:`~flink_ml__spark.functions.timeseries.InterArrivalProfiler`:
+    per-key burstiness profile re-emitted after every micro-batch,
+    with O(1) state per key (last event time + Welford moment
+    accumulators over the gaps — n, mean, M2).
+
+    Rows fold in (timeCol, tieCol) order WITHIN each micro-batch;
+    batch-order delivery across triggers is the source's contract.
+    The final emitted row per key matches the batch operator to fp
+    tolerance (the batch side's stddev_samp merges partitions in
+    arbitrary order, so bit-equality is not defined — pinned at 1e-9
+    in ``test_streaming``)."""
+    k = op.getOrDefault(op.keyCol)
+    t = op.getOrDefault(op.timeCol)
+    tb = op.getOrDefault(op.tieCol)
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("mean_gap_s", T.DoubleType()),
+        T.StructField("std_gap_s", T.DoubleType()),
+        T.StructField("cv", T.DoubleType()),
+        T.StructField("burstiness", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType())])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = (pd.concat(frames, ignore_index=True)
+                 .dropna(subset=[t])
+                 .sort_values([t, tb], kind="stable"))
+        if not len(batch):
+            return
+        last_us, n_events, n, mean, m2 = (
+            state.get if state.exists else (None, 0, 0, 0.0, 0.0))
+        for ts in batch[t]:
+            us = int(pd.Timestamp(ts).value // 1000)
+            n_events += 1
+            if last_us is not None:
+                gap = (us - last_us) / 1e6
+                n += 1
+                d = gap - mean
+                mean += d / n
+                m2 += d * (gap - mean)
+            last_us = us
+        state.update((last_us, n_events, n, mean, m2))
+        std = (m2 / (n - 1)) ** 0.5 if n > 1 else (0.0 if n == 1
+                                                   else None)
+        cv = (std / mean) if (std is not None and mean
+                              and mean > 0) else None
+        burst = ((cv - 1) / (cv + 1)) if cv is not None else None
+        rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
+        yield pd.DataFrame(
+            [(key[0], n_events, n, rnd(mean if n else None), rnd(std),
+              rnd(cv), rnd(burst))],
+            columns=["key", "n_events", "n_gaps", "mean_gap_s",
+                     "std_gap_s", "cv", "burstiness"])
+
+    return (stream_df.groupBy(F.col(k))
+            .applyInPandasWithState(
+                fold, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1542,3 +1542,48 @@ def test_stream_holt_matches_batch_final_state(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_interarrival_matches_batch(spark):
+    """Welford state across micro-batches: the LAST emitted profile
+    per key must match the batch InterArrivalProfiler at 1e-9 (the
+    batch stddev merges partitions in arbitrary order, so exact bit
+    equality is not defined for this operator pair)."""
+    import datetime as dt
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.timeseries import InterArrivalProfiler
+    from flink_ml__spark.streaming.online import stream_interarrival
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [("a", i, t0 + dt.timedelta(seconds=int((i * 37) % 100)))
+            for i in range(50)]
+    rows += [("b", i, t0 + dt.timedelta(seconds=7 * i))
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long,"
+                                     " ts timestamp")
+    op = InterArrivalProfiler()
+    batch = {r["event_type"]: r for r in op.transform(df).collect()}
+    d = _tf.mkdtemp(prefix="iat_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_interarrival(stream, op)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("iatstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["key"]: r for r in spark.sql(
+            "SELECT * FROM iatstream t WHERE n_events = "
+            "(SELECT max(n_events) FROM iatstream u"
+            " WHERE u.key = t.key)").collect()}
+        assert set(got) == set(batch)
+        for key, b in batch.items():
+            s = got[key]
+            assert s["n_events"] == b["n_events"]
+            assert s["n_gaps"] == b["n_gaps"]
+            for col in ("mean_gap_s", "std_gap_s", "cv", "burstiness"):
+                assert abs(s[col] - b[col]) < 1e-6, (key, col)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
