@@ -206,6 +206,7 @@ HEADLINE = [
     "embedding_drift_embeddings",
     "otsu_threshold_documents",
     "gini_documents",
+    "spearman_lineitem",
     "paraphrase_pairs_documents",
     "temperature_mix_documents",
     "leakage_safe_split_documents",

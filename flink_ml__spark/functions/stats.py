@@ -187,6 +187,81 @@ class CorrelationMatrix(AlgoOperator):
         return one.select(rows.alias("__r")).select("__r.*")
 
 
+class SpearmanCorrelation(AlgoOperator):
+    """Pairwise Spearman rank correlation — the robust companion to
+    :class:`CorrelationMatrix` (monotone association, outlier-immune,
+    scale-free; the screening statistic when features are heavy-tailed
+    or only ordinally meaningful).
+
+    ``transform(df)`` returns one row per unordered pair::
+
+        col_x, col_y   string
+        n              bigint   listwise-complete rows
+        rho            double   Pearson r of the average ranks (the
+                                tie-corrected Spearman ρ)
+
+    LISTWISE deletion (rows with any NULL among the configured columns
+    drop) — ranks must come from one consistent row set; the
+    per-pair-complete variant would need O(p²) rank passes.
+
+    100 TB design: average ranks are computed WITHOUT a data-sized
+    window sort — per column, one ``groupBy(value)`` count, one
+    running-sum window over the DISTINCT-VALUE table (O(distinct)
+    rows, no payload), and one hash join back by value; then all
+    O(p²) correlations fold in ONE aggregate over the rank columns.
+    The distinct-value ordering is the irreducible part of exact
+    Spearman; for continuous ultra-high-cardinality columns, compose
+    with ``QuantileDiscretizer`` first (binned Spearman).
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "numeric columns to rank-correlate",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[])
+
+    def setInputCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        if len(set(v)) != len(v):
+            raise ValueError(f"duplicate columns in {list(v)}")
+        return self._set(inputCols=list(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        cols = self.getOrDefault(self.inputCols)
+        if len(cols) < 2:
+            raise ValueError("need at least 2 columns — setInputCols")
+        base = df.filter(reduce(lambda a, c: a & F.col(c).isNotNull(),
+                                cols, F.lit(True))).select(*cols)
+        out = base
+        for c in cols:
+            vc = (base.groupBy(F.col(c).alias("__v"))
+                  .agg(F.count(F.lit(1)).alias("__c")))
+            w = Window.orderBy("__v")
+            ranks = vc.select(
+                "__v",
+                (F.sum("__c").over(w)
+                 - (F.col("__c") - 1) / 2.0).alias(f"__r_{c}"))
+            out = out.join(ranks.withColumnRenamed("__v", c), c)
+        ps = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (a, b) in enumerate(ps):
+            aggs.append(F.corr(f"__r_{a}", f"__r_{b}").alias(f"__c_{i}"))
+        one = out.agg(*aggs)
+        rows = F.explode(F.array(*[
+            F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                     F.col("__n").alias("n"),
+                     F.round(F.col(f"__c_{i}"), 6).alias("rho"))
+            for i, (a, b) in enumerate(ps)]))
+        return one.select(rows.alias("__r")).select("__r.*")
+
+
 class CooccurrencePMI(AlgoOperator):
     """Pointwise mutual information of item pairs co-occurring in the
     same basket (order, session, document) — Church & Hanks 1990.

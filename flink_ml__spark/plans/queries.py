@@ -8961,6 +8961,49 @@ FROM rk
 """
 
 
+def q_spearman_lineitem(spark, sf_dir):
+    """SpearmanCorrelation gate: tie-corrected rank correlation over
+    three lineitem numerics — distinct-value rank tables + join back,
+    one aggregate for every pair."""
+    from flink_ml__spark.functions.stats import SpearmanCorrelation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (SpearmanCorrelation()
+            .setInputCols("l_quantity", "l_extendedprice", "l_discount")
+            .transform(li))
+
+
+ORACLE_SPEARMAN = """
+WITH base AS (
+  SELECT l_quantity AS a, l_extendedprice AS b, l_discount AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL),
+ra AS (SELECT a AS v, sum(count(*)) OVER (ORDER BY a)
+              - (count(*) - 1) / 2.0 AS r
+       FROM base GROUP BY a),
+rb AS (SELECT b AS v, sum(count(*)) OVER (ORDER BY b)
+              - (count(*) - 1) / 2.0 AS r
+       FROM base GROUP BY b),
+rc AS (SELECT c AS v, sum(count(*)) OVER (ORDER BY c)
+              - (count(*) - 1) / 2.0 AS r
+       FROM base GROUP BY c),
+j AS (SELECT ra.r AS xa, rb.r AS xb, rc.r AS xc
+      FROM base
+      JOIN ra ON base.a = ra.v
+      JOIN rb ON base.b = rb.v
+      JOIN rc ON base.c = rc.v)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       count(*)::BIGINT AS n, round(corr(xa, xb), 6) AS rho FROM j
+UNION ALL
+SELECT 'l_quantity', 'l_discount', count(*)::BIGINT,
+       round(corr(xa, xc), 6) FROM j
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', count(*)::BIGINT,
+       round(corr(xb, xc), 6) FROM j
+"""
+
+
 _NB_V = 4096
 
 
@@ -9037,6 +9080,7 @@ QUERIES = {
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
     "otsu_threshold_documents": q_otsu_threshold_documents,
     "gini_documents": q_gini_documents,
+    "spearman_lineitem": q_spearman_lineitem,
     "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
     "temperature_mix_documents": q_temperature_mix_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
@@ -9253,6 +9297,7 @@ ORACLES = {
     "embedding_drift_embeddings": ORACLE_EMBEDDING_DRIFT,
     "otsu_threshold_documents": ORACLE_OTSU,
     "gini_documents": ORACLE_GINI,
+    "spearman_lineitem": ORACLE_SPEARMAN,
     "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),

@@ -561,3 +561,35 @@ def test_gini_concentration(spark):
     r2 = (GiniConcentration().setGroupCol("lang").setWeightCol("wt")
           .transform(w).first())
     assert abs(r2["gini"] - 2 / 3) < 1e-6
+
+
+def test_spearman_correlation(spark):
+    """Monotone nonlinear association scores ~1 under Spearman (where
+    Pearson would not); ties get average ranks (pandas parity);
+    listwise NULL deletion."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_ml__spark.functions.stats import SpearmanCorrelation
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(100)
+    y = x ** 3
+    z = np.round(rng.randn(100), 1)  # ties
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    rows.append((None, 1.0, 1.0))  # listwise-dropped
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_x"], r["col_y"]): r
+           for r in (SpearmanCorrelation().setInputCols("x", "y", "z")
+                     .transform(df).collect())}
+    assert got[("x", "y")]["n"] == 100
+    assert got[("x", "y")]["rho"] == 1.0  # perfect monotone
+    rx = pd.Series(x).rank(method="average")
+    rz = pd.Series(z).rank(method="average")
+    want = round(float(np.corrcoef(rx, rz)[0, 1]), 6)
+    assert abs(got[("x", "z")]["rho"] - want) < 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SpearmanCorrelation().setInputCols("x").transform(df)
+    with _pt.raises(ValueError):
+        SpearmanCorrelation().setInputCols("x", "x")
