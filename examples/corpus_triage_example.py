@@ -52,6 +52,28 @@ def main():
      .setSimLo(0.0).setSimHi(0.95).mine(anchors, emb)
      .orderBy("query_id", "rank").show(6))
 
+    print("== composition: Gini concentration + temperature remix ==")
+    from flink_ml__spark.functions.curation import TemperatureMixer
+    from flink_ml__spark.functions.stats import (
+        GiniConcentration,
+        OtsuThreshold,
+        SpearmanCorrelation,
+    )
+
+    GiniConcentration().setGroupCol("lang").setWeightCol("n_chars") \
+        .transform(docs).show()
+    TemperatureMixer().setGroupCol("lang").setTemperature(0.7) \
+        .setTokenBudget(1_000_000).transform(docs).show()
+
+    print("== auto threshold over the size distribution (Otsu) ==")
+    OtsuThreshold().setInputCol("n_chars").transform(docs).show()
+
+    print("== monotone association screen (Spearman) ==")
+    li = load_table(spark, "lineitem", SF_DIR)
+    (SpearmanCorrelation()
+     .setInputCols("l_quantity", "l_extendedprice", "l_discount")
+     .transform(li).show())
+
     print("== event-feed telemetry: Holt trend + burstiness ==")
     ev = load_table(spark, "events", SF_DIR)
     (HoltForecaster().setKeyCol("event_type").setTimeCol("ts")
