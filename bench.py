@@ -207,6 +207,8 @@ HEADLINE = [
     "otsu_threshold_documents",
     "gini_documents",
     "spearman_lineitem",
+    "attribution_events",
+    "fd_profile_orders",
     "paraphrase_pairs_documents",
     "temperature_mix_documents",
     "leakage_safe_split_documents",

@@ -799,3 +799,70 @@ class GoldenRecordBuilder(AlgoOperator):
                        for a in cols]))
         return (members.join(wide, c, "left")
                 .select(c, "n_members", *cols))
+
+
+class FunctionalDependencyProfiler(AlgoOperator):
+    """Functional-dependency audit: for declared rules ``a -> b``, how
+    often does one ``a`` value map to MORE than one ``b``? The
+    warehouse-hygiene check behind "is this column a reliable lookup
+    key" — broken FDs are where silent fan-out joins and golden-record
+    conflicts come from (companion to :class:`ExpectationValidator`'s
+    row-level gates and :class:`GoldenRecordBuilder`'s survivorship).
+
+    ``transform(df)`` returns one row per rule::
+
+        rule               "a->b"
+        n_keys             distinct non-NULL a values
+        n_violating_keys   a values mapping to >1 distinct b
+                           (NULL b counts as its own value)
+        violation_rate     n_violating_keys / n_keys
+        max_fanout         most distinct b seen under one a
+
+    ONE melt pass builds every rule's (key, value) table (the
+    :class:`~flink_ml__spark.functions.stats.CategoricalAssociation`
+    cell pattern), then two count aggregates — all O(Σ distinct
+    pairs), never data-sized on the reduce side."""
+
+    rules = Param(Params._dummy(), "rules",
+                  "dependencies as 'a->b' strings",
+                  TypeConverters.toListString)
+
+    NULL_VAL = "␀"  # sentinel so NULL b is its own value
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(rules=[])
+
+    def setRules(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        out = []
+        for r in v:
+            if r.count("->") != 1:
+                raise ValueError(f"rule must be 'a->b', got {r!r}")
+            out.append(r)
+        return self._set(rules=out)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        rules = [tuple(r.split("->")) for r in
+                 self.getOrDefault(self.rules)]
+        if not rules:
+            raise ValueError("no rules set — call setRules('a->b', ...)")
+        cells = F.explode(F.filter(F.array(*[
+            F.when(F.col(a).isNotNull(),
+                   F.struct(F.lit(f"{a}->{b}").alias("rule"),
+                            F.col(a).cast("string").alias("k"),
+                            F.coalesce(F.col(b).cast("string"),
+                                       F.lit(self.NULL_VAL)).alias("v")))
+            for a, b in rules]), lambda c: c.isNotNull()))
+        pairs = (df.select(cells.alias("__c"))
+                 .select("__c.rule", "__c.k", "__c.v").distinct())
+        per_key = (pairs.groupBy("rule", "k")
+                   .agg(F.count(F.lit(1)).alias("__nv")))
+        return (per_key.groupBy("rule").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("__nv") > 1, 1).otherwise(0))
+            .alias("n_violating_keys"),
+            F.round(F.avg(F.when(F.col("__nv") > 1, 1.0)
+                          .otherwise(0.0)), 6).alias("violation_rate"),
+            F.max("__nv").alias("max_fanout")))

@@ -274,3 +274,127 @@ class IntervalOverlapJoiner(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.join(df, df)
+
+
+class AttributionAnalyzer(AlgoOperator):
+    """Multi-touch conversion attribution over an event stream: credit
+    each conversion to the touch events of its journey (the touches
+    since the user's previous conversion) under the three standard
+    models at once::
+
+        channel        the touch event_type
+        n_touches      touch rows credited to any conversion
+        first_touch    conversions whose journey STARTED on the channel
+        last_touch     conversions whose journey ENDED on the channel
+        linear_credit  Σ 1/journey_touches over credited conversions
+
+    Journeys segment at conversions: a running count of PRIOR
+    conversion events per user splits the stream into journeys
+    (touch*, conversion) — one window pass; first/last per journey is
+    a min/max struct aggregate; credits are one more aggregate.
+    Output is O(channels). Conversions with no preceding touch are
+    counted in the ``n_unattributed`` companion row
+    (channel = ``__unattributed__``). Ties on one timestamp break by a
+    deterministic tie column."""
+
+    keyCol = Param(Params._dummy(), "keyCol", "user/visitor column",
+                   TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    channelCol = Param(Params._dummy(), "channelCol",
+                       "touch-channel column", TypeConverters.toString)
+    conversionEvent = Param(Params._dummy(), "conversionEvent",
+                            "channel value that marks a conversion",
+                            TypeConverters.toString)
+    tieCol = Param(Params._dummy(), "tieCol",
+                   "deterministic tie-break column",
+                   TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="user_id", timeCol="ts",
+                         channelCol="event_type",
+                         conversionEvent="purchase", tieCol="event_id")
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setChannelCol(self, v):
+        return self._set(channelCol=v)
+
+    def setConversionEvent(self, v):
+        return self._set(conversionEvent=v)
+
+    def setTieCol(self, v):
+        return self._set(tieCol=v)
+
+    UNATTRIBUTED = "__unattributed__"
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        k = self.getOrDefault(self.keyCol)
+        t = self.getOrDefault(self.timeCol)
+        c = self.getOrDefault(self.channelCol)
+        conv = self.getOrDefault(self.conversionEvent)
+        tb = self.getOrDefault(self.tieCol)
+
+        base = df.filter(F.col(k).isNotNull() & F.col(t).isNotNull())
+        w = Window.partitionBy(k).orderBy(t, tb)
+        is_conv = (F.col(c) == conv).cast("int")
+        # journey id = conversions STRICTLY BEFORE this row: touches
+        # join the journey of the conversion that follows them
+        jid = (F.sum(is_conv).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+        rows = base.select(
+            F.col(k).alias("__k"), F.col(c).alias("__c"),
+            F.col(t).alias("__t"), F.col(tb).alias("__tb"),
+            F.coalesce(jid, F.lit(0)).alias("__j"),
+            (F.col(c) == conv).alias("__is_conv"))
+        journeys = (rows.groupBy("__k", "__j").agg(
+            F.sum(F.when(~F.col("__is_conv"), 1).otherwise(0))
+            .alias("__nt"),
+            F.max(F.col("__is_conv").cast("int")).alias("__converted"),
+            F.min(F.when(~F.col("__is_conv"),
+                         F.struct("__t", "__tb", "__c")))
+            .alias("__first"),
+            F.max(F.when(~F.col("__is_conv"),
+                         F.struct("__t", "__tb", "__c")))
+            .alias("__last"))
+            .filter(F.col("__converted") == 1))
+        touched = journeys.filter(F.col("__nt") > 0)
+        firsts = (touched.groupBy(F.col("__first.__c").alias("channel"))
+                  .agg(F.count(F.lit(1)).alias("first_touch")))
+        lasts = (touched.groupBy(F.col("__last.__c").alias("channel"))
+                 .agg(F.count(F.lit(1)).alias("last_touch")))
+        credited = (rows.filter(~F.col("__is_conv"))
+                    .join(touched.select("__k", "__j", "__nt"),
+                          ["__k", "__j"]))
+        lin = (credited.groupBy(F.col("__c").alias("channel"))
+               .agg(F.count(F.lit(1)).alias("n_touches"),
+                    F.round(F.sum(1.0 / F.col("__nt")), 6)
+                    .alias("linear_credit")))
+        per_channel = (lin
+                       .join(firsts, "channel", "full_outer")
+                       .join(lasts, "channel", "full_outer")
+                       .select("channel",
+                               F.coalesce("n_touches", F.lit(0))
+                               .alias("n_touches"),
+                               F.coalesce("first_touch", F.lit(0))
+                               .alias("first_touch"),
+                               F.coalesce("last_touch", F.lit(0))
+                               .alias("last_touch"),
+                               F.coalesce("linear_credit", F.lit(0.0))
+                               .alias("linear_credit")))
+        unattrib = (journeys.filter(F.col("__nt") == 0)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .select(F.lit(self.UNATTRIBUTED).alias("channel"),
+                            F.lit(0).cast("long").alias("n_touches"),
+                            F.col("__n").alias("first_touch"),
+                            F.col("__n").alias("last_touch"),
+                            F.lit(0.0).alias("linear_credit"))
+                    .filter(F.col("first_touch") > 0))
+        return per_channel.unionByName(unattrib)

@@ -9004,6 +9004,106 @@ SELECT 'l_extendedprice', 'l_discount', count(*)::BIGINT,
 """
 
 
+def q_attribution_events(spark, sf_dir):
+    """AttributionAnalyzer gate: first/last/linear conversion credit
+    per channel over the events stream (journeys segment at purchase
+    conversions; one window pass + O(channels) aggregates)."""
+    from flink_ml__spark.functions.sessions import AttributionAnalyzer
+
+    ev = load_table(spark, "events", sf_dir)
+    return (AttributionAnalyzer().setConversionEvent("purchase")
+            .transform(ev).orderBy("channel"))
+
+
+ORACLE_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id AS k, event_type AS c, ts AS t, event_id AS tb,
+         (event_type = 'purchase') AS is_conv
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+rows_ AS (
+  SELECT *, coalesce(sum(is_conv::INT) OVER (
+            PARTITION BY k ORDER BY t, tb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+  FROM base),
+journeys AS (
+  SELECT k, j,
+         sum(CASE WHEN NOT is_conv THEN 1 ELSE 0 END) AS nt,
+         max(is_conv::INT) AS converted,
+         first(c ORDER BY t, tb) FILTER (WHERE NOT is_conv) AS fc,
+         last(c ORDER BY t, tb) FILTER (WHERE NOT is_conv) AS lc
+  FROM rows_ GROUP BY k, j),
+touched AS (SELECT * FROM journeys WHERE converted = 1 AND nt > 0),
+firsts AS (SELECT fc AS channel, count(*) AS first_touch
+           FROM touched GROUP BY 1),
+lasts AS (SELECT lc AS channel, count(*) AS last_touch
+          FROM touched GROUP BY 1),
+credited AS (
+  SELECT r.c AS channel, t2.nt
+  FROM rows_ r JOIN touched t2 ON r.k = t2.k AND r.j = t2.j
+  WHERE NOT r.is_conv),
+lin AS (SELECT channel, count(*) AS n_touches,
+               round(sum(1.0 / nt), 6) AS linear_credit
+        FROM credited GROUP BY 1),
+per_channel AS (
+  SELECT coalesce(lin.channel, firsts.channel, lasts.channel)
+           AS channel,
+         coalesce(n_touches, 0) AS n_touches,
+         coalesce(first_touch, 0) AS first_touch,
+         coalesce(last_touch, 0) AS last_touch,
+         coalesce(linear_credit, 0.0) AS linear_credit
+  FROM lin
+  FULL JOIN firsts ON lin.channel = firsts.channel
+  FULL JOIN lasts ON coalesce(lin.channel, firsts.channel)
+                     = lasts.channel),
+unattrib AS (
+  SELECT '__unattributed__' AS channel, 0::BIGINT AS n_touches,
+         count(*) AS first_touch, count(*) AS last_touch,
+         0.0 AS linear_credit
+  FROM journeys WHERE converted = 1 AND nt = 0
+  HAVING count(*) > 0)
+SELECT * FROM per_channel UNION ALL SELECT * FROM unattrib
+"""
+
+
+def q_fd_profile_orders(spark, sf_dir):
+    """FunctionalDependencyProfiler gate: one holding FD (orderkey is
+    the PK) and one broken FD (custkey fans out over priorities) in a
+    single melt pass."""
+    from flink_ml__spark.functions.linkage import (
+        FunctionalDependencyProfiler,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (FunctionalDependencyProfiler()
+            .setRules("o_orderkey->o_custkey",
+                      "o_custkey->o_orderpriority")
+            .transform(orders))
+
+
+ORACLE_FD_PROFILE = """
+WITH cells AS (
+  SELECT 'o_orderkey->o_custkey' AS rule,
+         o_orderkey::VARCHAR AS k,
+         coalesce(o_custkey::VARCHAR, '␀') AS v
+  FROM orders WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority',
+         o_custkey::VARCHAR,
+         coalesce(o_orderpriority, '␀')
+  FROM orders WHERE o_custkey IS NOT NULL),
+pairs AS (SELECT DISTINCT rule, k, v FROM cells),
+per_key AS (SELECT rule, k, count(*) AS nv FROM pairs GROUP BY 1, 2)
+SELECT rule,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       round(avg(CASE WHEN nv > 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS violation_rate,
+       max(nv)::BIGINT AS max_fanout
+FROM per_key GROUP BY rule
+"""
+
+
 _NB_V = 4096
 
 
@@ -9081,6 +9181,8 @@ QUERIES = {
     "otsu_threshold_documents": q_otsu_threshold_documents,
     "gini_documents": q_gini_documents,
     "spearman_lineitem": q_spearman_lineitem,
+    "attribution_events": q_attribution_events,
+    "fd_profile_orders": q_fd_profile_orders,
     "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
     "temperature_mix_documents": q_temperature_mix_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
@@ -9298,6 +9400,8 @@ ORACLES = {
     "otsu_threshold_documents": ORACLE_OTSU,
     "gini_documents": ORACLE_GINI,
     "spearman_lineitem": ORACLE_SPEARMAN,
+    "attribution_events": ORACLE_ATTRIBUTION,
+    "fd_profile_orders": ORACLE_FD_PROFILE,
     "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),

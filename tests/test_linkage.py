@@ -331,3 +331,27 @@ def test_golden_record_bad_params(spark):
 
     with _pt.raises(ValueError):
         GoldenRecordBuilder().setValueCols([])
+
+
+def test_functional_dependency_profiler(spark):
+    from flink_ml__spark.functions.linkage import (
+        FunctionalDependencyProfiler,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 11), (2, "y", 10), (2, "z", 10),
+         (3, None, 10), (None, "q", 10)],
+        ["a", "b", "c"])
+    got = {r["rule"]: r for r in
+           (FunctionalDependencyProfiler().setRules("a->b", "a->c")
+            .transform(df).collect())}
+    ab = got["a->b"]
+    assert (ab["n_keys"], ab["n_violating_keys"]) == (3, 1)
+    assert ab["violation_rate"] == 0.333333 and ab["max_fanout"] == 2
+    ac = got["a->c"]
+    assert (ac["n_keys"], ac["n_violating_keys"]) == (3, 1)  # a=1 -> 10,11
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        FunctionalDependencyProfiler().setRules("a=b")
+    with _pt.raises(ValueError):
+        FunctionalDependencyProfiler().transform(df)

@@ -531,3 +531,33 @@ def test_interval_overlap_bad_param(spark):
 
     with _pt.raises(ValueError):
         IntervalOverlapJoiner().setBucketWidthSec(-1)
+
+
+def test_attribution_analyzer(spark):
+    """First/last/linear credit: journeys segment at conversions,
+    never-converting touches earn nothing, bare conversions land in
+    the __unattributed__ row."""
+    from datetime import datetime, timedelta
+
+    from flink_ml__spark.functions.sessions import AttributionAnalyzer
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("A", 1, t0 + timedelta(minutes=1), "ad"),
+        ("A", 2, t0 + timedelta(minutes=2), "email"),
+        ("A", 3, t0 + timedelta(minutes=3), "purchase"),
+        ("A", 4, t0 + timedelta(minutes=4), "email"),
+        ("A", 5, t0 + timedelta(minutes=5), "purchase"),
+        ("B", 6, t0 + timedelta(minutes=1), "purchase"),
+        ("C", 7, t0 + timedelta(minutes=1), "ad"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long,"
+                                     " ts timestamp, event_type string")
+    got = {r["channel"]: (r["n_touches"], r["first_touch"],
+                          r["last_touch"], r["linear_credit"])
+           for r in AttributionAnalyzer().transform(df).collect()}
+    assert got["ad"] == (1, 1, 0, 0.5)
+    assert got["email"] == (2, 1, 2, 1.5)
+    assert got["__unattributed__"] == (0, 1, 1, 0.0)
+    # conservation: linear credit sums to attributed conversions
+    assert abs(sum(v[3] for v in got.values()) - 2.0) < 1e-9
