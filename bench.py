@@ -209,6 +209,7 @@ HEADLINE = [
     "spearman_lineitem",
     "attribution_events",
     "fd_profile_orders",
+    "partition_health_orders",
     "paraphrase_pairs_documents",
     "temperature_mix_documents",
     "leakage_safe_split_documents",

@@ -866,3 +866,78 @@ class FunctionalDependencyProfiler(AlgoOperator):
             F.round(F.avg(F.when(F.col("__nv") > 1, 1.0)
                           .otherwise(0.0)), 6).alias("violation_rate"),
             F.max("__nv").alias("max_fanout")))
+
+
+class PartitionHealthAuditor(AlgoOperator):
+    """Per-partition ingestion health: row counts and key-column null
+    rates for every value of a partition column (ingest date, source,
+    region), with the row-count delta against the PREVIOUS partition —
+    the "did yesterday's load look like today's" report that catches
+    half-loaded partitions and upstream schema accidents before any
+    model does.
+
+    ``transform(df)`` → one row per (partition value, checked column)::
+
+        <partitionCol>   the partition value (string; NULL = missing)
+        column           checked column name
+        n_rows           rows in the partition
+        n_null           NULLs of the column in the partition
+        null_frac        n_null / n_rows
+        prev_n_rows      previous partition's row count (order by
+                         partition value ascending; NULL for first)
+        row_delta_frac   (n_rows − prev) / prev
+
+    ONE melt aggregation over the data (O(partitions · cols) output)
+    plus a lag window over the aggregated table. At 100 TB the scan
+    prunes to the partitions selected upstream; nothing here is ever
+    wider than the partition × column grid."""
+
+    partitionCol = Param(Params._dummy(), "partitionCol",
+                         "partition column", TypeConverters.toString)
+    checkCols = Param(Params._dummy(), "checkCols",
+                      "columns whose null rates are audited",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(partitionCol="ds", checkCols=[])
+
+    def setPartitionCol(self, v):
+        return self._set(partitionCol=v)
+
+    def setCheckCols(self, *v):
+        if len(v) == 1 and isinstance(v[0], (list, tuple)):
+            v = tuple(v[0])
+        if not v:
+            raise ValueError("need at least one check column")
+        return self._set(checkCols=list(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        p = self.getOrDefault(self.partitionCol)
+        cols = self.getOrDefault(self.checkCols)
+        if not cols:
+            raise ValueError("no check columns — call setCheckCols")
+        per = (df.groupBy(F.col(p).cast("string").alias(p))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    *[F.sum(F.col(c).isNull().cast("bigint"))
+                      .alias(f"__n_{i}") for i, c in enumerate(cols)]))
+        w = Window.orderBy(p)
+        per = per.withColumn("prev_n_rows", F.lag("n_rows").over(w))
+        rows = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.col(f"__n_{i}").alias("n_null"))
+            for i, c in enumerate(cols)]))
+        return (per.select(p, "n_rows", "prev_n_rows",
+                           rows.alias("__r"))
+                .select(p, F.col("__r.column").alias("column"),
+                        "n_rows", F.col("__r.n_null").alias("n_null"),
+                        F.round(F.col("__r.n_null")
+                                / F.col("n_rows"), 6)
+                        .alias("null_frac"),
+                        "prev_n_rows",
+                        F.round((F.col("n_rows")
+                                 - F.col("prev_n_rows"))
+                                / F.col("prev_n_rows"), 6)
+                        .alias("row_delta_frac")))

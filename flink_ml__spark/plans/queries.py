@@ -9104,6 +9104,41 @@ FROM per_key GROUP BY rule
 """
 
 
+def q_partition_health_orders(spark, sf_dir):
+    """PartitionHealthAuditor gate: per order-month row counts, null
+    rates of two key columns, and month-over-month row deltas — one
+    melt aggregation + a lag window over the O(partitions) table."""
+    from flink_ml__spark.functions.linkage import PartitionHealthAuditor
+
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "ds", F.date_format("o_orderdate", "yyyy-MM"))
+    return (PartitionHealthAuditor().setPartitionCol("ds")
+            .setCheckCols("o_totalprice", "o_orderpriority")
+            .transform(orders))
+
+
+ORACLE_PARTITION_HEALTH = """
+WITH per AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ds,
+         count(*) AS n_rows,
+         sum((o_totalprice IS NULL)::INT) AS n0,
+         sum((o_orderpriority IS NULL)::INT) AS n1
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT *, lag(n_rows) OVER (ORDER BY ds) AS prev_n_rows FROM per)
+SELECT ds, 'o_totalprice' AS column, n_rows, n0 AS n_null,
+       round(n0 / n_rows::DOUBLE, 6) AS null_frac, prev_n_rows,
+       round((n_rows - prev_n_rows) / prev_n_rows::DOUBLE, 6)
+         AS row_delta_frac
+FROM lagged
+UNION ALL
+SELECT ds, 'o_orderpriority', n_rows, n1,
+       round(n1 / n_rows::DOUBLE, 6), prev_n_rows,
+       round((n_rows - prev_n_rows) / prev_n_rows::DOUBLE, 6)
+FROM lagged
+"""
+
+
 _NB_V = 4096
 
 
@@ -9183,6 +9218,7 @@ QUERIES = {
     "spearman_lineitem": q_spearman_lineitem,
     "attribution_events": q_attribution_events,
     "fd_profile_orders": q_fd_profile_orders,
+    "partition_health_orders": q_partition_health_orders,
     "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
     "temperature_mix_documents": q_temperature_mix_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
@@ -9402,6 +9438,7 @@ ORACLES = {
     "spearman_lineitem": ORACLE_SPEARMAN,
     "attribution_events": ORACLE_ATTRIBUTION,
     "fd_profile_orders": ORACLE_FD_PROFILE,
+    "partition_health_orders": ORACLE_PARTITION_HEALTH,
     "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),

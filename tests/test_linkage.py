@@ -355,3 +355,27 @@ def test_functional_dependency_profiler(spark):
         FunctionalDependencyProfiler().setRules("a=b")
     with _pt.raises(ValueError):
         FunctionalDependencyProfiler().transform(df)
+
+
+def test_partition_health_auditor(spark):
+    from flink_ml__spark.functions.linkage import PartitionHealthAuditor
+
+    rows = [("2024-01-01", 1.0, "a")] * 10 \
+        + [("2024-01-02", None, "b")] * 5 \
+        + [("2024-01-02", 2.0, None)] * 5 \
+        + [("2024-01-03", 3.0, "c")] * 2  # 80% drop
+    df = spark.createDataFrame(rows, "ds string, v double, s string")
+    got = {(r["ds"], r["column"]): r
+           for r in (PartitionHealthAuditor().setPartitionCol("ds")
+                     .setCheckCols("v", "s").transform(df).collect())}
+    assert got[("2024-01-01", "v")]["prev_n_rows"] is None
+    d2v = got[("2024-01-02", "v")]
+    assert (d2v["n_rows"], d2v["n_null"], d2v["null_frac"]) == (10, 5, 0.5)
+    assert d2v["row_delta_frac"] == 0.0
+    d3 = got[("2024-01-03", "s")]
+    assert d3["row_delta_frac"] == -0.8  # the half-loaded partition
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        PartitionHealthAuditor().transform(df)
+    with _pt.raises(ValueError):
+        PartitionHealthAuditor().setCheckCols()
