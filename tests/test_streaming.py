@@ -1349,7 +1349,10 @@ def test_stream_text_hygiene_chain_matches_batch(spark):
     import shutil
     import tempfile as _tf
 
-    from flink_ml__spark.functions.text import EncodingCorruptionDetector
+    from flink_ml__spark.functions.text import (
+        CodeDensityProfiler,
+        EncodingCorruptionDetector,
+    )
     from flink_ml__spark.functions.web import OutlinkExtractor
 
     rows = [
@@ -1363,7 +1366,11 @@ def test_stream_text_hygiene_chain_matches_batch(spark):
     def chain(frame):
         flagged = EncodingCorruptionDetector().transform(frame)
         clean = flagged.filter(~flagged.is_corrupt)
-        return OutlinkExtractor().transform(clean)
+        # route code documents out of the link-extraction path — the
+        # profiler is a pure projection, so the chain stays map-only
+        prose = (CodeDensityProfiler().transform(clean)
+                 .filter("NOT is_code"))
+        return OutlinkExtractor().transform(prose)
 
     def canon(frame):
         return sorted((r["doc_id"], r["outlink"], r["out_domain"])
