@@ -1059,3 +1059,92 @@ class GiniConcentration(AlgoOperator):
                 F.sum((2 * F.col("__i") - F.col("__n") - 1)
                       * F.col("__w"))
                 / (F.count(F.lit(1)) * F.sum("__w")), 6).alias("gini"))
+
+
+class WelchTTest(AlgoOperator):
+    """Welch's unequal-variance two-sample t-test: does a numeric
+    metric's mean differ between two named groups?
+
+    The moment-based companion to :class:`KolmogorovSmirnovTest` /
+    :class:`MannWhitneyUTest` (distribution-shape tests) — Welch is
+    the default mean test when group variances differ (Welch 1947;
+    scipy's ``ttest_ind(equal_var=False)``).
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_a, n_b       rows with non-null value in each group
+        mean_a, mean_b group means
+        t_stat         (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b)
+                       (NULL when either group has <2 rows or the
+                       pooled standard error is 0)
+        dof            Welch–Satterthwaite degrees of freedom
+        significant    |t| > 1.96 (normal approximation, valid for
+                       the large-n regime this engine targets)
+
+    Scale shape: ONE conditional hash aggregation over the filtered
+    two-group slice produces (n, Σy, Σy²) per side; everything else is
+    arithmetic on a 1-row table. No window, no sort, no second scan.
+    Sample variance uses the Σy²−(Σy)²/n identity, so the plan is a
+    single partial-aggregate + final-aggregate pair at any data size.
+    """
+
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "numeric metric column", TypeConverters.toString)
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "group label column", TypeConverters.toString)
+    groupA = Param(Params._dummy(), "groupA",
+                   "label of the first sample", TypeConverters.toString)
+    groupB = Param(Params._dummy(), "groupB",
+                   "label of the second sample", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(valueCol="value", groupCol="group")
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setGroups(self, a: str, b: str):
+        if a == b:
+            raise ValueError("groupA and groupB must differ")
+        return self._set(groupA=a, groupB=b)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.groupA)
+                or not self.isDefined(self.groupB)):
+            raise ValueError("setGroups(a, b) is required")
+        a = self.getOrDefault(self.groupA)
+        b = self.getOrDefault(self.groupB)
+        y = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+
+        def side(lbl, suf):
+            v = F.when(g == lbl, y)
+            return [F.count(v).alias(f"__n{suf}"),
+                    F.sum(v).alias(f"__s{suf}"),
+                    F.sum(v * v).alias(f"__ss{suf}")]
+
+        tot = (df.filter(y.isNotNull() & g.isin(a, b))
+               .agg(*side(a, "a"), *side(b, "b")))
+        na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+        ma = F.col("__sa") / na
+        mb = F.col("__sb") / nb
+        # sample variance / n, via the sum-of-squares identity
+        va_n = (F.col("__ssa") - F.col("__sa") * ma) / (na - 1) / na
+        vb_n = (F.col("__ssb") - F.col("__sb") * mb) / (nb - 1) / nb
+        se2 = va_n + vb_n
+        ok = (na > 1) & (nb > 1) & (se2 > 0)
+        t = F.when(ok, (ma - mb) / F.sqrt(se2))
+        dof = F.when(ok, se2 * se2 / (va_n * va_n / (na - 1)
+                                      + vb_n * vb_n / (nb - 1)))
+        return tot.select(
+            F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+            ma.alias("mean_a"), mb.alias("mean_b"),
+            t.alias("t_stat"), dof.alias("dof"),
+            F.coalesce(F.abs(t) > 1.96, F.lit(False)).alias("significant"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

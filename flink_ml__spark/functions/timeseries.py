@@ -1457,3 +1457,195 @@ class WindowedQuantileProfiler(AlgoOperator):
                         .alias(self._qname(p)))
         return (base.groupBy(F.col(k), bucket.alias("bucket_start"))
                 .agg(*aggs))
+
+
+def _bucketed_series(df: DataFrame, key: str, ts: str, value: str,
+                     bucket_us: int, max_buckets: int) -> DataFrame:
+    """Per-key bucketed series bounded to the most recent buckets:
+    (key, __b bucket index, __y per-bucket mean value).
+
+    The shared prep for the robust-trend family (Theil–Sen,
+    Mann–Kendall): bucketing first makes the point set per key
+    DETERMINISTIC (per-bucket mean — no tie-order sensitivity) and
+    BOUNDED (``max_buckets`` most recent), so the O(m²) pairwise pass
+    downstream is O(max_buckets²) per key regardless of data size —
+    the same "aggregate to a fixed grid, then run the quadratic
+    statistic on the grid" shape every 100 TB trend monitor uses.
+
+    Consumers reference this frame several times (medians + both pair
+    sides); the (key, bucket) exchanges canonicalize identically, so
+    at runtime Spark's ReuseExchange runs the data-sized scan +
+    partial aggregate ONCE (verified: 2 ReusedExchange nodes in the
+    executed Theil–Sen plan).
+    """
+    v = F.col(value).cast("double")
+    per = (df.filter(F.col(ts).isNotNull() & v.isNotNull()
+                     & F.col(key).isNotNull())
+           .groupBy(F.col(key).alias("__k"),
+                    # floor division (not cast-truncate) so pre-1970
+                    # negative-micros timestamps bucket identically to
+                    # F.window / the SQL oracle's floor()
+                    F.floor(F.unix_micros(F.col(ts)) / F.lit(bucket_us))
+                    .cast("bigint").alias("__b"))
+           .agg(F.avg(v).alias("__y")))
+    rk = F.row_number().over(
+        Window.partitionBy("__k").orderBy(F.desc("__b")))
+    return per.withColumn("__r", rk).filter(
+        F.col("__r") <= max_buckets).drop("__r")
+
+
+class _RobustTrendBase(AlgoOperator):
+    """Shared params/prep for :class:`TheilSenTrendEstimator` and
+    :class:`MannKendallTrendTest`."""
+
+    keyCol = Param(Params._dummy(), "keyCol",
+                   "series key column", TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol",
+                    "event-time column", TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "numeric metric column", TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "bucket width in seconds",
+                           TypeConverters.toFloat)
+    maxBuckets = Param(Params._dummy(), "maxBuckets",
+                       "most-recent buckets kept per key (bounds the "
+                       "pairwise pass)", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="key", timeCol="ts", valueCol="value",
+                         bucketWidthSec=86400.0, maxBuckets=128)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setBucketWidthSec(self, v):
+        if v <= 0:
+            raise ValueError("bucketWidthSec must be positive")
+        return self._set(bucketWidthSec=float(v))
+
+    def setMaxBuckets(self, v):
+        if v < 2:
+            raise ValueError("maxBuckets must be at least 2")
+        return self._set(maxBuckets=int(v))
+
+    def _series(self, df: DataFrame) -> DataFrame:
+        return _bucketed_series(
+            df, self.getOrDefault(self.keyCol),
+            self.getOrDefault(self.timeCol),
+            self.getOrDefault(self.valueCol),
+            int(self.getOrDefault(self.bucketWidthSec) * 1_000_000),
+            self.getOrDefault(self.maxBuckets))
+
+    def _pairs(self, ser: DataFrame) -> DataFrame:
+        a = ser.select(F.col("__k"), F.col("__b").alias("__b1"),
+                       F.col("__y").alias("__y1"))
+        b = ser.select(F.col("__k"), F.col("__b").alias("__b2"),
+                       F.col("__y").alias("__y2"))
+        return a.join(b, on="__k").filter(F.col("__b1") < F.col("__b2"))
+
+
+class TheilSenTrendEstimator(_RobustTrendBase):
+    """Theil–Sen robust slope per series: the median of all pairwise
+    slopes over the key's bucketed recent history (Theil 1950, Sen
+    1968 — up to ~29% outlier breakdown vs 0% for OLS; the standard
+    robust-trend readout for noisy operational metrics).
+
+    ``transform(df)`` returns one row per key::
+
+        <keyCol>    series key
+        n_points    buckets entering the estimate (≤ maxBuckets)
+        n_pairs     n_points·(n_points−1)/2 pairwise slopes
+        slope       median pairwise slope, in value-units PER BUCKET
+        intercept   median(y) − slope·median(b) (b = bucket index),
+                    so ŷ(b) = slope·b + intercept
+
+    Keys with <2 buckets emit no row. Scale shape: per-bucket mean
+    aggregation (one shuffle on (key, bucket)) → maxBuckets-bounded
+    per-key self-join (co-partitioned on the key, never a cartesian
+    across keys) → exact interpolated median via ``percentile``.
+    The quadratic is against the BUCKET GRID, not the data: 128
+    buckets → ≤ 8,128 pairs per key at any input size.
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ser = self._series(df)
+        meds = ser.groupBy("__k").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.percentile(F.col("__y"), F.lit(0.5)).alias("__my"),
+            F.percentile(F.col("__b").cast("double"),
+                         F.lit(0.5)).alias("__mb"))
+        sl = (self._pairs(ser)
+              .withColumn("__s", (F.col("__y2") - F.col("__y1"))
+                          / (F.col("__b2") - F.col("__b1")))
+              .groupBy("__k")
+              .agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.percentile(F.col("__s"), F.lit(0.5))
+                   .alias("slope")))
+        key = self.getOrDefault(self.keyCol)
+        return (meds.join(sl, on="__k")
+                .select(F.col("__k").alias(key), "n_points", "n_pairs",
+                        "slope",
+                        (F.col("__my") - F.col("slope") * F.col("__mb"))
+                        .alias("intercept")))
+
+
+class MannKendallTrendTest(_RobustTrendBase):
+    """Mann–Kendall monotonic-trend test per series (Mann 1945,
+    Kendall 1975): S = Σ_{i<j} sign(y_j − y_i) over the bucketed
+    recent history, with the tie-corrected normal approximation —
+    the hypothesis-test companion to :class:`TheilSenTrendEstimator`'s
+    effect size.
+
+    ``transform(df)`` returns one row per key::
+
+        <keyCol>    series key
+        n_points    buckets entering the test
+        s_stat      Kendall S (positive = rising)
+        var_s       tie-corrected Var(S) =
+                    [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+        z_stat      continuity-corrected (S∓1)/√Var(S); 0 when S=0;
+                    NULL when Var(S)=0
+        trend       'increasing' / 'decreasing' at |z| > 1.96, else
+                    'no_trend'
+
+    Keys with <2 buckets emit no row. Same bounded scale shape as
+    Theil–Sen: the pairwise pass runs on the ≤maxBuckets bucket grid,
+    co-partitioned per key; the tie term is one extra aggregation on
+    the same grid.
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ser = self._series(df)
+        s = (self._pairs(ser)
+             .groupBy("__k")
+             .agg(F.sum(F.signum(F.col("__y2") - F.col("__y1"))
+                        .cast("bigint")).alias("s_stat")))
+        n = ser.groupBy("__k").agg(F.count(F.lit(1)).alias("n_points"))
+        ties = (ser.groupBy("__k", "__y")
+                .agg(F.count(F.lit(1)).alias("__t"))
+                .groupBy("__k")
+                .agg(F.sum(F.col("__t") * (F.col("__t") - 1)
+                           * (2 * F.col("__t") + 5)).alias("__tie")))
+        joined = n.join(s, on="__k").join(ties, on="__k")
+        nn = F.col("n_points").cast("double")
+        var_s = (nn * (nn - 1) * (2 * nn + 5)
+                 - F.col("__tie").cast("double")) / 18.0
+        ss = F.col("s_stat").cast("double")
+        z = F.when(var_s > 0,
+                   F.when(ss > 0, (ss - 1) / F.sqrt(var_s))
+                    .when(ss < 0, (ss + 1) / F.sqrt(var_s))
+                    .otherwise(F.lit(0.0)))
+        key = self.getOrDefault(self.keyCol)
+        return joined.select(
+            F.col("__k").alias(key), "n_points", "s_stat",
+            var_s.alias("var_s"), z.alias("z_stat"),
+            F.when(z > 1.96, F.lit("increasing"))
+             .when(z < -1.96, F.lit("decreasing"))
+             .otherwise(F.lit("no_trend")).alias("trend"))

@@ -9207,6 +9207,152 @@ FROM documents WHERE text IS NULL
 """
 
 
+def q_welch_ttest_events(spark, sf_dir):
+    """Welch unequal-variance t-test gate: purchase vs click event
+    values — per-side (n, Σy, Σy²) from ONE conditional aggregation,
+    t / Welch–Satterthwaite dof replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import WelchTTest
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (WelchTTest().setValueCol("value").setGroupCol("event_type")
+           .setGroups("purchase", "click").evaluate(ev))
+    return out.select("n_a", "n_b",
+                      F.round("mean_a", R).alias("mean_a"),
+                      F.round("mean_b", R).alias("mean_b"),
+                      F.round("t_stat", R).alias("t_stat"),
+                      F.round("dof", R).alias("dof"),
+                      "significant")
+
+
+ORACLE_WELCH_TTEST = f"""
+WITH t AS (
+  SELECT count(CASE WHEN event_type = 'purchase' THEN value END)::BIGINT
+             AS na,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN value::DOUBLE END) AS sa,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN value::DOUBLE ^ 2 END) AS ssa,
+         count(CASE WHEN event_type = 'click' THEN value END)::BIGINT
+             AS nb,
+         sum(CASE WHEN event_type = 'click'
+                  THEN value::DOUBLE END) AS sb,
+         sum(CASE WHEN event_type = 'click'
+                  THEN value::DOUBLE ^ 2 END) AS ssb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+m AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         (ssa - sa * sa / na) / (na - 1) / na AS van,
+         (ssb - sb * sb / nb) / (nb - 1) / nb AS vbn
+  FROM t),
+s AS (
+  SELECT *, CASE WHEN na > 1 AND nb > 1 AND van + vbn > 0
+                 THEN (ma - mb) / sqrt(van + vbn) END AS tt
+  FROM m)
+SELECT na AS n_a, nb AS n_b,
+       round(ma, {R}) AS mean_a, round(mb, {R}) AS mean_b,
+       round(tt, {R}) AS t_stat,
+       round(CASE WHEN tt IS NOT NULL
+                  THEN (van + vbn) ^ 2
+                       / (van * van / (na - 1) + vbn * vbn / (nb - 1))
+             END, {R}) AS dof,
+       coalesce(abs(tt) > 1.96, false) AS significant
+FROM s
+"""
+
+
+_TREND_SQL_SERIES = """
+per AS (SELECT event_type AS k,
+               floor(epoch_us(ts) / 86400000000.0)::BIGINT AS b,
+               avg(value::DOUBLE) AS y
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+rec AS (SELECT k, b, y FROM (
+          SELECT *, row_number() OVER (PARTITION BY k
+                                       ORDER BY b DESC) AS r
+          FROM per)
+        WHERE r <= 16)
+"""
+
+
+def q_theilsen_events(spark, sf_dir):
+    """Theil–Sen robust trend gate: median pairwise slope of the daily
+    mean event value per event_type over the 16 most recent days —
+    bucket grid, recency bound, pairwise slopes and interpolated
+    medians all replay exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import TheilSenTrendEstimator
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (TheilSenTrendEstimator().setKeyCol("event_type")
+           .setTimeCol("ts").setValueCol("value")
+           .setBucketWidthSec(86400.0).setMaxBuckets(16).transform(ev))
+    return out.select("event_type", "n_points", "n_pairs",
+                      F.round("slope", R).alias("slope"),
+                      F.round("intercept", R).alias("intercept"))
+
+
+ORACLE_THEILSEN = f"""
+WITH {_TREND_SQL_SERIES},
+meds AS (SELECT k, count(*)::BIGINT AS n_points,
+                quantile_cont(y, 0.5) AS my,
+                quantile_cont(b::DOUBLE, 0.5) AS mb
+         FROM rec GROUP BY 1),
+sl AS (SELECT a.k AS k, count(*)::BIGINT AS n_pairs,
+              quantile_cont((c.y - a.y) / (c.b - a.b), 0.5) AS slope
+       FROM rec a JOIN rec c ON a.k = c.k AND a.b < c.b
+       GROUP BY 1)
+SELECT meds.k AS event_type, n_points, n_pairs,
+       round(slope, {R}) AS slope,
+       round(my - slope * mb, {R}) AS intercept
+FROM meds JOIN sl ON meds.k = sl.k
+"""
+
+
+def q_mann_kendall_events(spark, sf_dir):
+    """Mann–Kendall monotonic-trend gate on the same bounded daily
+    grid as the Theil–Sen gate: S, tie-corrected Var(S) and the
+    continuity-corrected z replay exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import MannKendallTrendTest
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (MannKendallTrendTest().setKeyCol("event_type")
+           .setTimeCol("ts").setValueCol("value")
+           .setBucketWidthSec(86400.0).setMaxBuckets(16).transform(ev))
+    return out.select("event_type", "n_points", "s_stat",
+                      F.round("var_s", R).alias("var_s"),
+                      F.round("z_stat", R).alias("z_stat"), "trend")
+
+
+ORACLE_MANN_KENDALL = f"""
+WITH {_TREND_SQL_SERIES},
+s AS (SELECT a.k AS k,
+             sum(sign(c.y - a.y))::BIGINT AS s_stat
+      FROM rec a JOIN rec c ON a.k = c.k AND a.b < c.b
+      GROUP BY 1),
+n AS (SELECT k, count(*)::BIGINT AS n_points FROM rec GROUP BY 1),
+ties AS (SELECT k, sum(t * (t - 1) * (2 * t + 5)) AS tie
+         FROM (SELECT k, y, count(*) AS t FROM rec GROUP BY 1, 2)
+         GROUP BY 1),
+j AS (SELECT n.k, n_points, s_stat,
+             (n_points * (n_points - 1.0) * (2 * n_points + 5)
+              - tie) / 18.0 AS var_s
+      FROM n JOIN s ON n.k = s.k JOIN ties ON n.k = ties.k),
+z AS (SELECT *, CASE WHEN var_s > 0 THEN
+                  CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                       WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                       ELSE 0.0 END END AS zs
+      FROM j)
+SELECT k AS event_type, n_points, s_stat,
+       round(var_s, {R}) AS var_s, round(zs, {R}) AS z_stat,
+       CASE WHEN zs > 1.96 THEN 'increasing'
+            WHEN zs < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -9427,6 +9573,9 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "welch_ttest_events": q_welch_ttest_events,
+    "theilsen_events": q_theilsen_events,
+    "mann_kendall_events": q_mann_kendall_events,
 }
 
 ORACLES = {
@@ -9658,4 +9807,7 @@ ORACLES = {
     "temporal_split_events": ORACLE_TEMPORAL_SPLIT,
     "correlation_rank_lineitem": ORACLE_CORRELATION_RANK,
     "hashed_tfidf_documents": ORACLE_HASHED_TFIDF,
+    "welch_ttest_events": ORACLE_WELCH_TTEST,
+    "theilsen_events": ORACLE_THEILSEN,
+    "mann_kendall_events": ORACLE_MANN_KENDALL,
 }

@@ -640,3 +640,31 @@ def test_round9_batch2_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     p = _plan(spark, "temperature_mix_documents")
     assert "SortMergeJoin" not in p and "Python" not in p
+
+
+def test_welch_single_pass_no_join(spark):
+    """Welch t: ONE conditional aggregation pass — no join, no window,
+    no Python; the scan prunes to (event_type, value)."""
+    plan = _plan(spark, "welch_ttest_events")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_type", "value"}, cols
+
+
+@pytest.mark.parametrize("name", ["theilsen_events", "mann_kendall_events"])
+def test_robust_trend_pairs_are_keyed_not_cartesian(spark, name):
+    """Theil–Sen / Mann–Kendall pairwise pass is a key-equi self-join
+    on the BUCKETED grid (≤ maxBuckets rows/key), never a cartesian;
+    no Python; scan prunes to (event_type, ts, value)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_type", "ts", "value"}, cols

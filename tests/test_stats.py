@@ -593,3 +593,50 @@ def test_spearman_correlation(spark):
         SpearmanCorrelation().setInputCols("x").transform(df)
     with _pt.raises(ValueError):
         SpearmanCorrelation().setInputCols("x", "x")
+
+
+# ---------------------------------------------------------------------------
+# WelchTTest
+# ---------------------------------------------------------------------------
+
+def test_welch_golden(spark):
+    # A=[1,2,3,4], B=[2,4,6,8,10]: scipy ttest_ind(equal_var=False)
+    # gives t=-2.251443, dof=5.520776
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0), ("b", 10.0)],
+        "g string, v double")
+    from flink_ml__spark.functions.stats import WelchTTest
+    r = (WelchTTest().setValueCol("v").setGroupCol("g")
+         .setGroups("a", "b").evaluate(df).first())
+    assert r["n_a"] == 4 and r["n_b"] == 5
+    assert abs(r["mean_a"] - 2.5) < 1e-12
+    assert abs(r["mean_b"] - 6.0) < 1e-12
+    assert abs(r["t_stat"] - (-2.2514363)) < 1e-6
+    assert abs(r["dof"] - 5.5207877) < 1e-6
+    assert bool(r["significant"]) is True
+
+
+def test_welch_nulls_degenerate_validation(spark):
+    from flink_ml__spark.functions.stats import WelchTTest
+    # group with <2 rows -> NULL t, not significant
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0), ("a", None),
+         ("c", 9.0)], "g string, v double")
+    r = (WelchTTest().setValueCol("v").setGroupCol("g")
+         .setGroups("a", "b").evaluate(df).first())
+    assert r["n_a"] == 1 and r["n_b"] == 2
+    assert r["t_stat"] is None and r["dof"] is None
+    assert bool(r["significant"]) is False
+    # zero-variance both sides -> se2 = 0 -> NULL t
+    z = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double")
+    r = (WelchTTest().setValueCol("v").setGroupCol("g")
+         .setGroups("a", "b").evaluate(z).first())
+    assert r["t_stat"] is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="differ"):
+        WelchTTest().setGroups("a", "a")
+    with _pt.raises(ValueError, match="setGroups"):
+        WelchTTest().evaluate(df)

@@ -889,3 +889,85 @@ def test_interarrival_profiler(spark):
     assert s["cv"] == 0.0 and s["burstiness"] == -1.0
     assert b["mean_gap_s"] == 25.25
     assert b["burstiness"] > 0.3  # strongly bursty
+
+
+# ---------------------------------------------------------------------------
+# TheilSenTrendEstimator / MannKendallTrendTest
+# ---------------------------------------------------------------------------
+
+def _trend_df(spark, ys, key="k", day0="2024-01-01"):
+    import datetime
+    base = datetime.datetime.fromisoformat(day0)
+    rows = [(key, base + datetime.timedelta(days=i, hours=1), float(y))
+            for i, y in enumerate(ys)]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_theilsen_golden(spark):
+    # y=[1,2,4,3] at buckets 0..3: pairwise slopes
+    # [1, 1.5, 2/3, 2, 0.5, -1] -> median (2/3+1)/2 = 0.833333;
+    # intercept = median(y)=2.5 - slope*median(b)=1.5 -> 1.25
+    from flink_ml__spark.functions.timeseries import TheilSenTrendEstimator
+    df = _trend_df(spark, [1, 2, 4, 3])
+    r = (TheilSenTrendEstimator().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v").transform(df).first())
+    assert r["n_points"] == 4 and r["n_pairs"] == 6
+    assert abs(r["slope"] - (2 / 3 + 1) / 2) < 1e-12
+    # bucket indices are absolute epoch-day numbers; recompute exactly
+    b0 = 19723  # 2024-01-01 epoch day
+    expected_intercept = 2.5 - r["slope"] * (b0 + 1.5)
+    assert abs(r["intercept"] - expected_intercept) < 1e-9
+
+
+def test_theilsen_bucket_mean_and_bound(spark):
+    import datetime
+    from flink_ml__spark.functions.timeseries import TheilSenTrendEstimator
+    base = datetime.datetime(2024, 1, 1)
+    # two points in day 0 average to 2.0; day 1 = 4.0 -> slope 2
+    rows = [("k", base + datetime.timedelta(hours=1), 1.0),
+            ("k", base + datetime.timedelta(hours=2), 3.0),
+            ("k", base + datetime.timedelta(days=1), 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = (TheilSenTrendEstimator().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v").transform(df).first())
+    assert r["n_points"] == 2 and abs(r["slope"] - 2.0) < 1e-12
+    # maxBuckets=2 keeps the most recent two days of [1,2,4,3]
+    df4 = _trend_df(spark, [1, 2, 4, 3])
+    r = (TheilSenTrendEstimator().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v").setMaxBuckets(2).transform(df4).first())
+    assert r["n_points"] == 2 and r["n_pairs"] == 1
+    assert abs(r["slope"] - (-1.0)) < 1e-12
+    # single-bucket key emits no row
+    one = _trend_df(spark, [5])
+    assert (TheilSenTrendEstimator().setKeyCol("k").setTimeCol("ts")
+            .setValueCol("v").transform(one).count() == 0)
+
+
+def test_mann_kendall_golden_and_ties(spark):
+    from flink_ml__spark.functions.timeseries import MannKendallTrendTest
+    # y=[1,2,4,3]: S=4, var=4*3*13/18=8.6667, z=(4-1)/sqrt(8.6667)
+    r = (MannKendallTrendTest().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v").transform(_trend_df(spark, [1, 2, 4, 3]))
+         .first())
+    assert r["s_stat"] == 4 and r["n_points"] == 4
+    assert abs(r["var_s"] - 156 / 18) < 1e-9
+    assert abs(r["z_stat"] - 3 / (156 / 18) ** 0.5) < 1e-9
+    assert r["trend"] == "no_trend"
+    # ties: y=[1,1,2] -> S=2, tie term 2*1*9=18, var=(66-18)/18
+    r = (MannKendallTrendTest().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v").transform(_trend_df(spark, [1, 1, 2]))
+         .first())
+    assert r["s_stat"] == 2
+    assert abs(r["var_s"] - 48 / 18) < 1e-9
+    assert abs(r["z_stat"] - 1 / (48 / 18) ** 0.5) < 1e-9
+    # strong monotone run is detected
+    r = (MannKendallTrendTest().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v")
+         .transform(_trend_df(spark, list(range(12)))).first())
+    assert r["trend"] == "increasing"
+    # all-equal series: S=0, var_s=0 -> NULL z
+    r = (MannKendallTrendTest().setKeyCol("k").setTimeCol("ts")
+         .setValueCol("v").transform(_trend_df(spark, [7, 7, 7]))
+         .first())
+    assert r["s_stat"] == 0 and r["z_stat"] is None
+    assert r["trend"] == "no_trend"
