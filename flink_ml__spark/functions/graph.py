@@ -597,3 +597,87 @@ class KCoreExtractor(AlgoOperator):
                 .unionAll(cur.select(F.col("v")))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("core_degree")))
+
+
+class DegreeAssortativity(AlgoOperator):
+    """Degree assortativity coefficient of an undirected graph
+    (Newman 2002, "Assortative mixing in networks"): the Pearson
+    correlation of the degrees at the two ends of every edge.
+    Positive r = hubs attach to hubs (social nets), negative r = hubs
+    attach to leaves (the web, infrastructure), |r| near 0 = neutral —
+    the one-number summary monitoring pipelines track to detect
+    structural drift of an interaction graph.
+
+    ``evaluate(edges)`` returns ONE row::
+
+        n_nodes        distinct endpoints
+        n_edges        undirected distinct edges (self-loops dropped)
+        avg_degree     2·n_edges / n_nodes
+        assortativity  Pearson r over both orientations of each edge
+                       (symmetrized, so the coefficient is exact and
+                       orientation-free); NULL when degenerate (all
+                       degrees equal → zero variance)
+
+    The correlation is assembled from raw moments (n, Σx, Σy, Σxx,
+    Σyy, Σxy) rather than ``F.corr`` so the zero-variance case is an
+    explicit NULL on both engines (Spark's corr yields NaN, DuckDB's
+    NULL — moments keep the oracle bit-honest).
+
+    100 TB design: dedup + two degree joins co-partitioned on node id
+    (the degree table is node-sized, NOT broadcast) + ONE 1-row moment
+    aggregation. No window, no pairwise blowup — cost is O(E) shuffle
+    on the edge list.
+    """
+
+    srcCol = Param(Params._dummy(), "srcCol", "edge source column",
+                   TypeConverters.toString)
+    dstCol = Param(Params._dummy(), "dstCol", "edge destination column",
+                   TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(srcCol="src", dstCol="dst")
+
+    def setSrcCol(self, v):
+        return self._set(srcCol=v)
+
+    def setDstCol(self, v):
+        return self._set(dstCol=v)
+
+    def evaluate(self, edges: DataFrame) -> DataFrame:
+        s = F.col(self.getOrDefault(self.srcCol))
+        t = F.col(self.getOrDefault(self.dstCol))
+        und = (edges.filter(s.isNotNull() & t.isNotNull() & (s != t))
+               .select(F.least(s, t).alias("u"),
+                       F.greatest(s, t).alias("v"))
+               .distinct())
+        adj = (und.select(F.col("u").alias("node"),
+                          F.col("v").alias("peer"))
+               .unionAll(und.select(F.col("v"), F.col("u"))))
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        # both orientations: x = deg(node), y = deg(peer)
+        x_side = adj.join(deg, "node").select(
+            "peer", F.col("degree").alias("__x"))
+        pairs = x_side.join(
+            deg.select(F.col("node").alias("peer"),
+                       F.col("degree").alias("__y")), "peer")
+        x, y = F.col("__x").cast("double"), F.col("__y").cast("double")
+        m = pairs.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+            F.sum(x * x).alias("__sxx"), F.sum(y * y).alias("__syy"),
+            F.sum(x * y).alias("__sxy"),
+            F.count_distinct(F.col("peer")).alias("n_nodes"))
+        n = F.col("__n").cast("double")
+        vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+        r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        return m.select(
+            "n_nodes", (F.col("__n") / 2).cast("bigint").alias("n_edges"),
+            (F.col("__n") / F.col("n_nodes").cast("double"))
+            .alias("avg_degree"),
+            r.alias("assortativity"))
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        return self.evaluate(edges)

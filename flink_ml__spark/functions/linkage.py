@@ -941,3 +941,92 @@ class PartitionHealthAuditor(AlgoOperator):
                                  - F.col("prev_n_rows"))
                                 / F.col("prev_n_rows"), 6)
                         .alias("row_delta_frac")))
+
+
+class CompactionPlanner(AlgoOperator):
+    """Small-files compaction planning: given an inventory of items
+    (files, chunks, documents) with sizes, assign each item to a
+    target output group so every group lands near ``targetSize`` —
+    the planning half of the OPTIMIZE/compaction maintenance job every
+    large table needs (small-file proliferation is the classic 100 TB
+    lakehouse failure: a 1 TB partition in 100k 10 MB files reads 100×
+    slower than in 1k 1 GB files).
+
+    Assignment is the deterministic first-fit-by-order rule: within
+    each partition key, items are taken in ``orderCol`` order and a
+    running size total is kept; item i goes to group
+    ``floor(cumsum_before_i / targetSize)``. Groups can overshoot by
+    at most one item (the standard streaming bin-packing bound) and
+    the rule is pure SQL — one window cumsum — so any engine replays
+    the exact same plan.
+
+    ``transform(df)`` returns one row per planned output group::
+
+        <keyCols...>   partition columns, passed through
+        file_seq       group index within the partition (0-based)
+        n_items        items merged into this group
+        total_size     sum of their sizes
+        first_id       min orderCol in the group   (the merge range —
+        last_id        max orderCol in the group    contiguous by rule)
+
+    Scale note: compaction planning runs over the item INVENTORY
+    (file listing / manifest), which is metadata-sized — the window
+    cumsum partitions by the table's partition key, so no single
+    window sees more than one partition's listing. The data movement
+    itself is the executor job that consumes this plan, not this
+    operator.
+    """
+
+    keyCols = Param(Params._dummy(), "keyCols",
+                    "partition columns", TypeConverters.toListString)
+    sizeCol = Param(Params._dummy(), "sizeCol",
+                    "item size column (bytes)", TypeConverters.toString)
+    orderCol = Param(Params._dummy(), "orderCol",
+                     "deterministic within-partition order column",
+                     TypeConverters.toString)
+    targetSize = Param(Params._dummy(), "targetSize",
+                       "target output size per group (bytes)",
+                       TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCols=[], sizeCol="size", orderCol="path",
+                         targetSize=128 * 1024 * 1024)
+
+    def setKeyCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        return self._set(keyCols=cols)
+
+    def setSizeCol(self, v):
+        return self._set(sizeCol=v)
+
+    def setOrderCol(self, v):
+        return self._set(orderCol=v)
+
+    def setTargetSize(self, v):
+        v = int(v)
+        if v <= 0:
+            raise ValueError(f"targetSize must be positive, got {v}")
+        return self._set(targetSize=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        keys = self.getOrDefault(self.keyCols)
+        size = F.col(self.getOrDefault(self.sizeCol)).cast("bigint")
+        oc = self.getOrDefault(self.orderCol)
+        tgt = self.getOrDefault(self.targetSize)
+        w = (Window.partitionBy(*[F.col(k) for k in keys])
+             if keys else Window.partitionBy())
+        cum_before = (F.sum(size).over(
+            w.orderBy(F.col(oc)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)) - size)
+        base = (df.filter(size.isNotNull() & F.col(oc).isNotNull())
+                .withColumn("__grp", F.floor(cum_before / F.lit(tgt))
+                            .cast("bigint")))
+        return (base.groupBy(*keys, F.col("__grp").alias("file_seq"))
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.sum(size).alias("total_size"),
+                     F.min(oc).alias("first_id"),
+                     F.max(oc).alias("last_id")))

@@ -9353,6 +9353,75 @@ FROM z
 """
 
 
+def q_assortativity_events(spark, sf_dir):
+    """Degree-assortativity gate over the same derived interaction
+    graph as the triangle gate (user_id%97 — event_id%97, undirected):
+    dedup, degree joins and the single moment aggregation replay
+    exactly in SQL; the regular-graph zero-variance case is an
+    explicit NULL on both engines."""
+    from flink_ml__spark.functions.graph import DegreeAssortativity
+
+    ev = load_table(spark, "events", sf_dir)
+    edges = ev.select((F.col("user_id") % 97).alias("src"),
+                      (F.col("event_id") % 97).alias("dst"))
+    out = DegreeAssortativity().evaluate(edges)
+    return out.select("n_nodes", "n_edges",
+                      F.round("avg_degree", R).alias("avg_degree"),
+                      F.round("assortativity", R).alias("assortativity"))
+
+
+ORACLE_ASSORTATIVITY = f"""
+WITH raw AS (SELECT user_id % 97 AS s, event_id % 97 AS t FROM events
+             WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM raw WHERE s <> t),
+adj AS (SELECT u AS node, v AS peer FROM und
+        UNION ALL SELECT v, u FROM und),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM adj GROUP BY 1),
+pairs AS (SELECT dx.degree::DOUBLE AS x, dy.degree::DOUBLE AS y,
+                 adj.peer AS peer
+          FROM adj JOIN deg dx ON adj.node = dx.node
+                   JOIN deg dy ON adj.peer = dy.node),
+m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+             count(DISTINCT peer)::BIGINT AS n_nodes
+      FROM pairs)
+SELECT n_nodes, (n / 2)::BIGINT AS n_edges,
+       round(n::DOUBLE / n_nodes, {R}) AS avg_degree,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, {R}) AS assortativity
+FROM m
+"""
+
+
+def q_compaction_plan_documents(spark, sf_dir):
+    """Compaction-planning gate: first-fit-by-order grouping of the
+    documents inventory per lang toward 4 KiB output groups — the
+    window cumsum and the floor rule replay exactly in SQL."""
+    from flink_ml__spark.functions.linkage import CompactionPlanner
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (CompactionPlanner().setKeyCols("lang").setSizeCol("n_chars")
+            .setOrderCol("doc_id").setTargetSize(4096).transform(docs))
+
+
+ORACLE_COMPACTION_PLAN = """
+WITH inv AS (
+  SELECT lang, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+SELECT lang, floor(cum_before / 4096.0)::BIGINT AS file_seq,
+       count(*)::BIGINT AS n_items, sum(n_chars)::BIGINT AS total_size,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM inv GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -9576,6 +9645,8 @@ QUERIES = {
     "welch_ttest_events": q_welch_ttest_events,
     "theilsen_events": q_theilsen_events,
     "mann_kendall_events": q_mann_kendall_events,
+    "assortativity_events": q_assortativity_events,
+    "compaction_plan_documents": q_compaction_plan_documents,
 }
 
 ORACLES = {
@@ -9810,4 +9881,6 @@ ORACLES = {
     "welch_ttest_events": ORACLE_WELCH_TTEST,
     "theilsen_events": ORACLE_THEILSEN,
     "mann_kendall_events": ORACLE_MANN_KENDALL,
+    "assortativity_events": ORACLE_ASSORTATIVITY,
+    "compaction_plan_documents": ORACLE_COMPACTION_PLAN,
 }

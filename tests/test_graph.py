@@ -331,3 +331,40 @@ def test_weighted_pagerank_weight_column(spark):
     assert set(a) == set(b) == {1, 2, 3}   # zero/null-weight edge gone
     for n in a:
         assert abs(a[n] - b[n]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# DegreeAssortativity
+# ---------------------------------------------------------------------------
+
+def test_assortativity_path_graph(spark):
+    # networkx degree_assortativity_coefficient(path_graph(4)) == -0.5
+    from flink_ml__spark.functions.graph import DegreeAssortativity
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
+    r = DegreeAssortativity().evaluate(edges).first()
+    assert r["n_nodes"] == 4 and r["n_edges"] == 3
+    assert abs(r["avg_degree"] - 1.5) < 1e-12
+    assert abs(r["assortativity"] - (-0.5)) < 1e-12
+
+
+def test_assortativity_star_regular_and_hygiene(spark):
+    from flink_ml__spark.functions.graph import DegreeAssortativity
+    # star K1,3 -> perfectly disassortative
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint")
+    r = DegreeAssortativity().evaluate(star).first()
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+    # regular graph (triangle): zero degree variance -> NULL, not NaN
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src bigint, dst bigint")
+    r = DegreeAssortativity().evaluate(tri).first()
+    assert r["assortativity"] is None
+    assert r["n_edges"] == 3 and r["n_nodes"] == 3
+    # self-loops, duplicates and reversed duplicates collapse
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2), (2, 3)],
+        "src bigint, dst bigint")
+    r = DegreeAssortativity().evaluate(noisy).first()
+    assert r["n_edges"] == 3 and r["n_nodes"] == 4
+    assert abs(r["assortativity"] - (-0.5)) < 1e-12  # it's P4

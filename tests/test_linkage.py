@@ -379,3 +379,45 @@ def test_partition_health_auditor(spark):
         PartitionHealthAuditor().transform(df)
     with _pt.raises(ValueError):
         PartitionHealthAuditor().setCheckCols()
+
+
+# ---------------------------------------------------------------------------
+# CompactionPlanner
+# ---------------------------------------------------------------------------
+
+def test_compaction_planner_first_fit_golden(spark):
+    from flink_ml__spark.functions.linkage import CompactionPlanner
+    df = spark.createDataFrame(
+        [("p", 1, 60), ("p", 2, 60), ("p", 3, 60), ("p", 4, 40),
+         ("p", 5, 100)],
+        "k string, id bigint, size bigint")
+    out = {r["file_seq"]: r for r in
+           (CompactionPlanner().setKeyCols("k").setSizeCol("size")
+            .setOrderCol("id").setTargetSize(100).transform(df)
+            .collect())}
+    # cum_before = 0,60,120,180,220 -> groups 0,0,1,1,2
+    assert out[0]["n_items"] == 2 and out[0]["total_size"] == 120
+    assert out[0]["first_id"] == 1 and out[0]["last_id"] == 2
+    assert out[1]["n_items"] == 2 and out[1]["total_size"] == 100
+    assert out[2]["n_items"] == 1 and out[2]["last_id"] == 5
+    # conservation: every byte lands in exactly one group
+    assert sum(r["total_size"] for r in out.values()) == 320
+
+
+def test_compaction_planner_partitions_and_validation(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.linkage import CompactionPlanner
+    df = spark.createDataFrame(
+        [("a", 1, 50), ("a", 2, 70), ("b", 1, 10), ("b", 2, None),
+         ("b", None, 5)],
+        "k string, id bigint, size bigint")
+    rows = (CompactionPlanner().setKeyCols("k").setSizeCol("size")
+            .setOrderCol("id").setTargetSize(100).transform(df)
+            .collect())
+    by = {(r["k"], r["file_seq"]): r for r in rows}
+    # partition a: cum_before 0,50 -> one group of 120
+    assert by[("a", 0)]["n_items"] == 2
+    # partition b: null size / null order rows drop; one 10-byte group
+    assert by[("b", 0)]["n_items"] == 1 and by[("b", 0)]["total_size"] == 10
+    with _pt.raises(ValueError, match="positive"):
+        CompactionPlanner().setTargetSize(0)

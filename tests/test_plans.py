@@ -668,3 +668,33 @@ def test_robust_trend_pairs_are_keyed_not_cartesian(spark, name):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"event_type", "ts", "value"}, cols
+
+
+def test_assortativity_keyed_joins_one_moment_agg(spark):
+    """Assortativity: degree joins are keyed (no cartesian, no
+    broadcast-nested-loop), no Python, scan prunes to the two id
+    columns."""
+    plan = _plan(spark, "assortativity_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "event_id"}, cols
+
+
+def test_compaction_plan_window_partitioned_by_key(spark):
+    """Compaction planning: ONE lang-partitioned window cumsum (never
+    an unpartitioned global window) + one aggregation; scan prunes to
+    (lang, doc_id, n_chars)."""
+    plan = _plan(spark, "compaction_plan_documents")
+    assert plan.count("Window") >= 1
+    # the window spec must partition by lang, not run globally
+    import re as _re
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("lang" in s for s in specs), specs
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"lang", "doc_id", "n_chars"}, cols
