@@ -1148,3 +1148,135 @@ class WelchTTest(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+# cumulative Poisson(1) ladder for the deterministic bootstrap:
+# P(X <= k) for k = 0..6; weights cap at 7 (P(X > 6) ~ 8.3e-5, the
+# documented truncation both engines replay identically)
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238462,
+                0.9963401531726563, 0.9994058151824183,
+                0.9999167588507119)
+
+
+class PoissonBootstrapper(AlgoOperator):
+    """Deterministic Poisson bootstrap for the mean of a metric —
+    THE bootstrap that works on distributed data (Chamandy et al.
+    2012, "Estimating uncertainty for massive data streams", Google):
+    instead of resampling n rows with replacement (impossible without
+    global coordination), each row enters replica b with weight
+    ``w ~ Poisson(1)``, drawn DETERMINISTICALLY from a salted hash of
+    the row id — so the resample is reproducible, shuffle-free and
+    embarrassingly parallel.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n           rows with non-null id and value
+        mean        plain sample mean
+        se          stddev of the replica means (bootstrap SE)
+        ci_lo       2.5% percentile of replica means
+        ci_hi       97.5% percentile of replica means
+        b_replicas  replicas that drew a non-empty resample
+
+    Mechanics: one ``portable_hash60`` per row, then per replica b the
+    minhash-style LCG rescramble ``u_b = ((a_b·h + c_b) mod M31)/M31``
+    feeds the truncated inverse-CDF ladder ``POISSON1_CDF`` (weights
+    0..7). Replica means are conditional-sum pairs in ONE aggregation
+    — B replicas add 2B aggregate expressions, NOT B data passes and
+    NOT a B× explode. The replica-mean quantiles run on the B-length
+    array exploded from the single result row (driver-sized).
+
+    The coefficient schedule is seeded (``setSeed``) and exposed via
+    :meth:`lcg_coefficients` so an external engine (the SQL oracle)
+    can replay the exact resample.
+    """
+
+    idCol = Param(Params._dummy(), "idCol",
+                  "stable row-identity column (hash input)",
+                  TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "numeric metric column", TypeConverters.toString)
+    numReplicas = Param(Params._dummy(), "numReplicas",
+                        "bootstrap replicas", TypeConverters.toInt)
+    seed = Param(Params._dummy(), "seed", "coefficient-schedule seed",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idCol="id", valueCol="value",
+                         numReplicas=100, seed=7)
+
+    def setIdCol(self, v):
+        return self._set(idCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setNumReplicas(self, v):
+        v = int(v)
+        if not 2 <= v <= 1000:
+            raise ValueError(f"numReplicas must be in [2, 1000], got {v}")
+        return self._set(numReplicas=v)
+
+    def setSeed(self, v):
+        return self._set(seed=int(v))
+
+    def lcg_coefficients(self) -> list[tuple[int, int]]:
+        import random
+
+        rng = random.Random(self.getOrDefault(self.seed))
+        m = 2147483647  # Mersenne prime 2^31-1
+        return [(rng.randrange(1, m), rng.randrange(0, m))
+                for _ in range(self.getOrDefault(self.numReplicas))]
+
+    @staticmethod
+    def weight_expr(u):
+        """Truncated Poisson(1) inverse CDF of a uniform column."""
+        w = F.lit(7)
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < POISSON1_CDF[k], k).otherwise(w)
+        return w
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        from flink_ml__spark.functions.dedup import (MERSENNE31,
+                                                     portable_hash60)
+
+        x = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        rid = F.col(self.getOrDefault(self.idCol)).cast("string")
+        h = (portable_hash60(F.concat(rid, F.lit(":boot:"),
+                                      F.lit(str(self.getOrDefault(
+                                          self.seed)))))
+             % MERSENNE31)
+        # materialize the md5-derived hash ONCE as a column: Catalyst
+        # does no CSE across aggregate expressions, so referencing `h`
+        # from 2B sums would recompute the md5 2B times per row (the
+        # HashedTfEmbedder lesson, SCALE.md r08)
+        proj = (df.filter(x.isNotNull() & rid.isNotNull())
+                .select(x.alias("__x"), h.alias("__h")))
+        hcol, xcol = F.col("__h"), F.col("__x")
+        aggs = [F.count(F.lit(1)).alias("n"), F.avg(xcol).alias("mean")]
+        for b, (a, c) in enumerate(self.lcg_coefficients()):
+            u = ((F.lit(a) * hcol + F.lit(c)) % MERSENNE31) \
+                / F.lit(float(MERSENNE31))
+            w = self.weight_expr(u).cast("double")
+            aggs.append(F.sum(w * xcol).alias(f"__wx{b}"))
+            aggs.append(F.sum(w).alias(f"__w{b}"))
+        base = proj.agg(*aggs)
+        B = self.getOrDefault(self.numReplicas)
+        means = F.array(*[
+            F.when(F.col(f"__w{b}") > 0,
+                   F.col(f"__wx{b}") / F.col(f"__w{b}"))
+            for b in range(B)])
+        exploded = (base.select("n", "mean",
+                                F.explode(means).alias("__m"))
+                    .filter(F.col("__m").isNotNull()))
+        return exploded.groupBy("n", "mean").agg(
+            F.count(F.lit(1)).alias("b_replicas"),
+            F.when(F.count(F.lit(1)) > 1, F.stddev_samp("__m"))
+            .alias("se"),
+            F.percentile(F.col("__m"), F.lit(0.025)).alias("ci_lo"),
+            F.percentile(F.col("__m"), F.lit(0.975)).alias("ci_hi")
+        ).select("n", "mean", "se", "ci_lo", "ci_hi", "b_replicas")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

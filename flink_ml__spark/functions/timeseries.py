@@ -1649,3 +1649,83 @@ class MannKendallTrendTest(_RobustTrendBase):
             F.when(z > 1.96, F.lit("increasing"))
              .when(z < -1.96, F.lit("decreasing"))
              .otherwise(F.lit("no_trend")).alias("trend"))
+
+
+class KaplanMeierEstimator(AlgoOperator):
+    """Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    1958) with right censoring — the standard time-to-event readout
+    (retention, churn, time-to-conversion) when not every subject has
+    reached the event yet.
+
+    Input: one row per subject, ``durationCol`` (time observed, any
+    non-negative numeric) and ``eventCol`` (truthy = the event was
+    observed at ``duration``; falsy = censored at ``duration``).
+
+    ``evaluate(df)`` returns one row per DISTINCT duration::
+
+        t           the duration
+        n_risk      subjects with duration ≥ t
+        n_events    events observed at exactly t
+        n_censored  subjects censored at exactly t
+        survival    S(t) = Π_{u ≤ t} (1 − d_u / n_u), computed as
+                    exp(Σ ln factors) with an explicit 0 once any
+                    factor hits 0 (everyone at risk died) — no
+                    ln(0)/NaN leakage on either engine
+
+    Scale shape: ONE hash aggregation collapses subjects to the
+    distinct-duration grid; the cumulative windows then run over the
+    GRID, not the subjects. The window is deliberately unpartitioned —
+    correct only because the grid is bounded; for continuous durations
+    bucket first (hours/days), exactly like the trend family's
+    ``bucketWidthSec`` contract.
+    """
+
+    durationCol = Param(Params._dummy(), "durationCol",
+                        "observed time column", TypeConverters.toString)
+    eventCol = Param(Params._dummy(), "eventCol",
+                     "1/true = event observed, 0/false = censored",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(durationCol="duration", eventCol="event")
+
+    def setDurationCol(self, v):
+        return self._set(durationCol=v)
+
+    def setEventCol(self, v):
+        return self._set(eventCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        t = F.col(self.getOrDefault(self.durationCol)).cast("double")
+        e = F.col(self.getOrDefault(self.eventCol)).cast("boolean")
+        grid = (df.filter(t.isNotNull() & (t >= 0) & e.isNotNull())
+                .groupBy(t.alias("t"))
+                .agg(F.sum(F.when(e, 1).otherwise(0)).alias("n_events"),
+                     F.sum(F.when(e, 0).otherwise(1))
+                     .alias("n_censored")))
+        w_all = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        w_prior = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, -1)
+        w_upto = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+        gone = F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_prior),
+            F.lit(0))
+        at_risk = (total - gone).alias("n_risk")
+        g = grid.withColumn("n_risk", total - gone)
+        factor = ((F.col("n_risk") - F.col("n_events"))
+                  / F.col("n_risk").cast("double"))
+        g = g.withColumn("__f", factor)
+        died_out = F.max(F.when(F.col("__f") <= 0, 1).otherwise(0)) \
+                    .over(w_upto)
+        log_s = F.sum(F.when(F.col("__f") > 0, F.log("__f"))
+                      .otherwise(F.lit(0.0))).over(w_upto)
+        surv = F.when(died_out == 1, F.lit(0.0)).otherwise(F.exp(log_s))
+        return g.select("t", "n_risk", "n_events", "n_censored",
+                        surv.alias("survival"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

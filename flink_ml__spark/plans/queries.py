@@ -9422,6 +9422,135 @@ FROM inv GROUP BY 1, 2
 """
 
 
+def q_kaplan_meier_events(spark, sf_dir):
+    """Kaplan–Meier gate: per-user time (days) from first event to
+    first purchase, right-censored at the user's last event — the
+    subject prep, the distinct-duration grid and the product-limit
+    curve (exp-sum-log with the explicit died-out zero) all replay
+    exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import KaplanMeierEstimator
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("__purchase"),
+        F.max("ts").alias("__last"))
+    subj = per.select(
+        F.floor((F.unix_micros(F.coalesce("__purchase", "__last"))
+                 - F.unix_micros("__first")) / F.lit(_DAY_US))
+        .cast("double").alias("duration"),
+        F.col("__purchase").isNotNull().alias("event"))
+    out = KaplanMeierEstimator().evaluate(subj)
+    return out.select(F.col("t").cast("bigint").alias("t_days"),
+                      "n_risk", "n_events", "n_censored",
+                      F.round("survival", R).alias("survival"))
+
+
+ORACLE_KAPLAN_MEIER = f"""
+WITH per AS (
+  SELECT user_id, min(ts) AS fts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts,
+         max(ts) AS lts
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1),
+subj AS (
+  SELECT floor((epoch_us(coalesce(pts, lts)) - epoch_us(fts))
+               / 86400000000.0) AS t,
+         pts IS NOT NULL AS ev
+  FROM per),
+grid AS (
+  SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+         sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
+  FROM subj WHERE t >= 0 GROUP BY 1),
+w AS (
+  SELECT *, sum(d + c) OVER ()
+            - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+  FROM grid),
+f AS (SELECT *, (n_risk - d) / n_risk::DOUBLE AS factor FROM w),
+s AS (
+  SELECT *, max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+                OVER (ORDER BY t) AS dead,
+            sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+                OVER (ORDER BY t) AS ls
+  FROM f)
+SELECT t::BIGINT AS t_days, n_risk, d AS n_events, c AS n_censored,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(ls) END, {R})
+           AS survival
+FROM s
+"""
+
+
+_BOOT_REPLICAS = 64
+_BOOT_SEED = 7
+
+
+def q_bootstrap_ci_events(spark, sf_dir):
+    """Deterministic Poisson-bootstrap gate: 95% CI for the mean event
+    value, 64 replicas — the salted row hash, the per-replica LCG
+    rescramble, the truncated Poisson(1) ladder and the replica-mean
+    quantiles all replay exactly in SQL (the oracle is generated from
+    the SAME coefficient schedule)."""
+    from flink_ml__spark.functions.stats import PoissonBootstrapper
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (PoissonBootstrapper().setIdCol("event_id")
+           .setValueCol("value").setNumReplicas(_BOOT_REPLICAS)
+           .setSeed(_BOOT_SEED).evaluate(ev))
+    return out.select("n", F.round("mean", R).alias("mean"),
+                      F.round("se", R).alias("se"),
+                      F.round("ci_lo", R).alias("ci_lo"),
+                      F.round("ci_hi", R).alias("ci_hi"),
+                      "b_replicas")
+
+
+def _oracle_bootstrap() -> str:
+    from flink_ml__spark.functions.stats import (POISSON1_CDF,
+                                                 PoissonBootstrapper)
+
+    op = (PoissonBootstrapper().setNumReplicas(_BOOT_REPLICAS)
+          .setSeed(_BOOT_SEED))
+    m31 = 2147483647
+    h = ("(('0x' || substring(md5(event_id::VARCHAR || ':boot:"
+         f"{_BOOT_SEED}'), 1, 15))::BIGINT % {m31})")
+    # truncated Poisson(1) ladder as a nested CASE
+    def ladder(u):
+        cases = " ".join(
+            f"WHEN {u} < {p!r} THEN {k}"
+            for k, p in enumerate(POISSON1_CDF))
+        return f"(CASE {cases} ELSE 7 END)::DOUBLE"
+
+    cols = []
+    for b, (a, c) in enumerate(op.lcg_coefficients()):
+        u = f"((({a} * {h} + {c}) % {m31}) / {float(m31)!r})"
+        w = ladder(u)
+        cols.append(f"sum({w} * value::DOUBLE) AS wx{b}")
+        cols.append(f"sum({w}) AS w{b}")
+    means = ", ".join(
+        f"CASE WHEN w{b} > 0 THEN wx{b} / w{b} END"
+        for b in range(_BOOT_REPLICAS))
+    return f"""
+WITH base AS (
+  SELECT count(*)::BIGINT AS n, avg(value::DOUBLE) AS mean,
+         {', '.join(cols)}
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+m AS (SELECT n, mean, unnest([{means}]) AS mm FROM base),
+nn AS (SELECT n, mean, mm FROM m WHERE mm IS NOT NULL)
+SELECT n, round(mean, {R}) AS mean,
+       round(CASE WHEN count(*) > 1 THEN stddev_samp(mm) END, {R}) AS se,
+       round(quantile_cont(mm, 0.025), {R}) AS ci_lo,
+       round(quantile_cont(mm, 0.975), {R}) AS ci_hi,
+       count(*)::BIGINT AS b_replicas
+FROM nn GROUP BY n, mean
+"""
+
+
+ORACLE_BOOTSTRAP_CI = _oracle_bootstrap()
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -9647,6 +9776,8 @@ QUERIES = {
     "mann_kendall_events": q_mann_kendall_events,
     "assortativity_events": q_assortativity_events,
     "compaction_plan_documents": q_compaction_plan_documents,
+    "kaplan_meier_events": q_kaplan_meier_events,
+    "bootstrap_ci_events": q_bootstrap_ci_events,
 }
 
 ORACLES = {
@@ -9883,4 +10014,6 @@ ORACLES = {
     "mann_kendall_events": ORACLE_MANN_KENDALL,
     "assortativity_events": ORACLE_ASSORTATIVITY,
     "compaction_plan_documents": ORACLE_COMPACTION_PLAN,
+    "kaplan_meier_events": ORACLE_KAPLAN_MEIER,
+    "bootstrap_ci_events": ORACLE_BOOTSTRAP_CI,
 }

@@ -698,3 +698,31 @@ def test_compaction_plan_window_partitioned_by_key(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"lang", "doc_id", "n_chars"}, cols
+
+
+def test_kaplan_meier_windows_on_duration_grid(spark):
+    """KM: the subject prep is one keyed aggregation; the cumulative
+    windows run AFTER the distinct-duration grid aggregation (grid-
+    sized, bounded), and the scan prunes to the three prep columns."""
+    plan = _plan(spark, "kaplan_meier_events")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "event_type"}, cols
+
+
+def test_bootstrap_is_one_aggregation_no_explode_of_data(spark):
+    """Poisson bootstrap: 64 replicas = 128 extra aggregate
+    expressions in ONE partial+final aggregation — no join, no B×
+    row explode of the data (the only Generate runs on the single
+    result row), no Python."""
+    plan = _plan(spark, "bootstrap_ci_events")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # exactly one scan; the explode happens above the 1-row aggregate
+    assert plan.count("Scan parquet") == 1
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_id", "value"}, cols

@@ -640,3 +640,44 @@ def test_welch_nulls_degenerate_validation(spark):
         WelchTTest().setGroups("a", "a")
     with _pt.raises(ValueError, match="setGroups"):
         WelchTTest().evaluate(df)
+
+
+# ---------------------------------------------------------------------------
+# PoissonBootstrapper
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_deterministic_and_sane(spark):
+    from flink_ml__spark.functions.stats import PoissonBootstrapper
+    df = spark.createDataFrame(
+        [(i, float(i % 17) + 1.0) for i in range(300)],
+        "id bigint, v double")
+    op = (PoissonBootstrapper().setIdCol("id").setValueCol("v")
+          .setNumReplicas(50).setSeed(7))
+    r1 = op.evaluate(df).first()
+    r2 = op.evaluate(df).first()
+    assert r1 == r2  # fully deterministic
+    assert r1["n"] == 300
+    assert abs(r1["mean"] - sum((i % 17) + 1.0 for i in range(300))
+               / 300) < 1e-9
+    assert r1["b_replicas"] == 50
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    assert 0 < r1["se"] < 2.0  # SE of mean of ~uniform(1,17) over n=300
+    # a different seed draws a different resample
+    r3 = (PoissonBootstrapper().setIdCol("id").setValueCol("v")
+          .setNumReplicas(50).setSeed(8).evaluate(df).first())
+    assert r3["ci_lo"] != r1["ci_lo"] or r3["ci_hi"] != r1["ci_hi"]
+
+
+def test_bootstrap_weight_ladder_and_validation(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from flink_ml__spark.functions.stats import (POISSON1_CDF,
+                                                 PoissonBootstrapper)
+    us = [0.1, 0.5, 0.8, 0.95, 0.999, 0.99995]
+    df = spark.createDataFrame([(u,) for u in us], "u double")
+    w = [r[0] for r in df.select(
+        PoissonBootstrapper.weight_expr(F.col("u"))).collect()]
+    assert w == [0, 1, 2, 3, 5, 7]
+    assert len(POISSON1_CDF) == 7
+    with _pt.raises(ValueError, match="numReplicas"):
+        PoissonBootstrapper().setNumReplicas(1)

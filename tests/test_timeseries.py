@@ -971,3 +971,39 @@ def test_mann_kendall_golden_and_ties(spark):
          .first())
     assert r["s_stat"] == 0 and r["z_stat"] is None
     assert r["trend"] == "no_trend"
+
+
+# ---------------------------------------------------------------------------
+# KaplanMeierEstimator
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_golden(spark):
+    from flink_ml__spark.functions.timeseries import KaplanMeierEstimator
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, False), (3.0, True), (3.0, True),
+         (4.0, False)], "duration double, event boolean")
+    rows = {r["t"]: r for r in
+            KaplanMeierEstimator().evaluate(df).collect()}
+    assert rows[1.0]["n_risk"] == 5 and rows[1.0]["n_events"] == 1
+    assert abs(rows[1.0]["survival"] - 0.8) < 1e-12
+    # censoring does not move the curve
+    assert rows[2.0]["n_censored"] == 1
+    assert abs(rows[2.0]["survival"] - 0.8) < 1e-12
+    # double event at t=3: 0.8 * (3-2)/3
+    assert rows[3.0]["n_risk"] == 3 and rows[3.0]["n_events"] == 2
+    assert abs(rows[3.0]["survival"] - 0.8 / 3) < 1e-12
+    assert abs(rows[4.0]["survival"] - 0.8 / 3) < 1e-12
+
+
+def test_kaplan_meier_dies_out_and_filters(spark):
+    from flink_ml__spark.functions.timeseries import KaplanMeierEstimator
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (2.0, True), (None, True),
+         (-1.0, True), (3.0, None)], "duration double, event boolean")
+    rows = {r["t"]: r for r in
+            KaplanMeierEstimator().evaluate(df).collect()}
+    # null/negative duration and null event rows drop
+    assert set(rows) == {1.0, 2.0}
+    assert abs(rows[1.0]["survival"] - 2 / 3) < 1e-12
+    # everyone at risk dies at t=2 -> survival exactly 0, no NaN
+    assert rows[2.0]["survival"] == 0.0
