@@ -881,3 +881,139 @@ class PlattCalibrator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
+
+
+class SplitConformalModel(AlgoOperator):
+    """Fitted split-conformal intervals: a per-group table of
+    calibrated residual quantiles ``q_hat`` (group-sized — a model
+    artifact). ``transform(df)`` appends ``ci_lo = pred − q_hat`` and
+    ``ci_hi = pred + q_hat`` via a broadcast join on the group
+    columns; ``evaluate(df)`` returns per-group coverage + width on a
+    labeled test set. See :class:`SplitConformalRegressor`.
+    """
+
+    def __init__(self, q_df: DataFrame, pred_col: str,
+                 group_cols: list[str]):
+        super().__init__()
+        self._q_df = q_df
+        self._pred_col = pred_col
+        self._group_cols = list(group_cols)
+
+    def getModelData(self) -> DataFrame:
+        return self._q_df
+
+    def _joined(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import broadcast
+
+        if self._group_cols:
+            return df.join(broadcast(self._q_df), self._group_cols,
+                           "left")
+        return df.crossJoin(broadcast(self._q_df))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        p = F.col(self._pred_col).cast("double")
+        return (self._joined(df)
+                .withColumn("ci_lo", p - F.col("q_hat"))
+                .withColumn("ci_hi", p + F.col("q_hat"))
+                .drop("q_hat", "n_cal"))
+
+    def evaluate(self, df: DataFrame, label_col: str) -> DataFrame:
+        p = F.col(self._pred_col).cast("double")
+        y = F.col(label_col).cast("double")
+        j = self._joined(df).filter(
+            y.isNotNull() & p.isNotNull() & F.col("q_hat").isNotNull())
+        covered = F.when(F.abs(y - p) <= F.col("q_hat"), 1).otherwise(0)
+        return (j.groupBy(*self._group_cols)
+                .agg(F.first("n_cal").alias("n_cal"),
+                     F.first("q_hat").alias("q_hat"),
+                     F.count(F.lit(1)).alias("n_test"),
+                     F.avg(covered).alias("coverage"),
+                     F.avg(2 * F.col("q_hat")).alias("avg_width")))
+
+
+class SplitConformalRegressor(AlgoOperator):
+    """Split conformal prediction for regression (Vovk et al. 2005;
+    Lei et al. 2018, JASA): given a CALIBRATION set of (prediction,
+    label) pairs the model never trained on, the (1−α) interval is
+    ``pred ± q_hat`` where ``q_hat`` is the ⌈(n+1)(1−α)⌉-th smallest
+    absolute residual — finite-sample marginal coverage ≥ 1−α with NO
+    distributional assumptions, which is why it's the default
+    uncertainty wrapper for black-box models.
+
+    ``setGroupCols`` makes it group-conditional (Mondrian conformal):
+    one ``q_hat`` per group, coverage guaranteed per group.
+
+    ``fit(cal_df)`` → :class:`SplitConformalModel`. The quantile is
+    the EXACT order statistic (rank via one per-group window over the
+    calibration slice), not an interpolated percentile — the ⌈·⌉ rank
+    is what carries the coverage guarantee. When the rank exceeds
+    n_cal (tiny groups), ``q_hat`` is NULL → intervals are infinite
+    (no false confidence), surfaced as NULL bounds.
+
+    100 TB design: calibration sets are sample-sized by construction
+    (you hold out thousands of rows, not terabytes), so the per-group
+    sort-window over the calibration slice is bounded; apply is a
+    broadcast join + codegen projection over the full data.
+    """
+
+    predCol = Param(Params._dummy(), "predCol",
+                    "model-prediction column", TypeConverters.toString)
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "true-value column", TypeConverters.toString)
+    groupCols = Param(Params._dummy(), "groupCols",
+                      "Mondrian group columns ([] = marginal)",
+                      TypeConverters.toListString)
+    alpha = Param(Params._dummy(), "alpha",
+                  "miscoverage level (interval = 1 - alpha)",
+                  TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(predCol="prediction", labelCol="label",
+                         groupCols=[], alpha=0.1)
+
+    def setPredCol(self, v):
+        return self._set(predCol=v)
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setGroupCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        return self._set(groupCols=cols)
+
+    def setAlpha(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"alpha must be in (0, 1), got {v}")
+        return self._set(alpha=v)
+
+    def fit(self, cal_df: DataFrame) -> SplitConformalModel:
+        from pyspark.sql import Window
+
+        gs = self.getOrDefault(self.groupCols)
+        a = self.getOrDefault(self.alpha)
+        p = F.col(self.getOrDefault(self.predCol)).cast("double")
+        y = F.col(self.getOrDefault(self.labelCol)).cast("double")
+        res = (cal_df.filter(p.isNotNull() & y.isNotNull())
+               .select(*gs, F.abs(y - p).alias("__r")))
+        w = (Window.partitionBy(*[F.col(g) for g in gs])
+             if gs else Window.partitionBy())
+        ranked = res.select(
+            *gs, "__r",
+            F.row_number().over(w.orderBy("__r")).alias("__rk"),
+            F.count(F.lit(1)).over(w).alias("n_cal"))
+        # conformal rank: ceil((n+1)(1-alpha)); > n_cal -> no finite q
+        k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - a))
+        q = (ranked.filter(F.col("__rk") == F.least(
+                 k, F.col("n_cal").cast("bigint")))
+             .select(*gs,
+                     F.when(k <= F.col("n_cal"), F.col("__r"))
+                     .alias("q_hat"),
+                     "n_cal"))
+        return SplitConformalModel(
+            q, self.getOrDefault(self.predCol), gs)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)

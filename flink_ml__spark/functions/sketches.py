@@ -553,3 +553,118 @@ def stream_count_min(op: CountMinSketch, emit) -> "callable":
         emit(merged, batch_id)
 
     return process
+
+
+class SketchOverlapEstimator(AlgoOperator):
+    """Set-overlap audit between two slices of a table via HLL++
+    inclusion–exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with every
+    cardinality a fixed-size sketch — the way you ask "how many users
+    appear in BOTH datasets" over 100 TB without shuffling a distinct
+    pair per user (exact distinct-intersection carries the full key
+    set through the shuffle; three HLL sketches carry O(1/rsd²) each).
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_a, n_b         approx distinct keys in each slice
+        n_union          approx distinct keys in A ∪ B
+        n_intersect      max(0, n_a + n_b − n_union)
+        jaccard          n_intersect / n_union (NULL when union empty)
+
+    All three sketches fold in the SAME single aggregation pass
+    (conditional inputs), so the data is scanned once and nothing
+    data-sized shuffles. ``error_report(df)`` additionally computes
+    the exact counterparts in the same pass — the basis of the
+    violations-only driver gate pinning the rsd contract.
+    """
+
+    keyCol = Param(Params._dummy(), "keyCol",
+                   "identity column to intersect", TypeConverters.toString)
+    labelCol = Param(Params._dummy(), "labelCol",
+                     "slice label column", TypeConverters.toString)
+    labelA = Param(Params._dummy(), "labelA", "label of slice A",
+                   TypeConverters.toString)
+    labelB = Param(Params._dummy(), "labelB", "label of slice B",
+                   TypeConverters.toString)
+    relativeSD = Param(Params._dummy(), "relativeSD",
+                       "HLL++ relative standard deviation",
+                       TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCol="key", labelCol="label",
+                         relativeSD=0.02)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setLabelCol(self, v):
+        return self._set(labelCol=v)
+
+    def setLabels(self, a: str, b: str):
+        if a == b:
+            raise ValueError("labelA and labelB must differ")
+        return self._set(labelA=a, labelB=b)
+
+    def setRelativeSD(self, v):
+        return self._set(relativeSD=float(v))
+
+    def _slices(self, df: DataFrame):
+        if (not self.isDefined(self.labelA)
+                or not self.isDefined(self.labelB)):
+            raise ValueError("setLabels(a, b) is required")
+        a = self.getOrDefault(self.labelA)
+        b = self.getOrDefault(self.labelB)
+        k = F.col(self.getOrDefault(self.keyCol))
+        lbl = F.col(self.getOrDefault(self.labelCol)).cast("string")
+        base = df.filter(k.isNotNull() & lbl.isin(a, b))
+        return base, F.when(lbl == a, k), F.when(lbl == b, k), k
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        base, ka, kb, k = self._slices(df)
+        rsd = self.getOrDefault(self.relativeSD)
+        out = base.agg(
+            F.approx_count_distinct(ka, rsd).alias("n_a"),
+            F.approx_count_distinct(kb, rsd).alias("n_b"),
+            F.approx_count_distinct(k, rsd).alias("n_union"))
+        inter = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("n_a") + F.col("n_b") - F.col("n_union"))
+        return out.select(
+            "n_a", "n_b", "n_union", inter.alias("n_intersect"),
+            F.when(F.col("n_union") > 0,
+                   inter.cast("double") / F.col("n_union"))
+            .alias("jaccard"))
+
+    def error_report(self, df: DataFrame) -> DataFrame:
+        """Approx + exact side by side from ONE pass: (n_*_approx,
+        n_*_exact, rel_err per leg, intersect_rel_err)."""
+        base, ka, kb, k = self._slices(df)
+        rsd = self.getOrDefault(self.relativeSD)
+        out = base.agg(
+            F.approx_count_distinct(ka, rsd).alias("a_approx"),
+            F.approx_count_distinct(kb, rsd).alias("b_approx"),
+            F.approx_count_distinct(k, rsd).alias("u_approx"),
+            F.count_distinct(ka).alias("a_exact"),
+            F.count_distinct(kb).alias("b_exact"),
+            F.count_distinct(k).alias("u_exact"))
+        i_approx = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("a_approx") + F.col("b_approx") - F.col("u_approx"))
+        i_exact = (F.col("a_exact") + F.col("b_exact")
+                   - F.col("u_exact"))
+
+        def rel(est, ex):
+            return (F.abs(est - ex).cast("double")
+                    / F.greatest(ex, F.lit(1)))
+
+        return out.select(
+            "a_approx", "a_exact", "b_approx", "b_exact",
+            "u_approx", "u_exact",
+            i_approx.alias("i_approx"), i_exact.alias("i_exact"),
+            rel(F.col("a_approx"), F.col("a_exact")).alias("a_rel_err"),
+            rel(F.col("b_approx"), F.col("b_exact")).alias("b_rel_err"),
+            rel(F.col("u_approx"), F.col("u_exact")).alias("u_rel_err"),
+            rel(i_approx, i_exact).alias("i_rel_err"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -9551,6 +9551,93 @@ FROM nn GROUP BY n, mean
 ORACLE_BOOTSTRAP_CI = _oracle_bootstrap()
 
 
+def q_overlap_invariants_events(spark, sf_dir):
+    """Violations-only gate for HLL inclusion–exclusion set overlap:
+    distinct purchase-users ∩ click-users. Each sketch leg must stay
+    within 5× rsd (0.02) of its exact count computed in the SAME
+    aggregation pass, the derived intersection within 20% (leg errors
+    compound through |A|+|B|−|A∪B|). Expected EMPTY."""
+    from flink_ml__spark.functions.sketches import SketchOverlapEstimator
+
+    ev = load_table(spark, "events", sf_dir)
+    rep = (SketchOverlapEstimator().setKeyCol("user_id")
+           .setLabelCol("event_type").setLabels("purchase", "click")
+           .setRelativeSD(0.02).error_report(ev))
+    bad = ((F.col("a_rel_err") > 0.1) | (F.col("b_rel_err") > 0.1)
+           | (F.col("u_rel_err") > 0.1) | (F.col("i_rel_err") > 0.2))
+    return rep.filter(bad).select(
+        F.round("a_rel_err", R).alias("a_rel_err"),
+        F.round("b_rel_err", R).alias("b_rel_err"),
+        F.round("u_rel_err", R).alias("u_rel_err"),
+        F.round("i_rel_err", R).alias("i_rel_err"))
+
+
+ORACLE_OVERLAP_INVARIANTS = """
+SELECT 0.0::DOUBLE AS a_rel_err, 0.0::DOUBLE AS b_rel_err,
+       0.0::DOUBLE AS u_rel_err, 0.0::DOUBLE AS i_rel_err
+FROM events WHERE false
+"""
+
+
+def q_conformal_events(spark, sf_dir):
+    """Split-conformal gate (Mondrian by event_type, α=0.1): per-type
+    mean fitted on event_id%4∈{0,2}, residual quantile calibrated on
+    %4=1 via the EXACT ⌈(n+1)(1−α)⌉ order statistic, coverage
+    evaluated on %4=3 — the whole protocol replays in SQL."""
+    from flink_ml__spark.functions.evaluation import SplitConformalRegressor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull())
+    train = ev.filter(F.col("event_id") % 4 % 2 == 0)
+    preds = train.groupBy("event_type").agg(
+        F.avg(F.col("value").cast("double")).alias("prediction"))
+    cal = (ev.filter(F.col("event_id") % 4 == 1)
+           .join(preds, "event_type"))
+    test = (ev.filter(F.col("event_id") % 4 == 3)
+            .join(preds, "event_type"))
+    model = (SplitConformalRegressor().setPredCol("prediction")
+             .setLabelCol("value").setGroupCols("event_type")
+             .setAlpha(0.1).fit(cal))
+    out = model.evaluate(test, "value")
+    return out.select("event_type", "n_cal",
+                      F.round("q_hat", R).alias("q_hat"), "n_test",
+                      F.round("coverage", R).alias("coverage"),
+                      F.round("avg_width", R).alias("avg_width"))
+
+
+ORACLE_CONFORMAL = f"""
+WITH tr AS (
+  SELECT event_type, avg(value::DOUBLE) AS pred FROM events
+  WHERE event_id % 4 % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+cal AS (
+  SELECT e.event_type, abs(e.value::DOUBLE - tr.pred) AS r
+  FROM events e JOIN tr USING (event_type)
+  WHERE e.event_id % 4 = 1 AND e.value IS NOT NULL),
+rk AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal),
+q AS (
+  SELECT event_type, n_cal,
+         CASE WHEN ceil((n_cal + 1) * 0.9) <= n_cal THEN r END AS q_hat
+  FROM rk
+  WHERE rn = least(ceil((n_cal + 1) * 0.9)::BIGINT, n_cal)),
+te AS (
+  SELECT e.event_type, e.value::DOUBLE AS y, tr.pred
+  FROM events e JOIN tr USING (event_type)
+  WHERE e.event_id % 4 = 3 AND e.value IS NOT NULL)
+SELECT q.event_type, n_cal, round(q_hat, {R}) AS q_hat,
+       count(*)::BIGINT AS n_test,
+       round(avg(CASE WHEN abs(y - pred) <= q_hat
+                      THEN 1 ELSE 0 END), {R}) AS coverage,
+       round(avg(2 * q_hat), {R}) AS avg_width
+FROM te JOIN q ON te.event_type = q.event_type
+WHERE q_hat IS NOT NULL
+GROUP BY q.event_type, n_cal, q_hat
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -9778,6 +9865,8 @@ QUERIES = {
     "compaction_plan_documents": q_compaction_plan_documents,
     "kaplan_meier_events": q_kaplan_meier_events,
     "bootstrap_ci_events": q_bootstrap_ci_events,
+    "overlap_invariants_events": q_overlap_invariants_events,
+    "conformal_events": q_conformal_events,
 }
 
 ORACLES = {
@@ -10016,4 +10105,6 @@ ORACLES = {
     "compaction_plan_documents": ORACLE_COMPACTION_PLAN,
     "kaplan_meier_events": ORACLE_KAPLAN_MEIER,
     "bootstrap_ci_events": ORACLE_BOOTSTRAP_CI,
+    "overlap_invariants_events": ORACLE_OVERLAP_INVARIANTS,
+    "conformal_events": ORACLE_CONFORMAL,
 }

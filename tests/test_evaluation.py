@@ -490,3 +490,52 @@ def test_platt_save_load_and_null(spark, tmp_path):
     assert loaded.coefficients == model.coefficients
     probe = spark.createDataFrame([(None,)], "score double")
     assert loaded.transform(probe).first()["calibrated"] is None
+
+
+# ---------------------------------------------------------------------------
+# SplitConformalRegressor
+# ---------------------------------------------------------------------------
+
+def test_conformal_exact_order_statistic(spark):
+    from flink_ml__spark.functions.evaluation import SplitConformalRegressor
+    cal = spark.createDataFrame(
+        [(0.0, float(i)) for i in range(1, 11)],
+        "prediction double, label double")
+    # residuals 1..10; alpha=0.2 -> k = ceil(11*0.8) = 9 -> q = 9
+    m = SplitConformalRegressor().setAlpha(0.2).fit(cal)
+    q = m.getModelData().first()
+    assert q["n_cal"] == 10 and q["q_hat"] == 9.0
+    # alpha=0.5 -> k = ceil(5.5) = 6 -> q = 6
+    m = SplitConformalRegressor().setAlpha(0.5).fit(cal)
+    assert m.getModelData().first()["q_hat"] == 6.0
+    # apply appends symmetric bounds
+    test = spark.createDataFrame([(100.0,)], "prediction double")
+    r = m.transform(test).first()
+    assert r["ci_lo"] == 94.0 and r["ci_hi"] == 106.0
+
+
+def test_conformal_tiny_group_and_grouped_coverage(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.evaluation import SplitConformalRegressor
+    # group g has 20 calib rows (residuals 1..20), group h only 2:
+    # k(h) = ceil(3*0.9) = 3 > 2 -> q NULL (infinite interval)
+    cal = spark.createDataFrame(
+        [("g", 0.0, float(i)) for i in range(1, 21)] +
+        [("h", 0.0, 1.0), ("h", 0.0, 2.0)],
+        "grp string, prediction double, label double")
+    m = (SplitConformalRegressor().setGroupCols("grp").setAlpha(0.1)
+         .fit(cal))
+    q = {r["grp"]: r for r in m.getModelData().collect()}
+    # k(g) = ceil(21*0.9) = 19 -> q = 19
+    assert q["g"]["q_hat"] == 19.0
+    assert q["h"]["q_hat"] is None
+    # coverage on a test slice of g: residuals 1..20 vs q=19 -> 19/20
+    test = spark.createDataFrame(
+        [("g", 0.0, float(i)) for i in range(1, 21)],
+        "grp string, prediction double, label double")
+    ev = {r["grp"]: r for r in m.evaluate(test, "label").collect()}
+    assert ev["g"]["n_test"] == 20
+    assert abs(ev["g"]["coverage"] - 0.95) < 1e-12
+    assert ev["g"]["avg_width"] == 38.0
+    with _pt.raises(ValueError, match="alpha"):
+        SplitConformalRegressor().setAlpha(1.0)

@@ -726,3 +726,23 @@ def test_bootstrap_is_one_aggregation_no_explode_of_data(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"event_id", "value"}, cols
+
+
+def test_overlap_sketches_single_pass_no_join(spark):
+    """HLL overlap: all six sketches/exact counts fold in ONE
+    aggregation over ONE scan — no join, no second pass."""
+    plan = _plan(spark, "overlap_invariants_events")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_type", "user_id"}, cols
+
+
+def test_conformal_model_broadcasts_q_table(spark):
+    """Conformal apply/evaluate joins the group-sized q_hat table via
+    broadcast; the calibration sort-window partitions by group."""
+    plan = _plan(spark, "conformal_events")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -303,3 +303,47 @@ def test_cms_gate_query_empty(spark):
     df = q_cms_invariants_events(spark, "/root/testdata/sf0.001")
     assert df.columns == ["user_id", "check", "detail"]
     assert df.collect() == []
+
+
+# ---------------------------------------------------------------------------
+# SketchOverlapEstimator
+# ---------------------------------------------------------------------------
+
+def test_overlap_estimator_small_exact(spark):
+    # HLL++ is exact in its sparse regime, so small sets pin the
+    # inclusion-exclusion arithmetic precisely
+    from flink_ml__spark.functions.sketches import SketchOverlapEstimator
+    rows = [("a", i) for i in range(1, 101)] + \
+           [("b", i) for i in range(51, 151)] + \
+           [("c", 999), ("a", None)]
+    df = spark.createDataFrame(rows, "lbl string, k bigint")
+    op = (SketchOverlapEstimator().setKeyCol("k").setLabelCol("lbl")
+          .setLabels("a", "b").setRelativeSD(0.01))
+    r = op.evaluate(df).first()
+    # HLL++ is near-exact here but the register estimate may be off by
+    # ~1 around the sparse boundary; the exact legs pin the arithmetic
+    assert abs(r["n_a"] - 100) <= 2 and abs(r["n_b"] - 100) <= 2
+    assert abs(r["n_union"] - 150) <= 3
+    assert abs(r["n_intersect"] - 50) <= 5
+    assert abs(r["jaccard"] - 50 / 150) < 0.04
+    e = op.error_report(df).first()
+    assert (e["a_exact"], e["b_exact"], e["u_exact"]) == (100, 100, 150)
+    assert e["i_exact"] == 50
+    assert e["a_rel_err"] <= 0.02 and e["i_rel_err"] <= 0.1
+
+
+def test_overlap_estimator_disjoint_and_validation(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.sketches import SketchOverlapEstimator
+    rows = [("a", i) for i in range(10)] + \
+           [("b", i) for i in range(100, 110)]
+    df = spark.createDataFrame(rows, "lbl string, k bigint")
+    op = (SketchOverlapEstimator().setKeyCol("k").setLabelCol("lbl")
+          .setLabels("a", "b").setRelativeSD(0.01))
+    r = op.evaluate(df).first()
+    # inclusion-exclusion clamps at 0 for disjoint slices
+    assert r["n_intersect"] == 0 and r["jaccard"] == 0.0
+    with _pt.raises(ValueError, match="differ"):
+        SketchOverlapEstimator().setLabels("x", "x")
+    with _pt.raises(ValueError, match="setLabels"):
+        SketchOverlapEstimator().evaluate(df)
