@@ -9638,6 +9638,76 @@ GROUP BY q.event_type, n_cal, q_hat
 """
 
 
+def q_welch_window_events(spark, sf_dir):
+    """Per-day windowed Welch t (purchase vs click) with a 1.5× scale
+    planted on purchase values every 7th day (same plant family as the
+    KS/PSI window gates, so some windows flip significant) — every
+    window's side moments, t and Welch dof replay exactly in SQL. The
+    SAME code path runs on an unbounded stream
+    (`streaming.stream_welch_monitor`, parity-tested)."""
+    from flink_ml__spark.streaming.online import stream_welch_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    cur = ev.withColumn(
+        "value",
+        F.when((day % 7 == 3) & (F.col("event_type") == "purchase"),
+               F.col("value") * 1.5).otherwise(F.col("value")))
+    out = stream_welch_monitor(cur, "ts", "value", "event_type",
+                               "purchase", "click", window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "n_a", "n_b",
+                      F.round("mean_a", R).alias("mean_a"),
+                      F.round("mean_b", R).alias("mean_b"),
+                      F.round("t_stat", R).alias("t_stat"),
+                      F.round("dof", R).alias("dof"), "significant")
+
+
+ORACLE_WELCH_WINDOW = f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+         event_type AS g,
+         CASE WHEN (epoch_us(ts) // {_DAY_US}) % 7 = 3
+                   AND event_type = 'purchase'
+              THEN value::DOUBLE * 1.5 ELSE value::DOUBLE END AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IN ('purchase', 'click')),
+w AS (
+  SELECT win_us,
+         sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = 'purchase' THEN y ELSE 0 END) AS sa,
+         sum(CASE WHEN g = 'purchase' THEN y * y ELSE 0 END) AS qa,
+         sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN g = 'click' THEN y ELSE 0 END) AS sb,
+         sum(CASE WHEN g = 'click' THEN y * y ELSE 0 END) AS qb
+  FROM base GROUP BY 1),
+m AS (
+  SELECT win_us, na, nb,
+         CASE WHEN na > 0 THEN sa / na END AS ma,
+         CASE WHEN nb > 0 THEN sb / nb END AS mb,
+         CASE WHEN na > 1
+              THEN (qa - sa * sa / na) / (na - 1) / na END AS van,
+         CASE WHEN nb > 1
+              THEN (qb - sb * sb / nb) / (nb - 1) / nb END AS vbn
+  FROM w),
+s AS (
+  SELECT *, CASE WHEN na > 1 AND nb > 1 AND van + vbn > 0
+                 THEN (ma - mb) / sqrt(van + vbn) END AS tt
+  FROM m)
+SELECT win_us, na AS n_a, nb AS n_b,
+       round(ma, {R}) AS mean_a, round(mb, {R}) AS mean_b,
+       round(tt, {R}) AS t_stat,
+       round(CASE WHEN tt IS NOT NULL
+                  THEN (van + vbn) ^ 2
+                       / (van * van / (na - 1) + vbn * vbn / (nb - 1))
+             END, {R}) AS dof,
+       coalesce(abs(tt) > 1.96, false) AS significant
+FROM s
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -9867,6 +9937,7 @@ QUERIES = {
     "bootstrap_ci_events": q_bootstrap_ci_events,
     "overlap_invariants_events": q_overlap_invariants_events,
     "conformal_events": q_conformal_events,
+    "welch_window_events": q_welch_window_events,
 }
 
 ORACLES = {
@@ -10107,4 +10178,5 @@ ORACLES = {
     "bootstrap_ci_events": ORACLE_BOOTSTRAP_CI,
     "overlap_invariants_events": ORACLE_OVERLAP_INVARIANTS,
     "conformal_events": ORACLE_CONFORMAL,
+    "welch_window_events": ORACLE_WELCH_WINDOW,
 }

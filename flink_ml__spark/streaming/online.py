@@ -1410,3 +1410,66 @@ def stream_interarrival(stream_df: DataFrame, op) -> DataFrame:
                 fold, outputStructType=out_schema,
                 stateStructType=state_schema, outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_welch_monitor(stream_df: DataFrame, time_col: str,
+                         value_col: str, group_col: str,
+                         label_a: str, label_b: str,
+                         window: str = "1 minute",
+                         watermark_delay: str = "0 seconds"
+                         ) -> DataFrame:
+    """Windowed Welch unequal-variance t-test between two named
+    segments — the live twin of :class:`~flink_ml__spark.functions.
+    stats.WelchTTest`: per event-time window, is segment A's mean
+    drifting from segment B's? (The A/B guardrail metric emitted
+    continuously instead of at experiment end.)
+
+    Per window each side's (n, Σy, Σy²) are conditional sums inside
+    the ONE watermarked aggregate; t and the Welch–Satterthwaite dof
+    are projections over those six columns — O(1) state per window,
+    no buffering. Runs identically on a batch frame (oracle-gated
+    via ``welch_window_events``).
+
+    Output: ``window_start``, ``window_end``, ``n_a``, ``n_b``,
+    ``mean_a``, ``mean_b``, ``t_stat``, ``dof``, ``significant``.
+    """
+    if label_a == label_b:
+        raise ValueError("label_a and label_b must differ")
+    t = F.col(time_col)
+    y = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("string")
+    src = stream_df.filter(t.isNotNull() & y.isNotNull()
+                           & g.isin(label_a, label_b))
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+
+    def side(lbl, suf):
+        hit = g == F.lit(lbl)
+        return [F.sum(F.when(hit, 1).otherwise(0)).alias(f"__n{suf}"),
+                F.sum(F.when(hit, y).otherwise(0.0)).alias(f"__s{suf}"),
+                F.sum(F.when(hit, y * y).otherwise(0.0))
+                .alias(f"__q{suf}")]
+
+    agg = (src.groupBy(F.window(t, window).alias("__w"))
+           .agg(*side(label_a, "a"), *side(label_b, "b")))
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    ma = F.when(na > 0, F.col("__sa") / na)
+    mb = F.when(nb > 0, F.col("__sb") / nb)
+    va_n = F.when(na > 1, (F.col("__qa") - F.col("__sa") * F.col("__sa")
+                           / na) / (na - 1) / na)
+    vb_n = F.when(nb > 1, (F.col("__qb") - F.col("__sb") * F.col("__sb")
+                           / nb) / (nb - 1) / nb)
+    se2 = va_n + vb_n
+    ok = (na > 1) & (nb > 1) & (se2 > 0)
+    t_stat = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(ok, se2 * se2 / (va_n * va_n / (na - 1)
+                                  + vb_n * vb_n / (nb - 1)))
+    return agg.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        t_stat.alias("t_stat"), dof.alias("dof"),
+        F.coalesce(F.abs(t_stat) > 1.96, F.lit(False))
+        .alias("significant"))

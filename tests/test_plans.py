@@ -746,3 +746,16 @@ def test_conformal_model_broadcasts_q_table(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_welch_window_single_aggregate_no_buffering(spark):
+    """Windowed Welch: ONE hash aggregation (partial+final pair) over
+    the windowed groupBy — never a WindowExec buffering rows; t/dof
+    are projections."""
+    plan = _plan(spark, "welch_window_events")
+    assert "Window\n" not in plan  # no row-buffering window operator
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"ts", "event_type", "value"}, cols

@@ -1594,3 +1594,113 @@ def test_stream_interarrival_matches_batch(spark):
                 assert abs(s[col] - b[col]) < 1e-6, (key, col)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_welch_monitor_matches_batch_and_welch(spark):
+    """Per-window Welch on an unbounded stream must emit exactly the
+    batch run of the same code path, and each window must agree with
+    batch WelchTTest on that window's slice."""
+    import datetime as _dt
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.stats import WelchTTest
+    from flink_ml__spark.streaming.online import stream_welch_monitor
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(240):
+        grp = "a" if i % 2 == 0 else "b"
+        # minute-windows; shift group a's mean in window 2
+        v = float(i % 7) + (5.0 if grp == "a" and 60 <= i < 120 else 0.0)
+        rows.append((base + _dt.timedelta(seconds=i * 2), grp, v))
+    df = spark.createDataFrame(rows, "ts timestamp, g string, v double")
+
+    def canon(frame):
+        return sorted(
+            (r["window_start"], r["n_a"], r["n_b"],
+             round(r["mean_a"], 9), round(r["mean_b"], 9),
+             None if r["t_stat"] is None else round(r["t_stat"], 9),
+             r["significant"])
+            for r in frame.collect())
+
+    batch = canon(stream_welch_monitor(df, "ts", "v", "g", "a", "b",
+                                       window="1 minute"))
+    assert len(batch) == 8
+    # the shifted windows must flag
+    assert any(r[6] for r in batch)
+
+    # window 2 agrees with the batch WelchTTest on the same slice
+    sl = df.filter((F.col("ts") >= base + _dt.timedelta(minutes=2))
+                   & (F.col("ts") < base + _dt.timedelta(minutes=3)))
+    ref = (WelchTTest().setValueCol("v").setGroupCol("g")
+           .setGroups("a", "b").evaluate(sl).first())
+    w2 = [r for r in batch
+          if r[0] == base + _dt.timedelta(minutes=2)][0]
+    assert w2[1] == ref["n_a"] and w2[2] == ref["n_b"]
+    assert abs(w2[5] - ref["t_stat"]) < 1e-9
+
+    d = _tf.mkdtemp(prefix="welch_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_welch_monitor(stream, "ts", "v", "g", "a", "b",
+                                   window="1 minute")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("welchstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM welchstream"))
+        # append mode cannot emit the final window (the watermark never
+        # passes its end on a bounded replay) — same contract as the
+        # ANOVA/KS monitors: emitted windows match exactly
+        bymap = {r[0]: r for r in batch}
+        assert got
+        for r in got:
+            assert bymap[r[0]] == r
+        assert ({r[0] for r in batch} - {r[0] for r in got}
+                <= {max(bymap)})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_conformal_apply_matches_batch(spark):
+    """SplitConformalModel.transform is a broadcast join + projection,
+    so INFERENCE runs unchanged on an unbounded stream — the streamed
+    intervals must equal the batch intervals row for row."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.evaluation import SplitConformalRegressor
+
+    cal = spark.createDataFrame(
+        [("g", 10.0, 10.0 + (i % 9) - 4) for i in range(40)] +
+        [("h", 20.0, 20.0 + (i % 5) - 2) for i in range(40)],
+        "grp string, prediction double, label double")
+    model = (SplitConformalRegressor().setGroupCols("grp")
+             .setAlpha(0.2).fit(cal))
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 == 0 else "h", float(i)) for i in range(60)],
+        "id long, grp string, prediction double")
+
+    def canon(frame):
+        return sorted((r["id"], round(r["ci_lo"], 9),
+                       round(r["ci_hi"], 9)) for r in frame.collect())
+
+    batch = canon(model.transform(df))
+    assert len(batch) == 60
+    d = _tf.mkdtemp(prefix="conf_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = model.transform(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("confstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM confstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
