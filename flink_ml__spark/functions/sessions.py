@@ -398,3 +398,131 @@ class AttributionAnalyzer(AlgoOperator):
                             F.lit(0.0).alias("linear_credit"))
                     .filter(F.col("first_touch") > 0))
         return per_channel.unionByName(unattrib)
+
+
+class SessionPathAnalyzer(AlgoOperator):
+    """Top navigation paths: the first ``pathLen`` event types of each
+    session, joined as ``"view>click>buy"``, counted across sessions —
+    the sankey/user-flow readout of product analytics (which entry
+    sequences dominate, where journeys diverge).
+
+    Sessions split by the lag/cumsum rule — a session boundary is a
+    per-key gap over ``gapSec`` — because the PATH needs per-event
+    session membership, which ``session_window`` (an aggregate) does
+    not expose. Event order inside a session is (time, ``idCol``) —
+    the id tie-break makes the path string deterministic when two
+    events share a timestamp, which the SQL oracle replays exactly.
+
+    ``transform(df)`` returns the ``topN`` paths::
+
+        path        "t1>t2>..." (≤ pathLen segments)
+        n_sessions  sessions starting with exactly this prefix
+        share       n_sessions / all sessions
+        rank        1-based, count desc then path asc
+
+    100 TB design: one per-key window pass (lag + running count —
+    keyed, no global sort) tags events with session ids; only ranks
+    ≤ pathLen survive into the path aggregation, so the heavy
+    string_agg-style collect sees ≤ pathLen rows per session. The
+    final topN is a bounded TakeOrdered, not a global sort.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "session key column",
+                   TypeConverters.toString)
+    typeCol = Param(Params._dummy(), "typeCol", "event-type column",
+                    TypeConverters.toString)
+    idCol = Param(Params._dummy(), "idCol",
+                  "unique id column (deterministic tie-break)",
+                  TypeConverters.toString)
+    gapSec = Param(Params._dummy(), "gapSec",
+                   "max inactivity inside a session (seconds)",
+                   TypeConverters.toFloat)
+    pathLen = Param(Params._dummy(), "pathLen",
+                    "leading events kept per session",
+                    TypeConverters.toInt)
+    topN = Param(Params._dummy(), "topN", "paths returned",
+                 TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", keyCol="user_id",
+                         typeCol="event_type", idCol="event_id",
+                         gapSec=1800.0, pathLen=3, topN=20)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTypeCol(self, v):
+        return self._set(typeCol=v)
+
+    def setIdCol(self, v):
+        return self._set(idCol=v)
+
+    def setGapSec(self, v):
+        if v <= 0:
+            raise ValueError("gapSec must be positive")
+        return self._set(gapSec=float(v))
+
+    def setPathLen(self, v):
+        if v < 1:
+            raise ValueError("pathLen must be at least 1")
+        return self._set(pathLen=int(v))
+
+    def setTopN(self, v):
+        if v < 1:
+            raise ValueError("topN must be at least 1")
+        return self._set(topN=int(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        ty = self.getOrDefault(self.typeCol)
+        rid = self.getOrDefault(self.idCol)
+        gap_us = int(self.getOrDefault(self.gapSec) * 1_000_000)
+        plen = self.getOrDefault(self.pathLen)
+        topn = self.getOrDefault(self.topN)
+
+        base = (df.filter(F.col(t).isNotNull() & F.col(k).isNotNull()
+                          & F.col(ty).isNotNull()
+                          & F.col(rid).isNotNull())
+                .select(F.col(k).alias("__k"),
+                        F.unix_micros(F.col(t)).alias("__us"),
+                        F.col(ty).cast("string").alias("__ty"),
+                        F.col(rid).alias("__id")))
+        order = [F.col("__us"), F.col("__id")]
+        w = Window.partitionBy("__k").orderBy(*order)
+        new_s = F.when(
+            F.col("__us") - F.lag("__us").over(w) > gap_us, 1) \
+            .otherwise(0)
+        tagged = (base.withColumn("__new", F.coalesce(new_s, F.lit(0)))
+                  .withColumn("__sid", F.sum("__new").over(
+                      w.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow))))
+        ws = Window.partitionBy("__k", "__sid").orderBy(*order)
+        ranked = (tagged.withColumn("__rn", F.row_number().over(ws))
+                  .filter(F.col("__rn") <= plen))
+        paths = (ranked.groupBy("__k", "__sid")
+                 .agg(F.concat_ws(">", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("__rn", "__ty"))),
+                     lambda s: s["__ty"])).alias("path")))
+        counts = paths.groupBy("path").agg(
+            F.count(F.lit(1)).alias("n_sessions"))
+        total = counts.agg(F.sum("n_sessions").alias("__tot"))
+        ranked_paths = (counts.crossJoin(F.broadcast(total))
+                        .withColumn("share",
+                                    F.col("n_sessions")
+                                    / F.col("__tot").cast("double"))
+                        .withColumn("rank", F.row_number().over(
+                            Window.orderBy(F.desc("n_sessions"),
+                                           F.asc("path"))))
+                        .filter(F.col("rank") <= topn))
+        return ranked_paths.select("path", "n_sessions", "share",
+                                   "rank")

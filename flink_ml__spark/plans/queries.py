@@ -9708,6 +9708,128 @@ FROM s
 """
 
 
+def q_cuped_events(spark, sf_dir):
+    """CUPED gate: per-user pre-period covariate (mean value, days
+    1–15 of the 30-day table) vs experiment metric (mean value, days
+    16–30), synthetic variant = user_id parity — θ, both diffs and
+    the variance reduction replay exactly in SQL. (19738 = epoch-day
+    of 2024-01-16, the table's fixed midpoint.)"""
+    from flink_ml__spark.functions.stats import CupedAdjuster
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    v = F.col("value").cast("double")
+    units = (ev.groupBy("user_id")
+             .agg(F.avg(F.when(day < 19738, v)).alias("x"),
+                  F.avg(F.when(day >= 19738, v)).alias("y"))
+             .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+             .select(F.when(F.col("user_id") % 2 == 0, "t")
+                     .otherwise("c").alias("variant"), "x", "y"))
+    out = (CupedAdjuster().setMetricCol("y").setCovariateCol("x")
+           .setVariants("t", "c").evaluate(units))
+    return out.select("n_a", "n_b",
+                      F.round("theta", R).alias("theta"),
+                      F.round("diff_raw", R).alias("diff_raw"),
+                      F.round("diff_adj", R).alias("diff_adj"),
+                      F.round("var_y", R).alias("var_y"),
+                      F.round("var_y_adj", R).alias("var_y_adj"),
+                      F.round("var_reduction", R).alias("var_reduction"))
+
+
+ORACLE_CUPED = f"""
+WITH units AS (
+  SELECT user_id % 2 = 0 AS is_t,
+         avg(CASE WHEN epoch_us(ts) // {_DAY_US} < 19738
+                  THEN value::DOUBLE END) AS x,
+         avg(CASE WHEN epoch_us(ts) // {_DAY_US} >= 19738
+                  THEN value::DOUBLE END) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
+u AS (SELECT * FROM units WHERE x IS NOT NULL AND y IS NOT NULL),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN is_t THEN y ELSE 0 END) AS sya,
+         sum(CASE WHEN is_t THEN x ELSE 0 END) AS sxa,
+         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN NOT is_t THEN y ELSE 0 END) AS syb,
+         sum(CASE WHEN NOT is_t THEN x ELSE 0 END) AS sxb
+  FROM u),
+d AS (
+  SELECT na, nb,
+         (sxx - sx * sx / n) / (n - 1) AS vx,
+         (syy - sy * sy / n) / (n - 1) AS vy,
+         (sxy - sx * sy / n) / (n - 1) AS cv,
+         sya / na AS ma, syb / nb AS mb,
+         sxa / na AS mxa, sxb / nb AS mxb
+  FROM m WHERE n > 0),
+t AS (SELECT *, CASE WHEN vx > 0 THEN cv / vx END AS theta FROM d)
+SELECT na AS n_a, nb AS n_b, round(theta, {R}) AS theta,
+       round(ma - mb, {R}) AS diff_raw,
+       round(ma - mb - theta * (mxa - mxb), {R}) AS diff_adj,
+       round(vy, {R}) AS var_y,
+       round(vy + theta * theta * vx - 2 * theta * cv, {R})
+           AS var_y_adj,
+       round(CASE WHEN vy > 0
+                  THEN 1 - (vy + theta * theta * vx - 2 * theta * cv)
+                       / vy END, {R}) AS var_reduction
+FROM t
+"""
+
+
+def q_session_paths_events(spark, sf_dir):
+    """Top session entry paths (first 3 event types per 30-minute-gap
+    session) — the lag/cumsum session split, the (time, id) in-session
+    order, the prefix strings and the bounded top-20 replay exactly in
+    SQL."""
+    from flink_ml__spark.functions.sessions import SessionPathAnalyzer
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (SessionPathAnalyzer().setGapSec(1800).setPathLen(3)
+           .setTopN(20).transform(ev))
+    return out.select("path", "n_sessions",
+                      F.round("share", R).alias("share"), "rank")
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH base AS (
+  SELECT user_id AS k, epoch_us(ts) AS us, event_type AS ty,
+         event_id AS id
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL),
+lagged AS (
+  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY k
+                                         ORDER BY us, id)
+                      > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM base),
+tagged AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY k ORDER BY us, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagged),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k, sid
+                               ORDER BY us, id) AS rn
+  FROM tagged),
+paths AS (
+  SELECT k, sid, string_agg(ty, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY 1, 2),
+counts AS (SELECT path, count(*)::BIGINT AS n_sessions
+           FROM paths GROUP BY 1),
+tot AS (SELECT sum(n_sessions)::DOUBLE AS t FROM counts),
+rk AS (
+  SELECT path, n_sessions, n_sessions / t AS share,
+         row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rnk
+  FROM counts CROSS JOIN tot)
+SELECT path, n_sessions, round(share, {R}) AS share, rnk AS "rank"
+FROM rk WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -9938,6 +10060,8 @@ QUERIES = {
     "overlap_invariants_events": q_overlap_invariants_events,
     "conformal_events": q_conformal_events,
     "welch_window_events": q_welch_window_events,
+    "cuped_events": q_cuped_events,
+    "session_paths_events": q_session_paths_events,
 }
 
 ORACLES = {
@@ -10179,4 +10303,6 @@ ORACLES = {
     "overlap_invariants_events": ORACLE_OVERLAP_INVARIANTS,
     "conformal_events": ORACLE_CONFORMAL,
     "welch_window_events": ORACLE_WELCH_WINDOW,
+    "cuped_events": ORACLE_CUPED,
+    "session_paths_events": ORACLE_SESSION_PATHS,
 }

@@ -759,3 +759,32 @@ def test_welch_window_single_aggregate_no_buffering(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"ts", "event_type", "value"}, cols
+
+
+def test_cuped_two_aggregations_no_window(spark):
+    """CUPED: unit prep (one keyed agg) + one 1-row conditional-moment
+    agg — no window, no join, no Python; scan prunes to
+    (user_id, ts, value)."""
+    plan = _plan(spark, "cuped_events")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "value"}, cols
+
+
+def test_session_paths_keyed_windows_bounded_top(spark):
+    """Session paths: per-key lag/cumsum windows (never unpartitioned
+    over events), prefix filter before the collect, bounded top-N."""
+    import re as _re
+    plan = _plan(spark, "session_paths_events")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    # every window over the event stream partitions by the session key;
+    # the one global window ranks the path-count table (path-grouped,
+    # bounded), recognizable by ordering on n_sessions
+    for s in specs:
+        assert ("__k" in s) or ("n_sessions" in s), s

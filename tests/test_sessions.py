@@ -561,3 +561,54 @@ def test_attribution_analyzer(spark):
     assert got["__unattributed__"] == (0, 1, 1, 0.0)
     # conservation: linear credit sums to attributed conversions
     assert abs(sum(v[3] for v in got.values()) - 2.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# SessionPathAnalyzer
+# ---------------------------------------------------------------------------
+
+def test_session_paths_golden(spark):
+    import datetime as _dt
+    from flink_ml__spark.functions.sessions import SessionPathAnalyzer
+    base = _dt.datetime(2024, 1, 1)
+
+    def ev(u, sec, ty, i):
+        return (u, base + _dt.timedelta(seconds=sec), ty, i)
+
+    df = spark.createDataFrame(
+        [ev(1, 0, "view", 1), ev(1, 10, "click", 2),
+         ev(1, 2000, "buy", 3),          # gap > 1800 -> new session
+         ev(2, 0, "view", 4), ev(2, 1, "view", 5)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    out = {r["path"]: r for r in
+           (SessionPathAnalyzer().setGapSec(1800).setPathLen(3)
+            .transform(df).collect())}
+    assert set(out) == {"view>click", "buy", "view>view"}
+    assert all(r["n_sessions"] == 1 for r in out.values())
+    assert abs(out["buy"]["share"] - 1 / 3) < 1e-12
+    # rank: count ties broken by path asc
+    assert out["buy"]["rank"] == 1
+    assert out["view>click"]["rank"] == 2
+    assert out["view>view"]["rank"] == 3
+
+
+def test_session_paths_tiebreak_truncation_topn(spark):
+    import datetime as _dt
+    import pytest as _pt
+    from flink_ml__spark.functions.sessions import SessionPathAnalyzer
+    base = _dt.datetime(2024, 1, 1)
+    # two events share a timestamp: id order decides the path
+    df = spark.createDataFrame(
+        [(1, base, "b_type", 6), (1, base, "a_type", 5),
+         (1, base + _dt.timedelta(seconds=1), "c_type", 7)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    op = SessionPathAnalyzer().setGapSec(60).setPathLen(2)
+    r = op.transform(df).first()
+    assert r["path"] == "a_type>b_type"  # id 5 before id 6; c truncated
+    out = (SessionPathAnalyzer().setGapSec(60).setPathLen(9)
+           .setTopN(1).transform(df))
+    assert out.count() == 1
+    with _pt.raises(ValueError, match="pathLen"):
+        SessionPathAnalyzer().setPathLen(0)
+    with _pt.raises(ValueError, match="gapSec"):
+        SessionPathAnalyzer().setGapSec(0)

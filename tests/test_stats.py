@@ -681,3 +681,54 @@ def test_bootstrap_weight_ladder_and_validation(spark):
     assert len(POISSON1_CDF) == 7
     with _pt.raises(ValueError, match="numReplicas"):
         PoissonBootstrapper().setNumReplicas(1)
+
+
+# ---------------------------------------------------------------------------
+# CupedAdjuster
+# ---------------------------------------------------------------------------
+
+def test_cuped_golden_perfect_covariate(spark):
+    from flink_ml__spark.functions.stats import CupedAdjuster
+    # y = x + effect: theta=1, adjusted diff == raw diff (covariate
+    # balanced), variance reduction = 1 - 0.3/1.1
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 3.0), ("a", 3.0, 4.0),
+         ("b", 1.0, 1.0), ("b", 2.0, 2.0), ("b", 3.0, 3.0)],
+        "variant string, x double, y double")
+    r = (CupedAdjuster().setMetricCol("y").setCovariateCol("x")
+         .setVariants("a", "b").evaluate(df).first())
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert abs(r["theta"] - 1.0) < 1e-12
+    assert abs(r["diff_raw"] - 1.0) < 1e-12
+    assert abs(r["diff_adj"] - 1.0) < 1e-12
+    assert abs(r["var_y"] - 1.1) < 1e-12
+    assert abs(r["var_y_adj"] - 0.3) < 1e-12
+    assert abs(r["var_reduction"] - (1 - 0.3 / 1.1)) < 1e-12
+
+
+def test_cuped_unbalanced_covariate_corrects_bias(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import CupedAdjuster
+    # same y=x relationship, but variant a got luckier units (higher
+    # x): raw diff is inflated, CUPED removes exactly theta*(dx)
+    df = spark.createDataFrame(
+        [("a", 3.0, 3.0), ("a", 4.0, 4.0),
+         ("b", 1.0, 1.0), ("b", 2.0, 2.0)],
+        "variant string, x double, y double")
+    r = (CupedAdjuster().setMetricCol("y").setCovariateCol("x")
+         .setVariants("a", "b").evaluate(df).first())
+    assert abs(r["theta"] - 1.0) < 1e-12
+    assert abs(r["diff_raw"] - 2.0) < 1e-12
+    assert abs(r["diff_adj"] - 0.0) < 1e-12   # no real effect
+    # constant covariate -> theta NULL, adjusted stats NULL
+    c = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("b", 5.0, 2.0), ("a", 5.0, 3.0),
+         ("b", 5.0, 4.0)], "variant string, x double, y double")
+    r = (CupedAdjuster().setMetricCol("y").setCovariateCol("x")
+         .setVariants("a", "b").evaluate(c).first())
+    assert r["theta"] is None and r["diff_adj"] is None
+    assert abs(r["diff_raw"] - (-1.0)) < 1e-12
+    with _pt.raises(ValueError, match="differ"):
+        CupedAdjuster().setVariants("a", "a")
+    with _pt.raises(ValueError, match="setVariants"):
+        CupedAdjuster().evaluate(df)
