@@ -9884,6 +9884,19 @@ QUERIES = {
     "temporal_split_events": q_temporal_split_events,
     "correlation_rank_lineitem": q_correlation_rank_lineitem,
     "hashed_tfidf_documents": q_hashed_tfidf_documents,
+    # --- outside the window this round
+    "welch_ttest_events": q_welch_ttest_events,
+    "theilsen_events": q_theilsen_events,
+    "mann_kendall_events": q_mann_kendall_events,
+    "assortativity_events": q_assortativity_events,
+    "compaction_plan_documents": q_compaction_plan_documents,
+    "kaplan_meier_events": q_kaplan_meier_events,
+    "bootstrap_ci_events": q_bootstrap_ci_events,
+    "overlap_invariants_events": q_overlap_invariants_events,
+    "conformal_events": q_conformal_events,
+    "welch_window_events": q_welch_window_events,
+    "cuped_events": q_cuped_events,
+    "session_paths_events": q_session_paths_events,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -9895,7 +9908,6 @@ QUERIES = {
     "curation_pipeline_documents": q_curation_pipeline_documents,
     "repetition_documents": q_repetition_documents,
     "split_documents": q_split_documents,
-    # --- outside the window this round
     "contamination_documents": q_contamination_documents,
     "tfidf_keywords_documents": q_tfidf_keywords_documents,
     "dup_clusters_documents": q_dup_clusters_documents,
@@ -10050,18 +10062,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "welch_ttest_events": q_welch_ttest_events,
-    "theilsen_events": q_theilsen_events,
-    "mann_kendall_events": q_mann_kendall_events,
-    "assortativity_events": q_assortativity_events,
-    "compaction_plan_documents": q_compaction_plan_documents,
-    "kaplan_meier_events": q_kaplan_meier_events,
-    "bootstrap_ci_events": q_bootstrap_ci_events,
-    "overlap_invariants_events": q_overlap_invariants_events,
-    "conformal_events": q_conformal_events,
-    "welch_window_events": q_welch_window_events,
-    "cuped_events": q_cuped_events,
-    "session_paths_events": q_session_paths_events,
 }
 
 ORACLES = {
