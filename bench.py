@@ -223,6 +223,18 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "cms_invariants_events",
+    "welch_ttest_events",
+    "welch_window_events",
+    "theilsen_events",
+    "mann_kendall_events",
+    "assortativity_events",
+    "compaction_plan_documents",
+    "kaplan_meier_events",
+    "bootstrap_ci_events",
+    "overlap_invariants_events",
+    "conformal_events",
+    "cuped_events",
+    "session_paths_events",
 ]
 
 
