@@ -235,6 +235,8 @@ HEADLINE = [
     "conformal_events",
     "cuped_events",
     "session_paths_events",
+    "did_events",
+    "covariate_balance_events",
 ]
 
 

@@ -1387,3 +1387,210 @@ class CupedAdjuster(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class DiffInDiffAnalyzer(AlgoOperator):
+    """Two-period × two-group difference-in-differences (Card &
+    Krueger 1994 canon): the treatment effect estimate is
+    ``(ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)`` — the change the
+    treated group saw beyond the control group's change, unbiased
+    under parallel trends.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_tpre, n_tpost, n_cpre, n_cpost   cell sizes
+        mean_tpre, mean_tpost,
+        mean_cpre, mean_cpost              cell means
+        did                                the DiD estimate
+        se                                 √Σ s²_cell/n_cell (the
+                                           standard 4-cell Welch-style
+                                           SE; NULL if any cell < 2)
+        significant                        |did| > 1.96·se
+
+    Scale shape: ONE conditional-moment aggregation (4 cells × 3
+    moments in the same pass), 1-row arithmetic after.
+    """
+
+    metricCol = Param(Params._dummy(), "metricCol", "outcome column",
+                      TypeConverters.toString)
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "treatment/control label column",
+                     TypeConverters.toString)
+    treatedLabel = Param(Params._dummy(), "treatedLabel",
+                         "label marking the treated group",
+                         TypeConverters.toString)
+    postCol = Param(Params._dummy(), "postCol",
+                    "boolean column: row belongs to the post period",
+                    TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(metricCol="y", groupCol="variant",
+                         treatedLabel="t", postCol="post")
+
+    def setMetricCol(self, v):
+        return self._set(metricCol=v)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setTreatedLabel(self, v):
+        return self._set(treatedLabel=v)
+
+    def setPostCol(self, v):
+        return self._set(postCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        y = F.col(self.getOrDefault(self.metricCol)).cast("double")
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+        post = F.col(self.getOrDefault(self.postCol)).cast("boolean")
+        treated = g == self.getOrDefault(self.treatedLabel)
+        base = df.filter(y.isNotNull() & g.isNotNull()
+                         & post.isNotNull())
+
+        def cell(cond, suf):
+            v = F.when(cond, y)
+            return [F.count(v).alias(f"n_{suf}"),
+                    F.sum(v).alias(f"__s{suf}"),
+                    F.sum(v * v).alias(f"__q{suf}")]
+
+        m = base.agg(*cell(treated & ~post, "tpre"),
+                     *cell(treated & post, "tpost"),
+                     *cell(~treated & ~post, "cpre"),
+                     *cell(~treated & post, "cpost"))
+
+        def mean(suf):
+            n = F.col(f"n_{suf}").cast("double")
+            return F.when(n > 0, F.col(f"__s{suf}") / n)
+
+        def var_over_n(suf):
+            n = F.col(f"n_{suf}").cast("double")
+            return F.when(n > 1, (F.col(f"__q{suf}")
+                                  - F.col(f"__s{suf}")
+                                  * F.col(f"__s{suf}") / n)
+                          / (n - 1) / n)
+
+        did = ((mean("tpost") - mean("tpre"))
+               - (mean("cpost") - mean("cpre")))
+        se = F.sqrt(var_over_n("tpre") + var_over_n("tpost")
+                    + var_over_n("cpre") + var_over_n("cpost"))
+        return m.select(
+            "n_tpre", "n_tpost", "n_cpre", "n_cpost",
+            mean("tpre").alias("mean_tpre"),
+            mean("tpost").alias("mean_tpost"),
+            mean("cpre").alias("mean_cpre"),
+            mean("cpost").alias("mean_cpost"),
+            did.alias("did"), se.alias("se"),
+            F.coalesce(F.abs(did) > 1.96 * se, F.lit(False))
+            .alias("significant"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class CovariateBalanceChecker(AlgoOperator):
+    """Pre-experiment covariate balance: the standardized mean
+    difference ``SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2)`` per
+    covariate between two variants — the table every experiment
+    report opens with (|SMD| > 0.1 is the conventional imbalance
+    flag; Austin 2009).
+
+    ``evaluate(df)`` returns one row per covariate::
+
+        covariate    column name
+        n_t, n_c     non-null rows per variant
+        mean_t, mean_c
+        smd          NULL when the pooled spread is 0
+        imbalanced   |smd| > threshold
+
+    Scale shape: one melt (explode of a per-covariate struct array)
+    then ONE hash aggregation keyed by covariate — adding covariates
+    adds expressions, not scans. Output is O(covariates).
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols",
+                      "numeric covariate columns",
+                      TypeConverters.toListString)
+    variantCol = Param(Params._dummy(), "variantCol",
+                       "variant label column", TypeConverters.toString)
+    treatedLabel = Param(Params._dummy(), "treatedLabel",
+                         "treated label", TypeConverters.toString)
+    controlLabel = Param(Params._dummy(), "controlLabel",
+                         "control label", TypeConverters.toString)
+    threshold = Param(Params._dummy(), "threshold",
+                      "|SMD| flag level", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCols=[], variantCol="variant",
+                         threshold=0.1)
+
+    def setInputCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        if not cols:
+            raise ValueError("inputCols must be non-empty")
+        return self._set(inputCols=cols)
+
+    def setVariantCol(self, v):
+        return self._set(variantCol=v)
+
+    def setLabels(self, treated: str, control: str):
+        if treated == control:
+            raise ValueError("treated and control labels must differ")
+        return self._set(treatedLabel=treated, controlLabel=control)
+
+    def setThreshold(self, v):
+        if v <= 0:
+            raise ValueError("threshold must be positive")
+        return self._set(threshold=float(v))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.treatedLabel)
+                or not self.isDefined(self.controlLabel)):
+            raise ValueError("setLabels(treated, control) is required")
+        t_lbl = self.getOrDefault(self.treatedLabel)
+        c_lbl = self.getOrDefault(self.controlLabel)
+        cols = self.getOrDefault(self.inputCols)
+        v = F.col(self.getOrDefault(self.variantCol)).cast("string")
+        melted = (df.filter(v.isin(t_lbl, c_lbl))
+                  .select(v.alias("__v"), F.explode(F.array(*[
+                      F.struct(F.lit(c).alias("covariate"),
+                               F.col(c).cast("double").alias("x"))
+                      for c in cols])).alias("f"))
+                  .select("f.covariate", "f.x", "__v")
+                  .filter(F.col("x").isNotNull()))
+        is_t = F.col("__v") == t_lbl
+        x = F.col("x")
+
+        def side(cond, suf):
+            vv = F.when(cond, x)
+            return [F.count(vv).alias(f"n_{suf}"),
+                    F.sum(vv).alias(f"__s{suf}"),
+                    F.sum(vv * vv).alias(f"__q{suf}")]
+
+        m = melted.groupBy("covariate").agg(*side(is_t, "t"),
+                                            *side(~is_t, "c"))
+
+        def mean(suf):
+            n = F.col(f"n_{suf}").cast("double")
+            return F.when(n > 0, F.col(f"__s{suf}") / n)
+
+        def var(suf):
+            n = F.col(f"n_{suf}").cast("double")
+            return F.when(n > 1, (F.col(f"__q{suf}")
+                                  - F.col(f"__s{suf}")
+                                  * F.col(f"__s{suf}") / n) / (n - 1))
+
+        pooled = F.sqrt((var("t") + var("c")) / 2)
+        smd = F.when(pooled > 0, (mean("t") - mean("c")) / pooled)
+        thr = self.getOrDefault(self.threshold)
+        return m.select(
+            "covariate", "n_t", "n_c",
+            mean("t").alias("mean_t"), mean("c").alias("mean_c"),
+            smd.alias("smd"),
+            F.coalesce(F.abs(smd) > thr, F.lit(False))
+            .alias("imbalanced"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -9830,6 +9830,143 @@ FROM rk WHERE rnk <= 20
 """
 
 
+def q_did_events(spark, sf_dir):
+    """Difference-in-differences gate: user-parity variants × the
+    table's fixed day-16 period split — all four cell moments, the
+    DiD estimate and the 4-cell SE replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import DiffInDiffAnalyzer
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    pre = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c")
+        .alias("variant"),
+        (day >= 19738).alias("post"), F.col("value").alias("y"))
+    out = (DiffInDiffAnalyzer().setMetricCol("y")
+           .setGroupCol("variant").setTreatedLabel("t")
+           .setPostCol("post").evaluate(pre))
+    return out.select(
+        "n_tpre", "n_tpost", "n_cpre", "n_cpost",
+        F.round("mean_tpre", R).alias("mean_tpre"),
+        F.round("mean_tpost", R).alias("mean_tpost"),
+        F.round("mean_cpre", R).alias("mean_cpre"),
+        F.round("mean_cpost", R).alias("mean_cpost"),
+        F.round("did", R).alias("did"), F.round("se", R).alias("se"),
+        "significant")
+
+
+ORACLE_DID = f"""
+WITH base AS (
+  SELECT user_id % 2 = 0 AS is_t,
+         epoch_us(ts) // {_DAY_US} >= 19738 AS post,
+         value::DOUBLE AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+m AS (
+  SELECT
+    count(CASE WHEN is_t AND NOT post THEN y END)::BIGINT AS n_tpre,
+    sum(CASE WHEN is_t AND NOT post THEN y END) AS s_tpre,
+    sum(CASE WHEN is_t AND NOT post THEN y * y END) AS q_tpre,
+    count(CASE WHEN is_t AND post THEN y END)::BIGINT AS n_tpost,
+    sum(CASE WHEN is_t AND post THEN y END) AS s_tpost,
+    sum(CASE WHEN is_t AND post THEN y * y END) AS q_tpost,
+    count(CASE WHEN NOT is_t AND NOT post THEN y END)::BIGINT AS n_cpre,
+    sum(CASE WHEN NOT is_t AND NOT post THEN y END) AS s_cpre,
+    sum(CASE WHEN NOT is_t AND NOT post THEN y * y END) AS q_cpre,
+    count(CASE WHEN NOT is_t AND post THEN y END)::BIGINT AS n_cpost,
+    sum(CASE WHEN NOT is_t AND post THEN y END) AS s_cpost,
+    sum(CASE WHEN NOT is_t AND post THEN y * y END) AS q_cpost
+  FROM base),
+d AS (
+  SELECT *,
+    s_tpre / n_tpre AS m_tpre, s_tpost / n_tpost AS m_tpost,
+    s_cpre / n_cpre AS m_cpre, s_cpost / n_cpost AS m_cpost,
+    (q_tpre - s_tpre * s_tpre / n_tpre) / (n_tpre - 1) / n_tpre
+      + (q_tpost - s_tpost * s_tpost / n_tpost) / (n_tpost - 1) / n_tpost
+      + (q_cpre - s_cpre * s_cpre / n_cpre) / (n_cpre - 1) / n_cpre
+      + (q_cpost - s_cpost * s_cpost / n_cpost) / (n_cpost - 1) / n_cpost
+      AS se2
+  FROM m)
+SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+       round(m_tpre, {R}) AS mean_tpre,
+       round(m_tpost, {R}) AS mean_tpost,
+       round(m_cpre, {R}) AS mean_cpre,
+       round(m_cpost, {R}) AS mean_cpost,
+       round((m_tpost - m_tpre) - (m_cpost - m_cpre), {R}) AS did,
+       round(sqrt(se2), {R}) AS se,
+       coalesce(abs((m_tpost - m_tpre) - (m_cpost - m_cpre))
+                > 1.96 * sqrt(se2), false) AS significant
+FROM d
+"""
+
+
+def q_covariate_balance_events(spark, sf_dir):
+    """Covariate-balance gate: per-user pre-period mean value and
+    activity count, SMD between the parity variants — melt, moments
+    and the 0.1 flag replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import CovariateBalanceChecker
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    units = (ev.filter(day < 19738)
+             .groupBy("user_id")
+             .agg(F.avg(F.col("value").cast("double"))
+                  .alias("pre_mean"),
+                  F.count(F.lit(1)).cast("double").alias("pre_events"))
+             .select(F.when(F.col("user_id") % 2 == 0, "t")
+                     .otherwise("c").alias("variant"),
+                     "pre_mean", "pre_events"))
+    out = (CovariateBalanceChecker()
+           .setInputCols("pre_mean", "pre_events")
+           .setVariantCol("variant").setLabels("t", "c")
+           .evaluate(units))
+    return out.select("covariate", "n_t", "n_c",
+                      F.round("mean_t", R).alias("mean_t"),
+                      F.round("mean_c", R).alias("mean_c"),
+                      F.round("smd", R).alias("smd"), "imbalanced")
+
+
+ORACLE_COVARIATE_BALANCE = f"""
+WITH units AS (
+  SELECT user_id % 2 = 0 AS is_t,
+         avg(value::DOUBLE) AS pre_mean,
+         count(*)::DOUBLE AS pre_events
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+        AND epoch_us(ts) // {_DAY_US} < 19738
+  GROUP BY user_id),
+melted AS (
+  SELECT is_t, 'pre_mean' AS covariate, pre_mean AS x FROM units
+  UNION ALL
+  SELECT is_t, 'pre_events', pre_events FROM units),
+m AS (
+  SELECT covariate,
+         count(CASE WHEN is_t THEN x END)::BIGINT AS n_t,
+         sum(CASE WHEN is_t THEN x END) AS st,
+         sum(CASE WHEN is_t THEN x * x END) AS qt,
+         count(CASE WHEN NOT is_t THEN x END)::BIGINT AS n_c,
+         sum(CASE WHEN NOT is_t THEN x END) AS sc,
+         sum(CASE WHEN NOT is_t THEN x * x END) AS qc
+  FROM melted WHERE x IS NOT NULL GROUP BY 1),
+d AS (
+  SELECT *, st / n_t AS mt, sc / n_c AS mc,
+         sqrt(((qt - st * st / n_t) / (n_t - 1)
+               + (qc - sc * sc / n_c) / (n_c - 1)) / 2) AS pooled
+  FROM m)
+SELECT covariate, n_t, n_c, round(mt, {R}) AS mean_t,
+       round(mc, {R}) AS mean_c,
+       round(CASE WHEN pooled > 0 THEN (mt - mc) / pooled END, {R})
+           AS smd,
+       coalesce(abs(CASE WHEN pooled > 0 THEN (mt - mc) / pooled END)
+                > 0.1, false) AS imbalanced
+FROM d
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10062,6 +10199,8 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "did_events": q_did_events,
+    "covariate_balance_events": q_covariate_balance_events,
 }
 
 ORACLES = {
@@ -10305,4 +10444,6 @@ ORACLES = {
     "welch_window_events": ORACLE_WELCH_WINDOW,
     "cuped_events": ORACLE_CUPED,
     "session_paths_events": ORACLE_SESSION_PATHS,
+    "did_events": ORACLE_DID,
+    "covariate_balance_events": ORACLE_COVARIATE_BALANCE,
 }

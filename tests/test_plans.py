@@ -788,3 +788,17 @@ def test_session_paths_keyed_windows_bounded_top(spark):
     # bounded), recognizable by ordering on n_sessions
     for s in specs:
         assert ("__k" in s) or ("n_sessions" in s), s
+
+
+@pytest.mark.parametrize("name", ["did_events", "covariate_balance_events"])
+def test_experiment_readouts_single_pass(spark, name):
+    """DiD / covariate balance: conditional-moment aggregations — no
+    window over raw rows (balance melts then aggregates), no Python,
+    pruned scans."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "value"}, cols

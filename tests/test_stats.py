@@ -732,3 +732,64 @@ def test_cuped_unbalanced_covariate_corrects_bias(spark):
         CupedAdjuster().setVariants("a", "a")
     with _pt.raises(ValueError, match="setVariants"):
         CupedAdjuster().evaluate(df)
+
+
+# ---------------------------------------------------------------------------
+# DiffInDiffAnalyzer / CovariateBalanceChecker
+# ---------------------------------------------------------------------------
+
+def test_did_golden(spark):
+    from flink_ml__spark.functions.stats import DiffInDiffAnalyzer
+    df = spark.createDataFrame(
+        [("t", False, 1.0), ("t", False, 2.0),
+         ("t", True, 4.0), ("t", True, 5.0),
+         ("c", False, 1.0), ("c", False, 3.0),
+         ("c", True, 2.0), ("c", True, 4.0)],
+        "variant string, post boolean, y double")
+    r = (DiffInDiffAnalyzer().setMetricCol("y").setGroupCol("variant")
+         .setTreatedLabel("t").setPostCol("post").evaluate(df).first())
+    assert (r["n_tpre"], r["n_tpost"], r["n_cpre"], r["n_cpost"]) == \
+        (2, 2, 2, 2)
+    assert abs(r["mean_tpre"] - 1.5) < 1e-12
+    assert abs(r["did"] - 2.0) < 1e-12
+    # se = sqrt(0.25 + 0.25 + 1 + 1)
+    assert abs(r["se"] - 2.5 ** 0.5) < 1e-12
+    assert bool(r["significant"]) is False
+
+
+def test_did_degenerate_cell(spark):
+    from flink_ml__spark.functions.stats import DiffInDiffAnalyzer
+    # a 1-row cell -> no variance estimate -> NULL se, not significant
+    df = spark.createDataFrame(
+        [("t", False, 1.0), ("t", True, 9.0), ("t", True, 9.0),
+         ("c", False, 1.0), ("c", False, 2.0), ("c", True, 1.5)],
+        "variant string, post boolean, y double")
+    r = (DiffInDiffAnalyzer().setMetricCol("y").setGroupCol("variant")
+         .setTreatedLabel("t").setPostCol("post").evaluate(df).first())
+    assert r["se"] is None and bool(r["significant"]) is False
+    assert abs(r["did"] - (9.0 - 1.0 - (1.5 - 1.5))) < 1e-12
+
+
+def test_covariate_balance_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import CovariateBalanceChecker
+    df = spark.createDataFrame(
+        [("t", 1.0, 7.0), ("t", 2.0, 8.0), ("t", 3.0, 9.0),
+         ("c", 3.0, 7.0), ("c", 4.0, 8.0), ("c", 5.0, 9.0),
+         ("x", 99.0, 99.0)],   # unrelated variant ignored
+        "variant string, x double, z double")
+    out = {r["covariate"]: r for r in
+           (CovariateBalanceChecker().setInputCols("x", "z")
+            .setVariantCol("variant").setLabels("t", "c")
+            .evaluate(df).collect())}
+    # x: means 2 vs 4, both variances 1 -> smd = -2
+    assert abs(out["x"]["smd"] - (-2.0)) < 1e-12
+    assert bool(out["x"]["imbalanced"]) is True
+    # z: identical distributions -> smd = 0
+    assert abs(out["z"]["smd"]) < 1e-12
+    assert bool(out["z"]["imbalanced"]) is False
+    assert out["z"]["n_t"] == 3 and out["z"]["n_c"] == 3
+    with _pt.raises(ValueError, match="differ"):
+        CovariateBalanceChecker().setLabels("a", "a")
+    with _pt.raises(ValueError, match="setLabels"):
+        (CovariateBalanceChecker().setInputCols("x").evaluate(df))
