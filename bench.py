@@ -237,6 +237,8 @@ HEADLINE = [
     "session_paths_events",
     "did_events",
     "covariate_balance_events",
+    "rbo_events",
+    "heaps_documents",
 ]
 
 

@@ -2993,3 +2993,111 @@ class TemporalSplitter(AlgoOperator):
                  .when(t < emb_end, F.lit("embargo"))
                  .otherwise(F.lit("test")))
         return df.withColumn(self.getOrDefault(self.outputCol), split)
+
+
+class HeapsLawProfiler(AlgoOperator, HasInputCol):
+    """Heaps'-law vocabulary-growth fit, ``V(n) = K·n^β`` (Heaps 1978;
+    β ≈ 0.4–0.6 for natural language): the companion corpus-health
+    check to :class:`ZipfProfiler` — template/spam corpora saturate
+    (β → 0, new text adds no vocabulary), OCR noise and mojibake
+    inflate it (β → 1, every page mints new "words").
+
+    The corpus is cut into ``numPoints`` ID-RANGE buckets of the
+    ``orderCol`` (deterministic, windowless over the data — requires a
+    roughly uniform id column, which ingestion ids are); per bucket
+    the profiler accumulates total token occurrences n and NEW types
+    (tokens whose first bucket it is), then fits ln V on ln n by OLS
+    over the ≤ numPoints cumulative points.
+
+    Output (one row)::
+
+        n_docs, n_tokens, n_types   corpus totals
+        n_points                    non-empty buckets fitted
+        heaps_k                     exp(intercept)
+        heaps_beta                  OLS slope (the growth exponent)
+        heaps_r2                    fit r²
+
+    Scale shape: tokenize+explode (map-only) → one (token → min
+    bucket) aggregation sized by the VOCABULARY → O(numPoints)
+    cumulative window + a 1-row fit. No data-sized window, no global
+    sort; the only shuffles are the two hash aggregations.
+    """
+
+    orderCol = Param(Params._dummy(), "orderCol",
+                     "uniform-ish id column defining corpus order",
+                     TypeConverters.toString)
+    numPoints = Param(Params._dummy(), "numPoints",
+                      "ID-range buckets (fit points)",
+                      TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", orderCol="doc_id",
+                         numPoints=16)
+
+    def setOrderCol(self, v):
+        return self._set(orderCol=v)
+
+    def setNumPoints(self, v):
+        v = int(v)
+        if v < 4:
+            raise ValueError(f"numPoints must be >= 4, got {v}")
+        return self._set(numPoints=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql.functions import broadcast
+
+        from flink_ml__spark.functions.text import TOKEN_SPLIT
+
+        oc = F.col(self.getOrDefault(self.orderCol))
+        P = self.getOrDefault(self.numPoints)
+        base = df.filter(oc.isNotNull()
+                         & F.col(self.getInputCol()).isNotNull())
+        bounds = base.agg(F.max(oc).alias("__mx"),
+                          F.count(F.lit(1)).alias("n_docs"))
+        toks = F.filter(
+            F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
+            lambda t: t != "")
+        b = F.least(F.lit(P - 1),
+                    F.floor(oc * P / (F.col("__mx") + 1))).cast("int")
+        exploded = (base.crossJoin(broadcast(bounds))
+                    .select(b.alias("__b"), "n_docs",
+                            F.explode(toks).alias("__t")))
+        per_tok = exploded.groupBy("__t").agg(
+            F.min("__b").alias("__first"),
+            F.count(F.lit(1)).alias("__cnt"))
+        occ = (exploded.groupBy("__b")
+               .agg(F.count(F.lit(1)).alias("__occ"),
+                    F.first("n_docs").alias("n_docs")))
+        news = per_tok.groupBy(F.col("__first").alias("__b")).agg(
+            F.count(F.lit(1)).alias("__new"),
+            F.sum("__cnt").alias("__ignore"))
+        w = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pts = (occ.join(news.select("__b", "__new"), "__b", "left")
+               .withColumn("__new", F.coalesce("__new", F.lit(0)))
+               .withColumn("__cn", F.sum("__occ").over(w))
+               .withColumn("__cv", F.sum("__new").over(w))
+               .filter(F.col("__cn") > 0))
+        lx = F.log(F.col("__cn").cast("double"))
+        ly = F.log(F.col("__cv").cast("double"))
+        fit = pts.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.first("n_docs").alias("n_docs"),
+            F.max("__cn").alias("n_tokens"),
+            F.max("__cv").alias("n_types"),
+            F.sum(lx).alias("__sx"), F.sum(ly).alias("__sy"),
+            F.sum(lx * lx).alias("__sxx"), F.sum(lx * ly).alias("__sxy"),
+            F.sum(ly * ly).alias("__syy"))
+        n = F.col("n_points").cast("double")
+        vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+        beta = F.when(vx > 0, cov / vx)
+        intercept = (F.col("__sy") - beta * F.col("__sx")) / n
+        r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+        return fit.select("n_docs", "n_tokens", "n_types", "n_points",
+                          F.exp(intercept).alias("heaps_k"),
+                          beta.alias("heaps_beta"),
+                          r2.alias("heaps_r2"))

@@ -511,3 +511,107 @@ class RankingEvaluator(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise TypeError("RankingEvaluator is binary — call "
                         "evaluate(ranking, qrels)")
+
+
+class RankingOverlapEvaluator(AlgoOperator):
+    """Rank-biased overlap between two ranked lists per query (Webber,
+    Moffat & Zobel, TOIS 2010): the top-weighted agreement measure for
+    comparing rankers — "how much did the ANN index change the exact
+    ranking", "do the lexical and the semantic retriever agree" —
+    where plain set overlap ignores positions and Kendall's τ needs
+    conjoint lists.
+
+    ``evaluate(a, b)`` takes two DataFrames with (queryCol, docCol,
+    rankCol; ranks 1-based) and returns one row per query present in
+    both::
+
+        <queryCol>   the query key
+        n_common     documents in both top-``depth`` lists
+        overlap_k    n_common / depth
+        rbo          (1−p)·Σ_{d=1..depth} p^{d−1}·|A_d ∩ B_d|/d — the
+                     truncated prefix sum of the RBO series (depth=∞
+                     recovers the full measure); 1.0 = identical
+                     prefixes, 0 = disjoint
+
+    Mechanics: a doc in both lists with ranks (ra, rb) is inside both
+    depth-d prefixes for every d ≥ max(ra, rb), so its total series
+    contribution is Σ_{d=max}^{depth} p^{d−1}/d — ONE equi-join on
+    (query, doc) and a ``sequence`` explode bounded by depth² rows per
+    query, never a per-depth pass. Rows past ``depth`` are filtered
+    before the join.
+    """
+
+    queryCol = Param(Params._dummy(), "queryCol", "query key column",
+                     TypeConverters.toString)
+    docCol = Param(Params._dummy(), "docCol", "ranked item column",
+                   TypeConverters.toString)
+    rankCol = Param(Params._dummy(), "rankCol", "1-based rank column",
+                    TypeConverters.toString)
+    persistence = Param(Params._dummy(), "persistence",
+                        "RBO p (top-weightedness)",
+                        TypeConverters.toFloat)
+    depth = Param(Params._dummy(), "depth", "prefix depth evaluated",
+                  TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(queryCol="query_id", docCol="doc_id",
+                         rankCol="rank", persistence=0.9, depth=10)
+
+    def setQueryCol(self, v):
+        return self._set(queryCol=v)
+
+    def setDocCol(self, v):
+        return self._set(docCol=v)
+
+    def setRankCol(self, v):
+        return self._set(rankCol=v)
+
+    def setPersistence(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"persistence must be in (0,1), got {v}")
+        return self._set(persistence=v)
+
+    def setDepth(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"depth must be >= 1, got {v}")
+        return self._set(depth=v)
+
+    def evaluate(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        q = self.getOrDefault(self.queryCol)
+        d = self.getOrDefault(self.docCol)
+        r = self.getOrDefault(self.rankCol)
+        p = self.getOrDefault(self.persistence)
+        k = self.getOrDefault(self.depth)
+
+        def side(df, suf):
+            return (df.filter(F.col(r) <= k)
+                    .select(F.col(q).alias("__q"),
+                            F.col(d).alias("__d"),
+                            F.col(r).alias(f"__r{suf}")))
+
+        joined = side(a, "a").join(side(b, "b"), ["__q", "__d"])
+        m = F.greatest("__ra", "__rb").cast("int")
+        contrib = (joined
+                   .select("__q", F.explode(
+                       F.sequence(m, F.lit(k))).alias("__dep"))
+                   .select("__q", (F.pow(F.lit(p), F.col("__dep") - 1)
+                                   / F.col("__dep")).alias("__w")))
+        per_q = contrib.groupBy("__q").agg(
+            (F.lit(1.0 - p) * F.sum("__w")).alias("rbo"))
+        common = joined.groupBy("__q").agg(
+            F.count(F.lit(1)).alias("n_common"))
+        # disjoint prefixes still yield a row (rbo 0), as long as the
+        # query appears in BOTH inputs
+        qs = (side(a, "a").select("__q").distinct()
+              .join(side(b, "b").select("__q").distinct(), "__q"))
+        return (qs.join(common, "__q", "left")
+                .join(per_q, "__q", "left")
+                .select(F.col("__q").alias(q),
+                        F.coalesce("n_common", F.lit(0))
+                        .alias("n_common"),
+                        (F.coalesce("n_common", F.lit(0))
+                         / F.lit(float(k))).alias("overlap_k"),
+                        F.coalesce("rbo", F.lit(0.0)).alias("rbo")))

@@ -9967,6 +9967,128 @@ FROM d
 """
 
 
+def q_rbo_events(spark, sf_dir):
+    """Rank-biased-overlap gate: per event_type, do the top-10 users
+    by TOTAL VALUE agree with the top-10 by EVENT COUNT? Both rankings
+    (deterministic user_id tie-break), the (query,doc) join, the
+    per-doc sequence contributions and the (1−p) fold replay exactly
+    in SQL."""
+    from flink_ml__spark.functions.retrieval import (
+        RankingOverlapEvaluator,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull())
+    agg = (ev.groupBy("event_type", "user_id")
+           .agg(F.sum(F.col("value").cast("double")).alias("__s"),
+                F.count(F.lit(1)).alias("__c")))
+    wa = Window.partitionBy("event_type").orderBy(
+        F.desc("__s"), F.asc("user_id"))
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc("__c"), F.asc("user_id"))
+    a = (agg.withColumn("rank", F.row_number().over(wa))
+         .filter(F.col("rank") <= 10)
+         .select("event_type", "user_id", "rank"))
+    b = (agg.withColumn("rank", F.row_number().over(wb))
+         .filter(F.col("rank") <= 10)
+         .select("event_type", "user_id", "rank"))
+    out = (RankingOverlapEvaluator().setQueryCol("event_type")
+           .setDocCol("user_id").setPersistence(0.9).setDepth(10)
+           .evaluate(a, b))
+    return out.select("event_type", "n_common",
+                      F.round("overlap_k", R).alias("overlap_k"),
+                      F.round("rbo", R).alias("rbo"))
+
+
+ORACLE_RBO = f"""
+WITH agg AS (
+  SELECT event_type AS q, user_id AS d,
+         sum(value::DOUBLE) AS s, count(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+a AS (SELECT * FROM (
+        SELECT q, d, row_number() OVER (PARTITION BY q
+                     ORDER BY s DESC, d ASC) AS ra FROM agg)
+      WHERE ra <= 10),
+b AS (SELECT * FROM (
+        SELECT q, d, row_number() OVER (PARTITION BY q
+                     ORDER BY c DESC, d ASC) AS rb FROM agg)
+      WHERE rb <= 10),
+j AS (SELECT a.q AS q, greatest(ra, rb) AS m
+      FROM a JOIN b ON a.q = b.q AND a.d = b.d),
+contrib AS (SELECT q, unnest(generate_series(m, 10)) AS dep FROM j),
+perq AS (SELECT q, {1.0 - 0.9!r} * sum(pow(0.9, dep - 1) / dep) AS rbo
+         FROM contrib GROUP BY 1),
+common AS (SELECT q, count(*)::BIGINT AS n_common FROM j GROUP BY 1),
+qs AS (SELECT DISTINCT a.q FROM a JOIN b ON a.q = b.q)
+SELECT qs.q AS event_type, coalesce(n_common, 0) AS n_common,
+       round(coalesce(n_common, 0) / 10.0, {R}) AS overlap_k,
+       round(coalesce(rbo, 0.0), {R}) AS rbo
+FROM qs LEFT JOIN common ON qs.q = common.q
+        LEFT JOIN perq ON qs.q = perq.q
+"""
+
+
+def q_heaps_documents(spark, sf_dir):
+    """Heaps'-law gate: 16 ID-range buckets over documents, cumulative
+    (tokens, types) points and the log-log OLS fit replay exactly in
+    SQL."""
+    from flink_ml__spark.functions.curation import HeapsLawProfiler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = HeapsLawProfiler().setNumPoints(16).transform(docs)
+    return out.select("n_docs", "n_tokens", "n_types", "n_points",
+                      F.round("heaps_k", R).alias("heaps_k"),
+                      F.round("heaps_beta", R).alias("heaps_beta"),
+                      F.round("heaps_r2", R).alias("heaps_r2"))
+
+
+ORACLE_HEAPS = f"""
+WITH bounds AS (
+  SELECT max(doc_id) AS mx, count(*)::BIGINT AS n_docs
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+exploded AS (
+  SELECT least(15, floor(doc_id * 16 / (mx + 1)))::INT AS b,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[^a-zA-Z0-9'']+'), x -> x <> '')) AS t
+  FROM documents CROSS JOIN bounds
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+occ AS (SELECT b, count(*)::BIGINT AS occ FROM exploded GROUP BY 1),
+firsts AS (SELECT min(b) AS b, t FROM exploded GROUP BY t),
+news AS (SELECT b, count(*)::BIGINT AS new FROM firsts GROUP BY 1),
+pts AS (
+  SELECT occ.b,
+         sum(occ.occ) OVER (ORDER BY occ.b) AS cn,
+         sum(coalesce(news.new, 0)) OVER (ORDER BY occ.b) AS cv
+  FROM occ LEFT JOIN news ON occ.b = news.b),
+fit AS (
+  SELECT count(*)::BIGINT AS n_points,
+         max(cn)::BIGINT AS n_tokens, max(cv)::BIGINT AS n_types,
+         sum(ln(cn)) AS sx, sum(ln(cv)) AS sy,
+         sum(ln(cn) * ln(cn)) AS sxx, sum(ln(cn) * ln(cv)) AS sxy,
+         sum(ln(cv) * ln(cv)) AS syy
+  FROM pts WHERE cn > 0),
+d AS (
+  SELECT *, n_points::DOUBLE AS n,
+         n_points * sxx - sx * sx AS vx,
+         n_points * syy - sy * sy AS vy,
+         n_points * sxy - sx * sy AS cov
+  FROM fit)
+SELECT (SELECT n_docs FROM bounds) AS n_docs, n_tokens, n_types,
+       n_points,
+       round(exp((sy - (CASE WHEN vx > 0 THEN cov / vx END) * sx) / n),
+             {R}) AS heaps_k,
+       round(CASE WHEN vx > 0 THEN cov / vx END, {R}) AS heaps_beta,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END, {R}) AS heaps_r2
+FROM d
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10201,6 +10323,8 @@ QUERIES = {
     "grouped_scale_events": q_grouped_scale_events,
     "did_events": q_did_events,
     "covariate_balance_events": q_covariate_balance_events,
+    "rbo_events": q_rbo_events,
+    "heaps_documents": q_heaps_documents,
 }
 
 ORACLES = {
@@ -10446,4 +10570,6 @@ ORACLES = {
     "session_paths_events": ORACLE_SESSION_PATHS,
     "did_events": ORACLE_DID,
     "covariate_balance_events": ORACLE_COVARIATE_BALANCE,
+    "rbo_events": ORACLE_RBO,
+    "heaps_documents": ORACLE_HEAPS,
 }

@@ -1309,3 +1309,50 @@ def test_temperature_mixer(spark):
         TemperatureMixer().setTemperature(0.0)
     with _pt.raises(ValueError):
         TemperatureMixer().setTokenBudget(-1)
+
+
+# ---------------------------------------------------------------------------
+# HeapsLawProfiler
+# ---------------------------------------------------------------------------
+
+def test_heaps_power_law_exact_fit(spark):
+    from flink_ml__spark.functions.curation import HeapsLawProfiler
+    # construct a corpus whose cumulative (n, V) points sit EXACTLY on
+    # V = n^0.5: buckets of ids 0..3 with doc i carrying 4 tokens of
+    # which the right number are new
+    # bucket cum_n: 4, 16, 36, 64 -> cum_V: 2, 4, 6, 8
+    docs = []
+    tok = 0
+
+    def words(new, total, start):
+        ws = [f"w{start + j}" for j in range(new)]
+        while len(ws) < total:
+            ws.append("w0")
+        return " ".join(ws)
+
+    docs.append((0, words(2, 4, 0)))      # n=4,  V=2
+    docs.append((1, words(2, 12, 2)))     # n=16, V=4
+    docs.append((2, words(2, 20, 4)))     # n=36, V=6
+    docs.append((3, words(2, 28, 6)))     # n=64, V=8
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = (HeapsLawProfiler().setNumPoints(4).transform(df).first())
+    assert r["n_docs"] == 4 and r["n_tokens"] == 64 and r["n_types"] == 8
+    assert r["n_points"] == 4
+    assert abs(r["heaps_beta"] - 0.5) < 1e-9
+    assert abs(r["heaps_k"] - 1.0) < 1e-9
+    assert abs(r["heaps_r2"] - 1.0) < 1e-12
+
+
+def test_heaps_saturated_template_corpus(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.curation import HeapsLawProfiler
+    # identical template docs: vocabulary saturates in bucket 0 ->
+    # beta near 0
+    df = spark.createDataFrame(
+        [(i, "the same template text again") for i in range(64)],
+        "doc_id long, text string")
+    r = HeapsLawProfiler().setNumPoints(8).transform(df).first()
+    assert r["n_types"] == 5
+    assert abs(r["heaps_beta"]) < 0.05
+    with _pt.raises(ValueError, match="numPoints"):
+        HeapsLawProfiler().setNumPoints(2)

@@ -802,3 +802,29 @@ def test_experiment_readouts_single_pass(spark, name):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "value"}, cols
+
+
+def test_rbo_bounded_explode_keyed_joins(spark):
+    """RBO: the sequence explode runs on the MATCHED top-k pairs (≤
+    depth² rows per query), all joins keyed, no Python."""
+    plan = _plan(spark, "rbo_events")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # top-k rankings use group-limit
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_type", "user_id", "value"}, cols
+
+
+def test_heaps_no_data_sized_window(spark):
+    """Heaps: the only window runs over the ≤numPoints bucket table;
+    the data-sized stages are two hash aggregations."""
+    import re as _re
+    plan = _plan(spark, "heaps_documents")
+    assert "BatchEvalPython" not in plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # the cumulative window orders by the bucket id only
+    assert specs and all("__b" in s for s in specs), specs
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols

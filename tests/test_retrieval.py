@@ -286,3 +286,51 @@ def test_query_likelihood_retrieval(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         QueryLikelihoodRetriever().setMu(0)
+
+
+# ---------------------------------------------------------------------------
+# RankingOverlapEvaluator
+# ---------------------------------------------------------------------------
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long,"
+                                       " rank int")
+
+
+def test_rbo_identical_and_disjoint(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.retrieval import RankingOverlapEvaluator
+    a = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                         (2, 20, 1), (2, 21, 2), (2, 22, 3)])
+    b = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                         (2, 30, 1), (2, 31, 2), (2, 32, 3)])
+    op = RankingOverlapEvaluator().setPersistence(0.5).setDepth(3)
+    out = {r["query_id"]: r for r in op.evaluate(a, b).collect()}
+    # identical prefix at depth k: rbo = 1 - p^k
+    assert abs(out[1]["rbo"] - (1 - 0.5 ** 3)) < 1e-12
+    assert out[1]["n_common"] == 3 and out[1]["overlap_k"] == 1.0
+    # disjoint prefixes: explicit zero row
+    assert out[2]["rbo"] == 0.0 and out[2]["n_common"] == 0
+    with _pt.raises(ValueError, match="persistence"):
+        RankingOverlapEvaluator().setPersistence(1.0)
+    with _pt.raises(ValueError, match="depth"):
+        RankingOverlapEvaluator().setDepth(0)
+
+
+def test_rbo_partial_overlap_hand_value(spark):
+    from flink_ml__spark.functions.retrieval import RankingOverlapEvaluator
+    # A = [x, y], B = [y, x] at p=0.5, depth 2:
+    # d=1: prefixes {x},{y} -> 0; d=2: both {x,y} -> A_2 = 2/2 = 1
+    # rbo = (1-p) * (p^1 * 1) = 0.25
+    a = _rank_df(spark, [(1, 1, 1), (1, 2, 2)])
+    b = _rank_df(spark, [(1, 2, 1), (1, 1, 2)])
+    r = (RankingOverlapEvaluator().setPersistence(0.5).setDepth(2)
+         .evaluate(a, b).first())
+    assert abs(r["rbo"] - 0.25) < 1e-12
+    assert r["n_common"] == 2
+    # rows past depth are ignored
+    a2 = _rank_df(spark, [(1, 1, 1), (1, 9, 5)])
+    b2 = _rank_df(spark, [(1, 1, 1), (1, 9, 6)])
+    r = (RankingOverlapEvaluator().setPersistence(0.5).setDepth(2)
+         .evaluate(a2, b2).first())
+    assert r["n_common"] == 1
