@@ -239,6 +239,8 @@ HEADLINE = [
     "covariate_balance_events",
     "rbo_events",
     "heaps_documents",
+    "fdr_events",
+    "forecast_accuracy_events",
 ]
 
 

@@ -1594,3 +1594,77 @@ class CovariateBalanceChecker(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class FdrController(AlgoOperator):
+    """Benjamini–Hochberg false-discovery-rate control (Benjamini &
+    Hochberg 1995) over a battery of test p-values — the multiplicity
+    correction every monitoring surface needs once it runs hundreds of
+    windows × segments × metrics: at α=0.05, 5% of NULL tests fire
+    spuriously EACH, and BH caps the expected fraction of false
+    discoveries among the flags instead.
+
+    ``transform(df)`` keeps every input column and appends::
+
+        p_rank      1-based rank by ascending p (ties broken by
+                    ``tieCols`` for a deterministic rank; tied p's
+                    always share the same q_value regardless)
+        q_value     BH-adjusted p: min_{j ≥ rank}(min(1, p_j·n/j))
+        discovery   q_value ≤ alpha
+
+    Rows with NULL or out-of-[0,1] p are dropped (they are not tests).
+
+    Scale note: the ranking windows are deliberately UNPARTITIONED —
+    correct only because the input is a TEST BATTERY (one row per
+    test), bounded by construction like the Zipf/Otsu grids; this
+    operator is for thousands of tests, not data rows.
+    """
+
+    pCol = Param(Params._dummy(), "pCol", "p-value column",
+                 TypeConverters.toString)
+    alpha = Param(Params._dummy(), "alpha", "target FDR level",
+                  TypeConverters.toFloat)
+    tieCols = Param(Params._dummy(), "tieCols",
+                    "deterministic tie-break columns for the rank",
+                    TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(pCol="p_value", alpha=0.05, tieCols=[])
+
+    def setPCol(self, v):
+        return self._set(pCol=v)
+
+    def setAlpha(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"alpha must be in (0, 1), got {v}")
+        return self._set(alpha=v)
+
+    def setTieCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        return self._set(tieCols=cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        p = F.col(self.getOrDefault(self.pCol)).cast("double")
+        a = self.getOrDefault(self.alpha)
+        ties = [F.col(c) for c in self.getOrDefault(self.tieCols)]
+        base = df.filter(p.isNotNull() & (p >= 0) & (p <= 1))
+        w_rank = Window.orderBy(p.asc(), *ties)
+        n = F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+        ranked = (base.withColumn("p_rank", F.row_number().over(w_rank))
+                  .withColumn("__n", n))
+        cand = F.least(F.lit(1.0),
+                       p * F.col("__n") / F.col("p_rank"))
+        w_suffix = (Window.orderBy(F.col("p_rank"))
+                    .rowsBetween(Window.currentRow,
+                                 Window.unboundedFollowing))
+        q = F.min(cand).over(w_suffix)
+        return (ranked.withColumn("q_value", q)
+                .withColumn("discovery", F.col("q_value") <= a)
+                .drop("__n"))

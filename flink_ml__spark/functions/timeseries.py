@@ -1729,3 +1729,94 @@ class KaplanMeierEstimator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class ForecastAccuracyEvaluator(AlgoOperator):
+    """Forecast-accuracy rollup (Hyndman & Koehler 2006): MAE / RMSE /
+    sMAPE of a one-step forecast column, plus MASE — the error scaled
+    by the naive last-value forecast's error, the one metric that is
+    comparable across series with different units (MASE < 1 = beats
+    naive).
+
+    Input: per-row series data carrying a forecast column (e.g.
+    :class:`ExponentialSmoother` / :class:`HoltForecaster` output).
+    The naive benchmark forecast is the previous non-NULL value within
+    ``seriesCol`` (same IGNORE-NULLS convention the smoother uses for
+    its own one-step forecast).
+
+    ``evaluate(df)`` returns one row per ``groupCols`` (default: per
+    series)::
+
+        n_forecasts   rows with value AND forecast
+        mae, rmse     forecast errors
+        smape         mean 2|y−f| / (|y|+|f|) over rows where the
+                      denominator > 0
+        naive_mae     mean |y − prev y|
+        mase          mae / naive_mae (NULL when naive_mae = 0)
+
+    Scale shape: one keyed lag window + ONE aggregation.
+    """
+
+    seriesCol = Param(Params._dummy(), "seriesCol",
+                      "series key (naive-lag partition)",
+                      TypeConverters.toString)
+    timeCol = Param(Params._dummy(), "timeCol", "order column",
+                    TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "actual column",
+                     TypeConverters.toString)
+    forecastCol = Param(Params._dummy(), "forecastCol",
+                        "forecast column", TypeConverters.toString)
+    groupCols = Param(Params._dummy(), "groupCols",
+                      "output grouping ([] = seriesCol)",
+                      TypeConverters.toListString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(seriesCol="key", timeCol="ts",
+                         valueCol="value", forecastCol="forecast",
+                         groupCols=[])
+
+    def setSeriesCol(self, v):
+        return self._set(seriesCol=v)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setForecastCol(self, v):
+        return self._set(forecastCol=v)
+
+    def setGroupCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        return self._set(groupCols=cols)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        s = self.getOrDefault(self.seriesCol)
+        t = self.getOrDefault(self.timeCol)
+        y = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        f = F.col(self.getOrDefault(self.forecastCol)).cast("double")
+        gs = self.getOrDefault(self.groupCols) or [s]
+        w = (Window.partitionBy(s).orderBy(t)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        naive = F.last(y, ignorenulls=True).over(w)
+        aug = df.withColumn("__naive", naive)
+        err = F.when(y.isNotNull() & f.isNotNull(), F.abs(y - f))
+        nerr = F.when(y.isNotNull() & F.col("__naive").isNotNull(),
+                      F.abs(y - F.col("__naive")))
+        sden = F.abs(y) + F.abs(f)
+        sm = F.when(err.isNotNull() & (sden > 0), 2 * err / sden)
+        out = aug.groupBy(*gs).agg(
+            F.count(err).alias("n_forecasts"),
+            F.avg(err).alias("mae"),
+            F.sqrt(F.avg(err * err)).alias("rmse"),
+            F.avg(sm).alias("smape"),
+            F.avg(nerr).alias("naive_mae"))
+        return out.withColumn(
+            "mase", F.when(F.col("naive_mae") > 0,
+                           F.col("mae") / F.col("naive_mae")))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -10089,6 +10089,119 @@ FROM d
 """
 
 
+def q_fdr_events(spark, sf_dir):
+    """Benjamini–Hochberg gate composed over the windowed-KS battery:
+    the per-day KS p-values (planted shift every 7th day) feed the BH
+    rank/suffix-min machinery — ranks, q-values and discoveries replay
+    exactly in SQL on top of the existing KS-window oracle."""
+    from flink_ml__spark.functions.stats import FdrController
+
+    base = q_ks_window_events(spark, sf_dir)
+    out = (FdrController().setPCol("p_value").setAlpha(0.05)
+           .setTieCols("win_us").transform(base))
+    return out.select("win_us", "p_value", "p_rank",
+                      F.round("q_value", R).alias("q_value"),
+                      "discovery")
+
+
+def _oracle_fdr() -> str:
+    return f"""
+WITH ks AS ({ORACLE_KS_WINDOW}),
+t AS (SELECT win_us, p_value FROM ks
+      WHERE p_value IS NOT NULL AND p_value BETWEEN 0 AND 1),
+r AS (SELECT *, row_number() OVER (ORDER BY p_value, win_us) AS p_rank,
+             count(*) OVER () AS n
+      FROM t),
+q AS (SELECT *, min(least(1.0, p_value * n / p_rank))
+                OVER (ORDER BY p_rank ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS q_value
+      FROM r)
+SELECT win_us, p_value, p_rank, round(q_value, {R}) AS q_value,
+       q_value <= 0.05 AS discovery
+FROM q
+"""
+
+
+ORACLE_FDR = _oracle_fdr()
+
+
+def q_forecast_accuracy_events(spark, sf_dir):
+    """Forecast-accuracy gate: the EWMA gate's per-user one-step
+    forecasts rolled up per event_type — MAE/RMSE/sMAPE plus MASE
+    against the per-user naive last-value benchmark, all replayed in
+    SQL on the same truncated-EWMA machinery."""
+    from flink_ml__spark.functions.timeseries import (
+        ExponentialSmoother,
+        ForecastAccuracyEvaluator,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    sm = (ExponentialSmoother().setKeyCol("user_id")
+          .setTimeCol("event_id").setValueCol("value")
+          .setAlpha(0.3).setMaxLag(50).transform(ev))
+    out = (ForecastAccuracyEvaluator().setSeriesCol("user_id")
+           .setTimeCol("event_id").setValueCol("value")
+           .setForecastCol("forecast").setGroupCols("event_type")
+           .evaluate(sm))
+    return out.select("event_type", "n_forecasts",
+                      F.round("mae", R).alias("mae"),
+                      F.round("rmse", R).alias("rmse"),
+                      F.round("smape", R).alias("smape"),
+                      F.round("naive_mae", R).alias("naive_mae"),
+                      F.round("mase", R).alias("mase"))
+
+
+ORACLE_FORECAST_ACCURACY = f"""
+WITH w AS (
+  SELECT event_id, user_id, event_type, value,
+         list_filter(list(value) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+             x -> x IS NOT NULL) AS xs
+  FROM events),
+e AS (
+  SELECT event_id, user_id, event_type, value,
+         CASE WHEN value IS NOT NULL AND len(xs) > 0 THEN
+           list_sum(list_transform(xs,
+               (x, i) -> x * pow(0.7, len(xs) - i)))
+           / ((1 - pow(0.7, len(xs))) / 0.3)
+         END AS ewma
+  FROM w),
+f AS (
+  SELECT *,
+         last_value(ewma IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS forecast,
+         last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS naive
+  FROM e),
+terms AS (
+  SELECT event_type,
+         CASE WHEN value IS NOT NULL AND forecast IS NOT NULL
+              THEN abs(value - forecast) END AS err,
+         CASE WHEN value IS NOT NULL AND naive IS NOT NULL
+              THEN abs(value - naive) END AS nerr,
+         abs(value) + abs(forecast) AS sden
+  FROM f),
+g AS (
+  SELECT event_type, count(err)::BIGINT AS n_forecasts,
+         avg(err) AS mae, sqrt(avg(err * err)) AS rmse,
+         avg(CASE WHEN err IS NOT NULL AND sden > 0
+                  THEN 2 * err / sden END) AS smape,
+         avg(nerr) AS naive_mae
+  FROM terms GROUP BY 1)
+SELECT event_type, n_forecasts, round(mae, {R}) AS mae,
+       round(rmse, {R}) AS rmse, round(smape, {R}) AS smape,
+       round(naive_mae, {R}) AS naive_mae,
+       round(CASE WHEN naive_mae > 0 THEN mae / naive_mae END, {R})
+           AS mase
+FROM g
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10325,6 +10438,8 @@ QUERIES = {
     "covariate_balance_events": q_covariate_balance_events,
     "rbo_events": q_rbo_events,
     "heaps_documents": q_heaps_documents,
+    "fdr_events": q_fdr_events,
+    "forecast_accuracy_events": q_forecast_accuracy_events,
 }
 
 ORACLES = {
@@ -10572,4 +10687,6 @@ ORACLES = {
     "covariate_balance_events": ORACLE_COVARIATE_BALANCE,
     "rbo_events": ORACLE_RBO,
     "heaps_documents": ORACLE_HEAPS,
+    "fdr_events": ORACLE_FDR,
+    "forecast_accuracy_events": ORACLE_FORECAST_ACCURACY,
 }

@@ -828,3 +828,23 @@ def test_heaps_no_data_sized_window(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_fdr_windows_run_on_test_battery(spark):
+    """BH windows are unpartitioned BY DESIGN but must run on the KS
+    window battery (≤ days rows), after the data-sized windowed
+    aggregation — the plan has the single watermark-style aggregate
+    below and the rank windows above."""
+    plan = _plan(spark, "fdr_events")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_accuracy_one_lag_window_one_agg(spark):
+    """Forecast rollup: naive-lag window partitions by the series key;
+    one aggregation; no Python."""
+    import re as _re
+    plan = _plan(spark, "forecast_accuracy_events")
+    assert "BatchEvalPython" not in plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("user_id" in s for s in specs), specs

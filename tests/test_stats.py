@@ -793,3 +793,45 @@ def test_covariate_balance_golden(spark):
         CovariateBalanceChecker().setLabels("a", "a")
     with _pt.raises(ValueError, match="setLabels"):
         (CovariateBalanceChecker().setInputCols("x").evaluate(df))
+
+
+# ---------------------------------------------------------------------------
+# FdrController
+# ---------------------------------------------------------------------------
+
+def test_bh_fdr_golden(spark):
+    from flink_ml__spark.functions.stats import FdrController
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5),
+         ("e", 0.9), ("f", None), ("g", 1.5)],
+        "test string, p_value double")
+    out = {r["test"]: r for r in
+           (FdrController().setAlpha(0.1).setTieCols("test")
+            .transform(df).collect())}
+    # NULL / out-of-range p rows are not tests
+    assert set(out) == set("abcde")
+    # suffix-min BH: q = .05,.05,.05,.625,.9
+    assert abs(out["a"]["q_value"] - 0.05) < 1e-12
+    assert abs(out["b"]["q_value"] - 0.05) < 1e-12
+    assert abs(out["c"]["q_value"] - 0.05) < 1e-12
+    assert abs(out["d"]["q_value"] - 0.625) < 1e-12
+    assert abs(out["e"]["q_value"] - 0.9) < 1e-12
+    assert [out[k]["discovery"] for k in "abcde"] == \
+        [True, True, True, False, False]
+    assert out["a"]["p_rank"] == 1 and out["e"]["p_rank"] == 5
+
+
+def test_bh_fdr_ties_share_q_and_validation(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import FdrController
+    df = spark.createDataFrame(
+        [("a", 0.04), ("b", 0.04)], "test string, p_value double")
+    out = {r["test"]: r for r in
+           (FdrController().setAlpha(0.05).setTieCols("test")
+            .transform(df).collect())}
+    # tied p always share the BH-adjusted q (the suffix min)
+    assert abs(out["a"]["q_value"] - 0.04) < 1e-12
+    assert abs(out["b"]["q_value"] - 0.04) < 1e-12
+    assert out["a"]["discovery"] and out["b"]["discovery"]
+    with _pt.raises(ValueError, match="alpha"):
+        FdrController().setAlpha(0.0)

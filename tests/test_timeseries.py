@@ -1007,3 +1007,51 @@ def test_kaplan_meier_dies_out_and_filters(spark):
     assert abs(rows[1.0]["survival"] - 2 / 3) < 1e-12
     # everyone at risk dies at t=2 -> survival exactly 0, no NaN
     assert rows[2.0]["survival"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ForecastAccuracyEvaluator
+# ---------------------------------------------------------------------------
+
+def test_forecast_accuracy_golden(spark):
+    from flink_ml__spark.functions.timeseries import (
+        ForecastAccuracyEvaluator,
+    )
+    df = spark.createDataFrame(
+        [("k", 1, 1.0, None), ("k", 2, 2.0, 1.5), ("k", 3, 4.0, 2.5)],
+        "key string, ts int, value double, forecast double")
+    r = (ForecastAccuracyEvaluator().setSeriesCol("key")
+         .setTimeCol("ts").evaluate(df).first())
+    assert r["n_forecasts"] == 2
+    assert abs(r["mae"] - 1.0) < 1e-12
+    assert abs(r["rmse"] - 1.25 ** 0.5) < 1e-12
+    sm = (2 * 0.5 / 3.5 + 2 * 1.5 / 6.5) / 2
+    assert abs(r["smape"] - sm) < 1e-12
+    assert abs(r["naive_mae"] - 1.5) < 1e-12
+    assert abs(r["mase"] - 1 / 1.5) < 1e-12
+
+
+def test_forecast_accuracy_composes_with_smoother(spark):
+    from flink_ml__spark.functions.timeseries import (
+        ExponentialSmoother,
+        ForecastAccuracyEvaluator,
+    )
+    rows = [("k", i, float(i % 5) + 10.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, ts int, value double")
+    sm = (ExponentialSmoother().setKeyCol("key").setTimeCol("ts")
+          .setValueCol("value").setAlpha(0.3).setMaxLag(50)
+          .transform(df))
+    r = (ForecastAccuracyEvaluator().setSeriesCol("key")
+         .setTimeCol("ts").evaluate(sm).first())
+    # periodic series: naive jumps the 4->0 cliff every 5 steps; the
+    # smoother's errors must be finite and the rollup well-formed
+    assert r["n_forecasts"] == 39
+    assert r["mae"] > 0 and r["rmse"] >= r["mae"] * 0.99
+    assert r["mase"] is not None and 0 < r["mase"] < 3
+    # constant series: naive_mae = 0 -> NULL mase, no 0/0
+    const = spark.createDataFrame(
+        [("k", i, 5.0, 5.0) for i in range(5)],
+        "key string, ts int, value double, forecast double")
+    r = (ForecastAccuracyEvaluator().setSeriesCol("key")
+         .setTimeCol("ts").evaluate(const).first())
+    assert r["mase"] is None and r["mae"] == 0.0
