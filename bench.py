@@ -241,6 +241,8 @@ HEADLINE = [
     "heaps_documents",
     "fdr_events",
     "forecast_accuracy_events",
+    "logrank_events",
+    "weibull_events",
 ]
 
 

@@ -1820,3 +1820,186 @@ class ForecastAccuracyEvaluator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class LogRankTest(AlgoOperator):
+    """Two-group log-rank test (Mantel 1966; Peto & Peto 1972): are
+    two survival curves the same? The hypothesis-test companion to
+    :class:`KaplanMeierEstimator` — per distinct event time the
+    observed events in group A are compared with the expectation under
+    the pooled-hazard null, and the standardized sum is χ²(1)-normal.
+
+    Input rows: (durationCol, eventCol, groupCol). ``evaluate(df)``
+    returns ONE row::
+
+        n_a, n_b      subjects per group
+        n_times       distinct times with ≥1 event
+        observed_a    total events in group A
+        expected_a    Σ_t d_t · n_at / n_t
+        var_sum       Σ_t d_t (n_at/n_t)(1−n_at/n_t)(n_t−d_t)/(n_t−1)
+                      (hypergeometric variance; t with n_t=1 skipped)
+        z_stat        (O−E)/√V (NULL when V=0)
+        significant   |z| > 1.96
+
+    Scale shape: one aggregation to the (time, group) grid, cumulative
+    windows over the DISTINCT-time grid (bounded — bucket durations
+    first for continuous data, the KM contract), one 1-row fold.
+    """
+
+    durationCol = Param(Params._dummy(), "durationCol",
+                        "observed time column", TypeConverters.toString)
+    eventCol = Param(Params._dummy(), "eventCol",
+                     "true = event observed, false = censored",
+                     TypeConverters.toString)
+    groupCol = Param(Params._dummy(), "groupCol", "group label column",
+                     TypeConverters.toString)
+    groupA = Param(Params._dummy(), "groupA", "label of group A",
+                   TypeConverters.toString)
+    groupB = Param(Params._dummy(), "groupB", "label of group B",
+                   TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(durationCol="duration", eventCol="event",
+                         groupCol="group")
+
+    def setDurationCol(self, v):
+        return self._set(durationCol=v)
+
+    def setEventCol(self, v):
+        return self._set(eventCol=v)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setGroups(self, a: str, b: str):
+        if a == b:
+            raise ValueError("groupA and groupB must differ")
+        return self._set(groupA=a, groupB=b)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.groupA)
+                or not self.isDefined(self.groupB)):
+            raise ValueError("setGroups(a, b) is required")
+        a = self.getOrDefault(self.groupA)
+        b = self.getOrDefault(self.groupB)
+        t = F.col(self.getOrDefault(self.durationCol)).cast("double")
+        e = F.col(self.getOrDefault(self.eventCol)).cast("boolean")
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+        is_a = g == a
+        grid = (df.filter(t.isNotNull() & (t >= 0) & e.isNotNull()
+                          & g.isin(a, b))
+                .groupBy(t.alias("t"))
+                .agg(F.sum(F.when(e, 1).otherwise(0)).alias("__d"),
+                     F.sum(F.when(e & is_a, 1).otherwise(0))
+                     .alias("__da"),
+                     F.sum(F.when(is_a, 1).otherwise(0)).alias("__ca"),
+                     F.sum(F.when(is_a, 0).otherwise(1))
+                     .alias("__cb"),
+                     F.count(F.lit(1)).alias("__c")))
+        w_all = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        w_prior = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, -1)
+        n_t = (F.sum("__c").over(w_all)
+               - F.coalesce(F.sum("__c").over(w_prior), F.lit(0)))
+        n_at = (F.sum("__ca").over(w_all)
+                - F.coalesce(F.sum("__ca").over(w_prior), F.lit(0)))
+        staged = (grid.withColumn("__nt", n_t)
+                  .withColumn("__nat", n_at)
+                  .filter(F.col("__d") > 0))
+        d = F.col("__d").cast("double")
+        nt = F.col("__nt").cast("double")
+        nat = F.col("__nat").cast("double")
+        p_a = nat / nt
+        var_t = F.when(nt > 1,
+                       d * p_a * (1 - p_a) * (nt - d) / (nt - 1)) \
+            .otherwise(F.lit(0.0))
+        tot = staged.agg(
+            F.count(F.lit(1)).alias("n_times"),
+            F.sum("__da").alias("observed_a"),
+            F.sum(d * p_a).alias("expected_a"),
+            F.sum(var_t).alias("var_sum"))
+        counts = (df.filter(t.isNotNull() & (t >= 0) & e.isNotNull()
+                            & g.isin(a, b))
+                  .agg(F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+                       F.sum(F.when(is_a, 0).otherwise(1))
+                       .alias("n_b")))
+        z = F.when(F.col("var_sum") > 0,
+                   (F.col("observed_a") - F.col("expected_a"))
+                   / F.sqrt("var_sum"))
+        return counts.crossJoin(tot).select(
+            "n_a", "n_b", "n_times", "observed_a",
+            F.col("expected_a"), "var_sum", z.alias("z_stat"),
+            F.coalesce(F.abs(z) > 1.96, F.lit(False))
+            .alias("significant"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class WeibullFitter(AlgoOperator):
+    """Parametric Weibull fit of the survival curve via the classic
+    Weibull plot (median-rank regression): over the Kaplan–Meier
+    points with ``0 < S(t) < 1`` and ``t > 0``, ``ln(−ln S(t))`` is
+    linear in ``ln t`` with slope = shape k and intercept = −k·ln λ —
+    one OLS over the duration grid, no iterative MLE.
+
+    ``evaluate(df)`` (same (durationCol, eventCol) input contract as
+    :class:`KaplanMeierEstimator`) returns ONE row::
+
+        n_points        KM points entering the fit
+        weibull_shape   k  (k < 1 = infant mortality / heavy early
+                        churn, k ≈ 1 = memoryless, k > 1 = wear-out)
+        weibull_scale   λ  (the 63.2% lifetime)
+        fit_r2          r² of the Weibull plot (low = not Weibull)
+
+    Scale shape: the KM grid aggregation is the only data-sized step;
+    the regression runs on the ≤ distinct-duration grid.
+    """
+
+    durationCol = Param(Params._dummy(), "durationCol",
+                        "observed time column", TypeConverters.toString)
+    eventCol = Param(Params._dummy(), "eventCol",
+                     "true = event observed, false = censored",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(durationCol="duration", eventCol="event")
+
+    def setDurationCol(self, v):
+        return self._set(durationCol=v)
+
+    def setEventCol(self, v):
+        return self._set(eventCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        km = (KaplanMeierEstimator()
+              .setDurationCol(self.getOrDefault(self.durationCol))
+              .setEventCol(self.getOrDefault(self.eventCol))
+              .evaluate(df))
+        pts = km.filter((F.col("survival") > 0)
+                        & (F.col("survival") < 1) & (F.col("t") > 0))
+        x = F.log(F.col("t"))
+        y = F.log(-F.log(F.col("survival")))
+        m = pts.agg(F.count(F.lit(1)).alias("n_points"),
+                    F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+                    F.sum(x * x).alias("__sxx"),
+                    F.sum(x * y).alias("__sxy"),
+                    F.sum(y * y).alias("__syy"))
+        n = F.col("n_points").cast("double")
+        vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+        k = F.when(vx > 0, cov / vx)
+        intercept = (F.col("__sy") - k * F.col("__sx")) / n
+        r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+        return m.select(
+            "n_points", k.alias("weibull_shape"),
+            F.when(k.isNotNull() & (k != 0),
+                   F.exp(-intercept / k)).alias("weibull_scale"),
+            r2.alias("fit_r2"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -10202,6 +10202,150 @@ FROM g
 """
 
 
+_SURVIVAL_SUBJ_SQL = f"""
+per AS (
+  SELECT user_id, min(ts) AS fts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts,
+         max(ts) AS lts
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1),
+subj AS (
+  SELECT user_id % 2 = 0 AS is_a,
+         floor((epoch_us(coalesce(pts, lts)) - epoch_us(fts))
+               / 86400000000.0) AS t,
+         pts IS NOT NULL AS ev
+  FROM per)
+"""
+
+
+def _survival_subjects(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("__purchase"),
+        F.max("ts").alias("__last"))
+    return per.select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+        .alias("grp"),
+        F.floor((F.unix_micros(F.coalesce("__purchase", "__last"))
+                 - F.unix_micros("__first")) / F.lit(_DAY_US))
+        .cast("double").alias("duration"),
+        F.col("__purchase").isNotNull().alias("event"))
+
+
+def q_logrank_events(spark, sf_dir):
+    """Log-rank gate: do even- and odd-id users reach their first
+    purchase at the same rate? Same subject prep as the KM gate; the
+    joint event-time grid, hypergeometric moments and z replay exactly
+    in SQL."""
+    from flink_ml__spark.functions.timeseries import LogRankTest
+
+    subj = _survival_subjects(spark, sf_dir)
+    out = (LogRankTest().setGroupCol("grp").setGroups("even", "odd")
+           .evaluate(subj))
+    return out.select("n_a", "n_b", "n_times", "observed_a",
+                      F.round("expected_a", R).alias("expected_a"),
+                      F.round("var_sum", R).alias("var_sum"),
+                      F.round("z_stat", R).alias("z_stat"),
+                      "significant")
+
+
+ORACLE_LOGRANK = f"""
+WITH {_SURVIVAL_SUBJ_SQL},
+grid AS (
+  SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+         sum(CASE WHEN ev AND is_a THEN 1 ELSE 0 END)::BIGINT AS da,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+         count(*)::BIGINT AS c
+  FROM subj WHERE t >= 0 GROUP BY 1),
+w AS (
+  SELECT *,
+    sum(c) OVER () - coalesce(sum(c) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt,
+    sum(ca) OVER () - coalesce(sum(ca) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nat
+  FROM grid),
+staged AS (SELECT * FROM w WHERE d > 0),
+tot AS (
+  SELECT count(*)::BIGINT AS n_times, sum(da)::BIGINT AS observed_a,
+         sum(d * nat / nt::DOUBLE) AS expected_a,
+         sum(CASE WHEN nt > 1 THEN d * (nat / nt::DOUBLE)
+                  * (1 - nat / nt::DOUBLE) * (nt - d) / (nt - 1.0)
+                  ELSE 0.0 END) AS var_sum
+  FROM staged),
+counts AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+  FROM subj WHERE t >= 0),
+z AS (SELECT *, CASE WHEN var_sum > 0 THEN
+          (observed_a - expected_a) / sqrt(var_sum) END AS zs
+      FROM counts CROSS JOIN tot)
+SELECT n_a, n_b, n_times, observed_a,
+       round(expected_a, {R}) AS expected_a,
+       round(var_sum, {R}) AS var_sum, round(zs, {R}) AS z_stat,
+       coalesce(abs(zs) > 1.96, false) AS significant
+FROM z
+"""
+
+
+def q_weibull_events(spark, sf_dir):
+    """Weibull-plot gate over the same time-to-purchase subjects: the
+    KM curve, the ln t / ln(−ln S) regression, shape/scale and fit r²
+    replay exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import WeibullFitter
+
+    subj = _survival_subjects(spark, sf_dir)
+    out = WeibullFitter().evaluate(subj)
+    return out.select("n_points",
+                      F.round("weibull_shape", R).alias("weibull_shape"),
+                      F.round("weibull_scale", R).alias("weibull_scale"),
+                      F.round("fit_r2", R).alias("fit_r2"))
+
+
+ORACLE_WEIBULL = f"""
+WITH {_SURVIVAL_SUBJ_SQL},
+grid AS (
+  SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM subj WHERE t >= 0 GROUP BY 1),
+w AS (
+  SELECT *, sum(c) OVER () - coalesce(sum(c) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM grid),
+f AS (SELECT *, (n_risk - d) / n_risk::DOUBLE AS factor FROM w),
+s AS (
+  SELECT t, max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+                OVER (ORDER BY t) AS dead,
+            sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+                OVER (ORDER BY t) AS ls
+  FROM f),
+km AS (SELECT t, CASE WHEN dead = 1 THEN 0.0 ELSE exp(ls) END AS surv
+       FROM s),
+pts AS (SELECT ln(t) AS x, ln(-ln(surv)) AS y FROM km
+        WHERE surv > 0 AND surv < 1 AND t > 0),
+m AS (
+  SELECT count(*)::BIGINT AS n_points, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts),
+d AS (
+  SELECT *, n_points::DOUBLE AS n,
+         n_points * sxx - sx * sx AS vx,
+         n_points * syy - sy * sy AS vy,
+         n_points * sxy - sx * sy AS cov
+  FROM m),
+k AS (SELECT *, CASE WHEN vx > 0 THEN cov / vx END AS kk FROM d)
+SELECT n_points, round(kk, {R}) AS weibull_shape,
+       round(CASE WHEN kk IS NOT NULL AND kk <> 0
+                  THEN exp(-((sy - kk * sx) / n) / kk) END, {R})
+           AS weibull_scale,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END, {R}) AS fit_r2
+FROM k
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10440,6 +10584,8 @@ QUERIES = {
     "heaps_documents": q_heaps_documents,
     "fdr_events": q_fdr_events,
     "forecast_accuracy_events": q_forecast_accuracy_events,
+    "logrank_events": q_logrank_events,
+    "weibull_events": q_weibull_events,
 }
 
 ORACLES = {
@@ -10689,4 +10835,6 @@ ORACLES = {
     "heaps_documents": ORACLE_HEAPS,
     "fdr_events": ORACLE_FDR,
     "forecast_accuracy_events": ORACLE_FORECAST_ACCURACY,
+    "logrank_events": ORACLE_LOGRANK,
+    "weibull_events": ORACLE_WEIBULL,
 }

@@ -848,3 +848,15 @@ def test_forecast_accuracy_one_lag_window_one_agg(spark):
     assert "BatchEvalPython" not in plan
     specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("user_id" in s for s in specs), specs
+
+
+@pytest.mark.parametrize("name", ["logrank_events", "weibull_events"])
+def test_survival_windows_on_duration_grid(spark, name):
+    """Log-rank / Weibull: subject prep is one keyed agg; all
+    cumulative windows run on the distinct-duration grid."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "event_type"}, cols
