@@ -243,6 +243,8 @@ HEADLINE = [
     "forecast_accuracy_events",
     "logrank_events",
     "weibull_events",
+    "srm_window_events",
+    "mde_events",
 ]
 
 

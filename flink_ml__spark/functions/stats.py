@@ -1668,3 +1668,210 @@ class FdrController(AlgoOperator):
         return (ranked.withColumn("q_value", q)
                 .withColumn("discovery", F.col("q_value") <= a)
                 .drop("__n"))
+
+
+def _norm_ppf(p: float) -> float:
+    """Acklam's rational approximation to the standard-normal inverse
+    CDF (|rel err| < 1.15e-9) — scipy-free, used only to fold z
+    quantiles of scalar PARAMS into the plan as literals."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0,1), got {p}")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                  + c[4]) * q + c[5])
+                / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if p > phigh:
+        return -_norm_ppf(1 - p)
+    q = p - 0.5
+    r = q * q
+    return ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+              + a[4]) * r + a[5]) * q
+            / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                + b[4]) * r + 1))
+
+
+class SrmChecker(AlgoOperator):
+    """Sample-ratio-mismatch check (Fabijan et al. 2019, "Diagnosing
+    sample ratio mismatch"): does the observed variant split match the
+    configured allocation? SRM is the #1 experiment-validity gate —
+    a biased splitter, a crashing variant or a logging gap all show up
+    here first, and ANY metric readout on an SRM'd experiment is
+    garbage.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_a, n_b      observed unit counts
+        expected_a    (n_a+n_b) · ratioA
+        chi2          Σ (o − e)²/e over the two cells
+        srm           chi2 > 10.828 (χ²₁ at p=0.001 — the
+                      conventionally strict SRM threshold, NOT 0.05:
+                      false SRM alarms kill healthy experiments)
+
+    Scale shape: ONE conditional count aggregation, 1-row arithmetic.
+    """
+
+    variantCol = Param(Params._dummy(), "variantCol",
+                       "variant label column", TypeConverters.toString)
+    variantA = Param(Params._dummy(), "variantA", "first label",
+                     TypeConverters.toString)
+    variantB = Param(Params._dummy(), "variantB", "second label",
+                     TypeConverters.toString)
+    ratioA = Param(Params._dummy(), "ratioA",
+                   "configured share of variant A",
+                   TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(variantCol="variant", ratioA=0.5)
+
+    def setVariantCol(self, v):
+        return self._set(variantCol=v)
+
+    def setVariants(self, a: str, b: str):
+        if a == b:
+            raise ValueError("variantA and variantB must differ")
+        return self._set(variantA=a, variantB=b)
+
+    def setRatioA(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"ratioA must be in (0, 1), got {v}")
+        return self._set(ratioA=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.variantA)
+                or not self.isDefined(self.variantB)):
+            raise ValueError("setVariants(a, b) is required")
+        a = self.getOrDefault(self.variantA)
+        b = self.getOrDefault(self.variantB)
+        r = self.getOrDefault(self.ratioA)
+        v = F.col(self.getOrDefault(self.variantCol)).cast("string")
+        m = df.filter(v.isin(a, b)).agg(
+            F.sum(F.when(v == a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(v == b, 1).otherwise(0)).alias("n_b"))
+        n = (F.col("n_a") + F.col("n_b")).cast("double")
+        ea = n * r
+        eb = n * (1 - r)
+        chi2 = F.when(n > 0, (F.col("n_a") - ea) * (F.col("n_a") - ea)
+                      / ea + (F.col("n_b") - eb) * (F.col("n_b") - eb)
+                      / eb)
+        return m.select("n_a", "n_b", ea.alias("expected_a"),
+                        chi2.alias("chi2"),
+                        F.coalesce(chi2 > 10.828, F.lit(False))
+                        .alias("srm"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class MdeCalculator(AlgoOperator):
+    """Minimum detectable effect for a two-sample mean test at the
+    observed variance and sample sizes: ``MDE = (z_{1−α/2} + z_{power})
+    · √(s²·(1/n_a + 1/n_b))`` — the pre-registration number every
+    experiment plan needs ("at this traffic, what lift CAN we even
+    see?").
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_a, n_b     units per variant
+        mean, sd     pooled metric mean and sample SD
+        mde_abs      absolute detectable difference
+        mde_rel      mde_abs / |mean| (NULL when mean = 0)
+
+    The z quantiles come from the scalar ``alpha``/``power`` params at
+    plan-build time (Acklam inverse-normal, |rel err| < 1.2e-9) and
+    fold into the plan as literals; the data-side is ONE moment
+    aggregation.
+    """
+
+    metricCol = Param(Params._dummy(), "metricCol", "metric column",
+                      TypeConverters.toString)
+    variantCol = Param(Params._dummy(), "variantCol",
+                       "variant label column", TypeConverters.toString)
+    variantA = Param(Params._dummy(), "variantA", "first label",
+                     TypeConverters.toString)
+    variantB = Param(Params._dummy(), "variantB", "second label",
+                     TypeConverters.toString)
+    alpha = Param(Params._dummy(), "alpha", "two-sided test level",
+                  TypeConverters.toFloat)
+    power = Param(Params._dummy(), "power", "target power",
+                  TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(metricCol="y", variantCol="variant",
+                         alpha=0.05, power=0.8)
+
+    def setMetricCol(self, v):
+        return self._set(metricCol=v)
+
+    def setVariantCol(self, v):
+        return self._set(variantCol=v)
+
+    def setVariants(self, a: str, b: str):
+        if a == b:
+            raise ValueError("variantA and variantB must differ")
+        return self._set(variantA=a, variantB=b)
+
+    def setAlpha(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"alpha must be in (0, 1), got {v}")
+        return self._set(alpha=v)
+
+    def setPower(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"power must be in (0, 1), got {v}")
+        return self._set(power=v)
+
+    def z_multiplier(self) -> float:
+        """z_{1−α/2} + z_{power}, from the scalar params."""
+        return (_norm_ppf(1 - self.getOrDefault(self.alpha) / 2)
+                + _norm_ppf(self.getOrDefault(self.power)))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.variantA)
+                or not self.isDefined(self.variantB)):
+            raise ValueError("setVariants(a, b) is required")
+        a = self.getOrDefault(self.variantA)
+        b = self.getOrDefault(self.variantB)
+        y = F.col(self.getOrDefault(self.metricCol)).cast("double")
+        v = F.col(self.getOrDefault(self.variantCol)).cast("string")
+        zm = self.z_multiplier()
+        m = df.filter(y.isNotNull() & v.isin(a, b)).agg(
+            F.sum(F.when(v == a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(v == b, 1).otherwise(0)).alias("n_b"),
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(y).alias("__s"), F.sum(y * y).alias("__q"))
+        n = F.col("__n").cast("double")
+        mean = F.col("__s") / n
+        var = F.when(n > 1, (F.col("__q") - F.col("__s") * F.col("__s")
+                             / n) / (n - 1))
+        ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & var.isNotNull()
+        mde = F.when(ok, F.lit(zm) * F.sqrt(
+            var * (1 / F.col("n_a").cast("double")
+                   + 1 / F.col("n_b").cast("double"))))
+        return m.select(
+            "n_a", "n_b", mean.alias("mean"),
+            F.sqrt(var).alias("sd"), mde.alias("mde_abs"),
+            F.when(F.abs(mean) > 0, mde / F.abs(mean))
+            .alias("mde_rel"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -10346,6 +10346,106 @@ FROM k
 """
 
 
+def q_srm_window_events(spark, sf_dir):
+    """Per-day sample-ratio-mismatch guardrail over the parity variant
+    split — every window's counts, χ² and the p=0.001 flag replay
+    exactly in SQL. The SAME code path runs on an unbounded stream
+    (`streaming.stream_srm_monitor`)."""
+    from flink_ml__spark.streaming.online import stream_srm_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    tagged = ev.withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd"))
+    out = stream_srm_monitor(tagged, "ts", "variant", "even", "odd",
+                             ratio_a=0.5, window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "n_a", "n_b",
+                      F.round("expected_a", R).alias("expected_a"),
+                      F.round("chi2", R).alias("chi2"), "srm")
+
+
+ORACLE_SRM_WINDOW = f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+         user_id % 2 = 0 AS is_a
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+w AS (
+  SELECT win_us,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+  FROM base GROUP BY 1),
+c AS (
+  SELECT *, (n_a + n_b) * 0.5 AS ea,
+         CASE WHEN n_a + n_b > 0 THEN
+           (n_a - (n_a + n_b) * 0.5) ^ 2 / ((n_a + n_b) * 0.5)
+           + (n_b - (n_a + n_b) * 0.5) ^ 2 / ((n_a + n_b) * 0.5)
+         END AS chi2
+  FROM w)
+SELECT win_us, n_a, n_b, round(ea, {R}) AS expected_a,
+       round(chi2, {R}) AS chi2,
+       coalesce(chi2 > 10.828, false) AS srm
+FROM c
+"""
+
+
+def _q_mde_zm() -> float:
+    from flink_ml__spark.functions.stats import MdeCalculator
+
+    return MdeCalculator().setAlpha(0.05).setPower(0.8).z_multiplier()
+
+
+def q_mde_events(spark, sf_dir):
+    """MDE gate: the smallest per-user mean-value lift detectable at
+    α=0.05 / power 0.8 with the observed variance and parity split —
+    the moment aggregation and the folded z multiplier replay exactly
+    in SQL."""
+    from flink_ml__spark.functions.stats import MdeCalculator
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    units = (ev.groupBy("user_id")
+             .agg(F.avg(F.col("value").cast("double")).alias("y"))
+             .select(F.when(F.col("user_id") % 2 == 0, "even")
+                     .otherwise("odd").alias("variant"), "y"))
+    out = (MdeCalculator().setMetricCol("y").setVariants("even", "odd")
+           .setAlpha(0.05).setPower(0.8).evaluate(units))
+    return out.select("n_a", "n_b", F.round("mean", R).alias("mean"),
+                      F.round("sd", R).alias("sd"),
+                      F.round("mde_abs", R).alias("mde_abs"),
+                      F.round("mde_rel", R).alias("mde_rel"))
+
+
+ORACLE_MDE = f"""
+WITH units AS (
+  SELECT user_id % 2 = 0 AS is_a, avg(value::DOUBLE) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
+m AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+         count(*)::DOUBLE AS n, sum(y) AS s, sum(y * y) AS q
+  FROM units),
+d AS (
+  SELECT n_a, n_b, s / n AS mean,
+         CASE WHEN n > 1 THEN (q - s * s / n) / (n - 1) END AS var
+  FROM m),
+e AS (
+  SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND var IS NOT NULL THEN
+           {_q_mde_zm()!r} * sqrt(var * (1.0 / n_a + 1.0 / n_b)) END
+           AS mde
+  FROM d)
+SELECT n_a, n_b, round(mean, {R}) AS mean,
+       round(sqrt(var), {R}) AS sd, round(mde, {R}) AS mde_abs,
+       round(CASE WHEN abs(mean) > 0 THEN mde / abs(mean) END, {R})
+           AS mde_rel
+FROM e
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10586,6 +10686,8 @@ QUERIES = {
     "forecast_accuracy_events": q_forecast_accuracy_events,
     "logrank_events": q_logrank_events,
     "weibull_events": q_weibull_events,
+    "srm_window_events": q_srm_window_events,
+    "mde_events": q_mde_events,
 }
 
 ORACLES = {
@@ -10837,4 +10939,6 @@ ORACLES = {
     "forecast_accuracy_events": ORACLE_FORECAST_ACCURACY,
     "logrank_events": ORACLE_LOGRANK,
     "weibull_events": ORACLE_WEIBULL,
+    "srm_window_events": ORACLE_SRM_WINDOW,
+    "mde_events": ORACLE_MDE,
 }

@@ -1473,3 +1473,46 @@ def stream_welch_monitor(stream_df: DataFrame, time_col: str,
         t_stat.alias("t_stat"), dof.alias("dof"),
         F.coalesce(F.abs(t_stat) > 1.96, F.lit(False))
         .alias("significant"))
+
+
+def stream_srm_monitor(stream_df: DataFrame, time_col: str,
+                       variant_col: str, label_a: str, label_b: str,
+                       ratio_a: float = 0.5,
+                       window: str = "1 minute",
+                       watermark_delay: str = "0 seconds") -> DataFrame:
+    """Windowed sample-ratio-mismatch guardrail — the live twin of
+    :class:`~flink_ml__spark.functions.stats.SrmChecker`: per
+    event-time window, does the variant split still match the
+    configured allocation? A randomizer bug or a crashing variant
+    shows up here within one window instead of at experiment readout.
+
+    Per window the two counts are conditional sums inside the ONE
+    watermarked aggregate; χ² and the p=0.001 flag are projections.
+    Output: ``window_start``, ``window_end``, ``n_a``, ``n_b``,
+    ``expected_a``, ``chi2``, ``srm``. Runs identically on a batch
+    frame (oracle-gated via ``srm_window_events``)."""
+    if label_a == label_b:
+        raise ValueError("label_a and label_b must differ")
+    if not 0 < ratio_a < 1:
+        raise ValueError("ratio_a must be in (0, 1)")
+    t = F.col(time_col)
+    v = F.col(variant_col).cast("string")
+    src = stream_df.filter(t.isNotNull() & v.isin(label_a, label_b))
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    agg = (src.groupBy(F.window(t, window).alias("__w"))
+           .agg(F.sum(F.when(v == label_a, 1).otherwise(0))
+                .alias("n_a"),
+                F.sum(F.when(v == label_b, 1).otherwise(0))
+                .alias("n_b")))
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    ea = n * ratio_a
+    eb = n * (1 - ratio_a)
+    chi2 = F.when(n > 0, (F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+                  + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb)
+    return agg.select(F.col("__w.start").alias("window_start"),
+                      F.col("__w.end").alias("window_end"),
+                      "n_a", "n_b", ea.alias("expected_a"),
+                      chi2.alias("chi2"),
+                      F.coalesce(chi2 > 10.828, F.lit(False))
+                      .alias("srm"))

@@ -860,3 +860,15 @@ def test_survival_windows_on_duration_grid(spark, name):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "event_type"}, cols
+
+
+@pytest.mark.parametrize("name", ["srm_window_events", "mde_events"])
+def test_srm_mde_single_aggregates(spark, name):
+    """SRM / MDE: conditional-count/moment aggregations only — no
+    join, no row-buffering window, no Python."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "value"}, cols

@@ -835,3 +835,51 @@ def test_bh_fdr_ties_share_q_and_validation(spark):
     assert out["a"]["discovery"] and out["b"]["discovery"]
     with _pt.raises(ValueError, match="alpha"):
         FdrController().setAlpha(0.0)
+
+
+# ---------------------------------------------------------------------------
+# SrmChecker / MdeCalculator
+# ---------------------------------------------------------------------------
+
+def test_srm_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import SrmChecker
+    # 550/450 at 50/50: chi2 = 2*(50^2/500) = 10 -> NOT SRM at 0.001
+    df = spark.createDataFrame(
+        [("a",)] * 55 + [("b",)] * 45, "variant string")
+    big = df
+    r = (SrmChecker().setVariants("a", "b").setRatioA(0.5)
+         .evaluate(big).first())
+    assert r["n_a"] == 55 and r["n_b"] == 45
+    assert abs(r["chi2"] - (25 + 25) / 50) < 1e-12  # = 1.0 at n=100
+    assert bool(r["srm"]) is False
+    # gross mismatch at a 90/10 config
+    skew = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "variant string")
+    r = (SrmChecker().setVariants("a", "b").setRatioA(0.9)
+         .evaluate(skew).first())
+    assert bool(r["srm"]) is True
+    with _pt.raises(ValueError, match="ratioA"):
+        SrmChecker().setRatioA(1.0)
+
+
+def test_mde_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import MdeCalculator
+    rows = [("a", float(i % 10)) for i in range(100)] + \
+           [("b", float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "variant string, y double")
+    op = (MdeCalculator().setMetricCol("y").setVariants("a", "b")
+          .setAlpha(0.05).setPower(0.8))
+    r = op.evaluate(df).first()
+    assert r["n_a"] == 100 and r["n_b"] == 100
+    import statistics
+    vals = [float(i % 10) for i in range(200)]
+    sd = statistics.stdev(vals)
+    want = op.z_multiplier() * sd * (2 / 100) ** 0.5
+    assert abs(r["mde_abs"] - want) < 1e-9
+    assert abs(r["mde_rel"] - want / statistics.mean(vals)) < 1e-9
+    # z multiplier matches the textbook 2.8016 at (0.05, 0.8)
+    assert abs(op.z_multiplier() - 2.8015852) < 1e-6
+    with _pt.raises(ValueError, match="power"):
+        MdeCalculator().setPower(0.0)

@@ -1704,3 +1704,51 @@ def test_stream_conformal_apply_matches_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_srm_monitor_matches_batch(spark):
+    """Windowed SRM on a stream equals the batch run; a planted 90/10
+    window flips the flag."""
+    import datetime as _dt
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.streaming.online import stream_srm_monitor
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        # window 0-1: fair split; window 2: 90/10
+        w = i // 120
+        grp = "a" if (i % 10 < 9 if w == 2 else i % 2 == 0) else "b"
+        rows.append((base + _dt.timedelta(seconds=i // 2), grp))
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+
+    def canon(frame):
+        return sorted((r["window_start"], r["n_a"], r["n_b"],
+                       round(r["chi2"], 9), r["srm"])
+                      for r in frame.collect())
+
+    batch = canon(stream_srm_monitor(df, "ts", "v", "a", "b",
+                                     window="1 minute"))
+    assert any(r[4] for r in batch)          # the skewed window flags
+    assert not all(r[4] for r in batch)      # the fair windows don't
+    d = _tf.mkdtemp(prefix="srm_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_srm_monitor(stream, "ts", "v", "a", "b",
+                                 window="1 minute")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("srmstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM srmstream"))
+        bymap = {r[0]: r for r in batch}
+        assert got
+        for r in got:
+            assert bymap[r[0]] == r
+        assert ({r[0] for r in batch} - {r[0] for r in got}
+                <= {max(bymap)})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
