@@ -1,12 +1,16 @@
 """Experimentation-analytics tour of the round-9 second-wave
-operators: a windowed Welch A/B guardrail, CUPED variance reduction
-from a pre-period covariate, a deterministic Poisson-bootstrap CI for
-the metric, split-conformal intervals around a per-segment predictor,
-Kaplan-Meier time-to-purchase with censoring, and bounded-grid
-Theil-Sen / Mann-Kendall trend readouts (gate queries:
-welch_ttest_events, welch_window_events, cuped_events,
-bootstrap_ci_events, conformal_events, kaplan_meier_events,
-theilsen_events, mann_kendall_events)."""
+operators — the full A/B readout chain: validity first (SRM split
+check, covariate balance), then power (MDE), the metric readout
+(Welch + windowed guardrail, CUPED variance reduction, DiD), honest
+uncertainty (Poisson-bootstrap CI, split-conformal intervals),
+multiplicity control (BH FDR over the windowed battery), and the
+time-to-event view (Kaplan-Meier, log-rank, Weibull) with robust
+trend readouts (Theil-Sen / Mann-Kendall). Gate queries:
+srm_window_events, covariate_balance_events, mde_events,
+welch_ttest_events, welch_window_events, cuped_events, did_events,
+bootstrap_ci_events, conformal_events, fdr_events,
+kaplan_meier_events, logrank_events, weibull_events,
+theilsen_events, mann_kendall_events."""
 
 from _common import SF_DIR, get_session
 
@@ -15,11 +19,17 @@ def main():
     from pyspark.sql import functions as F
 
     from flink_ml__spark.functions import (
+        CovariateBalanceChecker,
         CupedAdjuster,
+        DiffInDiffAnalyzer,
         KaplanMeierEstimator,
+        LogRankTest,
         MannKendallTrendTest,
+        MdeCalculator,
         PoissonBootstrapper,
+        SrmChecker,
         TheilSenTrendEstimator,
+        WeibullFitter,
         WelchTTest,
     )
     from flink_ml__spark.functions.evaluation import SplitConformalRegressor
@@ -29,6 +39,23 @@ def main():
     spark = get_session("experimentation-example")
     ev = load_table(spark, "events", SF_DIR).filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
+
+    print("== validity: SRM split check + covariate balance ==")
+    units_v = (ev.groupBy("user_id")
+               .agg(F.avg("value").alias("pre_mean"),
+                    F.count(F.lit(1)).cast("double").alias("pre_n"))
+               .selectExpr("CASE WHEN user_id % 2 = 0 THEN 'even' "
+                           "ELSE 'odd' END AS variant",
+                           "pre_mean", "pre_n"))
+    (SrmChecker().setVariants("even", "odd").setRatioA(0.5)
+     .evaluate(units_v).show())
+    (CovariateBalanceChecker().setInputCols("pre_mean", "pre_n")
+     .setVariantCol("variant").setLabels("even", "odd")
+     .evaluate(units_v).show())
+
+    print("== power: minimum detectable effect at this traffic ==")
+    (MdeCalculator().setMetricCol("pre_mean")
+     .setVariants("even", "odd").evaluate(units_v).show())
 
     print("== A/B readout: Welch t (purchase vs click values) ==")
     (WelchTTest().setValueCol("value").setGroupCol("event_type")
@@ -64,6 +91,15 @@ def main():
     test = ev.filter("event_id % 2 = 0").join(preds, "event_type")
     model.evaluate(test, "value").show()
 
+    print("== DiD: change beyond the control group's change ==")
+    day2 = F.expr("unix_micros(ts) div 86400000000")
+    pre2 = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c")
+        .alias("variant"), (day2 >= 19738).alias("post"),
+        F.col("value").alias("y"))
+    (DiffInDiffAnalyzer().setMetricCol("y").setGroupCol("variant")
+     .setTreatedLabel("t").setPostCol("post").evaluate(pre2).show())
+
     print("== Kaplan-Meier: days to first purchase (censored) ==")
     per = ev.groupBy("user_id").agg(
         F.min("ts").alias("f"),
@@ -76,6 +112,18 @@ def main():
         .cast("double").alias("duration"),
         F.col("p").isNotNull().alias("event"))
     (KaplanMeierEstimator().evaluate(subj).orderBy("t").show(8))
+
+    print("== log-rank + Weibull over the same subjects ==")
+    subj2 = per.select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+        .alias("grp"),
+        F.floor((F.unix_micros(F.coalesce("p", "l"))
+                 - F.unix_micros("f")) / 86400000000.0)
+        .cast("double").alias("duration"),
+        F.col("p").isNotNull().alias("event"))
+    (LogRankTest().setGroupCol("grp").setGroups("even", "odd")
+     .evaluate(subj2).show())
+    WeibullFitter().evaluate(subj2).show()
 
     print("== robust trend: Theil-Sen slope + Mann-Kendall verdict ==")
     ts_est = (TheilSenTrendEstimator().setKeyCol("event_type")
