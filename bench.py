@@ -245,6 +245,8 @@ HEADLINE = [
     "weibull_events",
     "srm_window_events",
     "mde_events",
+    "truncation_audit_embeddings",
+    "anisotropy_embeddings",
 ]
 
 

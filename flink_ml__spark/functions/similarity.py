@@ -1520,3 +1520,142 @@ class RandomProjection(AlgoOperator, _SimilarityParams):
                 F.lit(0.0), lambda acc, x: acc + x) * F.lit(inv))
         out = F.when(arr.isNotNull(), F.array(*comps))
         return df.withColumn(self.getOrDefault(self.outputCol), out)
+
+
+class EmbeddingTruncationAuditor(AlgoOperator):
+    """Matryoshka-style truncation audit (Kusupati et al. 2022, "MRL"):
+    how much of each embedding's energy lives in its first d
+    dimensions? Since cosine(x, zero-padded x_{:d}) = ‖x_{:d}‖/‖x‖,
+    the prefix-energy fraction IS the self-similarity after
+    truncation — the number that decides whether the ANN index can
+    store d of the D dims (a 4× memory/IO cut at 100 TB) without
+    wrecking recall.
+
+    ``evaluate(df)`` returns one row per configured budget::
+
+        dim_budget   prefix length d
+        n_vecs       vectors audited
+        avg_energy   mean ‖x_{:d}‖² / ‖x‖²
+        p05_energy   5th-percentile energy fraction (the worst tail —
+                     what truncation does to the hardest vectors)
+        avg_cos      mean ‖x_{:d}‖ / ‖x‖ (self-cosine after truncation)
+
+    Scale shape: the full-norm HOF is materialized ONCE as a column
+    (no CSE across aggregate expressions — the HashedTfEmbedder
+    lesson), each budget adds two aggregate expressions over its
+    prefix sum; ONE pass, no shuffle beyond the scalar aggregate, the
+    per-budget rows explode from the single result row.
+    """
+
+    inputCol = Param(Params._dummy(), "inputCol",
+                     "embedding array column", TypeConverters.toString)
+    budgets = Param(Params._dummy(), "budgets",
+                    "prefix lengths to audit", TypeConverters.toListInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="embedding", budgets=[8, 16, 32])
+
+    def setInputCol(self, v):
+        return self._set(inputCol=v)
+
+    def setBudgets(self, *v):
+        v = list(v[0]) if len(v) == 1 and not isinstance(
+            v[0], int) else list(v)
+        if not v or any(b < 1 for b in v):
+            raise ValueError("budgets must be positive ints")
+        return self._set(budgets=sorted(set(v)))
+
+    @staticmethod
+    def _energy(arr):
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double")
+                           * x.cast("double"))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        arr = F.col(self.getOrDefault(self.inputCol))
+        buds = self.getOrDefault(self.budgets)
+        base = (df.filter(arr.isNotNull() & (F.size(arr) > 0))
+                .select(arr.alias("__e"),
+                        self._energy(arr).alias("__full")))
+        base = base.filter(F.col("__full") > 0)
+        for b in buds:
+            frac = (self._energy(F.slice(F.col("__e"), 1, b))
+                    / F.col("__full"))
+            base = base.withColumn(f"__f{b}", frac)
+        aggs = [F.count(F.lit(1)).alias("n_vecs")]
+        for b in buds:
+            aggs.append(F.avg(f"__f{b}").alias(f"__avg{b}"))
+            aggs.append(F.percentile(F.col(f"__f{b}"), F.lit(0.05))
+                        .alias(f"__p{b}"))
+            aggs.append(F.avg(F.sqrt(f"__f{b}")).alias(f"__c{b}"))
+        one = base.agg(*aggs)
+        rows = F.explode(F.array(*[
+            F.struct(F.lit(b).alias("dim_budget"),
+                     F.col(f"__avg{b}").alias("avg_energy"),
+                     F.col(f"__p{b}").alias("p05_energy"),
+                     F.col(f"__c{b}").alias("avg_cos"))
+            for b in buds]))
+        return (one.select("n_vecs", rows.alias("r"))
+                .select("r.dim_budget", "n_vecs", "r.avg_energy",
+                        "r.p05_energy", "r.avg_cos"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class AnisotropyAuditor(AlgoOperator):
+    """Embedding-space anisotropy (Ethayarajh 2019): the expected
+    cosine between two RANDOM vectors. Isotropic (healthy, spread-out)
+    spaces sit near 0; collapsed/anisotropic spaces — the classic
+    failure of contextual encoders and of over-quantized indexes —
+    sit far above it, and every cosine-based retrieval margin shrinks
+    accordingly.
+
+    Exact, no sampling: with unit vectors u_i,
+    ``Σ_{i≠j} cos(x_i,x_j) = ‖Σ u_i‖² − n``, so
+
+        mean_pair_cosine = (‖Σ u_i‖² − n) / (n (n−1))
+
+    needs only the per-dimension SUM of normalized vectors — one
+    posexplode + one D-sized aggregation, no pairs anywhere.
+
+    ``evaluate(df)`` returns ONE row: ``n_vecs``, ``dim``,
+    ``mean_pair_cosine``, ``centroid_norm`` (‖mean u‖ — the
+    common-direction magnitude).
+    """
+
+    inputCol = Param(Params._dummy(), "inputCol",
+                     "embedding array column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="embedding")
+
+    def setInputCol(self, v):
+        return self._set(inputCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        arr = F.col(self.getOrDefault(self.inputCol))
+        nrm = F.sqrt(EmbeddingTruncationAuditor._energy(arr))
+        base = (df.filter(arr.isNotNull() & (F.size(arr) > 0))
+                .select(arr.alias("__e"), nrm.alias("__n"))
+                .filter(F.col("__n") > 0))
+        unit = (base.select(F.posexplode(
+            F.transform("__e", lambda x: x.cast("double")
+                        / F.col("__n"))).alias("__pos", "__u")))
+        per_dim = unit.groupBy("__pos").agg(F.sum("__u").alias("__s"))
+        sums = per_dim.agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.sum(F.col("__s") * F.col("__s")).alias("__ss"))
+        n_vecs = base.agg(F.count(F.lit(1)).alias("n_vecs"))
+        j = n_vecs.crossJoin(sums)
+        n = F.col("n_vecs").cast("double")
+        mean_cos = F.when(n > 1,
+                          (F.col("__ss") - n) / (n * (n - 1)))
+        return j.select("n_vecs", "dim",
+                        mean_cos.alias("mean_pair_cosine"),
+                        (F.sqrt("__ss") / n).alias("centroid_norm"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -10446,6 +10446,101 @@ FROM e
 """
 
 
+def q_truncation_audit_embeddings(spark, sf_dir):
+    """Matryoshka truncation audit gate: prefix-energy fractions at
+    budgets 8/16/32 over the 64-dim embeddings — HOF energies, the
+    interpolated 5th percentile and the per-budget explode replay
+    exactly in SQL."""
+    from flink_ml__spark.functions.similarity import (
+        EmbeddingTruncationAuditor,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = (EmbeddingTruncationAuditor().setInputCol("embedding")
+           .setBudgets(8, 16, 32).evaluate(emb))
+    return out.select("dim_budget", "n_vecs",
+                      F.round("avg_energy", R).alias("avg_energy"),
+                      F.round("p05_energy", R).alias("p05_energy"),
+                      F.round("avg_cos", R).alias("avg_cos"))
+
+
+def _trunc_frac_sql(d: int) -> str:
+    return (f"list_sum(list_transform(embedding[1:{d}], "
+            f"x -> x::DOUBLE * x)) / tot_e")
+
+
+ORACLE_TRUNCATION_AUDIT = f"""
+WITH base AS (
+  SELECT embedding,
+         list_sum(list_transform(embedding, x -> x::DOUBLE * x))
+             AS tot_e
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+f AS (
+  SELECT {_trunc_frac_sql(8)} AS f8, {_trunc_frac_sql(16)} AS f16,
+         {_trunc_frac_sql(32)} AS f32
+  FROM base WHERE tot_e > 0),
+a AS (
+  SELECT count(*)::BIGINT AS n_vecs,
+         avg(f8) AS a8, quantile_cont(f8, 0.05) AS p8,
+         avg(sqrt(f8)) AS c8,
+         avg(f16) AS a16, quantile_cont(f16, 0.05) AS p16,
+         avg(sqrt(f16)) AS c16,
+         avg(f32) AS a32, quantile_cont(f32, 0.05) AS p32,
+         avg(sqrt(f32)) AS c32
+  FROM f)
+SELECT 8 AS dim_budget, n_vecs, round(a8, {R}) AS avg_energy,
+       round(p8, {R}) AS p05_energy, round(c8, {R}) AS avg_cos FROM a
+UNION ALL
+SELECT 16, n_vecs, round(a16, {R}), round(p16, {R}), round(c16, {R})
+FROM a
+UNION ALL
+SELECT 32, n_vecs, round(a32, {R}), round(p32, {R}), round(c32, {R})
+FROM a
+"""
+
+
+def q_anisotropy_embeddings(spark, sf_dir):
+    """Anisotropy gate: exact mean pairwise cosine via the
+    ‖Σ unit-vectors‖² − n identity — normalization, per-dimension sums
+    and the fold replay exactly in SQL. No pairs materialize on either
+    engine."""
+    from flink_ml__spark.functions.similarity import AnisotropyAuditor
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = AnisotropyAuditor().setInputCol("embedding").evaluate(emb)
+    return out.select("n_vecs", "dim",
+                      F.round("mean_pair_cosine", R)
+                      .alias("mean_pair_cosine"),
+                      F.round("centroid_norm", R)
+                      .alias("centroid_norm"))
+
+
+ORACLE_ANISOTROPY = f"""
+WITH base AS (
+  SELECT embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+ok AS (SELECT * FROM base WHERE nrm > 0),
+unit AS (
+  SELECT unnest(embedding) / nrm AS u,
+         generate_subscripts(embedding, 1) AS pos
+  FROM ok),
+per_dim AS (SELECT pos, sum(u) AS s FROM unit GROUP BY 1),
+sums AS (SELECT count(*)::BIGINT AS dim, sum(s * s) AS ss
+         FROM per_dim),
+n AS (SELECT count(*)::BIGINT AS n_vecs FROM ok)
+SELECT n_vecs, dim,
+       round(CASE WHEN n_vecs > 1
+                  THEN (ss - n_vecs) / (n_vecs * (n_vecs - 1.0)) END,
+             {R}) AS mean_pair_cosine,
+       round(sqrt(ss) / n_vecs, {R}) AS centroid_norm
+FROM n CROSS JOIN sums
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10688,6 +10783,8 @@ QUERIES = {
     "weibull_events": q_weibull_events,
     "srm_window_events": q_srm_window_events,
     "mde_events": q_mde_events,
+    "truncation_audit_embeddings": q_truncation_audit_embeddings,
+    "anisotropy_embeddings": q_anisotropy_embeddings,
 }
 
 ORACLES = {
@@ -10941,4 +11038,6 @@ ORACLES = {
     "weibull_events": ORACLE_WEIBULL,
     "srm_window_events": ORACLE_SRM_WINDOW,
     "mde_events": ORACLE_MDE,
+    "truncation_audit_embeddings": ORACLE_TRUNCATION_AUDIT,
+    "anisotropy_embeddings": ORACLE_ANISOTROPY,
 }

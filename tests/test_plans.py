@@ -872,3 +872,24 @@ def test_srm_mde_single_aggregates(spark, name):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "value"}, cols
+
+
+def test_truncation_audit_one_pass_no_shuffle_of_vectors(spark):
+    """Truncation audit: one scalar aggregation over one scan; the
+    per-budget rows explode from the single result row."""
+    plan = _plan(spark, "truncation_audit_embeddings")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"embedding"}, cols
+
+
+def test_anisotropy_no_pairs(spark):
+    """Anisotropy: the identity keeps it pair-free — posexplode + one
+    D-sized aggregation; no self-join anywhere."""
+    plan = _plan(spark, "anisotropy_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -615,3 +615,55 @@ def test_hard_negative_miner_broadcasts_anchors(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# EmbeddingTruncationAuditor / AnisotropyAuditor
+# ---------------------------------------------------------------------------
+
+def test_truncation_audit_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.similarity import (
+        EmbeddingTruncationAuditor,
+    )
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 0.0]), (3, None),
+         (4, [0.0, 0.0])],  # zero vector excluded
+        "vec_id long, embedding array<float>")
+    out = {r["dim_budget"]: r for r in
+           (EmbeddingTruncationAuditor().setBudgets(1, 2)
+            .evaluate(df).collect())}
+    assert out[1]["n_vecs"] == 2
+    # fracs at d=1: 9/25 and 1.0
+    assert abs(out[1]["avg_energy"] - (0.36 + 1.0) / 2) < 1e-9
+    assert abs(out[1]["avg_cos"] - (0.6 + 1.0) / 2) < 1e-9
+    # interpolated 5th percentile between 0.36 and 1.0
+    assert abs(out[1]["p05_energy"] - (0.36 + 0.05 * 0.64)) < 1e-9
+    assert abs(out[2]["avg_energy"] - 1.0) < 1e-12
+    assert abs(out[2]["avg_cos"] - 1.0) < 1e-12
+    with _pt.raises(ValueError, match="budgets"):
+        EmbeddingTruncationAuditor().setBudgets(0)
+
+
+def test_anisotropy_golden(spark):
+    from flink_ml__spark.functions.similarity import AnisotropyAuditor
+    op = AnisotropyAuditor()
+
+    def run(vecs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        return op.evaluate(df).first()
+
+    # identical -> 1, orthogonal -> 0, opposite -> -1
+    assert abs(run([[1.0, 0.0], [1.0, 0.0]])["mean_pair_cosine"]
+               - 1.0) < 1e-9
+    assert abs(run([[1.0, 0.0], [0.0, 1.0]])["mean_pair_cosine"]
+               ) < 1e-9
+    assert abs(run([[1.0, 0.0], [-1.0, 0.0]])["mean_pair_cosine"]
+               + 1.0) < 1e-9
+    # two clusters of two: exact 1/3; non-unit inputs normalize
+    r = run([[2.0, 0.0], [5.0, 0.0], [0.0, 1.0], [0.0, 3.0]])
+    assert abs(r["mean_pair_cosine"] - 1 / 3) < 1e-9
+    assert r["n_vecs"] == 4 and r["dim"] == 2
+    assert abs(r["centroid_norm"] - (8 ** 0.5) / 4) < 1e-9
