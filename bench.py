@@ -247,6 +247,7 @@ HEADLINE = [
     "mde_events",
     "truncation_audit_embeddings",
     "anisotropy_embeddings",
+    "kn_bigram_documents",
 ]
 
 

@@ -3101,3 +3101,150 @@ class HeapsLawProfiler(AlgoOperator, HasInputCol):
                           F.exp(intercept).alias("heaps_k"),
                           beta.alias("heaps_beta"),
                           r2.alias("heaps_r2"))
+
+
+class KneserNeyBigramLMModel(BigramLMModel):
+    """Scores documents under a fitted absolute-discount Kneser-Ney
+    bigram LM (see :class:`KneserNeyBigramLM`). Appends::
+
+        mean_logprob  mean per-token log-probability: position 1 under
+                      the CONTINUATION distribution
+                      p_cont(w) = coalesce(N1+(·w), 1) / N1+(··);
+                      positions i ≥ 2 under
+                      max(c(w1w2)−D, 0)/c(w1)
+                        + D·N1+(w1·)/c(w1) · p_cont(w2)
+                      falling back to p_cont(w2) when the history has
+                      no kept bigrams or is out of vocabulary (the
+                      backoff mass is then 1 by construction)
+        bigram_frac   as in :class:`BigramLMModel`
+
+    The continuation/backoff tables derive deterministically from the
+    KEPT bigram table (post-cut), so the model artifact stays
+    O(maxVocab + maxBigrams) and the SQL oracle replays every count.
+    """
+
+    def __init__(self, unigrams: DataFrame | None = None,
+                 bigrams: DataFrame | None = None,
+                 total: int | None = None, discount: float = 0.75):
+        super().__init__(unigrams, bigrams, total, lam=0.0)
+        self._discount = discount
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        uni = {r["token"]: r["cnt"] for r in self._unigrams.collect()}
+        big = {(r["w1"], r["w2"]): r["cnt"]
+               for r in self._bigrams.collect()}
+        if not big:
+            raise ValueError("model has no bigrams — KN needs at "
+                             "least one kept bigram")
+        pre: dict = {}
+        post: dict = {}
+        for (w1, w2) in big:
+            pre[w2] = pre.get(w2, 0) + 1
+            post[w1] = post.get(w1, 0) + 1
+        nbb = float(len(big))
+        sc = df.sparkSession.sparkContext
+        bc_u, bc_b = sc.broadcast(uni), sc.broadcast(big)
+        bc_pre, bc_post = sc.broadcast(pre), sc.broadcast(post)
+        dd = self._discount
+        tok_pat = TOKEN_SPLIT
+
+        @F.pandas_udf("struct<mean_logprob:double,bigram_frac:double>")
+        def score(texts):
+            import math
+            import re
+
+            rx = re.compile(tok_pat)
+            um, bm = bc_u.value, bc_b.value
+            prm, pom = bc_pre.value, bc_post.value
+            out = []
+            for t in texts:
+                toks = ([w for w in rx.split(t.lower()) if w]
+                        if t is not None else [])
+                if not toks:
+                    out.append((None, None))
+                    continue
+
+                def pcont(w):
+                    return prm.get(w, 1) / nbb if w in prm \
+                        else 1.0 / nbb
+
+                s = math.log(pcont(toks[0]))
+                hits = 0
+                for i in range(1, len(toks)):
+                    w1, w2 = toks[i - 1], toks[i]
+                    c1 = um.get(w1)
+                    cb = bm.get((w1, w2))
+                    po = pom.get(w1)
+                    if cb is not None:
+                        hits += 1
+                    if c1 and po:
+                        p = (max((cb or 0) - dd, 0.0) / c1
+                             + dd * po / c1 * pcont(w2))
+                    else:
+                        p = pcont(w2)
+                    s += math.log(p)
+                n = len(toks)
+                out.append((s / n, hits / (n - 1) if n > 1 else None))
+            return pd.DataFrame(out,
+                                columns=["mean_logprob", "bigram_frac"])
+
+        s = score(F.col(self.getInputCol()))
+        return (df.withColumn("mean_logprob", s["mean_logprob"])
+                .withColumn("bigram_frac", s["bigram_frac"]))
+
+    def _save_model_data(self, path: str) -> None:
+        import json
+        import os
+
+        super()._save_model_data(path)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"total": self._total, "lam": self._lam,
+                       "discount": self._discount}, f)
+
+    def _load_model_data(self, spark, path: str) -> None:
+        import json
+        import os
+
+        super()._load_model_data(spark, path)
+        with open(os.path.join(path, "meta.json")) as f:
+            self._discount = json.load(f).get("discount", 0.75)
+
+
+class KneserNeyBigramLM(BigramLM):
+    """Absolute-discount Kneser-Ney bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1999 found it the best-performing n-gram smoother)
+    — the quality rung above :class:`BigramLM`'s Jelinek-Mercer
+    interpolation, and the smoothing CCNet's 5-gram fluency filter
+    uses. The lower-order distribution is the CONTINUATION count
+    N1+(·w) ("how many contexts has w followed?"), which is what stops
+    "Francisco" (frequent but only after "San") from looking fluent
+    everywhere.
+
+    Fit reuses :class:`BigramLM`'s two capped hash aggregations; the
+    continuation/backoff tables derive from the kept bigram table at
+    apply time (no third pass). ``setDiscount`` sets the absolute
+    discount D (default 0.75, the Chen-Goodman workhorse value).
+    """
+
+    discount = Param(Params._dummy(), "discount",
+                     "absolute discount D", TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(discount=0.75)
+
+    def setDiscount(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"discount must be in (0, 1), got {v}")
+        return self._set(discount=v)
+
+    def fit(self, df: DataFrame) -> KneserNeyBigramLMModel:
+        base = super().fit(df)
+        model = KneserNeyBigramLMModel(
+            base._unigrams, base._bigrams, base._total,
+            self.getOrDefault(self.discount))
+        model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
+        return model

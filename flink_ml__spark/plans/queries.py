@@ -10541,6 +10541,62 @@ FROM n CROSS JOIN sums
 """
 
 
+def q_kn_bigram_documents(spark, sf_dir):
+    """Kneser-Ney bigram LM gate (D=0.75, same vocab/bigram cuts as
+    the Jelinek-Mercer gate): continuation/backoff counts derive from
+    the kept bigram table, and every per-position probability replays
+    exactly in SQL."""
+    from flink_ml__spark.functions.curation import KneserNeyBigramLM
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = (KneserNeyBigramLM().setMaxVocab(4096).setMaxBigrams(8192)
+             .setDiscount(0.75).fit(docs))
+    out = model.transform(docs)
+    return out.select("doc_id",
+                      F.round("mean_logprob", R).alias("mean_logprob"),
+                      F.round("bigram_frac", R).alias("bigram_frac"))
+
+
+ORACLE_KN_BIGRAM = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+ex AS (SELECT unnest(toks) AS token FROM toks),
+uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1
+        ORDER BY cnt DESC, token ASC LIMIT 4096),
+bex AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+big AS (SELECT w1, w2, count(*) AS cnt FROM bex GROUP BY 1, 2
+        ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 8192),
+pre AS (SELECT w2, count(*)::DOUBLE AS c FROM big GROUP BY 1),
+post AS (SELECT w1, count(*)::DOUBLE AS c FROM big GROUP BY 1),
+nbb AS (SELECT count(*)::DOUBLE AS nb FROM big),
+pos AS (SELECT doc_id, toks[i] AS w,
+               CASE WHEN i > 1 THEN toks[i-1] END AS prev, i
+        FROM toks, unnest(generate_series(1, len(toks))) AS u(i)),
+sc AS (SELECT p.doc_id,
+         CASE WHEN p.i = 1
+              THEN ln(coalesce(pr2.c, 1) / nbb.nb)
+              WHEN u1.cnt IS NOT NULL AND po.c IS NOT NULL
+              THEN ln(greatest(coalesce(b.cnt, 0) - 0.75, 0)
+                          / u1.cnt
+                      + 0.75 * po.c / u1.cnt
+                        * (coalesce(pr2.c, 1) / nbb.nb))
+              ELSE ln(coalesce(pr2.c, 1) / nbb.nb)
+         END AS lp,
+         CASE WHEN p.i > 1 THEN (b.cnt IS NOT NULL)::INT END AS hit
+       FROM pos p
+       LEFT JOIN uni u1 ON p.prev = u1.token
+       LEFT JOIN post po ON p.prev = po.w1
+       LEFT JOIN pre pr2 ON p.w = pr2.w2
+       LEFT JOIN big b ON p.prev = b.w1 AND p.w = b.w2
+       CROSS JOIN nbb),
+agg AS (SELECT doc_id, avg(lp) AS mlp, avg(hit) AS bf
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, round(agg.mlp, {R}) AS mean_logprob,
+       round(agg.bf, {R}) AS bigram_frac
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10785,6 +10841,7 @@ QUERIES = {
     "mde_events": q_mde_events,
     "truncation_audit_embeddings": q_truncation_audit_embeddings,
     "anisotropy_embeddings": q_anisotropy_embeddings,
+    "kn_bigram_documents": q_kn_bigram_documents,
 }
 
 ORACLES = {
@@ -11040,4 +11097,5 @@ ORACLES = {
     "mde_events": ORACLE_MDE,
     "truncation_audit_embeddings": ORACLE_TRUNCATION_AUDIT,
     "anisotropy_embeddings": ORACLE_ANISOTROPY,
+    "kn_bigram_documents": ORACLE_KN_BIGRAM,
 }

@@ -1356,3 +1356,66 @@ def test_heaps_saturated_template_corpus(spark):
     assert abs(r["heaps_beta"]) < 0.05
     with _pt.raises(ValueError, match="numPoints"):
         HeapsLawProfiler().setNumPoints(2)
+
+
+# ---------------------------------------------------------------------------
+# KneserNeyBigramLM
+# ---------------------------------------------------------------------------
+
+def test_kneser_ney_golden(spark):
+    import math
+    from flink_ml__spark.functions.curation import KneserNeyBigramLM
+    corpus = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")],
+        "doc_id long, text string")
+    m = (KneserNeyBigramLM().setMaxVocab(100).setMaxBigrams(100)
+         .setDiscount(0.75).fit(corpus))
+    # model: uni a3 b2 c1; big (a,b)2 (a,c)1; pre b1 c1; post a2; nbb 2
+    out = {r["doc_id"]: r for r in m.transform(spark.createDataFrame(
+        [(0, "a b"), (1, "c a"), (2, "b b"), (3, None)],
+        "doc_id long, text string")).collect()}
+    # "a b": pcont(a)=1/2 (unseen continuation floor);
+    # p(b|a) = max(2-.75,0)/3 + .75*2/3 * 1/2 = 2/3
+    want = (math.log(0.5) + math.log(2 / 3)) / 2
+    assert abs(out[0]["mean_logprob"] - want) < 1e-12
+    assert abs(out[0]["bigram_frac"] - 1.0) < 1e-12
+    # "c a": history c has no kept bigrams -> backoff to pcont(a)=1/2
+    assert abs(out[1]["mean_logprob"] - math.log(0.5)) < 1e-12
+    assert out[1]["bigram_frac"] == 0.0
+    # "b b": same backoff through pcont(b)=1/2
+    assert abs(out[2]["mean_logprob"] - math.log(0.5)) < 1e-12
+    assert out[3]["mean_logprob"] is None
+
+
+def test_kneser_ney_sums_to_one_and_ranks_fluency(spark):
+    import math
+    import pytest as _pt
+    from flink_ml__spark.functions.curation import KneserNeyBigramLM
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat . the dog sat on the rug .")
+         for i in range(4)] + [(9, "xyz qqq zzz")],
+        "doc_id long, text string")
+    m = KneserNeyBigramLM().setMaxVocab(64).setMaxBigrams(64).fit(corpus)
+    out = {r["doc_id"]: r["mean_logprob"] for r in m.transform(
+        spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (1, "mat the on zzz qqq")],
+            "doc_id long, text string")).collect()}
+    # in-domain word order scores strictly higher than scrambled text
+    assert out[0] > out[1]
+    # Σ_w p(w|history) over the model vocabulary+continuations == 1
+    # for a history with kept bigrams (here: "the")
+    uni = {r["token"]: r["cnt"] for r in m._unigrams.collect()}
+    big = {(r["w1"], r["w2"]): r["cnt"] for r in m._bigrams.collect()}
+    pre = {}
+    post = {}
+    for (w1, w2) in big:
+        pre[w2] = pre.get(w2, 0) + 1
+        post[w1] = post.get(w1, 0) + 1
+    nbb = len(big)
+    c1, po, dd = uni["the"], post["the"], 0.75
+    # sum over the continuation vocabulary (pcont sums to 1 there)
+    total = sum(max(big.get(("the", w), 0) - dd, 0) / c1
+                + dd * po / c1 * (pre[w] / nbb) for w in pre)
+    assert abs(total - 1.0) < 1e-9
+    with _pt.raises(ValueError, match="discount"):
+        KneserNeyBigramLM().setDiscount(1.0)

@@ -893,3 +893,11 @@ def test_anisotropy_no_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kn_bigram_apply_is_one_arrow_pass(spark):
+    """KN LM apply: fitted dicts in an Arrow pandas_udf closure — ONE
+    ArrowEvalPython over the scan, zero joins/shuffles at apply."""
+    plan = _plan(spark, "kn_bigram_documents")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "SortMergeJoin" not in plan
