@@ -248,6 +248,7 @@ HEADLINE = [
     "truncation_audit_embeddings",
     "anisotropy_embeddings",
     "kn_bigram_documents",
+    "conversion_lag_events",
 ]
 
 

@@ -526,3 +526,122 @@ class SessionPathAnalyzer(AlgoOperator):
                         .filter(F.col("rank") <= topn))
         return ranked_paths.select("path", "n_sessions", "share",
                                    "rank")
+
+
+class ConversionLagAnalyzer(AlgoOperator):
+    """Anchor→target conversion lag with a horizon — the CEP-style
+    "did B follow A within T, and how fast" readout (time-to-convert
+    percentiles, abandonment rate): for every ANCHOR event (type A),
+    find the next TARGET event (type B) of the same key strictly
+    after it; it converts if the lag is ≤ ``horizonSec``.
+
+    ``transform(df)`` returns one row per anchor::
+
+        <keyCol>, <timeCol>   the anchor
+        lag_sec               seconds to the next target (NULL if the
+                              key never emits one after this anchor)
+        converted             lag_sec ≤ horizonSec
+
+    ``evaluate(df, group_cols)`` rolls anchors up (default: one
+    global row)::
+
+        n_anchors, n_converted, conversion_rate,
+        p50_lag, p90_lag     exact percentiles over CONVERTED lags
+
+    100 TB design: no join — ONE per-key window pass computes each
+    row's next-target time (min over the FOLLOWING frame of the
+    target-time column), so the cost is the keyed sort Spark already
+    pays for any per-key sequence op; percentiles aggregate the
+    anchor-sized output.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "entity key column",
+                   TypeConverters.toString)
+    typeCol = Param(Params._dummy(), "typeCol", "event-type column",
+                    TypeConverters.toString)
+    anchorType = Param(Params._dummy(), "anchorType", "type A",
+                       TypeConverters.toString)
+    targetType = Param(Params._dummy(), "targetType", "type B",
+                       TypeConverters.toString)
+    horizonSec = Param(Params._dummy(), "horizonSec",
+                       "conversion window (seconds)",
+                       TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", keyCol="user_id",
+                         typeCol="event_type", horizonSec=3600.0)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setKeyCol(self, v):
+        return self._set(keyCol=v)
+
+    def setTypeCol(self, v):
+        return self._set(typeCol=v)
+
+    def setPattern(self, anchor: str, target: str):
+        if anchor == target:
+            raise ValueError("anchor and target types must differ")
+        return self._set(anchorType=anchor, targetType=target)
+
+    def setHorizonSec(self, v):
+        if v <= 0:
+            raise ValueError("horizonSec must be positive")
+        return self._set(horizonSec=float(v))
+
+    def _anchors(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.anchorType)
+                or not self.isDefined(self.targetType)):
+            raise ValueError("setPattern(anchor, target) is required")
+        from pyspark.sql import Window
+
+        a = self.getOrDefault(self.anchorType)
+        b = self.getOrDefault(self.targetType)
+        t = self.getOrDefault(self.timeCol)
+        k = self.getOrDefault(self.keyCol)
+        ty = F.col(self.getOrDefault(self.typeCol)).cast("string")
+        hz_us = int(self.getOrDefault(self.horizonSec) * 1_000_000)
+        base = (df.filter(F.col(t).isNotNull() & F.col(k).isNotNull()
+                          & ty.isin(a, b))
+                .select(F.col(k).alias("__k"),
+                        F.unix_micros(F.col(t)).alias("__us"),
+                        ty.alias("__ty"), F.col(t).alias("__t"),
+                        "*"))
+        # (time, type) order: deterministic across engines when an
+        # anchor and a target share a timestamp (same-instant targets
+        # sort first and therefore do NOT convert the anchor)
+        w = (Window.partitionBy("__k").orderBy("__us", "__ty")
+             .rowsBetween(1, Window.unboundedFollowing))
+        next_b = F.min(F.when(F.col("__ty") == b,
+                              F.col("__us"))).over(w)
+        lag = (next_b - F.col("__us")) / 1e6
+        return (base.withColumn("__lag", lag)
+                .filter(F.col("__ty") == a)
+                .withColumn("lag_sec", F.col("__lag"))
+                .withColumn("converted",
+                            F.coalesce(F.col("__lag")
+                                       <= hz_us / 1e6, F.lit(False))))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.keyCol)
+        t = self.getOrDefault(self.timeCol)
+        return self._anchors(df).select(
+            F.col("__k").alias(k), F.col("__t").alias(t),
+            "lag_sec", "converted")
+
+    def evaluate(self, df: DataFrame,
+                 group_cols: list[str] | None = None) -> DataFrame:
+        anchors = self._anchors(df)
+        gs = group_cols or []
+        conv_lag = F.when(F.col("converted"), F.col("lag_sec"))
+        return anchors.groupBy(*gs).agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(F.col("converted").cast("int")).alias("n_converted"),
+            F.avg(F.col("converted").cast("double"))
+            .alias("conversion_rate"),
+            F.percentile(conv_lag, F.lit(0.5)).alias("p50_lag"),
+            F.percentile(conv_lag, F.lit(0.9)).alias("p90_lag"))

@@ -10597,6 +10597,50 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def q_conversion_lag_events(spark, sf_dir):
+    """View→purchase conversion-lag gate (1 h horizon): per-anchor
+    next-target lookup is ONE per-key following-frame window (no
+    join), the rollup exact percentiles — all replayed in SQL with the
+    same (time, type) tie order."""
+    from flink_ml__spark.functions.sessions import ConversionLagAnalyzer
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (ConversionLagAnalyzer().setPattern("view", "purchase")
+           .setHorizonSec(3600).evaluate(ev))
+    return out.select("n_anchors", "n_converted",
+                      F.round("conversion_rate", R)
+                      .alias("conversion_rate"),
+                      F.round("p50_lag", R).alias("p50_lag"),
+                      F.round("p90_lag", R).alias("p90_lag"))
+
+
+ORACLE_CONVERSION_LAG = f"""
+WITH base AS (
+  SELECT user_id AS k, epoch_us(ts) AS us, event_type AS ty
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN ('view', 'purchase')),
+w AS (
+  SELECT *, min(CASE WHEN ty = 'purchase' THEN us END)
+              OVER (PARTITION BY k ORDER BY us, ty
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS nb
+  FROM base),
+anchors AS (
+  SELECT (nb - us) / 1e6 AS lag,
+         coalesce((nb - us) / 1e6 <= 3600.0, false) AS conv
+  FROM w WHERE ty = 'view')
+SELECT count(*)::BIGINT AS n_anchors,
+       sum(conv::INT)::BIGINT AS n_converted,
+       round(avg(conv::INT), {R}) AS conversion_rate,
+       round(quantile_cont(CASE WHEN conv THEN lag END, 0.5), {R})
+           AS p50_lag,
+       round(quantile_cont(CASE WHEN conv THEN lag END, 0.9), {R})
+           AS p90_lag
+FROM anchors
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10842,6 +10886,7 @@ QUERIES = {
     "truncation_audit_embeddings": q_truncation_audit_embeddings,
     "anisotropy_embeddings": q_anisotropy_embeddings,
     "kn_bigram_documents": q_kn_bigram_documents,
+    "conversion_lag_events": q_conversion_lag_events,
 }
 
 ORACLES = {
@@ -11098,4 +11143,5 @@ ORACLES = {
     "truncation_audit_embeddings": ORACLE_TRUNCATION_AUDIT,
     "anisotropy_embeddings": ORACLE_ANISOTROPY,
     "kn_bigram_documents": ORACLE_KN_BIGRAM,
+    "conversion_lag_events": ORACLE_CONVERSION_LAG,
 }

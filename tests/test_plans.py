@@ -901,3 +901,17 @@ def test_kn_bigram_apply_is_one_arrow_pass(spark):
     plan = _plan(spark, "kn_bigram_documents")
     assert plan.count("ArrowEvalPython") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_conversion_lag_no_join_one_keyed_window(spark):
+    """Conversion lag: the next-target lookup is a per-key window, not
+    a self-join — no join operator, no Python, pruned scan."""
+    import re as _re
+    plan = _plan(spark, "conversion_lag_events")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__k" in s for s in specs), specs
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "event_type"}, cols

@@ -612,3 +612,45 @@ def test_session_paths_tiebreak_truncation_topn(spark):
         SessionPathAnalyzer().setPathLen(0)
     with _pt.raises(ValueError, match="gapSec"):
         SessionPathAnalyzer().setGapSec(0)
+
+
+# ---------------------------------------------------------------------------
+# ConversionLagAnalyzer
+# ---------------------------------------------------------------------------
+
+def test_conversion_lag_golden(spark):
+    import datetime as _dt
+    import pytest as _pt
+    from flink_ml__spark.functions.sessions import ConversionLagAnalyzer
+    base = _dt.datetime(2024, 1, 1)
+
+    def ev(u, sec, ty):
+        return (u, base + _dt.timedelta(seconds=sec), ty)
+
+    df = spark.createDataFrame(
+        [ev(1, 0, "view"), ev(1, 100, "purchase"), ev(1, 200, "view"),
+         ev(2, 0, "purchase"), ev(2, 10, "view")],
+        "user_id long, ts timestamp, event_type string")
+    op = (ConversionLagAnalyzer().setPattern("view", "purchase")
+          .setHorizonSec(3600))
+    rows = sorted(op.transform(df).collect(),
+                  key=lambda r: (r["user_id"], r["ts"]))
+    assert len(rows) == 3
+    assert rows[0]["lag_sec"] == 100.0 and rows[0]["converted"]
+    assert rows[1]["lag_sec"] is None and not rows[1]["converted"]
+    # target BEFORE the anchor does not count
+    assert rows[2]["lag_sec"] is None and not rows[2]["converted"]
+    r = op.evaluate(df).first()
+    assert r["n_anchors"] == 3 and r["n_converted"] == 1
+    assert abs(r["conversion_rate"] - 1 / 3) < 1e-12
+    assert r["p50_lag"] == 100.0
+    # horizon cuts the conversion but keeps the observed lag
+    tight = (ConversionLagAnalyzer().setPattern("view", "purchase")
+             .setHorizonSec(50))
+    rows = sorted(tight.transform(df).collect(),
+                  key=lambda r: (r["user_id"], r["ts"]))
+    assert rows[0]["lag_sec"] == 100.0 and not rows[0]["converted"]
+    with _pt.raises(ValueError, match="differ"):
+        ConversionLagAnalyzer().setPattern("a", "a")
+    with _pt.raises(ValueError, match="setPattern"):
+        ConversionLagAnalyzer().transform(df)
