@@ -249,6 +249,8 @@ HEADLINE = [
     "anisotropy_embeddings",
     "kn_bigram_documents",
     "conversion_lag_events",
+    "merge_stats_orders",
+    "fk_check_orders",
 ]
 
 

@@ -1030,3 +1030,182 @@ class CompactionPlanner(AlgoOperator):
                      F.sum(size).alias("total_size"),
                      F.min(oc).alias("first_id"),
                      F.max(oc).alias("last_id")))
+
+
+class UpsertMerger(AlgoOperator):
+    """Keyed MERGE (upsert) between a target snapshot and an updates
+    batch — the batch-side of the Delta/Iceberg ``MERGE INTO``
+    pattern: updates matching a target key REPLACE the row, new keys
+    INSERT, targets without updates carry over unchanged; an optional
+    boolean ``deleteCol`` on the updates side deletes the key.
+
+    ``merge(target, updates)`` returns the merged table (target
+    schema; the delete column never leaks through).
+    ``merge_stats(target, updates)`` returns ONE audit row::
+
+        n_target, n_updates
+        n_inserted     update keys absent from the target
+        n_updated      matched keys whose non-key payload CHANGED
+        n_unchanged_matched
+                       matched keys with identical payload (no-op
+                       writes — the wasted-write smell)
+        n_deleted      matched keys flagged by deleteCol
+        n_carried      target keys untouched by the batch
+        n_result       rows in the merged table
+
+    Duplicate update keys are an error upstream; this operator keeps
+    the LAST by ``orderCol`` when given, else rejects duplicates.
+
+    100 TB design: ONE full-outer equi-join on the key (both sides
+    shuffle once; pre-bucketed tables co-locate); change detection
+    compares md5 over the concatenated payload map-side. The stats
+    variant aggregates the join output without materializing the
+    merge.
+    """
+
+    keyCols = Param(Params._dummy(), "keyCols", "merge key columns",
+                    TypeConverters.toListString)
+    deleteCol = Param(Params._dummy(), "deleteCol",
+                      "boolean delete-flag column on updates ('' = "
+                      "no deletes)", TypeConverters.toString)
+    orderCol = Param(Params._dummy(), "orderCol",
+                     "dedup order for duplicate update keys ('' = "
+                     "duplicates are an error)", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(keyCols=[], deleteCol="", orderCol="")
+
+    def setKeyCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        if not cols:
+            raise ValueError("keyCols must be non-empty")
+        return self._set(keyCols=cols)
+
+    def setDeleteCol(self, v):
+        return self._set(deleteCol=v)
+
+    def setOrderCol(self, v):
+        return self._set(orderCol=v)
+
+    def _prep(self, target: DataFrame, updates: DataFrame):
+        from pyspark.sql import Window
+
+        keys = self.getOrDefault(self.keyCols)
+        dcol = self.getOrDefault(self.deleteCol)
+        ocol = self.getOrDefault(self.orderCol)
+        payload = [c for c in target.columns if c not in keys]
+        upd = updates
+        if ocol:
+            w = Window.partitionBy(*keys).orderBy(F.desc(ocol))
+            upd = (upd.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+        del_flag = (F.col(dcol).cast("boolean") if dcol
+                    else F.lit(False))
+        upd = upd.select(
+            *keys, *[F.col(c).alias(f"__u_{c}") for c in payload],
+            F.coalesce(del_flag, F.lit(False)).alias("__del"))
+
+        def fp(prefix=""):
+            return F.md5(F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(prefix + c).cast("string"),
+                                     F.lit("\x00")) for c in payload]))
+
+        tgt = target.withColumn("__t_fp", fp())
+        upd = upd.withColumn("__u_fp", fp("__u_"))
+        joined = tgt.join(upd, keys, "full_outer")
+        return joined, keys, payload
+
+    def merge(self, target: DataFrame, updates: DataFrame) -> DataFrame:
+        joined, keys, payload = self._prep(target, updates)
+        has_u = F.col("__u_fp").isNotNull()
+        keep = ~(has_u & F.col("__del"))
+        cols = [F.col(k) for k in keys] + [
+            F.when(has_u, F.col(f"__u_{c}")).otherwise(F.col(c))
+            .alias(c) for c in payload]
+        return joined.filter(keep).select(*cols)
+
+    def merge_stats(self, target: DataFrame,
+                    updates: DataFrame) -> DataFrame:
+        joined, keys, payload = self._prep(target, updates)
+        has_t = F.col("__t_fp").isNotNull()
+        has_u = F.col("__u_fp").isNotNull()
+        deleted = has_t & has_u & F.col("__del")
+        inserted = ~has_t & has_u & ~F.col("__del")
+        updated = (has_t & has_u & ~F.col("__del")
+                   & (F.col("__t_fp") != F.col("__u_fp")))
+        unchanged = (has_t & has_u & ~F.col("__del")
+                     & (F.col("__t_fp") == F.col("__u_fp")))
+        carried = has_t & ~has_u
+
+        def cnt(c, name):
+            return F.sum(c.cast("int")).alias(name)
+
+        return joined.agg(
+            cnt(has_t, "n_target"), cnt(has_u, "n_updates"),
+            cnt(inserted, "n_inserted"), cnt(updated, "n_updated"),
+            cnt(unchanged, "n_unchanged_matched"),
+            cnt(deleted, "n_deleted"), cnt(carried, "n_carried"),
+            cnt(~(has_t & has_u & F.col("__del"))
+                & (has_t | (has_u & ~F.col("__del"))), "n_result"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError("use merge(target, updates)")
+
+
+class ReferentialIntegrityChecker(AlgoOperator):
+    """Foreign-key orphan audit: for each configured FK
+    ``child.col → parent.col``, count child rows whose key has no
+    parent — the referential-integrity expectation a warehouse runs
+    after every load (a nonzero orphan rate means a partial load, a
+    late dimension, or key drift).
+
+    ``check(children)`` takes ``{fk_name: (child_df, child_col,
+    parent_df, parent_col)}`` and returns one row per FK::
+
+        fk          the name
+        n_rows      child rows with a non-null key
+        n_null      child rows with a NULL key (reported, not orphans)
+        n_orphans   rows whose key misses the parent
+        orphan_rate n_orphans / n_rows (NULL when n_rows = 0)
+
+    100 TB design: per FK, the child aggregates to DISTINCT keys with
+    counts first (the shuffle carries keys, not rows), then ONE
+    left-anti join against the parent's distinct keys — no row-level
+    join ever happens.
+    """
+
+    def check(self, fks: dict) -> DataFrame:
+        if not fks:
+            raise ValueError("no foreign keys configured")
+        out = None
+        for name, (child, ccol, parent, pcol) in fks.items():
+            keyed = (child.select(F.col(ccol).alias("__k"))
+                     .groupBy("__k")
+                     .agg(F.count(F.lit(1)).alias("__c")))
+            nulls = keyed.filter(F.col("__k").isNull())
+            nonnull = keyed.filter(F.col("__k").isNotNull())
+            orphans = nonnull.join(
+                parent.select(F.col(pcol).alias("__k")).distinct(),
+                "__k", "left_anti")
+            row = (nonnull.agg(F.sum("__c").alias("n_rows"))
+                   .crossJoin(nulls.agg(
+                       F.coalesce(F.sum("__c"), F.lit(0))
+                       .alias("n_null")))
+                   .crossJoin(orphans.agg(
+                       F.coalesce(F.sum("__c"), F.lit(0))
+                       .alias("n_orphans")))
+                   .select(F.lit(name).alias("fk"),
+                           F.coalesce("n_rows", F.lit(0))
+                           .alias("n_rows"), "n_null", "n_orphans"))
+            out = row if out is None else out.unionAll(row)
+        return out.withColumn(
+            "orphan_rate",
+            F.when(F.col("n_rows") > 0,
+                   F.col("n_orphans") / F.col("n_rows")
+                   .cast("double")))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError("use check({name: (child, col, "
+                                  "parent, col)})")

@@ -10641,6 +10641,134 @@ FROM anchors
 """
 
 
+def q_merge_stats_orders(spark, sf_dir):
+    """MERGE/upsert audit gate: a deterministic synthetic update batch
+    against orders (price bumps on key%5=0, identical rows on %5=1,
+    deletes on %11=3, inserts at key+1e8 on %13=0) — the full-outer
+    join classification replays exactly in SQL."""
+    from flink_ml__spark.functions.linkage import UpsertMerger
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    touched = orders.filter((k % 11 == 3) | (k % 5 < 2))
+    upd = touched.select(
+        "o_orderkey",
+        F.when(k % 5 == 0, F.concat(F.col("o_orderstatus"), F.lit("*")))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        (k % 11 == 3).alias("del"))
+    ins = orders.filter(k % 13 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"), F.lit(False).alias("del"))
+    updates = upd.unionAll(ins)
+    out = (UpsertMerger().setKeyCols("o_orderkey").setDeleteCol("del")
+           .merge_stats(orders, updates))
+    return out
+
+
+ORACLE_MERGE_STATS = """
+WITH tgt AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                    o_totalprice AS p FROM orders),
+upd AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus || '*'
+              ELSE o_orderstatus END AS s,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS p,
+         o_orderkey % 11 = 3 AS del
+  FROM orders WHERE o_orderkey % 11 = 3 OR o_orderkey % 5 < 2
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'X', 1.0, false
+  FROM orders WHERE o_orderkey % 13 = 0),
+j AS (
+  SELECT tgt.k AS tk, upd.k AS uk,
+         tgt.s IS NOT DISTINCT FROM upd.s
+           AND tgt.p IS NOT DISTINCT FROM upd.p AS same,
+         coalesce(upd.del, false) AS del
+  FROM tgt FULL OUTER JOIN upd ON tgt.k = upd.k)
+SELECT sum((tk IS NOT NULL)::INT)::BIGINT AS n_target,
+       sum((uk IS NOT NULL)::INT)::BIGINT AS n_updates,
+       sum((tk IS NULL AND uk IS NOT NULL AND NOT del)::INT)::BIGINT
+           AS n_inserted,
+       sum((tk IS NOT NULL AND uk IS NOT NULL AND NOT del
+            AND NOT same)::INT)::BIGINT AS n_updated,
+       sum((tk IS NOT NULL AND uk IS NOT NULL AND NOT del
+            AND same)::INT)::BIGINT AS n_unchanged_matched,
+       sum((tk IS NOT NULL AND uk IS NOT NULL AND del)::INT)::BIGINT
+           AS n_deleted,
+       sum((tk IS NOT NULL AND uk IS NULL)::INT)::BIGINT AS n_carried,
+       sum((NOT (tk IS NOT NULL AND uk IS NOT NULL AND del)
+            AND (tk IS NOT NULL
+                 OR (uk IS NOT NULL AND NOT del)))::INT)::BIGINT
+           AS n_result
+FROM j
+"""
+
+
+def q_fk_check_orders(spark, sf_dir):
+    """Referential-integrity gate: the two real FKs
+    (orders→customer, lineitem→orders) plus a planted shifted-key FK
+    whose orphans the oracle reproduces — distinct-key anti-join
+    audit, one row per FK."""
+    from flink_ml__spark.functions.linkage import (
+        ReferentialIntegrityChecker,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    shifted = orders.select(
+        (F.col("o_custkey") + 1000000).alias("o_custkey"))
+    out = ReferentialIntegrityChecker().check({
+        "orders.custkey": (orders, "o_custkey",
+                           customer, "c_custkey"),
+        "lineitem.orderkey": (lineitem, "l_orderkey",
+                              orders, "o_orderkey"),
+        "orders.custkey_shifted": (shifted, "o_custkey",
+                                   customer, "c_custkey"),
+    })
+    return out.select("fk", "n_rows", "n_null", "n_orphans",
+                      F.round("orphan_rate", R).alias("orphan_rate"))
+
+
+ORACLE_FK_CHECK = f"""
+WITH one AS (
+  SELECT 'orders.custkey' AS fk,
+         count(o_custkey)::BIGINT AS n_rows,
+         sum((o_custkey IS NULL)::INT)::BIGINT AS n_null,
+         sum((o_custkey IS NOT NULL AND o_custkey NOT IN
+              (SELECT c_custkey FROM customer
+               WHERE c_custkey IS NOT NULL))::INT)::BIGINT AS n_orphans
+  FROM orders),
+two AS (
+  SELECT 'lineitem.orderkey', count(l_orderkey)::BIGINT,
+         sum((l_orderkey IS NULL)::INT)::BIGINT,
+         sum((l_orderkey IS NOT NULL AND l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders
+               WHERE o_orderkey IS NOT NULL))::INT)::BIGINT
+  FROM lineitem),
+three AS (
+  SELECT 'orders.custkey_shifted',
+         count(o_custkey + 1000000)::BIGINT,
+         sum((o_custkey + 1000000 IS NULL)::INT)::BIGINT,
+         sum((o_custkey + 1000000 IS NOT NULL
+              AND o_custkey + 1000000 NOT IN
+              (SELECT c_custkey FROM customer
+               WHERE c_custkey IS NOT NULL))::INT)::BIGINT
+  FROM orders),
+u AS (SELECT * FROM one UNION ALL SELECT * FROM two
+      UNION ALL SELECT * FROM three)
+SELECT fk, n_rows, n_null, n_orphans,
+       round(CASE WHEN n_rows > 0
+                  THEN n_orphans / n_rows::DOUBLE END, {R})
+           AS orphan_rate
+FROM u
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -10887,6 +11015,8 @@ QUERIES = {
     "anisotropy_embeddings": q_anisotropy_embeddings,
     "kn_bigram_documents": q_kn_bigram_documents,
     "conversion_lag_events": q_conversion_lag_events,
+    "merge_stats_orders": q_merge_stats_orders,
+    "fk_check_orders": q_fk_check_orders,
 }
 
 ORACLES = {
@@ -11144,4 +11274,6 @@ ORACLES = {
     "anisotropy_embeddings": ORACLE_ANISOTROPY,
     "kn_bigram_documents": ORACLE_KN_BIGRAM,
     "conversion_lag_events": ORACLE_CONVERSION_LAG,
+    "merge_stats_orders": ORACLE_MERGE_STATS,
+    "fk_check_orders": ORACLE_FK_CHECK,
 }

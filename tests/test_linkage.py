@@ -421,3 +421,64 @@ def test_compaction_planner_partitions_and_validation(spark):
     assert by[("b", 0)]["n_items"] == 1 and by[("b", 0)]["total_size"] == 10
     with _pt.raises(ValueError, match="positive"):
         CompactionPlanner().setTargetSize(0)
+
+
+# ---------------------------------------------------------------------------
+# UpsertMerger / ReferentialIntegrityChecker
+# ---------------------------------------------------------------------------
+
+def test_upsert_merge_golden(spark):
+    from flink_ml__spark.functions.linkage import UpsertMerger
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double")
+    updates = spark.createDataFrame(
+        [(2, "b", 20.0, False),     # identical -> no-op
+         (3, "c2", 31.0, False),    # changed -> update
+         (4, "d", 40.0, False),     # new -> insert
+         (1, None, None, True)],    # delete
+        "k long, s string, v double, del boolean")
+    op = UpsertMerger().setKeyCols("k").setDeleteCol("del")
+    merged = {r["k"]: r for r in op.merge(target, updates).collect()}
+    assert set(merged) == {2, 3, 4}
+    assert merged[3]["s"] == "c2" and merged[3]["v"] == 31.0
+    assert merged[2]["s"] == "b"
+    assert merged[4]["v"] == 40.0
+    st = op.merge_stats(target, updates).first()
+    assert st["n_target"] == 3 and st["n_updates"] == 4
+    assert st["n_inserted"] == 1 and st["n_updated"] == 1
+    assert st["n_unchanged_matched"] == 1 and st["n_deleted"] == 1
+    assert st["n_carried"] == 0 and st["n_result"] == 3
+
+
+def test_upsert_duplicate_updates_and_carry(spark):
+    from flink_ml__spark.functions.linkage import UpsertMerger
+    target = spark.createDataFrame(
+        [(1, 1.0), (9, 9.0)], "k long, v double")
+    updates = spark.createDataFrame(
+        [(1, 5.0, 1), (1, 7.0, 2)], "k long, v double, seq int")
+    op = UpsertMerger().setKeyCols("k").setOrderCol("seq")
+    merged = {r["k"]: r["v"] for r in
+              op.merge(target, updates).collect()}
+    # last-by-seq wins; untouched key carries
+    assert merged == {1: 7.0, 9: 9.0}
+    st = op.merge_stats(target, updates).first()
+    assert st["n_carried"] == 1 and st["n_updates"] == 1
+
+
+def test_referential_integrity_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.linkage import (
+        ReferentialIntegrityChecker,
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (5,), (None,)], "fk long")
+    out = {r["fk"]: r for r in ReferentialIntegrityChecker().check(
+        {"child->parent": (child, "fk", parent, "pk")}).collect()}
+    r = out["child->parent"]
+    assert r["n_rows"] == 4 and r["n_null"] == 1
+    assert r["n_orphans"] == 1
+    assert abs(r["orphan_rate"] - 0.25) < 1e-12
+    with _pt.raises(ValueError, match="foreign"):
+        ReferentialIntegrityChecker().check({})

@@ -915,3 +915,23 @@ def test_conversion_lag_no_join_one_keyed_window(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "event_type"}, cols
+
+
+def test_merge_stats_single_outer_join(spark):
+    """MERGE audit: ONE full-outer equi-join on the key; change
+    detection is a map-side fingerprint projection; no Python."""
+    plan = _plan(spark, "merge_stats_orders")
+    assert plan.count("SortMergeJoin FullOuter") == 1 \
+        or "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fk_check_distinct_keys_before_anti_join(spark):
+    """FK audit: children aggregate to distinct keys BEFORE the
+    anti-join — the plan shows aggregates feeding LeftAnti joins, and
+    never shuffles raw child rows into the join."""
+    plan = _plan(spark, "fk_check_orders")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
