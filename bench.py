@@ -251,6 +251,7 @@ HEADLINE = [
     "conversion_lag_events",
     "merge_stats_orders",
     "fk_check_orders",
+    "rouge_documents",
 ]
 
 

@@ -1231,3 +1231,152 @@ class CodeDensityProfiler(AlgoOperator, HasInputCol):
                 .withColumn("is_code",
                             F.when(has, score >= F.lit(
                                 self.getOrDefault(self.threshold)))))
+
+
+class NgramOverlapScorer(AlgoOperator):
+    """ROUGE-N style n-gram overlap between PAIRED texts (Lin 2004):
+    clipped n-gram precision/recall/F1 — the standard
+    summarization/paraphrase/near-dup EXPLANATION metric (the dedup
+    pipeline finds candidate pairs; this scores how much actually
+    overlaps, token-wise).
+
+    ``score_pairs(pairs, docs)``: ``pairs`` carries (idA, idB); docs
+    carries (idCol, inputCol). Returns one row per pair and order n::
+
+        <idA>, <idB>, n
+        match_n        Σ_g min(count_A(g), count_B(g))  (clipped)
+        total_a, total_b
+        precision      match / total_a   (A = candidate side)
+        recall         match / total_b   (B = reference side)
+        f1             harmonic mean (NULL when both sides empty)
+
+    100 TB design: each side's n-gram COUNT table builds map-side
+    (explode + hash agg keyed by (doc, gram)); the pair scoring is two
+    keyed joins (pair → grams) + one agg keyed by the pair — overlap
+    never materializes a gram×gram product, and pairs are
+    candidate-sized by construction (they come from a banded miner,
+    not a cross join).
+    """
+
+    idColA = Param(Params._dummy(), "idColA",
+                   "pair column naming side A", TypeConverters.toString)
+    idColB = Param(Params._dummy(), "idColB",
+                   "pair column naming side B", TypeConverters.toString)
+    ngramOrders = Param(Params._dummy(), "ngramOrders",
+                        "n-gram orders scored", TypeConverters.toListInt)
+    docIdCol = Param(Params._dummy(), "docIdCol",
+                     "doc id column in the docs frame",
+                     TypeConverters.toString)
+    inputCol = Param(Params._dummy(), "inputCol", "text column",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(idColA="id_a", idColB="id_b",
+                         ngramOrders=[1, 2], docIdCol="doc_id",
+                         inputCol="text")
+
+    def setIdCols(self, a, b):
+        return self._set(idColA=a, idColB=b)
+
+    def setNgramOrders(self, *v):
+        v = list(v[0]) if len(v) == 1 and not isinstance(
+            v[0], int) else list(v)
+        if not v or any(n < 1 for n in v):
+            raise ValueError("ngramOrders must be positive ints")
+        return self._set(ngramOrders=sorted(set(v)))
+
+    def setDocIdCol(self, v):
+        return self._set(docIdCol=v)
+
+    def setInputCol(self, v):
+        return self._set(inputCol=v)
+
+    def _grams(self, docs: DataFrame) -> DataFrame:
+        did = self.getOrDefault(self.docIdCol)
+        toks = F.filter(
+            F.split(F.lower(F.col(self.getOrDefault(self.inputCol))),
+                    TOKEN_SPLIT), lambda t: t != "")
+        frames = []
+        for n in self.getOrDefault(self.ngramOrders):
+            if n == 1:
+                g = toks
+            else:
+                # sequence(1, 0) DESCENDS in Spark — short texts must
+                # yield an empty gram array, not slice(…, 0, …)
+                idx = F.when(
+                    F.size(toks) >= n,
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                ).otherwise(F.array().cast("array<int>"))
+                g = F.transform(
+                    idx, lambda i: F.array_join(
+                        F.slice(toks, i, n), " "))
+            frames.append(
+                docs.filter(F.col(did).isNotNull())
+                .select(F.col(did).alias("__d"), F.lit(n).alias("n"),
+                        F.explode(g).alias("__g")))
+        ex = frames[0]
+        for fr in frames[1:]:
+            ex = ex.unionAll(fr)
+        return ex.groupBy("__d", "n", "__g").agg(
+            F.count(F.lit(1)).alias("__c"))
+
+    def score_pairs(self, pairs: DataFrame,
+                    docs: DataFrame) -> DataFrame:
+        ia = self.getOrDefault(self.idColA)
+        ib = self.getOrDefault(self.idColB)
+        did = self.getOrDefault(self.docIdCol)
+        # gram tables must be PAIR-sized, not corpus-sized: semi-join
+        # docs down to the ids the pairs actually reference first
+        # (measured 5× at sf0.1 — Catalyst does not push the pair
+        # filter through the gram aggregation on its own)
+        used = (pairs.select(F.col(self.getOrDefault(self.idColA))
+                             .alias(did))
+                .unionAll(pairs.select(
+                    F.col(self.getOrDefault(self.idColB)).alias(did)))
+                .distinct())
+        docs = docs.join(used, did, "left_semi")
+        grams = self._grams(docs)
+        totals = grams.groupBy("__d", "n").agg(
+            F.sum("__c").alias("__tot"))
+        p = pairs.select(F.col(ia).alias("__a"), F.col(ib).alias("__b"))
+        ga = grams.select(F.col("__d").alias("__a"), "n", "__g",
+                          F.col("__c").alias("__ca"))
+        gb = grams.select(F.col("__d").alias("__b"), "n", "__g",
+                          F.col("__c").alias("__cb"))
+        inter = (p.join(ga, "__a").join(gb, ["__b", "n", "__g"])
+                 .groupBy("__a", "__b", "n")
+                 .agg(F.sum(F.least("__ca", "__cb")).alias("match_n")))
+        ta = totals.select(F.col("__d").alias("__a"), "n",
+                           F.col("__tot").alias("total_a"))
+        tb = totals.select(F.col("__d").alias("__b"), "n",
+                           F.col("__tot").alias("total_b"))
+        # every pair × order gets a row, zero-matched included
+        orders = pairs.sparkSession.createDataFrame(
+            [(n,) for n in self.getOrDefault(self.ngramOrders)],
+            "n int")
+        full = (p.crossJoin(F.broadcast(orders))
+                .join(inter, ["__a", "__b", "n"], "left")
+                .join(ta, ["__a", "n"], "left")
+                .join(tb, ["__b", "n"], "left")
+                .withColumn("match_n",
+                            F.coalesce("match_n", F.lit(0)))
+                .withColumn("total_a", F.coalesce("total_a", F.lit(0)))
+                .withColumn("total_b", F.coalesce("total_b", F.lit(0))))
+        prec = F.when(F.col("total_a") > 0,
+                      F.col("match_n") / F.col("total_a"))
+        rec = F.when(F.col("total_b") > 0,
+                     F.col("match_n") / F.col("total_b"))
+        f1 = F.when(prec.isNotNull() & rec.isNotNull()
+                    & (prec + rec > 0),
+                    2 * prec * rec / (prec + rec)) \
+            .otherwise(F.when(prec.isNotNull() & rec.isNotNull(),
+                              F.lit(0.0)))
+        return full.select(F.col("__a").alias(ia),
+                           F.col("__b").alias(ib), "n", "match_n",
+                           "total_a", "total_b",
+                           prec.alias("precision"),
+                           rec.alias("recall"), f1.alias("f1"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError("use score_pairs(pairs, docs)")

@@ -10769,6 +10769,74 @@ FROM u
 """
 
 
+def q_rouge_documents(spark, sf_dir):
+    """ROUGE-1/2 gate over deterministic adjacent-id pairs (every
+    43rd document vs its successor): clipped n-gram matches, totals
+    and P/R/F1 replay exactly in SQL."""
+    from flink_ml__spark.functions.text import NgramOverlapScorer
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id").isNotNull())
+    ids = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = (docs.filter(F.col("doc_id") % 43 == 0)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+             .join(ids, "id_b"))
+    out = (NgramOverlapScorer().setNgramOrders(1, 2)
+           .score_pairs(pairs, docs))
+    return out.select("id_a", "id_b", "n", "match_n", "total_a",
+                      "total_b",
+                      F.round("precision", R).alias("precision"),
+                      F.round("recall", R).alias("recall"),
+                      F.round("f1", R).alias("f1"))
+
+
+ORACLE_ROUGE = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+              WHERE doc_id IS NOT NULL),
+pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM documents a JOIN documents b
+               ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 43 = 0 AND a.doc_id IS NOT NULL),
+g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM toks),
+g2 AS (SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i+1] AS g
+       FROM toks, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+grams AS (SELECT doc_id, n, g, count(*) AS c
+          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+          GROUP BY 1, 2, 3),
+totals AS (SELECT doc_id, n, sum(c) AS tot FROM grams GROUP BY 1, 2),
+inter AS (SELECT p.ida, p.idb, ga.n, sum(least(ga.c, gb.c)) AS m
+          FROM pairs p
+          JOIN grams ga ON ga.doc_id = p.ida
+          JOIN grams gb ON gb.doc_id = p.idb AND gb.n = ga.n
+                        AND gb.g = ga.g
+          GROUP BY 1, 2, 3),
+ft AS (SELECT p.ida, p.idb, o.n,
+              coalesce(m, 0)::BIGINT AS match_n,
+              coalesce(ta.tot, 0)::BIGINT AS total_a,
+              coalesce(tb.tot, 0)::BIGINT AS total_b
+       FROM pairs p
+       CROSS JOIN (VALUES (1), (2)) o(n)
+       LEFT JOIN inter ON inter.ida = p.ida AND inter.idb = p.idb
+                       AND inter.n = o.n
+       LEFT JOIN totals ta ON ta.doc_id = p.ida AND ta.n = o.n
+       LEFT JOIN totals tb ON tb.doc_id = p.idb AND tb.n = o.n),
+sc AS (SELECT *,
+              CASE WHEN total_a > 0
+                   THEN match_n / total_a::DOUBLE END AS pr,
+              CASE WHEN total_b > 0
+                   THEN match_n / total_b::DOUBLE END AS rc
+       FROM ft)
+SELECT ida AS id_a, idb AS id_b, n, match_n, total_a, total_b,
+       round(pr, {R}) AS "precision", round(rc, {R}) AS recall,
+       round(CASE WHEN pr IS NOT NULL AND rc IS NOT NULL THEN
+                 CASE WHEN pr + rc > 0
+                      THEN 2 * pr * rc / (pr + rc) ELSE 0.0 END
+             END, {R}) AS f1
+FROM sc
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11017,6 +11085,7 @@ QUERIES = {
     "conversion_lag_events": q_conversion_lag_events,
     "merge_stats_orders": q_merge_stats_orders,
     "fk_check_orders": q_fk_check_orders,
+    "rouge_documents": q_rouge_documents,
 }
 
 ORACLES = {
@@ -11276,4 +11345,5 @@ ORACLES = {
     "conversion_lag_events": ORACLE_CONVERSION_LAG,
     "merge_stats_orders": ORACLE_MERGE_STATS,
     "fk_check_orders": ORACLE_FK_CHECK,
+    "rouge_documents": ORACLE_ROUGE,
 }

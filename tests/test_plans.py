@@ -935,3 +935,14 @@ def test_fk_check_distinct_keys_before_anti_join(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rouge_keyed_gram_joins_no_cartesian(spark):
+    """ROUGE pairs: gram tables join on (pair id, n, gram) keys — no
+    cartesian, no Python; scan prunes to (doc_id, text)."""
+    plan = _plan(spark, "rouge_documents")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols

@@ -683,3 +683,53 @@ def test_code_density_golden(spark):
     assert code["is_code"] is True
     assert prose["code_score"] == 0.0 and prose["is_code"] is False
     assert got[3]["code_score"] is None and got[3]["is_code"] is None
+
+
+# ---------------------------------------------------------------------------
+# NgramOverlapScorer (ROUGE-N)
+# ---------------------------------------------------------------------------
+
+def test_rouge_golden(spark):
+    from flink_ml__spark.functions.text import NgramOverlapScorer
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat"),
+         (3, "zzz qqq"), (4, "")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1)], "id_a long, id_b long")
+    out = {(r["id_a"], r["n"]): r for r in
+           (NgramOverlapScorer().setNgramOrders(1, 2)
+            .score_pairs(pairs, docs).collect())}
+    # candidate 2 vs reference 1: clipped unigram match 3 of 3/6
+    r = out[(2, 1)]
+    assert r["match_n"] == 3 and r["total_a"] == 3 and r["total_b"] == 6
+    assert abs(r["precision"] - 1.0) < 1e-12
+    assert abs(r["recall"] - 0.5) < 1e-12
+    assert abs(r["f1"] - 2 / 3) < 1e-12
+    # bigrams: "the cat","cat sat" of 2/5
+    r = out[(2, 2)]
+    assert r["match_n"] == 2 and r["total_b"] == 5
+    assert abs(r["recall"] - 0.4) < 1e-12
+    assert abs(r["f1"] - 2 * 1 * 0.4 / 1.4) < 1e-12
+    # disjoint pair: explicit zeros
+    r = out[(3, 1)]
+    assert r["match_n"] == 0 and r["f1"] == 0.0
+    # empty candidate: undefined precision -> NULL
+    r = out[(4, 1)]
+    assert r["total_a"] == 0 and r["precision"] is None
+
+
+def test_rouge_clipping_and_validation(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.text import NgramOverlapScorer
+    # clipped counts: candidate repeats "the" 4x, reference has 2
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the mat the")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = (NgramOverlapScorer().setNgramOrders(1)
+         .score_pairs(pairs, docs).first())
+    assert r["match_n"] == 2          # min(4, 2) — clipped
+    assert abs(r["precision"] - 0.5) < 1e-12
+    with _pt.raises(ValueError, match="ngramOrders"):
+        NgramOverlapScorer().setNgramOrders(0)
