@@ -252,6 +252,7 @@ HEADLINE = [
     "merge_stats_orders",
     "fk_check_orders",
     "rouge_documents",
+    "audio_silence_documents",
 ]
 
 

@@ -798,3 +798,124 @@ class AverageImageHasher(AlgoOperator):
                 yield out
 
         return df.mapInPandas(hash_batch, schema)
+
+
+class AudioSilenceDetector(AlgoOperator, HasBinaryCol, HasDecoder):
+    """Windowed silence detection over an 'audio' payload — the
+    trim/segment primitive of audio curation (leading-silence trim,
+    dead-air ratio gates, VAD pre-filtering): the PCM stream is cut
+    into fixed windows of ``windowSize`` samples and a window is
+    SILENT when its RMS is below ``threshold``.
+
+    Appends per payload::
+
+        n_windows      full windows analyzed
+        n_silent       silent windows
+        silence_frac   n_silent / n_windows
+        n_silent_runs  maximal consecutive silent runs
+        lead_trim      leading silent windows (the trim offset)
+
+    Decoders as in :class:`AudioFeatureExtractor`: ``fake`` (the
+    deterministic sha256-keystream stub the SQL oracle replays),
+    ``wav`` (stdlib RIFF PCM), ``soundfile`` (import-guarded real
+    codec). NULL payloads yield NULL columns.
+    """
+
+    sampleCount = Param(Params._dummy(), "sampleCount",
+                        "stub-decoded samples per payload",
+                        typeConverter=TypeConverters.toInt)
+    windowSize = Param(Params._dummy(), "windowSize",
+                       "samples per analysis window",
+                       typeConverter=TypeConverters.toInt)
+    threshold = Param(Params._dummy(), "threshold",
+                      "RMS below this is silence",
+                      typeConverter=TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(sampleCount=1024, windowSize=64,
+                         threshold=0.5)
+
+    def setSampleCount(self, v):
+        return self._set(sampleCount=v)
+
+    def setWindowSize(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"windowSize must be >= 1, got {v}")
+        return self._set(windowSize=v)
+
+    def setThreshold(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError(f"threshold must be positive, got {v}")
+        return self._set(threshold=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dec = self.getDecoder()
+        if dec not in ("fake", "wav"):
+            _load_real_decoder(dec, {"soundfile": "soundfile"})
+        bcol = self.getBinaryCol()
+        n = self.getOrDefault(self.sampleCount)
+        w = self.getOrDefault(self.windowSize)
+        thr = self.getOrDefault(self.threshold)
+        schema = _passthrough_schema(
+            df, ["n_windows int", "n_silent int",
+                 "silence_frac double", "n_silent_runs int",
+                 "lead_trim int"],
+            exclude=("n_windows", "n_silent", "silence_frac",
+                     "n_silent_runs", "lead_trim"))
+
+        def detect(batches):
+            if dec == "fake":
+                def samples(p):
+                    return fake_samples(
+                        bytes(p) if p is not None else b"", n)
+            elif dec == "wav":
+                def samples(p):
+                    return (decode_wav_bytes(bytes(p))
+                            if p is not None else None)
+            else:
+                import io
+
+                import soundfile as sf_mod
+
+                def samples(p):
+                    if p is None:
+                        return None
+                    data, _sr = sf_mod.read(io.BytesIO(bytes(p)),
+                                            dtype="float64")
+                    return data.mean(axis=1) if data.ndim > 1 else data
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                cols = {k: [] for k in ("n_windows", "n_silent",
+                                        "silence_frac",
+                                        "n_silent_runs", "lead_trim")}
+                for p in pdf[bcol]:
+                    s = samples(p)
+                    if s is None or len(s) < w:
+                        for k in cols:
+                            cols[k].append(None)
+                        continue
+                    nw = len(s) // w
+                    win = s[:nw * w].reshape(nw, w)
+                    rms = np.sqrt((win * win).mean(axis=1))
+                    silent = rms < thr
+                    starts = int(silent[0]) + int(
+                        (silent[1:] & ~silent[:-1]).sum())
+                    lead = int(np.argmax(~silent)) if (~silent).any() \
+                        else nw
+                    cols["n_windows"].append(nw)
+                    cols["n_silent"].append(int(silent.sum()))
+                    cols["silence_frac"].append(
+                        float(silent.sum()) / nw)
+                    cols["n_silent_runs"].append(starts)
+                    cols["lead_trim"].append(lead)
+                for k, v in cols.items():
+                    pdf[k] = v
+                yield pdf[names]
+
+        names = [s.strip().rsplit(" ", 1)[0]
+                 for s in schema.split(",")]
+        return df.mapInPandas(detect, schema=schema)

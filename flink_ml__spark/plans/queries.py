@@ -10837,6 +10837,42 @@ FROM sc
 """
 
 
+def q_audio_silence_documents(spark, sf_dir):
+    """Audio silence-detection gate (stub codec): 512-sample payloads,
+    64-sample windows, RMS < 0.58 — the keystream decode, per-window
+    RMS, run segmentation and lead-trim all replay exactly in SQL."""
+    from flink_ml__spark.functions.multimodal import AudioSilenceDetector
+
+    out = (AudioSilenceDetector().setDecoder("fake").setSampleCount(512)
+           .setWindowSize(64).setThreshold(0.58)
+           .transform(_payloads(spark, sf_dir)))
+    return out.select("doc_id", "n_windows", "n_silent",
+                      F.round("silence_frac", R).alias("silence_frac"),
+                      "n_silent_runs", "lead_trim")
+
+
+ORACLE_AUDIO_SILENCE = f"""
+WITH {_fake_bytes_ctes(512)},
+smp AS (SELECT doc_id, pos // 64 AS w, (b - 128.0) / 128.0 AS s
+        FROM fp_byte),
+win AS (SELECT doc_id, w, sqrt(avg(s * s)) < 0.58 AS silent
+        FROM smp GROUP BY 1, 2),
+lagd AS (SELECT doc_id, w, silent,
+                coalesce(lag(silent) OVER (PARTITION BY doc_id
+                                           ORDER BY w), false) AS prev
+         FROM win),
+agg AS (SELECT doc_id, count(*) AS nw, sum(silent::INT) AS ns,
+               sum((silent AND NOT prev)::INT) AS runs,
+               min(CASE WHEN NOT silent THEN w END) AS first_loud
+        FROM lagd GROUP BY 1)
+SELECT doc_id, nw::INT AS n_windows, ns::INT AS n_silent,
+       round(ns / nw::DOUBLE, {R}) AS silence_frac,
+       runs::INT AS n_silent_runs,
+       coalesce(first_loud, nw)::INT AS lead_trim
+FROM agg
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11086,6 +11122,7 @@ QUERIES = {
     "merge_stats_orders": q_merge_stats_orders,
     "fk_check_orders": q_fk_check_orders,
     "rouge_documents": q_rouge_documents,
+    "audio_silence_documents": q_audio_silence_documents,
 }
 
 ORACLES = {
@@ -11346,4 +11383,5 @@ ORACLES = {
     "merge_stats_orders": ORACLE_MERGE_STATS,
     "fk_check_orders": ORACLE_FK_CHECK,
     "rouge_documents": ORACLE_ROUGE,
+    "audio_silence_documents": ORACLE_AUDIO_SILENCE,
 }

@@ -531,3 +531,73 @@ def test_average_hash_matches_dhash_grid_convention(spark):
            for r in AverageImageHasher().transform(dec).collect()}
     assert got[1] == got[2]           # identical bytes, identical hash
     assert got[1] != got[3]
+
+
+# ---------------------------------------------------------------------------
+# AudioSilenceDetector
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(s * 32767)) for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_silence_real_wav_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.multimodal import AudioSilenceDetector
+    # 2 silent windows, then 2 loud windows (window = 64 samples)
+    samples = [0.0] * 128 + [0.9 if i % 2 == 0 else -0.9
+                             for i in range(128)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(samples))), (2, None)],
+        "doc_id long, payload binary")
+    r = {x["doc_id"]: x for x in
+         (AudioSilenceDetector().setDecoder("wav").setWindowSize(64)
+          .setThreshold(0.5).setBinaryCol("payload")
+          .transform(df).collect())}
+    assert r[1]["n_windows"] == 4 and r[1]["n_silent"] == 2
+    assert abs(r[1]["silence_frac"] - 0.5) < 1e-12
+    assert r[1]["n_silent_runs"] == 1 and r[1]["lead_trim"] == 2
+    assert r[2]["n_windows"] is None
+    # interleaved silence: two separate runs, no leading silence
+    s2 = ([0.9, -0.9] * 32 + [0.0] * 64) * 2
+    df2 = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(s2)))], "doc_id long, payload binary")
+    r = (AudioSilenceDetector().setDecoder("wav").setWindowSize(64)
+         .setThreshold(0.5).setBinaryCol("payload")
+         .transform(df2).first())
+    assert r["n_silent_runs"] == 2 and r["lead_trim"] == 0
+    with _pt.raises(ValueError, match="windowSize"):
+        AudioSilenceDetector().setWindowSize(0)
+
+
+def test_audio_silence_fake_deterministic(spark):
+    from flink_ml__spark.functions.multimodal import AudioSilenceDetector
+    df = spark.createDataFrame(
+        [(i, bytearray(f"payload-{i}".encode())) for i in range(4)],
+        "doc_id long, payload binary")
+    op = (AudioSilenceDetector().setDecoder("fake").setSampleCount(256)
+          .setWindowSize(64).setThreshold(0.6).setBinaryCol("payload"))
+    a = sorted(tuple(r) for r in op.transform(df).collect())
+    b = sorted(tuple(r) for r in op.transform(df).collect())
+    assert a == b            # keystream decode is deterministic
+    rows = {r["doc_id"]: r for r in op.transform(df).collect()}
+    assert all(r["n_windows"] == 4 for r in rows.values())
+    # uniform fake PCM has window RMS near 0.577: a 0.5 threshold
+    # flags nothing, and raising it can only add silent windows
+    lo = (AudioSilenceDetector().setDecoder("fake").setSampleCount(256)
+          .setWindowSize(64).setThreshold(0.5).setBinaryCol("payload"))
+    lo_rows = {r["doc_id"]: r for r in lo.transform(df).collect()}
+    assert all(r["n_silent"] == 0 for r in lo_rows.values())
+    assert all(rows[k]["n_silent"] >= lo_rows[k]["n_silent"]
+               for k in rows)

@@ -946,3 +946,11 @@ def test_rouge_keyed_gram_joins_no_cartesian(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_audio_silence_single_arrow_pass(spark):
+    """Silence detection: ONE mapInPandas (Arrow) pass over the
+    payloads — no joins, no shuffle before the stats."""
+    plan = _plan(spark, "audio_silence_documents")
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
