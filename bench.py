@@ -253,6 +253,7 @@ HEADLINE = [
     "fk_check_orders",
     "rouge_documents",
     "audio_silence_documents",
+    "qini_events",
 ]
 
 

@@ -1017,3 +1017,116 @@ class SplitConformalRegressor(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
+
+
+class UpliftEvaluator(AlgoOperator):
+    """Decile uplift / Qini table (Radcliffe 2007): the standard
+    evaluation of an uplift (incremental-response) model — bucket
+    units by model score, compare treated vs control response per
+    bucket and cumulatively from the top bucket down; a model that
+    ranks persuadables first shows concentrated uplift at the top and
+    a Qini curve far above the random diagonal.
+
+    Buckets come from the FITTED score-quantile grid (the ``numBins``
+    −1 interior percentiles, rounded to 6 dp to pin cross-engine tie
+    behavior, folded into the plan as literals) — never from a global
+    row_number sort, so the plan is two aggregations at any scale.
+    Equal scores land in the same bucket (uneven buckets are the
+    honest answer for tied scores).
+
+    ``evaluate(df)`` returns one row per non-empty bucket, top scores
+    first::
+
+        bucket_rank      1 = highest-score bucket
+        n_t, n_c         treated/control units in the bucket
+        y_t, y_c         their summed outcomes
+        rate_t, rate_c   bucket response rates (NULL on empty side)
+        uplift           rate_t − rate_c
+        qini_cum         cumulative Y_t − Y_c·(N_t/N_c) from the top
+                         (NULL while cumulative N_c is 0)
+    """
+
+    scoreCol = Param(Params._dummy(), "scoreCol",
+                     "uplift-model score column", TypeConverters.toString)
+    outcomeCol = Param(Params._dummy(), "outcomeCol",
+                       "response column (0/1 or numeric)",
+                       TypeConverters.toString)
+    variantCol = Param(Params._dummy(), "variantCol",
+                       "variant label column", TypeConverters.toString)
+    treatedLabel = Param(Params._dummy(), "treatedLabel",
+                         "treated label", TypeConverters.toString)
+    controlLabel = Param(Params._dummy(), "controlLabel",
+                         "control label", TypeConverters.toString)
+    numBins = Param(Params._dummy(), "numBins", "score buckets",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(scoreCol="score", outcomeCol="outcome",
+                         variantCol="variant", numBins=10)
+
+    def setScoreCol(self, v):
+        return self._set(scoreCol=v)
+
+    def setOutcomeCol(self, v):
+        return self._set(outcomeCol=v)
+
+    def setVariantCol(self, v):
+        return self._set(variantCol=v)
+
+    def setLabels(self, treated: str, control: str):
+        if treated == control:
+            raise ValueError("treated and control labels must differ")
+        return self._set(treatedLabel=treated, controlLabel=control)
+
+    def setNumBins(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBins must be >= 2, got {v}")
+        return self._set(numBins=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        if (not self.isDefined(self.treatedLabel)
+                or not self.isDefined(self.controlLabel)):
+            raise ValueError("setLabels(treated, control) is required")
+        t_lbl = self.getOrDefault(self.treatedLabel)
+        c_lbl = self.getOrDefault(self.controlLabel)
+        k = self.getOrDefault(self.numBins)
+        s = F.col(self.getOrDefault(self.scoreCol)).cast("double")
+        y = F.col(self.getOrDefault(self.outcomeCol)).cast("double")
+        v = F.col(self.getOrDefault(self.variantCol)).cast("string")
+        base = df.filter(s.isNotNull() & y.isNotNull()
+                         & v.isin(t_lbl, c_lbl))
+        edges = list(base.agg(*[
+            F.round(F.percentile(s, F.lit(i / k)), 6)
+            .alias(f"e{i}") for i in range(1, k)]).first())
+        above = sum((s > F.lit(e)).cast("int") for e in edges)
+        is_t = v == t_lbl
+        per = (base.withColumn("__b", F.lit(len(edges)) - above)
+               .groupBy("__b")
+               .agg(F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+                    F.sum(F.when(~is_t, 1).otherwise(0)).alias("n_c"),
+                    F.sum(F.when(is_t, y).otherwise(0.0)).alias("y_t"),
+                    F.sum(F.when(~is_t, y).otherwise(0.0))
+                    .alias("y_c")))
+        w = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        rank = F.row_number().over(Window.orderBy("__b"))
+        cum_nt = F.sum("n_t").over(w)
+        cum_nc = F.sum("n_c").over(w)
+        cum_yt = F.sum("y_t").over(w)
+        cum_yc = F.sum("y_c").over(w)
+        rate_t = F.when(F.col("n_t") > 0, F.col("y_t") / F.col("n_t"))
+        rate_c = F.when(F.col("n_c") > 0, F.col("y_c") / F.col("n_c"))
+        qini = F.when(cum_nc > 0,
+                      cum_yt - cum_yc * cum_nt / cum_nc)
+        return per.select(
+            rank.alias("bucket_rank"), "n_t", "n_c", "y_t", "y_c",
+            rate_t.alias("rate_t"), rate_c.alias("rate_c"),
+            (rate_t - rate_c).alias("uplift"),
+            qini.alias("qini_cum"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

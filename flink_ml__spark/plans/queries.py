@@ -10873,6 +10873,89 @@ FROM agg
 """
 
 
+def q_qini_events(spark, sf_dir):
+    """Uplift/Qini gate: score = pre-period mean value, outcome =
+    post-period purchase, parity variants, 10 fitted score-decile
+    buckets — edges (6 dp), bucket table, uplift and the cumulative
+    Qini curve all replay exactly in SQL."""
+    from flink_ml__spark.functions.evaluation import UpliftEvaluator
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    units = (ev.groupBy("user_id")
+             .agg(F.avg(F.when(day < 19738,
+                               F.col("value").cast("double")))
+                  .alias("score"),
+                  F.max(F.when((day >= 19738)
+                               & (F.col("event_type") == "purchase"),
+                               1).otherwise(0)).alias("outcome"))
+             .filter(F.col("score").isNotNull())
+             .select(F.when(F.col("user_id") % 2 == 0, "t")
+                     .otherwise("c").alias("variant"),
+                     "score", "outcome"))
+    out = (UpliftEvaluator().setLabels("t", "c").setNumBins(10)
+           .evaluate(units))
+    return out.select("bucket_rank", "n_t", "n_c",
+                      F.round("y_t", R).alias("y_t"),
+                      F.round("y_c", R).alias("y_c"),
+                      F.round("rate_t", R).alias("rate_t"),
+                      F.round("rate_c", R).alias("rate_c"),
+                      F.round("uplift", R).alias("uplift"),
+                      F.round("qini_cum", R).alias("qini_cum"))
+
+
+ORACLE_QINI = f"""
+WITH units0 AS (
+  SELECT user_id,
+         avg(CASE WHEN epoch_us(ts) // {_DAY_US} < 19738
+                  THEN value::DOUBLE END) AS score,
+         max(CASE WHEN epoch_us(ts) // {_DAY_US} >= 19738
+                       AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::DOUBLE AS outcome
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
+units AS (
+  SELECT user_id % 2 = 0 AS is_t, score, outcome
+  FROM units0 WHERE score IS NOT NULL),
+edges AS (
+  SELECT list_transform(
+             quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]),
+             e -> round(e, 6)) AS es
+  FROM units),
+bucketed AS (
+  SELECT is_t, outcome,
+         9 - len(list_filter(es, e -> score > e)) AS b
+  FROM units CROSS JOIN edges),
+per AS (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS n_c,
+         sum(CASE WHEN is_t THEN outcome ELSE 0 END) AS y_t,
+         sum(CASE WHEN is_t THEN 0 ELSE outcome END) AS y_c
+  FROM bucketed GROUP BY 1),
+cum AS (
+  SELECT *, row_number() OVER (ORDER BY b) AS bucket_rank,
+         sum(n_t) OVER (ORDER BY b) AS cnt,
+         sum(n_c) OVER (ORDER BY b) AS cnc,
+         sum(y_t) OVER (ORDER BY b) AS cyt,
+         sum(y_c) OVER (ORDER BY b) AS cyc
+  FROM per)
+SELECT bucket_rank, n_t, n_c, round(y_t, {R}) AS y_t,
+       round(y_c, {R}) AS y_c,
+       round(CASE WHEN n_t > 0 THEN y_t / n_t END, {R}) AS rate_t,
+       round(CASE WHEN n_c > 0 THEN y_c / n_c END, {R}) AS rate_c,
+       round(CASE WHEN n_t > 0 AND n_c > 0
+                  THEN y_t / n_t - y_c / n_c END, {R}) AS uplift,
+       round(CASE WHEN cnc > 0
+                  THEN cyt - cyc * cnt / cnc::DOUBLE END, {R})
+           AS qini_cum
+FROM cum
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11123,6 +11206,7 @@ QUERIES = {
     "fk_check_orders": q_fk_check_orders,
     "rouge_documents": q_rouge_documents,
     "audio_silence_documents": q_audio_silence_documents,
+    "qini_events": q_qini_events,
 }
 
 ORACLES = {
@@ -11384,4 +11468,5 @@ ORACLES = {
     "fk_check_orders": ORACLE_FK_CHECK,
     "rouge_documents": ORACLE_ROUGE,
     "audio_silence_documents": ORACLE_AUDIO_SILENCE,
+    "qini_events": ORACLE_QINI,
 }

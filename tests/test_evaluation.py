@@ -539,3 +539,53 @@ def test_conformal_tiny_group_and_grouped_coverage(spark):
     assert ev["g"]["avg_width"] == 38.0
     with _pt.raises(ValueError, match="alpha"):
         SplitConformalRegressor().setAlpha(1.0)
+
+
+# ---------------------------------------------------------------------------
+# UpliftEvaluator
+# ---------------------------------------------------------------------------
+
+def test_uplift_qini_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.evaluation import UpliftEvaluator
+    rows = []
+    # top-score bucket: treated 3/4 respond vs control 1/4
+    for y in (1, 1, 1, 0):
+        rows.append(("t", 1.0, float(y)))
+    for y in (0, 1, 0, 0):
+        rows.append(("c", 1.0, float(y)))
+    # bottom bucket: treatment HURTS (1/4 vs 2/4)
+    for y in (0, 0, 1, 0):
+        rows.append(("t", 0.0, float(y)))
+    for y in (0, 1, 0, 1):
+        rows.append(("c", 0.0, float(y)))
+    df = spark.createDataFrame(rows,
+                               "variant string, score double, outcome double")
+    out = {r["bucket_rank"]: r for r in
+           (UpliftEvaluator().setLabels("t", "c").setNumBins(2)
+            .evaluate(df).collect())}
+    top, bot = out[1], out[2]
+    assert top["n_t"] == 4 and top["n_c"] == 4
+    assert abs(top["uplift"] - 0.5) < 1e-12
+    assert abs(top["qini_cum"] - 2.0) < 1e-12
+    assert abs(bot["uplift"] + 0.25) < 1e-12
+    assert abs(bot["qini_cum"] - 1.0) < 1e-12
+    with _pt.raises(ValueError, match="differ"):
+        UpliftEvaluator().setLabels("a", "a")
+    with _pt.raises(ValueError, match="numBins"):
+        UpliftEvaluator().setNumBins(1)
+
+
+def test_uplift_ties_share_bucket_and_empty_side(spark):
+    from flink_ml__spark.functions.evaluation import UpliftEvaluator
+    # all scores identical -> ONE bucket; control side empty -> NULLs
+    df = spark.createDataFrame(
+        [("t", 0.5, 1.0), ("t", 0.5, 0.0)],
+        "variant string, score double, outcome double")
+    rows = (UpliftEvaluator().setLabels("t", "c").setNumBins(4)
+            .evaluate(df).collect())
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_t"] == 2 and r["n_c"] == 0
+    assert r["rate_c"] is None and r["uplift"] is None
+    assert r["qini_cum"] is None

@@ -954,3 +954,17 @@ def test_audio_silence_single_arrow_pass(spark):
     plan = _plan(spark, "audio_silence_documents")
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan
+
+
+def test_qini_fitted_edges_no_global_sort(spark):
+    """Uplift/Qini: buckets come from fitted quantile literals — the
+    only window runs over the ≤numBins bucket table, never a global
+    row_number over units."""
+    import re as _re
+    plan = _plan(spark, "qini_events")
+    assert "BatchEvalPython" not in plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__b" in s for s in specs), specs
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "value", "event_type"}, cols
