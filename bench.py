@@ -254,6 +254,7 @@ HEADLINE = [
     "rouge_documents",
     "audio_silence_documents",
     "qini_events",
+    "ratio_metric_events",
 ]
 
 

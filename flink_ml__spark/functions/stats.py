@@ -1875,3 +1875,114 @@ class MdeCalculator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class RatioMetricAnalyzer(AlgoOperator):
+    """Two-sample test for RATIO metrics (clicks/views, revenue/order
+    — numerator and denominator both random per unit) via the delta
+    method (Deng, Knoblich & Lu, KDD 2018): the naive t-test on
+    row-level ratios is biased and the t-test on unit ratios weights
+    units wrongly; the correct readout tests ``Σx/Σy`` with
+
+        Var(x̄/ȳ) ≈ (s²_x − 2 r s_xy + r² s²_y) / (n ȳ²)
+
+    ``evaluate(df)`` (one row per UNIT with numerator, denominator,
+    variant) returns ONE row::
+
+        n_a, n_b           units
+        ratio_a, ratio_b   Σx/Σy per variant
+        diff               ratio_a − ratio_b
+        se                 delta-method SE of the diff (NULL when
+                           either side has <2 units or a zero
+                           denominator mean)
+        z_stat             diff / se
+        significant        |z| > 1.96
+
+    Scale shape: ONE conditional-moment aggregation (2 variants × 6
+    moments in the same pass), 1-row arithmetic after.
+    """
+
+    numCol = Param(Params._dummy(), "numCol",
+                   "unit numerator column", TypeConverters.toString)
+    denCol = Param(Params._dummy(), "denCol",
+                   "unit denominator column", TypeConverters.toString)
+    variantCol = Param(Params._dummy(), "variantCol",
+                       "variant label column", TypeConverters.toString)
+    variantA = Param(Params._dummy(), "variantA", "first label",
+                     TypeConverters.toString)
+    variantB = Param(Params._dummy(), "variantB", "second label",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(numCol="num", denCol="den",
+                         variantCol="variant")
+
+    def setNumCol(self, v):
+        return self._set(numCol=v)
+
+    def setDenCol(self, v):
+        return self._set(denCol=v)
+
+    def setVariantCol(self, v):
+        return self._set(variantCol=v)
+
+    def setVariants(self, a: str, b: str):
+        if a == b:
+            raise ValueError("variantA and variantB must differ")
+        return self._set(variantA=a, variantB=b)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.variantA)
+                or not self.isDefined(self.variantB)):
+            raise ValueError("setVariants(a, b) is required")
+        a = self.getOrDefault(self.variantA)
+        b = self.getOrDefault(self.variantB)
+        x = F.col(self.getOrDefault(self.numCol)).cast("double")
+        y = F.col(self.getOrDefault(self.denCol)).cast("double")
+        v = F.col(self.getOrDefault(self.variantCol)).cast("string")
+        base = df.filter(x.isNotNull() & y.isNotNull() & v.isin(a, b))
+
+        def side(lbl, s):
+            hit = v == lbl
+            return [
+                F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{s}"),
+                F.sum(F.when(hit, x).otherwise(0.0)).alias(f"__sx{s}"),
+                F.sum(F.when(hit, y).otherwise(0.0)).alias(f"__sy{s}"),
+                F.sum(F.when(hit, x * x).otherwise(0.0))
+                .alias(f"__sxx{s}"),
+                F.sum(F.when(hit, y * y).otherwise(0.0))
+                .alias(f"__syy{s}"),
+                F.sum(F.when(hit, x * y).otherwise(0.0))
+                .alias(f"__sxy{s}")]
+
+        m = base.agg(*side(a, "a"), *side(b, "b"))
+
+        def ratio(s):
+            return F.when(F.col(f"__sy{s}") != 0,
+                          F.col(f"__sx{s}") / F.col(f"__sy{s}"))
+
+        def var_r(s):
+            n = F.col(f"n_{s}").cast("double")
+            mx = F.col(f"__sx{s}") / n
+            my = F.col(f"__sy{s}") / n
+            sxx = (F.col(f"__sxx{s}") - n * mx * mx) / (n - 1)
+            syy = (F.col(f"__syy{s}") - n * my * my) / (n - 1)
+            sxy = (F.col(f"__sxy{s}") - n * mx * my) / (n - 1)
+            r = ratio(s)
+            return F.when((n > 1) & (my != 0),
+                          (sxx - 2 * r * sxy + r * r * syy)
+                          / (n * my * my))
+
+        se = F.sqrt(var_r("a") + var_r("b"))
+        diff = ratio("a") - ratio("b")
+        z = F.when(se > 0, diff / se)
+        return m.select(
+            "n_a", "n_b", ratio("a").alias("ratio_a"),
+            ratio("b").alias("ratio_b"), diff.alias("diff"),
+            se.alias("se"), z.alias("z_stat"),
+            F.coalesce(F.abs(z) > 1.96, F.lit(False))
+            .alias("significant"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

@@ -10956,6 +10956,86 @@ FROM cum
 """
 
 
+def q_ratio_metric_events(spark, sf_dir):
+    """Delta-method ratio-metric gate: per-user purchase-value /
+    event-count ratio between the parity variants — the conditional
+    moments, both delta-method variances, z and the verdict replay
+    exactly in SQL."""
+    from flink_ml__spark.functions.stats import RatioMetricAnalyzer
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    units = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                               F.col("value").cast("double"))
+                        .otherwise(0.0)).alias("num"),
+                  F.count(F.lit(1)).cast("double").alias("den"))
+             .select(F.when(F.col("user_id") % 2 == 0, "t")
+                     .otherwise("c").alias("variant"), "num", "den"))
+    out = (RatioMetricAnalyzer().setVariants("t", "c")
+           .evaluate(units))
+    return out.select("n_a", "n_b",
+                      F.round("ratio_a", R).alias("ratio_a"),
+                      F.round("ratio_b", R).alias("ratio_b"),
+                      F.round("diff", R).alias("diff"),
+                      F.round("se", R).alias("se"),
+                      F.round("z_stat", R).alias("z_stat"),
+                      "significant")
+
+
+ORACLE_RATIO_METRIC = f"""
+WITH units AS (
+  SELECT user_id % 2 = 0 AS is_t,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN value::DOUBLE ELSE 0 END) AS x,
+         count(*)::DOUBLE AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
+m AS (
+  SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN is_t THEN x ELSE 0 END) AS sxa,
+         sum(CASE WHEN is_t THEN y ELSE 0 END) AS sya,
+         sum(CASE WHEN is_t THEN x * x ELSE 0 END) AS sxxa,
+         sum(CASE WHEN is_t THEN y * y ELSE 0 END) AS syya,
+         sum(CASE WHEN is_t THEN x * y ELSE 0 END) AS sxya,
+         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN NOT is_t THEN x ELSE 0 END) AS sxb,
+         sum(CASE WHEN NOT is_t THEN y ELSE 0 END) AS syb,
+         sum(CASE WHEN NOT is_t THEN x * x ELSE 0 END) AS sxxb,
+         sum(CASE WHEN NOT is_t THEN y * y ELSE 0 END) AS syyb,
+         sum(CASE WHEN NOT is_t THEN x * y ELSE 0 END) AS sxyb
+  FROM units),
+d AS (
+  SELECT na, nb,
+         CASE WHEN sya <> 0 THEN sxa / sya END AS ra,
+         CASE WHEN syb <> 0 THEN sxb / syb END AS rb,
+         CASE WHEN na > 1 AND sya / na <> 0 THEN
+           ((sxxa - na * (sxa/na) * (sxa/na)) / (na - 1)
+            - 2 * (sxa/sya) * ((sxya - na * (sxa/na) * (sya/na))
+                               / (na - 1))
+            + (sxa/sya) * (sxa/sya)
+              * ((syya - na * (sya/na) * (sya/na)) / (na - 1)))
+           / (na * (sya/na) * (sya/na)) END AS va,
+         CASE WHEN nb > 1 AND syb / nb <> 0 THEN
+           ((sxxb - nb * (sxb/nb) * (sxb/nb)) / (nb - 1)
+            - 2 * (sxb/syb) * ((sxyb - nb * (sxb/nb) * (syb/nb))
+                               / (nb - 1))
+            + (sxb/syb) * (sxb/syb)
+              * ((syyb - nb * (syb/nb) * (syb/nb)) / (nb - 1)))
+           / (nb * (syb/nb) * (syb/nb)) END AS vb
+  FROM m),
+s AS (SELECT *, sqrt(va + vb) AS se FROM d)
+SELECT na AS n_a, nb AS n_b, round(ra, {R}) AS ratio_a,
+       round(rb, {R}) AS ratio_b, round(ra - rb, {R}) AS diff,
+       round(se, {R}) AS se,
+       round(CASE WHEN se > 0 THEN (ra - rb) / se END, {R}) AS z_stat,
+       coalesce(abs((ra - rb) / se) > 1.96, false) AS significant
+FROM s
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11207,6 +11287,7 @@ QUERIES = {
     "rouge_documents": q_rouge_documents,
     "audio_silence_documents": q_audio_silence_documents,
     "qini_events": q_qini_events,
+    "ratio_metric_events": q_ratio_metric_events,
 }
 
 ORACLES = {
@@ -11469,4 +11550,5 @@ ORACLES = {
     "rouge_documents": ORACLE_ROUGE,
     "audio_silence_documents": ORACLE_AUDIO_SILENCE,
     "qini_events": ORACLE_QINI,
+    "ratio_metric_events": ORACLE_RATIO_METRIC,
 }

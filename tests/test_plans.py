@@ -968,3 +968,15 @@ def test_qini_fitted_edges_no_global_sort(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "value", "event_type"}, cols
+
+
+def test_ratio_metric_single_pass(spark):
+    """Ratio metric: unit prep + ONE conditional-moment aggregation —
+    no join, no window, no Python."""
+    plan = _plan(spark, "ratio_metric_events")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "value", "event_type"}, cols

@@ -883,3 +883,36 @@ def test_mde_golden(spark):
     assert abs(op.z_multiplier() - 2.8015852) < 1e-6
     with _pt.raises(ValueError, match="power"):
         MdeCalculator().setPower(0.0)
+
+
+# ---------------------------------------------------------------------------
+# RatioMetricAnalyzer
+# ---------------------------------------------------------------------------
+
+def test_ratio_metric_delta_method_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import RatioMetricAnalyzer
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 4.0),
+         ("b", 1.0, 5.0), ("b", 2.0, 5.0)],
+        "variant string, num double, den double")
+    r = (RatioMetricAnalyzer().setVariants("a", "b")
+         .evaluate(df).first())
+    assert r["n_a"] == 3 and r["n_b"] == 2
+    assert abs(r["ratio_a"] - 0.6) < 1e-12
+    assert abs(r["ratio_b"] - 0.3) < 1e-12
+    # hand delta method: var_a = 0.28/(3*(10/3)^2), var_b = 0.5/50
+    va = (1 - 2 * 0.6 * 1 + 0.36 * (4 / 3)) / (3 * (10 / 3) ** 2)
+    vb = 0.5 / (2 * 25)
+    assert abs(r["se"] - (va + vb) ** 0.5) < 1e-12
+    assert abs(r["z_stat"] - 0.3 / (va + vb) ** 0.5) < 1e-12
+    assert bool(r["significant"]) is True
+    # single-unit side -> NULL se, never false significance
+    tiny = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 1.0, 2.0), ("b", 3.0, 5.0)],
+        "variant string, num double, den double")
+    r = (RatioMetricAnalyzer().setVariants("a", "b")
+         .evaluate(tiny).first())
+    assert r["se"] is None and bool(r["significant"]) is False
+    with _pt.raises(ValueError, match="differ"):
+        RatioMetricAnalyzer().setVariants("a", "a")
