@@ -537,7 +537,7 @@ def test_average_hash_matches_dhash_grid_convention(spark):
 # AudioSilenceDetector
 # ---------------------------------------------------------------------------
 
-def _wav_bytes(samples):
+def _silence_wav_bytes(samples):
     import io
     import struct
     import wave
@@ -559,7 +559,7 @@ def test_audio_silence_real_wav_golden(spark):
     samples = [0.0] * 128 + [0.9 if i % 2 == 0 else -0.9
                              for i in range(128)]
     df = spark.createDataFrame(
-        [(1, bytearray(_wav_bytes(samples))), (2, None)],
+        [(1, bytearray(_silence_wav_bytes(samples))), (2, None)],
         "doc_id long, payload binary")
     r = {x["doc_id"]: x for x in
          (AudioSilenceDetector().setDecoder("wav").setWindowSize(64)
@@ -572,7 +572,7 @@ def test_audio_silence_real_wav_golden(spark):
     # interleaved silence: two separate runs, no leading silence
     s2 = ([0.9, -0.9] * 32 + [0.0] * 64) * 2
     df2 = spark.createDataFrame(
-        [(1, bytearray(_wav_bytes(s2)))], "doc_id long, payload binary")
+        [(1, bytearray(_silence_wav_bytes(s2)))], "doc_id long, payload binary")
     r = (AudioSilenceDetector().setDecoder("wav").setWindowSize(64)
          .setThreshold(0.5).setBinaryCol("payload")
          .transform(df2).first())
