@@ -11103,6 +11103,26 @@ QUERIES = {
     "welch_window_events": q_welch_window_events,
     "cuped_events": q_cuped_events,
     "session_paths_events": q_session_paths_events,
+    "did_events": q_did_events,
+    "covariate_balance_events": q_covariate_balance_events,
+    "rbo_events": q_rbo_events,
+    "heaps_documents": q_heaps_documents,
+    "fdr_events": q_fdr_events,
+    "forecast_accuracy_events": q_forecast_accuracy_events,
+    "logrank_events": q_logrank_events,
+    "weibull_events": q_weibull_events,
+    "srm_window_events": q_srm_window_events,
+    "mde_events": q_mde_events,
+    "truncation_audit_embeddings": q_truncation_audit_embeddings,
+    "anisotropy_embeddings": q_anisotropy_embeddings,
+    "kn_bigram_documents": q_kn_bigram_documents,
+    "conversion_lag_events": q_conversion_lag_events,
+    "merge_stats_orders": q_merge_stats_orders,
+    "fk_check_orders": q_fk_check_orders,
+    "rouge_documents": q_rouge_documents,
+    "audio_silence_documents": q_audio_silence_documents,
+    "qini_events": q_qini_events,
+    "ratio_metric_events": q_ratio_metric_events,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11268,26 +11288,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "did_events": q_did_events,
-    "covariate_balance_events": q_covariate_balance_events,
-    "rbo_events": q_rbo_events,
-    "heaps_documents": q_heaps_documents,
-    "fdr_events": q_fdr_events,
-    "forecast_accuracy_events": q_forecast_accuracy_events,
-    "logrank_events": q_logrank_events,
-    "weibull_events": q_weibull_events,
-    "srm_window_events": q_srm_window_events,
-    "mde_events": q_mde_events,
-    "truncation_audit_embeddings": q_truncation_audit_embeddings,
-    "anisotropy_embeddings": q_anisotropy_embeddings,
-    "kn_bigram_documents": q_kn_bigram_documents,
-    "conversion_lag_events": q_conversion_lag_events,
-    "merge_stats_orders": q_merge_stats_orders,
-    "fk_check_orders": q_fk_check_orders,
-    "rouge_documents": q_rouge_documents,
-    "audio_silence_documents": q_audio_silence_documents,
-    "qini_events": q_qini_events,
-    "ratio_metric_events": q_ratio_metric_events,
 }
 
 ORACLES = {
