@@ -255,6 +255,7 @@ HEADLINE = [
     "audio_silence_documents",
     "qini_events",
     "ratio_metric_events",
+    "ratio_window_events",
 ]
 
 

@@ -11036,6 +11036,99 @@ FROM s
 """
 
 
+def q_ratio_window_events(spark, sf_dir):
+    """Per-day windowed delta-method ratio guardrail (parity
+    variants; num = purchase value ×1.5-planted on every 7th day for
+    the treated side, den = 1 + user_id%3) — every window's six
+    moments per side, both delta-method variances and z replay
+    exactly in SQL. SAME code path runs on an unbounded stream
+    (`streaming.stream_ratio_monitor`, parity-tested)."""
+    from flink_ml__spark.streaming.online import stream_ratio_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    is_a = F.col("user_id") % 2 == 0
+    base_num = F.when(F.col("event_type") == "purchase",
+                      F.col("value").cast("double")).otherwise(0.0)
+    cur = (ev.withColumn("variant",
+                         F.when(is_a, "even").otherwise("odd"))
+           .withColumn("num", F.when((day % 7 == 3) & is_a,
+                                     base_num * 1.5)
+                       .otherwise(base_num))
+           .withColumn("den",
+                       (1 + F.col("user_id") % 3).cast("double")))
+    out = stream_ratio_monitor(cur, "ts", "num", "den", "variant",
+                               "even", "odd", window="1 day")
+    return out.select(F.unix_micros("window_start").alias("win_us"),
+                      "n_a", "n_b",
+                      F.round("ratio_a", R).alias("ratio_a"),
+                      F.round("ratio_b", R).alias("ratio_b"),
+                      F.round("diff", R).alias("diff"),
+                      F.round("se", R).alias("se"),
+                      F.round("z_stat", R).alias("z_stat"),
+                      "significant")
+
+
+ORACLE_RATIO_WINDOW = f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS win_us,
+         user_id % 2 = 0 AS is_a,
+         CASE WHEN (epoch_us(ts) // {_DAY_US}) % 7 = 3
+                   AND user_id % 2 = 0
+              THEN (CASE WHEN event_type = 'purchase'
+                         THEN value::DOUBLE ELSE 0 END) * 1.5
+              ELSE CASE WHEN event_type = 'purchase'
+                        THEN value::DOUBLE ELSE 0 END
+         END AS x,
+         (1 + user_id % 3)::DOUBLE AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+m AS (
+  SELECT win_us,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN is_a THEN x ELSE 0 END) AS sxa,
+         sum(CASE WHEN is_a THEN y ELSE 0 END) AS sya,
+         sum(CASE WHEN is_a THEN x * x ELSE 0 END) AS sxxa,
+         sum(CASE WHEN is_a THEN y * y ELSE 0 END) AS syya,
+         sum(CASE WHEN is_a THEN x * y ELSE 0 END) AS sxya,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN NOT is_a THEN x ELSE 0 END) AS sxb,
+         sum(CASE WHEN NOT is_a THEN y ELSE 0 END) AS syb,
+         sum(CASE WHEN NOT is_a THEN x * x ELSE 0 END) AS sxxb,
+         sum(CASE WHEN NOT is_a THEN y * y ELSE 0 END) AS syyb,
+         sum(CASE WHEN NOT is_a THEN x * y ELSE 0 END) AS sxyb
+  FROM base GROUP BY 1),
+d AS (
+  SELECT win_us, na, nb,
+         CASE WHEN sya <> 0 THEN sxa / sya END AS ra,
+         CASE WHEN syb <> 0 THEN sxb / syb END AS rb,
+         CASE WHEN na > 1 AND sya / na <> 0 THEN
+           ((sxxa - na * (sxa/na) * (sxa/na)) / (na - 1)
+            - 2 * (sxa/sya) * ((sxya - na * (sxa/na) * (sya/na))
+                               / (na - 1))
+            + (sxa/sya) * (sxa/sya)
+              * ((syya - na * (sya/na) * (sya/na)) / (na - 1)))
+           / (na * (sya/na) * (sya/na)) END AS va,
+         CASE WHEN nb > 1 AND syb / nb <> 0 THEN
+           ((sxxb - nb * (sxb/nb) * (sxb/nb)) / (nb - 1)
+            - 2 * (sxb/syb) * ((sxyb - nb * (sxb/nb) * (syb/nb))
+                               / (nb - 1))
+            + (sxb/syb) * (sxb/syb)
+              * ((syyb - nb * (syb/nb) * (syb/nb)) / (nb - 1)))
+           / (nb * (syb/nb) * (syb/nb)) END AS vb
+  FROM m),
+s AS (SELECT *, sqrt(va + vb) AS se FROM d)
+SELECT win_us, na AS n_a, nb AS n_b, round(ra, {R}) AS ratio_a,
+       round(rb, {R}) AS ratio_b, round(ra - rb, {R}) AS diff,
+       round(se, {R}) AS se,
+       round(CASE WHEN se > 0 THEN (ra - rb) / se END, {R}) AS z_stat,
+       coalesce(abs((ra - rb) / se) > 1.96, false) AS significant
+FROM s
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11288,6 +11381,7 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "ratio_window_events": q_ratio_window_events,
 }
 
 ORACLES = {
@@ -11551,4 +11645,5 @@ ORACLES = {
     "audio_silence_documents": ORACLE_AUDIO_SILENCE,
     "qini_events": ORACLE_QINI,
     "ratio_metric_events": ORACLE_RATIO_METRIC,
+    "ratio_window_events": ORACLE_RATIO_WINDOW,
 }

@@ -1516,3 +1516,77 @@ def stream_srm_monitor(stream_df: DataFrame, time_col: str,
                       chi2.alias("chi2"),
                       F.coalesce(chi2 > 10.828, F.lit(False))
                       .alias("srm"))
+
+
+def stream_ratio_monitor(stream_df: DataFrame, time_col: str,
+                         num_col: str, den_col: str, variant_col: str,
+                         label_a: str, label_b: str,
+                         window: str = "1 minute",
+                         watermark_delay: str = "0 seconds"
+                         ) -> DataFrame:
+    """Windowed delta-method ratio guardrail — the live twin of
+    :class:`~flink_ml__spark.functions.stats.RatioMetricAnalyzer`:
+    per event-time window, is segment A's ratio metric (Σnum/Σden)
+    drifting from segment B's, tested with the delta-method variance?
+    Completes the guardrail trio (Welch for means, SRM for splits,
+    this for ratio metrics).
+
+    Rows here are UNITS (pre-aggregated per user upstream, or raw
+    rows when the unit is the row). Per window each side's six
+    moments are conditional sums inside the ONE watermarked
+    aggregate; ratios, variances and z are projections.
+
+    Output: ``window_start``, ``window_end``, ``n_a``, ``n_b``,
+    ``ratio_a``, ``ratio_b``, ``diff``, ``se``, ``z_stat``,
+    ``significant``. Runs identically on a batch frame (oracle-gated
+    via ``ratio_window_events``)."""
+    if label_a == label_b:
+        raise ValueError("label_a and label_b must differ")
+    t = F.col(time_col)
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    v = F.col(variant_col).cast("string")
+    src = stream_df.filter(t.isNotNull() & x.isNotNull()
+                           & y.isNotNull() & v.isin(label_a, label_b))
+    if stream_df.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+
+    def side(lbl, s):
+        hit = v == lbl
+        return [
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"__n{s}"),
+            F.sum(F.when(hit, x).otherwise(0.0)).alias(f"__sx{s}"),
+            F.sum(F.when(hit, y).otherwise(0.0)).alias(f"__sy{s}"),
+            F.sum(F.when(hit, x * x).otherwise(0.0)).alias(f"__sxx{s}"),
+            F.sum(F.when(hit, y * y).otherwise(0.0)).alias(f"__syy{s}"),
+            F.sum(F.when(hit, x * y).otherwise(0.0)).alias(f"__sxy{s}")]
+
+    agg = (src.groupBy(F.window(t, window).alias("__w"))
+           .agg(*side(label_a, "a"), *side(label_b, "b")))
+
+    def ratio(s):
+        return F.when(F.col(f"__sy{s}") != 0,
+                      F.col(f"__sx{s}") / F.col(f"__sy{s}"))
+
+    def var_r(s):
+        n = F.col(f"__n{s}").cast("double")
+        mx = F.col(f"__sx{s}") / n
+        my = F.col(f"__sy{s}") / n
+        sxx = (F.col(f"__sxx{s}") - n * mx * mx) / (n - 1)
+        syy = (F.col(f"__syy{s}") - n * my * my) / (n - 1)
+        sxy = (F.col(f"__sxy{s}") - n * mx * my) / (n - 1)
+        r = ratio(s)
+        return F.when((n > 1) & (my != 0),
+                      (sxx - 2 * r * sxy + r * r * syy)
+                      / (n * my * my))
+
+    se = F.sqrt(var_r("a") + var_r("b"))
+    diff = ratio("a") - ratio("b")
+    z = F.when(se > 0, diff / se)
+    return agg.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        ratio("a").alias("ratio_a"), ratio("b").alias("ratio_b"),
+        diff.alias("diff"), se.alias("se"), z.alias("z_stat"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"))

@@ -980,3 +980,12 @@ def test_ratio_metric_single_pass(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "value", "event_type"}, cols
+
+
+def test_ratio_window_single_aggregate(spark):
+    """Windowed ratio guardrail: ONE watermark-compatible aggregation,
+    no buffering window operator, no join."""
+    plan = _plan(spark, "ratio_window_events")
+    assert "Join" not in plan
+    assert "Window\n" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1752,3 +1752,73 @@ def test_stream_srm_monitor_matches_batch(spark):
                 <= {max(bymap)})
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ratio_monitor_matches_batch_and_ratio(spark):
+    """Windowed delta-method ratio guardrail on a stream equals the
+    batch run, and each window agrees with batch RatioMetricAnalyzer
+    on that window's slice."""
+    import datetime as _dt
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.stats import RatioMetricAnalyzer
+    from flink_ml__spark.streaming.online import stream_ratio_monitor
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(240):
+        grp = "a" if i % 2 == 0 else "b"
+        num = float(i % 5) + (4.0 if grp == "a" and 60 <= i < 120
+                              else 0.0)
+        den = float(i % 3) + 1.0
+        rows.append((base + _dt.timedelta(seconds=i * 2), grp,
+                     num, den))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, g string, num double, den double")
+
+    def canon(frame):
+        return sorted(
+            (r["window_start"], r["n_a"], r["n_b"],
+             round(r["ratio_a"], 9), round(r["ratio_b"], 9),
+             None if r["z_stat"] is None else round(r["z_stat"], 9),
+             r["significant"])
+            for r in frame.collect())
+
+    batch = canon(stream_ratio_monitor(df, "ts", "num", "den", "g",
+                                       "a", "b", window="1 minute"))
+    assert len(batch) == 8
+    assert any(r[6] for r in batch)       # the planted window flags
+
+    # window 2 agrees with the batch analyzer on the same slice
+    sl = df.filter((F.col("ts") >= base + _dt.timedelta(minutes=2))
+                   & (F.col("ts") < base + _dt.timedelta(minutes=3)))
+    ref = (RatioMetricAnalyzer().setNumCol("num").setDenCol("den")
+           .setVariantCol("g").setVariants("a", "b")
+           .evaluate(sl).first())
+    w2 = [r for r in batch
+          if r[0] == base + _dt.timedelta(minutes=2)][0]
+    assert w2[1] == ref["n_a"]
+    assert abs(w2[5] - ref["z_stat"]) < 1e-9
+
+    d = _tf.mkdtemp(prefix="ratio_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = stream_ratio_monitor(stream, "ts", "num", "den", "g",
+                                   "a", "b", window="1 minute")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("ratiostream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM ratiostream"))
+        bymap = {r[0]: r for r in batch}
+        assert got
+        for r in got:
+            assert bymap[r[0]] == r
+        assert ({r[0] for r in batch} - {r[0] for r in got}
+                <= {max(bymap)})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
