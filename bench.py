@@ -256,6 +256,7 @@ HEADLINE = [
     "qini_events",
     "ratio_metric_events",
     "ratio_window_events",
+    "rank_gauss_lineitem",
 ]
 
 

@@ -11129,6 +11129,42 @@ FROM s
 """
 
 
+def _rank_gauss_z(k: int) -> str:
+    from flink_ml__spark.functions.stats import _norm_ppf
+
+    return ", ".join(repr(_norm_ppf((i + 0.5) / k)) for i in range(k))
+
+
+def q_rank_gauss_lineitem(spark, sf_dir):
+    """Rank-Gauss gate: l_extendedprice through the fitted 32-bucket
+    quantile→normal map — edges (6 dp) and the Acklam z table fold as
+    literals on BOTH engines, apply is a pure projection."""
+    from flink_ml__spark.functions.feature_gen import RankGaussTransformer
+
+    li = load_table(spark, "lineitem", sf_dir)
+    m = (RankGaussTransformer().setInputCol("l_extendedprice")
+         .setOutputCol("price_gauss").setNumBuckets(32).fit(li))
+    out = m.transform(li)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("price_gauss", R).alias("price_gauss"))
+
+
+ORACLE_RANK_GAUSS = f"""
+WITH edges AS (
+  SELECT list_transform(
+             quantile_cont(l_extendedprice::DOUBLE,
+                 [{', '.join(repr(i / 32) for i in range(1, 32))}]),
+             e -> round(e, 6)) AS es
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+zt AS (SELECT [{_rank_gauss_z(32)}]::DOUBLE[] AS zl)
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_extendedprice IS NOT NULL THEN
+           zl[len(list_filter(es, e -> l_extendedprice::DOUBLE > e))
+              + 1] END, {R}) AS price_gauss
+FROM lineitem CROSS JOIN edges CROSS JOIN zt
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11382,6 +11418,7 @@ QUERIES = {
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
     "ratio_window_events": q_ratio_window_events,
+    "rank_gauss_lineitem": q_rank_gauss_lineitem,
 }
 
 ORACLES = {
@@ -11646,4 +11683,5 @@ ORACLES = {
     "qini_events": ORACLE_QINI,
     "ratio_metric_events": ORACLE_RATIO_METRIC,
     "ratio_window_events": ORACLE_RATIO_WINDOW,
+    "rank_gauss_lineitem": ORACLE_RANK_GAUSS,
 }

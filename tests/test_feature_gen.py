@@ -342,3 +342,56 @@ def test_quantile_matcher_clamp_null_save_load(spark, tmp_path):
     model.save(p)
     loaded = QuantileMatcherModel.load(spark, p)
     assert loaded.reference_grid == model.reference_grid
+
+
+# ---------------------------------------------------------------------------
+# RankGaussTransformer
+# ---------------------------------------------------------------------------
+
+def test_rank_gauss_normalizes_and_is_monotone(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.feature_gen import RankGaussTransformer
+    # heavy-tailed input: exp-spaced values
+    df = spark.createDataFrame(
+        [(i, float(2 ** (i % 16))) for i in range(256)],
+        "id long, value double")
+    m = RankGaussTransformer().setNumBuckets(16).fit(df)
+    out = m.transform(df).collect()
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r["value"], set()).add(r["value_gauss"])
+    # identical values always map to identical scores
+    assert all(len(s) == 1 for s in by_val.values())
+    # the map is monotone in the input
+    vals = sorted(by_val)
+    zs = [next(iter(by_val[v])) for v in vals]
+    assert zs == sorted(zs)
+    # 16 equal-mass buckets -> scores are the 16 midpoint normals,
+    # symmetric around 0
+    uniq = sorted({z for s in by_val.values() for z in s})
+    assert len(uniq) == 16
+    assert abs(sum(uniq)) < 1e-9
+    from flink_ml__spark.functions.stats import _norm_ppf
+    assert abs(uniq[0] - _norm_ppf(0.5 / 16)) < 1e-12
+    assert abs(uniq[-1] - _norm_ppf(15.5 / 16)) < 1e-12
+    # nulls pass through as nulls
+    nul = spark.createDataFrame([(1, None)], "id long, value double")
+    assert m.transform(nul).first()["value_gauss"] is None
+    with _pt.raises(ValueError, match="numBuckets"):
+        RankGaussTransformer().setNumBuckets(1)
+
+
+def test_rank_gauss_save_load_roundtrip(spark, tmp_path):
+    from flink_ml__spark.functions.feature_gen import (
+        RankGaussModel,
+        RankGaussTransformer,
+    )
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "id long, value double")
+    m = RankGaussTransformer().setNumBuckets(8).fit(df)
+    p = str(tmp_path / "rg")
+    m.save(p)
+    m2 = RankGaussModel.load(spark, p)
+    a = [r["value_gauss"] for r in m.transform(df).collect()]
+    b = [r["value_gauss"] for r in m2.transform(df).collect()]
+    assert a == b

@@ -989,3 +989,16 @@ def test_ratio_window_single_aggregate(spark):
     assert "Join" not in plan
     assert "Window\n" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rank_gauss_apply_is_pure_projection(spark):
+    """Rank-Gauss apply: edges + z table folded as literals — no join,
+    no window, no Python above the scan."""
+    plan = _plan(spark, "rank_gauss_lineitem")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"l_orderkey", "l_linenumber",
+                        "l_extendedprice"}, cols
