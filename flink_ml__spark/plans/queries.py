@@ -11252,6 +11252,8 @@ QUERIES = {
     "audio_silence_documents": q_audio_silence_documents,
     "qini_events": q_qini_events,
     "ratio_metric_events": q_ratio_metric_events,
+    "ratio_window_events": q_ratio_window_events,
+    "rank_gauss_lineitem": q_rank_gauss_lineitem,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11417,8 +11419,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "ratio_window_events": q_ratio_window_events,
-    "rank_gauss_lineitem": q_rank_gauss_lineitem,
 }
 
 ORACLES = {
