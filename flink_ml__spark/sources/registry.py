@@ -338,3 +338,32 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite",
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: list[str]) -> None:
+    """DYNAMIC partition overwrite: replace ONLY the directory
+    partitions present in ``df``, leaving every other partition of the
+    table untouched — the idempotent daily-reload pattern (re-running
+    yesterday's load must not wipe the rest of the table, which is
+    exactly what a plain ``mode("overwrite")`` + ``partitionBy`` does).
+
+    Implemented with Spark's ``partitionOverwriteMode=dynamic`` scoped
+    to THIS write (writer-level option — no session-conf mutation, so
+    concurrent writers keep their own semantics)."""
+    if not partition_by:
+        raise ValueError("partition_by must be non-empty — use "
+                         "write_parquet for unpartitioned tables")
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_by)
+     .parquet(path))
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet source with SCHEMA EVOLUTION: union the footers of every
+    file so late-added columns surface as NULL for old files
+    (``mergeSchema`` — off by default in Spark because footer-merging
+    costs a pass over file metadata; turn it on deliberately at read
+    time, never session-wide)."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -343,3 +343,52 @@ def test_text_and_jsonl_roundtrip(spark, tmp_path):
     lines = read_text(spark, p)
     assert lines.count() == 2
     assert lines.filter(F.col("value").contains('"alpha"')).count() == 1
+
+
+def test_overwrite_partitions_is_dynamic(spark, tmp_path):
+    """Rewriting ONE partition must leave the others untouched — the
+    idempotent-reload contract (static overwrite would wipe them)."""
+    import pytest as _pt
+
+    from flink_ml__spark.sources import overwrite_partitions
+
+    p = str(tmp_path / "dyntab")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)], "dt string, id int, v double")
+    overwrite_partitions(base, p, ["dt"])
+    # reload day 1 with corrected values; day 2 must survive
+    fix = spark.createDataFrame(
+        [("2024-01-01", 1, 11.0)], "dt string, id int, v double")
+    overwrite_partitions(fix, p, ["dt"])
+    # partition values read back type-inferred (dates here)
+    got = {(str(r["dt"]), r["id"]): r["v"]
+           for r in spark.read.parquet(p).collect()}
+    assert got == {("2024-01-01", 1): 11.0, ("2024-01-02", 3): 30.0}
+    with _pt.raises(ValueError, match="partition_by"):
+        overwrite_partitions(fix, p, [])
+
+
+def test_read_merged_schema_unions_footers(spark, tmp_path):
+    """Files written before a column existed read back with NULLs for
+    it under mergeSchema; partition pruning still reaches the scan."""
+    from flink_ml__spark.sources import (
+        overwrite_partitions,
+        read_merged_schema,
+    )
+
+    p = str(tmp_path / "evol")
+    old = spark.createDataFrame(
+        [("a", 1)], "part string, x int")
+    overwrite_partitions(old, p, ["part"])
+    new = spark.createDataFrame(
+        [("b", 2, "extra")], "part string, x int, note string")
+    overwrite_partitions(new, p, ["part"])
+    df = read_merged_schema(spark, p)
+    assert set(df.columns) == {"part", "x", "note"}
+    rows = {r["part"]: r for r in df.collect()}
+    assert rows["a"]["note"] is None and rows["b"]["note"] == "extra"
+    # pruning: a partition filter reaches the file index
+    plan = (df.filter("part = 'b'")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "part" in plan
