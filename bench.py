@@ -257,6 +257,8 @@ HEADLINE = [
     "ratio_metric_events",
     "ratio_window_events",
     "rank_gauss_lineitem",
+    "k_anonymity_events",
+    "lorenz_events",
 ]
 
 

@@ -1209,3 +1209,85 @@ class ReferentialIntegrityChecker(AlgoOperator):
     def transform(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError("use check({name: (child, col, "
                                   "parent, col)})")
+
+
+class KAnonymityAuditor(AlgoOperator):
+    """k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    every combination of quasi-identifiers shared by fewer than ``k``
+    rows is a re-identification risk — the privacy gate a
+    training-data release runs before shipping tabular data or
+    metadata columns alongside text.
+
+    ``evaluate(df)`` returns ONE summary row::
+
+        n_rows         rows audited
+        n_combos       distinct quasi-identifier combinations
+        n_violating    combos with fewer than k rows
+        rows_at_risk   rows living in violating combos
+        risk_share     rows_at_risk / n_rows
+        min_class      the smallest equivalence-class size (1 =
+                       somebody is unique)
+        k              the threshold audited
+
+    ``violations(df)`` returns the violating combos themselves
+    (quasi columns + ``class_size``), for suppression/generalization
+    downstream.
+
+    Scale shape: ONE hash aggregation on the quasi columns (the
+    equivalence classes), then an O(classes) rollup — nothing
+    row-sized leaves the first aggregation. NULL is a value here
+    (NULL zip + NULL age is itself an identifiable pattern), so
+    grouping keeps NULLs — the SQL ``GROUP BY`` convention.
+    """
+
+    quasiCols = Param(Params._dummy(), "quasiCols",
+                      "quasi-identifier columns",
+                      TypeConverters.toListString)
+    k = Param(Params._dummy(), "k", "minimum class size",
+              TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(quasiCols=[], k=5)
+
+    def setQuasiCols(self, *cols):
+        cols = list(cols[0]) if len(cols) == 1 and not isinstance(
+            cols[0], str) else list(cols)
+        if not cols:
+            raise ValueError("quasiCols must be non-empty")
+        return self._set(quasiCols=cols)
+
+    def setK(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"k must be >= 2, got {v}")
+        return self._set(k=v)
+
+    def _classes(self, df: DataFrame) -> DataFrame:
+        qs = self.getOrDefault(self.quasiCols)
+        if not qs:
+            raise ValueError("quasiCols must be non-empty")
+        return df.groupBy(*qs).agg(
+            F.count(F.lit(1)).alias("class_size"))
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.k)
+        return self._classes(df).filter(F.col("class_size") < k)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.k)
+        cls = self._classes(df)
+        viol = F.col("class_size") < k
+        return cls.agg(
+            F.sum("class_size").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_combos"),
+            F.sum(viol.cast("int")).alias("n_violating"),
+            F.sum(F.when(viol, F.col("class_size")).otherwise(0))
+            .alias("rows_at_risk"),
+            (F.sum(F.when(viol, F.col("class_size")).otherwise(0))
+             / F.sum("class_size").cast("double")).alias("risk_share"),
+            F.min("class_size").alias("min_class"),
+            F.lit(k).alias("k"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

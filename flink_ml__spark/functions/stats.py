@@ -1986,3 +1986,81 @@ class RatioMetricAnalyzer(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class LorenzCurveAnalyzer(AlgoOperator):
+    """Lorenz-curve table: cumulative population share vs cumulative
+    weight share over fitted weight-quantile buckets — the curve
+    behind :class:`GiniConcentration`'s single number ("the top decile
+    of users holds X% of revenue"), and the whale-risk readout of any
+    marketplace/revenue analysis.
+
+    Buckets come from the fitted (``numBins``−1)-edge quantile grid of
+    the weight (6 dp rounding, folded as literals — the engine's
+    bounded-grid contract; tied weights share a bucket), ascending, so
+    the last rows are the heaviest units.
+
+    ``evaluate(df)`` returns one row per non-empty bucket::
+
+        bucket            0 = lightest units
+        n_units           units in the bucket
+        bucket_weight     their summed weight
+        cum_pop_share     cumulative units / all units
+        cum_weight_share  cumulative weight / total weight
+
+    Scale shape: one quantile-grid aggregation + one bucket
+    aggregation; the cumulative window runs over ≤ numBins rows.
+    """
+
+    weightCol = Param(Params._dummy(), "weightCol",
+                      "non-negative weight column",
+                      TypeConverters.toString)
+    numBins = Param(Params._dummy(), "numBins", "quantile buckets",
+                    TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(weightCol="weight", numBins=10)
+
+    def setWeightCol(self, v):
+        return self._set(weightCol=v)
+
+    def setNumBins(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"numBins must be >= 2, got {v}")
+        return self._set(numBins=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        k = self.getOrDefault(self.numBins)
+        w = F.col(self.getOrDefault(self.weightCol)).cast("double")
+        base = df.filter(w.isNotNull() & (w >= 0))
+        probs = F.array(*[F.lit(i / k) for i in range(1, k)])
+        row = base.agg(
+            F.transform(F.percentile(w, probs),
+                        lambda e: F.round(e, 6)).alias("es")).first()
+        edges = list(row["es"] or [])
+        if not edges:
+            raise ValueError("no non-null weights to fit on")
+        bucket = sum((w > F.lit(e)).cast("int") for e in edges)
+        per = (base.withColumn("__b", bucket)
+               .groupBy("__b")
+               .agg(F.count(F.lit(1)).alias("n_units"),
+                    F.sum(w).alias("bucket_weight")))
+        cw = Window.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        all_w = Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)
+        return per.select(
+            F.col("__b").alias("bucket"), "n_units", "bucket_weight",
+            (F.sum("n_units").over(cw)
+             / F.sum("n_units").over(all_w).cast("double"))
+            .alias("cum_pop_share"),
+            (F.sum("bucket_weight").over(cw)
+             / F.sum("bucket_weight").over(all_w))
+            .alias("cum_weight_share"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

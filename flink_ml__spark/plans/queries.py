@@ -11165,6 +11165,87 @@ FROM lineitem CROSS JOIN edges CROSS JOIN zt
 """
 
 
+def q_k_anonymity_events(spark, sf_dir):
+    """k-anonymity audit gate (k=5) over the (event_type, user-bucket)
+    quasi-identifier pair — equivalence classes, violations and the
+    risk summary replay exactly in SQL (NULLs group as values)."""
+    from flink_ml__spark.functions.linkage import KAnonymityAuditor
+
+    ev = load_table(spark, "events", sf_dir)
+    quasi = ev.select("event_type",
+                      (F.col("user_id") % 97).alias("user_bucket"))
+    out = (KAnonymityAuditor().setQuasiCols("event_type", "user_bucket")
+           .setK(5).evaluate(quasi))
+    return out.select("n_rows", "n_combos", "n_violating",
+                      "rows_at_risk",
+                      F.round("risk_share", R).alias("risk_share"),
+                      "min_class", "k")
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH cls AS (
+  SELECT event_type, user_id % 97 AS ub,
+         count(*)::BIGINT AS class_size
+  FROM events GROUP BY 1, 2)
+SELECT sum(class_size)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_combos,
+       sum((class_size < 5)::INT)::BIGINT AS n_violating,
+       sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT
+           AS rows_at_risk,
+       round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+             / sum(class_size)::DOUBLE, {R}) AS risk_share,
+       min(class_size) AS min_class, 5 AS k
+FROM cls
+"""
+
+
+def q_lorenz_events(spark, sf_dir):
+    """Lorenz-curve gate: per-user total value through 10 fitted
+    weight-decile buckets — edges, bucket table and both cumulative
+    shares replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import LorenzCurveAnalyzer
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("double")).alias("w"))
+    out = (LorenzCurveAnalyzer().setWeightCol("w").setNumBins(10)
+           .evaluate(units))
+    return out.select("bucket", "n_units",
+                      F.round("bucket_weight", R).alias("bucket_weight"),
+                      F.round("cum_pop_share", R).alias("cum_pop_share"),
+                      F.round("cum_weight_share", R)
+                      .alias("cum_weight_share"))
+
+
+ORACLE_LORENZ = f"""
+WITH units AS (
+  SELECT sum(value::DOUBLE) AS w FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
+u AS (SELECT w FROM units WHERE w >= 0),
+edges AS (
+  SELECT list_transform(
+             quantile_cont(w, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]),
+             e -> round(e, 6)) AS es
+  FROM u),
+per AS (
+  SELECT len(list_filter(es, e -> w > e)) AS b,
+         count(*)::BIGINT AS n_units, sum(w) AS bw
+  FROM u CROSS JOIN edges GROUP BY 1),
+cum AS (
+  SELECT *, sum(n_units) OVER (ORDER BY b) AS cn,
+         sum(bw) OVER (ORDER BY b) AS cw,
+         sum(n_units) OVER () AS tn, sum(bw) OVER () AS tw
+  FROM per)
+SELECT b AS bucket, n_units, round(bw, {R}) AS bucket_weight,
+       round(cn / tn::DOUBLE, {R}) AS cum_pop_share,
+       round(cw / tw, {R}) AS cum_weight_share
+FROM cum
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11419,6 +11500,8 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "k_anonymity_events": q_k_anonymity_events,
+    "lorenz_events": q_lorenz_events,
 }
 
 ORACLES = {
@@ -11684,4 +11767,6 @@ ORACLES = {
     "ratio_metric_events": ORACLE_RATIO_METRIC,
     "ratio_window_events": ORACLE_RATIO_WINDOW,
     "rank_gauss_lineitem": ORACLE_RANK_GAUSS,
+    "k_anonymity_events": ORACLE_K_ANONYMITY,
+    "lorenz_events": ORACLE_LORENZ,
 }

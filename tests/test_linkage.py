@@ -482,3 +482,31 @@ def test_referential_integrity_golden(spark):
     assert abs(r["orphan_rate"] - 0.25) < 1e-12
     with _pt.raises(ValueError, match="foreign"):
         ReferentialIntegrityChecker().check({})
+
+
+# ---------------------------------------------------------------------------
+# KAnonymityAuditor
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.linkage import KAnonymityAuditor
+    df = spark.createDataFrame(
+        [("90210", 30), ("90210", 30), ("90210", 30),   # class of 3
+         ("10001", 40), ("10001", 40),                  # class of 2
+         ("60601", 50),                                 # unique!
+         (None, 50), (None, 50)],                       # NULL is a value
+        "zip string, age int")
+    op = KAnonymityAuditor().setQuasiCols("zip", "age").setK(3)
+    r = op.evaluate(df).first()
+    assert r["n_rows"] == 8 and r["n_combos"] == 4
+    assert r["n_violating"] == 3 and r["rows_at_risk"] == 5
+    assert abs(r["risk_share"] - 5 / 8) < 1e-12
+    assert r["min_class"] == 1 and r["k"] == 3
+    v = {(x["zip"], x["age"]): x["class_size"]
+         for x in op.violations(df).collect()}
+    assert v == {("10001", 40): 2, ("60601", 50): 1, (None, 50): 2}
+    with _pt.raises(ValueError, match="k must"):
+        KAnonymityAuditor().setK(1)
+    with _pt.raises(ValueError, match="quasiCols"):
+        KAnonymityAuditor().setQuasiCols()

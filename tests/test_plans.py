@@ -1002,3 +1002,20 @@ def test_rank_gauss_apply_is_pure_projection(spark):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"l_orderkey", "l_linenumber",
                         "l_extendedprice"}, cols
+
+
+@pytest.mark.parametrize("name", ["k_anonymity_events", "lorenz_events"])
+def test_privacy_concentration_bounded_windows(spark, name):
+    """k-anonymity / Lorenz: one class/bucket aggregation; the windows
+    (cumulative + totals) run AFTER that aggregation, so they see the
+    bounded class/bucket table, never raw rows."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    if "Window" in plan:
+        # the plan prints top-down: a Window CONSUMING the bucket
+        # aggregate appears before its HashAggregate child
+        assert plan.index("Window") < plan.index("HashAggregate")
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_type", "user_id", "value"}, cols

@@ -916,3 +916,35 @@ def test_ratio_metric_delta_method_golden(spark):
     assert r["se"] is None and bool(r["significant"]) is False
     with _pt.raises(ValueError, match="differ"):
         RatioMetricAnalyzer().setVariants("a", "a")
+
+
+# ---------------------------------------------------------------------------
+# LorenzCurveAnalyzer
+# ---------------------------------------------------------------------------
+
+def test_lorenz_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import LorenzCurveAnalyzer
+    # perfectly equal weights: the curve IS the diagonal
+    eq = spark.createDataFrame([(float(5),)] * 8, "w double")
+    rows = (LorenzCurveAnalyzer().setWeightCol("w").setNumBins(4)
+            .evaluate(eq).collect())
+    # all ties share one bucket: single row at (1, 1)
+    assert len(rows) == 1
+    assert abs(rows[0]["cum_pop_share"] - 1.0) < 1e-12
+    assert abs(rows[0]["cum_weight_share"] - 1.0) < 1e-12
+    # concentrated: 7 units of 1 + one whale of 93
+    con = spark.createDataFrame(
+        [(1.0,)] * 7 + [(93.0,)], "w double")
+    out = (LorenzCurveAnalyzer().setWeightCol("w").setNumBins(4)
+           .evaluate(con).collect())
+    last = max(out, key=lambda r: r["bucket"])
+    first = min(out, key=lambda r: r["bucket"])
+    # the lightest bucket holds 7/8 of units but 7% of weight
+    assert first["n_units"] == 7
+    assert abs(first["cum_pop_share"] - 7 / 8) < 1e-12
+    assert abs(first["cum_weight_share"] - 0.07) < 1e-12
+    assert last["n_units"] == 1
+    assert abs(last["cum_weight_share"] - 1.0) < 1e-12
+    with _pt.raises(ValueError, match="numBins"):
+        LorenzCurveAnalyzer().setNumBins(1)
