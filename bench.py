@@ -259,6 +259,8 @@ HEADLINE = [
     "rank_gauss_lineitem",
     "k_anonymity_events",
     "lorenz_events",
+    "qq_events",
+    "eb_rates_events",
 ]
 
 

@@ -2064,3 +2064,164 @@ class LorenzCurveAnalyzer(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class QuantileComparison(AlgoOperator):
+    """QQ table between two slices of a metric: the quantiles of A
+    against the quantiles of B at a shared probability grid — the
+    distribution-level diff (is the whole distribution shifted, or
+    only the tail?) that a mean test cannot show, in table form
+    instead of a plot.
+
+    ``evaluate(df)`` returns one row per grid probability::
+
+        p          the probability
+        q_a, q_b   exact interpolated quantiles per side
+        diff       q_a − q_b
+        ratio      q_a / q_b (NULL when q_b = 0)
+
+    Scale shape: BOTH sides' full quantile grids come from ONE
+    aggregation (two array-percentile aggregates over conditional
+    inputs); the per-probability rows explode from the single result
+    row.
+    """
+
+    valueCol = Param(Params._dummy(), "valueCol", "metric column",
+                     TypeConverters.toString)
+    groupCol = Param(Params._dummy(), "groupCol", "slice label column",
+                     TypeConverters.toString)
+    groupA = Param(Params._dummy(), "groupA", "label of side A",
+                   TypeConverters.toString)
+    groupB = Param(Params._dummy(), "groupB", "label of side B",
+                   TypeConverters.toString)
+    probs = Param(Params._dummy(), "probs", "probability grid",
+                  TypeConverters.toListFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(valueCol="value", groupCol="group",
+                         probs=[i / 20 for i in range(1, 20)])
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setGroups(self, a: str, b: str):
+        if a == b:
+            raise ValueError("groupA and groupB must differ")
+        return self._set(groupA=a, groupB=b)
+
+    def setProbs(self, *v):
+        v = list(v[0]) if len(v) == 1 and not isinstance(
+            v[0], (int, float)) else list(v)
+        if not v or any(not 0 < p < 1 for p in v):
+            raise ValueError("probs must be in (0, 1)")
+        return self._set(probs=sorted(set(float(p) for p in v)))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        if (not self.isDefined(self.groupA)
+                or not self.isDefined(self.groupB)):
+            raise ValueError("setGroups(a, b) is required")
+        a = self.getOrDefault(self.groupA)
+        b = self.getOrDefault(self.groupB)
+        ps = self.getOrDefault(self.probs)
+        x = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        g = F.col(self.getOrDefault(self.groupCol)).cast("string")
+        base = df.filter(x.isNotNull() & g.isin(a, b))
+        grid = F.array(*[F.lit(p) for p in ps])
+        one = base.agg(
+            F.percentile(F.when(g == a, x), grid).alias("__qa"),
+            F.percentile(F.when(g == b, x), grid).alias("__qb"))
+        rows = F.explode(F.array(*[
+            F.struct(F.lit(p).alias("p"),
+                     F.element_at("__qa", i + 1).alias("q_a"),
+                     F.element_at("__qb", i + 1).alias("q_b"))
+            for i, p in enumerate(ps)]))
+        out = one.select(rows.alias("r")).select("r.p", "r.q_a", "r.q_b")
+        return out.select(
+            "p", "q_a", "q_b",
+            (F.col("q_a") - F.col("q_b")).alias("diff"),
+            F.when(F.col("q_b") != 0,
+                   F.col("q_a") / F.col("q_b")).alias("ratio"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class EmpiricalBayesRateShrinker(AlgoOperator):
+    """Beta-binomial empirical-Bayes shrinkage of per-group rates
+    (Robbins 1956; Efron & Morris 1975; the baseball-batting-average
+    classic): small groups' raw rates are noise, so shrink every
+    group toward the corpus prior with strength proportional to the
+    prior's concentration — ``(successes + α) / (trials + α + β)``,
+    with (α, β) moment-matched from the observed rate distribution.
+
+    ``transform(df_grouped)`` expects ONE ROW PER GROUP with
+    ``trialsCol`` and ``successCol`` and appends::
+
+        raw_rate        successes / trials
+        shrunk_rate     (successes + α) / (trials + α + β)
+
+    ``prior(df_grouped)`` returns the fitted one-row (α, β, mean,
+    var, n_groups) table. Moment matching uses the UNWEIGHTED mean
+    and variance of per-group raw rates (groups with 0 trials drop);
+    a degenerate variance (var ≤ mean(1−mean)/∞ → 0) yields NULL
+    α/β and shrunk = raw (no false shrinkage).
+
+    Scale shape: one 1-row moment aggregation over the group table +
+    a codegen projection — the group table is already aggregated
+    upstream, so nothing here is data-sized.
+    """
+
+    trialsCol = Param(Params._dummy(), "trialsCol",
+                      "per-group trial count", TypeConverters.toString)
+    successCol = Param(Params._dummy(), "successCol",
+                       "per-group success count", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(trialsCol="trials", successCol="successes")
+
+    def setTrialsCol(self, v):
+        return self._set(trialsCol=v)
+
+    def setSuccessCol(self, v):
+        return self._set(successCol=v)
+
+    def _fit(self, df: DataFrame):
+        n = F.col(self.getOrDefault(self.trialsCol)).cast("double")
+        s = F.col(self.getOrDefault(self.successCol)).cast("double")
+        base = df.filter(n.isNotNull() & s.isNotNull() & (n > 0))
+        r = s / n
+        m = base.agg(F.count(F.lit(1)).alias("n_groups"),
+                     F.avg(r).alias("mean"),
+                     F.var_samp(r).alias("var")).first()
+        mean, var = m["mean"], m["var"]
+        if (mean is None or var is None or var <= 0
+                or not 0 < mean < 1
+                or var >= mean * (1 - mean)):
+            return m["n_groups"], mean, var, None, None
+        k = mean * (1 - mean) / var - 1
+        return m["n_groups"], mean, var, mean * k, (1 - mean) * k
+
+    def prior(self, df: DataFrame) -> DataFrame:
+        ng, mean, var, alpha, beta = self._fit(df)
+        return df.sparkSession.createDataFrame(
+            [(ng, mean, var, alpha, beta)],
+            "n_groups long, mean double, var double, "
+            "alpha double, beta double")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ng, mean, var, alpha, beta = self._fit(df)
+        n = F.col(self.getOrDefault(self.trialsCol)).cast("double")
+        s = F.col(self.getOrDefault(self.successCol)).cast("double")
+        raw = F.when(n > 0, s / n)
+        if alpha is None:
+            shrunk = raw
+        else:
+            shrunk = F.when(
+                n > 0, (s + F.lit(alpha)) / (n + F.lit(alpha + beta)))
+        return (df.withColumn("raw_rate", raw)
+                .withColumn("shrunk_rate", shrunk))

@@ -11246,6 +11246,95 @@ FROM cum
 """
 
 
+def q_qq_events(spark, sf_dir):
+    """QQ-table gate: purchase vs click values at 19 vigintiles —
+    both conditional quantile grids come from ONE aggregation and
+    replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import QuantileComparison
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull())
+    out = (QuantileComparison().setValueCol("value")
+           .setGroupCol("event_type").setGroups("purchase", "click")
+           .evaluate(ev))
+    return out.select(F.round("p", R).alias("p"),
+                      F.round("q_a", R).alias("q_a"),
+                      F.round("q_b", R).alias("q_b"),
+                      F.round("diff", R).alias("diff"),
+                      F.round("ratio", R).alias("ratio"))
+
+
+_QQ_PROBS = ", ".join(repr(i / 20) for i in range(1, 20))
+
+ORACLE_QQ = f"""
+WITH g AS (
+  SELECT quantile_cont(CASE WHEN event_type = 'purchase'
+                            THEN value::DOUBLE END,
+                       [{_QQ_PROBS}]) AS qa,
+         quantile_cont(CASE WHEN event_type = 'click'
+                            THEN value::DOUBLE END,
+                       [{_QQ_PROBS}]) AS qb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+rows_t AS (
+  SELECT unnest([{_QQ_PROBS}]::DOUBLE[]) AS p, unnest(qa) AS q_a,
+         unnest(qb) AS q_b
+  FROM g)
+SELECT round(p, {R}) AS p, round(q_a, {R}) AS q_a,
+       round(q_b, {R}) AS q_b, round(q_a - q_b, {R}) AS diff,
+       round(CASE WHEN q_b <> 0 THEN q_a / q_b END, {R}) AS ratio
+FROM rows_t
+"""
+
+
+def q_eb_rates_events(spark, sf_dir):
+    """Empirical-Bayes rate-shrinkage gate: per (event_type,
+    user-bucket) group, the rate of high-value events (> 50) shrunk
+    toward the moment-matched beta prior — the prior fit and every
+    posterior rate replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import EmpiricalBayesRateShrinker
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull())
+    groups = (ev.groupBy("event_type",
+                         (F.col("user_id") % 25).alias("ub"))
+              .agg(F.count(F.lit(1)).alias("trials"),
+                   F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+                   .alias("successes")))
+    out = (EmpiricalBayesRateShrinker().setTrialsCol("trials")
+           .setSuccessCol("successes").transform(groups))
+    return out.select("event_type", "ub", "trials", "successes",
+                      F.round("raw_rate", R).alias("raw_rate"),
+                      F.round("shrunk_rate", R).alias("shrunk_rate"))
+
+
+ORACLE_EB_RATES = f"""
+WITH groups AS (
+  SELECT event_type, user_id % 25 AS ub, count(*)::BIGINT AS trials,
+         sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT
+             AS successes
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+prior AS (
+  SELECT avg(successes / trials::DOUBLE) AS m,
+         var_samp(successes / trials::DOUBLE) AS v
+  FROM groups WHERE trials > 0),
+ab AS (
+  SELECT m, v,
+         m * (m * (1 - m) / v - 1) AS alpha,
+         (1 - m) * (m * (1 - m) / v - 1) AS beta
+  FROM prior)
+SELECT event_type, ub, trials, successes,
+       round(successes / trials::DOUBLE, {R}) AS raw_rate,
+       round((successes + alpha) / (trials + alpha + beta), {R})
+           AS shrunk_rate
+FROM groups CROSS JOIN ab
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11502,6 +11591,8 @@ QUERIES = {
     "grouped_scale_events": q_grouped_scale_events,
     "k_anonymity_events": q_k_anonymity_events,
     "lorenz_events": q_lorenz_events,
+    "qq_events": q_qq_events,
+    "eb_rates_events": q_eb_rates_events,
 }
 
 ORACLES = {
@@ -11769,4 +11860,6 @@ ORACLES = {
     "rank_gauss_lineitem": ORACLE_RANK_GAUSS,
     "k_anonymity_events": ORACLE_K_ANONYMITY,
     "lorenz_events": ORACLE_LORENZ,
+    "qq_events": ORACLE_QQ,
+    "eb_rates_events": ORACLE_EB_RATES,
 }

@@ -1019,3 +1019,25 @@ def test_privacy_concentration_bounded_windows(spark, name):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"event_type", "user_id", "value"}, cols
+
+
+def test_qq_single_aggregation_both_grids(spark):
+    """QQ table: both conditional quantile grids come from ONE
+    aggregation over ONE scan; per-probability rows explode from the
+    single result row."""
+    plan = _plan(spark, "qq_events")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_eb_rates_group_table_only(spark):
+    """EB shrinkage: the prior fit and the posterior projection both
+    run on the GROUP table — one group aggregation is the only
+    data-sized stage; the prior's literals fold into the plan."""
+    plan = _plan(spark, "eb_rates_events")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"event_type", "user_id", "value"}, cols

@@ -948,3 +948,67 @@ def test_lorenz_golden(spark):
     assert abs(last["cum_weight_share"] - 1.0) < 1e-12
     with _pt.raises(ValueError, match="numBins"):
         LorenzCurveAnalyzer().setNumBins(1)
+
+
+# ---------------------------------------------------------------------------
+# QuantileComparison / EmpiricalBayesRateShrinker
+# ---------------------------------------------------------------------------
+
+def test_qq_comparison_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import QuantileComparison
+    # B = 2*A + 1 exactly: every quantile must satisfy q_b = 2 q_a + 1
+    rows = [("a", float(i)) for i in range(1, 22)] + \
+           [("b", float(2 * i + 1)) for i in range(1, 22)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = (QuantileComparison().setValueCol("v").setGroupCol("g")
+           .setGroups("a", "b").setProbs(0.25, 0.5, 0.75)
+           .evaluate(df).collect())
+    assert len(out) == 3
+    for r in out:
+        assert abs(r["q_b"] - (2 * r["q_a"] + 1)) < 1e-9
+        assert abs(r["diff"] - (r["q_a"] - r["q_b"])) < 1e-12
+    med = [r for r in out if r["p"] == 0.5][0]
+    assert abs(med["q_a"] - 11.0) < 1e-12 and abs(med["q_b"] - 23.0) < 1e-12
+    with _pt.raises(ValueError, match="probs"):
+        QuantileComparison().setProbs(0.0)
+    with _pt.raises(ValueError, match="setGroups"):
+        QuantileComparison().evaluate(df)
+
+
+def test_eb_shrinkage_pulls_small_groups_to_prior(spark):
+    from flink_ml__spark.functions.stats import EmpiricalBayesRateShrinker
+    # many mid-size groups around rate ~0.3 plus one tiny extreme group
+    rows = [(f"g{i}", 100, 25 + (i % 11)) for i in range(30)]
+    rows.append(("tiny", 2, 2))      # raw rate 1.0 on 2 trials
+    rows.append(("empty", 0, 0))     # no trials -> NULL rates
+    df = spark.createDataFrame(rows, "g string, trials int, successes int")
+    op = (EmpiricalBayesRateShrinker().setTrialsCol("trials")
+          .setSuccessCol("successes"))
+    pr = op.prior(df).first()
+    assert pr["alpha"] is not None and pr["alpha"] > 0
+    out = {r["g"]: r for r in op.transform(df).collect()}
+    t = out["tiny"]
+    # the extreme tiny group shrinks far toward the ~0.3 prior mean
+    assert t["raw_rate"] == 1.0
+    assert t["shrunk_rate"] < 0.6
+    # a big group barely moves
+    g0 = out["g0"]
+    assert abs(g0["shrunk_rate"] - g0["raw_rate"]) < 0.05
+    assert out["empty"]["raw_rate"] is None
+    # exact posterior formula
+    a, b = pr["alpha"], pr["beta"]
+    assert abs(t["shrunk_rate"] - (2 + a) / (2 + a + b)) < 1e-12
+
+
+def test_eb_shrinkage_degenerate_variance_no_false_shrink(spark):
+    from flink_ml__spark.functions.stats import EmpiricalBayesRateShrinker
+    # identical rates -> zero variance -> shrunk == raw
+    df = spark.createDataFrame(
+        [("a", 10, 5), ("b", 20, 10)], "g string, trials int, successes int")
+    op = EmpiricalBayesRateShrinker().setTrialsCol("trials") \
+        .setSuccessCol("successes")
+    assert op.prior(df).first()["alpha"] is None
+    out = {r["g"]: r for r in op.transform(df).collect()}
+    assert all(out[g]["shrunk_rate"] == out[g]["raw_rate"]
+               for g in ("a", "b"))
