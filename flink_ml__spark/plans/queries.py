@@ -11424,6 +11424,10 @@ QUERIES = {
     "ratio_metric_events": q_ratio_metric_events,
     "ratio_window_events": q_ratio_window_events,
     "rank_gauss_lineitem": q_rank_gauss_lineitem,
+    "k_anonymity_events": q_k_anonymity_events,
+    "lorenz_events": q_lorenz_events,
+    "qq_events": q_qq_events,
+    "eb_rates_events": q_eb_rates_events,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11589,10 +11593,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "k_anonymity_events": q_k_anonymity_events,
-    "lorenz_events": q_lorenz_events,
-    "qq_events": q_qq_events,
-    "eb_rates_events": q_eb_rates_events,
 }
 
 ORACLES = {
