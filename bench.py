@@ -261,6 +261,7 @@ HEADLINE = [
     "lorenz_events",
     "qq_events",
     "eb_rates_events",
+    "ltv_events",
 ]
 
 

@@ -2003,3 +2003,97 @@ class WeibullFitter(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class CohortValueCurve(AlgoOperator):
+    """Cohort LTV curve: cumulative value per cohort member by cohort
+    age — the money companion to :class:`CohortRetention` ("a January
+    signup is worth X by week 4"), the payback/LTV readout every
+    acquisition decision runs on.
+
+    Users cohort by the bucket of their FIRST event (same rule as the
+    retention matrix); per (cohort, age) the curve accumulates the
+    cohort's TOTAL value through that age divided by cohort size::
+
+        cohort_start    timestamp of the cohort bucket
+        age             bucket offset ≥ 0
+        bucket_value    value the cohort generated IN that bucket
+        cum_value       cohort value through that age
+        cohort_size     distinct users in the cohort
+        ltv             cum_value / cohort_size
+
+    Ages are densified per cohort (a bucket with no value still emits
+    a row, carrying the running total) so every curve is contiguous.
+
+    100 TB design: one (user, bucket) value aggregation (the only
+    event-volume shuffle), per-user min bucket, one (cohort, age)
+    aggregation, then a per-cohort ``sequence`` explode densifies to
+    O(cells) and ONE cohort-partitioned window accumulates — no
+    data-sized window, same shape as the gap-filled rollup.
+    """
+
+    timeCol = Param(Params._dummy(), "timeCol", "event-time column",
+                    TypeConverters.toString)
+    userCol = Param(Params._dummy(), "userCol", "user id column",
+                    TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol", "value column",
+                     TypeConverters.toString)
+    bucketWidthSec = Param(Params._dummy(), "bucketWidthSec",
+                           "cohort/age bucket width in seconds",
+                           TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(timeCol="ts", userCol="user_id",
+                         valueCol="value", bucketWidthSec=7 * 86400.0)
+
+    def setTimeCol(self, v):
+        return self._set(timeCol=v)
+
+    def setUserCol(self, v):
+        return self._set(userCol=v)
+
+    def setValueCol(self, v):
+        return self._set(valueCol=v)
+
+    def setBucketWidthSec(self, v):
+        v = float(v)
+        if v <= 0:
+            raise ValueError("bucketWidthSec must be > 0")
+        return self._set(bucketWidthSec=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.getOrDefault(self.timeCol)
+        u = self.getOrDefault(self.userCol)
+        v = F.col(self.getOrDefault(self.valueCol)).cast("double")
+        bw_us = int(self.getOrDefault(self.bucketWidthSec) * 1_000_000)
+        bk = F.floor(F.unix_micros(F.col(t).cast("timestamp")) / bw_us)
+        per_ub = (df.filter(F.col(t).isNotNull()
+                            & F.col(u).isNotNull() & v.isNotNull())
+                  .groupBy(F.col(u).alias("__u"), bk.alias("__bk"))
+                  .agg(F.sum(v).alias("__v")))
+        cohorts = per_ub.groupBy("__u").agg(F.min("__bk").alias("__c"))
+        sizes = cohorts.groupBy("__c").agg(
+            F.count(F.lit(1)).alias("cohort_size"))
+        cells = (per_ub.join(cohorts, "__u")
+                 .groupBy("__c", (F.col("__bk") - F.col("__c"))
+                          .alias("__age"))
+                 .agg(F.sum("__v").alias("__bv")))
+        span = cells.groupBy("__c").agg(F.max("__age").alias("__mx"))
+        dense = (span.select("__c", F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("__mx")))
+            .alias("__age")))
+        filled = (dense.join(cells, ["__c", "__age"], "left")
+                  .withColumn("__bv", F.coalesce("__bv", F.lit(0.0))))
+        w = (Window.partitionBy("__c").orderBy("__age")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (filled.withColumn("cum_value", F.sum("__bv").over(w))
+               .join(sizes, "__c"))
+        return out.select(
+            F.timestamp_micros((F.col("__c") * bw_us).cast("bigint"))
+            .alias("cohort_start"),
+            F.col("__age").alias("age"),
+            F.col("__bv").alias("bucket_value"), "cum_value",
+            "cohort_size",
+            (F.col("cum_value") / F.col("cohort_size"))
+            .alias("ltv"))

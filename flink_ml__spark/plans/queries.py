@@ -11335,6 +11335,54 @@ FROM groups CROSS JOIN ab
 """
 
 
+def q_ltv_events(spark, sf_dir):
+    """Cohort-LTV gate (7-day buckets): user/bucket value rollup,
+    first-bucket cohorting, densified ages and the cumulative
+    per-member curve all replay exactly in SQL."""
+    from flink_ml__spark.functions.timeseries import CohortValueCurve
+
+    ev = load_table(spark, "events", sf_dir)
+    out = (CohortValueCurve().setBucketWidthSec(7 * 86400.0)
+           .transform(ev))
+    return out.select(F.unix_micros("cohort_start").alias("cohort_us"),
+                      "age",
+                      F.round("bucket_value", R).alias("bucket_value"),
+                      F.round("cum_value", R).alias("cum_value"),
+                      "cohort_size", F.round("ltv", R).alias("ltv"))
+
+
+_WK_US = 7 * 86_400_000_000
+
+ORACLE_LTV = f"""
+WITH per_ub AS (
+  SELECT user_id AS u, epoch_us(ts) // {_WK_US} AS bk,
+         sum(value::DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+cohorts AS (SELECT u, min(bk) AS c FROM per_ub GROUP BY 1),
+sizes AS (SELECT c, count(*)::BIGINT AS cohort_size
+          FROM cohorts GROUP BY 1),
+cells AS (
+  SELECT cohorts.c, per_ub.bk - cohorts.c AS age, sum(v) AS bv
+  FROM per_ub JOIN cohorts ON per_ub.u = cohorts.u
+  GROUP BY 1, 2),
+span AS (SELECT c, max(age) AS mx FROM cells GROUP BY 1),
+dense AS (SELECT c, unnest(generate_series(0, mx)) AS age FROM span),
+filled AS (
+  SELECT dense.c, dense.age, coalesce(cells.bv, 0.0) AS bv
+  FROM dense LEFT JOIN cells ON dense.c = cells.c
+                             AND dense.age = cells.age),
+cum AS (
+  SELECT *, sum(bv) OVER (PARTITION BY c ORDER BY age) AS cv
+  FROM filled)
+SELECT (cum.c * {_WK_US})::BIGINT AS cohort_us, age,
+       round(bv, {R}) AS bucket_value, round(cv, {R}) AS cum_value,
+       cohort_size, round(cv / cohort_size, {R}) AS ltv
+FROM cum JOIN sizes ON cum.c = sizes.c
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11593,6 +11641,7 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "ltv_events": q_ltv_events,
 }
 
 ORACLES = {
@@ -11862,4 +11911,5 @@ ORACLES = {
     "lorenz_events": ORACLE_LORENZ,
     "qq_events": ORACLE_QQ,
     "eb_rates_events": ORACLE_EB_RATES,
+    "ltv_events": ORACLE_LTV,
 }

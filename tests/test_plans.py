@@ -1041,3 +1041,18 @@ def test_eb_rates_group_table_only(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"event_type", "user_id", "value"}, cols
+
+
+def test_ltv_no_data_sized_window(spark):
+    """Cohort LTV: the cumulative window partitions by cohort over the
+    densified CELL table; the event-volume work is hash aggregations;
+    no cartesian, no Python."""
+    import re as _re
+    plan = _plan(spark, "ltv_events")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__c" in s for s in specs), specs
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"user_id", "ts", "value"}, cols

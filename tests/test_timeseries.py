@@ -1110,3 +1110,46 @@ def test_weibull_exact_exponential(spark):
     assert abs(r["weibull_shape"] - k_true) < 0.15
     assert abs(r["weibull_scale"] - lam) < 0.2
     assert r["fit_r2"] > 0.99
+
+
+# ---------------------------------------------------------------------------
+# CohortValueCurve
+# ---------------------------------------------------------------------------
+
+def test_cohort_value_curve_golden(spark):
+    import datetime as _dt
+    import pytest as _pt
+    from flink_ml__spark.functions.timeseries import CohortValueCurve
+    base = _dt.datetime(2024, 1, 4)  # epoch-aligned 7-day buckets
+
+    def ev(u, d, v):
+        return (u, base + _dt.timedelta(days=d), float(v))
+
+    # users 1,2 cohort together; user 1 skips age 1 then returns at 2
+    df = spark.createDataFrame(
+        [ev(1, 0, 10), ev(2, 1, 20),          # age 0: 30
+         ev(2, 8, 5),                          # age 1: 5
+         ev(1, 15, 7),                         # age 2: 7
+         ev(3, 15, 100)],                      # separate cohort
+        "user_id long, ts timestamp, value double")
+    out = (CohortValueCurve().setBucketWidthSec(7 * 86400.0)
+           .transform(df))
+    rows = {(r["cohort_start"].day, r["age"]): r for r in out.collect()}
+    c0 = [rows[(4, a)] for a in (0, 1, 2)]
+    assert [r["bucket_value"] for r in c0] == [30.0, 5.0, 7.0]
+    assert [r["cum_value"] for r in c0] == [30.0, 35.0, 42.0]
+    assert all(r["cohort_size"] == 2 for r in c0)
+    assert abs(c0[2]["ltv"] - 21.0) < 1e-12
+    # the later cohort has its own age-0 row
+    assert rows[(18, 0)]["cohort_size"] == 1
+    assert rows[(18, 0)]["ltv"] == 100.0
+    # gap densification: a cohort with a hole still emits the row
+    hole = spark.createDataFrame(
+        [ev(9, 0, 1), ev(9, 15, 1)],
+        "user_id long, ts timestamp, value double")
+    h = {r["age"]: r for r in
+         (CohortValueCurve().setBucketWidthSec(7 * 86400.0)
+          .transform(hole).collect())}
+    assert h[1]["bucket_value"] == 0.0 and h[1]["cum_value"] == 1.0
+    with _pt.raises(ValueError, match="bucketWidthSec"):
+        CohortValueCurve().setBucketWidthSec(0)
