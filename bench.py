@@ -262,6 +262,7 @@ HEADLINE = [
     "qq_events",
     "eb_rates_events",
     "ltv_events",
+    "holm_events",
 ]
 
 

@@ -1627,10 +1627,19 @@ class FdrController(AlgoOperator):
     tieCols = Param(Params._dummy(), "tieCols",
                     "deterministic tie-break columns for the rank",
                     TypeConverters.toListString)
+    method = Param(Params._dummy(), "method",
+                   "'bh' (FDR) or 'holm' (step-down FWER)",
+                   TypeConverters.toString)
 
     def __init__(self):
         super().__init__()
-        self._setDefault(pCol="p_value", alpha=0.05, tieCols=[])
+        self._setDefault(pCol="p_value", alpha=0.05, tieCols=[],
+                         method="bh")
+
+    def setMethod(self, v):
+        if v not in ("bh", "holm"):
+            raise ValueError(f"method must be 'bh' or 'holm', got {v!r}")
+        return self._set(method=v)
 
     def setPCol(self, v):
         return self._set(pCol=v)
@@ -1659,12 +1668,22 @@ class FdrController(AlgoOperator):
                                Window.unboundedFollowing))
         ranked = (base.withColumn("p_rank", F.row_number().over(w_rank))
                   .withColumn("__n", n))
-        cand = F.least(F.lit(1.0),
-                       p * F.col("__n") / F.col("p_rank"))
-        w_suffix = (Window.orderBy(F.col("p_rank"))
-                    .rowsBetween(Window.currentRow,
-                                 Window.unboundedFollowing))
-        q = F.min(cand).over(w_suffix)
+        if self.getOrDefault(self.method) == "holm":
+            # step-down FWER: adjusted p_i = max_{j <= i} min(1,
+            # p_j (n - j + 1)) — a prefix MAX instead of BH's suffix min
+            cand = F.least(F.lit(1.0),
+                           p * (F.col("__n") - F.col("p_rank") + 1))
+            w_prefix = (Window.orderBy(F.col("p_rank"))
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow))
+            q = F.max(cand).over(w_prefix)
+        else:
+            cand = F.least(F.lit(1.0),
+                           p * F.col("__n") / F.col("p_rank"))
+            w_suffix = (Window.orderBy(F.col("p_rank"))
+                        .rowsBetween(Window.currentRow,
+                                     Window.unboundedFollowing))
+            q = F.min(cand).over(w_suffix)
         return (ranked.withColumn("q_value", q)
                 .withColumn("discovery", F.col("q_value") <= a)
                 .drop("__n"))

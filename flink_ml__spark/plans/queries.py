@@ -11383,6 +11383,37 @@ FROM cum JOIN sizes ON cum.c = sizes.c
 """
 
 
+def q_holm_events(spark, sf_dir):
+    """Holm step-down FWER gate over the same windowed-KS battery as
+    the BH gate — the prefix-max adjusted p-values and discoveries
+    replay exactly in SQL."""
+    from flink_ml__spark.functions.stats import FdrController
+
+    base = q_ks_window_events(spark, sf_dir)
+    out = (FdrController().setPCol("p_value").setAlpha(0.05)
+           .setMethod("holm").setTieCols("win_us").transform(base))
+    return out.select("win_us", "p_value", "p_rank",
+                      F.round("q_value", R).alias("q_value"),
+                      "discovery")
+
+
+ORACLE_HOLM = f"""
+WITH ks AS ({ORACLE_KS_WINDOW}),
+t AS (SELECT win_us, p_value FROM ks
+      WHERE p_value IS NOT NULL AND p_value BETWEEN 0 AND 1),
+r AS (SELECT *, row_number() OVER (ORDER BY p_value, win_us) AS p_rank,
+             count(*) OVER () AS n
+      FROM t),
+q AS (SELECT *, max(least(1.0, p_value * (n - p_rank + 1)))
+                OVER (ORDER BY p_rank ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS q_value
+      FROM r)
+SELECT win_us, p_value, p_rank, round(q_value, {R}) AS q_value,
+       q_value <= 0.05 AS discovery
+FROM q
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11642,6 +11673,7 @@ QUERIES = {
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
     "ltv_events": q_ltv_events,
+    "holm_events": q_holm_events,
 }
 
 ORACLES = {
@@ -11912,4 +11944,5 @@ ORACLES = {
     "qq_events": ORACLE_QQ,
     "eb_rates_events": ORACLE_EB_RATES,
     "ltv_events": ORACLE_LTV,
+    "holm_events": ORACLE_HOLM,
 }

@@ -1012,3 +1012,26 @@ def test_eb_shrinkage_degenerate_variance_no_false_shrink(spark):
     out = {r["g"]: r for r in op.transform(df).collect()}
     assert all(out[g]["shrunk_rate"] == out[g]["raw_rate"]
                for g in ("a", "b"))
+
+
+def test_holm_stepdown_golden(spark):
+    import pytest as _pt
+    from flink_ml__spark.functions.stats import FdrController
+    # classic: p = [0.01, 0.02, 0.03], n=3, alpha=0.05
+    # holm adjusted: max-prefix of [0.03, 0.04, 0.03] = [.03, .04, .04]
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03)],
+        "test string, p_value double")
+    out = {r["test"]: r for r in
+           (FdrController().setAlpha(0.05).setMethod("holm")
+            .setTieCols("test").transform(df).collect())}
+    assert abs(out["a"]["q_value"] - 0.03) < 1e-12
+    assert abs(out["b"]["q_value"] - 0.04) < 1e-12
+    assert abs(out["c"]["q_value"] - 0.04) < 1e-12
+    assert all(out[k]["discovery"] for k in "abc")
+    # holm is never more liberal than bonferroni's first step and is
+    # monotone non-decreasing in rank
+    assert out["a"]["q_value"] <= out["b"]["q_value"] \
+        <= out["c"]["q_value"]
+    with _pt.raises(ValueError, match="method"):
+        FdrController().setMethod("hochberg")
