@@ -11507,6 +11507,8 @@ QUERIES = {
     "lorenz_events": q_lorenz_events,
     "qq_events": q_qq_events,
     "eb_rates_events": q_eb_rates_events,
+    "ltv_events": q_ltv_events,
+    "holm_events": q_holm_events,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11672,8 +11674,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "ltv_events": q_ltv_events,
-    "holm_events": q_holm_events,
 }
 
 ORACLES = {
