@@ -263,6 +263,8 @@ HEADLINE = [
     "eb_rates_events",
     "ltv_events",
     "holm_events",
+    "ess_documents",
+    "chao1_documents",
 ]
 
 

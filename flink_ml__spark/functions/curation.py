@@ -3248,3 +3248,96 @@ class KneserNeyBigramLM(BigramLM):
             self.getOrDefault(self.discount))
         model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
         return model
+
+
+class EffectiveSampleSize(AlgoOperator):
+    """Kish effective sample size of a weighted corpus (Kish 1965):
+    ``ESS = (Σw)² / Σw²`` — the number every importance-weighted
+    training run (DSIR weights, domain mixtures, dedup survivorship
+    weights) should report, because a 10M-document corpus whose
+    weights concentrate on 50k documents trains like 50k documents.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n          rows with a usable (non-null, > 0) weight
+        sum_w      total weight
+        ess        (Σw)²/Σw²
+        ess_ratio  ess / n (1 = uniform weights, → 0 = concentrated)
+
+    Scale shape: ONE two-accumulator aggregation.
+    """
+
+    weightCol = Param(Params._dummy(), "weightCol",
+                      "positive weight column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(weightCol="weight")
+
+    def setWeightCol(self, v):
+        return self._set(weightCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        w = F.col(self.getOrDefault(self.weightCol)).cast("double")
+        m = df.filter(w.isNotNull() & (w > 0)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(w).alias("sum_w"),
+            F.sum(w * w).alias("__ww"))
+        ess = F.when(F.col("__ww") > 0,
+                     F.col("sum_w") * F.col("sum_w") / F.col("__ww"))
+        return m.select("n", "sum_w", ess.alias("ess"),
+                        F.when(F.col("n") > 0, ess / F.col("n"))
+                        .alias("ess_ratio"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)
+
+
+class Chao1VocabularyEstimator(AlgoOperator, HasInputCol):
+    """Chao1 richness estimate of the UNSEEN vocabulary (Chao 1984):
+    from the observed type counts, ``V̂ = V + F1²/(2·F2)`` where F1/F2
+    are the singleton/doubleton counts — "how many word types would we
+    see with infinite data", the coverage question Heaps' law answers
+    by extrapolation and Chao1 answers nonparametrically.
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_tokens     token occurrences
+        n_types      observed vocabulary
+        f1, f2       singletons / doubletons
+        chao1        V + F1²/(2F2); the bias-corrected
+                     V + F1(F1−1)/2 when F2 = 0
+        coverage     Good-Turing corpus coverage 1 − F1/n_tokens
+
+    Scale shape: token counts in one hash aggregation (vocabulary-
+    sized), then a 1-row fold over the count-of-counts.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text")
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(self.getInputCol())), TOKEN_SPLIT),
+            lambda t: t != "")
+        counts = (df.filter(F.col(self.getInputCol()).isNotNull())
+                  .select(F.explode(toks).alias("__t"))
+                  .groupBy("__t")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        m = counts.agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("__c") == 1).cast("int")).alias("f1"),
+            F.sum((F.col("__c") == 2).cast("int")).alias("f2"))
+        f1 = F.col("f1").cast("double")
+        f2 = F.col("f2").cast("double")
+        chao = F.when(f2 > 0, F.col("n_types") + f1 * f1 / (2 * f2)) \
+            .otherwise(F.col("n_types") + f1 * (f1 - 1) / 2)
+        cov = F.when(F.col("n_tokens") > 0,
+                     1 - f1 / F.col("n_tokens"))
+        return m.select("n_tokens", "n_types", "f1", "f2",
+                        chao.alias("chao1"), cov.alias("coverage"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

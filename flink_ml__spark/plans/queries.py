@@ -11414,6 +11414,67 @@ FROM q
 """
 
 
+def q_ess_documents(spark, sf_dir):
+    """Kish effective-sample-size gate over the n_chars weighting —
+    one two-accumulator aggregation, replayed exactly in SQL."""
+    from flink_ml__spark.functions.curation import EffectiveSampleSize
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (EffectiveSampleSize().setWeightCol("n_chars")
+           .evaluate(docs))
+    return out.select("n", F.round("sum_w", R).alias("sum_w"),
+                      F.round("ess", R).alias("ess"),
+                      F.round("ess_ratio", R).alias("ess_ratio"))
+
+
+ORACLE_ESS = f"""
+WITH m AS (
+  SELECT count(*)::BIGINT AS n, sum(n_chars::DOUBLE) AS sw,
+         sum(n_chars::DOUBLE * n_chars) AS ww
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT n, round(sw, {R}) AS sum_w,
+       round(CASE WHEN ww > 0 THEN sw * sw / ww END, {R}) AS ess,
+       round(CASE WHEN n > 0 AND ww > 0
+                  THEN sw * sw / ww / n END, {R}) AS ess_ratio
+FROM m
+"""
+
+
+def q_chao1_documents(spark, sf_dir):
+    """Chao1 unseen-vocabulary gate: singleton/doubleton counts and
+    the richness estimate replay exactly in SQL."""
+    from flink_ml__spark.functions.curation import (
+        Chao1VocabularyEstimator,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = Chao1VocabularyEstimator().evaluate(docs)
+    return out.select("n_tokens", "n_types", "f1", "f2",
+                      F.round("chao1", R).alias("chao1"),
+                      F.round("coverage", R).alias("coverage"))
+
+
+ORACLE_CHAO1 = f"""
+WITH toks AS (SELECT {_TOK_SQL} AS toks FROM documents
+              WHERE text IS NOT NULL),
+counts AS (SELECT unnest(toks) AS t FROM toks),
+cc AS (SELECT t, count(*)::BIGINT AS c FROM counts GROUP BY 1),
+m AS (
+  SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum((c = 1)::INT)::BIGINT AS f1,
+         sum((c = 2)::INT)::BIGINT AS f2
+  FROM cc)
+SELECT n_tokens, n_types, f1, f2,
+       round(CASE WHEN f2 > 0
+                  THEN n_types + f1 * f1 / (2.0 * f2)
+                  ELSE n_types + f1 * (f1 - 1) / 2.0 END, {R})
+           AS chao1,
+       round(CASE WHEN n_tokens > 0
+                  THEN 1 - f1 / n_tokens::DOUBLE END, {R}) AS coverage
+FROM m
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11674,6 +11735,8 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "ess_documents": q_ess_documents,
+    "chao1_documents": q_chao1_documents,
 }
 
 ORACLES = {
@@ -11945,4 +12008,6 @@ ORACLES = {
     "eb_rates_events": ORACLE_EB_RATES,
     "ltv_events": ORACLE_LTV,
     "holm_events": ORACLE_HOLM,
+    "ess_documents": ORACLE_ESS,
+    "chao1_documents": ORACLE_CHAO1,
 }

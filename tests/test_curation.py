@@ -1419,3 +1419,43 @@ def test_kneser_ney_sums_to_one_and_ranks_fluency(spark):
     assert abs(total - 1.0) < 1e-9
     with _pt.raises(ValueError, match="discount"):
         KneserNeyBigramLM().setDiscount(1.0)
+
+
+# ---------------------------------------------------------------------------
+# EffectiveSampleSize / Chao1VocabularyEstimator
+# ---------------------------------------------------------------------------
+
+def test_ess_golden(spark):
+    from flink_ml__spark.functions.curation import EffectiveSampleSize
+    # uniform weights: ESS == n
+    eq = spark.createDataFrame([(2.0,)] * 5, "w double")
+    r = EffectiveSampleSize().setWeightCol("w").evaluate(eq).first()
+    assert r["n"] == 5 and abs(r["ess"] - 5.0) < 1e-12
+    assert abs(r["ess_ratio"] - 1.0) < 1e-12
+    # one dominant weight: ESS -> 1; zero/null weights drop
+    sk = spark.createDataFrame(
+        [(100.0,), (1.0,), (1.0,), (0.0,), (None,)], "w double")
+    r = EffectiveSampleSize().setWeightCol("w").evaluate(sk).first()
+    assert r["n"] == 3
+    want = (102.0 ** 2) / (100.0 ** 2 + 1 + 1)
+    assert abs(r["ess"] - want) < 1e-12
+
+
+def test_chao1_golden(spark):
+    from flink_ml__spark.functions.curation import (
+        Chao1VocabularyEstimator,
+    )
+    # counts: a:3, b:1, c:1, d:2  -> V=4, F1=2, F2=1
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "c d d")], "doc_id long, text string")
+    r = Chao1VocabularyEstimator().evaluate(df).first()
+    assert r["n_tokens"] == 7 and r["n_types"] == 4
+    assert r["f1"] == 2 and r["f2"] == 1
+    assert abs(r["chao1"] - (4 + 4 / 2)) < 1e-12
+    assert abs(r["coverage"] - (1 - 2 / 7)) < 1e-12
+    # F2 = 0 -> bias-corrected form
+    df2 = spark.createDataFrame([(0, "x y z z z")],
+                                "doc_id long, text string")
+    r = Chao1VocabularyEstimator().evaluate(df2).first()
+    assert r["f2"] == 0
+    assert abs(r["chao1"] - (3 + 2 * 1 / 2)) < 1e-12

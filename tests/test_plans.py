@@ -1056,3 +1056,13 @@ def test_ltv_no_data_sized_window(spark):
     for schema in _read_schemas(plan):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert cols <= {"user_id", "ts", "value"}, cols
+
+
+@pytest.mark.parametrize("name", ["ess_documents", "chao1_documents"])
+def test_corpus_summary_single_aggregations(spark, name):
+    """ESS / Chao1: hash aggregations + a 1-row fold — no window over
+    raw rows, no join, no Python."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
