@@ -11570,6 +11570,8 @@ QUERIES = {
     "eb_rates_events": q_eb_rates_events,
     "ltv_events": q_ltv_events,
     "holm_events": q_holm_events,
+    "ess_documents": q_ess_documents,
+    "chao1_documents": q_chao1_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11735,8 +11737,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "ess_documents": q_ess_documents,
-    "chao1_documents": q_chao1_documents,
 }
 
 ORACLES = {
