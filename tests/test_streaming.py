@@ -1822,3 +1822,49 @@ def test_stream_ratio_monitor_matches_batch_and_ratio(spark):
                 <= {max(bymap)})
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_kn_bigram_apply_matches_batch(spark):
+    """KneserNeyBigramLMModel.transform is one Arrow pass over
+    broadcast dicts — INFERENCE on an unbounded stream must emit the
+    batch scores row for row."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.curation import KneserNeyBigramLM
+
+    corpus = spark.createDataFrame(
+        [(i, ["the cat sat on the mat",
+              "a dog ran in the park",
+              "the cat ran home"][i % 3]) for i in range(30)],
+        "doc_id long, text string")
+    model = (KneserNeyBigramLM().setMaxVocab(64).setMaxBigrams(64)
+             .fit(corpus))
+    df = spark.createDataFrame(
+        [(1, "the cat ran"), (2, "park dog zzz"), (3, None)],
+        "doc_id long, text string")
+
+    def canon(frame):
+        return sorted(
+            (r["doc_id"],
+             None if r["mean_logprob"] is None
+             else round(r["mean_logprob"], 9),
+             None if r["bigram_frac"] is None
+             else round(r["bigram_frac"], 9))
+            for r in frame.collect())
+
+    batch = canon(model.transform(df))
+    assert len(batch) == 3 and batch[0][1] is not None
+    d = _tf.mkdtemp(prefix="kn_stream_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = model.transform(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("knstream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = canon(spark.sql("SELECT * FROM knstream"))
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
