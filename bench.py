@@ -265,6 +265,7 @@ HEADLINE = [
     "holm_events",
     "ess_documents",
     "chao1_documents",
+    "source_diversity_documents",
 ]
 
 

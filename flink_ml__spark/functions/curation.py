@@ -3341,3 +3341,59 @@ class Chao1VocabularyEstimator(AlgoOperator, HasInputCol):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class MixtureDiversityProfiler(AlgoOperator):
+    """Diversity of a categorical mixture (the domain/source blend of
+    a training corpus): Shannon entropy, its exponential ("effective
+    number of domains", Hill number q=1) and the inverse-Simpson
+    effective count (q=2, tail-insensitive) — the two numbers that
+    summarize "is this corpus really a 20-source blend or 3 sources
+    wearing 20 hats" (MacArthur 1965; Jost 2006).
+
+    ``evaluate(df)`` returns ONE row::
+
+        n_rows, n_groups
+        entropy          Σ −p ln p (nats)
+        eff_shannon      exp(entropy)
+        eff_simpson      1 / Σ p²
+        top_share        the largest group's share
+
+    Scale shape: one group-count aggregation (O(groups) output) and a
+    1-row fold — nothing row-sized beyond the first aggregation.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol",
+                     "mixture component column", TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="source")
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        g = F.col(self.getOrDefault(self.groupCol))
+        per = (df.filter(g.isNotNull())
+               .groupBy(g.alias("__g"))
+               .agg(F.count(F.lit(1)).alias("__n")))
+        tot = per.agg(F.sum("__n").alias("n_rows"),
+                      F.count(F.lit(1)).alias("n_groups"),
+                      F.max("__n").alias("__mx"),
+                      F.sum(F.col("__n") * F.col("__n")).alias("__nn"),
+                      F.sum(F.col("__n")
+                            * F.log(F.col("__n").cast("double")))
+                      .alias("__nlogn"))
+        n = F.col("n_rows").cast("double")
+        # Σ −p ln p = ln N − (Σ n ln n)/N
+        ent = F.when(n > 0, F.log(n) - F.col("__nlogn") / n)
+        return tot.select(
+            "n_rows", "n_groups", ent.alias("entropy"),
+            F.exp(ent).alias("eff_shannon"),
+            F.when(F.col("__nn") > 0, n * n / F.col("__nn"))
+            .alias("eff_simpson"),
+            (F.col("__mx") / n).alias("top_share"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.evaluate(df)

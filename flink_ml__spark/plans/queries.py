@@ -11475,6 +11475,42 @@ FROM m
 """
 
 
+def q_source_diversity_documents(spark, sf_dir):
+    """Mixture-diversity gate over the documents source blend —
+    entropy, both Hill effective counts and the top share replay
+    exactly in SQL."""
+    from flink_ml__spark.functions.curation import (
+        MixtureDiversityProfiler,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (MixtureDiversityProfiler().setGroupCol("source")
+           .evaluate(docs))
+    return out.select("n_rows", "n_groups",
+                      F.round("entropy", R).alias("entropy"),
+                      F.round("eff_shannon", R).alias("eff_shannon"),
+                      F.round("eff_simpson", R).alias("eff_simpson"),
+                      F.round("top_share", R).alias("top_share"))
+
+
+ORACLE_SOURCE_DIVERSITY = f"""
+WITH per AS (SELECT source, count(*)::BIGINT AS n FROM documents
+             WHERE source IS NOT NULL GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+         max(n) AS mx, sum(n * n) AS nn,
+         sum(n * ln(n::DOUBLE)) AS nlogn
+  FROM per)
+SELECT n_rows, n_groups,
+       round(ln(n_rows::DOUBLE) - nlogn / n_rows, {R}) AS entropy,
+       round(exp(ln(n_rows::DOUBLE) - nlogn / n_rows), {R})
+           AS eff_shannon,
+       round(n_rows::DOUBLE * n_rows / nn, {R}) AS eff_simpson,
+       round(mx / n_rows::DOUBLE, {R}) AS top_share
+FROM tot
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11737,6 +11773,7 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "source_diversity_documents": q_source_diversity_documents,
 }
 
 ORACLES = {
@@ -12010,4 +12047,5 @@ ORACLES = {
     "holm_events": ORACLE_HOLM,
     "ess_documents": ORACLE_ESS,
     "chao1_documents": ORACLE_CHAO1,
+    "source_diversity_documents": ORACLE_SOURCE_DIVERSITY,
 }

@@ -1459,3 +1459,28 @@ def test_chao1_golden(spark):
     r = Chao1VocabularyEstimator().evaluate(df2).first()
     assert r["f2"] == 0
     assert abs(r["chao1"] - (3 + 2 * 1 / 2)) < 1e-12
+
+
+def test_mixture_diversity_golden(spark):
+    import math
+    from flink_ml__spark.functions.curation import (
+        MixtureDiversityProfiler,
+    )
+    # 4 equal groups: entropy ln4, both effective counts exactly 4
+    eq = spark.createDataFrame(
+        [(s,) for s in "aabbccdd"], "source string")
+    r = (MixtureDiversityProfiler().setGroupCol("source")
+         .evaluate(eq).first())
+    assert r["n_rows"] == 8 and r["n_groups"] == 4
+    assert abs(r["entropy"] - math.log(4)) < 1e-12
+    assert abs(r["eff_shannon"] - 4.0) < 1e-9
+    assert abs(r["eff_simpson"] - 4.0) < 1e-12
+    assert abs(r["top_share"] - 0.25) < 1e-12
+    # dominated mixture: effective counts collapse toward 1
+    sk = spark.createDataFrame(
+        [("a",)] * 98 + [("b",), ("c",)], "source string")
+    r = (MixtureDiversityProfiler().setGroupCol("source")
+         .evaluate(sk).first())
+    assert r["n_groups"] == 3
+    assert r["eff_simpson"] < 1.1
+    assert abs(r["top_share"] - 0.98) < 1e-12

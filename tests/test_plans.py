@@ -1066,3 +1066,14 @@ def test_corpus_summary_single_aggregations(spark, name):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_source_diversity_single_pass(spark):
+    """Mixture diversity: one group aggregation + 1-row fold."""
+    plan = _plan(spark, "source_diversity_documents")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    for schema in _read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"source"}, cols
