@@ -11608,6 +11608,7 @@ QUERIES = {
     "holm_events": q_holm_events,
     "ess_documents": q_ess_documents,
     "chao1_documents": q_chao1_documents,
+    "source_diversity_documents": q_source_diversity_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11773,7 +11774,6 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
-    "source_diversity_documents": q_source_diversity_documents,
 }
 
 ORACLES = {
