@@ -506,11 +506,17 @@ class TemperatureMixer(AlgoOperator):
                 .withColumn("sample_factor",
                             F.col("expected_tokens") / F.col("n_tokens"))
                 .select(g, "n_docs", "n_tokens",
-                        F.round("p_raw", 6).alias("p_raw"),
-                        F.round("weight", 6).alias("weight"),
-                        F.round("expected_tokens", 2)
+                        # floor-quantize instead of round(): floor on a
+                        # double is bit-identical across engines, while
+                        # round() implementations (BigDecimal HALF_UP vs
+                        # float-math) diverge on last-ulp pow() outputs
+                        (F.floor(F.col("p_raw") * 1e6) / 1e6)
+                        .alias("p_raw"),
+                        (F.floor(F.col("weight") * 1e6) / 1e6)
+                        .alias("weight"),
+                        (F.floor(F.col("expected_tokens") * 1e2) / 1e2)
                         .alias("expected_tokens"),
-                        F.round("sample_factor", 6)
+                        (F.floor(F.col("sample_factor") * 1e6) / 1e6)
                         .alias("sample_factor")))
 
 

@@ -933,13 +933,17 @@ class PartitionHealthAuditor(AlgoOperator):
                            rows.alias("__r"))
                 .select(p, F.col("__r.column").alias("column"),
                         "n_rows", F.col("__r.n_null").alias("n_null"),
-                        F.round(F.col("__r.n_null")
-                                / F.col("n_rows"), 6)
+                        # floor-quantized (not round()): the integer
+                        # ratios are bit-identical doubles across
+                        # engines, and floor is too — round() impls
+                        # differ at half-even boundaries
+                        (F.floor(F.col("__r.n_null")
+                                 / F.col("n_rows") * 1e6) / 1e6)
                         .alias("null_frac"),
                         "prev_n_rows",
-                        F.round((F.col("n_rows")
-                                 - F.col("prev_n_rows"))
-                                / F.col("prev_n_rows"), 6)
+                        (F.floor((F.col("n_rows")
+                                  - F.col("prev_n_rows"))
+                                 / F.col("prev_n_rows") * 1e6) / 1e6)
                         .alias("row_delta_frac")))
 
 

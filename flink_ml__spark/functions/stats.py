@@ -990,20 +990,24 @@ class OtsuThreshold(AlgoOperator, HasInputCol):
         bv = F.when(
             (F.col("__cn") > 0) & (F.col("__cn") < F.col("__tn")),
             w0 * (1 - w0) * (mu0 - mu1) * (mu0 - mu1))
-        # rank on 9-dp-rounded variance so fp summation noise cannot
-        # flip the argmax between engines (the BM25 ranking discipline)
+        # rank on fixed-point int64 floor(bv*1e9): the cumulatives cn/cs
+        # are exact integer-valued doubles, so bv is bit-identical across
+        # engines and floor (unlike the engines' differing round() impls)
+        # cannot flip the argmax
         ranked = (scored.withColumn("__bv", bv)
                   .filter(F.col("__bv").isNotNull())
                   .withColumn("__rk", F.row_number().over(
-                      Window.orderBy(F.round("__bv", 9).desc(),
-                                     F.asc("__b")))))
+                      Window.orderBy(
+                          F.floor(F.col("__bv") * 1e9).desc(),
+                          F.asc("__b")))))
         width = (F.col("__hi") - F.col("__lo")) / nb
         return (ranked.filter(F.col("__rk") == 1)
                 .select(
-                    F.round(F.col("__lo")
-                            + (F.col("__b") + 1) * width, 6)
-                    .alias("threshold"),
-                    F.round("__bv", 6).alias("between_var"),
+                    (F.floor((F.col("__lo")
+                              + (F.col("__b") + 1) * width) * 1e6)
+                     / 1e6).alias("threshold"),
+                    (F.floor(F.col("__bv") * 1e6) / 1e6)
+                    .alias("between_var"),
                     F.col("__cn").alias("n_below"),
                     (F.col("__tn") - F.col("__cn")).alias("n_above")))
 

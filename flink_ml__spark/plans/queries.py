@@ -8835,10 +8835,11 @@ tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
 p AS (SELECT per.*, n_tokens / tot.t AS p_raw FROM per CROSS JOIN tot),
 z AS (SELECT sum(p_raw ^ 0.7) AS z FROM p)
 SELECT lang, n_docs, n_tokens,
-       round(p_raw, 6) AS p_raw,
-       round(p_raw ^ 0.7 / z.z, 6) AS weight,
-       round(p_raw ^ 0.7 / z.z * 1000000.0, 2) AS expected_tokens,
-       round(p_raw ^ 0.7 / z.z * 1000000.0 / n_tokens, 6)
+       floor(p_raw * 1e6) / 1e6 AS p_raw,
+       floor(p_raw ^ 0.7 / z.z * 1e6) / 1e6 AS weight,
+       floor(p_raw ^ 0.7 / z.z * 1000000.0 * 1e2) / 1e2
+         AS expected_tokens,
+       floor(p_raw ^ 0.7 / z.z * 1000000.0 / n_tokens * 1e6) / 1e6
          AS sample_factor
 FROM p CROSS JOIN z
 """
@@ -8897,7 +8898,7 @@ SELECT * FROM per_dim UNION ALL SELECT * FROM summary
 def q_otsu_threshold_documents(spark, sf_dir):
     """OtsuThreshold gate: automatic cutoff over the documents' size
     distribution (256-bin histogram + between-class-variance argmax,
-    ranked on 9-dp-rounded variance with lowest-cut ties)."""
+    ranked on fixed-point floor(bv*1e9) with lowest-cut ties)."""
     from flink_ml__spark.functions.stats import OtsuThreshold
 
     docs = load_table(spark, "documents", sf_dir)
@@ -8928,11 +8929,12 @@ v AS (SELECT bin, lo, hi, cn, tn,
                * ((cs / cn) - ((ts - cs) / (tn - cn)))
              END AS bv
       FROM c),
-r AS (SELECT *, row_number() OVER (ORDER BY round(bv, 9) DESC,
-                                   bin ASC) AS rk
+r AS (SELECT *, row_number() OVER (
+          ORDER BY floor(bv * 1e9)::BIGINT DESC, bin ASC) AS rk
       FROM v WHERE bv IS NOT NULL)
-SELECT round(lo + (bin + 1) * (hi - lo) / 256, 6) AS threshold,
-       round(bv, 6) AS between_var,
+SELECT floor((lo + (bin + 1) * (hi - lo) / 256) * 1e6) / 1e6
+         AS threshold,
+       floor(bv * 1e6) / 1e6 AS between_var,
        cn AS n_below, tn - cn AS n_above
 FROM r WHERE rk = 1
 """
@@ -9127,14 +9129,15 @@ WITH per AS (
 lagged AS (
   SELECT *, lag(n_rows) OVER (ORDER BY ds) AS prev_n_rows FROM per)
 SELECT ds, 'o_totalprice' AS column, n_rows, n0 AS n_null,
-       round(n0 / n_rows::DOUBLE, 6) AS null_frac, prev_n_rows,
-       round((n_rows - prev_n_rows) / prev_n_rows::DOUBLE, 6)
+       floor(n0 / n_rows::DOUBLE * 1e6) / 1e6 AS null_frac,
+       prev_n_rows,
+       floor((n_rows - prev_n_rows) / prev_n_rows::DOUBLE * 1e6) / 1e6
          AS row_delta_frac
 FROM lagged
 UNION ALL
 SELECT ds, 'o_orderpriority', n_rows, n1,
-       round(n1 / n_rows::DOUBLE, 6), prev_n_rows,
-       round((n_rows - prev_n_rows) / prev_n_rows::DOUBLE, 6)
+       floor(n1 / n_rows::DOUBLE * 1e6) / 1e6, prev_n_rows,
+       floor((n_rows - prev_n_rows) / prev_n_rows::DOUBLE * 1e6) / 1e6
 FROM lagged
 """
 
