@@ -11518,57 +11518,9 @@ QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
-    "ql_retrieval_documents": q_ql_retrieval_documents,
-    "embedding_drift_embeddings": q_embedding_drift_embeddings,
     "otsu_threshold_documents": q_otsu_threshold_documents,
-    "gini_documents": q_gini_documents,
-    "spearman_lineitem": q_spearman_lineitem,
-    "attribution_events": q_attribution_events,
-    "fd_profile_orders": q_fd_profile_orders,
     "partition_health_orders": q_partition_health_orders,
-    "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
     "temperature_mix_documents": q_temperature_mix_documents,
-    "leakage_safe_split_documents": q_leakage_safe_split_documents,
-    "holt_forecast_events": q_holt_forecast_events,
-    "lexical_diversity_documents": q_lexical_diversity_documents,
-    "code_density_documents": q_code_density_documents,
-    "nb_lang_documents": q_nb_lang_documents,
-    "hard_negatives_embeddings": q_hard_negatives_embeddings,
-    "zipf_documents": q_zipf_documents,
-    "interarrival_events": q_interarrival_events,
-    "platt_invariants_documents": q_platt_invariants_documents,
-    "quantile_match_events": q_quantile_match_events,
-    "regression_window_events": q_regression_window_events,
-    "count_encode_documents": q_count_encode_documents,
-    "anova_window_events": q_anova_window_events,
-    "minhash_topk_documents": q_minhash_topk_documents,
-    "json_schema_events": q_json_schema_events,
-    "cdc_chunks_documents": q_cdc_chunks_documents,
-    "json_drift_events": q_json_drift_events,
-    "hashed_tf_documents": q_hashed_tf_documents,
-    "chunk_overlap_documents": q_chunk_overlap_documents,
-    "prototypicality_embeddings": q_prototypicality_embeddings,
-    "interval_merge_events": q_interval_merge_events,
-    "acf_events": q_acf_events,
-    "rolling_features_events": q_rolling_features_events,
-    "link_prediction_orders": q_link_prediction_orders,
-    "kcore_orders": q_kcore_orders,
-    "encoding_corruption_documents": q_encoding_corruption_documents,
-    "outlinks_documents": q_outlinks_documents,
-    "ppr_events": q_ppr_events,
-    "interval_overlap_events": q_interval_overlap_events,
-    "image_ahash_documents": q_image_ahash_documents,
-    "seasonal_decompose_events": q_seasonal_decompose_events,
-    "mutual_info_orders": q_mutual_info_orders,
-    "cusum_events": q_cusum_events,
-    "sentences_documents": q_sentences_documents,
-    "golden_records_orders": q_golden_records_orders,
-    "quantile_window_events": q_quantile_window_events,
-    "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
-    "temporal_split_events": q_temporal_split_events,
-    "correlation_rank_lineitem": q_correlation_rank_lineitem,
-    "hashed_tfidf_documents": q_hashed_tfidf_documents,
-    # --- outside the window this round
     "welch_ttest_events": q_welch_ttest_events,
     "theilsen_events": q_theilsen_events,
     "mann_kendall_events": q_mann_kendall_events,
@@ -11612,6 +11564,11 @@ QUERIES = {
     "ess_documents": q_ess_documents,
     "chao1_documents": q_chao1_documents,
     "source_diversity_documents": q_source_diversity_documents,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "canopy_customer": q_canopy_customer,
+    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
+    # --- outside the window this round
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11628,10 +11585,10 @@ QUERIES = {
     "dup_clusters_documents": q_dup_clusters_documents,
     "pack_documents": q_pack_documents,
     "balance_documents": q_balance_documents,
-    "fingerprint_documents": q_fingerprint_documents,
-    "multimodal_meta_documents": q_multimodal_meta_documents,
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "fingerprint_documents": q_fingerprint_documents,
+    "multimodal_meta_documents": q_multimodal_meta_documents,
     "pca_invariants_embeddings": q_pca_invariants_embeddings,
     "winsorize_orders": q_winsorize_orders,
     "dedup_exact_against_documents": q_dedup_exact_against_documents,
@@ -11639,7 +11596,6 @@ QUERIES = {
     "dedup_substring_documents": q_dedup_substring_documents,
     "substring_decontaminate_documents": q_substring_decontaminate_documents,
     "embedding_contamination": q_embedding_contamination,
-    "semdedup_embeddings": q_semdedup_embeddings,
     "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
     "gopher_quality_documents": q_gopher_quality_documents,
     "normalize_documents": q_normalize_documents,
@@ -11658,16 +11614,14 @@ QUERIES = {
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "minhash_recall_documents": q_minhash_recall_documents,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "online_topsis_model_events": q_online_topsis_model_events,
     "online_topsis_predict_events": q_online_topsis_predict_events,
     "auto_features_orders": q_auto_features_orders,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "ahp_score_lineitem": q_ahp_score_lineitem,
     "topsis_score_part": q_topsis_score_part,
     "online_ahp_events": q_online_ahp_events,
     "apriori_rules_events": q_apriori_rules_events,
-    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
-    "canopy_customer": q_canopy_customer,
     "mean_imputer_orders": q_mean_imputer_orders,
     "standard_scaler_lineitem": q_standard_scaler_lineitem,
     "time_features_orders": q_time_features_orders,
@@ -11759,7 +11713,6 @@ QUERIES = {
     "target_encode_orders": q_target_encode_orders,
     "regression_eval_orders": q_regression_eval_orders,
     "silhouette_lineitem": q_silhouette_lineitem,
-    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
     "kmeans_invariants_embeddings": q_kmeans_invariants_embeddings,
     "ks_test_events": q_ks_test_events,
     "mwu_test_events": q_mwu_test_events,
@@ -11777,6 +11730,53 @@ QUERIES = {
     "isotonic_invariants_documents": q_isotonic_invariants_documents,
     "assemble_features_lineitem": q_assemble_features_lineitem,
     "grouped_scale_events": q_grouped_scale_events,
+    "ql_retrieval_documents": q_ql_retrieval_documents,
+    "embedding_drift_embeddings": q_embedding_drift_embeddings,
+    "gini_documents": q_gini_documents,
+    "spearman_lineitem": q_spearman_lineitem,
+    "attribution_events": q_attribution_events,
+    "fd_profile_orders": q_fd_profile_orders,
+    "paraphrase_pairs_documents": q_paraphrase_pairs_documents,
+    "leakage_safe_split_documents": q_leakage_safe_split_documents,
+    "holt_forecast_events": q_holt_forecast_events,
+    "lexical_diversity_documents": q_lexical_diversity_documents,
+    "code_density_documents": q_code_density_documents,
+    "nb_lang_documents": q_nb_lang_documents,
+    "hard_negatives_embeddings": q_hard_negatives_embeddings,
+    "zipf_documents": q_zipf_documents,
+    "interarrival_events": q_interarrival_events,
+    "platt_invariants_documents": q_platt_invariants_documents,
+    "quantile_match_events": q_quantile_match_events,
+    "regression_window_events": q_regression_window_events,
+    "count_encode_documents": q_count_encode_documents,
+    "anova_window_events": q_anova_window_events,
+    "minhash_topk_documents": q_minhash_topk_documents,
+    "json_schema_events": q_json_schema_events,
+    "cdc_chunks_documents": q_cdc_chunks_documents,
+    "json_drift_events": q_json_drift_events,
+    "hashed_tf_documents": q_hashed_tf_documents,
+    "chunk_overlap_documents": q_chunk_overlap_documents,
+    "prototypicality_embeddings": q_prototypicality_embeddings,
+    "interval_merge_events": q_interval_merge_events,
+    "acf_events": q_acf_events,
+    "rolling_features_events": q_rolling_features_events,
+    "link_prediction_orders": q_link_prediction_orders,
+    "kcore_orders": q_kcore_orders,
+    "encoding_corruption_documents": q_encoding_corruption_documents,
+    "outlinks_documents": q_outlinks_documents,
+    "ppr_events": q_ppr_events,
+    "interval_overlap_events": q_interval_overlap_events,
+    "image_ahash_documents": q_image_ahash_documents,
+    "seasonal_decompose_events": q_seasonal_decompose_events,
+    "mutual_info_orders": q_mutual_info_orders,
+    "cusum_events": q_cusum_events,
+    "sentences_documents": q_sentences_documents,
+    "golden_records_orders": q_golden_records_orders,
+    "quantile_window_events": q_quantile_window_events,
+    "quantile_monitor_invariants_events": q_quantile_monitor_invariants_events,
+    "temporal_split_events": q_temporal_split_events,
+    "correlation_rank_lineitem": q_correlation_rank_lineitem,
+    "hashed_tfidf_documents": q_hashed_tfidf_documents,
 }
 
 ORACLES = {
