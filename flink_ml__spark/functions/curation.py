@@ -510,13 +510,13 @@ class TemperatureMixer(AlgoOperator):
                         # double is bit-identical across engines, while
                         # round() implementations (BigDecimal HALF_UP vs
                         # float-math) diverge on last-ulp pow() outputs
-                        (F.floor(F.col("p_raw") * 1e6) / 1e6)
+                        (F.floor(F.col("p_raw") * 1e6 + 0.5) / 1e6)
                         .alias("p_raw"),
-                        (F.floor(F.col("weight") * 1e6) / 1e6)
+                        (F.floor(F.col("weight") * 1e6 + 0.5) / 1e6)
                         .alias("weight"),
-                        (F.floor(F.col("expected_tokens") * 1e2) / 1e2)
+                        (F.floor(F.col("expected_tokens") * 1e2 + 0.5) / 1e2)
                         .alias("expected_tokens"),
-                        (F.floor(F.col("sample_factor") * 1e6) / 1e6)
+                        (F.floor(F.col("sample_factor") * 1e6 + 0.5) / 1e6)
                         .alias("sample_factor")))
 
 
@@ -1216,7 +1216,7 @@ class PerplexityBucketer(AlgoOperator, HasRelativeError):
         if hf + tf >= 1.0 or hf <= 0 or tf <= 0:
             raise ValueError("need 0 < headFrac, tailFrac and "
                              "headFrac + tailFrac < 1")
-        sc = F.round(F.col(self.getOrDefault(self.scoreCol)), 6)
+        sc = (F.floor((F.col(self.getOrDefault(self.scoreCol))) * 1e6 + 0.5) / 1e6)
         rounded = f"round({self.getOrDefault(self.scoreCol)}, 6)"
         t1, t2 = (df
                   .agg(F.expr(self._percentile_sql(rounded, 1.0 - hf)),
@@ -1287,8 +1287,8 @@ class ZipfProfiler(AlgoOperator, HasInputCol):
             F.regr_r2(F.log("__c"), F.log("__r")).alias("zipf_r2"))
         return totals.crossJoin(fit).select(
             "n_tokens", "n_types", "top_rank",
-            F.round("zipf_slope", 6).alias("zipf_slope"),
-            F.round("zipf_r2", 6).alias("zipf_r2"))
+            (F.floor((F.col("zipf_slope")) * 1e6 + 0.5) / 1e6).alias("zipf_slope"),
+            (F.floor((F.col("zipf_r2")) * 1e6 + 0.5) / 1e6).alias("zipf_r2"))
 
 
 class CorpusProfiler(AlgoOperator):
@@ -2511,7 +2511,7 @@ class WeightedSampler(AlgoOperator, HasIdColMixin):
         key = F.log(u) / w
         return (df.filter(w.isNotNull() & (w > 0))
                 .withColumn("sample_key", key)
-                .orderBy(F.round("sample_key", 12).desc(),
+                .orderBy(F.floor(F.col("sample_key") * 1e12 + 0.5).desc(),
                          F.col(idc).asc())
                 .limit(self.getN()))
 
@@ -3086,8 +3086,18 @@ class HeapsLawProfiler(AlgoOperator, HasInputCol):
                .withColumn("__cn", F.sum("__occ").over(w))
                .withColumn("__cv", F.sum("__new").over(w))
                .filter(F.col("__cn") > 0))
-        lx = F.log(F.col("__cn").cast("double"))
-        ly = F.log(F.col("__cv").cast("double"))
+        # FIXED-POINT log moments: ln(cn)/ln(cv) quantized to int64
+        # millionths BEFORE the sums, so every moment is an exact
+        # integer — order-independent and engine-exact. The raw-double
+        # formulation flaked: with near-constant ln(cv) the n·sxx − sx²
+        # cancellation amplifies summation-order ulp noise to ~1e-7,
+        # which crossed the output quantization boundary run-to-run
+        # (observed on heaps_beta ≈ 0). Magnitudes: ln ≤ ~35 even at
+        # 100 TB → lx ≤ 3.5e7, n·sxx ≤ ~2e16 ≪ 2^63.
+        lx = F.floor(F.log(F.col("__cn").cast("double")) * 1e6
+                     + 0.5).cast("long")
+        ly = F.floor(F.log(F.col("__cv").cast("double")) * 1e6
+                     + 0.5).cast("long")
         fit = pts.agg(
             F.count(F.lit(1)).alias("n_points"),
             F.first("n_docs").alias("n_docs"),
@@ -3097,11 +3107,17 @@ class HeapsLawProfiler(AlgoOperator, HasInputCol):
             F.sum(lx * lx).alias("__sxx"), F.sum(lx * ly).alias("__sxy"),
             F.sum(ly * ly).alias("__syy"))
         n = F.col("n_points").cast("double")
-        vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-        vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
-        cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+        # exact int64 second moments; convert to double only at the
+        # divisions (scale cancels in beta and r2; intercept descales)
+        vx = (F.col("n_points") * F.col("__sxx")
+              - F.col("__sx") * F.col("__sx")).cast("double")
+        vy = (F.col("n_points") * F.col("__syy")
+              - F.col("__sy") * F.col("__sy")).cast("double")
+        cov = (F.col("n_points") * F.col("__sxy")
+               - F.col("__sx") * F.col("__sy")).cast("double")
         beta = F.when(vx > 0, cov / vx)
-        intercept = (F.col("__sy") - beta * F.col("__sx")) / n
+        intercept = ((F.col("__sy") - beta * F.col("__sx"))
+                     / (n * 1e6))
         r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
         return fit.select("n_docs", "n_tokens", "n_types", "n_points",
                           F.exp(intercept).alias("heaps_k"),

@@ -538,11 +538,11 @@ class EmbeddingDriftMonitor(AlgoOperator):
                .otherwise(F.lit(0.0)))
         per_dim = j.select(
             "pos",
-            F.round("mean_ref", 6).alias("mean_ref"),
-            F.round("mean_cur", 6).alias("mean_cur"),
-            F.round("std_ref", 6).alias("std_ref"),
-            F.round("std_cur", 6).alias("std_cur"),
-            F.round(smd, 6).alias("smd"),
+            (F.floor((F.col("mean_ref")) * 1e6 + 0.5) / 1e6).alias("mean_ref"),
+            (F.floor((F.col("mean_cur")) * 1e6 + 0.5) / 1e6).alias("mean_cur"),
+            (F.floor((F.col("std_ref")) * 1e6 + 0.5) / 1e6).alias("std_ref"),
+            (F.floor((F.col("std_cur")) * 1e6 + 0.5) / 1e6).alias("std_cur"),
+            (F.floor((smd) * 1e6 + 0.5) / 1e6).alias("smd"),
             "__n_ref", "__n_cur")
         dot = F.sum(F.col("mean_ref") * F.col("mean_cur"))
         nr = F.sqrt(F.sum(F.col("mean_ref") * F.col("mean_ref")))
@@ -553,7 +553,7 @@ class EmbeddingDriftMonitor(AlgoOperator):
             F.max("__n_cur").cast("double").alias("mean_cur"),
             F.lit(0.0).alias("std_ref"),
             F.lit(0.0).alias("std_cur"),
-            F.round(F.when((nr > 0) & (nc > 0), dot / (nr * nc))
-                    .otherwise(F.lit(0.0)), 6).alias("smd"))
+            (F.floor((F.when((nr > 0) & (nc > 0), dot / (nr * nc))
+                    .otherwise(F.lit(0.0))) * 1e6 + 0.5) / 1e6).alias("smd"))
         return (per_dim.drop("__n_ref", "__n_cur")
                 .unionByName(summary))

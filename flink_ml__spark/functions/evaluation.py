@@ -1100,7 +1100,7 @@ class UpliftEvaluator(AlgoOperator):
         base = df.filter(s.isNotNull() & y.isNotNull()
                          & v.isin(t_lbl, c_lbl))
         edges = list(base.agg(*[
-            F.round(F.percentile(s, F.lit(i / k)), 6)
+            (F.floor((F.percentile(s, F.lit(i / k))) * 1e6 + 0.5) / 1e6)
             .alias(f"e{i}") for i in range(1, k)]).first())
         above = sum((s > F.lit(e)).cast("int") for e in edges)
         is_t = v == t_lbl

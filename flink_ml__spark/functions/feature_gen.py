@@ -1252,7 +1252,7 @@ class RankGaussTransformer(AlgoOperator, HasInputCol, HasOutputCol):
         probs = F.array(*[F.lit(i / k) for i in range(1, k)])
         row = base.agg(
             F.transform(F.percentile(x, probs),
-                        lambda e: F.round(e, 6)).alias("es")).first()
+                        lambda e: (F.floor((e) * 1e6 + 0.5) / 1e6)).alias("es")).first()
         edges = list(row["es"] or [])
         if not edges:
             raise ValueError("no non-null values to fit on")

@@ -863,8 +863,8 @@ class FunctionalDependencyProfiler(AlgoOperator):
             F.count(F.lit(1)).alias("n_keys"),
             F.sum(F.when(F.col("__nv") > 1, 1).otherwise(0))
             .alias("n_violating_keys"),
-            F.round(F.avg(F.when(F.col("__nv") > 1, 1.0)
-                          .otherwise(0.0)), 6).alias("violation_rate"),
+            (F.floor((F.avg(F.when(F.col("__nv") > 1, 1.0)
+                          .otherwise(0.0))) * 1e6 + 0.5) / 1e6).alias("violation_rate"),
             F.max("__nv").alias("max_fanout")))
 
 
@@ -938,12 +938,12 @@ class PartitionHealthAuditor(AlgoOperator):
                         # engines, and floor is too — round() impls
                         # differ at half-even boundaries
                         (F.floor(F.col("__r.n_null")
-                                 / F.col("n_rows") * 1e6) / 1e6)
+                                 / F.col("n_rows") * 1e6 + 0.5) / 1e6)
                         .alias("null_frac"),
                         "prev_n_rows",
                         (F.floor((F.col("n_rows")
                                   - F.col("prev_n_rows"))
-                                 / F.col("prev_n_rows") * 1e6) / 1e6)
+                                 / F.col("prev_n_rows") * 1e6 + 0.5) / 1e6)
                         .alias("row_delta_frac")))
 
 

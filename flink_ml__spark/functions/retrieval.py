@@ -216,8 +216,11 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
         scored = (matched
                   .groupBy(qid, idc)
                   .agg(F.sum(contrib).alias("score")))
+        # fixed-point floor ranking (not round(): engine round() impls
+        # diverge at decimal boundaries — the Otsu lesson, round 10)
         w = (Window.partitionBy(qid)
-             .orderBy(F.round("score", 9).desc(), F.col(idc).asc()))
+             .orderBy(F.floor(F.col("score") * 1e9 + 0.5).desc(),
+                      F.col(idc).asc()))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK()))
 
@@ -301,7 +304,8 @@ class QueryLikelihoodRetriever(BM25Retriever):
                            F.col("__s") + F.col("__qlen")
                            * F.log(F.lit(mu) / (F.col("__dl") + mu))))
         w = (Window.partitionBy(qid)
-             .orderBy(F.round("score", 9).desc(), F.col(idc).asc()))
+             .orderBy(F.floor(F.col("score") * 1e9 + 0.5).desc(),
+                      F.col(idc).asc()))
         return (out.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK())
                 .select(qid, idc, "score", "rank"))
@@ -393,7 +397,8 @@ class ReciprocalRankFusion(AlgoOperator):
                       .alias("rrf_score"),
                       F.count(F.lit(1)).alias("n_lists")))
         w = (Window.partitionBy(q)
-             .orderBy(F.round("rrf_score", 12).desc(), F.col(it).asc()))
+             .orderBy(F.floor(F.col("rrf_score") * 1e12 + 0.5).desc(),
+                      F.col(it).asc()))
         return (fused.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK()))
 

@@ -375,7 +375,7 @@ class AttributionAnalyzer(AlgoOperator):
                           ["__k", "__j"]))
         lin = (credited.groupBy(F.col("__c").alias("channel"))
                .agg(F.count(F.lit(1)).alias("n_touches"),
-                    F.round(F.sum(1.0 / F.col("__nt")), 6)
+                    (F.floor((F.sum(1.0 / F.col("__nt"))) * 1e6 + 0.5) / 1e6)
                     .alias("linear_credit")))
         per_channel = (lin
                        .join(firsts, "channel", "full_outer")

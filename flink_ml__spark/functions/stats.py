@@ -257,7 +257,7 @@ class SpearmanCorrelation(AlgoOperator):
         rows = F.explode(F.array(*[
             F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
                      F.col("__n").alias("n"),
-                     F.round(F.col(f"__c_{i}"), 6).alias("rho"))
+                     (F.floor((F.col(f"__c_{i}")) * 1e6 + 0.5) / 1e6).alias("rho"))
             for i, (a, b) in enumerate(ps)]))
         return one.select(rows.alias("__r")).select("__r.*")
 
@@ -990,7 +990,7 @@ class OtsuThreshold(AlgoOperator, HasInputCol):
         bv = F.when(
             (F.col("__cn") > 0) & (F.col("__cn") < F.col("__tn")),
             w0 * (1 - w0) * (mu0 - mu1) * (mu0 - mu1))
-        # rank on fixed-point int64 floor(bv*1e9): the cumulatives cn/cs
+        # rank on fixed-point int64 floor(bv*1e9 + 0.5): the cumulatives cn/cs
         # are exact integer-valued doubles, so bv is bit-identical across
         # engines and floor (unlike the engines' differing round() impls)
         # cannot flip the argmax
@@ -998,15 +998,15 @@ class OtsuThreshold(AlgoOperator, HasInputCol):
                   .filter(F.col("__bv").isNotNull())
                   .withColumn("__rk", F.row_number().over(
                       Window.orderBy(
-                          F.floor(F.col("__bv") * 1e9).desc(),
+                          F.floor(F.col("__bv") * 1e9 + 0.5).desc(),
                           F.asc("__b")))))
         width = (F.col("__hi") - F.col("__lo")) / nb
         return (ranked.filter(F.col("__rk") == 1)
                 .select(
                     (F.floor((F.col("__lo")
-                              + (F.col("__b") + 1) * width) * 1e6)
+                              + (F.col("__b") + 1) * width) * 1e6 + 0.5)
                      / 1e6).alias("threshold"),
-                    (F.floor(F.col("__bv") * 1e6) / 1e6)
+                    (F.floor(F.col("__bv") * 1e6 + 0.5) / 1e6)
                     .alias("between_var"),
                     F.col("__cn").alias("n_below"),
                     (F.col("__tn") - F.col("__cn")).alias("n_above")))
@@ -1058,11 +1058,10 @@ class GiniConcentration(AlgoOperator):
                   .withColumn("__n", n_all))
         return ranked.agg(
             F.count(F.lit(1)).alias("n_groups"),
-            F.round(F.sum("__w"), 6).alias("total"),
-            F.round(
-                F.sum((2 * F.col("__i") - F.col("__n") - 1)
+            (F.floor((F.sum("__w")) * 1e6 + 0.5) / 1e6).alias("total"),
+            (F.floor((F.sum((2 * F.col("__i") - F.col("__n") - 1)
                       * F.col("__w"))
-                / (F.count(F.lit(1)) * F.sum("__w")), 6).alias("gini"))
+                / (F.count(F.lit(1)) * F.sum("__w"))) * 1e6 + 0.5) / 1e6).alias("gini"))
 
 
 class WelchTTest(AlgoOperator):
@@ -2063,7 +2062,7 @@ class LorenzCurveAnalyzer(AlgoOperator):
         probs = F.array(*[F.lit(i / k) for i in range(1, k)])
         row = base.agg(
             F.transform(F.percentile(w, probs),
-                        lambda e: F.round(e, 6)).alias("es")).first()
+                        lambda e: (F.floor((e) * 1e6 + 0.5) / 1e6)).alias("es")).first()
         edges = list(row["es"] or [])
         if not edges:
             raise ValueError("no non-null weights to fit on")

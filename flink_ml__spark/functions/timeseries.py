@@ -823,10 +823,10 @@ class InterArrivalProfiler(AlgoOperator):
                      F.col("std_gap_s") / F.col("mean_gap_s")))
         return out.select(
             k, "n_events", "n_gaps",
-            F.round("mean_gap_s", 6).alias("mean_gap_s"),
-            F.round("std_gap_s", 6).alias("std_gap_s"),
-            F.round(cv, 6).alias("cv"),
-            F.round((cv - 1) / (cv + 1), 6).alias("burstiness"))
+            (F.floor((F.col("mean_gap_s")) * 1e6 + 0.5) / 1e6).alias("mean_gap_s"),
+            (F.floor((F.col("std_gap_s")) * 1e6 + 0.5) / 1e6).alias("std_gap_s"),
+            (F.floor((cv) * 1e6 + 0.5) / 1e6).alias("cv"),
+            (F.floor(((cv - 1) / (cv + 1)) * 1e6 + 0.5) / 1e6).alias("burstiness"))
 
 
 class HoltForecaster(AlgoOperator):
@@ -935,10 +935,10 @@ class HoltForecaster(AlgoOperator):
                 .withColumn("__f", fin)
                 .select(k,
                         F.size("__s").alias("n"),
-                        F.round(F.col("__f.l"), 6).alias("level"),
-                        F.round(F.col("__f.b"), 6).alias("trend"),
-                        F.round(F.col("__f.l")
-                                + F.lit(float(h)) * F.col("__f.b"), 6)
+                        (F.floor((F.col("__f.l")) * 1e6 + 0.5) / 1e6).alias("level"),
+                        (F.floor((F.col("__f.b")) * 1e6 + 0.5) / 1e6).alias("trend"),
+                        (F.floor((F.col("__f.l")
+                                + F.lit(float(h)) * F.col("__f.b")) * 1e6 + 0.5) / 1e6)
                         .alias("forecast")))
 
 

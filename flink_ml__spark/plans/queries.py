@@ -48,6 +48,23 @@ from flink_ml__spark.sources import load_table
 
 R = 6  # rounding for float outputs, applied identically on both sides
 
+def _fq(c, nd=R):
+    """Cross-engine-stable fixed-point quantizer:
+    floor(x*10^nd + 0.5) / 10^nd — nearest-decimal via IEEE-exact ops.
+    The SQL twin is floor((x) * 1e{nd} + 0.5) / 1e{nd}. Unlike
+    round(), whose implementations (BigDecimal HALF_UP vs float-math)
+    diverge on boundary values even for bit-identical inputs, every
+    operation here is IEEE-exact, so identical inputs quantize
+    identically in any engine. The + 0.5 matters: bare floor truncates,
+    so exact-decimal data (prices in cents) sits within 1 ulp of the
+    quantization boundary and engine summation-order noise flips it
+    (seen: 6.55 vs 6.549999 on ewma/ltv/lorenz); with + 0.5 those
+    values sit half a decimal step away from the boundary."""
+    c = F.col(c) if isinstance(c, str) else c
+    s = float(10 ** nd)
+    return F.floor(c * s + 0.5) / s
+
+
 # ---------------------------------------------------------------------------
 # shared configs
 # ---------------------------------------------------------------------------
@@ -88,7 +105,7 @@ def q_ahp_score_lineitem(spark, sf_dir):
           .setIndicatorType(AHP_TYPES).setOutputCol("ahp_score"))
     out = op.transform(li)
     return out.select("l_orderkey", "l_linenumber",
-                      F.round("ahp_score", R).alias("ahp_score"))
+                      _fq("ahp_score").alias("ahp_score"))
 
 
 def _ahp_oracle(cols, types, ahp_w, table, keys):
@@ -116,7 +133,7 @@ norm AS (SELECT {keycols}, {norm} FROM {table}, stats),
 sums AS (SELECT {sums} FROM norm),
 dvals AS (SELECT {d} FROM sums),
 scored AS (SELECT {keycols}, {score} AS raw_score FROM norm, dvals)
-SELECT {keycols}, round(raw_score, {R}) AS ahp_score FROM scored
+SELECT {keycols}, floor((raw_score) * 1e{R} + 0.5) / 1e{R} AS ahp_score FROM scored
 """
 
 
@@ -134,7 +151,7 @@ def q_topsis_score_part(spark, sf_dir):
           .setPredictionCol("topsis_score"))
     out = op.transform(part)
     return out.select("p_partkey",
-                      F.round("topsis_score", R).alias("topsis_score"))
+                      _fq("topsis_score").alias("topsis_score"))
 
 
 ORACLE_TOPSIS = f"""
@@ -153,9 +170,9 @@ u AS (SELECT p_partkey,
              vmin1 / sqrt(q1) * {TOPSIS_WEIGHTS[1]} AS w1
       FROM pos, ssq)
 SELECT p_partkey,
-       round(sqrt((w0-u0)*(w0-u0) + (w1-u1)*(w1-u1)) /
+       floor((sqrt((w0-u0)*(w0-u0) + (w1-u1)*(w1-u1)) /
              (sqrt((z0-u0)*(z0-u0) + (z1-u1)*(z1-u1)) +
-              sqrt((w0-u0)*(w0-u0) + (w1-u1)*(w1-u1))), {R}) AS topsis_score
+              sqrt((w0-u0)*(w0-u0) + (w1-u1)*(w1-u1)))) * 1e{R} + 0.5) / 1e{R} AS topsis_score
 FROM u
 """
 
@@ -170,7 +187,7 @@ def q_online_ahp_events(spark, sf_dir):
           .setJudgmentMatrix(OAHP_MATRIX).setIndicatorType([1, 0])
           .setWindows("1 day").setTimeCol("ts").setOutputCol("win_score"))
     out = op.transform(ev)
-    return out.select("event_id", F.round("win_score", R).alias("win_score"))
+    return out.select("event_id", _fq("win_score").alias("win_score"))
 
 
 ORACLE_ONLINE_AHP = f"""
@@ -200,8 +217,8 @@ s5 AS (
          1 + (1.0/ln(2)) * e0 AS d0, 1 + (1.0/ln(2)) * e1 AS d1
   FROM s4)
 SELECT event_id,
-       round(n0 * (d0/(d0+d1)) * {OAHP_W[0]!r}
-           + n1 * (d1/(d0+d1)) * {OAHP_W[1]!r}, {R}) AS win_score
+       floor((n0 * (d0/(d0+d1)) * {OAHP_W[0]!r}
+           + n1 * (d1/(d0+d1)) * {OAHP_W[1]!r}) * 1e{R} + 0.5) / 1e{R} AS win_score
 FROM s5
 """
 
@@ -230,7 +247,7 @@ def q_online_topsis_model_events(spark, sf_dir):
     model, _ = _online_topsis_model(spark, sf_dir)
     return (model.getModelData()
             .select("timestamp", "minTimestamp",
-                    F.round("score", R).alias("score"))
+                    _fq("score").alias("score"))
             )
 
 
@@ -263,18 +280,18 @@ scored AS (
 """.format(w0=OT_WEIGHTS[0], w1=OT_WEIGHTS[1])
 
 ORACLE_ONLINE_TOPSIS_MODEL = _OT_MEANS + f"""
-SELECT timestamp, minTimestamp, round(raw_score, {R}) AS score FROM scored
+SELECT timestamp, minTimestamp, floor((raw_score) * 1e{R} + 0.5) / 1e{R} AS score FROM scored
 """
 
 
 def q_online_topsis_predict_events(spark, sf_dir):
     model, df = _online_topsis_model(spark, sf_dir)
     out = model.setPredictionCol("score").transform(df)
-    return out.select("event_id", F.round("score", R).alias("score"))
+    return out.select("event_id", _fq("score").alias("score"))
 
 
 ORACLE_ONLINE_TOPSIS_PREDICT = _OT_MEANS + f"""
-SELECT e.event_id, round(s.raw_score, {R}) AS score
+SELECT e.event_id, floor((s.raw_score) * 1e{R} + 0.5) / 1e{R} AS score
 FROM events e JOIN scored s
   ON epoch_ms(e.ts) >= s.minTimestamp AND epoch_ms(e.ts) <= s.timestamp
 """
@@ -294,9 +311,9 @@ def q_apriori_rules_events(spark, sf_dir):
     return out.select(
         F.array_join("itemSet", ",").alias("item_set"),
         F.col("count").cast("bigint").alias("cnt"),
-        F.round("support", R).alias("support"),
-        F.round("confidence", R).alias("confidence"),
-        F.round("lift", R).alias("lift"),
+        _fq("support").alias("support"),
+        _fq("confidence").alias("confidence"),
+        _fq("lift").alias("lift"),
         F.array_join("prefix", ",").alias("prefix_s"),
         F.array_join("suffix", ",").alias("suffix_s"))
 
@@ -348,8 +365,8 @@ all_rules AS (
   SELECT array_to_string(itemset, ','), cnt, support, support, 1.0,
          '', ''
   FROM freq WHERE len(itemset) = 1)
-SELECT item_set, cnt, round(support, {R}) AS support,
-       round(confidence, {R}) AS confidence, round(lift, {R}) AS lift,
+SELECT item_set, cnt, floor((support) * 1e{R} + 0.5) / 1e{R} AS support,
+       floor((confidence) * 1e{R} + 0.5) / 1e{R} AS confidence, floor((lift) * 1e{R} + 0.5) / 1e{R} AS lift,
        prefix_s, suffix_s
 FROM all_rules
 WHERE confidence >= 0.3 AND lift >= 1.0
@@ -422,9 +439,9 @@ def q_canopy_customer(spark, sf_dir):
                  .join(flat.select(F.col("point").alias("features")),
                        "features", "left_anti")
                  .select(F.lit("uncovered_point").alias("violation"),
-                         F.round(F.element_at("features", 1), R)
+                         _fq(F.element_at("features", 1))
                          .alias("x1"),
-                         F.round(F.element_at("features", 2), R)
+                         _fq(F.element_at("features", 2))
                          .alias("x2")))
     centers = (flat.groupBy("canopy_id")
                .agg(F.first("centroid").alias("c")))
@@ -542,7 +559,7 @@ def q_canopy_invariants_customer(spark, sf_dir):
         F.lit(0.0), lambda acc, x: acc + x))
     return (flat.withColumn("__dist", dist)
             .filter(F.col("__dist") >= F.lit(8.0))
-            .select("canopy_id", F.round("__dist", R).alias("dist")))
+            .select("canopy_id", _fq("__dist").alias("dist")))
 
 
 ORACLE_CANOPY_INVARIANTS = """
@@ -559,12 +576,12 @@ def q_mean_imputer_orders(spark, sf_dir):
     orders = load_table(spark, "orders", sf_dir)
     model = MeanImputer().setInputCol("o_totalprice").fit(orders)
     return model.transform(orders).select(
-        F.round("imputed_value", R).alias("imputed_value"))
+        _fq("imputed_value").alias("imputed_value"))
 
 
 ORACLE_MEAN_IMPUTER = f"""
-SELECT round(coalesce(o_totalprice,
-             (SELECT avg(o_totalprice) FROM orders)), {R}) AS imputed_value
+SELECT floor((coalesce(o_totalprice,
+             (SELECT avg(o_totalprice) FROM orders))) * 1e{R} + 0.5) / 1e{R} AS imputed_value
 FROM orders
 """
 
@@ -573,12 +590,12 @@ def q_standard_scaler_lineitem(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     model = StandardScaler().setInputCol("l_tax").fit(li)
     return model.transform(li).select(
-        F.round("scaled_value", R).alias("scaled_value"))
+        _fq("scaled_value").alias("scaled_value"))
 
 
 ORACLE_STANDARD_SCALER = f"""
 WITH s AS (SELECT avg(l_tax) AS m, stddev_samp(l_tax) AS sd FROM lineitem)
-SELECT round((l_tax - m) / sd, {R}) AS scaled_value FROM lineitem, s
+SELECT floor(((l_tax - m) / sd) * 1e{R} + 0.5) / 1e{R} AS scaled_value FROM lineitem, s
 """
 
 
@@ -785,7 +802,7 @@ def q_ngram_jaccard_pairs_documents(spark, sf_dir):
     op = NgramJaccardDeduplicator().setThreshold(0.5)
     pairs = op.duplicate_pairs(docs)
     return pairs.select("id_keep", "id_dup",
-                        F.round("jaccard", R).alias("jaccard"))
+                        _fq("jaccard").alias("jaccard"))
 
 
 def _oracle_ngram_jaccard() -> str:
@@ -814,7 +831,7 @@ pairs AS (
          len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
   FROM cand c JOIN hs l ON l.doc_id = c.id_keep
               JOIN hs r ON r.doc_id = c.id_dup)
-SELECT id_keep, id_dup, round(jaccard, {R}) AS jaccard
+SELECT id_keep, id_dup, floor((jaccard) * 1e{R} + 0.5) / 1e{R} AS jaccard
 FROM pairs WHERE jaccard >= {t!r}
 """
 
@@ -849,7 +866,7 @@ def q_minhash_topk_documents(spark, sf_dir):
           .setMaxBandBucket(64))
     return (op.topk(queries, corpus)
             .select("query_id", "doc_id",
-                    F.round("jaccard", R).alias("jaccard"), "rank"))
+                    _fq("jaccard").alias("jaccard"), "rank"))
 
 
 def _oracle_minhash_topk() -> str:
@@ -897,7 +914,7 @@ j AS (SELECT cand.query_id, cand.doc_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY jaccard DESC, doc_id ASC) AS "rank"
       FROM j WHERE jaccard >= {op.getMinJaccard()!r})
-SELECT query_id, doc_id, round(jaccard, {R}) AS jaccard, "rank"
+SELECT query_id, doc_id, floor((jaccard) * 1e{R} + 0.5) / 1e{R} AS jaccard, "rank"
 FROM r WHERE "rank" <= {op.getK()}
 """
 
@@ -1012,7 +1029,7 @@ def q_minhash_recall_documents(spark, sf_dir):
               .otherwise(F.col("n_found_pairs") / F.col("n_exact_pairs")))
     return (ne.crossJoin(nf)
             .select("n_exact_pairs", "n_found_pairs",
-                    F.round(recall, 3).alias("recall")))
+                    _fq(recall, 3).alias("recall")))
 
 
 def _oracle_minhash_recall() -> str:
@@ -1051,7 +1068,7 @@ agg AS (SELECT (SELECT count(*) FROM expairs) AS ne,
                (SELECT count(*) FROM expairs e
                 JOIN mhv m ON e.id_l = m.id_l AND e.id_r = m.id_r) AS nf)
 SELECT ne::BIGINT AS n_exact_pairs, nf::BIGINT AS n_found_pairs,
-       round(CASE WHEN ne = 0 THEN 1.0 ELSE nf::DOUBLE / ne END, 3)
+       floor((CASE WHEN ne = 0 THEN 1.0 ELSE nf::DOUBLE / ne END) * 1e3 + 0.5) / 1e3
          AS recall
 FROM agg
 """
@@ -1106,7 +1123,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = CosineTopK().setK(5).topk(queries, emb)
     return out.select("query_id", "rank", "neighbor_id",
-                      F.round("cosine", R).alias("cosine"))
+                      _fq("cosine").alias("cosine"))
 
 
 ORACLE_ANN = f"""
@@ -1126,7 +1143,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored)
-SELECT query_id, rank, neighbor_id, round(cosine, {R}) AS cosine
+SELECT query_id, rank, neighbor_id, floor((cosine) * 1e{R} + 0.5) / 1e{R} AS cosine
 FROM ranked WHERE rank <= 5
 """
 
@@ -1163,7 +1180,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     per_q = (n.join(hits, "query_id", "left")
              .select("query_id", F.col("n_exact").cast("long").alias("n_exact"),
                      n_hit.alias("n_hit"),
-                     F.round(n_hit / F.col("n_exact"), 3)
+                     _fq(n_hit / F.col("n_exact"), 3)
                      .alias("recall_at_5")))
     q_viol = per_q.filter(
         F.col("recall_at_5") <= F.lit(ANN_QUERY_RECALL_FLOOR))
@@ -1171,7 +1188,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.lit(-1).cast("long").alias("query_id"),
         F.sum("n_exact").alias("n_exact"),
         F.sum("n_hit").alias("n_hit"),
-        F.round(F.avg("recall_at_5"), 3).alias("recall_at_5"))
+        _fq(F.avg("recall_at_5"), 3).alias("recall_at_5"))
         .filter(F.col("recall_at_5") < F.lit(ANN_MEAN_RECALL_FLOOR)))
     return q_viol.unionByName(mean_viol)
 
@@ -1301,7 +1318,7 @@ def q_embedding_contamination(spark, sf_dir):
     out = (EmbeddingContaminationChecker().setThreshold(0.4)
            .transform_against(corpus, bench))
     return out.select("vec_id",
-                      F.round("max_benchmark_cosine", R)
+                      _fq("max_benchmark_cosine")
                       .alias("max_benchmark_cosine"),
                       "is_contaminated")
 
@@ -1320,7 +1337,7 @@ mx AS (SELECT c.vec_id,
                        ELSE list_dot_product(c.e, b.e) / (c.nrm * b.nrm)
                   END) AS m
        FROM c, b GROUP BY c.vec_id)
-SELECT vec_id, round(m, {R}) AS max_benchmark_cosine,
+SELECT vec_id, floor((m) * 1e{R} + 0.5) / 1e{R} AS max_benchmark_cosine,
        m >= 0.4 AS is_contaminated
 FROM mx
 """
@@ -1340,7 +1357,7 @@ def q_quantize_embeddings(spark, sf_dir):
     out = EmbeddingQuantizer().transform(emb)
     return out.select(
         "vec_id",
-        F.round("emb_scale", R).alias("emb_scale"),
+        _fq("emb_scale").alias("emb_scale"),
         F.array_join(F.col("emb_q8").cast("array<string>"), ",")
         .alias("emb_q8"),
     )
@@ -1358,7 +1375,7 @@ q AS (SELECT vec_id, sc,
                   ELSE list_transform(emb, x -> round(x * 127.0 / sc)::INT)
              END AS codes
       FROM s)
-SELECT vec_id, round(sc, {R}) AS emb_scale,
+SELECT vec_id, floor((sc) * 1e{R} + 0.5) / 1e{R} AS emb_scale,
        array_to_string(codes, ',') AS emb_q8
 FROM q
 """
@@ -1401,8 +1418,8 @@ def q_quality_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = QualityScorer().transform(docs)
     return out.select("doc_id", "n_tokens_q",
-                      F.round("alpha_ratio", R).alias("alpha_ratio"),
-                      F.round("quality_score", R).alias("quality_score"))
+                      _fq("alpha_ratio").alias("alpha_ratio"),
+                      _fq("quality_score").alias("quality_score"))
 
 
 ORACLE_QUALITY = f"""
@@ -1425,11 +1442,11 @@ m AS (
          punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
          stop::DOUBLE / greatest(n_tokens_q, 1) AS stopword_ratio
   FROM t)
-SELECT doc_id, n_tokens_q, round(alpha_ratio, {R}) AS alpha_ratio,
-       round(least(n_tokens_q / 20.0, 1.0) * 0.3
+SELECT doc_id, n_tokens_q, floor((alpha_ratio) * 1e{R} + 0.5) / 1e{R} AS alpha_ratio,
+       floor((least(n_tokens_q / 20.0, 1.0) * 0.3
            + alpha_ratio * 0.4
            + least(stopword_ratio * 5.0, 1.0) * 0.2
-           + (1 - least(punct_ratio * 10.0, 1.0)) * 0.1, {R})
+           + (1 - least(punct_ratio * 10.0, 1.0)) * 0.1) * 1e{R} + 0.5) / 1e{R}
          AS quality_score
 FROM m
 """
@@ -1441,7 +1458,7 @@ def q_quality_filter_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = QualityFilter().setMinScore(0.5).transform(docs)
     return out.select("doc_id",
-                      F.round("quality_score", R).alias("quality_score"))
+                      _fq("quality_score").alias("quality_score"))
 
 
 ORACLE_QUALITY_FILTER = f"""
@@ -1471,7 +1488,7 @@ s AS (
            + least(stopword_ratio * 5.0, 1.0) * 0.2
            + (1 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS score
   FROM m)
-SELECT doc_id, round(score, {R}) AS quality_score
+SELECT doc_id, floor((score) * 1e{R} + 0.5) / 1e{R} AS quality_score
 FROM s WHERE score >= 0.5
 """
 
@@ -1486,9 +1503,9 @@ def q_gopher_quality_documents(spark, sf_dir):
     out = GopherQualityFilter().setMinStopHits(1).transform(docs)
     return out.select(
         "doc_id", "gopher_n_words",
-        F.round("gopher_mean_word_len", R).alias("gopher_mean_word_len"),
-        F.round("gopher_symbol_ratio", R).alias("gopher_symbol_ratio"),
-        F.round("gopher_alpha_word_frac", R).alias("gopher_alpha_word_frac"),
+        _fq("gopher_mean_word_len").alias("gopher_mean_word_len"),
+        _fq("gopher_symbol_ratio").alias("gopher_symbol_ratio"),
+        _fq("gopher_alpha_word_frac").alias("gopher_alpha_word_frac"),
         "gopher_stop_hits", "gopher_pass")
 
 
@@ -1517,9 +1534,9 @@ m AS (SELECT doc_id,
       FROM w)
 SELECT doc_id,
        n::BIGINT AS gopher_n_words,
-       round(nwc / n1, {R}) AS gopher_mean_word_len,
-       round(sym / n1, {R}) AS gopher_symbol_ratio,
-       round(alpha / n1, {R}) AS gopher_alpha_word_frac,
+       floor((nwc / n1) * 1e{R} + 0.5) / 1e{R} AS gopher_mean_word_len,
+       floor((sym / n1) * 1e{R} + 0.5) / 1e{R} AS gopher_symbol_ratio,
+       floor((alpha / n1) * 1e{R} + 0.5) / 1e{R} AS gopher_alpha_word_frac,
        stop_hits::INT AS gopher_stop_hits,
        (n >= {op.getOrDefault(op.minWords)}
         AND n <= {op.getOrDefault(op.maxWords)}
@@ -1564,7 +1581,7 @@ def q_asof_join_events(spark, sf_dir):
         "event_id", "user_id",
         F.unix_micros("ts").alias("t_us"),
         F.unix_micros("asof_ts").alias("asof_us"),
-        F.round("value", R).alias("asof_value"))
+        _fq("value").alias("asof_value"))
 
 
 ORACLE_ASOF_JOIN = f"""
@@ -1573,7 +1590,7 @@ WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
 r AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
       WHERE event_id % 2 = 0)
 SELECT l.event_id, l.user_id, l.t AS t_us, r.t AS asof_us,
-       round(r.value, {R}) AS asof_value
+       floor((r.value) * 1e{R} + 0.5) / 1e{R} AS asof_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t
 """
 
@@ -1594,7 +1611,7 @@ def q_asof_forward_events(spark, sf_dir):
         "event_id", "user_id",
         F.unix_micros("ts").alias("t_us"),
         F.unix_micros("asof_ts").alias("asof_us"),
-        F.round("value", R).alias("asof_value"))
+        _fq("value").alias("asof_value"))
 
 
 ORACLE_ASOF_FORWARD = f"""
@@ -1603,7 +1620,7 @@ WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
 r AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
       WHERE event_id % 2 = 0)
 SELECT l.event_id, l.user_id, l.t AS t_us, r.t AS asof_us,
-       round(r.value, {R}) AS asof_value
+       floor((r.value) * 1e{R} + 0.5) / 1e{R} AS asof_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t
 """
 
@@ -1624,7 +1641,7 @@ def q_asof_nearest_events(spark, sf_dir):
         "event_id", "user_id",
         F.unix_micros("ts").alias("t_us"),
         F.unix_micros("asof_ts").alias("asof_us"),
-        F.round("value", R).alias("asof_value"))
+        _fq("value").alias("asof_value"))
 
 
 ORACLE_ASOF_NEAREST = f"""
@@ -1639,9 +1656,8 @@ f AS (SELECT l.event_id, r.t AS ft, r.value AS fv
 SELECT b.event_id, b.user_id, b.t AS t_us,
        CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
             WHEN (ft - t) < (t - bt) THEN ft ELSE bt END AS asof_us,
-       round(CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
-                  WHEN (ft - t) < (t - bt) THEN fv ELSE bv END,
-             {R}) AS asof_value
+       floor((CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+                  WHEN (ft - t) < (t - bt) THEN fv ELSE bv END) * 1e{R} + 0.5) / 1e{R} AS asof_value
 FROM b JOIN f USING (event_id)
 """
 
@@ -1659,7 +1675,7 @@ def q_sessionize_events(spark, sf_dir):
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_last").alias("last_us"),
         "n_events",
-        F.round("sum_value", R).alias("sum_value"))
+        _fq("sum_value").alias("sum_value"))
 
 
 # the analytic lag/cumsum formulation — the classic sessionization SQL
@@ -1676,7 +1692,7 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM g)
 SELECT user_id, min(t) AS start_us, max(t) AS last_us,
-       count(*) AS n_events, round(sum(value), {R}) AS sum_value
+       count(*) AS n_events, floor((sum(value)) * 1e{R} + 0.5) / 1e{R} AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
@@ -1700,7 +1716,7 @@ def q_range_join_events(spark, sf_dir):
         points, ivs, ["iv_id", "iv_value"])
     return out.select(
         "event_id", "user_id", F.unix_micros("ts").alias("t_us"),
-        "iv_id", F.round("iv_value", R).alias("iv_value"))
+        "iv_id", _fq("iv_value").alias("iv_value"))
 
 
 ORACLE_RANGE_JOIN = f"""
@@ -1709,7 +1725,7 @@ i AS (SELECT user_id, event_id AS iv_id, epoch_us(ts) AS s,
              epoch_us(ts + INTERVAL 2 HOUR) AS e, value
       FROM events WHERE event_id % 7 = 0)
 SELECT p.event_id, p.user_id, p.t AS t_us, i.iv_id,
-       round(i.value, {R}) AS iv_value
+       floor((i.value) * 1e{R} + 0.5) / 1e{R} AS iv_value
 FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
 """
 
@@ -1726,8 +1742,8 @@ def q_rollup_gapfill_events(spark, sf_dir):
            .setFill("locf").transform(ev))
     return out.select(
         "user_id", F.unix_micros("bucket_start").alias("bucket_us"),
-        "n_events", F.round("sum_value", R).alias("sum_value"),
-        F.round("avg_value", R).alias("avg_value"))
+        "n_events", _fq("sum_value").alias("sum_value"),
+        _fq("avg_value").alias("avg_value"))
 
 
 _BW_US = 6 * 3600 * 1_000_000
@@ -1744,11 +1760,10 @@ j AS (SELECT d.user_id, d.bk, coalesce(a.n_events, 0) AS n_events,
              a.sum_value, a.avg_value
       FROM dense d LEFT JOIN a ON d.user_id = a.user_id AND d.bk = a.bk)
 SELECT user_id, bk * {_BW_US} AS bucket_us, n_events,
-       round(sum_value, {R}) AS sum_value,
-       round(coalesce(avg_value, last_value(avg_value IGNORE NULLS)
+       floor((sum_value) * 1e{R} + 0.5) / 1e{R} AS sum_value,
+       floor((coalesce(avg_value, last_value(avg_value IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY bk
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             {R}) AS avg_value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1e{R} + 0.5) / 1e{R} AS avg_value
 FROM j
 """
 
@@ -1769,8 +1784,8 @@ def q_anomaly_events(spark, sf_dir):
            .setThreshold(2.0).transform(roll))
     return out.select(
         "user_id", F.unix_micros("bucket_start").alias("bucket_us"),
-        F.round("avg_value", R).alias("avg_value"),
-        F.round("zscore", R).alias("zscore"), "is_anomaly")
+        _fq("avg_value").alias("avg_value"),
+        _fq("zscore").alias("zscore"), "is_anomaly")
 
 
 ORACLE_ANOMALY = f"""
@@ -1791,8 +1806,8 @@ z AS (SELECT user_id, bk, avg_value,
       FROM j WINDOW w AS (PARTITION BY user_id ORDER BY bk
                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
 SELECT user_id, bk * {_BW_US} AS bucket_us,
-       round(avg_value, {R}) AS avg_value,
-       round(CASE WHEN s > 0 THEN (avg_value - m) / s END, {R}) AS zscore,
+       floor((avg_value) * 1e{R} + 0.5) / 1e{R} AS avg_value,
+       floor((CASE WHEN s > 0 THEN (avg_value - m) / s END) * 1e{R} + 0.5) / 1e{R} AS zscore,
        coalesce(abs(CASE WHEN s > 0 THEN (avg_value - m) / s END) >= 2.0,
                 false) AS is_anomaly
 FROM z
@@ -1900,7 +1915,7 @@ def q_cohort_retention_events(spark, sf_dir):
            .transform(ev))
     return out.select(F.unix_micros("cohort_start").alias("cohort_us"),
                       "age", "n_active", "cohort_size",
-                      F.round("retention", R).alias("retention"))
+                      _fq("retention").alias("retention"))
 
 
 _WEEK_US = 7 * 86400 * 1_000_000
@@ -1914,7 +1929,7 @@ cells AS (SELECT c.cohort, a.bk - c.cohort AS age,
                  count(*) AS n_active
           FROM a JOIN c USING (user_id) GROUP BY 1, 2)
 SELECT cohort * {_WEEK_US} AS cohort_us, age, n_active, cohort_size,
-       round(n_active::DOUBLE / cohort_size, {R}) AS retention
+       floor((n_active::DOUBLE / cohort_size) * 1e{R} + 0.5) / 1e{R} AS retention
 FROM cells JOIN s USING (cohort)
 """
 
@@ -1932,7 +1947,7 @@ def q_pagerank_events(spark, sf_dir):
     edges = ev.select(F.col("user_id").alias("src"),
                       (F.col("event_id") % 150).alias("dst"))
     out = PageRank().setMaxIter(5).transform(edges)
-    return out.select("node", F.round("rank", R).alias("rank"))
+    return out.select("node", _fq("rank").alias("rank"))
 
 
 def _oracle_pagerank(iters: int = 5, d: float = 0.85) -> str:
@@ -1957,7 +1972,7 @@ r{i} AS (SELECT nodes.node,
         FROM nodes CROSS JOIN nn CROSS JOIN dg{i}
         LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT node, round(rank, {R}) AS rank FROM r{iters}")
+            + f"\nSELECT node, floor((rank) * 1e{R} + 0.5) / 1e{R} AS rank FROM r{iters}")
 
 
 def q_funnel_events(spark, sf_dir):
@@ -2008,7 +2023,7 @@ def q_bm25_documents(spark, sf_dir):
                        .alias("query_text")))
     out = BM25Retriever().setTopK(10).retrieve(docs, queries)
     return out.select("query_id", "doc_id",
-                      F.round("score", R).alias("score"), "rank")
+                      _fq("score").alias("score"), "rank")
 
 
 ORACLE_BM25 = f"""
@@ -2033,9 +2048,9 @@ m AS (SELECT q.query_id, tf.doc_id,
 sc AS (SELECT query_id, doc_id, sum(s) AS score FROM m GROUP BY 1, 2),
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id
-        ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+        ORDER BY floor(score * 1e9 + 0.5)::BIGINT DESC, doc_id ASC) AS "rank"
       FROM sc)
-SELECT query_id, doc_id, round(score, {R}) AS score, "rank"
+SELECT query_id, doc_id, floor((score) * 1e{R} + 0.5) / 1e{R} AS score, "rank"
 FROM r WHERE "rank" <= 10
 """
 
@@ -2053,8 +2068,8 @@ def q_bigram_lm_documents(spark, sf_dir):
              .setInterpWeight(0.7).fit(docs))
     out = model.transform(docs)
     return out.select("doc_id",
-                      F.round("mean_logprob", R).alias("mean_logprob"),
-                      F.round("bigram_frac", R).alias("bigram_frac"))
+                      _fq("mean_logprob").alias("mean_logprob"),
+                      _fq("bigram_frac").alias("bigram_frac"))
 
 
 _BLM_LAM, _BLM_1MLAM = repr(0.7), repr(1.0 - 0.7)
@@ -2089,8 +2104,8 @@ sc AS (SELECT p.doc_id,
        CROSS JOIN tot),
 agg AS (SELECT doc_id, avg(lp) AS mlp, avg(hit) AS bf
         FROM sc GROUP BY 1)
-SELECT d.doc_id, round(agg.mlp, {R}) AS mean_logprob,
-       round(agg.bf, {R}) AS bigram_frac
+SELECT d.doc_id, floor((agg.mlp) * 1e{R} + 0.5) / 1e{R} AS mean_logprob,
+       floor((agg.bf) * 1e{R} + 0.5) / 1e{R} AS bigram_frac
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
@@ -2105,7 +2120,7 @@ def q_weighted_sample_documents(spark, sf_dir):
     out = (WeightedSampler().setWeightCol("n_chars").setN(100)
            .transform(docs))
     return out.select("doc_id", "n_chars",
-                      F.round("sample_key", R).alias("sample_key"))
+                      _fq("sample_key").alias("sample_key"))
 
 
 ORACLE_WEIGHTED_SAMPLE = f"""
@@ -2118,8 +2133,8 @@ k AS (SELECT doc_id, n_chars,
              ln((h + 1) / 1152921504606846976.0) / n_chars AS key
       FROM t),
 r AS (SELECT *, row_number() OVER (
-        ORDER BY round(key, 12) DESC, doc_id ASC) AS rn FROM k)
-SELECT doc_id, n_chars, round(key, {R}) AS sample_key
+        ORDER BY floor(key * 1e12 + 0.5)::BIGINT DESC, doc_id ASC) AS rn FROM k)
+SELECT doc_id, n_chars, floor((key) * 1e{R} + 0.5) / 1e{R} AS sample_key
 FROM r WHERE rn <= 100
 """
 
@@ -2134,14 +2149,14 @@ def q_winsorize_orders(spark, sf_dir):
     model = Winsorizer().setInputCol("o_totalprice").fit(orders)
     return (model.transform(orders)
             .select("o_orderkey",
-                    F.round("winsorized", R).alias("winsorized")))
+                    _fq("winsorized").alias("winsorized")))
 
 
 ORACLE_WINSORIZE = f"""
 WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
                   quantile_cont(o_totalprice, 0.95) AS hi FROM orders)
 SELECT o_orderkey,
-       round(least(greatest(o_totalprice, b.lo), b.hi), {R})
+       floor((least(greatest(o_totalprice, b.lo), b.hi)) * 1e{R} + 0.5) / 1e{R}
        AS winsorized
 FROM orders CROSS JOIN b
 """
@@ -2157,14 +2172,14 @@ def q_heavy_hitters_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = (HeavyHitters().setMinShare(0.003).setNumCounters(512)
            .transform(docs))
-    return out.select("item", "count", F.round("share", R).alias("share"))
+    return out.select("item", "count", _fq("share").alias("share"))
 
 
 ORACLE_HEAVY_HITTERS = f"""
 WITH ex AS (SELECT unnest({_TOK_SQL}) AS item FROM documents),
 n AS (SELECT count(*) AS n FROM ex),
 c AS (SELECT item, count(*) AS cnt FROM ex GROUP BY 1)
-SELECT item, cnt AS count, round(cnt::DOUBLE / n.n, {R}) AS share
+SELECT item, cnt AS count, floor((cnt::DOUBLE / n.n) * 1e{R} + 0.5) / 1e{R} AS share
 FROM c CROSS JOIN n WHERE cnt >= 0.003 * n.n
 """
 
@@ -2199,7 +2214,7 @@ def q_cardinality_invariants_events(spark, sf_dir):
            .setGroupCols("event_type").setRelativeSD(0.05)
            .error_report(ev))
     return (rep.filter(F.col("rel_err") > 0.25)
-            .select("event_type", F.round("rel_err", R).alias("rel_err")))
+            .select("event_type", _fq("rel_err").alias("rel_err")))
 
 
 ORACLE_CARDINALITY_INVARIANTS = """
@@ -2217,14 +2232,14 @@ def q_skew_profile_events(spark, sf_dir):
     out = (SkewProfiler().setKeyCols("event_type", "user_id").setTopN(20)
            .transform(ev))
     return out.select("event_type", "user_id", "cnt",
-                      F.round("share", R).alias("share"))
+                      _fq("share").alias("share"))
 
 
 ORACLE_SKEW_PROFILE = f"""
 WITH c AS (SELECT event_type, user_id, count(*) AS cnt
            FROM events GROUP BY 1, 2),
 n AS (SELECT count(*) AS n FROM events)
-SELECT event_type, user_id, cnt, round(cnt::DOUBLE / n.n, {R}) AS share
+SELECT event_type, user_id, cnt, floor((cnt::DOUBLE / n.n) * 1e{R} + 0.5) / 1e{R} AS share
 FROM c CROSS JOIN n
 ORDER BY cnt DESC, event_type ASC, user_id ASC
 LIMIT 20
@@ -2239,17 +2254,17 @@ def q_skew_summary_events(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     out = SkewProfiler().setKeyCols("event_type").summary(ev)
     return out.select("n_rows", "n_keys", "max_cnt",
-                      F.round("avg_cnt", R).alias("avg_cnt"),
-                      F.round("max_share", R).alias("max_share"),
-                      F.round("skew_factor", R).alias("skew_factor"))
+                      _fq("avg_cnt").alias("avg_cnt"),
+                      _fq("max_share").alias("max_share"),
+                      _fq("skew_factor").alias("skew_factor"))
 
 
 ORACLE_SKEW_SUMMARY = f"""
 WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
 SELECT sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
-       round(avg(cnt), {R}) AS avg_cnt,
-       round(max(cnt)::DOUBLE / sum(cnt), {R}) AS max_share,
-       round(max(cnt)::DOUBLE / avg(cnt), {R}) AS skew_factor
+       floor((avg(cnt)) * 1e{R} + 0.5) / 1e{R} AS avg_cnt,
+       floor((max(cnt)::DOUBLE / sum(cnt)) * 1e{R} + 0.5) / 1e{R} AS max_share,
+       floor((max(cnt)::DOUBLE / avg(cnt)) * 1e{R} + 0.5) / 1e{R} AS skew_factor
 FROM c
 """
 
@@ -2267,13 +2282,13 @@ def q_json_props_events(spark, sf_dir):
     return (parsed.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("k").alias("sum_k"),
-                 F.round(F.avg("k"), R).alias("avg_k")))
+                 _fq(F.avg("k")).alias("avg_k")))
 
 
 ORACLE_JSON_PROPS = f"""
 SELECT event_type, count(*) AS n,
        sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
-       round(avg(json_extract(props, '$.k')::INT), {R}) AS avg_k
+       floor((avg(json_extract(props, '$.k')::INT)) * 1e{R} + 0.5) / 1e{R} AS avg_k
 FROM events GROUP BY event_type
 """
 
@@ -2308,7 +2323,7 @@ def q_json_schema_events(spark, sf_dir):
             .transform(ev.select(j.alias("j"))))
     return prof.select(
         "key", "n_present",
-        F.round("frac_present", R).alias("frac_present"),
+        _fq("frac_present").alias("frac_present"),
         "n_string", "n_number", "n_boolean", "n_null",
         "n_object", "n_array", "dominant_type")
 
@@ -2352,8 +2367,8 @@ agg AS (SELECT key,
   FROM typed GROUP BY key)
 SELECT key,
        ({" + ".join(f"n_{t}" for t in _JSP_TYPES)}) AS n_present,
-       round(({" + ".join(f"n_{t}" for t in _JSP_TYPES)})::DOUBLE
-             / (SELECT n FROM docs), {R}) AS frac_present,
+       floor((({" + ".join(f"n_{t}" for t in _JSP_TYPES)})::DOUBLE
+             / (SELECT n FROM docs)) * 1e{R} + 0.5) / 1e{R} AS frac_present,
        {", ".join(f"n_{t}" for t in _JSP_TYPES)},
        list_sort([{", ".join(f"struct_pack(neg := -n_{t}, t := '{t}')" for t in _JSP_TYPES)}])[1].t AS dominant_type
 FROM agg
@@ -2383,7 +2398,7 @@ def q_chunk_overlap_documents(spark, sf_dir):
     return (ChunkOverlapDetector().setMinFraction(0.3)
             .pairs(chunked)
             .select("id_a", "id_b", "n_shared",
-                    F.round("overlap_frac", R).alias("overlap_frac")))
+                    _fq("overlap_frac").alias("overlap_frac")))
 
 
 ORACLE_CHUNK_OVERLAP = f"""
@@ -2429,7 +2444,7 @@ shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
             AND l.doc_id < r.doc_id
            GROUP BY 1, 2)
 SELECT id_a, id_b, n_shared,
-       round(n_shared::DOUBLE / least(sa.sz, sb.sz), {R})
+       floor((n_shared::DOUBLE / least(sa.sz, sb.sz)) * 1e{R} + 0.5) / 1e{R}
          AS overlap_frac
 FROM shared JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
@@ -2458,7 +2473,7 @@ def q_prototypicality_embeddings(spark, sf_dir):
     model = KMeansModel(cents).setFeaturesCol("embedding")
     out = model.prototypicality(emb)
     return out.select("vec_id", "prediction",
-                      F.round("prototypicality", R)
+                      _fq("prototypicality")
                        .alias("prototypicality"))
 
 
@@ -2485,7 +2500,7 @@ fin AS (SELECT vec_id, s.g AS prediction,
   sqrt(list_sum(list_transform(x, v -> v * v))) AS xn
   FROM pick)
 SELECT vec_id, prediction::INT AS prediction,
-       CASE WHEN xn > 0 THEN round(proto, {R}) END
+       CASE WHEN xn > 0 THEN floor((proto) * 1e{R} + 0.5) / 1e{R} END
          AS prototypicality
 FROM fin
 """
@@ -2529,9 +2544,9 @@ def q_json_drift_events(spark, sf_dir):
     rep = (JsonSchemaProfiler().setInputCol("j").drift(ref, cur))
     return rep.select(
         "key", "status", "ref_present", "cur_present",
-        F.round("ref_frac", R).alias("ref_frac"),
-        F.round("cur_frac", R).alias("cur_frac"),
-        F.round("frac_shift", R).alias("frac_shift"),
+        _fq("ref_frac").alias("ref_frac"),
+        _fq("cur_frac").alias("cur_frac"),
+        _fq("frac_shift").alias("frac_shift"),
         "ref_dominant", "cur_dominant", "type_changed")
 
 
@@ -2593,9 +2608,9 @@ SELECT coalesce(r.key, c.key) AS key,
             ELSE 'common' END AS status,
        coalesce(r.n_present, 0) AS ref_present,
        coalesce(c.n_present, 0) AS cur_present,
-       round(coalesce(r.frac, 0.0), {R}) AS ref_frac,
-       round(coalesce(c.frac, 0.0), {R}) AS cur_frac,
-       round(coalesce(c.frac, 0.0) - coalesce(r.frac, 0.0), {R})
+       floor((coalesce(r.frac, 0.0)) * 1e{R} + 0.5) / 1e{R} AS ref_frac,
+       floor((coalesce(c.frac, 0.0)) * 1e{R} + 0.5) / 1e{R} AS cur_frac,
+       floor((coalesce(c.frac, 0.0) - coalesce(r.frac, 0.0)) * 1e{R} + 0.5) / 1e{R}
          AS frac_shift,
        r.dominant AS ref_dominant,
        c.dominant AS cur_dominant,
@@ -2620,7 +2635,7 @@ def q_hashed_tf_documents(spark, sf_dir):
     # NULL row)
     return out.select(
         "doc_id", F.posexplode_outer(
-            F.transform("embedding", lambda x: F.round(x, R))))
+            F.transform("embedding", lambda x: _fq(x))))
 
 
 _HTF_DIM = 16
@@ -2641,7 +2656,7 @@ n2 AS (SELECT doc_id, n, cnt,
        FROM c),
 f AS (SELECT doc_id,
              CASE WHEN n > 0
-                  THEN list_transform(cnt, x -> round(x / nrm, {R}))
+                  THEN list_transform(cnt, x -> floor((x / nrm) * 1e{R} + 0.5) / 1e{R})
              END AS emb
       FROM n2)
 SELECT doc_id, i - 1 AS pos, emb[i] AS col
@@ -2727,7 +2742,7 @@ def q_hybrid_rrf_documents(spark, sf_dir):
     fused = ReciprocalRankFusion().setK0(60.0).setTopK(10) \
         .fuse([lex, sem])
     return fused.select("query_id", "doc_id",
-                        F.round("rrf_score", R).alias("rrf_score"),
+                        _fq("rrf_score").alias("rrf_score"),
                         "n_lists", "rank")
 
 
@@ -2753,7 +2768,7 @@ m AS (SELECT q.query_id, tf.doc_id,
 sc AS (SELECT query_id, doc_id, sum(s) AS score FROM m GROUP BY 1, 2),
 lex AS (SELECT query_id, doc_id, row_number() OVER (
           PARTITION BY query_id
-          ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+          ORDER BY floor(score * 1e9 + 0.5)::BIGINT DESC, doc_id ASC) AS "rank"
         FROM sc),
 base AS (SELECT vec_id,
                 list_transform(embedding, v -> v::DOUBLE) AS emb
@@ -2778,9 +2793,9 @@ f AS (SELECT query_id, doc_id, sum(1.0 / (60.0 + "rank")) AS rrf,
       FROM u GROUP BY 1, 2),
 rr AS (SELECT *, row_number() OVER (
          PARTITION BY query_id
-         ORDER BY round(rrf, 12) DESC, doc_id ASC) AS "rank"
+         ORDER BY floor(rrf * 1e12 + 0.5)::BIGINT DESC, doc_id ASC) AS "rank"
        FROM f)
-SELECT query_id, doc_id, round(rrf, {R}) AS rrf_score, n_lists, "rank"
+SELECT query_id, doc_id, floor((rrf) * 1e{R} + 0.5) / 1e{R} AS rrf_score, n_lists, "rank"
 FROM rr WHERE "rank" <= 10
 """
 
@@ -2810,7 +2825,7 @@ def q_quality_classifier_documents(spark, sf_dir):
     p = model.transform(pos).filter(F.col("quality_prob") <= 0.8)
     n = model.transform(neg).filter(F.col("quality_prob") >= 0.2)
     return (p.unionByName(n)
-            .select("doc_id", F.round("quality_prob", 3)
+            .select("doc_id", _fq("quality_prob", 3)
                     .alias("quality_prob")))
 
 
@@ -2860,7 +2875,7 @@ def q_domain_divergence_documents(spark, sf_dir):
     out = DomainDivergence().setGroupCol("lang").setVocabSize(300) \
         .transform(docs)
     return out.select("lang", "n_vocab_tokens",
-                      F.round("kl_to_corpus", R).alias("kl_to_corpus"))
+                      _fq("kl_to_corpus").alias("kl_to_corpus"))
 
 
 ORACLE_DOMAIN_DIVERGENCE = f"""
@@ -2891,7 +2906,7 @@ kl AS (
                 ((c_t + 1.0) / (tc + nv)))) AS kl
   FROM grid CROSS JOIN tot GROUP BY g)
 SELECT g AS lang, n_vocab_tokens::BIGINT AS n_vocab_tokens,
-       round(kl, {R}) AS kl_to_corpus
+       floor((kl) * 1e{R} + 0.5) / 1e{R} AS kl_to_corpus
 FROM kl
 """
 
@@ -3053,7 +3068,7 @@ def q_auto_features_orders(spark, sf_dir):
     return out.select(
         "date_str", "o_totalprice", "bucket",
         "date_str_year", "date_str_month", "date_str_day",
-        F.round("o_totalprice_imputed", R).alias("o_totalprice_imputed"),
+        _fq("o_totalprice_imputed").alias("o_totalprice_imputed"),
         F.array_join(
             F.transform(vector_to_array("bucket_onehot"),
                         lambda v: v.cast("string")), ",")
@@ -3073,7 +3088,7 @@ SELECT date_str, o_totalprice, bucket,
          AS date_str_month,
        lpad(day(strptime(date_str, '%Y-%m-%d'))::VARCHAR, 2, '0')
          AS date_str_day,
-       round(o_totalprice, {R}) AS o_totalprice_imputed,
+       floor((o_totalprice) * 1e{R} + 0.5) / 1e{R} AS o_totalprice_imputed,
        array_to_string(
          list_transform(range(0, n_cat),
                         i -> (CASE WHEN i = bucket THEN 1.0::DOUBLE
@@ -3112,7 +3127,7 @@ def q_curation_pipeline_documents(spark, sf_dir):
     staged = ExactDeduplicator().transform(staged)
     out = MinHashDeduplicator().setSeed(42).setThreshold(0.7).transform(staged)
     return out.select("doc_id", "lang_pred",
-                      F.round("quality_score", R).alias("quality_score"))
+                      _fq("quality_score").alias("quality_score"))
 
 
 def _oracle_curation_pipeline() -> str:
@@ -3154,7 +3169,7 @@ ek AS (SELECT min(doc_id) AS doc_id
        FROM (SELECT doc_id, {_NORM_SQL} AS fp FROM ql) GROUP BY fp),
 e AS (SELECT ql.* FROM ql WHERE doc_id IN (SELECT doc_id FROM ek)),
 {_minhash_dup_ctes(mh, "e", "mh")}
-SELECT doc_id, lang_pred, round(score, {R}) AS quality_score
+SELECT doc_id, lang_pred, floor((score) * 1e{R} + 0.5) / 1e{R} AS quality_score
 FROM e WHERE doc_id NOT IN (SELECT id_r FROM mhdups)
 """
 
@@ -3328,8 +3343,8 @@ def q_unigram_logprob_documents(spark, sf_dir):
     model = UnigramLM().setMaxVocab(2000).fit(docs)
     out = model.transform(docs)
     return out.select("doc_id",
-                      F.round("mean_logprob", R).alias("mean_logprob"),
-                      F.round("oov_frac", R).alias("oov_frac"))
+                      _fq("mean_logprob").alias("mean_logprob"),
+                      _fq("oov_frac").alias("oov_frac"))
 
 
 ORACLE_UNIGRAM = f"""
@@ -3342,8 +3357,8 @@ sc AS (SELECT t.doc_id,
               avg(coalesce(v.logp, ln(1.0 / (SELECT n FROM tot)))) AS mlp,
               avg((v.logp IS NULL)::INT) AS oov
        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
-SELECT d.doc_id, round(sc.mlp, {R}) AS mean_logprob,
-       round(sc.oov, {R}) AS oov_frac
+SELECT d.doc_id, floor((sc.mlp) * 1e{R} + 0.5) / 1e{R} AS mean_logprob,
+       floor((sc.oov) * 1e{R} + 0.5) / 1e{R} AS oov_frac
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
@@ -3357,7 +3372,7 @@ def q_ppl_bucket_documents(spark, sf_dir):
     model = UnigramLM().setMaxVocab(2000).fit(docs)
     out = PerplexityBucketer().transform(model.transform(docs))
     return out.select("doc_id",
-                      F.round("mean_logprob", R).alias("mean_logprob"),
+                      _fq("mean_logprob").alias("mean_logprob"),
                       "ppl_bucket")
 
 
@@ -3372,7 +3387,7 @@ vocab AS (SELECT tok, ln(cnt / (SELECT n FROM tot)) AS logp
 sc AS (SELECT t.doc_id,
               avg(coalesce(v.logp, ln(1.0 / (SELECT n FROM tot)))) AS mlp
        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id),
-r AS (SELECT d.doc_id, round(sc.mlp, 6) AS s
+r AS (SELECT d.doc_id, floor((sc.mlp) * 1e6 + 0.5) / 1e6 AS s
       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
 th AS (SELECT quantile_cont(s, {1.0 - hf!r}) AS t1,
               quantile_cont(s, {tf!r}) AS t2 FROM r)
@@ -3396,7 +3411,7 @@ def q_dsir_weights_documents(spark, sf_dir):
     model = sel.fit(docs.filter(F.col("lang") == "en"), docs)
     return (model.transform(docs)
             .select("doc_id",
-                    F.round("dsir_logweight", R).alias("dsir_logweight")))
+                    _fq("dsir_logweight").alias("dsir_logweight")))
 
 
 def _oracle_dsir() -> str:
@@ -3421,7 +3436,7 @@ ratio AS (SELECT x.r AS bk,
           LEFT JOIN rawc w ON w.bk = x.r),
 lw AS (SELECT f.doc_id, sum(ratio.lr) AS lw
        FROM feat f JOIN ratio ON f.bk = ratio.bk GROUP BY f.doc_id)
-SELECT d.doc_id, round(lw.lw, {R}) AS dsir_logweight
+SELECT d.doc_id, floor((lw.lw) * 1e{R} + 0.5) / 1e{R} AS dsir_logweight
 FROM documents d LEFT JOIN lw ON d.doc_id = lw.doc_id
 """
 
@@ -3434,10 +3449,10 @@ def q_corpus_profile_documents(spark, sf_dir):
            .setValueCol("n_chars").transform(docs))
     return out.select(
         "lang", "source", "n_docs", "total_value",
-        F.round("mean_value", R).alias("mean_value"),
-        F.round("p50", R).alias("p50"),
-        F.round("p90", R).alias("p90"),
-        F.round("p99", R).alias("p99"))
+        _fq("mean_value").alias("mean_value"),
+        _fq("p50").alias("p50"),
+        _fq("p90").alias("p90"),
+        _fq("p99").alias("p99"))
 
 
 def q_quantile_invariants_documents(spark, sf_dir):
@@ -3455,8 +3470,8 @@ def q_quantile_invariants_documents(spark, sf_dir):
            .rank_error_report(docs, accuracy=10000))
     return (rep.filter("is_violation")
             .select("lang", "p",
-                    F.round("lo_frac", R).alias("lo_frac"),
-                    F.round("hi_frac", R).alias("hi_frac")))
+                    _fq("lo_frac").alias("lo_frac"),
+                    _fq("hi_frac").alias("hi_frac")))
 
 
 ORACLE_QUANTILE_INVARIANTS = """
@@ -3470,10 +3485,10 @@ ORACLE_CORPUS_PROFILE = f"""
 SELECT lang, source,
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS total_value,
-       round(avg(n_chars), {R}) AS mean_value,
-       round(quantile_cont(n_chars, 0.5), {R}) AS p50,
-       round(quantile_cont(n_chars, 0.9), {R}) AS p90,
-       round(quantile_cont(n_chars, 0.99), {R}) AS p99
+       floor((avg(n_chars)) * 1e{R} + 0.5) / 1e{R} AS mean_value,
+       floor((quantile_cont(n_chars, 0.5)) * 1e{R} + 0.5) / 1e{R} AS p50,
+       floor((quantile_cont(n_chars, 0.9)) * 1e{R} + 0.5) / 1e{R} AS p90,
+       floor((quantile_cont(n_chars, 0.99)) * 1e{R} + 0.5) / 1e{R} AS p99
 FROM documents GROUP BY lang, source
 """
 
@@ -3519,8 +3534,8 @@ def q_multimodal_image_stats(spark, sf_dir):
                .transform(_payloads(spark, sf_dir)))
     out = ImageStats().transform(decoded)
     return out.select("doc_id",
-                      F.round("px_mean", R).alias("px_mean"),
-                      F.round("px_std", R).alias("px_std"),
+                      _fq("px_mean").alias("px_mean"),
+                      _fq("px_std").alias("px_std"),
                       "px_min", "px_max")
 
 
@@ -3543,8 +3558,8 @@ fp_byte AS (SELECT doc_id, i * 32 + j AS pos,
 ORACLE_MULTIMODAL_IMAGE_STATS = f"""
 WITH {_fake_bytes_ctes(256)}
 SELECT doc_id,
-       round(avg(b), {R}) AS px_mean,
-       round(stddev_pop(b), {R}) AS px_std,
+       floor((avg(b)) * 1e{R} + 0.5) / 1e{R} AS px_mean,
+       floor((stddev_pop(b)) * 1e{R} + 0.5) / 1e{R} AS px_std,
        min(b)::INT AS px_min,
        max(b)::INT AS px_max
 FROM fp_byte GROUP BY doc_id
@@ -3594,7 +3609,7 @@ def q_multimodal_frame_means(spark, sf_dir):
     out = (FrameSampler().setFrameBytes(256).setStride(2)
            .transform(_payloads(spark, sf_dir)))
     return out.select("doc_id", "frame_index",
-                      F.round("frame_mean", R).alias("frame_mean"))
+                      _fq("frame_mean").alias("frame_mean"))
 
 
 ORACLE_MULTIMODAL_FRAMES = f"""
@@ -3611,7 +3626,7 @@ blk AS (SELECT doc_id, frame_index,
 byt AS (SELECT doc_id, frame_index,
                ('0x' || substr(hx, j * 2 + 1, 2))::INT AS b
         FROM blk, range(0, 32) v(j))
-SELECT doc_id, frame_index, round(avg(b), {R}) AS frame_mean
+SELECT doc_id, frame_index, floor((avg(b)) * 1e{R} + 0.5) / 1e{R} AS frame_mean
 FROM byt GROUP BY doc_id, frame_index
 """
 
@@ -3633,7 +3648,7 @@ def q_multimodal_scene_changes(spark, sf_dir):
               .transform(_payloads(spark, sf_dir)))
     out = SceneChangeDetector().setThreshold(8.0).transform(frames)
     return out.select("doc_id", "frame_index",
-                      F.round("mean_delta", R).alias("mean_delta"),
+                      _fq("mean_delta").alias("mean_delta"),
                       "is_scene_change")
 
 
@@ -3655,7 +3670,7 @@ d AS (SELECT doc_id, frame_index,
              abs(m - lag(m) OVER (PARTITION BY doc_id
                                   ORDER BY frame_index)) AS delta
       FROM fm)
-SELECT doc_id, frame_index, round(delta, {R}) AS mean_delta,
+SELECT doc_id, frame_index, floor((delta) * 1e{R} + 0.5) / 1e{R} AS mean_delta,
        coalesce(delta > 8.0, TRUE) AS is_scene_change
 FROM d
 """
@@ -3667,9 +3682,9 @@ def q_multimodal_audio_features(spark, sf_dir):
     out = (AudioFeatureExtractor().setSampleCount(512)
            .transform(_payloads(spark, sf_dir)))
     return out.select("doc_id",
-                      F.round("rms", R).alias("rms"),
-                      F.round("zcr", R).alias("zcr"),
-                      F.round("peak", R).alias("peak"))
+                      _fq("rms").alias("rms"),
+                      _fq("zcr").alias("zcr"),
+                      _fq("peak").alias("peak"))
 
 
 ORACLE_MULTIMODAL_AUDIO = f"""
@@ -3681,10 +3696,10 @@ chg AS (SELECT doc_id,
                  AS ch
         FROM sgn)
 SELECT m.doc_id,
-       round(sqrt(avg(s * s)), {R}) AS rms,
-       round((SELECT sum(ch)::DOUBLE / 511 FROM chg
-              WHERE chg.doc_id = m.doc_id), {R}) AS zcr,
-       round(max(abs(s)), {R}) AS peak
+       floor((sqrt(avg(s * s))) * 1e{R} + 0.5) / 1e{R} AS rms,
+       floor(((SELECT sum(ch)::DOUBLE / 511 FROM chg
+              WHERE chg.doc_id = m.doc_id)) * 1e{R} + 0.5) / 1e{R} AS zcr,
+       floor((max(abs(s))) * 1e{R} + 0.5) / 1e{R} AS peak
 FROM smp m GROUP BY m.doc_id
 """
 
@@ -3701,10 +3716,10 @@ def q_repetition_documents(spark, sf_dir):
     out = RepetitionScorer().setLineSep(r"\.").transform(docs)
     return out.select(
         "doc_id",
-        F.round("dup_line_frac", R).alias("dup_line_frac"),
-        F.round("dup_line_char_frac", R).alias("dup_line_char_frac"),
-        F.round("top_word_frac", R).alias("top_word_frac"),
-        F.round("top_bigram_frac", R).alias("top_bigram_frac"))
+        _fq("dup_line_frac").alias("dup_line_frac"),
+        _fq("dup_line_char_frac").alias("dup_line_char_frac"),
+        _fq("top_word_frac").alias("top_word_frac"),
+        _fq("top_bigram_frac").alias("top_bigram_frac"))
 
 
 ORACLE_REPETITION = f"""
@@ -3741,13 +3756,13 @@ m AS (
          END AS topb
   FROM bi)
 SELECT doc_id,
-       round(CASE WHEN nl > 0 THEN (nl - dl)::DOUBLE / nl ELSE 0.0 END, {R})
+       floor((CASE WHEN nl > 0 THEN (nl - dl)::DOUBLE / nl ELSE 0.0 END) * 1e{R} + 0.5) / 1e{R}
          AS dup_line_frac,
-       round(CASE WHEN chars > 0 THEN (chars - dchars)::DOUBLE / chars
-             ELSE 0.0 END, {R}) AS dup_line_char_frac,
-       round(CASE WHEN nt > 0 THEN topw::DOUBLE / nt ELSE 0.0 END, {R})
+       floor((CASE WHEN chars > 0 THEN (chars - dchars)::DOUBLE / chars
+             ELSE 0.0 END) * 1e{R} + 0.5) / 1e{R} AS dup_line_char_frac,
+       floor((CASE WHEN nt > 0 THEN topw::DOUBLE / nt ELSE 0.0 END) * 1e{R} + 0.5) / 1e{R}
          AS top_word_frac,
-       round(CASE WHEN nb > 0 THEN topb::DOUBLE / nb ELSE 0.0 END, {R})
+       floor((CASE WHEN nb > 0 THEN topb::DOUBLE / nb ELSE 0.0 END) * 1e{R} + 0.5) / 1e{R}
          AS top_bigram_frac
 FROM m
 """
@@ -3792,7 +3807,7 @@ def q_split_leakage_documents(spark, sf_dir):
              .duplicate_pairs(docs))
     out = SplitLeakageAuditor().audit(pairs, labeled)
     return out.select("id_keep", "id_dup",
-                      F.round("jaccard", R).alias("jaccard"),
+                      _fq("jaccard").alias("jaccard"),
                       "split_keep", "split_dup")
 
 
@@ -3813,7 +3828,7 @@ vp AS (
   FROM pairs),
 sp AS (SELECT doc_id, {split_case} AS split FROM documents)
 SELECT vp.id_l AS id_keep, vp.id_r AS id_dup,
-       round(vp.jac, {R}) AS jaccard,
+       floor((vp.jac) * 1e{R} + 0.5) / 1e{R} AS jaccard,
        sl.split AS split_keep, sr.split AS split_dup
 FROM vp
 JOIN sp sl ON vp.id_l = sl.doc_id
@@ -3831,7 +3846,7 @@ def q_contamination_documents(spark, sf_dir):
            .transform_against(docs, benchmark))
     return out.select(
         "doc_id",
-        F.round("contaminated_frac", R).alias("contaminated_frac"),
+        _fq("contaminated_frac").alias("contaminated_frac"),
         "is_contaminated")
 
 
@@ -3844,7 +3859,7 @@ ex AS (SELECT doc_id, unnest(sh) AS k FROM sh),
 fr AS (SELECT ex.doc_id,
               count(bk.k)::DOUBLE / greatest(count(*), 1) AS frac
        FROM ex LEFT JOIN bk ON ex.k = bk.k GROUP BY ex.doc_id)
-SELECT d.doc_id, round(coalesce(fr.frac, 0.0), {R}) AS contaminated_frac,
+SELECT d.doc_id, floor((coalesce(fr.frac, 0.0)) * 1e{R} + 0.5) / 1e{R} AS contaminated_frac,
        coalesce(fr.frac, 0.0) >= 0.2 AS is_contaminated
 FROM documents d LEFT JOIN fr ON d.doc_id = fr.doc_id
 """
@@ -3856,7 +3871,7 @@ def q_tfidf_keywords_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = TfIdfKeywords().setK(5).transform(docs)
     return out.select("doc_id", "term",
-                      F.round("tfidf", R).alias("tfidf"), "rank")
+                      _fq("tfidf").alias("tfidf"), "rank")
 
 
 ORACLE_TFIDF = f"""
@@ -3871,7 +3886,7 @@ scored AS (
 r AS (SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
       FROM scored)
-SELECT doc_id, term, round(tfidf, {R}) AS tfidf, "rank"
+SELECT doc_id, term, floor((tfidf) * 1e{R} + 0.5) / 1e{R} AS tfidf, "rank"
 FROM r WHERE "rank" <= 5
 """
 
@@ -4074,7 +4089,7 @@ def q_fuzzy_link_part(spark, sf_dir):
            .setMaxDistance(3).setBlocker("first_token")
            .link(ents))
     return out.select("a_id", "b_id", "distance",
-                      F.round("similarity", 6).alias("similarity"))
+                      _fq("similarity", 6).alias("similarity"))
 
 
 ORACLE_FUZZY_LINK = """
@@ -4084,8 +4099,8 @@ p AS (SELECT ent_id, nm, split_part(trim(nm), ' ', 1) AS blk
       FROM e WHERE nm IS NOT NULL)
 SELECT a.ent_id AS a_id, b.ent_id AS b_id,
        levenshtein(a.nm, b.nm) AS distance,
-       round(1.0 - levenshtein(a.nm, b.nm)::DOUBLE
-             / greatest(length(a.nm), length(b.nm), 1), 6) AS similarity
+       floor((1.0 - levenshtein(a.nm, b.nm)::DOUBLE
+             / greatest(length(a.nm), length(b.nm), 1)) * 1e6 + 0.5) / 1e6 AS similarity
 FROM p a JOIN p b ON a.blk = b.blk AND a.ent_id < b.ent_id
 WHERE levenshtein(a.nm, b.nm) <= 3
 """
@@ -4387,7 +4402,7 @@ def q_script_profile_documents(spark, sf_dir):
                 .when(m == 3, F.lit("12345 67890 !!!"))  # → 'other'
                 .otherwise(F.col("text")))
     out = ScriptProfiler().transform(docs.withColumn("text", planted))
-    sel = [F.round(f"{n}_frac", 6).alias(f"{n}_frac")
+    sel = [_fq(f"{n}_frac", 6).alias(f"{n}_frac")
            for n in ["latin", "cyrillic", "cjk", "arabic", "digit",
                      "other"]]
     return out.select("doc_id", *sel, "dominant")
@@ -4428,12 +4443,12 @@ d AS (SELECT *,
                  other_frac) AS best
       FROM f)
 SELECT doc_id,
-       round(latin_frac, 6) AS latin_frac,
-       round(cyrillic_frac, 6) AS cyrillic_frac,
-       round(cjk_frac, 6) AS cjk_frac,
-       round(arabic_frac, 6) AS arabic_frac,
-       round(digit_frac, 6) AS digit_frac,
-       round(other_frac, 6) AS other_frac,
+       floor((latin_frac) * 1e6 + 0.5) / 1e6 AS latin_frac,
+       floor((cyrillic_frac) * 1e6 + 0.5) / 1e6 AS cyrillic_frac,
+       floor((cjk_frac) * 1e6 + 0.5) / 1e6 AS cjk_frac,
+       floor((arabic_frac) * 1e6 + 0.5) / 1e6 AS arabic_frac,
+       floor((digit_frac) * 1e6 + 0.5) / 1e6 AS digit_frac,
+       floor((other_frac) * 1e6 + 0.5) / 1e6 AS other_frac,
        CASE WHEN base = 0 THEN NULL
             WHEN best = 0 THEN NULL
             WHEN latin_frac = best THEN 'latin'
@@ -4474,7 +4489,7 @@ def q_compression_invariants_documents(spark, sf_dir):
         | (F.col("text").isNotNull() & (F.length("text") > 0)
            & F.col("compress_ratio").isNull()))
     return viol.select("doc_id",
-                       F.round("compress_ratio", 6)
+                       _fq("compress_ratio", 6)
                        .alias("compress_ratio"))
 
 
@@ -4575,9 +4590,9 @@ def q_drift_report_orders(spark, sf_dir):
     rep = (DriftMonitor().setInputCols("o_totalprice")
            .setNumBuckets(_DRIFT_K).report(ref, cur))
     return rep.select("column", "bucket", "n_ref", "n_cur",
-                      F.round("p_ref", 6).alias("p_ref"),
-                      F.round("p_cur", 6).alias("p_cur"),
-                      F.round("psi_term", 6).alias("psi_term"))
+                      _fq("p_ref", 6).alias("p_ref"),
+                      _fq("p_cur", 6).alias("p_cur"),
+                      _fq("psi_term", 6).alias("psi_term"))
 
 
 def _oracle_drift() -> str:
@@ -4609,8 +4624,8 @@ p AS (SELECT bucket, n_ref, n_cur,
         greatest(n_cur::DOUBLE / sum(n_cur) OVER (), 1e-6) AS p_cur
       FROM h)
 SELECT 'o_totalprice' AS "column", bucket, n_ref, n_cur,
-       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
-       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+       floor((p_ref) * 1e6 + 0.5) / 1e6 AS p_ref, floor((p_cur) * 1e6 + 0.5) / 1e6 AS p_cur,
+       floor(((p_cur - p_ref) * ln(p_cur / p_ref)) * 1e6 + 0.5) / 1e6 AS psi_term
 FROM p
 """
 
@@ -4652,10 +4667,10 @@ def q_ranking_eval_documents(spark, sf_dir):
     out = RankingEvaluator().setK(10).evaluate(ranking, qrels)
     return out.select(
         "query_id", "n_rel", "hits",
-        F.round("precision_at_k", R).alias("precision_at_k"),
-        F.round("recall_at_k", R).alias("recall_at_k"),
-        F.round("mrr", R).alias("mrr"),
-        F.round("ndcg_at_k", R).alias("ndcg_at_k"))
+        _fq("precision_at_k").alias("precision_at_k"),
+        _fq("recall_at_k").alias("recall_at_k"),
+        _fq("mrr").alias("mrr"),
+        _fq("ndcg_at_k").alias("ndcg_at_k"))
 
 
 ORACLE_RANKING_EVAL = f"""
@@ -4680,7 +4695,7 @@ m AS (SELECT q.query_id, tf.doc_id,
 sc AS (SELECT query_id, doc_id, sum(s) AS score FROM m GROUP BY 1, 2),
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id
-        ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+        ORDER BY floor(score * 1e9 + 0.5)::BIGINT DESC, doc_id ASC) AS "rank"
       FROM sc),
 tk AS (SELECT query_id, doc_id, "rank" FROM r WHERE "rank" <= 10),
 q0 AS (SELECT doc_id AS query_id, toks[1] AS q1, toks[2] AS q2
@@ -4705,12 +4720,12 @@ f AS (SELECT pq.query_id, coalesce(nrel.n_rel, 0) AS n_rel, hits,
                i -> 1.0 / log2(i + 1))) AS idcg
       FROM pq LEFT JOIN nrel ON pq.query_id = nrel.query_id)
 SELECT query_id, n_rel, hits,
-       round(hits / 10.0, {R}) AS precision_at_k,
-       round(CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel END, {R})
+       floor((hits / 10.0) * 1e{R} + 0.5) / 1e{R} AS precision_at_k,
+       floor((CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel END) * 1e{R} + 0.5) / 1e{R}
          AS recall_at_k,
-       round(coalesce(1.0 / frr, 0.0), {R}) AS mrr,
-       round(CASE WHEN n_rel > 0
-                  THEN coalesce(dcg, 0.0) / idcg END, {R})
+       floor((coalesce(1.0 / frr, 0.0)) * 1e{R} + 0.5) / 1e{R} AS mrr,
+       floor((CASE WHEN n_rel > 0
+                  THEN coalesce(dcg, 0.0) / idcg END) * 1e{R} + 0.5) / 1e{R}
          AS ndcg_at_k
 FROM f
 """
@@ -4735,16 +4750,16 @@ def q_classification_eval_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     scored = (QualityScorer().transform(docs)
               .select((F.col("lang") == "en").cast("int").alias("label"),
-                      F.round("quality_score", 6).alias("score")))
+                      _fq("quality_score", 6).alias("score")))
     out = (BinaryClassificationEvaluator().setNumBins(_EVAL_BINS)
            .evaluate(scored))
     return out.select(
         "n_pos", "n_neg",
-        F.round("auc", R).alias("auc"),
-        F.round("accuracy", R).alias("accuracy"),
-        F.round("precision", R).alias("precision"),
-        F.round("recall", R).alias("recall"),
-        F.round("f1", R).alias("f1"))
+        _fq("auc").alias("auc"),
+        _fq("accuracy").alias("accuracy"),
+        _fq("precision").alias("precision"),
+        _fq("recall").alias("recall"),
+        _fq("f1").alias("f1"))
 
 
 ORACLE_CLASSIFICATION_EVAL = f"""
@@ -4771,7 +4786,7 @@ m AS (
          + (1 - least((punct::DOUBLE / greatest(n_chars, 1)) * 10.0,
                       1.0)) * 0.1 AS qs
   FROM t),
-s AS (SELECT (lang = 'en')::INT AS y, round(qs, 6) AS sv
+s AS (SELECT (lang = 'en')::INT AS y, floor((qs) * 1e6 + 0.5) / 1e6 AS sv
       FROM m WHERE lang IS NOT NULL AND qs IS NOT NULL),
 g AS (SELECT least(floor(greatest(least(sv, 1.0), 0.0)
                          * {_EVAL_BINS})::INT, {_EVAL_BINS - 1}) AS bkt,
@@ -4794,19 +4809,19 @@ conf AS (SELECT
   FROM s)
 SELECT (SELECT p FROM tot)::BIGINT AS n_pos,
        (SELECT n FROM tot)::BIGINT AS n_neg,
-       round((SELECT auc FROM a), {R}) AS auc,
-       round((tp + tn)::DOUBLE / (tp + fp + fn + tn), {R}) AS accuracy,
-       round(CASE WHEN tp + fp > 0
-                  THEN tp::DOUBLE / (tp + fp) END, {R}) AS precision,
-       round(CASE WHEN tp + fn > 0
-                  THEN tp::DOUBLE / (tp + fn) END, {R}) AS recall,
-       round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+       floor(((SELECT auc FROM a)) * 1e{R} + 0.5) / 1e{R} AS auc,
+       floor(((tp + tn)::DOUBLE / (tp + fp + fn + tn)) * 1e{R} + 0.5) / 1e{R} AS accuracy,
+       floor((CASE WHEN tp + fp > 0
+                  THEN tp::DOUBLE / (tp + fp) END) * 1e{R} + 0.5) / 1e{R} AS precision,
+       floor((CASE WHEN tp + fn > 0
+                  THEN tp::DOUBLE / (tp + fn) END) * 1e{R} + 0.5) / 1e{R} AS recall,
+       floor((CASE WHEN tp + fp > 0 AND tp + fn > 0
                    AND tp::DOUBLE / (tp + fp)
                        + tp::DOUBLE / (tp + fn) > 0
                   THEN 2 * (tp::DOUBLE / (tp + fp))
                        * (tp::DOUBLE / (tp + fn))
                        / (tp::DOUBLE / (tp + fp)
-                          + tp::DOUBLE / (tp + fn)) END, {R}) AS f1
+                          + tp::DOUBLE / (tp + fn)) END) * 1e{R} + 0.5) / 1e{R} AS f1
 FROM conf
 """
 
@@ -4836,9 +4851,9 @@ def q_categorical_drift_events(spark, sf_dir):
     rep = (CategoricalDriftMonitor().setInputCols("event_type")
            .report(ref, cur))
     return rep.select("column", "category", "n_ref", "n_cur",
-                      F.round("p_ref", R).alias("p_ref"),
-                      F.round("p_cur", R).alias("p_cur"),
-                      F.round("psi_term", R).alias("psi_term"))
+                      _fq("p_ref").alias("p_ref"),
+                      _fq("p_cur").alias("p_cur"),
+                      _fq("psi_term").alias("psi_term"))
 
 
 ORACLE_CATEGORICAL_DRIFT = f"""
@@ -4870,8 +4885,8 @@ p AS (SELECT category, n_ref, n_cur,
         greatest(n_cur::DOUBLE / sum(n_cur) OVER (), 1e-6) AS p_cur
       FROM j)
 SELECT 'event_type' AS "column", category, n_ref, n_cur,
-       round(p_ref, {R}) AS p_ref, round(p_cur, {R}) AS p_cur,
-       round((p_cur - p_ref) * ln(p_cur / p_ref), {R}) AS psi_term
+       floor((p_ref) * 1e{R} + 0.5) / 1e{R} AS p_ref, floor((p_cur) * 1e{R} + 0.5) / 1e{R} AS p_cur,
+       floor(((p_cur - p_ref) * ln(p_cur / p_ref)) * 1e{R} + 0.5) / 1e{R} AS psi_term
 FROM p
 """
 
@@ -4901,7 +4916,7 @@ def q_drift_monitor_window_events(spark, sf_dir):
                                window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
                       "column", "n_rows",
-                      F.round("psi", R).alias("psi"), "drift_level")
+                      _fq("psi").alias("psi"), "drift_level")
 
 
 def _oracle_window_drift() -> str:
@@ -4948,7 +4963,7 @@ terms AS (SELECT c.win_us,
           JOIN tot t ON c.win_us = t.win_us
           JOIN pref p ON c.bucket = p.bucket)
 SELECT win_us, 'value' AS "column", t::BIGINT AS n_rows,
-       round(sum(term), {R}) AS psi,
+       floor((sum(term)) * 1e{R} + 0.5) / 1e{R} AS psi,
        CASE WHEN sum(term) < 0.1 THEN 'stable'
             WHEN sum(term) < 0.25 THEN 'moderate'
             ELSE 'action' END AS drift_level
@@ -4969,7 +4984,7 @@ def q_triangles_events(spark, sf_dir):
                       (F.col("event_id") % 97).alias("dst"))
     out = TriangleCounter().transform(edges)
     return out.select("node", "degree", "triangles",
-                      F.round("clustering", R).alias("clustering"))
+                      _fq("clustering").alias("clustering"))
 
 
 ORACLE_TRIANGLES = f"""
@@ -4988,10 +5003,10 @@ tc AS (SELECT node, count(*)::BIGINT AS n FROM
         UNION ALL SELECT c FROM tri) GROUP BY 1)
 SELECT deg.node, deg.degree,
        coalesce(tc.n, 0)::BIGINT AS triangles,
-       round(CASE WHEN deg.degree >= 2
+       floor((CASE WHEN deg.degree >= 2
              THEN 2.0 * coalesce(tc.n, 0)
                   / (deg.degree * (deg.degree - 1.0))
-             ELSE 0.0 END, {R}) AS clustering
+             ELSE 0.0 END) * 1e{R} + 0.5) / 1e{R} AS clustering
 FROM deg LEFT JOIN tc USING (node)
 """
 
@@ -5010,9 +5025,9 @@ def q_assoc_lineitem(spark, sf_dir):
                      "l_linestatus:ship_year")
            .transform(li))
     return out.select("pair", "n", "dx", "dy",
-                      F.round("chi2", R).alias("chi2"), "dof",
-                      F.round("cramers_v", R).alias("cramers_v"),
-                      F.round("mutual_info", R).alias("mutual_info"))
+                      _fq("chi2").alias("chi2"), "dof",
+                      _fq("cramers_v").alias("cramers_v"),
+                      _fq("mutual_info").alias("mutual_info"))
 
 
 ORACLE_ASSOC = f"""
@@ -5042,12 +5057,12 @@ pp AS (SELECT pair, sum(n_xy)::BIGINT AS n,
            * ln(n_xy::DOUBLE * n / (n_x::DOUBLE * n_y)))
        AS mutual_info
        FROM aug GROUP BY 1)
-SELECT pair, n, dx, dy, round(chi2, {R}) AS chi2,
+SELECT pair, n, dx, dy, floor((chi2) * 1e{R} + 0.5) / 1e{R} AS chi2,
        (dx - 1) * (dy - 1) AS dof,
-       round(CASE WHEN n * least(dx - 1, dy - 1) > 0
+       floor((CASE WHEN n * least(dx - 1, dy - 1) > 0
              THEN sqrt(chi2 / (n * least(dx - 1, dy - 1)))
-             ELSE 0.0 END, {R}) AS cramers_v,
-       round(mutual_info, {R}) AS mutual_info
+             ELSE 0.0 END) * 1e{R} + 0.5) / 1e{R} AS cramers_v,
+       floor((mutual_info) * 1e{R} + 0.5) / 1e{R} AS mutual_info
 FROM pp
 """
 
@@ -5064,7 +5079,7 @@ def q_corr_matrix_lineitem(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     out = CorrelationMatrix().setInputCols(_CORR_COLS).transform(li)
     return out.select("col_x", "col_y", "n",
-                      F.round("corr", R).alias("corr"))
+                      _fq("corr").alias("corr"))
 
 
 def _oracle_corr_matrix() -> str:
@@ -5075,7 +5090,7 @@ def _oracle_corr_matrix() -> str:
                 f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
                 f"count(*) FILTER (WHERE {a} IS NOT NULL AND {b} IS "
                 f"NOT NULL)::BIGINT AS n, "
-                f"round(corr({a}, {b}), {R}) AS corr FROM lineitem")
+                f"floor((corr({a}, {b})) * 1e{R} + 0.5) / 1e{R} AS corr FROM lineitem")
     return "\nUNION ALL\n".join(parts)
 
 
@@ -5091,7 +5106,7 @@ def q_copurchase_pmi_lineitem(spark, sf_dir):
     out = (CooccurrencePMI().setGroupCol("basket").setItemCol("item")
            .setMinCount(3).transform(li))
     return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
-                      F.round("pmi", R).alias("pmi"))
+                      _fq("pmi").alias("pmi"))
 
 
 ORACLE_COPURCHASE_PMI = f"""
@@ -5109,7 +5124,7 @@ pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab
        FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
        GROUP BY 1, 2)
 SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
-       round(ln(n_ab::DOUBLE * nt.N / (ma.n::DOUBLE * mb.n)), {R})
+       floor((ln(n_ab::DOUBLE * nt.N / (ma.n::DOUBLE * mb.n))) * 1e{R} + 0.5) / 1e{R}
        AS pmi
 FROM pc JOIN marg ma ON pc.item_a = ma.i
 JOIN marg mb ON pc.item_b = mb.i
@@ -5137,9 +5152,9 @@ def q_mean_shift_events(spark, sf_dir):
            .setTimeCol("t_us").setValueCol("v")
            .setWindow(6).setThreshold(5.0).transform(series))
     return out.select("event_type", "t_us",
-                      F.round("mean_before", R).alias("mean_before"),
-                      F.round("mean_after", R).alias("mean_after"),
-                      F.round("shift", R).alias("shift"), "is_shift")
+                      _fq("mean_before").alias("mean_before"),
+                      _fq("mean_after").alias("mean_after"),
+                      _fq("shift").alias("shift"), "is_shift")
 
 
 ORACLE_MEAN_SHIFT = f"""
@@ -5160,9 +5175,9 @@ w AS (SELECT event_type, t_us, v,
                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ca
       FROM b)
 SELECT event_type, t_us,
-       round(CASE WHEN cb = 6 THEN mb END, {R}) AS mean_before,
-       round(CASE WHEN ca = 6 THEN ma END, {R}) AS mean_after,
-       round(CASE WHEN cb = 6 AND ca = 6 THEN abs(ma - mb) END, {R})
+       floor((CASE WHEN cb = 6 THEN mb END) * 1e{R} + 0.5) / 1e{R} AS mean_before,
+       floor((CASE WHEN ca = 6 THEN ma END) * 1e{R} + 0.5) / 1e{R} AS mean_after,
+       floor((CASE WHEN cb = 6 AND ca = 6 THEN abs(ma - mb) END) * 1e{R} + 0.5) / 1e{R}
        AS shift,
        coalesce(cb = 6 AND ca = 6 AND abs(ma - mb) >= 5.0, FALSE)
        AS is_shift
@@ -5189,7 +5204,7 @@ def q_corr_window_events(spark, sf_dir):
     out = stream_correlation_monitor(ev, "ts", _CORR_PAIRS,
                                      window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
-                      "pair", "n", F.round("corr", R).alias("corr"))
+                      "pair", "n", _fq("corr").alias("corr"))
 
 
 def _oracle_corr_window() -> str:
@@ -5210,11 +5225,11 @@ def _oracle_corr_window() -> str:
     return f"""
 WITH c AS ({u})
 SELECT win_us, pair, n,
-       round(CASE WHEN sxx * n - sx * sx > 0
+       floor((CASE WHEN sxx * n - sx * sx > 0
                    AND syy * n - sy * sy > 0
              THEN (sxy * n - sx * sy)
                   / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))
-             END, {R}) AS corr
+             END) * 1e{R} + 0.5) / 1e{R} AS corr
 FROM c
 """
 
@@ -5347,17 +5362,17 @@ def q_salted_join_events(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     big = ev.select("event_id", "event_type", "value")
     small = (ev.groupBy("event_type")
-             .agg(F.round(F.avg("value"), R).alias("type_avg")))
+             .agg(_fq(F.avg("value")).alias("type_avg")))
     out = SaltedJoiner().setNumSalts(16).join(
         big, small, ["event_type"], "inner")
     return out.select("event_id", "event_type",
-                      F.round("value", R).alias("value"), "type_avg")
+                      _fq("value").alias("value"), "type_avg")
 
 
 ORACLE_SALTED_JOIN = f"""
-WITH small AS (SELECT event_type, round(avg(value), {R}) AS type_avg
+WITH small AS (SELECT event_type, floor((avg(value)) * 1e{R} + 0.5) / 1e{R} AS type_avg
                FROM events GROUP BY 1)
-SELECT e.event_id, e.event_type, round(e.value, {R}) AS value,
+SELECT e.event_id, e.event_type, floor((e.value) * 1e{R} + 0.5) / 1e{R} AS value,
        s.type_avg
 FROM events e JOIN small s USING (event_type)
 """
@@ -5631,10 +5646,10 @@ def q_pq_invariants_embeddings(spark, sf_dir):
                           F.lit(0.0).alias("detail")))
     argmin_viol = (mat.filter(code_ok & (gap > 1e-9))
                    .select("vec_id", F.lit("not_argmin").alias("check"),
-                           F.round(gap, 6).alias("detail")))
+                           _fq(gap, 6).alias("detail")))
     norm_viol = (mat.filter(code_ok & (norm_err > 1e-9))
                  .select("vec_id", F.lit("norm_mismatch").alias("check"),
-                         F.round(norm_err, 6).alias("detail")))
+                         _fq(norm_err, 6).alias("detail")))
     return shape_viol.unionByName(argmin_viol).unionByName(norm_viol)
 
 
@@ -5676,13 +5691,13 @@ def q_ann_pq_topk(spark, sf_dir):
              .select("query_id",
                      F.col("n_exact").cast("long").alias("n_exact"),
                      n_hit.alias("n_hit"),
-                     F.round(n_hit / F.col("n_exact"), 3)
+                     _fq(n_hit / F.col("n_exact"), 3)
                      .alias("recall_at_5")))
     return (per_q.agg(
         F.lit(-1).cast("long").alias("query_id"),
         F.sum("n_exact").alias("n_exact"),
         F.sum("n_hit").alias("n_hit"),
-        F.round(F.avg("recall_at_5"), 3).alias("recall_at_5"))
+        _fq(F.avg("recall_at_5"), 3).alias("recall_at_5"))
         .filter(F.col("recall_at_5") < F.lit(PQ_MEAN_RECALL_FLOOR)))
 
 
@@ -5724,14 +5739,14 @@ def q_ann_ivfpq_topk(spark, sf_dir):
              .select("query_id",
                      F.col("n_exact").cast("long").alias("n_exact"),
                      n_hit.alias("n_hit"),
-                     F.round(n_hit / F.col("n_exact"), 3)
+                     _fq(n_hit / F.col("n_exact"), 3)
                      .alias("recall_at_5")))
     q_viol = per_q.filter(F.col("recall_at_5") <= 0.0)
     mean_viol = (per_q.agg(
         F.lit(-1).cast("long").alias("query_id"),
         F.sum("n_exact").alias("n_exact"),
         F.sum("n_hit").alias("n_hit"),
-        F.round(F.avg("recall_at_5"), 3).alias("recall_at_5"))
+        _fq(F.avg("recall_at_5"), 3).alias("recall_at_5"))
         .filter(F.col("recall_at_5") < F.lit(IVFPQ_MEAN_RECALL_FLOOR)))
     return q_viol.unionByName(mean_viol)
 
@@ -5879,7 +5894,7 @@ def q_label_consensus_documents(spark, sf_dir):
            .setInputCols("lf_en", "lf_long", "lf_parity")
            .transform(frame))
     return out.select("doc_id", "n_votes", "n_pos", "consensus",
-                      F.round("agreement", R).alias("agreement"),
+                      _fq("agreement").alias("agreement"),
                       "is_unanimous")
 
 
@@ -5901,7 +5916,7 @@ SELECT doc_id, nv AS n_votes, np AS n_pos,
             WHEN np * 2 > nv THEN 1
             WHEN np * 2 < nv THEN 0 END AS consensus,
        CASE WHEN nv > 0 THEN
-         round(greatest(np, nv - np)::DOUBLE / nv, {R}) END
+         floor((greatest(np, nv - np)::DOUBLE / nv) * 1e{R} + 0.5) / 1e{R} END
          AS agreement,
        coalesce(nv > 0 AND (np = nv OR np = 0), false)
          AS is_unanimous
@@ -5919,8 +5934,8 @@ def q_readability_documents(spark, sf_dir):
     out = ReadabilityScorer().transform(docs)
     return out.select("doc_id", "n_words_rd", "n_sentences",
                       "n_syllables",
-                      F.round("flesch_ease", R).alias("flesch_ease"),
-                      F.round("fk_grade", R).alias("fk_grade"))
+                      _fq("flesch_ease").alias("flesch_ease"),
+                      _fq("fk_grade").alias("fk_grade"))
 
 
 ORACLE_READABILITY = f"""
@@ -5935,11 +5950,11 @@ SELECT doc_id,
        CASE WHEN text IS NOT NULL THEN s END AS n_sentences,
        CASE WHEN text IS NOT NULL THEN y END AS n_syllables,
        CASE WHEN text IS NOT NULL AND w > 0 THEN
-         round(206.835 - 1.015 * (w::DOUBLE / s)
-               - 84.6 * (y::DOUBLE / w), {R}) END AS flesch_ease,
+         floor((206.835 - 1.015 * (w::DOUBLE / s)
+               - 84.6 * (y::DOUBLE / w)) * 1e{R} + 0.5) / 1e{R} END AS flesch_ease,
        CASE WHEN text IS NOT NULL AND w > 0 THEN
-         round(0.39 * (w::DOUBLE / s) + 11.8 * (y::DOUBLE / w)
-               - 15.59, {R}) END AS fk_grade
+         floor((0.39 * (w::DOUBLE / s) + 11.8 * (y::DOUBLE / w)
+               - 15.59) * 1e{R} + 0.5) / 1e{R} END AS fk_grade
 FROM t
 """
 
@@ -6005,9 +6020,9 @@ def q_ewma_forecast_events(spark, sf_dir):
            .setTimeCol("event_id").setValueCol("value")
            .setAlpha(0.3).setMaxLag(50).transform(ev))
     return out.select("event_id", "user_id",
-                      F.round("ewma", R).alias("ewma"),
-                      F.round("forecast", R).alias("forecast"),
-                      F.round("residual", R).alias("residual"))
+                      _fq("ewma").alias("ewma"),
+                      _fq("forecast").alias("forecast"),
+                      _fq("residual").alias("residual"))
 
 
 ORACLE_EWMA = f"""
@@ -6033,9 +6048,9 @@ f AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS forecast
   FROM e)
-SELECT event_id, user_id, round(ewma, {R}) AS ewma,
-       round(forecast, {R}) AS forecast,
-       round(value - forecast, {R}) AS residual
+SELECT event_id, user_id, floor((ewma) * 1e{R} + 0.5) / 1e{R} AS ewma,
+       floor((forecast) * 1e{R} + 0.5) / 1e{R} AS forecast,
+       floor((value - forecast) * 1e{R} + 0.5) / 1e{R} AS residual
 FROM f
 """
 
@@ -6049,16 +6064,16 @@ def q_calibration_bins_documents(spark, sf_dir):
     rel = (CalibrationEvaluator().setNumBins(10)
            .reliability(_calibration_frame(spark, sf_dir)))
     return rel.select("bin", "n",
-                      F.round("avg_score", R).alias("avg_score"),
-                      F.round("frac_pos", R).alias("frac_pos"),
-                      F.round("gap", R).alias("gap"))
+                      _fq("avg_score").alias("avg_score"),
+                      _fq("frac_pos").alias("frac_pos"),
+                      _fq("gap").alias("gap"))
 
 
 ORACLE_CALIBRATION_BINS = f"""
 WITH {_CALIB_CTE}
-SELECT bin, n, round(avg_score, {R}) AS avg_score,
-       round(frac_pos, {R}) AS frac_pos,
-       round(frac_pos - avg_score, {R}) AS gap
+SELECT bin, n, floor((avg_score) * 1e{R} + 0.5) / 1e{R} AS avg_score,
+       floor((frac_pos) * 1e{R} + 0.5) / 1e{R} AS frac_pos,
+       floor((frac_pos - avg_score) * 1e{R} + 0.5) / 1e{R} AS gap
 FROM g
 """
 
@@ -6072,18 +6087,18 @@ def q_calibration_eval_documents(spark, sf_dir):
     out = (CalibrationEvaluator().setNumBins(10)
            .evaluate(_calibration_frame(spark, sf_dir)))
     return out.select("n",
-                      F.round("ece", R).alias("ece"),
-                      F.round("mce", R).alias("mce"),
-                      F.round("brier", R).alias("brier"))
+                      _fq("ece").alias("ece"),
+                      _fq("mce").alias("mce"),
+                      _fq("brier").alias("brier"))
 
 
 ORACLE_CALIBRATION_EVAL = f"""
 WITH {_CALIB_CTE}
 SELECT (SELECT count(*) FROM s)::BIGINT AS n,
-       round(sum(n * abs(frac_pos - avg_score))
-             / (SELECT count(*) FROM s), {R}) AS ece,
-       round(max(abs(frac_pos - avg_score)), {R}) AS mce,
-       round((SELECT avg((sv - y) * (sv - y)) FROM s), {R}) AS brier
+       floor((sum(n * abs(frac_pos - avg_score))
+             / (SELECT count(*) FROM s)) * 1e{R} + 0.5) / 1e{R} AS ece,
+       floor((max(abs(frac_pos - avg_score))) * 1e{R} + 0.5) / 1e{R} AS mce,
+       floor(((SELECT avg((sv - y) * (sv - y)) FROM s)) * 1e{R} + 0.5) / 1e{R} AS brier
 FROM g
 """
 
@@ -6102,9 +6117,9 @@ def q_classification_report_documents(spark, sf_dir):
         .otherwise(F.lit("xx")).alias("prediction"))
     out = ClassificationReport().evaluate(frame)
     return out.select("class_", "support", "predicted", "tp",
-                      F.round("precision", R).alias("precision"),
-                      F.round("recall", R).alias("recall"),
-                      F.round("f1", R).alias("f1"))
+                      _fq("precision").alias("precision"),
+                      _fq("recall").alias("recall"),
+                      _fq("f1").alias("f1"))
 
 
 ORACLE_CLASSIFICATION_REPORT = f"""
@@ -6126,11 +6141,11 @@ r AS (
   FROM m)
 SELECT class_, support::BIGINT AS support, predicted::BIGINT AS predicted,
        coalesce(tp, 0)::BIGINT AS tp,
-       round(pr, {R}) AS precision,
-       round(rc, {R}) AS recall,
-       round(CASE WHEN pr IS NULL OR rc IS NULL THEN NULL
+       floor((pr) * 1e{R} + 0.5) / 1e{R} AS precision,
+       floor((rc) * 1e{R} + 0.5) / 1e{R} AS recall,
+       floor((CASE WHEN pr IS NULL OR rc IS NULL THEN NULL
                   WHEN pr + rc = 0 THEN 0.0
-                  ELSE 2 * pr * rc / (pr + rc) END, {R}) AS f1
+                  ELSE 2 * pr * rc / (pr + rc) END) * 1e{R} + 0.5) / 1e{R} AS f1
 FROM r
 """
 
@@ -6147,9 +6162,9 @@ def q_kappa_documents(spark, sf_dir):
         (F.length("text") > 350).cast("int").alias("rater_b"))
     out = AgreementEvaluator().evaluate(frame)
     return out.select("n",
-                      F.round("po", R).alias("po"),
-                      F.round("pe", R).alias("pe"),
-                      F.round("kappa", R).alias("kappa"))
+                      _fq("po").alias("po"),
+                      _fq("pe").alias("pe"),
+                      _fq("kappa").alias("kappa"))
 
 
 ORACLE_KAPPA = f"""
@@ -6170,8 +6185,8 @@ r AS (
          CASE WHEN n > 0 THEN agree::DOUBLE / n END AS po,
          CASE WHEN n > 0 THEN pe_num / (n::DOUBLE * n) END AS pe
   FROM s)
-SELECT n, round(po, {R}) AS po, round(pe, {R}) AS pe,
-       round(CASE WHEN pe < 1.0 THEN (po - pe) / (1 - pe) END, {R})
+SELECT n, floor((po) * 1e{R} + 0.5) / 1e{R} AS po, floor((pe) * 1e{R} + 0.5) / 1e{R} AS pe,
+       floor((CASE WHEN pe < 1.0 THEN (po - pe) / (1 - pe) END) * 1e{R} + 0.5) / 1e{R}
          AS kappa
 FROM r
 """
@@ -6192,12 +6207,12 @@ def q_ab_test_orders(spark, sf_dir):
         F.col("o_totalprice").alias("metric"))
     out = ABTestAnalyzer().evaluate(frame)
     return (out.select("variant", "n_c", "n_v",
-                       F.round("mean_c", R).alias("mean_c"),
-                       F.round("mean_v", R).alias("mean_v"),
-                       F.round("lift", R).alias("lift"),
-                       F.round("lift_pct", R).alias("lift_pct"),
-                       F.round("t_stat", R).alias("t_stat"),
-                       F.round("dof", R).alias("dof"),
+                       _fq("mean_c").alias("mean_c"),
+                       _fq("mean_v").alias("mean_v"),
+                       _fq("lift").alias("lift"),
+                       _fq("lift_pct").alias("lift_pct"),
+                       _fq("t_stat").alias("t_stat"),
+                       _fq("dof").alias("dof"),
                        "significant")
             .orderBy("variant"))
 
@@ -6229,9 +6244,9 @@ r AS (
               END AS dof
   FROM j)
 SELECT variant, n_c, n_v,
-       round(mean_c, {R}) AS mean_c, round(mean_v, {R}) AS mean_v,
-       round(lift, {R}) AS lift, round(lift_pct, {R}) AS lift_pct,
-       round(t_stat, {R}) AS t_stat, round(dof, {R}) AS dof,
+       floor((mean_c) * 1e{R} + 0.5) / 1e{R} AS mean_c, floor((mean_v) * 1e{R} + 0.5) / 1e{R} AS mean_v,
+       floor((lift) * 1e{R} + 0.5) / 1e{R} AS lift, floor((lift_pct) * 1e{R} + 0.5) / 1e{R} AS lift_pct,
+       floor((t_stat) * 1e{R} + 0.5) / 1e{R} AS t_stat, floor((dof) * 1e{R} + 0.5) / 1e{R} AS dof,
        coalesce(abs(t_stat) > 1.96, false) AS significant
 FROM r ORDER BY variant
 """
@@ -6246,9 +6261,9 @@ def q_benford_orders(spark, sf_dir):
     orders = load_table(spark, "orders", sf_dir)
     out = BenfordProfiler().setInputCol("o_totalprice").transform(orders)
     return out.select("digit", "n",
-                      F.round("observed", R).alias("observed"),
-                      F.round("expected", R).alias("expected"),
-                      F.round("chi2_term", R).alias("chi2_term"))
+                      _fq("observed").alias("observed"),
+                      _fq("expected").alias("expected"),
+                      _fq("chi2_term").alias("chi2_term"))
 
 
 ORACLE_BENFORD = f"""
@@ -6266,13 +6281,13 @@ c AS (
   GROUP BY dd.digit),
 t AS (SELECT sum(n) AS total FROM c)
 SELECT c.digit, c.n,
-       round(CASE WHEN total > 0 THEN c.n::DOUBLE / total END, {R})
+       floor((CASE WHEN total > 0 THEN c.n::DOUBLE / total END) * 1e{R} + 0.5) / 1e{R}
          AS observed,
-       round(log10(1 + 1.0 / c.digit), {R}) AS expected,
-       round(CASE WHEN total > 0 THEN
+       floor((log10(1 + 1.0 / c.digit)) * 1e{R} + 0.5) / 1e{R} AS expected,
+       floor((CASE WHEN total > 0 THEN
                total * pow(c.n::DOUBLE / total
                            - log10(1 + 1.0 / c.digit), 2)
-                     / log10(1 + 1.0 / c.digit) END, {R}) AS chi2_term
+                     / log10(1 + 1.0 / c.digit) END) * 1e{R} + 0.5) / 1e{R} AS chi2_term
 FROM c, t ORDER BY c.digit
 """
 
@@ -6286,14 +6301,14 @@ def q_minmax_scale_lineitem(spark, sf_dir):
     model = MinMaxScaler().setInputCol("l_extendedprice").fit(li)
     return (model.transform(li)
             .select("l_orderkey", "l_linenumber",
-                    F.round("scaled_value", R).alias("scaled_value")))
+                    _fq("scaled_value").alias("scaled_value")))
 
 
 ORACLE_MINMAX_SCALE = f"""
 WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
            FROM lineitem)
 SELECT l_orderkey, l_linenumber,
-       round((l_extendedprice - b.lo) / (b.hi - b.lo), {R})
+       floor(((l_extendedprice - b.lo) / (b.hi - b.lo)) * 1e{R} + 0.5) / 1e{R}
          AS scaled_value
 FROM lineitem CROSS JOIN b
 """
@@ -6308,12 +6323,12 @@ def q_maxabs_scale_orders(spark, sf_dir):
     model = MaxAbsScaler().setInputCol("o_totalprice").fit(orders)
     return (model.transform(orders)
             .select("o_orderkey",
-                    F.round("scaled_value", R).alias("scaled_value")))
+                    _fq("scaled_value").alias("scaled_value")))
 
 
 ORACLE_MAXABS_SCALE = f"""
 WITH b AS (SELECT max(abs(o_totalprice)) AS m FROM orders)
-SELECT o_orderkey, round(o_totalprice / b.m, {R}) AS scaled_value
+SELECT o_orderkey, floor((o_totalprice / b.m) * 1e{R} + 0.5) / 1e{R} AS scaled_value
 FROM orders CROSS JOIN b
 """
 
@@ -6328,7 +6343,7 @@ def q_robust_scale_lineitem(spark, sf_dir):
     model = RobustScaler().setInputCol("l_quantity").fit(li)
     return (model.transform(li)
             .select("l_orderkey", "l_linenumber",
-                    F.round("scaled_value", R).alias("scaled_value")))
+                    _fq("scaled_value").alias("scaled_value")))
 
 
 ORACLE_ROBUST_SCALE = f"""
@@ -6337,9 +6352,8 @@ WITH b AS (SELECT quantile_cont(l_quantity, 0.25) AS lo,
                   quantile_cont(l_quantity, 0.75) AS hi
            FROM lineitem)
 SELECT l_orderkey, l_linenumber,
-       round((l_quantity - b.med)
-             / (CASE WHEN b.hi - b.lo = 0 THEN 1 ELSE b.hi - b.lo END),
-             {R}) AS scaled_value
+       floor(((l_quantity - b.med)
+             / (CASE WHEN b.hi - b.lo = 0 THEN 1 ELSE b.hi - b.lo END)) * 1e{R} + 0.5) / 1e{R} AS scaled_value
 FROM lineitem CROSS JOIN b
 """
 
@@ -6405,7 +6419,7 @@ def q_target_encode_orders(spark, sf_dir):
              .setTargetCol("o_totalprice").setSmoothing(20.0).fit(orders))
     return (model.transform(orders)
             .select("o_orderkey",
-                    F.round("target_enc", R).alias("target_enc")))
+                    _fq("target_enc").alias("target_enc")))
 
 
 ORACLE_TARGET_ENCODE = f"""
@@ -6417,7 +6431,7 @@ p AS (SELECT avg(t) AS prior FROM f),
 e AS (SELECT cat, (sum(t) + 20.0 * p.prior) / (count(*) + 20.0) AS enc
       FROM f CROSS JOIN p GROUP BY cat, p.prior)
 SELECT o.o_orderkey,
-       round(coalesce(e.enc, p.prior), {R}) AS target_enc
+       floor((coalesce(e.enc, p.prior)) * 1e{R} + 0.5) / 1e{R} AS target_enc
 FROM orders o LEFT JOIN e ON o.o_orderpriority = e.cat CROSS JOIN p
 """
 
@@ -6435,12 +6449,12 @@ def q_regression_eval_orders(spark, sf_dir):
              .select(F.col("o_totalprice").alias("label"), "prediction"))
     out = RegressionEvaluator().evaluate(frame)
     return out.select(
-        "n", F.round("mae", R).alias("mae"),
-        F.round("mse", 3).alias("mse"),
-        F.round("rmse", R).alias("rmse"),
-        F.round("r2", R).alias("r2"),
-        F.round("mape", R).alias("mape"),
-        F.round("max_error", R).alias("max_error"))
+        "n", _fq("mae").alias("mae"),
+        _fq("mse", 3).alias("mse"),
+        _fq("rmse").alias("rmse"),
+        _fq("r2").alias("r2"),
+        _fq("mape").alias("mape"),
+        _fq("max_error").alias("max_error"))
 
 
 ORACLE_REGRESSION_EVAL = f"""
@@ -6456,11 +6470,11 @@ a AS (SELECT count(*) AS n,
              sum((yhat - y) * (yhat - y)) AS ss_res,
              avg(CASE WHEN y <> 0 THEN abs((yhat - y) / y) END) AS mape
       FROM j)
-SELECT n, round(mae, {R}) AS mae, round(mse, 3) AS mse,
-       round(sqrt(mse), {R}) AS rmse,
-       round(CASE WHEN syy - sy * sy / n > 0
-                  THEN 1.0 - ss_res / (syy - sy * sy / n) END, {R}) AS r2,
-       round(mape, {R}) AS mape, round(max_error, {R}) AS max_error
+SELECT n, floor((mae) * 1e{R} + 0.5) / 1e{R} AS mae, floor((mse) * 1e3 + 0.5) / 1e3 AS mse,
+       floor((sqrt(mse)) * 1e{R} + 0.5) / 1e{R} AS rmse,
+       floor((CASE WHEN syy - sy * sy / n > 0
+                  THEN 1.0 - ss_res / (syy - sy * sy / n) END) * 1e{R} + 0.5) / 1e{R} AS r2,
+       floor((mape) * 1e{R} + 0.5) / 1e{R} AS mape, floor((max_error) * 1e{R} + 0.5) / 1e{R} AS max_error
 FROM a
 """
 
@@ -6478,7 +6492,7 @@ def q_silhouette_lineitem(spark, sf_dir):
           .setPredictionCol("l_returnflag"))
     out = ev.evaluate(li)
     return out.select("cluster", "n",
-                      F.round("mean_silhouette", R)
+                      _fq("mean_silhouette")
                       .alias("mean_silhouette"))
 
 
@@ -6512,9 +6526,9 @@ per AS (SELECT c AS cluster, count(*) AS n, avg(s) AS ms
         FROM sil GROUP BY 1),
 tot AS (SELECT '__overall__' AS cluster, count(*) AS n, avg(s) AS ms
         FROM sil)
-SELECT cluster, n, round(ms, {R}) AS mean_silhouette FROM per
+SELECT cluster, n, floor((ms) * 1e{R} + 0.5) / 1e{R} AS mean_silhouette FROM per
 UNION ALL
-SELECT cluster, n, round(ms, {R}) AS mean_silhouette FROM tot
+SELECT cluster, n, floor((ms) * 1e{R} + 0.5) / 1e{R} AS mean_silhouette FROM tot
 """
 
 
@@ -6594,7 +6608,7 @@ def q_kmeans_invariants_embeddings(spark, sf_dir):
     return (out.withColumn("__excess", excess("embedding", "prediction"))
             .filter(bad | (F.col("__excess") > 1e-9))
             .select("vec_id", "prediction",
-                    F.round("__excess", R).alias("excess")))
+                    _fq("__excess").alias("excess")))
 
 
 ORACLE_KMEANS_INVARIANTS = """
@@ -6629,8 +6643,8 @@ def q_ks_test_events(spark, sf_dir):
            .setGroupCol("event_type").setGroups("click", "purchase")
            .evaluate(ev))
     return out.select("n_a", "n_b",
-                      F.round("d_stat", R).alias("d_stat"),
-                      F.round("p_value", R).alias("p_value"))
+                      _fq("d_stat").alias("d_stat"),
+                      _fq("p_value").alias("p_value"))
 
 
 ORACLE_KS_TEST = f"""
@@ -6641,9 +6655,9 @@ c AS (SELECT sum(ca) OVER (ORDER BY bin) AS cum_a,
 dd AS (SELECT max(abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb)) AS d
        FROM c CROSS JOIN n)
 SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-       round(d, {R}) AS d_stat,
-       round(least(1.0, 2.0 * exp(-2.0 * d * d * (na * nb
-             / (na + nb)))), {R}) AS p_value
+       floor((d) * 1e{R} + 0.5) / 1e{R} AS d_stat,
+       floor((least(1.0, 2.0 * exp(-2.0 * d * d * (na * nb
+             / (na + nb))))) * 1e{R} + 0.5) / 1e{R} AS p_value
 FROM dd CROSS JOIN n
 """
 
@@ -6659,9 +6673,9 @@ def q_mwu_test_events(spark, sf_dir):
            .setGroupCol("event_type").setGroups("click", "purchase")
            .evaluate(ev))
     return out.select("n_a", "n_b",
-                      F.round("u_stat", 2).alias("u_stat"),
-                      F.round("rank_sum_a", 2).alias("rank_sum_a"),
-                      F.round("z_stat", R).alias("z_stat"),
+                      _fq("u_stat", 2).alias("u_stat"),
+                      _fq("rank_sum_a", 2).alias("rank_sum_a"),
+                      _fq("z_stat").alias("z_stat"),
                       "significant")
 
 
@@ -6685,8 +6699,8 @@ z AS (SELECT na, nb, u, rank_a,
                   END AS zs
       FROM s)
 SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-       round(u, 2) AS u_stat, round(rank_a, 2) AS rank_sum_a,
-       round(zs, {R}) AS z_stat,
+       floor((u) * 1e2 + 0.5) / 1e2 AS u_stat, floor((rank_a) * 1e2 + 0.5) / 1e2 AS rank_sum_a,
+       floor((zs) * 1e{R} + 0.5) / 1e{R} AS z_stat,
        coalesce(abs(zs) > 1.96, false) AS significant
 FROM z
 """
@@ -6701,9 +6715,9 @@ def q_anova_events(spark, sf_dir):
     out = (AnovaFTest().setValueCol("value").setGroupCol("event_type")
            .evaluate(ev))
     return out.select("k_groups", "n",
-                      F.round("f_stat", R).alias("f_stat"),
+                      _fq("f_stat").alias("f_stat"),
                       "df_between", "df_within",
-                      F.round("eta_sq", R).alias("eta_sq"))
+                      _fq("eta_sq").alias("eta_sq"))
 
 
 ORACLE_ANOVA = f"""
@@ -6718,13 +6732,13 @@ tot AS (
          sum(ss - s * s / n) AS ss_w
   FROM per)
 SELECT k AS k_groups, n,
-       round(CASE WHEN n - k > 0 AND ss_w / (n - k) > 0 AND k > 1
+       floor((CASE WHEN n - k > 0 AND ss_w / (n - k) > 0 AND k > 1
                   THEN ((syy - sy * sy / n) - ss_w) / (k - 1)
-                       / (ss_w / (n - k)) END, {R}) AS f_stat,
+                       / (ss_w / (n - k)) END) * 1e{R} + 0.5) / 1e{R} AS f_stat,
        k - 1 AS df_between, n - k AS df_within,
-       round(CASE WHEN syy - sy * sy / n > 0
+       floor((CASE WHEN syy - sy * sy / n > 0
                   THEN ((syy - sy * sy / n) - ss_w)
-                       / (syy - sy * sy / n) END, {R}) AS eta_sq
+                       / (syy - sy * sy / n) END) * 1e{R} + 0.5) / 1e{R} AS eta_sq
 FROM tot
 """
 
@@ -6748,8 +6762,8 @@ def q_ks_window_events(spark, sf_dir):
                             num_buckets=8, window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
                       "n_rows",
-                      F.round("d_stat", R).alias("d_stat"),
-                      F.round("p_value", R).alias("p_value"))
+                      _fq("d_stat").alias("d_stat"),
+                      _fq("p_value").alias("p_value"))
 
 
 def _oracle_window_ks() -> str:
@@ -6758,7 +6772,7 @@ def _oracle_window_ks() -> str:
     # edge list: the k-1 interior quantiles plus the reference max,
     # rounded to 6 dp exactly as the monitor rounds its fitted edges
     # (pins cross-engine tie behavior when an edge IS a data value)
-    edges = [f"round(e[{i}], 6)" for i in range(1, k)] + ["round(mx, 6)"]
+    edges = [f"floor((e[{i}]) * 1e6 + 0.5) / 1e6" for i in range(1, k)] + ["floor((mx) * 1e6 + 0.5) / 1e6"]
     ref_counts = ", ".join(
         f"sum((value <= {e})::INT)::BIGINT AS rc{j}"
         for j, e in enumerate(edges))
@@ -6783,10 +6797,10 @@ w AS (SELECT win_us, count(v)::BIGINT AS n, {win_counts}
 d AS (SELECT win_us, n,
         CASE WHEN n > 0 THEN greatest({terms}) END AS ds
       FROM w CROSS JOIN ref CROSS JOIN q)
-SELECT win_us, n AS n_rows, round(ds, {R}) AS d_stat,
-       round(least(1.0, 2.0 * exp(-2.0 * ds * ds
+SELECT win_us, n AS n_rows, floor((ds) * 1e{R} + 0.5) / 1e{R} AS d_stat,
+       floor((least(1.0, 2.0 * exp(-2.0 * ds * ds
              * (n * (SELECT rn FROM q)
-                / (n + (SELECT rn FROM q))))), {R}) AS p_value
+                / (n + (SELECT rn FROM q)))))) * 1e{R} + 0.5) / 1e{R} AS p_value
 FROM d
 """
 
@@ -6824,7 +6838,7 @@ def q_mad_outliers_orders(spark, sf_dir):
     model = MadOutlierDetector().setInputCol("o_totalprice").fit(orders)
     return (model.transform(orders)
             .select("o_orderkey",
-                    F.round("robust_z", R).alias("robust_z"),
+                    _fq("robust_z").alias("robust_z"),
                     "robust_z_outlier"))
 
 
@@ -6833,7 +6847,7 @@ WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
 d AS (SELECT quantile_cont(abs(o_totalprice - med), 0.5) AS mad
       FROM orders CROSS JOIN m)
 SELECT o_orderkey,
-       round((o_totalprice - med) / (1.4826 * mad), {R}) AS robust_z,
+       floor(((o_totalprice - med) / (1.4826 * mad)) * 1e{R} + 0.5) / 1e{R} AS robust_z,
        CASE WHEN o_totalprice IS NULL THEN NULL
             ELSE abs((o_totalprice - med) / (1.4826 * mad)) > 3.5
             END AS robust_z_outlier
@@ -6850,7 +6864,7 @@ def q_transitions_events(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     out = TransitionMatrix().transform(ev)
     return out.select("state", "next_state", "n",
-                      F.round("prob", R).alias("prob"))
+                      _fq("prob").alias("prob"))
 
 
 ORACLE_TRANSITIONS = f"""
@@ -6867,7 +6881,7 @@ c AS (SELECT state, next_state, count(*)::BIGINT AS n
       FROM p WHERE next_state IS NOT NULL GROUP BY 1, 2),
 t AS (SELECT state, sum(n) AS tot FROM c GROUP BY 1)
 SELECT c.state, c.next_state, c.n,
-       round(c.n::DOUBLE / t.tot, {R}) AS prob
+       floor((c.n::DOUBLE / t.tot) * 1e{R} + 0.5) / 1e{R} AS prob
 FROM c JOIN t USING (state)
 """
 
@@ -6907,19 +6921,19 @@ def q_table_profile_orders(spark, sf_dir):
                        "o_orderpriority")
            .transform(orders))
     return out.select("column", "n", "n_null",
-                      F.round("null_frac", R).alias("null_frac"),
+                      _fq("null_frac").alias("null_frac"),
                       "n_distinct", "min_value", "max_value",
-                      F.round("mean_value", R).alias("mean_value"))
+                      _fq("mean_value").alias("mean_value"))
 
 
 def _oracle_table_profile() -> str:
     def one(c, numeric):
-        mean = (f"round(avg({c}::DOUBLE), {R})" if numeric
+        mean = (f"floor((avg({c}::DOUBLE)) * 1e{R} + 0.5) / 1e{R}" if numeric
                 else "NULL::DOUBLE")
         return f"""
 SELECT '{c}' AS "column", count(*)::BIGINT AS n,
        sum(({c} IS NULL)::INT)::BIGINT AS n_null,
-       round(sum(({c} IS NULL)::INT)::DOUBLE / count(*), {R})
+       floor((sum(({c} IS NULL)::INT)::DOUBLE / count(*)) * 1e{R} + 0.5) / 1e{R}
          AS null_frac,
        count(DISTINCT {c})::BIGINT AS n_distinct,
        min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value,
@@ -7050,7 +7064,7 @@ def q_random_projection_embeddings(spark, sf_dir):
            .transform(emb))
     p = F.col("projected")
     return out.select(
-        "vec_id", *[F.round(p[j], R).alias(f"p{j}") for j in range(4)])
+        "vec_id", *[_fq(p[j]).alias(f"p{j}") for j in range(4)])
 
 
 ORACLE_RANDOM_PROJECTION = f"""
@@ -7066,10 +7080,10 @@ proj AS (
   FROM embeddings m CROSS JOIN sg
   GROUP BY 1, 2)
 SELECT vec_id,
-       round(max(CASE WHEN j = 0 THEN v END), {R}) AS p0,
-       round(max(CASE WHEN j = 1 THEN v END), {R}) AS p1,
-       round(max(CASE WHEN j = 2 THEN v END), {R}) AS p2,
-       round(max(CASE WHEN j = 3 THEN v END), {R}) AS p3
+       floor((max(CASE WHEN j = 0 THEN v END)) * 1e{R} + 0.5) / 1e{R} AS p0,
+       floor((max(CASE WHEN j = 1 THEN v END)) * 1e{R} + 0.5) / 1e{R} AS p1,
+       floor((max(CASE WHEN j = 2 THEN v END)) * 1e{R} + 0.5) / 1e{R} AS p2,
+       floor((max(CASE WHEN j = 3 THEN v END)) * 1e{R} + 0.5) / 1e{R} AS p3
 FROM proj GROUP BY vec_id
 """
 
@@ -7084,10 +7098,10 @@ def q_ohlc_events(spark, sf_dir):
     out = (OhlcRollup().setBucketWidthSec(86400.0).transform(ev))
     return out.select("event_type",
                       F.unix_micros("bucket_start").alias("bucket_us"),
-                      F.round("open", R).alias("open"),
-                      F.round("high", R).alias("high"),
-                      F.round("low", R).alias("low"),
-                      F.round("close", R).alias("close"),
+                      _fq("open").alias("open"),
+                      _fq("high").alias("high"),
+                      _fq("low").alias("low"),
+                      _fq("close").alias("close"),
                       "n_events")
 
 
@@ -7104,9 +7118,9 @@ r AS (SELECT k, bs, v,
           AS rd
       FROM b)
 SELECT k AS event_type, bs AS bucket_us,
-       round(max(CASE WHEN ra = 1 THEN v END), {R}) AS open,
-       round(max(v), {R}) AS high, round(min(v), {R}) AS low,
-       round(max(CASE WHEN rd = 1 THEN v END), {R}) AS close,
+       floor((max(CASE WHEN ra = 1 THEN v END)) * 1e{R} + 0.5) / 1e{R} AS open,
+       floor((max(v)) * 1e{R} + 0.5) / 1e{R} AS high, floor((min(v)) * 1e{R} + 0.5) / 1e{R} AS low,
+       floor((max(CASE WHEN rd = 1 THEN v END)) * 1e{R} + 0.5) / 1e{R} AS close,
        count(*)::BIGINT AS n_events
 FROM r GROUP BY 1, 2
 """
@@ -7168,14 +7182,14 @@ def q_assemble_features_lineitem(spark, sf_dir):
            .setHandleInvalid("keep").transform(li))
     f = F.col("features")
     return out.select("l_orderkey", "l_linenumber",
-                      *[F.round(f[i], R).alias(f"f{i}") for i in range(3)])
+                      *[_fq(f[i]).alias(f"f{i}") for i in range(3)])
 
 
 ORACLE_ASSEMBLE = f"""
 SELECT l_orderkey, l_linenumber,
-       round(l_quantity::DOUBLE, {R}) AS f0,
-       round(l_discount::DOUBLE, {R}) AS f1,
-       round(l_tax::DOUBLE, {R}) AS f2
+       floor((l_quantity::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS f0,
+       floor((l_discount::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS f1,
+       floor((l_tax::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS f2
 FROM lineitem
 """
 
@@ -7191,7 +7205,7 @@ def q_grouped_scale_events(spark, sf_dir):
              .setGroupCol("event_type").fit(ev))
     return (model.transform(ev)
             .select("event_id",
-                    F.round("scaled_value", R).alias("scaled_value")))
+                    _fq("scaled_value").alias("scaled_value")))
 
 
 ORACLE_GROUPED_SCALE = f"""
@@ -7200,10 +7214,10 @@ WITH m AS (
          stddev_samp(value::DOUBLE) AS sd
   FROM events WHERE value IS NOT NULL GROUP BY 1)
 SELECT e.event_id,
-       round(CASE WHEN e.value IS NOT NULL AND m.mu IS NOT NULL
+       floor((CASE WHEN e.value IS NOT NULL AND m.mu IS NOT NULL
                   THEN (e.value - m.mu)
                        / (CASE WHEN m.sd IS NULL OR m.sd = 0
-                               THEN 1.0 ELSE m.sd END) END, {R})
+                               THEN 1.0 ELSE m.sd END) END) * 1e{R} + 0.5) / 1e{R}
          AS scaled_value
 FROM events e LEFT JOIN m ON e.event_type IS NOT DISTINCT FROM m.g
 """
@@ -7269,7 +7283,7 @@ def q_quantile_match_events(spark, sf_dir):
     model = (QuantileMatcher().setInputCol("value").setNumBuckets(4)
              .fit(ref))
     return (model.transform(cur)
-            .select("event_id", F.round("matched", R).alias("matched")))
+            .select("event_id", _fq("matched").alias("matched")))
 
 
 def _oracle_quantile_match() -> str:
@@ -7283,18 +7297,18 @@ def _oracle_quantile_match() -> str:
     chain = "\n         ".join(seg)
     return f"""
 WITH r AS (SELECT list_transform(quantile_cont(value, {pcts}),
-                                 x -> round(x, 6)) AS g
+                                 x -> floor((x) * 1e6 + 0.5) / 1e6) AS g
            FROM events
            WHERE event_type = 'click' AND value IS NOT NULL),
 c AS (SELECT list_transform(quantile_cont(value, {pcts}),
-                            x -> round(x, 6)) AS g
+                            x -> floor((x) * 1e6 + 0.5) / 1e6) AS g
       FROM events
       WHERE event_type = 'purchase' AND value IS NOT NULL)
 SELECT event_id,
-       round(CASE WHEN value IS NULL THEN NULL
+       floor((CASE WHEN value IS NULL THEN NULL
              WHEN value <= c.g[1] THEN r.g[1]
          {chain}
-             ELSE r.g[5] END, {R}) AS matched
+             ELSE r.g[5] END) * 1e{R} + 0.5) / 1e{R} AS matched
 FROM events CROSS JOIN r CROSS JOIN c
 WHERE event_type = 'purchase'
 """
@@ -7319,10 +7333,10 @@ def q_regression_window_events(spark, sf_dir):
     out = stream_regression_monitor(frame, "ts", "value", "pred",
                                     window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
-                      "n", F.round("mae", R).alias("mae"),
-                      F.round("rmse", R).alias("rmse"),
-                      F.round("bias", R).alias("bias"),
-                      F.round("r2", R).alias("r2"))
+                      "n", _fq("mae").alias("mae"),
+                      _fq("rmse").alias("rmse"),
+                      _fq("bias").alias("bias"),
+                      _fq("r2").alias("r2"))
 
 
 ORACLE_REGRESSION_WINDOW = f"""
@@ -7341,10 +7355,10 @@ a AS (SELECT win_us,
              sum(y) AS sy, sum(y * y) AS syy,
              sum((pred - y) * (pred - y)) AS ssr
       FROM j GROUP BY 1)
-SELECT win_us, n, round(mae, {R}) AS mae,
-       round(sqrt(mse), {R}) AS rmse, round(bias, {R}) AS bias,
-       round(CASE WHEN syy - sy * sy / n > 0
-                  THEN 1.0 - ssr / (syy - sy * sy / n) END, {R}) AS r2
+SELECT win_us, n, floor((mae) * 1e{R} + 0.5) / 1e{R} AS mae,
+       floor((sqrt(mse)) * 1e{R} + 0.5) / 1e{R} AS rmse, floor((bias) * 1e{R} + 0.5) / 1e{R} AS bias,
+       floor((CASE WHEN syy - sy * sy / n > 0
+                  THEN 1.0 - ssr / (syy - sy * sy / n) END) * 1e{R} + 0.5) / 1e{R} AS r2
 FROM a
 """
 
@@ -7358,7 +7372,7 @@ def q_count_encode_documents(spark, sf_dir):
     model = (CountEncoder().setInputCol("lang").setOutputCol("lang_freq")
              .fit(docs).setNormalize(True))
     return (model.transform(docs)
-            .select("doc_id", F.round("lang_freq", R).alias("lang_freq")))
+            .select("doc_id", _fq("lang_freq").alias("lang_freq")))
 
 
 ORACLE_COUNT_ENCODE = f"""
@@ -7366,8 +7380,8 @@ WITH c AS (SELECT lang AS cat, count(*)::BIGINT AS n
            FROM documents WHERE lang IS NOT NULL GROUP BY 1),
 t AS (SELECT sum(n) AS total FROM c)
 SELECT d.doc_id,
-       round(CASE WHEN d.lang IS NULL THEN NULL
-                  ELSE coalesce(c.n, 0)::DOUBLE / t.total END, {R})
+       floor((CASE WHEN d.lang IS NULL THEN NULL
+                  ELSE coalesce(c.n, 0)::DOUBLE / t.total END) * 1e{R} + 0.5) / 1e{R}
          AS lang_freq
 FROM documents d LEFT JOIN c ON d.lang = c.cat CROSS JOIN t
 """
@@ -7387,9 +7401,9 @@ def q_anova_window_events(spark, sf_dir):
                                reference=ev, window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
                       "k_groups", "n",
-                      F.round("f_stat", R).alias("f_stat"),
+                      _fq("f_stat").alias("f_stat"),
                       "df_between", "df_within",
-                      F.round("eta_sq", R).alias("eta_sq"))
+                      _fq("eta_sq").alias("eta_sq"))
 
 
 ORACLE_ANOVA_WINDOW = f"""
@@ -7407,13 +7421,13 @@ w AS (SELECT win_us, count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
              sum(q - s * s / n) AS ssw
       FROM per GROUP BY 1)
 SELECT win_us, k AS k_groups, n,
-       round(CASE WHEN n - k > 0 AND ssw / (n - k) > 0 AND k > 1
+       floor((CASE WHEN n - k > 0 AND ssw / (n - k) > 0 AND k > 1
                   THEN ((syy - sy * sy / n) - ssw) / (k - 1)
-                       / (ssw / (n - k)) END, {R}) AS f_stat,
+                       / (ssw / (n - k)) END) * 1e{R} + 0.5) / 1e{R} AS f_stat,
        k - 1 AS df_between, n - k AS df_within,
-       round(CASE WHEN syy - sy * sy / n > 0
+       floor((CASE WHEN syy - sy * sy / n > 0
                   THEN ((syy - sy * sy / n) - ssw)
-                       / (syy - sy * sy / n) END, {R}) AS eta_sq
+                       / (syy - sy * sy / n) END) * 1e{R} + 0.5) / 1e{R} AS eta_sq
 FROM w
 """
 
@@ -7484,14 +7498,14 @@ def q_acf_events(spark, sf_dir):
            .setTimeCol("bk").setValueCol("x").setMaxLag(4)
            .transform(b))
     return out.select("user_id", "lag", "n_pairs",
-                      F.round("acf", R).alias("acf"))
+                      _fq("acf").alias("acf"))
 
 
 def _acf_lag_select(lag: int) -> str:
     return f"""
 SELECT user_id, {lag} AS lag, count(*) AS n_pairs,
        CASE WHEN min(den) > 0
-            THEN round(sum(dev * l{lag}) / min(den), {R}) END AS acf
+            THEN floor((sum(dev * l{lag}) / min(den)) * 1e{R} + 0.5) / 1e{R} END AS acf
 FROM dd WHERE l{lag} IS NOT NULL GROUP BY user_id"""
 
 
@@ -7529,15 +7543,15 @@ def q_rolling_features_events(spark, sf_dir):
            .setWindows([3]).transform(b))
     return out.select(
         "user_id", "bk",
-        F.round("x", R).alias("x"),
-        F.round("lag_1", R).alias("lag_1"),
-        F.round("lag_2", R).alias("lag_2"),
-        F.round("roll_mean_3", R).alias("roll_mean_3"),
-        F.round("roll_std_3", R).alias("roll_std_3"),
-        F.round("roll_min_3", R).alias("roll_min_3"),
-        F.round("roll_max_3", R).alias("roll_max_3"),
-        F.round("delta", R).alias("delta"),
-        F.round("pct_change", R).alias("pct_change"))
+        _fq("x").alias("x"),
+        _fq("lag_1").alias("lag_1"),
+        _fq("lag_2").alias("lag_2"),
+        _fq("roll_mean_3").alias("roll_mean_3"),
+        _fq("roll_std_3").alias("roll_std_3"),
+        _fq("roll_min_3").alias("roll_min_3"),
+        _fq("roll_max_3").alias("roll_max_3"),
+        _fq("delta").alias("delta"),
+        _fq("pct_change").alias("pct_change"))
 
 
 ORACLE_ROLLING_FEATURES = f"""
@@ -7564,14 +7578,14 @@ r AS (SELECT user_id, bk, x,
       WINDOW w AS (PARTITION BY user_id ORDER BY bk),
              f3 AS (PARTITION BY user_id ORDER BY bk
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
-SELECT user_id, bk, round(x, {R}) AS x,
-       round(lag_1, {R}) AS lag_1, round(lag_2, {R}) AS lag_2,
-       round(roll_mean_3, {R}) AS roll_mean_3,
-       round(roll_std_3, {R}) AS roll_std_3,
-       round(roll_min_3, {R}) AS roll_min_3,
-       round(roll_max_3, {R}) AS roll_max_3,
-       round(delta, {R}) AS delta,
-       round(pct_change, {R}) AS pct_change
+SELECT user_id, bk, floor((x) * 1e{R} + 0.5) / 1e{R} AS x,
+       floor((lag_1) * 1e{R} + 0.5) / 1e{R} AS lag_1, floor((lag_2) * 1e{R} + 0.5) / 1e{R} AS lag_2,
+       floor((roll_mean_3) * 1e{R} + 0.5) / 1e{R} AS roll_mean_3,
+       floor((roll_std_3) * 1e{R} + 0.5) / 1e{R} AS roll_std_3,
+       floor((roll_min_3) * 1e{R} + 0.5) / 1e{R} AS roll_min_3,
+       floor((roll_max_3) * 1e{R} + 0.5) / 1e{R} AS roll_max_3,
+       floor((delta) * 1e{R} + 0.5) / 1e{R} AS delta,
+       floor((pct_change) * 1e{R} + 0.5) / 1e{R} AS pct_change
 FROM r
 """
 
@@ -7604,8 +7618,8 @@ def q_link_prediction_orders(spark, sf_dir):
     edges = _order_edges(spark, sf_dir, 97, 7)
     out = CommonNeighborsLinkPredictor().transform(edges)
     return out.select("u", "v", "common_neighbors",
-                      F.round("jaccard", R).alias("jaccard"),
-                      F.round("adamic_adar", R).alias("adamic_adar"))
+                      _fq("jaccard").alias("jaccard"),
+                      _fq("adamic_adar").alias("adamic_adar"))
 
 
 ORACLE_LINK_PREDICTION = f"""
@@ -7624,10 +7638,9 @@ ne AS (SELECT sc.* FROM sc WHERE NOT EXISTS
         (SELECT 1 FROM und
          WHERE und.u = sc.u AND und.v = sc.v))
 SELECT ne.u, ne.v, common_neighbors,
-       round(common_neighbors::DOUBLE
-             / (du.degree + dv.degree - common_neighbors),
-             {R}) AS jaccard,
-       round(aa, {R}) AS adamic_adar
+       floor((common_neighbors::DOUBLE
+             / (du.degree + dv.degree - common_neighbors)) * 1e{R} + 0.5) / 1e{R} AS jaccard,
+       floor((aa) * 1e{R} + 0.5) / 1e{R} AS adamic_adar
 FROM ne
 JOIN deg du ON ne.u = du.node
 JOIN deg dv ON ne.v = dv.node
@@ -7698,7 +7711,7 @@ def q_encoding_corruption_documents(spark, sf_dir):
            .transform(df))
     return out.select("doc_id", "n_replacement", "n_mojibake",
                       "n_control",
-                      F.round("corrupt_ratio", R)
+                      _fq("corrupt_ratio")
                        .alias("corrupt_ratio"),
                       "is_corrupt")
 
@@ -7723,8 +7736,8 @@ n AS (SELECT doc_id, t,
         len(regexp_extract_all(t, '{_E.RE_CONTROL}')) AS n_control
       FROM c)
 SELECT doc_id, n_replacement, n_mojibake, n_control,
-       round((n_replacement + n_mojibake + n_control)
-             / greatest(len(t), 1)::DOUBLE, {R}) AS corrupt_ratio,
+       floor(((n_replacement + n_mojibake + n_control)
+             / greatest(len(t), 1)::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS corrupt_ratio,
        coalesce(n_replacement > 0
                 OR (n_replacement + n_mojibake + n_control)
                    / greatest(len(t), 1)::DOUBLE >= 0.0005,
@@ -7824,7 +7837,7 @@ def q_ppr_events(spark, sf_dir):
                       (F.col("event_id") % 150).alias("dst"))
     out = (PageRank().setMaxIter(5).setSeedNodes(_PPR_SEEDS)
            .transform(edges))
-    return out.select("node", F.round("rank", R).alias("rank"))
+    return out.select("node", _fq("rank").alias("rank"))
 
 
 def _oracle_ppr(iters: int = 5, d: float = 0.85) -> str:
@@ -7857,7 +7870,7 @@ r{i} AS (SELECT tele.node,
         FROM tele CROSS JOIN dg{i}
         LEFT JOIN c{i} ON tele.node = c{i}.node)""")
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT node, round(rank, {R}) AS rank FROM r{iters}")
+            + f"\nSELECT node, floor((rank) * 1e{R} + 0.5) / 1e{R} AS rank FROM r{iters}")
 
 
 ORACLE_PPR = _oracle_ppr()
@@ -7989,6 +8002,10 @@ def q_seasonal_decompose_events(spark, sf_dir):
     # DECIMAL STRING (::VARCHAR::DECIMAL(28,14)), which is exactly
     # the value Spark's BigDecimal.valueOf sees, so ties and
     # near-ties (...4999999) resolve identically
+    # deliberately F.round (BigDecimal on the shortest decimal), NOT
+    # the _fq float quantizer: the phase means are exact rationals
+    # that land ON .5 at 4 dp, where only decimal semantics (matched
+    # by the oracle's ::VARCHAR::DECIMAL round) resolve ties stably
     return out.select(
         "event_id", "user_id", "phase",
         F.round("phase_mean", 4).alias("phase_mean"),
@@ -8030,7 +8047,7 @@ def q_mutual_info_orders(spark, sf_dir):
            .setInputCols("o_orderpriority", "price_bucket",
                          "order_year").transform(feat))
     return out.select("feature", "n_rows", "n_values",
-                      F.round("mi", R).alias("mi"))
+                      _fq("mi").alias("mi"))
 
 
 ORACLE_MUTUAL_INFO = f"""
@@ -8057,8 +8074,8 @@ w AS (SELECT feature, value, y, n,
       FROM cells)
 SELECT feature, min(nt)::BIGINT AS n_rows,
        count(DISTINCT value) AS n_values,
-       round(sum((n / nt::DOUBLE)
-                 * ln((n * nt)::DOUBLE / (nx * ny))), {R}) AS mi
+       floor((sum((n / nt::DOUBLE)
+                 * ln((n * nt)::DOUBLE / (nx * ny)))) * 1e{R} + 0.5) / 1e{R} AS mi
 FROM w GROUP BY feature
 """
 
@@ -8082,8 +8099,8 @@ def q_cusum_events(spark, sf_dir):
            .transform(b))
     return out.select(
         "user_id", "bk", "x",
-        F.round("cusum_pos", R).alias("cusum_pos"),
-        F.round("cusum_neg", R).alias("cusum_neg"), "is_alarm")
+        _fq("cusum_pos").alias("cusum_pos"),
+        _fq("cusum_neg").alias("cusum_neg"), "is_alarm")
 
 
 ORACLE_CUSUM = f"""
@@ -8113,7 +8130,7 @@ s AS (SELECT user_id, bk, x,
                      ROWS BETWEEN UNBOUNDED PRECEDING
                      AND CURRENT ROW))
 SELECT user_id, bk, x,
-       round(sp, {R}) AS cusum_pos, round(sn, {R}) AS cusum_neg,
+       floor((sp) * 1e{R} + 0.5) / 1e{R} AS cusum_pos, floor((sn) * 1e{R} + 0.5) / 1e{R} AS cusum_neg,
        greatest(sp, sn) >= 20000.0 AS is_alarm
 FROM s
 """
@@ -8218,9 +8235,9 @@ def q_quantile_window_events(spark, sf_dir):
            .transform(ev))
     return out.select(
         "event_type", F.unix_micros("bucket_start").alias("bucket_us"),
-        "n", F.round("q_5", R).alias("q_5"),
-        F.round("q_95", R).alias("q_95"),
-        F.round("q_99", R).alias("q_99"))
+        "n", _fq("q_5").alias("q_5"),
+        _fq("q_95").alias("q_95"),
+        _fq("q_99").alias("q_99"))
 
 
 ORACLE_QUANTILE_WINDOW = f"""
@@ -8232,9 +8249,9 @@ WITH b AS (SELECT event_type,
            WHERE ts IS NOT NULL AND event_type IS NOT NULL
              AND value IS NOT NULL)
 SELECT event_type, bucket_us, count(*) AS n,
-       round(quantile_cont(value, 0.5), {R}) AS q_5,
-       round(quantile_cont(value, 0.95), {R}) AS q_95,
-       round(quantile_cont(value, 0.99), {R}) AS q_99
+       floor((quantile_cont(value, 0.5)) * 1e{R} + 0.5) / 1e{R} AS q_5,
+       floor((quantile_cont(value, 0.95)) * 1e{R} + 0.5) / 1e{R} AS q_95,
+       floor((quantile_cont(value, 0.99)) * 1e{R} + 0.5) / 1e{R} AS q_99
 FROM b GROUP BY 1, 2
 """
 
@@ -8273,7 +8290,7 @@ def q_quantile_monitor_invariants_events(spark, sf_dir):
         out.append(viol.select("event_type", "p"))
     bad = out[0].unionByName(out[1])
     return bad.select("event_type",
-                      F.round("p", R).alias("p"))
+                      _fq("p").alias("p"))
 
 
 ORACLE_QUANTILE_MONITOR_INVARIANTS = """
@@ -8322,7 +8339,7 @@ def q_correlation_rank_lineitem(spark, sf_dir):
            .setInputCols("l_quantity", "l_discount", "l_tax")
            .transform(li))
     return out.select("feature", "n_rows",
-                      F.round("r", R).alias("r"))
+                      _fq("r").alias("r"))
 
 
 ORACLE_CORRELATION_RANK = f"""
@@ -8341,9 +8358,9 @@ a AS (SELECT feature, count(*) AS n_rows,
 SELECT feature, n_rows,
        CASE WHEN n_rows * sxx - sx * sx > 0
              AND n_rows * syy - sy * sy > 0
-            THEN round((n_rows * sxy - sx * sy)
+            THEN floor(((n_rows * sxy - sx * sy)
                        / sqrt((n_rows * sxx - sx * sx)
-                              * (n_rows * syy - sy * sy)), {R})
+                              * (n_rows * syy - sy * sy))) * 1e{R} + 0.5) / 1e{R}
        END AS r
 FROM a
 """
@@ -8362,7 +8379,7 @@ def q_hashed_tfidf_documents(spark, sf_dir):
     out = model.transform(docs)
     return out.select(
         "doc_id", F.posexplode_outer(
-            F.transform("embedding", lambda x: F.round(x, R))))
+            F.transform("embedding", lambda x: _fq(x))))
 
 
 ORACLE_HASHED_TFIDF = f"""
@@ -8395,7 +8412,7 @@ n2 AS (SELECT doc_id, ntok, wvec,
        FROM wv),
 f AS (SELECT doc_id,
              CASE WHEN ntok > 0
-                  THEN list_transform(wvec, x -> round(x / nrm, {R}))
+                  THEN list_transform(wvec, x -> floor((x / nrm) * 1e{R} + 0.5) / 1e{R})
              END AS emb
       FROM n2)
 SELECT doc_id, i - 1 AS pos, emb[i] AS col
@@ -8440,8 +8457,8 @@ f AS (
                      + 0.7*acc[2]])
     END AS lb
   FROM s)
-SELECT key, n, round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
-       round(lb[1] + 3.0*lb[2], 6) AS forecast
+SELECT key, n, floor((lb[1]) * 1e6 + 0.5) / 1e6 AS level, floor((lb[2]) * 1e6 + 0.5) / 1e6 AS trend,
+       floor((lb[1] + 3.0*lb[2]) * 1e6 + 0.5) / 1e6 AS forecast
 FROM f
 """
 
@@ -8457,10 +8474,10 @@ def q_lexical_diversity_documents(spark, sf_dir):
     out = LexicalDiversityScorer().transform(docs)
     return out.select(
         "doc_id", "n_tokens_ld", "n_types",
-        F.round("ttr", R).alias("ttr"),
-        F.round("hapax_frac", R).alias("hapax_frac"),
-        F.round("shannon_entropy", R).alias("shannon_entropy"),
-        F.round("simpson_index", R).alias("simpson_index"))
+        _fq("ttr").alias("ttr"),
+        _fq("hapax_frac").alias("hapax_frac"),
+        _fq("shannon_entropy").alias("shannon_entropy"),
+        _fq("simpson_index").alias("simpson_index"))
 
 
 ORACLE_LEXICAL_DIVERSITY = f"""
@@ -8478,11 +8495,11 @@ st AS (SELECT doc_id, sum(c) AS n, count(*) AS k,
 SELECT d.doc_id,
        coalesce(st.n, 0)::BIGINT AS n_tokens_ld,
        st.k::BIGINT AS n_types,
-       round(st.k / st.n::DOUBLE, {R}) AS ttr,
-       round(st.hapax / st.k::DOUBLE, {R}) AS hapax_frac,
-       round(log2(st.n::DOUBLE) - st.clogc / st.n::DOUBLE, {R})
+       floor((st.k / st.n::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS ttr,
+       floor((st.hapax / st.k::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS hapax_frac,
+       floor((log2(st.n::DOUBLE) - st.clogc / st.n::DOUBLE) * 1e{R} + 0.5) / 1e{R}
          AS shannon_entropy,
-       round(st.csq / (st.n::DOUBLE * st.n::DOUBLE), {R})
+       floor((st.csq / (st.n::DOUBLE * st.n::DOUBLE)) * 1e{R} + 0.5) / 1e{R}
          AS simpson_index
 FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
 """
@@ -8497,11 +8514,11 @@ def q_code_density_documents(spark, sf_dir):
     out = CodeDensityProfiler().setThreshold(0.4).transform(docs)
     return out.select(
         "doc_id", "n_lines",
-        F.round("indent_frac", R).alias("indent_frac"),
-        F.round("symbol_line_frac", R).alias("symbol_line_frac"),
+        _fq("indent_frac").alias("indent_frac"),
+        _fq("symbol_line_frac").alias("symbol_line_frac"),
         "fence_count",
-        F.round("symbol_ratio", R).alias("symbol_ratio"),
-        F.round("code_score", R).alias("code_score"),
+        _fq("symbol_ratio").alias("symbol_ratio"),
+        _fq("code_score").alias("code_score"),
         "is_code")
 
 
@@ -8528,14 +8545,14 @@ sc AS (
   FROM m)
 SELECT doc_id,
        nl::INT AS n_lines,
-       round(ind / nl::DOUBLE, {R}) AS indent_frac,
-       round(syml / nl::DOUBLE, {R}) AS symbol_line_frac,
+       floor((ind / nl::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS indent_frac,
+       floor((syml / nl::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS symbol_line_frac,
        fence::INT AS fence_count,
-       round(sr, {R}) AS symbol_ratio,
-       round(least(0.4 * ind / nl::DOUBLE + 0.3 * syml / nl::DOUBLE
+       floor((sr) * 1e{R} + 0.5) / 1e{R} AS symbol_ratio,
+       floor((least(0.4 * ind / nl::DOUBLE + 0.3 * syml / nl::DOUBLE
                    + 0.3 * least(10.0 * sr, 1.0)
                    + CASE WHEN fence > 0 THEN 0.2 ELSE 0.0 END,
-                   1.0), {R}) AS code_score,
+                   1.0)) * 1e{R} + 0.5) / 1e{R} AS code_score,
        (least(0.4 * ind / nl::DOUBLE + 0.3 * syml / nl::DOUBLE
               + 0.3 * least(10.0 * sr, 1.0)
               + CASE WHEN fence > 0 THEN 0.2 ELSE 0.0 END, 1.0)
@@ -8556,7 +8573,7 @@ def q_hard_negatives_embeddings(spark, sf_dir):
            .setSimLo(0.0).setSimHi(0.95).mine(anchors, emb))
     return out.select("query_id", "rank", "neighbor_id",
                       "label_anchor", "label_negative",
-                      F.round("cosine", R).alias("cosine"))
+                      _fq("cosine").alias("cosine"))
 
 
 ORACLE_HARD_NEGATIVES = f"""
@@ -8580,7 +8597,7 @@ ranked AS (
               AS rank
   FROM banded)
 SELECT query_id, rank, neighbor_id, label_anchor, label_negative,
-       round(cosine, {R}) AS cosine
+       floor((cosine) * 1e{R} + 0.5) / 1e{R} AS cosine
 FROM ranked WHERE rank <= 5
 """
 
@@ -8605,9 +8622,9 @@ tot AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
 top AS (SELECT c FROM tc ORDER BY c DESC, t ASC LIMIT 256),
 ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS r FROM top),
 fit AS (SELECT count(*)::BIGINT AS top_rank,
-               round(regr_slope(ln(c::DOUBLE), ln(r::DOUBLE)), 6)
+               floor((regr_slope(ln(c::DOUBLE), ln(r::DOUBLE))) * 1e6 + 0.5) / 1e6
                  AS zipf_slope,
-               round(regr_r2(ln(c::DOUBLE), ln(r::DOUBLE)), 6)
+               floor((regr_r2(ln(c::DOUBLE), ln(r::DOUBLE))) * 1e6 + 0.5) / 1e6
                  AS zipf_r2
         FROM ranked)
 SELECT n_tokens, n_types, top_rank, zipf_slope, zipf_r2
@@ -8637,10 +8654,10 @@ a AS (SELECT key, count(*) AS n_events, count(gap) AS n_gaps,
              avg(gap) AS m, stddev_samp(gap) AS s
       FROM g GROUP BY key)
 SELECT key, n_events, n_gaps,
-       round(m, 6) AS mean_gap_s,
-       round(s, 6) AS std_gap_s,
-       round(CASE WHEN m > 0 THEN s / m END, 6) AS cv,
-       round(CASE WHEN m > 0 THEN (s / m - 1) / (s / m + 1) END, 6)
+       floor((m) * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+       floor((s) * 1e6 + 0.5) / 1e6 AS std_gap_s,
+       floor((CASE WHEN m > 0 THEN s / m END) * 1e6 + 0.5) / 1e6 AS cv,
+       floor((CASE WHEN m > 0 THEN (s / m - 1) / (s / m + 1) END) * 1e6 + 0.5) / 1e6
          AS burstiness
 FROM a
 """
@@ -8666,7 +8683,7 @@ def q_ql_retrieval_documents(spark, sf_dir):
     out = (QueryLikelihoodRetriever().setTopK(10).setMu(2000.0)
            .retrieve(docs, queries))
     return out.select("query_id", "doc_id",
-                      F.round("score", R).alias("score"), "rank")
+                      _fq("score").alias("score"), "rank")
 
 
 ORACLE_QL = f"""
@@ -8696,9 +8713,9 @@ f AS (SELECT sc.query_id, sc.doc_id,
       FROM sc JOIN qlen ON sc.query_id = qlen.query_id),
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id
-        ORDER BY round(score, 9) DESC, doc_id ASC) AS "rank"
+        ORDER BY floor(score * 1e9 + 0.5)::BIGINT DESC, doc_id ASC) AS "rank"
       FROM f)
-SELECT query_id, doc_id, round(score, {R}) AS score, "rank"
+SELECT query_id, doc_id, floor((score) * 1e{R} + 0.5) / 1e{R} AS score, "rank"
 FROM r WHERE "rank" <= 10
 """
 
@@ -8785,7 +8802,7 @@ def q_paraphrase_pairs_documents(spark, sf_dir):
     op = NgramJaccardDeduplicator().setShingleSize(3)
     pairs = op.similar_pairs(frame, lo=0.35, hi=0.9)
     return pairs.select("id_keep", "id_dup",
-                        F.round("jaccard", R).alias("jaccard"))
+                        _fq("jaccard").alias("jaccard"))
 
 
 def _oracle_paraphrase_pairs() -> str:
@@ -8813,7 +8830,7 @@ pairs AS (
          len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
   FROM cand c JOIN hs l ON l.doc_id = c.id_keep
               JOIN hs r ON r.doc_id = c.id_dup)
-SELECT id_keep, id_dup, round(jaccard, {R}) AS jaccard
+SELECT id_keep, id_dup, floor((jaccard) * 1e{R} + 0.5) / 1e{R} AS jaccard
 FROM pairs WHERE jaccard >= {lo!r} AND jaccard < {hi!r}
 """
 
@@ -8837,11 +8854,11 @@ tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
 p AS (SELECT per.*, n_tokens / tot.t AS p_raw FROM per CROSS JOIN tot),
 z AS (SELECT sum(p_raw ^ 0.7) AS z FROM p)
 SELECT lang, n_docs, n_tokens,
-       floor(p_raw * 1e6) / 1e6 AS p_raw,
-       floor(p_raw ^ 0.7 / z.z * 1e6) / 1e6 AS weight,
-       floor(p_raw ^ 0.7 / z.z * 1000000.0 * 1e2) / 1e2
+       floor(p_raw * 1e6 + 0.5) / 1e6 AS p_raw,
+       floor(p_raw ^ 0.7 / z.z * 1e6 + 0.5) / 1e6 AS weight,
+       floor(p_raw ^ 0.7 / z.z * 1000000.0 * 1e2 + 0.5) / 1e2
          AS expected_tokens,
-       floor(p_raw ^ 0.7 / z.z * 1000000.0 / n_tokens * 1e6) / 1e6
+       floor(p_raw ^ 0.7 / z.z * 1000000.0 / n_tokens * 1e6 + 0.5) / 1e6
          AS sample_factor
 FROM p CROSS JOIN z
 """
@@ -8874,24 +8891,24 @@ j AS (SELECT r.pos, r.mean AS mean_ref, c.mean AS mean_cur,
       FROM (SELECT * FROM m WHERE side = 0) r
       JOIN (SELECT * FROM m WHERE side = 1) c ON r.pos = c.pos),
 per_dim AS (
-  SELECT pos, round(mean_ref, 6) AS mean_ref,
-         round(mean_cur, 6) AS mean_cur,
-         round(std_ref, 6) AS std_ref, round(std_cur, 6) AS std_cur,
-         round(CASE WHEN sqrt((std_ref*std_ref + std_cur*std_cur)/2) > 0
+  SELECT pos, floor((mean_ref) * 1e6 + 0.5) / 1e6 AS mean_ref,
+         floor((mean_cur) * 1e6 + 0.5) / 1e6 AS mean_cur,
+         floor((std_ref) * 1e6 + 0.5) / 1e6 AS std_ref, floor((std_cur) * 1e6 + 0.5) / 1e6 AS std_cur,
+         floor((CASE WHEN sqrt((std_ref*std_ref + std_cur*std_cur)/2) > 0
                     THEN abs(mean_cur - mean_ref)
                          / sqrt((std_ref*std_ref + std_cur*std_cur)/2)
-                    ELSE 0.0 END, 6) AS smd
+                    ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS smd
   FROM j),
 summary AS (
   SELECT -1 AS pos,
          max(n_ref)::DOUBLE AS mean_ref, max(n_cur)::DOUBLE AS mean_cur,
          0.0 AS std_ref, 0.0 AS std_cur,
-         round(CASE WHEN sqrt(sum(mean_ref*mean_ref)) > 0
+         floor((CASE WHEN sqrt(sum(mean_ref*mean_ref)) > 0
                      AND sqrt(sum(mean_cur*mean_cur)) > 0
                     THEN sum(mean_ref*mean_cur)
                          / (sqrt(sum(mean_ref*mean_ref))
                             * sqrt(sum(mean_cur*mean_cur)))
-                    ELSE 0.0 END, 6) AS smd
+                    ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS smd
   FROM j)
 SELECT * FROM per_dim UNION ALL SELECT * FROM summary
 """
@@ -8900,7 +8917,7 @@ SELECT * FROM per_dim UNION ALL SELECT * FROM summary
 def q_otsu_threshold_documents(spark, sf_dir):
     """OtsuThreshold gate: automatic cutoff over the documents' size
     distribution (256-bin histogram + between-class-variance argmax,
-    ranked on fixed-point floor(bv*1e9) with lowest-cut ties)."""
+    ranked on fixed-point floor(bv*1e9 + 0.5) with lowest-cut ties)."""
     from flink_ml__spark.functions.stats import OtsuThreshold
 
     docs = load_table(spark, "documents", sf_dir)
@@ -8932,11 +8949,11 @@ v AS (SELECT bin, lo, hi, cn, tn,
              END AS bv
       FROM c),
 r AS (SELECT *, row_number() OVER (
-          ORDER BY floor(bv * 1e9)::BIGINT DESC, bin ASC) AS rk
+          ORDER BY floor(bv * 1e9 + 0.5)::BIGINT DESC, bin ASC) AS rk
       FROM v WHERE bv IS NOT NULL)
-SELECT floor((lo + (bin + 1) * (hi - lo) / 256) * 1e6) / 1e6
+SELECT floor((lo + (bin + 1) * (hi - lo) / 256) * 1e6 + 0.5) / 1e6
          AS threshold,
-       floor(bv * 1e6) / 1e6 AS between_var,
+       floor(bv * 1e6 + 0.5) / 1e6 AS between_var,
        cn AS n_below, tn - cn AS n_above
 FROM r WHERE rk = 1
 """
@@ -8959,8 +8976,8 @@ rk AS (SELECT w, row_number() OVER (ORDER BY w ASC, lang ASC) AS i,
               count(*) OVER () AS n
        FROM per)
 SELECT count(*)::BIGINT AS n_groups,
-       round(sum(w), 6) AS total,
-       round(sum((2 * i - n - 1) * w) / (count(*) * sum(w)), 6) AS gini
+       floor((sum(w)) * 1e6 + 0.5) / 1e6 AS total,
+       floor((sum((2 * i - n - 1) * w) / (count(*) * sum(w))) * 1e6 + 0.5) / 1e6 AS gini
 FROM rk
 """
 
@@ -8998,13 +9015,13 @@ j AS (SELECT ra.r AS xa, rb.r AS xb, rc.r AS xc
       JOIN rb ON base.b = rb.v
       JOIN rc ON base.c = rc.v)
 SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
-       count(*)::BIGINT AS n, round(corr(xa, xb), 6) AS rho FROM j
+       count(*)::BIGINT AS n, floor((corr(xa, xb)) * 1e6 + 0.5) / 1e6 AS rho FROM j
 UNION ALL
 SELECT 'l_quantity', 'l_discount', count(*)::BIGINT,
-       round(corr(xa, xc), 6) FROM j
+       floor((corr(xa, xc)) * 1e6 + 0.5) / 1e6 FROM j
 UNION ALL
 SELECT 'l_extendedprice', 'l_discount', count(*)::BIGINT,
-       round(corr(xb, xc), 6) FROM j
+       floor((corr(xb, xc)) * 1e6 + 0.5) / 1e6 FROM j
 """
 
 
@@ -9046,7 +9063,7 @@ credited AS (
   FROM rows_ r JOIN touched t2 ON r.k = t2.k AND r.j = t2.j
   WHERE NOT r.is_conv),
 lin AS (SELECT channel, count(*) AS n_touches,
-               round(sum(1.0 / nt), 6) AS linear_credit
+               floor((sum(1.0 / nt)) * 1e6 + 0.5) / 1e6 AS linear_credit
         FROM credited GROUP BY 1),
 per_channel AS (
   SELECT coalesce(lin.channel, firsts.channel, lasts.channel)
@@ -9101,7 +9118,7 @@ SELECT rule,
        count(*)::BIGINT AS n_keys,
        sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
          AS n_violating_keys,
-       round(avg(CASE WHEN nv > 1 THEN 1.0 ELSE 0.0 END), 6)
+       floor((avg(CASE WHEN nv > 1 THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6
          AS violation_rate,
        max(nv)::BIGINT AS max_fanout
 FROM per_key GROUP BY rule
@@ -9131,15 +9148,15 @@ WITH per AS (
 lagged AS (
   SELECT *, lag(n_rows) OVER (ORDER BY ds) AS prev_n_rows FROM per)
 SELECT ds, 'o_totalprice' AS column, n_rows, n0 AS n_null,
-       floor(n0 / n_rows::DOUBLE * 1e6) / 1e6 AS null_frac,
+       floor(n0 / n_rows::DOUBLE * 1e6 + 0.5) / 1e6 AS null_frac,
        prev_n_rows,
-       floor((n_rows - prev_n_rows) / prev_n_rows::DOUBLE * 1e6) / 1e6
+       floor((n_rows - prev_n_rows) / prev_n_rows::DOUBLE * 1e6 + 0.5) / 1e6
          AS row_delta_frac
 FROM lagged
 UNION ALL
 SELECT ds, 'o_orderpriority', n_rows, n1,
-       floor(n1 / n_rows::DOUBLE * 1e6) / 1e6, prev_n_rows,
-       floor((n_rows - prev_n_rows) / prev_n_rows::DOUBLE * 1e6) / 1e6
+       floor(n1 / n_rows::DOUBLE * 1e6 + 0.5) / 1e6, prev_n_rows,
+       floor((n_rows - prev_n_rows) / prev_n_rows::DOUBLE * 1e6 + 0.5) / 1e6
 FROM lagged
 """
 
@@ -9161,7 +9178,7 @@ def q_nb_lang_documents(spark, sf_dir):
              .setNumFeatures(_NB_V).fit(docs))
     out = model.transform(docs)
     return out.select("doc_id", "nb_pred",
-                      F.round("nb_score", R).alias("nb_score"))
+                      _fq("nb_score").alias("nb_score"))
 
 
 ORACLE_NB_LANG = f"""
@@ -9204,7 +9221,7 @@ best AS (SELECT doc_id, l, s,
                 row_number() OVER (PARTITION BY doc_id
                                    ORDER BY s DESC, l ASC) AS rn
          FROM sc)
-SELECT doc_id, l AS nb_pred, round(s / 1000000.0, {R}) AS nb_score
+SELECT doc_id, l AS nb_pred, floor((s / 1000000.0) * 1e{R} + 0.5) / 1e{R} AS nb_score
 FROM best WHERE rn = 1
 UNION ALL
 SELECT doc_id, NULL AS nb_pred, NULL AS nb_score
@@ -9222,10 +9239,10 @@ def q_welch_ttest_events(spark, sf_dir):
     out = (WelchTTest().setValueCol("value").setGroupCol("event_type")
            .setGroups("purchase", "click").evaluate(ev))
     return out.select("n_a", "n_b",
-                      F.round("mean_a", R).alias("mean_a"),
-                      F.round("mean_b", R).alias("mean_b"),
-                      F.round("t_stat", R).alias("t_stat"),
-                      F.round("dof", R).alias("dof"),
+                      _fq("mean_a").alias("mean_a"),
+                      _fq("mean_b").alias("mean_b"),
+                      _fq("t_stat").alias("t_stat"),
+                      _fq("dof").alias("dof"),
                       "significant")
 
 
@@ -9255,12 +9272,12 @@ s AS (
                  THEN (ma - mb) / sqrt(van + vbn) END AS tt
   FROM m)
 SELECT na AS n_a, nb AS n_b,
-       round(ma, {R}) AS mean_a, round(mb, {R}) AS mean_b,
-       round(tt, {R}) AS t_stat,
-       round(CASE WHEN tt IS NOT NULL
+       floor((ma) * 1e{R} + 0.5) / 1e{R} AS mean_a, floor((mb) * 1e{R} + 0.5) / 1e{R} AS mean_b,
+       floor((tt) * 1e{R} + 0.5) / 1e{R} AS t_stat,
+       floor((CASE WHEN tt IS NOT NULL
                   THEN (van + vbn) ^ 2
                        / (van * van / (na - 1) + vbn * vbn / (nb - 1))
-             END, {R}) AS dof,
+             END) * 1e{R} + 0.5) / 1e{R} AS dof,
        coalesce(abs(tt) > 1.96, false) AS significant
 FROM s
 """
@@ -9294,8 +9311,8 @@ def q_theilsen_events(spark, sf_dir):
            .setTimeCol("ts").setValueCol("value")
            .setBucketWidthSec(86400.0).setMaxBuckets(16).transform(ev))
     return out.select("event_type", "n_points", "n_pairs",
-                      F.round("slope", R).alias("slope"),
-                      F.round("intercept", R).alias("intercept"))
+                      _fq("slope").alias("slope"),
+                      _fq("intercept").alias("intercept"))
 
 
 ORACLE_THEILSEN = f"""
@@ -9309,8 +9326,8 @@ sl AS (SELECT a.k AS k, count(*)::BIGINT AS n_pairs,
        FROM rec a JOIN rec c ON a.k = c.k AND a.b < c.b
        GROUP BY 1)
 SELECT meds.k AS event_type, n_points, n_pairs,
-       round(slope, {R}) AS slope,
-       round(my - slope * mb, {R}) AS intercept
+       floor((slope) * 1e{R} + 0.5) / 1e{R} AS slope,
+       floor((my - slope * mb) * 1e{R} + 0.5) / 1e{R} AS intercept
 FROM meds JOIN sl ON meds.k = sl.k
 """
 
@@ -9326,8 +9343,8 @@ def q_mann_kendall_events(spark, sf_dir):
            .setTimeCol("ts").setValueCol("value")
            .setBucketWidthSec(86400.0).setMaxBuckets(16).transform(ev))
     return out.select("event_type", "n_points", "s_stat",
-                      F.round("var_s", R).alias("var_s"),
-                      F.round("z_stat", R).alias("z_stat"), "trend")
+                      _fq("var_s").alias("var_s"),
+                      _fq("z_stat").alias("z_stat"), "trend")
 
 
 ORACLE_MANN_KENDALL = f"""
@@ -9350,7 +9367,7 @@ z AS (SELECT *, CASE WHEN var_s > 0 THEN
                        ELSE 0.0 END END AS zs
       FROM j)
 SELECT k AS event_type, n_points, s_stat,
-       round(var_s, {R}) AS var_s, round(zs, {R}) AS z_stat,
+       floor((var_s) * 1e{R} + 0.5) / 1e{R} AS var_s, floor((zs) * 1e{R} + 0.5) / 1e{R} AS z_stat,
        CASE WHEN zs > 1.96 THEN 'increasing'
             WHEN zs < -1.96 THEN 'decreasing'
             ELSE 'no_trend' END AS trend
@@ -9371,8 +9388,8 @@ def q_assortativity_events(spark, sf_dir):
                       (F.col("event_id") % 97).alias("dst"))
     out = DegreeAssortativity().evaluate(edges)
     return out.select("n_nodes", "n_edges",
-                      F.round("avg_degree", R).alias("avg_degree"),
-                      F.round("assortativity", R).alias("assortativity"))
+                      _fq("avg_degree").alias("avg_degree"),
+                      _fq("assortativity").alias("assortativity"))
 
 
 ORACLE_ASSORTATIVITY = f"""
@@ -9392,11 +9409,11 @@ m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
              count(DISTINCT peer)::BIGINT AS n_nodes
       FROM pairs)
 SELECT n_nodes, (n / 2)::BIGINT AS n_edges,
-       round(n::DOUBLE / n_nodes, {R}) AS avg_degree,
-       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       floor((n::DOUBLE / n_nodes) * 1e{R} + 0.5) / 1e{R} AS avg_degree,
+       floor((CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                   THEN (n * sxy - sx * sy)
                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-             END, {R}) AS assortativity
+             END) * 1e{R} + 0.5) / 1e{R} AS assortativity
 FROM m
 """
 
@@ -9450,7 +9467,7 @@ def q_kaplan_meier_events(spark, sf_dir):
     out = KaplanMeierEstimator().evaluate(subj)
     return out.select(F.col("t").cast("bigint").alias("t_days"),
                       "n_risk", "n_events", "n_censored",
-                      F.round("survival", R).alias("survival"))
+                      _fq("survival").alias("survival"))
 
 
 ORACLE_KAPLAN_MEIER = f"""
@@ -9483,7 +9500,7 @@ s AS (
                 OVER (ORDER BY t) AS ls
   FROM f)
 SELECT t::BIGINT AS t_days, n_risk, d AS n_events, c AS n_censored,
-       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(ls) END, {R})
+       floor((CASE WHEN dead = 1 THEN 0.0 ELSE exp(ls) END) * 1e{R} + 0.5) / 1e{R}
            AS survival
 FROM s
 """
@@ -9505,10 +9522,10 @@ def q_bootstrap_ci_events(spark, sf_dir):
     out = (PoissonBootstrapper().setIdCol("event_id")
            .setValueCol("value").setNumReplicas(_BOOT_REPLICAS)
            .setSeed(_BOOT_SEED).evaluate(ev))
-    return out.select("n", F.round("mean", R).alias("mean"),
-                      F.round("se", R).alias("se"),
-                      F.round("ci_lo", R).alias("ci_lo"),
-                      F.round("ci_hi", R).alias("ci_hi"),
+    return out.select("n", _fq("mean").alias("mean"),
+                      _fq("se").alias("se"),
+                      _fq("ci_lo").alias("ci_lo"),
+                      _fq("ci_hi").alias("ci_hi"),
                       "b_replicas")
 
 
@@ -9544,10 +9561,10 @@ WITH base AS (
   FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
 m AS (SELECT n, mean, unnest([{means}]) AS mm FROM base),
 nn AS (SELECT n, mean, mm FROM m WHERE mm IS NOT NULL)
-SELECT n, round(mean, {R}) AS mean,
-       round(CASE WHEN count(*) > 1 THEN stddev_samp(mm) END, {R}) AS se,
-       round(quantile_cont(mm, 0.025), {R}) AS ci_lo,
-       round(quantile_cont(mm, 0.975), {R}) AS ci_hi,
+SELECT n, floor((mean) * 1e{R} + 0.5) / 1e{R} AS mean,
+       floor((CASE WHEN count(*) > 1 THEN stddev_samp(mm) END) * 1e{R} + 0.5) / 1e{R} AS se,
+       floor((quantile_cont(mm, 0.025)) * 1e{R} + 0.5) / 1e{R} AS ci_lo,
+       floor((quantile_cont(mm, 0.975)) * 1e{R} + 0.5) / 1e{R} AS ci_hi,
        count(*)::BIGINT AS b_replicas
 FROM nn GROUP BY n, mean
 """
@@ -9571,10 +9588,10 @@ def q_overlap_invariants_events(spark, sf_dir):
     bad = ((F.col("a_rel_err") > 0.1) | (F.col("b_rel_err") > 0.1)
            | (F.col("u_rel_err") > 0.1) | (F.col("i_rel_err") > 0.2))
     return rep.filter(bad).select(
-        F.round("a_rel_err", R).alias("a_rel_err"),
-        F.round("b_rel_err", R).alias("b_rel_err"),
-        F.round("u_rel_err", R).alias("u_rel_err"),
-        F.round("i_rel_err", R).alias("i_rel_err"))
+        _fq("a_rel_err").alias("a_rel_err"),
+        _fq("b_rel_err").alias("b_rel_err"),
+        _fq("u_rel_err").alias("u_rel_err"),
+        _fq("i_rel_err").alias("i_rel_err"))
 
 
 ORACLE_OVERLAP_INVARIANTS = """
@@ -9605,9 +9622,9 @@ def q_conformal_events(spark, sf_dir):
              .setAlpha(0.1).fit(cal))
     out = model.evaluate(test, "value")
     return out.select("event_type", "n_cal",
-                      F.round("q_hat", R).alias("q_hat"), "n_test",
-                      F.round("coverage", R).alias("coverage"),
-                      F.round("avg_width", R).alias("avg_width"))
+                      _fq("q_hat").alias("q_hat"), "n_test",
+                      _fq("coverage").alias("coverage"),
+                      _fq("avg_width").alias("avg_width"))
 
 
 ORACLE_CONFORMAL = f"""
@@ -9632,11 +9649,11 @@ te AS (
   SELECT e.event_type, e.value::DOUBLE AS y, tr.pred
   FROM events e JOIN tr USING (event_type)
   WHERE e.event_id % 4 = 3 AND e.value IS NOT NULL)
-SELECT q.event_type, n_cal, round(q_hat, {R}) AS q_hat,
+SELECT q.event_type, n_cal, floor((q_hat) * 1e{R} + 0.5) / 1e{R} AS q_hat,
        count(*)::BIGINT AS n_test,
-       round(avg(CASE WHEN abs(y - pred) <= q_hat
-                      THEN 1 ELSE 0 END), {R}) AS coverage,
-       round(avg(2 * q_hat), {R}) AS avg_width
+       floor((avg(CASE WHEN abs(y - pred) <= q_hat
+                      THEN 1 ELSE 0 END)) * 1e{R} + 0.5) / 1e{R} AS coverage,
+       floor((avg(2 * q_hat)) * 1e{R} + 0.5) / 1e{R} AS avg_width
 FROM te JOIN q ON te.event_type = q.event_type
 WHERE q_hat IS NOT NULL
 GROUP BY q.event_type, n_cal, q_hat
@@ -9663,10 +9680,10 @@ def q_welch_window_events(spark, sf_dir):
                                "purchase", "click", window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
                       "n_a", "n_b",
-                      F.round("mean_a", R).alias("mean_a"),
-                      F.round("mean_b", R).alias("mean_b"),
-                      F.round("t_stat", R).alias("t_stat"),
-                      F.round("dof", R).alias("dof"), "significant")
+                      _fq("mean_a").alias("mean_a"),
+                      _fq("mean_b").alias("mean_b"),
+                      _fq("t_stat").alias("t_stat"),
+                      _fq("dof").alias("dof"), "significant")
 
 
 ORACLE_WELCH_WINDOW = f"""
@@ -9702,12 +9719,12 @@ s AS (
                  THEN (ma - mb) / sqrt(van + vbn) END AS tt
   FROM m)
 SELECT win_us, na AS n_a, nb AS n_b,
-       round(ma, {R}) AS mean_a, round(mb, {R}) AS mean_b,
-       round(tt, {R}) AS t_stat,
-       round(CASE WHEN tt IS NOT NULL
+       floor((ma) * 1e{R} + 0.5) / 1e{R} AS mean_a, floor((mb) * 1e{R} + 0.5) / 1e{R} AS mean_b,
+       floor((tt) * 1e{R} + 0.5) / 1e{R} AS t_stat,
+       floor((CASE WHEN tt IS NOT NULL
                   THEN (van + vbn) ^ 2
                        / (van * van / (na - 1) + vbn * vbn / (nb - 1))
-             END, {R}) AS dof,
+             END) * 1e{R} + 0.5) / 1e{R} AS dof,
        coalesce(abs(tt) > 1.96, false) AS significant
 FROM s
 """
@@ -9735,12 +9752,12 @@ def q_cuped_events(spark, sf_dir):
     out = (CupedAdjuster().setMetricCol("y").setCovariateCol("x")
            .setVariants("t", "c").evaluate(units))
     return out.select("n_a", "n_b",
-                      F.round("theta", R).alias("theta"),
-                      F.round("diff_raw", R).alias("diff_raw"),
-                      F.round("diff_adj", R).alias("diff_adj"),
-                      F.round("var_y", R).alias("var_y"),
-                      F.round("var_y_adj", R).alias("var_y_adj"),
-                      F.round("var_reduction", R).alias("var_reduction"))
+                      _fq("theta").alias("theta"),
+                      _fq("diff_raw").alias("diff_raw"),
+                      _fq("diff_adj").alias("diff_adj"),
+                      _fq("var_y").alias("var_y"),
+                      _fq("var_y_adj").alias("var_y_adj"),
+                      _fq("var_reduction").alias("var_reduction"))
 
 
 ORACLE_CUPED = f"""
@@ -9773,15 +9790,15 @@ d AS (
          sxa / na AS mxa, sxb / nb AS mxb
   FROM m WHERE n > 0),
 t AS (SELECT *, CASE WHEN vx > 0 THEN cv / vx END AS theta FROM d)
-SELECT na AS n_a, nb AS n_b, round(theta, {R}) AS theta,
-       round(ma - mb, {R}) AS diff_raw,
-       round(ma - mb - theta * (mxa - mxb), {R}) AS diff_adj,
-       round(vy, {R}) AS var_y,
-       round(vy + theta * theta * vx - 2 * theta * cv, {R})
+SELECT na AS n_a, nb AS n_b, floor((theta) * 1e{R} + 0.5) / 1e{R} AS theta,
+       floor((ma - mb) * 1e{R} + 0.5) / 1e{R} AS diff_raw,
+       floor((ma - mb - theta * (mxa - mxb)) * 1e{R} + 0.5) / 1e{R} AS diff_adj,
+       floor((vy) * 1e{R} + 0.5) / 1e{R} AS var_y,
+       floor((vy + theta * theta * vx - 2 * theta * cv) * 1e{R} + 0.5) / 1e{R}
            AS var_y_adj,
-       round(CASE WHEN vy > 0
+       floor((CASE WHEN vy > 0
                   THEN 1 - (vy + theta * theta * vx - 2 * theta * cv)
-                       / vy END, {R}) AS var_reduction
+                       / vy END) * 1e{R} + 0.5) / 1e{R} AS var_reduction
 FROM t
 """
 
@@ -9797,7 +9814,7 @@ def q_session_paths_events(spark, sf_dir):
     out = (SessionPathAnalyzer().setGapSec(1800).setPathLen(3)
            .setTopN(20).transform(ev))
     return out.select("path", "n_sessions",
-                      F.round("share", R).alias("share"), "rank")
+                      _fq("share").alias("share"), "rank")
 
 
 ORACLE_SESSION_PATHS = f"""
@@ -9830,7 +9847,7 @@ rk AS (
   SELECT path, n_sessions, n_sessions / t AS share,
          row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rnk
   FROM counts CROSS JOIN tot)
-SELECT path, n_sessions, round(share, {R}) AS share, rnk AS "rank"
+SELECT path, n_sessions, floor((share) * 1e{R} + 0.5) / 1e{R} AS share, rnk AS "rank"
 FROM rk WHERE rnk <= 20
 """
 
@@ -9854,11 +9871,11 @@ def q_did_events(spark, sf_dir):
            .setPostCol("post").evaluate(pre))
     return out.select(
         "n_tpre", "n_tpost", "n_cpre", "n_cpost",
-        F.round("mean_tpre", R).alias("mean_tpre"),
-        F.round("mean_tpost", R).alias("mean_tpost"),
-        F.round("mean_cpre", R).alias("mean_cpre"),
-        F.round("mean_cpost", R).alias("mean_cpost"),
-        F.round("did", R).alias("did"), F.round("se", R).alias("se"),
+        _fq("mean_tpre").alias("mean_tpre"),
+        _fq("mean_tpost").alias("mean_tpost"),
+        _fq("mean_cpre").alias("mean_cpre"),
+        _fq("mean_cpost").alias("mean_cpost"),
+        _fq("did").alias("did"), _fq("se").alias("se"),
         "significant")
 
 
@@ -9895,12 +9912,12 @@ d AS (
       AS se2
   FROM m)
 SELECT n_tpre, n_tpost, n_cpre, n_cpost,
-       round(m_tpre, {R}) AS mean_tpre,
-       round(m_tpost, {R}) AS mean_tpost,
-       round(m_cpre, {R}) AS mean_cpre,
-       round(m_cpost, {R}) AS mean_cpost,
-       round((m_tpost - m_tpre) - (m_cpost - m_cpre), {R}) AS did,
-       round(sqrt(se2), {R}) AS se,
+       floor((m_tpre) * 1e{R} + 0.5) / 1e{R} AS mean_tpre,
+       floor((m_tpost) * 1e{R} + 0.5) / 1e{R} AS mean_tpost,
+       floor((m_cpre) * 1e{R} + 0.5) / 1e{R} AS mean_cpre,
+       floor((m_cpost) * 1e{R} + 0.5) / 1e{R} AS mean_cpost,
+       floor(((m_tpost - m_tpre) - (m_cpost - m_cpre)) * 1e{R} + 0.5) / 1e{R} AS did,
+       floor((sqrt(se2)) * 1e{R} + 0.5) / 1e{R} AS se,
        coalesce(abs((m_tpost - m_tpre) - (m_cpost - m_cpre))
                 > 1.96 * sqrt(se2), false) AS significant
 FROM d
@@ -9930,9 +9947,9 @@ def q_covariate_balance_events(spark, sf_dir):
            .setVariantCol("variant").setLabels("t", "c")
            .evaluate(units))
     return out.select("covariate", "n_t", "n_c",
-                      F.round("mean_t", R).alias("mean_t"),
-                      F.round("mean_c", R).alias("mean_c"),
-                      F.round("smd", R).alias("smd"), "imbalanced")
+                      _fq("mean_t").alias("mean_t"),
+                      _fq("mean_c").alias("mean_c"),
+                      _fq("smd").alias("smd"), "imbalanced")
 
 
 ORACLE_COVARIATE_BALANCE = f"""
@@ -9962,9 +9979,9 @@ d AS (
          sqrt(((qt - st * st / n_t) / (n_t - 1)
                + (qc - sc * sc / n_c) / (n_c - 1)) / 2) AS pooled
   FROM m)
-SELECT covariate, n_t, n_c, round(mt, {R}) AS mean_t,
-       round(mc, {R}) AS mean_c,
-       round(CASE WHEN pooled > 0 THEN (mt - mc) / pooled END, {R})
+SELECT covariate, n_t, n_c, floor((mt) * 1e{R} + 0.5) / 1e{R} AS mean_t,
+       floor((mc) * 1e{R} + 0.5) / 1e{R} AS mean_c,
+       floor((CASE WHEN pooled > 0 THEN (mt - mc) / pooled END) * 1e{R} + 0.5) / 1e{R}
            AS smd,
        coalesce(abs(CASE WHEN pooled > 0 THEN (mt - mc) / pooled END)
                 > 0.1, false) AS imbalanced
@@ -10003,8 +10020,8 @@ def q_rbo_events(spark, sf_dir):
            .setDocCol("user_id").setPersistence(0.9).setDepth(10)
            .evaluate(a, b))
     return out.select("event_type", "n_common",
-                      F.round("overlap_k", R).alias("overlap_k"),
-                      F.round("rbo", R).alias("rbo"))
+                      _fq("overlap_k").alias("overlap_k"),
+                      _fq("rbo").alias("rbo"))
 
 
 ORACLE_RBO = f"""
@@ -10031,8 +10048,8 @@ perq AS (SELECT q, {1.0 - 0.9!r} * sum(pow(0.9, dep - 1) / dep) AS rbo
 common AS (SELECT q, count(*)::BIGINT AS n_common FROM j GROUP BY 1),
 qs AS (SELECT DISTINCT a.q FROM a JOIN b ON a.q = b.q)
 SELECT qs.q AS event_type, coalesce(n_common, 0) AS n_common,
-       round(coalesce(n_common, 0) / 10.0, {R}) AS overlap_k,
-       round(coalesce(rbo, 0.0), {R}) AS rbo
+       floor((coalesce(n_common, 0) / 10.0) * 1e{R} + 0.5) / 1e{R} AS overlap_k,
+       floor((coalesce(rbo, 0.0)) * 1e{R} + 0.5) / 1e{R} AS rbo
 FROM qs LEFT JOIN common ON qs.q = common.q
         LEFT JOIN perq ON qs.q = perq.q
 """
@@ -10047,9 +10064,9 @@ def q_heaps_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = HeapsLawProfiler().setNumPoints(16).transform(docs)
     return out.select("n_docs", "n_tokens", "n_types", "n_points",
-                      F.round("heaps_k", R).alias("heaps_k"),
-                      F.round("heaps_beta", R).alias("heaps_beta"),
-                      F.round("heaps_r2", R).alias("heaps_r2"))
+                      _fq("heaps_k").alias("heaps_k"),
+                      _fq("heaps_beta").alias("heaps_beta"),
+                      _fq("heaps_r2").alias("heaps_r2"))
 
 
 ORACLE_HEAPS = f"""
@@ -10070,26 +10087,30 @@ pts AS (
          sum(occ.occ) OVER (ORDER BY occ.b) AS cn,
          sum(coalesce(news.new, 0)) OVER (ORDER BY occ.b) AS cv
   FROM occ LEFT JOIN news ON occ.b = news.b),
+lq AS (SELECT cn, cv,
+              floor(ln(cn) * 1e6 + 0.5)::BIGINT AS lx,
+              floor(ln(cv) * 1e6 + 0.5)::BIGINT AS ly
+       FROM pts WHERE cn > 0),
 fit AS (
   SELECT count(*)::BIGINT AS n_points,
          max(cn)::BIGINT AS n_tokens, max(cv)::BIGINT AS n_types,
-         sum(ln(cn)) AS sx, sum(ln(cv)) AS sy,
-         sum(ln(cn) * ln(cn)) AS sxx, sum(ln(cn) * ln(cv)) AS sxy,
-         sum(ln(cv) * ln(cv)) AS syy
-  FROM pts WHERE cn > 0),
+         sum(lx)::BIGINT AS sx, sum(ly)::BIGINT AS sy,
+         sum(lx * lx)::BIGINT AS sxx, sum(lx * ly)::BIGINT AS sxy,
+         sum(ly * ly)::BIGINT AS syy
+  FROM lq),
 d AS (
   SELECT *, n_points::DOUBLE AS n,
-         n_points * sxx - sx * sx AS vx,
-         n_points * syy - sy * sy AS vy,
-         n_points * sxy - sx * sy AS cov
+         (n_points * sxx - sx * sx)::DOUBLE AS vx,
+         (n_points * syy - sy * sy)::DOUBLE AS vy,
+         (n_points * sxy - sx * sy)::DOUBLE AS cov
   FROM fit)
 SELECT (SELECT n_docs FROM bounds) AS n_docs, n_tokens, n_types,
        n_points,
-       round(exp((sy - (CASE WHEN vx > 0 THEN cov / vx END) * sx) / n),
-             {R}) AS heaps_k,
-       round(CASE WHEN vx > 0 THEN cov / vx END, {R}) AS heaps_beta,
-       round(CASE WHEN vx > 0 AND vy > 0
-                  THEN cov * cov / (vx * vy) END, {R}) AS heaps_r2
+       floor((exp((sy - (CASE WHEN vx > 0 THEN cov / vx END) * sx)
+                  / (n * 1e6))) * 1e{R} + 0.5) / 1e{R} AS heaps_k,
+       floor((CASE WHEN vx > 0 THEN cov / vx END) * 1e{R} + 0.5) / 1e{R} AS heaps_beta,
+       floor((CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END) * 1e{R} + 0.5) / 1e{R} AS heaps_r2
 FROM d
 """
 
@@ -10105,7 +10126,7 @@ def q_fdr_events(spark, sf_dir):
     out = (FdrController().setPCol("p_value").setAlpha(0.05)
            .setTieCols("win_us").transform(base))
     return out.select("win_us", "p_value", "p_rank",
-                      F.round("q_value", R).alias("q_value"),
+                      _fq("q_value").alias("q_value"),
                       "discovery")
 
 
@@ -10121,7 +10142,7 @@ q AS (SELECT *, min(least(1.0, p_value * n / p_rank))
                 OVER (ORDER BY p_rank ROWS BETWEEN CURRENT ROW
                       AND UNBOUNDED FOLLOWING) AS q_value
       FROM r)
-SELECT win_us, p_value, p_rank, round(q_value, {R}) AS q_value,
+SELECT win_us, p_value, p_rank, floor((q_value) * 1e{R} + 0.5) / 1e{R} AS q_value,
        q_value <= 0.05 AS discovery
 FROM q
 """
@@ -10149,11 +10170,11 @@ def q_forecast_accuracy_events(spark, sf_dir):
            .setForecastCol("forecast").setGroupCols("event_type")
            .evaluate(sm))
     return out.select("event_type", "n_forecasts",
-                      F.round("mae", R).alias("mae"),
-                      F.round("rmse", R).alias("rmse"),
-                      F.round("smape", R).alias("smape"),
-                      F.round("naive_mae", R).alias("naive_mae"),
-                      F.round("mase", R).alias("mase"))
+                      _fq("mae").alias("mae"),
+                      _fq("rmse").alias("rmse"),
+                      _fq("smape").alias("smape"),
+                      _fq("naive_mae").alias("naive_mae"),
+                      _fq("mase").alias("mase"))
 
 
 ORACLE_FORECAST_ACCURACY = f"""
@@ -10198,10 +10219,10 @@ g AS (
                   THEN 2 * err / sden END) AS smape,
          avg(nerr) AS naive_mae
   FROM terms GROUP BY 1)
-SELECT event_type, n_forecasts, round(mae, {R}) AS mae,
-       round(rmse, {R}) AS rmse, round(smape, {R}) AS smape,
-       round(naive_mae, {R}) AS naive_mae,
-       round(CASE WHEN naive_mae > 0 THEN mae / naive_mae END, {R})
+SELECT event_type, n_forecasts, floor((mae) * 1e{R} + 0.5) / 1e{R} AS mae,
+       floor((rmse) * 1e{R} + 0.5) / 1e{R} AS rmse, floor((smape) * 1e{R} + 0.5) / 1e{R} AS smape,
+       floor((naive_mae) * 1e{R} + 0.5) / 1e{R} AS naive_mae,
+       floor((CASE WHEN naive_mae > 0 THEN mae / naive_mae END) * 1e{R} + 0.5) / 1e{R}
            AS mase
 FROM g
 """
@@ -10251,9 +10272,9 @@ def q_logrank_events(spark, sf_dir):
     out = (LogRankTest().setGroupCol("grp").setGroups("even", "odd")
            .evaluate(subj))
     return out.select("n_a", "n_b", "n_times", "observed_a",
-                      F.round("expected_a", R).alias("expected_a"),
-                      F.round("var_sum", R).alias("var_sum"),
-                      F.round("z_stat", R).alias("z_stat"),
+                      _fq("expected_a").alias("expected_a"),
+                      _fq("var_sum").alias("var_sum"),
+                      _fq("z_stat").alias("z_stat"),
                       "significant")
 
 
@@ -10288,8 +10309,8 @@ z AS (SELECT *, CASE WHEN var_sum > 0 THEN
           (observed_a - expected_a) / sqrt(var_sum) END AS zs
       FROM counts CROSS JOIN tot)
 SELECT n_a, n_b, n_times, observed_a,
-       round(expected_a, {R}) AS expected_a,
-       round(var_sum, {R}) AS var_sum, round(zs, {R}) AS z_stat,
+       floor((expected_a) * 1e{R} + 0.5) / 1e{R} AS expected_a,
+       floor((var_sum) * 1e{R} + 0.5) / 1e{R} AS var_sum, floor((zs) * 1e{R} + 0.5) / 1e{R} AS z_stat,
        coalesce(abs(zs) > 1.96, false) AS significant
 FROM z
 """
@@ -10304,9 +10325,9 @@ def q_weibull_events(spark, sf_dir):
     subj = _survival_subjects(spark, sf_dir)
     out = WeibullFitter().evaluate(subj)
     return out.select("n_points",
-                      F.round("weibull_shape", R).alias("weibull_shape"),
-                      F.round("weibull_scale", R).alias("weibull_scale"),
-                      F.round("fit_r2", R).alias("fit_r2"))
+                      _fq("weibull_shape").alias("weibull_shape"),
+                      _fq("weibull_scale").alias("weibull_scale"),
+                      _fq("fit_r2").alias("fit_r2"))
 
 
 ORACLE_WEIBULL = f"""
@@ -10341,12 +10362,12 @@ d AS (
          n_points * sxy - sx * sy AS cov
   FROM m),
 k AS (SELECT *, CASE WHEN vx > 0 THEN cov / vx END AS kk FROM d)
-SELECT n_points, round(kk, {R}) AS weibull_shape,
-       round(CASE WHEN kk IS NOT NULL AND kk <> 0
-                  THEN exp(-((sy - kk * sx) / n) / kk) END, {R})
+SELECT n_points, floor((kk) * 1e{R} + 0.5) / 1e{R} AS weibull_shape,
+       floor((CASE WHEN kk IS NOT NULL AND kk <> 0
+                  THEN exp(-((sy - kk * sx) / n) / kk) END) * 1e{R} + 0.5) / 1e{R}
            AS weibull_scale,
-       round(CASE WHEN vx > 0 AND vy > 0
-                  THEN cov * cov / (vx * vy) END, {R}) AS fit_r2
+       floor((CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END) * 1e{R} + 0.5) / 1e{R} AS fit_r2
 FROM k
 """
 
@@ -10367,8 +10388,8 @@ def q_srm_window_events(spark, sf_dir):
                              ratio_a=0.5, window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
                       "n_a", "n_b",
-                      F.round("expected_a", R).alias("expected_a"),
-                      F.round("chi2", R).alias("chi2"), "srm")
+                      _fq("expected_a").alias("expected_a"),
+                      _fq("chi2").alias("chi2"), "srm")
 
 
 ORACLE_SRM_WINDOW = f"""
@@ -10388,8 +10409,8 @@ c AS (
            + (n_b - (n_a + n_b) * 0.5) ^ 2 / ((n_a + n_b) * 0.5)
          END AS chi2
   FROM w)
-SELECT win_us, n_a, n_b, round(ea, {R}) AS expected_a,
-       round(chi2, {R}) AS chi2,
+SELECT win_us, n_a, n_b, floor((ea) * 1e{R} + 0.5) / 1e{R} AS expected_a,
+       floor((chi2) * 1e{R} + 0.5) / 1e{R} AS chi2,
        coalesce(chi2 > 10.828, false) AS srm
 FROM c
 """
@@ -10417,10 +10438,10 @@ def q_mde_events(spark, sf_dir):
                      .otherwise("odd").alias("variant"), "y"))
     out = (MdeCalculator().setMetricCol("y").setVariants("even", "odd")
            .setAlpha(0.05).setPower(0.8).evaluate(units))
-    return out.select("n_a", "n_b", F.round("mean", R).alias("mean"),
-                      F.round("sd", R).alias("sd"),
-                      F.round("mde_abs", R).alias("mde_abs"),
-                      F.round("mde_rel", R).alias("mde_rel"))
+    return out.select("n_a", "n_b", _fq("mean").alias("mean"),
+                      _fq("sd").alias("sd"),
+                      _fq("mde_abs").alias("mde_abs"),
+                      _fq("mde_rel").alias("mde_rel"))
 
 
 ORACLE_MDE = f"""
@@ -10443,9 +10464,9 @@ e AS (
            {_q_mde_zm()!r} * sqrt(var * (1.0 / n_a + 1.0 / n_b)) END
            AS mde
   FROM d)
-SELECT n_a, n_b, round(mean, {R}) AS mean,
-       round(sqrt(var), {R}) AS sd, round(mde, {R}) AS mde_abs,
-       round(CASE WHEN abs(mean) > 0 THEN mde / abs(mean) END, {R})
+SELECT n_a, n_b, floor((mean) * 1e{R} + 0.5) / 1e{R} AS mean,
+       floor((sqrt(var)) * 1e{R} + 0.5) / 1e{R} AS sd, floor((mde) * 1e{R} + 0.5) / 1e{R} AS mde_abs,
+       floor((CASE WHEN abs(mean) > 0 THEN mde / abs(mean) END) * 1e{R} + 0.5) / 1e{R}
            AS mde_rel
 FROM e
 """
@@ -10464,9 +10485,9 @@ def q_truncation_audit_embeddings(spark, sf_dir):
     out = (EmbeddingTruncationAuditor().setInputCol("embedding")
            .setBudgets(8, 16, 32).evaluate(emb))
     return out.select("dim_budget", "n_vecs",
-                      F.round("avg_energy", R).alias("avg_energy"),
-                      F.round("p05_energy", R).alias("p05_energy"),
-                      F.round("avg_cos", R).alias("avg_cos"))
+                      _fq("avg_energy").alias("avg_energy"),
+                      _fq("p05_energy").alias("p05_energy"),
+                      _fq("avg_cos").alias("avg_cos"))
 
 
 def _trunc_frac_sql(d: int) -> str:
@@ -10494,13 +10515,13 @@ a AS (
          avg(f32) AS a32, quantile_cont(f32, 0.05) AS p32,
          avg(sqrt(f32)) AS c32
   FROM f)
-SELECT 8 AS dim_budget, n_vecs, round(a8, {R}) AS avg_energy,
-       round(p8, {R}) AS p05_energy, round(c8, {R}) AS avg_cos FROM a
+SELECT 8 AS dim_budget, n_vecs, floor((a8) * 1e{R} + 0.5) / 1e{R} AS avg_energy,
+       floor((p8) * 1e{R} + 0.5) / 1e{R} AS p05_energy, floor((c8) * 1e{R} + 0.5) / 1e{R} AS avg_cos FROM a
 UNION ALL
-SELECT 16, n_vecs, round(a16, {R}), round(p16, {R}), round(c16, {R})
+SELECT 16, n_vecs, floor((a16) * 1e{R} + 0.5) / 1e{R}, floor((p16) * 1e{R} + 0.5) / 1e{R}, floor((c16) * 1e{R} + 0.5) / 1e{R}
 FROM a
 UNION ALL
-SELECT 32, n_vecs, round(a32, {R}), round(p32, {R}), round(c32, {R})
+SELECT 32, n_vecs, floor((a32) * 1e{R} + 0.5) / 1e{R}, floor((p32) * 1e{R} + 0.5) / 1e{R}, floor((c32) * 1e{R} + 0.5) / 1e{R}
 FROM a
 """
 
@@ -10515,9 +10536,9 @@ def q_anisotropy_embeddings(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     out = AnisotropyAuditor().setInputCol("embedding").evaluate(emb)
     return out.select("n_vecs", "dim",
-                      F.round("mean_pair_cosine", R)
+                      _fq("mean_pair_cosine")
                       .alias("mean_pair_cosine"),
-                      F.round("centroid_norm", R)
+                      _fq("centroid_norm")
                       .alias("centroid_norm"))
 
 
@@ -10538,10 +10559,9 @@ sums AS (SELECT count(*)::BIGINT AS dim, sum(s * s) AS ss
          FROM per_dim),
 n AS (SELECT count(*)::BIGINT AS n_vecs FROM ok)
 SELECT n_vecs, dim,
-       round(CASE WHEN n_vecs > 1
-                  THEN (ss - n_vecs) / (n_vecs * (n_vecs - 1.0)) END,
-             {R}) AS mean_pair_cosine,
-       round(sqrt(ss) / n_vecs, {R}) AS centroid_norm
+       floor((CASE WHEN n_vecs > 1
+                  THEN (ss - n_vecs) / (n_vecs * (n_vecs - 1.0)) END) * 1e{R} + 0.5) / 1e{R} AS mean_pair_cosine,
+       floor((sqrt(ss) / n_vecs) * 1e{R} + 0.5) / 1e{R} AS centroid_norm
 FROM n CROSS JOIN sums
 """
 
@@ -10558,8 +10578,8 @@ def q_kn_bigram_documents(spark, sf_dir):
              .setDiscount(0.75).fit(docs))
     out = model.transform(docs)
     return out.select("doc_id",
-                      F.round("mean_logprob", R).alias("mean_logprob"),
-                      F.round("bigram_frac", R).alias("bigram_frac"))
+                      _fq("mean_logprob").alias("mean_logprob"),
+                      _fq("bigram_frac").alias("bigram_frac"))
 
 
 ORACLE_KN_BIGRAM = f"""
@@ -10596,8 +10616,8 @@ sc AS (SELECT p.doc_id,
        CROSS JOIN nbb),
 agg AS (SELECT doc_id, avg(lp) AS mlp, avg(hit) AS bf
         FROM sc GROUP BY 1)
-SELECT d.doc_id, round(agg.mlp, {R}) AS mean_logprob,
-       round(agg.bf, {R}) AS bigram_frac
+SELECT d.doc_id, floor((agg.mlp) * 1e{R} + 0.5) / 1e{R} AS mean_logprob,
+       floor((agg.bf) * 1e{R} + 0.5) / 1e{R} AS bigram_frac
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
@@ -10613,10 +10633,10 @@ def q_conversion_lag_events(spark, sf_dir):
     out = (ConversionLagAnalyzer().setPattern("view", "purchase")
            .setHorizonSec(3600).evaluate(ev))
     return out.select("n_anchors", "n_converted",
-                      F.round("conversion_rate", R)
+                      _fq("conversion_rate")
                       .alias("conversion_rate"),
-                      F.round("p50_lag", R).alias("p50_lag"),
-                      F.round("p90_lag", R).alias("p90_lag"))
+                      _fq("p50_lag").alias("p50_lag"),
+                      _fq("p90_lag").alias("p90_lag"))
 
 
 ORACLE_CONVERSION_LAG = f"""
@@ -10637,10 +10657,10 @@ anchors AS (
   FROM w WHERE ty = 'view')
 SELECT count(*)::BIGINT AS n_anchors,
        sum(conv::INT)::BIGINT AS n_converted,
-       round(avg(conv::INT), {R}) AS conversion_rate,
-       round(quantile_cont(CASE WHEN conv THEN lag END, 0.5), {R})
+       floor((avg(conv::INT)) * 1e{R} + 0.5) / 1e{R} AS conversion_rate,
+       floor((quantile_cont(CASE WHEN conv THEN lag END, 0.5)) * 1e{R} + 0.5) / 1e{R}
            AS p50_lag,
-       round(quantile_cont(CASE WHEN conv THEN lag END, 0.9), {R})
+       floor((quantile_cont(CASE WHEN conv THEN lag END, 0.9)) * 1e{R} + 0.5) / 1e{R}
            AS p90_lag
 FROM anchors
 """
@@ -10736,7 +10756,7 @@ def q_fk_check_orders(spark, sf_dir):
                                    customer, "c_custkey"),
     })
     return out.select("fk", "n_rows", "n_null", "n_orphans",
-                      F.round("orphan_rate", R).alias("orphan_rate"))
+                      _fq("orphan_rate").alias("orphan_rate"))
 
 
 ORACLE_FK_CHECK = f"""
@@ -10767,8 +10787,8 @@ three AS (
 u AS (SELECT * FROM one UNION ALL SELECT * FROM two
       UNION ALL SELECT * FROM three)
 SELECT fk, n_rows, n_null, n_orphans,
-       round(CASE WHEN n_rows > 0
-                  THEN n_orphans / n_rows::DOUBLE END, {R})
+       floor((CASE WHEN n_rows > 0
+                  THEN n_orphans / n_rows::DOUBLE END) * 1e{R} + 0.5) / 1e{R}
            AS orphan_rate
 FROM u
 """
@@ -10791,9 +10811,9 @@ def q_rouge_documents(spark, sf_dir):
            .score_pairs(pairs, docs))
     return out.select("id_a", "id_b", "n", "match_n", "total_a",
                       "total_b",
-                      F.round("precision", R).alias("precision"),
-                      F.round("recall", R).alias("recall"),
-                      F.round("f1", R).alias("f1"))
+                      _fq("precision").alias("precision"),
+                      _fq("recall").alias("recall"),
+                      _fq("f1").alias("f1"))
 
 
 ORACLE_ROUGE = f"""
@@ -10833,11 +10853,11 @@ sc AS (SELECT *,
                    THEN match_n / total_b::DOUBLE END AS rc
        FROM ft)
 SELECT ida AS id_a, idb AS id_b, n, match_n, total_a, total_b,
-       round(pr, {R}) AS "precision", round(rc, {R}) AS recall,
-       round(CASE WHEN pr IS NOT NULL AND rc IS NOT NULL THEN
+       floor((pr) * 1e{R} + 0.5) / 1e{R} AS "precision", floor((rc) * 1e{R} + 0.5) / 1e{R} AS recall,
+       floor((CASE WHEN pr IS NOT NULL AND rc IS NOT NULL THEN
                  CASE WHEN pr + rc > 0
                       THEN 2 * pr * rc / (pr + rc) ELSE 0.0 END
-             END, {R}) AS f1
+             END) * 1e{R} + 0.5) / 1e{R} AS f1
 FROM sc
 """
 
@@ -10852,7 +10872,7 @@ def q_audio_silence_documents(spark, sf_dir):
            .setWindowSize(64).setThreshold(0.58)
            .transform(_payloads(spark, sf_dir)))
     return out.select("doc_id", "n_windows", "n_silent",
-                      F.round("silence_frac", R).alias("silence_frac"),
+                      _fq("silence_frac").alias("silence_frac"),
                       "n_silent_runs", "lead_trim")
 
 
@@ -10871,7 +10891,7 @@ agg AS (SELECT doc_id, count(*) AS nw, sum(silent::INT) AS ns,
                min(CASE WHEN NOT silent THEN w END) AS first_loud
         FROM lagd GROUP BY 1)
 SELECT doc_id, nw::INT AS n_windows, ns::INT AS n_silent,
-       round(ns / nw::DOUBLE, {R}) AS silence_frac,
+       floor((ns / nw::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS silence_frac,
        runs::INT AS n_silent_runs,
        coalesce(first_loud, nw)::INT AS lead_trim
 FROM agg
@@ -10903,12 +10923,12 @@ def q_qini_events(spark, sf_dir):
     out = (UpliftEvaluator().setLabels("t", "c").setNumBins(10)
            .evaluate(units))
     return out.select("bucket_rank", "n_t", "n_c",
-                      F.round("y_t", R).alias("y_t"),
-                      F.round("y_c", R).alias("y_c"),
-                      F.round("rate_t", R).alias("rate_t"),
-                      F.round("rate_c", R).alias("rate_c"),
-                      F.round("uplift", R).alias("uplift"),
-                      F.round("qini_cum", R).alias("qini_cum"))
+                      _fq("y_t").alias("y_t"),
+                      _fq("y_c").alias("y_c"),
+                      _fq("rate_t").alias("rate_t"),
+                      _fq("rate_c").alias("rate_c"),
+                      _fq("uplift").alias("uplift"),
+                      _fq("qini_cum").alias("qini_cum"))
 
 
 ORACLE_QINI = f"""
@@ -10929,7 +10949,7 @@ edges AS (
   SELECT list_transform(
              quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
                                    0.6, 0.7, 0.8, 0.9]),
-             e -> round(e, 6)) AS es
+             e -> floor((e) * 1e6 + 0.5) / 1e6) AS es
   FROM units),
 bucketed AS (
   SELECT is_t, outcome,
@@ -10948,14 +10968,14 @@ cum AS (
          sum(y_t) OVER (ORDER BY b) AS cyt,
          sum(y_c) OVER (ORDER BY b) AS cyc
   FROM per)
-SELECT bucket_rank, n_t, n_c, round(y_t, {R}) AS y_t,
-       round(y_c, {R}) AS y_c,
-       round(CASE WHEN n_t > 0 THEN y_t / n_t END, {R}) AS rate_t,
-       round(CASE WHEN n_c > 0 THEN y_c / n_c END, {R}) AS rate_c,
-       round(CASE WHEN n_t > 0 AND n_c > 0
-                  THEN y_t / n_t - y_c / n_c END, {R}) AS uplift,
-       round(CASE WHEN cnc > 0
-                  THEN cyt - cyc * cnt / cnc::DOUBLE END, {R})
+SELECT bucket_rank, n_t, n_c, floor((y_t) * 1e{R} + 0.5) / 1e{R} AS y_t,
+       floor((y_c) * 1e{R} + 0.5) / 1e{R} AS y_c,
+       floor((CASE WHEN n_t > 0 THEN y_t / n_t END) * 1e{R} + 0.5) / 1e{R} AS rate_t,
+       floor((CASE WHEN n_c > 0 THEN y_c / n_c END) * 1e{R} + 0.5) / 1e{R} AS rate_c,
+       floor((CASE WHEN n_t > 0 AND n_c > 0
+                  THEN y_t / n_t - y_c / n_c END) * 1e{R} + 0.5) / 1e{R} AS uplift,
+       floor((CASE WHEN cnc > 0
+                  THEN cyt - cyc * cnt / cnc::DOUBLE END) * 1e{R} + 0.5) / 1e{R}
            AS qini_cum
 FROM cum
 """
@@ -10981,11 +11001,11 @@ def q_ratio_metric_events(spark, sf_dir):
     out = (RatioMetricAnalyzer().setVariants("t", "c")
            .evaluate(units))
     return out.select("n_a", "n_b",
-                      F.round("ratio_a", R).alias("ratio_a"),
-                      F.round("ratio_b", R).alias("ratio_b"),
-                      F.round("diff", R).alias("diff"),
-                      F.round("se", R).alias("se"),
-                      F.round("z_stat", R).alias("z_stat"),
+                      _fq("ratio_a").alias("ratio_a"),
+                      _fq("ratio_b").alias("ratio_b"),
+                      _fq("diff").alias("diff"),
+                      _fq("se").alias("se"),
+                      _fq("z_stat").alias("z_stat"),
                       "significant")
 
 
@@ -11032,10 +11052,10 @@ d AS (
            / (nb * (syb/nb) * (syb/nb)) END AS vb
   FROM m),
 s AS (SELECT *, sqrt(va + vb) AS se FROM d)
-SELECT na AS n_a, nb AS n_b, round(ra, {R}) AS ratio_a,
-       round(rb, {R}) AS ratio_b, round(ra - rb, {R}) AS diff,
-       round(se, {R}) AS se,
-       round(CASE WHEN se > 0 THEN (ra - rb) / se END, {R}) AS z_stat,
+SELECT na AS n_a, nb AS n_b, floor((ra) * 1e{R} + 0.5) / 1e{R} AS ratio_a,
+       floor((rb) * 1e{R} + 0.5) / 1e{R} AS ratio_b, floor((ra - rb) * 1e{R} + 0.5) / 1e{R} AS diff,
+       floor((se) * 1e{R} + 0.5) / 1e{R} AS se,
+       floor((CASE WHEN se > 0 THEN (ra - rb) / se END) * 1e{R} + 0.5) / 1e{R} AS z_stat,
        coalesce(abs((ra - rb) / se) > 1.96, false) AS significant
 FROM s
 """
@@ -11068,11 +11088,11 @@ def q_ratio_window_events(spark, sf_dir):
                                "even", "odd", window="1 day")
     return out.select(F.unix_micros("window_start").alias("win_us"),
                       "n_a", "n_b",
-                      F.round("ratio_a", R).alias("ratio_a"),
-                      F.round("ratio_b", R).alias("ratio_b"),
-                      F.round("diff", R).alias("diff"),
-                      F.round("se", R).alias("se"),
-                      F.round("z_stat", R).alias("z_stat"),
+                      _fq("ratio_a").alias("ratio_a"),
+                      _fq("ratio_b").alias("ratio_b"),
+                      _fq("diff").alias("diff"),
+                      _fq("se").alias("se"),
+                      _fq("z_stat").alias("z_stat"),
                       "significant")
 
 
@@ -11125,10 +11145,10 @@ d AS (
            / (nb * (syb/nb) * (syb/nb)) END AS vb
   FROM m),
 s AS (SELECT *, sqrt(va + vb) AS se FROM d)
-SELECT win_us, na AS n_a, nb AS n_b, round(ra, {R}) AS ratio_a,
-       round(rb, {R}) AS ratio_b, round(ra - rb, {R}) AS diff,
-       round(se, {R}) AS se,
-       round(CASE WHEN se > 0 THEN (ra - rb) / se END, {R}) AS z_stat,
+SELECT win_us, na AS n_a, nb AS n_b, floor((ra) * 1e{R} + 0.5) / 1e{R} AS ratio_a,
+       floor((rb) * 1e{R} + 0.5) / 1e{R} AS ratio_b, floor((ra - rb) * 1e{R} + 0.5) / 1e{R} AS diff,
+       floor((se) * 1e{R} + 0.5) / 1e{R} AS se,
+       floor((CASE WHEN se > 0 THEN (ra - rb) / se END) * 1e{R} + 0.5) / 1e{R} AS z_stat,
        coalesce(abs((ra - rb) / se) > 1.96, false) AS significant
 FROM s
 """
@@ -11151,7 +11171,7 @@ def q_rank_gauss_lineitem(spark, sf_dir):
          .setOutputCol("price_gauss").setNumBuckets(32).fit(li))
     out = m.transform(li)
     return out.select("l_orderkey", "l_linenumber",
-                      F.round("price_gauss", R).alias("price_gauss"))
+                      _fq("price_gauss").alias("price_gauss"))
 
 
 ORACLE_RANK_GAUSS = f"""
@@ -11159,13 +11179,13 @@ WITH edges AS (
   SELECT list_transform(
              quantile_cont(l_extendedprice::DOUBLE,
                  [{', '.join(repr(i / 32) for i in range(1, 32))}]),
-             e -> round(e, 6)) AS es
+             e -> floor((e) * 1e6 + 0.5) / 1e6) AS es
   FROM lineitem WHERE l_extendedprice IS NOT NULL),
 zt AS (SELECT [{_rank_gauss_z(32)}]::DOUBLE[] AS zl)
 SELECT l_orderkey, l_linenumber,
-       round(CASE WHEN l_extendedprice IS NOT NULL THEN
+       floor((CASE WHEN l_extendedprice IS NOT NULL THEN
            zl[len(list_filter(es, e -> l_extendedprice::DOUBLE > e))
-              + 1] END, {R}) AS price_gauss
+              + 1] END) * 1e{R} + 0.5) / 1e{R} AS price_gauss
 FROM lineitem CROSS JOIN edges CROSS JOIN zt
 """
 
@@ -11183,7 +11203,7 @@ def q_k_anonymity_events(spark, sf_dir):
            .setK(5).evaluate(quasi))
     return out.select("n_rows", "n_combos", "n_violating",
                       "rows_at_risk",
-                      F.round("risk_share", R).alias("risk_share"),
+                      _fq("risk_share").alias("risk_share"),
                       "min_class", "k")
 
 
@@ -11197,8 +11217,8 @@ SELECT sum(class_size)::BIGINT AS n_rows,
        sum((class_size < 5)::INT)::BIGINT AS n_violating,
        sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT
            AS rows_at_risk,
-       round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
-             / sum(class_size)::DOUBLE, {R}) AS risk_share,
+       floor((sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+             / sum(class_size)::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS risk_share,
        min(class_size) AS min_class, 5 AS k
 FROM cls
 """
@@ -11217,9 +11237,9 @@ def q_lorenz_events(spark, sf_dir):
     out = (LorenzCurveAnalyzer().setWeightCol("w").setNumBins(10)
            .evaluate(units))
     return out.select("bucket", "n_units",
-                      F.round("bucket_weight", R).alias("bucket_weight"),
-                      F.round("cum_pop_share", R).alias("cum_pop_share"),
-                      F.round("cum_weight_share", R)
+                      _fq("bucket_weight").alias("bucket_weight"),
+                      _fq("cum_pop_share").alias("cum_pop_share"),
+                      _fq("cum_weight_share")
                       .alias("cum_weight_share"))
 
 
@@ -11233,7 +11253,7 @@ edges AS (
   SELECT list_transform(
              quantile_cont(w, [0.1, 0.2, 0.3, 0.4, 0.5,
                                0.6, 0.7, 0.8, 0.9]),
-             e -> round(e, 6)) AS es
+             e -> floor((e) * 1e6 + 0.5) / 1e6) AS es
   FROM u),
 per AS (
   SELECT len(list_filter(es, e -> w > e)) AS b,
@@ -11244,9 +11264,9 @@ cum AS (
          sum(bw) OVER (ORDER BY b) AS cw,
          sum(n_units) OVER () AS tn, sum(bw) OVER () AS tw
   FROM per)
-SELECT b AS bucket, n_units, round(bw, {R}) AS bucket_weight,
-       round(cn / tn::DOUBLE, {R}) AS cum_pop_share,
-       round(cw / tw, {R}) AS cum_weight_share
+SELECT b AS bucket, n_units, floor((bw) * 1e{R} + 0.5) / 1e{R} AS bucket_weight,
+       floor((cn / tn::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS cum_pop_share,
+       floor((cw / tw) * 1e{R} + 0.5) / 1e{R} AS cum_weight_share
 FROM cum
 """
 
@@ -11262,11 +11282,11 @@ def q_qq_events(spark, sf_dir):
     out = (QuantileComparison().setValueCol("value")
            .setGroupCol("event_type").setGroups("purchase", "click")
            .evaluate(ev))
-    return out.select(F.round("p", R).alias("p"),
-                      F.round("q_a", R).alias("q_a"),
-                      F.round("q_b", R).alias("q_b"),
-                      F.round("diff", R).alias("diff"),
-                      F.round("ratio", R).alias("ratio"))
+    return out.select(_fq("p").alias("p"),
+                      _fq("q_a").alias("q_a"),
+                      _fq("q_b").alias("q_b"),
+                      _fq("diff").alias("diff"),
+                      _fq("ratio").alias("ratio"))
 
 
 _QQ_PROBS = ", ".join(repr(i / 20) for i in range(1, 20))
@@ -11285,9 +11305,9 @@ rows_t AS (
   SELECT unnest([{_QQ_PROBS}]::DOUBLE[]) AS p, unnest(qa) AS q_a,
          unnest(qb) AS q_b
   FROM g)
-SELECT round(p, {R}) AS p, round(q_a, {R}) AS q_a,
-       round(q_b, {R}) AS q_b, round(q_a - q_b, {R}) AS diff,
-       round(CASE WHEN q_b <> 0 THEN q_a / q_b END, {R}) AS ratio
+SELECT floor((p) * 1e{R} + 0.5) / 1e{R} AS p, floor((q_a) * 1e{R} + 0.5) / 1e{R} AS q_a,
+       floor((q_b) * 1e{R} + 0.5) / 1e{R} AS q_b, floor((q_a - q_b) * 1e{R} + 0.5) / 1e{R} AS diff,
+       floor((CASE WHEN q_b <> 0 THEN q_a / q_b END) * 1e{R} + 0.5) / 1e{R} AS ratio
 FROM rows_t
 """
 
@@ -11310,8 +11330,8 @@ def q_eb_rates_events(spark, sf_dir):
     out = (EmpiricalBayesRateShrinker().setTrialsCol("trials")
            .setSuccessCol("successes").transform(groups))
     return out.select("event_type", "ub", "trials", "successes",
-                      F.round("raw_rate", R).alias("raw_rate"),
-                      F.round("shrunk_rate", R).alias("shrunk_rate"))
+                      _fq("raw_rate").alias("raw_rate"),
+                      _fq("shrunk_rate").alias("shrunk_rate"))
 
 
 ORACLE_EB_RATES = f"""
@@ -11333,8 +11353,8 @@ ab AS (
          (1 - m) * (m * (1 - m) / v - 1) AS beta
   FROM prior)
 SELECT event_type, ub, trials, successes,
-       round(successes / trials::DOUBLE, {R}) AS raw_rate,
-       round((successes + alpha) / (trials + alpha + beta), {R})
+       floor((successes / trials::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS raw_rate,
+       floor(((successes + alpha) / (trials + alpha + beta)) * 1e{R} + 0.5) / 1e{R}
            AS shrunk_rate
 FROM groups CROSS JOIN ab
 """
@@ -11351,9 +11371,9 @@ def q_ltv_events(spark, sf_dir):
            .transform(ev))
     return out.select(F.unix_micros("cohort_start").alias("cohort_us"),
                       "age",
-                      F.round("bucket_value", R).alias("bucket_value"),
-                      F.round("cum_value", R).alias("cum_value"),
-                      "cohort_size", F.round("ltv", R).alias("ltv"))
+                      _fq("bucket_value").alias("bucket_value"),
+                      _fq("cum_value").alias("cum_value"),
+                      "cohort_size", _fq("ltv").alias("ltv"))
 
 
 _WK_US = 7 * 86_400_000_000
@@ -11382,8 +11402,8 @@ cum AS (
   SELECT *, sum(bv) OVER (PARTITION BY c ORDER BY age) AS cv
   FROM filled)
 SELECT (cum.c * {_WK_US})::BIGINT AS cohort_us, age,
-       round(bv, {R}) AS bucket_value, round(cv, {R}) AS cum_value,
-       cohort_size, round(cv / cohort_size, {R}) AS ltv
+       floor((bv) * 1e{R} + 0.5) / 1e{R} AS bucket_value, floor((cv) * 1e{R} + 0.5) / 1e{R} AS cum_value,
+       cohort_size, floor((cv / cohort_size) * 1e{R} + 0.5) / 1e{R} AS ltv
 FROM cum JOIN sizes ON cum.c = sizes.c
 """
 
@@ -11398,7 +11418,7 @@ def q_holm_events(spark, sf_dir):
     out = (FdrController().setPCol("p_value").setAlpha(0.05)
            .setMethod("holm").setTieCols("win_us").transform(base))
     return out.select("win_us", "p_value", "p_rank",
-                      F.round("q_value", R).alias("q_value"),
+                      _fq("q_value").alias("q_value"),
                       "discovery")
 
 
@@ -11413,7 +11433,7 @@ q AS (SELECT *, max(least(1.0, p_value * (n - p_rank + 1)))
                 OVER (ORDER BY p_rank ROWS BETWEEN UNBOUNDED
                       PRECEDING AND CURRENT ROW) AS q_value
       FROM r)
-SELECT win_us, p_value, p_rank, round(q_value, {R}) AS q_value,
+SELECT win_us, p_value, p_rank, floor((q_value) * 1e{R} + 0.5) / 1e{R} AS q_value,
        q_value <= 0.05 AS discovery
 FROM q
 """
@@ -11427,9 +11447,9 @@ def q_ess_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = (EffectiveSampleSize().setWeightCol("n_chars")
            .evaluate(docs))
-    return out.select("n", F.round("sum_w", R).alias("sum_w"),
-                      F.round("ess", R).alias("ess"),
-                      F.round("ess_ratio", R).alias("ess_ratio"))
+    return out.select("n", _fq("sum_w").alias("sum_w"),
+                      _fq("ess").alias("ess"),
+                      _fq("ess_ratio").alias("ess_ratio"))
 
 
 ORACLE_ESS = f"""
@@ -11437,10 +11457,10 @@ WITH m AS (
   SELECT count(*)::BIGINT AS n, sum(n_chars::DOUBLE) AS sw,
          sum(n_chars::DOUBLE * n_chars) AS ww
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-SELECT n, round(sw, {R}) AS sum_w,
-       round(CASE WHEN ww > 0 THEN sw * sw / ww END, {R}) AS ess,
-       round(CASE WHEN n > 0 AND ww > 0
-                  THEN sw * sw / ww / n END, {R}) AS ess_ratio
+SELECT n, floor((sw) * 1e{R} + 0.5) / 1e{R} AS sum_w,
+       floor((CASE WHEN ww > 0 THEN sw * sw / ww END) * 1e{R} + 0.5) / 1e{R} AS ess,
+       floor((CASE WHEN n > 0 AND ww > 0
+                  THEN sw * sw / ww / n END) * 1e{R} + 0.5) / 1e{R} AS ess_ratio
 FROM m
 """
 
@@ -11455,8 +11475,8 @@ def q_chao1_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = Chao1VocabularyEstimator().evaluate(docs)
     return out.select("n_tokens", "n_types", "f1", "f2",
-                      F.round("chao1", R).alias("chao1"),
-                      F.round("coverage", R).alias("coverage"))
+                      _fq("chao1").alias("chao1"),
+                      _fq("coverage").alias("coverage"))
 
 
 ORACLE_CHAO1 = f"""
@@ -11470,12 +11490,12 @@ m AS (
          sum((c = 2)::INT)::BIGINT AS f2
   FROM cc)
 SELECT n_tokens, n_types, f1, f2,
-       round(CASE WHEN f2 > 0
+       floor((CASE WHEN f2 > 0
                   THEN n_types + f1 * f1 / (2.0 * f2)
-                  ELSE n_types + f1 * (f1 - 1) / 2.0 END, {R})
+                  ELSE n_types + f1 * (f1 - 1) / 2.0 END) * 1e{R} + 0.5) / 1e{R}
            AS chao1,
-       round(CASE WHEN n_tokens > 0
-                  THEN 1 - f1 / n_tokens::DOUBLE END, {R}) AS coverage
+       floor((CASE WHEN n_tokens > 0
+                  THEN 1 - f1 / n_tokens::DOUBLE END) * 1e{R} + 0.5) / 1e{R} AS coverage
 FROM m
 """
 
@@ -11492,10 +11512,10 @@ def q_source_diversity_documents(spark, sf_dir):
     out = (MixtureDiversityProfiler().setGroupCol("source")
            .evaluate(docs))
     return out.select("n_rows", "n_groups",
-                      F.round("entropy", R).alias("entropy"),
-                      F.round("eff_shannon", R).alias("eff_shannon"),
-                      F.round("eff_simpson", R).alias("eff_simpson"),
-                      F.round("top_share", R).alias("top_share"))
+                      _fq("entropy").alias("entropy"),
+                      _fq("eff_shannon").alias("eff_shannon"),
+                      _fq("eff_simpson").alias("eff_simpson"),
+                      _fq("top_share").alias("top_share"))
 
 
 ORACLE_SOURCE_DIVERSITY = f"""
@@ -11507,11 +11527,11 @@ tot AS (
          sum(n * ln(n::DOUBLE)) AS nlogn
   FROM per)
 SELECT n_rows, n_groups,
-       round(ln(n_rows::DOUBLE) - nlogn / n_rows, {R}) AS entropy,
-       round(exp(ln(n_rows::DOUBLE) - nlogn / n_rows), {R})
+       floor((ln(n_rows::DOUBLE) - nlogn / n_rows) * 1e{R} + 0.5) / 1e{R} AS entropy,
+       floor((exp(ln(n_rows::DOUBLE) - nlogn / n_rows)) * 1e{R} + 0.5) / 1e{R}
            AS eff_shannon,
-       round(n_rows::DOUBLE * n_rows / nn, {R}) AS eff_simpson,
-       round(mx / n_rows::DOUBLE, {R}) AS top_share
+       floor((n_rows::DOUBLE * n_rows / nn) * 1e{R} + 0.5) / 1e{R} AS eff_simpson,
+       floor((mx / n_rows::DOUBLE) * 1e{R} + 0.5) / 1e{R} AS top_share
 FROM tot
 """
 

@@ -517,7 +517,7 @@ def stream_weighted_sample(stream_df: DataFrame, sampler,
     can only widen, never bias, the cut). Appends ``sample_key``.
     """
     kept = sampler.transform(reference).select(
-        F.round("sample_key", 12).alias("__k"))
+        (F.floor((F.col("sample_key")) * 1e12 + 0.5) / 1e12).alias("__k"))
     tau = kept.agg(F.min("__k").alias("t")).first()["t"]
     if tau is None:
         raise ValueError("reference yielded no sampleable rows "
@@ -532,7 +532,7 @@ def stream_weighted_sample(stream_df: DataFrame, sampler,
     key = F.log(u) / w
     return (stream_df.filter(w.isNotNull() & (w > 0))
             .withColumn("sample_key", key)
-            .filter(F.round("sample_key", 12) >= F.lit(tau)))
+            .filter((F.floor((F.col("sample_key")) * 1e12 + 0.5) / 1e12) >= F.lit(tau)))
 
 
 def stream_correlation_monitor(stream_df: DataFrame, time_col: str,

@@ -1338,9 +1338,13 @@ def test_heaps_power_law_exact_fit(spark):
     r = (HeapsLawProfiler().setNumPoints(4).transform(df).first())
     assert r["n_docs"] == 4 and r["n_tokens"] == 64 and r["n_types"] == 8
     assert r["n_points"] == 4
-    assert abs(r["heaps_beta"] - 0.5) < 1e-9
-    assert abs(r["heaps_k"] - 1.0) < 1e-9
-    assert abs(r["heaps_r2"] - 1.0) < 1e-12
+    # tolerance reflects the fit's fixed-point log quantization
+    # (int64 millionths, for order-independent cross-engine-exact
+    # moments): inputs carry <= 0.5e-6 quantization error, so beta/k
+    # land within ~1e-5 of the exact power law, not machine epsilon
+    assert abs(r["heaps_beta"] - 0.5) < 1e-5
+    assert abs(r["heaps_k"] - 1.0) < 1e-5
+    assert abs(r["heaps_r2"] - 1.0) < 1e-9
 
 
 def test_heaps_saturated_template_corpus(spark):
