@@ -1095,3 +1095,29 @@ def test_minhash_band_table_single_signature_pass(spark):
     plan = bands._jdf.queryExecution().optimizedPlan().toString()
     n = plan.count("array_min")
     assert n == 12, f"signature re-inlined: {n} array_min evals/row"
+
+
+def test_no_engine_divergent_rounding_in_gates():
+    """Pin the round-10 parity discipline: gate outputs and rankings
+    must quantize with floor(x*10^n + 0.5) (cross-engine-stable IEEE
+    ops), never two-arg round(), whose Spark/DuckDB implementations
+    disagree on boundary values even for bit-identical inputs. The
+    engineered exceptions (seasonal_decompose's decimal-tie oracle,
+    single-arg integer cent-scaling) are whitelisted by count."""
+    import os
+    import re
+
+    qpath = os.path.join(os.path.dirname(__file__), "..",
+                         "flink_ml__spark", "plans", "queries.py")
+    src = open(qpath).read()
+    # Spark side: two-arg F.round is allowed only in the
+    # seasonal_decompose gate (2 sites) and integer cent-scaling
+    # F.round(col) single-arg (not matched here)
+    spark_sites = re.findall(r"F\.round\([^()]*(?:\([^()]*\))*[^()]*,",
+                             src)
+    assert len(spark_sites) <= 2, spark_sites
+    # SQL side: two-arg round( is allowed only in the
+    # seasonal_decompose oracle (2 sites, DECIMAL-cast tie-matching)
+    sql_sites = [m for m in re.findall(
+        r"(?<![\w.])round\([^\n]*,\s*(?:\{R\}|\d+)\)", src)]
+    assert len(sql_sites) <= 2, sql_sites[:5]
