@@ -8869,7 +8869,7 @@ def q_temperature_mix_documents(spark, sf_dir):
 ORACLE_TEMPERATURE_MIX = f"""
 WITH per AS (
   SELECT lang, count(*) AS n_docs,
-         sum(len(coalesce({_TOK_SQL}, []))) AS n_tokens
+         sum(len(coalesce({_TOK_SQL}, [])))::BIGINT AS n_tokens
   FROM documents GROUP BY lang),
 tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
 p AS (SELECT per.*, n_tokens / tot.t AS p_raw FROM per CROSS JOIN tot),
@@ -8975,7 +8975,7 @@ r AS (SELECT *, row_number() OVER (
 SELECT floor((lo + (bin + 1) * (hi - lo) / 256) * 1e6 + 0.5) / 1e6
          AS threshold,
        floor(bv * 1e6 + 0.5) / 1e6 AS between_var,
-       cn AS n_below, tn - cn AS n_above
+       cn::BIGINT AS n_below, (tn - cn)::BIGINT AS n_above
 FROM r WHERE rk = 1
 """
 
@@ -9163,8 +9163,8 @@ ORACLE_PARTITION_HEALTH = """
 WITH per AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS ds,
          count(*) AS n_rows,
-         sum((o_totalprice IS NULL)::INT) AS n0,
-         sum((o_orderpriority IS NULL)::INT) AS n1
+         sum((o_totalprice IS NULL)::INT)::BIGINT AS n0,
+         sum((o_orderpriority IS NULL)::INT)::BIGINT AS n1
   FROM orders GROUP BY 1),
 lagged AS (
   SELECT *, lag(n_rows) OVER (ORDER BY ds) AS prev_n_rows FROM per)
@@ -9508,10 +9508,10 @@ grid AS (
          sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
   FROM subj WHERE t >= 0 GROUP BY 1),
 w AS (
-  SELECT *, sum(d + c) OVER ()
-            - coalesce(sum(d + c) OVER (ORDER BY t
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS n_risk
+  SELECT *, (sum(d + c) OVER ()
+             - coalesce(sum(d + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            )::BIGINT AS n_risk
   FROM grid),
 f AS (SELECT *, (n_risk - d) / n_risk::DOUBLE AS factor FROM w),
 s AS (

@@ -2,10 +2,17 @@
 
 Runs every QUERIES entry and its DuckDB oracle side-by-side and reports
 row count / column-name / canonical value-hash matches, mimicking the
-driver's pandas-based canonicalizer (columns sorted by name, rows sorted
-by stringified values, floats rounded).
+driver's PANDAS-based canonicalizer: `spark_df.toPandas()` vs
+`con.execute(sql).df()`, columns sorted by name, rows sorted by
+stringified values, floats rounded to 6 places.
 
-Usage: python tools/check_correctness.py [sf_dir]
+The pandas path is load-bearing: DuckDB HUGEINT (uncast sum()) lands as
+float64 in `.df()` and stringifies as "123.0", while Spark bigint lands
+as int64 "123" — a mismatch the driver sees but a `fetchall()`-based
+replica (which converts HUGEINT to Python int) can never see. That
+blind spot cost rounds 9-10; do not revert to collect()/fetchall().
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 
 from flink_ml__spark.plans import ORACLES, QUERIES  # noqa: E402
 from flink_ml__spark.session import get_spark  # noqa: E402
@@ -26,22 +34,41 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _canon(rows, cols):
+def _canon_val(v):
+    """Stringify one pandas cell, keeping the int-vs-float distinction
+    the driver's canonicalizer keeps (int64 "123" vs float64 "123.0")."""
+    if v is None:
+        return "None"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        f = round(f, 6)
+        if f == 0.0:  # normalize -0.0
+            f = 0.0
+        return str(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ", ".join(_canon_val(x) for x in v) + "]"
+    try:  # pd.NaT / pd.NA
+        if v != v:
+            return "NaN"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _canon_pdf(pdf):
+    """Canonicalize a pandas DataFrame: lowercase columns sorted by
+    name, every row a tuple of canonical strings, rows sorted."""
+    cols = [str(c).lower() for c in pdf.columns]
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
-    for row in rows:
-        vals = []
-        for i in idx:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == -0.0:
-                        v = 0.0
-            vals.append(v)
-        out.append(tuple(str(x) for x in vals))
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(_canon_val(row[i]) for i in idx))
     out.sort()
     return [cols[i] for i in idx], out
 
@@ -61,22 +88,19 @@ def main() -> int:
             continue
         try:
             sdf = QUERIES[name](spark, sf_dir)
-            s_cols = [c.lower() for c in sdf.columns]
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
             if name not in ORACLES:
-                results[name] = {"rows": len(s_rows), "oracle": None}
+                results[name] = {"rows": len(s_pdf), "oracle": None}
                 continue
-            o = con.execute(ORACLES[name])
-            o_cols = [d[0].lower() for d in o.description]
-            o_rows = o.fetchall()
-            _, sv = _canon(s_rows, s_cols)
-            _, ov = _canon(o_rows, o_cols)
+            o_pdf = con.execute(ORACLES[name]).df()
+            s_cols, sv = _canon_pdf(s_pdf)
+            o_cols, ov = _canon_pdf(o_pdf)
             rec = {
-                "rows_match": len(s_rows) == len(o_rows),
-                "schema_match": sorted(s_cols) == sorted(o_cols),
+                "rows_match": len(s_pdf) == len(o_pdf),
+                "schema_match": s_cols == o_cols,
                 "hash_match": sv == ov,
-                "spark_rows": len(s_rows),
-                "oracle_rows": len(o_rows),
+                "spark_rows": len(s_pdf),
+                "oracle_rows": len(o_pdf),
             }
             if not rec["hash_match"]:
                 diff = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
