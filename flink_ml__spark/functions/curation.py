@@ -1216,8 +1216,14 @@ class PerplexityBucketer(AlgoOperator, HasRelativeError):
         if hf + tf >= 1.0 or hf <= 0 or tf <= 0:
             raise ValueError("need 0 < headFrac, tailFrac and "
                              "headFrac + tailFrac < 1")
+        # Thresholds and comparisons must use the SAME fixed-point
+        # quantizer: floor(x*1e6 + 0.5)/1e6 on both the SQL percentile
+        # input and the column expression. round() disagrees with the
+        # floor form at negative half-boundaries (mean_logprob < 0),
+        # which would shift thresholds off the bucket comparison grid.
         sc = (F.floor((F.col(self.getOrDefault(self.scoreCol))) * 1e6 + 0.5) / 1e6)
-        rounded = f"round({self.getOrDefault(self.scoreCol)}, 6)"
+        rounded = (f"floor(({self.getOrDefault(self.scoreCol)}) "
+                   f"* 1e6 + 0.5) / 1e6")
         t1, t2 = (df
                   .agg(F.expr(self._percentile_sql(rounded, 1.0 - hf)),
                        F.expr(self._percentile_sql(rounded, tf)))
@@ -2509,10 +2515,17 @@ class WeightedSampler(AlgoOperator, HasIdColMixin):
                                      F.col(idc).cast("string")))
         u = (h + 1) / F.lit(self.U_DENOM)
         key = F.log(u) / w
+        # rank on the key clamped at -9e6: floor(key*1e12) must stay
+        # inside int64 (Spark floor(double) SATURATES silently at
+        # +/-2^63 while DuckDB's ::BIGINT raises — a clamp-free key
+        # overflows once w < |ln u|/9e6 ~ 5e-6). Keys below -9e6 are
+        # the least-selectable tail; they collapse to the id tiebreak
+        # identically on both engines. The emitted sample_key column
+        # keeps the true unclamped value.
+        rank_key = F.floor(F.greatest(key, F.lit(-9e6)) * 1e12 + 0.5)
         return (df.filter(w.isNotNull() & (w > 0))
                 .withColumn("sample_key", key)
-                .orderBy(F.floor(F.col("sample_key") * 1e12 + 0.5).desc(),
-                         F.col(idc).asc())
+                .orderBy(rank_key.desc(), F.col(idc).asc())
                 .limit(self.getN()))
 
 
@@ -3048,6 +3061,15 @@ class HeapsLawProfiler(AlgoOperator, HasInputCol):
         v = int(v)
         if v < 4:
             raise ValueError(f"numPoints must be >= 4, got {v}")
+        # the fixed-point moments are exact int64: with lx <= 3.5e7
+        # (ln of a 100 TB corpus in millionths), n_points * sum(lx*lx)
+        # <= P^2 * 1.2e15, which wraps silently past 2^63 under
+        # non-ANSI Spark once P exceeds ~86 — cap at 64 to keep the
+        # documented headroom
+        if v > 64:
+            raise ValueError(
+                f"numPoints must be <= 64 (int64 headroom of the exact "
+                f"fixed-point log moments), got {v}")
         return self._set(numPoints=v)
 
     def transform(self, df: DataFrame) -> DataFrame:

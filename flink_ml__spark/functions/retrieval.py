@@ -217,7 +217,11 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
                   .groupBy(qid, idc)
                   .agg(F.sum(contrib).alias("score")))
         # fixed-point floor ranking (not round(): engine round() impls
-        # diverge at decimal boundaries — the Otsu lesson, round 10)
+        # diverge at decimal boundaries — the Otsu lesson, round 10).
+        # floor(score*1e9) stays inside int64 as long as |score| < 9.2e9;
+        # BM25 scores are bounded by |q|*(k1+1)*ln(1+N) (a few thousand
+        # for realistic queries), so no clamp is needed here — unlike
+        # WeightedSampler's 1/w-scaled keys.
         w = (Window.partitionBy(qid)
              .orderBy(F.floor(F.col("score") * 1e9 + 0.5).desc(),
                       F.col(idc).asc()))
@@ -303,6 +307,9 @@ class QueryLikelihoodRetriever(BM25Retriever):
                .withColumn("score",
                            F.col("__s") + F.col("__qlen")
                            * F.log(F.lit(mu) / (F.col("__dl") + mu))))
+        # |score| <= |q| * ln((dl+mu)/mu) — a few hundred for realistic
+        # queries, far inside the 9.2e9 int64/1e9 fixed-point bound, so
+        # the rank key cannot overflow (see BM25Retriever.retrieve).
         w = (Window.partitionBy(qid)
              .orderBy(F.floor(F.col("score") * 1e9 + 0.5).desc(),
                       F.col(idc).asc()))

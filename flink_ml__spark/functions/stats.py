@@ -990,15 +990,23 @@ class OtsuThreshold(AlgoOperator, HasInputCol):
         bv = F.when(
             (F.col("__cn") > 0) & (F.col("__cn") < F.col("__tn")),
             w0 * (1 - w0) * (mu0 - mu1) * (mu0 - mu1))
-        # rank on fixed-point int64 floor(bv*1e9 + 0.5): the cumulatives cn/cs
-        # are exact integer-valued doubles, so bv is bit-identical across
-        # engines and floor (unlike the engines' differing round() impls)
-        # cannot flip the argmax
+        # rank on fixed-point int64 floor(bv/(hi-lo)^2 * 1e9 + 0.5): the
+        # cumulatives cn/cs are exact integer-valued doubles, so bv is
+        # bit-identical across engines and floor (unlike the engines'
+        # differing round() impls) cannot flip the argmax. Normalizing by
+        # (hi-lo)^2 bounds the key: bv = w0*w1*(mu0-mu1)^2 <= 0.25*(hi-lo)^2,
+        # so the key is <= 2.5e8 at ANY input magnitude — the raw bv*1e9
+        # form overflowed int64 (Spark floor(double) saturates silently,
+        # DuckDB ::BIGINT raises) once inputs reached ~1e5. Rows reaching
+        # the rank always have hi > lo (hi == lo puts everything in bin 0,
+        # cn == tn, bv NULL, filtered).
+        rng2 = ((F.col("__hi") - F.col("__lo"))
+                * (F.col("__hi") - F.col("__lo")))
         ranked = (scored.withColumn("__bv", bv)
                   .filter(F.col("__bv").isNotNull())
                   .withColumn("__rk", F.row_number().over(
                       Window.orderBy(
-                          F.floor(F.col("__bv") * 1e9 + 0.5).desc(),
+                          F.floor(F.col("__bv") / rng2 * 1e9 + 0.5).desc(),
                           F.asc("__b")))))
         width = (F.col("__hi") - F.col("__lo")) / nb
         return (ranked.filter(F.col("__rk") == 1)

@@ -2133,7 +2133,8 @@ k AS (SELECT doc_id, n_chars,
              ln((h + 1) / 1152921504606846976.0) / n_chars AS key
       FROM t),
 r AS (SELECT *, row_number() OVER (
-        ORDER BY floor(key * 1e12 + 0.5)::BIGINT DESC, doc_id ASC) AS rn FROM k)
+        ORDER BY floor(greatest(key, -9e6) * 1e12 + 0.5)::BIGINT DESC,
+                 doc_id ASC) AS rn FROM k)
 SELECT doc_id, n_chars, floor((key) * 1e{R} + 0.5) / 1e{R} AS sample_key
 FROM r WHERE rn <= 100
 """
@@ -8970,7 +8971,8 @@ v AS (SELECT bin, lo, hi, cn, tn,
              END AS bv
       FROM c),
 r AS (SELECT *, row_number() OVER (
-          ORDER BY floor(bv * 1e9 + 0.5)::BIGINT DESC, bin ASC) AS rk
+          ORDER BY floor(bv / ((hi - lo) * (hi - lo)) * 1e9 + 0.5)::BIGINT
+                   DESC, bin ASC) AS rk
       FROM v WHERE bv IS NOT NULL)
 SELECT floor((lo + (bin + 1) * (hi - lo) / 256) * 1e6 + 0.5) / 1e6
          AS threshold,

@@ -1,15 +1,23 @@
 """Mirror of the driver's t2 correctness gate: run every QUERIES entry
-and its DuckDB oracle side-by-side, compare row count + column names +
-order-insensitive values. Runs at sf0.001 for speed (the driver uses
-sf0.01)."""
+and its DuckDB oracle side-by-side through the PANDAS-faithful
+canonicalizer (`spark_df.toPandas()` vs `con.execute(sql).df()`) and
+compare row count + column names + per-column dtype class +
+order-insensitive stringified values. Runs at sf0.001 for speed (the
+driver uses sf0.01).
 
-import math
+The pandas path doubles as the registry-wide dtype-parity lint asked
+for in VERDICT r10 #3: an uncast DuckDB integer aggregate (sum() ->
+HUGEINT -> float64 "123.0") against a Spark bigint ("123") fails here
+with an explicit cast-::BIGINT hint instead of surfacing as an opaque
+driver hash mismatch a round later."""
+
 import os
 
 import duckdb
 import pytest
 
 from flink_ml__spark.plans import ORACLES, QUERIES
+from flink_ml__spark.plans.canon import canon_pdf, dtype_class
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -25,27 +33,6 @@ def duck():
             f"'{os.path.join(SF_DIR, t + '.parquet')}'")
     yield con
     con.close()
-
-
-def _canon(rows, cols):
-    """Sort columns by name, rows by stringified values (driver-style)."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in idx:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == -0.0:
-                        v = 0.0
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return [cols[i] for i in idx], out
 
 
 def _assert_sortable_schema(name, sdf):
@@ -66,22 +53,29 @@ def _assert_sortable_schema(name, sdf):
 def test_oracle_match(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
     _assert_sortable_schema(name, sdf)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-    o = duck.execute(ORACLES[name])
-    o_cols = [d[0] for d in o.description]
-    o_rows = o.fetchall()
+    s_pdf = sdf.toPandas()
+    o_pdf = duck.execute(ORACLES[name]).df()
 
-    assert sorted(c.lower() for c in s_cols) == \
-        sorted(c.lower() for c in o_cols), f"{name}: column mismatch"
-    assert len(s_rows) == len(o_rows), (
-        f"{name}: row count {len(s_rows)} vs oracle {len(o_rows)}")
+    sc, sv = canon_pdf(s_pdf)
+    oc, ov = canon_pdf(o_pdf)
+    assert sc == oc, f"{name}: column mismatch {sc} vs {oc}"
+    assert len(sv) == len(ov), (
+        f"{name}: row count {len(sv)} vs oracle {len(ov)}")
 
-    sc, sv = _canon(s_rows, [c.lower() for c in s_cols])
-    oc, ov = _canon(o_rows, [c.lower() for c in o_cols])
-    mismatches = [
-        (a, b) for a, b in zip(sv, ov) if a != b
-    ]
+    # dtype-parity lint: int-vs-float class mismatches stringify
+    # differently under the driver's pandas canonicalizer even when
+    # the values are numerically identical.
+    s_dt = {str(c).lower(): dtype_class(t)
+            for c, t in zip(s_pdf.columns, s_pdf.dtypes)}
+    o_dt = {str(c).lower(): dtype_class(t)
+            for c, t in zip(o_pdf.columns, o_pdf.dtypes)}
+    bad = {c: (s_dt[c], o_dt[c]) for c in s_dt if s_dt[c] != o_dt[c]}
+    assert not bad, (
+        f"{name}: pandas dtype-class mismatch (spark, oracle) = {bad} — "
+        f"uncast DuckDB integer aggregates (sum/window-sum -> HUGEINT) "
+        f"land as float64; cast ::BIGINT in the oracle SQL")
+
+    mismatches = [(a, b) for a, b in zip(sv, ov) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 

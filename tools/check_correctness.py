@@ -18,59 +18,19 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
-import numpy as np  # noqa: E402
 
 from flink_ml__spark.plans import ORACLES, QUERIES  # noqa: E402
+from flink_ml__spark.plans.canon import canon_pdf as _canon_pdf  # noqa: E402
 from flink_ml__spark.session import get_spark  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-
-def _canon_val(v):
-    """Stringify one pandas cell, keeping the int-vs-float distinction
-    the driver's canonicalizer keeps (int64 "123" vs float64 "123.0")."""
-    if v is None:
-        return "None"
-    if isinstance(v, (bool, np.bool_)):
-        return str(bool(v))
-    if isinstance(v, (float, np.floating)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        f = round(f, 6)
-        if f == 0.0:  # normalize -0.0
-            f = 0.0
-        return str(f)
-    if isinstance(v, (int, np.integer)):
-        return str(int(v))
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ", ".join(_canon_val(x) for x in v) + "]"
-    try:  # pd.NaT / pd.NA
-        if v != v:
-            return "NaN"
-    except (TypeError, ValueError):
-        pass
-    return str(v)
-
-
-def _canon_pdf(pdf):
-    """Canonicalize a pandas DataFrame: lowercase columns sorted by
-    name, every row a tuple of canonical strings, rows sorted."""
-    cols = [str(c).lower() for c in pdf.columns]
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in pdf.itertuples(index=False, name=None):
-        out.append(tuple(_canon_val(row[i]) for i in idx))
-    out.sort()
-    return [cols[i] for i in idx], out
 
 
 def main() -> int:

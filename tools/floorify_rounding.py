@@ -6,14 +6,16 @@ Why: Spark's round (exact-decimal BigDecimal HALF_UP) and DuckDB's
 round (float-math) diverge on boundary values even for bit-identical
 inputs — the class behind the round-9 hash mismatches
 (partition_health_orders, temperature_mix_documents).
-floor(x * 10^n) / 10^n is IEEE-exact arithmetic on both engines, so
+floor(x * 10^n + 0.5) / 10^n is IEEE-exact arithmetic on both engines
+(the + 0.5 is load-bearing: bare floor truncates and flips on
+exact-decimal boundary noise — see the _fq docstring in queries.py), so
 bit-identical inputs can never diverge, and ulp-close inputs carry the
 same (tiny) boundary risk they always had.
 
 Transformations (queries.py only; operator-internal rounding is
 converted by hand where the oracle check flags a pairing):
-  SQL   round(EXPR, {R})  ->  floor((EXPR) * 1e{R}) / 1e{R}
-  SQL   round(EXPR, N)    ->  floor((EXPR) * 1eN) / 1eN
+  SQL   round(EXPR, {R})  ->  floor((EXPR) * 1e{R} + 0.5) / 1e{R}
+  SQL   round(EXPR, N)    ->  floor((EXPR) * 1eN + 0.5) / 1eN
   Spark F.round(EXPR, R)  ->  _fq(EXPR)
   Spark F.round(EXPR, N)  ->  _fq(EXPR, N)
 
@@ -32,15 +34,15 @@ QPATH = os.path.join(os.path.dirname(os.path.dirname(
 HELPER = '''
 
 def _fq(c, nd=R):
-    """Cross-engine-stable fixed-point quantizer: floor(x*10^nd)/10^nd.
-    The SQL twin is floor((x) * 1e{nd}) / 1e{nd}. Unlike round(),
+    """Cross-engine-stable fixed-point quantizer: floor(x*10^nd + 0.5)/10^nd.
+    The SQL twin is floor((x) * 1e{nd} + 0.5) / 1e{nd}. Unlike round(),
     whose implementations (BigDecimal HALF_UP vs float-math) diverge
     on boundary values even for bit-identical inputs, every operation
     here is IEEE-exact, so identical inputs quantize identically in
     any engine."""
     c = F.col(c) if isinstance(c, str) else c
     s = float(10 ** nd)
-    return F.floor(c * s) / s
+    return F.floor(c * s + 0.5) / s
 '''
 
 
@@ -117,7 +119,7 @@ def main() -> int:
             continue
         out.append(src[i:j])
         p = "{R}" if nd == "{R}" else nd
-        out.append(f"floor(({arg}) * 1e{p}) / 1e{p}")
+        out.append(f"floor(({arg}) * 1e{p} + 0.5) / 1e{p}")
         n_sql += 1
         i = end
     src = "".join(out)
