@@ -11566,54 +11566,7 @@ QUERIES = {
     "otsu_threshold_documents": q_otsu_threshold_documents,
     "partition_health_orders": q_partition_health_orders,
     "temperature_mix_documents": q_temperature_mix_documents,
-    "welch_ttest_events": q_welch_ttest_events,
-    "theilsen_events": q_theilsen_events,
-    "mann_kendall_events": q_mann_kendall_events,
-    "assortativity_events": q_assortativity_events,
-    "compaction_plan_documents": q_compaction_plan_documents,
     "kaplan_meier_events": q_kaplan_meier_events,
-    "bootstrap_ci_events": q_bootstrap_ci_events,
-    "overlap_invariants_events": q_overlap_invariants_events,
-    "conformal_events": q_conformal_events,
-    "welch_window_events": q_welch_window_events,
-    "cuped_events": q_cuped_events,
-    "session_paths_events": q_session_paths_events,
-    "did_events": q_did_events,
-    "covariate_balance_events": q_covariate_balance_events,
-    "rbo_events": q_rbo_events,
-    "heaps_documents": q_heaps_documents,
-    "fdr_events": q_fdr_events,
-    "forecast_accuracy_events": q_forecast_accuracy_events,
-    "logrank_events": q_logrank_events,
-    "weibull_events": q_weibull_events,
-    "srm_window_events": q_srm_window_events,
-    "mde_events": q_mde_events,
-    "truncation_audit_embeddings": q_truncation_audit_embeddings,
-    "anisotropy_embeddings": q_anisotropy_embeddings,
-    "kn_bigram_documents": q_kn_bigram_documents,
-    "conversion_lag_events": q_conversion_lag_events,
-    "merge_stats_orders": q_merge_stats_orders,
-    "fk_check_orders": q_fk_check_orders,
-    "rouge_documents": q_rouge_documents,
-    "audio_silence_documents": q_audio_silence_documents,
-    "qini_events": q_qini_events,
-    "ratio_metric_events": q_ratio_metric_events,
-    "ratio_window_events": q_ratio_window_events,
-    "rank_gauss_lineitem": q_rank_gauss_lineitem,
-    "k_anonymity_events": q_k_anonymity_events,
-    "lorenz_events": q_lorenz_events,
-    "qq_events": q_qq_events,
-    "eb_rates_events": q_eb_rates_events,
-    "ltv_events": q_ltv_events,
-    "holm_events": q_holm_events,
-    "ess_documents": q_ess_documents,
-    "chao1_documents": q_chao1_documents,
-    "source_diversity_documents": q_source_diversity_documents,
-    "semdedup_embeddings": q_semdedup_embeddings,
-    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
-    "canopy_customer": q_canopy_customer,
-    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
-    # --- outside the window this round
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11660,6 +11613,7 @@ QUERIES = {
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "minhash_recall_documents": q_minhash_recall_documents,
     "ann_ivf_topk": q_ann_ivf_topk,
+    # --- outside the window this round
     "online_topsis_model_events": q_online_topsis_model_events,
     "online_topsis_predict_events": q_online_topsis_predict_events,
     "auto_features_orders": q_auto_features_orders,
@@ -11822,6 +11776,52 @@ QUERIES = {
     "temporal_split_events": q_temporal_split_events,
     "correlation_rank_lineitem": q_correlation_rank_lineitem,
     "hashed_tfidf_documents": q_hashed_tfidf_documents,
+    "welch_ttest_events": q_welch_ttest_events,
+    "theilsen_events": q_theilsen_events,
+    "mann_kendall_events": q_mann_kendall_events,
+    "assortativity_events": q_assortativity_events,
+    "compaction_plan_documents": q_compaction_plan_documents,
+    "bootstrap_ci_events": q_bootstrap_ci_events,
+    "overlap_invariants_events": q_overlap_invariants_events,
+    "conformal_events": q_conformal_events,
+    "welch_window_events": q_welch_window_events,
+    "cuped_events": q_cuped_events,
+    "session_paths_events": q_session_paths_events,
+    "did_events": q_did_events,
+    "covariate_balance_events": q_covariate_balance_events,
+    "rbo_events": q_rbo_events,
+    "heaps_documents": q_heaps_documents,
+    "fdr_events": q_fdr_events,
+    "forecast_accuracy_events": q_forecast_accuracy_events,
+    "logrank_events": q_logrank_events,
+    "weibull_events": q_weibull_events,
+    "srm_window_events": q_srm_window_events,
+    "mde_events": q_mde_events,
+    "truncation_audit_embeddings": q_truncation_audit_embeddings,
+    "anisotropy_embeddings": q_anisotropy_embeddings,
+    "kn_bigram_documents": q_kn_bigram_documents,
+    "conversion_lag_events": q_conversion_lag_events,
+    "merge_stats_orders": q_merge_stats_orders,
+    "fk_check_orders": q_fk_check_orders,
+    "rouge_documents": q_rouge_documents,
+    "audio_silence_documents": q_audio_silence_documents,
+    "qini_events": q_qini_events,
+    "ratio_metric_events": q_ratio_metric_events,
+    "ratio_window_events": q_ratio_window_events,
+    "rank_gauss_lineitem": q_rank_gauss_lineitem,
+    "k_anonymity_events": q_k_anonymity_events,
+    "lorenz_events": q_lorenz_events,
+    "qq_events": q_qq_events,
+    "eb_rates_events": q_eb_rates_events,
+    "ltv_events": q_ltv_events,
+    "holm_events": q_holm_events,
+    "ess_documents": q_ess_documents,
+    "chao1_documents": q_chao1_documents,
+    "source_diversity_documents": q_source_diversity_documents,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
+    "canopy_customer": q_canopy_customer,
+    "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
 }
 
 ORACLES = {
