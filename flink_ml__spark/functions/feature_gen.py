@@ -1212,33 +1212,56 @@ class RankGaussTransformer(AlgoOperator, HasInputCol, HasOutputCol):
     ranks through the inverse normal CDF. Heavy tails, spikes and
     arbitrary monotone distortions all land on N(0,1).
 
-    ``fit`` computes the ``numBuckets``−1 interior EXACT quantile
-    edges (rounded to 6 dp — the engine's cross-engine tie pin) in
-    ONE array-percentile aggregation (k−1 separate percentile
-    expressions would each buffer the full column — measured 50 s vs
-    5 s at sf0.1); the exact aggregate still gathers the column on
-    one reducer, so at true 100 TB scale swap the fit to
-    ``approx_percentile`` — apply is unchanged; bucket i maps to ``z = Φ⁻¹((i+0.5)/numBuckets)``
-    (Acklam inverse normal, |rel err| < 1.2e-9). Apply folds both
-    tables as literals: a codegen projection, no join, no shuffle,
-    stream-safe — the same fitted-apply contract as the scaler
-    family. Ties in the data share a bucket (identical values always
-    produce identical scores — the honest rank semantics).
+    ``fit`` computes the ``numBuckets``−1 interior quantile edges
+    (rounded to 6 dp — the engine's cross-engine tie pin) in ONE
+    array-percentile aggregation (k−1 separate percentile expressions
+    would each buffer the full column — measured 50 s vs 5 s at
+    sf0.1); bucket i maps to ``z = Φ⁻¹((i+0.5)/numBuckets)`` (Acklam
+    inverse normal, |rel err| < 1.2e-9). Apply folds both tables as
+    literals: a codegen projection, no join, no shuffle, stream-safe
+    — the same fitted-apply contract as the scaler family. Ties in
+    the data share a bucket (identical values always produce
+    identical scores — the honest rank semantics).
+
+    ``exactEdges`` picks the fit's scale path: ``True`` (default, and
+    what the oracle gate pins) uses exact ``percentile``, which
+    gathers the column on one reducer — fine to ~1 executor's memory
+    of values; ``False`` uses ``approx_percentile`` (Greenwald-Khanna,
+    ``relativeError``), a bounded-memory mergeable sketch that is the
+    right fit at true 100 TB. Apply is identical either way.
     """
 
     numBuckets = Param(Params._dummy(), "numBuckets",
                        "rank resolution", TypeConverters.toInt)
+    exactEdges = Param(Params._dummy(), "exactEdges",
+                       "exact percentile edges (True) or bounded-memory "
+                       "approx_percentile sketch (False)",
+                       TypeConverters.toBoolean)
+    relativeError = Param(Params._dummy(), "relativeError",
+                          "approx_percentile accuracy when "
+                          "exactEdges=False (1/accuracy)",
+                          TypeConverters.toFloat)
 
     def __init__(self):
         super().__init__()
         self._setDefault(inputCol="value", outputCol="value_gauss",
-                         numBuckets=64)
+                         numBuckets=64, exactEdges=True,
+                         relativeError=1e-4)
 
     def setNumBuckets(self, v):
         v = int(v)
         if v < 2:
             raise ValueError(f"numBuckets must be >= 2, got {v}")
         return self._set(numBuckets=v)
+
+    def setExactEdges(self, v):
+        return self._set(exactEdges=bool(v))
+
+    def setRelativeError(self, v):
+        v = float(v)
+        if not 0 < v < 1:
+            raise ValueError(f"relativeError must be in (0, 1), got {v}")
+        return self._set(relativeError=v)
 
     def fit(self, df: DataFrame) -> RankGaussModel:
         from flink_ml__spark.functions.stats import _norm_ppf
@@ -1250,8 +1273,13 @@ class RankGaussTransformer(AlgoOperator, HasInputCol, HasOutputCol):
         # k−1 separate percentile expressions would each buffer the
         # full column (measured 50 s vs 2 s at sf0.1, k=32)
         probs = F.array(*[F.lit(i / k) for i in range(1, k)])
+        if self.getOrDefault(self.exactEdges):
+            pct = F.percentile(x, probs)
+        else:
+            acc = int(round(1.0 / self.getOrDefault(self.relativeError)))
+            pct = F.approx_percentile(x, probs, F.lit(acc))
         row = base.agg(
-            F.transform(F.percentile(x, probs),
+            F.transform(pct,
                         lambda e: (F.floor((e) * 1e6 + 0.5) / 1e6)).alias("es")).first()
         edges = list(row["es"] or [])
         if not edges:

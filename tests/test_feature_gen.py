@@ -381,6 +381,37 @@ def test_rank_gauss_normalizes_and_is_monotone(spark):
         RankGaussTransformer().setNumBuckets(1)
 
 
+def test_rank_gauss_approx_edges_scale_path(spark):
+    """exactEdges=False fits via the bounded-memory approx_percentile
+    sketch (the 100 TB path). Unlike exact percentile it returns
+    actual data values (no interpolation), so edges differ from the
+    exact fit's — pin the sketch path's own contract: k-1 sorted
+    edges drawn from the data, identical z table, and a transform
+    that is still monotone with ties sharing a bucket. The exact path
+    stays the default (it's what the oracle gate pins)."""
+    import pytest as _pt
+    from flink_ml__spark.functions.feature_gen import RankGaussTransformer
+
+    data = [(i, float(2 ** (i % 16))) for i in range(256)]
+    df = spark.createDataFrame(data, "id long, value double")
+    exact = RankGaussTransformer().setNumBuckets(16).fit(df)
+    approx = (RankGaussTransformer().setNumBuckets(16)
+              .setExactEdges(False).fit(df))
+    assert approx.z_scores == exact.z_scores
+    assert len(approx.edges) == 15
+    assert approx.edges == sorted(approx.edges)
+    vals = {v for _, v in data}
+    assert all(e in vals for e in approx.edges)
+    by_val = {}
+    for r in approx.transform(df).collect():
+        by_val.setdefault(r["value"], set()).add(r["value_gauss"])
+    assert all(len(s) == 1 for s in by_val.values())
+    zs = [next(iter(by_val[v])) for v in sorted(by_val)]
+    assert zs == sorted(zs)
+    with _pt.raises(ValueError, match="relativeError"):
+        RankGaussTransformer().setRelativeError(0.0)
+
+
 def test_rank_gauss_save_load_roundtrip(spark, tmp_path):
     from flink_ml__spark.functions.feature_gen import (
         RankGaussModel,
