@@ -1121,3 +1121,65 @@ def test_no_engine_divergent_rounding_in_gates():
     sql_sites = [m for m in re.findall(
         r"(?<![\w.])round\([^\n]*,\s*(?:\{R\}|\d+)\)", src)]
     assert len(sql_sites) <= 2, sql_sites[:5]
+
+
+def test_no_uncast_sum_outputs_in_oracles():
+    """Static complement to test_oracles.py's runtime dtype lint: an
+    oracle output item that IS a bare `sum(...) [OVER (...)] AS x`
+    widens to HUGEINT in DuckDB and lands as pandas float64 "123.0"
+    against Spark's bigint "123" (the r09/r10 hash-fail class) —
+    cast it ::BIGINT (integer sums) or ::DOUBLE (explicit float).
+    Only direct final-SELECT items are statically checkable; sums
+    that flow out through CTE aliases (3 of the 4 real r10 bugs) are
+    caught by the runtime per-column dtype-class check instead."""
+    import re
+
+    from flink_ml__spark.plans import ORACLES
+
+    def final_select_items(sql):
+        depth, last_sel = 0, -1
+        for m in re.finditer(r"(?i)\bSELECT\b|\(|\)", sql):
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                last_sel = m.end()
+        seg = sql[last_sel:]
+        depth, end = 0, len(seg)
+        for m in re.finditer(r"(?i)\bFROM\b|\(|\)", seg):
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                end = m.start()
+                break
+        items, depth, cur = [], 0, []
+        for ch in seg[:end]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            items.append("".join(cur))
+        return [i.strip() for i in items if i.strip()]
+
+    bare = re.compile(
+        r"(?is)^sum\(.*\)\s*(?:OVER\s*\(.*\)\s*)?AS\s+\w+$")
+    floaty = re.compile(r"(?i)::DOUBLE|::BIGINT|::INT|/|\^"
+                        r"|floor\(|avg\(|ln\(|exp\(|sqrt\(")
+    bad = []
+    for name, sql in ORACLES.items():
+        for it in final_select_items(sql):
+            if bare.match(it) and not floaty.search(it):
+                bad.append((name, " ".join(it.split())[:90]))
+    assert not bad, (
+        f"uncast sum() oracle outputs (cast ::BIGINT or ::DOUBLE): {bad}")
