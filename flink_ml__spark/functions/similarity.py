@@ -1659,3 +1659,105 @@ class AnisotropyAuditor(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class KCenterCoreset(AlgoOperator, _SimilarityParams):
+    """Greedy k-center coreset selection (Gonzalez, "Clustering to
+    minimize the maximum intercluster distance", TCS 1985) — the
+    classic diversity-maximizing data-selection pass for training
+    sets: pick the point farthest from everything picked so far,
+    ``numCenters`` times. The selected rows 2-approximate the optimal
+    k-center cover, so they are the canonical "spread" complement to
+    density-seeking selectors (:class:`SemDeDup` removes redundancy,
+    :class:`~flink_ml__spark.functions.curation.PrototypicalityScorer`
+    finds the mode; this finds the hull).
+
+    Output: one row per selected center —
+    ``step`` (1-based selection order), the id column, and ``dist2``
+    (squared euclidean distance to the previously-selected set at
+    selection time; 0.0 for the step-1 seed). The max emitted
+    ``dist2`` is the coverage radius² of the k−1 preceding centers.
+
+    Determinism / cross-engine parity: the seed is the smallest id;
+    each round's farthest-point argmax ranks on the FIXED-POINT int64
+    state ``floor(d²·1e6 + 0.5)`` with smaller-id tiebreak, and the
+    running min-distance state itself is carried as that int64 — so
+    state never accumulates float noise and the greedy trajectory
+    replays bit-identically in the DuckDB oracle (a per-pair ulp
+    boundary flip remains the same tiny risk every fixed-point
+    ranking gate carries, but it cannot compound across iterations).
+    Magnitude bound: d²·1e6 must stay inside int64 → embedding norms
+    up to ~3e6, far beyond any real embedding scale.
+
+    100 TB design: one driver loop of ``numCenters`` iterations; each
+    iteration is a map-side projection (the new center folded in as a
+    literal array — no join, no shuffle) plus one
+    ``TakeOrderedAndProject`` row fetch, over a persisted O(rows)
+    (id, vector, int64) state; the previous state unpersists each
+    round. Driver memory is O(k·dim). Same iterate-with-broadcast
+    shape as FCM. k is a selection budget (10²-10⁴), never O(rows).
+    """
+
+    numCenters = Param(Params._dummy(), "numCenters",
+                       "centers to select", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(numCenters=8)
+
+    def getNumCenters(self):
+        return self.getOrDefault(self.numCenters)
+
+    def setNumCenters(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"numCenters must be >= 1, got {v}")
+        return self._set(numCenters=v)
+
+    @staticmethod
+    def _d2_fp(center):
+        """Fixed-point int64 squared distance to a literal center."""
+        c = F.array(*[F.lit(float(x)) for x in center])
+        d2 = F.aggregate(
+            F.zip_with(F.col("__v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.floor(d2 * 1e6 + 0.5).cast("long")
+
+    def select_centers(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        k = self.getNumCenters()
+        spark = df.sparkSession
+        id_type = df.schema[idc].dataType.simpleString()
+
+        arr = as_double_array(df, self.getEmbeddingCol())
+        state = df.select(F.col(idc).alias("__id"), arr.alias("__v"))
+        seed = state.orderBy(F.asc("__id")).first()
+        if seed is None:
+            raise ValueError("no rows to select centers from")
+        chosen = [(1, seed["__id"], 0)]
+        center = list(seed["__v"])
+
+        cur = state.withColumn("__mind", self._d2_fp(center)).persist()
+        for step in range(2, k + 1):
+            top = cur.orderBy(F.desc("__mind"), F.asc("__id")).first()
+            if top is None or top["__mind"] <= 0:
+                break  # every remaining point duplicates a center
+            chosen.append((step, top["__id"], top["__mind"]))
+            center = list(top["__v"])
+            nxt = (cur.withColumn(
+                "__mind", F.least("__mind", self._d2_fp(center)))
+                .persist())
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+        cur.unpersist()
+
+        out = spark.createDataFrame(
+            [(s, i, fp) for s, i, fp in chosen],
+            f"step int, __id {id_type}, __fp long")
+        return out.select(
+            "step", F.col("__id").alias(idc),
+            (F.col("__fp") / 1e6).alias("dist2"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.select_centers(df)

@@ -11559,6 +11559,59 @@ FROM tot
 """
 
 
+_KCENTER_K = 8
+
+
+def q_kcenter_coreset_embeddings(spark, sf_dir):
+    """KCenterCoreset gate: greedy Gonzalez farthest-point selection of
+    8 centers over the embeddings table. The smallest-id seed, the
+    fixed-point int64 min-distance state and every per-step argmax
+    (mind DESC, id ASC) replay exactly in the oracle's unrolled
+    k-step CTE chain — the int64 state is what keeps the greedy
+    trajectory from compounding float noise across iterations."""
+    from flink_ml__spark.functions.similarity import KCenterCoreset
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (KCenterCoreset().setNumCenters(_KCENTER_K)
+            .select_centers(emb))
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled greedy k-center replay: s{t} picks the argmax of the
+    int64 fixed-point min-distance state, d{t} folds the new center
+    into the state with least() — same integer state as the Spark
+    operator, so the trajectories are bit-identical."""
+    def d2(a, b):
+        return (f"floor(list_aggregate(list_transform("
+                f"range(1, len({a})+1), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum') "
+                f"* 1e6 + 0.5)::BIGINT")
+
+    parts = [
+        "WITH base AS (SELECT vec_id, "
+        "list_transform(embedding, v -> v::DOUBLE) AS emb "
+        "FROM embeddings)",
+        "s1 AS (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT b.vec_id, b.emb, {d2('b.emb', 's1.emb')} "
+        f"AS mind FROM base b CROSS JOIN s1)"]
+    for t in range(2, k + 1):
+        parts.append(
+            f"s{t} AS (SELECT vec_id, emb, mind FROM d{t - 1} "
+            f"ORDER BY mind DESC, vec_id ASC LIMIT 1)")
+        if t < k:
+            parts.append(
+                f"d{t} AS (SELECT d.vec_id, d.emb, "
+                f"least(d.mind, {d2('d.emb', f's{t}.emb')}) AS mind "
+                f"FROM d{t - 1} d CROSS JOIN s{t})")
+    sel = ["SELECT 1 AS step, vec_id, 0.0 AS dist2 FROM s1"]
+    for t in range(2, k + 1):
+        sel.append(f"SELECT {t}, vec_id, mind / 1e6 FROM s{t}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+ORACLE_KCENTER_CORESET = _kcenter_oracle_sql(_KCENTER_K)
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11567,6 +11620,7 @@ QUERIES = {
     "partition_health_orders": q_partition_health_orders,
     "temperature_mix_documents": q_temperature_mix_documents,
     "kaplan_meier_events": q_kaplan_meier_events,
+    "kcenter_coreset_embeddings": q_kcenter_coreset_embeddings,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11612,8 +11666,8 @@ QUERIES = {
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "minhash_recall_documents": q_minhash_recall_documents,
-    "ann_ivf_topk": q_ann_ivf_topk,
     # --- outside the window this round
+    "ann_ivf_topk": q_ann_ivf_topk,
     "online_topsis_model_events": q_online_topsis_model_events,
     "online_topsis_predict_events": q_online_topsis_predict_events,
     "auto_features_orders": q_auto_features_orders,
@@ -12096,4 +12150,5 @@ ORACLES = {
     "ess_documents": ORACLE_ESS,
     "chao1_documents": ORACLE_CHAO1,
     "source_diversity_documents": ORACLE_SOURCE_DIVERSITY,
+    "kcenter_coreset_embeddings": ORACLE_KCENTER_CORESET,
 }

@@ -667,3 +667,67 @@ def test_anisotropy_golden(spark):
     assert abs(r["mean_pair_cosine"] - 1 / 3) < 1e-9
     assert r["n_vecs"] == 4 and r["dim"] == 2
     assert abs(r["centroid_norm"] - (8 ** 0.5) / 4) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# KCenterCoreset
+# ---------------------------------------------------------------------------
+
+def test_kcenter_greedy_trajectory_golden(spark):
+    """Hand-checkable 1-D greedy: points at 0, 1, 10, 4. Seed = min id
+    (point 0.0); farthest is 10 (d²=100); then 4 (min-dist² to {0,10}
+    = 16); then 1 (min-dist² to {0,10,4} = 1)."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.similarity import KCenterCoreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [4.0])],
+        "vec_id long, embedding array<double>")
+    out = (KCenterCoreset().setNumCenters(4).select_centers(df)
+           .orderBy("step").collect())
+    assert [(r["step"], r["vec_id"], r["dist2"]) for r in out] == [
+        (1, 1, 0.0), (2, 3, 100.0), (3, 4, 16.0), (4, 2, 1.0)]
+    with _pt.raises(ValueError, match="numCenters"):
+        KCenterCoreset().setNumCenters(0)
+    with _pt.raises(ValueError, match="no rows"):
+        KCenterCoreset().select_centers(df.filter("vec_id < 0"))
+
+
+def test_kcenter_stops_early_on_duplicates(spark):
+    """Once every remaining point duplicates a selected center the
+    argmax state is 0 and selection stops — no degenerate centers."""
+    from flink_ml__spark.functions.similarity import KCenterCoreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0]),
+         (4, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    out = (KCenterCoreset().setNumCenters(4).select_centers(df)
+           .orderBy("step").collect())
+    assert [(r["step"], r["vec_id"], r["dist2"]) for r in out] == [
+        (1, 1, 0.0), (2, 3, 25.0)]
+
+
+def test_kcenter_dist2_monotone_and_matches_bruteforce(spark):
+    """Greedy k-center's selection distances are nonincreasing, and
+    every emitted dist2 equals the brute-force min squared distance
+    from that center to the ones selected before it."""
+    from flink_ml__spark.functions.similarity import KCenterCoreset
+
+    rows = [(i, [float((i * 37) % 11), float((i * 53) % 7)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out = (KCenterCoreset().setNumCenters(6).select_centers(df)
+           .orderBy("step").collect())
+    vec = dict(rows)
+    d2s = [r["dist2"] for r in out[1:]]
+    assert d2s == sorted(d2s, reverse=True)
+    for t, r in enumerate(out):
+        if t == 0:
+            continue
+        prev = [vec[p["vec_id"]] for p in out[:t]]
+        v = vec[r["vec_id"]]
+        bf = min(sum((a - b) ** 2 for a, b in zip(v, c)) for c in prev)
+        assert abs(r["dist2"] - bf) < 1e-6
