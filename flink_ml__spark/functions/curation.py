@@ -3441,3 +3441,88 @@ class MixtureDiversityProfiler(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.evaluate(df)
+
+
+class PaddingWasteProfiler(AlgoOperator):
+    """Length-bucketed padding-waste audit for batch building: sort
+    documents into ``numBuckets`` token-length bands (quantile
+    boundaries) and report, per band, how much compute padding to the
+    band maximum would waste — the readout that sizes dynamic-batching
+    buckets for training and decides whether length-sorting is worth
+    it (total waste at k=1 is the unsorted baseline).
+
+    Output: one row per non-empty bucket —
+    ``bucket`` (1..k), ``n_docs``, ``min_len``/``max_len``,
+    ``sum_tokens``, and ``padding_frac`` = (n·max − Σlen)/(n·max)
+    (0.0 for an all-empty band).
+
+    100 TB shape: boundary fit is ONE array-percentile aggregation
+    (exact by default — the oracle pins it; ``setExactEdges(False)``
+    swaps in the mergeable bounded-memory ``approx_percentile`` sketch,
+    same contract as ``RankGaussTransformer``), then assignment is a
+    map-side comparison chain folded into the scan and the profile is
+    one k-key hash aggregation — no sort, no window, no per-row state.
+    Boundaries are fixed-point-quantized (floor 1e6) so bucket
+    assignment replays bit-identically cross-engine on integer counts.
+    """
+
+    tokenCol = Param(Params._dummy(), "tokenCol",
+                     "token count column", TypeConverters.toString)
+    numBuckets = Param(Params._dummy(), "numBuckets",
+                       "length bands", TypeConverters.toInt)
+    exactEdges = Param(Params._dummy(), "exactEdges",
+                       "exact percentile boundaries (True) or "
+                       "approx_percentile sketch (False)",
+                       TypeConverters.toBoolean)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(tokenCol="n_tokens", numBuckets=8,
+                         exactEdges=True)
+
+    def setTokenCol(self, v):
+        return self._set(tokenCol=v)
+
+    def setNumBuckets(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"numBuckets must be >= 1, got {v}")
+        return self._set(numBuckets=v)
+
+    def setExactEdges(self, v):
+        return self._set(exactEdges=bool(v))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        k = self.getOrDefault(self.numBuckets)
+        nt = F.col(self.getOrDefault(self.tokenCol)).cast("double")
+        base = df.filter(nt.isNotNull()).select(nt.alias("__nt"))
+        if k > 1:
+            probs = F.array(*[F.lit(i / k) for i in range(1, k)])
+            if self.getOrDefault(self.exactEdges):
+                pct = F.percentile(F.col("__nt"), probs)
+            else:
+                pct = F.approx_percentile(F.col("__nt"), probs,
+                                          F.lit(10000))
+            row = base.agg(F.transform(
+                pct, lambda e: F.floor(e * 1e6 + 0.5) / 1e6)
+                .alias("bs")).first()
+            bs = list(row["bs"] or [])
+        else:
+            bs = []
+            if base.first() is None:
+                raise ValueError("no non-null token counts to profile")
+        if k > 1 and not bs:
+            raise ValueError("no non-null token counts to profile")
+        bucket = sum(((F.col("__nt") > F.lit(b)).cast("int")
+                      for b in bs), F.lit(1))
+        per = (base.withColumn("__b", bucket).groupBy("__b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__nt").cast("long").alias("min_len"),
+            F.max("__nt").cast("long").alias("max_len"),
+            F.sum("__nt").cast("long").alias("sum_tokens")))
+        cap = F.col("n_docs").cast("double") * F.col("max_len")
+        waste = F.when(F.col("max_len") > 0,
+                       (cap - F.col("sum_tokens")) / cap).otherwise(0.0)
+        return per.select(F.col("__b").alias("bucket"), "n_docs",
+                          "min_len", "max_len", "sum_tokens",
+                          waste.alias("padding_frac"))

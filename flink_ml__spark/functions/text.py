@@ -1380,3 +1380,65 @@ class NgramOverlapScorer(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError("use score_pairs(pairs, docs)")
+
+
+class TokenizerFertilityProfiler(AlgoOperator, HasInputCol):
+    """Per-group tokenizer fertility audit — the standard check for
+    tokenizer bias across languages/domains: a group whose fertility
+    (sub-word tokens per whitespace word) runs far above the corpus
+    mean pays proportionally more context budget per sentence, which
+    skews both the effective mixture and per-language training cost.
+    Uses the engine's BPE-ish regex pre-tokenizer
+    (:class:`TokenCounter`'s ``BPE_PATTERN``) as the token model.
+
+    Output: one row per group —
+    ``n_docs``, ``n_words`` (whitespace), ``n_tokens`` (BPE-ish),
+    ``n_chars``, ``fertility`` = tokens/word,
+    ``chars_per_token``, and ``rel_fertility`` = group fertility over
+    corpus fertility (1.0 = no bias; NULL when a ratio's denominator
+    is 0).
+
+    100 TB shape: the counts fold into the scan projection (regexp
+    size counting, codegen, no UDF), then ONE hash aggregation on the
+    group key + a 1-row corpus total broadcast back — same two-level
+    aggregate shape as TemperatureMixer.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol", "group column",
+                     TypeConverters.toString)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", groupCol="lang")
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        g = self.getOrDefault(self.groupCol)
+        text = F.col(self.getInputCol())
+        words = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(F.split(text, r"\s+"), lambda t: t != "")))
+        toks = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.regexp_extract_all(
+                text, F.lit(TokenCounter.BPE_PATTERN), 0)))
+        chars = F.length(F.coalesce(text, F.lit("")))
+        per = (df.groupBy(g).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(words).cast("long").alias("n_words"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+            F.sum(chars).cast("long").alias("n_chars")))
+        tot = per.agg(F.sum("n_words").alias("__tw"),
+                      F.sum("n_tokens").alias("__tt"))
+        fert = F.when(F.col("n_words") > 0,
+                      F.col("n_tokens") / F.col("n_words").cast("double"))
+        cfert = F.when(F.col("__tw") > 0,
+                       F.col("__tt") / F.col("__tw").cast("double"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select(g, "n_docs", "n_words", "n_tokens", "n_chars",
+                        fert.alias("fertility"),
+                        F.when(F.col("n_tokens") > 0,
+                               F.col("n_chars")
+                               / F.col("n_tokens").cast("double"))
+                        .alias("chars_per_token"),
+                        (fert / cfert).alias("rel_fertility")))

@@ -11612,6 +11612,95 @@ def _kcenter_oracle_sql(k: int) -> str:
 ORACLE_KCENTER_CORESET = _kcenter_oracle_sql(_KCENTER_K)
 
 
+_PAD_K = 8
+_WS_COUNT_SQL = ("coalesce(len(list_filter(string_split_regex(text, "
+                 "'\\s+'), x -> x <> '')), 0)")
+
+
+def q_padding_waste_documents(spark, sf_dir):
+    """PaddingWasteProfiler gate: whitespace token counts into 8
+    quantile length bands; the exact percentile boundaries (floor-1e6
+    quantized), the comparison-chain bucket assignment and the
+    per-band padding math all replay in SQL."""
+    from flink_ml__spark.functions.curation import PaddingWasteProfiler
+    from flink_ml__spark.functions.text import TokenCounter
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = TokenCounter().transform(docs)
+    out = (PaddingWasteProfiler().setTokenCol("n_tokens")
+           .setNumBuckets(_PAD_K).transform(counted))
+    return out.select("bucket", "n_docs", "min_len", "max_len",
+                      "sum_tokens", _fq("padding_frac")
+                      .alias("padding_frac"))
+
+
+def _padding_waste_oracle_sql(k: int) -> str:
+    probs = ", ".join(str(i / k) for i in range(1, k))
+    chain = " + ".join(f"(nt > bs[{i}])::INT" for i in range(1, k))
+    return f"""
+WITH t AS (SELECT {_WS_COUNT_SQL}::DOUBLE AS nt FROM documents),
+b AS (SELECT list_transform(quantile_cont(nt, [{probs}]),
+                            q -> floor(q * 1e6 + 0.5) / 1e6) AS bs
+      FROM t),
+assigned AS (SELECT nt, 1 + {chain} AS bucket FROM t CROSS JOIN b),
+per AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+               min(nt)::BIGINT AS min_len, max(nt)::BIGINT AS max_len,
+               sum(nt)::BIGINT AS sum_tokens
+        FROM assigned GROUP BY 1)
+SELECT bucket, n_docs, min_len, max_len, sum_tokens,
+       floor((CASE WHEN max_len > 0
+              THEN (n_docs::DOUBLE * max_len - sum_tokens)
+                   / (n_docs::DOUBLE * max_len) ELSE 0.0 END)
+             * 1e{R} + 0.5) / 1e{R} AS padding_frac
+FROM per
+"""
+
+
+ORACLE_PADDING_WASTE = _padding_waste_oracle_sql(_PAD_K)
+
+
+def q_tokenizer_fertility_documents(spark, sf_dir):
+    """TokenizerFertilityProfiler gate: per-lang whitespace words vs
+    BPE-ish regex tokens vs chars, plus the corpus-relative fertility
+    ratio — two aggregation levels, both replayed in SQL."""
+    from flink_ml__spark.functions.text import TokenizerFertilityProfiler
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = TokenizerFertilityProfiler().setGroupCol("lang").transform(docs)
+    return out.select("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+                      _fq("fertility").alias("fertility"),
+                      _fq("chars_per_token").alias("chars_per_token"),
+                      _fq("rel_fertility").alias("rel_fertility"))
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH t AS (
+  SELECT lang,
+         {_WS_COUNT_SQL} AS w,
+         coalesce(len(regexp_extract_all(
+             text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')), 0) AS tk,
+         len(coalesce(text, '')) AS ch
+  FROM documents),
+per AS (SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(w)::BIGINT AS n_words, sum(tk)::BIGINT AS n_tokens,
+               sum(ch)::BIGINT AS n_chars
+        FROM t GROUP BY 1),
+tot AS (SELECT sum(n_words) AS tw, sum(n_tokens) AS tt FROM per)
+SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       floor((CASE WHEN n_words > 0
+              THEN n_tokens / n_words::DOUBLE END) * 1e{R} + 0.5) / 1e{R}
+           AS fertility,
+       floor((CASE WHEN n_tokens > 0
+              THEN n_chars / n_tokens::DOUBLE END) * 1e{R} + 0.5) / 1e{R}
+           AS chars_per_token,
+       floor(((CASE WHEN n_words > 0
+               THEN n_tokens / n_words::DOUBLE END)
+              / (CASE WHEN tw > 0 THEN tt / tw::DOUBLE END))
+             * 1e{R} + 0.5) / 1e{R} AS rel_fertility
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11621,6 +11710,8 @@ QUERIES = {
     "temperature_mix_documents": q_temperature_mix_documents,
     "kaplan_meier_events": q_kaplan_meier_events,
     "kcenter_coreset_embeddings": q_kcenter_coreset_embeddings,
+    "padding_waste_documents": q_padding_waste_documents,
+    "tokenizer_fertility_documents": q_tokenizer_fertility_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11664,9 +11755,9 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    # --- outside the window this round
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "minhash_recall_documents": q_minhash_recall_documents,
-    # --- outside the window this round
     "ann_ivf_topk": q_ann_ivf_topk,
     "online_topsis_model_events": q_online_topsis_model_events,
     "online_topsis_predict_events": q_online_topsis_predict_events,
@@ -12151,4 +12242,6 @@ ORACLES = {
     "chao1_documents": ORACLE_CHAO1,
     "source_diversity_documents": ORACLE_SOURCE_DIVERSITY,
     "kcenter_coreset_embeddings": ORACLE_KCENTER_CORESET,
+    "padding_waste_documents": ORACLE_PADDING_WASTE,
+    "tokenizer_fertility_documents": ORACLE_TOKENIZER_FERTILITY,
 }

@@ -1488,3 +1488,54 @@ def test_mixture_diversity_golden(spark):
     assert r["n_groups"] == 3
     assert r["eff_simpson"] < 1.1
     assert abs(r["top_share"] - 0.98) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# PaddingWasteProfiler
+# ---------------------------------------------------------------------------
+
+def test_padding_waste_hand_checked(spark):
+    """k=2 over lengths 1..8: boundary = median 4.5, bucket 1 holds
+    1-4 (max 4, sum 10 -> waste 6/16), bucket 2 holds 5-8 (max 8,
+    sum 26 -> waste 6/32)."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.curation import PaddingWasteProfiler
+
+    df = spark.createDataFrame([(i,) for i in range(1, 9)],
+                               "n_tokens int")
+    out = {r["bucket"]: r for r in
+           (PaddingWasteProfiler().setNumBuckets(2).transform(df)
+            .collect())}
+    assert set(out) == {1, 2}
+    b1, b2 = out[1], out[2]
+    assert (b1["n_docs"], b1["min_len"], b1["max_len"],
+            b1["sum_tokens"]) == (4, 1, 4, 10)
+    assert abs(b1["padding_frac"] - 6 / 16) < 1e-9
+    assert (b2["n_docs"], b2["min_len"], b2["max_len"],
+            b2["sum_tokens"]) == (4, 5, 8, 26)
+    assert abs(b2["padding_frac"] - 6 / 32) < 1e-9
+    with _pt.raises(ValueError, match="numBuckets"):
+        PaddingWasteProfiler().setNumBuckets(0)
+    with _pt.raises(ValueError, match="no non-null"):
+        PaddingWasteProfiler().transform(df.filter("n_tokens < 0"))
+
+
+def test_padding_waste_single_bucket_and_empty_docs(spark):
+    """k=1 is the unsorted baseline (one band, waste vs global max);
+    an all-zero band reports 0.0 waste, not a division error."""
+    from flink_ml__spark.functions.curation import PaddingWasteProfiler
+
+    df = spark.createDataFrame([(0,), (0,), (10,), (30,)],
+                               "n_tokens int")
+    rows = (PaddingWasteProfiler().setNumBuckets(1).transform(df)
+            .collect())
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bucket"], r["n_docs"], r["max_len"],
+            r["sum_tokens"]) == (1, 4, 30, 40)
+    assert abs(r["padding_frac"] - (120 - 40) / 120) < 1e-9
+    zeros = spark.createDataFrame([(0,), (0,)], "n_tokens int")
+    z = (PaddingWasteProfiler().setNumBuckets(1).transform(zeros)
+         .collect())
+    assert z[0]["padding_frac"] == 0.0

@@ -733,3 +733,34 @@ def test_rouge_clipping_and_validation(spark):
     assert abs(r["precision"] - 0.5) < 1e-12
     with _pt.raises(ValueError, match="ngramOrders"):
         NgramOverlapScorer().setNgramOrders(0)
+
+
+# ---------------------------------------------------------------------------
+# TokenizerFertilityProfiler
+# ---------------------------------------------------------------------------
+
+def test_tokenizer_fertility_hand_checked(spark):
+    """'ab cd' = 2 words / 2 BPE tokens (fertility 1); "it's ok!" =
+    2 words / 5 BPE tokens (it, ', s, ok, !) -> fertility 2.5; null
+    text counts 0/0 and the group's ratios go NULL-safe."""
+    from flink_ml__spark.functions.text import TokenizerFertilityProfiler
+
+    df = spark.createDataFrame(
+        [("en", "ab cd"), ("fr", "it's ok!"), ("zz", None)],
+        "lang string, text string")
+    out = {r["lang"]: r for r in
+           TokenizerFertilityProfiler().transform(df).collect()}
+    en, fr, zz = out["en"], out["fr"], out["zz"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens"],
+            en["n_chars"]) == (1, 2, 2, 5)
+    assert abs(en["fertility"] - 1.0) < 1e-9
+    assert abs(en["chars_per_token"] - 2.5) < 1e-9
+    assert (fr["n_words"], fr["n_tokens"]) == (2, 5)
+    assert abs(fr["fertility"] - 2.5) < 1e-9
+    # corpus fertility = 7 tokens / 4 words = 1.75
+    assert abs(en["rel_fertility"] - 1.0 / 1.75) < 1e-9
+    assert abs(fr["rel_fertility"] - 2.5 / 1.75) < 1e-9
+    assert (zz["n_words"], zz["n_tokens"], zz["n_chars"]) == (0, 0, 0)
+    assert zz["fertility"] is None
+    assert zz["chars_per_token"] is None
+    assert zz["rel_fertility"] is None
