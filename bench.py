@@ -266,6 +266,9 @@ HEADLINE = [
     "ess_documents",
     "chao1_documents",
     "source_diversity_documents",
+    "kcenter_coreset_embeddings",
+    "padding_waste_documents",
+    "tokenizer_fertility_documents",
 ]
 
 
