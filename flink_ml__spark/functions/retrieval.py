@@ -403,6 +403,9 @@ class ReciprocalRankFusion(AlgoOperator):
                  .agg(F.sum(1.0 / (F.lit(k0) + F.col(rk)))
                       .alias("rrf_score"),
                       F.count(F.lit(1)).alias("n_lists")))
+        # rrf_score <= n_rankers/(k0+1) (each list contributes < 1/k0),
+        # so the 1e12 fixed-point key tops out ~1e10·n_rankers — far
+        # inside int64; no clamp needed (cf. WeightedSampler's 1/w keys)
         w = (Window.partitionBy(q)
              .orderBy(F.floor(F.col("rrf_score") * 1e12 + 0.5).desc(),
                       F.col(it).asc()))

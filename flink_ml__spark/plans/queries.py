@@ -8939,7 +8939,9 @@ SELECT * FROM per_dim UNION ALL SELECT * FROM summary
 def q_otsu_threshold_documents(spark, sf_dir):
     """OtsuThreshold gate: automatic cutoff over the documents' size
     distribution (256-bin histogram + between-class-variance argmax,
-    ranked on fixed-point floor(bv*1e9 + 0.5) with lowest-cut ties)."""
+    ranked on the range-normalized fixed-point key
+    floor(bv/(hi-lo)^2 * 1e9 + 0.5) with lowest-cut ties — the
+    normalization keeps the key inside int64 at any input magnitude)."""
     from flink_ml__spark.functions.stats import OtsuThreshold
 
     docs = load_table(spark, "documents", sf_dir)
