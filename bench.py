@@ -269,6 +269,7 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     "padding_waste_documents",
     "tokenizer_fertility_documents",
+    "boilerplate_fraction_documents",
 ]
 
 

@@ -3526,3 +3526,90 @@ class PaddingWasteProfiler(AlgoOperator):
         return per.select(F.col("__b").alias("bucket"), "n_docs",
                           "min_len", "max_len", "sum_tokens",
                           waste.alias("padding_frac"))
+
+
+class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Inter-document redundancy score: the fraction of a document's
+    distinct word shingles that are corpus-COMMON (appear in at least
+    ``minDf`` distinct documents). High values flag template/
+    boilerplate mass — navigation chrome, legal footers, mirrored
+    articles — that survives exact dedup (the documents differ) and is
+    invisible to within-document signals (:class:`RepetitionScorer`
+    sees a doc's self-repetition, not what it shares with the rest of
+    the corpus). The standard curation use: filter or downweight docs
+    whose training signal is mostly already owned by other docs.
+
+    Appends ``n_shingles`` (distinct shingles; 0 for NULL text),
+    ``n_common`` (of those, how many are corpus-common) and
+    ``boilerplate_frac`` = n_common / n_shingles (NULL when 0).
+
+    100 TB shape: shingle hashing is the dedup family's Arrow pass
+    (`shingle_hash_udf` — same tokens, same md5[:15] as the string
+    oracle); ``n_shingles`` folds map-side from the array size; the
+    doc-frequency table groups on the int64 hash and is FILTERED to
+    the >= minDf survivors before the semi-join back, so the join's
+    build side shrinks with minDf (the common set is the Zipf head —
+    tiny next to the shingle universe). Two hash shuffles total, both
+    on the 8-byte key, never on text.
+    """
+
+    shingleSize = Param(Params._dummy(), "shingleSize",
+                        "words per shingle", TypeConverters.toInt)
+    minDf = Param(Params._dummy(), "minDf",
+                  "distinct-document frequency at/above which a "
+                  "shingle counts as corpus-common",
+                  TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id",
+                         shingleSize=5, minDf=2)
+
+    def setShingleSize(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"shingleSize must be >= 1, got {v}")
+        return self._set(shingleSize=v)
+
+    def setMinDf(self, v):
+        v = int(v)
+        if v < 2:
+            raise ValueError(f"minDf must be >= 2, got {v}")
+        return self._set(minDf=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        n = self.getOrDefault(self.shingleSize)
+        min_df = self.getOrDefault(self.minDf)
+
+        hashed = df.select(
+            F.col(idc).alias("__id"),
+            shingle_hash_udf(n)(F.col(self.getInputCol()))
+            .alias("__shs"))
+        sized = hashed.select("__id",
+                              F.size("__shs").cast("long")
+                              .alias("n_shingles"), "__shs")
+        ex = sized.select("__id", F.explode("__shs").alias("__sh"))
+        # shingles are distinct per doc, so count(*) per hash is the
+        # distinct-document frequency; keep only the common survivors
+        common = (ex.groupBy("__sh")
+                  .agg(F.count(F.lit(1)).alias("__df"))
+                  .filter(F.col("__df") >= min_df)
+                  .select("__sh"))
+        n_common = (ex.join(common, "__sh", "left_semi")
+                    .groupBy("__id")
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_common")))
+        per = (sized.select("__id", "n_shingles")
+               .join(n_common, "__id", "left")
+               .select(
+                   "__id", "n_shingles",
+                   F.coalesce("n_common", F.lit(0)).cast("long")
+                   .alias("n_common")))
+        frac = F.when(F.col("n_shingles") > 0,
+                      F.col("n_common")
+                      / F.col("n_shingles").cast("double"))
+        return df.join(
+            per.select(F.col("__id").alias(idc), "n_shingles",
+                       "n_common", frac.alias("boilerplate_frac")),
+            idc, "left")

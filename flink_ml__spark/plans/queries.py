@@ -11703,6 +11703,46 @@ FROM per CROSS JOIN tot
 """
 
 
+
+_BP_N = 5
+
+
+def q_boilerplate_fraction_documents(spark, sf_dir):
+    """BoilerplateFractionScorer gate: per-doc fraction of distinct
+    5-word shingles appearing in >= 2 distinct documents. The Arrow
+    shingle hasher, the hash-level doc-frequency table and the
+    common-set semi-join all replay on the string shingles + md5[:15]
+    in SQL (same token/shingle/hash idioms as the dedup oracles)."""
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = (BoilerplateFractionScorer().setShingleSize(_BP_N).setMinDf(2)
+           .transform(docs))
+    return out.select("doc_id", "n_shingles", "n_common",
+                      _fq("boilerplate_frac").alias("boilerplate_frac"))
+
+
+ORACLE_BOILERPLATE_FRACTION = f"""
+WITH toks AS (SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN text IS NULL THEN []::VARCHAR[]
+                   ELSE {_shingle_sql(_BP_N)} END AS sh
+       FROM toks),
+ex AS (SELECT doc_id, {_H60.format(x='s')} AS h
+       FROM sh, unnest(sh.sh) AS u(s)),
+dfreq AS (SELECT h, count(*) AS c FROM ex GROUP BY 1),
+nc AS (SELECT ex.doc_id, count(*)::BIGINT AS n_common
+       FROM ex JOIN dfreq ON ex.h = dfreq.h
+       WHERE dfreq.c >= 2 GROUP BY 1)
+SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles,
+       coalesce(nc.n_common, 0)::BIGINT AS n_common,
+       floor((CASE WHEN len(s.sh) > 0
+              THEN coalesce(nc.n_common, 0) / len(s.sh)::DOUBLE END)
+             * 1e{R} + 0.5) / 1e{R} AS boilerplate_frac
+FROM sh s LEFT JOIN nc ON s.doc_id = nc.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11714,6 +11754,7 @@ QUERIES = {
     "kcenter_coreset_embeddings": q_kcenter_coreset_embeddings,
     "padding_waste_documents": q_padding_waste_documents,
     "tokenizer_fertility_documents": q_tokenizer_fertility_documents,
+    "boilerplate_fraction_documents": q_boilerplate_fraction_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11756,8 +11797,8 @@ QUERIES = {
     "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
     "rollup_gapfill_events": q_rollup_gapfill_events,
-    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     # --- outside the window this round
+    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "minhash_recall_documents": q_minhash_recall_documents,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -12246,4 +12287,5 @@ ORACLES = {
     "kcenter_coreset_embeddings": ORACLE_KCENTER_CORESET,
     "padding_waste_documents": ORACLE_PADDING_WASTE,
     "tokenizer_fertility_documents": ORACLE_TOKENIZER_FERTILITY,
+    "boilerplate_fraction_documents": ORACLE_BOILERPLATE_FRACTION,
 }

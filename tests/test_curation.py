@@ -1539,3 +1539,53 @@ def test_padding_waste_single_bucket_and_empty_docs(spark):
     z = (PaddingWasteProfiler().setNumBuckets(1).transform(zeros)
          .collect())
     assert z[0]["padding_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# BoilerplateFractionScorer
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_fraction_hand_checked(spark):
+    """2-word shingles, minDf=2: docs 1/2 share 'a b' (common), doc 3
+    shares nothing, NULL text scores 0 shingles with NULL frac."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "q r s t"), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           (BoilerplateFractionScorer().setShingleSize(2).setMinDf(2)
+            .transform(df).collect())}
+    assert (out[1]["n_shingles"], out[1]["n_common"]) == (2, 1)
+    assert abs(out[1]["boilerplate_frac"] - 0.5) < 1e-9
+    assert (out[2]["n_shingles"], out[2]["n_common"]) == (2, 1)
+    assert (out[3]["n_shingles"], out[3]["n_common"]) == (3, 0)
+    assert out[3]["boilerplate_frac"] == 0.0
+    assert (out[4]["n_shingles"], out[4]["n_common"]) == (0, 0)
+    assert out[4]["boilerplate_frac"] is None
+    with _pt.raises(ValueError, match="minDf"):
+        BoilerplateFractionScorer().setMinDf(1)
+    with _pt.raises(ValueError, match="shingleSize"):
+        BoilerplateFractionScorer().setShingleSize(0)
+
+
+def test_boilerplate_fraction_short_docs_and_within_doc_repeats(spark):
+    """Docs shorter than the shingle size collapse to one joined
+    shingle (so identical short docs are fully common), and repeats
+    WITHIN one doc never make a shingle common — the signal is
+    inter-document by construction."""
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, "z y z y z y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           (BoilerplateFractionScorer().setShingleSize(2).setMinDf(2)
+            .transform(df).collect())}
+    assert abs(out[1]["boilerplate_frac"] - 1.0) < 1e-9
+    assert abs(out[2]["boilerplate_frac"] - 1.0) < 1e-9
+    # doc 3 repeats 'z y'/'y z' internally but shares nothing
+    assert out[3]["n_common"] == 0
+    assert out[3]["boilerplate_frac"] == 0.0
