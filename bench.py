@@ -270,6 +270,7 @@ HEADLINE = [
     "padding_waste_documents",
     "tokenizer_fertility_documents",
     "boilerplate_fraction_documents",
+    "boilerplate_against_documents",
 ]
 
 

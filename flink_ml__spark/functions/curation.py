@@ -3577,25 +3577,43 @@ class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
             raise ValueError(f"minDf must be >= 2, got {v}")
         return self._set(minDf=v)
 
-    def transform(self, df: DataFrame) -> DataFrame:
-        idc = self.getIdCol()
+    def _sized(self, df: DataFrame) -> DataFrame:
         n = self.getOrDefault(self.shingleSize)
-        min_df = self.getOrDefault(self.minDf)
-
         hashed = df.select(
-            F.col(idc).alias("__id"),
+            F.col(self.getIdCol()).alias("__id"),
             shingle_hash_udf(n)(F.col(self.getInputCol()))
             .alias("__shs"))
-        sized = hashed.select("__id",
-                              F.size("__shs").cast("long")
-                              .alias("n_shingles"), "__shs")
-        ex = sized.select("__id", F.explode("__shs").alias("__sh"))
+        return hashed.select("__id",
+                             F.size("__shs").cast("long")
+                             .alias("n_shingles"), "__shs")
+
+    def common_table(self, corpus_df: DataFrame) -> DataFrame:
+        """The corpus statistic: distinct shingle hashes appearing in
+        >= minDf distinct documents — one int64 column, the Zipf head
+        of the shingle universe, small enough to persist to parquet
+        and reuse for incremental scoring (`transform_against`) or
+        the streaming twin."""
+        min_df = self.getOrDefault(self.minDf)
+        ex = (self._sized(corpus_df)
+              .select("__id", F.explode("__shs").alias("__sh")))
         # shingles are distinct per doc, so count(*) per hash is the
         # distinct-document frequency; keep only the common survivors
-        common = (ex.groupBy("__sh")
-                  .agg(F.count(F.lit(1)).alias("__df"))
-                  .filter(F.col("__df") >= min_df)
-                  .select("__sh"))
+        return (ex.groupBy("__sh")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") >= min_df)
+                .select("__sh"))
+
+    def transform_against(self, df: DataFrame,
+                          common: DataFrame) -> DataFrame:
+        """Score ``df`` against a precomputed common-shingle table
+        (from :meth:`common_table` on a reference corpus) — the
+        production "score the incoming crawl against the curated
+        corpus" shape: one Arrow shingle pass over ``df`` plus one
+        semi-join against the O(Zipf-head) statistic; the reference
+        corpus is never rescanned."""
+        idc = self.getIdCol()
+        sized = self._sized(df)
+        ex = sized.select("__id", F.explode("__shs").alias("__sh"))
         n_common = (ex.join(common, "__sh", "left_semi")
                     .groupBy("__id")
                     .agg(F.count(F.lit(1)).cast("long")
@@ -3613,3 +3631,6 @@ class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
             per.select(F.col("__id").alias(idc), "n_shingles",
                        "n_common", frac.alias("boilerplate_frac")),
             idc, "left")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.transform_against(df, self.common_table(df))

@@ -11743,6 +11743,47 @@ FROM sh s LEFT JOIN nc ON s.doc_id = nc.doc_id
 """
 
 
+
+def q_boilerplate_against_documents(spark, sf_dir):
+    """Incremental boilerplate scoring gate: common-shingle statistic
+    fit on the even-id half of the corpus, odd-id docs scored against
+    it via transform_against — the production score-the-new-crawl
+    path (and what the streaming twin replays per micro-batch)."""
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+
+    docs = load_table(spark, "documents", sf_dir)
+    sc = BoilerplateFractionScorer().setShingleSize(_BP_N).setMinDf(2)
+    common = sc.common_table(docs.filter(F.col("doc_id") % 2 == 0))
+    out = sc.transform_against(docs.filter(F.col("doc_id") % 2 == 1),
+                               common)
+    return out.select("doc_id", "n_shingles", "n_common",
+                      _fq("boilerplate_frac").alias("boilerplate_frac"))
+
+
+ORACLE_BOILERPLATE_AGAINST = f"""
+WITH toks AS (SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN text IS NULL THEN []::VARCHAR[]
+                   ELSE {_shingle_sql(_BP_N)} END AS sh
+       FROM toks),
+ref_ex AS (SELECT doc_id, {_H60.format(x='s')} AS h
+           FROM sh, unnest(sh.sh) AS u(s) WHERE doc_id % 2 = 0),
+common AS (SELECT h FROM (SELECT h, count(*) AS c FROM ref_ex
+                          GROUP BY 1) WHERE c >= 2),
+qry AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+q_ex AS (SELECT doc_id, {_H60.format(x='s')} AS h
+         FROM qry, unnest(qry.sh) AS u(s)),
+nc AS (SELECT q_ex.doc_id, count(*)::BIGINT AS n_common
+       FROM q_ex JOIN common USING (h) GROUP BY 1)
+SELECT q.doc_id, len(q.sh)::BIGINT AS n_shingles,
+       coalesce(nc.n_common, 0)::BIGINT AS n_common,
+       floor((CASE WHEN len(q.sh) > 0
+              THEN coalesce(nc.n_common, 0) / len(q.sh)::DOUBLE END)
+             * 1e{R} + 0.5) / 1e{R} AS boilerplate_frac
+FROM qry q LEFT JOIN nc ON q.doc_id = nc.doc_id
+"""
+
+
 QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
@@ -11755,6 +11796,7 @@ QUERIES = {
     "padding_waste_documents": q_padding_waste_documents,
     "tokenizer_fertility_documents": q_tokenizer_fertility_documents,
     "boilerplate_fraction_documents": q_boilerplate_fraction_documents,
+    "boilerplate_against_documents": q_boilerplate_against_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "line_filter_documents": q_line_filter_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -11796,8 +11838,8 @@ QUERIES = {
     "asof_forward_events": q_asof_forward_events,
     "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
-    "rollup_gapfill_events": q_rollup_gapfill_events,
     # --- outside the window this round
+    "rollup_gapfill_events": q_rollup_gapfill_events,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
     "minhash_recall_documents": q_minhash_recall_documents,
@@ -12288,4 +12330,5 @@ ORACLES = {
     "padding_waste_documents": ORACLE_PADDING_WASTE,
     "tokenizer_fertility_documents": ORACLE_TOKENIZER_FERTILITY,
     "boilerplate_fraction_documents": ORACLE_BOILERPLATE_FRACTION,
+    "boilerplate_against_documents": ORACLE_BOILERPLATE_AGAINST,
 }

@@ -1590,3 +1590,33 @@ def stream_ratio_monitor(stream_df: DataFrame, time_col: str,
         ratio("a").alias("ratio_a"), ratio("b").alias("ratio_b"),
         diff.alias("diff"), se.alias("se"), z.alias("z_stat"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"))
+
+
+def stream_boilerplate_score(corpus_df: DataFrame, scorer, emit, *,
+                             common: DataFrame | None = None
+                             ) -> "callable":
+    """Streaming incremental boilerplate scoring: returns a
+    ``foreachBatch`` processor that scores each micro-batch's
+    documents against the STATIC corpus's common-shingle statistic
+    (:meth:`BoilerplateFractionScorer.common_table`) and hands the
+    scored frame to ``emit(scored_df, batch_id)`` — the production
+    "score the incoming crawl against the curated corpus" shape,
+    sibling of :func:`stream_dedup_against_corpus`.
+
+    The common table is computed ONCE up front (one int64 column, the
+    Zipf head of the corpus shingle universe) and persisted; per
+    micro-batch work is one map-only Arrow shingle pass plus a
+    semi-join against that statistic. Pass ``common`` (e.g. a frame
+    read back from parquet) to skip the corpus pass entirely
+    (``corpus_df`` may be ``None`` then). Cross-batch drift policy is
+    the caller's: rebuild the common table periodically as the corpus
+    grows.
+    """
+    if common is None:
+        common = scorer.common_table(corpus_df)
+    common = common.persist()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        emit(scorer.transform_against(batch_df, common), batch_id)
+
+    return process

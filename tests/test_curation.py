@@ -1589,3 +1589,34 @@ def test_boilerplate_fraction_short_docs_and_within_doc_repeats(spark):
     # doc 3 repeats 'z y'/'y z' internally but shares nothing
     assert out[3]["n_common"] == 0
     assert out[3]["boilerplate_frac"] == 0.0
+
+
+def test_boilerplate_transform_against_reference_corpus(spark):
+    """Incremental path: the common set comes from the REFERENCE
+    corpus only — a shingle repeated across query docs but absent
+    from the reference is NOT common; transform == transform_against
+    with the statistic fit on the same frame."""
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+
+    sc = BoilerplateFractionScorer().setShingleSize(2).setMinDf(2)
+    ref = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x")], "doc_id long, text string")
+    qry = spark.createDataFrame(
+        [(10, "a b z"), (11, "p q r"), (12, "p q s")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           sc.transform_against(qry, sc.common_table(ref)).collect()}
+    # 'a b' is common in the reference -> doc 10 scores 1/2
+    assert (out[10]["n_shingles"], out[10]["n_common"]) == (2, 1)
+    # 'p q' repeats across QUERY docs but not in the reference
+    assert out[11]["n_common"] == 0 and out[12]["n_common"] == 0
+    # self-consistency: transform == transform_against(own common)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "q r s t")],
+        "doc_id long, text string")
+    a = sorted((r["doc_id"], r["n_shingles"], r["n_common"])
+               for r in sc.transform(df).collect())
+    b = sorted((r["doc_id"], r["n_shingles"], r["n_common"])
+               for r in sc.transform_against(
+                   df, sc.common_table(df)).collect())
+    assert a == b

@@ -1868,3 +1868,44 @@ def test_stream_kn_bigram_apply_matches_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_boilerplate_score_matches_batch(spark):
+    """stream_boilerplate_score scores each micro-batch against the
+    static corpus's common-shingle statistic, matching the batch
+    transform_against output exactly."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.streaming import stream_boilerplate_score
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter("doc_id % 2 = 0")
+    incoming = docs.filter("doc_id % 2 = 1")
+    sc = BoilerplateFractionScorer().setShingleSize(2).setMinDf(2)
+    d = _tf.mkdtemp(prefix="stream_bp_")
+    got = {}
+    try:
+        incoming.repartition(3).write.mode("overwrite").parquet(d)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+
+        def emit(scored, batch_id):
+            for r in scored.select("doc_id", "n_shingles",
+                                   "n_common").collect():
+                got[r["doc_id"]] = (r["n_shingles"], r["n_common"])
+
+        q = (stream.writeStream
+             .foreachBatch(stream_boilerplate_score(corpus, sc, emit))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        expect = {r["doc_id"]: (r["n_shingles"], r["n_common"])
+                  for r in sc.transform_against(
+                      incoming, sc.common_table(corpus))
+                  .select("doc_id", "n_shingles", "n_common").collect()}
+        assert got == expect
+        assert any(c > 0 for _, c in got.values())
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
