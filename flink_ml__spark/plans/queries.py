@@ -696,6 +696,59 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE nhit = 4)
 """
 
 
+def q_dedup_minhash_against_documents(spark, sf_dir):
+    """Incremental MinHash near-dedup gate: even-id documents are the
+    curated corpus, odd-id documents the incoming crawl; crawl docs
+    near-duplicating ANY corpus doc (banded-LSH candidates, exact
+    shingle-Jaccard verify) drop. This is the production
+    score-the-new-crawl shape (``MinHashDeduplicator.transform_against``,
+    ``functions/dedup.py``) that the streaming twin
+    ``stream_minhash_dedup_against_corpus`` replays per micro-batch."""
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    crawl = docs.filter(F.col("doc_id") % 2 == 1)
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    return op.transform_against(crawl, corpus).select("doc_id")
+
+
+def _oracle_minhash_against() -> str:
+    """DuckDB replay of ``transform_against``: one shingle/signature
+    pass over both halves, band equi-join restricted to crawl×corpus,
+    Jaccard verification on the string shingles (equivalent to the
+    operator's 60-bit-hash verification modulo md5 collisions — same
+    convention as ``_minhash_dup_ctes``)."""
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    coeffs = op.hash_coefficients()
+    rows = op.getNumHashes() // op.getBands()
+    sig_terms = ", ".join(
+        f"list_min(list_transform(xs.xs, x -> ({a} * (x % {MERSENNE31}) "
+        f"+ {b}) % {MERSENNE31}))"
+        for a, b in coeffs)
+    band_terms = ", ".join(
+        f"struct_pack(band := {b}, key := array_to_string("
+        f"list_slice(sig, {b * rows + 1}, {b * rows + rows}), ','))"
+        for b in range(op.getBands()))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(op.getShingleSize())} AS sh
+       FROM toks),
+xs AS (SELECT doc_id, sh,
+              list_transform(sh, s -> {_H60.format(x='s')}) AS xs
+       FROM sh),
+sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM xs),
+bands AS (SELECT doc_id, sh, unnest([{band_terms}]) AS b FROM sig),
+cand AS (SELECT DISTINCT n.doc_id AS id_n, n.sh AS sh_n, c.sh AS sh_c
+         FROM bands n JOIN bands c ON n.b = c.b
+         WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+dups AS (SELECT DISTINCT id_n FROM cand
+         WHERE len(list_intersect(sh_n, sh_c))::DOUBLE /
+               len(list_distinct(list_concat(sh_n, sh_c)))
+               >= {op.getThreshold()!r})
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_n FROM dups)
+"""
+
+
 def q_dedup_minhash_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
@@ -11605,9 +11658,15 @@ def _kcenter_oracle_sql(k: int) -> str:
                 f"d{t} AS (SELECT d.vec_id, d.emb, "
                 f"least(d.mind, {d2('d.emb', f's{t}.emb')}) AS mind "
                 f"FROM d{t - 1} d CROSS JOIN s{t})")
+    # mind > 0 replays the operator's early stop (select_centers breaks
+    # when every remaining point duplicates a chosen center). The state
+    # is monotone non-increasing and folding a duplicate center is a
+    # least()-no-op, so once one step's argmax hits 0 every later step's
+    # does too — a per-leg filter is exactly the loop break.
     sel = ["SELECT 1 AS step, vec_id, 0.0 AS dist2 FROM s1"]
     for t in range(2, k + 1):
-        sel.append(f"SELECT {t}, vec_id, mind / 1e6 FROM s{t}")
+        sel.append(f"SELECT {t}, vec_id, mind / 1e6 FROM s{t} "
+                   f"WHERE mind > 0")
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
@@ -11788,57 +11847,7 @@ QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
-    "otsu_threshold_documents": q_otsu_threshold_documents,
-    "partition_health_orders": q_partition_health_orders,
-    "temperature_mix_documents": q_temperature_mix_documents,
-    "kaplan_meier_events": q_kaplan_meier_events,
-    "kcenter_coreset_embeddings": q_kcenter_coreset_embeddings,
-    "padding_waste_documents": q_padding_waste_documents,
-    "tokenizer_fertility_documents": q_tokenizer_fertility_documents,
-    "boilerplate_fraction_documents": q_boilerplate_fraction_documents,
-    "boilerplate_against_documents": q_boilerplate_against_documents,
-    "pii_redact_documents": q_pii_redact_documents,
-    "line_filter_documents": q_line_filter_documents,
-    "unigram_logprob_documents": q_unigram_logprob_documents,
-    "corpus_profile_documents": q_corpus_profile_documents,
-    "balance_targets_documents": q_balance_targets_documents,
-    "multimodal_image_resize": q_multimodal_image_resize,
-    "multimodal_frame_means": q_multimodal_frame_means,
-    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
-    "curation_pipeline_documents": q_curation_pipeline_documents,
-    "repetition_documents": q_repetition_documents,
-    "split_documents": q_split_documents,
-    "contamination_documents": q_contamination_documents,
-    "tfidf_keywords_documents": q_tfidf_keywords_documents,
-    "dup_clusters_documents": q_dup_clusters_documents,
-    "pack_documents": q_pack_documents,
-    "balance_documents": q_balance_documents,
-    "multimodal_image_stats": q_multimodal_image_stats,
-    "multimodal_audio_features": q_multimodal_audio_features,
-    "fingerprint_documents": q_fingerprint_documents,
-    "multimodal_meta_documents": q_multimodal_meta_documents,
-    "pca_invariants_embeddings": q_pca_invariants_embeddings,
-    "winsorize_orders": q_winsorize_orders,
-    "dedup_exact_against_documents": q_dedup_exact_against_documents,
-    "dedup_bloom_documents": q_dedup_bloom_documents,
-    "dedup_substring_documents": q_dedup_substring_documents,
-    "substring_decontaminate_documents": q_substring_decontaminate_documents,
-    "embedding_contamination": q_embedding_contamination,
-    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
-    "gopher_quality_documents": q_gopher_quality_documents,
-    "normalize_documents": q_normalize_documents,
-    "frequent_ngrams_documents": q_frequent_ngrams_documents,
-    "epoch_shuffle_documents": q_epoch_shuffle_documents,
-    "domain_divergence_documents": q_domain_divergence_documents,
-    "token_budget_documents": q_token_budget_documents,
-    "weighted_sample_documents": q_weighted_sample_documents,
-    "quality_classifier_documents": q_quality_classifier_documents,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_forward_events": q_asof_forward_events,
-    "asof_nearest_events": q_asof_nearest_events,
-    "range_join_events": q_range_join_events,
-    # --- outside the window this round
+    "dedup_minhash_against_documents": q_dedup_minhash_against_documents,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
@@ -11888,6 +11897,7 @@ QUERIES = {
     "label_prop_events": q_label_prop_events,
     "assoc_lineitem": q_assoc_lineitem,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    # --- outside the window this round
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
     "mean_shift_events": q_mean_shift_events,
     "corr_window_events": q_corr_window_events,
@@ -12052,6 +12062,56 @@ QUERIES = {
     "fcm_embeddings_clusters": q_fcm_embeddings_clusters,
     "canopy_customer": q_canopy_customer,
     "kmeans_embeddings_clusters": q_kmeans_embeddings_clusters,
+    "otsu_threshold_documents": q_otsu_threshold_documents,
+    "partition_health_orders": q_partition_health_orders,
+    "temperature_mix_documents": q_temperature_mix_documents,
+    "kaplan_meier_events": q_kaplan_meier_events,
+    "kcenter_coreset_embeddings": q_kcenter_coreset_embeddings,
+    "padding_waste_documents": q_padding_waste_documents,
+    "tokenizer_fertility_documents": q_tokenizer_fertility_documents,
+    "boilerplate_fraction_documents": q_boilerplate_fraction_documents,
+    "boilerplate_against_documents": q_boilerplate_against_documents,
+    "pii_redact_documents": q_pii_redact_documents,
+    "line_filter_documents": q_line_filter_documents,
+    "unigram_logprob_documents": q_unigram_logprob_documents,
+    "corpus_profile_documents": q_corpus_profile_documents,
+    "balance_targets_documents": q_balance_targets_documents,
+    "multimodal_image_resize": q_multimodal_image_resize,
+    "multimodal_frame_means": q_multimodal_frame_means,
+    "pca_invariants_embeddings": q_pca_invariants_embeddings,
+    "winsorize_orders": q_winsorize_orders,
+    "dedup_exact_against_documents": q_dedup_exact_against_documents,
+    "dedup_bloom_documents": q_dedup_bloom_documents,
+    "dedup_substring_documents": q_dedup_substring_documents,
+    "substring_decontaminate_documents": q_substring_decontaminate_documents,
+    "embedding_contamination": q_embedding_contamination,
+    "semdedup_invariants_embeddings": q_semdedup_invariants_embeddings,
+    "gopher_quality_documents": q_gopher_quality_documents,
+    "normalize_documents": q_normalize_documents,
+    "frequent_ngrams_documents": q_frequent_ngrams_documents,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "domain_divergence_documents": q_domain_divergence_documents,
+    "token_budget_documents": q_token_budget_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "quality_classifier_documents": q_quality_classifier_documents,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_forward_events": q_asof_forward_events,
+    "asof_nearest_events": q_asof_nearest_events,
+    "range_join_events": q_range_join_events,
+    "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+    "curation_pipeline_documents": q_curation_pipeline_documents,
+    "repetition_documents": q_repetition_documents,
+    "split_documents": q_split_documents,
+    "contamination_documents": q_contamination_documents,
+    "tfidf_keywords_documents": q_tfidf_keywords_documents,
+    "dup_clusters_documents": q_dup_clusters_documents,
+    "pack_documents": q_pack_documents,
+    "balance_documents": q_balance_documents,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "fingerprint_documents": q_fingerprint_documents,
+    "multimodal_meta_documents": q_multimodal_meta_documents,
 }
 
 ORACLES = {
@@ -12155,6 +12215,7 @@ ORACLES = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_exact_against_documents": ORACLE_DEDUP_EXACT_AGAINST,
     "dedup_bloom_documents": ORACLE_DEDUP_BLOOM,
+    "dedup_minhash_against_documents": _oracle_minhash_against(),
     "dedup_minhash_documents": _oracle_minhash(),
     "dedup_simhash_documents": _oracle_simhash(),
     "ngram_jaccard_pairs_documents": _oracle_ngram_jaccard(),

@@ -1,5 +1,7 @@
 """Tests for the deduplication operators."""
 
+from pyspark.sql import functions as F
+
 from flink_ml__spark.functions.dedup import (
     EmbeddingCosineDeduplicator,
     ExactDeduplicator,
@@ -177,6 +179,52 @@ def test_stream_minhash_dedup_against_corpus(spark):
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
         assert sorted(survived) == [11]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_minhash_against_matches_batch(spark):
+    """Stream==batch parity on the real documents table: the
+    foreachBatch streaming path over the odd-id crawl half must keep
+    exactly the ids that batch ``transform_against`` keeps — the gate
+    (``dedup_minhash_against_documents``) and its streaming twin are
+    the same computation."""
+    import shutil
+    import tempfile
+
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.streaming import (
+        stream_minhash_dedup_against_corpus,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    crawl = docs.filter(F.col("doc_id") % 2 == 1)
+    op = MinHashDeduplicator().setSeed(42).setThreshold(0.7)
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in op.transform_against(crawl, corpus).collect())
+
+    survived = []
+
+    def emit(clean_df, batch_id):
+        survived.extend(r["doc_id"] for r in clean_df.collect())
+
+    d = tempfile.mkdtemp(prefix="smhp_")
+    try:
+        # two files → at least two micro-batches with maxFilesPerTrigger
+        crawl.filter(F.col("doc_id") % 4 == 1).coalesce(1) \
+            .write.mode("overwrite").parquet(d + "/a")
+        crawl.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+            .write.mode("append").parquet(d + "/a")
+        stream = (spark.readStream.schema(crawl.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d + "/a"))
+        q = (stream.writeStream
+             .foreachBatch(stream_minhash_dedup_against_corpus(
+                 corpus, op, emit))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert sorted(survived) == batch_kept
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

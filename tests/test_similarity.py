@@ -709,6 +709,33 @@ def test_kcenter_stops_early_on_duplicates(spark):
         (1, 1, 0.0), (2, 3, 25.0)]
 
 
+def test_kcenter_oracle_replays_early_stop(spark):
+    """The unrolled DuckDB oracle must emit exactly as many rows as the
+    operator when the data has fewer distinct vectors than k — the
+    per-leg ``WHERE mind > 0`` filter is the loop break. Without it a
+    correct operator would red-flag on row count."""
+    import duckdb
+
+    from flink_ml__spark.functions.similarity import KCenterCoreset
+    from flink_ml__spark.plans.queries import _kcenter_oracle_sql
+
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0]),
+            (4, [3.0, 4.0])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    ours = [(r["step"], r["vec_id"], r["dist2"])
+            for r in (KCenterCoreset().setNumCenters(4)
+                      .select_centers(df).orderBy("step").collect())]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, "
+                "embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    theirs = sorted(con.execute(_kcenter_oracle_sql(4)).fetchall())
+    assert [(s, v, float(d)) for s, v, d in theirs] == ours == [
+        (1, 1, 0.0), (2, 3, 25.0)]
+
+
 def test_kcenter_dist2_monotone_and_matches_bruteforce(spark):
     """Greedy k-center's selection distances are nonincreasing, and
     every emitted dist2 equals the brute-force min squared distance
