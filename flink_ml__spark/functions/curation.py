@@ -3474,11 +3474,15 @@ class PaddingWasteProfiler(AlgoOperator):
                        "exact percentile boundaries (True) or "
                        "approx_percentile sketch (False)",
                        TypeConverters.toBoolean)
+    relativeError = Param(Params._dummy(), "relativeError",
+                          "approx_percentile accuracy when "
+                          "exactEdges=False (1/accuracy)",
+                          TypeConverters.toFloat)
 
     def __init__(self):
         super().__init__()
         self._setDefault(tokenCol="n_tokens", numBuckets=8,
-                         exactEdges=True)
+                         exactEdges=True, relativeError=1e-4)
 
     def setTokenCol(self, v):
         return self._set(tokenCol=v)
@@ -3492,6 +3496,12 @@ class PaddingWasteProfiler(AlgoOperator):
     def setExactEdges(self, v):
         return self._set(exactEdges=bool(v))
 
+    def setRelativeError(self, v):
+        v = float(v)
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"relativeError must be in (0, 1), got {v}")
+        return self._set(relativeError=v)
+
     def transform(self, df: DataFrame) -> DataFrame:
         k = self.getOrDefault(self.numBuckets)
         nt = F.col(self.getOrDefault(self.tokenCol)).cast("double")
@@ -3501,8 +3511,10 @@ class PaddingWasteProfiler(AlgoOperator):
             if self.getOrDefault(self.exactEdges):
                 pct = F.percentile(F.col("__nt"), probs)
             else:
+                acc = int(round(
+                    1.0 / self.getOrDefault(self.relativeError)))
                 pct = F.approx_percentile(F.col("__nt"), probs,
-                                          F.lit(10000))
+                                          F.lit(acc))
             row = base.agg(F.transform(
                 pct, lambda e: F.floor(e * 1e6 + 0.5) / 1e6)
                 .alias("bs")).first()

@@ -24,7 +24,19 @@ __all__ = ["canon_val", "canon_pdf", "dtype_class"]
 
 def canon_val(v):
     """Stringify one pandas cell, keeping the int-vs-float distinction
-    the driver's canonicalizer keeps (int64 "123" vs float64 "123.0")."""
+    the driver's canonicalizer keeps (int64 "123" vs float64 "123.0").
+
+    Rounding-mode note: ``round(f, 6)`` here is half-to-even while the
+    registry's cross-engine discipline is floor(x·10ⁿ+0.5). The driver's
+    own 6-dp rounding mode is unobserved — the replica does NOT rely on
+    matching it. The invariant that makes the mode irrelevant is
+    upstream: every gate emits floats already quantized identically in
+    BOTH engines (the floor discipline at n ≤ 6 dp), so the two frames
+    hold bit-identical float64s and ANY deterministic rounding maps
+    them to equal strings. A divergence could only matter for a gate
+    emitting unrounded floats that agree at 6 dp but differ in low
+    bits — which the registry discipline forbids (see
+    ``tests/test_canon.py`` for the half-boundary pin)."""
     if v is None:
         return "None"
     if isinstance(v, (bool, np.bool_)):

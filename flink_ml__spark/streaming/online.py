@@ -1610,7 +1610,12 @@ def stream_boilerplate_score(corpus_df: DataFrame, scorer, emit, *,
     read back from parquet) to skip the corpus pass entirely
     (``corpus_df`` may be ``None`` then). Cross-batch drift policy is
     the caller's: rebuild the common table periodically as the corpus
-    grows.
+    grows — and when you do, call ``processor.close()`` on the OLD
+    processor first: it unpersists the cached statistic this function
+    pinned, so long-lived streams that rotate statistics don't
+    accumulate dead cached partitions. The persisted frame itself is
+    exposed as ``processor.common`` (e.g. to checkpoint it to parquet
+    before rotating).
     """
     if common is None:
         common = scorer.common_table(corpus_df)
@@ -1619,4 +1624,9 @@ def stream_boilerplate_score(corpus_df: DataFrame, scorer, emit, *,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         emit(scorer.transform_against(batch_df, common), batch_id)
 
+    def close() -> None:
+        common.unpersist(False)
+
+    process.common = common
+    process.close = close
     return process

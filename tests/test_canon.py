@@ -103,6 +103,29 @@ def test_dtype_class_families():
         np.dtype("int64"))
 
 
+def test_rounding_mode_irrelevant_for_bit_identical_inputs():
+    """Why the driver's unknown 6-dp rounding mode can't break parity:
+    gate outputs are quantized by the SAME floor(x·10ⁿ+0.5) expression
+    in both engines, so the two pandas frames hold bit-identical
+    float64s — and any deterministic rounding maps equal bits to equal
+    strings. The half-boundary value 0.0000005 is exactly where
+    round() (half-even → '0.0') and floor-rounding ('1e-06') diverge;
+    the test pins that the divergence needs DIFFERENT inputs, which
+    the registry discipline forbids."""
+    import math
+
+    half = 0.0000005
+    # identical bits -> identical canonical strings, whatever the mode
+    assert canon_val(half) == canon_val(half)
+    # the two modes DO differ on this value...
+    assert round(half, 6) != math.floor(half * 1e6 + 0.5) / 1e6
+    # ...but a floor-quantized gate output is a fixed point of canon's
+    # round(): re-rounding an already-6dp float is the identity, so
+    # canon_val can never un-do the registry quantization
+    q = math.floor(half * 1e6 + 0.5) / 1e6
+    assert canon_val(q) == str(q)
+
+
 def test_duckdb_hugeint_lands_float64_spark_bigint_int64(spark):
     """The mechanism behind the r09/r10 hash failures, pinned: an
     uncast DuckDB integer sum() widens to HUGEINT and .df() renders it

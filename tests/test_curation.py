@@ -1541,6 +1541,31 @@ def test_padding_waste_single_bucket_and_empty_docs(spark):
     assert z[0]["padding_frac"] == 0.0
 
 
+def test_padding_waste_approx_edges_relative_error(spark):
+    """exactEdges=False honours relativeError (accuracy =
+    round(1/relativeError) — the RankGaussTransformer contract); at a
+    tight error the approx profile matches the exact one on small
+    data, and out-of-range values are rejected."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.curation import PaddingWasteProfiler
+
+    df = spark.createDataFrame([(i % 50 + 1,) for i in range(400)],
+                               "n_tokens int")
+    exact = sorted(
+        (r["bucket"], r["n_docs"], r["sum_tokens"]) for r in
+        PaddingWasteProfiler().setNumBuckets(4).transform(df).collect())
+    approx = sorted(
+        (r["bucket"], r["n_docs"], r["sum_tokens"]) for r in
+        (PaddingWasteProfiler().setNumBuckets(4).setExactEdges(False)
+         .setRelativeError(1e-5).transform(df).collect()))
+    assert approx == exact
+    with _pt.raises(ValueError, match="relativeError"):
+        PaddingWasteProfiler().setRelativeError(0.0)
+    with _pt.raises(ValueError, match="relativeError"):
+        PaddingWasteProfiler().setRelativeError(1.5)
+
+
 # ---------------------------------------------------------------------------
 # BoilerplateFractionScorer
 # ---------------------------------------------------------------------------

@@ -1897,8 +1897,9 @@ def test_stream_boilerplate_score_matches_batch(spark):
                                    "n_common").collect():
                 got[r["doc_id"]] = (r["n_shingles"], r["n_common"])
 
+        proc = stream_boilerplate_score(corpus, sc, emit)
         q = (stream.writeStream
-             .foreachBatch(stream_boilerplate_score(corpus, sc, emit))
+             .foreachBatch(proc)
              .trigger(availableNow=True).start())
         q.awaitTermination(180)
         expect = {r["doc_id"]: (r["n_shingles"], r["n_common"])
@@ -1907,5 +1908,11 @@ def test_stream_boilerplate_score_matches_batch(spark):
                   .select("doc_id", "n_shingles", "n_common").collect()}
         assert got == expect
         assert any(c > 0 for _, c in got.values())
+        # statistic-rotation cleanup handle: close() releases the
+        # persisted common table so long-lived streams that rebuild the
+        # statistic don't accumulate dead cached partitions
+        assert proc.common.storageLevel.useMemory
+        proc.close()
+        assert not proc.common.storageLevel.useMemory
     finally:
         _sh.rmtree(d, ignore_errors=True)
