@@ -271,10 +271,15 @@ HEADLINE = [
     "tokenizer_fertility_documents",
     "boilerplate_fraction_documents",
     "boilerplate_against_documents",
+    "dedup_minhash_against_documents",
 ]
 
 
 def main() -> None:
+    global LOAD_START, T_START
+    LOAD_START = os.getloadavg()
+    T_START = time.perf_counter()
+
     from flink_ml__spark.plans import QUERIES
     from flink_ml__spark.session import get_spark
 
@@ -320,12 +325,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Ambient-load context: session-to-session totals on IDENTICAL code
+    # have swung ~15% (231→266 s between r11 sessions; driver r11 drift
+    # +6.9% with zero code changes). Recording loadavg + wall time with
+    # every map lets a reader classify a >1.2x per-query move as
+    # environmental vs real before treating it as a regression — the
+    # protocol is: isolated A/B (tools/bench_isolated.py) any mover
+    # before accepting it.
+    load_end = os.getloadavg()
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "context": {
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "loadavg_start": [round(x, 2) for x in LOAD_START],
+            "loadavg_end": [round(x, 2) for x in load_end],
+            "cpus": os.cpu_count(),
+            "wall_sec": round(time.perf_counter() - T_START, 1),
+        },
     }
     # Full per-query map: own (early) stdout line + a file. The driver
     # records only the last ~2000 chars of stdout and parses the last
@@ -346,6 +366,7 @@ def main() -> None:
         "n_queries": len(timings),
         "detail_file": "BENCH_full_queries.json",
         "sf": sf_val,
+        "context": full["context"],
     }))
 
 

@@ -1211,11 +1211,16 @@ class PoissonBootstrapper(AlgoOperator):
                         "bootstrap replicas", TypeConverters.toInt)
     seed = Param(Params._dummy(), "seed", "coefficient-schedule seed",
                  TypeConverters.toInt)
+    arrowPartials = Param(Params._dummy(), "arrowPartials",
+                          "compute the per-replica weighted partial "
+                          "sums in one vectorized Arrow pass instead "
+                          "of a 2B-expression fused aggregation",
+                          TypeConverters.toBoolean)
 
     def __init__(self):
         super().__init__()
         self._setDefault(idCol="id", valueCol="value",
-                         numReplicas=100, seed=7)
+                         numReplicas=100, seed=7, arrowPartials=True)
 
     def setIdCol(self, v):
         return self._set(idCol=v)
@@ -1232,6 +1237,9 @@ class PoissonBootstrapper(AlgoOperator):
     def setSeed(self, v):
         return self._set(seed=int(v))
 
+    def setArrowPartials(self, v):
+        return self._set(arrowPartials=bool(v))
+
     def lcg_coefficients(self) -> list[tuple[int, int]]:
         import random
 
@@ -1247,6 +1255,64 @@ class PoissonBootstrapper(AlgoOperator):
         for k in range(len(POISSON1_CDF) - 1, -1, -1):
             w = F.when(u < POISSON1_CDF[k], k).otherwise(w)
         return w
+
+    def _arrow_partials(self, proj: DataFrame) -> DataFrame:
+        """Same (n, mean, __wx{b}, __w{b}) single-row frame as the fused
+        aggregation, via per-Arrow-batch numpy partials.
+
+        Why: at B=64 the fused plan is 128 aggregate expressions whose
+        per-replica LCG + 8-step CASE ladders compile into one enormous
+        codegen stage — on a 100k-row input the 6.3 s cost is janino
+        compilation, not data. Here the (rows × B) uniform matrix and
+        the ladder (one vectorized ``searchsorted`` — identical
+        semantics to :meth:`weight_expr`, since the ladder picks the
+        first k with u < CDF[k]) run in numpy, each batch emitting ONE
+        partial row of (n, Σx, Σw_b·x, Σw_b); the final aggregation is
+        a plain 2B+2-column sum over ~#batches rows. The row hash stays
+        JVM-side (``portable_hash60`` projection), so the resample is
+        bit-identical to the fused path and the SQL oracle replays it
+        unchanged. Int64 is safe: h, a < 2³¹ so a·h+c < 2⁶²."""
+        import numpy as np
+
+        from flink_ml__spark.functions.dedup import MERSENNE31
+
+        coeffs = self.lcg_coefficients()
+        a_arr = np.array([a for a, _ in coeffs], dtype=np.int64)
+        c_arr = np.array([c for _, c in coeffs], dtype=np.int64)
+        cdf = np.array(POISSON1_CDF, dtype=np.float64)
+        B = len(coeffs)
+        cols = ["n", "sx"]
+        for b in range(B):
+            cols += [f"wx{b}", f"w{b}"]
+        schema = ("n long, sx double, " + ", ".join(
+            f"wx{b} double, w{b} double" for b in range(B)))
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                hv = pdf["__h"].to_numpy(np.int64)
+                xv = pdf["__x"].to_numpy(np.float64)
+                u = ((hv[:, None] * a_arr[None, :] + c_arr[None, :])
+                     % MERSENNE31) / float(MERSENNE31)
+                w = np.searchsorted(cdf, u.ravel(),
+                                    side="right").reshape(u.shape)
+                w = w.astype(np.float64)
+                row = [len(xv), float(xv.sum())]
+                wx = (w * xv[:, None]).sum(axis=0)
+                ws = w.sum(axis=0)
+                for b in range(B):
+                    row.append(float(wx[b]))
+                    row.append(float(ws[b]))
+                yield pd.DataFrame([row], columns=cols)
+
+        parts = proj.mapInPandas(partials, schema)
+        aggs = [F.sum("n").cast("long").alias("n"),
+                (F.sum("sx") / F.sum("n")).alias("mean")]
+        for b in range(B):
+            aggs.append(F.sum(f"wx{b}").alias(f"__wx{b}"))
+            aggs.append(F.sum(f"w{b}").alias(f"__w{b}"))
+        return parts.agg(*aggs)
 
     def evaluate(self, df: DataFrame) -> DataFrame:
         from flink_ml__spark.functions.dedup import (MERSENNE31,
@@ -1265,15 +1331,19 @@ class PoissonBootstrapper(AlgoOperator):
         proj = (df.filter(x.isNotNull() & rid.isNotNull())
                 .select(x.alias("__x"), h.alias("__h")))
         hcol, xcol = F.col("__h"), F.col("__x")
-        aggs = [F.count(F.lit(1)).alias("n"), F.avg(xcol).alias("mean")]
-        for b, (a, c) in enumerate(self.lcg_coefficients()):
-            u = ((F.lit(a) * hcol + F.lit(c)) % MERSENNE31) \
-                / F.lit(float(MERSENNE31))
-            w = self.weight_expr(u).cast("double")
-            aggs.append(F.sum(w * xcol).alias(f"__wx{b}"))
-            aggs.append(F.sum(w).alias(f"__w{b}"))
-        base = proj.agg(*aggs)
         B = self.getOrDefault(self.numReplicas)
+        if self.getOrDefault(self.arrowPartials):
+            base = self._arrow_partials(proj)
+        else:
+            aggs = [F.count(F.lit(1)).alias("n"),
+                    F.avg(xcol).alias("mean")]
+            for b, (a, c) in enumerate(self.lcg_coefficients()):
+                u = ((F.lit(a) * hcol + F.lit(c)) % MERSENNE31) \
+                    / F.lit(float(MERSENNE31))
+                w = self.weight_expr(u).cast("double")
+                aggs.append(F.sum(w * xcol).alias(f"__wx{b}"))
+                aggs.append(F.sum(w).alias(f"__w{b}"))
+            base = proj.agg(*aggs)
         means = F.array(*[
             F.when(F.col(f"__w{b}") > 0,
                    F.col(f"__wx{b}") / F.col(f"__w{b}"))

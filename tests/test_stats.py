@@ -683,6 +683,29 @@ def test_bootstrap_weight_ladder_and_validation(spark):
         PoissonBootstrapper().setNumReplicas(1)
 
 
+def test_bootstrap_arrow_partials_match_fused(spark):
+    """The Arrow-partials path (vectorized searchsorted ladder +
+    per-batch partial sums — 2.6x faster isolated, the fused 128-agg
+    plan was janino-compile-bound) must reproduce the fused plan's
+    resample: identical weights per row, so every output agrees to
+    summation-order noise."""
+    from flink_ml__spark.functions.stats import PoissonBootstrapper
+
+    df = spark.createDataFrame(
+        [(i, float((i * 31) % 23) + 0.5) for i in range(500)],
+        "id bigint, v double")
+
+    def run(arrow):
+        return (PoissonBootstrapper().setIdCol("id").setValueCol("v")
+                .setNumReplicas(40).setSeed(13)
+                .setArrowPartials(arrow).evaluate(df).first())
+
+    a, f = run(True), run(False)
+    assert a["n"] == f["n"] and a["b_replicas"] == f["b_replicas"]
+    for k in ("mean", "se", "ci_lo", "ci_hi"):
+        assert abs(a[k] - f[k]) < 1e-9, (k, a[k], f[k])
+
+
 # ---------------------------------------------------------------------------
 # CupedAdjuster
 # ---------------------------------------------------------------------------
