@@ -60,6 +60,32 @@ def main():
               f"{clean.count()}")
         clean.select("doc_id", "url_canonical").show(5, truncate=False)
 
+        # the docs that survive near-dedup can still be MOSTLY made of
+        # corpus-common boilerplate (navigation chrome, legal footers)
+        # — compose the incremental boilerplate scorer on the same
+        # corpus: fit the common-shingle statistic once, score the
+        # crawl against it, drop the template-heavy tail. Same
+        # "statistic fit on the curated side, applied to the incoming
+        # side" shape as the signature index above; the streaming twin
+        # (streaming.stream_boilerplate_score) replays exactly this
+        # per micro-batch.
+        from flink_ml__spark.functions.curation import (
+            BoilerplateFractionScorer,
+        )
+
+        sc = BoilerplateFractionScorer().setShingleSize(3).setMinDf(2)
+        common = sc.common_table(corpus).persist()
+        scored = sc.transform_against(clean, common)
+        kept = scored.filter(
+            F.col("boilerplate_frac").isNull()
+            | (F.col("boilerplate_frac") <= 0.5))
+        print(f"boilerplate gate (frac <= 0.5): {clean.count()} -> "
+              f"{kept.count()}")
+        (scored.orderBy(F.desc_nulls_last("boilerplate_frac"))
+         .select("doc_id", "n_shingles", "n_common", "boilerplate_frac")
+         .show(5, truncate=False))
+        common.unpersist()
+
 
 if __name__ == "__main__":
     main()

@@ -3646,3 +3646,112 @@ class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.transform_against(df, self.common_table(df))
+
+
+class GreedyCoverageSelector(AlgoOperator, HasInputCol, HasIdColMixin):
+    """Budgeted max-coverage data selection: greedily pick ``numDocs``
+    documents, each maximizing the count of distinct word shingles not
+    yet covered by the picks before it — the classic (1−1/e)-optimal
+    greedy for submodular coverage (Nemhauser/Wolsey/Fisher 1978; the
+    facility-location/CRAIG shape used for training-subset selection).
+    The lexical complement of :class:`~flink_ml__spark.functions.
+    similarity.KCenterCoreset`: k-center spreads picks in embedding
+    space, this spreads them over the token universe.
+
+    ``select_docs(df)`` returns one row per selected document:
+    ``step`` (1..k), the id column, and ``gain`` — the number of
+    newly covered distinct shingles (integer, so the greedy
+    trajectory replays exactly cross-engine with no float tolerance).
+    Ties break to the smaller id. Selection stops early once every
+    remaining document's shingles are fully covered (zero marginal
+    gain buys nothing); NULL-text documents have no shingles and are
+    never selected.
+
+    100 TB shape: the (doc, shingle-hash) pair table is one Arrow
+    pass (the dedup family's ``shingle_hash_udf``) materialized once;
+    each of the k steps is one keyed count aggregation over the
+    REMAINING pairs plus a broadcast anti-join against the just-picked
+    document's own shingle set (document-sized — always broadcastable)
+    — so per-step cost shrinks as coverage grows, k is a budget never
+    O(rows), and driver memory is O(k). The int64 pair table, not the
+    text, is what shuffles.
+    """
+
+    shingleSize = Param(Params._dummy(), "shingleSize",
+                        "words per shingle", TypeConverters.toInt)
+    numDocs = Param(Params._dummy(), "numDocs",
+                    "documents to select", TypeConverters.toInt)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(inputCol="text", idCol="doc_id",
+                         shingleSize=3, numDocs=8)
+
+    def setShingleSize(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"shingleSize must be >= 1, got {v}")
+        return self._set(shingleSize=v)
+
+    def setNumDocs(self, v):
+        v = int(v)
+        if v < 1:
+            raise ValueError(f"numDocs must be >= 1, got {v}")
+        return self._set(numDocs=v)
+
+    def pair_table(self, df: DataFrame) -> DataFrame:
+        """(__id, __sh) — one row per (document, distinct shingle
+        hash); the working set every greedy step aggregates over.
+
+        ``explode_outer`` + a post-generate null filter instead of
+        plain ``explode``: explode compiles to a size()>0 Filter PLUS
+        a Generate, both referencing the UDF column — Catalyst does
+        not CSE Python UDFs across a Filter (and pushes the filter
+        back through any exchange placed between), so the shingle
+        pass would run twice per row. The outer variant generates no
+        such filter; empty-array docs surface as one null ``__sh``
+        row dropped after the Generate. Raw text is repartitioned
+        BEFORE the hash so the heavy pass parallelizes even off a
+        single-split source (the dedup family's ``hashed_table``
+        idiom)."""
+        n = self.getOrDefault(self.shingleSize)
+        return (df.select(F.col(self.getIdCol()).alias("__id"),
+                          F.col(self.getInputCol()).alias("__txt"))
+                .repartition(F.col("__id"))
+                .select("__id", shingle_hash_udf(n)(F.col("__txt"))
+                        .alias("__shs"))
+                .select("__id", F.explode_outer("__shs").alias("__sh"))
+                .filter(F.col("__sh").isNotNull()))
+
+    def select_docs(self, df: DataFrame) -> DataFrame:
+        idc = self.getIdCol()
+        k = self.getOrDefault(self.numDocs)
+        spark = df.sparkSession
+        id_type = df.schema[idc].dataType.simpleString()
+
+        remaining = self.pair_table(df).persist()
+        chosen: list[tuple] = []
+        for step in range(1, k + 1):
+            top = (remaining.groupBy("__id")
+                   .agg(F.count(F.lit(1)).alias("__gain"))
+                   .orderBy(F.desc("__gain"), F.asc("__id")).first())
+            if top is None or top["__gain"] <= 0:
+                break  # every remaining doc is fully covered
+            chosen.append((step, top["__id"], int(top["__gain"])))
+            if step == k:
+                break
+            cov = remaining.filter(F.col("__id") == F.lit(top["__id"])
+                                   ).select("__sh")
+            nxt = (remaining.join(F.broadcast(cov), "__sh", "left_anti")
+                   .persist())
+            nxt.count()  # materialize before dropping the parent
+            remaining.unpersist()
+            remaining = nxt
+        remaining.unpersist()
+
+        return spark.createDataFrame(
+            chosen, f"step int, __id {id_type}, gain long").select(
+            "step", F.col("__id").alias(idc), "gain")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.select_docs(df)

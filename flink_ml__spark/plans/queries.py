@@ -11673,6 +11673,60 @@ def _kcenter_oracle_sql(k: int) -> str:
 ORACLE_KCENTER_CORESET = _kcenter_oracle_sql(_KCENTER_K)
 
 
+_COVERAGE_K = 6
+_COVERAGE_N = 3
+
+
+def q_coverage_coreset_documents(spark, sf_dir):
+    """GreedyCoverageSelector gate: budgeted submodular max-coverage
+    selection of 6 documents over 3-word shingles — each step picks
+    the doc adding the most not-yet-covered distinct shingles (ties
+    to the smaller id). Gains are integer counts, so the greedy
+    trajectory replays exactly in the oracle's unrolled k-step CTE
+    chain with no float tolerance."""
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (GreedyCoverageSelector().setNumDocs(_COVERAGE_K)
+            .setShingleSize(_COVERAGE_N).select_docs(docs))
+
+
+def _coverage_oracle_sql(k: int, n: int) -> str:
+    """Unrolled greedy max-coverage replay: g{t} counts each doc's
+    remaining (uncovered) shingle hashes, s{t} takes the argmax
+    (count DESC, id ASC), r{t} removes the pick's hashes from the
+    remaining pair set. A fully covered doc vanishes from g{t+1}, so
+    every emitted row has gain >= 1 and the UNION legs stop adding
+    rows exactly when the operator's loop breaks — early-stop parity
+    is structural, no WHERE guard needed (cf. the KCenter oracle)."""
+    parts = [
+        f"WITH toks AS (SELECT doc_id, text, {_TOK_SQL} AS toks "
+        f"FROM documents)",
+        "sh AS (SELECT doc_id, CASE WHEN text IS NULL "
+        "THEN []::VARCHAR[] ELSE "
+        f"{_shingle_sql(n)} END AS sh FROM toks)",
+        f"r0 AS (SELECT doc_id, {_H60.format(x='s')} AS h "
+        "FROM sh, unnest(sh.sh) AS u(s))"]
+    for t in range(1, k + 1):
+        parts.append(
+            f"g{t} AS (SELECT doc_id, count(*)::BIGINT AS c "
+            f"FROM r{t - 1} GROUP BY 1)")
+        parts.append(
+            f"s{t} AS (SELECT doc_id, c FROM g{t} "
+            f"ORDER BY c DESC, doc_id ASC LIMIT 1)")
+        if t < k:
+            parts.append(
+                f"r{t} AS (SELECT p.* FROM r{t - 1} p WHERE p.h NOT IN "
+                f"(SELECT r.h FROM r{t - 1} r "
+                f"JOIN s{t} USING (doc_id)))")
+    sel = [f"SELECT {t} AS step, doc_id, c AS gain FROM s{t}"
+           for t in range(1, k + 1)]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+ORACLE_COVERAGE_CORESET = _coverage_oracle_sql(_COVERAGE_K, _COVERAGE_N)
+
+
 _PAD_K = 8
 _WS_COUNT_SQL = ("coalesce(len(list_filter(string_split_regex(text, "
                  "'\\s+'), x -> x <> '')), 0)")
@@ -11848,6 +11902,7 @@ QUERIES = {
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
     "dedup_minhash_against_documents": q_dedup_minhash_against_documents,
+    "coverage_coreset_documents": q_coverage_coreset_documents,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
@@ -11896,8 +11951,8 @@ QUERIES = {
     "components_events": q_components_events,
     "label_prop_events": q_label_prop_events,
     "assoc_lineitem": q_assoc_lineitem,
-    "corr_matrix_lineitem": q_corr_matrix_lineitem,
     # --- outside the window this round
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
     "mean_shift_events": q_mean_shift_events,
     "corr_window_events": q_corr_window_events,
@@ -12388,6 +12443,7 @@ ORACLES = {
     "chao1_documents": ORACLE_CHAO1,
     "source_diversity_documents": ORACLE_SOURCE_DIVERSITY,
     "kcenter_coreset_embeddings": ORACLE_KCENTER_CORESET,
+    "coverage_coreset_documents": ORACLE_COVERAGE_CORESET,
     "padding_waste_documents": ORACLE_PADDING_WASTE,
     "tokenizer_fertility_documents": ORACLE_TOKENIZER_FERTILITY,
     "boilerplate_fraction_documents": ORACLE_BOILERPLATE_FRACTION,

@@ -1645,3 +1645,74 @@ def test_boilerplate_transform_against_reference_corpus(spark):
                for r in sc.transform_against(
                    df, sc.common_table(df)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# GreedyCoverageSelector
+# ---------------------------------------------------------------------------
+
+def test_coverage_selector_hand_checked(spark):
+    """1-word shingles, hand-replayable greedy. Universe: doc1
+    {a,b,c,d}, doc2 {c,d,e,f}, doc3 {e,f,x}, doc4 {a,b}. Step 1 ties
+    docs 1/2 at 4 -> smaller id (doc 1, gain 4). Step 2: doc2 has
+    {e,f} left (2), doc3 {e,f,x} (3) -> doc 3, gain 3. Step 3: docs
+    2 and 4 are fully covered -> early stop despite numDocs=4."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "e f x"), (4, "a b")],
+        "doc_id long, text string")
+    out = (GreedyCoverageSelector().setShingleSize(1).setNumDocs(4)
+           .select_docs(df).orderBy("step").collect())
+    assert [(r["step"], r["doc_id"], r["gain"]) for r in out] == [
+        (1, 1, 4), (2, 3, 3)]
+    with _pt.raises(ValueError, match="numDocs"):
+        GreedyCoverageSelector().setNumDocs(0)
+    with _pt.raises(ValueError, match="shingleSize"):
+        GreedyCoverageSelector().setShingleSize(0)
+
+
+def test_coverage_selector_null_text_and_empty(spark):
+    """NULL-text docs have no shingles and are never selected; an
+    all-NULL corpus selects nothing (empty frame, stable schema)."""
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, None)],
+        "doc_id long, text string")
+    out = (GreedyCoverageSelector().setShingleSize(1).setNumDocs(3)
+           .select_docs(df).collect())
+    assert [(r["step"], r["doc_id"]) for r in out] == [(1, 2)]
+    empty = (GreedyCoverageSelector().setNumDocs(2).select_docs(
+        df.filter("text IS NULL")))
+    assert empty.columns == ["step", "doc_id", "gain"]
+    assert empty.count() == 0
+
+
+def test_coverage_selector_oracle_parity(spark):
+    """The unrolled DuckDB oracle replays the greedy trajectory —
+    including the structural early stop — on data with ties and a
+    fully-covered doc."""
+    import duckdb
+
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+    from flink_ml__spark.plans.queries import _coverage_oracle_sql
+
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "gamma delta epsilon zeta eta"),
+            (3, "zeta eta theta"),
+            (4, "alpha beta"),
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ours = [(r["step"], r["doc_id"], r["gain"]) for r in
+            (GreedyCoverageSelector().setShingleSize(1).setNumDocs(5)
+             .select_docs(df).orderBy("step").collect())]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    theirs = sorted(con.execute(_coverage_oracle_sql(5, 1)).fetchall())
+    assert [(s, d, int(g)) for s, d, g in theirs] == ours
+    assert len(ours) < 5  # early stop exercised
