@@ -66,6 +66,7 @@ from flink_ml__spark.base import (
 )
 from flink_ml__spark.functions.dedup import (
     HasIdColMixin,
+    _MaterializeMixin,
     portable_hash60,
     shingle_hash_udf,
 )
@@ -3540,7 +3541,8 @@ class PaddingWasteProfiler(AlgoOperator):
                           waste.alias("padding_frac"))
 
 
-class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
+class BoilerplateFractionScorer(AlgoOperator, _MaterializeMixin,
+                                HasInputCol, HasIdColMixin):
     """Inter-document redundancy score: the fraction of a document's
     distinct word shingles that are corpus-COMMON (appear in at least
     ``minDf`` distinct documents). High values flag template/
@@ -3589,15 +3591,33 @@ class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
             raise ValueError(f"minDf must be >= 2, got {v}")
         return self._set(minDf=v)
 
-    def _sized(self, df: DataFrame) -> DataFrame:
+    def _sized(self, df: DataFrame,
+               materialize: bool = False) -> DataFrame:
+        """(__id, n_shingles, __shs). Catalyst does not CSE Python
+        UDFs across plan branches, so a multi-referenced frame re-runs
+        the Arrow hash pass per branch — pass ``materialize=True``
+        at multi-reference sites (``transform_against`` references it
+        from both join sides; measured 1.2× isolated) to collapse the
+        branches onto one cached pass via the dedup family's bounded
+        persist registry. Single-use sites (``common_table``) stay
+        plain: the eager cache write costs more than it saves there
+        (measured 1.4× slower when materialized). CacheManager matches
+        by canonicalized plan, so when ``transform`` fits and scores
+        the SAME frame, the plain ``common_table`` plan reads the
+        already-cached InMemoryRelation anyway — one Arrow pass total.
+        Raw text is repartitioned before the hash so the heavy pass
+        parallelizes off few-split sources (the ``hashed_table``
+        idiom)."""
         n = self.getOrDefault(self.shingleSize)
-        hashed = df.select(
-            F.col(self.getIdCol()).alias("__id"),
-            shingle_hash_udf(n)(F.col(self.getInputCol()))
-            .alias("__shs"))
-        return hashed.select("__id",
-                             F.size("__shs").cast("long")
-                             .alias("n_shingles"), "__shs")
+        hashed = (df.select(F.col(self.getIdCol()).alias("__id"),
+                            F.col(self.getInputCol()).alias("__txt"))
+                  .repartition(F.col("__id"))
+                  .select("__id", shingle_hash_udf(n)(F.col("__txt"))
+                          .alias("__shs")))
+        sized = hashed.select("__id",
+                              F.size("__shs").cast("long")
+                              .alias("n_shingles"), "__shs")
+        return self._materialize(sized) if materialize else sized
 
     def common_table(self, corpus_df: DataFrame) -> DataFrame:
         """The corpus statistic: distinct shingle hashes appearing in
@@ -3606,8 +3626,12 @@ class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
         and reuse for incremental scoring (`transform_against`) or
         the streaming twin."""
         min_df = self.getOrDefault(self.minDf)
+        # explode_outer + null filter, not explode: the plain variant
+        # adds a size() filter that re-references (and re-evaluates)
+        # the Arrow column — see _sized
         ex = (self._sized(corpus_df)
-              .select("__id", F.explode("__shs").alias("__sh")))
+              .select("__id", F.explode_outer("__shs").alias("__sh"))
+              .filter(F.col("__sh").isNotNull()))
         # shingles are distinct per doc, so count(*) per hash is the
         # distinct-document frequency; keep only the common survivors
         return (ex.groupBy("__sh")
@@ -3624,8 +3648,10 @@ class BoilerplateFractionScorer(AlgoOperator, HasInputCol, HasIdColMixin):
         semi-join against the O(Zipf-head) statistic; the reference
         corpus is never rescanned."""
         idc = self.getIdCol()
-        sized = self._sized(df)
-        ex = sized.select("__id", F.explode("__shs").alias("__sh"))
+        sized = self._sized(df, materialize=True)
+        ex = (sized.select("__id", F.explode_outer("__shs")
+                           .alias("__sh"))
+              .filter(F.col("__sh").isNotNull()))
         n_common = (ex.join(common, "__sh", "left_semi")
                     .groupBy("__id")
                     .agg(F.count(F.lit(1)).cast("long")

@@ -12,7 +12,9 @@ as int64 "123" — a mismatch the driver sees but a `fetchall()`-based
 replica (which converts HUGEINT to Python int) can never see. That
 blind spot cost rounds 9-10; do not revert to collect()/fetchall().
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--first N] [sf_dir] [query ...]
+  --first N  also check the first N registry keys (the driver's gate
+             window) in addition to any names given explicitly.
 """
 
 from __future__ import annotations
@@ -34,8 +36,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    first_n = 0
+    if "--first" in args:  # check the driver's window: first N
+        i = args.index("--first")  # registry keys, in registry order
+        first_n = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if first_n:
+        only |= set(list(QUERIES)[:first_n])
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
