@@ -272,6 +272,8 @@ HEADLINE = [
     "boilerplate_fraction_documents",
     "boilerplate_against_documents",
     "dedup_minhash_against_documents",
+    "coverage_coreset_documents",
+    "unimax_alloc_documents",
 ]
 
 

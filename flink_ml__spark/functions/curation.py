@@ -521,6 +521,126 @@ class TemperatureMixer(AlgoOperator):
                         .alias("sample_factor")))
 
 
+class UniMaxAllocator(AlgoOperator):
+    """UniMax budget allocation (Chung et al., "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): distribute a total training-token
+    budget across domains as UNIFORMLY as possible subject to a
+    per-domain epoch cap — the published fix for temperature
+    sampling's twin failure modes (head domains still dominating at
+    τ→1, tail domains over-epoched into memorization at τ→0).
+
+    Closed-form water-filling, not iteration: with per-domain token
+    inventories ``n_d`` and capacity ``cap_d = maxEpochs·n_d``,
+    ``alloc_d = min(cap_d, τ)`` where the water level τ solves
+    ``Σ alloc_d = budget``. Sorting domains by capacity ascending,
+    τ = (budget − Σ_{smaller} cap) / (#remaining) at the FIRST rank
+    where that value fits under the rank's own capacity; if none
+    fits, every domain is capped and the leftover budget is reported
+    unallocated (``weight`` then sums < 1 intentionally — UniMax
+    never over-epochs to burn budget).
+
+    Output, one row per domain: ``n_docs, n_tokens, cap, alloc,
+    epochs = alloc/n_tokens, weight = alloc/budget``.
+
+    100 TB shape: ONE corpus aggregation to O(domains) rows; the
+    sort/prefix-sum windows run unpartitioned over those O(domains)
+    rows — bounded by construction, the same justification as the
+    Zipf/Otsu gates. Doubles stay exact (integer token counts scaled
+    by the epoch cap), so the τ-vs-cap boundary comparisons replay
+    bit-identically in the SQL oracle.
+    """
+
+    groupCol = Param(Params._dummy(), "groupCol", "domain column",
+                     TypeConverters.toString)
+    tokenCol = Param(Params._dummy(), "tokenCol",
+                     "per-row token count column",
+                     TypeConverters.toString)
+    budget = Param(Params._dummy(), "budget",
+                   "total tokens to allocate (0 = corpus total)",
+                   TypeConverters.toInt)
+    maxEpochs = Param(Params._dummy(), "maxEpochs",
+                      "per-domain repeat cap (>= 1)",
+                      TypeConverters.toFloat)
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(groupCol="source", tokenCol="n_tokens",
+                         budget=0, maxEpochs=4.0)
+
+    def setGroupCol(self, v):
+        return self._set(groupCol=v)
+
+    def setTokenCol(self, v):
+        return self._set(tokenCol=v)
+
+    def setBudget(self, v):
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"budget must be >= 0, got {v}")
+        return self._set(budget=v)
+
+    def setMaxEpochs(self, v):
+        v = float(v)
+        if v < 1.0:
+            raise ValueError(f"maxEpochs must be >= 1, got {v}")
+        return self._set(maxEpochs=v)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        g = self.getOrDefault(self.groupCol)
+        me = self.getOrDefault(self.maxEpochs)
+        budget = self.getOrDefault(self.budget)
+        tc = F.col(self.getOrDefault(self.tokenCol))
+        per = (df.filter(F.col(g).isNotNull())
+               .groupBy(g).agg(
+                   F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(tc).cast("long").alias("n_tokens"))
+               .withColumn("cap",
+                           F.lit(me) * F.col("n_tokens")))
+        tot = per.agg(F.sum("n_tokens").alias("__t"),
+                      F.count(F.lit(1)).alias("__d"))
+        b_col = (F.lit(float(budget)) if budget > 0
+                 else F.col("__t").cast("double"))
+        shared = per.crossJoin(F.broadcast(tot)).withColumn("__b",
+                                                            b_col)
+        # O(domains) rows — the unpartitioned windows are bounded by
+        # construction (cf. the Zipf/Otsu gates)
+        w = Window.orderBy(F.asc("cap"), F.asc(g))
+        ranked = (shared
+                  .withColumn("__i", F.row_number().over(w))
+                  .withColumn("__pfx", F.coalesce(
+                      F.sum("cap").over(
+                          w.rowsBetween(Window.unboundedPreceding,
+                                        -1)), F.lit(0.0)))
+                  .withColumn("__tau", (F.col("__b") - F.col("__pfx"))
+                              / (F.col("__d") - F.col("__i") + 1)))
+        wall = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        fitted = (ranked
+                  .withColumn("__first", F.min(
+                      F.when(F.col("__tau") <= F.col("cap"),
+                             F.col("__i"))).over(wall))
+                  .withColumn("__lvl", F.max(
+                      F.when(F.col("__i") == F.col("__first"),
+                             F.col("__tau"))).over(wall)))
+        alloc = (F.when(F.col("__first").isNull()
+                        | (F.col("__i") < F.col("__first")),
+                        F.col("cap"))
+                 .otherwise(F.col("__lvl")))
+        q6 = [("epochs", 1e6), ("weight", 1e6)]
+        out = (fitted.withColumn("alloc", alloc)
+               .withColumn("epochs",
+                           F.when(F.col("n_tokens") > 0,
+                                  F.col("alloc") / F.col("n_tokens")))
+               .withColumn("weight", F.col("alloc") / F.col("__b")))
+        return out.select(
+            g, "n_docs", "n_tokens",
+            (F.floor(F.col("cap") * 1e2 + 0.5) / 1e2).alias("cap"),
+            (F.floor(F.col("alloc") * 1e2 + 0.5) / 1e2).alias("alloc"),
+            *[(F.floor(F.col(c) * s + 0.5) / s).alias(c)
+              for c, s in q6])
+
+
 class LeakageSafeSplitter(AlgoOperator, HasIdColMixin):
     """Duplicate-cluster-aware train/val/test assignment: the fix for
     what :class:`SplitLeakageAuditor` detects. Documents are split by

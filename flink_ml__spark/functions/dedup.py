@@ -769,6 +769,37 @@ class MinHashTopK(AlgoOperator, HasInputCol, HasIdColMixin, HasSeed):
                 .setNumHashes(self.getOrDefault(self.numHashes))
                 .setBands(self.getOrDefault(self.bands)))
 
+    def suggest_band_cap(self, corpus: DataFrame, *,
+                         quantile: float = 0.99,
+                         floor: int = 64) -> int:
+        """Size ``maxBandBucket`` from the corpus's own duplication
+        profile instead of guessing: returns
+        ``max(floor, ceil(P_quantile of band-bucket sizes))``.
+
+        Why (measured, SCALE.md r12 100× ladder): the cap is what
+        bounds the candidate join when hot band keys appear — but a
+        TRUE duplicate cluster of depth C shares every band key, so a
+        cap below C silently drops those buckets and top-k recall
+        over mega-clusters collapses to the rarer-minima bands. The
+        P99 bucket size ≈ the deep end of the cluster-depth
+        distribution, so capping just above it keeps real duplicate
+        structure while still amputating the Zipf-head discriminator
+        keys. Cost: one band projection + an O(buckets) count
+        aggregation + a mergeable percentile sketch — run it once per
+        corpus snapshot, not per query batch."""
+        if not 0.0 < quantile <= 1.0:
+            raise ValueError(f"quantile must be in (0, 1], got {quantile}")
+        import math
+
+        d = self._dedup()
+        sizes = (d.band_table(d.hashed_table(corpus))
+                 .groupBy("__b").agg(F.count(F.lit(1)).alias("__n")))
+        row = sizes.agg(F.approx_percentile(
+            F.col("__n").cast("double"), F.lit(float(quantile)),
+            F.lit(10000)).alias("q")).first()
+        q = row["q"] if row else None
+        return max(int(floor), int(math.ceil(q))) if q else int(floor)
+
     def topk(self, queries: DataFrame, corpus: DataFrame) -> DataFrame:
         """(query_id, doc_id, jaccard, rank) — top-k per query."""
         from pyspark.sql import Window

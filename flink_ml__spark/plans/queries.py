@@ -8939,6 +8939,58 @@ FROM p CROSS JOIN z
 """
 
 
+def q_unimax_alloc_documents(spark, sf_dir):
+    """UniMaxAllocator gate: water-filling allocation of a
+    1.15×-corpus token budget over the 20 sources with a 1.2-epoch
+    cap — a mixed regime (the smallest domains hit their capacity,
+    the rest share the water level τ), so the gate pins both branches
+    of the closed form. The τ-vs-cap boundary comparisons are on
+    doubles derived identically in both engines (integer counts ×
+    the same literals), so the regime split replays bit-identically."""
+    from flink_ml__spark.functions.curation import UniMaxAllocator
+
+    docs = load_table(spark, "documents", sf_dir)
+    total = (docs.filter(F.col("source").isNotNull())
+             .agg(F.sum("n_chars")).first()[0])
+    return (UniMaxAllocator().setGroupCol("source")
+            .setTokenCol("n_chars").setMaxEpochs(1.2)
+            .setBudget(int(1.15 * float(total)))
+            .transform(docs))
+
+
+ORACLE_UNIMAX_ALLOC = """
+WITH per AS (
+  SELECT source AS g, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS n_tokens
+  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS t, count(*)::BIGINT AS d
+        FROM per),
+base AS (SELECT per.*, 1.2 * n_tokens AS cap,
+                floor(1.15 * tot.t) AS b, tot.d
+         FROM per CROSS JOIN tot),
+rk AS (SELECT *, row_number() OVER (ORDER BY cap, g) AS i,
+              coalesce(sum(cap) OVER (ORDER BY cap, g
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0.0) AS pfx
+       FROM base),
+tau AS (SELECT *, (b - pfx) / (d - i + 1) AS tau FROM rk),
+sel AS (SELECT min(CASE WHEN tau <= cap THEN i END) AS fi FROM tau),
+lvl AS (SELECT max(CASE WHEN i = fi THEN tau END) AS lv
+        FROM tau CROSS JOIN sel),
+fin AS (SELECT t.*,
+               CASE WHEN sel.fi IS NULL OR t.i < sel.fi
+                    THEN t.cap ELSE lvl.lv END AS alloc
+        FROM tau t CROSS JOIN sel CROSS JOIN lvl)
+SELECT g AS source, n_docs, n_tokens,
+       floor(cap * 1e2 + 0.5) / 1e2 AS cap,
+       floor(alloc * 1e2 + 0.5) / 1e2 AS alloc,
+       floor((CASE WHEN n_tokens > 0 THEN alloc / n_tokens END)
+             * 1e6 + 0.5) / 1e6 AS epochs,
+       floor(alloc / b * 1e6 + 0.5) / 1e6 AS weight
+FROM fin
+"""
+
+
 def q_embedding_drift_embeddings(spark, sf_dir):
     """EmbeddingDriftMonitor gate: per-dimension moment drift between
     the even- and odd-id halves of the embeddings table, plus the
@@ -11903,6 +11955,7 @@ QUERIES = {
     # tools/rotate_gates.py
     "dedup_minhash_against_documents": q_dedup_minhash_against_documents,
     "coverage_coreset_documents": q_coverage_coreset_documents,
+    "unimax_alloc_documents": q_unimax_alloc_documents,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
     "canopy_invariants_customer": q_canopy_invariants_customer,
@@ -11950,8 +12003,8 @@ QUERIES = {
     "triangles_events": q_triangles_events,
     "components_events": q_components_events,
     "label_prop_events": q_label_prop_events,
-    "assoc_lineitem": q_assoc_lineitem,
     # --- outside the window this round
+    "assoc_lineitem": q_assoc_lineitem,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
     "mean_shift_events": q_mean_shift_events,
@@ -12181,6 +12234,7 @@ ORACLES = {
     "partition_health_orders": ORACLE_PARTITION_HEALTH,
     "paraphrase_pairs_documents": _oracle_paraphrase_pairs(),
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
+    "unimax_alloc_documents": ORACLE_UNIMAX_ALLOC,
     "leakage_safe_split_documents": _oracle_leakage_safe_split(),
     "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
     "zipf_documents": ORACLE_ZIPF,

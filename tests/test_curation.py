@@ -1716,3 +1716,56 @@ def test_coverage_selector_oracle_parity(spark):
     theirs = sorted(con.execute(_coverage_oracle_sql(5, 1)).fetchall())
     assert [(s, d, int(g)) for s, d, g in theirs] == ours
     assert len(ours) < 5  # early stop exercised
+
+
+# ---------------------------------------------------------------------------
+# UniMaxAllocator
+# ---------------------------------------------------------------------------
+
+def test_unimax_hand_checked_water_filling(spark):
+    """3 domains (100/200/700 tokens), 2-epoch cap, budget 1000:
+    caps are 200/400/1400; water level τ=(1000−200)/2=400 found at
+    rank 2, so A caps at 200 and B/C sit at 400 — Σalloc = budget."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.curation import UniMaxAllocator
+
+    rows = ([("A", 100)] + [("B", 200)] + [("C", 700)])
+    df = spark.createDataFrame(rows, "source string, n_tokens int")
+    out = {r["source"]: r for r in
+           (UniMaxAllocator().setMaxEpochs(2.0).setBudget(1000)
+            .transform(df).collect())}
+    assert (out["A"]["alloc"], out["B"]["alloc"],
+            out["C"]["alloc"]) == (200.0, 400.0, 400.0)
+    assert out["A"]["epochs"] == 2.0
+    assert abs(out["C"]["epochs"] - 0.571429) < 1e-6
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    with _pt.raises(ValueError, match="maxEpochs"):
+        UniMaxAllocator().setMaxEpochs(0.5)
+    with _pt.raises(ValueError, match="budget"):
+        UniMaxAllocator().setBudget(-1)
+
+
+def test_unimax_all_capped_leaves_budget_unallocated(spark):
+    """Budget above total capacity: every domain stops at its epoch
+    cap and weights sum < 1 — UniMax never over-epochs to burn
+    budget. budget=0 defaults to the corpus total (one epoch each
+    when caps allow)."""
+    from flink_ml__spark.functions.curation import UniMaxAllocator
+
+    df = spark.createDataFrame(
+        [("A", 100), ("B", 200), ("C", 700)],
+        "source string, n_tokens int")
+    out = {r["source"]: r for r in
+           (UniMaxAllocator().setMaxEpochs(2.0).setBudget(5000)
+            .transform(df).collect())}
+    assert (out["A"]["alloc"], out["B"]["alloc"],
+            out["C"]["alloc"]) == (200.0, 400.0, 1400.0)
+    assert sum(r["weight"] for r in out.values()) < 0.5
+    # budget=0 -> corpus total (1000): τ=(1000-0)/3=333.33 at rank 1
+    # (333.33 > cap_A=200? no — τ_1 vs cap 200 fails; rank 2:
+    # (1000-200)/2=400 <= 400 ✓) — same split as the 1000 budget
+    out0 = {r["source"]: r["alloc"] for r in
+            (UniMaxAllocator().setMaxEpochs(2.0)
+             .transform(df).collect())}
+    assert out0 == {"A": 200.0, "B": 400.0, "C": 400.0}

@@ -699,3 +699,32 @@ def test_ngram_similar_pairs_band(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         op.similar_pairs(df, lo=0.9, hi=0.5)
+
+
+def test_suggest_band_cap_tracks_duplication_depth(spark):
+    """The cap estimator sizes maxBandBucket from the corpus's own
+    band-bucket distribution: a planted 40-copy cluster pushes the
+    P99 bucket size to ~40 so the suggestion clears the cluster
+    depth; a healthy corpus stays at the floor (SCALE.md r12: a cap
+    below cluster depth silently drops true-duplicate buckets)."""
+    import pytest as _pt
+
+    from flink_ml__spark.functions.dedup import MinHashTopK
+
+    dup_rows = [(i, "boilerplate page text repeated everywhere exactly "
+                    "the same way across mirrored sites")
+                for i in range(100, 140)]
+    dup_rows += [(i, f"unique document number {i} about topic {i * 7}")
+                 for i in range(10)]
+    dups = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    op = MinHashTopK().setSeed(42).setBands(12)
+    cap = op.suggest_band_cap(dups, floor=8)
+    assert cap >= 40
+
+    healthy = spark.createDataFrame(
+        [(i, f"entirely distinct text {i} talking about {i * 31}"
+             f" and {i * 17}") for i in range(60)],
+        "doc_id long, text string")
+    assert op.suggest_band_cap(healthy, floor=64) == 64
+    with _pt.raises(ValueError, match="quantile"):
+        op.suggest_band_cap(healthy, quantile=0.0)
