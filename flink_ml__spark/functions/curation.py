@@ -3764,8 +3764,12 @@ class BoilerplateFractionScorer(AlgoOperator, _MaterializeMixin,
             .repartition(F.col("__id"))
             .select("__id", F.explode(
                 shingle_hash_udf(n)(F.col("__txt"))).alias("__sh")))
+        return self._common_from_exploded(ex)
+
+    def _common_from_exploded(self, ex: DataFrame) -> DataFrame:
         # shingles are distinct per doc, so count(*) per hash is the
         # distinct-document frequency; keep only the common survivors
+        min_df = self.getOrDefault(self.minDf)
         return (ex.groupBy("__sh")
                 .agg(F.count(F.lit(1)).alias("__df"))
                 .filter(F.col("__df") >= min_df)
@@ -3803,7 +3807,14 @@ class BoilerplateFractionScorer(AlgoOperator, _MaterializeMixin,
             idc, "left")
 
     def transform(self, df: DataFrame) -> DataFrame:
-        return self.transform_against(df, self.common_table(df))
+        # derive the statistic from the SAME materialized frame the
+        # scoring pass reads (CacheManager plan-matching) — one Arrow
+        # shingle pass total; the direct-shape common_table would
+        # rescan and rehash the corpus a second time here
+        sized = self._sized(df, materialize=True)
+        common = self._common_from_exploded(
+            sized.select("__id", F.explode("__shs").alias("__sh")))
+        return self.transform_against(df, common)
 
 
 class GreedyCoverageSelector(AlgoOperator, HasInputCol, HasIdColMixin):

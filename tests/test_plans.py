@@ -1183,3 +1183,54 @@ def test_no_uncast_sum_outputs_in_oracles():
                 bad.append((name, " ".join(it.split())[:90]))
     assert not bad, (
         f"uncast sum() oracle outputs (cast ::BIGINT or ::DOUBLE): {bad}")
+
+
+def test_boilerplate_single_arrow_pass(spark):
+    """r12 pin: BoilerplateFractionScorer.transform must evaluate the
+    Arrow shingle pass ONCE (cached) — the naive plan ran it 3x (both
+    join branches + the common_table branch; no UDF CSE across
+    branches or explode's size filter). Every branch must read the
+    InMemoryRelation; the plan outside the cache build must contain
+    no ArrowEvalPython."""
+    from flink_ml__spark.functions.curation import BoilerplateFractionScorer
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", SF)
+    sc = BoilerplateFractionScorer().setShingleSize(3).setMinDf(2)
+    plan = (sc.transform(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    imts = plan.count("InMemoryTableScan")
+    arrow = plan.count("ArrowEvalPython")
+    # all three consumer branches must read the cache; the only Arrow
+    # mentions allowed are the cached build plan reprinted under each
+    # scan (<= 2 per scan: AQE initial + final plan sections)
+    assert imts == 3, f"expected 3 cache reads, saw {imts}"
+    assert arrow <= 2 * imts, (imts, arrow)
+
+
+def test_coverage_pair_table_single_arrow_pass(spark):
+    """r12 pin: GreedyCoverageSelector.pair_table uses the direct
+    explode(udf()) shape — exactly ONE ArrowEvalPython, no generated
+    size filter re-evaluating the UDF."""
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+    from flink_ml__spark.sources import load_table
+
+    docs = load_table(spark, "documents", SF)
+    pt = GreedyCoverageSelector().pair_table(docs)
+    plan = pt._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
+
+
+def test_bootstrap_default_is_arrow_partials(spark):
+    """r12 pin: PoissonBootstrapper defaults to the Arrow-partials
+    plan (mapInPandas partial sums; 2.56x isolated) — the fused
+    128-aggregate janino-bound plan stays opt-in."""
+    from flink_ml__spark.functions.stats import PoissonBootstrapper
+    from flink_ml__spark.sources import load_table
+
+    ev = load_table(spark, "events", SF)
+    op = (PoissonBootstrapper().setIdCol("event_id")
+          .setValueCol("value").setNumReplicas(8))
+    plan = (op.evaluate(ev)._jdf.queryExecution()
+            .optimizedPlan().toString())
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan[:500]
