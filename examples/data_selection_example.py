@@ -1,11 +1,15 @@
-"""Data-selection tour of the round-11 operators: greedy k-center
-coreset selection over embeddings (diversity hull), length-bucketed
-padding-waste audit for batch building, and the per-language tokenizer
+"""Data-selection tour: greedy k-center coreset selection over
+embeddings (diversity hull), greedy max-coverage selection over text
+(lexical hull), UniMax budget allocation across sources, the
+length-bucketed padding-waste audit and the per-language tokenizer
 fertility audit — composed with SemDeDup to show the select-for-
-training workflow: dedup the redundant mass, pick the diverse hull,
-then check what the surviving mix costs to batch and tokenize (gate
-queries: kcenter_coreset_embeddings, padding_waste_documents,
-tokenizer_fertility_documents, semdedup_embeddings)."""
+training workflow: dedup the redundant mass, pick the diverse hull in
+BOTH embedding and token space, water-fill the token budget over
+domains, then check what the surviving mix costs to batch and
+tokenize (gate queries: kcenter_coreset_embeddings,
+coverage_coreset_documents, unimax_alloc_documents,
+padding_waste_documents, tokenizer_fertility_documents,
+semdedup_embeddings)."""
 
 from _common import SF_DIR, get_session
 
@@ -39,7 +43,29 @@ def main():
     print("(max dist2 of the last pick = coverage radius² of the"
           " first 9 centers)")
 
-    print("== 3. padding-waste audit: what the batch builder pays ==")
+    print("== 3. max-coverage coreset: the lexical hull ==")
+    from flink_ml__spark.functions.curation import (
+        GreedyCoverageSelector,
+        UniMaxAllocator,
+    )
+
+    lex = (GreedyCoverageSelector().setNumDocs(6)
+           .select_docs(docs))
+    lex.show()
+    print("(gain = new distinct shingles each pick adds — the"
+          " token-space complement of step 2's dist2)")
+
+    print("== 4. UniMax: water-fill the token budget over sources ==")
+    total = (docs.filter(F.col("source").isNotNull())
+             .agg(F.sum("n_chars")).first()[0])
+    (UniMaxAllocator().setGroupCol("source").setTokenCol("n_chars")
+     .setMaxEpochs(1.2).setBudget(int(1.15 * float(total)))
+     .transform(docs)
+     .orderBy(F.desc("epochs")).show(8))
+    print("(capped domains sit at maxEpochs; the rest share the"
+          " water level — no domain is over-epoched to burn budget)")
+
+    print("== 5. padding-waste audit: what the batch builder pays ==")
     counted = TokenCounter().transform(docs)
     (PaddingWasteProfiler().setNumBuckets(4).transform(counted)
      .orderBy("bucket").show())
@@ -48,7 +74,7 @@ def main():
     print(f"unsorted-batching baseline waste: {baseline:.3f} "
           f"(compare per-bucket padding_frac above)")
 
-    print("== 4. tokenizer fertility: which languages overpay ==")
+    print("== 6. tokenizer fertility: which languages overpay ==")
     (TokenizerFertilityProfiler().setGroupCol("lang").transform(docs)
      .orderBy(F.desc("rel_fertility")).show())
 
