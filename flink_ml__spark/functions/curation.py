@@ -588,15 +588,24 @@ class UniMaxAllocator(AlgoOperator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         g = self.getOrDefault(self.groupCol)
-        me = self.getOrDefault(self.maxEpochs)
-        budget = self.getOrDefault(self.budget)
         tc = F.col(self.getOrDefault(self.tokenCol))
         per = (df.filter(F.col(g).isNotNull())
                .groupBy(g).agg(
                    F.count(F.lit(1)).alias("n_docs"),
-                   F.sum(tc).cast("long").alias("n_tokens"))
-               .withColumn("cap",
-                           F.lit(me) * F.col("n_tokens")))
+                   F.sum(tc).cast("long").alias("n_tokens")))
+        return self.allocate(per)
+
+    def allocate(self, inventory: DataFrame) -> DataFrame:
+        """Water-fill directly from a pre-aggregated inventory frame
+        ``(groupCol, n_docs, n_tokens)`` — the entry point for callers
+        that maintain running counts themselves (the streaming twin
+        ``streaming.stream_unimax_alloc`` folds micro-batch counts
+        into O(domains) driver state and re-allocates per batch)."""
+        g = self.getOrDefault(self.groupCol)
+        me = self.getOrDefault(self.maxEpochs)
+        budget = self.getOrDefault(self.budget)
+        per = inventory.withColumn("cap",
+                                   F.lit(me) * F.col("n_tokens"))
         tot = per.agg(F.sum("n_tokens").alias("__t"),
                       F.count(F.lit(1)).alias("__d"))
         b_col = (F.lit(float(budget)) if budget > 0

@@ -1630,3 +1630,51 @@ def stream_boilerplate_score(corpus_df: DataFrame, scorer, emit, *,
     process.common = common
     process.close = close
     return process
+
+
+def stream_unimax_alloc(allocator, emit) -> "callable":
+    """Streaming UniMax budget allocation: returns a ``foreachBatch``
+    processor that folds each micro-batch's per-domain token counts
+    into a running inventory and emits the REFRESHED water-filling
+    allocation (``emit(alloc_df, batch_id)``) — the production "keep
+    the training-mix budget current while the crawl lands" shape,
+    sibling of :func:`stream_boilerplate_score`.
+
+    State is the accumulated ``(domain → n_docs, n_tokens)`` map —
+    O(domains), held on the driver (domains are a vocabulary, never
+    row-scale), so each batch costs ONE aggregation of the batch
+    itself plus the O(domains) closed-form allocation; no growing
+    union plan, no shuffle over history. After any batch the emitted
+    frame equals ``allocator.transform`` over all rows seen so far
+    (stream==batch parity, pinned in tests).
+
+    ``allocator`` is a configured
+    :class:`~flink_ml__spark.functions.curation.UniMaxAllocator`;
+    with ``budget=0`` the budget tracks the growing corpus total, a
+    fixed budget shows domains capping out as inventory accumulates.
+    """
+    from pyspark.sql import functions as F
+
+    state: dict = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        g = allocator.getOrDefault(allocator.groupCol)
+        tc = allocator.getOrDefault(allocator.tokenCol)
+        rows = (batch_df.filter(F.col(g).isNotNull())
+                .groupBy(g).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col(tc)).cast("long").alias("t"))
+                .collect())
+        for r in rows:
+            n, t = state.get(r[g], (0, 0))
+            state[r[g]] = (n + r["n"], t + r["t"])
+        if not state:
+            return
+        spark = batch_df.sparkSession
+        inv = spark.createDataFrame(
+            [(k, int(n), int(t)) for k, (n, t) in sorted(state.items())],
+            f"{g} string, n_docs long, n_tokens long")
+        emit(allocator.allocate(inv), batch_id)
+
+    process.state = state
+    return process

@@ -1916,3 +1916,48 @@ def test_stream_boilerplate_score_matches_batch(spark):
         assert not proc.common.storageLevel.useMemory
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_unimax_alloc_matches_batch(spark):
+    """Streaming UniMax: after the last micro-batch the emitted
+    allocation equals batch transform over all rows seen — the
+    running O(domains) inventory plus the closed-form water-filling
+    reproduce the batch answer exactly (integer counts, no float
+    drift)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from flink_ml__spark.functions.curation import UniMaxAllocator
+    from flink_ml__spark.sources import load_table
+    from flink_ml__spark.streaming import stream_unimax_alloc
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    alloc = (UniMaxAllocator().setGroupCol("source")
+             .setTokenCol("n_chars").setMaxEpochs(1.2)
+             .setBudget(30000))
+    last = {}
+
+    def emit(df, batch_id):
+        last.clear()
+        last.update({r["source"]: (r["n_docs"], r["n_tokens"],
+                                   r["alloc"], r["weight"])
+                     for r in df.collect()})
+
+    d = _tf.mkdtemp(prefix="sum_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(d)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stream.writeStream
+             .foreachBatch(stream_unimax_alloc(alloc, emit))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        expect = {r["source"]: (r["n_docs"], r["n_tokens"],
+                                r["alloc"], r["weight"])
+                  for r in alloc.transform(docs).collect()}
+        assert last == expect
+        assert len(last) > 1
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
