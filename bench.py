@@ -274,6 +274,7 @@ HEADLINE = [
     "dedup_minhash_against_documents",
     "coverage_coreset_documents",
     "unimax_alloc_documents",
+    "coverage_novelty_documents",
 ]
 
 

@@ -3898,6 +3898,48 @@ class GreedyCoverageSelector(AlgoOperator, HasInputCol, HasIdColMixin):
                 .select("__id", F.explode(
                     shingle_hash_udf(n)(F.col("__txt"))).alias("__sh")))
 
+    def novelty_against(self, df: DataFrame,
+                        corpus: DataFrame) -> DataFrame:
+        """Per-document novelty vs a reference corpus: appends
+        ``n_shingles`` (distinct shingles; 0 for NULL text),
+        ``n_novel`` (of those, how many appear NOWHERE in the corpus)
+        and ``novelty_frac`` = n_novel / n_shingles (NULL when 0) —
+        the dual of :class:`BoilerplateFractionScorer` (which counts
+        corpus-COMMON mass): rank an incoming crawl by the marginal
+        token-space coverage each document would add, the greedy
+        gain of :meth:`select_docs` computed for every candidate at
+        once instead of k at a time.
+
+        100 TB shape: both sides are the dedup family's Arrow shingle
+        pass; the corpus universe is one distinct int64 column and
+        the novelty count is a single anti-join + keyed count on the
+        8-byte hash — linear, skew-free (uniform keys), text never
+        shuffles. If the exact universe is too large to join, the
+        Bloom-filter corpus membership pattern
+        (``BloomCorpusDeduplicator``) is the approximate drop-in.
+        """
+        idc = self.getIdCol()
+        universe = self.pair_table(corpus).select("__sh").distinct()
+        pairs = self.pair_table(df)
+        tot = (pairs.groupBy("__id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_shingles")))
+        nov = (pairs.join(universe, "__sh", "left_anti")
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_novel")))
+        per = (tot.join(nov, "__id", "left")
+               .select("__id", "n_shingles",
+                       F.coalesce("n_novel", F.lit(0)).cast("long")
+                       .alias("n_novel")))
+        frac = F.when(F.col("n_shingles") > 0,
+                      F.col("n_novel")
+                      / F.col("n_shingles").cast("double"))
+        return df.join(
+            per.select(F.col("__id").alias(idc), "n_shingles",
+                       "n_novel", frac.alias("novelty_frac")),
+            idc, "left").withColumn(
+            "n_shingles", F.coalesce("n_shingles", F.lit(0))
+        ).withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+
     def select_docs(self, df: DataFrame) -> DataFrame:
         idc = self.getIdCol()
         k = self.getOrDefault(self.numDocs)

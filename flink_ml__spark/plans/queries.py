@@ -11779,6 +11779,45 @@ def _coverage_oracle_sql(k: int, n: int) -> str:
 ORACLE_COVERAGE_CORESET = _coverage_oracle_sql(_COVERAGE_K, _COVERAGE_N)
 
 
+def q_coverage_novelty_documents(spark, sf_dir):
+    """Novelty-scoring gate: odd-id crawl documents scored by the
+    fraction of their distinct 3-word shingles that appear nowhere in
+    the even-id corpus — the rank-the-crawl dual of the boilerplate
+    gate (corpus-common mass) and the all-candidates form of the
+    greedy coverage gain (`GreedyCoverageSelector.novelty_against`)."""
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+
+    docs = load_table(spark, "documents", sf_dir)
+    sel = GreedyCoverageSelector().setShingleSize(_COVERAGE_N)
+    out = sel.novelty_against(docs.filter(F.col("doc_id") % 2 == 1),
+                              docs.filter(F.col("doc_id") % 2 == 0))
+    return out.select("doc_id", "n_shingles", "n_novel",
+                      _fq("novelty_frac").alias("novelty_frac"))
+
+
+ORACLE_COVERAGE_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, CASE WHEN text IS NULL THEN []::VARCHAR[]
+                           ELSE {_shingle_sql(_COVERAGE_N)} END AS sh
+       FROM toks),
+px AS (SELECT doc_id, {_H60.format(x='s')} AS h
+       FROM sh, unnest(sh.sh) AS u(s)),
+uni AS (SELECT DISTINCT h FROM px WHERE doc_id % 2 = 0),
+crawl AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n FROM px
+        WHERE doc_id % 2 = 1 GROUP BY 1),
+nov AS (SELECT doc_id, count(*)::BIGINT AS n FROM px
+        WHERE doc_id % 2 = 1 AND h NOT IN (SELECT h FROM uni)
+        GROUP BY 1)
+SELECT c.doc_id, coalesce(tot.n, 0)::BIGINT AS n_shingles,
+       coalesce(nov.n, 0)::BIGINT AS n_novel,
+       floor((CASE WHEN tot.n > 0
+              THEN coalesce(nov.n, 0) / tot.n::DOUBLE END)
+             * 1e{R} + 0.5) / 1e{R} AS novelty_frac
+FROM crawl c LEFT JOIN tot USING (doc_id) LEFT JOIN nov USING (doc_id)
+"""
+
+
 _PAD_K = 8
 _WS_COUNT_SQL = ("coalesce(len(list_filter(string_split_regex(text, "
                  "'\\s+'), x -> x <> '')), 0)")
@@ -11955,6 +11994,7 @@ QUERIES = {
     # tools/rotate_gates.py
     "dedup_minhash_against_documents": q_dedup_minhash_against_documents,
     "coverage_coreset_documents": q_coverage_coreset_documents,
+    "coverage_novelty_documents": q_coverage_novelty_documents,
     "unimax_alloc_documents": q_unimax_alloc_documents,
     "rollup_gapfill_events": q_rollup_gapfill_events,
     "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
@@ -12498,6 +12538,7 @@ ORACLES = {
     "source_diversity_documents": ORACLE_SOURCE_DIVERSITY,
     "kcenter_coreset_embeddings": ORACLE_KCENTER_CORESET,
     "coverage_coreset_documents": ORACLE_COVERAGE_CORESET,
+    "coverage_novelty_documents": ORACLE_COVERAGE_NOVELTY,
     "padding_waste_documents": ORACLE_PADDING_WASTE,
     "tokenizer_fertility_documents": ORACLE_TOKENIZER_FERTILITY,
     "boilerplate_fraction_documents": ORACLE_BOILERPLATE_FRACTION,

@@ -1769,3 +1769,28 @@ def test_unimax_all_capped_leaves_budget_unallocated(spark):
             (UniMaxAllocator().setMaxEpochs(2.0)
              .transform(df).collect())}
     assert out0 == {"A": 200.0, "B": 400.0, "C": 400.0}
+
+
+def test_coverage_novelty_against(spark):
+    """Novelty vs a corpus: shared shingles don't count, unseen ones
+    do; NULL text scores 0 shingles with NULL frac; a doc identical
+    to corpus content scores 0 novelty."""
+    from flink_ml__spark.functions.curation import GreedyCoverageSelector
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d e")], "doc_id long, text string")
+    crawl = spark.createDataFrame(
+        [(10, "a b z"),        # 'a','b' known, 'z' novel -> 1/3
+         (11, "a b c"),        # fully covered -> 0
+         (12, "p q r"),        # fully novel -> 1
+         (13, None)],          # no shingles
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           (GreedyCoverageSelector().setShingleSize(1)
+            .novelty_against(crawl, corpus).collect())}
+    assert (out[10]["n_shingles"], out[10]["n_novel"]) == (3, 1)
+    assert abs(out[10]["novelty_frac"] - 1 / 3) < 1e-9
+    assert (out[11]["n_novel"], out[11]["novelty_frac"]) == (0, 0.0)
+    assert (out[12]["n_novel"], out[12]["novelty_frac"]) == (3, 1.0)
+    assert (out[13]["n_shingles"], out[13]["n_novel"]) == (0, 0)
+    assert out[13]["novelty_frac"] is None
