@@ -3644,18 +3644,29 @@ class PaddingWasteProfiler(AlgoOperator):
         nt = F.col(self.getOrDefault(self.tokenCol)).cast("double")
         base = df.filter(nt.isNotNull()).select(nt.alias("__nt"))
         if k > 1:
-            probs = F.array(*[F.lit(i / k) for i in range(1, k)])
             if self.getOrDefault(self.exactEdges):
-                pct = F.percentile(F.col("__nt"), probs)
+                # bit-identical Arrow replacement for the exact
+                # percentile aggregate (see functions/quantiles.py)
+                import math
+
+                from flink_ml__spark.functions.quantiles import (
+                    exact_percentiles,
+                )
+
+                raw = exact_percentiles(base, F.col("__nt"),
+                                        [i / k for i in range(1, k)])
+                bs = [math.floor(e * 1e6 + 0.5) / 1e6
+                      for e in (raw or [])]
             else:
+                probs = F.array(*[F.lit(i / k) for i in range(1, k)])
                 acc = int(round(
                     1.0 / self.getOrDefault(self.relativeError)))
                 pct = F.approx_percentile(F.col("__nt"), probs,
                                           F.lit(acc))
-            row = base.agg(F.transform(
-                pct, lambda e: F.floor(e * 1e6 + 0.5) / 1e6)
-                .alias("bs")).first()
-            bs = list(row["bs"] or [])
+                row = base.agg(F.transform(
+                    pct, lambda e: F.floor(e * 1e6 + 0.5) / 1e6)
+                    .alias("bs")).first()
+                bs = list(row["bs"] or [])
         else:
             bs = []
             if base.first() is None:

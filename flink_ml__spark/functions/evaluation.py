@@ -1099,9 +1099,17 @@ class UpliftEvaluator(AlgoOperator):
         v = F.col(self.getOrDefault(self.variantCol)).cast("string")
         base = df.filter(s.isNotNull() & y.isNotNull()
                          & v.isin(t_lbl, c_lbl))
-        edges = list(base.agg(*[
-            (F.floor((F.percentile(s, F.lit(i / k))) * 1e6 + 0.5) / 1e6)
-            .alias(f"e{i}") for i in range(1, k)]).first())
+        # ONE Arrow pass for all k−1 edges, bit-identical to the
+        # per-edge percentile aggregates this replaces (each of which
+        # buffered the full column separately — see
+        # functions/quantiles.py)
+        import math
+
+        from flink_ml__spark.functions.quantiles import exact_percentiles
+
+        raw = exact_percentiles(base, s, [i / k for i in range(1, k)])
+        edges = ([math.floor(e * 1e6 + 0.5) / 1e6 for e in raw]
+                 if raw is not None else [None] * (k - 1))
         above = sum((s > F.lit(e)).cast("int") for e in edges)
         is_t = v == t_lbl
         per = (base.withColumn("__b", F.lit(len(edges)) - above)

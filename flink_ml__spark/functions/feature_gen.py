@@ -968,14 +968,20 @@ class QuantileMatcherModel(Model, _SingleColOutputParams):
             acc = int(math.ceil(1.0 / self._relative_error))
             expr = (f"approx_percentile({col}, array("
                     f"{', '.join(map(repr, pcts))}), {acc})")
+            row = df.agg(F.expr(expr).alias("g")).first()
+            grid = None if row["g"] is None else list(row["g"])
         else:
-            expr = (f"percentile({col}, array("
-                    f"{', '.join(map(repr, pcts))}))")
-        row = df.agg(F.expr(expr).alias("g")).first()
-        if row["g"] is None or row["g"][0] is None:
+            # bit-identical Arrow replacement for the exact percentile
+            # aggregate (see functions/quantiles.py)
+            from flink_ml__spark.functions.quantiles import (
+                exact_percentiles,
+            )
+
+            grid = exact_percentiles(df, col, pcts)
+        if grid is None or grid[0] is None:
             raise ValueError("no non-null values to match")
         # 6 dp pin: keeps segment boundaries identical across engines
-        return [round(float(v), 6) for v in row["g"]]
+        return [round(float(v), 6) for v in grid]
 
     def transform(self, df: DataFrame,
                   current: DataFrame | None = None) -> DataFrame:
@@ -1266,22 +1272,33 @@ class RankGaussTransformer(AlgoOperator, HasInputCol, HasOutputCol):
     def fit(self, df: DataFrame) -> RankGaussModel:
         from flink_ml__spark.functions.stats import _norm_ppf
 
+        import math
+
         k = self.getOrDefault(self.numBuckets)
         x = F.col(self.getInputCol()).cast("double")
         base = df.filter(x.isNotNull())
-        # ONE percentile aggregate with the whole probability array:
-        # k−1 separate percentile expressions would each buffer the
-        # full column (measured 50 s vs 2 s at sf0.1, k=32)
-        probs = F.array(*[F.lit(i / k) for i in range(1, k)])
         if self.getOrDefault(self.exactEdges):
-            pct = F.percentile(x, probs)
+            # bit-identical Arrow replacement for the exact percentile
+            # aggregate (TypedImperativeAggregate: 4-5 s at sf0.1 for
+            # ONE 600 k-row column; the np.sort pass is ~1 s) — see
+            # functions/quantiles.py for the interpolation parity proof
+            from flink_ml__spark.functions.quantiles import (
+                exact_percentiles,
+            )
+
+            raw = exact_percentiles(base, x, [i / k for i in range(1, k)])
+            edges = [math.floor(e * 1e6 + 0.5) / 1e6 for e in (raw or [])]
         else:
+            # ONE percentile aggregate with the whole probability array:
+            # k−1 separate percentile expressions would each buffer the
+            # full column (measured 50 s vs 2 s at sf0.1, k=32)
+            probs = F.array(*[F.lit(i / k) for i in range(1, k)])
             acc = int(round(1.0 / self.getOrDefault(self.relativeError)))
             pct = F.approx_percentile(x, probs, F.lit(acc))
-        row = base.agg(
-            F.transform(pct,
-                        lambda e: (F.floor((e) * 1e6 + 0.5) / 1e6)).alias("es")).first()
-        edges = list(row["es"] or [])
+            row = base.agg(
+                F.transform(pct,
+                            lambda e: (F.floor((e) * 1e6 + 0.5) / 1e6)).alias("es")).first()
+            edges = list(row["es"] or [])
         if not edges:
             raise ValueError("no non-null values to fit on")
         z = [_norm_ppf((i + 0.5) / k) for i in range(k)]

@@ -2137,11 +2137,14 @@ class LorenzCurveAnalyzer(AlgoOperator):
         k = self.getOrDefault(self.numBins)
         w = F.col(self.getOrDefault(self.weightCol)).cast("double")
         base = df.filter(w.isNotNull() & (w >= 0))
-        probs = F.array(*[F.lit(i / k) for i in range(1, k)])
-        row = base.agg(
-            F.transform(F.percentile(w, probs),
-                        lambda e: (F.floor((e) * 1e6 + 0.5) / 1e6)).alias("es")).first()
-        edges = list(row["es"] or [])
+        # bit-identical Arrow replacement for the exact percentile
+        # aggregate (see functions/quantiles.py)
+        import math
+
+        from flink_ml__spark.functions.quantiles import exact_percentiles
+
+        raw = exact_percentiles(base, w, [i / k for i in range(1, k)])
+        edges = [math.floor(e * 1e6 + 0.5) / 1e6 for e in (raw or [])]
         if not edges:
             raise ValueError("no non-null weights to fit on")
         bucket = sum((w > F.lit(e)).cast("int") for e in edges)
