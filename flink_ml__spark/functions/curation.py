@@ -783,26 +783,46 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
                        .distinct())
         labels = (members.withColumn("__lbl", F.col("__id"))
                   .localCheckpoint())
+        lbl_t = labels.schema["__lbl"].dataType.simpleString()
+        first_round = True
         for _ in range(self.getMaxIter()):
             nbr = (edges.join(
                 labels.select(F.col("__id").alias("__src"), "__lbl"),
                 "__src")
                 .select(F.col("__dst").alias("__id"), "__lbl"))
-            jump = (labels.select("__id", F.col("__lbl").alias("__j"))
-                    .join(labels.select(F.col("__id").alias("__j"),
-                                        F.col("__lbl").alias("__jl")),
-                          "__j")
-                    .select("__id", F.col("__jl").alias("__lbl")))
-            new_labels = (labels.select("__id", "__lbl")
-                          .union(nbr).union(jump)
-                          .groupBy("__id")
-                          .agg(F.min("__lbl").alias("__lbl"))
+            # Carry each id's OLD label through the union (null on the
+            # other branches; every id has exactly one labels row, so
+            # min(__old) recovers it) — convergence then reads off the
+            # aggregated frame itself instead of a per-round join of
+            # new vs old labels: one fewer shuffle per round
+            # (guide §2.4).
+            null_old = F.lit(None).cast(lbl_t)
+            cand = (labels.select("__id", "__lbl",
+                                  F.col("__lbl").alias("__old"))
+                    .union(nbr.select("__id", "__lbl",
+                                      null_old.alias("__old"))))
+            if not first_round:
+                # Round 1 pointer jumping is provably the identity
+                # (label(v) = v, so label(label(v)) = label(v)):
+                # skipping it removes a self-join + shuffle from the
+                # round every caller always pays (guide §2.4).
+                jump = (labels.select("__id",
+                                      F.col("__lbl").alias("__j"))
+                        .join(labels.select(F.col("__id").alias("__j"),
+                                            F.col("__lbl").alias("__jl")),
+                              "__j")
+                        .select("__id", F.col("__jl").alias("__lbl")))
+                cand = cand.union(jump.select("__id", "__lbl",
+                                              null_old.alias("__old")))
+            first_round = False
+            new_labels = (cand.groupBy("__id")
+                          .agg(F.min("__lbl").alias("__lbl"),
+                               F.min("__old").alias("__old"))
                           .localCheckpoint())  # eager; truncates lineage
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "__id")
-                       .filter(F.col("n.__lbl") != F.col("o.__lbl"))
-                       .count())
-            labels = new_labels
+            changed = (new_labels
+                       .filter(F.col("__lbl") != F.col("__old"))
+                       .count())  # cheap scan of the checkpointed rows
+            labels = new_labels.select("__id", "__lbl")
             if changed == 0:
                 break
         return labels.select(F.col("__id").alias(idc),
