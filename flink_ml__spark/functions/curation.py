@@ -3979,10 +3979,20 @@ class GreedyCoverageSelector(AlgoOperator, HasInputCol, HasIdColMixin):
 
         remaining = self.pair_table(df).persist()
         chosen: list[tuple] = []
+        prev = None
         for step in range(1, k + 1):
+            # This argmax is the step's ONE materializing action: it
+            # builds `remaining`'s cache as a side effect, so the
+            # parent generation (whose cache fed that build) can be
+            # dropped right after — no separate count() job per step
+            # (2 jobs/step fewer; guide §1.2 order-of-operations,
+            # §5 persist lifecycle).
             top = (remaining.groupBy("__id")
                    .agg(F.count(F.lit(1)).alias("__gain"))
                    .orderBy(F.desc("__gain"), F.asc("__id")).first())
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if top is None or top["__gain"] <= 0:
                 break  # every remaining doc is fully covered
             chosen.append((step, top["__id"], int(top["__gain"])))
@@ -3990,11 +4000,12 @@ class GreedyCoverageSelector(AlgoOperator, HasInputCol, HasIdColMixin):
                 break
             cov = remaining.filter(F.col("__id") == F.lit(top["__id"])
                                    ).select("__sh")
-            nxt = (remaining.join(F.broadcast(cov), "__sh", "left_anti")
-                   .persist())
-            nxt.count()  # materialize before dropping the parent
-            remaining.unpersist()
-            remaining = nxt
+            prev = remaining
+            remaining = (remaining
+                         .join(F.broadcast(cov), "__sh", "left_anti")
+                         .persist())
+        if prev is not None:
+            prev.unpersist()
         remaining.unpersist()
 
         return spark.createDataFrame(

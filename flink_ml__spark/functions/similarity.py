@@ -1738,18 +1738,26 @@ class KCenterCoreset(AlgoOperator, _SimilarityParams):
         center = list(seed["__v"])
 
         cur = state.withColumn("__mind", self._d2_fp(center)).persist()
+        prev = None
         for step in range(2, k + 1):
+            # The argmax is the step's one materializing action — it
+            # builds `cur`'s cache from the parent generation, which is
+            # dropped right after instead of via a separate count()
+            # job per step (guide §1.2, §5 persist lifecycle).
             top = cur.orderBy(F.desc("__mind"), F.asc("__id")).first()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if top is None or top["__mind"] <= 0:
                 break  # every remaining point duplicates a center
             chosen.append((step, top["__id"], top["__mind"]))
             center = list(top["__v"])
-            nxt = (cur.withColumn(
+            prev = cur
+            cur = (cur.withColumn(
                 "__mind", F.least("__mind", self._d2_fp(center)))
                 .persist())
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
-            cur = nxt
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
 
         out = spark.createDataFrame(
