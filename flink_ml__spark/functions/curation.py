@@ -2969,6 +2969,11 @@ class ContentDefinedChunker(AlgoOperator, HasInputCol, HasIdColMixin):
         id_type = df.schema[idc].dataType.simpleString()
         sch = (f"{idc} {id_type}, chunk_index int, chunk_start int,"
                " chunk_len int, chunk_text string, chunk_hash string")
+        # plain ints, NOT self.<attr>: capturing `self` would pickle
+        # the operator (class by reference), forcing every fresh
+        # Python worker to import the package chain before its first
+        # batch (guide §4.5; see operators/fcm._make_np_math)
+        gear_mod, gear_val_mod = self.GEAR_MOD, self.GEAR_VAL_MOD
 
         def chunks(batches):
             import hashlib
@@ -2981,14 +2986,14 @@ class ContentDefinedChunker(AlgoOperator, HasInputCol, HasIdColMixin):
                 v = gear.get(cp)
                 if v is None:
                     v = int(hashlib.md5(str(cp).encode("ascii"))
-                            .hexdigest()[:15], 16) % self.GEAR_VAL_MOD
+                            .hexdigest()[:15], 16) % gear_val_mod
                     gear[cp] = v
                 return v
 
             def cut_points(text: str) -> list[int]:
                 h, last, out = 0, 0, []
                 for i, ch in enumerate(text, start=1):
-                    h = (2 * h + g(ord(ch))) % self.GEAR_MOD
+                    h = (2 * h + g(ord(ch))) % gear_mod
                     if i == len(text):
                         break
                     if mx and i - last >= mx:

@@ -102,110 +102,128 @@ def _load_real_decoder(name: str, modules: dict[str, str]):
         ) from e
 
 
-def fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
-    """Deterministic stand-in decode: a (height, width) uint8 grayscale
-    image derived from the payload's sha256 keystream. Stable across
-    runs/partitions — the contract tests and plumbing rely on.
+def _make_codecs():
+    """Deterministic/stdlib codecs built as NESTED functions so UDF
+    closures capture them by VALUE: a module-level function referenced
+    from a ``mapInPandas`` closure is pickled by reference, and every
+    fresh Python worker then imports this module's whole package chain
+    (~0.9 s measured) before its first batch. Nested (``<locals>``)
+    functions ship as bytecode instead; the worker needs only the
+    numpy/hashlib it already has loaded (guide §4.5)."""
 
-    The keystream is chained in the HEX-STRING domain
-    (``sha256(seed_hex + ':' + i)``), not over raw digest bytes: SQL
-    engines expose only VARCHAR sha256, so this choice is what lets the
-    DuckDB oracles replay decoded-image/audio statistics byte-for-byte
-    when the payload itself is valid text."""
-    need = height * width
-    out = np.empty(need, dtype=np.uint8)
-    seed_hex = hashlib.sha256(payload or b"").hexdigest()
-    filled = 0
-    counter = 0
-    while filled < need:
-        block = hashlib.sha256(
-            f"{seed_hex}:{counter}".encode("ascii")).digest()
-        take = min(32, need - filled)
-        out[filled:filled + take] = np.frombuffer(block[:take], dtype=np.uint8)
-        filled += take
-        counter += 1
-    return out.reshape(height, width)
+    def fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
+        """Deterministic stand-in decode: a (height, width) uint8 grayscale
+        image derived from the payload's sha256 keystream. Stable across
+        runs/partitions — the contract tests and plumbing rely on.
 
-
-def fake_samples(payload: bytes, n: int) -> np.ndarray:
-    """Deterministic stand-in PCM decode: n float samples in [-1, 1)."""
-    raw = fake_pixels(payload, 1, n).ravel().astype(np.float64)
-    return (raw - 128.0) / 128.0
-
-
-def decode_wav_bytes(payload: bytes) -> np.ndarray:
-    """REAL audio decode for RIFF/WAVE PCM via the stdlib ``wave``
-    module — no third-party codec needed, so the real-bytes path is
-    exercisable even where soundfile/libsndfile is absent. Returns
-    mono-folded float64 samples scaled to [-1, 1] (8-bit unsigned,
-    16/32-bit signed PCM). Non-PCM (e.g. float/IEEE, compressed) WAVs
-    raise — soundfile handles those via ``decoder='soundfile'``."""
-    import io
-    import wave
-
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch, sw, _rate, nframes = (w.getnchannels(), w.getsampwidth(),
-                                   w.getframerate(), w.getnframes())
-        raw = w.readframes(nframes)
-    if sw == 1:  # unsigned 8-bit
-        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-             - 128.0) / 128.0
-    elif sw == 2:
-        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif sw == 4:
-        s = np.frombuffer(raw, dtype="<i4").astype(np.float64) \
-            / 2147483648.0
-    else:
-        raise ValueError(f"unsupported WAV sample width {sw}")
-    if nch > 1:
-        s = s[: (len(s) // nch) * nch].reshape(-1, nch).mean(axis=1)
-    return s
+        The keystream is chained in the HEX-STRING domain
+        (``sha256(seed_hex + ':' + i)``), not over raw digest bytes: SQL
+        engines expose only VARCHAR sha256, so this choice is what lets the
+        DuckDB oracles replay decoded-image/audio statistics byte-for-byte
+        when the payload itself is valid text."""
+        need = height * width
+        out = np.empty(need, dtype=np.uint8)
+        seed_hex = hashlib.sha256(payload or b"").hexdigest()
+        filled = 0
+        counter = 0
+        while filled < need:
+            block = hashlib.sha256(
+                f"{seed_hex}:{counter}".encode("ascii")).digest()
+            take = min(32, need - filled)
+            out[filled:filled + take] = np.frombuffer(block[:take], dtype=np.uint8)
+            filled += take
+            counter += 1
+        return out.reshape(height, width)
 
 
-def decode_ppm_bytes(payload: bytes) -> np.ndarray:
-    """REAL image decode for binary netpbm (P5 grayscale / P6 RGB,
-    maxval <= 255) in pure numpy — a public uncompressed format that
-    keeps the real-image path testable without Pillow. RGB folds to
-    grayscale with the same ITU-R 601-2 luma weights PIL's
-    ``convert('L')`` uses, so 'ppm' and 'pil' agree on netpbm inputs.
-    Returns a (height, width) uint8 array."""
-    if not payload[:2] in (b"P5", b"P6"):
-        raise ValueError("not a binary PGM/PPM payload")
-    # header: magic, width, height, maxval — '#' comments allowed
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos:pos + 1].isspace():
-            pos += 1
-        if payload[pos:pos + 1] == b"#":
-            pos = payload.index(b"\n", pos) + 1
-            continue
-        end = pos
-        while end < len(payload) and not payload[end:end + 1].isspace():
-            end += 1
-        fields.append(int(payload[pos:end]))
-        pos = end
-    pos += 1  # single whitespace after maxval
-    width, height, maxval = fields
-    if maxval > 255:
-        raise ValueError("2-byte netpbm samples not supported; "
-                         "use decoder='pil'")
-    ch = 1 if payload[:2] == b"P5" else 3
-    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * ch,
-                       offset=pos)
-    if ch == 3:
-        rgb = px.reshape(height, width, 3).astype(np.uint32)
-        px = ((rgb[..., 0] * 299 + rgb[..., 1] * 587
-               + rgb[..., 2] * 114) // 1000).astype(np.uint8)
-    return px.reshape(height, width)
+    def fake_samples(payload: bytes, n: int) -> np.ndarray:
+        """Deterministic stand-in PCM decode: n float samples in [-1, 1)."""
+        raw = fake_pixels(payload, 1, n).ravel().astype(np.float64)
+        return (raw - 128.0) / 128.0
 
 
-def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Nearest-neighbour resample of a 2-D array to (h, w) — the same
-    sample-point convention PIL's NEAREST uses (pixel centers)."""
-    sh, sw = img.shape
-    rows = np.minimum((np.arange(h) + 0.5) * sh / h, sh - 1).astype(int)
-    cols = np.minimum((np.arange(w) + 0.5) * sw / w, sw - 1).astype(int)
-    return img[rows][:, cols]
+    def decode_wav_bytes(payload: bytes) -> np.ndarray:
+        """REAL audio decode for RIFF/WAVE PCM via the stdlib ``wave``
+        module — no third-party codec needed, so the real-bytes path is
+        exercisable even where soundfile/libsndfile is absent. Returns
+        mono-folded float64 samples scaled to [-1, 1] (8-bit unsigned,
+        16/32-bit signed PCM). Non-PCM (e.g. float/IEEE, compressed) WAVs
+        raise — soundfile handles those via ``decoder='soundfile'``."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw, _rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                       w.getframerate(), w.getnframes())
+            raw = w.readframes(nframes)
+        if sw == 1:  # unsigned 8-bit
+            s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif sw == 2:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 4:
+            s = np.frombuffer(raw, dtype="<i4").astype(np.float64) \
+                / 2147483648.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {sw}")
+        if nch > 1:
+            s = s[: (len(s) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        return s
+
+
+    def decode_ppm_bytes(payload: bytes) -> np.ndarray:
+        """REAL image decode for binary netpbm (P5 grayscale / P6 RGB,
+        maxval <= 255) in pure numpy — a public uncompressed format that
+        keeps the real-image path testable without Pillow. RGB folds to
+        grayscale with the same ITU-R 601-2 luma weights PIL's
+        ``convert('L')`` uses, so 'ppm' and 'pil' agree on netpbm inputs.
+        Returns a (height, width) uint8 array."""
+        if not payload[:2] in (b"P5", b"P6"):
+            raise ValueError("not a binary PGM/PPM payload")
+        # header: magic, width, height, maxval — '#' comments allowed
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError("2-byte netpbm samples not supported; "
+                             "use decoder='pil'")
+        ch = 1 if payload[:2] == b"P5" else 3
+        px = np.frombuffer(payload, dtype=np.uint8, count=width * height * ch,
+                           offset=pos)
+        if ch == 3:
+            rgb = px.reshape(height, width, 3).astype(np.uint32)
+            px = ((rgb[..., 0] * 299 + rgb[..., 1] * 587
+                   + rgb[..., 2] * 114) // 1000).astype(np.uint8)
+        return px.reshape(height, width)
+
+
+    def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Nearest-neighbour resample of a 2-D array to (h, w) — the same
+        sample-point convention PIL's NEAREST uses (pixel centers)."""
+        sh, sw = img.shape
+        rows = np.minimum((np.arange(h) + 0.5) * sh / h, sh - 1).astype(int)
+        cols = np.minimum((np.arange(w) + 0.5) * sw / w, sw - 1).astype(int)
+        return img[rows][:, cols]
+    return (fake_pixels, fake_samples, decode_wav_bytes,
+            decode_ppm_bytes, _nearest_resize)
+
+
+# public module API unchanged; the names bind closure-qualified
+# functions that UDF closures can capture without a worker-side import
+(fake_pixels, fake_samples, decode_wav_bytes,
+ decode_ppm_bytes, _nearest_resize) = _make_codecs()
+
 
 
 def _passthrough_schema(df, extra: list[str],

@@ -59,14 +59,23 @@ class _SimilarityParams(HasSeed):
         return self._set(k=v)
 
 
-def _unit(M):
-    """Row-normalize to unit L2; zero rows stay zero-safe (norm 1
-    denominator). Module-level so the quantizer, the probe path and
-    SemDeDup share one definition (cloudpickle captures it fine)."""
-    import numpy as np
+def _make_unit():
+    def _unit(M):
+        """Row-normalize to unit L2; zero rows stay zero-safe (norm 1
+        denominator). One definition shared by the quantizer, the
+        probe path and SemDeDup. Built NESTED so cloudpickle ships it
+        by VALUE into UDF closures — a module-level function would be
+        pickled by reference and force every fresh Python worker to
+        import this module's package chain (~0.9 s) before its first
+        batch (guide §4.5)."""
+        import numpy as np
 
-    n = np.linalg.norm(M, axis=-1, keepdims=True)
-    return M / np.where(n == 0, 1.0, n)
+        n = np.linalg.norm(M, axis=-1, keepdims=True)
+        return M / np.where(n == 0, 1.0, n)
+    return _unit
+
+
+_unit = _make_unit()
 
 
 def _spherical_centroids(X, n_list: int, iters: int):

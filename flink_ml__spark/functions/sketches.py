@@ -24,22 +24,30 @@ from flink_ml__spark.base import AlgoOperator, HasInputCol
 from flink_ml__spark.functions.text import TOKEN_SPLIT
 
 
-def _mg_update(counters: dict, item, w: int, k: int) -> None:
-    """Misra–Gries update with weight ``w`` and capacity ``k``."""
-    if item in counters:
-        counters[item] += w
-        return
-    if len(counters) < k:
-        counters[item] = w
-        return
-    # decrement all by the smallest absorbable amount
-    dec = min(w, min(counters.values()))
-    for key in list(counters):
-        counters[key] -= dec
-        if counters[key] == 0:
-            del counters[key]
-    if w > dec:
-        _mg_update(counters, item, w - dec, k)
+def _make_mg_update():
+    def _mg_update(counters: dict, item, w: int, k: int) -> None:
+        """Misra–Gries update with weight ``w`` and capacity ``k``.
+        Built NESTED so cloudpickle ships it by VALUE into the sketch
+        UDF closure instead of forcing a worker-side package import
+        (guide §4.5; see fcm._make_np_math)."""
+        if item in counters:
+            counters[item] += w
+            return
+        if len(counters) < k:
+            counters[item] = w
+            return
+        # decrement all by the smallest absorbable amount
+        dec = min(w, min(counters.values()))
+        for key in list(counters):
+            counters[key] -= dec
+            if counters[key] == 0:
+                del counters[key]
+        if w > dec:
+            _mg_update(counters, item, w - dec, k)
+    return _mg_update
+
+
+_mg_update = _make_mg_update()
 
 
 class DistinctCounter(AlgoOperator):

@@ -98,28 +98,53 @@ def _dist_expr(x_elems, centroid: list[float], measure: str):
     return 1 - dot / (xn * F.lit(cn))
 
 
-def _np_distances(X, C, measure: str):
-    """Point×centroid distance matrix with the reference's guards."""
-    import numpy as np
+def _make_np_math():
+    """Build the distance/membership math as NESTED functions so
+    cloudpickle ships their bytecode by VALUE into UDF closures.
 
-    if measure == "euclidean":
-        d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
-    else:  # cosine distance = 1 − dot/(‖x‖·‖c‖), zero-norm guard
-        cn = np.linalg.norm(C, axis=1, keepdims=True).T
-        cn = np.where(cn == 0, 1e-10, cn)
-        xn = np.linalg.norm(X, axis=1, keepdims=True)
-        d = 1.0 - (X @ C.T) / (xn * cn)
-    return d
+    Module-level functions referenced from a ``mapInPandas`` /
+    ``pandas_udf`` closure are pickled by REFERENCE: every fresh
+    Python worker then runs ``import flink_ml__spark.operators.fcm``
+    (pulling in pyspark.ml and friends) before its first batch —
+    measured ~0.7 s, and with a local[32] worker pool a per-epoch
+    single-partition job lands on a different worker almost every
+    time, so the fit loop re-paid it nearly every epoch (1.0 s/epoch
+    wall for 1.5 ms of numpy). Nested functions have a
+    ``<locals>`` qualname, which cloudpickle treats as
+    non-importable and serializes by value — the worker runs pure
+    bytecode against the numpy it already has loaded (guide §4.5:
+    amortize per-task setup; here the setup was an avoidable import).
+    """
+
+    def np_distances(X, C, measure: str):
+        """Point×centroid distance matrix with the reference's guards
+        (``FCM.java``)."""
+        import numpy as np
+
+        if measure == "euclidean":
+            d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+        else:  # cosine distance = 1 − dot/(‖x‖·‖c‖), zero-norm guard
+            cn = np.linalg.norm(C, axis=1, keepdims=True).T
+            cn = np.where(cn == 0, 1e-10, cn)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            d = 1.0 - (X @ C.T) / (xn * cn)
+        return d
+
+    def np_memberships(X, C, measure: str, p: float):
+        """``FCM.updateMembershipVector`` (``FCM.java:527-553``): u_ik =
+        1/Σ_j (d_ik/d_jk)^p with the 0-distance guard d==0 → 1e-10."""
+        import numpy as np
+
+        d = np_distances(X, C, measure)
+        d = np.where(d == 0, 1e-10, d)
+        return 1.0 / ((d[:, :, None] / d[:, None, :]) ** p).sum(2)
+
+    return np_distances, np_memberships
 
 
-def _np_memberships(X, C, measure: str, p: float):
-    """``FCM.updateMembershipVector`` (``FCM.java:527-553``): u_ik =
-    1/Σ_j (d_ik/d_jk)^p with the 0-distance guard d==0 → 1e-10."""
-    import numpy as np
-
-    d = _np_distances(X, C, measure)
-    d = np.where(d == 0, 1e-10, d)
-    return 1.0 / ((d[:, :, None] / d[:, None, :]) ** p).sum(2)
+# public module API unchanged; the names just bind closure-qualified
+# functions that UDF closures can capture without a worker-side import
+_np_distances, _np_memberships = _make_np_math()
 
 
 def _init_membership_exprs(x_col, k: int, seed: int):
