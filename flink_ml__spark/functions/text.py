@@ -1250,12 +1250,18 @@ class NgramOverlapScorer(AlgoOperator):
         recall         match / total_b   (B = reference side)
         f1             harmonic mean (NULL when both sides empty)
 
-    100 TB design: each side's n-gram COUNT table builds map-side
-    (explode + hash agg keyed by (doc, gram)); the pair scoring is two
-    keyed joins (pair → grams) + one agg keyed by the pair — overlap
+    100 TB design: docs are joined ONCE to a (doc → pair, side) map
+    and every configured order's grams come out of a single explode;
+    per-pair clipped matches AND both totals fall out of one two-level
+    keyed aggregation (gram occurrences grouped by (pair, n, gram)
+    with per-side conditional counts, then by (pair, n) summing
+    least(ca, cb) for the clip and ca / cb for the totals — a gram
+    total is just the occurrence count of that side's grams). Overlap
     never materializes a gram×gram product, and pairs are
     candidate-sized by construction (they come from a banded miner,
-    not a cross join).
+    not a cross join). Duplicate pair rows are deduplicated before the
+    aggregation so they emit identical copies rather than doubled
+    counts; a pair with a NULL id on either side scores as empty.
     """
 
     idColA = Param(Params._dummy(), "idColA",
@@ -1292,15 +1298,14 @@ class NgramOverlapScorer(AlgoOperator):
     def setInputCol(self, v):
         return self._set(inputCol=v)
 
-    def _grams(self, docs: DataFrame) -> DataFrame:
-        did = self.getOrDefault(self.docIdCol)
-        toks = F.filter(
-            F.split(F.lower(F.col(self.getOrDefault(self.inputCol))),
-                    TOKEN_SPLIT), lambda t: t != "")
-        frames = []
+    def _gram_array(self, toks):
+        """array<struct<n,__g>> of every configured order's grams —
+        one expression, so ONE explode covers all orders."""
+        arrs = []
         for n in self.getOrDefault(self.ngramOrders):
             if n == 1:
-                g = toks
+                a = F.transform(toks, lambda t: F.struct(
+                    F.lit(1).alias("n"), t.alias("__g")))
             else:
                 # sequence(1, 0) DESCENDS in Spark — short texts must
                 # yield an empty gram array, not slice(…, 0, …)
@@ -1308,57 +1313,57 @@ class NgramOverlapScorer(AlgoOperator):
                     F.size(toks) >= n,
                     F.sequence(F.lit(1), F.size(toks) - (n - 1))
                 ).otherwise(F.array().cast("array<int>"))
-                g = F.transform(
-                    idx, lambda i: F.array_join(
-                        F.slice(toks, i, n), " "))
-            frames.append(
-                docs.filter(F.col(did).isNotNull())
-                .select(F.col(did).alias("__d"), F.lit(n).alias("n"),
-                        F.explode(g).alias("__g")))
-        ex = frames[0]
-        for fr in frames[1:]:
-            ex = ex.unionAll(fr)
-        return ex.groupBy("__d", "n", "__g").agg(
-            F.count(F.lit(1)).alias("__c"))
+                a = F.transform(idx, lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i, n), " ")
+                    .alias("__g")))
+            arrs.append(a)
+        return F.concat(*arrs) if len(arrs) > 1 else arrs[0]
 
     def score_pairs(self, pairs: DataFrame,
                     docs: DataFrame) -> DataFrame:
         ia = self.getOrDefault(self.idColA)
         ib = self.getOrDefault(self.idColB)
         did = self.getOrDefault(self.docIdCol)
-        # gram tables must be PAIR-sized, not corpus-sized: semi-join
-        # docs down to the ids the pairs actually reference first
-        # (measured 5× at sf0.1 — Catalyst does not push the pair
-        # filter through the gram aggregation on its own)
-        used = (pairs.select(F.col(self.getOrDefault(self.idColA))
-                             .alias(did))
-                .unionAll(pairs.select(
-                    F.col(self.getOrDefault(self.idColB)).alias(did)))
-                .distinct())
-        docs = docs.join(used, did, "left_semi")
-        grams = self._grams(docs)
-        totals = grams.groupBy("__d", "n").agg(
-            F.sum("__c").alias("__tot"))
         p = pairs.select(F.col(ia).alias("__a"), F.col(ib).alias("__b"))
-        ga = grams.select(F.col("__d").alias("__a"), "n", "__g",
-                          F.col("__c").alias("__ca"))
-        gb = grams.select(F.col("__d").alias("__b"), "n", "__g",
-                          F.col("__c").alias("__cb"))
-        inter = (p.join(ga, "__a").join(gb, ["__b", "n", "__g"])
-                 .groupBy("__a", "__b", "n")
-                 .agg(F.sum(F.least("__ca", "__cb")).alias("match_n")))
-        ta = totals.select(F.col("__d").alias("__a"), "n",
-                           F.col("__tot").alias("total_a"))
-        tb = totals.select(F.col("__d").alias("__b"), "n",
-                           F.col("__tot").alias("total_b"))
+        # (doc → pair, side) map: joining docs to it FIRST both
+        # restricts the gram build to pair-referenced docs (measured 5×
+        # at sf0.1 — Catalyst does not push the pair filter through the
+        # gram aggregation on its own) and lets a single aggregation
+        # serve every downstream quantity
+        pd_ = p.distinct()
+        m = (pd_.select(F.col("__a").alias("__d"), "__a", "__b",
+                        F.lit(True).alias("__sa"))
+             .unionAll(pd_.select(F.col("__b").alias("__d"), "__a",
+                                  "__b", F.lit(False).alias("__sa"))))
+        toks = F.filter(
+            F.split(F.lower(F.col(self.getOrDefault(self.inputCol))),
+                    TOKEN_SPLIT), lambda t: t != "")
+        d = (docs.filter(F.col(did).isNotNull())
+             .select(F.col(did).alias("__d"), toks.alias("__t")))
+        occ = (d.join(m, "__d")
+               .select("__a", "__b", "__sa",
+                       F.explode(self._gram_array(F.col("__t")))
+                       .alias("__gr")))
+        per_gram = (occ.groupBy("__a", "__b",
+                                F.col("__gr.n").alias("n"),
+                                F.col("__gr.__g").alias("__g"))
+                    .agg(F.sum(F.when(F.col("__sa"), 1).otherwise(0))
+                         .alias("__ca"),
+                         F.sum(F.when(F.col("__sa"), 0).otherwise(1))
+                         .alias("__cb")))
+        # one aggregation yields the clip AND both totals: a side's
+        # gram total is the sum of its per-gram occurrence counts
+        stats = (per_gram.groupBy("__a", "__b", "n")
+                 .agg(F.sum(F.least("__ca", "__cb")).alias("match_n"),
+                      F.sum("__ca").alias("total_a"),
+                      F.sum("__cb").alias("total_b")))
         # every pair × order gets a row, zero-matched included
         orders = pairs.sparkSession.createDataFrame(
             [(n,) for n in self.getOrDefault(self.ngramOrders)],
             "n int")
         full = (p.crossJoin(F.broadcast(orders))
-                .join(inter, ["__a", "__b", "n"], "left")
-                .join(ta, ["__a", "n"], "left")
-                .join(tb, ["__b", "n"], "left")
+                .join(stats, ["__a", "__b", "n"], "left")
                 .withColumn("match_n",
                             F.coalesce("match_n", F.lit(0)))
                 .withColumn("total_a", F.coalesce("total_a", F.lit(0)))
