@@ -939,6 +939,12 @@ class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
         right = keys.select("__k", F.col("__id").alias("__id_r"),
                             F.col("__sz").alias("__sz_r"),
                             F.col("__p").alias("__p_r"))
+        # candidate INSTANCES flow straight into verification (a pair
+        # sharing several prefix keys is verified that many times, ~8%
+        # extra at sf0.1) and the pair dedup runs on the tiny VERIFIED
+        # output instead — this drops a full candidate-sized exchange +
+        # hash agg, and the verify work fuses into the key-join stage,
+        # whose explicit repartition(shuffle_n) already pins parallelism
         cand = (left.join(right, "__k")
                 .filter((F.col("__id_l") < F.col("__id_r"))
                         & (F.col("__sz_l") >= F.lit(t) * F.col("__sz_r"))
@@ -946,25 +952,22 @@ class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
                         & self._positional_filter(
                             F.col("__sz_l"), F.col("__p_l"),
                             F.col("__sz_r"), F.col("__p_r")))
-                .select("__id_l", "__id_r")
-                .dropDuplicates(["__id_l", "__id_r"]))
-        # pin the verify join's parallelism: AQE coalesces this stage by
-        # the candidate-pair BYTE size (16 B/row) and would run the
-        # CPU-heavy array-intersect verification in one task
-        shuffle_n = int(df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "32"))
-        cand = cand.repartition(shuffle_n, "__id_l", "__id_r")
+                .select("__id_l", "__id_r", "__sz_l", "__sz_r"))
         lsh = base.select(F.col("__id").alias("__id_l"),
                           F.col("__sh").alias("__sh_l"))
         rsh = base.select(F.col("__id").alias("__id_r"),
                           F.col("__sh").alias("__sh_r"))
-        jac = (F.size(F.array_intersect("__sh_l", "__sh_r"))
-               / F.size(F.array_union("__sh_l", "__sh_r")))
+        # __sh holds DISTINCT hashes by construction (shingle_hash_udf
+        # dedups), so |A∪B| = |A| + |B| − |A∩B|: the arithmetic union
+        # halves the per-pair set work vs array_union
+        inter = F.size(F.array_intersect("__sh_l", "__sh_r"))
+        jac = inter / (F.col("__sz_l") + F.col("__sz_r") - inter)
         return (cand.join(lsh, "__id_l").join(rsh, "__id_r")
                 .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= self.getThreshold())
                 .select(F.col("__id_l").alias("id_keep"),
-                        F.col("__id_r").alias("id_dup"), "jaccard"))
+                        F.col("__id_r").alias("id_dup"), "jaccard")
+                .dropDuplicates(["id_keep", "id_dup"]))
 
     def transform(self, df: DataFrame) -> DataFrame:
         dups = (self.duplicate_pairs(df)
@@ -1016,20 +1019,22 @@ class NgramJaccardDeduplicator(AlgoOperator, _MaterializeMixin,
         ck = self._prefix_keys(corpus_hashed).select(
             "__k", F.col("__id").alias("__id_c"),
             F.col("__sz").alias("__sz_c"), F.col("__p").alias("__p_c"))
+        # as in duplicate_pairs: verify candidate INSTANCES, dedup the
+        # tiny verified output (here the terminal .distinct() already
+        # does it) — saves the candidate-sized exchange + hash agg
         cand = (nk.join(ck, "__k")
                 .filter((F.col("__sz_n") >= F.lit(t) * F.col("__sz_c"))
                         & (F.col("__sz_c") >= F.lit(t) * F.col("__sz_n"))
                         & self._positional_filter(
                             F.col("__sz_n"), F.col("__p_n"),
                             F.col("__sz_c"), F.col("__p_c")))
-                .select("__id_n", "__id_c")
-                .dropDuplicates(["__id_n", "__id_c"]))
+                .select("__id_n", "__id_c", "__sz_n", "__sz_c"))
         nsh = new_h.select(F.col("__id").alias("__id_n"),
                            F.col("__sh").alias("__sh_n"))
         csh = corpus_hashed.select(F.col("__id").alias("__id_c"),
                                    F.col("__sh").alias("__sh_c"))
-        jac = (F.size(F.array_intersect("__sh_n", "__sh_c"))
-               / F.size(F.array_union("__sh_n", "__sh_c")))
+        inter = F.size(F.array_intersect("__sh_n", "__sh_c"))
+        jac = inter / (F.col("__sz_n") + F.col("__sz_c") - inter)
         dups = (cand.join(nsh, "__id_n").join(csh, "__id_c")
                 .filter(jac >= t)
                 .select(F.col("__id_n").alias("__dup_id")).distinct())
