@@ -225,7 +225,14 @@ class BM25Retriever(AlgoOperator, _MaterializeMixin, HasInputCol,
         w = (Window.partitionBy(qid)
              .orderBy(F.floor(F.col("score") * 1e9 + 0.5).desc(),
                       F.col(idc).asc()))
-        return (scored.withColumn("rank", F.row_number().over(w))
+        # explicit repartition: the window's ENSURE_REQUIREMENTS
+        # exchange reads few BYTES (scored is narrow) so AQE coalesces
+        # the CPU-heavy per-query sort onto 1-2 tasks — measured ~1 s
+        # single-task sorts at sf0.1
+        shuffle_n = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        return (scored.repartition(shuffle_n, qid)
+                .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK()))
 
 
@@ -313,7 +320,11 @@ class QueryLikelihoodRetriever(BM25Retriever):
         w = (Window.partitionBy(qid)
              .orderBy(F.floor(F.col("score") * 1e9 + 0.5).desc(),
                       F.col(idc).asc()))
-        return (out.withColumn("rank", F.row_number().over(w))
+        # pin the per-query sort's parallelism (see BM25Retriever)
+        shuffle_n = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        return (out.repartition(shuffle_n, qid)
+                .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK())
                 .select(qid, idc, "score", "rank"))
 
@@ -409,6 +420,10 @@ class ReciprocalRankFusion(AlgoOperator):
         w = (Window.partitionBy(q)
              .orderBy(F.floor(F.col("rrf_score") * 1e12 + 0.5).desc(),
                       F.col(it).asc()))
+        # no parallelism pinning here (contrast BM25Retriever): the
+        # fused frame is O(queries·k·lists) by construction — already
+        # top-k'd by every input ranker — so AQE's byte-coalescing of
+        # the window exchange is the right call
         return (fused.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.getTopK()))
 
@@ -487,22 +502,20 @@ class RankingEvaluator(AlgoOperator):
         n_rel = rel_pairs.groupBy(qc).agg(
             F.count(F.lit(1)).alias("n_rel"))
 
-        topk = ranking.filter(F.col(rc) <= k)
-        j = topk.join(rel_pairs, [qc, ic], "left")
-        rel = F.coalesce(F.col("__rel"), F.lit(0))
+        # ONE pass over the ranking: rows beyond the cutoff stay in the
+        # frame (scoring 0 via the rank<=k guard) so grouping by query
+        # yields a row for EVERY query in the ranking — including those
+        # whose rows ALL sit beyond the cutoff (hits=0/mrr=0, not
+        # silent omission). The old shape referenced the ranking twice
+        # (top-k branch + universe branch), recomputing an expensive
+        # retrieval subtree end to end.
+        j = ranking.join(rel_pairs, [qc, ic], "left")
+        relk = (F.col(rc) <= k) & F.col("__rel").isNotNull()
         per_q = (j.groupBy(qc).agg(
-            F.sum(rel).alias("hits"),
-            F.min(F.when(rel == 1, F.col(rc))).alias("__frr"),
-            F.sum(F.when(rel == 1,
+            F.sum(F.when(relk, 1).otherwise(0)).alias("hits"),
+            F.min(F.when(relk, F.col(rc))).alias("__frr"),
+            F.sum(F.when(relk,
                          1.0 / F.log2(F.col(rc) + 1))).alias("__dcg")))
-
-        # every query present in the ranking gets a row, including
-        # queries whose rows ALL sit beyond the cutoff (they score
-        # hits=0/mrr=0, not silent omission — dropping them would
-        # inflate averaged metrics)
-        universe = ranking.select(qc).distinct()
-        per_q = (universe.join(per_q, qc, "left")
-                 .fillna({"hits": 0}))
         out = per_q.join(n_rel, qc, "left") \
                    .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
         idcg = F.aggregate(
