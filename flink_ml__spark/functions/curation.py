@@ -2604,7 +2604,18 @@ class QualityClassifier(Estimator, HasInputCol, HasMaxIter):
             featuresCol="__features", labelCol="label",
             maxIter=self.getOrDefault(self.maxIter),
             regParam=self.getRegParam(), standardization=False)
-        model._lr = lr.fit(feats)
+        # cache the featurized frame for the duration of the fit:
+        # MLlib's blockified L-BFGS makes TWO full passes over the
+        # input before its own block cache exists (the summary
+        # treeAggregate and the first loss pass), so an uncached input
+        # pays tokenization + hashing twice (measured ~1 s each at
+        # sf0.1). Bounded like MLlib's own block cache; released
+        # before returning.
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            model._lr = lr.fit(feats)
+        finally:
+            feats.unpersist()
         return model
 
 
