@@ -654,21 +654,31 @@ class JsonSchemaProfiler(AlgoOperator, HasInputCol):
 
         parts = (ensure_min_parallelism(df.select(c))
                  .mapInPandas(partials, sch))
+        from pyspark.sql import Window
+
         merged = (parts.groupBy("key", "vtype")
                   .agg(F.sum("cnt").alias("n")))
-        docs = (merged.filter(F.col("vtype") == "__doc__")
-                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__docs")))
+        # the parsed-doc denominator rides merged as a sentinel row; a
+        # GLOBAL window over the O(keys·types) merged frame attaches it
+        # to every row, so merged — and the Arrow scan feeding it — is
+        # referenced once (the old separate docs-aggregate branch
+        # recomputed the whole scan: drift() paid 4 passes, not 2)
+        merged = merged.withColumn(
+            "__docs", F.coalesce(
+                F.sum(F.when(F.col("vtype") == "__doc__",
+                             F.col("n"))).over(Window.partitionBy()),
+                F.lit(0)))
         types = ["string", "number", "boolean", "null", "object",
                  "array"]
         pivoted = (merged.filter(F.col("vtype") != "__doc__")
-                   .groupBy("key")
+                   .groupBy("key", "__docs")
                    .pivot("vtype", types).agg(F.first("n"))
                    .na.fill(0, types))
         present = sum((F.col(t) for t in types[1:]), F.col(types[0]))
         dom = F.array_sort(F.array(*[
             F.struct((-F.col(t)).alias("neg"), F.lit(t).alias("t"))
             for t in types]))[0]["t"]
-        return (pivoted.crossJoin(F.broadcast(docs))
+        return (pivoted
                 .select(
                     "key",
                     present.alias("n_present"),
