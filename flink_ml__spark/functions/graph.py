@@ -165,8 +165,15 @@ class PageRank(AlgoOperator):
         ranks = tele_nodes.select(
             "node", F.col("__tele").alias("rank"))
         for _ in range(self.getMaxIter()):
-            dangling = (ranks.join(has_out, "node", "left_anti")
-                        .agg(F.sum("rank")).first()[0]) or 0.0
+            # dangling mass rides the iteration as a broadcast 1-row
+            # frame instead of a driver .first() — one action per
+            # round, not two. The arithmetic is unchanged: IEEE double
+            # ops on the same operands in the same association (the
+            # SQL oracle replays exactly this), whether the scalar
+            # arrives as a literal or a column.
+            dang = (ranks.join(has_out, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__dang")))
             contrib = (trans
                        .join(ranks.withColumnRenamed("node", "__s"),
                              "__s")
@@ -174,16 +181,15 @@ class PageRank(AlgoOperator):
                        .agg(F.sum(F.col("__p") * F.col("rank"))
                             .alias("__c")))
             if self._seed_nodes is None:
-                # keep the historical float association — the SQL
-                # oracle replays exactly these literals
                 expr = (F.lit((1.0 - d) / n)
                         + F.lit(d) * (F.coalesce("__c", F.lit(0.0))
-                                      + F.lit(dangling / n)))
+                                      + F.col("__dang") / n))
             else:
-                expr = ((F.lit(1.0 - d) + F.lit(d * dangling))
+                expr = ((F.lit(1.0 - d) + F.lit(d) * F.col("__dang"))
                         * F.col("__tele")
                         + F.lit(d) * F.coalesce("__c", F.lit(0.0)))
             ranks = (tele_nodes.join(contrib, "node", "left")
+                     .crossJoin(F.broadcast(dang))
                      .select("node", expr.alias("rank"))
                      .localCheckpoint(eager=True))
         return ranks
