@@ -1751,15 +1751,31 @@ class UnigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
                         .alias("logp")))
 
     def fit(self, df: DataFrame) -> UnigramLMModel:
+        from pyspark.sql import Observation
+
         toks = F.filter(F.split(F.lower(F.col(self.getInputCol())),
                                 TOKEN_SPLIT), lambda t: t != "")
-        total = (df.select(F.explode(toks).alias("token"))
-                 .agg(F.count(F.lit(1))).first()[0]) or 1
-        vocab = self._vocab_frame(df, total)
+        # ONE tokenize pass: the corpus-total count rides the vocab
+        # aggregation as an observe() metric (the old shape ran a
+        # separate full explode+count action first); logp becomes a
+        # lazy O(maxVocab) projection over the checkpointed counts
+        obs = Observation()
+        counts = (df.select(F.explode(toks).alias("token"))
+                  .observe(obs, F.count(F.lit(1)).alias("total"))
+                  .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+        capped = (counts.orderBy(F.desc("cnt"), F.asc("token"))
+                  .limit(self.getOrDefault(self.maxVocab))
+                  .localCheckpoint(eager=True))
+        # empty vocab <=> zero tokens; guard it BEFORE obs.get — AQE's
+        # empty-relation propagation can eliminate the CollectMetrics
+        # node outright, in which case the observation never fires
+        total = 1 if capped.isEmpty() else (int(obs.get["total"]) or 1)
+        vocab = capped.select(
+            "token",
+            F.log(F.col("cnt") / F.lit(float(total))).alias("logp"))
         import math as _math
 
-        model = UnigramLMModel(vocab.localCheckpoint(eager=True),
-                               _math.log(1.0 / total))
+        model = UnigramLMModel(vocab, _math.log(1.0 / total))
         model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
         return model
 
@@ -1910,9 +1926,14 @@ class BigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
                                 TOKEN_SPLIT), lambda t: t != "")
 
     def fit(self, df: DataFrame) -> BigramLMModel:
+        from pyspark.sql import Observation
+
         toks = self._toks()
-        tok_stream = df.select(F.explode(toks).alias("token"))
-        total = tok_stream.agg(F.count(F.lit(1))).first()[0] or 1
+        # the corpus-total count rides the unigram aggregation as an
+        # observe() metric — one tokenize pass, not two (cf. UnigramLM)
+        obs = Observation()
+        tok_stream = (df.select(F.explode(toks).alias("token"))
+                      .observe(obs, F.count(F.lit(1)).alias("total")))
         unigrams = (tok_stream.groupBy("token")
                     .agg(F.count(F.lit(1)).alias("cnt"))
                     .orderBy(F.desc("cnt"), F.asc("token"))
@@ -1929,9 +1950,14 @@ class BigramLM(AlgoOperator, HasInputCol, HasIdColMixin):
                    .agg(F.count(F.lit(1)).alias("cnt"))
                    .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
                    .limit(self.getOrDefault(self.maxBigrams)))
-        model = BigramLMModel(unigrams.localCheckpoint(eager=True),
+        uni_ckpt = unigrams.localCheckpoint(eager=True)
+        # empty vocab <=> zero tokens (see UnigramLM.fit on why the
+        # guard must come before obs.get)
+        total = (1 if uni_ckpt.isEmpty()
+                 else (int(obs.get["total"]) or 1))
+        model = BigramLMModel(uni_ckpt,
                               bigrams.localCheckpoint(eager=True),
-                              int(total),
+                              total,
                               self.getOrDefault(self.interpWeight))
         model._set(inputCol=self.getInputCol(), idCol=self.getIdCol())
         return model
