@@ -784,6 +784,13 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
         labels = (members.withColumn("__lbl", F.col("__id"))
                   .localCheckpoint())
         lbl_t = labels.schema["__lbl"].dataType.simpleString()
+        # one-time guard: with labels empty every round is empty AND
+        # AQE's empty-relation propagation would eliminate the
+        # CollectMetrics node the loop's convergence observation rides
+        # on; with labels non-empty the union branch keeps it alive
+        if labels.isEmpty():
+            return labels.select(F.col("__id").alias(idc),
+                                 F.col("__lbl").alias("cluster_id"))
         first_round = True
         for _ in range(self.getMaxIter()):
             nbr = (edges.join(
@@ -815,13 +822,20 @@ class DuplicateClusterer(AlgoOperator, HasIdColMixin, HasMaxIter):
                 cand = cand.union(jump.select("__id", "__lbl",
                                               null_old.alias("__old")))
             first_round = False
+            # the convergence count rides the checkpoint action as an
+            # observe() metric — ONE driver action per round, not a
+            # checkpoint plus a count scan (guide §1.2; every id has a
+            # labels row, so __old is never null and != is exact)
+            from pyspark.sql import Observation
+            obs = Observation()
             new_labels = (cand.groupBy("__id")
                           .agg(F.min("__lbl").alias("__lbl"),
                                F.min("__old").alias("__old"))
+                          .observe(obs, F.sum(
+                              F.when(F.col("__lbl") != F.col("__old"),
+                                     1).otherwise(0)).alias("chg"))
                           .localCheckpoint())  # eager; truncates lineage
-            changed = (new_labels
-                       .filter(F.col("__lbl") != F.col("__old"))
-                       .count())  # cheap scan of the checkpointed rows
+            changed = int(obs.get["chg"] or 0)
             labels = new_labels.select("__id", "__lbl")
             if changed == 0:
                 break
