@@ -2656,6 +2656,18 @@ class QualityClassifier(Estimator, HasInputCol, HasMaxIter):
             model._lr = lr.fit(feats)
         finally:
             feats.unpersist()
+        # Drop the training summary: it pins the predictions DataFrame
+        # (and through it the SparkSession) inside the model object
+        # that scoring serializes into every task. Besides the driver
+        # memory, the session reference is a serialization landmine —
+        # SparkSession.observationManager is a lazy val, so the model
+        # stays Java-serializable only until ANYTHING in the session
+        # touches observe(); after that every transform() task would
+        # die with NotSerializableException(ObservationManager).
+        # setSummary is private[ml], which the JVM compiles to a
+        # public method, so the py4j call is legal bytecode access.
+        model._lr._java_obj.setSummary(
+            positives.sparkSession._jvm.scala.Option.apply(None))
         return model
 
 

@@ -717,6 +717,41 @@ def test_quality_classifier_separation_and_roundtrip(spark, tmp_path):
         QualityClassifierModel().transform(held)
 
 
+def test_quality_classifier_model_survives_observe_in_session(spark):
+    """The fitted LR model must stay task-serializable after the
+    session's first observe() call.
+
+    SparkSession.observationManager is a lazy val: null (and thus
+    Java-serializable as a field) until anything in the session calls
+    observe(), non-serializable forever after. MLlib's training
+    summary holds the session via its predictions frame, so a model
+    that kept its summary would make every later transform() task die
+    with NotSerializableException(ObservationManager). fit() strips
+    the summary; this pins that contract against regressions (several
+    operators — UnigramLM/BigramLM.fit, DuplicateClusterer — now use
+    observe() and may legitimately run first in a shared session)."""
+    from pyspark.sql import Observation
+
+    from flink_ml__spark.functions.curation import QualityClassifier
+
+    # force-initialize the session's ObservationManager first
+    obs = Observation()
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert int(obs.get["n"]) == 5
+
+    pos = spark.createDataFrame(
+        [(i, f"curated encyclopedia article {i} cited") for i in range(20)],
+        ["doc_id", "text"])
+    neg = spark.createDataFrame(
+        [(i, f"click buy now {i} cheap casino win") for i in range(20)],
+        ["doc_id", "text"])
+    model = (QualityClassifier().setMaxIter(5).setNumFeatures(1 << 12)
+             .fit(pos, neg))
+    assert not model._lr.hasSummary
+    got = model.transform(pos).agg(F.avg("quality_prob")).first()[0]
+    assert 0.0 <= got <= 1.0
+
+
 def _bigram_reference(corpus, doc, lam=0.7, max_vocab=10**6, max_bigrams=10**6):
     import math
     import re
