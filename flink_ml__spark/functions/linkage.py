@@ -549,20 +549,40 @@ class TableProfiler(AlgoOperator):
         # resolution and the stack() expression string. The display
         # name enters only as a bound literal.
         aggs = [F.count(F.lit(1)).alias("__n")]
+        dist_aggs = []
         for i, c in enumerate(cols):
             # backtick-quote (doubling embedded backticks) so dots,
             # spaces and quotes in the name are literal, not multipart
             col = F.col("`%s`" % c.replace("`", "``"))
             aggs += [
                 F.count(F.when(col.isNull(), 1)).alias(f"__null_{i}"),
-                (F.approx_count_distinct(col, rsd) if rsd > 0
-                 else F.count_distinct(col)).alias(f"__dist_{i}"),
                 F.min(col).cast("string").alias(f"__min_{i}"),
                 F.max(col).cast("string").alias(f"__max_{i}"),
                 (F.avg(col.cast("double")) if c in numeric
                  else F.lit(None).cast("double")).alias(f"__mean_{i}"),
             ]
+            if rsd > 0:
+                # HLL++ sketches merge like any other partial — they
+                # ride the one keyless fold
+                aggs.append(
+                    F.approx_count_distinct(col, rsd).alias(f"__dist_{i}"))
+            else:
+                dist_aggs.append(
+                    F.count_distinct(col).alias(f"__dist_{i}"))
         wide = df.agg(*aggs)
+        if dist_aggs:
+            # exact multi-column distinct goes through Catalyst's
+            # Expand rewrite, which turns the fold into an aggregation
+            # KEYED by (all profiled columns, gid). Kept in the same
+            # agg as min/max the keyed pass inherits their string
+            # buffers and falls back to SortAggregate — two full-width
+            # sorts of the column-count-times-expanded table. Split
+            # out, the expanded pass carries no buffers at all and
+            # both its levels stay hash aggregations; the min/max/mean
+            # fold above is keyless, so it never sorts either. Costs
+            # one extra scan, saves the expanded sort — the trade
+            # scales with table width times row count.
+            wide = wide.join(F.broadcast(df.agg(*dist_aggs)))
         rows = F.explode(F.array(*[
             F.struct(F.lit(c).alias("column"),
                      F.col(f"__null_{i}").alias("n_null"),
