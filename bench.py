@@ -346,7 +346,12 @@ def main() -> None:
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
             "loadavg_start": [round(x, 2) for x in LOAD_START],
             "loadavg_end": [round(x, 2) for x in load_end],
-            "cpus": os.cpu_count(),
+            # the resolved master core count, NOT os.cpu_count(): a
+            # local[8] scaling run must not label its map "cpus": 32
+            # (r12 verdict item 4 — metadata-only, but it breaks mover
+            # classification between maps taken at different widths)
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            "host_cpus": os.cpu_count(),
             "wall_sec": round(time.perf_counter() - T_START, 1),
         },
     }
