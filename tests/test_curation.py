@@ -1829,3 +1829,37 @@ def test_coverage_novelty_against(spark):
     assert (out[12]["n_novel"], out[12]["novelty_frac"]) == (3, 1.0)
     assert (out[13]["n_shingles"], out[13]["n_novel"]) == (0, 0)
     assert out[13]["novelty_frac"] is None
+
+
+def test_duplicate_clusterer_frontier_matches_full_form(spark, monkeypatch):
+    """r13 frontier rounds (delta joins against the broadcast changed
+    set) must label identically to the r12 full-join rounds — on a long
+    path (multi-round pointer jumping), a star, and random clusters."""
+    import random
+
+    from flink_ml__spark.functions import curation
+
+    rng = random.Random(13)
+    edges = ([(i, i + 1) for i in range(40)]            # path: diameter 40
+             + [(1000, 1000 + i) for i in range(1, 8)]  # star
+             + [(rng.randrange(2000, 2060), rng.randrange(2000, 2060))
+                for _ in range(80)])                    # random blob
+    pairs = spark.createDataFrame(edges, ["id_keep", "id_dup"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 2060, 7)], ["doc_id"])
+
+    def run():
+        out = (curation.DuplicateClusterer().setMaxIter(30)
+               .cluster(pairs, nodes=nodes))
+        return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+    monkeypatch.setattr(curation, "_CC_BROADCAST_ROWS", 0)   # full form
+    full = run()
+    # force the delta branch on EVERY eligible round (factor 0 defeats
+    # the sparsity gate), so the equivalence is actually exercised
+    monkeypatch.setattr(curation, "_CC_BROADCAST_ROWS", 1 << 30)
+    monkeypatch.setattr(curation, "_CC_DELTA_FACTOR", 0)
+    delta = run()
+    assert delta == full
+    # sanity: the path really is one component labeled by its min
+    assert all(delta[i] == 0 for i in range(41))
