@@ -208,33 +208,64 @@ class KMeans(Estimator, KMeansParams):
             C = np.asarray(centroids, dtype=float)
             dims = C.shape[1]
 
-            schema = "n array<double>, s array<double>"
-            for _ in range(max_iter):
-                def partial(batches, C=C):
-                    for pdf in batches:
-                        if not len(pdf):
-                            continue
-                        X = np.stack(pdf["x"].to_numpy())
-                        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin
-                        # drops the ||x||² term
-                        a = (-2.0 * X @ C.T + (C * C).sum(1)).argmin(1)
-                        cnt = np.bincount(a, minlength=len(C)).astype(float)
-                        sums = np.zeros_like(C)
-                        np.add.at(sums, a, X)
-                        yield pd.DataFrame({"n": [cnt.tolist()],
-                                            "s": [sums.ravel().tolist()]})
+            if n_points <= len(S):
+                # The init sample IS the whole dataset (n ≤
+                # initSampleSize), already collected for k-means++ —
+                # run Lloyd driver-side on it. Each distributed epoch
+                # otherwise costs a fixed ~0.3 s mapInPandas dispatch
+                # for microseconds of numpy (measured at sf0.1: ten
+                # single-batch epoch jobs dominate the whole fit, and
+                # fanning the cache does not help because the cost is
+                # the per-job round trip, not compute — guide §1.2:
+                # fewer actions). No new driver memory: the rows are
+                # on the driver either way. Larger inputs keep the
+                # distributed epochs below.
+                X = S
+                for _ in range(max_iter):
+                    a = (-2.0 * X @ C.T + (C * C).sum(1)).argmin(1)
+                    cnt = np.bincount(a, minlength=len(C)).astype(float)
+                    sums = np.zeros_like(C)
+                    np.add.at(sums, a, X)
+                    new_C = C.copy()  # empty cluster keeps its centroid
+                    nz = cnt > 0
+                    new_C[nz] = sums[nz] / cnt[nz, None]
+                    shift = float(np.sqrt(((new_C - C) ** 2).sum(1)).max())
+                    C = new_C
+                    if shift < tol:
+                        break
+            else:
+                schema = "n array<double>, s array<double>"
+                for _ in range(max_iter):
+                    def partial(batches, C=C):
+                        for pdf in batches:
+                            if not len(pdf):
+                                continue
+                            X = np.stack(pdf["x"].to_numpy())
+                            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin
+                            # drops the ||x||² term
+                            a = (-2.0 * X @ C.T
+                                 + (C * C).sum(1)).argmin(1)
+                            cnt = np.bincount(
+                                a, minlength=len(C)).astype(float)
+                            sums = np.zeros_like(C)
+                            np.add.at(sums, a, X)
+                            yield pd.DataFrame({"n": [cnt.tolist()],
+                                                "s": [sums.ravel()
+                                                      .tolist()]})
 
-                rows = base.mapInPandas(partial, schema).collect()
-                cnt = np.sum([r["n"] for r in rows], axis=0)
-                sums = np.sum([np.asarray(r["s"]).reshape(len(C), dims)
-                               for r in rows], axis=0)
-                new_C = C.copy()  # empty cluster keeps its centroid
-                nz = cnt > 0
-                new_C[nz] = sums[nz] / cnt[nz, None]
-                shift = float(np.sqrt(((new_C - C) ** 2).sum(1)).max())
-                C = new_C
-                if shift < tol:
-                    break
+                    rows = base.mapInPandas(partial, schema).collect()
+                    cnt = np.sum([r["n"] for r in rows], axis=0)
+                    sums = np.sum([np.asarray(r["s"]).reshape(len(C),
+                                                              dims)
+                                   for r in rows], axis=0)
+                    new_C = C.copy()  # empty cluster keeps its centroid
+                    nz = cnt > 0
+                    new_C[nz] = sums[nz] / cnt[nz, None]
+                    shift = float(np.sqrt(((new_C - C) ** 2).sum(1))
+                                  .max())
+                    C = new_C
+                    if shift < tol:
+                        break
         finally:
             base.unpersist()
 
