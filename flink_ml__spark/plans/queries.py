@@ -11992,58 +11992,7 @@ QUERIES = {
     # --- driver-gate window (first 50): stalest
     # driver CORRECTNESS evidence first — rotated by
     # tools/rotate_gates.py
-    "dedup_minhash_against_documents": q_dedup_minhash_against_documents,
-    "coverage_coreset_documents": q_coverage_coreset_documents,
-    "coverage_novelty_documents": q_coverage_novelty_documents,
-    "unimax_alloc_documents": q_unimax_alloc_documents,
-    "rollup_gapfill_events": q_rollup_gapfill_events,
-    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
-    "canopy_invariants_customer": q_canopy_invariants_customer,
-    "minhash_recall_documents": q_minhash_recall_documents,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "online_topsis_model_events": q_online_topsis_model_events,
-    "online_topsis_predict_events": q_online_topsis_predict_events,
-    "auto_features_orders": q_auto_features_orders,
-    "ahp_score_lineitem": q_ahp_score_lineitem,
-    "topsis_score_part": q_topsis_score_part,
-    "online_ahp_events": q_online_ahp_events,
-    "apriori_rules_events": q_apriori_rules_events,
-    "mean_imputer_orders": q_mean_imputer_orders,
-    "standard_scaler_lineitem": q_standard_scaler_lineitem,
-    "time_features_orders": q_time_features_orders,
-    "dedup_exact_documents": q_dedup_exact_documents,
-    "dedup_minhash_documents": q_dedup_minhash_documents,
-    "dedup_simhash_documents": q_dedup_simhash_documents,
-    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "lang_id_documents": q_lang_id_documents,
-    "quality_documents": q_quality_documents,
-    "quality_filter_documents": q_quality_filter_documents,
-    "token_count_documents": q_token_count_documents,
-    "anomaly_events": q_anomaly_events,
-    "scd2_events": q_scd2_events,
-    "zorder_key_events": q_zorder_key_events,
-    "fuzzy_link_part": q_fuzzy_link_part,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "expectation_monitor_events": q_expectation_monitor_events,
-    "markup_strip_documents": q_markup_strip_documents,
-    "script_profile_documents": q_script_profile_documents,
-    "compression_invariants_documents": q_compression_invariants_documents,
-    "bpe_tokenize_documents": q_bpe_tokenize_documents,
-    "phrase_match_documents": q_phrase_match_documents,
-    "drift_report_orders": q_drift_report_orders,
-    "classification_eval_documents": q_classification_eval_documents,
-    "categorical_drift_events": q_categorical_drift_events,
-    "drift_monitor_window_events": q_drift_monitor_window_events,
-    "trending_events": q_trending_events,
-    "cohort_retention_events": q_cohort_retention_events,
-    "funnel_events": q_funnel_events,
-    "pagerank_events": q_pagerank_events,
-    "triangles_events": q_triangles_events,
-    "components_events": q_components_events,
     "label_prop_events": q_label_prop_events,
-    # --- outside the window this round
     "assoc_lineitem": q_assoc_lineitem,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "copurchase_pmi_lineitem": q_copurchase_pmi_lineitem,
@@ -12093,6 +12042,7 @@ QUERIES = {
     "ab_test_orders": q_ab_test_orders,
     "benford_orders": q_benford_orders,
     "minmax_scale_lineitem": q_minmax_scale_lineitem,
+    # --- outside the window this round
     "maxabs_scale_orders": q_maxabs_scale_orders,
     "robust_scale_lineitem": q_robust_scale_lineitem,
     "quantile_bins_orders": q_quantile_bins_orders,
@@ -12260,6 +12210,56 @@ QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "fingerprint_documents": q_fingerprint_documents,
     "multimodal_meta_documents": q_multimodal_meta_documents,
+    "dedup_minhash_against_documents": q_dedup_minhash_against_documents,
+    "coverage_coreset_documents": q_coverage_coreset_documents,
+    "coverage_novelty_documents": q_coverage_novelty_documents,
+    "unimax_alloc_documents": q_unimax_alloc_documents,
+    "rollup_gapfill_events": q_rollup_gapfill_events,
+    "anomaly_events": q_anomaly_events,
+    "scd2_events": q_scd2_events,
+    "zorder_key_events": q_zorder_key_events,
+    "fuzzy_link_part": q_fuzzy_link_part,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "expectation_monitor_events": q_expectation_monitor_events,
+    "markup_strip_documents": q_markup_strip_documents,
+    "script_profile_documents": q_script_profile_documents,
+    "compression_invariants_documents": q_compression_invariants_documents,
+    "bpe_tokenize_documents": q_bpe_tokenize_documents,
+    "phrase_match_documents": q_phrase_match_documents,
+    "drift_report_orders": q_drift_report_orders,
+    "classification_eval_documents": q_classification_eval_documents,
+    "categorical_drift_events": q_categorical_drift_events,
+    "drift_monitor_window_events": q_drift_monitor_window_events,
+    "trending_events": q_trending_events,
+    "cohort_retention_events": q_cohort_retention_events,
+    "funnel_events": q_funnel_events,
+    "pagerank_events": q_pagerank_events,
+    "triangles_events": q_triangles_events,
+    "components_events": q_components_events,
+    "fcm_invariants_embeddings": q_fcm_invariants_embeddings,
+    "canopy_invariants_customer": q_canopy_invariants_customer,
+    "minhash_recall_documents": q_minhash_recall_documents,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "online_topsis_model_events": q_online_topsis_model_events,
+    "online_topsis_predict_events": q_online_topsis_predict_events,
+    "auto_features_orders": q_auto_features_orders,
+    "ahp_score_lineitem": q_ahp_score_lineitem,
+    "topsis_score_part": q_topsis_score_part,
+    "online_ahp_events": q_online_ahp_events,
+    "apriori_rules_events": q_apriori_rules_events,
+    "mean_imputer_orders": q_mean_imputer_orders,
+    "standard_scaler_lineitem": q_standard_scaler_lineitem,
+    "time_features_orders": q_time_features_orders,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_minhash_documents": q_dedup_minhash_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id_documents": q_lang_id_documents,
+    "quality_documents": q_quality_documents,
+    "quality_filter_documents": q_quality_filter_documents,
+    "token_count_documents": q_token_count_documents,
 }
 
 ORACLES = {
